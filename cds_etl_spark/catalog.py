@@ -1,0 +1,59 @@
+"""Table catalog over the synthetic test tables.
+
+The engine treats a directory of parquet files as a database: one table
+per file. `load_table` is the single entry point for reading, so every
+scan benefits from the same normalization rules (timestamp handling)
+and Catalyst still sees a plain parquet relation (predicate pushdown and
+column pruning are preserved — the only post-scan projection is the
+events `ts` conversion, a cheap arithmetic cast).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cds_etl_spark.session import ensure_session_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one catalog table as a DataFrame.
+
+    `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
+    reader cannot represent; with `spark.sql.legacy.parquet.nanosAsLong`
+    it arrives as epoch-nanos LONG and is converted here to a
+    microsecond TIMESTAMP_NTZ (`ts div 1000` — integer division; a
+    double division would lose precision above 2^53). This matches how
+    DuckDB reads the same file (truncation to micros, naive timestamp).
+    """
+    ensure_session_confs(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register every catalog table as a temp view (for spark.sql use)."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
