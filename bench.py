@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": <scale factor>}
+
+Query shapes mirror BASELINE.md (Q1–Q8, measured there on DuckDB 1.0
+at sf0.1). Timing methodology matches the baseline's "warm, single
+process, steady state": one shared SparkSession, one untimed warm-up
+execution per query, then best of 3 timed runs. Queries are fully
+executed into the `noop` sink (whole plan runs on executors; no
+driver-side row transfer, mirroring how the DuckDB numbers were taken
+post-connect without client serialization games).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cds_etl_spark.catalog import load_table
+from cds_etl_spark.plans import QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = 3
+
+
+def q1_filter_project(spark: SparkSession, sf: str) -> DataFrame:
+    return QUERIES["qs01_scan_filter_project"](spark, sf)
+
+
+def q2_groupby_agg(spark: SparkSession, sf: str) -> DataFrame:
+    return QUERIES["qs10_groupby_agg_tpch_q1"](spark, sf)
+
+
+def q3_join_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """orders ⋈ customer + aggregate (BASELINE Q3 family)."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+def q4_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    return QUERIES["qs41_distinct"](spark, sf)
+
+
+def q5_combine_rows(spark: SparkSession, sf: str) -> DataFrame:
+    return QUERIES["qs14_combine_rows_string_agg"](spark, sf)
+
+
+def q6_regex(spark: SparkSession, sf: str) -> DataFrame:
+    return QUERIES["qs31_regex_filter"](spark, sf)
+
+
+def q7_case_mapping(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.when(F.col("event_type") == "click", "Click")
+        .when(F.col("event_type") == "purchase", "Purchase")
+        .otherwise("Not specified in data")
+        .alias("mapped"),
+    )
+
+
+def q8_window_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return QUERIES["qs20_topk_per_group"](spark, sf)
+
+
+BENCH_QUERIES = {
+    "q1": q1_filter_project,
+    "q2": q2_groupby_agg,
+    "q3": q3_join_agg,
+    "q4": q4_distinct,
+    "q5": q5_combine_rows,
+    "q6": q6_regex,
+    "q7": q7_case_mapping,
+    "q8": q8_window_topk,
+}
+
+
+def execute(df: DataFrame) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from cds_etl_spark.session import get_spark
+
+    spark = get_spark("cds_etl_spark_bench")
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or "0.1")
+
+    times: dict[str, float] = {}
+    for name, fn in BENCH_QUERIES.items():
+        df = fn(spark, SF_DIR)
+        execute(df)  # warm-up: JIT, code cache, OS page cache
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            execute(fn(spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 4)
+
+    out = {
+        "metric": "headline_query_total_warm_best",
+        "value": round(sum(times.values()), 4),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
