@@ -1,0 +1,60 @@
+"""File sources/sinks (O30/O31/O32).
+
+* `write_node_tsv` — the reference's per-node TSV sink
+  (`print_data`, cds_transformation_functions.py:106-122): one
+  tab-separated file per node, header row, all-null frames skipped.
+  `single_file=True` reproduces the reference's one-file-per-node
+  contract via coalesce(1) (fine for metadata-scale nodes); the
+  default leaves one file per partition — the scale path.
+* `write_report_tsv` — validation report sink (:197-207).
+* S3: the reference shuttles files with boto3 (:82-104, :346-360).
+  Spark-native equivalent is the same writer pointed at an
+  `s3a://bucket/prefix` URI (Hadoop S3A committer handles multipart
+  upload and atomic commit); no separate code path needed.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_tsv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read.option("sep", "\t").option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def _has_data(df: DataFrame) -> bool:
+    """Reference guard: skip frames with no non-all-null row
+    (:119-120). A row-limit probe, not a full count."""
+    probe = df.dropna(how="all").limit(1)
+    return len(probe.take(1)) > 0
+
+
+def write_node_tsv(
+    df: DataFrame, out_dir: str, name: str, prefix: str = "", single_file: bool = True
+) -> str | None:
+    if not _has_data(df):
+        return None
+    file_base = f"{prefix}-{name}" if prefix else name
+    path = os.path.join(out_dir, file_base)
+    out = df.coalesce(1) if single_file else df
+    (
+        out.write.mode("overwrite")
+        .option("sep", "\t")
+        .option("header", True)
+        .option("emptyValue", "")
+        .option("nullValue", "")
+        .csv(path)
+    )
+    return path
+
+
+def write_report_tsv(df: DataFrame, out_dir: str, name: str, prefix: str = "") -> str | None:
+    if df.isEmpty():
+        return None
+    return write_node_tsv(df, out_dir, name, prefix)
