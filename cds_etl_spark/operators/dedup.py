@@ -1,0 +1,179 @@
+"""Deduplication operators for large text corpora.
+
+The LLM-pipeline extension surface (SURVEY.md §7.1 M5): exact dedup,
+MinHash+LSH near-dup, SimHash grouping, blocked n-gram Jaccard, and
+embedding-cosine near-dup. The reference's only dedup is an in-memory
+full-row ``drop_duplicates`` (cds-transformation_v1.3.py:148-152);
+these are its corpus-scale generalizations.
+
+Scale design (the part that must survive 100 TB):
+
+* Signatures (shingles → MinHash → band keys) are computed *inside the
+  scan projection* as array expressions (functions/text.py) — no
+  explode, no Python, no shuffle. A 100 MB document and a 1 KB document
+  both contribute H·32 bytes to every downstream shuffle.
+* Candidate generation explodes only (id, band_idx, band_key) — 3 small
+  columns — and self-joins on the band key. This is the one shuffle,
+  and its key space (md5 of band rows) is uniformly distributed, so no
+  skew. Identical-text clusters DO collide on every band; dropping
+  exact-dup rows first (exact_dedup) bounds bucket sizes.
+* The Jaccard refine joins shingle sets back by doc id — a shuffle of
+  only candidate ids against the corpus, proportional to candidate
+  count, not corpus².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cds_etl_spark.functions.text import (
+    jaccard,
+    lsh_band_keys,
+    minhash_signature,
+    simhash,
+    tokens,
+    word_shingles,
+)
+from cds_etl_spark.functions.vector import cosine_similarity
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one surviving (minimum) id
+    per distinct text. Hash-partitioned aggregation — the md5 group key
+    is computed map-side so the shuffle carries (32-byte hash, id), not
+    the text."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(F.col(id_col)).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs with an exact-Jaccard refine.
+
+    shingle → minhash → band → bucket-join → verify, all DataFrame
+    algebra. Returns (d1, d2, jac) with d1 < d2 and jac ≥ min_jaccard.
+
+    With H=12, r=3, b=4 the candidate probability is
+    1-(1-j³)⁴ — ≈0 for j≤0.2, ≈0.9 for j≥0.8 — so the expensive exact
+    refine only ever sees a near-linear number of pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("_id"), word_shingles(F.col(text_col), shingle_k).alias("_sh")
+    )
+    sig = sh.select(
+        "_id", "_sh", lsh_band_keys(minhash_signature("_sh", num_hashes), bands, rows_per_band).alias("_bk")
+    )
+    # Explode to (id, band_idx, band_key): the only wide payload (_sh)
+    # stays behind — rejoined later only for surviving candidates.
+    bands_df = sig.select(
+        "_id", F.posexplode("_bk").alias("_bi", "_key")
+    )
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._bi") == F.col("b._bi"))
+            & (F.col("a._key") == F.col("b._key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("d1"), F.col("b._id").alias("d2"))
+        .distinct()
+    )
+    sets = sh.select(F.col("_id"), F.col("_sh"))
+    return (
+        cand.join(sets.withColumnRenamed("_id", "d1").withColumnRenamed("_sh", "_sa"), "d1")
+        .join(sets.withColumnRenamed("_id", "d2").withColumnRenamed("_sh", "_sb"), "d2")
+        .select("d1", "d2", jaccard(F.col("_sa"), F.col("_sb")).alias("jac"))
+        .filter(F.col("jac") >= min_jaccard)
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """Per-document SimHash fingerprint (bits-wide long). Documents
+    sharing a fingerprint (or within small Hamming distance, via
+    bit_count(a^b)) are near-duplicates. Computed row-local; grouping
+    by fingerprint is a single narrow-key aggregation."""
+    return df.select(
+        F.col(id_col),
+        simhash(F.array_distinct(tokens(F.col(text_col))), bits).alias("simhash"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang",),
+    shingle_k: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Blocked exact n-gram Jaccard: candidate pairs form only inside
+    equality blocks (e.g. same lang), then exact shingle Jaccard
+    filters. The block join is an equi-join on the block columns —
+    shuffle-partitioned by block key; pair explosion is bounded per
+    block, not corpus-wide. For skew-free blocks at scale, add a
+    coarse length band to block_cols."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c) for c in block_cols],
+        word_shingles(F.col(text_col), shingle_k).alias("_sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = (F.col("a._id") < F.col("b._id"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a._id").alias("d1"),
+            F.col("b._id").alias("d2"),
+            jaccard(F.col("a._sh"), F.col("b._sh")).alias("jac"),
+        )
+        .filter(F.col("jac") >= min_jaccard)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    min_cosine: float = 0.4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked on an equality
+    column (cluster/label/bucket id). The block join keeps the pair
+    space per-block; at 100 TB the block column comes from a coarse
+    quantizer (see similarity.ivf_assign) so no O(n²) global join ever
+    forms."""
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        *( [F.col(block_col)] if block_col else [] ),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col("a._id") < F.col("b._id")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a._id").alias("d1"),
+            F.col("b._id").alias("d2"),
+            cosine_similarity(F.col("a._v"), F.col("b._v")).alias("cos"),
+        )
+        .filter(F.col("cos") >= min_cosine)
+    )

@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Three tiers, per SURVEY.md §7.1 M5:
+
+* ``cosine_topk``      — exact brute-force top-k: the correctness
+  baseline. Scan-parallel scoring + ``TakeOrderedAndProject`` (each
+  partition keeps k rows, driver merges k·P) — no global sort ever
+  materializes. This is the right plan even at 100 TB when k is small:
+  one pass, no shuffle except the k-row-per-partition merge.
+* ``ivf_assign`` / ``ivf_topk`` — IVF (inverted-file) ANN: vectors are
+  partitioned by nearest coarse centroid at index-build time; a query
+  probes only the ``nprobe`` nearest centroid buckets, cutting scanned
+  rows to ~nprobe/n_centroids of the corpus. The assignment column
+  doubles as the blocking key for embedding near-dup joins
+  (operators/dedup.embedding_neardup_pairs).
+* ``cosine_topk_pandas`` — Arrow-batched numpy variant of the scorer:
+  same results, matrix–vector product per batch. Wins when the
+  embedding dimension is large enough that per-element codegen loses
+  to BLAS; kept as an alternative physical strategy for the same
+  logical op.
+
+Centroid choice here is deterministic (first C vector ids) so the
+DuckDB oracle can replay the exact algorithm; production would plug
+k-means centroids in the same shape (a small (cid, vector) DataFrame).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from cds_etl_spark.functions.vector import cosine_similarity
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of ``df`` against a single query vector
+    (one-row DataFrame with column ``qvec``). The query side is
+    broadcast; scoring fuses into the scan stage."""
+    return (
+        df.join(F.broadcast(query_vec))
+        .select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col).cast("array<double>"), F.col("qvec")).alias(
+                "sim"
+            ),
+        )
+        .orderBy(F.col("sim").desc(), id_col)
+        .limit(k)
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+    cvec_col: str = "cvec",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (max cosine,
+    centroid-id tiebreak): the IVF index build.
+
+    Centroids (C rows) are broadcast and the argmax is a per-partition
+    window over the C-way crossJoin — row count C·n but never shuffled
+    (the window key is the vector id, already co-located post-
+    crossJoin... on a cluster this is a map-side expand + local top-1).
+    Cosine is rounded to 6 dp before the argmax so near-ties resolve
+    by centroid id identically on any engine.
+    """
+    scored = (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+        .join(F.broadcast(centroids.select(F.col(cid_col), F.col(cvec_col))))
+        .select(
+            id_col,
+            "_v",
+            F.col(cid_col),
+            F.round(cosine_similarity(F.col("_v"), F.col(cvec_col)), 6).alias("_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col(cid_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col("_v").alias(vec_col), F.col(cid_col))
+    )
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    query_vec: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+    cvec_col: str = "cvec",
+) -> DataFrame:
+    """IVF search: rank centroids against the query, keep the best
+    ``nprobe``, scan only vectors assigned to those buckets, exact
+    top-k within. At scale the assigned table is *partitioned by cid*
+    on disk, so the probe filter is partition pruning — the scan reads
+    nprobe/C of the data."""
+    probed = (
+        centroids.join(F.broadcast(query_vec))
+        .select(
+            F.col(cid_col),
+            F.round(cosine_similarity(F.col(cvec_col), F.col("qvec")), 6).alias("_csim"),
+        )
+        .orderBy(F.col("_csim").desc(), F.col(cid_col))
+        .limit(nprobe)
+        .select(cid_col)
+    )
+    return (
+        assigned.join(F.broadcast(probed), cid_col)
+        .join(F.broadcast(query_vec))
+        .select(
+            F.col(id_col),
+            F.round(cosine_similarity(F.col(vec_col), F.col("qvec")), 4).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), id_col)
+        .limit(k)
+    )
+
+
+def cosine_topk_pandas(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched brute-force scorer: numpy matrix–vector cosine per
+    batch (BLAS), then the same TakeOrderedAndProject top-k. Identical
+    results to cosine_topk; alternative physical strategy for wide
+    embeddings."""
+    import numpy as np
+
+    q = np.asarray(query, dtype="float64")
+    qn = float(np.sqrt((q * q).sum()))
+
+    @F.pandas_udf(DoubleType())
+    def _score(v: pd.Series) -> pd.Series:
+        m = np.asarray(v.tolist(), dtype="float64")
+        sims = (m @ q) / (np.sqrt((m * m).sum(axis=1)) * qn)
+        return pd.Series(sims)
+
+    return (
+        df.select(F.col(id_col), _score(F.col(vec_col)).alias("sim"))
+        .orderBy(F.col("sim").desc(), id_col)
+        .limit(k)
+    )

@@ -1,0 +1,127 @@
+"""Text-analysis operators: language-ID, quality scoring, token
+counting, fingerprinting (SURVEY.md §7.1 M5).
+
+All pure column expressions over the per-row token array — computed in
+the scan projection, embarrassingly parallel, no shuffle, no Python.
+The reference's nearest analogue is its cell-level regex/string surface
+(O4/O26); these are the corpus-scale operators an LLM data pipeline
+needs on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cds_etl_spark.functions.text import bpe_ish_tokens, kmin_fingerprint, tokens, word_shingles
+
+# Tiny built-in stopword lexicons (n-gram heuristic language-ID).
+# Deliberately small + deterministic: the operator contract is the
+# argmax-over-lexicon-hits shape, not lexicon quality; production swaps
+# in real frequency tables of the same (lang → words) form.
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "no", "por"),
+    "fr": ("le", "la", "de", "et", "un", "est", "pas", "que", "pour", "dans"),
+}
+
+PUNCT_RE = r"[^A-Za-z0-9\s]"
+
+
+def _hit_count(toks: Column, lexicon: tuple[str, ...]) -> Column:
+    """Number of tokens present in the lexicon (with multiplicity)."""
+    lex = F.array(*[F.lit(w) for w in lexicon])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lex, t)))
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    toks = tokens(text)
+    return {lang: _hit_count(toks, lex) for lang, lex in LANG_LEXICONS.items()}
+
+
+def language_id(text: Column, default: str = "und") -> Column:
+    """Argmax lexicon-hit language with deterministic ties (lexicon
+    order) and 'und' when no lexicon hits at all."""
+    scores = language_scores(text)
+    best_score = F.greatest(*scores.values())
+    out: Column = F.lit(default)
+    # Reverse order so earlier lexicons win exact ties.
+    for lang in reversed(list(scores)):
+        out = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(out)
+    return F.when(best_score > 0, out).otherwise(F.lit(default))
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text, lowercase=False))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish sub-word count (letter runs / digit runs / punct)."""
+    return F.size(bpe_ish_tokens(text))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio quality signals.
+
+    Ratios are exact IEEE divisions of integer counts — bit-identical
+    on any engine, no rounding needed.
+    """
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(PUNCT_RE), 0))
+    n_stop = _hit_count(toks, LANG_LEXICONS["en"])
+    mean_tok_len = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double")
+        / n_tok.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_tokens": n_tok.cast("bigint"),
+        "punct_ratio": F.when(
+            n_chars > 0, n_punct.cast("double") / n_chars.cast("double")
+        ).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(
+            n_tok > 0, n_stop.cast("double") / n_tok.cast("double")
+        ).otherwise(F.lit(0.0)),
+        "mean_token_len": mean_tok_len,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: inside-length-band + has some
+    stopwords + not punctuation-soup. Weights are integers/4 so the
+    score is an exact dyadic rational (engine-independent)."""
+    feats = quality_features(text)
+    ok_len = (feats["n_tokens"] >= 5) & (feats["n_tokens"] <= 100000)
+    ok_stop = feats["stopword_ratio"] > 0
+    ok_punct = feats["punct_ratio"] < 0.2
+    ok_toklen = (feats["mean_token_len"] >= 2.0) & (feats["mean_token_len"] <= 12.0)
+    score = (
+        F.when(ok_len, 1).otherwise(0)
+        + F.when(ok_stop, 1).otherwise(0)
+        + F.when(ok_punct, 1).otherwise(0)
+        + F.when(ok_toklen, 1).otherwise(0)
+    )
+    return score.cast("double") / F.lit(4.0)
+
+
+def document_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One-pass per-document text profile: token counts, quality
+    features, language guess, k-min fingerprint. Single projection —
+    every signal shares the tokenization subexpressions."""
+    text = F.col(text_col)
+    feats = quality_features(text)
+    return df.select(
+        F.col(id_col),
+        *[c.alias(n) for n, c in feats.items()],
+        token_count_bpe(text).alias("n_bpe_tokens"),
+        language_id(text).alias("lang_guess"),
+        quality_score(text).alias("quality"),
+        kmin_fingerprint(word_shingles(text, 3)).alias("fingerprint"),
+    )
