@@ -1,0 +1,205 @@
+"""Structured Streaming over event-shaped tables (SURVEY.md §7.1 M6).
+
+The reference is batch-only; this is the engine's extension mapping the
+`events` table onto `readStream` sources with event-time semantics:
+watermarked tumbling/sliding windows, session windows, within-watermark
+dedup, and a custom stateful operator via ``applyInPandasWithState``.
+
+Scale notes:
+* Every aggregation here keys its state by (window/session, key) —
+  state is hash-partitioned across executors by the shuffle, and the
+  watermark bounds state size (expired windows are evicted). That is
+  the 100 TB/day story: state ∝ active windows × keys, not input.
+* The file source is used in tests; on a cluster the same DataFrame
+  code runs unchanged over Kafka (`format("kafka")`) since all
+  operators only touch columns, not the source.
+* Micro-batch parity with batch semantics is the test contract
+  (tests/test_streaming.py): the same groupBy over the same data must
+  produce identical results through the streaming engine in
+  ``complete`` mode, and append/update modes must respect watermark
+  eviction for late rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from cds_etl_spark.catalog import load_table
+
+
+def materialize_event_source(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4
+) -> StructType:
+    """Land the events table as `n_files` normalized parquet files in
+    `out_dir` — the simulated stream inbox (files arriving = micro-batch
+    input; with maxFilesPerTrigger=1, n_files micro-batches). Returns
+    the source schema. ts is normalized to TIMESTAMP_NTZ at landing so
+    the streaming path has no parquet-nanos legacy concerns."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        # Watermarks require TIMESTAMP (not NTZ); session tz is pinned
+        # UTC (session.RUNTIME_CONFS) so the cast is value-preserving.
+        "ts",
+        F.col("ts").cast("timestamp"),
+    )
+    # File k must hold the k-th time slice AND be written after file
+    # k-1: the file source orders batches by modification time, so a
+    # parallel write (task-completion order) would deliver slices out
+    # of order and everything behind the advanced watermark would be
+    # dropped as late. Sequential slice writes simulate in-order
+    # arrival — this is a test-inbox generator, not a scale path.
+    qs = [i / n_files for i in range(1, n_files)]
+    bounds = ev.select(
+        F.percentile_approx("ts", qs, 100000).alias("b")
+    ).first()["b"]
+    lo = None
+    for k in range(n_files):
+        hi = bounds[k] if k < len(bounds) else None
+        sl = ev
+        if lo is not None:
+            sl = sl.filter(F.col("ts") > F.lit(lo))
+        if hi is not None:
+            sl = sl.filter(F.col("ts") <= F.lit(hi))
+        sl.coalesce(1).write.mode("append").parquet(out_dir)
+        lo = hi
+    return ev.schema
+
+
+def event_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source event stream. File sources require an explicit
+    schema (no inference race on an empty inbox)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked tumbling (or sliding, when `slide` is given) window
+    aggregation per event_type: count + sum(value). Works identically
+    on a batch DataFrame (window() is an ordinary grouping expression),
+    which is what the parity tests exploit."""
+    w = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(w.alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "15 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Session windows per user: events within `gap` of each other merge
+    into one session. State per (user, open session); closed sessions
+    are evicted once the watermark passes."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            "user_id",
+            "n",
+            "total",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Exactly-once by event_id within the watermark horizon:
+    `dropDuplicatesWithinWatermark` keeps id-state only for the
+    watermark span (bounded), vs `dropDuplicates` whose state grows
+    forever. The batch analogue is plain dropDuplicates."""
+    if not events.isStreaming:
+        return events.dropDuplicates(["event_id"])
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+RUNNING_TOTALS_STATE = "n BIGINT, total DOUBLE"
+RUNNING_TOTALS_OUT = "user_id BIGINT, n BIGINT, total DOUBLE"
+
+
+def running_totals_stateful(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum(value))
+    via ``applyInPandasWithState`` — the escape hatch for logic the
+    built-in windowed aggs can't express. State is one (n, total) pair
+    per user, partitioned by the groupBy shuffle; each micro-batch
+    emits the updated totals for users seen in that batch."""
+    from pyspark.sql.streaming.state import GroupState
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "total": [round(total, 4)]}
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_TOTALS_OUT,
+            stateStructType=RUNNING_TOTALS_STATE,
+            outputMode="update",
+            timeoutConf=timeout,
+        )
+    )
+
+
+def run_to_completion(
+    stream_df: DataFrame,
+    sink_table: str,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
+) -> None:
+    """Drain all available source data through the streaming engine into
+    an in-memory sink table (micro-batch execution with availableNow),
+    blocking until done. Test/demo harness; production sinks swap
+    format for parquet/kafka with the same checkpoint contract."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode(output_mode)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, sink_table))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

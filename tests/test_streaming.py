@@ -1,0 +1,172 @@
+"""Structured Streaming parity tests (cds_etl_spark/streaming).
+
+Contract: the streaming engine in micro-batch mode over a file inbox
+must reproduce batch semantics — windowed aggregations (complete mode)
+equal the batch groupBy over the same rows; within-watermark dedup
+keeps one row per id; the custom stateful operator converges to the
+batch totals; and watermark eviction actually drops late rows
+(checkpoint-carried watermark across two runs)."""
+
+import datetime
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cds_etl_spark.catalog import load_table
+from cds_etl_spark.streaming import (
+    event_stream,
+    materialize_event_source,
+    running_totals_stateful,
+    session_counts,
+    stream_dedup,
+    windowed_counts,
+)
+from cds_etl_spark.streaming.ops import run_to_completion
+
+
+@pytest.fixture(scope="module")
+def inbox(spark, sf_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream")
+    src = str(d / "inbox")
+    schema = materialize_event_source(spark, sf_dir, src, n_files=4)
+    yield {"src": src, "schema": schema, "ckpt": str(d / "ckpt")}
+    shutil.rmtree(str(d), ignore_errors=True)
+
+
+def _rows(df):
+    return sorted([tuple(r) for r in df.collect()], key=str)
+
+
+def test_windowed_counts_parity(spark, sf_dir, inbox):
+    stream = event_stream(spark, inbox["src"], inbox["schema"])
+    run_to_completion(
+        windowed_counts(stream), "t_win", inbox["ckpt"], output_mode="complete"
+    )
+    got = spark.table("t_win")
+    want = windowed_counts(load_table(spark, sf_dir, "events"))
+    assert _rows(got) == _rows(want)
+    assert len(_rows(got)) > 0
+
+
+def test_sliding_window_parity(spark, sf_dir, inbox):
+    stream = event_stream(spark, inbox["src"], inbox["schema"])
+    run_to_completion(
+        windowed_counts(stream, window="2 hours", slide="1 hour"),
+        "t_slide",
+        inbox["ckpt"],
+        output_mode="complete",
+    )
+    got = spark.table("t_slide")
+    want = windowed_counts(
+        load_table(spark, sf_dir, "events"), window="2 hours", slide="1 hour"
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_session_window_parity(spark, sf_dir, inbox):
+    stream = event_stream(spark, inbox["src"], inbox["schema"])
+    run_to_completion(
+        session_counts(stream), "t_sess", inbox["ckpt"], output_mode="complete"
+    )
+    got = spark.table("t_sess")
+    want = session_counts(load_table(spark, sf_dir, "events"))
+    assert _rows(got) == _rows(want)
+
+
+def test_stream_dedup(spark, sf_dir, inbox):
+    # Multi-batch ingestion (maxFilesPerTrigger=1 → 4 micro-batches):
+    # every event_id is unique in the source, so dedup must be lossless;
+    # state stays bounded by the watermark horizon.
+    stream = event_stream(spark, inbox["src"], inbox["schema"], max_files_per_trigger=1)
+    run_to_completion(
+        stream_dedup(stream).select("event_id"),
+        "t_dedup",
+        inbox["ckpt"],
+        output_mode="append",
+    )
+    got = spark.table("t_dedup")
+    n = load_table(spark, sf_dir, "events").count()
+    assert got.count() == n
+    assert got.distinct().count() == n
+
+
+def test_running_totals_stateful(spark, sf_dir, inbox):
+    # 4 micro-batches; state accumulates across them. The last emission
+    # per user (max n) must equal the batch per-user totals.
+    stream = event_stream(spark, inbox["src"], inbox["schema"], max_files_per_trigger=1)
+    run_to_completion(
+        running_totals_stateful(stream), "t_state", inbox["ckpt"], output_mode="update"
+    )
+    from pyspark.sql import Window
+
+    emitted = spark.table("t_state")
+    final = (
+        emitted.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.col("n").desc())
+            ),
+        )
+        .filter("rn = 1")
+        .select("user_id", "n", "total")
+    )
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+    )
+    assert _rows(final) == _rows(want)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    # Two runs sharing a checkpoint: run 1 advances the watermark past
+    # the late row's event time; run 2 delivers the late row, which the
+    # streaming agg must DROP (batch semantics would count it).
+    src = tmp_path / "late_inbox"
+    ckpt = str(tmp_path / "late_ckpt")
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, ts, 1, "click", 1.0, "{}") for i, ts in rows],
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+
+    on_time = [(1, base), (2, base + datetime.timedelta(hours=3))]
+    mk(on_time).coalesce(1).write.mode("append").parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+
+    out_dir = str(tmp_path / "late_out")
+
+    def drain():
+        # File sink (unlike memory) supports restart from checkpoint,
+        # which is what carries the watermark into run 2.
+        stream = event_stream(spark, str(src), schema)
+        q = (
+            windowed_counts(stream, window="1 hour", watermark="30 minutes")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir)
+
+    drain()
+    # Late row: event time far behind the watermark (= 3h - 30min).
+    mk([(3, base + datetime.timedelta(minutes=5))]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    out = drain()
+
+    # The hour-0 window closed in run 1 with n=1; the late row must not
+    # re-open it (no second hour-0 emission, no n=2).
+    hour0 = [r for r in out.collect() if r["win_start"] == base]
+    assert [r["n"] for r in hour0] == [1]
