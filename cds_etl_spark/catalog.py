@@ -32,6 +32,13 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Resolved-relation cache: `spark.read.parquet` costs ~100 ms of
+# driver-side file listing + footer schema read per call; a catalog
+# resolves each relation once per session. Keyed by applicationId so a
+# stopped session's entries are never reused. Data dirs are immutable
+# (read-only test fixtures), so no invalidation is needed.
+_RELATIONS: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one catalog table as a DataFrame.
@@ -43,6 +50,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     double division would lose precision above 2^53). This matches how
     DuckDB reads the same file (truncation to micros, naive timestamp).
     """
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _RELATIONS.get(key)
+    if cached is not None:
+        return cached
     ensure_session_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
@@ -50,6 +61,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
+    _RELATIONS[key] = df
     return df
 
 

@@ -28,6 +28,11 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Coalesce post-shuffle partitions to the advisory size instead of
+    # fanning out to maximize parallelism (the Spark docs' recommended
+    # production setting): small shuffles collapse to few tasks instead
+    # of `shuffle.partitions` mostly-empty ones.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
 }
 
 

@@ -1,0 +1,80 @@
+"""Physical-plan shape tests: the plan properties that matter at 100 TB
+must hold and stay held — filters/projections reaching the parquet
+scan, dimension joins broadcasting (never shuffling the fact side for a
+25-row dim), top-k compiling to TakeOrderedAndProject (per-partition k,
+no global sort), and aggregations running partial+final (map-side
+combine) rather than shuffling raw rows."""
+
+import pytest
+
+from cds_etl_spark.plans import QUERIES
+
+
+def plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pushdown_and_pruning(spark, sf_dir):
+    p = plan(spark, sf_dir, "qs01_scan_filter_project")
+    # Predicate reaches the parquet reader…
+    assert "PushedFilters" in p and "l_discount" in p.split("PushedFilters")[1][:200]
+    # …and the scan schema is pruned to the referenced columns only.
+    read_schema = p.split("ReadSchema")[1]
+    assert "l_tax" not in read_schema and "l_comment" not in read_schema
+
+
+def test_dimension_join_broadcasts(spark, sf_dir):
+    p = plan(spark, sf_dir, "qs03_broadcast_join")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    # Global ORDER BY + LIMIT must not materialize a full sort.
+    p = plan(spark, sf_dir, "qs25_global_topk")
+    assert "TakeOrderedAndProject" in p
+    p2 = plan(spark, sf_dir, "qs52_cosine_topk")
+    assert "TakeOrderedAndProject" in p2
+
+
+def test_range_join_pushes_band_predicate(spark, sf_dir):
+    p = plan(spark, sf_dir, "qs08_range_join")
+    pushed = p.split("PushedFilters")
+    assert any("value" in seg[:250] for seg in pushed[1:]), (
+        "band predicate e.value BETWEEN 10 AND 20 should reach the events scan"
+    )
+
+
+def test_aggregation_is_partial_final(spark, sf_dir):
+    p = plan(spark, sf_dir, "qs10_groupby_agg_tpch_q1")
+    assert p.count("HashAggregate") >= 2, "expected map-side partial aggregation"
+    assert p.count("Exchange") == 1, "one shuffle (by group keys) and only one"
+
+
+def test_semi_anti_joins_compile_to_joins(spark, sf_dir):
+    p5 = plan(spark, sf_dir, "qs05_semi_join")
+    p6 = plan(spark, sf_dir, "qs06_anti_join")
+    assert "LeftSemi" in p5 or "Semi" in p5
+    assert "LeftAnti" in p6 or "Anti" in p6
+    assert "CartesianProduct" not in p5 and "CartesianProduct" not in p6
+
+
+def test_exact_dedup_shuffles_hashes_not_text(spark, sf_dir):
+    # The md5 group key must be computed below the Exchange (map-side),
+    # so the shuffle payload is the 32-char hash, never the document.
+    p = plan(spark, sf_dir, "qs54_exact_dedup")
+    assert p.count("Exchange") == 1
+    pre_exchange = p.split("Exchange")[1]
+    assert "md5" in pre_exchange
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["qs55_minhash_lsh_pairs", "qs60_document_profile", "qs56_simhash"],
+)
+def test_text_operators_have_no_python_udfs(spark, sf_dir, name):
+    # The 100 TB design rule: signatures/profiles are JVM array
+    # expressions; Python appears nowhere in these plans.
+    p = plan(spark, sf_dir, name)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
