@@ -1122,3 +1122,121 @@ def qs60(spark: SparkSession, sf: str) -> DataFrame:
     k-min fingerprint. All ratios are exact integer divisions, so the
     doubles hash-match DuckDB without rounding."""
     return document_profile(load_table(spark, sf, "documents"))
+
+
+# --------------------------------------------------------------------------
+# As-of join + pivot (reference O16; §2.3 as-of family)
+# --------------------------------------------------------------------------
+
+from cds_etl_spark.operators.asof import asof_join  # noqa: E402
+from cds_etl_spark.operators.reshape import pivot_key_value  # noqa: E402
+
+
+@query(
+    "qs09_asof_join",
+    oracle="""
+    SELECT e.event_id,
+           (SELECT o.o_orderkey FROM orders o
+            WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS o_orderkey
+    FROM events e ORDER BY e.event_id
+    """,
+)
+def qs09(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (operators/asof.asof_join): each event gains the
+    latest order at-or-before its timestamp for the same user. The
+    union+window formulation — one shuffle on the key, O(n+m) rows —
+    vs the oracle's correlated subquery (same semantics, quadratic)."""
+    e = load_table(spark, sf, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf, "orders").select("o_custkey", "o_orderdate", "o_orderkey")
+    out = asof_join(
+        e, o, on="user_id", right_on="o_custkey", left_ts="ts",
+        right_ts="o_orderdate", payload=["o_orderkey"], tiebreak="o_orderkey",
+    )
+    return out.select("event_id", "o_orderkey")
+
+
+@query(
+    "qs16_pivot",
+    oracle="""
+    SELECT
+      SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS "F",
+      SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS "O",
+      SUM(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS "P"
+    FROM orders
+    """,
+)
+def qs16(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot (reference O16, cds-transformation.py:114-120 transposes a
+    key-value sheet): groupBy().pivot() with pinned values — no
+    distinct-keys discovery job."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.groupBy()
+        .pivot("o_orderstatus", values=["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(*[F.col(f"`{c}`").alias(c) for c in ("F", "O", "P")])
+    )
+
+
+# --------------------------------------------------------------------------
+# Approximate sketches + skew-safe shapes. Sketch queries carry exact
+# oracles where the query's OUTPUT is exact (counts compared to
+# tolerance can't hash-match, so approx results are rows-only per the
+# driver contract); the salted shapes must equal their unsalted
+# equivalents exactly, so they ARE oracle-checked.
+# --------------------------------------------------------------------------
+
+from cds_etl_spark.operators.skew import salted_agg  # noqa: E402
+
+
+@query("qs62_approx_count_distinct")
+def qs62(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch (engine capability; excluded
+    from the hash-match contract by design — SURVEY.md §2.2 note —
+    because DuckDB's approx algorithm differs). Rows-only check."""
+    o = load_table(spark, sf, "orders")
+    return o.select(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custkeys")
+    )
+
+
+@query("qs63_approx_quantiles")
+def qs63(spark: SparkSession, sf: str) -> DataFrame:
+    """Greenwald-Khanna quantile sketch over o_totalprice per status
+    (mergeable across partitions — the distributed percentile path).
+    Rows-only check (sketch epsilon differs from DuckDB's t-digest)."""
+    o = load_table(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75, 0.95], 10000).alias("q")
+    )
+
+
+@query(
+    "qs64_salted_agg",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def qs64(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-safe two-level aggregation (operators/skew.salted_agg):
+    partial agg on (key, salt) then merge on key. Output must be
+    IDENTICAL to the direct groupBy — the oracle proves it. Sum is
+    done in integer cents so the two-level accumulation order cannot
+    produce float drift vs the oracle."""
+    o = load_table(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    out = salted_agg(
+        o.withColumn("_cents", cents),
+        keys=["o_custkey"],
+        aggs={
+            "n": (F.count(F.lit(1)), F.sum("n")),
+            "_c": (F.sum("_cents"), F.sum("_c")),
+        },
+        buckets=16,
+        det_col="o_orderkey",
+    )
+    return out.select(
+        "o_custkey", "n", (F.col("_c").cast("double") / 100.0).alias("total")
+    )
