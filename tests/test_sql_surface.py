@@ -1,0 +1,40 @@
+"""SQL API surface: `register_views` + `spark.sql` must evaluate the
+§2.2 query shapes directly in SQL — the engine's second front-end over
+the same Catalyst plans (SURVEY.md §7.1 M1)."""
+
+from cds_etl_spark.catalog import register_views
+from tests.conftest import assert_frames_match
+
+
+def test_sql_groupby_rollup_window_setops(spark, duck, sf_dir):
+    register_views(spark, sf_dir)
+    pairs = {
+        "sql_q1": """
+            SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity),2) AS sq,
+                   COUNT(*) AS c
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "sql_rollup": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c FROM orders
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "sql_window": """
+            SELECT o_custkey, o_orderkey, rn FROM (
+              SELECT o_custkey, o_orderkey,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders) t WHERE rn <= 3
+        """,
+        "sql_setop": """
+            SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+            INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus='O'
+        """,
+        "sql_exists": """
+            SELECT c_custkey FROM customer c WHERE EXISTS
+              (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+               AND o_totalprice > 300000)
+        """,
+    }
+    for name, sql in pairs.items():
+        # Identical ANSI text runs on both engines.
+        assert_frames_match(spark.sql(sql), duck.sql(sql), name)
