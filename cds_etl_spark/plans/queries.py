@@ -1240,3 +1240,190 @@ def qs64(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "o_custkey", "n", (F.col("_c").cast("double") / 100.0).alias("total")
     )
+
+
+# --------------------------------------------------------------------------
+# Coverage widening: grouping sets, window navigation family, ALL set
+# ops, higher-order array functions, edit distance, date arithmetic,
+# conditional aggregation (SURVEY.md §2.3 categories).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs17_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def qs17(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond ROLLUP/CUBE, qs12/qs13)."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "qs24_window_navigation",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+           ROUND(CUME_DIST() OVER w, 6) AS cd,
+           FIRST_VALUE(o_orderkey) OVER w AS fv,
+           LAST_VALUE(o_orderkey) OVER
+             (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey LIMIT 1000
+    """,
+)
+def qs24(spark: SparkSession, sf: str) -> DataFrame:
+    """percent_rank / cume_dist / first_value / last_value with an
+    explicit unbounded frame (last_value under the default frame is the
+    current row — the classic trap; the frame makes it the true max)."""
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            "o_orderkey",
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            F.first("o_orderkey").over(w).alias("fv"),
+            F.last("o_orderkey").over(wfull).alias("lv"),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+@query(
+    "qs29_setops_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+    INTERSECT ALL SELECT o_custkey FROM orders WHERE o_orderstatus='O'
+    """,
+)
+def qs29(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT ALL — multiset semantics (min of multiplicities)."""
+    o = load_table(spark, sf, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersectAll(op)
+
+
+@query(
+    "qs36_higher_order_arrays",
+    oracle="""
+    SELECT doc_id,
+      list_transform(string_split(text, ' ')[1:5], w -> upper(w)) AS up5,
+      len(list_filter(string_split(text, ' '), w -> length(w) > 4)) AS nlong,
+      CAST(list_max(list_transform(string_split(text, ' '), w -> length(w)))
+           AS INTEGER) AS maxlen
+    FROM documents ORDER BY doc_id
+    """,
+)
+def qs36(spark: SparkSession, sf: str) -> DataFrame:
+    """Higher-order array functions (transform / filter / array_max) —
+    the expression family every text operator here is built from."""
+    d = load_table(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    return (
+        d.select(
+            "doc_id",
+            F.transform(F.slice(toks, 1, 5), lambda w: F.upper(w)).alias("up5"),
+            F.size(F.filter(toks, lambda w: F.length(w) > 4)).alias("nlong"),
+            F.array_max(F.transform(toks, lambda w: F.length(w))).alias("maxlen"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "qs37_levenshtein",
+    oracle="""
+    SELECT n_name, CAST(levenshtein(n_name, 'UNITED STATES') AS INTEGER) AS d
+    FROM nation ORDER BY d, n_name LIMIT 10
+    """,
+)
+def qs37(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit distance — the in-data form of the reference's fuzzy column
+    matcher (O5, SequenceMatcher at cds-transformation_v1.3.py:16-33)."""
+    n = load_table(spark, sf, "nation")
+    return (
+        n.select(
+            "n_name",
+            F.levenshtein(F.col("n_name"), F.lit("UNITED STATES")).alias("d"),
+        )
+        .orderBy("d", "n_name")
+        .limit(10)
+    )
+
+
+@query(
+    "qs38_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INTEGER)
+             AS days_since,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due,
+           CAST(last_day(o_orderdate) AS DATE) AS eom,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q
+    FROM orders ORDER BY o_orderkey LIMIT 1000
+    """,
+)
+def qs38(spark: SparkSession, sf: str) -> DataFrame:
+    """Date arithmetic family (O33 neighborhood): diff, interval add,
+    month boundary, quarter truncation."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+            .alias("days_since"),
+            F.date_add(F.col("o_orderdate"), 30).alias("due"),
+            F.last_day(F.col("o_orderdate")).alias("eom"),
+            F.date_trunc("quarter", F.col("o_orderdate")).cast("date").alias("q"),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+@query(
+    "qs39_conditional_agg",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           ROUND(SUM(o_totalprice) FILTER (WHERE o_orderpriority LIKE '1%'), 2)
+             AS urgent_total
+    FROM orders GROUP BY o_custkey ORDER BY o_custkey
+    """,
+)
+def qs39(spark: SparkSession, sf: str) -> DataFrame:
+    """Conditional aggregation (FILTER clause ≙ count/sum over CASE) —
+    one pass computing several filtered measures, the idiom that
+    replaces N separate filtered scans."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_o"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("o_orderpriority").like("1%"), F.col("o_totalprice")
+                    )
+                ),
+                2,
+            ).alias("urgent_total"),
+        )
+        .orderBy("o_custkey")
+    )
