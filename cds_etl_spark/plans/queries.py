@@ -788,27 +788,20 @@ def qs51(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def qs52(spark: SparkSession, sf: str) -> DataFrame:
-    """Brute-force cosine top-k against one query vector — the exact
-    baseline for similarity search. The single-row query side is
-    broadcast; the scan stays embarrassingly parallel and the global
-    top-k is TakeOrderedAndProject (per-partition k, then merge)."""
+    """Brute-force cosine top-k against one query vector
+    (operators/similarity.cosine_topk) — the exact baseline for
+    similarity search. The single-row query side is broadcast; the
+    scan stays embarrassingly parallel and the global top-k is
+    TakeOrderedAndProject (per-partition k, then merge)."""
+    from cds_etl_spark.operators.similarity import cosine_topk
+
     emb = load_table(spark, sf, "embeddings")
     q = (
         emb.filter(F.col("vec_id") == 0)
         .select(F.col("embedding").cast("array<double>").alias("qvec"))
     )
-    return (
-        emb.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(q))
-        .select(
-            "vec_id",
-            F.round(
-                cosine_similarity(F.col("embedding").cast("array<double>"), F.col("qvec")), 4
-            ).alias("sim"),
-        )
-        .orderBy(F.col("sim").desc(), "vec_id")
-        .limit(10)
-    )
+    scored = cosine_topk(emb.filter(F.col("vec_id") != 0), q, k=10)
+    return scored.select("vec_id", F.round(F.col("sim"), 4).alias("sim"))
 
 
 @query(
