@@ -45,11 +45,20 @@ def bpe_ish_tokens(text: Column) -> Column:
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles (the unit set for MinHash / Jaccard).
 
-    Built as a transform over index positions — one array expression
-    per row, no explode. Rows with fewer than k tokens get an empty
-    set.
+    PERF: the inline split is embedded in the per-index transform
+    lambda, so interpreted evaluation re-splits the text once per
+    shingle position (measured 38× slower at sf0.1 than the staged
+    form). Hot paths must project ``F.split(text, ' ')`` into a real
+    column and call ``word_shingles_from_tokens`` — see
+    operators/dedup.
     """
-    toks = F.split(text, " ")
+    return word_shingles_from_tokens(F.split(text, " "), k)
+
+
+def word_shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Shingles over a pre-projected token-array column: one array
+    expression per row, no explode, element_at reads the materialized
+    array. Rows with fewer than k tokens get an empty set."""
     n = F.size(toks)
     idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
         F.array().cast("array<int>")
@@ -70,22 +79,49 @@ def word_shingles(text: Column, k: int = 3) -> Column:
 
 
 def minhash_signature(shingle_set: Column, num_hashes: int = 12) -> Column:
-    """MinHash signature: array of ``num_hashes`` hex digests, entry j =
-    min over the set of ``md5('<j>|' || shingle)``.
+    """MinHash signature: array of ``num_hashes`` 8-hex keys; hash j is
+    the min over the set of the j-th slice of ``md5('p<j/4>|' ||
+    shingle)`` — one md5 yields FOUR 8-hex permutation words, so a
+    12-hash signature costs 3 md5 calls per shingle, not 12 (hash
+    slicing — the standard one-wide-hash-many-functions trick; Spark
+    higher-order functions evaluate interpreted, so md5 count is the
+    dominant cost). Signature size is ~8·H bytes per row regardless of
+    document size — the LSH shuffle payload is document-size-
+    independent."""
+    groups = (num_hashes + 3) // 4
+    out = []
+    for g in range(groups):
+        digest = minhash_digest(shingle_set, g)
+        for slot in range(min(4, num_hashes - g * 4)):
+            out.append(_min_slice(digest, slot))
+    return F.array(*out)
+    # NB: as a single expression each slice re-evaluates its digest
+    # transform (interpreted HOFs have no common-subexpression reuse).
+    # Hot paths should project minhash_digest(g) into real columns
+    # first and combine with minhash_from_digests — see
+    # operators/dedup.minhash_lsh_pairs.
 
-    Cost is O(|set| · H) md5 calls per row, fully parallel across rows;
-    the signature is ~``32·H`` bytes regardless of document size, which
-    is what makes the LSH join's shuffle payload document-size-
-    independent.
-    """
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingle_set, lambda s: F.md5(F.concat(F.lit(f"{j}|"), s)))
-            )
-            for j in range(num_hashes)
-        ]
+
+def minhash_digest(shingle_set: Column, group: int) -> Column:
+    """One md5 digest array; each digest yields four 8-hex hash words."""
+    return F.transform(
+        shingle_set, lambda s: F.md5(F.concat(F.lit(f"p{group}|"), s))
     )
+
+
+def _min_slice(digest: Column, slot: int) -> Column:
+    return F.array_min(
+        F.transform(digest, lambda d: F.substring(d, 1 + 8 * slot, 8))
+    )
+
+
+def minhash_from_digests(digest_cols: list[Column], num_hashes: int) -> Column:
+    """Signature from pre-projected digest columns (the md5 transforms
+    run once per row; the slices here are cheap substrings)."""
+    out = []
+    for j in range(num_hashes):
+        out.append(_min_slice(digest_cols[j // 4], j % 4))
+    return F.array(*out)
 
 
 def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
@@ -135,18 +171,29 @@ def simhash(token_set: Column, bits: int = 16) -> Column:
     """SimHash of a distinct-token array as a ``bits``-wide integer.
 
     Bit i of the result is 1 iff more tokens have bit i set than clear
-    (unit weights). Computed as ``bits`` array-aggregate expressions
-    over the per-row token array — no explode, no shuffle; the fingerprint
-    is a single long so grouping near-dups is a plain groupBy.
+    (unit weights). Tokens are hashed ONCE into an int array, then the
+    ``bits`` vote aggregates work on the ints — md5 cost is O(|tokens|)
+    per row, not O(|tokens|·bits) (higher-order fns are interpreted;
+    hash count dominates). No explode, no shuffle; the fingerprint is a
+    single long so grouping near-dups is a plain groupBy.
     """
+    return simhash_from_hashes(token_hashes(token_set), bits)
+
+
+def token_hashes(token_set: Column) -> Column:
+    """Per-token 32-bit hashes. Project this into a real column before
+    feeding simhash_from_hashes — as an inline expression it would be
+    re-evaluated once per vote bit."""
+    return F.transform(token_set, _token_hash32)
+
+
+def simhash_from_hashes(hashes: Column, bits: int = 16) -> Column:
     def _vote(i: int) -> Column:
         return F.aggregate(
-            token_set,
+            hashes,
             F.lit(0),
-            lambda acc, t: acc
-            + F.when(
-                F.shiftright(_token_hash32(t), i).bitwiseAND(1) == 1, 1
-            ).otherwise(-1),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(1) == 1, 1).otherwise(-1),
         )
 
     votes = [_vote(i) for i in range(bits)]

@@ -30,10 +30,12 @@ from pyspark.sql import functions as F
 from cds_etl_spark.functions.text import (
     jaccard,
     lsh_band_keys,
-    minhash_signature,
-    simhash,
+    minhash_digest,
+    minhash_from_digests,
+    simhash_from_hashes,
+    token_hashes,
     tokens,
-    word_shingles,
+    word_shingles_from_tokens,
 )
 from cds_etl_spark.functions.vector import cosine_similarity
 
@@ -68,17 +70,41 @@ def minhash_lsh_pairs(
     refine only ever sees a near-linear number of pairs.
     """
     rows_per_band = num_hashes // bands
-    sh = df.select(
-        F.col(id_col).alias("_id"), word_shingles(F.col(text_col), shingle_k).alias("_sh")
+    # The shingle+signature projection is the expensive stage (md5 over
+    # every shingle; higher-order fns evaluate interpreted) and it has
+    # FOUR consumers below (both sides of the band self-join, both
+    # sides of the refine join). localCheckpoint materializes it once —
+    # the index-build step; at scale you'd persist signatures to the
+    # warehouse for reuse across dedup runs anyway.
+    sh = (
+        df.select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks"))
+        .select("_id", word_shingles_from_tokens(F.col("_toks"), shingle_k).alias("_sh"))
+        .localCheckpoint(eager=True)
     )
-    sig = sh.select(
-        "_id", "_sh", lsh_band_keys(minhash_signature("_sh", num_hashes), bands, rows_per_band).alias("_bk")
+    # Digest arrays as real columns: the md5 transforms (the dominant
+    # cost) run once per row; the 12 slice/min expressions and band
+    # keys read the materialized arrays.
+    n_groups = (num_hashes + 3) // 4
+    digests = sh.select(
+        "_id", *[minhash_digest(F.col("_sh"), g).alias(f"_d{g}") for g in range(n_groups)]
+    )
+    sig = digests.select(
+        "_id",
+        minhash_from_digests(
+            [F.col(f"_d{g}") for g in range(n_groups)], num_hashes
+        ).alias("_sig"),
+    ).select(
+        # …and the signature too: lsh_band_keys reads it positionally
+        # 12×, which must hit a materialized array, not re-min 12
+        # transforms.
+        "_id",
+        lsh_band_keys(F.col("_sig"), bands, rows_per_band).alias("_bk"),
     )
     # Explode to (id, band_idx, band_key): the only wide payload (_sh)
     # stays behind — rejoined later only for surviving candidates.
     bands_df = sig.select(
         "_id", F.posexplode("_bk").alias("_bi", "_key")
-    )
+    ).localCheckpoint(eager=True)
     a = bands_df.alias("a")
     b = bands_df.alias("b")
     cand = (
@@ -107,9 +133,14 @@ def simhash_fingerprints(
     sharing a fingerprint (or within small Hamming distance, via
     bit_count(a^b)) are near-duplicates. Computed row-local; grouping
     by fingerprint is a single narrow-key aggregation."""
-    return df.select(
+    hashed = df.select(
         F.col(id_col),
-        simhash(F.array_distinct(tokens(F.col(text_col))), bits).alias("simhash"),
+        # Hash each token once into a materialized int array; the bits
+        # vote aggregates then reuse it instead of re-hashing per bit.
+        token_hashes(F.array_distinct(tokens(F.col(text_col)))).alias("_h"),
+    )
+    return hashed.select(
+        F.col(id_col), simhash_from_hashes(F.col("_h"), bits).alias("simhash")
     )
 
 
@@ -127,21 +158,51 @@ def ngram_jaccard_pairs(
     shuffle-partitioned by block key; pair explosion is bounded per
     block, not corpus-wide. For skew-free blocks at scale, add a
     coarse length band to block_cols."""
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        *[F.col(c) for c in block_cols],
-        word_shingles(F.col(text_col), shingle_k).alias("_sh"),
+    sh = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            *[F.col(c) for c in block_cols],
+            F.split(F.col(text_col), " ").alias("_toks"),
+        )
+        .select(
+            "_id",
+            *[F.col(c) for c in block_cols],
+            word_shingles_from_tokens(F.col("_toks"), shingle_k).alias("_sh"),
+        )
+        .withColumn("_sz", F.size("_sh"))
+        .localCheckpoint(eager=True)  # two join consumers below
     )
     a, b = sh.alias("a"), sh.alias("b")
     cond = (F.col("a._id") < F.col("b._id"))
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    # Size-ratio prune (semantics-preserving): J(A,B) ≤ min/max set
+    # sizes, so a pair with size ratio < min_jaccard can never pass —
+    # two integer compares replace an array intersect+union for the
+    # vast majority of candidate pairs.
+    cond = (
+        cond
+        & (F.col("a._sz") >= F.col("b._sz") * min_jaccard)
+        & (F.col("b._sz") >= F.col("a._sz") * min_jaccard)
+    )
+    # |A∪B| = |A|+|B|−|A∩B| for distinct arrays: one array_intersect
+    # per pair instead of intersect + concat + distinct; staged so the
+    # intersect evaluates once.
+    scored = a.join(b, cond).select(
+        F.col("a._id").alias("d1"),
+        F.col("b._id").alias("d2"),
+        F.col("a._sz").alias("_sza"),
+        F.col("b._sz").alias("_szb"),
+        F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh"))).alias("_inter"),
+    )
+    union = F.col("_sza") + F.col("_szb") - F.col("_inter")
     return (
-        a.join(b, cond)
-        .select(
-            F.col("a._id").alias("d1"),
-            F.col("b._id").alias("d2"),
-            jaccard(F.col("a._sh"), F.col("b._sh")).alias("jac"),
+        scored.select(
+            "d1",
+            "d2",
+            F.when(
+                union > 0, F.col("_inter").cast("double") / union.cast("double")
+            ).otherwise(F.lit(0.0)).alias("jac"),
         )
         .filter(F.col("jac") >= min_jaccard)
     )

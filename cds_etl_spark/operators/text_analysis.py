@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from cds_etl_spark.functions.text import bpe_ish_tokens, kmin_fingerprint, tokens, word_shingles
+from cds_etl_spark.functions.text import (
+    bpe_ish_tokens,
+    kmin_fingerprint,
+    tokens,
+    word_shingles_from_tokens,
+)
 
 # Tiny built-in stopword lexicons (n-gram heuristic language-ID).
 # Deliberately small + deterministic: the operator contract is the
@@ -115,13 +120,22 @@ def document_profile(
     """One-pass per-document text profile: token counts, quality
     features, language guess, k-min fingerprint. Single projection —
     every signal shares the tokenization subexpressions."""
-    text = F.col(text_col)
+    # Raw-token split staged as a column so the shingle transform reads
+    # a materialized array (see functions.text.word_shingles PERF note).
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_text"),
+        F.split(F.col(text_col), " ").alias("_rawtoks"),
+    )
+    text = F.col("_text")
     feats = quality_features(text)
-    return df.select(
+    return staged.select(
         F.col(id_col),
         *[c.alias(n) for n, c in feats.items()],
         token_count_bpe(text).alias("n_bpe_tokens"),
         language_id(text).alias("lang_guess"),
         quality_score(text).alias("quality"),
-        kmin_fingerprint(word_shingles(text, 3)).alias("fingerprint"),
+        kmin_fingerprint(
+            word_shingles_from_tokens(F.col("_rawtoks"), 3)
+        ).alias("fingerprint"),
     )

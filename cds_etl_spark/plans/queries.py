@@ -887,8 +887,11 @@ def qs54(spark: SparkSession, sf: str) -> DataFrame:
     return exact_dedup(load_table(spark, sf, "documents"), "text", "doc_id")
 
 
+# Sliced-hash permutation family (functions.text.minhash_signature):
+# hash j = 8-hex slice j%4 of md5('p<j/4>|' || shingle).
 _MINHASH_SIG_SQL = ", ".join(
-    f"list_min(list_transform(shset, s -> md5('{j}|' || s)))" for j in range(12)
+    f"list_min(list_transform(shset, s -> substr(md5('p{j // 4}|' || s), {1 + 8 * (j % 4)}, 8)))"
+    for j in range(12)
 )
 
 @query(
@@ -956,18 +959,37 @@ def qs56(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "qs57_ngram_jaccard_pairs",
-    oracle=f"""
-    WITH {_SHINGLES_CTE}
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, n_chars // 64 AS lenband,
+                      string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, lang, lenband,
+        CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
+          range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        ELSE [] END AS shset
+      FROM t
+    )
     SELECT a.doc_id AS d1, b.doc_id AS d2,
-      {_JACCARD_SQL.format(a='a.shset', b='b.shset')} AS jac
-    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      CASE WHEN len(list_distinct(list_concat(a.shset, b.shset))) > 0
+      THEN len(list_intersect(a.shset, b.shset))::DOUBLE /
+      len(list_distinct(list_concat(a.shset, b.shset)))::DOUBLE ELSE 0.0 END AS jac
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.lenband = b.lenband AND a.doc_id < b.doc_id
     WHERE jac >= 0.5
     """,
 )
 def qs57(spark: SparkSession, sf: str) -> DataFrame:
     """Blocked exact n-gram Jaccard pairs
-    (operators/dedup.ngram_jaccard_pairs), language blocks."""
-    return ngram_jaccard_pairs(load_table(spark, sf, "documents"))
+    (operators/dedup.ngram_jaccard_pairs): (language, 64-char length
+    band) blocks. The length band bounds per-block pair counts — the
+    difference between O(n²) per language and per-band candidate sets
+    at corpus scale (near-dup pairs have near-equal length, so recall
+    loss is only boundary-straddling pairs — the standard blocking
+    trade; MinHash-LSH, qs55, is the recall-complete path)."""
+    d = load_table(spark, sf, "documents").withColumn(
+        "_lenband", (F.col("n_chars") / F.lit(64)).cast("long")
+    )
+    return ngram_jaccard_pairs(d, block_cols=("lang", "_lenband"))
 
 
 @query(
