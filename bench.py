@@ -133,10 +133,18 @@ def main() -> None:
     if not os.environ.get("SPARK_GRAFT_BENCH_RAW"):
         data_dir = ingest(spark, SF_DIR)
 
+    # Global warm-up: two full passes over every query BEFORE timing
+    # any. JVM C2 compilation of codegen'd stages happens asynchronously
+    # and accumulates across queries — with only a per-query warm-up the
+    # first queries are timed mid-JIT (measured: the first scan shape in
+    # a fresh session runs 2-3x slower than the same shape later on).
+    # The baseline's DuckDB numbers are warm steady-state; this matches.
+    for _ in range(2):
+        for fn in BENCH_QUERIES.values():
+            execute(fn(spark, data_dir))
+
     times: dict[str, float] = {}
     for name, fn in BENCH_QUERIES.items():
-        df = fn(spark, data_dir)
-        execute(df)  # warm-up: JIT, code cache, OS page cache
         best = float("inf")
         for _ in range(RUNS):
             t0 = time.perf_counter()

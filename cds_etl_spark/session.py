@@ -33,6 +33,13 @@ RUNTIME_CONFS: dict[str, str] = {
     # production setting): small shuffles collapse to few tasks instead
     # of `shuffle.partitions` mostly-empty ones.
     "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    # With parallelismFirst off, coalescing honors the advisory size.
+    # The 64 MB default is tuned for IO-bound scans; post-shuffle work
+    # here (window sorts, collect_set apply) is CPU-bound, so a 64 MB
+    # target collapses small-but-hot shuffles onto one core. 8 MB keeps
+    # those parallel (measured ~25% on window/agg shapes at sf0.1)
+    # while still coalescing away mostly-empty partitions at scale.
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
 }
 
 
