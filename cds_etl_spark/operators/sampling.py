@@ -1,0 +1,151 @@
+"""Deterministic hash-based sampling, splitting, and interleaving.
+
+Training-data pipelines need REPRODUCIBLE selection: the same row must
+land in the same sample/split on every run, at any cluster size, in any
+engine (re-runs, backfills, audits, train/test leakage checks). Spark's
+``df.sample()`` seeds per-partition — its output changes whenever the
+partitioning does — so these operators key selection off a content hash
+of a stable key column instead: md5 (bit-identical everywhere) → 32-bit
+bucket → threshold compare.
+
+Every operator here is narrow (pure map-side filter/project): no
+shuffle, no state, no driver round-trip; at 100 TB the cost is the scan
+itself, and the selection predicate sits above the parquet reader so
+column pruning still applies (the hash key + payload columns are the
+only reads).
+
+The reference has no sampling surface at all (SURVEY.md §2.1 absences);
+this module is part of the LLM-pipeline extension alongside
+operators/dedup and operators/similarity.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Bucket space for hash thresholds. 1e6 gives 0.0001% rate granularity
+#: while keeping thresholds exact integers (no float compare anywhere).
+BUCKETS = 1_000_000
+
+
+def hash_bucket(key: Column, salt: str = "") -> Column:
+    """Uniform bucket in ``[0, BUCKETS)`` from a stable key.
+
+    First 8 hex chars of ``md5(key || '|' || salt)`` parsed as an
+    integer, mod ``BUCKETS``. md5 is engine-portable: DuckDB computes
+    the identical value via ``('0x' || substr(md5(k || '|s'), 1, 8))
+    ::BIGINT % 1000000``, which is what the qs65/qs66 oracles do — the
+    sampling decision itself is value-checked cross-engine, not just
+    the row counts.
+
+    The salt decouples independent decisions: sampling with salt A and
+    splitting with salt B are statistically independent even on the
+    same key (re-using one hash for both would correlate them — e.g.
+    every sampled row landing in 'train').
+    """
+    h = F.md5(F.concat(key.cast("string"), F.lit("|" + salt)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % BUCKETS
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Deterministic ``fraction`` sample keyed on ``key_col``.
+
+    Selection is a property of the row's key, not of the run: stable
+    under re-execution, repartitioning, and incremental appends (a row
+    added tomorrow is in/out by the same rule). Map-side filter only.
+    """
+    threshold = int(round(fraction * BUCKETS))
+    return df.filter(hash_bucket(F.col(key_col), salt) < threshold)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: Mapping[str, float],
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Partition rows into named splits by cumulative hash thresholds.
+
+    ``weights`` maps split name → proportion (must sum to ~1). Each row
+    gets exactly one label; the last split absorbs integer-rounding
+    remainder so the union is always total and the splits disjoint —
+    the two invariants train/val/test must satisfy (property-tested in
+    tests/test_sampling.py).
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = hash_bucket(F.col(key_col), salt)
+    names = list(weights)
+    expr: Column | None = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = bucket < int(round(cum * BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    label = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(split_col, label)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "strata",
+) -> DataFrame:
+    """Per-stratum deterministic sampling rates (e.g. downsample 'en'
+    to 20% while keeping all low-resource languages).
+
+    The per-stratum threshold is a broadcast-free CASE chain over
+    ``strata_col`` — still a pure map-side filter. Strata not listed
+    get ``default_fraction``.
+    """
+    bucket = hash_bucket(F.col(key_col), salt)
+    thr: Column = F.lit(int(round(default_fraction * BUCKETS)))
+    for value, frac in fractions.items():
+        thr = (
+            F.when(F.col(strata_col) == value, int(round(frac * BUCKETS)))
+            .otherwise(thr)
+        )
+    return df.filter(bucket < thr)
+
+
+def interleave_sources(
+    sources: Mapping[str, DataFrame],
+    key_col: str,
+    rates: Mapping[str, float],
+    salt: str = "mix",
+    source_col: str = "source_ds",
+) -> DataFrame:
+    """Deterministic dataset mixture: tag each source, hash-sample it
+    at its configured rate, union by name.
+
+    ``rates`` are per-source sampling rates (the caller derives them
+    from target mixture proportions and known source sizes — keeping
+    that derivation out of the operator means no count() jobs hidden
+    in a transform). Each source uses a distinct salt so co-keyed rows
+    in different sources are decided independently. The union is a
+    metadata-only concat (no shuffle); downstream repartition decides
+    the physical interleaving.
+    """
+    parts = []
+    for name, df in sources.items():
+        rate = rates.get(name, 1.0)
+        tagged = df.withColumn(source_col, F.lit(name))
+        if rate < 1.0:
+            tagged = hash_sample(tagged, key_col, rate, salt=f"{salt}|{name}")
+        parts.append(tagged)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

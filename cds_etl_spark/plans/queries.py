@@ -1442,3 +1442,341 @@ def qs39(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Sessionization, exact percentiles, correlated subqueries, full outer
+# join, map aggregation, time-range frames, IN subqueries — plus the
+# deterministic hash-sampling family (operators/sampling).
+# --------------------------------------------------------------------------
+
+from cds_etl_spark.operators.sampling import (  # noqa: E402
+    BUCKETS,
+    hash_sample,
+    hash_split,
+    interleave_sources,
+    stratified_hash_sample,
+)
+from cds_etl_spark.operators.sessions import sessionize  # noqa: E402
+
+
+@query(
+    "qs43_sessionize",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS ns
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_id,
+      user_id || '-' || CAST(SUM(ns) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR)
+        AS session_id
+    FROM s ORDER BY event_id
+    """,
+)
+def qs43(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (operators/sessions.sessionize,
+    30-minute gap): lag flags session starts, running sum numbers
+    them — one shuffle on user_id. Batch twin of the streaming
+    session_window path; oracle replays the identical two-window
+    formulation."""
+    e = load_table(spark, sf, "events")
+    out = sessionize(e, "user_id", "ts", gap_seconds=1800, tiebreak="event_id")
+    return out.select("event_id", "session_id").orderBy("event_id")
+
+
+@query(
+    "qs44_percentile_exact",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(CAST(ROUND(o_totalprice*100, 0) AS BIGINT), 0.25) AS p25,
+           quantile_cont(CAST(ROUND(o_totalprice*100, 0) AS BIGINT), 0.50) AS p50,
+           quantile_cont(CAST(ROUND(o_totalprice*100, 0) AS BIGINT), 0.75) AS p75
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def qs44(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT interpolated percentiles per group (vs qs63's mergeable
+    GK sketch — the two distributed-percentile strategies). Computed
+    over integer cents so interpolation endpoints are exact doubles
+    and ``lower + frac*(upper-lower)`` is bit-identical cross-engine."""
+    o = load_table(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.percentile(cents, F.lit(0.25)).alias("p25"),
+            F.percentile(cents, F.lit(0.50)).alias("p50"),
+            F.percentile(cents, F.lit(0.75)).alias("p75"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "qs45_correlated_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey FROM orders o
+    WHERE CAST(ROUND(o_totalprice*100, 0) AS BIGINT) >
+      (SELECT AVG(CAST(ROUND(i.o_totalprice*100, 0) AS BIGINT)) FROM orders i
+       WHERE i.o_custkey = o.o_custkey)
+    ORDER BY o_orderkey
+    """,
+)
+def qs45(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into an
+    aggregate + join (RewriteCorrelatedScalarSubquery), the same plan a
+    hand-written window formulation gives. Compared in integer cents:
+    per-group sums of cents stay exactly representable, so the AVG and
+    the comparison are accumulation-order-independent."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey FROM orders o
+        WHERE CAST(ROUND(o_totalprice*100, 0) AS BIGINT) >
+          (SELECT AVG(CAST(ROUND(i.o_totalprice*100, 0) AS BIGINT)) FROM orders i
+           WHERE i.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@query(
+    "qs46_full_outer_join",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+                FROM customer GROUP BY c_nationkey),
+         sn AS (SELECT s_nationkey AS nk, COUNT(*) AS n_rich_supp
+                FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey)
+    SELECT COALESCE(cn.nk, sn.nk) AS nk, cn.n_cust, sn.n_rich_supp
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    ORDER BY nk
+    """,
+)
+def qs46(spark: SparkSession, sf: str) -> DataFrame:
+    """Full outer join of two pre-aggregated sides (null-extending
+    both ways; the filtered supplier side leaves genuinely unmatched
+    nations)."""
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    cn = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    sn = (
+        s.filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("snk"))
+        .agg(F.count(F.lit(1)).alias("n_rich_supp"))
+    )
+    return (
+        cn.join(sn, cn.nk == sn.snk, "full_outer")
+        .select(
+            F.coalesce(cn.nk, sn.snk).alias("nk"), "n_cust", "n_rich_supp"
+        )
+        .orderBy("nk")
+    )
+
+
+@query(
+    "qs47_map_aggregation",
+    oracle="""
+    WITH pc AS (SELECT o_custkey, o_orderstatus AS st, COUNT(*) AS c
+                FROM orders GROUP BY o_custkey, o_orderstatus),
+         m AS (SELECT o_custkey,
+                      map_from_entries(list({'k': st, 'v': c})) AS mp
+               FROM pc GROUP BY o_custkey)
+    SELECT o_custkey, mp['F'][1] AS n_f, mp['O'][1] AS n_o, mp['P'][1] AS n_p
+    FROM m ORDER BY o_custkey
+    """,
+)
+def qs47(spark: SparkSession, sf: str) -> DataFrame:
+    """MapType end-to-end: per-customer status→count map built with
+    map_from_entries(collect_list(struct)), probed with element_at
+    (missing key → NULL in both engines). The map shape is the
+    engine-side analogue of the reference's clean-dict lookups (O19)."""
+    o = load_table(spark, sf, "orders")
+    pc = o.groupBy("o_custkey", "o_orderstatus").agg(F.count(F.lit(1)).alias("c"))
+    m = pc.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("o_orderstatus"), F.col("c")))
+        ).alias("mp")
+    )
+    return m.select(
+        "o_custkey",
+        F.element_at("mp", "F").alias("n_f"),
+        F.element_at("mp", "O").alias("n_o"),
+        F.element_at("mp", "P").alias("n_p"),
+    ).orderBy("o_custkey")
+
+
+@query(
+    "qs48_time_range_frame",
+    oracle="""
+    SELECT event_id,
+           COUNT(*) OVER w AS n_1h,
+           SUM(CAST(ROUND(value*100, 0) AS BIGINT)) OVER w AS cents_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def qs48(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding one-hour RANGE frame per user (trailing-window rollup —
+    the batch form of a sliding streaming window). Ordered by epoch
+    seconds (micros/1e6 — identical arithmetic in both engines); the
+    summed measure is integer cents so in-frame accumulation order
+    can't drift."""
+    e = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp").cast("double"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).over(w)
+            .alias("cents_1h"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "qs49_in_subquery",
+    oracle="""
+    SELECT o_orderkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+      AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+    ORDER BY o_orderkey
+    """,
+)
+def qs49(spark: SparkSession, sf: str) -> DataFrame:
+    """IN-subquery (rewritten to a left-semi join by Catalyst) plus a
+    literal NOT IN — complements qs05/qs06's EXISTS forms."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+          AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        ORDER BY o_orderkey
+        """
+    )
+
+
+# -- deterministic sampling family (operators/sampling) --------------------
+
+_BK = "('0x' || substr(md5({key} || '|{salt}'), 1, 8))::BIGINT % 1000000"
+
+
+@query(
+    "qs65_hash_sample",
+    oracle=f"""
+    SELECT doc_id FROM documents
+    WHERE {_BK.format(key="doc_id", salt="sample")} < 100000
+    ORDER BY doc_id
+    """,
+)
+def qs65(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 10% hash sample keyed on doc_id
+    (operators/sampling.hash_sample): selection is a pure function of
+    the key — stable across runs, partitionings, and engines (the
+    oracle recomputes the identical md5 decision in DuckDB). Map-side
+    filter; no shuffle."""
+    d = load_table(spark, sf, "documents")
+    return hash_sample(d, "doc_id", 0.10, salt="sample").select("doc_id").orderBy("doc_id")
+
+
+@query(
+    "qs66_hash_split",
+    oracle=f"""
+    WITH b AS (SELECT o_totalprice,
+                      {_BK.format(key="o_orderkey", salt="split")} AS bk
+               FROM orders)
+    SELECT CASE WHEN bk < 800000 THEN 'train'
+                WHEN bk < 900000 THEN 'val' ELSE 'test' END AS split,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(o_totalprice*100, 0) AS BIGINT)) AS cents
+    FROM b GROUP BY 1 ORDER BY split
+    """,
+)
+def qs66(spark: SparkSession, sf: str) -> DataFrame:
+    """80/10/10 train/val/test split (operators/sampling.hash_split),
+    validated by per-split counts and exact cents totals — i.e. the
+    oracle checks every row's split assignment in aggregate."""
+    o = load_table(spark, sf, "orders")
+    out = hash_split(
+        o, "o_orderkey", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split"
+    )
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "qs67_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_BK.format(key="doc_id", salt="strata")} <
+      CASE lang WHEN 'en' THEN 200000 WHEN 'de' THEN 800000
+                WHEN 'zh' THEN 800000 ELSE 500000 END
+    ORDER BY doc_id
+    """,
+)
+def qs67(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language sampling rates
+    (operators/sampling.stratified_hash_sample): downsample the
+    dominant language, keep more of the low-resource ones — the
+    standard corpus-rebalancing move, still a pure map-side filter."""
+    d = load_table(spark, sf, "documents")
+    out = stratified_hash_sample(
+        d, "doc_id", "lang",
+        {"en": 0.2, "de": 0.8, "zh": 0.8},
+        default_fraction=0.5, salt="strata",
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+@query(
+    "qs68_interleave_sources",
+    oracle=f"""
+    WITH a AS (SELECT doc_id, 'web' AS source_ds FROM documents
+               WHERE source IN ('src0','src1','src2','src3','src4',
+                                'src5','src6','src7','src8','src9')),
+         b AS (SELECT doc_id, 'curated' AS source_ds FROM documents
+               WHERE source NOT IN ('src0','src1','src2','src3','src4',
+                                    'src5','src6','src7','src8','src9')),
+         mix AS (
+           SELECT * FROM a
+           WHERE {_BK.format(key="doc_id", salt="mix|web")} < 250000
+           UNION ALL SELECT * FROM b)
+    SELECT doc_id, source_ds FROM mix ORDER BY doc_id, source_ds
+    """,
+)
+def qs68(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset mixture (operators/sampling.interleave_sources): a
+    'web' source downsampled to 25% interleaved with a fully-kept
+    'curated' source; per-source salts keep decisions independent.
+    Union is metadata-only — no shuffle until a downstream
+    repartition chooses the physical interleaving."""
+    d = load_table(spark, sf, "documents")
+    web_srcs = [f"src{i}" for i in range(10)]
+    web = d.filter(F.col("source").isin(web_srcs)).select("doc_id")
+    curated = d.filter(~F.col("source").isin(web_srcs)).select("doc_id")
+    out = interleave_sources(
+        {"web": web, "curated": curated}, "doc_id",
+        rates={"web": 0.25, "curated": 1.0}, salt="mix",
+    )
+    return out.select("doc_id", "source_ds").orderBy("doc_id", "source_ds")

@@ -1,0 +1,137 @@
+"""Property tests for deterministic sampling/splitting (operators/
+sampling) and batch sessionization (operators/sessions).
+
+The oracle queries (qs43, qs65-qs68) value-check these against DuckDB;
+the tests here pin the *invariants* the oracles can't express:
+partition-layout independence, split totality/disjointness, salt
+independence, and session-structure properties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cds_etl_spark.catalog import load_table
+from cds_etl_spark.operators.sampling import (
+    BUCKETS,
+    hash_bucket,
+    hash_sample,
+    hash_split,
+    interleave_sources,
+    stratified_hash_sample,
+)
+from cds_etl_spark.operators.sessions import sessionize
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_hash_sample_deterministic_and_layout_independent(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    ids1 = {r[0] for r in hash_sample(d, "doc_id", 0.3).select("doc_id").collect()}
+    # Same data, adversarial partitioning: selection must be identical.
+    shuffled = d.repartition(13, "lang")
+    ids2 = {
+        r[0] for r in hash_sample(shuffled, "doc_id", 0.3).select("doc_id").collect()
+    }
+    assert ids1 == ids2
+    n = d.count()
+    # Uniformity smoke: within ±50% of the target rate on small data.
+    assert 0.15 * n <= len(ids1) <= 0.45 * n
+
+
+def test_hash_sample_is_monotone_in_fraction(spark, sf_dir):
+    """A row sampled at 10% is also sampled at 30% (nested samples —
+    what makes progressive scale-up runs reuse smaller samples)."""
+    d = _docs(spark, sf_dir)
+    small = {r[0] for r in hash_sample(d, "doc_id", 0.1).select("doc_id").collect()}
+    big = {r[0] for r in hash_sample(d, "doc_id", 0.3).select("doc_id").collect()}
+    assert small <= big
+
+
+def test_hash_split_total_and_disjoint(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    out = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == d.count()  # total
+    assert set(counts) <= {"train", "val", "test"}
+    # Each row has exactly one label (split is a single column, so
+    # disjointness is structural); train dominates.
+    assert counts["train"] > counts.get("val", 0)
+    assert counts["train"] > counts.get("test", 0)
+
+
+def test_sample_and_split_salts_are_independent(spark, sf_dir):
+    """The 20% sample must not preferentially land in one split —
+    distinct salts decorrelate the two decisions."""
+    d = _docs(spark, sf_dir)
+    sampled = hash_sample(d, "doc_id", 0.5, salt="sample")
+    out = hash_split(sampled, "doc_id", {"a": 0.5, "b": 0.5}, salt="split")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    # With correlated decisions one side would be ~empty.
+    assert counts.get("a", 0) > 0.2 * total
+    assert counts.get("b", 0) > 0.2 * total
+
+
+def test_stratified_rates_respected(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    out = stratified_hash_sample(
+        d, "doc_id", "lang", {"en": 0.0}, default_fraction=1.0
+    )
+    langs = {r[0] for r in out.select("lang").distinct().collect()}
+    assert "en" not in langs
+    non_en = d.filter(F.col("lang") != "en").count()
+    assert out.count() == non_en
+
+
+def test_interleave_union_schema_and_tags(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    a = d.filter(F.col("lang") == "en").select("doc_id")
+    b = d.filter(F.col("lang") == "de").select("doc_id")
+    out = interleave_sources(
+        {"en": a, "de": b}, "doc_id", rates={"en": 0.5, "de": 1.0}
+    )
+    tags = {r[0] for r in out.select("source_ds").distinct().collect()}
+    assert tags == {"en", "de"}
+    # de side fully kept; en side strictly sampled.
+    assert out.filter(F.col("source_ds") == "de").count() == b.count()
+    assert 0 < out.filter(F.col("source_ds") == "en").count() < a.count()
+
+
+def test_hash_bucket_range(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    mm = d.select(
+        F.min(hash_bucket(F.col("doc_id"))).alias("lo"),
+        F.max(hash_bucket(F.col("doc_id"))).alias("hi"),
+    ).first()
+    assert 0 <= mm["lo"] and mm["hi"] < BUCKETS
+
+
+def test_sessionize_structure(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    out = sessionize(e, "user_id", "ts", gap_seconds=1800, tiebreak="event_id")
+    rows = out.select("user_id", "ts", "session_id").collect()
+    assert len(rows) == e.count()  # row-preserving
+    # Within a user, session index is non-decreasing in time and every
+    # consecutive same-session gap is <= 1800 s; session changes imply
+    # a gap > 1800 s.
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for _, evs in by_user.items():
+        evs.sort(key=lambda r: r["ts"])
+        prev = None
+        for r in evs:
+            sid = int(r["session_id"].split("-")[1])
+            if prev is not None:
+                gap = (r["ts"] - prev_ts).total_seconds()
+                if sid == prev:
+                    assert gap <= 1800
+                else:
+                    assert sid == prev + 1
+                    assert gap > 1800
+            prev, prev_ts = sid, r["ts"]
