@@ -170,3 +170,31 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # re-open it (no second hour-0 emission, no n=2).
     hour0 = [r for r in out.collect() if r["win_start"] == base]
     assert [r["n"] for r in hour0] == [1]
+
+
+def test_sessionize_matches_session_window(spark, sf_dir):
+    """The batch lag+running-sum sessionization (operators/sessions)
+    and Spark's session_window aggregation are two formulations of the
+    same semantics — identical session structure: per user, the same
+    multiset of (session size, sum of cents)."""
+    from cds_etl_spark.operators.sessions import sessionize
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    gap_s = 900  # = "15 minutes"
+
+    a = (
+        sessionize(e, "user_id", "ts", gap_seconds=gap_s, tiebreak="event_id")
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c"))
+        .select("user_id", "n", "c")
+    )
+    b = (
+        e.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.session_window("ts", "15 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c"))
+        .select("user_id", "n", "c")
+    )
+    assert _rows(a) == _rows(b)
+    assert a.count() > 0
