@@ -45,17 +45,61 @@ RUNS = 5  # best-of-5: observed run variance at sf0.1 is ±20%
 INGEST_ROWS_PER_FILE = 40_000
 WAREHOUSE = os.environ.get("SPARK_GRAFT_BENCH_WAREHOUSE", "/tmp/cds_etl_spark_wh")
 
+# Workload-aware layout: tables bucketed at ingest by their hot key so
+# every downstream join/groupBy/window on that key reads co-located
+# buckets with NO shuffle Exchange (sources/bucketed.py; plan-asserted
+# in tests/test_bucketed.py). orders is the one bench table with a
+# hot high-cardinality key (o_custkey: q3 join, q5 groupBy, q8 window
+# partition). This is ingest-time work (untimed, like any warehouse
+# load) bought back on every query.
+BUCKETED: dict[str, tuple[list[str], int]] = {"orders": (["o_custkey"], 16)}
+
+
+def _ddl(df) -> str:
+    return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+
 
 def ingest(spark: SparkSession, sf_dir: str) -> str:
+    """Load the single-row-group source files into a warehouse: plain
+    multi-file parquet for most tables, bucketed for BUCKETED ones.
+    Returns a catalog: reference (bucket metadata lives in the table
+    catalog, not the files — a path read would lose it)."""
+    from cds_etl_spark.sources.bucketed import write_bucketed
+
     out_root = os.path.join(WAREHOUSE, os.path.basename(sf_dir.rstrip("/")))
+    prefix = "bench"
     for t in TABLES:
         out = os.path.join(out_root, f"{t}.parquet")
-        if os.path.exists(os.path.join(out, "_SUCCESS")):
-            continue
-        df = load_table(spark, sf_dir, t)
-        n = max(1, min(32, df.count() // INGEST_ROWS_PER_FILE))
-        df.repartition(n).write.mode("overwrite").parquet(out)
-    return out_root
+        table = f"{prefix}_{t}"
+        done = os.path.exists(os.path.join(out, "_SUCCESS"))
+        bucket = BUCKETED.get(t)
+        if not done:
+            df = load_table(spark, sf_dir, t)
+            if bucket:
+                cols, n = bucket
+                write_bucketed(
+                    spark, df.repartition(n), table, cols, n,
+                    sort_cols=cols, path=out,
+                )
+                continue
+            n = max(1, min(32, df.count() // INGEST_ROWS_PER_FILE))
+            df.repartition(n).write.mode("overwrite").parquet(out)
+        # (Re-)register the external table over the existing files —
+        # metadata-only; the in-memory session catalog starts empty.
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        schema = _ddl(spark.read.parquet(out))
+        clustered = ""
+        if bucket:
+            cols, n = bucket
+            keys = ", ".join(cols)
+            clustered = (
+                f" CLUSTERED BY ({keys}) SORTED BY ({keys}) INTO {n} BUCKETS"
+            )
+        spark.sql(
+            f"CREATE TABLE {table} ({schema}) USING parquet{clustered} "
+            f"LOCATION '{out}'"
+        )
+    return "catalog:" + prefix
 
 
 def q1_filter_project(spark: SparkSession, sf: str) -> DataFrame:

@@ -40,8 +40,19 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _RELATIONS: dict[tuple[str, str, str], DataFrame] = {}
 
 
+#: ``load_table(spark, "catalog:<prefix>", t)`` resolves to the session
+#: catalog table ``<prefix>_<t>`` instead of a path read. Catalog tables
+#: carry layout metadata a plain directory read cannot (bucketing →
+#: shuffle-free joins/aggs, sources/bucketed.py), so a warehouse that
+#: ingested with a workload-aware layout addresses tables this way.
+CATALOG_SCHEME = "catalog:"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one catalog table as a DataFrame.
+
+    ``sf_dir`` is either a directory of parquet files or a
+    ``catalog:<prefix>`` reference (see CATALOG_SCHEME).
 
     `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
     reader cannot represent; with `spark.sql.legacy.parquet.nanosAsLong`
@@ -49,12 +60,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microsecond TIMESTAMP_NTZ (`ts div 1000` — integer division; a
     double division would lose precision above 2^53). This matches how
     DuckDB reads the same file (truncation to micros, naive timestamp).
+    Catalog-scheme tables were ingested through this same function, so
+    they already store the converted type.
     """
     key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _RELATIONS.get(key)
     if cached is not None:
         return cached
     ensure_session_confs(spark)
+    if sf_dir.startswith(CATALOG_SCHEME):
+        df = spark.table(f"{sf_dir[len(CATALOG_SCHEME):]}_{name}")
+        _RELATIONS[key] = df
+        return df
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
