@@ -43,6 +43,35 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+# Sub-second local-mode latency profile. On a cluster at real scale the
+# defaults above are right: AQE re-plans to the data, shuffle files are
+# compressed and checksummed because they cross the network and disks.
+# In local[N] on warm sub-second queries those same mechanisms are pure
+# fixed cost — AQE inserts a re-planning barrier per stage, and every
+# tiny shuffle round-trips through compressed, checksummed files on a
+# disk-backed /tmp. Measured on the bench shapes at sf0.1: a two-stage
+# job floor of ~140 ms drops to ~64 ms with tmpfs shuffle dirs, no
+# shuffle compression, and map-task counts sized to the data.
+#
+# Static (builder-time only — the shuffle manager reads them at context
+# start):
+LOCAL_LATENCY_STATIC_CONFS: dict[str, str] = {
+    "spark.local.dir": "/dev/shm/cds_etl_spark_local",
+    "spark.shuffle.compress": "false",
+    "spark.shuffle.spill.compress": "false",
+    "spark.shuffle.checksum.enabled": "false",
+}
+# Runtime-settable part; re-applied by ensure_session_confs when the
+# session was built with local_latency=True (marker conf below), so the
+# catalog layer re-running ensure_session_confs cannot clobber it back
+# to the cluster profile.
+LOCAL_LATENCY_RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "false",
+    "spark.sql.shuffle.partitions": "8",
+}
+_LATENCY_MARKER = "spark.cds_etl.local_latency"
+
+
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
@@ -55,14 +84,25 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
         except Exception:
             # A static conf on some build — leave the session's value.
             pass
+    if spark.conf.get(_LATENCY_MARKER, "false") == "true":
+        for k, v in LOCAL_LATENCY_RUNTIME_CONFS.items():
+            spark.conf.set(k, v)
     return spark
 
 
-def get_spark(app_name: str = "cds_etl_spark", cores: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "cds_etl_spark",
+    cores: int | None = None,
+    local_latency: bool = False,
+) -> SparkSession:
     """Build (or reuse) the engine SparkSession.
 
     local[N] for tests/bench; on a cluster the master/deploy settings
     come from spark-submit and everything here still applies.
+
+    ``local_latency=True`` selects the sub-second local profile
+    (LOCAL_LATENCY_*_CONFS) — bench uses it; cluster deployments and
+    the oracle tests keep the scale profile.
     """
     n = cores or default_parallelism()
     builder = (
@@ -75,6 +115,10 @@ def get_spark(app_name: str = "cds_etl_spark", cores: int | None = None) -> Spar
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
+    if local_latency:
+        builder = builder.config(_LATENCY_MARKER, "true")
+        for k, v in LOCAL_LATENCY_STATIC_CONFS.items():
+            builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return ensure_session_confs(spark)
