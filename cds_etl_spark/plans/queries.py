@@ -247,14 +247,21 @@ def qs10(spark: SparkSession, sf: str) -> DataFrame:
     different answers on exact midpoints, so no FP ROUND is trusted
     near them. The product sum (disc) stays in double — per-row
     products are bit-identical and the post-ROUND collision
-    probability is negligible."""
+    probability is negligible.
+
+    Cents extraction is ``CAST(x*100 + 0.5 AS BIGINT)`` rather than
+    ``ROUND``: for positive exact-2dp doubles the two are identical
+    (fp error of x*100 is far below 0.5), but Spark's ROUND on double
+    routes through BigDecimal per row while the cast stays integer
+    arithmetic inside whole-stage codegen (measured ~30% off the whole
+    aggregation at sf0.1)."""
     li = load_table(spark, sf, "lineitem")
-    qty_c = F.round(F.col("l_quantity") * 100, 0).cast("long")
-    prc_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    qty_c = (F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    prc_c = (F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
     cnt = F.count(F.lit(1))
     # round-half-away(sum_qty_cents*100 / cnt) as an exact integer, /1e4.
     aq4 = F.expr(
-        "CAST((2*ABS(SUM(CAST(ROUND(l_quantity*100,0) AS BIGINT)))*100 + COUNT(*))"
+        "CAST((2*ABS(SUM(CAST(l_quantity*100 + 0.5 AS BIGINT)))*100 + COUNT(*))"
         " DIV (2*COUNT(*)) AS DOUBLE)/10000"
     )
     return (
@@ -1780,3 +1787,303 @@ def qs68(spark: SparkSession, sf: str) -> DataFrame:
         rates={"web": 0.25, "curated": 1.0}, salt="mix",
     )
     return out.select("doc_id", "source_ds").orderBy("doc_id", "source_ds")
+
+
+# --------------------------------------------------------------------------
+# Relational surface widening (beyond the reference, SURVEY.md §2.3)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs69_unpivot",
+    oracle="""
+    WITH a AS (SELECT c_mktsegment, ROUND(MIN(c_acctbal),2) mn,
+                      ROUND(MAX(c_acctbal),2) mx
+               FROM customer GROUP BY c_mktsegment)
+    SELECT c_mktsegment, 'min' AS stat, mn AS val FROM a
+    UNION ALL
+    SELECT c_mktsegment, 'max' AS stat, mx AS val FROM a
+    """,
+)
+def qs69(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide→long unpivot via ``stack`` — the inverse of O16's pivot
+    (cds-transformation.py:114-120). The oracle states the same
+    reshape relationally (UNION ALL of per-column projections), which
+    is exactly the logical expansion Spark's unpivot performs."""
+    c = load_table(spark, sf, "customer")
+    agg = c.groupBy("c_mktsegment").agg(
+        F.round(F.min("c_acctbal"), 2).alias("mn"),
+        F.round(F.max("c_acctbal"), 2).alias("mx"),
+    )
+    return agg.select(
+        "c_mktsegment",
+        F.expr("stack(2, 'min', mn, 'max', mx) AS (stat, val)"),
+    )
+
+
+@query(
+    "qs70_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) g1,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) g2, COUNT(*) c
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def qs70(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPING() markers distinguish 'NULL because subtotal row' from
+    'NULL in the data' — the piece ROLLUP output is ambiguous without
+    (qs12). Same partial+final hash aggregation; the grouping-set
+    expansion happens before the shuffle."""
+    o = load_table(spark, sf, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g1"),
+        F.grouping("o_orderpriority").cast("int").alias("g2"),
+        F.count(F.lit(1)).alias("c"),
+    )
+
+
+@query(
+    "qs71_rank_pct",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey),6) pr,
+           ROUND(CUME_DIST() OVER (ORDER BY o_totalprice, o_orderkey),6) cd
+    FROM orders ORDER BY o_orderkey LIMIT 1000
+    """,
+)
+def qs71(spark: SparkSession, sf: str) -> DataFrame:
+    """percent_rank/cume_dist — the remaining ranking-family windows
+    (qs21 covers rank/dense_rank/ntile). Single unpartitioned window:
+    a global-sort shape that at scale wants a range-partitioned sort,
+    which Spark's window exec plans automatically."""
+    o = load_table(spark, sf, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+@query(
+    "qs72_sequence_explode",
+    oracle="""
+    SELECT n_nationkey, unnest(generate_series(0, n_nationkey % 5)) AS step
+    FROM nation
+    """,
+)
+def qs72(spark: SparkSession, sf: str) -> DataFrame:
+    """Row generation: per-row sequence + explode (generate_series /
+    lateral unnest). The generator runs inside the scan's stage — no
+    shuffle; output cardinality is data-dependent."""
+    n = load_table(spark, sf, "nation")
+    return n.select(
+        "n_nationkey",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("n_nationkey") % 5)
+        ).alias("step"),
+    )
+
+
+@query(
+    "qs73_bitwise",
+    oracle="""
+    SELECT o_orderkey, o_orderkey & 255 AS band, o_orderkey | 15 AS bor,
+           xor(o_orderkey, 255) AS bxor, o_orderkey << 2 AS shl,
+           o_orderkey >> 3 AS shr
+    FROM orders ORDER BY o_orderkey LIMIT 1000
+    """,
+)
+def qs73(spark: SparkSession, sf: str) -> DataFrame:
+    """Bitwise expression kit (&, |, xor, shifts) — hash-bucketing and
+    flag-field arithmetic; pure codegen expressions."""
+    o = load_table(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            k.bitwiseAND(F.lit(255)).alias("band"),
+            k.bitwiseOR(F.lit(15)).alias("bor"),
+            k.bitwiseXOR(F.lit(255)).alias("bxor"),
+            F.shiftleft(k, 2).alias("shl"),
+            F.shiftright(k, 3).alias("shr"),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+@query(
+    "qs74_nullsafe_join",
+    oracle="""
+    SELECT a.n_nationkey n1, b.n_nationkey n2 FROM nation a
+    JOIN nation b
+      ON NULLIF(a.n_regionkey, 0) IS NOT DISTINCT FROM NULLIF(b.n_regionkey, 0)
+     AND a.n_nationkey < b.n_nationkey
+    """,
+)
+def qs74(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping out — Catalyst still plans
+    this as a hash join (null-safe equality is a valid hash key),
+    not a nested loop."""
+    n = load_table(spark, sf, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    ka = F.nullif(F.col("a.n_regionkey"), F.lit(0))
+    kb = F.nullif(F.col("b.n_regionkey"), F.lit(0))
+    return (
+        a.join(b, ka.eqNullSafe(kb) & (F.col("a.n_nationkey") < F.col("b.n_nationkey")))
+        .select(F.col("a.n_nationkey").alias("n1"), F.col("b.n_nationkey").alias("n2"))
+    )
+
+
+@query(
+    "qs75_greatest_least",
+    oracle="""
+    SELECT o_orderkey, GREATEST(o_totalprice, 150000.0) g,
+           LEAST(o_totalprice, 150000.0) l,
+           IFNULL(NULLIF(o_orderstatus, 'F'), 'finished') s
+    FROM orders ORDER BY o_orderkey LIMIT 1000
+    """,
+)
+def qs75(spark: SparkSession, sf: str) -> DataFrame:
+    """n-ary conditional scalars (greatest/least/ifnull/nullif) — the
+    clamp-and-default idiom of O19's clean_data defaults
+    (cds_transformation_functions.py:43-44) without CASE chains."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.greatest("o_totalprice", F.lit(150000.0)).alias("g"),
+            F.least("o_totalprice", F.lit(150000.0)).alias("l"),
+            F.ifnull(F.nullif("o_orderstatus", F.lit("F")), F.lit("finished")).alias("s"),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+@query(
+    "qs76_string_pad",
+    oracle="""
+    SELECT n_nationkey, LPAD(n_name, 12, '*') lp, RPAD(n_name, 12, '.') rp,
+           REVERSE(n_name) rv, TRANSLATE(n_name, 'AEIOU', 'aeiou') tr,
+           REPEAT(substr(n_name, 1, 2), 2) r2
+    FROM nation
+    """,
+)
+def qs76(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width formatting string kit (pad/reverse/translate/repeat)
+    — O30's TSV emission formatting family, all codegen expressions."""
+    n = load_table(spark, sf, "nation")
+    return n.select(
+        "n_nationkey",
+        F.lpad("n_name", 12, "*").alias("lp"),
+        F.rpad("n_name", 12, ".").alias("rp"),
+        F.reverse("n_name").alias("rv"),
+        F.translate("n_name", "AEIOU", "aeiou").alias("tr"),
+        F.repeat(F.substring("n_name", 1, 2), 2).alias("r2"),
+    )
+
+
+@query(
+    "qs77_try_cast",
+    oracle="""
+    SELECT doc_id, TRY_CAST(substr(text, 1, 2) AS INTEGER) t1,
+           TRY_CAST(lang AS DOUBLE) t2
+    FROM documents
+    """,
+)
+def qs77(spark: SparkSession, sf: str) -> DataFrame:
+    """Safe casts: malformed input → NULL instead of error/garbage —
+    the principled version of the reference's permissive retro-coercion
+    (clean_data integer coercion, cds_transformation_functions.py:56-72)."""
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.substring("text", 1, 2).try_cast("int").alias("t1"),
+        F.col("lang").try_cast("double").alias("t2"),
+    )
+
+
+@query(
+    "qs78_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(o_totalprice / (SELECT ROUND(AVG(o_totalprice), 4) FROM orders), 6)
+             AS ratio
+    FROM orders ORDER BY o_orderkey LIMIT 1000
+    """,
+)
+def qs78(spark: SparkSession, sf: str) -> DataFrame:
+    """Uncorrelated scalar subquery: a global aggregate referenced per
+    row. DataFrame-side this is an explicit broadcast of the 1-row
+    aggregate — exactly the physical plan the SQL form lowers to, with
+    no second scan of the fact table per row."""
+    o = load_table(spark, sf, "orders")
+    avg = o.agg(F.round(F.avg("o_totalprice"), 4).alias("_avg"))
+    return (
+        o.crossJoin(F.broadcast(avg))
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") / F.col("_avg"), 6).alias("ratio"),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+@query(
+    "qs79_width_bucket",
+    oracle="""
+    -- width_bucket(x, 0, 600000, 12) spelled arithmetically
+    -- (DuckDB 1.0 has no width_bucket)
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 600000 THEN 13
+                ELSE 1 + CAST(FLOOR(o_totalprice * 12 / 600000.0) AS BIGINT)
+           END b, COUNT(*) c
+    FROM orders GROUP BY b
+    """,
+)
+def qs79(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width histogram via width_bucket + count — the profiling
+    pass over value distributions (skew detection input for
+    operators/skew.py). Map-side bucketing, 13-group aggregate."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.select(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(12)).alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+@query(
+    "qs80_regexp_extract_replace",
+    oracle="""
+    SELECT event_id, regexp_extract(props, '"k": *([0-9]+)', 1) k,
+           regexp_replace(event_type, '[aeiou]', '_', 'g') r
+    FROM events ORDER BY event_id LIMIT 1000
+    """,
+)
+def qs80(spark: SparkSession, sf: str) -> DataFrame:
+    """Regex extract + global replace — O26's scan patterns
+    (cds_transformation_functions.py:286) as value transforms, not
+    just filters. NB DuckDB regexp_replace is first-match unless the
+    'g' flag is passed; Spark's is always global."""
+    e = load_table(spark, sf, "events")
+    return (
+        e.select(
+            "event_id",
+            F.regexp_extract("props", '"k": *([0-9]+)', 1).alias("k"),
+            F.regexp_replace("event_type", "[aeiou]", "_").alias("r"),
+        )
+        .orderBy("event_id")
+        .limit(1000)
+    )
