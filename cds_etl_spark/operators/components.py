@@ -1,0 +1,97 @@
+"""Connected components over near-duplicate pair edges — the cluster
+resolution step of corpus deduplication.
+
+Pair generators (operators/dedup.py: MinHash-LSH, SimHash, n-gram
+Jaccard, embedding cosine) emit EDGES (doc_i ~ doc_j). Deduplicating a
+corpus needs the transitive closure of those edges: if a~b and b~c,
+then {a,b,c} is ONE cluster and exactly one representative survives.
+The reference has no analogue (its dedup is exact full-row distinct,
+cds-transformation_v1.3.py:148-152); this is the scale path for the
+LLM-pipeline extension.
+
+Algorithm: iterative min-label propagation ("hash-to-min" family).
+Every node starts labeled with itself; each round every node takes the
+minimum label among itself and its neighbors; converged when no label
+changes. Rounds = O(graph diameter) — near-dup clusters from blocking
+are dense and shallow (diameter ≲ 3-4 in practice), so this beats the
+O(log² n) star-contraction algorithms on constant factors while
+staying fully shuffle-parallel: each round is one join edges⋈labels
+(shuffle on node id, or broadcast when the frontier is small) + one
+min-aggregation. Lineage is cut every round with an eager
+localCheckpoint — without it the plan doubles per iteration and the
+driver, not the data, becomes the bottleneck at scale.
+
+At 100 TB: edges from LSH blocking are ≪ corpus size (bands bound the
+candidate set); labels is one row per node *that appears in an edge*,
+also ≪ corpus. The final keep-canonical filter is a broadcast or
+shuffle anti-join of the corpus against the non-canonical member set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve undirected ``edges`` into components.
+
+    Returns ``(node, component)`` for every node incident to an edge;
+    ``component`` is the minimum node id reachable from ``node``.
+    Raises if not converged within ``max_iter`` rounds (pathological
+    chain graphs — raise ``max_iter`` or pre-contract such inputs).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.filter(F.col("a") != F.col("b")).distinct()
+    sym = sym.localCheckpoint(eager=True)  # reused every round
+
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # min label among each node's neighbors this round
+        neigh = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node2"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        stepped = (
+            labels.join(neigh, labels["node"] == neigh["node2"], "left")
+            .select(
+                "node",
+                "label",
+                F.least("label", F.coalesce("nlabel", "label")).alias("new_label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.filter(F.col("new_label") != F.col("label")).limit(1).count()
+        labels = stepped.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("component"))
+        labels = labels.localCheckpoint(eager=True)
+    raise RuntimeError(f"connected_components: not converged in {max_iter} rounds")
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    id_col: str,
+    components: DataFrame,
+) -> DataFrame:
+    """Drop every clustered row except its component's canonical
+    (minimum-id) member. Rows in no component pass through untouched —
+    an anti-join against the non-canonical member set, so the corpus
+    is scanned once and nothing is collected to the driver."""
+    losers = components.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -2087,3 +2087,40 @@ def qs80(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("event_id")
         .limit(1000)
     )
+
+
+@query(
+    "qs81_connected_dedup",
+    oracle="""
+    WITH RECURSIVE
+      pairs AS (SELECT a.doc_id d1, b.doc_id d2 FROM documents a
+                JOIN documents b ON a.lang = b.lang AND a.doc_id < b.doc_id
+                                AND a.n_chars = b.n_chars),
+      edges AS (SELECT d1 a, d2 b FROM pairs UNION SELECT d2, d1 FROM pairs),
+      reach(a, b) AS (SELECT a, b FROM edges
+                      UNION
+                      SELECT r.a, e.b FROM reach r
+                      JOIN edges e ON r.b = e.a WHERE e.b <> r.a)
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+    FROM reach GROUP BY a
+    """,
+)
+def qs81(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup cluster resolution: blocking pairs (qs51 shape) →
+    connected components (operators/components.py) → one canonical id
+    per cluster. The oracle states the same closure as a recursive CTE
+    — feasible for DuckDB on the test graph, while the Spark side is
+    the O(diameter)-round shuffle-parallel label propagation that
+    holds at corpus scale."""
+    from cds_etl_spark.operators.components import connected_components
+
+    d = load_table(spark, sf, "documents")
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("a.n_chars") == F.col("b.n_chars")),
+    ).select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+    cc = connected_components(pairs, "d1", "d2")
+    return cc.select(F.col("node").alias("doc_id"), "component")

@@ -1,0 +1,96 @@
+"""Connected-components cluster resolution (operators/components.py).
+
+Differential oracle: a driver-side union-find over the same edge list —
+the textbook sequential algorithm — must agree with the distributed
+label propagation on every graph, including hypothesis-generated ones.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from cds_etl_spark.operators.components import (
+    connected_components,
+    dedup_keep_canonical,
+)
+
+
+def union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical = min member id of each set
+    roots: dict[int, int] = {}
+    for n in list(parent):
+        r = find(n)
+        roots[r] = min(roots.get(r, n), n)
+    return {n: roots[find(n)] for n in parent}
+
+
+def spark_components(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(df, "src", "dst")
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+def test_two_chains_and_isolated_pair(spark):
+    # 1-2-3-4 chain, 10-11, self-contained triangle 20-21-22
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)]
+    got = spark_components(spark, edges)
+    assert got == union_find_components(edges)
+    assert got[4] == 1 and got[11] == 10 and got[22] == 20
+
+
+def test_self_loops_and_duplicate_edges_ignored(spark):
+    edges = [(5, 5), (1, 2), (2, 1), (1, 2)]
+    got = spark_components(spark, edges)
+    # 5's only edge is a self-loop — it is not a clustered node
+    assert got == {1: 1, 2: 1}
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_matches_union_find_on_random_graphs(spark, edges):
+    real = [e for e in edges if e[0] != e[1]]
+    if not real:
+        return
+    assert spark_components(spark, real) == union_find_components(real)
+
+
+def test_dedup_keep_canonical(spark):
+    df = spark.createDataFrame(
+        [(i, f"doc{i}") for i in range(6)], "doc_id long, text string"
+    )
+    comps = connected_components(
+        spark.createDataFrame([(0, 3), (3, 5)], "a long, b long"), "a", "b"
+    )
+    kept = dedup_keep_canonical(df, "doc_id", comps)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # cluster {0,3,5} keeps 0; 1, 2, 4 untouched
+    assert ids == [0, 1, 2, 4]
+    # anti-join must not reorder/duplicate surviving columns
+    assert kept.columns == ["doc_id", "text"]
+
+
+def test_converges_on_long_chain(spark):
+    edges = [(i, i + 1) for i in range(24)]
+    got = spark_components(spark, edges)
+    assert set(got.values()) == {0}
