@@ -203,3 +203,48 @@ def run_to_completion(
         .start()
     )
     q.awaitTermination()
+
+
+def enrich_stream(
+    events: DataFrame, dim: DataFrame, on: str | list[str], how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    stream (the streaming analogue of O12's parent-FK attach,
+    cds-transformation_v1.3.py:83-95).
+
+    Stream-static joins are STATELESS — no watermark, no join state:
+    each micro-batch joins against the static side as of that batch,
+    so a dimension table updated in place is picked up on the next
+    trigger. The static side is broadcast: at 100 TB/day the stream
+    side never shuffles for this join, which is the only formulation
+    that holds up (shuffling a stream on a dimension key re-keys every
+    micro-batch)."""
+    return events.join(F.broadcast(dim), on, how)
+
+
+def foreach_batch_partitioned_sink(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Exactly-once parquet sink for non-transactional stores via
+    ``foreachBatch``: each micro-batch overwrites its own
+    ``batch_id=<epoch>`` partition directory. Replays after failure
+    rewrite the same partition with the same data — idempotent without
+    a transaction log, the standard pattern when the target is plain
+    object storage rather than a table format with ACID commits.
+    Readers see the whole dataset with ``batch_id`` as a partition
+    column (spark.read.parquet(out_dir))."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={epoch_id}")
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -198,3 +198,57 @@ def test_sessionize_matches_session_window(spark, sf_dir):
     )
     assert _rows(a) == _rows(b)
     assert a.count() > 0
+
+
+def test_stream_static_enrich_parity(spark, inbox, sf_dir):
+    """Stream-static broadcast join == the same join run in batch."""
+    from cds_etl_spark.streaming.ops import enrich_stream
+
+    dim = spark.createDataFrame(
+        [("click", "Click"), ("view", "View"), ("purchase", "Purchase")],
+        "event_type string, label string",
+    )
+    st = event_stream(spark, inbox["src"], inbox["schema"])
+    enriched = enrich_stream(st, dim, "event_type").select(
+        "event_id", "event_type", "label"
+    )
+    run_to_completion(enriched, "enriched_sink", inbox["ckpt"], output_mode="append")
+    got = _rows(spark.table("enriched_sink"))
+
+    ev = load_table(spark, sf_dir, "events")
+    want = _rows(
+        ev.join(F.broadcast(dim), "event_type", "left").select(
+            "event_id", "event_type", "label"
+        )
+    )
+    assert got == want
+
+
+def test_foreach_batch_partitioned_sink_idempotent(spark, inbox, sf_dir, tmp_path):
+    """Each micro-batch lands in its own batch_id partition; draining
+    again from the same checkpoint adds nothing (exactly-once)."""
+    from cds_etl_spark.streaming.ops import foreach_batch_partitioned_sink
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt_fb")
+    st = event_stream(
+        spark, inbox["src"], inbox["schema"], max_files_per_trigger=1
+    ).select("event_id", "user_id", "value")
+    foreach_batch_partitioned_sink(st, out, ckpt)
+
+    back = spark.read.parquet(out)
+    assert "batch_id" in back.columns
+    assert back.select("batch_id").distinct().count() > 1  # several micro-batches
+    ev = load_table(spark, sf_dir, "events")
+    assert _rows(back.drop("batch_id")) == _rows(
+        ev.select("event_id", "user_id", "value")
+    )
+
+    # second drain: no new source data -> no new partitions, same rows
+    st2 = event_stream(
+        spark, inbox["src"], inbox["schema"], max_files_per_trigger=1
+    ).select("event_id", "user_id", "value")
+    foreach_batch_partitioned_sink(st2, out, ckpt)
+    assert _rows(spark.read.parquet(out).drop("batch_id")) == _rows(
+        ev.select("event_id", "user_id", "value")
+    )
