@@ -66,7 +66,15 @@ def ingest(spark: SparkSession, sf_dir: str) -> str:
     catalog, not the files — a path read would lose it)."""
     from cds_etl_spark.sources.bucketed import write_bucketed
 
-    out_root = os.path.join(WAREHOUSE, os.path.basename(sf_dir.rstrip("/")))
+    # Layout fingerprint in the path: changing the ingest parameters
+    # invalidates the cached warehouse instead of silently reusing the
+    # old layout via its _SUCCESS markers.
+    layout = f"r{INGEST_ROWS_PER_FILE}_" + "_".join(
+        f"{t}-{'-'.join(cols)}-{n}" for t, (cols, n) in sorted(BUCKETED.items())
+    )
+    out_root = os.path.join(
+        WAREHOUSE, os.path.basename(sf_dir.rstrip("/")) + "_" + layout
+    )
     prefix = "bench"
     for t in TABLES:
         out = os.path.join(out_root, f"{t}.parquet")
