@@ -2124,3 +2124,41 @@ def qs81(spark: SparkSession, sf: str) -> DataFrame:
     ).select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
     cc = connected_components(pairs, "d1", "d2")
     return cc.select(F.col("node").alias("doc_id"), "component")
+
+
+@query(
+    "qs82_sequence_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS cum_before
+      FROM t WHERE n_tokens > 0)
+    SELECT lang, doc_id,
+           unnest(generate_series(CAST(cum_before // 256 AS BIGINT),
+                                  CAST((cum_before + n_tokens - 1) // 256
+                                       AS BIGINT)))
+             AS chunk_id,
+           n_tokens, cum_before
+    FROM c
+    """,
+)
+def qs82(spark: SparkSession, sf: str) -> DataFrame:
+    """GPT-style sequence packing (operators/packing.py): per-language
+    concat-and-chunk at a 256-token budget; one row per (doc, chunk)
+    overlap. Token counts are the whitespace tokenizer of
+    operators/text_analysis.token_count_ws, restated in the oracle."""
+    from cds_etl_spark.operators.packing import chunk_assignments
+
+    d = load_table(spark, sf, "documents")
+    return chunk_assignments(
+        d,
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")),
+        budget=256,
+        shard_col="lang",
+    )
