@@ -48,11 +48,18 @@ WAREHOUSE = os.environ.get("SPARK_GRAFT_BENCH_WAREHOUSE", "/tmp/cds_etl_spark_wh
 # Workload-aware layout: tables bucketed at ingest by their hot key so
 # every downstream join/groupBy/window on that key reads co-located
 # buckets with NO shuffle Exchange (sources/bucketed.py; plan-asserted
-# in tests/test_bucketed.py). orders is the one bench table with a
-# hot high-cardinality key (o_custkey: q3 join, q5 groupBy, q8 window
-# partition). This is ingest-time work (untimed, like any warehouse
-# load) bought back on every query.
-BUCKETED: dict[str, tuple[list[str], int]] = {"orders": (["o_custkey"], 8)}
+# in tests/test_bucketed.py). orders has a hot high-cardinality key
+# (o_custkey: q3 join, q5 groupBy, q8 window partition); lineitem's
+# hot key is the q2 grouping pair (low-cardinality — 4 combos, so 4
+# buckets: single-stage HashAggregate, no Exchange), sorted within
+# buckets by l_shipdate so the columnar cache's per-batch min/max
+# stats prune most batches under q1's date filter. This is
+# ingest-time work (untimed, like any warehouse load) bought back on
+# every query.  table -> (bucket_cols, num_buckets, sort_cols)
+BUCKETED: dict[str, tuple[list[str], int, list[str]]] = {
+    "orders": (["o_custkey"], 8, ["o_custkey"]),
+    "lineitem": (["l_returnflag", "l_linestatus"], 4, ["l_shipdate"]),
+}
 
 
 def _ddl(df) -> str:
@@ -70,7 +77,8 @@ def ingest(spark: SparkSession, sf_dir: str) -> str:
     # invalidates the cached warehouse instead of silently reusing the
     # old layout via its _SUCCESS markers.
     layout = f"r{INGEST_ROWS_PER_FILE}_" + "_".join(
-        f"{t}-{'-'.join(cols)}-{n}" for t, (cols, n) in sorted(BUCKETED.items())
+        f"{t}-{'-'.join(cols)}-{n}-s{'-'.join(sort)}"
+        for t, (cols, n, sort) in sorted(BUCKETED.items())
     )
     out_root = os.path.join(
         WAREHOUSE, os.path.basename(sf_dir.rstrip("/")) + "_" + layout
@@ -84,10 +92,10 @@ def ingest(spark: SparkSession, sf_dir: str) -> str:
         if not done:
             df = load_table(spark, sf_dir, t)
             if bucket:
-                cols, n = bucket
+                cols, n, sort = bucket
                 write_bucketed(
                     spark, df.repartition(n), table, cols, n,
-                    sort_cols=cols, path=out,
+                    sort_cols=sort, path=out,
                 )
                 continue
             n = max(1, min(32, df.count() // INGEST_ROWS_PER_FILE))
@@ -98,10 +106,11 @@ def ingest(spark: SparkSession, sf_dir: str) -> str:
         schema = _ddl(spark.read.parquet(out))
         clustered = ""
         if bucket:
-            cols, n = bucket
+            cols, n, sort = bucket
             keys = ", ".join(cols)
+            sorted_by = ", ".join(sort)
             clustered = (
-                f" CLUSTERED BY ({keys}) SORTED BY ({keys}) INTO {n} BUCKETS"
+                f" CLUSTERED BY ({keys}) SORTED BY ({sorted_by}) INTO {n} BUCKETS"
             )
         spark.sql(
             f"CREATE TABLE {table} ({schema}) USING parquet{clustered} "
