@@ -2162,3 +2162,73 @@ def qs82(spark: SparkSession, sf: str) -> DataFrame:
         budget=256,
         shard_col="lang",
     )
+
+
+@query(
+    "qs83_decontaminate",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                 FROM documents),
+    sh AS (SELECT doc_id,
+             CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
+               range(1, len(toks)-1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             ELSE [] END AS shset
+           FROM tok),
+    probe AS (SELECT DISTINCT unnest(shset) AS s FROM sh
+              WHERE doc_id % 101 = 0),
+    corpus AS (SELECT doc_id, shset FROM sh WHERE doc_id % 101 <> 0),
+    ex AS (SELECT doc_id, len(shset) AS n_shingles, unnest(shset) AS s
+           FROM corpus)
+    SELECT ex.doc_id, COUNT(*) AS n_shared, ANY_VALUE(n_shingles) AS n_shingles
+    FROM ex JOIN probe ON ex.s = probe.s
+    GROUP BY ex.doc_id
+    """,
+)
+def qs83(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (operators/retrieval.decontaminate):
+    corpus docs sharing any lowercase word 3-gram with the probe set
+    (doc_id % 101 == 0 plays the held-out benchmark). Probe shingles
+    broadcast; one shuffle on doc_id. No reference analogue."""
+    from cds_etl_spark.operators.retrieval import decontaminate
+
+    d = load_table(spark, sf, "documents")
+    probe = d.filter(F.col("doc_id") % 101 == 0)
+    corpus = d.filter(F.col("doc_id") % 101 != 0)
+    return decontaminate(corpus, probe, "doc_id", "text", n=3)
+
+
+@query(
+    "qs84_bm25",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                 FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, t.tok, COUNT(*) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS tok FROM tok) t
+           WHERE t.tok IN ('hash', 'join', 'scan')
+           GROUP BY doc_id, t.tok),
+    dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok)
+    SELECT tf.doc_id,
+           ROUND(SUM(ln((stats.n_docs - dft.df + 0.5)/(dft.df + 0.5) + 1)
+                 * tf.tf * (1.2 + 1)
+                 / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))), 4)
+             AS score
+    FROM tf
+    JOIN dft USING (tok)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+    """,
+)
+def qs84(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 relevance (operators/retrieval.bm25_scores) of every
+    document against the query terms {hash, join, scan}; corpus stats
+    (N, avgdl, df) computed in-plan and attached by broadcast. No
+    reference analogue (LLM-pipeline retrieval extension)."""
+    from cds_etl_spark.operators.retrieval import bm25_scores
+
+    d = load_table(spark, sf, "documents")
+    out = bm25_scores(d, "doc_id", "text", ["hash", "join", "scan"])
+    return out.select("doc_id", F.round("score", 4).alias("score"))
