@@ -2232,3 +2232,51 @@ def qs84(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     out = bm25_scores(d, "doc_id", "text", ["hash", "join", "scan"])
     return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+@query(
+    "qs85_scd2_apply",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey AS key, c_mktsegment AS seg,
+             DATE '1995-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+      FROM customer),
+    upd AS (
+      SELECT o_custkey AS key, 'VIP' AS seg, DATE '1996-06-01' AS eff
+      FROM orders GROUP BY o_custkey HAVING COUNT(*) > 15),
+    changed AS (
+      SELECT d.key FROM dim d JOIN upd u ON d.key = u.key
+      WHERE d.valid_to IS NULL AND d.seg IS DISTINCT FROM u.seg)
+    SELECT d.key, d.seg, d.valid_from,
+           CASE WHEN c.key IS NOT NULL AND d.valid_to IS NULL
+                THEN DATE '1996-06-01' ELSE d.valid_to END AS valid_to
+    FROM dim d LEFT JOIN changed c ON d.key = c.key
+    UNION ALL
+    SELECT u.key, u.seg, u.eff AS valid_from, CAST(NULL AS DATE) AS valid_to
+    FROM upd u JOIN changed c ON u.key = c.key
+    """,
+)
+def qs85(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 versioned upsert (operators/scd.scd2_apply): customers who
+    placed >15 orders move to the VIP segment effective 1996-06-01 —
+    their live dimension version closes and a new one opens; everyone
+    else passes through. Generalizes the reference's historical-value
+    accumulation (cds_transformation_functions.py:420-466)."""
+    from cds_etl_spark.operators.scd import scd2_apply
+
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    dim = c.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("1995-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    upd = (
+        o.groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 15)
+        .select("key", F.lit("VIP").alias("seg"),
+                F.lit("1996-06-01").cast("date").alias("eff"))
+    )
+    return scd2_apply(dim, upd, "key", ["seg"], "eff")
