@@ -248,3 +248,43 @@ def foreach_batch_partitioned_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "30 minutes",
+    watermark: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join: pair each left event with right
+    events for the same ``key`` whose timestamp falls in
+    ``[left_ts, left_ts + within]`` (the click→purchase attribution
+    shape). Column names apart from ``key``/timestamps must be
+    disjoint between the two sides.
+
+    Stream-stream joins are STATEFUL: both sides buffer rows keyed by
+    the join key until the other side's matches can no longer arrive.
+    The time-range predicate plus both watermarks is what BOUNDS that
+    state — without them the buffers grow forever, which is why this
+    operator requires the interval instead of exposing a plain
+    equi-join. State is evicted once
+    ``watermark + within`` has passed an event's timestamp; at
+    100 TB/day the buffered window is proportional to rate × horizon,
+    not to history. Works identically on batch frames (same predicate,
+    no state), which the parity test exploits."""
+    l, r = left.alias("l"), right.alias("r")
+    if left.isStreaming:
+        l = left.withWatermark(left_ts, watermark).alias("l")
+    if right.isStreaming:
+        r = right.withWatermark(right_ts, watermark).alias("r")
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rts >= lts)
+        & (rts <= lts + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, how)

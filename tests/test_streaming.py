@@ -252,3 +252,37 @@ def test_foreach_batch_partitioned_sink_idempotent(spark, inbox, sf_dir, tmp_pat
     assert _rows(spark.read.parquet(out).drop("batch_id")) == _rows(
         ev.select("event_id", "user_id", "value")
     )
+
+
+def test_stream_stream_interval_join_parity(spark, sf_dir, inbox):
+    from cds_etl_spark.streaming.ops import stream_interval_join
+
+    def sides(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("event_id").alias("click_id")
+        )
+        buys = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("event_id").alias("buy_id")
+        )
+        return clicks, buys
+
+    s_clicks, s_buys = sides(event_stream(spark, inbox["src"], inbox["schema"]))
+    joined = stream_interval_join(s_clicks, s_buys, "user_id", within="30 minutes")
+    run_to_completion(
+        joined.select("l.click_id", "r.buy_id"),
+        "t_ssjoin",
+        inbox["ckpt"],
+        output_mode="append",
+    )
+    got = spark.table("t_ssjoin")
+
+    b_clicks, b_buys = sides(
+        load_table(spark, sf_dir, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+    )
+    want = stream_interval_join(
+        b_clicks, b_buys, "user_id", within="30 minutes"
+    ).select("l.click_id", "r.buy_id")
+    assert _rows(got) == _rows(want)
+    assert len(_rows(got)) > 0
