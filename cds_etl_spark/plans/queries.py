@@ -2280,3 +2280,75 @@ def qs85(spark: SparkSession, sf: str) -> DataFrame:
                 F.lit("1996-06-01").cast("date").alias("eff"))
     )
     return scd2_apply(dim, upd, "key", ["seg"], "eff")
+
+
+@query(
+    "qs86_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS r,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cs,
+           ROUND(covar_pop(l_quantity, l_extendedprice), 4) AS cp
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def qs86(spark: SparkSession, sf: str) -> DataFrame:
+    """Bivariate statistical aggregates per group (co-moment family;
+    extends qs15's univariate stddev). Single hash aggregation."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("r"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cs"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("cp"),
+    )
+
+
+@query(
+    "qs87_regression_agg",
+    oracle="""
+    SELECT l_linestatus,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+           regr_count(l_extendedprice, l_quantity) AS n
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def qs87(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear-regression aggregate family (ANSI regr_*): price ~
+    quantity per line status. One hash aggregation; all co-moments
+    accumulate in a single pass."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("icept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 4).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+    )
+
+
+@query(
+    "qs88_profile_columns",
+    oracle="""
+    SELECT 'c_mktsegment' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(c_mktsegment) AS n_null,
+           COUNT(DISTINCT c_mktsegment) AS n_distinct
+    FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', COUNT(*), COUNT(*) - COUNT(c_nationkey),
+           COUNT(DISTINCT c_nationkey) FROM customer
+    UNION ALL
+    SELECT 'c_acctbal', COUNT(*), COUNT(*) - COUNT(c_acctbal),
+           COUNT(DISTINCT c_acctbal) FROM customer
+    """,
+)
+def qs88(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass data-quality profile (operators/profiling.py): null and
+    exact-distinct counts for three customer columns in a single
+    aggregation (Expand-based multi-distinct), vs the oracle's
+    three-scan UNION ALL formulation. Generalizes the reference's
+    validation reports (cds-transformation_v1.3.py:105-108)."""
+    from cds_etl_spark.operators.profiling import profile_columns
+
+    c = load_table(spark, sf, "customer")
+    return profile_columns(c, ["c_mktsegment", "c_nationkey", "c_acctbal"])
