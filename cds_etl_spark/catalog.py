@@ -86,3 +86,29 @@ def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = T
     """Register every catalog table as a temp view (for spark.sql use)."""
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def analyze_tables(
+    spark: SparkSession,
+    tables: list[str] | tuple[str, ...],
+    columns: dict[str, list[str]] | None = None,
+) -> None:
+    """ANALYZE catalog tables so the cost-based optimizer plans from
+    statistics (row counts, and per-column NDV/min/max/null counts for
+    any listed in ``columns``) rather than raw file sizes.
+
+    This is the warehouse maintenance step that feeds
+    ``spark.sql.cbo.*`` (session.RUNTIME_CONFS): with stats, Catalyst
+    reorders multi-way joins by estimated intermediate size and makes
+    broadcast decisions from filtered-cardinality estimates, not the
+    on-disk byte count. Stats persist in the table catalog, so one
+    ANALYZE pass (a scan per table) serves every later query — the
+    same economics as the bucketed/z-ordered ingest layouts."""
+    for t in tables:
+        spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS")
+        cols = (columns or {}).get(t)
+        if cols:
+            spark.sql(
+                f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR COLUMNS "
+                + ", ".join(cols)
+            )

@@ -40,6 +40,14 @@ RUNTIME_CONFS: dict[str, str] = {
     # those parallel (measured ~25% on window/agg shapes at sf0.1)
     # while still coalescing away mostly-empty partitions at scale.
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+    # Cost-based optimization: when catalog tables carry ANALYZE
+    # statistics (catalog.analyze_tables), join reordering and
+    # broadcast decisions use estimated row counts/NDVs instead of raw
+    # file sizes. A no-op for stat-less path reads; at warehouse scale
+    # join order chosen from stats is the difference between shuffling
+    # the small and the large intermediate.
+    "spark.sql.cbo.enabled": "true",
+    "spark.sql.cbo.joinReorder.enabled": "true",
 }
 
 

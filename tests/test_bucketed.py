@@ -101,3 +101,30 @@ def test_sessionize_is_single_shuffle(spark, sf_dir):
     p = _plan(sessionize(e, "user_id", "ts", tiebreak="event_id"))
     assert p.count("Exchange") == 1, f"sessionize = one user-key shuffle:\n{p}"
     assert "hashpartitioning(user_id" in p
+
+
+def test_analyze_feeds_cbo_statistics(spark, sf_dir, tmp_path):
+    from cds_etl_spark.catalog import analyze_tables, load_table
+
+    out = str(tmp_path / "t_stats")
+    load_table(spark, sf_dir, "nation").write.parquet(out)
+    spark.sql("DROP TABLE IF EXISTS t_stats")
+    spark.sql(f"CREATE TABLE t_stats USING parquet LOCATION '{out}'")
+    try:
+        plan_before = spark.table("t_stats")._jdf.queryExecution().optimizedPlan()
+        assert plan_before.stats().rowCount().isEmpty()
+
+        analyze_tables(spark, ["t_stats"], {"t_stats": ["n_nationkey", "n_name"]})
+        plan = spark.table("t_stats")._jdf.queryExecution().optimizedPlan()
+        n = load_table(spark, sf_dir, "nation").count()
+        assert int(str(plan.stats().rowCount().get())) == n
+        # column-level stats recorded with exact NDV for the key
+        desc = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql(
+                "DESCRIBE EXTENDED t_stats n_nationkey"
+            ).collect()
+        }
+        assert int(desc["distinct_count"]) == n
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_stats")
