@@ -139,3 +139,63 @@ def document_profile(
             word_shingles_from_tokens(F.col("_rawtoks"), 3)
         ).alias("fingerprint"),
     )
+
+
+def top_ngram_fraction(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition signal: the fraction of a document's
+    word ``n``-grams taken by its single most frequent one. Documents
+    dominated by one repeated phrase (boilerplate, template spam)
+    score near 1; natural text scores low.
+
+    Unlike the shingle-set path (functions/text.word_shingles_from_
+    tokens, which deduplicates for MinHash), repetition needs the
+    n-gram MULTISET, so grams are exploded with their multiplicity and
+    counted: one shuffle on (doc, gram), one on doc. The fraction is
+    an exact IEEE division of integer counts — engine-independent, no
+    rounding (same policy as quality_features).
+
+    Returns ``(id, top_cnt, n_grams, top_fraction)`` for documents
+    with at least one n-gram."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + k).cast("int")) for k in range(n)]
+        ),
+    )
+    exploded = (
+        df.filter(F.size(toks) >= n)
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
+    )
+    per_gram = exploded.groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_gram.groupBy(id_col).agg(
+        F.max("cnt").alias("top_cnt"),
+        F.sum("cnt").alias("n_grams"),
+        (
+            F.max("cnt").cast("double") / F.sum("cnt").cast("double")
+        ).alias("top_fraction"),
+    )
+
+
+def distinct_sketch_by(
+    df: DataFrame, group_col: str, value_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Mergeable distinct-count sketch per group (Apache DataSketches
+    HLL via the built-in hll_sketch_agg): returns ``(group, sketch,
+    estimate)``. The sketch column is the point — partial sketches
+    from independent partitions/days union to the full-pass estimate
+    (``hll_union_agg``) without re-reading data, which is how a 100 TB
+    rolling distinct-count is maintained incrementally. Exact
+    COUNT(DISTINCT) is qs11; this is the streaming/incremental
+    counterpart (excluded from the hash-match oracle by design —
+    SURVEY.md §2.2 determinism rules)."""
+    return df.groupBy(group_col).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("sketch"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(value_col, F.lit(lg_k))
+        ).alias("estimate"),
+    )

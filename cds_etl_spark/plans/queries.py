@@ -2352,3 +2352,46 @@ def qs88(spark: SparkSession, sf: str) -> DataFrame:
 
     c = load_table(spark, sf, "customer")
     return profile_columns(c, ["c_mktsegment", "c_nationkey", "c_acctbal"])
+
+
+@query(
+    "qs89_repetition_signal",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                 FROM documents),
+    g AS (SELECT doc_id,
+            unnest(list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i+1])) AS gram
+          FROM tok WHERE len(toks) >= 2),
+    c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram)
+    SELECT doc_id, MAX(cnt) AS top_cnt, SUM(cnt) AS n_grams,
+           MAX(cnt)::DOUBLE / SUM(cnt)::DOUBLE AS top_fraction
+    FROM c GROUP BY doc_id
+    """,
+)
+def qs89(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition quality signal
+    (operators/text_analysis.top_ngram_fraction): fraction of each
+    document's word bigrams taken by its most frequent one. Exact
+    integer-count division, no rounding. No reference analogue
+    (LLM-pipeline text-quality extension)."""
+    from cds_etl_spark.operators.text_analysis import top_ngram_fraction
+
+    d = load_table(spark, sf, "documents")
+    return top_ngram_fraction(d, "doc_id", "text", n=2)
+
+
+@query("qs90_hll_distinct_sketch")
+def qs90(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable HLL distinct-count sketch per return flag
+    (operators/text_analysis.distinct_sketch_by over lineitem
+    orderkeys). Rows-only check by design: sketch estimates cannot
+    hash-match an exact engine (SURVEY.md §2.2 determinism rules),
+    like qs62/qs63. Accuracy + mergeability are unit-tested
+    (tests/test_sketches.py)."""
+    from cds_etl_spark.operators.text_analysis import distinct_sketch_by
+
+    li = load_table(spark, sf, "lineitem")
+    return distinct_sketch_by(li, "l_returnflag", "l_orderkey").select(
+        "l_returnflag", "estimate"
+    )
