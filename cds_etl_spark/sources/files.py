@@ -58,3 +58,36 @@ def write_report_tsv(df: DataFrame, out_dir: str, name: str, prefix: str = "") -
     if df.isEmpty():
         return None
     return write_node_tsv(df, out_dir, name, prefix)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source. With an explicit schema the read is a single
+    pass; without one Spark runs an extra inference pass over the data
+    — always pass the schema on large inputs (at 100 TB, inference IS
+    a full scan). Corrupt lines land in ``_corrupt_record`` under the
+    default PERMISSIVE mode instead of failing the job."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> str:
+    """JSON-lines sink (one JSON object per row, splittable text)."""
+    df.write.mode(mode).json(path)
+    return path
+
+
+def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """ORC source — same columnar/pushdown properties as parquet
+    (vectorized reader, predicate pushdown, column pruning); supported
+    so warehouses standardized on ORC can feed the same operators."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> str:
+    df.write.mode(mode).orc(path)
+    return path
