@@ -2395,3 +2395,19 @@ def qs90(spark: SparkSession, sf: str) -> DataFrame:
     return distinct_sketch_by(li, "l_returnflag", "l_orderkey").select(
         "l_returnflag", "estimate"
     )
+
+
+@query("qs91_llm_pipeline_manifest")
+def qs91(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed LLM training-data pipeline (llm_pipeline.py): language
+    + quality + repetition filters → exact dedup → MinHash-LSH cluster
+    dedup → decontamination → sequence packing. Rows-only by design —
+    each stage is individually oracle-checked (qs54/qs55-ish, qs81,
+    qs83, qs82); the composition's invariants are unit-tested
+    (tests/test_llm_pipeline.py)."""
+    from cds_etl_spark.llm_pipeline import prepare_training_data
+
+    d = load_table(spark, sf, "documents")
+    probe = d.filter(F.col("doc_id") % 101 == 0)
+    corpus = d.filter(F.col("doc_id") % 101 != 0)
+    return prepare_training_data(corpus, probe)["manifest"]
