@@ -2411,3 +2411,65 @@ def qs91(spark: SparkSession, sf: str) -> DataFrame:
     probe = d.filter(F.col("doc_id") % 101 == 0)
     corpus = d.filter(F.col("doc_id") % 101 != 0)
     return prepare_training_data(corpus, probe)["manifest"]
+
+
+@query(
+    "qs92_forward_fill",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type <> 'click' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS ff
+    FROM events
+    """,
+)
+def qs92(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward-fill imputation (operators/timeseries.forward_fill):
+    click events' values are masked to NULL and refilled with the last
+    preceding observation per user — LAST_VALUE IGNORE NULLS over a
+    running window, one shuffle on the user key. Time-aware form of
+    the reference's constant null-fill
+    (cds_transformation_functions.py:43-44)."""
+    from cds_etl_spark.operators.timeseries import forward_fill
+
+    e = load_table(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") != "click", F.col("value")).alias("ff"),
+    )
+    return forward_fill(
+        e, "ts", ["ff"], ["user_id"], order_extra=["event_id"]
+    ).select("event_id", "user_id", "ff")
+
+
+@query(
+    "qs93_resample_grid",
+    oracle="""
+    WITH e AS (SELECT user_id, date_trunc('hour', ts) AS b, value
+               FROM events WHERE user_id < 20),
+    agg AS (SELECT user_id, b, COUNT(*) AS n,
+                   ROUND(SUM(value), 4) AS total
+            FROM e GROUP BY user_id, b),
+    bounds AS (SELECT user_id, min(b) AS lo, max(b) AS hi
+               FROM e GROUP BY user_id),
+    grid AS (SELECT user_id,
+                    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+             FROM bounds)
+    SELECT g.user_id, g.bucket, COALESCE(a.n, 0) AS n, a.total
+    FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.bucket = a.b
+    """,
+)
+def qs93(spark: SparkSession, sf: str) -> DataFrame:
+    """Regular-grid resample with gap densification
+    (operators/timeseries.resample): hourly event counts/sums per user
+    including empty buckets, the grid generated row-locally per key
+    from its own min/max (no global calendar cross join)."""
+    from cds_etl_spark.operators.timeseries import resample
+
+    e = load_table(spark, sf, "events").filter(F.col("user_id") < 20)
+    out = resample(e, "user_id", "ts", "value", step="1 hour")
+    return out.select(
+        "user_id", "bucket", "n", F.round("total", 4).alias("total")
+    )
