@@ -78,3 +78,33 @@ def test_text_operators_have_no_python_udfs(spark, sf_dir, name):
     # expressions; Python appears nowhere in these plans.
     p = plan(spark, sf_dir, name)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_decontaminate_broadcasts_probe_side(spark, sf_dir):
+    # The probe (benchmark) n-gram set must broadcast: the corpus side
+    # is only ever shuffled for its own per-doc regroup, never for the
+    # match.
+    p = plan(spark, sf_dir, "qs83_decontaminate")
+    assert "BroadcastHashJoin" in p
+
+
+def test_bm25_broadcasts_corpus_stats(spark, sf_dir):
+    # N/avgdl (1 row) and per-term df (|terms| rows) attach by
+    # broadcast — a sort-merge join against either would shuffle the
+    # corpus once per statistic.
+    p = plan(spark, sf_dir, "qs84_bm25")
+    assert p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_packing_shuffles_once_on_shard_key(spark, sf_dir):
+    # One window over the shard partitioning; the explode adds no
+    # exchange.
+    p = plan(spark, sf_dir, "qs82_sequence_packing")
+    assert p.count("Exchange") == 1
+
+
+def test_forward_fill_is_single_window_pass(spark, sf_dir):
+    p = plan(spark, sf_dir, "qs92_forward_fill")
+    assert p.count("Exchange") == 1  # one shuffle on user_id
+    assert "Window" in p
