@@ -2473,3 +2473,24 @@ def qs93(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "user_id", "bucket", "n", F.round("total", 4).alias("total")
     )
+
+
+@query("qs94_pagerank")
+def qs94(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank (operators/components.pagerank) over the qs51 blocking
+    graph (documents sharing lang + length band): centrality of each
+    document inside its near-dup neighborhood. Rows-only by design —
+    iterative double arithmetic cannot hash-match a SQL oracle; the
+    invariants (rank mass = 1, dangling redistribution, symmetry) are
+    unit-tested in tests/test_pagerank.py."""
+    from cds_etl_spark.operators.components import pagerank
+
+    d = load_table(spark, sf, "documents").alias("a")
+    b = load_table(spark, sf, "documents").alias("b")
+    pairs = d.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.n_chars") == F.col("b.n_chars"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+    return pagerank(pairs, "d1", "d2", iterations=10, directed=False)
