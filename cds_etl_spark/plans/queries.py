@@ -2494,3 +2494,101 @@ def qs94(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
     return pagerank(pairs, "d1", "d2", iterations=10, directed=False)
+
+
+@query(
+    "qs95_table_diff",
+    oracle="""
+    WITH old AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+    new AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 97 = 0 THEN c_acctbal + 10
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 89 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 83 = 0)
+    SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'added'
+                WHEN n.c_custkey IS NULL THEN 'removed'
+                WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                  OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+                  THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+       OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+       OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+    """,
+)
+def qs95(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyed table diff (operators/reconcile.table_diff): old vs new
+    customer versions with synthetic changes/removals/additions; the
+    full-outer join shuffles (key, digest) pairs, not wide rows.
+    Extends the reference's duplicate-conflict diagnosis (O22) to
+    version reconciliation."""
+    from cds_etl_spark.operators.reconcile import table_diff
+
+    c = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    new = (
+        c.filter(F.col("c_custkey") % 89 != 0)
+        .withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % 97 == 0, F.col("c_acctbal") + 10
+            ).otherwise(F.col("c_acctbal")),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 83 == 0).withColumn(
+                "c_custkey", F.col("c_custkey") + 1000000
+            )
+        )
+    )
+    return table_diff(c, new, ["c_custkey"]).filter(
+        F.col("status") != "unchanged"
+    )
+
+
+@query(
+    "qs96_anonymize",
+    oracle="""
+    SELECT c_custkey,
+           sha256('pepper' || c_name) AS name_h,
+           repeat('*', greatest(length(c_mktsegment) - 4, 0))
+             || right(c_mktsegment, 4) AS seg_m,
+           floor(c_acctbal / 1000) * 1000 AS bal_band
+    FROM customer
+    """,
+)
+def qs96(spark: SparkSession, sf: str) -> DataFrame:
+    """PII anonymization (operators/reconcile.anonymize): salted-hash
+    pseudonymization, partial masking, numeric banding — all row-local
+    codegen expressions. The remediation side of the reference's SSN
+    detection (cds_transformation_functions.py:284-299)."""
+    from cds_etl_spark.operators.reconcile import (
+        anonymize,
+        band_numeric,
+        hash_column,
+        mask_keep_last,
+    )
+
+    c = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    out = anonymize(
+        c,
+        {
+            "c_name": hash_column("c_name", salt="pepper"),
+            "c_mktsegment": mask_keep_last("c_mktsegment", 4),
+            "c_acctbal": band_numeric("c_acctbal", 1000),
+        },
+    )
+    return out.select(
+        "c_custkey",
+        F.col("c_name").alias("name_h"),
+        F.col("c_mktsegment").alias("seg_m"),
+        F.col("c_acctbal").alias("bal_band"),
+    )
