@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Bucket space for hash thresholds. 1e6 gives 0.0001% rate granularity
@@ -149,3 +149,41 @@ def interleave_sources(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+    strata_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-Res with a hash-derived uniform): each row
+    gets priority ``u^(1/w)`` where ``u`` is the key's stable
+    md5-uniform in (0,1) and ``w`` its positive weight; the top-k
+    priorities are the sample. Inclusion probability is proportional
+    to weight, yet the draw is a pure function of (key, salt) — stable
+    across runs, partitionings, and engines, like hash_sample.
+
+    Global form compiles to TakeOrderedAndProject (per-partition top-k,
+    no full sort); with ``strata_cols`` it is a windowed top-k per
+    stratum. Rows with non-positive weight are excluded."""
+    u = (hash_bucket(F.col(key_col), salt) + 0.5) / BUCKETS
+    pri = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    ranked = df.filter(F.col(weight_col) > 0).withColumn("__pri", pri)
+    if strata_cols:
+        w = Window.partitionBy(*strata_cols).orderBy(
+            F.col("__pri").desc(), F.col(key_col)
+        )
+        return (
+            ranked.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__pri", "__rn")
+        )
+    return (
+        ranked.orderBy(F.col("__pri").desc(), F.col(key_col))
+        .limit(k)
+        .drop("__pri")
+    )

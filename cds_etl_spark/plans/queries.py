@@ -2592,3 +2592,29 @@ def qs96(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c_mktsegment").alias("seg_m"),
         F.col("c_acctbal").alias("bal_band"),
     )
+
+
+@query(
+    "qs97_weighted_sample",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             pow(({_BK.format(key="doc_id", salt="ws")} + 0.5) / 1000000.0,
+                 1.0 / n_chars) AS pri
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id FROM p ORDER BY pri DESC, doc_id LIMIT 50
+    """,
+)
+def qs97(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.weighted_hash_sample): 50 documents drawn with
+    probability proportional to n_chars, the draw a pure function of
+    (doc_id, salt) — the oracle recomputes the identical
+    Efraimidis-Spirakis priority in DuckDB. Compiles to
+    TakeOrderedAndProject (per-partition top-k, no global sort)."""
+    from cds_etl_spark.operators.sampling import weighted_hash_sample
+
+    d = load_table(spark, sf, "documents")
+    return weighted_hash_sample(d, "doc_id", "n_chars", 50, salt="ws").select(
+        "doc_id"
+    )

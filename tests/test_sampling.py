@@ -135,3 +135,41 @@ def test_sessionize_structure(spark, sf_dir):
                     assert sid == prev + 1
                     assert gap > 1800
             prev, prev_ts = sid, r["ts"]
+
+
+def test_weighted_sample_deterministic_and_proportional(spark):
+    from cds_etl_spark.operators.sampling import weighted_hash_sample
+
+    rows = [(i, 100.0 if i < 20 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    picks = {
+        r["id"]
+        for r in weighted_hash_sample(df, "id", "w", 30, salt="a").collect()
+    }
+    again = {
+        r["id"]
+        for r in weighted_hash_sample(df, "id", "w", 30, salt="a").collect()
+    }
+    assert picks == again  # pure function of (key, salt)
+    # the 10% of ids carrying 100x weight should dominate the sample
+    heavy = sum(1 for i in picks if i < 20)
+    assert heavy >= 15
+    assert len(picks) == 30
+
+
+def test_weighted_sample_per_stratum_k(spark):
+    from cds_etl_spark.operators.sampling import weighted_hash_sample
+
+    rows = [(i, "s" + str(i % 3), float(i + 1)) for i in range(90)]
+    df = spark.createDataFrame(rows, "id long, g string, w double")
+    out = weighted_hash_sample(df, "id", "w", 5, salt="b", strata_cols=["g"])
+    counts = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"s0": 5, "s1": 5, "s2": 5}
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from cds_etl_spark.operators.sampling import weighted_hash_sample
+
+    df = spark.createDataFrame([(1, 0.0), (2, -1.0), (3, 5.0)], "id long, w double")
+    got = {r["id"] for r in weighted_hash_sample(df, "id", "w", 10).collect()}
+    assert got == {3}
