@@ -2618,3 +2618,42 @@ def qs97(spark: SparkSession, sf: str) -> DataFrame:
     return weighted_hash_sample(d, "doc_id", "n_chars", 50, salt="ws").select(
         "doc_id"
     )
+
+
+@query(
+    "qs98_incremental_agg",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(o_totalprice*100, 0) AS BIGINT)) AS cents,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def qs98(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental aggregate maintenance
+    (operators/incremental.merge_aggregate_state): the orders table is
+    split at 1996-01-01 into a 'historical state' batch and a 'new
+    arrivals' delta, each aggregated alone and algebraically merged —
+    the oracle is the from-scratch aggregate, so the check IS the
+    incremental-equals-full identity. Money is carried as exact cents
+    (sum order independence)."""
+    from cds_etl_spark.operators.incremental import (
+        aggregate_delta,
+        merge_aggregate_state,
+    )
+
+    o = load_table(spark, sf, "orders").withColumn(
+        "cents_src", F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    )
+    spec = {
+        "n": ("count", ""),
+        "cents": ("sum", "cents_src"),
+        "first_order": ("min", "o_orderdate"),
+        "last_order": ("max", "o_orderdate"),
+    }
+    cut = F.lit("1996-01-01").cast("date")
+    state = aggregate_delta(o.filter(F.col("o_orderdate") < cut), ["o_custkey"], spec)
+    delta = aggregate_delta(o.filter(F.col("o_orderdate") >= cut), ["o_custkey"], spec)
+    return merge_aggregate_state(state, delta, ["o_custkey"], spec)
