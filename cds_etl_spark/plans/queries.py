@@ -2657,3 +2657,50 @@ def qs98(spark: SparkSession, sf: str) -> DataFrame:
     state = aggregate_delta(o.filter(F.col("o_orderdate") < cut), ["o_custkey"], spec)
     delta = aggregate_delta(o.filter(F.col("o_orderdate") >= cut), ["o_custkey"], spec)
     return merge_aggregate_state(state, delta, ["o_custkey"], spec)
+
+
+@query(
+    "qs99_funnel",
+    oracle="""
+    WITH s0 AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    s1 AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN s0 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s0.t_view
+        AND e.ts <= s0.t_view + INTERVAL 7 DAY
+      GROUP BY e.user_id),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s1.t_click
+        AND e.ts <= s1.t_click + INTERVAL 7 DAY
+      GROUP BY e.user_id)
+    SELECT s0.user_id, s0.t_view, s1.t_click, s2.t_purchase,
+           CAST(s0.t_view IS NOT NULL AS INTEGER)
+             + CAST(s1.t_click IS NOT NULL AS INTEGER)
+             + CAST(s2.t_purchase IS NOT NULL AS INTEGER) AS depth
+    FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+    """,
+)
+def qs99(spark: SparkSession, sf: str) -> DataFrame:
+    """Conversion funnel (operators/funnel.funnel): view → click →
+    purchase per user, each step strictly after and within 7 days of
+    the previous step's earliest match. One conditional min-aggregation
+    + user-key join per step; no per-user timeline materialization."""
+    from cds_etl_spark.operators.funnel import funnel
+
+    e = load_table(spark, sf, "events")
+    out = funnel(
+        e,
+        "user_id",
+        "ts",
+        [
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+        horizon="7 days",
+    )
+    return out.select("user_id", "t_view", "t_click", "t_purchase", "depth")
