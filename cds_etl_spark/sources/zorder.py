@@ -16,11 +16,11 @@ per column to the driver), then a purely row-local z-value expression
 the z value, and a sorted write. At 100 TB that is exactly one pass
 over the data, the same cost as any re-layout compaction.
 
-Caveat encoded in the API: bucket ranks here are UNIFORM over
-[min, max] per column — heavily skewed columns want quantile-based
-ranks (percentile_approx boundaries) before interleave; uniform ranks
-on skewed data collapse many rows into few buckets and weaken
-pruning, they never break correctness.
+Two rank modes: UNIFORM over [min, max] (default; cheapest stats
+pass) and QUANTILE (``quantile=True``) for heavy-tailed columns,
+where uniform slicing collapses most rows into few buckets and
+weakens pruning. Either way rank choice only affects pruning quality,
+never correctness.
 """
 
 from __future__ import annotations
@@ -33,21 +33,46 @@ from pyspark.sql import functions as F
 Z_COL = "__z"
 
 
-def zorder_value(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
+def zorder_value(
+    df: DataFrame, cols: list[str], bits: int = 8, quantile: bool = False
+) -> Column:
     """Morton-interleaved z-value over ``cols`` (numeric), ``bits``
-    bucket bits per column. One min/max aggregate job; the returned
-    Column is row-local integer arithmetic."""
-    aggs = []
-    for c in cols:
-        aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
-    stats = df.agg(*aggs).first()
+    bucket bits per column. One stats aggregate job (min/max, or
+    approximate quantile boundaries with ``quantile=True``); the
+    returned Column is row-local integer arithmetic.
+
+    ``quantile=True`` is the skew-robust mode: bucket ranks are the
+    column's approximate quantile bins instead of uniform [min, max]
+    slices, so a heavy-tailed column (where uniform slicing collapses
+    most rows into one bucket and pruning degenerates) still spreads
+    evenly across all 2^bits ranks. Costs one percentile_approx pass
+    and a per-row O(2^bits) boundary scan — still codegen, no UDF."""
     n_buckets = (1 << bits) - 1
-    ranks = []
-    for c in cols:
-        lo, hi = float(stats[f"lo_{c}"]), float(stats[f"hi_{c}"])
-        span = (hi - lo) or 1.0
-        rank = F.floor((F.col(c) - lo) / span * n_buckets).cast("long")
-        ranks.append(F.least(F.greatest(rank, F.lit(0)), F.lit(n_buckets)))
+    ranks: list[Column] = []
+    if quantile:
+        qs = [i / (n_buckets + 1) for i in range(1, n_buckets + 1)]
+        stats = df.agg(
+            *[
+                F.percentile_approx(c, qs, 10000).alias(f"b_{c}")
+                for c in cols
+            ]
+        ).first()
+        for c in cols:
+            bounds = F.array(*[F.lit(b) for b in stats[f"b_{c}"]])
+            rank = F.size(F.filter(bounds, lambda b: b <= F.col(c)))
+            ranks.append(
+                F.least(F.greatest(rank.cast("long"), F.lit(0)), F.lit(n_buckets))
+            )
+    else:
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+        stats = df.agg(*aggs).first()
+        for c in cols:
+            lo, hi = float(stats[f"lo_{c}"]), float(stats[f"hi_{c}"])
+            span = (hi - lo) or 1.0
+            rank = F.floor((F.col(c) - lo) / span * n_buckets).cast("long")
+            ranks.append(F.least(F.greatest(rank, F.lit(0)), F.lit(n_buckets)))
     parts = [
         F.shiftleft(
             F.shiftright(rank, i).bitwiseAND(F.lit(1)),
@@ -66,12 +91,15 @@ def write_zordered(
     n_files: int = 16,
     bits: int = 8,
     mode: str = "overwrite",
+    quantile: bool = False,
 ) -> None:
     """Write ``df`` as parquet clustered on the z-curve of ``cols``:
     range-partition into ``n_files`` z-ranges, sort within each, so
     every file covers a compact hyper-rectangle of the interleaved
-    columns and scans filtered on ANY of them prune by footer stats."""
-    z = zorder_value(df, cols, bits)
+    columns and scans filtered on ANY of them prune by footer stats.
+    ``quantile=True`` selects skew-robust quantile bucket ranks (see
+    zorder_value)."""
+    z = zorder_value(df, cols, bits, quantile=quantile)
     (
         df.withColumn(Z_COL, z)
         .repartitionByRange(n_files, Z_COL)

@@ -82,3 +82,23 @@ def test_zorder_value_is_deterministic_and_bounded(spark, sf_dir):
     assert row[0] >= 0
     assert row[1] < 1 << 8  # 2 cols x 4 bits
     assert row[2] > 0
+
+
+def test_quantile_ranks_spread_skewed_column(spark):
+    import math
+
+    from pyspark.sql import functions as F2
+
+    # heavy-tailed column: uniform ranks collapse, quantile ranks spread
+    rows = [(i, math.exp(i / 40.0)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    def max_occupancy(z_df):
+        counts = [r[1] for r in z_df.groupBy("z").count().collect()]
+        return max(counts) / sum(counts)
+
+    uni = df.select(zorder_value(df, ["v"], bits=4).alias("z"))
+    qua = df.select(zorder_value(df, ["v"], bits=4, quantile=True).alias("z"))
+    # uniform slicing dumps most of the heavy tail into one bucket;
+    # quantile ranks spread rows near-evenly over the 16 buckets
+    assert max_occupancy(uni) > 0.5
+    assert max_occupancy(qua) < 0.15
