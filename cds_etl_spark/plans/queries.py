@@ -2704,3 +2704,47 @@ def qs99(spark: SparkSession, sf: str) -> DataFrame:
         horizon="7 days",
     )
     return out.select("user_id", "t_view", "t_click", "t_purchase", "depth")
+
+
+@query(
+    "qs100_tpch_q3",
+    oracle="""
+    SELECT l.l_orderkey,
+           SUM(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*10000, 0)
+                    AS BIGINT)) AS rev_e4,
+           o.o_orderdate, o.o_custkey
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1995-03-15'
+      AND l.l_shipdate > DATE '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_custkey
+    """,
+)
+def qs100(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 (shipping-priority) shape: selective 3-way
+    customer ⋈ orders ⋈ lineitem star join + revenue aggregation.
+    The filtered customer side is broadcast-sized; with ANALYZE stats
+    CBO orders the join to reduce the intermediate before lineitem.
+    Revenue is summed as exact 1e-4-scaled integers (per-row products
+    are bit-identical cross-engine; integer summation removes
+    accumulation-order sensitivity)."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("bigint")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("date"))
+        .join(
+            li.filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("date")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_custkey")
+        .agg(F.sum(rev).alias("rev_e4"))
+        .select("l_orderkey", "rev_e4", "o_orderdate", "o_custkey")
+    )
