@@ -203,3 +203,60 @@ def test_model_relationship_helpers():
     )
     assert [r.name for r in m.parents_of("participant")] == ["of_study"]
     assert m.mul_of("of_study") == "many_to_one"
+
+
+toks = st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=15)
+
+
+@given(counts=toks, budget=st.integers(min_value=1, max_value=20))
+@settings(**SETTINGS)
+def test_packing_properties(spark, counts, budget):
+    from cds_etl_spark.operators.packing import chunk_assignments
+
+    rows = [(i, c) for i, c in enumerate(counts)]
+    df = spark.createDataFrame(rows, "id long, n long")
+    out = chunk_assignments(df, "id", "n", budget).collect()
+    total = sum(c for c in counts if c > 0)
+    chunks = {r["chunk_id"] for r in out}
+    if total == 0:
+        assert out == []
+        return
+    # chunk ids tile the concatenated stream exactly: 0..ceil(total/budget)-1
+    assert chunks == set(range((total + budget - 1) // budget))
+    # each doc's chunk span matches its token interval
+    for r in out:
+        assert r["cum_before"] // budget <= r["chunk_id"]
+        assert r["chunk_id"] <= (r["cum_before"] + r["n_tokens"] - 1) // budget
+    # zero-token docs never appear
+    assert all(r["n_tokens"] > 0 for r in out)
+
+
+batch = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]), st.one_of(st.none(), st.integers(-50, 50))),
+    min_size=0,
+    max_size=8,
+)
+
+
+@given(b1=batch, b2=batch, b3=batch)
+@settings(**SETTINGS)
+def test_incremental_merge_equals_full_property(spark, b1, b2, b3):
+    from cds_etl_spark.operators.incremental import (
+        aggregate_delta,
+        merge_aggregate_state,
+    )
+
+    spec = {"n": ("count", ""), "s": ("sum", "v"), "lo": ("min", "v"), "hi": ("max", "v")}
+    schema = "k string, v long"
+    batches = [b for b in (b1, b2, b3) if b]
+    if not batches:
+        return
+    dfs = [spark.createDataFrame(b, schema) for b in batches]
+    state = aggregate_delta(dfs[0], ["k"], spec)
+    for d in dfs[1:]:
+        state = merge_aggregate_state(state, aggregate_delta(d, ["k"], spec), ["k"], spec)
+    full = dfs[0]
+    for d in dfs[1:]:
+        full = full.unionByName(d)
+    want = aggregate_delta(full, ["k"], spec)
+    assert sorted(map(tuple, state.collect())) == sorted(map(tuple, want.collect()))
