@@ -2748,3 +2748,62 @@ def qs100(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sum(rev).alias("rev_e4"))
         .select("l_orderkey", "rev_e4", "o_orderdate", "o_custkey")
     )
+
+
+@query(
+    "qs101_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((o_totalprice - 1000.0)
+                                       / 25000.0) AS BIGINT), -1), 19)
+               AS bucket
+      FROM orders)
+    SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket
+    """,
+)
+def qs101(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width histogram of order totals: 20 uniform 25k buckets
+    over [1000, 501000) with clamped under/overflow bins — one
+    map-side bucket expression + hash aggregation. (The oracle
+    restates the arithmetic manually: DuckDB 1.0 has no
+    width_bucket.)"""
+    o = load_table(spark, sf, "orders")
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("o_totalprice") - 1000.0) / 25000.0).cast("bigint"),
+            F.lit(-1),
+        ),
+        F.lit(19),
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "qs102_schema_evolution_union",
+    oracle="""
+    SELECT n_nationkey AS k, n_name AS name, n_regionkey AS region,
+           NULL AS comment_len
+    FROM nation
+    UNION ALL
+    SELECT r_regionkey AS k, r_name AS name, NULL AS region,
+           length(r_name) AS comment_len
+    FROM region
+    """,
+)
+def qs102(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-evolution union: frames with partially overlapping
+    columns align BY NAME with missing columns null-filled
+    (unionByName allowMissingColumns) — the append path when a feed
+    adds or drops columns between batches, instead of the positional
+    union that silently misaligns."""
+    n = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("k"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").alias("region"),
+    )
+    r = load_table(spark, sf, "region").select(
+        F.col("r_regionkey").alias("k"),
+        F.col("r_name").alias("name"),
+        F.length("r_name").cast("long").alias("comment_len"),
+    )
+    return n.unionByName(r, allowMissingColumns=True)
