@@ -1182,9 +1182,9 @@ def qs09(spark: SparkSession, sf: str) -> DataFrame:
     "qs16_pivot",
     oracle="""
     SELECT
-      SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS "F",
-      SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS "O",
-      SUM(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS "P"
+      COUNT(CASE WHEN o_orderstatus='F' THEN 1 END) AS "F",
+      COUNT(CASE WHEN o_orderstatus='O' THEN 1 END) AS "O",
+      COUNT(CASE WHEN o_orderstatus='P' THEN 1 END) AS "P"
     FROM orders
     """,
 )
@@ -1212,25 +1212,60 @@ def qs16(spark: SparkSession, sf: str) -> DataFrame:
 from cds_etl_spark.operators.skew import salted_agg  # noqa: E402
 
 
-@query("qs62_approx_count_distinct")
+@query(
+    "qs62_approx_count_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT o_custkey) AS exact_custkeys, TRUE AS approx_ok
+    FROM orders
+    """,
+)
 def qs62(spark: SparkSession, sf: str) -> DataFrame:
-    """HyperLogLog++ distinct-count sketch (engine capability; excluded
-    from the hash-match contract by design — SURVEY.md §2.2 note —
-    because DuckDB's approx algorithm differs). Rows-only check."""
+    """HyperLogLog++ distinct-count sketch bounds-checked against the
+    exact count (DuckDB's approx algorithm differs, so the raw sketch
+    value can't hash-match — instead the query emits the exact count
+    plus a boolean asserting the sketch landed within 3×rsd, which the
+    oracle CAN match). Exercises both the HLL++ path and exact
+    count-distinct."""
     o = load_table(spark, sf, "orders")
-    return o.select(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custkeys")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("exact_custkeys"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("_approx"),
+    ).select(
+        "exact_custkeys",
+        (
+            F.abs(F.col("_approx") - F.col("exact_custkeys"))
+            / F.col("exact_custkeys")
+            <= 0.06
+        ).alias("approx_ok"),
     )
 
 
-@query("qs63_approx_quantiles")
+@query(
+    "qs63_approx_quantiles",
+    oracle=" UNION ALL ".join(
+        f"SELECT o_orderstatus, {i} AS q_idx, "
+        f"quantile_disc(o_totalprice, {p}) AS q_value "
+        "FROM orders GROUP BY o_orderstatus"
+        for i, p in enumerate([0.25, 0.5, 0.75, 0.95])
+    ),
+)
 def qs63(spark: SparkSession, sf: str) -> DataFrame:
     """Greenwald-Khanna quantile sketch over o_totalprice per status
     (mergeable across partitions — the distributed percentile path).
-    Rows-only check (sketch epsilon differs from DuckDB's t-digest)."""
+    Output posexploded to scalar (status, q_idx, q_value) rows. At
+    accuracy 1e6 the GK sketch is exact on test-scale groups and
+    equals DuckDB's quantile_disc (verified sf0.001 + sf0.01); at
+    cluster scale the same plan degrades gracefully to epsilon-bounded
+    answers."""
     o = load_table(spark, sf, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75, 0.95], 10000).alias("q")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx(
+                "o_totalprice", [0.25, 0.5, 0.75, 0.95], 1_000_000
+            ).alias("_q")
+        )
+        .select("o_orderstatus", F.posexplode("_q").alias("q_idx", "q_value"))
     )
 
 
