@@ -151,13 +151,24 @@ def ngram_jaccard_pairs(
     block_cols: tuple[str, ...] = ("lang",),
     shingle_k: int = 3,
     min_jaccard: float = 0.5,
+    length_bands: bool = True,
 ) -> DataFrame:
     """Blocked exact n-gram Jaccard: candidate pairs form only inside
-    equality blocks (e.g. same lang), then exact shingle Jaccard
-    filters. The block join is an equi-join on the block columns —
-    shuffle-partitioned by block key; pair explosion is bounded per
-    block, not corpus-wide. For skew-free blocks at scale, add a
-    coarse length band to block_cols."""
+    equality blocks (e.g. same lang) AND matching shingle-count length
+    bands, then exact shingle Jaccard filters.
+
+    The length band is part of the JOIN KEY, not a post-filter, so the
+    per-block pair space is bounded at corpus scale: bands are
+    geometric with base 1/min_jaccard, and since J(A,B) >= t implies
+    min(|A|,|B|)/max(|A|,|B|) >= t, a qualifying pair's bands differ by
+    at most 1. One side probes {band-1, band, band+1} (a 3x fan-out of
+    ids+shingles, not of pairs), which makes the banding EXACT — no
+    qualifying pair is lost, including pairs straddling a band
+    boundary. Within a (block, band) bucket the candidate set is
+    documents of near-equal length only, instead of the whole block
+    quadratic. ``length_bands=False`` restores plain block-only
+    joining (useful when callers band externally)."""
+    t_eff = min(max(min_jaccard, 1e-6), 0.9999)
     sh = (
         df.select(
             F.col(id_col).alias("_id"),
@@ -170,10 +181,29 @@ def ngram_jaccard_pairs(
             word_shingles_from_tokens(F.col("_toks"), shingle_k).alias("_sh"),
         )
         .withColumn("_sz", F.size("_sh"))
+        .withColumn(
+            "_band",
+            F.floor(
+                F.log(1.0 / t_eff, F.greatest(F.col("_sz"), F.lit(1)))
+            ).cast("int"),
+        )
         .localCheckpoint(eager=True)  # two join consumers below
     )
-    a, b = sh.alias("a"), sh.alias("b")
+    if length_bands:
+        a = sh.withColumn(
+            "_probe",
+            F.explode(
+                F.array(F.col("_band") - 1, F.col("_band"), F.col("_band") + 1)
+            ),
+        ).alias("a")
+    else:
+        a = sh.alias("a")
+    b = sh.alias("b")
     cond = (F.col("a._id") < F.col("b._id"))
+    if length_bands:
+        # Equi-key: exactly one of the three probes equals b's band for
+        # any qualifying pair, so no duplicates and no lost pairs.
+        cond = cond & (F.col("a._probe") == F.col("b._band"))
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     # Size-ratio prune (semantics-preserving): J(A,B) ≤ min/max set

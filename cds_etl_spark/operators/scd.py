@@ -55,7 +55,9 @@ def scd2_apply(
       the live version → the live version is closed at ``eff_col``
       and a new live version opens at ``eff_col``;
     - key exists with identical attributes → no-op;
-    - key absent from the dimension → inserted as a live version.
+    - key with NO live version — brand new, or present only as closed
+      history (deleted/expired) — → inserted as a live version
+      (re-activation; its closed history passes through unchanged).
     History rows (non-NULL ``end_col``) always pass through unchanged.
     """
     out_cols = [key, *tracked, start_col, end_col]
@@ -83,8 +85,12 @@ def scd2_apply(
             F.lit(None).cast(dim.schema[end_col].dataType).alias(end_col),
         )
     )
+    # Anti-join against the LIVE slice, not all dim keys: a key whose
+    # only rows are closed history has no live version to diff against,
+    # so its update must re-enter as an insert — anti-joining the full
+    # dimension would silently drop it.
     inserts = (
-        updates.join(dim.select(key).distinct(), key, "left_anti")
+        updates.join(cur.select(key), key, "left_anti")
         .select(
             key,
             *tracked,

@@ -69,6 +69,12 @@ def zorder_value(
             aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
         stats = df.agg(*aggs).first()
         for c in cols:
+            if stats[f"lo_{c}"] is None or stats[f"hi_{c}"] is None:
+                raise ValueError(
+                    f"zorder_value: column {c!r} has no non-null values "
+                    "(empty input or all-null column) — cannot derive "
+                    "uniform bucket bounds"
+                )
             lo, hi = float(stats[f"lo_{c}"]), float(stats[f"hi_{c}"])
             span = (hi - lo) or 1.0
             rank = F.floor((F.col(c) - lo) / span * n_buckets).cast("long")

@@ -1,0 +1,80 @@
+"""Length-band blocking in ngram_jaccard_pairs.
+
+The geometric length band (base 1/min_jaccard) must be part of the
+join's equi-key — that is what bounds the per-block candidate space at
+corpus scale — while changing NOTHING about the result: J(A,B) >= t
+implies the size ratio is >= t, which implies band distance <= 1, and
+the 3-probe explode covers distance-1 pairs exactly once.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cds_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, lang string, text string")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # Token streams t1..tN: doc with N tokens has N-2 distinct 3-shingles.
+    def text(n, prefix="t"):
+        return " ".join(f"{prefix}{i}" for i in range(1, n + 1))
+
+    return _docs(
+        spark,
+        [
+            # Near-dup pair whose shingle counts (7 vs 9) STRADDLE a
+            # geometric band boundary at t=0.5 (floor(log2 7)=2,
+            # floor(log2 9)=3): jac = 7/9 ≈ 0.78. A hard band would
+            # lose it; the probe explode must keep it.
+            ("a1", "en", text(9)),
+            ("a2", "en", text(11)),
+            # Same-band near-dup (identical): must pair.
+            ("b1", "en", text(6, "x")),
+            ("b2", "en", text(6, "x")),
+            # Same lang, wildly different length: ratio prune excludes.
+            ("c1", "en", text(100, "y")),
+            # Different lang, same text as b*: block excludes.
+            ("d1", "fr", text(6, "x")),
+        ],
+    )
+
+
+def test_banding_is_exact_vs_unbanded(corpus):
+    banded = {
+        tuple(r)
+        for r in ngram_jaccard_pairs(corpus, block_cols=("lang",)).collect()
+    }
+    plain = {
+        tuple(r)
+        for r in ngram_jaccard_pairs(
+            corpus, block_cols=("lang",), length_bands=False
+        ).collect()
+    }
+    assert banded == plain
+    pairs = {(d1, d2) for d1, d2, _ in banded}
+    assert ("a1", "a2") in pairs  # boundary-straddling pair survives
+    assert ("b1", "b2") in pairs
+    assert all("c1" not in p and "d1" not in p for p in pairs)
+
+
+def test_band_is_an_equi_join_key(corpus):
+    """The band must appear in the join's equi-key (hash-partitioned /
+    hashed on it), not as a post-join filter — that is the scale
+    property: candidates hash-bucket by (block, band)."""
+    plan = ngram_jaccard_pairs(corpus, block_cols=("lang",))._jdf.queryExecution().executedPlan().toString()
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln and "probe" in ln]
+    assert join_lines, f"no join keyed on _probe in plan:\n{plan[:2000]}"
+    assert any("_band" in ln for ln in join_lines)
+
+
+def test_jaccard_value_exact(corpus, spark):
+    rows = {
+        (r.d1, r.d2): r.jac
+        for r in ngram_jaccard_pairs(corpus, block_cols=("lang",)).collect()
+    }
+    assert rows[("a1", "a2")] == pytest.approx(7 / 9)
+    assert rows[("b1", "b2")] == pytest.approx(1.0)

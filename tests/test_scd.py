@@ -78,3 +78,19 @@ def test_null_safe_attribute_comparison(spark):
         (1, "x", D(1996, 1, 1), None),
         (2, None, D(1995, 1, 1), None),
     }
+
+
+def test_history_only_key_reactivates(spark):
+    """A key present ONLY as closed history (deleted/expired) must
+    re-enter as a live insert, not vanish — its update matches no live
+    row to diff against, and the insert anti-join runs against the
+    live slice, not all dimension keys."""
+    got = _apply(
+        spark,
+        [(1, "a", D(1990, 1, 1), D(1995, 1, 1))],  # closed, no live row
+        [(1, "b", D(1996, 6, 1))],
+    )
+    assert got == {
+        (1, "a", D(1990, 1, 1), D(1995, 1, 1)),  # history untouched
+        (1, "b", D(1996, 6, 1), None),  # re-activated live version
+    }

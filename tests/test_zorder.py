@@ -102,3 +102,16 @@ def test_quantile_ranks_spread_skewed_column(spark):
     # quantile ranks spread rows near-evenly over the 16 buckets
     assert max_occupancy(uni) > 0.5
     assert max_occupancy(qua) < 0.15
+
+
+def test_uniform_stats_on_empty_or_all_null_raises(spark):
+    """Empty input / all-null column must fail with a descriptive
+    error, not a TypeError from float(None)."""
+    import pytest
+
+    empty = spark.createDataFrame([], "a long, b long")
+    with pytest.raises(ValueError, match="no non-null values"):
+        zorder_value(empty, ["a", "b"])
+    allnull = spark.createDataFrame([(None, 1), (None, 2)], "a long, b long")
+    with pytest.raises(ValueError, match="'a'"):
+        zorder_value(allnull, ["a", "b"])
