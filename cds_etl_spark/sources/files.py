@@ -30,9 +30,16 @@ def read_tsv(spark: SparkSession, path: str, schema=None) -> DataFrame:
 
 def _has_data(df: DataFrame) -> bool:
     """Reference guard: skip frames with no non-all-null row
-    (:119-120). A row-limit probe, not a full count."""
-    probe = df.dropna(how="all").limit(1)
-    return len(probe.take(1)) > 0
+    (:119-120). A row-limit probe, not a full count. Explicit
+    backticked predicate instead of dropna: column names may contain
+    dots (parent-FK columns like ``study.phs_accession``), which
+    dropna's unescaped resolution breaks on."""
+    from functools import reduce
+
+    any_set = reduce(
+        lambda a, b: a | b, [F.col(f"`{c}`").isNotNull() for c in df.columns]
+    )
+    return len(df.where(any_set).limit(1).take(1)) > 0
 
 
 def write_node_tsv(
@@ -58,6 +65,45 @@ def write_report_tsv(df: DataFrame, out_dir: str, name: str, prefix: str = "") -
     if df.isEmpty():
         return None
     return write_node_tsv(df, out_dir, name, prefix)
+
+
+def write_tsv_file(df: DataFrame, out_dir: str, name: str, prefix: str = "") -> str | None:
+    """Reference `print_data` file contract: ONE flat
+    ``<prefix>-<name>.tsv`` (cds_transformation_functions.py:106-122),
+    not a part-file directory. The frame is written through the normal
+    csv sink into a hidden temp dir, then the single part file is
+    promoted with a filesystem rename — scheme-agnostic (file://,
+    s3a://, ...) and metadata-only on posix filesystems. Edge sink for
+    metadata-scale nodes; the scale path stays `write_node_tsv`
+    (one file per partition)."""
+    if not _has_data(df):
+        return None
+    from cds_etl_spark.sources.transfer import _fs_and_path
+
+    file_base = f"{prefix}-{name}" if prefix else name
+    tmp = os.path.join(out_dir, f".{file_base}.tmp")
+    (
+        df.coalesce(1)
+        .write.mode("overwrite")
+        .option("sep", "\t")
+        .option("header", True)
+        .option("emptyValue", "")
+        .option("nullValue", "")
+        .csv(tmp)
+    )
+    spark = df.sparkSession
+    fs, tmp_path = _fs_and_path(spark, tmp)
+    parts = [
+        st.getPath()
+        for st in fs.listStatus(tmp_path)
+        if st.getPath().getName().startswith("part-")
+    ]
+    dest_str = os.path.join(out_dir, file_base + ".tsv")
+    _, dest = _fs_and_path(spark, dest_str)
+    fs.delete(dest, False)
+    fs.rename(parts[0], dest)
+    fs.delete(tmp_path, True)
+    return dest_str
 
 
 def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
