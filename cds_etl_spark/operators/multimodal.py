@@ -12,11 +12,15 @@ opaque file rows with ``file_size``/``md5sum`` metadata,
 3-Model-Files/cds-model.yml:144-162); this module is part of the
 declared LLM-pipeline extension surface.
 
-Codec stubs: real image/audio libs are not in this container, so the
-byte-level decoders below are deterministic fakes behind
-``try: import PIL`` gates, clearly marked. The Spark-side contract —
-schemas, UDF signatures, Arrow batch iteration, explode shapes,
-partition behavior — is real and is what the tests pin down.
+Codecs: formats with pure-numpy containers are decoded/encoded FOR
+REAL — binary PPM/PGM images (``decode_ppm``/``encode_ppm``) and PCM16
+WAV audio (``decode_wav``/``encode_wav``); the synthetic media table
+emits genuine container bytes for both. Compressed formats
+(jpeg/png/mp4/...) still need external libs, absent in this container:
+they raise behind a ``try: import PIL`` gate, and video payloads stay
+a clearly-marked raw-frame fake. The Spark-side contract — schemas,
+UDF signatures, Arrow batch iteration, explode shapes, partition
+behavior — is identical across real and stubbed codecs.
 """
 
 from __future__ import annotations
@@ -68,11 +72,109 @@ MEDIA_SCHEMA = StructType(
 )
 
 
+# ---------------------------------------------------------------------------
+# Real pure-numpy codecs: binary PPM/PGM (netpbm P6/P5) and PCM16 WAV.
+# ---------------------------------------------------------------------------
+
+
+def _pnm_tokens(buf: bytes, count: int) -> tuple[list[int], int]:
+    """Read `count` whitespace-separated integer header tokens,
+    skipping ``#`` comments; returns (tokens, offset past the single
+    whitespace byte that terminates the header)."""
+    toks: list[int] = []
+    i, n = 0, len(buf)
+    while len(toks) < count:
+        while i < n and buf[i : i + 1].isspace():
+            i += 1
+        if i < n and buf[i] == ord("#"):
+            while i < n and buf[i] != ord("\n"):
+                i += 1
+            continue
+        j = i
+        while j < n and not buf[j : j + 1].isspace():
+            j += 1
+        if i == j:
+            raise ValueError("truncated netpbm header")
+        toks.append(int(buf[i:j]))
+        i = j
+    return toks, i + 1  # exactly one whitespace byte after maxval
+
+
+def decode_ppm(content: bytes) -> np.ndarray:
+    """Binary netpbm decode: P6 → (h, w, 3) uint8, P5 → (h, w) uint8."""
+    magic = content[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError(f"not a binary PPM/PGM: magic={magic!r}")
+    (w, h, maxval), off = _pnm_tokens(content[2:], 3)
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    channels = 3 if magic == b"P6" else 1
+    pixels = np.frombuffer(content, dtype=np.uint8, count=w * h * channels, offset=2 + off)
+    return pixels.reshape((h, w, 3) if channels == 3 else (h, w)).copy()
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """Inverse of :func:`decode_ppm`: (h, w, 3) → P6, (h, w) → P5."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 3 and arr.shape[2] == 3:
+        magic = b"P6"
+    elif arr.ndim == 2:
+        magic = b"P5"
+    else:
+        raise ValueError(f"expected (h,w,3) or (h,w), got {arr.shape}")
+    h, w = arr.shape[0], arr.shape[1]
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
+    """PCM16 RIFF/WAVE decode → ((n_samples, channels) int16, rate).
+    Walks the chunk list, so extra chunks (LIST/INFO...) are fine."""
+    import struct
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(content):
+        cid, size = content[pos : pos + 4], struct.unpack_from("<I", content, pos + 4)[0]
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt_tag != 1 or bits != 16:
+                raise ValueError(f"only PCM16 supported (tag={fmt_tag}, bits={bits})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    samples = np.frombuffer(data, dtype="<i2")
+    return samples.reshape(-1, channels).copy(), int(rate)
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """Inverse of :func:`decode_wav`: int16 (n,) or (n, ch) → PCM16 WAV."""
+    import struct
+
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    channels = arr.shape[1]
+    data = arr.tobytes()
+    byte_rate = rate * channels * 2
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate, byte_rate, channels * 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
 def synthetic_media(spark, n: int = 64, partitions: int = 8) -> DataFrame:
-    """Deterministic fake media table (seeded by media_id) for tests and
-    demos: bytes are a repeatable function of the id, metadata is
-    consistent with the bytes. Generated distributed (spark.range), not
-    driver-side."""
+    """Deterministic media table (seeded by media_id) for tests and
+    demos: images are REAL binary PPMs, audio REAL PCM16 WAVs (both
+    decodable by anything, not just this module); video payloads are
+    raw concatenated fake frames (no pure-numpy container exists).
+    Generated distributed (spark.range), not driver-side."""
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kinds = ["image", "audio", "video"]
@@ -84,15 +186,26 @@ def synthetic_media(spark, n: int = 64, partitions: int = 8) -> DataFrame:
                 w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
                 nf = int(rng.integers(4, 32)) if kind == "video" else 1
                 sr = 16000 if kind == "audio" else 0
-                size = w * h if kind != "audio" else 1024
-                content = rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
+                if kind == "image":
+                    fmt = "ppm"
+                    pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                    content = encode_ppm(pixels)
+                elif kind == "audio":
+                    fmt = "wav"
+                    samples = rng.integers(-32768, 32768, size=1024).astype("<i2")
+                    content = encode_wav(samples, sr)
+                else:
+                    fmt = "fake"
+                    content = rng.integers(
+                        0, 256, size=w * h, dtype=np.uint8
+                    ).tobytes()
                 rows.append(
                     {
                         "media_id": int(mid),
                         "kind": kind,
                         "content": content,
                         "meta": {
-                            "format": "fake",
+                            "format": fmt,
                             "width": w,
                             "height": h,
                             "sample_rate": sr,
@@ -111,9 +224,15 @@ def synthetic_media(spark, n: int = 64, partitions: int = 8) -> DataFrame:
 def _decode_bytes(content: bytes, fmt: str) -> np.ndarray:
     """Decode media bytes to a pixel/sample array.
 
-    STUB: with no codec libraries in this container, 'fake'-format
-    bytes are interpreted as raw uint8; any real format raises to make
+    ``ppm``/``pgm`` and ``wav`` decode for real (pure numpy, above).
+    ``fake`` is raw uint8 (video frame payloads). Compressed formats
+    need external codec libraries, absent here — they raise to make
     the missing dependency explicit rather than silently wrong."""
+    if fmt in ("ppm", "pgm"):
+        return decode_ppm(bytes(content))
+    if fmt == "wav":
+        samples, _ = decode_wav(bytes(content))
+        return samples
     if fmt == "fake":
         return np.frombuffer(content, dtype=np.uint8)
     if _HAVE_PIL:
@@ -149,7 +268,12 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
-                arr = _decode_bytes(row["content"], row["fmt"])
+                arr = _decode_bytes(row["content"], row["fmt"]).ravel()
+                if arr.dtype == np.int16:
+                    # Audio samples → the same 0..255 intensity scale
+                    # as pixels, so one histogram signature covers all
+                    # modalities.
+                    arr = ((arr.astype(np.float64) + 32768.0) / 257.0)
                 hist, _ = np.histogram(arr, bins=dim, range=(0, 256))
                 norm = float(np.sqrt((hist.astype("float64") ** 2).sum())) or 1.0
                 out.append(
@@ -172,9 +296,10 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     """Resize the image rows to (width, height) via nearest-neighbor
-    index sampling on the decoded array (STUB decoder; a PIL build
-    swaps ``_decode_bytes``/encode only — the Spark plumbing is
-    identical). Non-image rows pass through unchanged."""
+    index sampling on the decoded pixel array — a real decode →
+    transform → re-encode round trip for PPM/PGM bytes (legacy 'fake'
+    grayscale payloads resize as raw rasters). Non-image rows pass
+    through unchanged."""
     schema = df.schema
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -185,10 +310,16 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                     continue
                 meta = dict(meta)
                 arr = _decode_bytes(pdf.at[i, "content"], meta["format"])
-                img = arr.reshape(meta["height"], meta["width"])
-                ry = (np.arange(height) * meta["height"] // height).clip(0, meta["height"] - 1)
-                rx = (np.arange(width) * meta["width"] // width).clip(0, meta["width"] - 1)
-                pdf.at[i, "content"] = img[np.ix_(ry, rx)].astype(np.uint8).tobytes()
+                if arr.ndim == 1:  # fake raw raster
+                    arr = arr.reshape(meta["height"], meta["width"])
+                h0, w0 = arr.shape[0], arr.shape[1]
+                ry = (np.arange(height) * h0 // height).clip(0, h0 - 1)
+                rx = (np.arange(width) * w0 // width).clip(0, w0 - 1)
+                resized = arr[np.ix_(ry, rx)].astype(np.uint8)
+                if meta["format"] in ("ppm", "pgm"):
+                    pdf.at[i, "content"] = encode_ppm(resized)
+                else:
+                    pdf.at[i, "content"] = resized.tobytes()
                 meta["width"], meta["height"] = width, height
                 pdf.at[i, "meta"] = meta
             yield pdf
