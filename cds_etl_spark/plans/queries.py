@@ -2842,3 +2842,169 @@ def qs102(spark: SparkSession, sf: str) -> DataFrame:
         F.length("r_name").cast("long").alias("comment_len"),
     )
     return n.unionByName(r, allowMissingColumns=True)
+
+
+@query(
+    "qs103_tpch_q5",
+    oracle="""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def qs103(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5: six-table star-with-selection join. The scale shape:
+    region/nation/supplier-side dims broadcast (Catalyst picks
+    broadcast-hash under the 10 MB threshold; at warehouse scale CBO
+    stats drive the same choice), the fact-side orders⋈lineitem join
+    shuffles on the shared orderkey, and the c_nationkey = s_nationkey
+    equality closes the cycle AFTER the cheap dim reductions instead
+    of joining customer×supplier first. Revenue stays double + ROUND 2
+    (per-row products are bit-identical across engines; qs10
+    precedent)."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "qs104_inverted_index",
+    oracle="""
+    SELECT term,
+           COUNT(DISTINCT doc_id) AS df,
+           COUNT(*) AS tf,
+           MIN(doc_id) AS first_doc
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+          FROM documents)
+    WHERE term <> ''
+    GROUP BY term
+    HAVING COUNT(DISTINCT doc_id) >= 5
+    """,
+)
+def qs104(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted-index build: tokenize → explode → per-term postings
+    stats (document frequency, term frequency, first posting). The
+    retrieval-index construction pattern at corpus scale: explode
+    carries (doc_id, term) narrow rows, the aggregation shuffles once
+    on term, and partial aggregation collapses each partition's
+    repeats map-side. Posting LISTS stay out of the result on purpose
+    (array outputs break order-insensitive hashing); df/tf/min are the
+    mergeable summaries an index shard holds."""
+    d = load_table(spark, sf, "documents")
+    terms = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tf"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("df") >= 5)
+    )
+
+
+@query(
+    "qs105_cap_per_group",
+    oracle="""
+    SELECT source, doc_id, pos
+    FROM (SELECT source, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS pos
+          FROM documents)
+    WHERE pos <= 5
+    """,
+)
+def qs105(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-group cap: keep at most k documents per
+    source, chosen by md5-hash order — the 'no domain dominates the
+    training mix' operator. Engine-portable determinism (same hash →
+    same sample anywhere, no RNG state); one shuffle on the group key,
+    and rank()-over-window prunes to k rows per group before anything
+    wide is carried."""
+    d = load_table(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("pos"))
+        .filter(F.col("pos") <= 5)
+    )
+
+
+@query(
+    "qs106_cumulative_distinct",
+    oracle="""
+    WITH firsts AS (
+      SELECT event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+                                ORDER BY ts, event_id) AS visit_rank
+      FROM events
+    )
+    SELECT event_id,
+           SUM(CASE WHEN visit_rank = 1 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_users
+    FROM firsts
+    """,
+)
+def qs106(spark: SparkSession, sf: str) -> DataFrame:
+    """Running distinct-user count per event type (growth curve).
+    COUNT(DISTINCT) isn't a windowable aggregate in either engine; the
+    standard two-window rewrite marks each user's first visit
+    (row_number over (type, user)) then running-sums the first-visit
+    flags — both windows shuffle-partition on keys, no state larger
+    than a row ever accumulates."""
+    e = load_table(spark, sf, "events")
+    w_first = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("_f"),
+    )
+    return flagged.select(
+        "event_id", F.sum("_f").over(w_cum).cast("long").alias("cum_users")
+    )
