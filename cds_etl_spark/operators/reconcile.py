@@ -61,6 +61,73 @@ def table_diff(
     return joined.select(*key_cols, status.alias("status"))
 
 
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: list[str],
+    update_cols: list[str] | None = None,
+    insert_unmatched: bool = True,
+    delete_condition: Column | None = None,
+) -> DataFrame:
+    """Keyed upsert with MERGE INTO semantics (the write side of the
+    CDC workflow ``table_diff`` validates): for each source row whose
+    key matches a target row, target values in ``update_cols``
+    (default: all common non-key columns) are replaced by the source's;
+    matched rows satisfying ``delete_condition`` (a Column over the
+    post-merge values) are dropped; unmatched source rows are inserted
+    when ``insert_unmatched``. Target rows with no source match pass
+    through. Generalizes the reference's per-batch overwrite model
+    (cds-transformation_v1.3.py writes whole nodes per run) to an
+    incremental keyed apply.
+
+    Source must have at most one row per key (enforce upstream with
+    ``first_match_lookup``-style dedup); duplicate source keys would
+    fan out target rows.
+
+    Scale shape: ONE shuffle on the key for each side (a full-outer
+    sort-merge join); the per-column CASE is row-local whole-stage
+    codegen. No driver materialization, no second pass — at 100 TB the
+    cost is the same as any keyed join of the two inputs, and AQE skew
+    splitting applies to hot keys.
+    """
+    if update_cols is None:
+        update_cols = [
+            c for c in target.columns if c in set(source.columns) and c not in key_cols
+        ]
+    t = target.alias("t")
+    s = source.alias("s")
+    cond = None
+    for k in key_cols:
+        piece = F.col(f"t.{k}") == F.col(f"s.{k}")
+        cond = piece if cond is None else cond & piece
+    joined = t.join(s, cond, "full_outer")
+    matched = F.col(f"t.{key_cols[0]}").isNotNull() & F.col(
+        f"s.{key_cols[0]}"
+    ).isNotNull()
+    source_only = F.col(f"t.{key_cols[0]}").isNull()
+    out_cols = []
+    for c in target.columns:
+        if c in key_cols:
+            expr = F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}"))
+        elif c in update_cols:
+            expr = F.when(matched | source_only, F.col(f"s.{c}")).otherwise(
+                F.col(f"t.{c}")
+            )
+        elif c in source.columns:
+            expr = F.when(source_only, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
+        else:
+            expr = F.col(f"t.{c}")
+        out_cols.append(expr.alias(c))
+    merged = joined.select(
+        matched.alias("__matched"), source_only.alias("__src_only"), *out_cols
+    )
+    if not insert_unmatched:
+        merged = merged.filter(~F.col("__src_only"))
+    if delete_condition is not None:
+        merged = merged.filter(~(F.col("__matched") & delete_condition))
+    return merged.drop("__matched", "__src_only")
+
+
 def hash_column(col: str, salt: str = "") -> Column:
     """Salted SHA-256 pseudonymization: stable within a run/salt so
     joins on the hashed key still work, irreversible without the

@@ -3008,3 +3008,172 @@ def qs106(spark: SparkSession, sf: str) -> DataFrame:
     return flagged.select(
         "event_id", F.sum("_f").over(w_cum).cast("long").alias("cum_users")
     )
+
+
+@query(
+    "qs107_merge_upsert",
+    oracle="""
+    WITH t AS (SELECT * FROM orders WHERE o_orderkey % 10 < 8),
+         s AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                      o_totalprice * 2 AS o_totalprice, o_orderdate,
+                      'MERGED' AS o_orderpriority
+               FROM orders WHERE o_orderkey % 10 >= 5)
+    SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey
+                ELSE t.o_custkey END AS o_custkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+                ELSE t.o_orderstatus END AS o_orderstatus,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                ELSE t.o_totalprice END AS o_totalprice,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderdate
+                ELSE t.o_orderdate END AS o_orderdate,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority
+                ELSE t.o_orderpriority END AS o_orderpriority
+    FROM t FULL JOIN s ON t.o_orderkey = s.o_orderkey
+    WHERE NOT (t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+               AND s.o_orderstatus = 'F')
+    """,
+)
+def qs107(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE INTO semantics via operators.reconcile.merge_into: a CDC
+    batch (keys ending 5-9, doubled price, restamped priority) applied
+    onto a target slice (keys ending 0-7) — matched rows take source
+    values, matched 'F'-status rows are deleted, unmatched source rows
+    insert, untouched target rows pass through. Exercises the keyed
+    upsert path the reference's whole-node overwrite model
+    (cds-transformation_v1.3.py batch write) cannot express."""
+    from cds_etl_spark.operators.reconcile import merge_into
+
+    o = load_table(spark, sf, "orders")
+    target = o.filter(F.col("o_orderkey") % 10 < 8)
+    source = o.filter(F.col("o_orderkey") % 10 >= 5).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        "o_orderdate",
+        F.lit("MERGED").alias("o_orderpriority"),
+    )
+    return merge_into(
+        target,
+        source,
+        key_cols=["o_orderkey"],
+        delete_condition=F.col("o_orderstatus") == "F",
+    )
+
+
+@query(
+    "qs108_triangle_count",
+    oracle="""
+    WITH e AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+               FROM lineitem a
+               JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                              AND a.l_suppkey < b.l_suppkey
+               GROUP BY 1, 2
+               HAVING COUNT(*) >= 3),
+         tri AS (SELECT p.s1 AS x, p.s2 AS y, q.s2 AS z
+                 FROM e p
+                 JOIN e q ON p.s2 = q.s1
+                 JOIN e r ON r.s1 = p.s1 AND r.s2 = q.s2)
+    SELECT node, COUNT(*) AS triangles
+    FROM (SELECT x AS node FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+    GROUP BY node
+    """,
+)
+def qs108(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-node triangle counts over the supplier co-occurrence graph
+    (suppliers sharing >= 3 orders). The Spark side runs the
+    degree-ordered compact-forward algorithm
+    (operators.components.triangle_count) whose join fan-out is bounded
+    by oriented out-degree — the skew-safe formulation — while the
+    oracle enumerates id-ordered triples directly; both count each
+    triangle exactly once per member node."""
+    from cds_etl_spark.operators.components import triangle_count
+
+    li = load_table(spark, sf, "lineitem")
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("s1"))
+    b = li.select("l_orderkey", F.col("l_suppkey").alias("s2"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 3)
+        .select("s1", "s2")
+    )
+    return triangle_count(edges, "s1", "s2")
+
+
+@query(
+    "qs109_tpch_q18",
+    oracle="""
+    SELECT c_name, c_custkey, o.o_orderkey, o_orderdate, o_totalprice,
+           big.total_qty
+    FROM orders o
+    JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(l_quantity) > 300) big
+      ON o.o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def qs109(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): orders whose total lineitem
+    quantity exceeds a threshold, with customer attribution. Scale
+    shape: the lineitem aggregate is the only big shuffle (map-side
+    partial sums collapse ~4 lines/order before the exchange), the
+    HAVING filter reduces it to a sliver, the orders join shuffles
+    only that sliver, and customer broadcasts. Quantity sums are
+    integer-valued doubles — exact in FP, no rounding needed."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    c = load_table(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+@query(
+    "qs110_cms_sketch",
+    oracle="""
+    SELECT j,
+           ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || term), 1, 8))::BIGINT
+             % 64 AS bucket,
+           COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS term
+          FROM documents) terms,
+         (SELECT unnest(range(4)) AS j) js
+    WHERE term <> ''
+    GROUP BY j, bucket
+    """,
+)
+def qs110(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min sketch (depth 4 x width 64) of the corpus term
+    stream — operators.sketches.cms_build. The sketch table itself is
+    the query result: because the hash family is engine-portable
+    (salted md5 hex), DuckDB rebuilds the exact same 256 counters in
+    SQL, giving a mergeable approximate structure a full value-hash
+    oracle rather than a rows-only check."""
+    from cds_etl_spark.operators.sketches import cms_build
+
+    d = load_table(spark, sf, "documents")
+    terms = d.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    return cms_build(terms, "term", depth=4, width=64)

@@ -94,3 +94,61 @@ def test_converges_on_long_chain(spark):
     edges = [(i, i + 1) for i in range(24)]
     got = spark_components(spark, edges)
     assert set(got.values()) == {0}
+
+
+# ------------------------------------------------------------ triangle_count
+
+
+def _brute_triangles(edges):
+    import itertools
+
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    for x, y, z in itertools.combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for n in (x, y, z):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def test_triangle_count_known_graph(spark):
+    from cds_etl_spark.operators.components import triangle_count
+
+    # two triangles sharing edge (1,2), plus a dangling edge
+    edges = [(1, 2), (2, 3), (1, 3), (1, 4), (2, 4), (4, 5)]
+    got = {
+        r["node"]: r["triangles"]
+        for r in triangle_count(
+            spark.createDataFrame(edges, "a long, b long"), "a", "b"
+        ).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_triangle_count_matches_brute_force(spark, edges):
+    from cds_etl_spark.operators.components import triangle_count
+
+    expected = _brute_triangles(edges)
+    real = [e for e in edges if e[0] != e[1]]
+    if not real:
+        return
+    got = {
+        r["node"]: r["triangles"]
+        for r in triangle_count(
+            spark.createDataFrame(real, "a long, b long"), "a", "b"
+        ).collect()
+    }
+    assert got == expected

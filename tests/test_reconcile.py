@@ -54,3 +54,52 @@ def test_anonymize_policy(spark):
 def test_mask_shorter_than_keep_is_unmasked(spark):
     df = spark.createDataFrame([(1, "abc")], "id long, s string")
     assert anonymize(df, {"s": mask_keep_last("s", 4)}).first()["s"] == "abc"
+
+
+# ---------------------------------------------------------------- merge_into
+
+
+def _merge_fixture(spark):
+    from cds_etl_spark.operators.reconcile import merge_into
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k long, status string, amount double",
+    )
+    source = spark.createDataFrame(
+        [(3, "c2", 33.0), (4, "DEL", 44.0), (5, "e", 50.0)],
+        "k long, status string, amount double",
+    )
+    return merge_into, target, source
+
+
+def test_merge_into_update_insert_delete_passthrough(spark):
+    from pyspark.sql import functions as F
+
+    merge_into, target, source = _merge_fixture(spark)
+    out = merge_into(
+        target, source, ["k"], delete_condition=F.col("status") == "DEL"
+    )
+    rows = {r["k"]: (r["status"], r["amount"]) for r in out.collect()}
+    assert rows == {
+        1: ("a", 10.0),   # target-only passthrough
+        2: ("b", 20.0),
+        3: ("c2", 33.0),  # matched -> source values
+        5: ("e", 50.0),   # unmatched source -> inserted
+    }                     # 4 deleted (matched + DEL)
+    assert out.columns == ["k", "status", "amount"]
+
+
+def test_merge_into_no_insert_and_subset_update(spark):
+    merge_into, target, source = _merge_fixture(spark)
+    out = merge_into(
+        target, source, ["k"], update_cols=["amount"], insert_unmatched=False
+    )
+    rows = {r["k"]: (r["status"], r["amount"]) for r in out.collect()}
+    # status untouched (not in update_cols), amount updated, no k=5 insert
+    assert rows == {
+        1: ("a", 10.0),
+        2: ("b", 20.0),
+        3: ("c", 33.0),
+        4: ("d", 44.0),
+    }

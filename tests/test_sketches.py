@@ -45,3 +45,62 @@ def test_partial_sketches_union_to_full_estimate(spark, sf_dir):
     exact = li.select("l_orderkey").distinct().count()
     assert abs(merged - exact) / exact < 0.05
     assert abs(merged - full) / full < 0.01
+
+
+# ------------------------------------------------------- Count-Min sketch
+
+
+def _terms(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cds_etl_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    ).filter(F.col("term") != "")
+
+
+def test_cms_estimate_upper_bounds_true_count(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cds_etl_spark.operators.sketches import cms_build, cms_estimate
+
+    terms = _terms(spark, sf_dir).localCheckpoint(eager=True)
+    sketch = cms_build(terms, "term", depth=4, width=256)
+    truth = {
+        r["term"]: r["n"]
+        for r in terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_total = sum(truth.values())
+    est = {
+        r["term"]: r["est"]
+        for r in cms_estimate(sketch, terms, "term", depth=4, width=256).collect()
+    }
+    assert set(est) == set(truth)
+    # CMS never under-counts; over-count bounded by eps*N (eps ~ 2/width)
+    # for the vast majority of keys — assert the hard lower bound per key
+    # and the expected-error bound on average.
+    assert all(est[t] >= truth[t] for t in truth)
+    avg_err = sum(est[t] - truth[t] for t in truth) / len(truth)
+    assert avg_err <= (2.0 / 256) * n_total
+
+
+def test_cms_merge_equals_build_on_union(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cds_etl_spark.operators.sketches import cms_build, cms_merge
+
+    terms = _terms(spark, sf_dir).localCheckpoint(eager=True)
+    left = terms.filter(F.length("term") <= 4)
+    right = terms.filter(F.length("term") > 4)
+    merged = cms_merge(
+        cms_build(left, "term", depth=4, width=64),
+        cms_build(right, "term", depth=4, width=64),
+    )
+    full = cms_build(terms, "term", depth=4, width=64)
+    a = sorted(tuple(r) for r in merged.collect())
+    b = sorted(tuple(r) for r in full.collect())
+    assert a == b
