@@ -268,3 +268,86 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos") >= min_cosine)
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n\n",
+    max_doc_frequency: int | None = None,
+    first_wins: bool = False,
+) -> DataFrame:
+    """Sub-document (paragraph/line/segment) dedup with in-order
+    reassembly — the CCNet/RefinedWeb-style cleanup the whole-document
+    dedup ops above cannot express: boilerplate headers, cookie
+    banners, and license blocks repeat across millions of documents
+    whose full texts are all distinct.
+
+    Two policies, composable:
+    * ``max_doc_frequency=k`` — drop segments occurring in ≥ k distinct
+      documents (boilerplate removal). The blocklist is the HEAD of the
+      document-frequency distribution — by Zipf a tiny set — so it is
+      broadcast and the corpus-side filter is a broadcast LEFT ANTI
+      join on the segment hash: the exploded corpus never shuffles.
+    * ``first_wins=True`` — keep only the globally-first occurrence
+      (min (doc, pos)) of every duplicated segment: one shuffle of the
+      narrow (hash, id, pos) stream.
+
+    Returns ``(id_col, clean_text, n_kept)`` for EVERY input document
+    (fully-cleaned docs keep a row with empty text — a downstream
+    length filter decides their fate, not this operator). Reassembly
+    sorts each document's surviving (pos, segment) pairs inside a
+    per-document aggregate; segment order never depends on shuffle
+    order.
+
+    Scale: exploded rows carry (id, pos, 16-byte segment hash, and the
+    segment only on the reassembly path); the reassembly shuffle is the
+    unavoidable one — its per-group state is the document being rebuilt.
+    """
+    segs = (
+        df.select(F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)))
+        .withColumnRenamed("col", "seg")
+        .filter(F.col("seg") != "")
+        .withColumn("h", F.md5(F.col("seg")))
+    )
+    kept = segs
+    if max_doc_frequency is not None:
+        blocklist = (
+            segs.groupBy("h")
+            .agg(F.countDistinct(id_col).alias("ndocs"))
+            .filter(F.col("ndocs") >= max_doc_frequency)
+            .select("h")
+        )
+        kept = kept.join(F.broadcast(blocklist), "h", "left_anti")
+    if first_wins:
+        winners = kept.groupBy("h").agg(
+            F.min(F.struct(id_col, "pos")).alias("w")
+        )
+        kept = (
+            kept.join(winners, "h")
+            .filter(
+                (F.col(id_col) == F.col("w")[id_col])
+                & (F.col("pos") == F.col("w")["pos"])
+            )
+            .drop("w")
+        )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

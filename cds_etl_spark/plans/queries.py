@@ -3177,3 +3177,46 @@ def qs110(spark: SparkSession, sf: str) -> DataFrame:
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
     ).filter(F.col("term") != "")
     return cms_build(terms, "term", depth=4, width=64)
+
+
+@query(
+    "qs111_segment_dedup",
+    oracle="""
+    WITH segs AS (
+      SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS seg
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    ),
+    clean AS (SELECT * FROM segs WHERE seg <> ''),
+    blocked AS (
+      SELECT seg FROM clean GROUP BY seg
+      HAVING COUNT(DISTINCT doc_id) >= 100
+    ),
+    kept AS (
+      SELECT c.* FROM clean c LEFT JOIN blocked b USING (seg)
+      WHERE b.seg IS NULL
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+           COALESCE(r.n_kept, 0) AS n_kept
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def qs111(spark: SparkSession, sf: str) -> DataFrame:
+    """Sub-document boilerplate removal with in-order reassembly
+    (operators.dedup.segment_dedup): segments occurring in >= 100
+    distinct documents are dropped corpus-wide, every document is
+    rebuilt from its surviving segments in original order. The
+    blocklist (Zipf head) broadcasts, so the exploded corpus is
+    filtered with zero shuffle; reassembly is the one per-document
+    shuffle. Word-level segmentation here because the synthetic corpus
+    is single-line; the operator takes any separator."""
+    from cds_etl_spark.operators.dedup import segment_dedup
+
+    d = load_table(spark, sf, "documents")
+    return segment_dedup(
+        d, "doc_id", "text", sep=" ", max_doc_frequency=100
+    )

@@ -78,3 +78,54 @@ def test_jaccard_value_exact(corpus, spark):
     }
     assert rows[("a1", "a2")] == pytest.approx(7 / 9)
     assert rows[("b1", "b2")] == pytest.approx(1.0)
+
+
+# -------------------------------------------------------------- segment_dedup
+
+
+def test_segment_dedup_boilerplate_and_reassembly(spark):
+    from cds_etl_spark.operators.dedup import segment_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE\n\nalpha\n\nbeta"),
+            (2, "COOKIE\n\ngamma"),
+            (3, "COOKIE\n\nalpha\n\ndelta"),
+            (4, "COOKIE"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"])
+        for r in segment_dedup(
+            docs, "doc_id", "text", sep="\n\n", max_doc_frequency=3
+        ).collect()
+    }
+    # COOKIE in 4 docs -> blocked; alpha in 2 docs -> kept; order preserved
+    assert out == {
+        1: ("alpha\n\nbeta", 2),
+        2: ("gamma", 1),
+        3: ("alpha\n\ndelta", 2),
+        4: ("", 0),  # fully-cleaned doc keeps its row
+    }
+
+
+def test_segment_dedup_first_wins(spark):
+    from cds_etl_spark.operators.dedup import segment_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x\n\ny"),
+            (2, "y\n\nz\n\nx"),
+            (3, "z"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"])
+        for r in segment_dedup(
+            docs, "doc_id", "text", sep="\n\n", first_wins=True
+        ).collect()
+    }
+    # x,y first in doc 1; z first in doc 2; doc 3 loses everything
+    assert out == {1: ("x\n\ny", 2), 2: ("z", 1), 3: ("", 0)}
