@@ -108,3 +108,32 @@ def test_forward_fill_is_single_window_pass(spark, sf_dir):
     p = plan(spark, sf_dir, "qs92_forward_fill")
     assert p.count("Exchange") == 1  # one shuffle on user_id
     assert "Window" in p
+
+
+def test_segment_dedup_blocklist_is_broadcast_anti(spark, sf_dir):
+    p = plan(spark, sf_dir, "qs111_segment_dedup")
+    # the Zipf-head blocklist must broadcast; the exploded corpus side
+    # of the filter must not shuffle through a sort-merge anti join
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_cms_build_aggregates_partial_final(spark, sf_dir):
+    p = plan(spark, sf_dir, "qs110_cms_sketch")
+    # map-side combine collapses each partition to ≤ depth·width rows
+    # before the exchange — the property that makes the sketch shuffle
+    # O(1) in input size
+    assert p.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_merge_upsert_is_one_join_no_python(spark, sf_dir):
+    p = plan(spark, sf_dir, "qs107_merge_upsert")
+    # MERGE compiles to a single full-outer join + codegen'd CASEs
+    assert "FullOuter" in p or "full_outer" in p.lower()
+    assert "BatchEvalPython" not in p and "CartesianProduct" not in p
+
+
+def test_tpch_q18_broadcasts_customer(spark, sf_dir):
+    p = plan(spark, sf_dir, "qs109_tpch_q18")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
