@@ -161,3 +161,108 @@ def cosine_topk_pandas(
         .orderBy(F.col("sim").desc(), id_col)
         .limit(k)
     )
+
+
+def lsh_sign_matrix(seed: int, n_bits: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplane components from md5 parity — pure
+    Python, no RNG state, so the identical matrix is reproducible by
+    any engine (or generated into SQL text, as qs112's oracle does)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"{seed}:{i}:{d}".encode()).digest()[0] & 1
+            else -1
+            for d in range(dim)
+        ]
+        for i in range(n_bits)
+    ]
+
+
+def hyperplane_lsh_assign(
+    df: DataFrame,
+    dim: int,
+    n_bits: int = 16,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (signed-projection) LSH bucketing: bucket =
+    the n_bits sign pattern of the vector's dot products with ±1
+    hyperplanes. Cosine-similar vectors collide with probability
+    1 - angle/pi per bit — the LSH-family counterpart of the IVF index
+    above (data-independent: no centroid training pass, stable under
+    corpus drift).
+
+    Scale shape: the whole bucket computation is ONE projection fused
+    into the scan — unrolled ±sums over the vector components, no
+    explode, no join, no shuffle, no Python. Writing the result
+    partitioned by ``bucket`` turns probes into partition pruning,
+    exactly like the IVF layout. Sums run left-to-right in doubles, so
+    bucket ids are bit-identical across engines.
+    """
+    signs = lsh_sign_matrix(seed, n_bits, dim)
+    v = F.col(vec_col).cast("array<double>")
+    bucket = None
+    for i, row in enumerate(signs):
+        dot = None
+        for d, s in enumerate(row):
+            term = v[d] if s > 0 else -v[d]
+            dot = term if dot is None else dot + term
+        bit = F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return df.select(
+        F.col(id_col), F.col(vec_col), bucket.cast("long").alias("bucket")
+    )
+
+
+def lsh_topk(
+    assigned: DataFrame,
+    query_vec: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_bits: int = 16,
+    seed: int = 0,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN search over ``hyperplane_lsh_assign`` output: hash the query
+    with the same hyperplanes, probe its bucket (plus, with
+    ``multiprobe``, every 1-bit-flip neighbor — the standard recall
+    repair for boundary vectors), exact cosine top-k within the probed
+    set. Probe set is ≤ n_bits+1 bucket ids — a broadcast semi-join /
+    partition prune; the corpus outside those buckets is never read."""
+    qb = hyperplane_lsh_assign(
+        query_vec.select(F.lit(-1).alias(id_col), F.col("qvec").alias(vec_col)),
+        dim=dim,
+        n_bits=n_bits,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("bucket")
+    if multiprobe:
+        flips = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(n_bits)
+            ],
+        )
+        probes = qb.select(F.explode(flips).alias("bucket")).distinct()
+    else:
+        probes = qb
+    return (
+        assigned.join(F.broadcast(probes), "bucket")
+        .join(F.broadcast(query_vec))
+        .select(
+            F.col(id_col),
+            F.round(
+                cosine_similarity(F.col(vec_col).cast("array<double>"), F.col("qvec")),
+                4,
+            ).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), id_col)
+        .limit(k)
+    )

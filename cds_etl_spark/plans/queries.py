@@ -3220,3 +3220,53 @@ def qs111(spark: SparkSession, sf: str) -> DataFrame:
     return segment_dedup(
         d, "doc_id", "text", sep=" ", max_doc_frequency=100
     )
+
+
+def _lsh_bucket_sql(seed: int = 0, n_bits: int = 8, dim: int = 64) -> str:
+    """Generate the unrolled DuckDB expression for the hyperplane-LSH
+    bucket — same md5-derived sign matrix, same left-to-right double
+    summation as the Spark side, so bucket ids are bit-identical."""
+    from cds_etl_spark.operators.similarity import lsh_sign_matrix
+
+    signs = lsh_sign_matrix(seed, n_bits, dim)
+    bits = []
+    for i, row in enumerate(signs):
+        terms = " + ".join(
+            (
+                f"CAST(embedding[{d + 1}] AS DOUBLE)"
+                if s > 0
+                else f"-CAST(embedding[{d + 1}] AS DOUBLE)"
+            )
+            for d, s in enumerate(row)
+        )
+        bits.append(f"CASE WHEN ({terms}) >= 0 THEN {1 << i} ELSE 0 END")
+    return " + ".join(bits)
+
+
+@query(
+    "qs112_lsh_buckets",
+    oracle=f"""
+    SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS min_id
+    FROM (SELECT vec_id, CAST({_lsh_bucket_sql()} AS BIGINT) AS bucket
+          FROM embeddings)
+    GROUP BY bucket
+    """,
+)
+def qs112(spark: SparkSession, sf: str) -> DataFrame:
+    """Hyperplane-LSH index build (operators.similarity.
+    hyperplane_lsh_assign): 8-bit signed-projection buckets over the
+    embedding corpus, histogrammed. Bucketing is a single scan-fused
+    projection — no shuffle until the histogram — and the md5-derived
+    sign matrix makes the assignment engine-portable: the oracle
+    recomputes every bucket bit-identically from generated SQL."""
+    from cds_etl_spark.operators.similarity import hyperplane_lsh_assign
+
+    e = load_table(spark, sf, "embeddings")
+    return (
+        hyperplane_lsh_assign(e, dim=64, n_bits=8)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("vec_id").alias("min_id"),
+        )
+    )

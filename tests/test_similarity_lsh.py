@@ -1,0 +1,69 @@
+"""Hyperplane-LSH ANN: bucketing determinism and retrieval recall
+against the exact brute-force scorer."""
+
+from pyspark.sql import functions as F
+
+from cds_etl_spark.catalog import load_table
+from cds_etl_spark.operators.similarity import (
+    cosine_topk,
+    hyperplane_lsh_assign,
+    lsh_topk,
+)
+
+
+def _query_vec(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.filter(F.col("vec_id") == 7).select(
+        F.col("embedding").cast("array<double>").alias("qvec")
+    )
+
+
+def test_lsh_assign_is_deterministic_and_total(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    a = hyperplane_lsh_assign(e, dim=64, n_bits=8)
+    b = hyperplane_lsh_assign(e, dim=64, n_bits=8)
+    assert a.count() == e.count()  # every vector gets exactly one bucket
+    assert (
+        a.join(b.withColumnRenamed("bucket", "b2"), "vec_id")
+        .filter(F.col("bucket") != F.col("b2"))
+        .count()
+        == 0
+    )
+    # buckets stay in the n_bits range
+    assert a.filter((F.col("bucket") < 0) | (F.col("bucket") > 255)).count() == 0
+
+
+def test_lsh_topk_retrieves_planted_neighbors(spark, sf_dir):
+    """LSH's guarantee is about ANGULAR closeness (per-bit collision
+    prob 1 - angle/pi), so recall is asserted on planted near-angle
+    neighbors — the near-duplicate retrieval case the operator exists
+    for — not on this corpus's near-random top-10 (which sit at ~90°,
+    where no angular hash has signal)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = e.filter(F.col("vec_id") == 7)
+    # 5 planted neighbors: deterministic small per-component scaling of
+    # vec 7 (angle a few degrees), ids 100001..100005
+    planted = None
+    for i in range(1, 6):
+        p = base.select(
+            (F.lit(100000 + i)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, idx: x * (1.0 + 0.02 * i * ((idx % 3).cast("double") - 1.0)),
+            ).alias("embedding"),
+        )
+        planted = p if planted is None else planted.unionByName(p)
+    corpus = e.unionByName(planted)
+    q = base.select(F.col("embedding").alias("qvec"))
+    exact = {r["vec_id"] for r in cosine_topk(corpus, q, k=6).collect()}
+    assert exact == {7, 100001, 100002, 100003, 100004, 100005}
+    assigned = hyperplane_lsh_assign(corpus, dim=64, n_bits=8)
+    approx = {
+        r["vec_id"]
+        for r in lsh_topk(assigned, q, dim=64, k=6, n_bits=8).collect()
+    }
+    # near-angle vectors share the query's bucket up to 1-bit flips
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 5 / 6, (recall, approx)
