@@ -286,3 +286,29 @@ def test_stream_stream_interval_join_parity(spark, sf_dir, inbox):
     ).select("l.click_id", "r.buy_id")
     assert _rows(got) == _rows(want)
     assert len(_rows(got)) > 0
+
+
+def test_cms_sketch_streaming_parity(spark, sf_dir, inbox):
+    """The Count-Min sketch is a pure additive groupBy — so the SAME
+    operator runs unchanged on a stream (complete mode): Spark keeps
+    the depth x width counters as streaming state and every
+    micro-batch folds in map-side. Parity with the batch build is the
+    mergeability property, exercised end-to-end."""
+    from cds_etl_spark.operators.sketches import cms_build
+
+    stream = event_stream(spark, inbox["src"], inbox["schema"])
+    run_to_completion(
+        cms_build(stream.select("event_type"), "event_type", depth=4, width=32),
+        "t_cms",
+        inbox["ckpt"],
+        output_mode="complete",
+    )
+    got = spark.table("t_cms")
+    want = cms_build(
+        load_table(spark, sf_dir, "events").select("event_type"),
+        "event_type",
+        depth=4,
+        width=32,
+    )
+    assert _rows(got) == _rows(want)
+    assert len(_rows(got)) > 0
