@@ -3270,3 +3270,39 @@ def qs112(spark: SparkSession, sf: str) -> DataFrame:
             F.min("vec_id").alias("min_id"),
         )
     )
+
+
+@query(
+    "qs113_recursive_cte",
+    oracle="""
+    WITH RECURSIVE anc AS (
+      SELECT c_custkey AS node, c_custkey AS root, CAST(0 AS BIGINT) AS depth
+      FROM customer WHERE c_custkey < 10
+      UNION ALL
+      SELECT c.c_custkey, a.root, a.depth + 1
+      FROM customer c JOIN anc a ON c.c_custkey // 10 = a.node
+      WHERE c.c_custkey >= 10
+    )
+    SELECT node, root, depth FROM anc
+    """,
+)
+def qs113(spark: SparkSession, sf: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): root ancestor + depth
+    for every node of the derived customer forest (parent = key DIV
+    10; contiguous TPC-H keys make it well-formed, depth <= 4).
+    Transitive closure / org-chart traversal — the §2.3 capability
+    class batch engines historically lacked; Spark executes it as
+    iterated joins against the working set, each round a keyed
+    shuffle, terminating when a round adds no rows."""
+    load_table(spark, sf, "customer").createOrReplaceTempView("v_customer_113")
+    return spark.sql("""
+    WITH RECURSIVE anc AS (
+      SELECT c_custkey AS node, c_custkey AS root, CAST(0 AS BIGINT) AS depth
+      FROM v_customer_113 WHERE c_custkey < 10
+      UNION ALL
+      SELECT c.c_custkey, a.root, a.depth + 1
+      FROM v_customer_113 c JOIN anc a ON c.c_custkey DIV 10 = a.node
+      WHERE c.c_custkey >= 10
+    )
+    SELECT node, root, depth FROM anc
+    """)
