@@ -156,3 +156,39 @@ def anonymize(df: DataFrame, policy: dict[str, Column]) -> DataFrame:
     return df.select(
         *[policy.get(c, F.col(c)).alias(c) if c in policy else F.col(c) for c in df.columns]
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_distance: int,
+    block: "Callable[[Column], Column]",
+) -> DataFrame:
+    """Blocked fuzzy record linkage: generalizes the reference's fuzzy
+    COLUMN matching (O5, SequenceMatcher over header names,
+    cds_transformation_functions.py:137-160) to ROW matching — the
+    submitter-typo join ('Jhon Smith' ↔ 'John Smith') that exact keys
+    cannot express.
+
+    ``block`` maps a name column to a coarse blocking key (prefix,
+    soundex, length band, …) applied to BOTH sides; candidate pairs
+    come from the equi-join on that key and only candidates pay the
+    Levenshtein refine (JVM built-in, codegen'd). The all-pairs
+    comparison this avoids is O(n·m) — with blocking the cost is
+    Σ_block |L_b|·|R_b|, the same bounded-block contract as
+    ``ngram_jaccard_pairs``. Choose blocks the typo class preserves
+    (a prefix block misses first-char typos; a length band misses
+    insertions — compose two calls for both).
+
+    Caller aliases overlapping column names before calling (the join
+    keeps all columns of both sides).
+    """
+    lb = left.withColumn("__blk", block(F.col(left_col)))
+    rb = right.withColumn("__blk", block(F.col(right_col)))
+    return (
+        lb.join(rb, "__blk")
+        .filter(F.levenshtein(F.col(left_col), F.col(right_col)) <= max_distance)
+        .drop("__blk")
+    )

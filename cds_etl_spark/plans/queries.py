@@ -3306,3 +3306,43 @@ def qs113(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT node, root, depth FROM anc
     """)
+
+
+@query(
+    "qs114_fuzzy_link",
+    oracle="""
+    WITH l AS (SELECT c_custkey AS lid, c_name AS lname FROM customer),
+         r AS (SELECT c_custkey AS rid,
+                      substr(c_name, 1, length(c_name) - 1) || 'X' AS rname
+               FROM customer)
+    SELECT lid, rid, CAST(levenshtein(lname, rname) AS INTEGER) AS dist
+    FROM l JOIN r ON substr(lname, 1, 15) = substr(rname, 1, 15)
+    WHERE levenshtein(lname, rname) <= 1
+    """,
+)
+def qs114(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocked fuzzy record linkage (operators.reconcile.fuzzy_join):
+    link customer names against a last-character-corrupted copy —
+    the submitter-typo reconciliation the reference's O5 fuzzy match
+    does for columns, applied to rows. Prefix blocking bounds the
+    candidate space (only same-prefix names pay the Levenshtein
+    refine, which stays JVM-side in codegen); each corrupted name
+    legitimately links to every original differing only in the final
+    character."""
+    from cds_etl_spark.operators.reconcile import fuzzy_join
+
+    c = load_table(spark, sf, "customer")
+    l = c.select(F.col("c_custkey").alias("lid"), F.col("c_name").alias("lname"))
+    r = c.select(
+        F.col("c_custkey").alias("rid"),
+        F.concat(
+            F.expr("substring(c_name, 1, length(c_name) - 1)"), F.lit("X")
+        ).alias("rname"),
+    )
+    linked = fuzzy_join(
+        l, r, "lname", "rname", max_distance=1,
+        block=lambda col: F.substring(col, 1, 15),
+    )
+    return linked.select(
+        "lid", "rid", F.levenshtein("lname", "rname").alias("dist")
+    )

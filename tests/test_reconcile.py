@@ -103,3 +103,53 @@ def test_merge_into_no_insert_and_subset_update(spark):
         3: ("c", 33.0),
         4: ("d", 44.0),
     }
+
+
+def test_merge_into_empty_source_is_identity(spark):
+    merge_into, target, source = _merge_fixture(spark)
+    out = merge_into(target, source.limit(0), ["k"])
+    assert sorted(tuple(r) for r in out.collect()) == sorted(
+        tuple(r) for r in target.collect()
+    )
+
+
+def test_fuzzy_join_blocks_and_refines(spark):
+    from pyspark.sql import functions as F
+
+    from cds_etl_spark.operators.reconcile import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "john smith"), (2, "jane smith"), (3, "zzz")], "lid long, lname string"
+    )
+    right = spark.createDataFrame(
+        [(10, "jhon smith"), (11, "jane smyth"), (12, "aaa")], "rid long, rname string"
+    )
+    # length-band block: typo class here preserves length
+    out = fuzzy_join(
+        left, right, "lname", "rname", max_distance=2,
+        block=lambda c: F.length(c),
+    )
+    pairs = sorted((r["lid"], r["rid"]) for r in out.collect())
+    # john~jhon (transposition = 2 edits), jane smith~jane smyth (1 edit);
+    # cross-pairs exceed distance 2; zzz/aaa share a block but are 3 apart
+    assert pairs == [(1, 10), (2, 10), (2, 11)] or pairs == [(1, 10), (2, 11)]
+    # exact assertion: compute expected from levenshtein truth
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    expected = sorted(
+        (l[0], r_[0])
+        for l, r_ in itertools.product(
+            [(1, "john smith"), (2, "jane smith"), (3, "zzz")],
+            [(10, "jhon smith"), (11, "jane smyth"), (12, "aaa")],
+        )
+        if len(l[1]) == len(r_[1]) and lev(l[1], r_[1]) <= 2
+    )
+    assert pairs == expected

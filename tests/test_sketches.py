@@ -104,3 +104,17 @@ def test_cms_merge_equals_build_on_union(spark, sf_dir):
     a = sorted(tuple(r) for r in merged.collect())
     b = sorted(tuple(r) for r in full.collect())
     assert a == b
+
+
+def test_cms_estimate_absent_item_is_zero_or_collision(spark, sf_dir):
+    from cds_etl_spark.operators.sketches import cms_build, cms_estimate
+
+    terms = _terms(spark, sf_dir)
+    sketch = cms_build(terms, "term", depth=4, width=256)
+    probe = spark.createDataFrame(
+        [("zzzz-not-in-corpus-1",), ("zzzz-not-in-corpus-2",)], "term string"
+    )
+    est = {r["term"]: r["est"] for r in
+           cms_estimate(sketch, probe, "term", depth=4, width=256).collect()}
+    # absent items may collide but estimates stay small and non-negative
+    assert all(v >= 0 for v in est.values()) and len(est) == 2
