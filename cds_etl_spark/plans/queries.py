@@ -3346,3 +3346,58 @@ def qs114(spark: SparkSession, sf: str) -> DataFrame:
     return linked.select(
         "lid", "rid", F.levenshtein("lname", "rname").alias("dist")
     )
+
+
+@query(
+    "qs115_tfidf_top_terms",
+    oracle="""
+    WITH terms AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                   FROM documents),
+    clean AS (SELECT * FROM terms WHERE term <> ''),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM clean GROUP BY doc_id, term),
+    idf AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM clean GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM clean)
+    SELECT doc_id, term, tfidf FROM (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / idf.df), 4) AS tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / idf.df), 4) DESC,
+                        tf.term
+             ) AS rn
+      FROM tf JOIN idf USING (term) CROSS JOIN n
+    ) WHERE rn <= 3
+    """,
+)
+def qs115(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF top-3 terms per document — the classic retrieval
+    companion to BM25 (qs84). Corpus stats stay in-plan: document
+    frequency joins on the term (one shuffle of narrow (doc, term, tf)
+    partials), corpus size N rides a broadcast one-row crossJoin, and
+    the per-document top-3 is a rank window over the rounded score so
+    the ordering is cross-engine exact (round-then-rank, tie-broken by
+    term)."""
+    d = load_table(spark, sf, "documents")
+    clean = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = clean.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    idf = clean.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = clean.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(idf, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )

@@ -153,3 +153,36 @@ def test_fuzzy_join_blocks_and_refines(spark):
         if len(l[1]) == len(r_[1]) and lev(l[1], r_[1]) <= 2
     )
     assert pairs == expected
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_rows = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 5)), min_size=0, max_size=20
+)
+
+
+@given(target=_rows, source=_rows)
+@settings(max_examples=15, deadline=None)
+def test_merge_into_matches_reference_model(spark, target, source):
+    """merge_into vs a dict-based reference model: last-wins dedup of
+    keys upstream (the operator's documented precondition), update =
+    source value, insert source-only keys, delete merged rows whose
+    value == 0."""
+    from pyspark.sql import functions as F
+
+    from cds_etl_spark.operators.reconcile import merge_into
+
+    t = {k: v for k, v in target}
+    s = {k: v for k, v in source}
+    expect = dict(t)
+    expect.update(s)
+    for k in list(expect):
+        if k in s and k in t and s[k] == 0:
+            del expect[k]
+    tdf = spark.createDataFrame(list(t.items()) or [(None, None)], "k int, v int").dropna()
+    sdf = spark.createDataFrame(list(s.items()) or [(None, None)], "k int, v int").dropna()
+    out = merge_into(tdf, sdf, ["k"], delete_condition=F.col("v") == 0)
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == expect
