@@ -34,7 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   repaired rows (qs16/qs62/qs63) plus the 47 oracle-bearing queries the
 #   r01 window missed. Queries outside the window are still registered and
 #   fully verified by the judge's own differential run each round.
-#   r03 TODO: put the round-2 additions qs103..qs115 at the FRONT of this
+#   r03 TODO: put the round-2 additions qs103..qs116 at the FRONT of this
 #   list (they have no driver row yet), backfilled with r01-green queries.
 _GRADE_FIRST = [
     "qs16_pivot",

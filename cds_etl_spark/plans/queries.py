@@ -3401,3 +3401,42 @@ def qs115(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tfidf")
     )
+
+
+@query(
+    "qs116_cohort_retention",
+    oracle="""
+    WITH f AS (SELECT user_id, MIN(ts) AS f_ts FROM events GROUP BY user_id)
+    SELECT CAST(date_trunc('week', f.f_ts) AS DATE) AS cohort_week,
+           CAST(date_diff('day', CAST(f.f_ts AS DATE), CAST(e.ts AS DATE)) // 7
+                AS BIGINT) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def qs116(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention triangle: users cohorted by first-activity
+    week, retention = distinct actives per (cohort, week offset) — the
+    growth-analytics shape sessionization (qs43) and funnels (qs99)
+    don't cover. Two shuffles total: the first-activity aggregate on
+    user_id and the (cohort, offset) count-distinct; the user-keyed
+    join reuses the first shuffle's partitioning. Both engines truncate
+    weeks to ISO Monday, and the offset divides day-diffs (always
+    non-negative: f_ts is the user's min) so floor = integer div."""
+    e = load_table(spark, sf, "events")
+    f = e.groupBy("user_id").agg(F.min("ts").alias("f_ts"))
+    return (
+        e.join(f, "user_id")
+        .select(
+            F.date_trunc("week", "f_ts").cast("date").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("f_ts").cast("date")) / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
