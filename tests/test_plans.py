@@ -137,3 +137,10 @@ def test_tpch_q18_broadcasts_customer(spark, sf_dir):
     p = plan(spark, sf_dir, "qs109_tpch_q18")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_triangle_count_has_no_cartesian(spark, sf_dir):
+    p = plan(spark, sf_dir, "qs108_triangle_count")
+    # wedge build and closure probe are equi-joins on node keys; the
+    # degree orientation must never degrade to an unconstrained product
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
