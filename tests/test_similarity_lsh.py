@@ -67,3 +67,18 @@ def test_lsh_topk_retrieves_planted_neighbors(spark, sf_dir):
     # near-angle vectors share the query's bucket up to 1-bit flips
     recall = len(exact & approx) / len(exact)
     assert recall >= 5 / 6, (recall, approx)
+
+
+def test_lsh_topk_single_probe_subset_of_multiprobe(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = _query_vec(spark, sf_dir)
+    assigned = hyperplane_lsh_assign(e, dim=64, n_bits=8)
+    single = {r["vec_id"] for r in
+              lsh_topk(assigned, q, dim=64, k=50, n_bits=8, multiprobe=False).collect()}
+    multi = {r["vec_id"] for r in
+             lsh_topk(assigned, q, dim=64, k=50, n_bits=8, multiprobe=True).collect()}
+    # single probe searches one bucket: must retrieve the query itself
+    # and never return anything multiprobe's superset search misses
+    assert 7 in single and single <= multi

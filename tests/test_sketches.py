@@ -118,3 +118,20 @@ def test_cms_estimate_absent_item_is_zero_or_collision(spark, sf_dir):
            cms_estimate(sketch, probe, "term", depth=4, width=256).collect()}
     # absent items may collide but estimates stay small and non-negative
     assert all(v >= 0 for v in est.values()) and len(est) == 2
+
+
+def test_cms_build_weighted_doubles_counts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cds_etl_spark.operators.sketches import cms_build
+
+    terms = _terms(spark, sf_dir).withColumn("w", F.lit(2)).localCheckpoint(eager=True)
+    plain = cms_build(terms, "term", depth=2, width=32)
+    weighted = cms_build(terms, "term", depth=2, width=32, weight_col="w")
+    joined = {
+        (r["j"], r["bucket"]): (r["cnt"], r["wcnt"])
+        for r in plain.join(
+            weighted.withColumnRenamed("cnt", "wcnt"), ["j", "bucket"]
+        ).collect()
+    }
+    assert joined and all(w == 2 * c for c, w in joined.values())
