@@ -37,56 +37,56 @@ def entry(spark: SparkSession) -> DataFrame:
 #   r03 TODO: put the round-2 additions qs103..qs116 at the FRONT of this
 #   list (they have no driver row yet), backfilled with r01-green queries.
 _GRADE_FIRST = [
-    "qs16_pivot",
-    "qs62_approx_count_distinct",
-    "qs63_approx_quantiles",
-    "qs29_setops_all",
+    "qs103_tpch_q5",
+    "qs104_inverted_index",
+    "qs105_cap_per_group",
+    "qs106_cumulative_distinct",
+    "qs107_merge_upsert",
+    "qs108_triangle_count",
+    "qs109_tpch_q18",
+    "qs110_cms_sketch",
+    "qs111_segment_dedup",
+    "qs112_lsh_buckets",
+    "qs113_recursive_cte",
+    "qs114_fuzzy_link",
+    "qs115_tfidf_top_terms",
+    "qs116_cohort_retention",
+    "qs90_hll_distinct_sketch",
+    "qs91_llm_pipeline_manifest",
+    "qs94_pagerank",
     "qs36_higher_order_arrays",
-    "qs37_levenshtein",
-    "qs38_date_arithmetic",
-    "qs39_conditional_agg",
+    "qs48_time_range_frame",
+    "qs66_hash_split",
+    "qs82_sequence_packing",
+    "qs89_repetition_signal",
+    "qs96_anonymize",
+    "qs98_incremental_agg",
+    "qs100_tpch_q3",
+    "qs01_filter_project",
+    "qs02_multi_filter",
+    "qs03_join_agg",
+    "qs10_groupby_agg_tpch_q1",
+    "qs20_window_topk",
+    "qs40_enum_clean",
+    "qs41_dedup",
+    "qs50_asof_join",
+    "qs51_range_join",
+    "qs52_ann_cosine",
+    "qs54_exact_dedup",
+    "qs55_minhash_lsh",
+    "qs56_simhash",
+    "qs57_ngram_jaccard",
+    "qs58_embedding_near_dup",
+    "qs59_ivf_ann",
+    "qs60_text_quality",
+    "qs61_arrow_cosine",
+    "qs64_salted_agg",
+    "qs53_zorder_cluster",
+    "qs42_string_canonical",
     "qs43_sessionize",
     "qs44_percentile_exact",
     "qs45_correlated_scalar_subquery",
     "qs46_full_outer_join",
-    "qs47_map_aggregation",
-    "qs48_time_range_frame",
-    "qs49_in_subquery",
-    "qs65_hash_sample",
-    "qs66_hash_split",
-    "qs67_stratified_sample",
-    "qs68_interleave_sources",
-    "qs69_unpivot",
-    "qs70_grouping_id",
-    "qs71_rank_pct",
-    "qs72_sequence_explode",
-    "qs73_bitwise",
-    "qs74_nullsafe_join",
-    "qs75_greatest_least",
-    "qs76_string_pad",
-    "qs77_try_cast",
-    "qs78_scalar_subquery",
-    "qs79_width_bucket",
-    "qs80_regexp_extract_replace",
-    "qs81_connected_dedup",
-    "qs82_sequence_packing",
-    "qs83_decontaminate",
-    "qs84_bm25",
-    "qs85_scd2_apply",
-    "qs86_corr_covar",
-    "qs87_regression_agg",
-    "qs88_profile_columns",
-    "qs89_repetition_signal",
-    "qs92_forward_fill",
-    "qs93_resample_grid",
-    "qs95_table_diff",
-    "qs96_anonymize",
-    "qs97_weighted_sample",
-    "qs98_incremental_agg",
-    "qs99_funnel",
-    "qs100_tpch_q3",
-    "qs101_histogram",
-    "qs102_schema_evolution_union",
 ]
 
 

@@ -1378,8 +1378,10 @@ def qs29(spark: SparkSession, sf: str) -> DataFrame:
     "qs36_higher_order_arrays",
     oracle="""
     SELECT doc_id,
-      list_transform(string_split(text, ' ')[1:5], w -> upper(w)) AS up5,
-      len(list_filter(string_split(text, ' '), w -> length(w) > 4)) AS nlong,
+      array_to_string(list_transform(string_split(text, ' ')[1:5],
+                                     w -> upper(w)), ' ') AS up5,
+      CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 4))
+           AS INTEGER) AS nlong,
       CAST(list_max(list_transform(string_split(text, ' '), w -> length(w)))
            AS INTEGER) AS maxlen
     FROM documents ORDER BY doc_id
@@ -1393,7 +1395,9 @@ def qs36(spark: SparkSession, sf: str) -> DataFrame:
     return (
         d.select(
             "doc_id",
-            F.transform(F.slice(toks, 1, 5), lambda w: F.upper(w)).alias("up5"),
+            F.array_join(
+                F.transform(F.slice(toks, 1, 5), lambda w: F.upper(w)), " "
+            ).alias("up5"),
             F.size(F.filter(toks, lambda w: F.length(w) > 4)).alias("nlong"),
             F.array_max(F.transform(toks, lambda w: F.length(w))).alias("maxlen"),
         )
@@ -1657,7 +1661,8 @@ def qs47(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            COUNT(*) OVER w AS n_1h,
-           SUM(CAST(ROUND(value*100, 0) AS BIGINT)) OVER w AS cents_1h
+           CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) OVER w
+                AS BIGINT) AS cents_1h
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
@@ -1745,7 +1750,8 @@ def qs65(spark: SparkSession, sf: str) -> DataFrame:
     SELECT CASE WHEN bk < 800000 THEN 'train'
                 WHEN bk < 900000 THEN 'val' ELSE 'test' END AS split,
            COUNT(*) AS n,
-           SUM(CAST(ROUND(o_totalprice*100, 0) AS BIGINT)) AS cents
+           CAST(SUM(CAST(ROUND(o_totalprice*100, 0) AS BIGINT))
+                AS BIGINT) AS cents
     FROM b GROUP BY 1 ORDER BY split
     """,
 )
@@ -2169,9 +2175,9 @@ def qs81(spark: SparkSession, sf: str) -> DataFrame:
       FROM documents),
     c AS (
       SELECT doc_id, lang, n_tokens,
-             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                                 ROWS UNBOUNDED PRECEDING) - n_tokens
-               AS cum_before
+             CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tokens
+                  AS BIGINT) AS cum_before
       FROM t WHERE n_tokens > 0)
     SELECT lang, doc_id,
            unnest(generate_series(CAST(cum_before // 256 AS BIGINT),
@@ -2399,7 +2405,7 @@ def qs88(spark: SparkSession, sf: str) -> DataFrame:
                                   i -> toks[i] || ' ' || toks[i+1])) AS gram
           FROM tok WHERE len(toks) >= 2),
     c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram)
-    SELECT doc_id, MAX(cnt) AS top_cnt, SUM(cnt) AS n_grams,
+    SELECT doc_id, MAX(cnt) AS top_cnt, CAST(SUM(cnt) AS BIGINT) AS n_grams,
            MAX(cnt)::DOUBLE / SUM(cnt)::DOUBLE AS top_fraction
     FROM c GROUP BY doc_id
     """,
@@ -2594,7 +2600,7 @@ def qs95(spark: SparkSession, sf: str) -> DataFrame:
            sha256('pepper' || c_name) AS name_h,
            repeat('*', greatest(length(c_mktsegment) - 4, 0))
              || right(c_mktsegment, 4) AS seg_m,
-           floor(c_acctbal / 1000) * 1000 AS bal_band
+           CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS bal_band
     FROM customer
     """,
 )
@@ -2660,7 +2666,8 @@ def qs97(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT o_custkey,
            COUNT(*) AS n,
-           SUM(CAST(ROUND(o_totalprice*100, 0) AS BIGINT)) AS cents,
+           CAST(SUM(CAST(ROUND(o_totalprice*100, 0) AS BIGINT))
+                AS BIGINT) AS cents,
            MIN(o_orderdate) AS first_order,
            MAX(o_orderdate) AS last_order
     FROM orders GROUP BY o_custkey
@@ -2745,8 +2752,8 @@ def qs99(spark: SparkSession, sf: str) -> DataFrame:
     "qs100_tpch_q3",
     oracle="""
     SELECT l.l_orderkey,
-           SUM(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*10000, 0)
-                    AS BIGINT)) AS rev_e4,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*10000, 0)
+                         AS BIGINT)) AS BIGINT) AS rev_e4,
            o.o_orderdate, o.o_custkey
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -2977,9 +2984,9 @@ def qs105(spark: SparkSession, sf: str) -> DataFrame:
       FROM events
     )
     SELECT event_id,
-           SUM(CASE WHEN visit_rank = 1 THEN 1 ELSE 0 END)
-             OVER (PARTITION BY event_type ORDER BY ts, event_id
-                   ROWS UNBOUNDED PRECEDING) AS cum_users
+           CAST(SUM(CASE WHEN visit_rank = 1 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
     FROM firsts
     """,
 )
