@@ -2516,13 +2516,45 @@ def qs93(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("qs94_pagerank")
+@query(
+    "qs94_pagerank",
+    oracle="""
+    WITH RECURSIVE
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM documents a JOIN documents b
+        ON a.lang = b.lang AND a.n_chars = b.n_chars
+       AND a.doc_id < b.doc_id),
+    edges AS (
+      SELECT DISTINCT a, b FROM (
+        SELECT d1 AS a, d2 AS b FROM pairs
+        UNION ALL
+        SELECT d2 AS a, d1 AS b FROM pairs) WHERE a <> b),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT a AS node, COUNT(*) AS deg FROM edges GROUP BY a),
+    pr(iter, node, rank) AS (
+      SELECT 0, node, 1.0 / (SELECT n FROM nn) FROM nodes
+      UNION ALL
+      SELECT p.iter + 1, e.b,
+             0.15 / (SELECT n FROM nn) + 0.85 * SUM(p.rank / d.deg)
+      FROM pr p
+      JOIN edges e ON e.a = p.node
+      JOIN deg d ON d.node = p.node
+      WHERE p.iter < 10
+      GROUP BY p.iter, e.b)
+    SELECT node, ROUND(rank, 4) AS rank FROM pr WHERE iter = 10
+    """,
+)
 def qs94(spark: SparkSession, sf: str) -> DataFrame:
     """PageRank (operators/components.pagerank) over the qs51 blocking
     graph (documents sharing lang + length band): centrality of each
-    document inside its near-dup neighborhood. Rows-only by design —
-    iterative double arithmetic cannot hash-match a SQL oracle; the
-    invariants (rank mass = 1, dangling redistribution, symmetry) are
+    document inside its near-dup neighborhood. The symmetrized graph
+    has no dangling nodes (every node has out-degree >= 1), so the
+    fixed-iteration power method is expressible as a DuckDB recursive
+    CTE; both sides round to 4 decimals, which masks the ~1e-15
+    relative float drift from differing summation order. Invariants
+    (rank mass = 1, dangling redistribution, symmetry) remain
     unit-tested in tests/test_pagerank.py."""
     from cds_etl_spark.operators.components import pagerank
 
@@ -2534,7 +2566,8 @@ def qs94(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("a.n_chars") == F.col("b.n_chars"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-    return pagerank(pairs, "d1", "d2", iterations=10, directed=False)
+    ranks = pagerank(pairs, "d1", "d2", iterations=10, directed=False)
+    return ranks.select("node", F.round("rank", 4).alias("rank"))
 
 
 @query(

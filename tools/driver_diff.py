@@ -26,7 +26,20 @@ TABLES = (
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
+    df = df[sorted(df.columns)].copy()
+    # The driver's canonicalizer treats Spark `date` and DuckDB
+    # `timestamp` columns as the same calendar value; mirror that here
+    # (qs85 graded green in r02 while this tool reported a DTYPE diff).
+    for col in df.columns:
+        v = df[col]
+        if str(v.dtype).startswith("datetime64"):
+            df[col] = (
+                pd.to_datetime(v).dt.tz_localize(None).astype("datetime64[us]")
+            )
+        elif v.dtype == object and v.map(
+            lambda x: x is None or type(x).__name__ == "date"
+        ).all() and v.notna().any():
+            df[col] = pd.to_datetime(v).astype("datetime64[us]")
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
@@ -42,9 +55,16 @@ def main(names: list[str]) -> int:
             )
     rc = 0
     for name in names:
-        full = name if name in QUERIES else next(
-            (q for q in QUERIES if q.startswith(name)), name
-        )
+        if name in QUERIES:
+            full = name
+        else:
+            cands = [q for q in QUERIES if q.startswith(name)]
+            if len(cands) != 1:
+                print(f"{name}: {'AMBIGUOUS' if cands else 'UNKNOWN'} "
+                      f"prefix, candidates={cands}")
+                rc = 1
+                continue
+            full = cands[0]
         sdf = QUERIES[full](spark, SF_DIR).toPandas()
         ddf = con.sql(ORACLE_SQL[full]).df()
         try:
