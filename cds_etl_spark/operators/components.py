@@ -145,6 +145,56 @@ def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
     return per_node
 
 
+def bfs_levels(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    directed: bool = True,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any seed, bounded by
+    ``max_hops``. Returns ``(node, level)`` for every reached node
+    (seeds at level 0). ``seeds`` must expose a ``node`` column.
+
+    Frontier expansion is one equi-join per hop (frontier ⋈ edges,
+    shuffled on the node id) followed by an anti-join against the
+    visited set, so a node is emitted exactly once at its first
+    (= minimum) level — the relational statement of textbook BFS.
+    Lineage is cut per hop with an eager localCheckpoint, same as
+    connected_components/pagerank above: constant-size plan, constant
+    driver overhead per round regardless of hop count. Visited and
+    frontier are one narrow row per node — ≪ corpus at 100 TB, and the
+    anti-join shuffles only the frontier's neighbor ids."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not directed:
+        e = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    e = e.filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
+
+    visited = (
+        seeds.select(F.col("node"))
+        .distinct()
+        .withColumn("level", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.withColumn("level", F.lit(hop).cast("long"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited
+
+
 def pagerank(
     edges: DataFrame,
     src: str,

@@ -3482,3 +3482,437 @@ def qs116(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+# --------------------------------------------------------------------------
+# Round-4 additions: TPC-H Q7/Q10, LM scoring, BFS, skyline, signatures,
+# Markov transitions, quality-filter chain
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs117_tpch_q7",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*10000, 0)
+                         AS BIGINT)) AS BIGINT) AS rev_e4
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= DATE '1996-01-01'
+      AND l.l_shipdate < DATE '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def qs117(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping) shape: 6-way snowflake join with a
+    disjunctive cross-nation predicate. The two nation dims broadcast
+    (25 rows); the predicate can only prune AFTER both joins, so the
+    plan's big-side work is orders ⋈ lineitem — at 100 TB both ride
+    the o/l_orderkey bucketing the bench tables use. Revenue sums as
+    exact 1e-4-scaled integers (qs100 pattern); year() CAST to INT on
+    the DuckDB side matches Spark's int."""
+    s = load_table(spark, sf, "supplier")
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("bigint")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        )
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(rev).alias("rev_e4"))
+    )
+
+
+@query(
+    "qs118_tpch_q10",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*10000, 0)
+                         AS BIGINT)) AS BIGINT) AS rev_e4,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY rev_e4 DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def qs118(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting) shape: quarter-filtered
+    orders ⋈ returnflag-filtered lineitem ⋈ customer ⋈ broadcast
+    nation, top-20 customers by lost revenue. Ordering is on the exact
+    integer revenue with c_custkey tiebreak, so LIMIT keeps identical
+    rows cross-engine. The orders-side date filter prunes before the
+    lineitem join (at scale: partition pruning on o_orderdate)."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    n = load_table(spark, sf, "nation")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("bigint")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("date"))
+        )
+        .join(li.filter(F.col("l_returnflag") == "R"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).alias("rev_e4"))
+        .orderBy(F.col("rev_e4").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "rev_e4", "c_acctbal", "n_name")
+    )
+
+
+@query(
+    "qs119_bigram_lm",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+        list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+      FROM documents),
+    bge AS (
+      SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2 FROM (
+        SELECT doc_id, unnest(CASE WHEN len(ts) >= 2 THEN
+            list_transform(range(1, len(ts)),
+                           i -> struct_pack(w1 := ts[i], w2 := ts[i+1]))
+          ELSE [] END) AS bg
+        FROM t)),
+    cbg AS (SELECT w1, w2, COUNT(*) AS c FROM bge GROUP BY w1, w2),
+    cctx AS (SELECT w1, COUNT(*) AS c FROM bge GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT term) AS v
+          FROM (SELECT unnest(ts) AS term FROM t))
+    SELECT bge.doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(ln((cbg.c + 1.0) / (cctx.c + v.v))), 4) AS avg_logp
+    FROM bge
+    JOIN cbg ON bge.w1 = cbg.w1 AND bge.w2 = cbg.w2
+    JOIN cctx ON bge.w1 = cctx.w1
+    CROSS JOIN v
+    GROUP BY bge.doc_id
+    """,
+)
+def qs119(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus bigram language-model scoring — the perplexity-style
+    quality signal LLM data pipelines rank documents by: train
+    Laplace-smoothed bigram counts over the corpus, score each doc by
+    its mean log P(w_i | w_{i-1}). Bigram construction is a ROW-LOCAL
+    array transform (no window, no per-doc shuffle); the model is two
+    narrow count aggregates; scoring joins each doc's bigrams to the
+    model on the bigram key and the vocab size rides a broadcast
+    one-row crossJoin. ROUND(avg, 4) kills accumulation-order noise."""
+    d = load_table(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
+        ).alias("ts"),
+    )
+    bge = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ts") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1), "
+                    "i -> struct(element_at(ts, i) as w1, "
+                    "element_at(ts, i + 1) as w2))"
+                ),
+            ).otherwise(F.array())
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    cbg = bge.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cctx = bge.groupBy("w1").agg(F.count(F.lit(1)).alias("cc"))
+    v = toks.select(F.explode("ts").alias("term")).agg(
+        F.countDistinct("term").alias("v")
+    )
+    return (
+        bge.join(cbg, ["w1", "w2"])
+        .join(cctx, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log((F.col("cb") + 1.0) / (F.col("cc") + F.col("v")))), 4
+            ).alias("avg_logp"),
+        )
+    )
+
+
+@query(
+    "qs120_graph_bfs",
+    oracle="""
+    WITH RECURSIVE
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM documents a JOIN documents b
+        ON a.lang = b.lang AND a.n_chars = b.n_chars
+       AND a.doc_id < b.doc_id),
+    edges AS (
+      SELECT DISTINCT a, b FROM (
+        SELECT d1 AS a, d2 AS b FROM pairs
+        UNION ALL
+        SELECT d2 AS a, d1 AS b FROM pairs) WHERE a <> b),
+    seeds AS (SELECT DISTINCT a AS node FROM edges WHERE a % 20 = 0),
+    walk(node, lvl) AS (
+      SELECT node, 0 FROM seeds
+      UNION
+      SELECT e.b, w.lvl + 1
+      FROM walk w JOIN edges e ON e.a = w.node
+      WHERE w.lvl < 3)
+    SELECT node, CAST(MIN(lvl) AS BIGINT) AS level FROM walk GROUP BY node
+    """,
+)
+def qs120(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source BFS (operators/components.bfs_levels) over the
+    document blocking graph: minimum hop distance from the seed set
+    (doc_id % 100 = 0), 3 hops. The Spark side is textbook frontier
+    BFS — one equi-join + visited anti-join per hop, each node emitted
+    once at its first level — while the oracle states the same closure
+    as a depth-bounded recursive CTE with MIN(level). UNION (not ALL)
+    in the oracle bounds the working set; the Spark anti-join is the
+    equivalent dedup."""
+    from cds_etl_spark.operators.components import bfs_levels
+
+    d = load_table(spark, sf, "documents").alias("a")
+    b = load_table(spark, sf, "documents").alias("b")
+    pairs = d.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.n_chars") == F.col("b.n_chars"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+    nodes = (
+        pairs.select(F.col("d1").alias("node"))
+        .unionByName(pairs.select(F.col("d2").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node") % 20 == 0)
+    return bfs_levels(pairs, "d1", "d2", seeds, max_hops=3, directed=False)
+
+
+@query(
+    "qs121_pareto_frontier",
+    oracle="""
+    SELECT p.p_partkey, p.p_name, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    """,
+)
+def qs121(spark: SparkSession, sf: str) -> DataFrame:
+    """2-D Pareto frontier (skyline): parts where no other part is both
+    cheaper-or-equal and larger-or-equal (strict in one dimension).
+    The oracle states it as NOT EXISTS; the Spark plan exploits the
+    2-D structure instead of the quadratic self-join: reduce to one
+    row per price (max size), a single ordered window computes the
+    running max over strictly-smaller prices, and a (price, size) pair
+    is on the frontier iff it beats that running max and is its
+    price's best. One narrow sort shuffle over distinct prices —
+    skyline at 100 TB without an all-pairs join."""
+    p = load_table(spark, sf, "part")
+    per_price = p.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("msize")
+    )
+    w = (
+        Window.orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier_pairs = (
+        per_price.withColumn("prev_max", F.max("msize").over(w))
+        .filter(
+            F.col("prev_max").isNull() | (F.col("msize") > F.col("prev_max"))
+        )
+        .select("price", F.col("msize").alias("size"))
+    )
+    return (
+        p.join(
+            F.broadcast(frontier_pairs),
+            (p["p_retailprice"] == F.col("price"))
+            & (p["p_size"] == F.col("size")),
+        )
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+    )
+
+
+@query(
+    "qs122_minhash_signatures",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (SELECT doc_id, shset, [{_MINHASH_SIG_SQL}] AS sg FROM sh
+            WHERE len(shset) > 0)
+    SELECT doc_id,
+           sg[1]||','||sg[2]||','||sg[3]||','||sg[4]||','||sg[5]||','||sg[6]
+           ||','||sg[7]||','||sg[8]||','||sg[9]||','||sg[10]||','||sg[11]
+           ||','||sg[12] AS sig_csv
+    FROM sig
+    """,
+)
+def qs122(spark: SparkSession, sf: str) -> DataFrame:
+    """Raw MinHash signatures as a queryable surface (the index-build
+    artifact qs55 consumes): 12 md5-slice min-hashes per document,
+    emitted as a CSV string so the byte-exact cross-engine equality of
+    the signature machinery itself is driver-checked — not just the
+    pair decisions derived from it. Pure scan-fused projection; no
+    shuffle at all."""
+    from cds_etl_spark.functions.text import (
+        minhash_digest,
+        minhash_from_digests,
+        word_shingles_from_tokens,
+    )
+
+    d = load_table(spark, sf, "documents")
+    sh = d.select(
+        "doc_id",
+        word_shingles_from_tokens(F.split(F.col("text"), " "), 3).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    digests = sh.select(
+        "doc_id", *[minhash_digest(F.col("_sh"), g).alias(f"_d{g}") for g in range(3)]
+    )
+    return digests.select(
+        "doc_id",
+        F.array_join(
+            minhash_from_digests([F.col(f"_d{g}") for g in range(3)], 12), ","
+        ).alias("sig_csv"),
+    )
+
+
+@query(
+    "qs123_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS cur,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events),
+    c AS (SELECT cur, nxt, COUNT(*) AS n FROM seq
+          WHERE nxt IS NOT NULL GROUP BY cur, nxt)
+    SELECT cur, nxt, n,
+           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY cur), 4) AS p
+    FROM c
+    """,
+)
+def qs123(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), the session-model
+    companion to sessionize (qs43) and funnel (qs99). One window
+    shuffle keyed on user_id orders each user's history (event_id
+    tiebreak makes simultaneous events deterministic); the count
+    aggregate and per-row normalization are narrow over the 5x5
+    transition space."""
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    c = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    wn = Window.partitionBy("cur")
+    return c.select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wn), 4).alias("p"),
+    )
+
+
+@query(
+    "qs124_quality_filter",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+        list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+      FROM documents),
+    m AS (SELECT doc_id, len(ts) AS n_tok,
+        len(list_filter(ts, x -> list_contains(
+          ['the','a','an','of','and','to','in','is','it','that'], x)))
+          AS n_stop,
+        len(list_distinct(ts)) AS n_uniq
+      FROM t)
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+      ROUND(CAST(n_stop AS DOUBLE) / n_tok, 4) AS stop_ratio,
+      ROUND(CAST(n_uniq AS DOUBLE) / n_tok, 4) AS distinct_ratio,
+      CASE WHEN n_tok < 10 THEN 'too_short'
+           WHEN CAST(n_stop AS DOUBLE) / n_tok < 0.05 THEN 'low_stopword'
+           WHEN CAST(n_uniq AS DOUBLE) / n_tok < 0.3 THEN 'repetitive'
+           ELSE 'pass' END AS verdict
+    FROM m WHERE n_tok > 0
+    """,
+)
+def qs124(spark: SparkSession, sf: str) -> DataFrame:
+    """C4/Gopher-style quality-filter chain with per-document verdicts:
+    token count, stopword ratio, distinct-token ratio, and the FIRST
+    failing rule as the rejection reason. Entirely scan-fused row-local
+    array expressions (the stopword list is a literal array, not a
+    join) — the shape of a 100 TB corpus filter is a single pass with
+    zero shuffles. Ratios are exact IEEE divisions of integers, so the
+    4-dp rounding is engine-stable."""
+    d = load_table(spark, sf, "documents")
+    stop = F.array(*[F.lit(x) for x in
+                     ("the", "a", "an", "of", "and", "to", "in", "is", "it",
+                      "that")])
+    m = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
+        ).alias("ts"),
+    ).select(
+        "doc_id",
+        F.size("ts").cast("long").alias("n_tok"),
+        F.size(
+            F.filter(F.col("ts"), lambda x: F.array_contains(stop, x))
+        ).alias("n_stop"),
+        F.size(F.array_distinct("ts")).alias("n_uniq"),
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tok")
+    distinct_ratio = F.col("n_uniq").cast("double") / F.col("n_tok")
+    return m.filter(F.col("n_tok") > 0).select(
+        "doc_id",
+        "n_tok",
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.when(F.col("n_tok") < 10, "too_short")
+        .when(stop_ratio < 0.05, "low_stopword")
+        .when(distinct_ratio < 0.3, "repetitive")
+        .otherwise("pass")
+        .alias("verdict"),
+    )

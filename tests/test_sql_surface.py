@@ -38,3 +38,16 @@ def test_sql_groupby_rollup_window_setops(spark, duck, sf_dir):
     for name, sql in pairs.items():
         # Identical ANSI text runs on both engines.
         assert_frames_match(spark.sql(sql), duck.sql(sql), name)
+
+
+def test_grade_first_names_are_registered():
+    """Every _GRADE_FIRST entry must be a real registry name: _ordered()
+    filters with `if n in mapping`, so a typo silently falls back to
+    registration order and the rotation grades the wrong window (the
+    r03 defect — 17 stale names dropped the intended backfills)."""
+    import __spark_entry__ as entry
+    from cds_etl_spark.plans import QUERIES
+
+    unknown = [n for n in entry._GRADE_FIRST if n not in QUERIES]
+    assert unknown == [], f"stale _GRADE_FIRST names: {unknown}"
+    assert len(entry._GRADE_FIRST) == len(set(entry._GRADE_FIRST)) == 50
