@@ -12,15 +12,18 @@ opaque file rows with ``file_size``/``md5sum`` metadata,
 3-Model-Files/cds-model.yml:144-162); this module is part of the
 declared LLM-pipeline extension surface.
 
-Codecs: formats with pure-numpy containers are decoded/encoded FOR
-REAL — binary PPM/PGM images (``decode_ppm``/``encode_ppm``) and PCM16
-WAV audio (``decode_wav``/``encode_wav``); the synthetic media table
-emits genuine container bytes for both. Compressed formats
-(jpeg/png/mp4/...) still need external libs, absent in this container:
-they raise behind a ``try: import PIL`` gate, and video payloads stay
-a clearly-marked raw-frame fake. The Spark-side contract — schemas,
-UDF signatures, Arrow batch iteration, explode shapes, partition
-behavior — is identical across real and stubbed codecs.
+Codecs: formats whose containers need only numpy + the stdlib are
+decoded/encoded FOR REAL — binary PPM/PGM images
+(``decode_ppm``/``encode_ppm``), PCM16 WAV audio
+(``decode_wav``/``encode_wav``), and PNG (``decode_png``/
+``encode_png`` — zlib inflate + the five scanline filters, color
+types 0/2/4/6 at bit depth 8, non-interlaced); the synthetic media
+table emits genuine container bytes. Formats needing real codec libs
+(jpeg/mp4/...) raise behind a ``try: import PIL`` gate, and video
+payloads stay a clearly-marked raw-frame fake. The Spark-side
+contract — schemas, UDF signatures, Arrow batch iteration, explode
+shapes, partition behavior — is identical across real and stubbed
+codecs.
 """
 
 from __future__ import annotations
@@ -169,6 +172,122 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     return hdr + data
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel (bit depth 8 only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """Pure numpy+zlib PNG decode: 8-bit gray/RGB/gray-alpha/RGBA,
+    non-interlaced. Returns (h, w) for grayscale, (h, w, ch) otherwise.
+
+    PNG is a zlib-deflate stream of filtered scanlines inside a CRC'd
+    chunk list — no external codec needed: walk chunks, concatenate
+    IDAT, inflate, then undo the per-row filter (None/Sub/Up/Average/
+    Paeth). Up is fully vectorized; Sub is a per-channel running sum
+    mod 256; Average/Paeth recurse on the previous pixel so they run
+    per-pixel along the row (rows are short; the heavy lifting —
+    inflate — is C either way)."""
+    import struct
+    import zlib
+
+    if content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        body = content[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={color}, "
+            f"interlace={interlace}); only 8-bit non-interlaced 0/2/4/6"
+        )
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data has wrong length")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters, rows = raw[:, 0], raw[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f, row = int(filters[y]), rows[y]
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub: running sum per channel position
+            rec = row.reshape(w, ch).cumsum(axis=0).reshape(stride) % 256
+        elif f == 2:  # Up
+            rec = (row + prev) % 256
+        elif f == 3:  # Average
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                rec[x] = (row[x] + ((left + prev[x]) >> 1)) % 256
+        elif f == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec
+        prev = out[y]
+    pixels = out.astype(np.uint8)
+    return pixels.reshape(h, w) if ch == 1 else pixels.reshape(h, w, ch)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Inverse of :func:`decode_png`: (h, w) → gray, (h, w, 2) →
+    gray+alpha, (h, w, 3) → RGB, (h, w, 4) → RGBA; 8-bit,
+    non-interlaced, filter 0 scanlines (decoders must accept any
+    filter, encoders may pick the simplest)."""
+    import struct
+    import zlib
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        color, ch = 0, 1
+    elif arr.ndim == 3 and arr.shape[2] in (2, 3, 4):
+        color = {2: 4, 3: 2, 4: 6}[arr.shape[2]]
+        ch = arr.shape[2]
+    else:
+        raise ValueError(f"expected (h,w[,2|3|4]) uint8, got {arr.shape}")
+    h, w = arr.shape[0], arr.shape[1]
+    body = arr.reshape(h, w * ch)
+    raw = b"".join(b"\x00" + body[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def synthetic_media(spark, n: int = 64, partitions: int = 8) -> DataFrame:
     """Deterministic media table (seeded by media_id) for tests and
     demos: images are REAL binary PPMs, audio REAL PCM16 WAVs (both
@@ -187,9 +306,11 @@ def synthetic_media(spark, n: int = 64, partitions: int = 8) -> DataFrame:
                 nf = int(rng.integers(4, 32)) if kind == "video" else 1
                 sr = 16000 if kind == "audio" else 0
                 if kind == "image":
-                    fmt = "ppm"
+                    # Alternate real container formats so every image
+                    # consumer exercises both codec paths.
+                    fmt = "ppm" if (int(mid) // 3) % 2 == 0 else "png"
                     pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-                    content = encode_ppm(pixels)
+                    content = encode_ppm(pixels) if fmt == "ppm" else encode_png(pixels)
                 elif kind == "audio":
                     fmt = "wav"
                     samples = rng.integers(-32768, 32768, size=1024).astype("<i2")
@@ -224,12 +345,15 @@ def synthetic_media(spark, n: int = 64, partitions: int = 8) -> DataFrame:
 def _decode_bytes(content: bytes, fmt: str) -> np.ndarray:
     """Decode media bytes to a pixel/sample array.
 
-    ``ppm``/``pgm`` and ``wav`` decode for real (pure numpy, above).
-    ``fake`` is raw uint8 (video frame payloads). Compressed formats
-    need external codec libraries, absent here — they raise to make
-    the missing dependency explicit rather than silently wrong."""
+    ``ppm``/``pgm``, ``png``, and ``wav`` decode for real (pure
+    numpy+stdlib, above). ``fake`` is raw uint8 (video frame
+    payloads). Formats needing real codec libraries (jpeg/mp4), absent
+    here, raise to make the missing dependency explicit rather than
+    silently wrong."""
     if fmt in ("ppm", "pgm"):
         return decode_ppm(bytes(content))
+    if fmt == "png":
+        return decode_png(bytes(content))
     if fmt == "wav":
         samples, _ = decode_wav(bytes(content))
         return samples
@@ -318,6 +442,8 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                 resized = arr[np.ix_(ry, rx)].astype(np.uint8)
                 if meta["format"] in ("ppm", "pgm"):
                     pdf.at[i, "content"] = encode_ppm(resized)
+                elif meta["format"] == "png":
+                    pdf.at[i, "content"] = encode_png(resized)
                 else:
                     pdf.at[i, "content"] = resized.tobytes()
                 meta["width"], meta["height"] = width, height
