@@ -19,9 +19,12 @@ Three tiers, per SURVEY.md §7.1 M5:
   to BLAS; kept as an alternative physical strategy for the same
   logical op.
 
-Centroid choice here is deterministic (first C vector ids) so the
-DuckDB oracle can replay the exact algorithm; production would plug
-k-means centroids in the same shape (a small (cid, vector) DataFrame).
+Centroid choice for the ORACLE-CHECKED query (qs59) stays
+deterministic first-C so DuckDB can replay the exact algorithm;
+``kmeans_train`` fills the production slot — a seeded, deterministic
+Lloyd trainer on a hash-sample whose (cid, cvec) output plugs
+straight into ``ivf_assign``/``ivf_topk`` (recall-tested against
+first-C on a planted-blob fixture in tests/test_similarity_lsh.py).
 """
 
 from __future__ import annotations
@@ -132,6 +135,80 @@ def ivf_topk(
         .orderBy(F.col("sim").desc(), id_col)
         .limit(k)
     )
+
+
+def kmeans_train(
+    df: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 8,
+    sample_mod: int = 1,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic seeded Lloyd's k-means over a hash-sample: the
+    production centroid trainer for the IVF slot (``ivf_assign`` /
+    ``ivf_topk`` accept its output directly as ``(cid, cvec)``).
+    First-C centroids remain the choice for oracle replay (qs59);
+    this trainer exists for recall.
+
+    Determinism without RNG state: the training sample is
+    ``xxhash64(id, seed) % sample_mod == 0`` (a fixed, engine-portable
+    subset — at 100 TB train on ~1/1000th of the corpus, not all of
+    it), and initialization takes the C sample vectors with the
+    smallest hash — a seeded spread uncorrelated with insertion order,
+    unlike first-C. Each Lloyd round is one broadcast-assign (same
+    argmax as ivf_assign, cosine rounded to 6 dp) plus a narrow
+    (cid, pos) mean aggregation; the C·dim means are collected and
+    re-broadcast — the centroid set is driver-sized BY DEFINITION
+    (it must broadcast for assignment anyway), so this collect is the
+    algorithm, not a bottleneck. Component means round to 6 dp so
+    accumulation-order noise can never flip a later assignment; empty
+    clusters keep their previous centroid."""
+    spark = df.sparkSession
+    h = F.abs(F.xxhash64(F.col("_id").cast("string"), F.lit(seed)))
+    sample = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .filter((h % sample_mod) == 0 if sample_mod > 1 else F.lit(True))
+        .localCheckpoint(eager=True)
+    )
+    init = (
+        sample.withColumn("_h", h)
+        .orderBy("_h", "_id")
+        .limit(n_centroids)
+        .select("_v")
+        .collect()
+    )
+    centroids = [list(r["_v"]) for r in init]
+
+    def _cdf(cents: list[list[float]]) -> DataFrame:
+        return spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], "cid int, cvec array<double>"
+        )
+
+    for _ in range(iterations):
+        assigned = ivf_assign(sample, _cdf(centroids), id_col="_id", vec_col="_v")
+        means = (
+            assigned.select("cid", F.posexplode("_v").alias("_pos", "_x"))
+            .groupBy("cid", "_pos")
+            .agg(F.round(F.avg("_x"), 6).alias("_m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
+                    lambda s: s["_m"],
+                ).alias("_mean")
+            )
+            .collect()
+        )
+        nxt = list(centroids)
+        for r in means:
+            nxt[r["cid"]] = list(r["_mean"])
+        centroids = nxt
+    return _cdf(centroids)
 
 
 def cosine_topk_pandas(

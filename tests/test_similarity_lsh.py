@@ -82,3 +82,51 @@ def test_lsh_topk_single_probe_subset_of_multiprobe(spark, sf_dir):
     # single probe searches one bucket: must retrieve the query itself
     # and never return anything multiprobe's superset search misses
     assert 7 in single and single <= multi
+
+
+def test_kmeans_train_beats_first_c_centroids(spark):
+    """kmeans_train fills the IVF production-centroid slot: on a
+    blob-structured corpus stored blob-by-blob (so first-C init is
+    pathologically clustered in one blob), IVF recall@10 with trained
+    centroids must beat first-C and be near-exact."""
+    import numpy as np
+
+    from cds_etl_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        kmeans_train,
+    )
+
+    rng = np.random.default_rng(3)
+    n_blobs, per_blob, dim = 8, 25, 16
+    centers = rng.normal(size=(n_blobs, dim)) * 5.0
+    rows = []
+    for b in range(n_blobs):  # blob-by-blob: ids 0..24 are all blob 0
+        for j in range(per_blob):
+            v = centers[b] + rng.normal(size=dim) * 0.3
+            rows.append((b * per_blob + j, [float(x) for x in v]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    exact = {r["vec_id"] for r in cosine_topk(corpus, q, k=10).collect()}
+
+    def recall(centroids):
+        assigned = ivf_assign(corpus, centroids)
+        got = {
+            r["vec_id"]
+            for r in ivf_topk(assigned, centroids, q, k=10, nprobe=2).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    first_c = corpus.limit(n_blobs).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").alias("cvec"),
+    )
+    trained = kmeans_train(corpus, n_centroids=n_blobs, iterations=6)
+    r_first, r_trained = recall(first_c), recall(trained)
+    assert r_trained >= 0.9, (r_trained, r_first)
+    assert r_trained > r_first, (r_trained, r_first)
+    # Deterministic: a second training run yields identical centroids.
+    again = kmeans_train(corpus, n_centroids=n_blobs, iterations=6)
+    assert sorted(map(str, trained.collect())) == sorted(map(str, again.collect()))
