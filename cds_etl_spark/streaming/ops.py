@@ -226,6 +226,7 @@ def foreach_batch_partitioned_sink(
     stream_df: DataFrame,
     out_dir: str,
     checkpoint_dir: str,
+    fault=None,
 ) -> None:
     """Exactly-once parquet sink for non-transactional stores via
     ``foreachBatch``: each micro-batch overwrites its own
@@ -234,12 +235,22 @@ def foreach_batch_partitioned_sink(
     a transaction log, the standard pattern when the target is plain
     object storage rather than a table format with ACID commits.
     Readers see the whole dataset with ``batch_id`` as a partition
-    column (spark.read.parquet(out_dir))."""
+    column (spark.read.parquet(out_dir)).
+
+    ``fault`` (tests only): callable invoked with the epoch id AFTER
+    the partition write but BEFORE foreachBatch returns — raising
+    there simulates a crash in the exact window where the sink output
+    is durable but the checkpoint commit is not, the window that
+    duplicates rows in non-idempotent sinks. The crash-replay test
+    (tests/test_streaming.py) restarts from the same checkpoint and
+    asserts the replayed epoch overwrites, never appends."""
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={epoch_id}")
         )
+        if fault is not None:
+            fault(epoch_id)
 
     q = (
         stream_df.writeStream.foreachBatch(write_batch)

@@ -312,3 +312,52 @@ def test_cms_sketch_streaming_parity(spark, sf_dir, inbox):
     )
     assert _rows(got) == _rows(want)
     assert len(_rows(got)) > 0
+
+
+def test_foreach_batch_sink_crash_replay_exactly_once(
+    spark, inbox, sf_dir, tmp_path
+):
+    """Kill the query in the worst window — partition written, checkpoint
+    commit NOT recorded — then restart from the same checkpoint: the
+    replayed epoch must overwrite its partition, and the final dataset
+    must equal the source with zero duplicates (exactly-once)."""
+    import os
+
+    from cds_etl_spark.streaming.ops import foreach_batch_partitioned_sink
+
+    out = str(tmp_path / "out_crash")
+    ckpt = str(tmp_path / "ckpt_crash")
+
+    def crash_on_2(epoch_id: int) -> None:
+        if epoch_id == 2:
+            raise RuntimeError("injected crash after sink write, before commit")
+
+    st = event_stream(
+        spark, inbox["src"], inbox["schema"], max_files_per_trigger=1
+    ).select("event_id", "user_id", "value")
+    with pytest.raises(Exception, match="injected crash"):
+        foreach_batch_partitioned_sink(st, out, ckpt, fault=crash_on_2)
+
+    # The crash window is real: epoch 2's data is on disk but its
+    # checkpoint commit is missing, so a naive append sink would dupe.
+    written = {d for d in os.listdir(out) if d.startswith("batch_id=")}
+    assert "batch_id=2" in written
+    commits = {
+        f for f in os.listdir(os.path.join(ckpt, "commits"))
+        if not f.startswith(".")
+    }
+    assert "2" not in commits
+
+    # Restart with the PRODUCTION sink (no fault) from the same
+    # checkpoint: epoch 2 replays (overwrite), remaining epochs drain.
+    st2 = event_stream(
+        spark, inbox["src"], inbox["schema"], max_files_per_trigger=1
+    ).select("event_id", "user_id", "value")
+    foreach_batch_partitioned_sink(st2, out, ckpt)
+
+    back = spark.read.parquet(out)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    assert back.count() == back.select("event_id").distinct().count()  # no dupes
+    assert _rows(back.drop("batch_id")) == _rows(ev)
