@@ -144,3 +144,55 @@ def test_triangle_count_has_no_cartesian(spark, sf_dir):
     # wedge build and closure probe are equi-joins on node keys; the
     # degree orientation must never degrade to an unconstrained product
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_q7_q10_broadcast_dims_and_topk(spark, sf_dir):
+    # Nation dims (25 rows) must broadcast in both plans; Q10's top-20
+    # must compile to TakeOrderedAndProject, never a global sort.
+    p7 = plan(spark, sf_dir, "qs117_tpch_q7")
+    assert p7.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p7
+    p10 = plan(spark, sf_dir, "qs118_tpch_q10")
+    assert "TakeOrderedAndProject" in p10
+    assert "BroadcastHashJoin" in p10
+
+
+def test_bigram_lm_model_joins_stay_narrow(spark, sf_dir):
+    # Bigram construction is row-local (no window); the vocab-size
+    # one-row aggregate attaches by broadcast, not a shuffle join.
+    p = plan(spark, sf_dir, "qs119_bigram_lm")
+    assert "Window" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_pareto_frontier_has_no_all_pairs_join(spark, sf_dir):
+    # The skyline plan is the window formulation: no self-join of part
+    # against part (the NOT EXISTS oracle shape would be quadratic).
+    p = plan(spark, sf_dir, "qs121_pareto_frontier")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p  # frontier pairs broadcast back
+    assert "Window" in p
+
+
+def test_minhash_signature_surface_is_scan_fused(spark, sf_dir):
+    # Signature emission is a pure projection: zero exchanges, zero
+    # Python — the index build never shuffles the corpus.
+    p = plan(spark, sf_dir, "qs122_minhash_signatures")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_quality_filter_chain_is_zero_shuffle(spark, sf_dir):
+    # The corpus filter is one scan-fused pass: no exchange anywhere.
+    p = plan(spark, sf_dir, "qs124_quality_filter")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_event_transitions_single_user_shuffle(spark, sf_dir):
+    # One keyed shuffle for the per-user ordering window; the 5x5
+    # transition aggregation adds at most narrow exchanges after it.
+    p = plan(spark, sf_dir, "qs123_event_transitions")
+    assert "Window" in p
+    assert p.count("Exchange") <= 3
