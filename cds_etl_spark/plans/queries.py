@@ -3748,8 +3748,11 @@ def qs121(spark: SparkSession, sf: str) -> DataFrame:
     row per price (max size), a single ordered window computes the
     running max over strictly-smaller prices, and a (price, size) pair
     is on the frontier iff it beats that running max and is its
-    price's best. One narrow sort shuffle over distinct prices —
-    skyline at 100 TB without an all-pairs join."""
+    price's best. The global window's input is the DISTINCT-price
+    aggregate, which is DOMAIN-bounded (2-dp prices in a bounded
+    range → ≤ ~120k rows no matter how many parts), not
+    corpus-bounded — the corpus itself sees one map-side aggregate
+    and one broadcast join back, never an all-pairs join."""
     p = load_table(spark, sf, "part")
     per_price = p.groupBy(F.col("p_retailprice").alias("price")).agg(
         F.max("p_size").alias("msize")
