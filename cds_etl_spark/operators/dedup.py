@@ -244,12 +244,29 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     block_col: str | None = "label",
     min_cosine: float = 0.4,
+    allow_full_scan: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked on an equality
     column (cluster/label/bucket id). The block join keeps the pair
     space per-block; at 100 TB the block column comes from a coarse
     quantizer (see similarity.ivf_assign) so no O(n²) global join ever
-    forms."""
+    forms.
+
+    ``block_col=None`` therefore raises: an unblocked call silently
+    builds the full O(n²) self-join, which is never the plan you want
+    at scale. Derive a block column first (``ivf_assign`` for a
+    learned quantizer, ``hyperplane_lsh_assign`` for a data-independent
+    one), or
+    pass ``allow_full_scan=True`` to explicitly opt in on a dataset
+    known to be driver-small (tests, spot-checks)."""
+    if block_col is None and not allow_full_scan:
+        raise ValueError(
+            "embedding_neardup_pairs(block_col=None) builds an O(n^2) "
+            "all-pairs self-join. Assign a block column first (e.g. "
+            "similarity.ivf_assign or similarity.hyperplane_lsh_assign"
+            "), or pass "
+            "allow_full_scan=True for a deliberately small input."
+        )
     v = df.select(
         F.col(id_col).alias("_id"),
         *( [F.col(block_col)] if block_col else [] ),

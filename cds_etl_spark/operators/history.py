@@ -15,6 +15,7 @@ aggregated history instead of a re-read-rewrite of emitted TSVs."""
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -22,6 +23,13 @@ from pyspark.sql import functions as F
 NodeTables = dict[str, DataFrame]
 
 STATE_SCHEMA = "key string, value string"
+
+
+def _rm(path: str) -> None:
+    if os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
+    elif os.path.exists(path):
+        os.remove(path)
 
 
 def _read_state(spark: SparkSession, path: str) -> DataFrame:
@@ -44,8 +52,19 @@ def add_historical_value(
         F.explode(F.split(F.col(f"`{value_col}`").cast("string"), ",")).alias("value"),
     ).select("key", F.trim("value").alias("value")).filter(F.col("value") != "")
     merged = _read_state(spark, state_path).unionByName(batch).distinct()
-    # Small state (one row per historical value per study); rewrite.
-    merged.toPandas().to_parquet(state_path, index=False)
+    # Small state (one row per historical value per study). Spark-native
+    # rewrite: stage to a sibling temp dir, then swap into place — the
+    # write materializes into the *temp* path, so the lazy read of the
+    # current state above is never overwritten mid-scan, and a crash
+    # between the renames leaves either the old or the new state intact.
+    tmp, old = state_path + ".tmp", state_path + ".old"
+    _rm(tmp)
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    _rm(old)
+    if os.path.exists(state_path):
+        os.rename(state_path, old)
+    os.rename(tmp, state_path)
+    _rm(old)
 
 
 def stamp_historical_value(

@@ -577,9 +577,22 @@ def qs30(spark: SparkSession, sf: str) -> DataFrame:
 )
 def qs31(spark: SparkSession, sf: str) -> DataFrame:
     """Regex scan — the SSN/PII detector pattern (O26,
-    cds_transformation_functions.py:284-299)."""
+    cds_transformation_functions.py:284-299).
+
+    Plan note: the oracle regex ``join.*hash|hash.*join`` is exactly
+    ``contains('join') AND contains('hash')`` for newline-free text
+    ("join"/"hash" cannot overlap, so whichever occurs first the other
+    follows it; ``.`` excludes ``\\n`` identically in Java and RE2).
+    The documents corpus is single-line (asserted in
+    tests/test_plans.py), so the Spark side uses the substring
+    conjunction — two SIMD-friendly ``contains`` kernels inside
+    WholeStageCodegen instead of a backtracking java.util.regex
+    alternation per row, which was the one >2×-vs-DuckDB query at sf1
+    (BENCH_r04)."""
     d = load_table(spark, sf, "documents")
-    return d.filter(F.col("text").rlike("join.*hash|hash.*join")).select("doc_id")
+    return d.filter(
+        F.col("text").contains("join") & F.col("text").contains("hash")
+    ).select("doc_id")
 
 
 @query(
@@ -3704,7 +3717,7 @@ def qs119(spark: SparkSession, sf: str) -> DataFrame:
 def qs120(spark: SparkSession, sf: str) -> DataFrame:
     """Multi-source BFS (operators/components.bfs_levels) over the
     document blocking graph: minimum hop distance from the seed set
-    (doc_id % 100 = 0), 3 hops. The Spark side is textbook frontier
+    (doc_id % 20 = 0), 3 hops. The Spark side is textbook frontier
     BFS — one equi-join + visited anti-join per hop, each node emitted
     once at its first level — while the oracle states the same closure
     as a depth-bounded recursive CTE with MIN(level). UNION (not ALL)

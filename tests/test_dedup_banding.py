@@ -80,6 +80,28 @@ def test_jaccard_value_exact(corpus, spark):
     assert rows[("b1", "b2")] == pytest.approx(1.0)
 
 
+# ----------------------------------------------------- embedding_neardup_pairs
+
+
+def test_embedding_neardup_unblocked_raises(spark):
+    """block_col=None must not silently build the O(n^2) all-pairs
+    self-join — the guard routes users to a quantizer instead."""
+    from cds_etl_spark.operators.dedup import embedding_neardup_pairs
+
+    vecs = spark.createDataFrame(
+        [(1, "a", [1.0, 0.0]), (2, "a", [1.0, 0.01]), (3, "b", [0.0, 1.0])],
+        "vec_id long, label string, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="all-pairs"):
+        embedding_neardup_pairs(vecs, block_col=None)
+    # Explicit opt-in still works for deliberately small inputs...
+    full = embedding_neardup_pairs(vecs, block_col=None, allow_full_scan=True)
+    assert {(r.d1, r.d2) for r in full.filter("cos > 0.99").collect()} == {(1, 2)}
+    # ...and the blocked default path is unchanged.
+    blocked = embedding_neardup_pairs(vecs, min_cosine=0.99)
+    assert {(r.d1, r.d2) for r in blocked.collect()} == {(1, 2)}
+
+
 # -------------------------------------------------------------- segment_dedup
 
 

@@ -3,7 +3,13 @@ must hold and stay held — filters/projections reaching the parquet
 scan, dimension joins broadcasting (never shuffling the fact side for a
 25-row dim), top-k compiling to TakeOrderedAndProject (per-partition k,
 no global sort), and aggregations running partial+final (map-side
-combine) rather than shuffling raw rows."""
+combine) rather than shuffling raw rows.
+
+Plan-string assertions (operator names, Exchange counts) were validated
+on Spark 4.1.x with AQE on; they encode the shapes we *want*, so on a
+Spark upgrade a failure here means "re-audit the plan", not necessarily
+"the code regressed". Exact-count assertions are upper bounds for that
+reason."""
 
 import pytest
 

@@ -7,6 +7,7 @@ Usage: python tools/driver_diff.py qs48_time_range_frame [qs66 ...]
 
 from __future__ import annotations
 
+import datetime
 import os
 import sys
 
@@ -37,7 +38,11 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
                 pd.to_datetime(v).dt.tz_localize(None).astype("datetime64[us]")
             )
         elif v.dtype == object and v.map(
-            lambda x: x is None or type(x).__name__ == "date"
+            lambda x: x is None
+            or (
+                isinstance(x, datetime.date)
+                and not isinstance(x, datetime.datetime)
+            )
         ).all() and v.notna().any():
             df[col] = pd.to_datetime(v).astype("datetime64[us]")
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
