@@ -32,65 +32,71 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries occupy that window so every query accumulates a green driver row.
 # History: r01 graded the first 50 registered; r02 the repaired rows plus
 # the 47 the r01 window missed; r03 the round-3 additions qs103..qs116 and
-# r02's repaired rows backfilled by registration order. r04 (this list)
-# grades the round-4 additions qs117..qs124, qs94 (now oracle-backed via a
-# recursive-CTE PageRank), and 41 of the 64 queries r03's window skipped.
-# Remaining for the r05 window (all r01/r02-green already): qs72..qs102
-# (23 queries, see plans/__init__ registry order).
+# r02's repaired rows backfilled by registration order; r04 the round-4
+# additions qs117..qs124, qs94, and 41 of the 64 queries r03 skipped.
+# r05 (this list) completes the rotation: the 23 queries whose freshest
+# green row was still r02 (qs72..qs102 leftovers), qs91 (newly
+# hash-checkable — its composed-pipeline oracle landed this round) and
+# qs31 (Spark plan rewritten to a substring conjunction this round), then
+# the 25 stalest r03-graded entries as backfill. After this round every
+# registry entry has a green row from r03 or later.
 # Every name below MUST exist in the registry — tests/test_sql_surface.py
 # asserts set(_GRADE_FIRST) <= set(QUERIES) so a typo fails loudly instead
 # of silently falling back to registration order (the r03 defect).
 _GRADE_FIRST = [
-    "qs117_tpch_q7",
-    "qs118_tpch_q10",
-    "qs119_bigram_lm",
-    "qs120_graph_bfs",
-    "qs121_pareto_frontier",
-    "qs122_minhash_signatures",
-    "qs123_event_transitions",
-    "qs124_quality_filter",
-    "qs94_pagerank",
-    "qs25_global_topk",
-    "qs26_intersect",
-    "qs27_except",
-    "qs28_union_all",
-    "qs30_string_functions",
+    # -- r02-stale queue (23) --
+    "qs72_sequence_explode",
+    "qs73_bitwise",
+    "qs74_nullsafe_join",
+    "qs75_greatest_least",
+    "qs76_string_pad",
+    "qs77_try_cast",
+    "qs78_scalar_subquery",
+    "qs79_width_bucket",
+    "qs80_regexp_extract_replace",
+    "qs81_connected_dedup",
+    "qs83_decontaminate",
+    "qs84_bm25",
+    "qs85_scd2_apply",
+    "qs86_corr_covar",
+    "qs87_regression_agg",
+    "qs88_profile_columns",
+    "qs92_forward_fill",
+    "qs93_resample_grid",
+    "qs95_table_diff",
+    "qs97_weighted_sample",
+    "qs99_funnel",
+    "qs101_histogram",
+    "qs102_schema_evolution_union",
+    # -- changed this round (2) --
+    "qs91_llm_pipeline_manifest",
     "qs31_regex_filter",
-    "qs32_datetime_functions",
-    "qs33_math_functions",
-    "qs34_json_extraction",
-    "qs35_array_functions",
-    "qs40_case_coalesce",
-    "qs41_distinct",
-    "qs42_having",
-    "qs50_word_count",
-    "qs51_dedup_blocking",
-    "qs52_cosine_topk",
-    "qs53_vector_group_agg",
-    "qs55_minhash_lsh_pairs",
-    "qs57_ngram_jaccard_pairs",
-    "qs58_embedding_neardup",
-    "qs59_ivf_topk",
-    "qs61_cosine_topk_pandas",
-    "qs60_document_profile",
-    "qs09_asof_join",
-    "qs16_pivot",
-    "qs62_approx_count_distinct",
-    "qs63_approx_quantiles",
-    "qs17_grouping_sets",
-    "qs24_window_navigation",
-    "qs29_setops_all",
-    "qs37_levenshtein",
-    "qs38_date_arithmetic",
-    "qs39_conditional_agg",
-    "qs47_map_aggregation",
-    "qs49_in_subquery",
-    "qs65_hash_sample",
-    "qs67_stratified_sample",
-    "qs68_interleave_sources",
-    "qs69_unpivot",
-    "qs70_grouping_id",
-    "qs71_rank_pct",
+    # -- stalest r03 backfill (25) --
+    "qs01_scan_filter_project",
+    "qs02_project_expr_like",
+    "qs03_broadcast_join",
+    "qs04_left_outer_join",
+    "qs05_semi_join",
+    "qs06_anti_join",
+    "qs07_self_theta_join",
+    "qs08_range_join",
+    "qs10_groupby_agg_tpch_q1",
+    "qs11_count_distinct",
+    "qs12_rollup",
+    "qs13_cube",
+    "qs14_combine_rows_string_agg",
+    "qs15_min_max_stddev",
+    "qs20_topk_per_group",
+    "qs21_ranking_family",
+    "qs22_lag_lead_rows_frame",
+    "qs23_window_aggregate",
+    "qs54_exact_dedup",
+    "qs56_simhash",
+    "qs64_salted_agg",
+    "qs36_higher_order_arrays",
+    "qs43_sessionize",
+    "qs44_percentile_exact",
+    "qs45_correlated_scalar_subquery",
 ]
 
 

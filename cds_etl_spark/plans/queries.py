@@ -2451,14 +2451,145 @@ def qs90(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("qs91_llm_pipeline_manifest")
+# k=3 shingle set over a pre-split token array (template over the token
+# column name) — the same transform as _SHINGLES_CTE, reused by the
+# composed-pipeline oracle below at three different scopes.
+def _sh3(t: str) -> str:
+    return (
+        f"CASE WHEN len({t}) >= 3 THEN list_distinct(list_transform("
+        f"range(1, len({t})-1), i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2])) "
+        f"ELSE [] END"
+    )
+
+
+def _llm_manifest_oracle() -> str:
+    """The llm_pipeline.prepare_training_data composition as one DuckDB
+    CTE chain — each stage restated from its individually-green stage
+    oracle (qs60 lang/quality, qs89 repetition, qs54 exact dedup,
+    qs55 MinHash-LSH, qs81 connected components, qs83 decontamination,
+    qs82 packing), scoped to the pipeline's corpus/probe split."""
+    hits = ", ".join(
+        f"CAST(len(list_filter(toks, t -> list_contains({_sql_list(lex)}, t)))"
+        f" AS BIGINT) AS h_{lang}"
+        for lang, lex in LANG_LEXICONS.items()
+    )
+    gr = "greatest(" + ", ".join(f"h_{lang}" for lang in LANG_LEXICONS) + ")"
+    lang_case = (
+        f"CASE WHEN {gr} = 0 THEN 'und' "
+        + " ".join(f"WHEN h_{lang} = {gr} THEN '{lang}'" for lang in LANG_LEXICONS)
+        + " END"
+    )
+    return f"""
+    WITH RECURSIVE
+    corpus0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 101 <> 0),
+    probe0  AS (SELECT doc_id, text FROM documents WHERE doc_id % 101 = 0),
+    lb AS (SELECT doc_id, text,
+             regexp_split_to_array(lower(text), '\\s+') AS toks
+           FROM corpus0),
+    lf AS (SELECT doc_id, text, toks,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
+               AS n_punct,
+             {hits},
+             COALESCE(list_sum(list_transform(toks, t -> length(t))), 0)
+               AS sum_tok_len
+           FROM lb),
+    lg AS (SELECT doc_id, text, n_tokens,
+             CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars::DOUBLE
+                  ELSE 0.0 END AS punct_ratio,
+             CASE WHEN n_tokens > 0 THEN h_en::DOUBLE / n_tokens::DOUBLE
+                  ELSE 0.0 END AS stopword_ratio,
+             CASE WHEN n_tokens > 0 THEN sum_tok_len::DOUBLE / n_tokens::DOUBLE
+                  ELSE 0.0 END AS mean_token_len,
+             {lang_case} AS lang_guess
+           FROM lf),
+    lq AS (SELECT doc_id, text, lang_guess,
+             (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 1 ELSE 0 END
+              + CASE WHEN stopword_ratio > 0 THEN 1 ELSE 0 END
+              + CASE WHEN punct_ratio < 0.2 THEN 1 ELSE 0 END
+              + CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0
+                     THEN 1 ELSE 0 END)::DOUBLE / 4.0 AS quality
+           FROM lg),
+    rt AS (SELECT doc_id, string_split(lower(text), ' ') AS ltoks FROM corpus0),
+    rg AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(ltoks)),
+                                   i -> ltoks[i] || ' ' || ltoks[i+1])) AS gram
+           FROM rt WHERE len(ltoks) >= 2),
+    rc AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM rg GROUP BY doc_id, gram),
+    rep AS (SELECT doc_id, MAX(cnt)::DOUBLE / SUM(cnt)::DOUBLE AS top_fraction
+            FROM rc GROUP BY doc_id),
+    filtered AS (
+      SELECT lq.doc_id, lq.text, lq.lang_guess
+      FROM lq LEFT JOIN rep ON lq.doc_id = rep.doc_id
+      WHERE lq.lang_guess IN ('en') AND lq.quality >= 0.5
+        AND COALESCE(rep.top_fraction, 0.0) <= 0.5),
+    survivors AS (SELECT MIN(doc_id) AS doc_id FROM filtered GROUP BY md5(text)),
+    deduped AS (SELECT f.* FROM filtered f JOIN survivors s USING (doc_id)),
+    mt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM deduped),
+    msh AS (SELECT doc_id, {_sh3('toks')} AS shset FROM mt),
+    sig AS (SELECT doc_id, shset, [{_MINHASH_SIG_SQL}] AS sg FROM msh),
+    bands AS (
+      SELECT doc_id,
+        [md5(sg[1]||','||sg[2]||','||sg[3]), md5(sg[4]||','||sg[5]||','||sg[6]),
+         md5(sg[7]||','||sg[8]||','||sg[9]), md5(sg[10]||','||sg[11]||','||sg[12])]
+          AS bk
+      FROM sig),
+    exploded AS (
+      SELECT doc_id, g.i AS bi, bk[g.i] AS key
+      FROM bands, (SELECT unnest(range(1,5)) AS i) g),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM exploded a JOIN exploded b
+        ON a.bi = b.bi AND a.key = b.key AND a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT cand.d1, cand.d2
+      FROM cand JOIN msh sa ON cand.d1 = sa.doc_id
+                JOIN msh sb ON cand.d2 = sb.doc_id
+      WHERE {_JACCARD_SQL.format(a='sa.shset', b='sb.shset')} >= 0.5),
+    edges AS (SELECT d1 a, d2 b FROM pairs UNION SELECT d2, d1 FROM pairs),
+    reach(a, b) AS (SELECT a, b FROM edges
+                    UNION
+                    SELECT r.a, e.b FROM reach r
+                    JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+    comp AS (SELECT a AS node, LEAST(a, MIN(b)) AS component
+             FROM reach GROUP BY a),
+    losers AS (SELECT node AS doc_id FROM comp WHERE node <> component),
+    clustered AS (SELECT d.* FROM deduped d
+                  WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)),
+    pt AS (SELECT string_split(lower(text), ' ') AS toks FROM probe0),
+    psh AS (SELECT DISTINCT unnest({_sh3('toks')}) AS s FROM pt),
+    ct AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM clustered),
+    csh AS (SELECT doc_id, unnest({_sh3('toks')}) AS s FROM ct),
+    contaminated AS (SELECT DISTINCT csh.doc_id
+                     FROM csh JOIN psh ON csh.s = psh.s),
+    clean AS (SELECT c.* FROM clustered c
+              WHERE c.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    pk AS (SELECT doc_id, lang_guess,
+             len(string_split(text, ' ')) AS n_tokens FROM clean),
+    pc AS (SELECT doc_id, lang_guess, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY lang_guess ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tokens
+                  AS BIGINT) AS cum_before
+           FROM pk WHERE n_tokens > 0)
+    SELECT lang_guess, doc_id,
+           unnest(generate_series(CAST(cum_before // 256 AS BIGINT),
+                                  CAST((cum_before + n_tokens - 1) // 256
+                                       AS BIGINT))) AS chunk_id,
+           n_tokens, cum_before
+    FROM pc
+    """
+
+
+@query("qs91_llm_pipeline_manifest", oracle=_llm_manifest_oracle())
 def qs91(spark: SparkSession, sf: str) -> DataFrame:
     """Composed LLM training-data pipeline (llm_pipeline.py): language
     + quality + repetition filters → exact dedup → MinHash-LSH cluster
-    dedup → decontamination → sequence packing. Rows-only by design —
-    each stage is individually oracle-checked (qs54/qs55-ish, qs81,
-    qs83, qs82); the composition's invariants are unit-tested
-    (tests/test_llm_pipeline.py)."""
+    dedup → decontamination → sequence packing. Hash-checked since r5:
+    the oracle restates the whole composition as one CTE chain built
+    from the individually-green stage oracles (qs60, qs89, qs54, qs55,
+    qs81, qs83, qs82); the composition's invariants are additionally
+    unit-tested (tests/test_llm_pipeline.py)."""
     from cds_etl_spark.llm_pipeline import prepare_training_data
 
     d = load_table(spark, sf, "documents")
