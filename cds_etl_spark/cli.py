@@ -17,7 +17,13 @@ flag, config key for config key:
   (:188-212);
 * ``--download_s3`` / ``--upload_s3``: raw-file transfer
   (sources/transfer.py), subfoldered by the O33 batch timestamp
-  (:114-115, upload_files :82-104).
+  (:114-115, upload_files :82-104);
+* ``--pipeline_version 1.2``: EP3 — the v1.0/v1.2 seven-sheet workbook
+  flow (`cds-transformation_v1.2.py:92-200`, pipeline_v12.py), where
+  each batch file is a workbook (xlsx, or a ``*.book/`` directory of
+  per-sheet tsv/csv/parquet files for the no-openpyxl path) and
+  outputs are prefixed with the study's phs_accession instead of the
+  raw file name.
 
 Beyond the reference: data files may be ``.tsv``/``.csv``/``.parquet``
 as well as ``.xlsx`` (the xlsx edge adapter needs openpyxl), and
@@ -115,6 +121,31 @@ def data_files(config: dict) -> list[str]:
     for sfx in DATA_SUFFIXES:
         files += glob.glob(os.path.join(base, f"*{sfx}"))
     return sorted(files)
+
+
+def workbooks(config: dict) -> list[str]:
+    """v1.2 batch inputs: xlsx workbooks, or ``*.book`` directories of
+    per-sheet files (the engine's openpyxl-free workbook form)."""
+    base = os.path.join(config["DATA_FOLDER"], config["DATA_BATCH_NAME"])
+    return sorted(
+        glob.glob(os.path.join(base, "*.xlsx"))
+        + [p for p in glob.glob(os.path.join(base, "*.book")) if os.path.isdir(p)]
+    )
+
+
+def read_sheet(spark: SparkSession, workbook: str, sheet: str) -> DataFrame | None:
+    """One named sheet from a workbook; None when the sheet is absent
+    (the reference hard-fails on missing sheets — absence-tolerance is
+    an engine extension so partial workbooks still transform)."""
+    if workbook.endswith(".xlsx"):
+        from cds_etl_spark.sources.excel import read_excel_sheet
+
+        return read_excel_sheet(spark, workbook, sheet)
+    for sfx in (".tsv", ".csv", ".parquet"):
+        p = os.path.join(workbook, f"{sheet}{sfx}")
+        if os.path.exists(p):
+            return read_metadata(spark, p)
+    return None
 
 
 def _build_pipeline(config: dict, model: Model) -> CdsPipeline:
@@ -226,6 +257,63 @@ def run_transform(spark: SparkSession, config: dict, model: Model) -> dict[str, 
     return written
 
 
+def run_transform_v12(
+    spark: SparkSession, config: dict, model: Model
+) -> dict[str, list[str]]:
+    """--pipeline_version 1.2: the EP3 seven-sheet flow per workbook
+    (`cds-transformation_v1.2.py:92-200`)."""
+    from cds_etl_spark.pipeline_v12 import MAPPING_SHEET, SHEET_NODES, CdsPipelineV12
+
+    raw_dict = load_yaml(config["RAW_DATA_DICTIONARY"]) or {}
+    clean_dict = (
+        load_yaml(config["CLEAN_DICT"]) or {} if config.get("CLEAN_DICT") else {}
+    )
+    pipe = CdsPipelineV12(model, raw_dict, config, clean_dict)
+    out_dir = os.path.join(config["OUTPUT_FOLDER"], config["DATA_BATCH_NAME"])
+    os.makedirs(out_dir, exist_ok=True)
+
+    written: dict[str, list[str]] = {"nodes": []}
+    for book in workbooks(config):
+        log.info("start transforming %s", os.path.basename(book))
+        sheets = {}
+        for sheet in list(SHEET_NODES) + [MAPPING_SHEET]:
+            df = read_sheet(spark, book, sheet)
+            if df is not None:
+                sheets[sheet] = df
+        tables = pipe.run(sheets)
+        prefix = pipe.study_prefix(tables)
+        for node, df in tables.items():
+            p = write_tsv_file(df, out_dir, node, prefix=prefix)
+            if p:
+                written["nodes"].append(p)
+                log.info("wrote %s", p)
+    return written
+
+
+def run_extract_dictionary_v12(
+    spark: SparkSession, config: dict, model: Model
+) -> str:
+    """--pipeline_version 1.2 --extract_raw_data_dictionary: infer the
+    dictionary per (sheet, node) pair instead of v1.3's
+    every-node-per-file sweep (`cds-transformation_v1.2.py:201-255`)."""
+    from cds_etl_spark.pipeline_v12 import SHEET_NODES
+
+    raw_dict: dict[str, dict[str, str]] = {}
+    limit = float(config.get("RATIO_LIMIT", 0.75))
+    for book in workbooks(config):
+        log.info("extracting raw data dictionary from %s", os.path.basename(book))
+        for sheet, node in SHEET_NODES.items():
+            df = read_sheet(spark, book, sheet)
+            if df is not None and node in model.nodes:
+                raw_dict = extract_raw_data_dict(df, model, node, limit, raw_dict)
+    out = config["RAW_DATA_DICTIONARY"]
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    with open(out, "w") as f:
+        yaml.dump(raw_dict, f, default_flow_style=False)
+    log.info("raw data dictionary stored in %s", out)
+    return out
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="python -m cds_etl_spark",
@@ -249,6 +337,13 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="Download raw data files from the remote root before the run",
     )
+    parser.add_argument(
+        "--pipeline_version",
+        choices=["1.3", "1.2"],
+        default="1.3",
+        help="Reference generation to run: 1.3 (single-sheet metadata, "
+        "default) or 1.2 (seven-sheet workbook flow)",
+    )
     return parser
 
 
@@ -271,10 +366,13 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         if args.download_s3:
             got = download_batch(spark, config)
             log.info("downloaded %d raw files", len(got))
+        v12 = args.pipeline_version == "1.2"
         if args.extract_raw_data_dictionary:
-            run_extract_dictionary(spark, config, model)
+            (run_extract_dictionary_v12 if v12 else run_extract_dictionary)(
+                spark, config, model
+            )
         else:
-            run_transform(spark, config, model)
+            (run_transform_v12 if v12 else run_transform)(spark, config, model)
             if args.upload_s3:
                 up = upload_batch(spark, config, timestamp)
                 log.info(
