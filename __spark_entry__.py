@@ -34,16 +34,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # the 47 the r01 window missed; r03 the round-3 additions qs103..qs116 and
 # r02's repaired rows backfilled by registration order; r04 the round-4
 # additions qs117..qs124, qs94, and 41 of the 64 queries r03 skipped.
-# r05 (this list) completes the rotation: the 23 queries whose freshest
-# green row was still r02 (qs72..qs102 leftovers), qs91 (newly
-# hash-checkable — its composed-pipeline oracle landed this round) and
-# qs31 (Spark plan rewritten to a substring conjunction this round), then
-# the 25 stalest r03-graded entries as backfill. After this round every
-# registry entry has a green row from r03 or later.
+# r05 (this list) completes the rotation: the round-5 additions
+# qs125..qs129 first, then the 23 queries whose freshest green row was
+# still r02 (qs72..qs102 leftovers), qs91 (newly hash-checkable — its
+# composed-pipeline oracle landed this round) and qs31 (Spark plan
+# rewritten to a substring conjunction this round), then the 20 stalest
+# r03-graded entries as backfill. After this round every registry entry
+# has a green row from r03 or later.
 # Every name below MUST exist in the registry — tests/test_sql_surface.py
 # asserts set(_GRADE_FIRST) <= set(QUERIES) so a typo fails loudly instead
 # of silently falling back to registration order (the r03 defect).
 _GRADE_FIRST = [
+    # -- round-5 additions (5) --
+    "qs125_tpch_q4_exists",
+    "qs126_tpch_q12_shipmode",
+    "qs127_tpch_q14_promo",
+    "qs128_tpch_q19_disjunctive",
+    "qs129_tpch_q22_antijoin",
     # -- r02-stale queue (23) --
     "qs72_sequence_explode",
     "qs73_bitwise",
@@ -92,11 +99,6 @@ _GRADE_FIRST = [
     "qs23_window_aggregate",
     "qs54_exact_dedup",
     "qs56_simhash",
-    "qs64_salted_agg",
-    "qs36_higher_order_arrays",
-    "qs43_sessionize",
-    "qs44_percentile_exact",
-    "qs45_correlated_scalar_subquery",
 ]
 
 

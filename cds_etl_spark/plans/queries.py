@@ -4063,3 +4063,210 @@ def qs124(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise("pass")
         .alias("verdict"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-5 additions: the remaining TPC-H shapes expressible over the
+# shipped star schema (no partsupp table; Q4/Q12/Q14/Q19/Q22 adapted to
+# the available columns, keeping each query's canonical PLAN property —
+# the thing worth regression-testing at 100 TB).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs125_tpch_q4_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+    GROUP BY o_orderpriority
+    """,
+)
+def qs125(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking) shape: EXISTS decorrelates to
+    a LEFT SEMI join — the fact side never duplicates however many
+    lineitems match, and the semi join degenerates to a distinct-keys
+    probe build. The date filter prunes orders before the shuffle."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("date"))
+        )
+        .join(
+            li.filter(F.col("l_discount") > 0.05).select("l_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "qs126_tpch_q12_shipmode",
+    oracle="""
+    SELECT l_returnflag,
+      CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def qs126(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 (shipping-modes/priority) shape: fact-fact equi-join
+    with the selective filter pushed to the lineitem scan, then a
+    conditional two-way count — integer aggregates, no float
+    sensitivity. l_returnflag stands in for the schema's missing
+    l_shipmode; the plan property (filter-before-join + map-side
+    partial agg on a low-cardinality key) is Q12's."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        )
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "qs127_tpch_q14_promo",
+    oracle="""
+    SELECT
+      CAST(SUM(CASE WHEN p_type = 'PROMO'
+            THEN CAST(ROUND(l_extendedprice*(1-l_discount)*10000,0) AS BIGINT)
+            ELSE 0 END) AS BIGINT) AS promo_e4,
+      CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000,0) AS BIGINT))
+           AS BIGINT) AS total_e4
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1997-09-01' AND l_shipdate < DATE '1997-10-01'
+    """,
+)
+def qs127(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect) shape: month-sliced lineitem with a
+    BROADCAST part join (dimension never shuffles the fact), conditional
+    revenue ratio held as exact 1e-4-scaled integer numerator +
+    denominator (qs100's cents policy) — the caller divides; the stored
+    artifact stays accumulation-order-independent."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("bigint")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-09-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01").cast("date"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+            .alias("promo_e4"),
+            F.sum(rev).alias("total_e4"),
+        )
+    )
+
+
+@query(
+    "qs128_tpch_q19_disjunctive",
+    oracle="""
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100,0) AS BIGINT))
+                AS BIGINT) AS rev_c,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def qs128(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue) shape: OR-of-ANDs spanning both
+    join sides. The single-side conjuncts are derivable per branch —
+    Catalyst pushes the disjunction of part-only predicates
+    (brand+size) below the join on the part side and the quantity
+    disjunction on the lineitem side, so the broadcast join probes a
+    pre-filtered fact instead of filtering post-join. Exact-cents sum."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    b = F.col("p_brand")
+    sz = F.col("p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((b == "Brand#12") & sz.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#23") & sz.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#3") & sz.between(1, 15) & q.between(20, 30))
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(F.sum(rev).alias("rev_c"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "qs129_tpch_q22_antijoin",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(SUM(CAST(ROUND(c_acctbal*100,0) AS BIGINT)) AS BIGINT) AS tot,
+             COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0)
+    SELECT c_mktsegment, COUNT(*) AS numcust,
+           CAST(SUM(CAST(ROUND(c_acctbal*100,0) AS BIGINT)) AS BIGINT) AS totbal_c
+    FROM customer, s
+    WHERE CAST(ROUND(c_acctbal*100,0) AS BIGINT) * s.n > s.tot
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    GROUP BY c_mktsegment
+    """,
+)
+def qs129(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 (global-sales-opportunity) shape: above-average
+    account balance via a broadcast one-row aggregate, NOT EXISTS as a
+    LEFT ANTI join (here against big-ticket orders — every customer has
+    SOME order in this data, so Q22's "no orders at all" would be
+    degenerate). The average threshold compares in EXACT integer space
+    (cents*count > total-cents) — a float mean differs in the last ulp
+    between engines and could flip a boundary customer; the integer
+    cross-multiplication cannot. c_mktsegment stands in for the
+    schema's missing phone-prefix grouping."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    stats = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.sum(cents).alias("tot"), F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        c.crossJoin(F.broadcast(stats))
+        .filter(cents * F.col("n") > F.col("tot"))
+        .join(
+            o.filter(F.col("o_totalprice") > 400000).select("o_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(cents).alias("totbal_c"),
+        )
+    )

@@ -202,3 +202,39 @@ def test_event_transitions_single_user_shuffle(spark, sf_dir):
     p = plan(spark, sf_dir, "qs123_event_transitions")
     assert "Window" in p
     assert p.count("Exchange") <= 3
+
+
+def test_exists_compiles_to_semi_join(spark, sf_dir):
+    # qs125 (TPC-H Q4): EXISTS must run as a LEFT SEMI broadcast/hash
+    # join — never duplicating the orders side per matching lineitem.
+    p = plan(spark, sf_dir, "qs125_tpch_q4_exists")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q19_disjunction_pushes_to_both_scans(spark, sf_dir):
+    # qs128 (TPC-H Q19): the OR-of-ANDs must split — part-only
+    # conjuncts (brand/size) below the join on the part scan, the
+    # quantity disjunction on the lineitem scan — so the join probes
+    # pre-filtered inputs instead of filtering post-join.
+    p = plan(spark, sf_dir, "qs128_tpch_q19_disjunctive")
+    li_scan = [
+        ln for ln in p.splitlines()
+        if "FileScan" in ln and "l_quantity" in ln
+    ]
+    part_scan = [
+        ln for ln in p.splitlines()
+        if "FileScan" in ln and "p_brand" in ln
+    ]
+    assert li_scan and "l_quantity" in li_scan[0].split("DataFilters")[-1]
+    assert part_scan and "p_brand" in part_scan[0].split("DataFilters")[-1]
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+
+
+def test_q22_anti_join_with_broadcast_threshold(spark, sf_dir):
+    # qs129 (TPC-H Q22): NOT EXISTS as LEFT ANTI; the one-row stats
+    # aggregate broadcasts (no shuffled join for the threshold).
+    p = plan(spark, sf_dir, "qs129_tpch_q22_antijoin")
+    assert "LeftAnti" in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
