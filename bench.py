@@ -49,6 +49,10 @@ from pyspark.sql import functions as F
 
 from cds_etl_spark.catalog import TABLES, load_table
 from cds_etl_spark.plans import QUERIES
+from cds_etl_spark.session import (
+    LOCAL_LATENCY_LARGE_DATA_BYTES,
+    default_parallelism,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = 8  # per-query sequential best-of-N: run variance at sf0.1 is ±20%
@@ -82,22 +86,47 @@ WAREHOUSE = os.environ.get("SPARK_GRAFT_BENCH_WAREHOUSE", "/tmp/cds_etl_spark_wh
 #   CO-LOCATED shuffled-hash join (no Exchange on either side, no
 #   per-run broadcast build) and q5's groupBy / q8's window ride the
 #   bucketing with no shuffle (plan-asserted in tests/test_bucketed.py).
-# * lineitem is RANGE-partitioned by l_shipdate into 16 sorted files:
-#   q1's date filter prunes most columnar-cache batches via batch
-#   min/max stats, and q2's 2-key aggregation gets 16-way map-side
-#   parallelism (measured faster than bucketing lineitem by the
-#   4-combination grouping pair, which capped the scan at 4 skewed
-#   tasks: parallelism beats shuffle elision when the shuffle carries
-#   4 grouped rows).
-#   table -> (bucket_cols, num_buckets, sort_cols)
-BUCKETED: dict[str, tuple[list[str], int, list[str]]] = {
-    "orders": (["o_custkey"], 8, ["o_custkey"]),
-    "customer": (["c_custkey"], 8, ["c_custkey"]),
+# * lineitem is RANGE-partitioned by l_shipdate into sorted files:
+#   q1's date filter prunes most batches via min/max stats, and q2's
+#   2-key aggregation gets file-count-way map-side parallelism
+#   (measured faster than bucketing lineitem by the 4-combination
+#   grouping pair, which capped the scan at 4 skewed tasks).
+#
+# COUNTS SCALE WITH THE DATA — a layout parameter tuned at one SF is a
+# scale bug at 100x (r5 finding: the static 16-way lineitem range and
+# 8 buckets left half the cores idle at sf10 while the 2 MB scan-split
+# conf shattered the same files into 667 straggler tasks). The same
+# rule a warehouse uses: partitions sized to ~1-4M rows each, bucket
+# counts from the fact side's row count, identical on both sides of a
+# co-located join.
+#   table -> (bucket_cols, sort_cols); count from bucket_count()
+BUCKETED: dict[str, tuple[list[str], list[str]]] = {
+    "orders": (["o_custkey"], ["o_custkey"]),
+    "customer": (["c_custkey"], ["c_custkey"]),
 }
-#   table -> (range_cols, num_partitions)
-RANGED: dict[str, tuple[list[str], int]] = {
-    "lineitem": (["l_shipdate"], 16),
+#   table -> range_cols; count from range_count()
+RANGED: dict[str, list[str]] = {
+    "lineitem": ["l_shipdate"],
 }
+
+
+def bucket_count(fact_rows: int) -> int:
+    """Buckets for the orders/customer pair, from the FACT (orders)
+    row count so both sides always agree: ~500k rows per bucket, floor
+    8 (sf<=1 keeps the measured-optimal 8), cap at the core count —
+    a bucket is the unit of scan AND join parallelism for these
+    tables. ~500k-row buckets were measured WORSE at sf10 (q4 0.34 s
+    at 30 buckets vs 0.18 s at 15 — small-file overhead beats the
+    extra cores); ~1M rows per bucket is the measured optimum."""
+    return max(8, min(default_parallelism(), fact_rows // 1_000_000))
+
+
+def range_count(rows: int) -> int:
+    """Range files for lineitem: ~2M rows per sorted run, floor 16,
+    cap 2x cores (granularity past the parallelism cap stays useful
+    because the date filter prunes whole files). ~1M-row runs measured
+    neutral-to-worse at sf10; 2M is the measured optimum."""
+    return max(16, min(2 * default_parallelism(), rows // 2_000_000))
 
 
 def _ddl(df) -> str:
@@ -107,9 +136,17 @@ def _ddl(df) -> str:
 def ingest(spark: SparkSession, sf_dir: str) -> str:
     """Load the single-row-group source files into a warehouse: plain
     multi-file parquet for most tables, bucketed/range layouts for the
-    hot ones. Returns a catalog: reference (bucket metadata lives in
-    the table catalog, not the files — a path read would lose it)."""
+    hot ones (counts scaled to the data — bucket_count/range_count).
+    Returns a catalog: reference (bucket metadata lives in the table
+    catalog, not the files — a path read would lose it)."""
     from cds_etl_spark.sources.bucketed import write_bucketed
+
+    counts = {
+        t: load_table(spark, sf_dir, t).count()
+        for t in set(BUCKETED) | set(RANGED) | {"orders"}
+    }
+    n_bucket = bucket_count(counts["orders"])
+    n_range = {t: range_count(counts[t]) for t in RANGED}
 
     # Layout fingerprint in the path: changing the ingest parameters
     # invalidates the cached warehouse instead of silently reusing the
@@ -117,12 +154,13 @@ def ingest(spark: SparkSession, sf_dir: str) -> str:
     layout = (
         f"r{INGEST_ROWS_PER_FILE}_"
         + "_".join(
-            f"{t}-{'-'.join(cols)}-{n}-s{'-'.join(sort)}"
-            for t, (cols, n, sort) in sorted(BUCKETED.items())
+            f"{t}-{'-'.join(cols)}-{n_bucket}-s{'-'.join(sort)}"
+            for t, (cols, sort) in sorted(BUCKETED.items())
         )
         + "_"
         + "_".join(
-            f"{t}-rg-{'-'.join(cols)}-{n}" for t, (cols, n) in sorted(RANGED.items())
+            f"{t}-rg-{'-'.join(cols)}-{n_range[t]}"
+            for t, cols in sorted(RANGED.items())
         )
     )
     out_root = os.path.join(
@@ -138,17 +176,16 @@ def ingest(spark: SparkSession, sf_dir: str) -> str:
         if not done:
             df = load_table(spark, sf_dir, t)
             if bucket:
-                cols, n, sort = bucket
+                cols, sort = bucket
                 write_bucketed(
-                    spark, df.repartition(n), table, cols, n,
+                    spark, df.repartition(n_bucket), table, cols, n_bucket,
                     sort_cols=sort, path=out,
                 )
                 continue
             if ranged:
-                cols, n = ranged
                 (
-                    df.repartitionByRange(n, *cols)
-                    .sortWithinPartitions(*cols)
+                    df.repartitionByRange(n_range[t], *ranged)
+                    .sortWithinPartitions(*ranged)
                     .write.mode("overwrite")
                     .parquet(out)
                 )
@@ -161,11 +198,12 @@ def ingest(spark: SparkSession, sf_dir: str) -> str:
         schema = _ddl(spark.read.parquet(out))
         clustered = ""
         if bucket:
-            cols, n, sort = bucket
+            cols, sort = bucket
             keys = ", ".join(cols)
             sorted_by = ", ".join(sort)
             clustered = (
-                f" CLUSTERED BY ({keys}) SORTED BY ({sorted_by}) INTO {n} BUCKETS"
+                f" CLUSTERED BY ({keys}) SORTED BY ({sorted_by}) "
+                f"INTO {n_bucket} BUCKETS"
             )
         spark.sql(
             f"CREATE TABLE {table} ({schema}) USING parquet{clustered} "
@@ -244,17 +282,37 @@ def execute(df: DataFrame) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
 def main() -> None:
     from cds_etl_spark.session import get_spark
 
-    spark = get_spark("cds_etl_spark_bench", local_latency=True)
+    data_bytes = _dir_bytes(SF_DIR)
+    large = data_bytes >= LOCAL_LATENCY_LARGE_DATA_BYTES
+    spark = get_spark(
+        "cds_etl_spark_bench", local_latency=True, data_bytes=data_bytes
+    )
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or "0.1")
 
     cached = False
     data_dir = SF_DIR
     if not os.environ.get("SPARK_GRAFT_BENCH_RAW"):
         data_dir = ingest(spark, SF_DIR)
-        if not os.environ.get("SPARK_GRAFT_BENCH_NOCACHE"):
+        # Columnar cache is the buffer pool at small scale; at large
+        # scale the measured raw vectorized parquet scan (OS page
+        # cache behind it) beats the cache's per-batch overhead ~2.5x
+        # (sf10 lineitem: 0.94 s raw vs 2.38 s cached), so the large
+        # profile trusts the page cache instead.
+        if not os.environ.get("SPARK_GRAFT_BENCH_NOCACHE") and not large:
             # Pin the warehouse tables in Spark's columnar cache (the
             # engine's buffer pool; MEMORY_AND_DISK-backed at scale).
             # Layout metadata (bucketing) survives into the cached
@@ -335,6 +393,7 @@ def main() -> None:
         "batch_median": round(batch[len(batch) // 2], 4),
         "cached": cached,
         "mode": f"concurrent{BATCH_THREADS}_fair_bestof{BATCH_RUNS}",
+        "profile": "local_scale" if large else "local_latency",
         "sf": sf,
     }
     print(json.dumps(out))

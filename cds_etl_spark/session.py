@@ -97,6 +97,21 @@ LOCAL_LATENCY_RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": "2097152",
     "spark.sql.files.openCostInBytes": "262144",
 }
+# Above this dataset size the sub-second tricks invert: 2 MB scan
+# partitions explode into hundreds of tiny tasks (measured 667 on the
+# sf10 lineitem — scheduling overhead and stragglers dominate), 4
+# reduce tasks throttle real shuffles, and AQE's per-stage barrier is
+# noise on multi-hundred-ms queries it can actually improve. The large
+# profile keeps the local statics (tmpfs shuffle, FAIR, no compression)
+# but restores the scale runtime settings.
+LOCAL_LATENCY_LARGE_DATA_BYTES = 512 * 1024 * 1024
+LOCAL_SCALE_RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.files.openCostInBytes": "4194304",
+    "spark.sql.inMemoryColumnarStorage.compressed": "false",
+    "spark.sql.inMemoryColumnarStorage.batchSize": "65536",
+}
 _LATENCY_MARKER = "spark.cds_etl.local_latency"
 
 
@@ -133,7 +148,12 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
         except Exception:
             # A static conf on some build — leave the session's value.
             pass
-    if spark.conf.get(_LATENCY_MARKER, "false") == "true":
+    marker = spark.conf.get(_LATENCY_MARKER, "false")
+    if marker == "large":
+        for k, v in LOCAL_SCALE_RUNTIME_CONFS.items():
+            spark.conf.set(k, v)
+        spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    elif marker == "true":
         for k, v in LOCAL_LATENCY_RUNTIME_CONFS.items():
             spark.conf.set(k, v)
     _CONFIGURED_SESSIONS[id(spark)] = spark
@@ -144,15 +164,21 @@ def get_spark(
     app_name: str = "cds_etl_spark",
     cores: int | None = None,
     local_latency: bool = False,
+    data_bytes: int | None = None,
 ) -> SparkSession:
     """Build (or reuse) the engine SparkSession.
 
     local[N] for tests/bench; on a cluster the master/deploy settings
     come from spark-submit and everything here still applies.
 
-    ``local_latency=True`` selects the sub-second local profile
-    (LOCAL_LATENCY_*_CONFS) — bench uses it; cluster deployments and
-    the oracle tests keep the scale profile.
+    ``local_latency=True`` selects a local bench profile sized by
+    ``data_bytes`` (the working dataset's on-disk size): below
+    LOCAL_LATENCY_LARGE_DATA_BYTES the sub-second profile
+    (LOCAL_LATENCY_RUNTIME_CONFS), above it the local-statics-plus-
+    scale-runtime profile (LOCAL_SCALE_RUNTIME_CONFS) — the same
+    latency tricks that win at 50 MB lose at 2 GB (tiny-task
+    explosion). Cluster deployments and the oracle tests keep the
+    plain scale profile.
     """
     n = cores or default_parallelism()
     builder = (
@@ -166,7 +192,8 @@ def get_spark(
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     if local_latency:
-        builder = builder.config(_LATENCY_MARKER, "true")
+        large = (data_bytes or 0) >= LOCAL_LATENCY_LARGE_DATA_BYTES
+        builder = builder.config(_LATENCY_MARKER, "large" if large else "true")
         for k, v in LOCAL_LATENCY_STATIC_CONFS.items():
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
