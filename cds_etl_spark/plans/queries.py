@@ -4270,3 +4270,231 @@ def qs129(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(cents).alias("totbal_c"),
         )
     )
+
+
+@query(
+    "qs130_tpch_q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100,0) AS BIGINT))
+                  AS BIGINT) AS total_c
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+      GROUP BY l_suppkey),
+    mx AS (SELECT MAX(total_c) AS m FROM rev)
+    SELECT s.s_suppkey, s.s_name, r.total_c
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey, mx
+    WHERE r.total_c = mx.m
+    """,
+)
+def qs130(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 (top supplier) shape: quarterly revenue per supplier,
+    then the argmax via a broadcast one-row MAX — the "create view +
+    self-compare" formulation without materializing a view twice. The
+    supplier dim broadcasts; revenue is exact cents so the MAX
+    comparison cannot split ties differently across engines."""
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    rev_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev_c).alias("total_c"))
+    )
+    mx = rev.agg(F.max("total_c").alias("m"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_c") == F.col("m"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_c")
+    )
+
+
+@query(
+    "qs131_tpch_q17_small_qty",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS qsum_c,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice*100,0) AS BIGINT)) AS BIGINT)
+             AS rev_c,
+           COUNT(*) AS n_small
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND CAST(ROUND(l.l_quantity*100,0) AS BIGINT) * 5 * pa.n < pa.qsum_c
+    """,
+)
+def qs131(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue) shape: the correlated
+    per-part average decorrelates to one aggregate over lineitem joined
+    back on the part key. The threshold l_quantity < 0.2*avg compares
+    as exact integers (qty_cents * 5 * count < sum_cents) — no float
+    mean crosses the comparison. Brand filter prunes the part side to
+    broadcast size; the per-part aggregate joins on the same key the
+    probe side already shuffles on."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    qty_c = F.round(F.col("l_quantity") * 100, 0).cast("bigint")
+    pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        F.sum(qty_c).alias("qsum_c"), F.count(F.lit(1)).alias("n")
+    )
+    prc_c = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    return (
+        li.join(
+            F.broadcast(p.filter(F.col("p_brand") == "Brand#23")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(pa, F.col("pa_partkey") == F.col("l_partkey"))
+        .filter(qty_c * 5 * F.col("n") < F.col("qsum_c"))
+        .agg(F.sum(prc_c).alias("rev_c"), F.count(F.lit(1)).alias("n_small"))
+    )
+
+
+@query(
+    "qs132_tpch_q21_sole_fault",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey AND l1.l_returnflag = 'R'
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def qs132(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting) shape, adapted to
+    the shipped columns (l_returnflag='R' plays the late-delivery
+    marker; the schema has no commit/receipt dates): per returned line
+    of a finalized order, EXISTS another supplier on the order (semi
+    join) and NOT EXISTS another supplier who also returned (anti
+    join). Both correlated subqueries decorrelate onto the SAME
+    (l_orderkey) shuffle key as the main fact — three co-partitioned
+    passes over lineitem, no per-row probing. Top-20 compiles to
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    o = load_table(spark, sf, "orders")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    return (
+        l1.join(
+            o.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .join(
+            l2,
+            (F.col("o2") == F.col("l_orderkey")) & (F.col("s2") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("o3") == F.col("l_orderkey")) & (F.col("s3") != F.col("l_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "qs133_tpch_q11_heavy_parts",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS BIGINT)
+               AS value_c
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT CAST(SUM(value_c) AS BIGINT) AS t, COUNT(*) AS nparts FROM pv)
+    SELECT pv.l_partkey AS p_partkey, pv.value_c
+    FROM pv, tot
+    WHERE pv.value_c * tot.nparts * 10 > tot.t * 11
+    """,
+)
+def qs133(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 (important stock) shape on the shipped schema:
+    per-part traded value, keep parts whose value exceeds 1.1x the
+    mean part value (the uniform part mix caps the max near 1.2x —
+    2x would be degenerate) — the group-aggregate-vs-global-scalar
+    pattern. The threshold (value/total > 1.1/nparts) cross-multiplies
+    into exact integer space like qs129/qs131; the one-row total
+    broadcasts."""
+    li = load_table(spark, sf, "lineitem")
+    prc_c = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    pv = li.groupBy("l_partkey").agg(F.sum(prc_c).alias("value_c"))
+    tot = pv.agg(
+        F.sum("value_c").alias("t"), F.count(F.lit(1)).alias("nparts")
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_c") * F.col("nparts") * 10 > F.col("t") * 11)
+        .select(F.col("l_partkey").alias("p_partkey"), "value_c")
+    )
+
+
+@query(
+    "qs134_corpus_mixing_weights",
+    oracle="""
+    WITH g AS (SELECT lang, source, COUNT(*) AS cnt FROM documents
+               GROUP BY lang, source),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                   COUNT(*) AS n_groups FROM g)
+    SELECT g.lang, g.source, g.cnt,
+           CAST((1000000 * tot.total) // (tot.n_groups * g.cnt) AS BIGINT)
+             AS weight_e6
+    FROM g, tot
+    """,
+)
+def qs134(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-corpus mixing weights: per-(lang, source) resampling
+    weight that flattens the corpus toward a uniform group mix —
+    weight ∝ target_share / actual_share, held as an exact integer
+    (1e6-scaled floor division) so both engines agree bit-for-bit.
+    The classic pre-training data-mixing step (cf. temperature-based
+    sampling in multilingual LM training); composes with
+    qs97_weighted_sample to materialize the resample."""
+    d = load_table(spark, sf, "documents")
+    g = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = g.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_groups")
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "cnt",
+            F.floor(
+                (F.lit(1000000) * F.col("total"))
+                / (F.col("n_groups") * F.col("cnt"))
+            ).cast("bigint").alias("weight_e6"),
+        )
+    )

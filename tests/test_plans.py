@@ -238,3 +238,22 @@ def test_q22_anti_join_with_broadcast_threshold(spark, sf_dir):
     assert "LeftAnti" in p
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_q21_decorrelates_to_semi_and_anti(spark, sf_dir):
+    # qs132 (TPC-H Q21): both correlated subqueries must run as
+    # semi/anti hash joins co-keyed on l_orderkey — never per-row
+    # probes or a cartesian. Top-20 stays TakeOrderedAndProject.
+    p = plan(spark, sf_dir, "qs132_tpch_q21_sole_fault")
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_scalar_threshold_aggregates_broadcast(spark, sf_dir):
+    # qs130/qs133: the one-row MAX/total attaches by broadcast — the
+    # group aggregate is never re-shuffled to meet its own scalar.
+    for name in ("qs130_tpch_q15_top_supplier", "qs133_tpch_q11_heavy_parts"):
+        p = plan(spark, sf_dir, name)
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, name
+        assert "CartesianProduct" not in p, name
