@@ -35,18 +35,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # r02's repaired rows backfilled by registration order; r04 the round-4
 # additions qs117..qs124, qs94, and 41 of the 64 queries r03 skipped.
 # r05 (this list) completes the rotation: the round-5 additions
-# qs125..qs134 first, then the 23 queries whose freshest green row was
+# qs125..qs136 first, then the 23 queries whose freshest green row was
 # still r02 (qs72..qs102 leftovers), qs91 (newly hash-checkable — its
 # composed-pipeline oracle landed this round) and qs31 (Spark plan
-# rewritten to a substring conjunction this round), then the 15 stalest
+# rewritten to a substring conjunction this round), then the 13 stalest
 # r03-graded entries as backfill. After this round every registry entry
-# has a green row from r03 or later except the 10 displaced backfills
-# (qs21/22/23/54/56 + qs36/43/44/45/64, all r03-green) queued for r06.
+# has a green row from r03 or later; the 12 displaced backfills
+# (qs15/20/21/22/23/54/56 + qs36/43/44/45/64, all r03-green) queue for
+# r06.
 # Every name below MUST exist in the registry — tests/test_sql_surface.py
 # asserts set(_GRADE_FIRST) <= set(QUERIES) so a typo fails loudly instead
 # of silently falling back to registration order (the r03 defect).
 _GRADE_FIRST = [
-    # -- round-5 additions (10) --
+    # -- round-5 additions (12) --
+    "qs135_duplicate_spans",
+    "qs136_rag_chunks",
     "qs130_tpch_q15_top_supplier",
     "qs131_tpch_q17_small_qty",
     "qs132_tpch_q21_sole_fault",
@@ -98,8 +101,6 @@ _GRADE_FIRST = [
     "qs12_rollup",
     "qs13_cube",
     "qs14_combine_rows_string_agg",
-    "qs15_min_max_stddev",
-    "qs20_topk_per_group",
 ]
 
 

@@ -4498,3 +4498,125 @@ def qs134(spark: SparkSession, sf: str) -> DataFrame:
             ).cast("bigint").alias("weight_e6"),
         )
     )
+
+
+@query(
+    "qs135_duplicate_spans",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    kg AS (SELECT doc_id, g.i AS pos,
+             md5(array_to_string(toks[g.i:g.i+9], ' ')) AS h
+           FROM tok, (SELECT unnest(range(1, 100000)) AS i) g
+           WHERE g.i + 9 <= len(toks) + 1),
+    dup AS (SELECT h FROM kg GROUP BY h
+            HAVING COUNT(*) > 1 AND COUNT(DISTINCT doc_id) > 1)
+    SELECT kg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+           CAST(MIN(kg.pos) AS BIGINT) AS first_pos
+    FROM kg JOIN dup ON kg.h = dup.h
+    GROUP BY kg.doc_id
+    """,
+)
+def qs135(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact duplicated-substring spans (the Lee et al. 2022
+    "Deduplicating Training Data" signal, hashed-shingle formulation):
+    every 10-token window is hashed map-side; windows whose hash occurs
+    in >1 document are cross-document duplicated text — the spans a
+    span-level dedup would cut, where whole-document dedup (qs54) sees
+    distinct docs. The explode carries (doc, pos, 16-byte hash), never
+    the text; the duplicate-hash set is aggregation output, so the
+    shuffle is hash-sized — the same economics that replace the
+    suffix array at corpus scale. Oracle restates it with a bounded
+    position series."""
+    d = load_table(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    k = 10
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(
+                F.concat_ws(
+                    " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
+                )
+            ).alias("h"),
+        ),
+    )
+    kg = (
+        d.filter(F.size(toks) >= k)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    )
+    dup = (
+        kg.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.count_distinct("doc_id").alias("_nd"),
+        )
+        .filter((F.col("_n") > 1) & (F.col("_nd") > 1))
+        .select("h")
+    )
+    return (
+        kg.join(dup, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_spans"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+    )
+
+
+@query(
+    "qs136_rag_chunks",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    t AS (SELECT doc_id, len(toks) AS n FROM tok WHERE len(toks) > 0),
+    c AS (SELECT doc_id, n, g.i AS ci, (g.i - 1) * 96 + 1 AS start_pos
+          FROM t, (SELECT unnest(range(1, 100000)) AS i) g
+          WHERE g.i <= GREATEST(1, (n + 63) // 96))
+    SELECT doc_id, CAST(ci - 1 AS BIGINT) AS chunk_idx,
+           CAST(start_pos AS BIGINT) AS start_pos,
+           CAST(LEAST(n - start_pos + 1, 128) AS BIGINT) AS chunk_len,
+           md5(doc_id || ':' || CAST(ci - 1 AS VARCHAR)) AS chunk_id
+    FROM c
+    """,
+)
+def qs136(spark: SparkSession, sf: str) -> DataFrame:
+    """RAG-style overlapping chunk manifest: 128-token windows with
+    32-token overlap (stride 96) per document — the retrieval-corpus
+    preparation step between ingest and embedding. Row-local sequence
+    explode (no shuffle at all until a consumer aggregates); chunk ids
+    are content-addressed (doc, index) hashes so re-runs are
+    idempotent. Differs from qs82 packing (greedy concat across docs
+    for training) — chunking never crosses document boundaries.
+
+    Chunk count is the closed form max(1, (n+63)//96) = 1 + ceil((n-128)
+    /96) for n>128: a tail window that would sit entirely inside the
+    previous chunk's overlap is NOT emitted (it adds no new tokens)."""
+    d = load_table(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    size, overlap = 128, 32
+    stride = size - overlap
+    n = F.size(toks).cast("long")
+    n_chunks = F.greatest(
+        F.lit(1).cast("long"), F.floor((n + 63) / F.lit(stride)).cast("long")
+    )
+    idxs = F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+    return (
+        d.filter(n > 0)
+        .select(
+            "doc_id",
+            n.alias("_n"),
+            F.explode(idxs).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("chunk_idx") * stride + 1).cast("long").alias("start_pos"),
+            F.least(
+                F.col("_n") - (F.col("chunk_idx") * stride + 1) + 1, F.lit(size)
+            ).cast("long").alias("chunk_len"),
+            F.md5(
+                F.concat_ws(":", F.col("doc_id"), F.col("chunk_idx").cast("string"))
+            ).alias("chunk_id"),
+        )
+    )

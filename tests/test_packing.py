@@ -46,3 +46,48 @@ def test_total_chunk_count_matches_token_total(spark):
     assert n_chunks == (280 + 63) // 64  # ceil = 5
     # every chunk id in [0, 4] is present (no gaps in the stream)
     assert {r[1] for r in got} == set(range(5))
+
+
+def test_rag_chunks_multi_chunk_and_tail_rules(spark, tmp_path):
+    """qs136 on synthetic LONG documents (the shipped corpus is all
+    single-chunk): multi-chunk layout, the containment rule (a tail
+    inside the previous overlap is not emitted), and Spark/DuckDB
+    agreement on the same parquet."""
+    import duckdb
+    import pandas as pd
+
+    from cds_etl_spark.plans import ORACLE_SQL, QUERIES
+
+    rows = []
+    for doc_id, n in [("d1", 5), ("d2", 128), ("d3", 129), ("d4", 224),
+                      ("d5", 225), ("d6", 500)]:
+        rows.append((doc_id, " ".join(f"t{i}" for i in range(n)), "en", "s", n))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    out = QUERIES["qs136_rag_chunks"](spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    counts = {d: len(v) for d, v in by_doc.items()}
+    # n<=128 -> 1 chunk; 129..224 -> 2; 225 -> 3 (third adds token 225);
+    # 500 -> ceil((500-128)/96)+1 = 5
+    assert counts == {"d1": 1, "d2": 1, "d3": 2, "d4": 2, "d5": 3, "d6": 5}
+    d6 = sorted(by_doc["d6"], key=lambda r: r["chunk_idx"])
+    assert [r["start_pos"] for r in d6] == [1, 97, 193, 289, 385]
+    assert [r["chunk_len"] for r in d6] == [128, 128, 128, 128, 116]
+    # full coverage, overlap 32 between consecutive chunks
+    assert d6[-1]["start_pos"] + d6[-1]["chunk_len"] - 1 == 500
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    oracle = sorted(
+        tuple(r) for r in con.sql(ORACLE_SQL["qs136_rag_chunks"]).fetchall()
+    )
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["start_pos"], r["chunk_len"], r["chunk_id"])
+        for r in out
+    )
+    assert got == oracle
