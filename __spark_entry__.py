@@ -87,7 +87,7 @@ _GRADE_FIRST = [
     # -- changed this round (2) --
     "qs91_llm_pipeline_manifest",
     "qs31_regex_filter",
-    # -- stalest r03 backfill (25) --
+    # -- stalest r03 backfill (13) --
     "qs01_scan_filter_project",
     "qs02_project_expr_like",
     "qs03_broadcast_join",

@@ -112,7 +112,7 @@ RANGED: dict[str, list[str]] = {
 
 def bucket_count(fact_rows: int) -> int:
     """Buckets for the orders/customer pair, from the FACT (orders)
-    row count so both sides always agree: ~500k rows per bucket, floor
+    row count so both sides always agree: ~1M rows per bucket, floor
     8 (sf<=1 keeps the measured-optimal 8), cap at the core count —
     a bucket is the unit of scan AND join parallelism for these
     tables. ~500k-row buckets were measured WORSE at sf10 (q4 0.34 s
@@ -141,9 +141,10 @@ def ingest(spark: SparkSession, sf_dir: str) -> str:
     catalog, not the files — a path read would lose it)."""
     from cds_etl_spark.sources.bucketed import write_bucketed
 
+    # Only the counts that size the layout: the bucket count derives
+    # from the fact (orders) side alone, so customer is never counted.
     counts = {
-        t: load_table(spark, sf_dir, t).count()
-        for t in set(BUCKETED) | set(RANGED) | {"orders"}
+        t: load_table(spark, sf_dir, t).count() for t in set(RANGED) | {"orders"}
     }
     n_bucket = bucket_count(counts["orders"])
     n_range = {t: range_count(counts[t]) for t in RANGED}

@@ -287,6 +287,7 @@ def run_transform_v12(
             if p:
                 written["nodes"].append(p)
                 log.info("wrote %s", p)
+        pipe.unpersist()  # this book's tables are on disk; release caches
     return written
 
 

@@ -10,7 +10,23 @@ Engine re-expression: the store is a parquet state table
 (key string, value string) and the merge is pure DataFrame algebra —
 union + collect_set — i.e. the MERGE-INTO upsert pattern without
 requiring Delta. Re-stamping is a broadcast join against the
-aggregated history instead of a re-read-rewrite of emitted TSVs."""
+aggregated history instead of a re-read-rewrite of emitted TSVs.
+
+Storage layout: ``state_path`` is a directory of GENERATIONS
+(``gen-000001``, ``gen-000002``, …); every merge writes a NEW
+generation (staged under a dot-prefixed temp dir, renamed into place
+atomically) and never deletes an old one during the run. That makes
+the state multi-reader-safe within a batch: a stamped frame built
+earlier in the run holds a lazy scan pinned to the generation it read
+(Spark file indexes resolve part files at plan time), and the CLI
+writes all stamped tables only after the whole file loop — deleting a
+superseded generation mid-run would FileNotFound those frames. Prior
+runs' generations are pruned down to the latest once per process,
+before anything can pin them; a crash at any point leaves the previous
+generation intact (generation count within a run is one per merge —
+bounded by the batch's file × property count). Legacy single-parquet
+state files migrate into generation 1 on first touch.
+"""
 
 from __future__ import annotations
 
@@ -24,6 +40,11 @@ NodeTables = dict[str, DataFrame]
 
 STATE_SCHEMA = "key string, value string"
 
+# State paths this process has already migrated/pruned. Pruning must
+# happen at most once per process and BEFORE any stamped frame can pin
+# a generation's files — see module docstring.
+_INITIALIZED: set[str] = set()
+
 
 def _rm(path: str) -> None:
     if os.path.isdir(path):
@@ -32,9 +53,49 @@ def _rm(path: str) -> None:
         os.remove(path)
 
 
-def _read_state(spark: SparkSession, path: str) -> DataFrame:
+def _gen_names(path: str) -> list[str]:
+    if not os.path.isdir(path):
+        return []
+    return sorted(d for d in os.listdir(path) if d.startswith("gen-"))
+
+
+def _init_state(spark: SparkSession, path: str) -> None:
+    """Once per (process, path): drop stale temp dirs, prune prior
+    runs' generations to the latest, and migrate legacy layouts."""
+    if path in _INITIALIZED:
+        return
+    _INITIALIZED.add(path)
+    if os.path.isdir(path):
+        for d in os.listdir(path):
+            if d.startswith(".tmp-gen-"):
+                _rm(os.path.join(path, d))
+    gens = _gen_names(path)
+    if gens:
+        for g in gens[:-1]:
+            _rm(os.path.join(path, g))
+        return
     if os.path.exists(path):
-        return spark.read.parquet(path)
+        # Legacy layout: `path` IS the parquet file/dir. Rewrite it as
+        # generation 1 (the write materializes the read, so replacing
+        # the source afterwards is safe).
+        mig = path + ".migrating"
+        _rm(mig)
+        spark.read.parquet(path).coalesce(1).write.mode("overwrite").parquet(mig)
+        _rm(path)
+        os.makedirs(path)
+        os.rename(mig, os.path.join(path, "gen-000001"))
+
+
+def _latest_gen(path: str) -> str | None:
+    gens = _gen_names(path)
+    return os.path.join(path, gens[-1]) if gens else None
+
+
+def _read_state(spark: SparkSession, path: str) -> DataFrame:
+    _init_state(spark, path)
+    latest = _latest_gen(path)
+    if latest is not None:
+        return spark.read.parquet(latest)
     return spark.createDataFrame([], STATE_SCHEMA)
 
 
@@ -45,26 +106,23 @@ def add_historical_value(
 
     The batch side contributes (key, exploded trimmed values); the
     merge is a distinct union — idempotent re-runs, no read-modify-
-    write loop per key like the reference's YAML rewrite."""
+    write loop per key like the reference's YAML rewrite. The merged
+    result lands as a NEW generation (atomic rename; earlier
+    generations stay readable for frames already built this run)."""
     spark = df.sparkSession
     batch = df.select(
         F.col(f"`{key_col}`").cast("string").alias("key"),
         F.explode(F.split(F.col(f"`{value_col}`").cast("string"), ",")).alias("value"),
     ).select("key", F.trim("value").alias("value")).filter(F.col("value") != "")
     merged = _read_state(spark, state_path).unionByName(batch).distinct()
-    # Small state (one row per historical value per study). Spark-native
-    # rewrite: stage to a sibling temp dir, then swap into place — the
-    # write materializes into the *temp* path, so the lazy read of the
-    # current state above is never overwritten mid-scan, and a crash
-    # between the renames leaves either the old or the new state intact.
-    tmp, old = state_path + ".tmp", state_path + ".old"
+    gens = _gen_names(state_path)
+    nxt = int(gens[-1][4:]) + 1 if gens else 1
+    name = f"gen-{nxt:06d}"
+    tmp = os.path.join(state_path, f".tmp-{name}")
+    os.makedirs(state_path, exist_ok=True)
     _rm(tmp)
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    _rm(old)
-    if os.path.exists(state_path):
-        os.rename(state_path, old)
-    os.rename(tmp, state_path)
-    _rm(old)
+    os.rename(tmp, os.path.join(state_path, name))
 
 
 def stamp_historical_value(

@@ -106,6 +106,18 @@ class CdsPipelineV12:
     config: dict[str, Any]
     clean_dict: dict = field(default_factory=dict)
 
+    def __post_init__(self) -> None:
+        self._cached: list[DataFrame] = []
+
+    def unpersist(self) -> None:
+        """Release the sheet caches of the last ``run``. The CLI calls
+        this after a workbook's tables are written — without it a
+        multi-workbook batch pins 7 frames per book in executor
+        storage for the life of the session."""
+        for df in self._cached:
+            df.unpersist()
+        self._cached = []
+
     def run(self, sheets: dict[str, DataFrame]) -> NodeTables:
         # O3/O4 normalize + row identity per sheet. Cached: the row ids
         # feed alignment joins and must survive recomputation.
@@ -114,6 +126,7 @@ class CdsPipelineV12:
             for name, df in sheets.items()
             if name in SHEET_NODES or name == MAPPING_SHEET
         }
+        self._cached.extend(src.values())
 
         # O6 projection, sheet-scoped (v1.3 projects one denormalized
         # scan; v1.2 has one sheet per node).

@@ -583,9 +583,9 @@ def qs31(spark: SparkSession, sf: str) -> DataFrame:
     ``contains('join') AND contains('hash')`` for newline-free text
     ("join"/"hash" cannot overlap, so whichever occurs first the other
     follows it; ``.`` excludes ``\\n`` identically in Java and RE2).
-    The documents corpus is single-line (asserted in
-    tests/test_plans.py), so the Spark side uses the substring
-    conjunction — two SIMD-friendly ``contains`` kernels inside
+    The documents corpus is single-line (guarded by
+    tests/test_plans.py::test_qs31_rewrite_precondition_no_newlines),
+    so the Spark side uses the substring conjunction — two SIMD-friendly ``contains`` kernels inside
     WholeStageCodegen instead of a backtracking java.util.regex
     alternation per row, which was the one >2×-vs-DuckDB query at sf1
     (BENCH_r04)."""
@@ -4492,10 +4492,12 @@ def qs134(spark: SparkSession, sf: str) -> DataFrame:
             "lang",
             "source",
             "cnt",
-            F.floor(
-                (F.lit(1000000) * F.col("total"))
-                / (F.col("n_groups") * F.col("cnt"))
-            ).cast("bigint").alias("weight_e6"),
+            # Integer `div`, not floor(double /): past 2^53 total docs a
+            # correctly-rounded double quotient can land on the next
+            # integer and disagree with DuckDB's exact `//` by 1.
+            F.expr("1000000 * total div (n_groups * cnt)")
+            .cast("bigint")
+            .alias("weight_e6"),
         )
     )
 
@@ -4507,7 +4509,7 @@ def qs134(spark: SparkSession, sf: str) -> DataFrame:
     kg AS (SELECT doc_id, g.i AS pos,
              md5(array_to_string(toks[g.i:g.i+9], ' ')) AS h
            FROM tok, (SELECT unnest(range(1, 100000)) AS i) g
-           WHERE g.i + 9 <= len(toks) + 1),
+           WHERE g.i + 9 <= len(toks)),
     dup AS (SELECT h FROM kg GROUP BY h
             HAVING COUNT(*) > 1 AND COUNT(DISTINCT doc_id) > 1)
     SELECT kg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,

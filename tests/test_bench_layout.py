@@ -21,17 +21,18 @@ def test_bucket_count_floors_and_caps():
     # sf0.1 (150k orders) and sf1 (1.5M) keep the measured-optimal 8.
     assert bench.bucket_count(150_000) == 8
     assert bench.bucket_count(1_500_000) == 8
-    # sf10 (15M) scales up; never past the core count.
-    assert bench.bucket_count(15_000_000) == min(cores, 15)
-    assert bench.bucket_count(10**9) == cores
+    # sf10 (15M) scales up; never past the core count (nor below
+    # the floor on small-core hosts).
+    assert bench.bucket_count(15_000_000) == max(8, min(cores, 15))
+    assert bench.bucket_count(10**9) == max(8, cores)
 
 
 def test_range_count_floors_and_caps():
     cores = default_parallelism()
     assert bench.range_count(600_000) == 16      # sf0.1
     assert bench.range_count(6_000_000) == 16    # sf1
-    assert bench.range_count(60_000_000) == min(2 * cores, 30)  # sf10
-    assert bench.range_count(10**10) == 2 * cores
+    assert bench.range_count(60_000_000) == max(16, min(2 * cores, 30))  # sf10
+    assert bench.range_count(10**10) == max(16, 2 * cores)
 
 
 def test_counts_are_monotonic_in_rows():

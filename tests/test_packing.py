@@ -91,3 +91,37 @@ def test_rag_chunks_multi_chunk_and_tail_rules(spark, tmp_path):
         for r in out
     )
     assert got == oracle
+
+
+def test_duplicate_spans_on_exact_dup_docs(spark, tmp_path):
+    """qs135 on docs with exact duplicates and shared tails — the case
+    that exposed the oracle's off-by-one window bound (a truncated
+    9-token tail window the Spark side never generates)."""
+    import duckdb
+    import pandas as pd
+
+    from cds_etl_spark.plans import ORACLE_SQL, QUERIES
+
+    t10 = " ".join(f"w{i}" for i in range(10))
+    rows = [
+        ("a", t10, "en", "s", len(t10)),          # exact dup pair: 1 window each
+        ("b", t10, "en", "s", len(t10)),
+        ("c", "x " + t10, "en", "s", 0),           # shares a's full window
+        ("d", " ".join(f"u{i}" for i in range(9)), "en", "s", 0),  # 9 tokens: no window
+        ("e", "unique " * 12, "en", "s", 0),
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+
+    got = sorted(
+        (r["doc_id"], r["n_dup_spans"], r["first_pos"])
+        for r in QUERIES["qs135_duplicate_spans"](spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    oracle = sorted(tuple(r) for r in con.sql(ORACLE_SQL["qs135_duplicate_spans"]).fetchall())
+    assert got == oracle
+    assert got == [("a", 1, 1), ("b", 1, 1), ("c", 1, 2)]

@@ -257,3 +257,14 @@ def test_scalar_threshold_aggregates_broadcast(spark, sf_dir):
         p = plan(spark, sf_dir, name)
         assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, name
         assert "CartesianProduct" not in p, name
+
+
+def test_qs31_rewrite_precondition_no_newlines(spark, sf_dir):
+    # qs31's substring-conjunction plan equals the oracle regex ONLY
+    # for newline-free text (`.` excludes \n in both engines). Guard
+    # the precondition on the corpus the differential runs against.
+    from cds_etl_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    assert d.filter(F.col("text").contains("\n")).count() == 0

@@ -44,3 +44,59 @@ def test_history_merge_and_stamp(spark, tmp_path):
     )
     [row] = stamp_historical_value(other, "phs_accession", "study_version", state).collect()
     assert row["study_version"] == "7"
+
+
+def test_history_stamped_frame_survives_later_merges(spark, tmp_path):
+    """Regression (r5 review): the CLI stamps inside the file loop but
+    writes all TSVs after it — a merge for file 2 must not delete the
+    generation file 1's lazy stamped frame has pinned."""
+    state = str(tmp_path / "hist_state")
+    b1 = spark.createDataFrame(
+        [("phs001", "1")], "phs_accession string, study_version string"
+    )
+    b2 = spark.createDataFrame(
+        [("phs001", "2")], "phs_accession string, study_version string"
+    )
+    add_historical_value(b1, "phs_accession", "study_version", state)
+    stamped1 = stamp_historical_value(b1, "phs_accession", "study_version", state)
+    # Second file's merge writes a NEW generation; the old one must stay.
+    add_historical_value(b2, "phs_accession", "study_version", state)
+    stamped2 = stamp_historical_value(b2, "phs_accession", "study_version", state)
+    # Materialize file 1's frame AFTER file 2's merge (the CLI's order).
+    assert stamped1.collect()[0]["study_version"] == "1"
+    assert stamped2.collect()[0]["study_version"] == "2,1"
+
+
+def test_history_prunes_prior_runs_and_migrates_legacy(spark, tmp_path):
+    import os
+
+    from cds_etl_spark.operators import history as H
+
+    # Legacy layout: state path IS a parquet dir (pre-r5 format).
+    legacy = str(tmp_path / "legacy_state")
+    spark.createDataFrame(
+        [("phs001", "1")], "key string, value string"
+    ).write.parquet(legacy)
+    H._INITIALIZED.discard(legacy)
+    df = spark.createDataFrame(
+        [("phs001", "2")], "phs_accession string, study_version string"
+    )
+    add_historical_value(df, "phs_accession", "study_version", legacy)
+    [row] = stamp_historical_value(
+        df, "phs_accession", "study_version", legacy
+    ).collect()
+    assert row["study_version"] == "2,1"  # legacy content preserved
+    assert sorted(d for d in os.listdir(legacy) if d.startswith("gen-")) == [
+        "gen-000001", "gen-000002",
+    ]
+
+    # "Next process": init prunes to the latest generation only.
+    H._INITIALIZED.discard(legacy)
+    H._init_state(spark, legacy)
+    assert sorted(d for d in os.listdir(legacy) if d.startswith("gen-")) == [
+        "gen-000002",
+    ]
+    [row] = stamp_historical_value(
+        df, "phs_accession", "study_version", legacy
+    ).collect()
+    assert row["study_version"] == "2,1"
