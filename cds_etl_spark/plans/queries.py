@@ -4622,3 +4622,51 @@ def qs136(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("chunk_id"),
         )
     )
+
+
+@query(
+    "qs137_sketch_heavy_hitters",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS tok
+                 FROM documents),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok)
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM tok, tot
+    GROUP BY tok, tot.n
+    HAVING COUNT(*) * 1000 >= tot.n
+    """,
+)
+def qs137(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy-hitter tokens (≥ 0.1% of the corpus stream) via the
+    two-pass sketch-prune-then-verify pattern that makes corpus-scale
+    top-k feasible: a Count-Min sketch (operators/sketches.cms_build —
+    its shuffle carries ≤ depth·width rows per map task, independent
+    of input size) prunes the candidate set, and an exact count runs
+    only over tokens surviving the prune. CMS never underestimates, so
+    the candidate set is a superset of the true heavy hitters and the
+    verified output is EXACT — which is why this composition can be
+    hash-checked against a plain GROUP BY … HAVING oracle while the
+    sketch stage itself (qs90-style) cannot. Thresholds compare as
+    integer cross-products (cnt*1000 >= total), no float share."""
+    from cds_etl_spark.operators.sketches import cms_build, cms_estimate
+
+    d = load_table(spark, sf, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    )
+    total = toks.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sketch = cms_build(toks, "tok")
+    candidates = (
+        cms_estimate(sketch, toks, "tok")
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("est") * 1000 >= F.col("n"))
+        .select("tok")
+    )
+    return (
+        toks.join(F.broadcast(candidates), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * 1000 >= F.col("n"))
+        .select("tok", "cnt")
+    )

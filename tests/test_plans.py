@@ -268,3 +268,13 @@ def test_qs31_rewrite_precondition_no_newlines(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     assert d.filter(F.col("text").contains("\n")).count() == 0
+
+
+def test_heavy_hitters_sketch_and_candidates_broadcast(spark, sf_dir):
+    # qs137: the depth*width sketch and the pruned candidate set must
+    # both broadcast — the exploded token stream shuffles only for its
+    # own per-token aggregation, never for the sketch probe.
+    p = plan(spark, sf_dir, "qs137_sketch_heavy_hitters")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "LeftSemi" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
