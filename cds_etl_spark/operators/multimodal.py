@@ -230,21 +230,32 @@ def decode_png(content: bytes) -> np.ndarray:
             rec = row.reshape(w, ch).cumsum(axis=0).reshape(stride) % 256
         elif f == 2:  # Up
             rec = (row + prev) % 256
-        elif f == 3:  # Average
-            rec = np.empty(stride, dtype=np.int32)
-            for x in range(stride):
-                left = rec[x - ch] if x >= ch else 0
-                rec[x] = (row[x] + ((left + prev[x]) >> 1)) % 256
-        elif f == 4:  # Paeth
-            rec = np.empty(stride, dtype=np.int32)
-            for x in range(stride):
-                a = rec[x - ch] if x >= ch else 0
-                b = prev[x]
-                c = prev[x - ch] if x >= ch else 0
+        elif f == 3:  # Average: the left-dependency is per PIXEL, so
+            # iterate pixel columns and vectorize across the channel
+            # bytes (ch-wide numpy ops; w iterations, not w*ch).
+            r2, p2 = row.reshape(w, ch), prev.reshape(w, ch)
+            rec2 = np.empty((w, ch), dtype=np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            for x in range(w):
+                left = (r2[x] + ((left + p2[x]) >> 1)) % 256
+                rec2[x] = left
+            rec = rec2.reshape(stride)
+        elif f == 4:  # Paeth: same per-pixel recurrence, channel-vectorized
+            r2, p2 = row.reshape(w, ch), prev.reshape(w, ch)
+            rec2 = np.empty((w, ch), dtype=np.int32)
+            a = np.zeros(ch, dtype=np.int32)  # reconstructed left
+            c = np.zeros(ch, dtype=np.int32)  # reconstructed upper-left
+            for x in range(w):
+                b = p2[x]
                 p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rec[x] = (row[x] + pred) % 256
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                )
+                a = (r2[x] + pred) % 256
+                rec2[x] = a
+                c = b
+            rec = rec2.reshape(stride)
         else:
             raise ValueError(f"bad PNG filter type {f}")
         out[y] = rec
