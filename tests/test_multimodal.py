@@ -247,3 +247,30 @@ def test_wav_roundtrip():
     assert rate2 == 44100 and np.array_equal(out2, stereo)
     with pytest.raises(ValueError):
         decode_wav(b"RIFFxxxxNOPE")
+
+
+def test_png_roundtrip_property():
+    """Property: encode→decode is identity for arbitrary 8-bit arrays
+    in every color shape (hypothesis-driven; exercises the channel-
+    vectorized filter reconstruction against random content)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    from cds_etl_spark.operators.multimodal import decode_png, encode_png
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(1, 4).flatmap(
+            lambda ch: arrays(
+                np.uint8,
+                st.tuples(
+                    st.integers(1, 12), st.integers(1, 12)
+                ).map(lambda hw: hw if ch == 1 else (*hw, ch)),
+            )
+        )
+    )
+    def check(arr):
+        assert np.array_equal(decode_png(encode_png(arr)), arr)
+
+    check()
