@@ -299,3 +299,83 @@ def stream_interval_join(
         & (rts <= lts + F.expr(f"INTERVAL {within}"))
     )
     return l.join(r, cond, how)
+
+
+def _row_local_top_bigram_fraction(text: F.Column) -> F.Column:
+    """Gopher-style repetition signal as a PURE column expression: the
+    fraction of a document's word bigrams taken by the most frequent
+    one. operators/text_analysis.top_ngram_fraction computes the same
+    value with a per-(doc, gram) aggregation — two shuffles that are
+    fine in batch but turn a stateless stream filter into a stateful
+    aggregate. Here the multiset count happens INSIDE the row: sort
+    the bigram array, then a single F.aggregate pass tracks the
+    longest equal-run (max multiplicity). O(n log n) per document,
+    zero shuffles, streaming-safe."""
+    toks = F.split(F.lower(text), " ")
+    grams = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i.cast("int")),
+                F.element_at(toks, (i + 1).cast("int")),
+            ),
+        )
+    )
+    scan = F.aggregate(
+        grams,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+    )
+    n = F.size(grams).cast("long")
+    return F.when(
+        n > 0, scan["best"].cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def stream_corpus_filter(
+    docs: DataFrame,
+    languages: tuple[str, ...] = ("en",),
+    min_quality: float = 0.5,
+    max_repetition: float = 0.5,
+) -> DataFrame:
+    """The LLM pipeline's filter stages (llm_pipeline.py stages 1-2) as
+    a STATELESS stream transform: language-ID, quality score, and the
+    repetition gate are all row-local column expressions, so a
+    continuously-ingesting corpus is filtered with no watermark and no
+    state at all — the shape that holds at any ingest rate. Works
+    identically on batch frames (parity-tested)."""
+    from cds_etl_spark.operators.text_analysis import language_id, quality_score
+
+    txt = F.col("text")
+    return (
+        docs.withColumn("lang_guess", language_id(txt))
+        .filter(F.col("lang_guess").isin(list(languages)))
+        .withColumn("quality", quality_score(txt))
+        .filter(F.col("quality") >= min_quality)
+        .withColumn("top_fraction", _row_local_top_bigram_fraction(txt))
+        .filter(F.col("top_fraction") <= max_repetition)
+    )
+
+
+def stream_corpus_dedup(docs: DataFrame) -> DataFrame:
+    """Exact content dedup for a document stream: first-seen wins per
+    md5(text). Content hash is computed map-side so dedup state (and
+    the shuffle) carries 32-char hashes, never documents — the
+    streaming analogue of operators/dedup.exact_dedup. State here is
+    one hash per distinct document ever seen (dropDuplicates, no
+    watermark column on the documents schema); with an ingest-time
+    column, swap in dropDuplicatesWithinWatermark to bound it, as
+    stream_dedup does for events."""
+    hashed = docs.withColumn("content_hash", F.md5(F.col("text")))
+    return hashed.dropDuplicates(["content_hash"])

@@ -361,3 +361,76 @@ def test_foreach_batch_sink_crash_replay_exactly_once(
     )
     assert back.count() == back.select("event_id").distinct().count()  # no dupes
     assert _rows(back.drop("batch_id")) == _rows(ev)
+
+
+def test_row_local_repetition_matches_batch_operator(spark, sf_dir):
+    """The streaming filter's row-local top-bigram fraction must equal
+    the batch aggregation operator (qs89's top_ngram_fraction) on
+    every document — same multiset, different physics."""
+    from cds_etl_spark.catalog import load_table
+    from cds_etl_spark.operators.text_analysis import top_ngram_fraction
+    from cds_etl_spark.streaming.ops import _row_local_top_bigram_fraction
+
+    d = load_table(spark, sf_dir, "documents")
+    batch = {
+        r["doc_id"]: r["top_fraction"]
+        for r in top_ngram_fraction(d, "doc_id", "text", n=2).collect()
+    }
+    local = {
+        r["doc_id"]: r["tf"]
+        for r in d.select(
+            "doc_id", _row_local_top_bigram_fraction(F.col("text")).alias("tf")
+        ).collect()
+        if r["tf"] > 0.0
+    }
+    assert local == batch
+
+
+def test_stream_corpus_filter_and_dedup_parity(spark, sf_dir, tmp_path):
+    """LLM corpus ingest as a stream: the stateless filter stages and
+    hash dedup drained through the streaming engine must agree with
+    the batch pipeline on the same documents — identical filtered doc
+    set, identical surviving content-hash set (first-seen vs min-id
+    winners may differ; the hash set may not)."""
+    from cds_etl_spark.catalog import load_table
+    from cds_etl_spark.operators.dedup import exact_dedup
+    from cds_etl_spark.streaming.ops import (
+        run_to_completion,
+        stream_corpus_dedup,
+        stream_corpus_filter,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    # 3-file inbox = 3 micro-batches.
+    src = str(tmp_path / "doc_inbox")
+    for part in (
+        d.filter(F.col("doc_id") % 3 == 0),
+        d.filter(F.col("doc_id") % 3 == 1),
+        d.filter(F.col("doc_id") % 3 == 2),
+    ):
+        part.coalesce(1).write.mode("append").parquet(src)
+    schema = d.schema
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    filtered = stream_corpus_dedup(stream_corpus_filter(stream))
+    run_to_completion(
+        filtered, "corpus_sink", str(tmp_path / "ckpt"), output_mode="append"
+    )
+    streamed = spark.table("corpus_sink").collect()
+
+    batch_filtered = stream_corpus_filter(d)
+    want_docs = {r["doc_id"] for r in batch_filtered.collect()}
+    want_hashes = {
+        r["content_hash"]
+        for r in exact_dedup(batch_filtered, "text", "doc_id").collect()
+    }
+    got_hashes = {r["content_hash"] for r in streamed}
+    assert got_hashes == want_hashes
+    assert {r["doc_id"] for r in streamed} <= want_docs
+    # every streamed row passed the same gates
+    assert all(
+        r["quality"] >= 0.5 and r["top_fraction"] <= 0.5 and r["lang_guess"] == "en"
+        for r in streamed
+    )
