@@ -4670,3 +4670,69 @@ def qs137(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("cnt") * 1000 >= F.col("n"))
         .select("tok", "cnt")
     )
+
+
+@query(
+    "qs138_repetition_rowlocal",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                 FROM documents),
+    g AS (SELECT doc_id,
+            unnest(list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i+1])) AS gram
+          FROM tok WHERE len(toks) >= 2),
+    c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram)
+    SELECT doc_id, MAX(cnt) AS top_cnt, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+           MAX(cnt)::DOUBLE / SUM(cnt)::DOUBLE AS top_fraction
+    FROM c GROUP BY doc_id
+    """,
+)
+def qs138(spark: SparkSession, sf: str) -> DataFrame:
+    """qs89's repetition signal with the ALTERNATIVE physical strategy
+    (the qs52/qs61 pattern — same logical op, different physics, must
+    produce identical rows): instead of exploding (doc, gram) pairs
+    through two shuffles, the bigram multiset is counted INSIDE each
+    row — sort the gram array, one F.aggregate run-length scan for the
+    max multiplicity (streaming/ops._row_local_top_bigram_fraction's
+    formulation). Zero shuffles, streaming-safe, same oracle as qs89."""
+    toks = F.split(F.lower(F.col("text")), " ")
+    grams = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i.cast("int")),
+                F.element_at(toks, (i + 1).cast("int")),
+            ),
+        )
+    )
+    scan = F.aggregate(
+        grams,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+    )
+    d = load_table(spark, sf, "documents")
+    return (
+        d.filter(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            scan["best"].alias("top_cnt"),
+            F.size(grams).cast("long").alias("n_grams"),
+            (scan["best"].cast("double") / F.size(grams).cast("double")).alias(
+                "top_fraction"
+            ),
+        )
+    )

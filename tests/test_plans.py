@@ -278,3 +278,12 @@ def test_heavy_hitters_sketch_and_candidates_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
     assert "LeftSemi" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_rowlocal_repetition_is_zero_shuffle(spark, sf_dir):
+    # qs138: the whole point of the alternative physics — the bigram
+    # multiset counts inside the row, so the plan has NO exchange
+    # (qs89's formulation shuffles twice for the same values).
+    p = plan(spark, sf_dir, "qs138_repetition_rowlocal")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
