@@ -4736,3 +4736,97 @@ def qs138(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "qs139_tpch_q13_custdist",
+    oracle="""
+    WITH co AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM co GROUP BY c_count
+    """,
+)
+def qs139(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution) shape: distribution of an
+    aggregate — LEFT OUTER join (customers with zero qualifying orders
+    must appear as c_count=0, which an inner join silently drops, the
+    classic Q13 trap), COUNT of the nullable right key, then a second
+    aggregation over the first's output. The join-side filter lives in
+    the JOIN CONDITION, not a WHERE (a WHERE would turn the outer join
+    inner). All counts — integer-exact. The non-URGENT predicate plays
+    the reference's 'not special requests' comment filter (no comment
+    column in the shipped schema)."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    co = (
+        c.join(
+            o.filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "qs140_tpch_q8_market_share",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+      CAST(SUM(CASE WHEN sn.n_name = 'NATION_7'
+            THEN CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*10000,0) AS BIGINT)
+            ELSE 0 END) AS BIGINT) AS nation_e4,
+      CAST(SUM(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*10000,0) AS BIGINT))
+           AS BIGINT) AS total_e4
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'ASIA'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    GROUP BY year(o.o_orderdate)
+    """,
+)
+def qs140(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 (national market share) shape: the deepest join tree in
+    the suite — fact lineitem against orders plus a 5-dim snowflake
+    (customer→nation→region filters the MARKET, supplier→nation labels
+    the SHARE). Every dimension broadcasts; only the lineitem⋈orders
+    fact-fact edge shuffles. The share is held as exact 1e-4-scaled
+    integer numerator/denominator per year (qs127's policy) — the
+    caller divides."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    s = load_table(spark, sf, "supplier")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("bigint")
+    cn = n.alias("cn")
+    sn = n.alias("sn")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("cn.n_nationkey") == F.col("c_nationkey"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("r_regionkey") == F.col("cn.n_regionkey"),
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn.n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("sn.n_name") == "NATION_7", rev).otherwise(F.lit(0))
+            ).alias("nation_e4"),
+            F.sum(rev).alias("total_e4"),
+        )
+    )

@@ -287,3 +287,16 @@ def test_rowlocal_repetition_is_zero_shuffle(spark, sf_dir):
     p = plan(spark, sf_dir, "qs138_repetition_rowlocal")
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_q13_outer_join_survives_and_q8_broadcasts_snowflake(spark, sf_dir):
+    # qs139: the left OUTER join must survive to the physical plan
+    # (a WHERE-placed filter would have turned it inner and dropped
+    # zero-order customers).
+    p13 = plan(spark, sf_dir, "qs139_tpch_q13_custdist")
+    assert "LeftOuter" in p13 or "left_outer" in p13.lower()
+    # qs140: five dimension joins, every one broadcast; only the
+    # lineitem-orders fact edge may shuffle.
+    p8 = plan(spark, sf_dir, "qs140_tpch_q8_market_share")
+    assert p8.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in p8
