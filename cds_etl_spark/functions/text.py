@@ -215,3 +215,59 @@ def kmin_fingerprint(shingle_set: Column, k: int = 4) -> Column:
     shingle sets with high probability."""
     hashes = F.array_sort(F.transform(shingle_set, lambda s: F.md5(s)))
     return F.md5(F.array_join(F.slice(hashes, 1, k), ","))
+
+
+def bigram_repetition_stats(text: Column) -> Column:
+    """Row-local Gopher-style repetition stats:
+    ``struct(top_cnt long, n_grams long, top_fraction double)`` — the
+    fraction of the document's word bigrams taken by the most frequent
+    one, computed INSIDE the row (sort the bigram array, one
+    F.aggregate run-length scan for the max multiplicity). Zero
+    shuffles, streaming-safe; the batch-aggregation formulation is
+    operators/text_analysis.top_ngram_fraction and both must produce
+    identical values (tested).
+
+    Bigrams come from ``zip_with(slice(toks,1,n-1), slice(toks,2,n-1))``
+    — TOTAL for every input: a single-token document slices to two
+    empty arrays and yields no grams, where the naive
+    ``sequence(1, n-1)`` forms the DESCENDING array [1, 0] when n==1
+    and crashes element_at (found as a streaming-kill bug in r5).
+    n_grams==0 yields top_fraction 0.0 (consumers gate on n_grams
+    when they need the qs89 contract of emitting only gram-bearing
+    docs)."""
+    toks = F.split(F.lower(text), " ")
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    grams = F.array_sort(
+        F.zip_with(
+            F.slice(toks, 1, m),
+            F.slice(toks, 2, m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    )
+    scan = F.aggregate(
+        grams,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+    )
+    n = F.size(grams).cast("long")
+    return F.struct(
+        scan["best"].alias("top_cnt"),
+        n.alias("n_grams"),
+        F.when(n > 0, scan["best"].cast("double") / n.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("top_fraction"),
+    )

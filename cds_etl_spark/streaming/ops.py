@@ -307,40 +307,13 @@ def _row_local_top_bigram_fraction(text: F.Column) -> F.Column:
     one. operators/text_analysis.top_ngram_fraction computes the same
     value with a per-(doc, gram) aggregation — two shuffles that are
     fine in batch but turn a stateless stream filter into a stateful
-    aggregate. Here the multiset count happens INSIDE the row: sort
-    the bigram array, then a single F.aggregate pass tracks the
-    longest equal-run (max multiplicity). O(n log n) per document,
-    zero shuffles, streaming-safe."""
-    toks = F.split(F.lower(text), " ")
-    grams = F.array_sort(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i.cast("int")),
-                F.element_at(toks, (i + 1).cast("int")),
-            ),
-        )
-    )
-    scan = F.aggregate(
-        grams,
-        F.struct(
-            F.lit("").alias("prev"),
-            F.lit(0).cast("long").alias("run"),
-            F.lit(0).cast("long").alias("best"),
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
-            ).alias("best"),
-        ),
-    )
-    n = F.size(grams).cast("long")
-    return F.when(
-        n > 0, scan["best"].cast("double") / n.cast("double")
-    ).otherwise(F.lit(0.0))
+    aggregate. Here the multiset count happens INSIDE the row
+    (functions/text.bigram_repetition_stats — shared with qs138, and
+    total for single-token/empty documents). Zero shuffles,
+    streaming-safe."""
+    from cds_etl_spark.functions.text import bigram_repetition_stats
+
+    return bigram_repetition_stats(text)["top_fraction"]
 
 
 def stream_corpus_filter(

@@ -251,8 +251,11 @@ def test_wav_roundtrip():
 
 def test_png_roundtrip_property():
     """Property: encode→decode is identity for arbitrary 8-bit arrays
-    in every color shape (hypothesis-driven; exercises the channel-
-    vectorized filter reconstruction against random content)."""
+    in every color shape (hypothesis-driven). Scope note: our encoder
+    emits filter-0 scanlines only, so this covers the codec roundtrip
+    and chunk/zlib framing — the Sub/Up/Average/Paeth reconstruction
+    paths are covered by test_png_all_five_filters_decode's
+    hand-built filtered streams, not here."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
     from hypothesis.extra.numpy import arrays

@@ -434,3 +434,37 @@ def test_stream_corpus_filter_and_dedup_parity(spark, sf_dir, tmp_path):
         r["quality"] >= 0.5 and r["top_fraction"] <= 0.5 and r["lang_guess"] == "en"
         for r in streamed
     )
+
+
+def test_stream_corpus_filter_survives_degenerate_docs(spark, tmp_path):
+    """Regression (r5 review): a single-token document passes the
+    language and quality gates, and the repetition expression must
+    yield 0.0 rather than throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT
+    (the naive sequence(1, n-1) forms [1, 0] for n==1) and kill the
+    streaming query."""
+    from cds_etl_spark.streaming.ops import (
+        run_to_completion,
+        stream_corpus_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the", "en", "s", 3),          # single token — the crasher
+            (2, "", "en", "s", 0),             # empty text
+            (3, "the of and to a in is it", "en", "s", 24),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    src = str(tmp_path / "inbox")
+    docs.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    run_to_completion(
+        stream_corpus_filter(stream),
+        "degenerate_sink",
+        str(tmp_path / "ckpt"),
+        output_mode="append",
+    )
+    got = {r["doc_id"]: r["top_fraction"] for r in spark.table("degenerate_sink").collect()}
+    # doc 1 survives with fraction 0.0 (no bigrams); doc 3 survives;
+    # doc 2 fails the quality gate. Nothing throws.
+    assert got[1] == 0.0 and 3 in got and 2 not in got
