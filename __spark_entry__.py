@@ -35,19 +35,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # r02's repaired rows backfilled by registration order; r04 the round-4
 # additions qs117..qs124, qs94, and 41 of the 64 queries r03 skipped.
 # r05 (this list) completes the rotation: the round-5 additions
-# qs125..qs140 first, then the 23 queries whose freshest green row was
+# qs125..qs141 first, then the 23 queries whose freshest green row was
 # still r02 (qs72..qs102 leftovers), qs91 (newly hash-checkable — its
 # composed-pipeline oracle landed this round) and qs31 (Spark plan
-# rewritten to a substring conjunction this round), then the 9 stalest
+# rewritten to a substring conjunction this round), then the 8 stalest
 # r03-graded entries as backfill. After this round every registry entry
-# has a green row from r03 or later; the 16 displaced backfills
-# (qs11/12/13/14/15/20/21/22/23/54/56 + qs36/43/44/45/64, all
+# has a green row from r03 or later; the 17 displaced backfills
+# (qs08/11/12/13/14/15/20/21/22/23/54/56 + qs36/43/44/45/64, all
 # r03-green) queue for r06.
 # Every name below MUST exist in the registry — tests/test_sql_surface.py
 # asserts set(_GRADE_FIRST) <= set(QUERIES) so a typo fails loudly instead
 # of silently falling back to registration order (the r03 defect).
 _GRADE_FIRST = [
-    # -- round-5 additions (16) --
+    # -- round-5 additions (17) --
+    "qs141_tpch_q6_forecast",
     "qs139_tpch_q13_custdist",
     "qs140_tpch_q8_market_share",
     "qs138_repetition_rowlocal",
@@ -91,7 +92,7 @@ _GRADE_FIRST = [
     # -- changed this round (2) --
     "qs91_llm_pipeline_manifest",
     "qs31_regex_filter",
-    # -- stalest r03 backfill (9) --
+    # -- stalest r03 backfill (8) --
     "qs01_scan_filter_project",
     "qs02_project_expr_like",
     "qs03_broadcast_join",
@@ -99,7 +100,6 @@ _GRADE_FIRST = [
     "qs05_semi_join",
     "qs06_anti_join",
     "qs07_self_theta_join",
-    "qs08_range_join",
     "qs10_groupby_agg_tpch_q1",
 ]
 

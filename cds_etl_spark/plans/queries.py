@@ -4817,3 +4817,41 @@ def qs140(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(rev).alias("total_e4"),
         )
     )
+
+
+@query(
+    "qs141_tpch_q6_forecast",
+    oracle="""
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000, 0)
+                         AS BIGINT)) AS BIGINT) AS revenue_e4,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def qs141(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the canonical
+    scan-dominated query — three conjunctive predicates, no join, no
+    grouping. Its whole value is the PLAN property: every predicate
+    must reach the parquet reader (PushedFilters) so row groups prune
+    on shipdate/discount/quantity stats and the aggregation sees only
+    surviving pages; the 1e-4-scaled integer sum keeps the single
+    output row engine-exact. With this, every TPC-H query expressible
+    over the shipped schema (no partsupp) has a registered shape:
+    Q1,3,4,5,6,7,8,10,11,12,13,14,15,17,18,19,21,22."""
+    li = load_table(spark, sf, "lineitem")
+    rev = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 10000, 0
+    ).cast("bigint")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).alias("revenue_e4"), F.count(F.lit(1)).alias("n"))
+    )

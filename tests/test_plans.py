@@ -300,3 +300,12 @@ def test_q13_outer_join_survives_and_q8_broadcasts_snowflake(spark, sf_dir):
     p8 = plan(spark, sf_dir, "qs140_tpch_q8_market_share")
     assert p8.count("BroadcastHashJoin") >= 5
     assert "CartesianProduct" not in p8
+
+
+def test_q6_all_three_predicates_push_to_scan(spark, sf_dir):
+    # qs141 (TPC-H Q6): scan-dominated — shipdate, discount AND
+    # quantity must all reach the parquet reader for row-group pruning.
+    p = plan(spark, sf_dir, "qs141_tpch_q6_forecast")
+    pushed = p.split("PushedFilters")[1][:400]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
