@@ -39,6 +39,11 @@ ORACLE_SQL: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
+        # A duplicate registration would silently SHADOW the earlier
+        # query — the registry is the correctness contract, so fail at
+        # import time instead.
+        if name in QUERIES:
+            raise ValueError(f"duplicate query registration: {name}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE_SQL[name] = oracle
