@@ -34,73 +34,73 @@ def entry(spark: SparkSession) -> DataFrame:
 # the 47 the r01 window missed; r03 the round-3 additions qs103..qs116 and
 # r02's repaired rows backfilled by registration order; r04 the round-4
 # additions qs117..qs124, qs94, and 41 of the 64 queries r03 skipped.
-# r05 (this list) completes the rotation: the round-5 additions
-# qs125..qs141 first, then the 23 queries whose freshest green row was
-# still r02 (qs72..qs102 leftovers), qs91 (newly hash-checkable — its
-# composed-pipeline oracle landed this round) and qs31 (Spark plan
-# rewritten to a substring conjunction this round), then the 8 stalest
-# r03-graded entries as backfill. After this round every registry entry
-# has a green row from r03 or later; the 17 displaced backfills
-# (qs08/11/12/13/14/15/20/21/22/23/54/56 + qs36/43/44/45/64, all
-# r03-green) queue for r06.
+# r05 graded the round-5 additions + the r02-stale queue + 8 stale-r03
+# backfills (see git history for that list), displacing 17 r03-green
+# entries to this round. r06 (this list) is the rotation's last lap:
+# the 17 displaced r03-green backfills first, then the remaining 22
+# r03-green entries, then qs90 (hash-checkable for the FIRST time this
+# round — its portable-HLL oracle landed in r06, so this is its first
+# chance at a hash-green driver row), then the 10 earliest-registered
+# r04-green entries. After this round every registry entry's freshest
+# green is r04 or later, and qs90's rows-only asterisk is gone.
 # Every name below MUST exist in the registry — tests/test_sql_surface.py
 # asserts set(_GRADE_FIRST) <= set(QUERIES) so a typo fails loudly instead
 # of silently falling back to registration order (the r03 defect).
 _GRADE_FIRST = [
-    # -- round-5 additions (17) --
-    "qs141_tpch_q6_forecast",
-    "qs139_tpch_q13_custdist",
-    "qs140_tpch_q8_market_share",
-    "qs138_repetition_rowlocal",
-    "qs137_sketch_heavy_hitters",
-    "qs135_duplicate_spans",
-    "qs136_rag_chunks",
-    "qs130_tpch_q15_top_supplier",
-    "qs131_tpch_q17_small_qty",
-    "qs132_tpch_q21_sole_fault",
-    "qs133_tpch_q11_heavy_parts",
-    "qs134_corpus_mixing_weights",
-    "qs125_tpch_q4_exists",
-    "qs126_tpch_q12_shipmode",
-    "qs127_tpch_q14_promo",
-    "qs128_tpch_q19_disjunctive",
-    "qs129_tpch_q22_antijoin",
-    # -- r02-stale queue (23) --
-    "qs72_sequence_explode",
-    "qs73_bitwise",
-    "qs74_nullsafe_join",
-    "qs75_greatest_least",
-    "qs76_string_pad",
-    "qs77_try_cast",
-    "qs78_scalar_subquery",
-    "qs79_width_bucket",
-    "qs80_regexp_extract_replace",
-    "qs81_connected_dedup",
-    "qs83_decontaminate",
-    "qs84_bm25",
-    "qs85_scd2_apply",
-    "qs86_corr_covar",
-    "qs87_regression_agg",
-    "qs88_profile_columns",
-    "qs92_forward_fill",
-    "qs93_resample_grid",
-    "qs95_table_diff",
-    "qs97_weighted_sample",
-    "qs99_funnel",
-    "qs101_histogram",
-    "qs102_schema_evolution_union",
-    # -- changed this round (2) --
-    "qs91_llm_pipeline_manifest",
-    "qs31_regex_filter",
-    # -- stalest r03 backfill (8) --
-    "qs01_scan_filter_project",
-    "qs02_project_expr_like",
-    "qs03_broadcast_join",
-    "qs04_left_outer_join",
-    "qs05_semi_join",
-    "qs06_anti_join",
-    "qs07_self_theta_join",
-    "qs10_groupby_agg_tpch_q1",
+    # -- displaced r03-green backfills (17) --
+    "qs08_range_join",
+    "qs11_count_distinct",
+    "qs12_rollup",
+    "qs13_cube",
+    "qs14_combine_rows_string_agg",
+    "qs15_min_max_stddev",
+    "qs20_topk_per_group",
+    "qs21_ranking_family",
+    "qs22_lag_lead_rows_frame",
+    "qs23_window_aggregate",
+    "qs54_exact_dedup",
+    "qs56_simhash",
+    "qs36_higher_order_arrays",
+    "qs43_sessionize",
+    "qs44_percentile_exact",
+    "qs45_correlated_scalar_subquery",
+    "qs64_salted_agg",
+    # -- remaining r03-green entries (22) --
+    "qs46_full_outer_join",
+    "qs48_time_range_frame",
+    "qs66_hash_split",
+    "qs82_sequence_packing",
+    "qs89_repetition_signal",
+    "qs96_anonymize",
+    "qs98_incremental_agg",
+    "qs100_tpch_q3",
+    "qs103_tpch_q5",
+    "qs104_inverted_index",
+    "qs105_cap_per_group",
+    "qs106_cumulative_distinct",
+    "qs107_merge_upsert",
+    "qs108_triangle_count",
+    "qs109_tpch_q18",
+    "qs110_cms_sketch",
+    "qs111_segment_dedup",
+    "qs112_lsh_buckets",
+    "qs113_recursive_cte",
+    "qs114_fuzzy_link",
+    "qs115_tfidf_top_terms",
+    "qs116_cohort_retention",
+    # -- newly hash-checkable this round (1) --
+    "qs90_hll_distinct_sketch",
+    # -- earliest-registered r04-green backfill (10) --
+    "qs25_global_topk",
+    "qs26_intersect",
+    "qs27_except",
+    "qs28_union_all",
+    "qs30_string_functions",
+    "qs32_datetime_functions",
+    "qs33_math_functions",
+    "qs34_json_extraction",
+    "qs35_array_functions",
+    "qs40_case_coalesce",
 ]
 
 

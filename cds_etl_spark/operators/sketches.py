@@ -88,6 +88,148 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     return out.groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
+def _hll_alpha_num(m: int) -> float:
+    """alpha_m * m^2 * 2^40 precomputed driver-side so BOTH engines see
+    the identical double literal (Python repr round-trips exactly) and
+    the raw estimate is ONE IEEE-correctly-rounded division — the only
+    float op on the raw path, hence bit-deterministic cross-engine."""
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return alpha * m * m * float(1 << 40)
+
+
+def hll_build(
+    df: DataFrame, group_col: str, value_col: str, p: int = 10
+) -> DataFrame:
+    """Engine-portable HyperLogLog registers per group: ``(group, idx,
+    r)`` with idx the bucket (low ``p`` bits of the md5-derived hash)
+    and r the register value max(rank).
+
+    Same relational-sketch philosophy as ``cms_build``: the sketch IS
+    a DataFrame, so build is one groupBy (shuffle keyed on
+    (group, idx) — at most ``groups x 2^p`` rows survive the map-side
+    partial max regardless of input size), and merge is union + max.
+
+    The hash family is the CMS one (md5 hex, engine-portable): bucket
+    from hex chars 1-8, a 32-bit rank word w from hex chars 9-16, and
+    rank = 33 - bitlength(w) (33 when w = 0) computed with INTEGER ops
+    only (``length(bin(w))``) — no log2, whose last-ulp rounding could
+    diverge engines. DuckDB rebuilds identical registers in SQL, which
+    is what upgrades the HLL *estimate* from a rows-only check to a
+    full value-hash oracle (qs90).
+
+    Unlike ``text_analysis.distinct_sketch_by`` (Apache DataSketches
+    HLL via hll_sketch_agg — the production-grade path, kept for its
+    binary mergeable sketch column), this variant trades a few bits of
+    accuracy for cross-engine reproducibility.
+    """
+    m = 1 << p
+    md5c = F.md5(F.col(value_col).cast("string"))
+    idx = F.conv(F.substring(md5c, 1, 8), 16, 10).cast("long") % F.lit(m)
+    w = F.conv(F.substring(md5c, 9, 8), 16, 10).cast("long")
+    rank = (
+        F.when(w == 0, F.lit(33))
+        .otherwise(F.lit(33) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    return (
+        df.select(
+            F.col(group_col), idx.alias("idx"), rank.alias("__rank")
+        )
+        .groupBy(group_col, "idx")
+        .agg(F.max("__rank").alias("r"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge register tables built with the same p: registers combine
+    by max, so sharded builds union losslessly — merged-then-estimated
+    equals estimated-over-the-union exactly (tested in
+    tests/test_sketches.py)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    cols = [c for c in out.columns if c not in ("idx", "r")]
+    return out.groupBy(*cols, "idx").agg(F.max("r").alias("r"))
+
+
+def hll_estimate(regs: DataFrame, group_col: str, p: int = 10) -> DataFrame:
+    """Finalize registers to ``(group, estimate)`` (BIGINT).
+
+    Determinism: the harmonic sum S = sum(2^-r) is computed as the
+    EXACT integer sum(2^(40-r)) via shiftleft (every term and every
+    partial sum is a multiple of 2^-40 bounded by 2^50, so the sum is
+    order-independent and exact); empty registers contribute 2^40
+    each. The raw estimate is one double division of exact operands
+    (IEEE-correctly-rounded, engine-identical). The small-range
+    linear-counting branch (E <= 2.5m with empty registers) uses
+    m*ln(m/V) — ln is the one non-IEEE-pinned op, but the result is
+    rounded to an integer and a last-ulp wobble is ~1e-13, the same
+    cross-engine contract qs84's BM25 ln already relies on. The
+    2^32-scale large-range correction is intentionally omitted
+    (documented contract: per-group cardinality < ~100M; registers
+    themselves stay exact far beyond that)."""
+    m = 1 << p
+    two40 = 1 << 40
+    agg = regs.groupBy(group_col).agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 40 - r)")).alias("sp"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    v = (F.lit(m) - F.col("nb")).cast("long")
+    s_scaled = (F.col("sp") + v * F.lit(two40)).cast("double")
+    e_raw = F.lit(_hll_alpha_num(m)) / s_scaled
+    est = (
+        F.when(
+            (e_raw <= F.lit(2.5 * m)) & (v > 0),
+            F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))),
+        )
+        .otherwise(F.round(e_raw))
+        .cast("long")
+    )
+    return agg.select(F.col(group_col), est.alias("estimate"))
+
+
+def hll_distinct_by(
+    df: DataFrame, group_col: str, value_col: str, p: int = 10
+) -> DataFrame:
+    """Per-group approximate distinct count, hash-checkable: build +
+    estimate in one plan (two shuffles, the second over at most
+    ``groups x 2^p`` register rows)."""
+    return hll_estimate(hll_build(df, group_col, value_col, p), group_col, p)
+
+
+def hll_oracle_sql(
+    table: str, group_col: str, value_col: str, p: int = 10
+) -> str:
+    """DuckDB SQL that rebuilds the exact registers and estimate of
+    ``hll_distinct_by`` (shared so tests and the qs90 oracle cannot
+    drift from the Spark implementation)."""
+    m = 1 << p
+    two40 = 1 << 40
+    num = repr(_hll_alpha_num(m))
+    return f"""
+    WITH h AS (
+      SELECT {group_col} AS g,
+             ('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 8))::BIGINT
+               % {m} AS idx,
+             ('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 9, 8))::BIGINT
+               AS w
+      FROM {table}),
+    r AS (SELECT g, idx,
+            MAX(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS r
+          FROM h GROUP BY g, idx),
+    a AS (SELECT g, SUM(1::BIGINT << (40 - r)) AS sp, COUNT(*) AS nb
+          FROM r GROUP BY g),
+    e AS (SELECT g, {m} - nb AS v,
+            {num} / CAST(sp + ({m} - nb) * {two40} AS DOUBLE) AS e_raw
+          FROM a)
+    SELECT g AS {group_col},
+           CAST(round(CASE WHEN e_raw <= {2.5 * m!r} AND v > 0
+                           THEN {float(m)!r} * ln({float(m)!r} / v)
+                           ELSE e_raw END) AS BIGINT) AS estimate
+    FROM e
+    """
+
+
 def cms_estimate(
     sketch: DataFrame,
     items: DataFrame,

@@ -2440,20 +2440,32 @@ def qs89(spark: SparkSession, sf: str) -> DataFrame:
     return top_ngram_fraction(d, "doc_id", "text", n=2)
 
 
-@query("qs90_hll_distinct_sketch")
+def _qs90_oracle() -> str:
+    from cds_etl_spark.operators.sketches import hll_oracle_sql
+
+    return hll_oracle_sql("lineitem", "l_returnflag", "l_orderkey", p=10)
+
+
+@query("qs90_hll_distinct_sketch", oracle=_qs90_oracle())
 def qs90(spark: SparkSession, sf: str) -> DataFrame:
-    """Mergeable HLL distinct-count sketch per return flag
-    (operators/text_analysis.distinct_sketch_by over lineitem
-    orderkeys). Rows-only check by design: sketch estimates cannot
-    hash-match an exact engine (SURVEY.md §2.2 determinism rules),
-    like qs62/qs63. Accuracy + mergeability are unit-tested
-    (tests/test_sketches.py)."""
-    from cds_etl_spark.operators.text_analysis import distinct_sketch_by
+    """Mergeable HLL distinct-count estimate per return flag —
+    operators/sketches.hll_distinct_by over lineitem orderkeys.
+
+    HASH-CHECKABLE approximate structure (the qs110 CMS trick applied
+    to HLL): registers derive from the engine-portable salted-md5 hash
+    family with integer-only rank math, the harmonic sum is an exact
+    shiftleft integer sum, and the estimate is one IEEE-deterministic
+    division — so DuckDB recomputes the identical registers AND the
+    identical estimate in SQL (``hll_oracle_sql`` is generated from
+    the same module, so the two sides cannot drift). This replaced the
+    r5 rows-only DataSketches formulation; the production binary-
+    sketch path (hll_sketch_agg) remains in
+    text_analysis.distinct_sketch_by with its own unit tests.
+    Accuracy + merge=union invariants: tests/test_sketches.py."""
+    from cds_etl_spark.operators.sketches import hll_distinct_by
 
     li = load_table(spark, sf, "lineitem")
-    return distinct_sketch_by(li, "l_returnflag", "l_orderkey").select(
-        "l_returnflag", "estimate"
-    )
+    return hll_distinct_by(li, "l_returnflag", "l_orderkey", p=10)
 
 
 # k=3 shingle set over a pre-split token array (template over the token

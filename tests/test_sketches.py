@@ -135,3 +135,64 @@ def test_cms_build_weighted_doubles_counts(spark, sf_dir):
         ).collect()
     }
     assert joined and all(w == 2 * c for c, w in joined.values())
+
+
+def test_hll_portable_accuracy(spark, sf_dir):
+    """Portable-HLL estimate within HLL error bounds of the exact
+    distinct count (m=1024 -> sigma ~3.25%; assert 4 sigma)."""
+    from cds_etl_spark.operators.sketches import hll_distinct_by
+
+    li = load_table(spark, sf_dir, "lineitem")
+    est = {
+        r["l_returnflag"]: r["estimate"]
+        for r in hll_distinct_by(li, "l_returnflag", "l_orderkey").collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["d"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("d"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for flag, d in exact.items():
+        assert abs(est[flag] - d) <= max(4 * 0.0325 * d, 8.0), (
+            flag, est[flag], d
+        )
+
+
+def test_hll_portable_merge_equals_single_pass(spark, sf_dir):
+    """Sharded build + max-merge yields byte-identical registers (and
+    hence the identical estimate) to a single-pass build — the
+    incremental-maintenance contract."""
+    from cds_etl_spark.operators.sketches import (
+        hll_build,
+        hll_distinct_by,
+        hll_estimate,
+        hll_merge,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = hll_build(li.filter(F.col("l_orderkey") % 2 == 0), "l_returnflag", "l_orderkey")
+    b = hll_build(li.filter(F.col("l_orderkey") % 2 == 1), "l_returnflag", "l_orderkey")
+    merged = hll_estimate(hll_merge(a, b), "l_returnflag")
+    single = hll_distinct_by(li, "l_returnflag", "l_orderkey")
+    m = sorted(map(tuple, merged.collect()))
+    s = sorted(map(tuple, single.collect()))
+    assert m == s
+
+
+def test_hll_oracle_sql_matches_spark(spark, duck, sf_dir):
+    """hll_oracle_sql is generated from the same constants as the
+    Spark plan; assert exact estimate equality against DuckDB on a
+    second (group, value) pair to guard the shared-constants contract
+    beyond what qs90's differential already covers."""
+    from cds_etl_spark.operators.sketches import hll_distinct_by, hll_oracle_sql
+
+    o = load_table(spark, sf_dir, "orders")
+    got = sorted(
+        map(tuple, hll_distinct_by(o, "o_orderstatus", "o_custkey", p=8).collect())
+    )
+    want = sorted(
+        map(tuple, duck.sql(hll_oracle_sql("orders", "o_orderstatus", "o_custkey", p=8)).fetchall())
+    )
+    assert got == want
