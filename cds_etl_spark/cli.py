@@ -280,14 +280,19 @@ def run_transform_v12(
             df = read_sheet(spark, book, sheet)
             if df is not None:
                 sheets[sheet] = df
-        tables = pipe.run(sheets)
-        prefix = pipe.study_prefix(tables)
-        for node, df in tables.items():
-            p = write_tsv_file(df, out_dir, node, prefix=prefix)
-            if p:
-                written["nodes"].append(p)
-                log.info("wrote %s", p)
-        pipe.unpersist()  # this book's tables are on disk; release caches
+        try:
+            tables = pipe.run(sheets)
+            prefix = pipe.study_prefix(tables)
+            for node, df in tables.items():
+                p = write_tsv_file(df, out_dir, node, prefix=prefix)
+                if p:
+                    written["nodes"].append(p)
+                    log.info("wrote %s", p)
+        finally:
+            # This book's tables are on disk (or the book failed);
+            # release its 7 sheet caches either way so a long batch
+            # never accumulates pinned storage across workbooks.
+            pipe.unpersist()
     return written
 
 

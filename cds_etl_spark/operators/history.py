@@ -26,6 +26,14 @@ before anything can pin them; a crash at any point leaves the previous
 generation intact (generation count within a run is one per merge —
 bounded by the batch's file × property count). Legacy single-parquet
 state files migrate into generation 1 on first touch.
+
+Concurrency contract: ONE writer process per ``state_path`` (matching
+the reference, whose YAML store has the same constraint). The
+generation rename retries on number collision so a violating second
+writer cannot corrupt the store, but concurrent merges still serialize
+by arrival — a batch merged concurrently from two processes must be
+re-merged to be complete. Multi-READER safety (including readers in
+the same process pinning older generations) is full, per above.
 """
 
 from __future__ import annotations
@@ -117,12 +125,27 @@ def add_historical_value(
     merged = _read_state(spark, state_path).unionByName(batch).distinct()
     gens = _gen_names(state_path)
     nxt = int(gens[-1][4:]) + 1 if gens else 1
-    name = f"gen-{nxt:06d}"
-    tmp = os.path.join(state_path, f".tmp-{name}")
+    tmp = os.path.join(state_path, f".tmp-gen-{nxt:06d}-{os.getpid()}")
     os.makedirs(state_path, exist_ok=True)
     _rm(tmp)
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    os.rename(tmp, os.path.join(state_path, name))
+    # Claim the next free generation number. Two processes racing the
+    # same state_path can compute the same `nxt`; POSIX rename onto an
+    # existing non-empty directory fails (EEXIST/ENOTEMPTY), so on
+    # collision re-scan and try the next number instead of clobbering.
+    # (NOTE: this keeps concurrent writers from corrupting the store,
+    # but their merges still serialize by arrival — a loser's merge
+    # will not CONTAIN the winner's concurrent rows. See module
+    # docstring: one writer process per state_path is the contract.)
+    while True:
+        try:
+            os.rename(tmp, os.path.join(state_path, f"gen-{nxt:06d}"))
+            break
+        except OSError:
+            taken = {int(g[4:]) for g in _gen_names(state_path)}
+            nxt = max(taken, default=0) + 1
+            if nxt in taken:  # pragma: no cover - defensive
+                raise
 
 
 def stamp_historical_value(

@@ -160,6 +160,45 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def _apply_profile(spark: SparkSession, marker: str, n: int) -> None:
+    """Align a live session's RUNTIME profile with ``marker``.
+
+    Needed because ``getOrCreate()`` silently ignores builder configs
+    when a session already exists in-process — without this, bench
+    invoked after another component created the session would keep the
+    wrong profile, and ensure_session_confs would then re-apply the
+    stale marker's confs forever (ADVICE r5). Static confs (tmpfs
+    shuffle dirs, scheduler mode, compression) cannot change on a live
+    context; only the runtime-settable set is aligned, which covers
+    everything correctness-relevant and the dominant perf knobs.
+    """
+    spark.conf.set(_LATENCY_MARKER, marker)
+    if marker == "large":
+        for k, v in LOCAL_SCALE_RUNTIME_CONFS.items():
+            spark.conf.set(k, v)
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    elif marker == "true":
+        for k, v in LOCAL_LATENCY_RUNTIME_CONFS.items():
+            spark.conf.set(k, v)
+    else:
+        # Plain profile: restore defaults for every conf a latency
+        # profile may have touched, then the engine baseline on top.
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        touched = (
+            set(LOCAL_LATENCY_RUNTIME_CONFS) | set(LOCAL_SCALE_RUNTIME_CONFS)
+        ) - set(RUNTIME_CONFS) - {"spark.sql.shuffle.partitions"}
+        for k in touched:
+            try:
+                spark.conf.unset(k)
+            except Exception:
+                pass
+        for k, v in RUNTIME_CONFS.items():
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                pass
+
+
 def get_spark(
     app_name: str = "cds_etl_spark",
     cores: int | None = None,
@@ -193,9 +232,21 @@ def get_spark(
         builder = builder.config(k, v)
     if local_latency:
         large = (data_bytes or 0) >= LOCAL_LATENCY_LARGE_DATA_BYTES
-        builder = builder.config(_LATENCY_MARKER, "large" if large else "true")
+        requested = "large" if large else "true"
+        builder = builder.config(_LATENCY_MARKER, requested)
         for k, v in LOCAL_LATENCY_STATIC_CONFS.items():
             builder = builder.config(k, v)
+    else:
+        requested = "false"
     spark = builder.getOrCreate()
+    # On a pre-existing session getOrCreate applies only the builder's
+    # runtime SQL configs (Spark 4) or none at all (older behavior) —
+    # either way the requested profile's conf SET may not be live, and
+    # the ensure_session_confs memo would mask that forever (ADVICE
+    # r5). get_spark is an explicit profile request and is called
+    # rarely (never per-table), so unconditionally re-align the runtime
+    # profile and drop the memo.
+    _CONFIGURED_SESSIONS.pop(id(spark), None)
+    _apply_profile(spark, requested, n)
     spark.sparkContext.setLogLevel("WARN")
     return ensure_session_confs(spark)

@@ -100,3 +100,45 @@ def test_history_prunes_prior_runs_and_migrates_legacy(spark, tmp_path):
         df, "phs_accession", "study_version", legacy
     ).collect()
     assert row["study_version"] == "2,1"
+
+
+def test_generation_rename_collision_retries(spark, tmp_path, monkeypatch):
+    """ADVICE r5: if the next generation number is already taken (a
+    racing writer claimed it between scan and rename), the merge lands
+    on the next free number instead of failing or clobbering."""
+    import os
+    import shutil
+
+    from cds_etl_spark.operators import history as H
+
+    state = str(tmp_path / "hist_state")
+    df = spark.createDataFrame([("k1", "a")], "id string, vals string")
+    H.add_historical_value(df, "id", "vals", state)
+    assert H._gen_names(state) == ["gen-000001"]
+
+    # Inject the race at the only possible window: a second writer
+    # claims gen-000002 between this process's scan and its rename (a
+    # real racer writes valid parquet; the underscore-prefixed marker
+    # is ignored by Spark reads and proves the dir was never touched).
+    real_rename = os.rename
+    fired = {}
+
+    def racing_rename(src, dst):
+        if dst.endswith("gen-000002") and not fired:
+            fired["yes"] = True
+            shutil.copytree(os.path.join(state, "gen-000001"), dst)
+            with open(os.path.join(dst, "_marker"), "w") as f:
+                f.write("other writer")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", racing_rename)
+    df2 = spark.createDataFrame([("k1", "b")], "id string, vals string")
+    H.add_historical_value(df2, "id", "vals", state)
+    # Collision detected -> landed on gen-000003; the racer's
+    # generation is untouched.
+    assert "gen-000003" in H._gen_names(state)
+    assert open(os.path.join(state, "gen-000002", "_marker")).read() == (
+        "other writer"
+    )
+    out = H.stamp_historical_value(df2, "id", "vals", state).collect()
+    assert out[0]["vals"] == "b,a"
