@@ -270,6 +270,28 @@ def test_qs31_rewrite_precondition_no_newlines(spark, sf_dir):
     assert d.filter(F.col("text").contains("\n")).count() == 0
 
 
+def test_qs135_qs136_oracle_series_bound_precondition(spark, sf_dir):
+    # ADVICE r5: qs135's and qs136's oracles enumerate window/chunk
+    # positions from a hard-coded range(1, 100000) while the Spark
+    # side is unbounded — a document with >= ~100k tokens would
+    # silently diverge the differential. Guard the corpus precondition
+    # the same way test_qs31_rewrite_precondition_no_newlines does:
+    # assert max token count is well under the bound (10x headroom for
+    # qs135's positions; qs136 consumes ~1/96th of the series, so the
+    # same guard gives it ~960x).
+    from cds_etl_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    max_toks = d.agg(
+        F.max(F.size(F.split(F.col("text"), " "))).alias("m")
+    ).collect()[0]["m"]
+    assert max_toks < 10_000, (
+        f"documents corpus has a {max_toks}-token doc; qs135/qs136 "
+        "oracles cap position series at 100000 — raise the bound"
+    )
+
+
 def test_heavy_hitters_sketch_and_candidates_broadcast(spark, sf_dir):
     # qs137: the depth*width sketch and the pruned candidate set must
     # both broadcast — the exploded token stream shuffles only for its
