@@ -154,6 +154,24 @@ def generate(sf: float, out_dir: str, seed: int = 42) -> None:
         "embedding": pa.array(list(emb), type=pa.list_(pa.float32())),
         "label": rng.integers(0, 8, n_emb).astype(np.int32),
     }))
+    # partsupp — the one TPC-H table the driver testdata does NOT ship
+    # (TPC-H Q2/Q9/Q16/Q20 are inexpressible without it; they live as
+    # locally-oracle-checked extras in tests/test_tpch_partsupp.py, NOT
+    # in queries()). Generated LAST with a dedicated rng stream so
+    # adding it never perturbs the byte-stable draws of the 10 shipped
+    # tables (same determinism contract). TPC-H shape: 4 suppliers per
+    # part, supplier assignment a deterministic stride like dbgen's.
+    ps_rng = np.random.default_rng(seed + 7)
+    ps_part = np.repeat(np.arange(n_part, dtype=np.int64), 4)
+    ps_i = np.tile(np.arange(4, dtype=np.int64), n_part)
+    ps_supp = (ps_part + ps_i * (n_supp // 4 + 1)) % max(n_supp, 1)
+    n_ps = n_part * 4
+    write("partsupp", pa.table({
+        "ps_partkey": ps_part,
+        "ps_suppkey": ps_supp,
+        "ps_availqty": ps_rng.integers(1, 10_000, n_ps).astype(np.int32),
+        "ps_supplycost": np.round(ps_rng.uniform(1.0, 1000.0, n_ps), 2),
+    }))
 
 
 if __name__ == "__main__":
