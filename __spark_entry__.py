@@ -88,9 +88,13 @@ _GRADE_FIRST = [
     "qs114_fuzzy_link",
     "qs115_tfidf_top_terms",
     "qs116_cohort_retention",
-    # -- newly hash-checkable this round (1) --
+    # -- new or newly hash-checkable this round (3) --
     "qs90_hll_distinct_sketch",
-    # -- earliest-registered r04-green backfill (10) --
+    "qs142_duplicate_span_coverage",
+    "qs143_hll_register_table",
+    # -- earliest-registered r04-green backfill (8; qs34/qs35 displaced
+    #    by the round-6 additions, stay r04-green within the freshness
+    #    goal) --
     "qs25_global_topk",
     "qs26_intersect",
     "qs27_except",
@@ -98,8 +102,6 @@ _GRADE_FIRST = [
     "qs30_string_functions",
     "qs32_datetime_functions",
     "qs33_math_functions",
-    "qs34_json_extraction",
-    "qs35_array_functions",
     "qs40_case_coalesce",
 ]
 

@@ -4872,3 +4872,161 @@ def qs141(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.sum(rev).alias("revenue_e4"), F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "qs142_duplicate_span_coverage",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    kg AS (SELECT doc_id, g.i AS pos,
+             md5(array_to_string(toks[g.i:g.i+9], ' ')) AS h
+           FROM tok, (SELECT unnest(range(1, 100000)) AS i) g
+           WHERE g.i + 9 <= len(toks)),
+    dup AS (SELECT h FROM kg GROUP BY h
+            HAVING COUNT(*) > 1 AND COUNT(DISTINCT doc_id) > 1),
+    spans AS (SELECT kg.doc_id, kg.pos AS s, kg.pos + 9 AS e
+              FROM kg JOIN dup ON kg.h = dup.h),
+    isl AS (SELECT doc_id, s, e,
+              CASE WHEN s > COALESCE(MAX(e) OVER (
+                     PARTITION BY doc_id ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     -1)
+                   THEN 1 ELSE 0 END AS new_island
+            FROM spans),
+    grp AS (SELECT doc_id, s, e,
+              SUM(new_island) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+            FROM isl),
+    merged AS (SELECT doc_id, island,
+                 MAX(e) - MIN(s) + 1 AS span_len
+               FROM grp GROUP BY doc_id, island),
+    per_doc AS (SELECT doc_id,
+                  CAST(SUM(span_len) AS BIGINT) AS dup_tokens,
+                  CAST(COUNT(*) AS BIGINT) AS n_islands
+                FROM merged GROUP BY doc_id)
+    SELECT p.doc_id, p.dup_tokens, p.n_islands,
+           p.dup_tokens::DOUBLE / len(t.toks)::DOUBLE AS coverage
+    FROM per_doc p JOIN tok t ON p.doc_id = t.doc_id
+    """,
+)
+def qs142(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicated-span COVERAGE per document: qs135 finds the
+    cross-document duplicated 10-token windows; this merges each
+    document's overlapping windows into maximal islands
+    (gaps-and-islands via running-max window — one sort per doc
+    partition, no self-join) and reports merged duplicated-token
+    counts and the coverage fraction — the per-document statistic a
+    span-level dedup (Lee et al. 2022) thresholds on, where qs135
+    reports raw window hits. Shuffles: the qs135 hash agg, then ONE
+    doc-keyed exchange shared by both window steps and the final
+    aggregate (same-key partitioning reused across stages). The
+    fraction is exact integer division (engine-safe, qs89 policy);
+    span positions stay integers throughout."""
+    d = load_table(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    k = 10
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(
+                F.concat_ws(
+                    " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
+                )
+            ).alias("h"),
+        ),
+    )
+    kg = (
+        d.filter(F.size(toks) >= k)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    )
+    dup = (
+        kg.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.count_distinct("doc_id").alias("_nd"),
+        )
+        .filter((F.col("_n") > 1) & (F.col("_nd") > 1))
+        .select("h")
+    )
+    spans = kg.join(dup, "h").select(
+        "doc_id", F.col("pos").alias("s"), (F.col("pos") + (k - 1)).alias("e")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = (
+        spans.withColumn(
+            "new_island",
+            F.when(
+                F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(w_run))
+        .groupBy("doc_id", "island")
+        .agg((F.max("e") - F.min("s") + 1).alias("span_len"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("span_len").cast("long").alias("dup_tokens"),
+            F.count(F.lit(1)).alias("n_islands"),
+        )
+    )
+    doc_len = d.select("doc_id", F.size(toks).cast("long").alias("_n_toks"))
+    return (
+        islands.join(doc_len, "doc_id")
+        .select(
+            "doc_id",
+            "dup_tokens",
+            "n_islands",
+            (
+                F.col("dup_tokens").cast("double") / F.col("_n_toks").cast("double")
+            ).alias("coverage"),
+        )
+    )
+
+
+def _qs143_oracle() -> str:
+    # The register CTE of the shared portable-HLL oracle, emitted as a
+    # standalone query so the MERGEABLE ARTIFACT (the register table)
+    # is itself hash-checked, the way qs110 checks the CMS counter
+    # table. Generated from the same module constants as the Spark
+    # plan (p=8 -> m=256).
+    return """
+    WITH h AS (
+      SELECT l_returnflag,
+             ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT
+               % 256 AS idx,
+             ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 9, 8))::BIGINT
+               AS w
+      FROM lineitem)
+    SELECT l_returnflag, idx,
+           CAST(MAX(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END)
+                AS INT) AS r
+    FROM h GROUP BY l_returnflag, idx
+    """
+
+
+@query("qs143_hll_register_table", oracle=_qs143_oracle())
+def qs143(spark: SparkSession, sf: str) -> DataFrame:
+    """Portable-HLL REGISTER table per return flag
+    (operators/sketches.hll_build, p=8): the mergeable artifact
+    itself, as qs110 ships the CMS counter table. This is what a
+    100 TB incremental distinct-count pipeline stores per shard/day —
+    registers max-merge (hll_merge) without re-reading data, and the
+    estimate (qs90) is derivable from any merged subset. Registers
+    are integer-exact (md5-derived bucket + bit-length rank), so the
+    table hash-checks with no floating point anywhere. Shuffle is
+    bounded by groups x 256 rows after map-side partial max."""
+    from cds_etl_spark.operators.sketches import hll_build
+
+    li = load_table(spark, sf, "lineitem")
+    return hll_build(li, "l_returnflag", "l_orderkey", p=8)
