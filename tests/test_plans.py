@@ -331,3 +331,70 @@ def test_q6_all_three_predicates_push_to_scan(spark, sf_dir):
     pushed = p.split("PushedFilters")[1][:400]
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_qs142_single_doc_exchange_shared_by_windows_and_aggs(spark, sf_dir):
+    # qs142's claim: the dup-hash detection shuffles on h (count_distinct
+    # expands to two phases -> 2 exchanges), then ONE doc-keyed exchange
+    # feeds both window steps AND the island/doc aggregations; the dup
+    # set and the doc-length side join as broadcasts, never SMJ.
+    import re
+
+    p = plan(spark, sf_dir, "qs142_duplicate_span_coverage")
+    keys = [
+        m.split("(", 1)[1]
+        for m in re.findall(r"Exchange hashpartitioning\([^)]*", p)
+    ]
+    assert len(keys) <= 3, f"expected <=3 hash exchanges, saw {keys}"
+    # exactly ONE doc-only exchange: both windows, the island agg and
+    # the doc agg all ride it (a second doc-keyed exchange would mean
+    # the window partitioning was not reused).
+    doc_only = [k for k in keys if k.startswith("doc_id") and "h#" not in k]
+    assert len(doc_only) == 1, keys
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert p.count("Window") >= 2
+
+
+def test_qs143_register_build_is_bounded_single_shuffle(spark, sf_dir):
+    # hll_build: explode is row-local; ONE shuffle on (group, idx) with
+    # map-side partial max — at scale each map task emits at most
+    # groups x 256 rows.
+    import re
+
+    p = plan(spark, sf_dir, "qs143_hll_register_table")
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+    assert p.count("HashAggregate") >= 2  # partial + final
+
+
+def test_partsupp_extras_plan_shapes(spark, tmp_path_factory):
+    # Q9: all dims broadcast, fact joins keyed; Q20: lineitem aggregated
+    # BEFORE joining partsupp (the shuffle carries (part,supp,qty) only)
+    # and the supplier probe is a semi join.
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+        ),
+    )
+    from gen_sf import generate
+
+    from cds_etl_spark.plans.tpch_extras import (
+        q9_product_type_profit,
+        q20_potential_promotion,
+    )
+
+    d = str(tmp_path_factory.mktemp("ps_plans") / "sf0.001")
+    generate(0.001, d)
+
+    p9 = q9_product_type_profit(spark, d)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p9 and "CartesianProduct" not in p9
+
+    p20 = q20_potential_promotion(spark, d)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in p20 and "CartesianProduct" not in p20
+    # the lineitem aggregation (partial+final over l_partkey,l_suppkey)
+    # appears below the partsupp join, i.e. pre-aggregation survived.
+    assert p20.count("HashAggregate") >= 2
