@@ -88,11 +88,13 @@ _GRADE_FIRST = [
     "qs114_fuzzy_link",
     "qs115_tfidf_top_terms",
     "qs116_cohort_retention",
-    # -- new or newly hash-checkable this round (3) --
+    # -- new or newly hash-checkable this round (5) --
     "qs90_hll_distinct_sketch",
     "qs142_duplicate_span_coverage",
     "qs143_hll_register_table",
-    # -- earliest-registered r04-green backfill (8; qs34/qs35 displaced
+    "qs144_dsir_importance_weights",
+    "qs145_bpe_pair_step",
+    # -- earliest-registered r04-green backfill (6; qs32-qs35 displaced
     #    by the round-6 additions, stay r04-green within the freshness
     #    goal) --
     "qs25_global_topk",
@@ -100,8 +102,6 @@ _GRADE_FIRST = [
     "qs27_except",
     "qs28_union_all",
     "qs30_string_functions",
-    "qs32_datetime_functions",
-    "qs33_math_functions",
     "qs40_case_coalesce",
 ]
 

@@ -5030,3 +5030,159 @@ def qs143(spark: SparkSession, sf: str) -> DataFrame:
 
     li = load_table(spark, sf, "lineitem")
     return hll_build(li, "l_returnflag", "l_orderkey", p=8)
+
+
+@query(
+    "qs144_dsir_importance_weights",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(string_split(lower(text), ' ')) AS term
+      FROM documents),
+    t AS (SELECT doc_id, lang,
+            ('0x' || substr(md5(term), 1, 8))::BIGINT % 256 AS b
+          FROM tok WHERE term <> ''),
+    raw_b AS (SELECT b, COUNT(*) AS c FROM t GROUP BY b),
+    tgt_b AS (SELECT b, COUNT(*) AS c FROM t WHERE lang = 'en' GROUP BY b),
+    tot AS (SELECT (SELECT COUNT(*) FROM t) AS n_raw,
+                   (SELECT COUNT(*) FROM t WHERE lang = 'en') AS n_tgt),
+    lr AS (SELECT r.b,
+             CAST(ROUND(ln( ((COALESCE(g.c,0)+1)::DOUBLE/(tot.n_tgt+256)::DOUBLE)
+                          / ((r.c+1)::DOUBLE/(tot.n_raw+256)::DOUBLE) )
+                        * 1000000) AS BIGINT) AS lr_e6
+           FROM raw_b r LEFT JOIN tgt_b g USING (b), tot),
+    doc_b AS (SELECT doc_id, b, COUNT(*) AS k FROM t GROUP BY doc_id, b)
+    SELECT d.doc_id, CAST(SUM(d.k * lr.lr_e6) AS BIGINT) AS weight_e6,
+           CAST(SUM(d.k) AS BIGINT) AS n_tokens
+    FROM doc_b d JOIN lr ON d.b = lr.b
+    GROUP BY d.doc_id
+    """,
+)
+def qs144(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style hashed-n-gram importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    per-document log importance weight of a target distribution (the
+    'en'-labeled slice) against the raw corpus, over 256 hashed
+    unigram buckets with Laplace smoothing.
+
+    Determinism design: the only transcendental (ln) is evaluated at
+    256 BUCKET sites, rounded to integer micro-nats there, and each
+    document's weight is then an exact integer dot product
+    sum(count_b * lr_e6(b)) — accumulation order cannot change it,
+    unlike a per-token float log-sum (the qs137 "round at the small
+    side, keep the big side integer-exact" pattern). Scale: the
+    bucket table is 256 rows (broadcast); shuffles are the (doc,
+    bucket) and doc aggregations — never keyed on raw terms. The hash
+    is the engine-portable md5 family (sketches module), so DuckDB
+    rebuilds identical buckets."""
+    d = load_table(spark, sf, "documents")
+    t = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+                % 256
+            ).alias("b"),
+        )
+    )
+    raw_b = t.groupBy("b").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt_b = (
+        t.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    totals = t.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_tgt"),
+    )
+    lr = (
+        raw_b.join(tgt_b, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("c_tgt"), F.lit(0)) + 1).cast("double")
+                        / (F.col("n_tgt") + 256).cast("double")
+                    )
+                    / (
+                        (F.col("c_raw") + 1).cast("double")
+                        / (F.col("n_raw") + 256).cast("double")
+                    )
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("lr_e6"),
+        )
+    )
+    doc_b = t.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        doc_b.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("k") * F.col("lr_e6")).alias("weight_e6"),
+            F.sum("k").alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "qs145_bpe_pair_step",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+    wf AS (SELECT w, COUNT(*) AS freq FROM words WHERE w <> '' GROUP BY w),
+    pairs AS (
+      SELECT substr(w, g.i, 2) AS pair, freq
+      FROM wf, (SELECT unnest(range(1, 64)) AS i) g
+      WHERE g.i < length(w)),
+    agg AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+            FROM pairs GROUP BY pair)
+    SELECT pair, cnt FROM agg
+    ORDER BY cnt DESC, pair LIMIT 20
+    """,
+)
+def qs145(spark: SparkSession, sf: str) -> DataFrame:
+    """One merge-selection step of BPE tokenizer training (Sennrich et
+    al. 2016): count adjacent character pairs across the corpus
+    weighted by word frequency, return the top-20 candidates — the
+    argmax is the pair a BPE trainer would merge next. The word-
+    frequency pre-aggregation is the scale move: pair extraction runs
+    over DISTINCT words (vocabulary-sized, Zipf-bounded), not over
+    every token occurrence, and the final shuffle carries (pair, cnt)
+    partials bounded by alphabet². Top-20 compiles to
+    TakeOrderedAndProject (per-partition k). Ties break on the pair
+    string so the LIMIT is deterministic cross-engine."""
+    d = load_table(spark, sf, "documents")
+    wf = (
+        d.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # substring with a dynamic start position needs the SQL form (the
+    # Python F.substring takes literal start only). The length guard is
+    # load-bearing: Spark's sequence(1, 0) DESCENDS instead of being
+    # empty (the qs138 single-char lesson), so 1-char words must be
+    # filtered, not relied on to produce an empty pair list.
+    pairs = wf.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(20)
+    )
