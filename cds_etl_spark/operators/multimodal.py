@@ -15,15 +15,18 @@ declared LLM-pipeline extension surface.
 Codecs: formats whose containers need only numpy + the stdlib are
 decoded/encoded FOR REAL — binary PPM/PGM images
 (``decode_ppm``/``encode_ppm``), PCM16 WAV audio
-(``decode_wav``/``encode_wav``), and PNG (``decode_png``/
+(``decode_wav``/``encode_wav``), PNG (``decode_png``/
 ``encode_png`` — zlib inflate + the five scanline filters, color
-types 0/2/4/6 at bit depth 8, non-interlaced); the synthetic media
-table emits genuine container bytes. Formats needing real codec libs
-(jpeg/mp4/...) raise behind a ``try: import PIL`` gate, and video
-payloads stay a clearly-marked raw-frame fake. The Spark-side
-contract — schemas, UDF signatures, Arrow batch iteration, explode
-shapes, partition behavior — is identical across real and stubbed
-codecs.
+types 0/2/4/6 at bit depth 8, non-interlaced), and baseline JPEG
+(``operators/jpeg.py`` — full T.81 baseline sequential: quality-scaled
+Annex K quantization, canonical Huffman, 4:4:4 and 4:2:0 sampling,
+restart-marker-aware decode); the synthetic media table emits genuine
+container bytes for all four. The one remaining gate is mp4/H.264
+(container + CABAC entropy decode — far beyond pure-numpy scope), so
+video payloads stay a clearly-marked raw-frame fake behind the PIL
+import gate. The Spark-side contract — schemas, UDF signatures, Arrow
+batch iteration, explode shapes, partition behavior — is identical
+across real and stubbed codecs.
 """
 
 from __future__ import annotations
@@ -317,11 +320,20 @@ def synthetic_media(spark, n: int = 64, partitions: int = 8) -> DataFrame:
                 nf = int(rng.integers(4, 32)) if kind == "video" else 1
                 sr = 16000 if kind == "audio" else 0
                 if kind == "image":
-                    # Alternate real container formats so every image
-                    # consumer exercises both codec paths.
-                    fmt = "ppm" if (int(mid) // 3) % 2 == 0 else "png"
+                    # Rotate the real container formats so every image
+                    # consumer exercises all three codec paths (jpeg is
+                    # lossy — consumers must treat pixels as decoded
+                    # content, not expect the raw rng values back).
+                    fmt = ("ppm", "png", "jpeg")[(int(mid) // 3) % 3]
                     pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-                    content = encode_ppm(pixels) if fmt == "ppm" else encode_png(pixels)
+                    if fmt == "ppm":
+                        content = encode_ppm(pixels)
+                    elif fmt == "png":
+                        content = encode_png(pixels)
+                    else:
+                        from cds_etl_spark.operators.jpeg import encode_jpeg
+
+                        content = encode_jpeg(pixels, quality=90)
                 elif kind == "audio":
                     fmt = "wav"
                     samples = rng.integers(-32768, 32768, size=1024).astype("<i2")
@@ -356,15 +368,19 @@ def synthetic_media(spark, n: int = 64, partitions: int = 8) -> DataFrame:
 def _decode_bytes(content: bytes, fmt: str) -> np.ndarray:
     """Decode media bytes to a pixel/sample array.
 
-    ``ppm``/``pgm``, ``png``, and ``wav`` decode for real (pure
-    numpy+stdlib, above). ``fake`` is raw uint8 (video frame
-    payloads). Formats needing real codec libraries (jpeg/mp4), absent
-    here, raise to make the missing dependency explicit rather than
-    silently wrong."""
+    ``ppm``/``pgm``, ``png``, ``jpeg``, and ``wav`` decode for real
+    (pure numpy+stdlib — jpeg via operators/jpeg.py baseline T.81).
+    ``fake`` is raw uint8 (video frame payloads). Formats needing real
+    codec libraries (mp4/h264), absent here, raise to make the missing
+    dependency explicit rather than silently wrong."""
     if fmt in ("ppm", "pgm"):
         return decode_ppm(bytes(content))
     if fmt == "png":
         return decode_png(bytes(content))
+    if fmt in ("jpeg", "jpg"):
+        from cds_etl_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(bytes(content))
     if fmt == "wav":
         samples, _ = decode_wav(bytes(content))
         return samples
@@ -373,7 +389,7 @@ def _decode_bytes(content: bytes, fmt: str) -> np.ndarray:
     if _HAVE_PIL:
         raise NotImplementedError("real decoder wiring reserved for PIL builds")
     raise NotImplementedError(
-        f"no codec for format={fmt!r}: image/audio libraries are not installed"
+        f"no codec for format={fmt!r}: video codec libraries are not installed"
     )
 
 
@@ -455,6 +471,10 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                     pdf.at[i, "content"] = encode_ppm(resized)
                 elif meta["format"] == "png":
                     pdf.at[i, "content"] = encode_png(resized)
+                elif meta["format"] in ("jpeg", "jpg"):
+                    from cds_etl_spark.operators.jpeg import encode_jpeg
+
+                    pdf.at[i, "content"] = encode_jpeg(resized, quality=90)
                 else:
                     pdf.at[i, "content"] = resized.tobytes()
                 meta["width"], meta["height"] = width, height
