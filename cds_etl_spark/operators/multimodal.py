@@ -338,11 +338,27 @@ def synthetic_media(spark, n: int = 64, partitions: int = 8) -> DataFrame:
                     fmt = "wav"
                     samples = rng.integers(-32768, 32768, size=1024).astype("<i2")
                     content = encode_wav(samples, sr)
-                else:
+                elif (int(mid) // 3) % 2 == 0:
                     fmt = "fake"
                     content = rng.integers(
                         0, 256, size=w * h, dtype=np.uint8
                     ).tobytes()
+                else:
+                    # Real ISO-BMFF container around raw frame
+                    # payloads: the sample table is genuine (any box
+                    # walker parses it); the payload codec is declared
+                    # 'raw ' — container real, codec honest.
+                    from cds_etl_spark.operators.mp4 import encode_mp4
+
+                    fmt = "mp4"
+                    content = encode_mp4(
+                        [
+                            rng.integers(0, 256, w * h, dtype=np.uint8).tobytes()
+                            for _ in range(nf)
+                        ],
+                        w,
+                        h,
+                    )
                 rows.append(
                     {
                         "media_id": int(mid),
@@ -386,6 +402,20 @@ def _decode_bytes(content: bytes, fmt: str) -> np.ndarray:
         return samples
     if fmt == "fake":
         return np.frombuffer(content, dtype=np.uint8)
+    if fmt == "mp4":
+        # Container parses for real (operators/mp4.py); whether the
+        # sample payloads decode depends on the declared codec.
+        from cds_etl_spark.operators.mp4 import extract_samples, probe_mp4
+
+        info = probe_mp4(bytes(content))
+        if info["codec"] == "raw":
+            return np.frombuffer(
+                b"".join(extract_samples(bytes(content))), dtype=np.uint8
+            )
+        raise NotImplementedError(
+            f"mp4 codec {info['codec']!r} needs an external decoder "
+            "(container parsed fine; H.264/H.265 entropy decode is gated)"
+        )
     if _HAVE_PIL:
         raise NotImplementedError("real decoder wiring reserved for PIL builds")
     raise NotImplementedError(
@@ -509,6 +539,22 @@ def sample_frames(df: DataFrame, every_k: int = 4) -> DataFrame:
                     continue
                 meta = row["meta"]
                 nf = int(meta["n_frames"]) or 1
+                if meta["format"] == "mp4":
+                    # Real container-level split: per-sample byte
+                    # ranges from the stbl sample table — the shard
+                    # step a video pipeline runs BEFORE any codec.
+                    from cds_etl_spark.operators.mp4 import extract_samples
+
+                    samples = extract_samples(bytes(row["content"]))
+                    for fi in range(0, len(samples), every_k):
+                        out.append(
+                            {
+                                "media_id": row["media_id"],
+                                "frame_idx": fi,
+                                "frame": samples[fi],
+                            }
+                        )
+                    continue
                 arr = _decode_bytes(row["content"], meta["format"])
                 frame_len = max(len(arr) // nf, 1)
                 for fi in range(0, nf, every_k):

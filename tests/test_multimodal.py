@@ -111,7 +111,7 @@ def test_sample_frames_explode(media):
 def test_unknown_format_raises(media):
     bad = media.withColumn(
         "meta", F.named_struct(
-            F.lit("format"), F.lit("mp4"),
+            F.lit("format"), F.lit("webp"),
             F.lit("width"), F.col("meta.width"),
             F.lit("height"), F.col("meta.height"),
             F.lit("sample_rate"), F.col("meta.sample_rate"),
@@ -135,7 +135,7 @@ def test_decode_stub_contract():
         _decode_bytes(b"\xff\x00", "jpeg")
     # …while genuinely lib-gated formats still stub out loudly.
     with pytest.raises(NotImplementedError):
-        _decode_bytes(b"\xff", "mp4")
+        _decode_bytes(b"\xff", "webp")
 
 
 def test_png_roundtrip_all_color_types():
@@ -402,3 +402,61 @@ def test_jpeg_feature_resize_pipeline(spark):
     assert len(feats) == 1 and feats[0]["mean_intensity"] > 0
     out = resize_images(df, 16, 16).collect()[0]
     assert out["meta"]["width"] == 16 and out["meta"]["height"] == 16
+
+
+# ---------------------------------------------------------------------------
+# ISO-BMFF container layer (operators/mp4.py)
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_container_roundtrip_and_structure():
+    from cds_etl_spark.operators.mp4 import (
+        encode_mp4,
+        extract_samples,
+        parse_boxes,
+        probe_mp4,
+    )
+
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, 8 * 6, dtype=np.uint8).tobytes() for _ in range(7)]
+    buf = encode_mp4(frames, 6, 8, fps=12)
+    # Box tree is genuine ISO-BMFF structure.
+    tree = parse_boxes(buf)
+    assert [n["type"] for n in tree] == [b"ftyp", b"mdat", b"moov"]
+    kinds = {n["type"] for n in tree[2]["children"]}
+    assert kinds == {b"mvhd", b"trak"}
+    info = probe_mp4(buf)
+    assert info == {
+        "codec": "raw", "width": 6, "height": 8, "n_samples": 7, "fps": 12
+    }
+    # Sample table resolves back to the exact frame payloads.
+    assert extract_samples(buf) == frames
+    with pytest.raises(ValueError):
+        probe_mp4(b"JUNKJUNKJUNK")
+
+
+def test_mp4_h264_codec_raises_but_container_parses():
+    from cds_etl_spark.operators.mp4 import encode_mp4, probe_mp4
+
+    buf = encode_mp4([b"\x00\x01\x02"], 2, 2, codec=b"avc1")
+    assert probe_mp4(buf)["codec"] == "avc1"  # container layer is fine
+    with pytest.raises(NotImplementedError, match="avc1"):
+        _decode_bytes(buf, "mp4")
+
+
+def test_mp4_sample_frames_container_level(spark):
+    # sample_frames on an mp4 row must return the exact k-strided
+    # container samples — byte ranges from stbl, no decode involved.
+    from cds_etl_spark.operators.mp4 import encode_mp4
+    from cds_etl_spark.operators.multimodal import sample_frames
+
+    rng = np.random.default_rng(13)
+    frames = [rng.integers(0, 256, 10, dtype=np.uint8).tobytes() for _ in range(9)]
+    row = [(
+        int(5), "video", bytearray(encode_mp4(frames, 5, 2)),
+        {"format": "mp4", "width": 5, "height": 2,
+         "sample_rate": 0, "n_frames": 9},
+    )]
+    df = spark.createDataFrame(row, MEDIA_SCHEMA)
+    got = {r["frame_idx"]: bytes(r["frame"]) for r in sample_frames(df, every_k=4).collect()}
+    assert got == {0: frames[0], 4: frames[4], 8: frames[8]}
