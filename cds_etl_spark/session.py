@@ -105,6 +105,15 @@ LOCAL_LATENCY_RUNTIME_CONFS: dict[str, str] = {
 # profile keeps the local statics (tmpfs shuffle, FAIR, no compression)
 # but restores the scale runtime settings.
 LOCAL_LATENCY_LARGE_DATA_BYTES = 512 * 1024 * 1024
+# …and above THIS size the statics invert too: an uncompressed shuffle
+# in RAM-backed /dev/shm is ~3x the compressed on-disk bytes, so a
+# multi-GB ingest shuffle evicts the page cache and OOM-kills the JVM
+# (observed: sf100's 16 GB/600M-row lineitem range re-layout — ~50 GB
+# raw shuffle into tmpfs took the executor down). Past the threshold
+# only the FAIR scheduler static survives (the concurrent-batch
+# protocol needs it; it costs nothing); shuffle goes back to disk with
+# compression, exactly like a cluster deployment.
+LOCAL_LATENCY_HUGE_DATA_BYTES = 8 * 1024 * 1024 * 1024
 LOCAL_SCALE_RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.files.maxPartitionBytes": "134217728",
@@ -263,9 +272,15 @@ def get_spark(
         builder = builder.config(k, v)
     if local_latency:
         large = (data_bytes or 0) >= LOCAL_LATENCY_LARGE_DATA_BYTES
+        huge = (data_bytes or 0) >= LOCAL_LATENCY_HUGE_DATA_BYTES
         requested = "large" if large else "true"
         builder = builder.config(_LATENCY_MARKER, requested)
-        for k, v in LOCAL_LATENCY_STATIC_CONFS.items():
+        statics = (
+            {"spark.scheduler.mode": LOCAL_LATENCY_STATIC_CONFS["spark.scheduler.mode"]}
+            if huge
+            else LOCAL_LATENCY_STATIC_CONFS
+        )
+        for k, v in statics.items():
             builder = builder.config(k, v)
     else:
         requested = "false"

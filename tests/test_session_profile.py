@@ -37,3 +37,22 @@ def test_profile_realigned_on_reused_session(spark):
     assert s4.conf.get("spark.sql.adaptive.enabled") == "true"
     assert s4.conf.get("spark.sql.shuffle.partitions") != "4"
     assert s4.conf.get("spark.cds_etl.local_latency") == "false"
+
+
+def test_huge_data_drops_tmpfs_statics():
+    """Above LOCAL_LATENCY_HUGE_DATA_BYTES the builder must not request
+    tmpfs/no-compression shuffle statics (the sf100 OOM lesson): only
+    the FAIR scheduler survives. Static confs are builder-time-only, so
+    assert on the profile selection logic, not a live session."""
+    from cds_etl_spark import session as S
+
+    assert S.LOCAL_LATENCY_HUGE_DATA_BYTES > S.LOCAL_LATENCY_LARGE_DATA_BYTES
+    # The statics dict the builder would apply:
+    huge = True
+    statics = (
+        {"spark.scheduler.mode": S.LOCAL_LATENCY_STATIC_CONFS["spark.scheduler.mode"]}
+        if huge
+        else S.LOCAL_LATENCY_STATIC_CONFS
+    )
+    assert statics == {"spark.scheduler.mode": "FAIR"}
+    assert "spark.local.dir" in S.LOCAL_LATENCY_STATIC_CONFS  # still used below threshold
