@@ -88,21 +88,21 @@ _GRADE_FIRST = [
     "qs114_fuzzy_link",
     "qs115_tfidf_top_terms",
     "qs116_cohort_retention",
-    # -- new or newly hash-checkable this round (5) --
+    # -- new or newly hash-checkable this round (10) --
     "qs90_hll_distinct_sketch",
     "qs142_duplicate_span_coverage",
     "qs143_hll_register_table",
     "qs144_dsir_importance_weights",
     "qs145_bpe_pair_step",
-    # -- earliest-registered r04-green backfill (6; qs32-qs35 displaced
-    #    by the round-6 additions, stay r04-green within the freshness
-    #    goal) --
+    "qs146_semantic_dedup",
+    "qs147_gopher_quality_rules",
+    "qs148_pii_scan_redact",
+    "qs149_temperature_mixing",
+    "qs150_incremental_minhash_dedup",
+    # -- earliest-registered r04-green backfill (1; qs26-qs40 displaced
+    #    by the round-6 additions qs146-qs150, stay r04-green within
+    #    the freshness goal) --
     "qs25_global_topk",
-    "qs26_intersect",
-    "qs27_except",
-    "qs28_union_all",
-    "qs30_string_functions",
-    "qs40_case_coalesce",
 ]
 
 

@@ -368,3 +368,147 @@ def segment_dedup(
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+def _signature_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    num_hashes: int,
+    bands: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared signature plumbing: (id, shingle-set) and exploded
+    (id, band_idx, band_key) frames, both materialized once. Factored
+    from ``minhash_lsh_pairs`` for the incremental-index path — at
+    scale the bands frame IS the persisted dedup index."""
+    rows_per_band = num_hashes // bands
+    sh = (
+        df.select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks"))
+        .select("_id", word_shingles_from_tokens(F.col("_toks"), shingle_k).alias("_sh"))
+        .localCheckpoint(eager=True)
+    )
+    n_groups = (num_hashes + 3) // 4
+    digests = sh.select(
+        "_id", *[minhash_digest(F.col("_sh"), g).alias(f"_d{g}") for g in range(n_groups)]
+    )
+    sig = digests.select(
+        "_id",
+        minhash_from_digests(
+            [F.col(f"_d{g}") for g in range(n_groups)], num_hashes
+        ).alias("_sig"),
+    ).select("_id", lsh_band_keys(F.col("_sig"), bands, rows_per_band).alias("_bk"))
+    bands_df = sig.select(
+        "_id", F.posexplode("_bk").alias("_bi", "_key")
+    ).localCheckpoint(eager=True)
+    return sh, bands_df
+
+
+def minhash_lsh_incremental(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup check: a NEW batch of documents against an
+    already-indexed corpus, without re-pairing the corpus with itself.
+
+    The production dedup loop at 100 TB is never "self-join the whole
+    corpus" — it is "each arriving batch probes the standing LSH index"
+    (the reference's analogue is the per-workbook dup-ID check,
+    cds_transformation_functions.py:209-246, rerun per submission).
+    Band keys of the batch join band keys of the index; the batch side
+    is tiny relative to the index, so Spark broadcasts it and the index
+    never shuffles — the probe cost is proportional to the BATCH, not
+    the corpus. Returns (new_id, index_id, jac) with jac >= threshold.
+    """
+    sh_new, bands_new = _signature_bands(new_df, id_col, text_col, shingle_k, num_hashes, bands)
+    sh_idx, bands_idx = _signature_bands(index_df, id_col, text_col, shingle_k, num_hashes, bands)
+    cand = (
+        bands_idx.alias("i")
+        .join(
+            F.broadcast(bands_new.alias("n")),
+            (F.col("i._bi") == F.col("n._bi")) & (F.col("i._key") == F.col("n._key")),
+        )
+        .select(F.col("n._id").alias("new_id"), F.col("i._id").alias("index_id"))
+        .distinct()
+    )
+    return (
+        cand.join(
+            F.broadcast(sh_new.withColumnRenamed("_id", "new_id").withColumnRenamed("_sh", "_sa")),
+            "new_id",
+        )
+        .join(sh_idx.withColumnRenamed("_id", "index_id").withColumnRenamed("_sh", "_sb"), "index_id")
+        .select("new_id", "index_id", jaccard(F.col("_sa"), F.col("_sb")).alias("jac"))
+        .filter(F.col("jac") >= min_jaccard)
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    anchors: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings, then drop all
+    but one representative from every within-cluster near-duplicate
+    group.
+
+    ``anchors`` is a small (cid, cvec) frame — at scale the trained
+    k-means centroids (operators/similarity.kmeans_train); here any
+    deterministic anchor set. Assignment is a broadcast-scored
+    row_number pick (no shuffle of the corpus beyond the one keyed by
+    cluster); the quadratic cosine check runs WITHIN clusters only, so
+    k sized to corpus_size/k ≈ cluster_size bounds pair counts exactly
+    the way the paper's k=50k does for LAION. Survivor rule: the
+    lowest id whose similarity ties it to no smaller id (keep-first,
+    same convention as exact_dedup).
+
+    Returns (vec_id, cid, is_dup) for every input row.
+    """
+    v = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_vv")
+    )
+    scored = v.join(F.broadcast(anchors)).select(
+        id_col,
+        "_vv",
+        F.col("cid"),
+        F.round(cosine_similarity(F.col("_vv"), F.col("cvec")), 6).alias("_s"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("_s").desc(), F.col("cid"))
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "_vv", "cid")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    dup_ids = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("b." + id_col) < F.col("a." + id_col)),
+        )
+        .filter(
+            F.round(cosine_similarity(F.col("a._vv"), F.col("b._vv")), 4)
+            >= F.lit(threshold)
+        )
+        .select(F.col("a." + id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        assigned.join(dup_ids, id_col, "left")
+        .select(
+            id_col,
+            "cid",
+            F.coalesce("_dup", F.lit(False)).alias("is_dup"),
+        )
+    )

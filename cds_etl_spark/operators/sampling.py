@@ -187,3 +187,41 @@ def weighted_hash_sample(
         .limit(k)
         .drop("__pri")
     )
+
+
+def temperature_weights(
+    df: DataFrame, group_cols: list[str], alpha: float = 0.5
+) -> DataFrame:
+    """Temperature-based corpus mixing weights: the multilingual-LM
+    sampling rule p_g ∝ (n_g/N)^α (Conneau & Lample 2019; α<1 upsamples
+    low-resource groups). Complements ``qs134``'s uniform-target
+    weights with the tunable-exponent family actually used to mix
+    pretraining corpora.
+
+    Determinism contract: the only float ops are one division of two
+    exact integers, one root/power, and one multiply — no float SUM
+    whose accumulation order could differ between engines — so
+    ``weight_e6`` is bit-identical everywhere. α=0.5 routes through
+    ``sqrt`` (IEEE correctly-rounded in every engine) instead of
+    ``pow`` (NOT guaranteed correctly rounded by libm) — with pow, a
+    1-ULP engine difference adjacent to an integer boundary would flip
+    the floor.
+    The weight is normalized against the LARGEST group (weight_e6 =
+    1e6 for it) rather than the sum, keeping it integer-exact; the
+    caller rescales to probabilities if needed.
+
+    One narrow aggregate (groupBy count) + a broadcast-sized join of
+    group totals: at 100 TB the cost is the count scan.
+    """
+    g = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    mx = g.agg(F.max("cnt").alias("max_cnt"))
+    share = F.col("cnt").cast("double") / F.col("max_cnt")
+    powered = F.sqrt(share) if alpha == 0.5 else F.pow(share, F.lit(alpha))
+    return (
+        g.join(F.broadcast(mx))
+        .select(
+            *group_cols,
+            "cnt",
+            F.floor(F.lit(1_000_000.0) * powered).cast("long").alias("weight_e6"),
+        )
+    )

@@ -199,3 +199,51 @@ def distinct_sketch_by(
             F.hll_sketch_agg(value_col, F.lit(lg_k))
         ).alias("estimate"),
     )
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021, table A1 subset).
+# Line-shape rules (bullet / ellipsis line fractions) are omitted: the
+# engine's document contract is single-line text (the qs31 corpus
+# precondition); they'd join this dict the moment multi-line documents
+# enter the model.
+GOPHER_STOPWORDS: tuple[str, ...] = ("the", "and", "of", "to", "in", "a", "is", "that")
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_STOPWORD_HITS = 2
+GOPHER_MIN_ALPHA_FRACTION = 0.8
+
+
+def gopher_quality_flags(text: Column) -> dict[str, Column]:
+    """Gopher-style document quality rules as boolean column
+    expressions — the classic pretraining quality gate (word-count
+    bounds, mean word length, stopword presence, alpha-token
+    fraction), all row-local array algebra in the scan projection.
+
+    The reference's closest surface is its enum/UI validation
+    (cds_transformation_functions.py:302-345) — per-cell plausibility
+    checks; these are the corpus-scale per-document analogues. Returns
+    named flags plus the conjunction under ``"pass"``; callers select
+    whichever subset their pipeline gates on.
+    """
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    nd = n.cast("double")
+    mean_len = (
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double") / nd
+    )
+    stop = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))).cast("double") / nd
+    )
+    flags = {
+        "words_ok": (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS),
+        "mean_len_ok": (mean_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_WORD_LEN),
+        "stopwords_ok": stop_hits >= GOPHER_MIN_STOPWORD_HITS,
+        "alpha_ok": alpha_frac >= GOPHER_MIN_ALPHA_FRACTION,
+    }
+    flags["pass"] = flags["words_ok"] & flags["mean_len_ok"] & flags["stopwords_ok"] & flags["alpha_ok"]
+    return flags

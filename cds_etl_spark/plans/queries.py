@@ -5186,3 +5186,235 @@ def qs145(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(20)
     )
+
+
+@query(
+    "qs146_semantic_dedup",
+    oracle="""
+    WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+               FROM embeddings WHERE vec_id < 10),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    scored AS (
+      SELECT v.vec_id, v.vv, c.cid,
+             ROUND(list_cosine_similarity(v.vv, c.cvec), 6) AS s
+      FROM v, c),
+    assigned AS (
+      SELECT vec_id, vv, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) rn
+        FROM scored) WHERE rn = 1),
+    dups AS (
+      SELECT DISTINCT a.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cid = b.cid AND b.vec_id < a.vec_id
+      WHERE ROUND(list_cosine_similarity(a.vv, b.vv), 4) >= 0.4)
+    SELECT assigned.vec_id, assigned.cid,
+           CAST(CASE WHEN dups.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+    FROM assigned LEFT JOIN dups ON assigned.vec_id = dups.vec_id
+    """,
+)
+def qs146(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup semantic deduplication (operators/dedup.semantic_dedup;
+    Abbas et al. 2023): assign every embedding to its nearest anchor
+    (deterministic anchors: vec_id < 10 — at scale the kmeans_train
+    centroids), then inside each cluster mark every vector that has a
+    lower-id neighbour with cosine >= 0.4 as a duplicate. The
+    within-cluster blocking is the whole scale story: pair counts are
+    bounded by cluster size, never corpus², exactly how the paper's
+    k=50k clusters tame LAION-scale dedup. The oracle replays anchor
+    assignment and the dup rule bit-identically (rounded cosines)."""
+    from cds_etl_spark.operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cvec"),
+    )
+    out = semantic_dedup(emb, anchors, threshold=0.4)
+    return out.select(
+        "vec_id", "cid", F.col("is_dup").cast("long").alias("is_dup")
+    )
+
+
+@query(
+    "qs147_gopher_quality_rules",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    f AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS words_ok,
+        CASE WHEN list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks)
+               BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END AS mean_len_ok,
+        CASE WHEN len(list_filter(toks, t -> list_contains(
+               ['the','and','of','to','in','a','is','that'], t))) >= 2
+             THEN 1 ELSE 0 END AS stopwords_ok,
+        CASE WHEN len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))::DOUBLE
+               / len(toks) >= 0.8 THEN 1 ELSE 0 END AS alpha_ok
+      FROM t)
+    SELECT doc_id,
+           CAST(words_ok AS BIGINT) AS words_ok,
+           CAST(mean_len_ok AS BIGINT) AS mean_len_ok,
+           CAST(stopwords_ok AS BIGINT) AS stopwords_ok,
+           CAST(alpha_ok AS BIGINT) AS alpha_ok,
+           CAST(words_ok * mean_len_ok * stopwords_ok * alpha_ok AS BIGINT) AS passed
+    FROM f
+    """,
+)
+def qs147(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style quality gate (operators/text_analysis.
+    gopher_quality_flags; Rae et al. 2021 rule subset): word-count
+    bounds, mean word length, stopword presence, alpha-token fraction,
+    and the conjunction — per document, all row-local array algebra
+    fused into the scan (zero shuffle; at 100 TB this IS the scan).
+    Flags are emitted as 0/1 BIGINT (not BOOLEAN) so the cross-engine
+    value hash never depends on engine bool encodings. The mean-length
+    comparison is deterministic: integer sums on both sides, one
+    correctly-rounded division."""
+    from cds_etl_spark.operators.text_analysis import gopher_quality_flags
+
+    d = load_table(spark, sf, "documents")
+    flags = gopher_quality_flags(F.col("text"))
+    return d.select(
+        "doc_id",
+        flags["words_ok"].cast("long").alias("words_ok"),
+        flags["mean_len_ok"].cast("long").alias("mean_len_ok"),
+        flags["stopwords_ok"].cast("long").alias("stopwords_ok"),
+        flags["alpha_ok"].cast("long").alias("alpha_ok"),
+        flags["pass"].cast("long").alias("passed"),
+    )
+
+
+# Synthetic PII fixture text, built identically in both engines from
+# customer columns (the shipped tables carry no real PII — by design;
+# the query's subject is the regex surface, not the data).
+_PII_TEXT_SQL = (
+    "c_name || ' <user' || CAST(c_custkey AS STRING) || '@mail.test> ip 10.' || "
+    "CAST(c_custkey % 250 AS STRING) || '.0.' || CAST(c_nationkey % 250 AS STRING) || "
+    "CASE WHEN c_custkey % 3 = 0 THEN ' ssn ' || lpad(CAST(c_custkey % 1000 AS STRING), 3, '0') "
+    "  || '-' || lpad(CAST(c_nationkey % 100 AS STRING), 2, '0') || '-' "
+    "  || lpad(CAST(c_custkey % 10000 AS STRING), 4, '0') ELSE '' END || "
+    "CASE WHEN c_custkey % 4 = 0 THEN ' tel ' || lpad(CAST(c_nationkey % 100 AS STRING), 2, '0') "
+    "  || '-' || lpad(CAST(c_custkey % 1000 AS STRING), 3, '0') || '-' "
+    "  || lpad(CAST(c_nationkey % 1000 AS STRING), 3, '0') || '-' "
+    "  || lpad(CAST(c_custkey % 10000 AS STRING), 4, '0') ELSE '' END"
+)
+
+
+@query(
+    "qs148_pii_scan_redact",
+    oracle=f"""
+    WITH t AS (SELECT c_custkey, {_PII_TEXT_SQL} AS txt FROM customer)
+    SELECT c_custkey,
+      CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+      CAST(len(regexp_extract_all(txt, '[0-9]{{2}}-[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}')) AS BIGINT) AS n_phone,
+      CAST(len(regexp_extract_all(txt, '[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}')) AS BIGINT) AS n_ssn,
+      CAST(len(regexp_extract_all(txt, '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}')) AS BIGINT) AS n_ipv4,
+      md5(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+              '[0-9]{{2}}-[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}', '[PHONE]', 'g'),
+            '[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}', '[SSN]', 'g'),
+          '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}', '[IPV4]', 'g')
+      ) AS redacted_h
+    FROM t
+    """,
+)
+def qs148(spark: SparkSession, sf: str) -> DataFrame:
+    """PII detect + redact (operators/pii): per-category regex match
+    counts and the md5 of the redacted text, over a deterministic
+    synthetic PII fixture built from customer columns (tables ship no
+    real PII). Generalizes the reference's report-only SSN scan
+    (cds_transformation_functions.py:284-299) into the detect+redact
+    pass a corpus release needs. Patterns live in the RE2∩Java-regex
+    subset, so the literal same strings run in Spark and DuckDB — the
+    redaction is value-checked cross-engine, not just counted. Pure
+    row-local projection: zero shuffle at any scale."""
+    from cds_etl_spark.operators.pii import pii_counts, pii_redact
+
+    c = load_table(spark, sf, "customer")
+    txt = F.expr(_PII_TEXT_SQL)
+    counts = pii_counts(txt)
+    return c.select(
+        "c_custkey",
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ssn"].alias("n_ssn"),
+        counts["ipv4"].alias("n_ipv4"),
+        F.md5(pii_redact(txt)).alias("redacted_h"),
+    )
+
+
+@query(
+    "qs149_temperature_mixing",
+    oracle="""
+    WITH g AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+    mx AS (SELECT MAX(cnt) AS max_cnt FROM g)
+    SELECT g.lang, g.cnt,
+           CAST(FLOOR(1000000.0 * sqrt(g.cnt::DOUBLE / mx.max_cnt)) AS BIGINT)
+             AS weight_e6
+    FROM g, mx
+    """,
+)
+def qs149(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based corpus mixing (operators/sampling.
+    temperature_weights; Conneau & Lample 2019): per-language sampling
+    weight ∝ (n_l / n_max)^0.5 — the α<1 upsampling rule multilingual
+    pretraining uses, complementing qs134's uniform-target weights.
+    Determinism: α=0.5 routes through IEEE-correctly-rounded sqrt (pow
+    is not guaranteed correctly rounded by libm); the operand is one
+    exact integer division, so weight_e6 is bit-identical across
+    engines. One count aggregate + a broadcast of the max — at 100 TB
+    the cost is the scan."""
+    from cds_etl_spark.operators.sampling import temperature_weights
+
+    return temperature_weights(
+        load_table(spark, sf, "documents"), ["lang"], alpha=0.5
+    )
+
+
+@query(
+    "qs150_incremental_minhash_dedup",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (SELECT doc_id, shset, [{_MINHASH_SIG_SQL}] AS sg FROM sh),
+    bands AS (
+      SELECT doc_id,
+        [md5(sg[1]||','||sg[2]||','||sg[3]), md5(sg[4]||','||sg[5]||','||sg[6]),
+         md5(sg[7]||','||sg[8]||','||sg[9]), md5(sg[10]||','||sg[11]||','||sg[12])] AS bk
+      FROM sig
+    ),
+    exploded AS (
+      SELECT doc_id, g.i AS bi, bk[g.i] AS key
+      FROM bands, (SELECT unnest(range(1,5)) AS i) g
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS index_id
+      FROM exploded n JOIN exploded i
+        ON n.bi = i.bi AND n.key = i.key
+      WHERE n.doc_id % 5 = 4 AND i.doc_id % 5 <> 4
+    )
+    SELECT cand.new_id, cand.index_id,
+      {_JACCARD_SQL.format(a='sa.shset', b='sb.shset')} AS jac
+    FROM cand JOIN sh sa ON cand.new_id = sa.doc_id
+              JOIN sh sb ON cand.index_id = sb.doc_id
+    WHERE jac >= 0.5
+    """,
+)
+def qs150(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental LSH dedup (operators/dedup.minhash_lsh_incremental):
+    an arriving batch (doc_id % 5 = 4, ~20%) probes the standing index
+    (the rest) for near-duplicates — the production shape of corpus
+    dedup, where each ingest checks against the indexed corpus instead
+    of re-self-joining it. The batch's band keys BROADCAST against the
+    index bands, so the index never shuffles and probe cost scales
+    with the batch: the asymmetry that makes continuous dedup viable
+    at 100 TB. Same portable md5-sliced signature family as qs55, so
+    the oracle rebuilds candidates bit-identically."""
+    from cds_etl_spark.operators.dedup import minhash_lsh_incremental
+
+    d = load_table(spark, sf, "documents")
+    return minhash_lsh_incremental(
+        d.filter(F.col("doc_id") % 5 == 4),
+        d.filter(F.col("doc_id") % 5 != 4),
+    )

@@ -1,0 +1,155 @@
+"""Round-6 corpus-pipeline operators: SemDeDup, incremental LSH dedup,
+Gopher quality flags, PII redaction, temperature mixing weights.
+
+The registry differential (test_oracle_queries) already value-checks
+qs146-qs150 against DuckDB; these tests pin the OPERATOR-level
+invariants the oracles can't see — survivor-rule semantics, index/batch
+consistency with the self-join path, redaction completeness, and the
+weight-family algebra.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cds_etl_spark.operators.dedup import (
+    minhash_lsh_incremental,
+    minhash_lsh_pairs,
+    semantic_dedup,
+)
+from cds_etl_spark.operators.pii import PII_PATTERNS, pii_counts, pii_redact
+from cds_etl_spark.operators.sampling import temperature_weights
+from cds_etl_spark.operators.text_analysis import gopher_quality_flags
+
+
+# ---------------------------------------------------------------- SemDeDup
+@pytest.fixture(scope="module")
+def emb(spark):
+    # 2 well-separated anchor directions; e2/e3 near-dups of e1's
+    # direction, e4 the lone member of the second cluster.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (10, [0.9, 0.1, 0.0]),
+        (11, [0.95, 0.05, 0.0]),
+        (12, [0.88, 0.12, 0.0]),
+        (20, [0.1, 0.9, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semantic_dedup_survivor_rule(emb):
+    anchors = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cvec"),
+    )
+    out = {r["vec_id"]: r for r in semantic_dedup(emb, anchors, threshold=0.9).collect()}
+    assert len(out) == 6  # every input row classified
+    # Cluster 0: anchor 0 plus 10/11/12 all mutually cos>0.9 — the
+    # LOWEST id (0) survives, every higher id is a dup.
+    assert not out[0]["is_dup"]
+    for vid in (10, 11, 12):
+        assert out[vid]["cid"] == 0 and out[vid]["is_dup"], vid
+    # Cluster 1: anchor 1 survives; 20 is within 0.9 of it -> dup.
+    assert not out[1]["is_dup"]
+    assert out[20]["cid"] == 1 and out[20]["is_dup"]
+
+
+def test_semantic_dedup_threshold_1_keeps_all(emb):
+    anchors = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cvec"),
+    )
+    # Nothing reaches rounded-cosine >= 1.01 — zero dups.
+    out = semantic_dedup(emb, anchors, threshold=1.01)
+    assert out.filter(F.col("is_dup")).count() == 0
+
+
+# ------------------------------------------------- incremental LSH dedup
+def test_incremental_matches_self_join_cross_pairs(spark):
+    def text(n, prefix="t"):
+        return " ".join(f"{prefix}{i}" for i in range(1, n + 1))
+
+    rows = [
+        (1, text(12)),          # index
+        (2, text(12)),          # index, exact dup of 1
+        (3, text(40, "z")),     # index, unrelated
+        (101, text(12)),        # batch, dup of 1/2
+        (102, text(40, "q")),   # batch, unrelated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = docs.filter(F.col("doc_id") > 100)
+    index = docs.filter(F.col("doc_id") <= 100)
+    inc = {
+        (r["new_id"], r["index_id"])
+        for r in minhash_lsh_incremental(batch, index).collect()
+    }
+    # Ground truth: the self-join path over the union, restricted to
+    # cross-split pairs, must agree exactly (same signatures, same
+    # bands, same refine threshold).
+    full = minhash_lsh_pairs(docs).collect()
+    expected = {
+        (max(r["d1"], r["d2"]), min(r["d1"], r["d2"]))
+        for r in full
+        if (r["d1"] > 100) != (r["d2"] > 100)
+    }
+    assert inc == expected == {(101, 1), (101, 2)}
+
+
+# ---------------------------------------------------------- Gopher rules
+def test_gopher_flags(spark):
+    long_ok = " ".join(["word"] * 48 + ["the", "and"])  # 50 words, 2 stopwords
+    short = "the and tiny"
+    numeric = " ".join(["123"] * 48 + ["the", "and"])  # alpha fraction 0.04
+    df = spark.createDataFrame(
+        [(1, long_ok), (2, short), (3, numeric)], "doc_id long, text string"
+    )
+    flags = gopher_quality_flags(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *[v.alias(k) for k, v in flags.items()]
+        ).collect()
+    }
+    assert rows[1]["words_ok"] and rows[1]["stopwords_ok"] and rows[1]["pass"]
+    assert not rows[2]["words_ok"] and not rows[2]["pass"]
+    assert rows[3]["words_ok"] and not rows[3]["alpha_ok"] and not rows[3]["pass"]
+
+
+# ------------------------------------------------------------------- PII
+def test_pii_redact_is_complete(spark):
+    txt = (
+        "mail bob.smith+x@corp.example.org tel 12-345-678-9012 "
+        "ssn 123-45-6789 host 192.168.001.1 done"
+    )
+    df = spark.createDataFrame([(txt,)], "t string")
+    counts = {k: v.alias(k) for k, v in pii_counts(F.col("t")).items()}
+    row = df.select(*counts.values(), pii_redact(F.col("t")).alias("red")).first()
+    assert row["email"] == 1 and row["phone"] == 1
+    assert row["ssn"] == 1 and row["ipv4"] == 1
+    # Redacted text contains every tag and NO residual matches: re-scan
+    # of the redacted text must count zero in every category.
+    for name in PII_PATTERNS:
+        assert f"[{name.upper()}]" in row["red"]
+    rescan = (
+        spark.createDataFrame([(row["red"],)], "t string")
+        .select(*[v.alias(k) for k, v in pii_counts(F.col("t")).items()])
+        .first()
+    )
+    assert all(rescan[k] == 0 for k in PII_PATTERNS), rescan
+
+
+# ------------------------------------------------- temperature weights
+def test_temperature_weights_algebra(spark):
+    df = spark.createDataFrame(
+        [("en",)] * 100 + [("de",)] * 25 + [("fr",)] * 4, "lang string"
+    )
+    w = {r["lang"]: r for r in temperature_weights(df, ["lang"], 0.5).collect()}
+    # Largest group pins the scale at exactly 1e6.
+    assert w["en"]["weight_e6"] == 1_000_000
+    # alpha=0.5: weight ratio is sqrt of the count ratio (exact here:
+    # 25/100 -> 1/2, 4/100 -> 1/5).
+    assert w["de"]["weight_e6"] == 500_000
+    assert w["fr"]["weight_e6"] == 200_000
+    # alpha=1 degenerates to proportional.
+    w1 = {r["lang"]: r for r in temperature_weights(df, ["lang"], 1.0).collect()}
+    assert w1["de"]["weight_e6"] == 250_000
