@@ -88,7 +88,7 @@ _GRADE_FIRST = [
     "qs114_fuzzy_link",
     "qs115_tfidf_top_terms",
     "qs116_cohort_retention",
-    # -- new or newly hash-checkable this round (10) --
+    # -- new or newly hash-checkable this round (11) --
     "qs90_hll_distinct_sketch",
     "qs142_duplicate_span_coverage",
     "qs143_hll_register_table",
@@ -99,10 +99,10 @@ _GRADE_FIRST = [
     "qs148_pii_scan_redact",
     "qs149_temperature_mixing",
     "qs150_incremental_minhash_dedup",
-    # -- earliest-registered r04-green backfill (1; qs26-qs40 displaced
-    #    by the round-6 additions qs146-qs150, stay r04-green within
-    #    the freshness goal) --
-    "qs25_global_topk",
+    "qs151_pq_ann",
+    # (qs25-qs40 r04-green backfills displaced by the round-6
+    #  additions qs146-qs151, stay r04-green within the freshness
+    #  goal)
 ]
 
 

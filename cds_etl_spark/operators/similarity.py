@@ -31,11 +31,11 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
-from cds_etl_spark.functions.vector import cosine_similarity
+from cds_etl_spark.functions.vector import cosine_similarity, dot_product
 
 
 def cosine_topk(
@@ -341,5 +341,97 @@ def lsh_topk(
             ).alias("sim"),
         )
         .orderBy(F.col("sim").desc(), id_col)
+        .limit(k)
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encode (Jégou et al. 2011): split each
+    vector into ``n_sub`` sub-vectors and replace each with the id of
+    its best-matching sub-codeword (max dot product, codeword-id
+    tiebreak). Output: one (id, sub, code) row per sub-space — the PQ
+    code table, n_sub small integers per vector instead of the vector.
+
+    ``codebooks`` is (sub, code, cwvec): K codewords per sub-space,
+    broadcast everywhere (K·n_sub rows — hundreds, driver-sized). The
+    argmax is the same broadcast-crossjoin + windowed top-1 shape as
+    ivf_assign, rounded to 6 dp pre-argmax for engine-portable ties.
+    At 100 TB the encode is one scan projection; the 64× compression
+    (64 floats → 4 bytes here) is what makes billion-vector ANN RAM-
+    resident.
+    """
+    subs = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col(vec_col).cast("array<double>"), s * sub_dim + 1, sub_dim)
+                    for s in range(n_sub)
+                ]
+            )
+        ).alias("sub", "_sv"),
+    )
+    scored = subs.join(F.broadcast(codebooks), "sub").select(
+        id_col,
+        "sub",
+        F.col("code"),
+        F.round(dot_product(F.col("_sv"), F.col("cwvec")), 6).alias("_d"),
+    )
+    w = Window.partitionBy(id_col, "sub").orderBy(F.col("_d").desc(), F.col("code"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "sub", "code")
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    query_vec: DataFrame,
+    k: int = 10,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance PQ search: precompute the query's dot
+    product against every codeword (a K·n_sub lookup table, broadcast),
+    then score every encoded vector as the SUM of its n_sub table
+    entries — never touching the original vectors.
+
+    Determinism: each table entry is rounded to integer micro-units
+    (ROUND(dot·1e6) → BIGINT) so the per-vector sum is exact integer
+    arithmetic — accumulation order cannot flip a rank, unlike a float
+    sum of rounded doubles (the "round the small side, keep the big
+    side integer" pattern). Returns (id, score_e6) top-k, id tiebreak.
+    """
+    lut = (
+        codebooks.join(F.broadcast(query_vec))
+        .select(
+            "sub",
+            "code",
+            F.round(
+                dot_product(
+                    F.col("cwvec"),
+                    F.slice(F.col("qvec"), F.col("sub") * sub_dim + 1, sub_dim),
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("_e6"),
+        )
+    )
+    return (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("_e6").alias("score_e6"))
+        .orderBy(F.col("score_e6").desc(), id_col)
         .limit(k)
     )

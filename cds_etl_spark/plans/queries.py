@@ -5418,3 +5418,67 @@ def qs150(spark: SparkSession, sf: str) -> DataFrame:
         d.filter(F.col("doc_id") % 5 == 4),
         d.filter(F.col("doc_id") % 5 != 4),
     )
+
+
+@query(
+    "qs151_pq_ann",
+    oracle="""
+    WITH subsp AS (SELECT unnest(range(0, 4)) AS sub),
+    cb AS (
+      SELECT subsp.sub, e.vec_id AS code,
+             (CAST(e.embedding AS DOUBLE[]))[subsp.sub*16+1 : subsp.sub*16+16] AS cwvec
+      FROM embeddings e, subsp WHERE e.vec_id < 8),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    subs AS (SELECT vec_id, subsp.sub, vv[subsp.sub*16+1 : subsp.sub*16+16] AS sv
+             FROM v, subsp),
+    scored AS (
+      SELECT subs.vec_id, subs.sub, cb.code,
+             ROUND(list_dot_product(subs.sv, cb.cwvec), 6) AS d
+      FROM subs JOIN cb ON subs.sub = cb.sub),
+    codes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d DESC, code) rn
+        FROM scored) WHERE rn = 1),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    lut AS (
+      SELECT cb.sub, cb.code,
+             CAST(ROUND(list_dot_product(cb.cwvec, qv[cb.sub*16+1 : cb.sub*16+16])
+                        * 1000000) AS BIGINT) AS e6
+      FROM cb, q)
+    SELECT c.vec_id, CAST(SUM(l.e6) AS BIGINT) AS score_e6
+    FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+    GROUP BY c.vec_id ORDER BY score_e6 DESC, vec_id LIMIT 10
+    """,
+)
+def qs151(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.pq_encode +
+    pq_adc_topk; Jégou et al. 2011): 64-dim vectors → 4 sub-spaces ×
+    8 deterministic codewords (sub-vectors of vec_id < 8), asymmetric-
+    distance top-10 for the vec_id=0 query. Completes the ANN family
+    (brute qs52/qs61, IVF qs59, hyperplane-LSH qs112) with the
+    memory-bound regime's tool: codes are 4 small ints per vector —
+    64× compression — and search touches ONLY the code table plus a
+    32-entry broadcast lookup, never the vectors. ADC scores are exact
+    integer sums of micro-unit table entries, so ranking is
+    accumulation-order-proof; the oracle rebuilds codebooks, codes,
+    and the lookup bit-identically."""
+    from cds_etl_spark.operators.similarity import pq_adc_topk, pq_encode
+
+    e = load_table(spark, sf, "embeddings")
+    cb = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("code"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("embedding").cast("array<double>"), s * 16 + 1, 16)
+                    for s in range(4)
+                ]
+            )
+        ).alias("sub", "cwvec"),
+    ).select("sub", "code", "cwvec")
+    q = (
+        e.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("qvec"))
+    )
+    codes = pq_encode(e, cb)
+    return pq_adc_topk(codes, cb, q, k=10)

@@ -153,3 +153,39 @@ def test_temperature_weights_algebra(spark):
     # alpha=1 degenerates to proportional.
     w1 = {r["lang"]: r for r in temperature_weights(df, ["lang"], 1.0).collect()}
     assert w1["de"]["weight_e6"] == 250_000
+
+
+# ------------------------------------------------------------ PQ ANN
+def test_pq_encode_and_adc_exact_on_orthogonal_codebook(spark):
+    """With orthogonal unit codewords and vectors that ARE codeword
+    concatenations, PQ is lossless: encode recovers the constructing
+    codes and ADC equals the exact dot product in micro-units."""
+    from cds_etl_spark.operators.similarity import pq_adc_topk, pq_encode
+
+    # 2 sub-spaces x 2 dims; codewords e0=[1,0], e1=[0,1] per sub.
+    cb = spark.createDataFrame(
+        [(0, 0, [1.0, 0.0]), (0, 1, [0.0, 1.0]),
+         (1, 0, [1.0, 0.0]), (1, 1, [0.0, 1.0])],
+        "sub int, code long, cwvec array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0, 1.0]),   # codes (0,1)
+         (11, [0.0, 1.0, 1.0, 0.0]),   # codes (1,0)
+         (12, [1.0, 0.0, 1.0, 0.0])],  # codes (0,0)
+        "vec_id long, embedding array<float>",
+    )
+    codes = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in pq_encode(vecs, cb, n_sub=2, sub_dim=2).collect()
+    }
+    assert codes == {(10, 0): 0, (10, 1): 1, (11, 0): 1, (11, 1): 0,
+                     (12, 0): 0, (12, 1): 0}
+    q = spark.createDataFrame([([1.0, 0.0, 0.0, 1.0],)], "qvec array<double>")
+    top = pq_adc_topk(
+        pq_encode(vecs, cb, n_sub=2, sub_dim=2), cb, q, k=3, n_sub=2, sub_dim=2
+    ).collect()
+    # Exact dots vs q: v10=2, v12=1, v11=0 — ADC must rank identically
+    # with exact micro-unit scores.
+    assert [(r["vec_id"], r["score_e6"]) for r in top] == [
+        (10, 2_000_000), (12, 1_000_000), (11, 0),
+    ]
