@@ -257,3 +257,99 @@ def cms_estimate(
         .groupBy(F.col("__item").alias(item_col))
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+# ---------------------------------------------------------------- Bloom
+# Membership sketch, completing the trio: HLL = "how many distinct",
+# CMS = "how often", Bloom = "have we seen X". 32-bit words keep every
+# mask positive (bit 63 of an int64 word would flip sign in engines
+# that lack unsigned — the portable-layout lesson).
+BLOOM_WORD_BITS = 32
+
+
+def _bloom_bits(item: Column, k: int, n_words: int) -> Column:
+    """Array of k bit positions for ``item`` in an n_words×32-bit
+    filter: the CMS md5 family ('j:item', first 8 hex chars → int64),
+    mod the bit space. Engine-portable."""
+    total_bits = n_words * BLOOM_WORD_BITS
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{j}:"), item.cast("string"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.lit(total_bits)
+            )
+            for j in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame, item_col: str, k: int = 3, n_words: int = 64
+) -> DataFrame:
+    """Build a relational Bloom filter over ``item_col``: one
+    ``(word, bits)`` row per 32-bit word, bits the OR of every member
+    item's masks. Same relational-sketch philosophy as CMS/HLL: build
+    is one explode (×k, constant) + ONE shuffle on the word index
+    (≤ n_words rows reach the reduce — map-side bit_or collapses each
+    partition first); merge of two filters is union + bit_or; the
+    whole filter is a tiny broadcastable parquet table. This is the
+    BFF shape (Bloom-filter dedup/decontamination as used by Dolma
+    et al.) — the membership sketch a 100 TB pipeline probes INSTEAD
+    of joining the benchmark corpus itself.
+    """
+    bits = df.select(
+        F.explode(_bloom_bits(F.col(item_col), k, n_words)).alias("bit")
+    )
+    return (
+        bits.select(
+            (F.col("bit") / BLOOM_WORD_BITS).cast("long").alias("word"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(bit % {BLOOM_WORD_BITS} AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    item_col: str,
+    id_col: str,
+    k: int = 3,
+    n_words: int = 64,
+) -> DataFrame:
+    """Probe items against a built filter: one ``(id, item, hit)``
+    row per input row, ``hit`` = 1 iff ALL k bit positions are set
+    (Bloom semantics: no false negatives, false-positive rate bounded
+    by (1-e^{-kn/m})^k). The filter broadcasts (≤ n_words rows); the
+    probe is a map-side join + integer bit tests, and the per-item
+    regroup key is (id, item) — at scale callers pre-hash ``item_col``
+    so the shuffle never carries raw text."""
+    probes = df.select(
+        F.col(id_col),
+        F.col(item_col),
+        F.explode(_bloom_bits(F.col(item_col), k, n_words)).alias("bit"),
+    ).select(
+        id_col,
+        item_col,
+        (F.col("bit") / BLOOM_WORD_BITS).cast("long").alias("word"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(bit % {BLOOM_WORD_BITS} AS INT))").alias("mask"),
+    )
+    tested = probes.join(F.broadcast(bloom), "word", "left").select(
+        id_col,
+        item_col,
+        F.when(
+            F.col("bits").isNotNull() & (F.col("bits").bitwiseAND(F.col("mask")) != 0), 1
+        )
+        .otherwise(0)
+        .alias("bit_set"),
+    )
+    return tested.groupBy(id_col, item_col).agg(
+        (F.sum("bit_set") == F.count(F.lit(1))).cast("long").alias("hit")
+    )

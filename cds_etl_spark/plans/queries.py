@@ -5482,3 +5482,79 @@ def qs151(spark: SparkSession, sf: str) -> DataFrame:
     )
     codes = pq_encode(e, cb)
     return pq_adc_topk(codes, cb, q, k=10)
+
+
+def _qs152_oracle(k: int = 3, n_words: int = 64) -> str:
+    total_bits = n_words * 32
+    bit_j = (
+        "('0x' || substr(md5('{j}:' || s), 1, 8))::BIGINT % " + str(total_bits)
+    )
+    bits_union = " UNION ALL ".join(
+        f"SELECT doc_id, s, {bit_j.format(j=j)} AS bit FROM items" for j in range(k)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
+          range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        ELSE [] END AS shset
+      FROM t),
+    items AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+    member_bits AS (
+      SELECT bit FROM ({bits_union}) b WHERE doc_id % 10 = 0),
+    words AS (
+      SELECT bit // 32 AS word, bit_or(1::BIGINT << CAST(bit % 32 AS INTEGER)) AS bits
+      FROM member_bits GROUP BY bit // 32),
+    probe_bits AS (
+      SELECT doc_id, s, bit FROM ({bits_union}) b WHERE doc_id % 10 <> 0),
+    tested AS (
+      SELECT p.doc_id, p.s,
+        CASE WHEN w.bits IS NOT NULL
+               AND (w.bits & (1::BIGINT << CAST(p.bit % 32 AS INTEGER))) <> 0
+             THEN 1 ELSE 0 END AS bit_set
+      FROM probe_bits p LEFT JOIN words w ON p.bit // 32 = w.word),
+    hits AS (
+      SELECT doc_id, s,
+             CASE WHEN SUM(bit_set) = COUNT(*) THEN 1 ELSE 0 END AS hit
+      FROM tested GROUP BY doc_id, s)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(hit) AS BIGINT) AS n_flagged
+    FROM hits GROUP BY doc_id
+    """
+
+
+@query("qs152_bloom_decontaminate", oracle=_qs152_oracle())
+def qs152(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter decontamination (operators/sketches.bloom_build /
+    bloom_probe — the BFF shape used by Dolma-scale pipelines): build
+    a 64-word × 32-bit filter over the benchmark slice's 3-shingles
+    (doc_id % 10 = 0), probe every other document's shingles, report
+    per-document shingle and flagged-shingle counts. Completes the
+    sketch trio — HLL (distinct), CMS (frequency), Bloom (membership).
+    Versus the exact join decontamination (qs83): the filter is ≤64
+    rows broadcast EVERYWHERE, so the benchmark corpus itself never
+    ships or shuffles — the probe is map-side bit tests, and Bloom's
+    no-false-negative guarantee means nothing contaminated escapes
+    (false positives only inflate n_flagged, bounded by
+    (1-e^{-kn/m})^k). The md5 bit family is the CMS one, so the
+    oracle reconstructs the filter word-for-word in SQL."""
+    from cds_etl_spark.functions.text import word_shingles_from_tokens
+    from cds_etl_spark.operators.sketches import bloom_build, bloom_probe
+
+    d = load_table(spark, sf, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            word_shingles_from_tokens(F.split(F.col("text"), " "), 3)
+        ).alias("s"),
+    )
+    member = sh.filter(F.col("doc_id") % 10 == 0)
+    probe = sh.filter(F.col("doc_id") % 10 != 0)
+    bloom = bloom_build(member.select("s"), "s")
+    hits = bloom_probe(probe, bloom, "s", "doc_id")
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("hit").alias("n_flagged"),
+    )

@@ -189,3 +189,46 @@ def test_pq_encode_and_adc_exact_on_orthogonal_codebook(spark):
     assert [(r["vec_id"], r["score_e6"]) for r in top] == [
         (10, 2_000_000), (12, 1_000_000), (11, 0),
     ]
+
+
+# ------------------------------------------------------------ Bloom
+def test_bloom_no_false_negatives_and_fp_bounded(spark):
+    from cds_etl_spark.operators.sketches import bloom_build, bloom_probe
+
+    members = spark.createDataFrame(
+        [(f"m{i}",) for i in range(40)], "s string"
+    )
+    bloom = bloom_build(members, "s")
+    # Every member must hit (Bloom's no-false-negative guarantee).
+    probe_members = spark.createDataFrame(
+        [(i, f"m{i}") for i in range(40)], "id long, s string"
+    )
+    hits = {r["id"]: r["hit"] for r in bloom_probe(probe_members, bloom, "s", "id").collect()}
+    assert all(hits[i] == 1 for i in range(40))
+    # Non-members: false-positive rate bounded well under 50% at this
+    # load (k=3, n=40, m=2048 -> theoretical ~0.02%).
+    probe_out = spark.createDataFrame(
+        [(i, f"x{i}") for i in range(200)], "id long, s string"
+    )
+    fp = sum(
+        r["hit"] for r in bloom_probe(probe_out, bloom, "s", "id").collect()
+    )
+    assert fp <= 10, fp
+
+
+def test_bloom_merge_is_bit_or(spark):
+    from pyspark.sql import functions as F
+    from cds_etl_spark.operators.sketches import bloom_build
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(20)], "s string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(20)], "s string")
+    both = bloom_build(a.union(b), "s")
+    merged = (
+        bloom_build(a, "s")
+        .unionByName(bloom_build(b, "s"))
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    assert {(r["word"], r["bits"]) for r in both.collect()} == {
+        (r["word"], r["bits"]) for r in merged.collect()
+    }
