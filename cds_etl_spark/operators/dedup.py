@@ -462,12 +462,20 @@ def semantic_dedup(
     ``anchors`` is a small (cid, cvec) frame — at scale the trained
     k-means centroids (operators/similarity.kmeans_train); here any
     deterministic anchor set. Assignment is a broadcast-scored
-    row_number pick (no shuffle of the corpus beyond the one keyed by
-    cluster); the quadratic cosine check runs WITHIN clusters only, so
-    k sized to corpus_size/k ≈ cluster_size bounds pair counts exactly
-    the way the paper's k=50k does for LAION. Survivor rule: the
-    lowest id whose similarity ties it to no smaller id (keep-first,
-    same convention as exact_dedup).
+    MAX-STRUCT aggregate, not a window: ``max(struct(sim, -cid,
+    ...))`` is lexicographic, so partial aggregation collapses the
+    C-way crossjoin to ONE row per vector per partition before the
+    exchange — the assignment shuffle carries n rows, not C·n (a
+    window's row_number would ship the whole crossjoin). Ties resolve
+    to the lowest cid, identically on any engine (rounded sims). The
+    assigned frame is then materialized once (localCheckpoint): it
+    feeds BOTH sides of the pair join and the final output, and
+    recomputing it would re-scan the corpus twice more. The quadratic
+    cosine check runs WITHIN clusters only, so k sized to
+    corpus_size/k ≈ cluster_size bounds pair counts exactly the way
+    the paper's k=50k does for LAION. Survivor rule: the lowest id
+    whose similarity ties it to no smaller id (keep-first, same
+    convention as exact_dedup).
 
     Returns (vec_id, cid, is_dup) for every input row.
     """
@@ -480,13 +488,20 @@ def semantic_dedup(
         F.col("cid"),
         F.round(cosine_similarity(F.col("_vv"), F.col("cvec")), 6).alias("_s"),
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col).orderBy(F.col("_s").desc(), F.col("cid"))
     assigned = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "_vv", "cid")
+        scored.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_s"),
+                    (-F.col("cid")).alias("_nc"),
+                    F.col("cid"),
+                    F.col("_vv"),
+                )
+            ).alias("_b")
+        )
+        .select(id_col, F.col("_b.cid").alias("cid"), F.col("_b._vv").alias("_vv"))
+        .localCheckpoint(eager=False)
     )
     a = assigned.alias("a")
     b = assigned.alias("b")

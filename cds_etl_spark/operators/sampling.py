@@ -210,18 +210,18 @@ def temperature_weights(
     1e6 for it) rather than the sum, keeping it integer-exact; the
     caller rescales to probabilities if needed.
 
-    One narrow aggregate (groupBy count) + a broadcast-sized join of
-    group totals: at 100 TB the cost is the count scan.
+    One narrow aggregate (groupBy count), then the max is an
+    unpartitioned window OVER THE AGGREGATE (group-count rows, not
+    corpus rows) — a separate ``g.agg(max)`` branch would make Spark
+    re-run the corpus scan+aggregate for the second consumer of ``g``.
+    At 100 TB the cost is the one count scan.
     """
     g = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("cnt"))
-    mx = g.agg(F.max("cnt").alias("max_cnt"))
-    share = F.col("cnt").cast("double") / F.col("max_cnt")
+    max_cnt = F.max("cnt").over(Window.partitionBy())
+    share = F.col("cnt").cast("double") / max_cnt
     powered = F.sqrt(share) if alpha == 0.5 else F.pow(share, F.lit(alpha))
-    return (
-        g.join(F.broadcast(mx))
-        .select(
-            *group_cols,
-            "cnt",
-            F.floor(F.lit(1_000_000.0) * powered).cast("long").alias("weight_e6"),
-        )
+    return g.select(
+        *group_cols,
+        "cnt",
+        F.floor(F.lit(1_000_000.0) * powered).cast("long").alias("weight_e6"),
     )

@@ -361,8 +361,10 @@ def pq_encode(
 
     ``codebooks`` is (sub, code, cwvec): K codewords per sub-space,
     broadcast everywhere (K·n_sub rows — hundreds, driver-sized). The
-    argmax is the same broadcast-crossjoin + windowed top-1 shape as
-    ivf_assign, rounded to 6 dp pre-argmax for engine-portable ties.
+    argmax is a broadcast-crossjoin + MAX-STRUCT aggregate (rounded to
+    6 dp pre-argmax for engine-portable ties): lexicographic max gets
+    map-side partial aggregation, so the shuffle carries one row per
+    (vector, sub) — K× less than a windowed row_number would ship.
     At 100 TB the encode is one scan projection; the 64× compression
     (64 floats → 4 bytes here) is what makes billion-vector ANN RAM-
     resident.
@@ -384,11 +386,14 @@ def pq_encode(
         F.col("code"),
         F.round(dot_product(F.col("_sv"), F.col("cwvec")), 6).alias("_d"),
     )
-    w = Window.partitionBy(id_col, "sub").orderBy(F.col("_d").desc(), F.col("code"))
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "sub", "code")
+        scored.groupBy(id_col, "sub")
+        .agg(
+            F.max(
+                F.struct(F.col("_d"), (-F.col("code")).alias("_nc"), F.col("code"))
+            ).alias("_b")
+        )
+        .select(id_col, "sub", F.col("_b.code").alias("code"))
     )
 
 

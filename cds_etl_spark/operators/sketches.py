@@ -327,29 +327,46 @@ def bloom_probe(
     """Probe items against a built filter: one ``(id, item, hit)``
     row per input row, ``hit`` = 1 iff ALL k bit positions are set
     (Bloom semantics: no false negatives, false-positive rate bounded
-    by (1-e^{-kn/m})^k). The filter broadcasts (≤ n_words rows); the
-    probe is a map-side join + integer bit tests, and the per-item
-    regroup key is (id, item) — at scale callers pre-hash ``item_col``
-    so the shuffle never carries raw text."""
-    probes = df.select(
+    by (1-e^{-kn/m})^k).
+
+    Physical shape: the k bit tests are k BROADCAST left joins (the
+    filter is ≤ n_words rows), one per hash function, ANDed in a final
+    projection — every probed row stays on its partition, zero shuffle
+    of the probed corpus (an explode + per-(id,item) regroup would
+    shuffle k rows per probe just to reassemble them). The filter is
+    materialized once up front: each broadcast join is a separate
+    consumer, and an unmaterialized build plan would re-run its scan +
+    word aggregation k times (at scale the filter is a persisted table
+    anyway — the build corpus must not be re-scanned per hash)."""
+    bloom = bloom.localCheckpoint(eager=False)
+    bits = _bloom_bits(F.col(item_col), k, n_words)
+    out = df.select(
         F.col(id_col),
         F.col(item_col),
-        F.explode(_bloom_bits(F.col(item_col), k, n_words)).alias("bit"),
-    ).select(
-        id_col,
-        item_col,
-        (F.col("bit") / BLOOM_WORD_BITS).cast("long").alias("word"),
-        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(bit % {BLOOM_WORD_BITS} AS INT))").alias("mask"),
+        *[bits[j].alias(f"_bit{j}") for j in range(k)],
     )
-    tested = probes.join(F.broadcast(bloom), "word", "left").select(
-        id_col,
-        item_col,
-        F.when(
-            F.col("bits").isNotNull() & (F.col("bits").bitwiseAND(F.col("mask")) != 0), 1
+    for j in range(k):
+        w = bloom.select(
+            F.col("word").alias(f"_w{j}"), F.col("bits").alias(f"_bits{j}")
         )
-        .otherwise(0)
-        .alias("bit_set"),
-    )
-    return tested.groupBy(id_col, item_col).agg(
-        (F.sum("bit_set") == F.count(F.lit(1))).cast("long").alias("hit")
-    )
+        out = out.join(
+            F.broadcast(w),
+            (F.col(f"_bit{j}") / BLOOM_WORD_BITS).cast("long") == F.col(f"_w{j}"),
+            "left",
+        )
+    tests = [
+        F.col(f"_bits{j}").isNotNull()
+        & (
+            F.col(f"_bits{j}").bitwiseAND(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST(_bit{j} % {BLOOM_WORD_BITS} AS INT))"
+                )
+            )
+            != 0
+        )
+        for j in range(k)
+    ]
+    all_set = tests[0]
+    for t in tests[1:]:
+        all_set = all_set & t
+    return out.select(id_col, item_col, all_set.cast("long").alias("hit"))
