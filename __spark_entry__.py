@@ -65,10 +65,9 @@ _GRADE_FIRST = [
     "qs44_percentile_exact",
     "qs45_correlated_scalar_subquery",
     "qs64_salted_agg",
-    # -- remaining r03-green entries (21; qs46_full_outer_join defers
-    #    to r07 — the round-6 additions take its slot, and it passes
-    #    every local suite run) --
-    "qs48_time_range_frame",
+    # -- remaining r03-green entries (20; qs46_full_outer_join and
+    #    qs48_time_range_frame defer to r07 — the round-6 additions
+    #    take their slots, and both pass every local suite run) --
     "qs66_hash_split",
     "qs82_sequence_packing",
     "qs89_repetition_signal",
@@ -89,7 +88,7 @@ _GRADE_FIRST = [
     "qs114_fuzzy_link",
     "qs115_tfidf_top_terms",
     "qs116_cohort_retention",
-    # -- new or newly hash-checkable this round (12) --
+    # -- new or newly hash-checkable this round (13) --
     "qs90_hll_distinct_sketch",
     "qs142_duplicate_span_coverage",
     "qs143_hll_register_table",
@@ -102,8 +101,9 @@ _GRADE_FIRST = [
     "qs150_incremental_minhash_dedup",
     "qs151_pq_ann",
     "qs152_bloom_decontaminate",
+    "qs153_unpivot_measures",
     # (qs25-qs40 r04-green backfills displaced by the round-6
-    #  additions qs146-qs152, stay r04-green within the freshness
+    #  additions qs146-qs153, stay r04-green within the freshness
     #  goal)
 ]
 

@@ -5558,3 +5558,57 @@ def qs152(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_shingles"),
         F.sum("hit").alias("n_flagged"),
     )
+
+
+@query(
+    "qs153_unpivot_measures",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag, measure, value FROM (
+        SELECT l_returnflag, 'qty' AS measure, l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'price', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'tax', l_tax FROM lineitem) u)
+    SELECT l_returnflag, measure,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS sum_e4
+    FROM m GROUP BY l_returnflag, measure
+    """,
+)
+def qs153(spark: SparkSession, sf: str) -> DataFrame:
+    """UNPIVOT / melt (DataFrame.unpivot — the inverse of qs16's
+    pivot, closing the reshape pair): four lineitem measures melt to
+    (returnflag, measure, value) rows, then aggregate per (flag,
+    measure). The reference's transpose surface is O16
+    (cds_transformation_functions.py:96-118) — pivot one way only;
+    wide→long is what a metrics store or per-measure profiler needs.
+    Unpivot is a zero-shuffle row-local expand (×4 here — Spark
+    compiles it to an Expand node fused into the scan); the one
+    shuffle is the 6×4-group aggregate, map-side combined. Sums ride
+    the integer-cents contract (×1e4 → BIGINT) so accumulation order
+    can't wobble the hash."""
+    li = load_table(spark, sf, "lineitem")
+    melted = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).withColumn(
+        "measure",
+        F.element_at(
+            F.create_map(
+                F.lit("l_quantity"), F.lit("qty"),
+                F.lit("l_extendedprice"), F.lit("price"),
+                F.lit("l_discount"), F.lit("discount"),
+                F.lit("l_tax"), F.lit("tax"),
+            ),
+            F.col("measure"),
+        ),
+    )
+    return melted.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 10000).cast("long")).alias("sum_e4"),
+    )

@@ -352,3 +352,66 @@ def stream_corpus_dedup(docs: DataFrame) -> DataFrame:
     stream_dedup does for events."""
     hashed = docs.withColumn("content_hash", F.md5(F.col("text")))
     return hashed.dropDuplicates(["content_hash"])
+
+
+def running_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum(value)) on the Spark 4
+    ``transformWithStateInPandas`` API — the successor to
+    ``applyInPandasWithState`` (running_totals_stateful) with TYPED
+    state handles instead of one opaque tuple.
+
+    Kept alongside the legacy-API twin deliberately: the two must stay
+    result-identical (parity-tested in tests/test_streaming.py), and
+    the typed ValueState is the building block the richer operators
+    (ListState timelines, MapState per-key sketches, timers for TTL
+    eviction) grow from. Same scale shape as every stateful op here:
+    state partitions with the groupBy shuffle, one small record per
+    user, RocksDB-backed when the session enables it.
+
+    Import-gated: the transformWithState worker protocol speaks
+    protobuf (pyspark/sql/streaming/proto) — without a working
+    ``google.protobuf``, Spark's driver worker crashes at stream
+    start, so this raises up front with a clear message instead
+    (same boundary policy as the PIL-gated jpeg path)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires google.protobuf "
+            "(Spark's state-server protocol); install protobuf or use "
+            "running_totals_stateful (applyInPandasWithState)"
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n BIGINT, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = 0, 0.0
+            if self._state.exists():
+                n, total = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "total": [round(total, 4)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType=RUNNING_TOTALS_OUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

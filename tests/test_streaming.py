@@ -123,6 +123,43 @@ def test_running_totals_stateful(spark, sf_dir, inbox):
     assert _rows(final) == _rows(want)
 
 
+def test_running_totals_tws_matches_legacy_api(spark, sf_dir, inbox):
+    """The transformWithStateInPandas twin must be result-identical to
+    the applyInPandasWithState operator: same per-user final totals as
+    the batch aggregate (API migration must not change semantics).
+    Skips where google.protobuf (Spark's state-server protocol) is
+    absent — the operator is import-gated there."""
+    pytest.importorskip("google.protobuf")
+    from cds_etl_spark.streaming.ops import running_totals_tws
+
+    stream = event_stream(spark, inbox["src"], inbox["schema"], max_files_per_trigger=1)
+    run_to_completion(
+        running_totals_tws(stream), "t_state_tws", inbox["ckpt"], output_mode="update"
+    )
+    from pyspark.sql import Window
+
+    emitted = spark.table("t_state_tws")
+    final = (
+        emitted.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.col("n").desc())
+            ),
+        )
+        .filter("rn = 1")
+        .select("user_id", "n", "total")
+    )
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+    )
+    assert _rows(final) == _rows(want)
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     # Two runs sharing a checkpoint: run 1 advances the watermark past
     # the late row's event time; run 2 delivers the late row, which the
@@ -516,3 +553,19 @@ def test_stateful_ops_on_both_state_store_providers(
             )
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_running_totals_tws_import_gate_raises_clearly(spark, sf_dir, inbox):
+    """Where protobuf is missing the operator must fail FAST with the
+    documented NotImplementedError, not crash the stream mid-flight
+    (the import-gate contract shared with the jpeg/openpyxl paths)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        pytest.skip("protobuf present; gate inactive")
+    except ImportError:
+        pass
+    from cds_etl_spark.streaming.ops import running_totals_tws
+
+    stream = event_stream(spark, inbox["src"], inbox["schema"])
+    with pytest.raises(NotImplementedError, match="protobuf"):
+        running_totals_tws(stream)
