@@ -36,13 +36,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # additions qs117..qs124, qs94, and 41 of the 64 queries r03 skipped.
 # r05 graded the round-5 additions + the r02-stale queue + 8 stale-r03
 # backfills (see git history for that list), displacing 17 r03-green
-# entries to this round. r06 (this list) is the rotation's last lap:
-# the 17 displaced r03-green backfills first, then the remaining 22
-# r03-green entries, then qs90 (hash-checkable for the FIRST time this
-# round — its portable-HLL oracle landed in r06, so this is its first
-# chance at a hash-green driver row), then the 10 earliest-registered
-# r04-green entries. After this round every registry entry's freshest
-# green is r04 or later, and qs90's rows-only asterisk is gone.
+# entries to this round. r06 (this list): the 17 displaced r03-green
+# backfills first, then 18 more r03-green entries, then the 15 entries
+# new or newly hash-checkable this round — qs90 (portable-HLL oracle
+# landed in r06, its first chance at a hash-green row) plus
+# qs142-qs155. Four r03-green entries (qs46/qs48/qs66/qs82) defer to
+# r07 to make room; qs25-qs40 stay r04-green. After this round only
+# those four are older than r04-green, and qs90's rows-only asterisk
+# is gone.
 # Every name below MUST exist in the registry — tests/test_sql_surface.py
 # asserts set(_GRADE_FIRST) <= set(QUERIES) so a typo fails loudly instead
 # of silently falling back to registration order (the r03 defect).
@@ -65,11 +66,10 @@ _GRADE_FIRST = [
     "qs44_percentile_exact",
     "qs45_correlated_scalar_subquery",
     "qs64_salted_agg",
-    # -- remaining r03-green entries (20; qs46_full_outer_join and
-    #    qs48_time_range_frame defer to r07 — the round-6 additions
-    #    take their slots, and both pass every local suite run) --
-    "qs66_hash_split",
-    "qs82_sequence_packing",
+    # -- remaining r03-green entries (18; qs46_full_outer_join,
+    #    qs48_time_range_frame, qs66_hash_split and
+    #    qs82_sequence_packing defer to r07 — the round-6 additions
+    #    take their slots, and all pass every local suite run) --
     "qs89_repetition_signal",
     "qs96_anonymize",
     "qs98_incremental_agg",
@@ -88,7 +88,7 @@ _GRADE_FIRST = [
     "qs114_fuzzy_link",
     "qs115_tfidf_top_terms",
     "qs116_cohort_retention",
-    # -- new or newly hash-checkable this round (13) --
+    # -- new or newly hash-checkable this round (15) --
     "qs90_hll_distinct_sketch",
     "qs142_duplicate_span_coverage",
     "qs143_hll_register_table",
@@ -102,8 +102,10 @@ _GRADE_FIRST = [
     "qs151_pq_ann",
     "qs152_bloom_decontaminate",
     "qs153_unpivot_measures",
+    "qs154_histogram_quantile_sketch",
+    "qs155_token_cooccurrence",
     # (qs25-qs40 r04-green backfills displaced by the round-6
-    #  additions qs146-qs153, stay r04-green within the freshness
+    #  additions qs146-qs155, stay r04-green within the freshness
     #  goal)
 ]
 

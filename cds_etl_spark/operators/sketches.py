@@ -370,3 +370,66 @@ def bloom_probe(
     for t in tests[1:]:
         all_set = all_set & t
     return out.select(id_col, item_col, all_set.cast("long").alias("hit"))
+
+
+def histogram_quantile_buckets(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bucket_width: float,
+    n_buckets: int = 128,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Fixed-boundary histogram quantile sketch: per group, the lower
+    bound of the bucket containing each requested quantile, plus the
+    total count.
+
+    The fourth relational sketch (HLL distinct / CMS frequency / Bloom
+    membership / histogram QUANTILES): state is ≤ n_buckets integer
+    counters per group regardless of input size, shards merge by
+    adding counters, and unlike rank-based summaries (qs63's
+    Greenwald-Khanna) the fixed boundaries make the result exactly
+    reproducible in any engine — bucketing, cumulation, and the
+    threshold pick are all integer arithmetic, no interpolation.
+    Error is bounded by bucket_width by construction.
+
+    One shuffle on (group, bucket) with map-side combine (≤ n_buckets
+    rows per group per map task), then a window cumulation over the
+    tiny histogram — at 100 TB the cost is the scan.
+    """
+    from pyspark.sql import Window
+
+    bucket = F.least(
+        F.greatest((F.col(value_col) / bucket_width).cast("long"), F.lit(0)),
+        F.lit(n_buckets - 1),
+    )
+    hist = (
+        df.select(F.col(group_col), bucket.alias("bucket"))
+        .groupBy(group_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        group_col,
+        "bucket",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy(group_col)).alias("total"),
+    )
+    # Threshold rank for quantile q is ceil(q * total) — integer via
+    # (total * q_num + q_den - 1) div q_den with q expressed as an
+    # exact rational (percentile in 1/100ths).
+    aggs = [F.max("total").alias("total")]
+    for q in quantiles:
+        q_num = int(round(q * 100))
+        thresh = (F.col("total") * q_num + F.lit(99)) / F.lit(100)
+        hit = F.when(F.col("cum") >= thresh.cast("long"), F.col("bucket"))
+        aggs.append(
+            (F.min(hit) * F.lit(bucket_width))
+            .cast("long")
+            .alias(f"q{q_num}_lo")
+        )
+    return cum.groupBy(group_col).agg(*aggs)

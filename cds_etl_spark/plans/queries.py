@@ -5612,3 +5612,115 @@ def qs153(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.round(F.col("value") * 10000).cast("long")).alias("sum_e4"),
     )
+
+
+@query(
+    "qs154_histogram_quantile_sketch",
+    oracle="""
+    WITH hist AS (
+      SELECT o_orderstatus,
+             least(greatest(CAST(FLOOR(o_totalprice / 4096.0) AS BIGINT), 0), 127) AS bucket,
+             COUNT(*) AS cnt
+      FROM orders GROUP BY 1, 2),
+    cum AS (
+      SELECT o_orderstatus, bucket,
+             SUM(cnt) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY o_orderstatus) AS total
+      FROM hist)
+    SELECT o_orderstatus,
+           CAST(MAX(total) AS BIGINT) AS total,
+           CAST(MIN(CASE WHEN cum >= (total * 50 + 99) // 100 THEN bucket END) * 4096 AS BIGINT) AS q50_lo,
+           CAST(MIN(CASE WHEN cum >= (total * 90 + 99) // 100 THEN bucket END) * 4096 AS BIGINT) AS q90_lo,
+           CAST(MIN(CASE WHEN cum >= (total * 99 + 99) // 100 THEN bucket END) * 4096 AS BIGINT) AS q99_lo
+    FROM cum GROUP BY o_orderstatus
+    """,
+)
+def qs154(spark: SparkSession, sf: str) -> DataFrame:
+    """Histogram quantile sketch (operators/sketches.
+    histogram_quantile_buckets): P50/P90/P99 bucket lower bounds of
+    o_totalprice per order status over fixed 4096-wide buckets — the
+    fourth relational sketch (HLL distinct / CMS frequency / Bloom
+    membership / histogram QUANTILES). Versus qs63's Greenwald-Khanna
+    percentile_approx: fixed boundaries make the sketch mergeable by
+    counter addition AND exactly reproducible cross-engine — bucket,
+    cumulate, and threshold-pick are pure integer arithmetic (error
+    bounded by the bucket width by construction). State is ≤128
+    counters per group whatever the input size; the one corpus
+    shuffle is map-side-combined (group, bucket) rows."""
+    from cds_etl_spark.operators.sketches import histogram_quantile_buckets
+
+    return histogram_quantile_buckets(
+        load_table(spark, sf, "orders"),
+        "o_orderstatus",
+        "o_totalprice",
+        bucket_width=4096.0,
+        n_buckets=128,
+        quantiles=(0.5, 0.9, 0.99),
+    )
+
+
+@query(
+    "qs155_token_cooccurrence",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents),
+    support AS (
+      SELECT tok FROM t GROUP BY tok
+      HAVING COUNT(DISTINCT doc_id) >= (SELECT COUNT(*) FROM documents) // 20),
+    ft AS (SELECT t.doc_id, t.tok FROM t JOIN support USING (tok)),
+    pairs AS (
+      SELECT a.tok AS t1, b.tok AS t2
+      FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.tok < b.tok)
+    SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pairs GROUP BY t1, t2
+    ORDER BY n_docs DESC, t1, t2 LIMIT 20
+    """,
+)
+def qs155(spark: SparkSession, sf: str) -> DataFrame:
+    """Frequent token co-occurrence with a-priori support pruning
+    (Agrawal & Srikant 1994's first lattice level): tokens appearing
+    in ≥5% of documents, pairwise document co-occurrence counts,
+    top-20. The pruning IS the scale design: the pair lattice is
+    quadratic in the number of FREQUENT tokens per document (31 here),
+    never in vocabulary or document length — the monotonicity
+    guarantee (a pair can't beat the support of its rarer member)
+    makes the prune lossless for any pair meeting the support floor.
+    Pair generation is a row-local nested array transform fused into
+    the scan (no self-join of the exploded corpus); the only shuffles
+    are the support count and the final pair aggregate, and the
+    support list broadcasts."""
+    d = load_table(spark, sf, "documents")
+    exploded = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok"),
+    )
+    total = d.select((F.count(F.lit(1)) / 20).cast("long").alias("_floor"))
+    support = (
+        exploded.groupBy("tok")
+        .agg(F.countDistinct("doc_id").alias("_d"))
+        .join(F.broadcast(total))
+        .filter(F.col("_d") >= F.col("_floor"))
+        .select("tok")
+    )
+    freq = (
+        exploded.join(F.broadcast(support), "tok", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("tok")).alias("fts"))
+    )
+    pairs = freq.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(fts, (x, i) -> "
+                "transform(slice(fts, i + 2, size(fts)), "
+                "y -> struct(x AS t1, y AS t2))))"
+            )
+        ).alias("p")
+    ).select("p.t1", "p.t2")
+    return (
+        pairs.groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), "t1", "t2")
+        .limit(20)
+    )

@@ -232,3 +232,25 @@ def test_bloom_merge_is_bit_or(spark):
     assert {(r["word"], r["bits"]) for r in both.collect()} == {
         (r["word"], r["bits"]) for r in merged.collect()
     }
+
+
+# ------------------------------------------- histogram quantile sketch
+def test_histogram_quantile_merges_by_counter_addition(spark):
+    """Shard histograms merge by adding counters: quantiles over the
+    union equal quantiles from the merged histogram — the property
+    that lets every shard sketch independently (same contract as
+    CMS/HLL merge)."""
+    from pyspark.sql import functions as F
+    from cds_etl_spark.operators.sketches import histogram_quantile_buckets
+
+    rows = [("g", float(v)) for v in range(1000)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    whole = histogram_quantile_buckets(df, "g", "v", bucket_width=10.0, n_buckets=128)
+    # Shard by parity, histogram each, merge counters, re-derive.
+    a = df.filter(F.col("v") % 2 == 0)
+    b = df.filter(F.col("v") % 2 == 1)
+    merged = histogram_quantile_buckets(a.union(b), "g", "v", bucket_width=10.0, n_buckets=128)
+    assert whole.collect() == merged.collect()
+    r = whole.first()
+    # 0..999 with width 10: P50 -> bucket 49 (lo 490), P90 -> 890, P99 -> 980.
+    assert (r["total"], r["q50_lo"], r["q90_lo"], r["q99_lo"]) == (1000, 490, 890, 980)
