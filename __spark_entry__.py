@@ -37,13 +37,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # r05 graded the round-5 additions + the r02-stale queue + 8 stale-r03
 # backfills (see git history for that list), displacing 17 r03-green
 # entries to this round. r06 (this list): the 17 displaced r03-green
-# backfills first, then 18 more r03-green entries, then the 15 entries
+# backfills first, then 17 more r03-green entries, then the 16 entries
 # new or newly hash-checkable this round — qs90 (portable-HLL oracle
 # landed in r06, its first chance at a hash-green row) plus
-# qs142-qs155. Four r03-green entries (qs46/qs48/qs66/qs82) defer to
-# r07 to make room; qs25-qs40 stay r04-green. After this round only
-# those four are older than r04-green, and qs90's rows-only asterisk
-# is gone.
+# qs142-qs156. Five r03-green entries (qs46/qs48/qs66/qs82/qs89)
+# defer to r07 to make room; qs25-qs40 stay r04-green. After this
+# round only those five are older than r04-green, and qs90's
+# rows-only asterisk is gone.
 # Every name below MUST exist in the registry — tests/test_sql_surface.py
 # asserts set(_GRADE_FIRST) <= set(QUERIES) so a typo fails loudly instead
 # of silently falling back to registration order (the r03 defect).
@@ -66,11 +66,11 @@ _GRADE_FIRST = [
     "qs44_percentile_exact",
     "qs45_correlated_scalar_subquery",
     "qs64_salted_agg",
-    # -- remaining r03-green entries (18; qs46_full_outer_join,
-    #    qs48_time_range_frame, qs66_hash_split and
-    #    qs82_sequence_packing defer to r07 — the round-6 additions
-    #    take their slots, and all pass every local suite run) --
-    "qs89_repetition_signal",
+    # -- remaining r03-green entries (17; qs46_full_outer_join,
+    #    qs48_time_range_frame, qs66_hash_split, qs82_sequence_packing
+    #    and qs89_repetition_signal defer to r07 — the round-6
+    #    additions take their slots; all pass every local suite run,
+    #    and qs89 shares its oracle with the r05-green qs138) --
     "qs96_anonymize",
     "qs98_incremental_agg",
     "qs100_tpch_q3",
@@ -88,7 +88,7 @@ _GRADE_FIRST = [
     "qs114_fuzzy_link",
     "qs115_tfidf_top_terms",
     "qs116_cohort_retention",
-    # -- new or newly hash-checkable this round (15) --
+    # -- new or newly hash-checkable this round (16) --
     "qs90_hll_distinct_sketch",
     "qs142_duplicate_span_coverage",
     "qs143_hll_register_table",
@@ -104,8 +104,9 @@ _GRADE_FIRST = [
     "qs153_unpivot_measures",
     "qs154_histogram_quantile_sketch",
     "qs155_token_cooccurrence",
+    "qs156_robust_outliers",
     # (qs25-qs40 r04-green backfills displaced by the round-6
-    #  additions qs146-qs155, stay r04-green within the freshness
+    #  additions qs146-qs156, stay r04-green within the freshness
     #  goal)
 ]
 

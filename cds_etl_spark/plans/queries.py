@@ -5724,3 +5724,69 @@ def qs155(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), "t1", "t2")
         .limit(20)
     )
+
+
+@query(
+    "qs156_robust_outliers",
+    oracle="""
+    WITH c AS (SELECT o_orderstatus AS st,
+                      CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+               FROM orders),
+    med AS (SELECT st, quantile_cont(cents, 0.5) AS med FROM c GROUP BY st),
+    dev AS (SELECT c.st, c.cents, abs(c.cents - med.med) AS d
+            FROM c JOIN med USING (st)),
+    mad AS (SELECT st, quantile_cont(d, 0.5) AS mad, COUNT(*) AS n
+            FROM dev GROUP BY st)
+    SELECT dev.st AS o_orderstatus,
+           CAST(MAX(mad.n) AS BIGINT) AS n,
+           MAX(med.med) AS med_cents,
+           MAX(mad.mad) AS mad_cents,
+           CAST(SUM(CASE WHEN dev.d > 4.4478 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev JOIN mad USING (st) JOIN med USING (st)
+    GROUP BY dev.st
+    """,
+)
+def qs156(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust outlier profile (median/MAD, the 3-sigma rule's
+    skew-proof replacement): per order status, exact median and median
+    absolute deviation of integer cents, and the count of rows beyond
+    3·1.4826·MAD (1.4826 = the normal-consistency constant). Extends
+    the profiling family (qs88 one-pass profile, qs44 exact
+    percentiles) with the data-quality gate that survives heavy tails
+    — exactly what submitter-supplied numeric columns (the reference's
+    validation surface, cds_transformation_functions.py:302-345) need.
+
+    Determinism rides the qs44 contract: quantile interpolation over
+    INTEGER cents yields exact .0/.5 doubles in every engine; devs are
+    then exact, the MAD is exact .0/.25 multiples, and the one float
+    product (4.4478·mad) is a single correctly-rounded multiply on
+    identical operands. Plan shape: the per-group medians are
+    broadcast-joined back (3-row dimension), so the corpus is scanned
+    for grouped aggregation, never self-joined."""
+    c = load_table(spark, sf, "orders").select(
+        F.col("o_orderstatus").alias("st"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    med = c.groupBy("st").agg(F.percentile("cents", F.lit(0.5)).alias("med"))
+    dev = c.join(F.broadcast(med), "st").select(
+        "st", F.abs(F.col("cents") - F.col("med")).alias("d")
+    )
+    mad = dev.groupBy("st").agg(
+        F.percentile("d", F.lit(0.5)).alias("mad"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        dev.join(F.broadcast(mad), "st")
+        .join(F.broadcast(med), "st")
+        .groupBy("st")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("med").alias("med_cents"),
+            F.max("mad").alias("mad_cents"),
+            F.sum(
+                F.when(F.col("d") > F.lit(4.4478) * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .withColumnRenamed("st", "o_orderstatus")
+    )
