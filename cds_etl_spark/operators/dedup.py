@@ -413,6 +413,7 @@ def minhash_lsh_incremental(
     num_hashes: int = 12,
     bands: int = 4,
     min_jaccard: float = 0.5,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Incremental near-dup check: a NEW batch of documents against an
     already-indexed corpus, without re-pairing the corpus with itself.
@@ -421,25 +422,35 @@ def minhash_lsh_incremental(
     corpus" — it is "each arriving batch probes the standing LSH index"
     (the reference's analogue is the per-workbook dup-ID check,
     cds_transformation_functions.py:209-246, rerun per submission).
-    Band keys of the batch join band keys of the index; the batch side
-    is tiny relative to the index, so Spark broadcasts it and the index
-    never shuffles — the probe cost is proportional to the BATCH, not
-    the corpus. Returns (new_id, index_id, jac) with jac >= threshold.
+    Band keys of the batch join band keys of the index; with
+    ``broadcast_batch`` (the default, for the normal batch ≪ index
+    regime) the batch broadcasts and the index never shuffles — probe
+    cost proportional to the BATCH, not the corpus. Set it False when
+    a backfill probes with a batch too large to broadcast (rule of
+    thumb: > a few hundred MB of band keys, ~10M docs); the join then
+    shuffles both sides on the band key, which is the correct plan at
+    that size. Returns (new_id, index_id, jac) with jac >= threshold.
     """
     sh_new, bands_new = _signature_bands(new_df, id_col, text_col, shingle_k, num_hashes, bands)
     sh_idx, bands_idx = _signature_bands(index_df, id_col, text_col, shingle_k, num_hashes, bands)
+    probe_side = bands_new.alias("n")
+    if broadcast_batch:
+        probe_side = F.broadcast(probe_side)
     cand = (
         bands_idx.alias("i")
         .join(
-            F.broadcast(bands_new.alias("n")),
+            probe_side,
             (F.col("i._bi") == F.col("n._bi")) & (F.col("i._key") == F.col("n._key")),
         )
         .select(F.col("n._id").alias("new_id"), F.col("i._id").alias("index_id"))
         .distinct()
     )
+    refine_new = sh_new.withColumnRenamed("_id", "new_id").withColumnRenamed("_sh", "_sa")
+    if broadcast_batch:
+        refine_new = F.broadcast(refine_new)
     return (
         cand.join(
-            F.broadcast(sh_new.withColumnRenamed("_id", "new_id").withColumnRenamed("_sh", "_sa")),
+            refine_new,
             "new_id",
         )
         .join(sh_idx.withColumnRenamed("_id", "index_id").withColumnRenamed("_sh", "_sb"), "index_id")
