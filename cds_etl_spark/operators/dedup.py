@@ -538,3 +538,97 @@ def semantic_dedup(
             F.coalesce("_dup", F.lit(False)).alias("is_dup"),
         )
     )
+
+
+def semantic_dedup_arrow(
+    emb: DataFrame,
+    anchors: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow/BLAS physical strategy for ``semantic_dedup`` — same
+    logical op, same (id, cid, is_dup) output, same rounding semantics
+    (round-6 assignment argmax with lowest-cid ties, round-4 dup
+    threshold), different physics.
+
+    The exact column-expression path evaluates cosine via interpreted
+    higher-order functions: n·k assignment dots + Σ cluster² refine
+    dots become per-element Python-free but non-codegen loops — fine
+    to ~10⁴ vectors, measured minutes at 200k×1000 anchors. Here both
+    quadratic stages run in numpy: assignment is ONE batched matmul
+    per Arrow batch against the broadcast anchor matrix (mapInPandas),
+    and the within-cluster pair check is a per-group matmul over a
+    cluster-sized frame (applyInPandas; the groupBy(cid) shuffle is
+    the one wide op, cluster-bounded by the anchor count). ~13 GFLOP
+    at 200k vectors — BLAS seconds. Equality with the exact path is
+    pinned by a differential test on the shipped corpus; keep the
+    exact path for oracle checks, this one for scale.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    a_rows = anchors.select("cid", "cvec").collect()
+    a_cids = np.array([r["cid"] for r in a_rows], dtype=np.int64)
+    order = np.argsort(a_cids)
+    a_cids = a_cids[order]
+    a_mat = np.stack([np.asarray(a_rows[int(i)]["cvec"], dtype=np.float64) for i in order])
+    a_unit = a_mat / np.maximum(np.linalg.norm(a_mat, axis=1, keepdims=True), 1e-300)
+
+    v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_vv"))
+
+    def _assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["_vv"].to_numpy())
+            mu = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+            s = np.round(mu @ a_unit.T, 6)
+            smax = s.max(axis=1, keepdims=True)
+            # argmax of the == mask returns the FIRST max — with cids
+            # sorted ascending that is the lowest cid, matching the
+            # exact path's (sim desc, cid asc) tie-break.
+            pick = np.argmax(s == smax, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "_vv": pdf["_vv"], "cid": a_cids[pick]}
+            )
+
+    assign_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("_vv", ArrayType(DoubleType())),
+            StructField("cid", LongType()),
+        ]
+    )
+    assigned = v.mapInPandas(_assign, schema=assign_schema)
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("cid", LongType()),
+            StructField("is_dup", BooleanType()),
+        ]
+    )
+
+    def _cluster_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        m = np.stack(pdf["_vv"].to_numpy())
+        mu = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        s = np.round(mu @ mu.T, 4)
+        close = s >= threshold
+        # is_dup[i] = any j < i (by id order) with close[i, j]
+        dup = np.tril(close, k=-1).any(axis=1)
+        return pd.DataFrame(
+            {id_col: pdf[id_col], "cid": pdf["cid"], "is_dup": dup}
+        )
+
+    return assigned.groupBy("cid").applyInPandas(_cluster_dedup, schema=out_schema)

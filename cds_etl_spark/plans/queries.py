@@ -5191,8 +5191,9 @@ def qs145(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "qs146_semantic_dedup",
     oracle="""
-    WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
-               FROM embeddings WHERE vec_id < 10),
+    WITH k AS (SELECT greatest(10, COUNT(*) // 200) AS n_anchor FROM embeddings),
+    c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+               FROM embeddings, k WHERE vec_id < k.n_anchor),
     v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
     scored AS (
       SELECT v.vec_id, v.vv, c.cid,
@@ -5214,20 +5215,34 @@ def qs145(spark: SparkSession, sf: str) -> DataFrame:
 )
 def qs146(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup semantic deduplication (operators/dedup.semantic_dedup;
-    Abbas et al. 2023): assign every embedding to its nearest anchor
-    (deterministic anchors: vec_id < 10 — at scale the kmeans_train
-    centroids), then inside each cluster mark every vector that has a
-    lower-id neighbour with cosine >= 0.4 as a duplicate. The
-    within-cluster blocking is the whole scale story: pair counts are
-    bounded by cluster size, never corpus², exactly how the paper's
-    k=50k clusters tame LAION-scale dedup. The oracle replays anchor
-    assignment and the dup rule bit-identically (rounded cosines)."""
+    Abbas et al. 2023): assign every embedding to its nearest anchor,
+    then inside each cluster mark every vector that has a lower-id
+    neighbour with cosine >= 0.4 as a duplicate. The within-cluster
+    blocking is the whole scale story: pair counts are bounded by
+    cluster size, never corpus², exactly how the paper's k=50k
+    clusters tame LAION-scale dedup — which is why the anchor count
+    SCALES with the corpus, k = max(10, n/200) (deterministic
+    lowest-vec_id anchors; at scale the kmeans_train centroids), so
+    mean cluster size stays ~200 and the quadratic check is bounded at
+    every sf. Anything fixed (the original k=10) re-grows clusters
+    linearly with n — measured quadratic blowup at the 200k-vector
+    scale point. The oracle replays the anchor-count rule, assignment,
+    and the dup rule bit-identically (rounded cosines)."""
     from cds_etl_spark.operators.dedup import semantic_dedup
 
     emb = load_table(spark, sf, "embeddings")
-    anchors = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").cast("array<double>").alias("cvec"),
+    n_anchor = emb.agg(
+        F.greatest(F.lit(10), (F.count(F.lit(1)) / 200).cast("long")).alias(
+            "n_anchor"
+        )
+    )
+    anchors = (
+        emb.join(F.broadcast(n_anchor))
+        .filter(F.col("vec_id") < F.col("n_anchor"))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("cvec"),
+        )
     )
     out = semantic_dedup(emb, anchors, threshold=0.4)
     return out.select(

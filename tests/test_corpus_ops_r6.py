@@ -254,3 +254,26 @@ def test_histogram_quantile_merges_by_counter_addition(spark):
     r = whole.first()
     # 0..999 with width 10: P50 -> bucket 49 (lo 490), P90 -> 890, P99 -> 980.
     assert (r["total"], r["q50_lo"], r["q90_lo"], r["q99_lo"]) == (1000, 490, 890, 980)
+
+
+def test_semantic_dedup_arrow_matches_exact_path(spark, sf_dir):
+    """The Arrow/BLAS strategy must be result-identical to the exact
+    column-expression path on the shipped corpus — same assignment
+    tie-breaks, same rounding, different physics."""
+    from cds_etl_spark.catalog import load_table
+    from cds_etl_spark.operators.dedup import semantic_dedup, semantic_dedup_arrow
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cvec"),
+    )
+    exact = {
+        (r["vec_id"], r["cid"], bool(r["is_dup"]))
+        for r in semantic_dedup(emb, anchors, threshold=0.4).collect()
+    }
+    arrow = {
+        (r["vec_id"], r["cid"], bool(r["is_dup"]))
+        for r in semantic_dedup_arrow(emb, anchors, threshold=0.4).collect()
+    }
+    assert exact == arrow

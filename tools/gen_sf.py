@@ -67,7 +67,17 @@ def generate(sf: float, out_dir: str, seed: int = 42) -> None:
     rng = np.random.default_rng(seed)
 
     def write(name, table):
-        pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+        # Cap row groups at 64k rows: parquet SPLITS cannot cross a
+        # row-group boundary, so a single-row-group file pins any scan
+        # to one task no matter how many splits the engine requests —
+        # measured as a 10x wall regression on the 500k-doc corpus
+        # queries (one straggler task did all the shingling). The
+        # shipped driver testdata has the same layout property.
+        pq.write_table(
+            table,
+            os.path.join(out_dir, f"{name}.parquet"),
+            row_group_size=65536,
+        )
         print(f"{name}: {table.num_rows} rows", flush=True)
 
     write("region", pa.table({
