@@ -271,3 +271,42 @@ def bigram_repetition_stats(text: Column) -> Column:
         .otherwise(F.lit(0.0))
         .alias("top_fraction"),
     )
+
+
+def minhash_signature_fast(shingle_set: Column, num_hashes: int = 12) -> Column:
+    """xxhash64 MinHash signature — the PRODUCTION hash family.
+
+    Same blocking math as ``minhash_signature`` (min over the set per
+    salted hash function), different kernel: ``xxhash64`` is a native
+    codegen expression returning int64 directly, versus md5's hex
+    string round-trip through interpreted transforms. The trade is
+    cross-engine portability: DuckDB cannot reproduce xxhash64, so
+    fast-family runs are unit/ground-truth tested, never oracle-
+    hashed — which is exactly the production posture (the oracle
+    family exists to prove the ALGORITHM; this one to run it).
+    Signatures from the two families are NOT comparable — never mix
+    them in one index."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_set, lambda s, j=j: F.xxhash64(F.lit(j), s))
+            )
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def lsh_band_keys_fast(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """Band keys for the fast family: xxhash64 over the band's hash
+    values (int64s hash directly — no string concat)."""
+    return F.array(
+        *[
+            F.xxhash64(
+                *[
+                    F.element_at(signature, b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ]
+            )
+            for b in range(bands)
+        ]
+    )

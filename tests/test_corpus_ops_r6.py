@@ -277,3 +277,37 @@ def test_semantic_dedup_arrow_matches_exact_path(spark, sf_dir):
         for r in semantic_dedup_arrow(emb, anchors, threshold=0.4).collect()
     }
     assert exact == arrow
+
+
+def test_minhash_fast_family_finds_the_same_duplicates(spark):
+    """The xxhash64 fast family must find the same high-jaccard pairs
+    as the portable md5 family on a corpus with planted duplicates:
+    different hashes, same blocking guarantee, identical exact-refine
+    verdicts for the pairs both families surface."""
+    from cds_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    def text(n, prefix="t"):
+        return " ".join(f"{prefix}{i}" for i in range(1, n + 1))
+
+    rows = [
+        (1, text(20)), (2, text(20)),                  # exact dup pair
+        (3, text(20) + " extra token here"),           # near dup of 1/2
+        (4, text(50, "z")), (5, text(50, "z")),        # second dup pair
+        (6, text(40, "q")),                            # unrelated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    portable = {
+        (r["d1"], r["d2"]): round(r["jac"], 6)
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    fast = {
+        (r["d1"], r["d2"]): round(r["jac"], 6)
+        for r in minhash_lsh_pairs(docs, hash_family="fast").collect()
+    }
+    # Planted exact dups MUST appear under both families (identical
+    # signatures collide on every band regardless of hash function).
+    for pair in [(1, 2), (4, 5)]:
+        assert pair in portable and pair in fast, pair
+    # Where both surface a pair, the exact-refine jaccard is identical.
+    for pair in set(portable) & set(fast):
+        assert portable[pair] == fast[pair]
