@@ -311,3 +311,30 @@ def test_minhash_fast_family_finds_the_same_duplicates(spark):
     # Where both surface a pair, the exact-refine jaccard is identical.
     for pair in set(portable) & set(fast):
         assert portable[pair] == fast[pair]
+
+
+def test_bloom_fast_family_no_false_negatives(spark):
+    """Bloom's guarantee is hash-family independent: every member hits
+    under the xxhash64 fast family too, and a filter built with one
+    family probed with the same family behaves identically to the
+    portable pairing (families must simply never mix)."""
+    from cds_etl_spark.operators.sketches import bloom_build, bloom_probe
+
+    members = spark.createDataFrame([(f"m{i}",) for i in range(40)], "s string")
+    probe = spark.createDataFrame(
+        [(i, f"m{i}") for i in range(40)], "id long, s string"
+    )
+    bloom = bloom_build(members, "s", hash_family="fast")
+    hits = {
+        r["id"]: r["hit"]
+        for r in bloom_probe(probe, bloom, "s", "id", hash_family="fast").collect()
+    }
+    assert all(hits[i] == 1 for i in range(40))
+    outs = spark.createDataFrame(
+        [(i, f"x{i}") for i in range(200)], "id long, s string"
+    )
+    fp = sum(
+        r["hit"]
+        for r in bloom_probe(outs, bloom, "s", "id", hash_family="fast").collect()
+    )
+    assert fp <= 10, fp
