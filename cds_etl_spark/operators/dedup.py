@@ -487,6 +487,22 @@ def minhash_lsh_incremental(
     sh_idx, bands_idx = _signature_bands(
         index_df, id_col, text_col, shingle_k, num_hashes, bands, hash_family
     )
+    return _probe_pairs(
+        sh_new, bands_new, sh_idx, bands_idx, min_jaccard, broadcast_batch
+    )
+
+
+def _probe_pairs(
+    sh_new: DataFrame,
+    bands_new: DataFrame,
+    sh_idx: DataFrame,
+    bands_idx: DataFrame,
+    min_jaccard: float,
+    broadcast_batch: bool,
+) -> DataFrame:
+    """Batch-vs-index candidate join + exact refine over prebuilt
+    signature frames — shared by the in-memory incremental path and
+    the persisted-index probe."""
     probe_side = bands_new.alias("n")
     if broadcast_batch:
         probe_side = F.broadcast(probe_side)
@@ -510,6 +526,84 @@ def minhash_lsh_incremental(
         .join(sh_idx.withColumnRenamed("_id", "index_id").withColumnRenamed("_sh", "_sb"), "index_id")
         .select("new_id", "index_id", jaccard(F.col("_sa"), F.col("_sb")).alias("jac"))
         .filter(F.col("jac") >= min_jaccard)
+    )
+
+
+def build_minhash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    hash_family: str = "fast",
+    mode: str = "overwrite",
+) -> None:
+    """Persist a MinHash-LSH dedup index: two parquet tables under
+    ``path`` — ``bands`` (id, band_idx, band_key; partitioned by
+    band_idx so a probe prunes to matching band partitions) and
+    ``shingles`` (id, shingle set, for the exact refine).
+
+    THIS is the production answer to the measured shingle-explode
+    cost (BASELINE r6 corpus notes): shingling + signatures are paid
+    ONCE at ingest, not on every dedup run — each arriving batch then
+    probes a standing on-disk index (``probe_minhash_index``) and
+    appends itself (``mode="append"``). Defaults to the fast
+    (xxhash64) family since a persisted index never needs the
+    cross-engine oracle; pick ONE family per index and never mix.
+    """
+    sh, bands_df = _signature_bands(
+        df, id_col, text_col, shingle_k, num_hashes, bands, hash_family
+    )
+    (
+        bands_df.select(
+            F.col("_id").alias(id_col),
+            F.col("_bi").alias("band_idx"),
+            F.col("_key").alias("band_key"),
+        )
+        .write.mode(mode)
+        .partitionBy("band_idx")
+        .parquet(f"{path}/bands")
+    )
+    (
+        sh.select(F.col("_id").alias(id_col), F.col("_sh").alias("shingles"))
+        .write.mode(mode)
+        .parquet(f"{path}/shingles")
+    )
+
+
+def probe_minhash_index(
+    spark,
+    new_df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    min_jaccard: float = 0.5,
+    hash_family: str = "fast",
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Probe a batch against a persisted index (``build_minhash_index``
+    with the SAME parameters): returns (new_id, index_id, jac) pairs
+    with jac >= threshold. The index is scanned, never re-shingled —
+    probe cost is the batch's signatures plus a broadcast join against
+    the index's band table."""
+    sh_new, bands_new = _signature_bands(
+        new_df, id_col, text_col, shingle_k, num_hashes, bands, hash_family
+    )
+    bands_idx = spark.read.parquet(f"{path}/bands").select(
+        F.col(id_col).alias("_id"),
+        F.col("band_idx").alias("_bi"),
+        F.col("band_key").alias("_key"),
+    )
+    sh_idx = spark.read.parquet(f"{path}/shingles").select(
+        F.col(id_col).alias("_id"), F.col("shingles").alias("_sh")
+    )
+    return _probe_pairs(
+        sh_new, bands_new, sh_idx, bands_idx, min_jaccard, broadcast_batch
     )
 
 

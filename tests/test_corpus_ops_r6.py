@@ -338,3 +338,50 @@ def test_bloom_fast_family_no_false_negatives(spark):
         for r in bloom_probe(outs, bloom, "s", "id", hash_family="fast").collect()
     )
     assert fp <= 10, fp
+
+
+def test_persisted_minhash_index_roundtrip(spark, tmp_path):
+    """build → probe must equal the in-memory incremental path with
+    the same family, and append-then-probe must surface dups against
+    the appended batch — the continuous-dedup loop."""
+    from cds_etl_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_lsh_incremental,
+        probe_minhash_index,
+    )
+
+    def text(n, prefix="t"):
+        return " ".join(f"{prefix}{i}" for i in range(1, n + 1))
+
+    corpus = spark.createDataFrame(
+        [(1, text(12)), (2, text(12)), (3, text(40, "z"))],
+        "doc_id long, text string",
+    )
+    batch1 = spark.createDataFrame(
+        [(101, text(12)), (102, text(40, "q"))], "doc_id long, text string"
+    )
+    path = str(tmp_path / "mh_index")
+    build_minhash_index(corpus, path, hash_family="fast")
+    via_index = {
+        (r["new_id"], r["index_id"])
+        for r in probe_minhash_index(
+            spark, batch1, path, hash_family="fast"
+        ).collect()
+    }
+    direct = {
+        (r["new_id"], r["index_id"])
+        for r in minhash_lsh_incremental(
+            batch1, corpus, hash_family="fast"
+        ).collect()
+    }
+    assert via_index == direct == {(101, 1), (101, 2)}
+    # Append batch1; a later duplicate of 101 must now hit it.
+    build_minhash_index(batch1, path, hash_family="fast", mode="append")
+    batch2 = spark.createDataFrame([(201, text(12))], "doc_id long, text string")
+    hits = {
+        (r["new_id"], r["index_id"])
+        for r in probe_minhash_index(
+            spark, batch2, path, hash_family="fast"
+        ).collect()
+    }
+    assert hits == {(201, 1), (201, 2), (201, 101)}
