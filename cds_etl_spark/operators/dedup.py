@@ -594,13 +594,24 @@ def probe_minhash_index(
     sh_new, bands_new = _signature_bands(
         new_df, id_col, text_col, shingle_k, num_hashes, bands, hash_family
     )
-    bands_idx = spark.read.parquet(f"{path}/bands").select(
-        F.col(id_col).alias("_id"),
-        F.col("band_idx").alias("_bi"),
-        F.col("band_key").alias("_key"),
+    # dropDuplicates = replay guard: a streaming ingest that appends to
+    # the index inside foreachBatch may re-append an epoch after a
+    # crash-replay; duplicated identical rows would duplicate refine
+    # OUTPUT pairs (the candidate distinct() only guards band rows).
+    # Content is identical on replay, so keep-any semantics are exact.
+    bands_idx = (
+        spark.read.parquet(f"{path}/bands")
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col("band_idx").alias("_bi"),
+            F.col("band_key").alias("_key"),
+        )
+        .dropDuplicates()
     )
-    sh_idx = spark.read.parquet(f"{path}/shingles").select(
-        F.col(id_col).alias("_id"), F.col("shingles").alias("_sh")
+    sh_idx = (
+        spark.read.parquet(f"{path}/shingles")
+        .select(F.col(id_col).alias("_id"), F.col("shingles").alias("_sh"))
+        .dropDuplicates(["_id"])
     )
     return _probe_pairs(
         sh_new, bands_new, sh_idx, bands_idx, min_jaccard, broadcast_batch

@@ -415,3 +415,84 @@ def running_totals_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def stream_corpus_ingest_with_index(
+    docs_stream: DataFrame,
+    index_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    languages: tuple[str, ...] = ("en",),
+    min_quality: float = 0.5,
+    max_repetition: float = 0.5,
+    min_jaccard: float = 0.5,
+    hash_family: str = "fast",
+) -> None:
+    """Continuous corpus ingest with NEAR-duplicate dedup against a
+    standing on-disk MinHash index — the round-6 pieces composed into
+    the production loop: per micro-batch, (1) the stateless filter
+    stages gate quality, (2) within-batch near-dups collapse to the
+    lowest doc_id (minhash_lsh_pairs over the batch — batch-sized,
+    cheap), (3) survivors probe the PERSISTED index
+    (probe_minhash_index — the corpus is never re-shingled), (4) kept
+    docs land in an epoch-partitioned parquet sink, and (5) their
+    signatures append to the index so the NEXT batch sees them.
+
+    Exactly-once story on plain object storage: the sink overwrites
+    its own ``batch_id=<epoch>`` partition (idempotent replay, the
+    foreach_batch_partitioned_sink pattern), and the index append is
+    made replay-safe by probe_minhash_index's dropDuplicates guard —
+    a re-appended epoch re-writes identical rows, which dedup to the
+    same probe result. State lives entirely in the index tables:
+    restart-proof, shardable, and sized by corpus content, not by
+    stream history held on the heap (contrast stream_corpus_dedup's
+    in-memory hash state).
+    """
+    from cds_etl_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_lsh_pairs,
+        probe_minhash_index,
+    )
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        filtered = stream_corpus_filter(
+            batch_df, languages, min_quality, max_repetition
+        )
+        # Within-batch near-dups: keep the lowest id of every pair.
+        intra = minhash_lsh_pairs(
+            filtered, min_jaccard=min_jaccard, hash_family=hash_family
+        )
+        losers = intra.select(F.col("d2").alias("doc_id")).distinct()
+        batch_kept = filtered.join(losers, "doc_id", "left_anti")
+        # Cross-batch: probe the standing index (absent on epoch 0).
+        try:
+            pairs = probe_minhash_index(
+                spark,
+                batch_kept,
+                index_path,
+                min_jaccard=min_jaccard,
+                hash_family=hash_family,
+            )
+            dup_ids = pairs.select(F.col("new_id").alias("doc_id")).distinct()
+            kept = batch_kept.join(dup_ids, "doc_id", "left_anti")
+        except Exception:
+            kept = batch_kept
+        kept = kept.localCheckpoint(eager=True)
+        kept.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={epoch_id}")
+        )
+        build_minhash_index(
+            kept.select("doc_id", "text"),
+            index_path,
+            hash_family=hash_family,
+            mode="append",
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -569,3 +569,57 @@ def test_running_totals_tws_import_gate_raises_clearly(spark, sf_dir, inbox):
     stream = event_stream(spark, inbox["src"], inbox["schema"])
     with pytest.raises(NotImplementedError, match="protobuf"):
         running_totals_tws(stream)
+
+
+def test_stream_corpus_ingest_with_index(spark, tmp_path):
+    """The composed continuous-dedup loop: filter → within-batch dedup
+    → probe the persisted index → sink epoch partition → append index.
+    Batch 2's near-duplicate of a batch-1 doc must be dropped by the
+    INDEX probe (no in-memory state), and the index must accumulate
+    every kept doc's signatures."""
+    from cds_etl_spark.streaming.ops import stream_corpus_ingest_with_index
+
+    # Quality-passing English text (stopword-rich, low repetition).
+    def good(seed):
+        words = [
+            f"w{seed}x{i} the of and to in a is that it for" for i in range(6)
+        ]
+        return " ".join(words)
+
+    b1 = spark.createDataFrame(
+        [
+            (1, good(1), "en", "s", 1),
+            (2, good(1) + " tail", "en", "s", 1),  # within-batch near-dup of 1
+            (3, good(3), "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (11, good(1) + " tiny drift", "en", "s", 1),  # cross-batch dup of 1
+            (12, good(12), "en", "s", 1),                 # genuinely new
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    src = str(tmp_path / "ing_inbox")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(b1.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = str(tmp_path / "ing_out")
+    idx = str(tmp_path / "ing_idx")
+    stream_corpus_ingest_with_index(
+        stream, idx, out, str(tmp_path / "ing_ckpt")
+    )
+
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # 2 lost to within-batch dedup (higher id), 11 lost to the index
+    # probe; 1, 3, 12 survive.
+    assert kept == {1, 3, 12}, kept
+    indexed = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{idx}/shingles").collect()
+    }
+    assert indexed == {1, 3, 12}, indexed
