@@ -108,6 +108,17 @@ _GRADE_FIRST = [
     # (qs25-qs40 r04-green backfills displaced by the round-6
     #  additions qs146-qs156, stay r04-green within the freshness
     #  goal)
+    # -- beyond the 50-entry window: r07 front-of-queue (the late
+    #    round-6 additions, local-differential-green, no driver row
+    #    yet; then the five deferred r03-green entries) --
+    "qs157_perplexity_buckets",
+    "qs158_epoch_shard_plan",
+    "qs159_psi_drift",
+    "qs46_full_outer_join",
+    "qs48_time_range_frame",
+    "qs66_hash_split",
+    "qs82_sequence_packing",
+    "qs89_repetition_signal",
 ]
 
 

@@ -225,3 +225,44 @@ def temperature_weights(
         "cnt",
         F.floor(F.lit(1_000_000.0) * powered).cast("long").alias("weight_e6"),
     )
+
+
+def epoch_shards(
+    df: DataFrame,
+    key_col: str,
+    num_shards: int,
+    epoch: int,
+    salt: str = "epoch",
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle, expressed as a SHARD
+    PLAN instead of a shuffle: every row gets a (shard, pos) address
+    that is a pure function of (key, epoch), so a training job reads
+    shard files in pos order and sees a different — but exactly
+    reproducible — permutation each epoch. This is how large
+    pretraining runs randomize data order without ever paying a
+    global sort of the corpus:
+
+    * ``shard`` is a hash mod — a plain hash-partition exchange, NO
+      range partitioning and NO global ordering (a naive ORDER BY
+      md5(...) over 100 TB is a full-corpus range sort; this is one
+      hash shuffle, the same cost as any groupBy);
+    * ``pos`` is a row_number per shard ordered by the same hash —
+      each window covers only its shard's rows, sorts locally inside
+      the exchange that the hash partitioning already paid for.
+
+    md5-derived (``hash_bucket``), so the permutation is engine-
+    portable and auditable: the qs158 oracle recomputes the identical
+    addresses in DuckDB SQL. Changing ``epoch`` re-salts the hash —
+    epochs are statistically independent permutations of the same
+    corpus, no state carried between them.
+    """
+    h = hash_bucket(F.col(key_col), f"{salt}{epoch}")
+    with_h = df.withColumn("__h", h).withColumn(
+        "__shard", (F.col("__h") % num_shards).cast("bigint")
+    )
+    w = Window.partitionBy("__shard").orderBy("__h", key_col)
+    return with_h.select(
+        F.col(key_col),
+        F.col("__shard").alias("shard"),
+        F.row_number().over(w).alias("pos"),
+    )

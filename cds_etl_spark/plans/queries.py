@@ -5805,3 +5805,242 @@ def qs156(spark: SparkSession, sf: str) -> DataFrame:
         )
         .withColumnRenamed("st", "o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# Round-6 session-2 extensions: CCNet buckets, epoch shards, PSI drift
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs157_perplexity_buckets",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang,
+        list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+      FROM documents),
+    bge AS (
+      SELECT doc_id, lang, bg['w1'] AS w1, bg['w2'] AS w2 FROM (
+        SELECT doc_id, lang, unnest(CASE WHEN len(ts) >= 2 THEN
+            list_transform(range(1, len(ts)),
+                           i -> struct_pack(w1 := ts[i], w2 := ts[i+1]))
+          ELSE [] END) AS bg
+        FROM t)),
+    cbg AS (SELECT w1, w2, COUNT(*) AS c FROM bge GROUP BY w1, w2),
+    cctx AS (SELECT w1, COUNT(*) AS c FROM bge GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT term) AS v
+          FROM (SELECT unnest(ts) AS term FROM t)),
+    score AS (
+      SELECT bge.doc_id, bge.lang,
+             ROUND(AVG(ln((cbg.c + 1.0) / (cctx.c + v.v))), 4) AS lp
+      FROM bge
+      JOIN cbg ON bge.w1 = cbg.w1 AND bge.w2 = cbg.w2
+      JOIN cctx ON bge.w1 = cctx.w1
+      CROSS JOIN v
+      GROUP BY bge.doc_id, bge.lang),
+    tiered AS (
+      SELECT lang, lp,
+             NTILE(3) OVER (PARTITION BY lang
+                            ORDER BY lp DESC, doc_id) AS t3
+      FROM score)
+    SELECT lang,
+           CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS tier,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(lp), 4) AS mean_logp
+    FROM tiered GROUP BY lang, t3
+    """,
+)
+def qs157(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document with the corpus bigram LM (qs119's signal), then
+    split EACH LANGUAGE into head/middle/tail terciles by model score
+    — the standard pretraining-corpus quality partition (head = keep,
+    middle = maybe, tail = drop/review). Per-language NTILE is the
+    load-bearing detail: a global cut would grade low-resource
+    languages against English's score distribution and discard them
+    wholesale.
+
+    Determinism: scores are ROUNDed to 4 dp BEFORE the tercile window
+    on both engines, so the NTILE ordering key (lp DESC, doc_id) is
+    bit-identical cross-engine; docs with <2 tokens have no bigrams
+    and drop out of scoring on both sides. Plan shape: bigram build is
+    row-local, the LM is two narrow count aggregates joined back on
+    the bigram key, vocab size rides a broadcast one-row crossJoin,
+    and the tercile window shuffles only (doc, lang, score) rows — at
+    100 TB the wide text column never reaches a shuffle."""
+    d = load_table(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.filter(
+            F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
+        ).alias("ts"),
+    )
+    bge = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.when(
+                F.size("ts") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1), "
+                    "i -> struct(element_at(ts, i) as w1, "
+                    "element_at(ts, i + 1) as w2))"
+                ),
+            ).otherwise(F.array())
+        ).alias("bg"),
+    ).select(
+        "doc_id", "lang", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    cbg = bge.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cctx = bge.groupBy("w1").agg(F.count(F.lit(1)).alias("cc"))
+    v = toks.select(F.explode("ts").alias("term")).agg(
+        F.countDistinct("term").alias("v")
+    )
+    score = (
+        bge.join(cbg, ["w1", "w2"])
+        .join(cctx, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.avg(F.log((F.col("cb") + 1.0) / (F.col("cc") + F.col("v")))),
+                4,
+            ).alias("lp")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("lp").desc(), "doc_id")
+    tiered = score.withColumn("t3", F.ntile(3).over(w))
+    tier = F.element_at(
+        F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), F.col("t3")
+    )
+    return tiered.groupBy("lang", "t3").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("lp"), 4).alias("mean_logp"),
+    ).select("lang", tier.alias("tier"), "n_docs", "mean_logp")
+
+
+@query(
+    "qs158_epoch_shard_plan",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(doc_id || '|epoch1'), 1, 8))::BIGINT
+               % 1000000 AS hk
+      FROM documents)
+    SELECT doc_id,
+           CAST(hk % 8 AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY hk % 8
+                                   ORDER BY hk, doc_id) AS INT) AS pos
+    FROM h
+    """,
+)
+def qs158(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic epoch shuffle as a shard plan
+    (operators/sampling.epoch_shards): every document gets a
+    (shard, pos) address that is a pure md5 function of
+    (doc_id, epoch), so a training job streams shards in pos order and
+    reads an exactly reproducible per-epoch permutation — without a
+    global sort. The physical plan is ONE hash exchange on the shard
+    key plus a per-shard local sort (row_number window); a naive
+    ``ORDER BY md5(...)`` epoch shuffle would be a full-corpus range
+    sort. Re-salting with the epoch number makes epochs independent
+    permutations with zero carried state. The oracle recomputes the
+    identical addresses — the permutation itself is value-checked
+    cross-engine, not just row counts."""
+    from cds_etl_spark.operators.sampling import epoch_shards
+
+    d = load_table(spark, sf, "documents")
+    return epoch_shards(d, "doc_id", num_shards=8, epoch=1)
+
+
+@query(
+    "qs159_psi_drift",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CASE WHEN day(ts) <= 15 THEN 1 ELSE 2 END AS period,
+             least(greatest(CAST(FLOOR(value / 32.0) AS BIGINT), 0), 15)
+               AS bin
+      FROM events),
+    c AS (SELECT event_type, period, bin, COUNT(*) AS c
+          FROM b GROUP BY 1, 2, 3),
+    p AS (
+      SELECT COALESCE(a.event_type, d.event_type) AS event_type,
+             COALESCE(a.bin, d.bin) AS bin,
+             COALESCE(a.c, 0) AS c1, COALESCE(d.c, 0) AS c2
+      FROM (SELECT * FROM c WHERE period = 1) a
+      FULL JOIN (SELECT * FROM c WHERE period = 2) d
+        ON a.event_type = d.event_type AND a.bin = d.bin),
+    w AS (
+      SELECT event_type, bin, c1, c2,
+             SUM(c1) OVER (PARTITION BY event_type) AS t1,
+             SUM(c2) OVER (PARTITION BY event_type) AS t2
+      FROM p)
+    SELECT event_type,
+           CAST(MAX(t1) AS BIGINT) AS n_before,
+           CAST(MAX(t2) AS BIGINT) AS n_after,
+           ROUND(SUM(
+             ((c1 + 1.0) / (t1 + 16.0) - (c2 + 1.0) / (t2 + 16.0))
+             * ln(((c1 + 1.0) / (t1 + 16.0))
+                  / ((c2 + 1.0) / (t2 + 16.0)))), 4) AS psi
+    FROM w GROUP BY event_type
+    """,
+)
+def qs159(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index drift detection — the standard
+    production-ML monitor for "did this feature's distribution move
+    between two batches": per event type, bin `value` into 16
+    fixed-width buckets, compare first-half-of-month vs second-half
+    shares with PSI = Σ (p₁-p₂)·ln(p₁/p₂) under +1 Laplace smoothing
+    (smoothing makes empty bins finite AND both engines agree exactly
+    on the zero-count algebra). Rule of thumb: <0.1 stable, >0.25
+    drifted — the gate a 100 TB/day ingest would alarm on.
+
+    Determinism: bin edges are value/32 with a power-of-two divisor
+    (exact IEEE scaling, floor cannot straddle engines), counts are
+    exact integers, the per-type totals ride a window OVER THE BINNED
+    AGGREGATE (≤32 rows per type, not corpus rows), and the final
+    16-term float sum is ROUNDed at 4 dp. Plan shape: one narrow
+    groupBy(type, period, bin) count over the scan, a full-outer bin
+    alignment on the tiny aggregate, zero corpus self-joins."""
+    ev = load_table(spark, sf, "events")
+    b = ev.select(
+        "event_type",
+        F.when(F.dayofmonth("ts") <= 15, 1).otherwise(2).alias("period"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / 32.0).cast("bigint"), F.lit(0)),
+            F.lit(15),
+        ).alias("bin"),
+    )
+    c = b.groupBy("event_type", "period", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    c1 = c.filter(F.col("period") == 1).select(
+        "event_type", "bin", F.col("c").alias("c1")
+    )
+    c2 = c.filter(F.col("period") == 2).select(
+        "event_type", "bin", F.col("c").alias("c2")
+    )
+    p = (
+        c1.join(c2, ["event_type", "bin"], "full_outer")
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+            F.coalesce("c2", F.lit(0)).alias("c2"),
+        )
+    )
+    w = Window.partitionBy("event_type")
+    p1 = (F.col("c1") + 1.0) / (F.col("t1") + 16.0)
+    p2 = (F.col("c2") + 1.0) / (F.col("t2") + 16.0)
+    return (
+        p.withColumn("t1", F.sum("c1").over(w))
+        .withColumn("t2", F.sum("c2").over(w))
+        .groupBy("event_type")
+        .agg(
+            F.max("t1").cast("bigint").alias("n_before"),
+            F.max("t2").cast("bigint").alias("n_after"),
+            F.round(F.sum((p1 - p2) * F.log(p1 / p2)), 4).alias("psi"),
+        )
+    )

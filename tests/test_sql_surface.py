@@ -50,7 +50,9 @@ def test_grade_first_names_are_registered():
 
     unknown = [n for n in entry._GRADE_FIRST if n not in QUERIES]
     assert unknown == [], f"stale _GRADE_FIRST names: {unknown}"
-    assert len(entry._GRADE_FIRST) == len(set(entry._GRADE_FIRST)) == 50
+    # The driver grades the FIRST 50; anything after position 50 is
+    # the documented front-of-queue for the next round's rotation.
+    assert len(entry._GRADE_FIRST) == len(set(entry._GRADE_FIRST)) >= 50
 
 
 def test_readme_query_counts_match_registry():
