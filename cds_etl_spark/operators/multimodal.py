@@ -569,3 +569,214 @@ def sample_frames(df: DataFrame, every_k: int = 4) -> DataFrame:
             yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame"])
 
     return df.mapInPandas(_frames, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (pHash) and audio signal features.
+# ---------------------------------------------------------------------------
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (n×n), float64. Row 0 is the DC
+    basis scaled by sqrt(1/n), rows 1.. by sqrt(2/n) — the standard
+    type-II normalization, so ``D @ A @ D.T`` is the 2-D DCT of A."""
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    d = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    d[0] *= np.sqrt(0.5)
+    return d
+
+
+_DCT32 = _dct_matrix(32)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit perceptual hash of an image array (H×W or H×W×C uint8).
+
+    The classic pHash recipe: grayscale → 32×32 downsample
+    (nearest-neighbor index sampling, same kernel as resize_images) →
+    2-D DCT-II → keep the top-left 8×8 low-frequency block → each bit
+    is coeff > median of the 63 AC coefficients (DC excluded: it is
+    plain brightness, and including it would make the hash flip under
+    uniform exposure changes). Near-duplicate images — recompression,
+    mild noise, brightness shifts — land within a few bits' Hamming
+    distance; unrelated images differ in ~32.
+
+    Pure numpy and deterministic: the same pixels yield the same hash
+    on every executor, so the hash is a join key, not a heuristic.
+    Returned as a signed int64 (Spark BIGINT) with the bit pattern of
+    the uint64 hash."""
+    a = np.asarray(pixels, dtype=np.float64)
+    if a.ndim == 3:
+        a = a.mean(axis=2)
+    h, w = a.shape
+    ys = (np.arange(32) * h) // 32
+    xs = (np.arange(32) * w) // 32
+    small = a[np.ix_(ys, xs)]
+    coeffs = (_DCT32 @ small @ _DCT32.T)[:8, :8].ravel()
+    ac = coeffs[1:]
+    bits = coeffs > np.median(ac)
+    bits[0] = False  # DC slot always 0: brightness-invariant
+    packed = np.uint64(0)
+    for b in bits:
+        packed = np.uint64(packed << np.uint64(1)) | np.uint64(bool(b))
+    return int(packed.astype(np.int64))
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def phash_images(df: DataFrame) -> DataFrame:
+    """Perceptual hash per image row: decode → ``phash64``. Arrow-
+    batched ``mapInPandas`` over a (media_id, content, format)
+    projection — column-pruned at the scan, no shuffle; at 100 TB of
+    images the cost is the decode itself and the output is 16 bytes a
+    row. Non-image rows are filtered out plan-side (decode never sees
+    them)."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                arr = _decode_bytes(row["content"], row["fmt"])
+                out.append(
+                    {"media_id": row["media_id"], "phash": phash64(arr)}
+                )
+            yield pd.DataFrame(out, columns=["media_id", "phash"])
+
+    pruned = df.filter(F.col("kind") == "image").select(
+        "media_id", "content", F.col("meta.format").alias("fmt")
+    )
+    return pruned.mapInPandas(_hash, schema=PHASH_SCHEMA)
+
+
+def hamming_near_dup(
+    sigs: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs among 64-bit signatures by Hamming
+    distance — the image twin of MinHash-LSH banding. The 64-bit hash
+    splits into ``n_bands`` contiguous chunks; by pigeonhole, two
+    hashes within ``max_hamming`` bits (max_hamming < n_bands) agree
+    EXACTLY on at least one chunk, so the candidate set is a per-band
+    equi-join on (band, chunk value) — never an all-pairs comparison.
+    Candidates are then refined with an exact ``bit_count(a XOR b)``.
+
+    Recall is GUARANTEED (pigeonhole, not probabilistic) when
+    ``max_hamming < n_bands``; precision comes from the exact refine.
+    At corpus scale the shuffle carries (id, 16-byte hash) rows and
+    the join keys are 16-bit chunks — skew-bounded because a chunk
+    bucket holds only visually-similar low-frequency spectra.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b, one row per pair."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.expr(f"shiftright({hash_col}, {i * width}) & {mask}").alias(
+                    "chunk"
+                ),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("h"),
+        F.explode(chunks).alias("b"),
+    ).select("id", "h", F.col("b.band").alias("band"), F.col("b.chunk").alias("chunk"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.h").alias("ha"),
+            F.col("r.h").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(ha ^ hb)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_s", FloatType()),
+        StructField("rms", FloatType()),
+        StructField("zero_cross_rate", FloatType()),
+        StructField("silence_frac", FloatType()),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame, frame: int = 256, silence_threshold: float = 0.01
+) -> DataFrame:
+    """Per-clip audio quality signals — the filters an audio-corpus
+    pipeline gates on before transcription: RMS level (too quiet →
+    drop), zero-crossing rate (crude speech/noise discriminator), and
+    silence fraction (frames whose RMS is below ``silence_threshold``
+    of full scale — mostly-silent clips waste training tokens).
+
+    Decodes real PCM16 WAV bytes executor-side (``decode_wav``), all
+    numpy, Arrow-batched ``mapInPandas`` on a pruned projection; no
+    shuffle, output is one narrow row per clip."""
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                samples, rate = decode_wav(bytes(row["content"]))
+                x = samples.astype(np.float64) / 32768.0
+                n = x.size
+                rms = float(np.sqrt(np.mean(x**2))) if n else 0.0
+                zcr = (
+                    float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                    if n > 1
+                    else 0.0
+                )
+                nf = n // frame
+                if nf:
+                    frames = x[: nf * frame].reshape(nf, frame)
+                    frms = np.sqrt((frames**2).mean(axis=1))
+                    silence = float((frms < silence_threshold).mean())
+                else:
+                    silence = 1.0 if rms < silence_threshold else 0.0
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "n_samples": n,
+                        "sample_rate": rate,
+                        "duration_s": float(n / rate) if rate else 0.0,
+                        "rms": rms,
+                        "zero_cross_rate": zcr,
+                        "silence_frac": silence,
+                    }
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    pruned = df.filter(F.col("kind") == "audio").select("media_id", "content")
+    return pruned.mapInPandas(_feats, schema=AUDIO_FEATURES_SCHEMA)

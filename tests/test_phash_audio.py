@@ -1,0 +1,177 @@
+"""Perceptual-hash image dedup and audio signal features
+(operators/multimodal.py round-6 additions).
+
+pHash contract: identical pixels → identical hash regardless of the
+container format; perceptually-near images (noise, brightness) →
+small Hamming distance; unrelated images → large. The Hamming banding
+join has GUARANTEED recall for max_hamming < n_bands (pigeonhole) —
+property-tested against brute force.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cds_etl_spark.operators.multimodal import (
+    AUDIO_FEATURES_SCHEMA,
+    MEDIA_SCHEMA,
+    PHASH_SCHEMA,
+    encode_png,
+    encode_ppm,
+    encode_wav,
+    extract_audio_features,
+    hamming_near_dup,
+    phash64,
+    phash_images,
+    synthetic_media,
+)
+
+
+def _img(seed: int, h: int = 48, w: int = 64) -> np.ndarray:
+    # Low-frequency content (what pHash keys on): smooth gradient +
+    # seeded blobs, so distinct seeds give genuinely different spectra.
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (
+        96
+        + 64 * np.sin(2 * np.pi * xx / w * rng.integers(1, 4))
+        + 48 * np.cos(2 * np.pi * yy / h * rng.integers(1, 5))
+    )
+    return np.clip(base + rng.normal(0, 4, size=(h, w)), 0, 255).astype(
+        np.uint8
+    )
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def test_phash_deterministic_and_format_independent():
+    img = np.stack([_img(1)] * 3, axis=2)
+    h_ppm = phash64(img)
+    h_again = phash64(img)
+    assert h_ppm == h_again
+    # Same pixels through different lossless containers → same hash.
+    from cds_etl_spark.operators.multimodal import decode_png, decode_ppm
+
+    assert phash64(decode_ppm(encode_ppm(img))) == h_ppm
+    assert phash64(decode_png(encode_png(img))) == h_ppm
+
+
+def test_phash_brightness_invariance_and_noise_tolerance():
+    img = _img(7).astype(np.int32)
+    h0 = phash64(img.astype(np.uint8))
+    brighter = np.clip(img + 30, 0, 255).astype(np.uint8)
+    assert _hamming(h0, phash64(brighter)) <= 6
+    rng = np.random.default_rng(0)
+    noisy = np.clip(img + rng.integers(-3, 4, img.shape), 0, 255).astype(
+        np.uint8
+    )
+    assert _hamming(h0, phash64(noisy)) <= 6
+
+
+def test_phash_separates_unrelated_images():
+    hashes = [phash64(_img(s)) for s in range(2, 12)]
+    dists = [
+        _hamming(a, b)
+        for i, a in enumerate(hashes)
+        for b in hashes[i + 1 :]
+    ]
+    # Unrelated low-frequency spectra: comfortably past any dedup
+    # threshold (<=6 above); median should sit near 32.
+    assert min(dists) > 8
+
+
+def test_phash_images_dataframe(spark, tmp_path):
+    media = synthetic_media(spark, n=24, partitions=4)
+    sigs = phash_images(media)
+    assert sigs.schema == PHASH_SCHEMA
+    rows = {r["media_id"]: r["phash"] for r in sigs.collect()}
+    # Only image rows hashed; deterministic across re-runs.
+    kinds = {r["media_id"]: r["kind"] for r in media.collect()}
+    assert set(rows) == {m for m, k in kinds.items() if k == "image"}
+    again = {r["media_id"]: r["phash"] for r in phash_images(media).collect()}
+    assert rows == again
+
+
+def test_hamming_near_dup_pigeonhole_guarantee(spark):
+    # Brute-force vs banded join on a planted signature set: every
+    # pair within max_hamming MUST surface (pigeonhole recall), and
+    # nothing beyond the threshold may.
+    rng = np.random.default_rng(42)
+    base = [int(rng.integers(-(2**63), 2**63 - 1)) for _ in range(30)]
+    sigs = []
+    for i, h in enumerate(base):
+        sigs.append((i * 10, h))
+        # Planted near-dup: flip <=3 random bits.
+        flipped = h
+        for b in rng.choice(64, size=int(rng.integers(0, 4)), replace=False):
+            flipped ^= 1 << int(b)
+        flipped = int(np.int64(np.uint64(flipped & 0xFFFFFFFFFFFFFFFF)))
+        sigs.append((i * 10 + 1, flipped))
+    df = spark.createDataFrame(sigs, ["media_id", "phash"])
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_near_dup(df, max_hamming=3).collect()
+    }
+    expect = set()
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            d = _hamming(sigs[i][1], sigs[j][1])
+            if d <= 3:
+                a, b = sorted((sigs[i][0], sigs[j][0]))
+                expect.add((a, b, d))
+    assert got == expect
+    assert expect  # the plant produced at least some pairs
+
+
+def test_phash_end_to_end_near_dup(spark):
+    # Real codec path: original + noisy copy as PPM rows → the pair is
+    # found; unrelated images are not paired.
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(6):
+        img = np.stack([_img(i + 20)] * 3, axis=2)
+        rows.append((i, "image", bytearray(encode_ppm(img)),
+                     ("ppm", img.shape[1], img.shape[0], 0, 1)))
+        if i == 0:
+            noisy = np.clip(
+                img.astype(np.int32) + rng.integers(-2, 3, img.shape), 0, 255
+            ).astype(np.uint8)
+            rows.append((100, "image", bytearray(encode_ppm(noisy)),
+                         ("ppm", img.shape[1], img.shape[0], 0, 1)))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = hamming_near_dup(phash_images(media), max_hamming=6).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(0, 100)}
+
+
+def test_audio_features_sine_and_silence(spark):
+    rate = 8000
+    t = np.arange(rate)  # 1 s
+    sine = (0.5 * 32767 * np.sin(2 * np.pi * 440 * t / rate)).astype("<i2")
+    half_silent = np.concatenate([sine, np.zeros(rate, dtype="<i2")])
+    quiet = np.zeros(rate, dtype="<i2")
+    rows = [
+        (1, "audio", bytearray(encode_wav(sine, rate)),
+         ("wav", 0, 0, rate, 1)),
+        (2, "audio", bytearray(encode_wav(half_silent, rate)),
+         ("wav", 0, 0, rate, 1)),
+        (3, "audio", bytearray(encode_wav(quiet, rate)),
+         ("wav", 0, 0, rate, 1)),
+        (4, "image", bytearray(b"not audio"), ("ppm", 1, 1, 0, 1)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_audio_features(df)
+    assert feats.schema == AUDIO_FEATURES_SCHEMA
+    by_id = {r["media_id"]: r for r in feats.collect()}
+    assert set(by_id) == {1, 2, 3}  # image row never decoded
+    s = by_id[1]
+    assert s["sample_rate"] == rate and s["n_samples"] == rate
+    assert abs(s["duration_s"] - 1.0) < 1e-6
+    # Sine at amplitude 0.5: RMS = 0.5/sqrt(2) ~ 0.354.
+    assert abs(s["rms"] - 0.3536) < 0.01
+    # 440 Hz crosses zero 880 times/s → ZCR ~ 880/8000 = 0.11.
+    assert abs(s["zero_cross_rate"] - 0.11) < 0.01
+    assert s["silence_frac"] == 0.0
+    assert abs(by_id[2]["silence_frac"] - 0.5) < 0.02
+    assert by_id[3]["silence_frac"] == 1.0 and by_id[3]["rms"] == 0.0
