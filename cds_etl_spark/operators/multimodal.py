@@ -615,6 +615,13 @@ def phash64(pixels: np.ndarray) -> int:
     small = a[np.ix_(ys, xs)]
     coeffs = (_DCT32 @ small @ _DCT32.T)[:8, :8].ravel()
     ac = coeffs[1:]
+    # Degenerate (solid/blank) image: the AC spectrum is zero up to
+    # float noise (~1e-11 for a constant plane). Without this gate the
+    # noise-vs-noise median comparison sets an arbitrary half of the
+    # bits — two blank frames would hash far apart AND unpredictably.
+    # Force the canonical all-zero hash so blanks are detectable.
+    if np.max(np.abs(ac)) < 1e-6:
+        return 0
     bits = coeffs > np.median(ac)
     bits[0] = False  # DC slot always 0: brightness-invariant
     packed = np.uint64(0)
@@ -655,31 +662,27 @@ def phash_images(df: DataFrame) -> DataFrame:
     return pruned.mapInPandas(_hash, schema=PHASH_SCHEMA)
 
 
-def hamming_near_dup(
-    sigs: DataFrame,
-    id_col: str = "media_id",
-    hash_col: str = "phash",
-    max_hamming: int = 3,
-    n_bands: int = 4,
-) -> DataFrame:
-    """Near-duplicate pairs among 64-bit signatures by Hamming
-    distance — the image twin of MinHash-LSH banding. The 64-bit hash
-    splits into ``n_bands`` contiguous chunks; by pigeonhole, two
-    hashes within ``max_hamming`` bits (max_hamming < n_bands) agree
-    EXACTLY on at least one chunk, so the candidate set is a per-band
-    equi-join on (band, chunk value) — never an all-pairs comparison.
-    Candidates are then refined with an exact ``bit_count(a XOR b)``.
+def _bands_for(max_hamming: int) -> int:
+    """Smallest power-of-two divisor of 64 strictly greater than
+    ``max_hamming`` (capped at 16 bands of 4 bits — beyond distance
+    15, banding stops being selective and a coarser strategy is
+    needed anyway): the pigeonhole recall guarantee needs
+    max_hamming < n_bands."""
+    b = 1
+    while b <= max_hamming and b < 16:
+        b *= 2
+    return b
 
-    Recall is GUARANTEED (pigeonhole, not probabilistic) when
-    ``max_hamming < n_bands``; precision comes from the exact refine.
-    At corpus scale the shuffle carries (id, 16-byte hash) rows and
-    the join keys are 16-bit chunks — skew-bounded because a chunk
-    bucket holds only visually-similar low-frequency spectra.
 
-    Returns (id_a, id_b, hamming) with id_a < id_b, one row per pair."""
+def _hash_chunks(hash_col: str, n_bands: int):
+    """Array of (band, chunk) structs splitting a 64-bit hash column
+    into ``n_bands`` contiguous chunks — the banding key shared by the
+    in-memory near-dup join and the persisted-index probe (the chunks
+    are DERIVED from the stored hash, so an index never materializes
+    band rows)."""
     width = 64 // n_bands
     mask = (1 << width) - 1
-    chunks = F.array(
+    return F.array(
         *[
             F.struct(
                 F.lit(i).alias("band"),
@@ -690,6 +693,36 @@ def hamming_near_dup(
             for i in range(n_bands)
         ]
     )
+
+
+def hamming_near_dup(
+    sigs: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_hamming: int = 3,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs among 64-bit signatures by Hamming
+    distance — the image twin of MinHash-LSH banding. The 64-bit hash
+    splits into ``n_bands`` contiguous chunks; by pigeonhole, two
+    hashes within ``max_hamming`` bits (max_hamming < n_bands) agree
+    EXACTLY on at least one chunk, so the candidate set is a per-band
+    equi-join on (band, chunk value) — never an all-pairs comparison.
+    Candidates are then refined with an exact ``bit_count(a XOR b)``.
+
+    Recall is GUARANTEED (pigeonhole, not probabilistic) when
+    ``max_hamming < n_bands``; by default ``n_bands`` is chosen as the
+    smallest power-of-two divisor of 64 exceeding ``max_hamming``, so
+    the guarantee always holds (passing n_bands explicitly can trade
+    recall for fewer/longer chunks). Precision comes from the exact
+    refine.
+    At corpus scale the shuffle carries (id, 16-byte hash) rows and
+    the join keys are 16-bit chunks — skew-bounded because a chunk
+    bucket holds only visually-similar low-frequency spectra.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b, one row per pair."""
+    n_bands = n_bands or _bands_for(max_hamming)
+    chunks = _hash_chunks(hash_col, n_bands)
     banded = sigs.select(
         F.col(id_col).alias("id"), F.col(hash_col).alias("h"),
         F.explode(chunks).alias("b"),
@@ -780,3 +813,72 @@ def extract_audio_features(
 
     pruned = df.filter(F.col("kind") == "audio").select("media_id", "content")
     return pruned.mapInPandas(_feats, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def build_phash_index(
+    sigs: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """Persist a pHash dedup index: ONE parquet table of
+    (media_id, phash) — 16 bytes a row. Unlike the MinHash index
+    (which must store band rows because recomputing them needs the
+    original text), the Hamming banding keys are derived from the
+    stored hash itself at probe time with integer shifts, so the index
+    stores nothing but the signature: the decode — the only expensive
+    step — is paid once at ingest, and the standing index for a
+    billion images is ~16 GB of parquet. ``mode="append"`` is the
+    continuous-ingest path."""
+    sigs.select("media_id", "phash").write.mode(mode).parquet(path)
+
+
+def probe_phash_index(
+    spark,
+    new_sigs: DataFrame,
+    path: str,
+    max_hamming: int = 3,
+    n_bands: int | None = None,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Probe a batch of signatures against a persisted pHash index:
+    returns (new_id, index_id, hamming) pairs within ``max_hamming``
+    bits. Recall is pigeonhole-guaranteed for max_hamming < n_bands.
+
+    Scale shape: the index scan reads 16-byte rows and explodes each
+    into ``n_bands`` integer chunk keys in the scan stage; the (small)
+    arriving batch broadcasts, so the probe is a map-side join over
+    the index — no index shuffle, no state on any heap. The
+    dropDuplicates on the index side is the replay guard: a streaming
+    ingest that crash-replays an epoch appends identical rows, which
+    must not duplicate probe pairs."""
+    n_bands = n_bands or _bands_for(max_hamming)
+    idx = (
+        spark.read.parquet(path)
+        .dropDuplicates(["media_id"])
+        .select(
+            F.col("media_id").alias("_iid"), F.col("phash").alias("_ih")
+        )
+    )
+    banded_idx = idx.select(
+        "_iid", "_ih", F.explode(_hash_chunks("_ih", n_bands)).alias("b")
+    ).select("_iid", "_ih", "b.band", "b.chunk")
+    new = new_sigs.select(
+        F.col("media_id").alias("_nid"), F.col("phash").alias("_nh")
+    )
+    banded_new = new.select(
+        "_nid", "_nh", F.explode(_hash_chunks("_nh", n_bands)).alias("b")
+    ).select("_nid", "_nh", "b.band", "b.chunk")
+    if broadcast_batch:
+        banded_new = F.broadcast(banded_new)
+    cand = (
+        banded_idx.join(banded_new, ["band", "chunk"])
+        .select("_nid", "_iid", "_nh", "_ih")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(_nh ^ _ih)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("_nid").alias("new_id"),
+            F.col("_iid").alias("index_id"),
+            "hamming",
+        )
+    )

@@ -496,3 +496,72 @@ def stream_corpus_ingest_with_index(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_media_ingest_with_index(
+    media_stream: DataFrame,
+    index_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_hamming: int = 3,
+) -> None:
+    """Continuous IMAGE ingest with perceptual near-dup dedup against a
+    standing pHash index — the multimodal twin of
+    ``stream_corpus_ingest_with_index``: per micro-batch, (1) decode
+    and hash every arriving image ONCE (``phash_images`` — the only
+    expensive step, paid at ingest), (2) gate degenerate images —
+    a solid/blank frame hashes to the all-zero signature, carries no
+    training signal, and would bucket-collide every future blank
+    frame, (3) collapse within-batch perceptual dups to the
+    lowest media_id (``hamming_near_dup`` — batch-sized), (4) probe
+    survivors against the PERSISTED index (``probe_phash_index`` — a
+    map-side broadcast join over 16-byte index rows, the corpus is
+    never re-decoded), (5) sink kept rows to an epoch-partitioned
+    parquet dir, and (6) append their signatures so the NEXT batch
+    sees them.
+
+    Exactly-once story matches the text loop: the sink overwrites its
+    own ``batch_id=<epoch>`` partition, and the index append is
+    replay-safe via probe's dropDuplicates guard. All state lives in
+    the index parquet — restart-proof, ~16 bytes per corpus image,
+    nothing on any executor heap."""
+    from cds_etl_spark.operators.multimodal import (
+        build_phash_index,
+        hamming_near_dup,
+        phash_images,
+        probe_phash_index,
+    )
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        images = batch_df.filter(F.col("kind") == "image")
+        feats = phash_images(images)
+        # Degenerate gate on the signature itself (a solid image has
+        # all-zero AC bits) — avoids a second decode pass for stats.
+        sigs = feats.filter(F.col("phash") != 0)
+        intra = hamming_near_dup(
+            sigs, max_hamming=max_hamming
+        ).select(F.col("id_b").alias("media_id")).distinct()
+        batch_kept = sigs.join(intra, "media_id", "left_anti")
+        try:
+            pairs = probe_phash_index(
+                spark, batch_kept, index_path, max_hamming=max_hamming
+            )
+            dup = pairs.select(F.col("new_id").alias("media_id")).distinct()
+            kept_sigs = batch_kept.join(dup, "media_id", "left_anti")
+        except Exception:
+            kept_sigs = batch_kept
+        kept_sigs = kept_sigs.localCheckpoint(eager=True)
+        kept = images.join(kept_sigs.select("media_id"), "media_id")
+        kept.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={epoch_id}")
+        )
+        build_phash_index(kept_sigs, index_path, mode="append")
+
+    q = (
+        media_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

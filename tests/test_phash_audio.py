@@ -175,3 +175,87 @@ def test_audio_features_sine_and_silence(spark):
     assert s["silence_frac"] == 0.0
     assert abs(by_id[2]["silence_frac"] - 0.5) < 0.02
     assert by_id[3]["silence_frac"] == 1.0 and by_id[3]["rms"] == 0.0
+
+
+def test_phash_index_build_append_probe(spark, tmp_path):
+    # In-memory banded join and persisted-index probe must agree, and
+    # append must extend the standing index.
+    rng = np.random.default_rng(9)
+    sigs1 = [(i, int(rng.integers(-(2**63), 2**63 - 1))) for i in range(20)]
+    df1 = spark.createDataFrame(sigs1, ["media_id", "phash"])
+    from cds_etl_spark.operators.multimodal import (
+        build_phash_index,
+        probe_phash_index,
+    )
+
+    idx = str(tmp_path / "phidx")
+    build_phash_index(df1, idx)
+    # A probe batch: one planted near-dup of id 0, one exact dup of id
+    # 3, one unrelated.
+    near = sigs1[0][1] ^ (1 << 17) ^ (1 << 42)
+    batch = spark.createDataFrame(
+        [(100, int(np.int64(np.uint64(near & 0xFFFFFFFFFFFFFFFF)))),
+         (101, sigs1[3][1]),
+         (102, int(rng.integers(-(2**63), 2**63 - 1)))],
+        ["media_id", "phash"],
+    )
+    pairs = {
+        (r["new_id"], r["index_id"], r["hamming"])
+        for r in probe_phash_index(spark, batch, idx, max_hamming=3).collect()
+    }
+    assert (100, 0, 2) in pairs and (101, 3, 0) in pairs
+    assert all(p[0] != 102 for p in pairs)
+    # Append the batch; a re-probe of the near-dup now also matches the
+    # appended row itself (hamming 0).
+    build_phash_index(batch, idx, mode="append")
+    re = probe_phash_index(spark, batch.limit(1), idx, max_hamming=3)
+    got = {(r["new_id"], r["index_id"]) for r in re.collect()}
+    assert (100, 100) in got and (100, 0) in got
+
+
+def test_stream_media_ingest_with_index(spark, tmp_path):
+    """Continuous image ingest: within-batch perceptual dup collapses,
+    cross-batch dup is dropped by the INDEX probe (no in-memory
+    state), blanks are gated, and the index accumulates signatures."""
+    from cds_etl_spark.streaming.ops import stream_media_ingest_with_index
+
+    rng = np.random.default_rng(3)
+
+    def row(mid, img):
+        return (mid, "image", bytearray(encode_ppm(img)),
+                ("ppm", img.shape[1], img.shape[0], 0, 1))
+
+    base = {s: np.stack([_img(s + 50)] * 3, axis=2) for s in range(3)}
+
+    def noisy(img):
+        return np.clip(
+            img.astype(np.int32) + rng.integers(-2, 3, img.shape), 0, 255
+        ).astype(np.uint8)
+
+    blank = np.full((32, 32, 3), 128, dtype=np.uint8)
+    b1 = spark.createDataFrame(
+        [row(1, base[0]), row(2, noisy(base[0])),  # within-batch dup pair
+         row(3, base[1]), row(4, blank)],
+        MEDIA_SCHEMA,
+    )
+    b2 = spark.createDataFrame(
+        [row(11, noisy(base[0])),  # cross-batch dup of 1 (via index)
+         row(12, base[2])],        # genuinely new
+        MEDIA_SCHEMA,
+    )
+    src = str(tmp_path / "media_inbox")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(MEDIA_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = str(tmp_path / "media_out")
+    idx = str(tmp_path / "media_idx")
+    stream_media_ingest_with_index(
+        stream, idx, out, str(tmp_path / "media_ckpt"), max_hamming=6
+    )
+    kept = {r["media_id"] for r in spark.read.parquet(out).collect()}
+    # 2 lost within-batch, 4 gated as blank, 11 lost to the index.
+    assert kept == {1, 3, 12}, kept
+    indexed = {r["media_id"] for r in spark.read.parquet(idx).collect()}
+    assert indexed == {1, 3, 12}, indexed
