@@ -114,6 +114,8 @@ _GRADE_FIRST = [
     "qs157_perplexity_buckets",
     "qs158_epoch_shard_plan",
     "qs159_psi_drift",
+    "qs160_token_entropy",
+    "qs161_winsorized_mean",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

@@ -6044,3 +6044,177 @@ def qs159(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.sum((p1 - p2) * F.log(p1 / p2)), 4).alias("psi"),
         )
     )
+
+
+@query(
+    "qs160_token_entropy",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+        list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+      FROM documents),
+    tok AS (SELECT doc_id, unnest(ts) AS term FROM t),
+    c AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY doc_id, term),
+    n AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS n_distinct
+          FROM c GROUP BY doc_id)
+    SELECT c.doc_id,
+           CAST(MAX(n.n) AS BIGINT) AS n_tokens,
+           CAST(MAX(n.n_distinct) AS BIGINT) AS n_distinct,
+           ROUND(-SUM((c.c * 1.0 / n.n) * log2(c.c * 1.0 / n.n)), 4)
+             AS entropy_bits
+    FROM c JOIN n ON c.doc_id = n.doc_id
+    GROUP BY c.doc_id
+    """,
+)
+def qs160(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-entropy quality signal: Shannon entropy of each document's
+    unigram distribution in bits — the information-density gate corpus
+    filters pair with the repetition signal (qs89/qs138): spam,
+    keyword-stuffed, and template pages score LOW entropy for their
+    length, natural prose scores high. Complements Gopher rules
+    (qs147) with a distribution-shape statistic no single rule
+    captures.
+
+    Plan shape: tokenize row-local, ONE groupBy(doc, term) count, then
+    the per-doc total+distinct ride a second narrow aggregate joined
+    back on doc_id — the text column never shuffles, only (doc, term,
+    count) rows do. Determinism: counts are exact integers, each
+    c/n division and log2 is a correctly-rounded unary op on identical
+    operands, and the per-doc float SUM is ROUNDed at 4 dp (the qs119
+    accumulation-order contract)."""
+    d = load_table(spark, sf, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("term"),
+    )
+    c = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    n = c.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    p = F.col("c") / F.col("n")
+    return (
+        c.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_tokens"),
+            F.max("n_distinct").cast("bigint").alias("n_distinct"),
+            F.round(-F.sum(p * F.log2(p)), 4).alias("entropy_bits"),
+        )
+    )
+
+
+@query(
+    "qs161_winsorized_mean",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus AS st,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             least(greatest(CAST(FLOOR(o_totalprice / 4096.0) AS BIGINT),
+                            0), 127) AS bucket
+      FROM orders),
+    hist AS (SELECT st, bucket, COUNT(*) AS cnt FROM c GROUP BY st, bucket),
+    cum AS (
+      SELECT st, bucket,
+             SUM(cnt) OVER (PARTITION BY st ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY st) AS total
+      FROM hist),
+    qb AS (
+      SELECT st,
+             MIN(CASE WHEN cum >= (total * 5 + 99) // 100 THEN bucket END)
+               * 409600 AS lo_cents,
+             (MIN(CASE WHEN cum >= (total * 95 + 99) // 100 THEN bucket END)
+               + 1) * 409600 - 1 AS hi_cents
+      FROM cum GROUP BY st)
+    SELECT c.st AS o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(qb.lo_cents) AS BIGINT) AS lo_cents,
+           CAST(MAX(qb.hi_cents) AS BIGINT) AS hi_cents,
+           ROUND(SUM(least(greatest(c.cents, qb.lo_cents), qb.hi_cents))
+                 * 1.0 / COUNT(*), 4) AS winsorized_mean_cents
+    FROM c JOIN qb ON c.st = qb.st
+    GROUP BY c.st
+    """,
+)
+def qs161(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorized robust mean per order status: clamp each value into
+    the [p05, p95] band read off the qs154 fixed-boundary histogram
+    sketch, then average — the outlier-proof center a data-quality
+    profile reports next to qs156's median/MAD. Composing the SKETCH
+    quantile (bucket lower/upper bounds, exact integers by
+    construction) instead of an exact fractional percentile is the
+    determinism move: interpolated p05 positions are not binary-exact
+    and engines may disagree by 1 ULP, while bucket bounds and clamped
+    integer cents sum EXACTLY — the single final division is the only
+    float op, identical on identical operands.
+
+    Plan shape: one narrow histogram aggregate (≤128 rows per group),
+    window cumulation OVER THE AGGREGATE, then the clamp bounds
+    broadcast back onto the corpus scan for one exact integer sum —
+    two scans of orders, zero corpus-sized shuffles beyond the
+    groupBy."""
+    o = load_table(spark, sf, "orders")
+    c = o.select(
+        F.col("o_orderstatus").alias("st"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        F.least(
+            F.greatest(
+                F.floor(F.col("o_totalprice") / 4096.0).cast("bigint"),
+                F.lit(0),
+            ),
+            F.lit(127),
+        ).alias("bucket"),
+    )
+    hist = c.groupBy("st", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = Window.partitionBy("st").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("st")
+    cum = hist.withColumn("cum", F.sum("cnt").over(wc)).withColumn(
+        "total", F.sum("cnt").over(wt)
+    )
+    qb = cum.groupBy("st").agg(
+        (
+            F.min(
+                F.when(
+                    F.col("cum") >= F.floor((F.col("total") * 5 + 99) / 100),
+                    F.col("bucket"),
+                )
+            )
+            * 409600
+        ).alias("lo_cents"),
+        (
+            (
+                F.min(
+                    F.when(
+                        F.col("cum")
+                        >= F.floor((F.col("total") * 95 + 99) / 100),
+                        F.col("bucket"),
+                    )
+                )
+                + 1
+            )
+            * 409600
+            - 1
+        ).alias("hi_cents"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("cents"), F.col("lo_cents")), F.col("hi_cents")
+    )
+    return (
+        c.join(F.broadcast(qb), "st")
+        .groupBy("st")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.max("lo_cents").cast("bigint").alias("lo_cents"),
+            F.max("hi_cents").cast("bigint").alias("hi_cents"),
+            F.round(
+                F.sum(clamped) * F.lit(1.0) / F.count(F.lit(1)), 4
+            ).alias("winsorized_mean_cents"),
+        )
+        .withColumnRenamed("st", "o_orderstatus")
+    )
