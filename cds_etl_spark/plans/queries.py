@@ -5893,7 +5893,11 @@ def qs157(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "lang", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
     )
     cbg = bge.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-    cctx = bge.groupBy("w1").agg(F.count(F.lit(1)).alias("cc"))
+    # Context counts AGGREGATE THE MODEL TABLE (sum of bigram counts
+    # per w1 == count of bigrams with that context) instead of
+    # re-shuffling the corpus-sized bigram stream a second time — at
+    # 100 TB this turns a full bigram exchange into a vocab-sized one.
+    cctx = cbg.groupBy("w1").agg(F.sum("cb").alias("cc"))
     v = toks.select(F.explode("ts").alias("term")).agg(
         F.countDistinct("term").alias("v")
     )
@@ -6013,23 +6017,14 @@ def qs159(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(15),
         ).alias("bin"),
     )
-    c = b.groupBy("event_type", "period", "bin").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    c1 = c.filter(F.col("period") == 1).select(
-        "event_type", "bin", F.col("c").alias("c1")
-    )
-    c2 = c.filter(F.col("period") == 2).select(
-        "event_type", "bin", F.col("c").alias("c2")
-    )
-    p = (
-        c1.join(c2, ["event_type", "bin"], "full_outer")
-        .select(
-            "event_type",
-            "bin",
-            F.coalesce("c1", F.lit(0)).alias("c1"),
-            F.coalesce("c2", F.lit(0)).alias("c2"),
-        )
+    # Conditional aggregation IS the bin alignment: one groupBy emits
+    # (c1, c2) per occupied (type, bin) — the full-outer join the SQL
+    # oracle states would cost a second aggregate plus a join for the
+    # identical result (a bin empty in one period shows a 0; a bin
+    # empty in both is absent on both formulations and both engines).
+    p = b.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("period") == 2, 1).otherwise(0)).alias("c2"),
     )
     w = Window.partitionBy("event_type")
     p1 = (F.col("c1") + 1.0) / (F.col("t1") + 16.0)
@@ -6092,18 +6087,19 @@ def qs160(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("term"),
     )
     c = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
-    n = c.groupBy("doc_id").agg(
-        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_distinct")
+    # Per-doc totals ride a WINDOW over the count table (keyed by the
+    # final grouping key, so the window exchange is the only one and
+    # the closing groupBy reuses its partitioning) — an agg+rejoin
+    # formulation would recompute the (doc, term) aggregate twice.
+    wd = Window.partitionBy("doc_id")
+    c = c.withColumn("n", F.sum("c").over(wd)).withColumn(
+        "nd", F.count(F.lit(1)).over(wd)
     )
     p = F.col("c") / F.col("n")
-    return (
-        c.join(n, "doc_id")
-        .groupBy("doc_id")
-        .agg(
-            F.max("n").cast("bigint").alias("n_tokens"),
-            F.max("n_distinct").cast("bigint").alias("n_distinct"),
-            F.round(-F.sum(p * F.log2(p)), 4).alias("entropy_bits"),
-        )
+    return c.groupBy("doc_id").agg(
+        F.max("n").cast("bigint").alias("n_tokens"),
+        F.max("nd").cast("bigint").alias("n_distinct"),
+        F.round(-F.sum(p * F.log2(p)), 4).alias("entropy_bits"),
     )
 
 
