@@ -565,3 +565,54 @@ def stream_media_ingest_with_index(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_drift_monitor(
+    events_stream: DataFrame,
+    baseline_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    width: float = 32.0,
+    n_bins: int = 16,
+    psi_alert: float = 0.25,
+) -> None:
+    """Continuous PSI drift monitoring: every micro-batch's value
+    distribution is compared per group against a PERSISTED reference
+    histogram (``operators/drift.build_drift_baseline``), emitting one
+    (group, n, psi, alert) row per group per epoch — the alarm wire a
+    training-data ingest hangs its circuit breaker on (rule of thumb:
+    psi > 0.25 = the feature moved, stop and look).
+
+    Shape: the per-batch histogram is one narrow groupBy of the batch;
+    the baseline is (groups × bins) parquet rows re-read per epoch (a
+    metadata-sized scan, deliberately NOT cached so a rebuilt baseline
+    takes effect on the next batch); the epoch's result partition is
+    overwritten idempotently on replay, and the baseline is never
+    updated implicitly — a reference-window change is an operator
+    decision, not a side effect of data arriving."""
+    from cds_etl_spark.operators.drift import bin_histogram, psi
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cur = bin_histogram(batch_df, value_col, group_col, width, n_bins)
+        base = spark.read.parquet(baseline_path)
+        out = psi(cur, base, n_bins).select(
+            F.col("grp").alias(group_col),
+            "n_current",
+            "n_baseline",
+            "psi",
+            (F.col("psi") > psi_alert).alias("alert"),
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={epoch_id}")
+        )
+
+    q = (
+        events_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

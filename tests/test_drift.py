@@ -1,0 +1,84 @@
+"""Drift monitoring (operators/drift.py + stream_drift_monitor).
+
+Contracts: the operator-level PSI agrees with qs159's query on the
+same split; a same-distribution batch scores near zero against the
+baseline; a shifted batch trips the alert; replayed epochs overwrite
+idempotently (partition-named sink).
+"""
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from cds_etl_spark.operators.drift import (
+    bin_histogram,
+    build_drift_baseline,
+    psi,
+)
+
+
+def _events(spark, n, shift=0.0, seed=0, etype="click"):
+    rng = np.random.default_rng(seed)
+    vals = np.clip(rng.uniform(0, 480, n) + shift, 0.0, 511.0)
+    return spark.createDataFrame(
+        [(i, etype, float(v)) for i, v in enumerate(vals)],
+        "event_id long, event_type string, value double",
+    )
+
+
+def test_psi_matches_query_formulation(spark, sf_dir, duck):
+    """operators/drift.psi over the qs159 split == qs159's output."""
+    from cds_etl_spark.catalog import load_table
+    from cds_etl_spark.plans import QUERIES
+
+    ev = load_table(spark, sf_dir, "events")
+    h1 = bin_histogram(ev.filter(F.dayofmonth("ts") <= 15))
+    h2 = bin_histogram(ev.filter(F.dayofmonth("ts") > 15))
+    got = {
+        r["grp"]: (r["n_current"], r["n_baseline"], r["psi"])
+        for r in psi(h1, h2).collect()
+    }
+    want = {
+        r["event_type"]: (r["n_before"], r["n_after"], r["psi"])
+        for r in QUERIES["qs159_psi_drift"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_psi_zero_for_identical_and_large_for_shift(spark):
+    base = bin_histogram(_events(spark, 4000, seed=1))
+    same = bin_histogram(_events(spark, 4000, seed=2))
+    moved = bin_histogram(_events(spark, 4000, shift=200.0, seed=3))
+    low = psi(same, base).first()["psi"]
+    high = psi(moved, base).first()["psi"]
+    assert low < 0.05, low
+    assert high > 0.25, high
+
+
+def test_stream_drift_monitor(spark, tmp_path):
+    from cds_etl_spark.streaming.ops import stream_drift_monitor
+
+    baseline = _events(spark, 4000, seed=10)
+    bpath = str(tmp_path / "baseline")
+    build_drift_baseline(baseline, bpath)
+
+    b1 = _events(spark, 2000, seed=11)               # stable batch
+    b2 = _events(spark, 2000, shift=220.0, seed=12)  # drifted batch
+    src = str(tmp_path / "drift_inbox")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(b1.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = str(tmp_path / "drift_out")
+    stream_drift_monitor(
+        stream, bpath, out, str(tmp_path / "drift_ckpt")
+    )
+    rows = spark.read.parquet(out).collect()
+    by_batch = {r["batch_id"]: r for r in rows}
+    assert len(by_batch) == 2
+    assert not by_batch[0]["alert"] and by_batch[0]["psi"] < 0.05
+    assert by_batch[1]["alert"] and by_batch[1]["psi"] > 0.25
+    assert by_batch[0]["n_baseline"] == 4000
+    assert by_batch[0]["n_current"] == 2000
