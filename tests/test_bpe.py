@@ -139,3 +139,37 @@ def test_word_freq_table_shape(spark):
     by_word = {"".join(r["syms"][:-1]): r["freq"] for r in wf}
     assert by_word["low"] == 5 and by_word["the"] == 5
     assert all(r["syms"][-1] == END for r in wf)
+
+
+def test_merge_adjacent_random_property(spark):
+    """Batch property check: for 200 random symbol arrays × 4 merge
+    pairs, the JVM HOF merge equals the Python twin (one Spark job,
+    not one per example)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    alphabet = ["a", "b", "c", "ab", "bc"]
+    arrays = [
+        [alphabet[i] for i in rng.integers(0, len(alphabet), rng.integers(0, 9))]
+        for _ in range(200)
+    ]
+    pairs = [("a", "b"), ("b", "b"), ("ab", "c"), ("c", "a")]
+    df = spark.createDataFrame([(i, a) for i, a in enumerate(arrays)],
+                               ["i", "syms"])
+    sel = [F.col("i")]
+    for k, (a, b) in enumerate(pairs):
+        sel.append(merge_adjacent(F.col("syms"), a, b).alias(f"m{k}"))
+    got = {r["i"]: r for r in df.select(*sel).collect()}
+
+    def py_merge(syms, a, b):
+        out = []
+        for x in syms:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        return out
+
+    for i, arr in enumerate(arrays):
+        for k, (a, b) in enumerate(pairs):
+            assert list(got[i][f"m{k}"]) == py_merge(arr, a, b), (i, k, arr)
