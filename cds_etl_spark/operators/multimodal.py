@@ -882,3 +882,131 @@ def probe_phash_index(
             "hamming",
         )
     )
+
+
+IMAGE_QUALITY_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("brightness", FloatType()),
+        StructField("contrast", FloatType()),
+        StructField("sharpness", FloatType()),
+        StructField("gray_entropy", FloatType()),
+    ]
+)
+
+
+def image_quality_features(df: DataFrame) -> DataFrame:
+    """Per-image quality gates — the filters an image-corpus pipeline
+    drops on before captioning/training (the LAION-style pass):
+
+    * ``brightness`` — mean gray level (reject near-black/blown-out);
+    * ``contrast`` — gray std (reject flat images);
+    * ``sharpness`` — variance of the 4-neighbour Laplacian, THE
+      standard blur detector (a gaussian-blurred copy of an image
+      scores an order of magnitude lower);
+    * ``gray_entropy`` — Shannon entropy of the 256-bin gray histogram
+      in bits (synthetic/flat graphics score low, photos high).
+
+    Pure-numpy decode + vectorized filters, Arrow-batched
+    ``mapInPandas`` on a pruned (media_id, content, format)
+    projection — no shuffle; at corpus scale the cost is the decode."""
+
+    def _q(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in IMAGE_QUALITY_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                arr = _decode_bytes(row["content"], row["fmt"])
+                g = arr.astype(np.float64)
+                if g.ndim == 3:
+                    g = g.mean(axis=2)
+                h, w = g.shape
+                lap = (
+                    4 * g[1:-1, 1:-1]
+                    - g[:-2, 1:-1]
+                    - g[2:, 1:-1]
+                    - g[1:-1, :-2]
+                    - g[1:-1, 2:]
+                ) if min(h, w) >= 3 else np.zeros((1, 1))
+                hist, _ = np.histogram(g, bins=256, range=(0, 256))
+                p = hist[hist > 0] / g.size
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "width": w,
+                        "height": h,
+                        "brightness": float(g.mean()),
+                        "contrast": float(g.std()),
+                        "sharpness": float(lap.var()),
+                        "gray_entropy": float(-(p * np.log2(p)).sum()),
+                    }
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    pruned = df.filter(F.col("kind") == "image").select(
+        "media_id", "content", F.col("meta.format").alias("fmt")
+    )
+    return pruned.mapInPandas(_q, schema=IMAGE_QUALITY_SCHEMA)
+
+
+SPECTRAL_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("spectral_centroid_hz", FloatType()),
+        StructField("dominant_freq_hz", FloatType()),
+        StructField("high_freq_ratio", FloatType()),
+    ]
+)
+
+
+def extract_spectral_features(
+    df: DataFrame, high_cut_hz: float = 4000.0
+) -> DataFrame:
+    """Spectral audio signals via numpy rFFT — the frequency-domain
+    complements to ``extract_audio_features``' time-domain gates:
+    spectral centroid (speech sits ~300–3000 Hz; hiss and tones
+    elsewhere), dominant frequency (single-tone detector — test
+    signals, dial tones, alarm loops), and the energy fraction above
+    ``high_cut_hz`` (codec artifacts/noise). Mono-mixed before the
+    FFT; Arrow-batched, no shuffle."""
+
+    def _s(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in SPECTRAL_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                samples, rate = decode_wav(bytes(row["content"]))
+                x = samples.astype(np.float64).mean(axis=1)
+                n = x.size
+                if n < 2 or rate <= 0:
+                    out.append(
+                        {
+                            "media_id": row["media_id"],
+                            "spectral_centroid_hz": 0.0,
+                            "dominant_freq_hz": 0.0,
+                            "high_freq_ratio": 0.0,
+                        }
+                    )
+                    continue
+                mag = np.abs(np.fft.rfft(x))
+                freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+                power = mag**2
+                tot = power.sum() or 1.0
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "spectral_centroid_hz": float(
+                            (freqs * power).sum() / tot
+                        ),
+                        "dominant_freq_hz": float(freqs[int(power.argmax())]),
+                        "high_freq_ratio": float(
+                            power[freqs > high_cut_hz].sum() / tot
+                        ),
+                    }
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    pruned = df.filter(F.col("kind") == "audio").select("media_id", "content")
+    return pruned.mapInPandas(_s, schema=SPECTRAL_SCHEMA)

@@ -259,3 +259,68 @@ def test_stream_media_ingest_with_index(spark, tmp_path):
     assert kept == {1, 3, 12}, kept
     indexed = {r["media_id"] for r in spark.read.parquet(idx).collect()}
     assert indexed == {1, 3, 12}, indexed
+
+
+def test_image_quality_features(spark):
+    """Sharp random-texture image scores high sharpness; its box-
+    blurred copy scores much lower; a flat image has ~zero contrast,
+    sharpness and entropy."""
+    from cds_etl_spark.operators.multimodal import (
+        IMAGE_QUALITY_SCHEMA,
+        image_quality_features,
+    )
+
+    rng = np.random.default_rng(21)
+    sharp = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+    # Blur via repeated 4-neighbor averaging (4 passes ~ gaussian;
+    # pure numpy, no scipy).
+    b = sharp.astype(np.float64)
+    for _ in range(4):
+        b = (
+            b
+            + np.roll(b, 1, 0) + np.roll(b, -1, 0)
+            + np.roll(b, 1, 1) + np.roll(b, -1, 1)
+        ) / 5.0
+    blurred = np.clip(b, 0, 255).astype(np.uint8)
+    flat = np.full((64, 64, 3), 200, dtype=np.uint8)
+    rows = [
+        (1, "image", bytearray(encode_ppm(sharp)), ("ppm", 64, 64, 0, 1)),
+        (2, "image", bytearray(encode_ppm(blurred)), ("ppm", 64, 64, 0, 1)),
+        (3, "image", bytearray(encode_ppm(flat)), ("ppm", 64, 64, 0, 1)),
+        (4, "audio", bytearray(b"x"), ("wav", 0, 0, 8000, 1)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = image_quality_features(df)
+    assert feats.schema == IMAGE_QUALITY_SCHEMA
+    by_id = {r["media_id"]: r for r in feats.collect()}
+    assert set(by_id) == {1, 2, 3}
+    assert by_id[1]["sharpness"] > 10 * by_id[2]["sharpness"]
+    assert by_id[3]["contrast"] == 0.0 and by_id[3]["sharpness"] == 0.0
+    assert by_id[3]["gray_entropy"] == 0.0
+    assert by_id[1]["gray_entropy"] > 6.0  # near-uniform histogram
+    assert abs(by_id[3]["brightness"] - 200.0) < 1e-6
+
+
+def test_spectral_features_sine_ground_truth(spark):
+    from cds_etl_spark.operators.multimodal import extract_spectral_features
+
+    rate = 8000
+    t = np.arange(2 * rate)
+    tone = (0.6 * 32767 * np.sin(2 * np.pi * 440 * t / rate)).astype("<i2")
+    hiss_rng = np.random.default_rng(4)
+    hiss = (hiss_rng.uniform(-0.3, 0.3, 2 * rate) * 32767).astype("<i2")
+    rows = [
+        (1, "audio", bytearray(encode_wav(tone, rate)), ("wav", 0, 0, rate, 1)),
+        (2, "audio", bytearray(encode_wav(hiss, rate)), ("wav", 0, 0, rate, 1)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    by_id = {r["media_id"]: r for r in extract_spectral_features(df).collect()}
+    # Pure 440 Hz tone: dominant bin lands on 440, centroid ~440,
+    # nothing above 4 kHz.
+    assert abs(by_id[1]["dominant_freq_hz"] - 440.0) < 1.0
+    assert abs(by_id[1]["spectral_centroid_hz"] - 440.0) < 5.0
+    assert by_id[1]["high_freq_ratio"] < 0.01
+    # White-ish noise: centroid near band middle (~2 kHz for 4 kHz
+    # Nyquist), energy above 4 kHz substantial... (Nyquist here is
+    # 4 kHz, so high_freq_ratio ~ 0 by construction — use centroid.)
+    assert 1500 < by_id[2]["spectral_centroid_hz"] < 2500
