@@ -791,3 +791,30 @@ def semantic_dedup_arrow(
         )
 
     return assigned.groupBy("cid").applyInPandas(_cluster_dedup, schema=out_schema)
+
+
+def compact_minhash_index(spark, path: str, out_path: str) -> None:
+    """Maintenance pass for an append-only MinHash index
+    (``build_minhash_index(..., mode="append")`` grows it every
+    ingest batch; crash-replays append identical rows): rewrite both
+    tables deduplicated and bin-packed to ``out_path``. Probe results
+    are unchanged by construction — ``probe_minhash_index`` already
+    reads through a dropDuplicates guard; compaction makes the
+    guard's work (and the small-file listing tax) disappear from
+    every future probe instead of being re-paid per batch.
+
+    Writes to a NEW directory (the sources/compact.py contract): the
+    caller owns the atomic swap; an in-place overwrite that failed
+    midway would destroy the standing index — the dedup loop's only
+    state."""
+    bands = spark.read.parquet(f"{path}/bands").dropDuplicates()
+    sh = spark.read.parquet(f"{path}/shingles")
+    id_col = [c for c in sh.columns if c != "shingles"][0]
+    (
+        bands.write.mode("overwrite")
+        .partitionBy("band_idx")
+        .parquet(f"{out_path}/bands")
+    )
+    sh.dropDuplicates([id_col]).write.mode("overwrite").parquet(
+        f"{out_path}/shingles"
+    )

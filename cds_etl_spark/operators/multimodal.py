@@ -1010,3 +1010,85 @@ def extract_spectral_features(
 
     pruned = df.filter(F.col("kind") == "audio").select("media_id", "content")
     return pruned.mapInPandas(_s, schema=SPECTRAL_SCHEMA)
+
+
+def compact_phash_index(spark, path: str, out_path: str) -> None:
+    """Maintenance pass for an append-only pHash index: rewrite
+    deduplicated (one row per media_id) to ``out_path`` — probe
+    results unchanged (probe already dedups through its replay
+    guard), future probes stop re-paying the guard and the
+    small-file listing tax. New-directory write; the caller owns the
+    atomic swap (the sources/compact.py contract)."""
+    (
+        spark.read.parquet(path)
+        .dropDuplicates(["media_id"])
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+
+
+SCENE_CUT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_diff", FloatType()),
+        StructField("is_cut", StringType()),
+    ]
+)
+
+
+def detect_scene_cuts(df: DataFrame, threshold: float = 30.0) -> DataFrame:
+    """Scene-cut detection per video: mean absolute pixel difference
+    between consecutive frames; a frame whose diff exceeds
+    ``threshold`` gray levels starts a new shot. THE standard first
+    pass of a video-corpus pipeline — frame sampling (sample_frames)
+    should take shot boundaries, not a blind every-k, so near-static
+    shots contribute one frame instead of hundreds of near-duplicates.
+
+    A video's frames live in ONE row (container blob), so the
+    consecutive-frame comparison is row-local inside the Arrow batch —
+    no window over frame rows, no shuffle at all. Container-level
+    frame splitting (mp4 sample table / fixed-size fake payloads)
+    needs no codec; emits one row per frame transition with
+    ``is_cut`` as 'cut'/'run' (string enum keeps the schema
+    oracle-friendly)."""
+
+    def _cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in SCENE_CUT_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                meta = row["meta"]
+                nf = max(int(meta["n_frames"]) or 1, 1)
+                if meta["format"] == "mp4":
+                    from cds_etl_spark.operators.mp4 import extract_samples
+
+                    frames = [
+                        np.frombuffer(s, dtype=np.uint8).astype(np.float64)
+                        for s in extract_samples(bytes(row["content"]))
+                    ]
+                else:
+                    arr = _decode_bytes(row["content"], meta["format"])
+                    flen = max(len(arr) // nf, 1)
+                    frames = [
+                        arr[i * flen : (i + 1) * flen].astype(np.float64)
+                        for i in range(nf)
+                    ]
+                for i in range(1, len(frames)):
+                    a, b = frames[i - 1], frames[i]
+                    n = min(a.size, b.size)
+                    d = float(np.abs(a[:n] - b[:n]).mean()) if n else 0.0
+                    out.append(
+                        {
+                            "media_id": row["media_id"],
+                            "frame_idx": i,
+                            "frame_diff": d,
+                            "is_cut": "cut" if d > threshold else "run",
+                        }
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    pruned = df.filter(F.col("kind") == "video").select(
+        "media_id", "content", "meta"
+    )
+    return pruned.mapInPandas(_cuts, schema=SCENE_CUT_SCHEMA)

@@ -151,3 +151,33 @@ def test_segment_dedup_first_wins(spark):
     }
     # x,y first in doc 1; z first in doc 2; doc 3 loses everything
     assert out == {1: ("x\n\ny", 2), 2: ("z", 1), 3: ("", 0)}
+
+
+def test_compact_minhash_index_equivalence(spark, tmp_path):
+    """Double-append then compact: both index tables collapse to one
+    copy, probe pairs identical before and after."""
+    from cds_etl_spark.operators.dedup import (
+        build_minhash_index,
+        compact_minhash_index,
+        probe_minhash_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} the quick brown fox number {i} jumps over") for i in range(12)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "midx")
+    build_minhash_index(docs, idx)
+    build_minhash_index(docs, idx, mode="append")
+    out = str(tmp_path / "midx2")
+    compact_minhash_index(spark, idx, out)
+    n_sh_before = spark.read.parquet(f"{idx}/shingles").count()
+    n_sh_after = spark.read.parquet(f"{out}/shingles").count()
+    assert n_sh_before == 24 and n_sh_after == 12
+    batch = spark.createDataFrame(
+        [(100, "w3 the quick brown fox number 3 jumps over extra")],
+        "doc_id long, text string",
+    )
+    a = {tuple(r) for r in probe_minhash_index(spark, batch, idx).collect()}
+    b = {tuple(r) for r in probe_minhash_index(spark, batch, out).collect()}
+    assert a == b and a

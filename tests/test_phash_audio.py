@@ -324,3 +324,60 @@ def test_spectral_features_sine_ground_truth(spark):
     # Nyquist), energy above 4 kHz substantial... (Nyquist here is
     # 4 kHz, so high_freq_ratio ~ 0 by construction — use centroid.)
     assert 1500 < by_id[2]["spectral_centroid_hz"] < 2500
+
+
+def test_compact_phash_index_equivalence(spark, tmp_path):
+    """Double-append then compact: row count collapses, probe results
+    are identical against original and compacted index."""
+    from cds_etl_spark.operators.multimodal import (
+        build_phash_index,
+        compact_phash_index,
+        probe_phash_index,
+    )
+
+    rng = np.random.default_rng(13)
+    sigs = spark.createDataFrame(
+        [(i, int(rng.integers(-(2**63), 2**63 - 1))) for i in range(25)],
+        ["media_id", "phash"],
+    )
+    idx = str(tmp_path / "cidx")
+    build_phash_index(sigs, idx)
+    build_phash_index(sigs, idx, mode="append")  # crash-replay shape
+    assert spark.read.parquet(idx).count() == 50
+    out = str(tmp_path / "cidx2")
+    compact_phash_index(spark, idx, out)
+    assert spark.read.parquet(out).count() == 25
+    batch = sigs.limit(5)
+    a = {tuple(r) for r in probe_phash_index(spark, batch, idx).collect()}
+    b = {tuple(r) for r in probe_phash_index(spark, batch, out).collect()}
+    assert a == b and len(a) >= 5
+
+
+def test_detect_scene_cuts(spark):
+    """Planted two-shot video: constant dark frames, then constant
+    bright frames — exactly one cut, at the shot boundary, through
+    the REAL mp4 container path and the fake-payload path alike."""
+    from cds_etl_spark.operators.mp4 import encode_mp4
+    from cds_etl_spark.operators.multimodal import detect_scene_cuts
+
+    w = h = 16
+    dark = np.full(w * h, 10, dtype=np.uint8).tobytes()
+    bright = np.full(w * h, 200, dtype=np.uint8).tobytes()
+    frames = [dark] * 4 + [bright] * 4
+    rows = [
+        (1, "video", bytearray(encode_mp4(frames, w, h)),
+         ("mp4", w, h, 0, 8)),
+        (2, "video", bytearray(b"".join(frames)), ("fake", w, h, 0, 8)),
+        (3, "image", bytearray(b"zz"), ("ppm", 1, 1, 0, 1)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = detect_scene_cuts(df, threshold=30.0).collect()
+    for mid in (1, 2):
+        cuts = sorted(
+            r["frame_idx"] for r in out
+            if r["media_id"] == mid and r["is_cut"] == "cut"
+        )
+        assert cuts == [4], (mid, cuts)
+        runs = [r for r in out if r["media_id"] == mid and r["is_cut"] == "run"]
+        assert len(runs) == 6 and all(r["frame_diff"] == 0.0 for r in runs)
+    assert not any(r["media_id"] == 3 for r in out)
