@@ -40,12 +40,14 @@ def dot_product_fixed(a: Column, b: Column, dim: int) -> Column:
     ``a[0]*b[0] + … + a[dim-1]*b[dim-1]`` expression tree.
 
     Same left-to-right double accumulation as :func:`dot_product`
-    (bit-identical results), but it whole-stage-codegens — the HOF
-    form (``aggregate`` over ``zip_with``) evaluates interpreted,
-    per-element, with a materialized zipped array per row. On a
-    C-way crossjoin (IVF assignment: C·n rows) the unrolled form is
-    the difference between a scan-speed pass and minutes of lambda
-    evaluation (measured 6× end-to-end on a 200k×64, C=64 build)."""
+    (bit-identical results), but expressed as a flat codegen-friendly
+    arithmetic tree instead of a HOF (``aggregate`` over ``zip_with``
+    materializes a zipped array per row). In the r6 ANN measurements
+    the expression form was NOT the dominant cost on the IVF
+    crossjoin — partitioning skew and the argmax shape were (see
+    BASELINE r6 ANN evidence; the batched-matmul ``ivf_assign_arrow``
+    is the production path). Kept for callers that want the fixed-dim
+    form without a HOF in the plan."""
     dot = None
     for i in range(dim):
         term = F.element_at(a, i + 1) * F.element_at(b, i + 1)

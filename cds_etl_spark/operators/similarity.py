@@ -77,17 +77,18 @@ def ivf_assign(
     crossJoin is a MAX-STRUCT aggregate keyed by vector id — map-side
     partial aggregation collapses each vector's C candidate rows
     before the exchange, so the shuffle carries ONE row per vector,
-    not C·n (a window row_number here would sort-shuffle the full
-    C·n expansion — measured 2.6× slower end-to-end on a 200k×64
-    build). Cosine is rounded to 6 dp before the argmax so near-ties
+    not C·n (a window row_number here sort-shuffles the full C·n
+    expansion — the r5 formulation; see BASELINE r6 ANN evidence for
+    the end-to-end build numbers). Cosine is rounded to 6 dp before the argmax so near-ties
     resolve by centroid id identically on any engine (the max key is
     (sim, -cid): highest similarity, then smallest centroid id).
     """
-    # With a known ``dim``, the cosine decomposes into an UNROLLED
-    # codegen-able dot product plus norms computed ONCE per side
-    # BEFORE the crossjoin (n + C norm evaluations instead of 3·C·n
-    # interpreted HOF passes over the expansion) — bit-identical
-    # values, measured 6× faster on a 200k×64, C=64 assignment.
+    # With a known ``dim``, the cosine decomposes into an unrolled
+    # dot product plus norms computed ONCE per side BEFORE the
+    # crossjoin (n + C norm evaluations instead of 3·C·n HOF passes
+    # over the expansion) — bit-identical values. For corpus-scale
+    # assignment prefer ivf_assign_arrow (batched matmul: 294 s →
+    # 12.8 s on 200k×64, C=64 — BASELINE r6 ANN evidence).
     if dim is not None:
         from cds_etl_spark.functions.vector import dot_product_fixed
 
