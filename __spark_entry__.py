@@ -116,6 +116,8 @@ _GRADE_FIRST = [
     "qs159_psi_drift",
     "qs160_token_entropy",
     "qs161_winsorized_mean",
+    "qs162_interval_overlap_binned",
+    "qs163_prefix_filter_simjoin",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

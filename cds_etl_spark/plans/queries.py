@@ -6231,3 +6231,182 @@ def qs161(spark: SparkSession, sf: str) -> DataFrame:
         )
         .withColumnRenamed("st", "o_orderstatus")
     )
+
+
+@query(
+    "qs162_interval_overlap_binned",
+    oracle="""
+    WITH iv AS (
+      SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS lo,
+             CAST(o_orderdate AS DATE) + CAST((o_orderkey % 5) + 1 AS INT) AS hi
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+        AND o_orderdate >= DATE '1997-03-01'
+        AND o_orderdate < DATE '1997-04-01')
+    SELECT a.k AS o1, b.k AS o2,
+           CAST(least(a.hi, b.hi) - greatest(a.lo, b.lo) + 1 AS BIGINT)
+             AS overlap_days
+    FROM iv a JOIN iv b
+      ON a.k < b.k AND a.lo <= b.hi AND b.lo <= a.hi
+    """,
+)
+def qs162(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval-overlap self-join WITHOUT an equi key — the case where
+    a naive theta-join is O(n²) and engines fall back to a nested
+    loop (the oracle literally states that plan; fine at sf0.01,
+    1.4B candidate pairs by sf10). The Spark side is the BINNED
+    physical strategy every scalable interval join uses (bucket the
+    timeline, equi-join on bucket): each interval explodes to the
+    ≤6 days it covers, pairs equi-join on the day, and DISTINCT
+    collapses multi-day matches. At day granularity, sharing a day
+    IS the overlap predicate — the bin join is exact, not a
+    candidate filter, so no verify pass exists to get wrong.
+
+    Scale shape: shuffle is (day, interval) rows — input×⌈len⌉, not
+    n² — and skew is bounded by intervals-per-day. overlap_days is
+    exact integer date arithmetic (the only computed output)."""
+    o = load_table(spark, sf, "orders")
+    iv = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1997-03-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("date"))
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").alias("lo"),
+        F.expr("date_add(o_orderdate, CAST(o_orderkey % 5 AS INT) + 1)").alias(
+            "hi"
+        ),
+    )
+    binned = iv.select(
+        "k", "lo", "hi",
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"),
+    )
+    a = binned.alias("a")
+    b = binned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.day") == F.col("b.day")) & (F.col("a.k") < F.col("b.k")),
+        )
+        .select(
+            F.col("a.k").alias("o1"),
+            F.col("b.k").alias("o2"),
+            F.col("a.lo").alias("lo1"),
+            F.col("a.hi").alias("hi1"),
+            F.col("b.lo").alias("lo2"),
+            F.col("b.hi").alias("hi2"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        "o1",
+        "o2",
+        (
+            F.datediff(
+                F.least(F.col("hi1"), F.col("hi2")),
+                F.greatest(F.col("lo1"), F.col("lo2")),
+            )
+            + 1
+        ).cast("bigint").alias("overlap_days"),
+    )
+
+
+@query(
+    "qs163_prefix_filter_simjoin",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(lower(text), ' '),
+                                       x -> x <> '')) AS ts
+      FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             len(list_intersect(a.ts, b.ts)) AS i,
+             len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS u
+      FROM t a JOIN t b ON a.doc_id < b.doc_id)
+    SELECT d1, d2, CAST((1000000 * i) // u AS BIGINT) AS jac_e6
+    FROM pairs WHERE i * 10 >= u * 9
+    """,
+)
+def qs163(spark: SparkSession, sf: str) -> DataFrame:
+    """Set-similarity self-join at Jaccard ≥ 0.9 via PREFIX FILTERING
+    (Chaudhuri et al. 2006 / PPJoin) — the third near-dup physics in
+    the engine after MinHash-LSH (probabilistic banding, qs55) and
+    length banding (qs57): sort each document's token SET by global
+    token frequency ascending (rarest first), keep only the first
+    |x| − ⌈0.9·|x|⌉ + 1 tokens as the prefix, and equi-join on prefix
+    tokens — any pair with Jaccard ≥ t MUST share a prefix token, so
+    recall is exact (a theorem, not a probability), while candidates
+    shrink to rare-token collisions. Exact |∩|/|∪| verification on
+    candidates only; the oracle states the O(n²) brute-force
+    definition.
+
+    Determinism: the frequency sort breaks ties by token, similarity
+    compares as exact integers (i·10 ≥ u·6; jac_e6 = ⌊1e6·i/u⌋), and
+    the prefix ordering affects only WHICH candidates are generated,
+    never the verified result. Scale shape: the shuffle carries
+    (rare token, doc prefix) rows — corpus-linear — and the verify
+    join moves only candidate pairs' token sets."""
+    d = load_table(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
+            )
+        ).alias("ts"),
+    )
+    freq = toks.select(F.explode("ts").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    # Order each set rarest-first: join tokens to corpus frequency,
+    # sort (tf, tok) pairs, take the prefix.
+    exploded = toks.select("doc_id", F.explode("ts").alias("tok")).join(
+        freq, "tok"
+    )
+    ordered = exploded.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("tf", "tok"))),
+            lambda s: s["tok"],
+        ).alias("ots")
+    )
+    pref = ordered.select(
+        "doc_id",
+        "ots",
+        F.expr(
+            "slice(ots, 1, size(ots) - CAST(ceil(0.9 * size(ots)) AS INT) + 1)"
+        ).alias("prefix"),
+    )
+    items = pref.select(
+        "doc_id", F.col("ots"), F.explode("prefix").alias("tok")
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.ots").alias("ts1"),
+            F.col("b.ots").alias("ts2"),
+        )
+        .distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("ts1"), F.col("ts2")))
+    union = F.size("ts1") + F.size("ts2") - inter
+    return (
+        cand.withColumn("i", inter)
+        .withColumn("u", union)
+        .filter(F.col("i") * 10 >= F.col("u") * 9)
+        .select(
+            "d1",
+            "d2",
+            F.floor(F.lit(1_000_000) * F.col("i") / F.col("u"))
+            .cast("bigint")
+            .alias("jac_e6"),
+        )
+    )
