@@ -159,3 +159,40 @@ def test_ivf_assign_arrow_matches_relational(spark):
     b = {r["vec_id"]: r["cid"] for r in ivf_assign_arrow(df, cents).collect()}
     c = {r["vec_id"]: r["cid"] for r in ivf_assign(df, cents).collect()}  # HOF path
     assert a == b == c
+
+
+def test_pq_train_codebooks_recovers_structure(spark):
+    """Planted two-modes-per-sub-space data: trained codebooks place
+    codewords near both modes (quantization error far below the
+    inter-mode distance), deterministically across runs."""
+    import numpy as np
+
+    from cds_etl_spark.operators.similarity import pq_train_codebooks
+
+    rng = np.random.default_rng(23)
+    modes = np.array([[1.0] * 8, [-1.0] * 8])
+    rows = []
+    for i in range(600):
+        v = np.concatenate(
+            [modes[(i >> s) & 1] + rng.normal(0, 0.05, 8) for s in range(2)]
+        )
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_train_codebooks(
+        df, n_sub=2, sub_dim=8, k=4, sample_mod=1, iterations=8
+    )
+    got = cb.collect()
+    assert {r["sub"] for r in got} == {0, 1}
+    for sub in (0, 1):
+        cents = np.array(
+            [r["cwvec"] for r in got if r["sub"] == sub], dtype=float
+        )
+        # At least one codeword within 0.1 of each planted mode.
+        for m in modes:
+            assert np.linalg.norm(cents - m, axis=1).min() < 0.1
+    again = {(r["sub"], r["code"]): tuple(r["cwvec"])
+             for r in pq_train_codebooks(
+                 df, n_sub=2, sub_dim=8, k=4, sample_mod=1, iterations=8
+             ).collect()}
+    first = {(r["sub"], r["code"]): tuple(r["cwvec"]) for r in got}
+    assert first == again
