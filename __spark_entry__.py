@@ -118,6 +118,7 @@ _GRADE_FIRST = [
     "qs161_winsorized_mean",
     "qs162_interval_overlap_binned",
     "qs163_prefix_filter_simjoin",
+    "qs164_sequence_mining",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

@@ -6410,3 +6410,77 @@ def qs163(spark: SparkSession, sf: str) -> DataFrame:
             .alias("jac_e6"),
         )
     )
+
+
+@query(
+    "qs164_sequence_mining",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    tri AS (
+      SELECT a.user_id,
+             a.event_type || '>' || b.event_type || '>' || c.event_type
+               AS seq
+      FROM e a
+      JOIN e b ON a.user_id = b.user_id AND b.rn = a.rn + 1
+      JOIN e c ON a.user_id = c.user_id AND c.rn = a.rn + 2),
+    sup AS (
+      SELECT seq, COUNT(DISTINCT user_id) AS n_users,
+             COUNT(*) AS n_occurrences
+      FROM tri GROUP BY seq)
+    SELECT seq, n_users, n_occurrences
+    FROM sup ORDER BY n_users DESC, n_occurrences DESC, seq LIMIT 20
+    """,
+)
+def qs164(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequential-pattern mining, 3-step (the a-priori sequence family
+    — qs123's Markov transitions extended one order): the top ordered
+    event-type trigrams by user support. The oracle states it as the
+    textbook double self-join on row numbers; the Spark side is the
+    scale formulation — ONE groupBy(user) collects each user's
+    (ts, id, type) events, array_sort orders them ROW-LOCALLY, and
+    trigram extraction is an array transform — so the corpus shuffles
+    once on user_id and once on the (tiny) trigram aggregate, versus
+    the oracle's three corpus-wide join inputs. Support counts both
+    ways: distinct users (the mining support) and raw occurrences
+    (the tie-break), with a total ORDER BY for a deterministic
+    LIMIT."""
+    ev = load_table(spark, sf, "events")
+    seqs = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            "user_id",
+            F.expr("transform(evs, x -> x.event_type)").alias("types"),
+        )
+    )
+    tris = seqs.select(
+        "user_id",
+        F.explode(
+            F.when(
+                F.size("types") >= 3,
+                F.expr(
+                    "transform(sequence(1, size(types) - 2), i -> "
+                    "concat(element_at(types, i), '>', "
+                    "element_at(types, i + 1), '>', "
+                    "element_at(types, i + 2)))"
+                ),
+            ).otherwise(F.array())
+        ).alias("seq"),
+    )
+    return (
+        tris.groupBy("seq")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .orderBy(F.col("n_users").desc(), F.col("n_occurrences").desc(), "seq")
+        .limit(20)
+    )
