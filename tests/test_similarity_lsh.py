@@ -196,3 +196,34 @@ def test_pq_train_codebooks_recovers_structure(spark):
              ).collect()}
     first = {(r["sub"], r["code"]): tuple(r["cwvec"]) for r in got}
     assert first == again
+
+
+def test_lsh_bucket_py_parity_and_fast_topk(spark):
+    """Driver-side bucket computation is bit-identical to the scan
+    expression for 200 vectors, and lsh_topk_fast returns exactly
+    lsh_topk's results."""
+    import numpy as np
+
+    from cds_etl_spark.operators.similarity import (
+        hyperplane_lsh_assign,
+        lsh_bucket_py,
+        lsh_topk,
+        lsh_topk_fast,
+    )
+
+    rng = np.random.default_rng(31)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 24)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned = hyperplane_lsh_assign(df, dim=24, n_bits=10, seed=5)
+    jvm = {r["vec_id"]: r["bucket"] for r in assigned.collect()}
+    for i, v in rows:
+        assert lsh_bucket_py(v, n_bits=10, seed=5) == jvm[i], i
+    q = rows[7][1]
+    qdf = spark.createDataFrame([(q,)], "qvec array<double>")
+    slow = [(r["vec_id"], r["sim"]) for r in
+            lsh_topk(assigned, qdf, dim=24, k=5, n_bits=10, seed=5).collect()]
+    fast = [(r["vec_id"], r["sim"]) for r in
+            lsh_topk_fast(assigned, q, k=5, n_bits=10, seed=5).collect()]
+    # Sparse buckets (200 vectors over 2^10 buckets) can hold fewer
+    # than k candidates — the probe-set equality is the contract.
+    assert slow == fast and len(fast) >= 1

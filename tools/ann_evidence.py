@@ -29,10 +29,10 @@ from cds_etl_spark.operators.similarity import (  # noqa: E402
     cosine_topk,
     hyperplane_lsh_assign,
     ivf_assign_arrow,
+    lsh_topk_fast,
     ivf_topk,
     pq_train_codebooks,
     kmeans_train,
-    lsh_topk,
     pq_adc_topk,
     pq_encode,
 )
@@ -109,7 +109,7 @@ def main() -> None:
         hits["ivf"] += len(set(got) & set(truth[qid]))
 
         t0 = time.perf_counter()
-        got = [r["vec_id"] for r in lsh_topk(lsh, q, dim=dim, k=10, n_bits=12).collect()]
+        got = [r["vec_id"] for r in lsh_topk_fast(lsh, list(vec), k=10, n_bits=12).collect()]
         times["lsh"].append(time.perf_counter() - t0)
         hits["lsh"] += len(set(got) & set(truth[qid]))
 
