@@ -417,6 +417,21 @@ def running_totals_tws(events: DataFrame) -> DataFrame:
     )
 
 
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API (any scheme —
+    file://, s3a://, hdfs://). Used by the ingest loops to decide
+    whether a standing index exists yet: an explicit check instead of
+    try/except around the probe, because a blanket except would ALSO
+    swallow real probe failures and silently disable dedup for every
+    subsequent batch — the worst possible failure mode for a dedup
+    loop (corrupt index, permission loss, and schema drift must
+    surface, not no-op)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(hconf).exists(jpath)
+
+
 def stream_corpus_ingest_with_index(
     docs_stream: DataFrame,
     index_path: str,
@@ -465,8 +480,10 @@ def stream_corpus_ingest_with_index(
         )
         losers = intra.select(F.col("d2").alias("doc_id")).distinct()
         batch_kept = filtered.join(losers, "doc_id", "left_anti")
-        # Cross-batch: probe the standing index (absent on epoch 0).
-        try:
+        # Cross-batch: probe the standing index. Explicit existence
+        # check, NOT try/except — a swallowed probe error would
+        # silently stop deduplicating forever (see _hadoop_path_exists).
+        if _hadoop_path_exists(spark, f"{index_path}/bands"):
             pairs = probe_minhash_index(
                 spark,
                 batch_kept,
@@ -476,7 +493,7 @@ def stream_corpus_ingest_with_index(
             )
             dup_ids = pairs.select(F.col("new_id").alias("doc_id")).distinct()
             kept = batch_kept.join(dup_ids, "doc_id", "left_anti")
-        except Exception:
+        else:
             kept = batch_kept
         kept = kept.localCheckpoint(eager=True)
         kept.write.mode("overwrite").parquet(
@@ -543,13 +560,15 @@ def stream_media_ingest_with_index(
             sigs, max_hamming=max_hamming
         ).select(F.col("id_b").alias("media_id")).distinct()
         batch_kept = sigs.join(intra, "media_id", "left_anti")
-        try:
+        # Explicit index-existence check — same rationale as the text
+        # loop: probe errors must surface, only absence no-ops.
+        if _hadoop_path_exists(spark, index_path):
             pairs = probe_phash_index(
                 spark, batch_kept, index_path, max_hamming=max_hamming
             )
             dup = pairs.select(F.col("new_id").alias("media_id")).distinct()
             kept_sigs = batch_kept.join(dup, "media_id", "left_anti")
-        except Exception:
+        else:
             kept_sigs = batch_kept
         kept_sigs = kept_sigs.localCheckpoint(eager=True)
         kept = images.join(kept_sigs.select("media_id"), "media_id")
