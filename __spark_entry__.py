@@ -119,6 +119,7 @@ _GRADE_FIRST = [
     "qs162_interval_overlap_binned",
     "qs163_prefix_filter_simjoin",
     "qs164_sequence_mining",
+    "qs165_sweepline_concurrency",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

@@ -6484,3 +6484,73 @@ def qs164(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), F.col("n_occurrences").desc(), "seq")
         .limit(20)
     )
+
+
+@query(
+    "qs165_sweepline_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS lo,
+             CAST(o_orderdate AS DATE)
+               + CAST((o_orderkey % 7) + 1 AS INT) AS hi
+      FROM orders),
+    deltas AS (
+      SELECT prio, lo AS day, 1 AS d FROM iv
+      UNION ALL
+      SELECT prio, hi AS day, -1 AS d FROM iv),
+    daily AS (SELECT prio, day, SUM(d) AS d FROM deltas GROUP BY prio, day),
+    cum AS (
+      SELECT prio, day,
+             SUM(d) OVER (PARTITION BY prio ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS open
+      FROM daily)
+    SELECT prio AS o_orderpriority,
+           CAST(MAX(open) AS BIGINT) AS peak_open,
+           MIN(CASE WHEN open = mx THEN day END) AS peak_day
+    FROM (SELECT *, MAX(open) OVER (PARTITION BY prio) AS mx FROM cum)
+    GROUP BY prio
+    """,
+)
+def qs165(spark: SparkSession, sf: str) -> DataFrame:
+    """Peak concurrency via SWEEP LINE — max simultaneously-open
+    orders per priority, with the first day the peak is reached. The
+    classic interval-analytics physics the engine didn't yet state:
+    intervals become ±1 boundary events, a per-key date aggregate
+    collapses the corpus to (key, day) rows, and the running sum's
+    maximum IS the answer — O(n) with one narrow shuffle, where the
+    naive formulation joins every day against every open interval.
+    Complements qs162 (pairwise overlap) with the aggregate-over-time
+    view of the same interval model.
+
+    Determinism: counts and dates are exact; the peak day ties break
+    by MIN(day). Plan shape: union of two projections of ONE scan,
+    groupBy(prio, day) with map-side combine, then windows over the
+    date-level aggregate (≤ key × days rows) partitioned by the same
+    key the final groupBy uses."""
+    o = load_table(spark, sf, "orders")
+    iv = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderdate").cast("date").alias("lo"),
+        F.expr("date_add(o_orderdate, CAST(o_orderkey % 7 AS INT) + 1)").alias(
+            "hi"
+        ),
+    )
+    deltas = iv.select(
+        "prio", F.col("lo").alias("day"), F.lit(1).alias("d")
+    ).unionByName(
+        iv.select("prio", F.col("hi").alias("day"), F.lit(-1).alias("d"))
+    )
+    daily = deltas.groupBy("prio", "day").agg(F.sum("d").alias("d"))
+    wcum = Window.partitionBy("prio").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wmax = Window.partitionBy("prio")
+    cum = daily.withColumn("open", F.sum("d").over(wcum)).withColumn(
+        "mx", F.max(F.col("open")).over(wmax)
+    )
+    return cum.groupBy("prio").agg(
+        F.max("open").cast("bigint").alias("peak_open"),
+        F.min(F.when(F.col("open") == F.col("mx"), F.col("day"))).alias(
+            "peak_day"
+        ),
+    ).withColumnRenamed("prio", "o_orderpriority")
