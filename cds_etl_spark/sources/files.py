@@ -137,3 +137,55 @@ def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> str:
     df.write.mode(mode).orc(path)
     return path
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema,
+    quarantine_dir: str | None = None,
+) -> DataFrame:
+    """Schema-enforced JSON-lines read with a CORRUPT-RECORD channel —
+    the ingest-time twin of the reference's validation-as-output
+    philosophy (reject rows into a report, never fail the run, never
+    drop silently): rows that don't parse or don't match ``schema``
+    land in ``quarantine_dir`` as (raw line, source file) JSONL for
+    triage, and the returned DataFrame contains only clean rows.
+
+    Mechanics: the file reads as TEXT and parses with ``from_json``
+    in PERMISSIVE mode carrying ``columnNameOfCorruptRecord`` — the
+    malformed line is CAPTURED, not dropped (DROPMALFORMED's silent
+    data loss), and unlike the json reader's corrupt column this
+    formulation has no SPARK-21610 restriction (no cache needed —
+    at 100 TB caching the source to inspect rejects is not a plan).
+    Good/bad is two filters over one scan projection; the quarantine
+    write only materializes when corrupt rows exist. The caller
+    passes an explicit schema — corrupt-record capture is undefined
+    under inference, and a 100 TB ingest should never infer anyway."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    corrupt = "_corrupt_record"
+    full = StructType(
+        list(schema.fields) + [StructField(corrupt, StringType())]
+    )
+    raw = spark.read.text(path).select(
+        F.col("value").alias("raw"),
+        F.input_file_name().alias("source_file"),
+    )
+    parsed = raw.withColumn(
+        "rec",
+        F.from_json(
+            "raw",
+            full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt},
+        ),
+    )
+    is_bad = F.col("rec").isNull() | F.col(f"rec.{corrupt}").isNotNull()
+    if quarantine_dir is not None:
+        parsed.filter(is_bad).select("raw", "source_file").write.mode(
+            "append"
+        ).json(quarantine_dir)
+    good = parsed.filter(~is_bad)
+    return good.select(
+        *[F.col(f"rec.{f.name}").alias(f.name) for f in schema.fields]
+    )
