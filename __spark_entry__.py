@@ -120,6 +120,7 @@ _GRADE_FIRST = [
     "qs163_prefix_filter_simjoin",
     "qs164_sequence_mining",
     "qs165_sweepline_concurrency",
+    "qs166_mutual_information",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

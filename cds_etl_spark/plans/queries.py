@@ -6554,3 +6554,63 @@ def qs165(spark: SparkSession, sf: str) -> DataFrame:
             "peak_day"
         ),
     ).withColumnRenamed("prio", "o_orderpriority")
+
+
+@query(
+    "qs166_mutual_information",
+    oracle="""
+    WITH b AS (
+      SELECT event_type AS x,
+             least(greatest(CAST(FLOOR(value / 32.0) AS BIGINT), 0), 15)
+               AS y
+      FROM events),
+    jx AS (SELECT x, y, COUNT(*) AS cxy FROM b GROUP BY x, y),
+    w AS (
+      SELECT x, y, cxy,
+             SUM(cxy) OVER (PARTITION BY x) AS cx,
+             SUM(cxy) OVER (PARTITION BY y) AS cy,
+             SUM(cxy) OVER () AS n
+      FROM jx)
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           ROUND(SUM((cxy * 1.0 / n)
+                     * log2((cxy * 1.0 / n)
+                            / ((cx * 1.0 / n) * (cy * 1.0 / n)))), 4)
+             AS mi_bits
+    FROM w
+    """,
+)
+def qs166(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutual information between event type and value distribution —
+    the feature-association statistic (I(X;Y) = Σ p(x,y)·log₂
+    p(x,y)/(p(x)p(y))) a feature-selection or leakage audit computes
+    between a categorical column and a binned numeric one. Completes
+    the information-theoretic family: qs160 is marginal entropy,
+    qs159 is a divergence between two populations, this is the
+    dependence BETWEEN two columns of one population.
+
+    Determinism: power-of-two bin width (exact floor), all marginals
+    are window sums OVER THE JOINT AGGREGATE (≤ types×bins rows —
+    the corpus is scanned once, counted once), every ratio divides
+    exact integers, and the ≤80-term float sum is ROUNDed at 4 dp.
+    Plan: one narrow groupBy + three windows + a one-row aggregate."""
+    ev = load_table(spark, sf, "events")
+    b = ev.select(
+        F.col("event_type").alias("x"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / 32.0).cast("bigint"), F.lit(0)),
+            F.lit(15),
+        ).alias("y"),
+    )
+    jx = b.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cxy"))
+    w = (
+        jx.withColumn("cx", F.sum("cxy").over(Window.partitionBy("x")))
+        .withColumn("cy", F.sum("cxy").over(Window.partitionBy("y")))
+        .withColumn("n", F.sum("cxy").over(Window.partitionBy()))
+    )
+    pxy = F.col("cxy") * F.lit(1.0) / F.col("n")
+    px = F.col("cx") * F.lit(1.0) / F.col("n")
+    py = F.col("cy") * F.lit(1.0) / F.col("n")
+    return w.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.round(F.sum(pxy * F.log2(pxy / (px * py))), 4).alias("mi_bits"),
+    )
