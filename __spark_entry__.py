@@ -121,6 +121,9 @@ _GRADE_FIRST = [
     "qs164_sequence_mining",
     "qs165_sweepline_concurrency",
     "qs166_mutual_information",
+    "qs167_zscore_anomaly",
+    "qs168_ab_proportion_ztest",
+    "qs169_changepoint_meanshift",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

@@ -6614,3 +6614,234 @@ def qs166(spark: SparkSession, sf: str) -> DataFrame:
         F.max("n").cast("bigint").alias("n"),
         F.round(F.sum(pxy * F.log2(pxy / (px * py))), 4).alias("mi_bits"),
     )
+
+
+# --------------------------------------------------------------------------
+# Monitoring statistics: anomaly / experiment / change-point family
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs167_zscore_anomaly",
+    oracle="""
+    WITH b AS (
+      SELECT event_id, event_type, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS x
+      FROM events),
+    w AS (
+      SELECT event_id, event_type, x,
+             COUNT(x) OVER win AS n,
+             SUM(x)   OVER win AS s1,
+             SUM(x*x) OVER win AS s2
+      FROM b
+      WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+    SELECT event_id, event_type, x AS value_cents
+    FROM w
+    WHERE n = 20
+      AND (n * s2 - s1 * s1) > 0
+      AND (n * x - s1) * (n * x - s1) * (n - 1)
+            > 9 * n * (n * s2 - s1 * s1)
+    """,
+)
+def qs167(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling z-score anomaly detection — flag events whose value
+    deviates more than 3 sample standard deviations from the
+    TRAILING 20-event window of their type (the frame excludes the
+    current row, so an outlier cannot mask itself). The data-quality
+    monitor every ingest pipeline runs before training data lands.
+
+    Determinism: the whole test is EXACT INTEGER arithmetic on cents
+    — z² > 9 cross-multiplied to
+    (n·x − s1)²·(n−1) > 9·n·(n·s2 − s1²), so no float sqrt, no
+    division, no rounding boundary anywhere (the qs44/qs161 exact
+    physics applied to a streaming-shaped statistic). Magnitudes:
+    cents ≤ 1e5, n = 20 ⇒ every term ≤ ~7e14, far inside bigint.
+    Plan: one scan, one hash exchange on event_type, ONE window pass
+    producing all three running sums, a row-local filter — no joins,
+    no second scan."""
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    b = ev.select(
+        "event_id", "event_type", "ts", cents.alias("x")
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    w = (
+        b.withColumn("n", F.count("x").over(win))
+        .withColumn("s1", F.sum("x").over(win))
+        .withColumn("s2", F.sum(F.col("x") * F.col("x")).over(win))
+    )
+    n, x, s1, s2 = F.col("n"), F.col("x"), F.col("s1"), F.col("s2")
+    return w.filter(
+        (n == 20)
+        & ((n * s2 - s1 * s1) > 0)
+        & (
+            (n * x - s1) * (n * x - s1) * (n - F.lit(1))
+            > F.lit(9) * n * (n * s2 - s1 * s1)
+        )
+    ).select("event_id", "event_type", x.alias("value_cents"))
+
+
+@query(
+    "qs168_ab_proportion_ztest",
+    oracle="""
+    WITH u AS (
+      SELECT user_id % 2 AS cohort,
+             MAX(CASE WHEN value >= 150 THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id),
+    c AS (SELECT cohort, COUNT(*) AS n,
+                 CAST(SUM(conv) AS BIGINT) AS x
+          FROM u GROUP BY cohort),
+    s AS (SELECT
+            MAX(CASE WHEN cohort = 0 THEN n END) AS n1,
+            MAX(CASE WHEN cohort = 0 THEN x END) AS x1,
+            MAX(CASE WHEN cohort = 1 THEN n END) AS n2,
+            MAX(CASE WHEN cohort = 1 THEN x END) AS x2
+          FROM c)
+    SELECT n1, x1, n2, x2,
+           CASE WHEN x1 + x2 = 0 OR x1 + x2 = n1 + n2 THEN NULL
+                ELSE ROUND((x1 * 1.0 / n1 - x2 * 1.0 / n2)
+                 / sqrt(((x1 + x2) * 1.0 / (n1 + n2))
+                        * (1 - (x1 + x2) * 1.0 / (n1 + n2))
+                        * (1.0 / n1 + 1.0 / n2)), 4) END AS z
+    FROM s
+    """,
+)
+def qs168(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-proportion z-test — the A/B-experiment readout: split
+    users into two cohorts by a deterministic hash (user_id parity),
+    define conversion as "ever emitted an event with value ≥ 150",
+    and compute the pooled-variance z statistic for the difference in
+    conversion rates. The decision statistic an experimentation
+    platform computes per metric per day.
+
+    Determinism: cohort counts and conversion counts are exact
+    integers (per-user MAX then one tiny aggregate); the single
+    z division + sqrt runs once over those integers and is ROUNDed
+    at 4 dp. Plan: groupBy(user_id) with map-side combine collapses
+    the corpus, then a 2-row aggregate pivots to one row — the only
+    shuffle carries one row per user."""
+    ev = load_table(spark, sf, "events")
+    u = ev.groupBy((F.col("user_id") % 2).alias("cohort")).agg(
+        F.count_distinct("user_id").alias("n"),
+        F.count_distinct(
+            F.when(F.col("value") >= 150, F.col("user_id"))
+        ).alias("x"),
+    )
+    s = u.agg(
+        F.max(F.when(F.col("cohort") == 0, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("cohort") == 0, F.col("x"))).alias("x1"),
+        F.max(F.when(F.col("cohort") == 1, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("cohort") == 1, F.col("x"))).alias("x2"),
+    )
+    n1, x1 = F.col("n1"), F.col("x1")
+    n2, x2 = F.col("n2"), F.col("x2")
+    p1 = x1 * F.lit(1.0) / n1
+    p2 = x2 * F.lit(1.0) / n2
+    pp = (x1 + x2) * F.lit(1.0) / (n1 + n2)
+    z = (p1 - p2) / F.sqrt(
+        pp * (F.lit(1) - pp) * (F.lit(1.0) / n1 + F.lit(1.0) / n2)
+    )
+    # Degenerate pooled variance (no or all conversions): the statistic
+    # is undefined — emit NULL instead of ANSI divide-by-zero.
+    z_guarded = F.when(
+        ((x1 + x2) > 0) & ((x1 + x2) < (n1 + n2)), F.round(z, 4)
+    )
+    return s.select("n1", "x1", "n2", "x2", z_guarded.alias("z"))
+
+
+@query(
+    "qs169_changepoint_meanshift",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS c
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    pre AS (
+      SELECT event_type, day,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS s,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+               AS k,
+             SUM(c) OVER (PARTITION BY event_type) AS tot,
+             COUNT(*) OVER (PARTITION BY event_type) AS m
+      FROM daily),
+    shifts AS (
+      SELECT event_type, day, m,
+             ROUND(ABS(s * 1.0 / k - (tot - s) * 1.0 / (m - k))
+                   / 100, 4) AS shift
+      FROM pre WHERE k < m),
+    best AS (
+      SELECT event_type, day, m, shift,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY shift DESC, day) AS rn
+      FROM shifts)
+    SELECT event_type, day AS change_day, shift AS mean_shift,
+           m AS n_days
+    FROM best WHERE rn = 1
+    """,
+)
+def qs169(spark: SparkSession, sf: str) -> DataFrame:
+    """Mean-shift change-point detection — for each event type,
+    the day boundary that maximizes |mean(daily totals before) −
+    mean(daily totals after)|: the binary-segmentation step every
+    metrics-monitoring system runs to localize a regression. With
+    qs167 (point anomalies) and qs159 (distribution drift) this
+    completes the monitoring family: point, distribution, and
+    level-shift detectors.
+
+    Determinism: daily totals are exact integer cents; prefix sums
+    and the per-type total come from ONE window pass over the
+    (type, day) aggregate (≤ types × days rows — the corpus never
+    re-shuffles); each candidate split's shift divides exact
+    integers and is ROUNDed at 4 dp BEFORE the argmax
+    (round-before-rank, ties broken by earliest day). Plan: one
+    narrow groupBy, windows over the tiny aggregate, rn = 1."""
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(cents).alias("c"))
+    word = Window.partitionBy("event_type").orderBy("day")
+    wall = Window.partitionBy("event_type")
+    pre = (
+        daily.withColumn(
+            "s",
+            F.sum("c").over(
+                word.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("k", F.row_number().over(word))
+        .withColumn("tot", F.sum("c").over(wall))
+        .withColumn("m", F.count(F.lit(1)).over(wall))
+    )
+    s, k = F.col("s"), F.col("k")
+    tot, m = F.col("tot"), F.col("m")
+    shifts = pre.filter(k < m).withColumn(
+        "shift",
+        F.round(
+            F.abs(
+                s * F.lit(1.0) / k - (tot - s) * F.lit(1.0) / (m - k)
+            )
+            / 100,
+            4,
+        ),
+    )
+    best = shifts.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("shift").desc(), "day"
+            )
+        ),
+    )
+    return best.filter(F.col("rn") == 1).select(
+        "event_type",
+        F.col("day").alias("change_day"),
+        F.col("shift").alias("mean_shift"),
+        F.col("m").alias("n_days"),
+    )
