@@ -124,6 +124,8 @@ _GRADE_FIRST = [
     "qs167_zscore_anomaly",
     "qs168_ab_proportion_ztest",
     "qs169_changepoint_meanshift",
+    "qs170_hll_intersection",
+    "qs171_cms_join_size",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

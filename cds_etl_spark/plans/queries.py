@@ -6845,3 +6845,173 @@ def qs169(spark: SparkSession, sf: str) -> DataFrame:
         F.col("shift").alias("mean_shift"),
         F.col("m").alias("n_days"),
     )
+
+
+def _qs170_oracle() -> str:
+    # Shares _hll_alpha_num so the float literal in the oracle can
+    # never drift from the Spark estimator (the qs90/qs143 contract).
+    from cds_etl_spark.operators.sketches import _hll_alpha_num
+
+    m, two40 = 1024, 1 << 40
+    num = repr(_hll_alpha_num(m))
+    return f"""
+    WITH f AS (
+      SELECT event_type AS t,
+             CAST(user_id AS VARCHAR) || ':'
+               || CAST(CAST(ts AS DATE) AS VARCHAR) AS ud
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    f2 AS (SELECT t, ud FROM f UNION ALL SELECT 'u' AS t, ud FROM f),
+    h AS (
+      SELECT t,
+             ('0x' || substr(md5(ud), 1, 8))::BIGINT % {m} AS idx,
+             ('0x' || substr(md5(ud), 9, 8))::BIGINT AS w
+      FROM f2),
+    r AS (SELECT t, idx,
+            MAX(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END)
+              AS r
+          FROM h GROUP BY t, idx),
+    a AS (SELECT t, SUM(1::BIGINT << (40 - r)) AS sp, COUNT(*) AS nb
+          FROM r GROUP BY t),
+    e AS (SELECT t, {m} - nb AS v,
+            {num} / CAST(sp + ({m} - nb) * {two40} AS DOUBLE) AS e_raw
+          FROM a),
+    est AS (SELECT t,
+            CAST(round(CASE WHEN e_raw <= {2.5 * m!r} AND v > 0
+                            THEN {float(m)!r} * ln({float(m)!r} / v)
+                            ELSE e_raw END) AS BIGINT) AS estimate
+            FROM e),
+    piv AS (SELECT
+        MAX(CASE WHEN t = 'click' THEN estimate END) AS est_a,
+        MAX(CASE WHEN t = 'purchase' THEN estimate END) AS est_b,
+        MAX(CASE WHEN t = 'u' THEN estimate END) AS est_union
+      FROM est),
+    ex AS (
+      SELECT CAST(SUM(ia * ib) AS BIGINT) AS exact_intersection FROM (
+        SELECT MAX(CASE WHEN t = 'click' THEN 1 ELSE 0 END) AS ia,
+               MAX(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END) AS ib
+        FROM f GROUP BY ud))
+    SELECT est_a, est_b, est_union,
+           est_a + est_b - est_union AS est_intersection,
+           exact_intersection
+    FROM piv, ex
+    """
+
+
+@query("qs170_hll_intersection", oracle=_qs170_oracle())
+def qs170(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL set intersection by inclusion–exclusion — |A∩B| ≈
+    est(A) + est(B) − est(A∪B) over the portable-HLL registers
+    (operators.sketches), for the daily-active sets (user, day) of
+    two event types. The audience-overlap question every analytics
+    store answers from sketches WITHOUT rescanning raw data: union
+    registers are just max-merged, so A∪B costs no extra pass. The
+    exact intersection rides along, so the result states its own
+    error.
+
+    Determinism: registers are exact integers from the portable md5
+    hash; estimates are the qs90 finalizer (one IEEE division, or the
+    linear-counting ln rounded to an integer); the intersection is a
+    difference of those integers. Plan: ONE scan feeds both the
+    register build (≤ 3·2¹⁰ rows after map-side max) and the exact
+    per-(user,day) flags — no raw re-shuffle."""
+    from cds_etl_spark.operators.sketches import hll_build, hll_estimate
+
+    ev = load_table(spark, sf, "events")
+    ta, tb = "click", "purchase"
+    f = ev.filter(F.col("event_type").isin(ta, tb)).select(
+        F.col("event_type").alias("t"),
+        F.concat_ws(
+            ":", F.col("user_id"), F.col("ts").cast("date")
+        ).alias("ud"),
+    )
+    both = f.unionByName(f.select(F.lit("u").alias("t"), "ud"))
+    est = hll_estimate(hll_build(both, "t", "ud", p=10), "t", p=10)
+    piv = est.agg(
+        F.max(F.when(F.col("t") == ta, F.col("estimate"))).alias("est_a"),
+        F.max(F.when(F.col("t") == tb, F.col("estimate"))).alias("est_b"),
+        F.max(F.when(F.col("t") == "u", F.col("estimate"))).alias(
+            "est_union"
+        ),
+    ).withColumn(
+        "est_intersection",
+        F.col("est_a") + F.col("est_b") - F.col("est_union"),
+    )
+    exact = (
+        f.groupBy("ud")
+        .agg(
+            F.max(F.when(F.col("t") == ta, 1).otherwise(0)).alias("ia"),
+            F.max(F.when(F.col("t") == tb, 1).otherwise(0)).alias("ib"),
+        )
+        .agg(
+            F.sum(F.col("ia") * F.col("ib"))
+            .cast("long")
+            .alias("exact_intersection")
+        )
+    )
+    return piv.crossJoin(exact)
+
+
+@query(
+    "qs171_cms_join_size",
+    oracle="""
+    WITH sk AS (
+      SELECT j,
+             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                || CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT % 4096
+               AS bucket,
+             COUNT(*) AS cnt
+      FROM lineitem, (SELECT unnest(range(4)) AS j) js
+      GROUP BY j, bucket),
+    dots AS (SELECT j, SUM(cnt * cnt) AS dot FROM sk GROUP BY j),
+    est AS (SELECT CAST(MIN(dot) AS BIGINT) AS est_pairs FROM dots),
+    ex AS (SELECT CAST(SUM(c * c) AS BIGINT) AS exact_pairs
+           FROM (SELECT COUNT(*) AS c FROM lineitem
+                 GROUP BY l_partkey))
+    SELECT est_pairs, exact_pairs,
+           ROUND((est_pairs - exact_pairs) * 100.0 / exact_pairs, 2)
+             AS overest_pct
+    FROM est, ex
+    """,
+)
+def qs171(spark: SparkSession, sf: str) -> DataFrame:
+    """CMS join-cardinality estimate — the sketch inner product
+    min_j Σ_b R[j][b]·S[j][b] estimates |R ⋈ S| (AMS/Count-Min
+    classic), here the self-join size Σ_k f(k)² of lineitem on
+    l_partkey: the second frequency moment a cost-based optimizer
+    wants BEFORE committing to a join order, computable from two
+    tiny mergeable sketch tables instead of the raw tables. The
+    exact value rides along so the row states the sketch's
+    one-sided overestimate.
+
+    Determinism: counters, dot products, and the min are EXACT
+    integers (CMS never goes float); the single error-percent
+    division is ROUNDed at 2 dp. Plan: one scan → depth×width
+    (4×4096) counter rows via map-side partial agg; the dot product
+    and min run over ≤ 4 rows. The exact side is the one narrow
+    groupBy a planner could not afford at 100 TB — which is the
+    point of the sketch."""
+    from cds_etl_spark.operators.sketches import cms_build
+
+    li = load_table(spark, sf, "lineitem")
+    sk = cms_build(li, "l_partkey", depth=4, width=4096)
+    dots = sk.groupBy("j").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).alias("dot")
+    )
+    est = dots.agg(F.min("dot").cast("long").alias("est_pairs"))
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_pairs"))
+    )
+    return (
+        est.crossJoin(exact)
+        .withColumn(
+            "overest_pct",
+            F.round(
+                (F.col("est_pairs") - F.col("exact_pairs"))
+                * F.lit(100.0)
+                / F.col("exact_pairs"),
+                2,
+            ),
+        )
+    )
