@@ -36,7 +36,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -1092,3 +1092,154 @@ def detect_scene_cuts(df: DataFrame, threshold: float = 30.0) -> DataFrame:
         "media_id", "content", "meta"
     )
     return pruned.mapInPandas(_cuts, schema=SCENE_CUT_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Audio fingerprinting (landmark hashing) — content-based audio dedup
+# --------------------------------------------------------------------------
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("fp_hash", LongType()),
+        StructField("t", IntegerType()),
+    ]
+)
+
+
+def audio_fingerprints(
+    df: DataFrame,
+    frame: int = 512,
+    hop: int = 256,
+    peaks_per_frame: int = 3,
+    fanout: int = 3,
+    max_dt: int = 32,
+) -> DataFrame:
+    """Landmark audio fingerprints (the classic spectral-peak-pair
+    scheme of Wang 2003, "An Industrial-Strength Audio Search
+    Algorithm"): STFT magnitude → per-frame local-maximum peaks →
+    anchor/target peak pairs hashed as (f1, f2, Δt). A clip becomes a
+    sparse set of (hash, anchor_time) rows — robust to level changes
+    (peaks are relative maxima) and to time offset (Δt is
+    anchor-relative; absolute offset is recovered at match time).
+    This is the audio twin of ``phash64``: content-addressed identity
+    that survives re-encoding, gain changes, and padding.
+
+    Determinism: the spectrum is a fixed Hann-windowed numpy rFFT;
+    peaks are STRICT local maxima ranked by (−magnitude, bin) via
+    lexsort — stable under ties; pairing walks peaks in (t, bin)
+    order taking the first ``fanout`` targets within ``max_dt``
+    frames. Identical bytes → identical hash sets on any platform.
+
+    Scale: Arrow-batched ``mapInPandas`` over a pruned
+    (media_id, content) projection, zero shuffle; output is
+    O(peaks × fanout) narrow rows per clip — the downstream match is
+    a hash equi-join, never an all-pairs signal comparison."""
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in AUDIO_FP_SCHEMA.fields]
+        win = np.hanning(frame)
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                samples, _rate = decode_wav(bytes(row["content"]))
+                x = samples.astype(np.float64).mean(axis=1) / 32768.0
+                if x.size < frame:
+                    continue
+                nf = (x.size - frame) // hop + 1
+                idx = (
+                    np.arange(nf)[:, None] * hop
+                    + np.arange(frame)[None, :]
+                )
+                spec = np.abs(np.fft.rfft(x[idx] * win, axis=1))
+                inner = spec[:, 1:-1]
+                is_peak = (inner > spec[:, :-2]) & (inner > spec[:, 2:])
+                peaks = []  # (t, bin) in deterministic order
+                for t in range(nf):
+                    bins = np.nonzero(is_peak[t])[0] + 1
+                    if bins.size == 0:
+                        continue
+                    mags = spec[t, bins]
+                    order = np.lexsort((bins, -mags))[:peaks_per_frame]
+                    peaks.extend((t, int(bins[j])) for j in order)
+                peaks.sort()
+                for i, (t1, f1) in enumerate(peaks):
+                    taken = 0
+                    for t2, f2 in peaks[i + 1 :]:
+                        if t2 == t1:
+                            continue
+                        if t2 - t1 > max_dt:
+                            break
+                        h = (f1 << 24) | (f2 << 12) | (t2 - t1)
+                        out.append(
+                            {
+                                "media_id": row["media_id"],
+                                "fp_hash": h,
+                                "t": t1,
+                            }
+                        )
+                        taken += 1
+                        if taken >= fanout:
+                            break
+            yield pd.DataFrame(out, columns=cols)
+
+    pruned = df.filter(F.col("kind") == "audio").select(
+        "media_id", "content"
+    )
+    return pruned.mapInPandas(_fp, schema=AUDIO_FP_SCHEMA)
+
+
+def match_audio_fingerprints(
+    fps: DataFrame,
+    min_votes: int = 5,
+    max_hash_clips: int | None = None,
+) -> DataFrame:
+    """Content-match clip pairs from landmark fingerprints: equi-join
+    on ``fp_hash``, then an OFFSET-CONSISTENCY vote — a true match's
+    hash collisions concentrate at one Δt = t_a − t_b (the relative
+    time offset of the two recordings), while chance collisions
+    scatter. Votes = DISTINCT landmark hashes agreeing on the best
+    single offset (distinct, not raw join rows: a sustained tone
+    repeats one hash at many anchor times, which would otherwise
+    spam k·l offset-aligned rows for a chance shared note — the
+    melody evidence is how many DIFFERENT landmarks align). Pairs
+    with ``votes >= min_votes`` are matches. Returns
+    (id_a, id_b, offset, votes), id_a < id_b.
+
+    Scale: the join key is a 36-bit landmark hash — selective by
+    construction. ``max_hash_clips`` optionally drops hashes present
+    in more than that many clips (the Zipf head of common spectral
+    motifs — silence hum, test tones) BEFORE the self-join, the same
+    hot-key guard as segment dedup's blocklist; with it the join is
+    skew-bounded and the shuffle carries (id, hash, t) rows only."""
+    if max_hash_clips is not None:
+        hot = (
+            fps.groupBy("fp_hash")
+            .agg(F.count_distinct("media_id").alias("nc"))
+            .filter(F.col("nc") > max_hash_clips)
+            .select("fp_hash")
+        )
+        fps = fps.join(F.broadcast(hot), "fp_hash", "left_anti")
+    a = fps.alias("a")
+    b = fps.alias("b")
+    votes = (
+        a.join(
+            b,
+            (F.col("a.fp_hash") == F.col("b.fp_hash"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            (F.col("a.t") - F.col("b.t")).alias("offset"),
+        )
+        .agg(F.count_distinct("a.fp_hash").alias("votes"))
+    )
+    w = Window.partitionBy("id_a", "id_b").orderBy(
+        F.col("votes").desc(), F.col("offset")
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("votes") >= min_votes))
+        .select("id_a", "id_b", "offset", "votes")
+    )

@@ -381,3 +381,62 @@ def test_detect_scene_cuts(spark):
         runs = [r for r in out if r["media_id"] == mid and r["is_cut"] == "run"]
         assert len(runs) == 6 and all(r["frame_diff"] == 0.0 for r in runs)
     assert not any(r["media_id"] == 3 for r in out)
+
+
+def _melody(seed: int, rate: int = 8000, notes: int = 8) -> np.ndarray:
+    # A deterministic "song": a sequence of distinct notes (plus one
+    # harmonic each) with seed-varied durations, so the spectrogram
+    # has clear, time-varying peaks — the structure landmark
+    # fingerprints key on — and unrelated seeds don't share a note
+    # grid.
+    rng = np.random.default_rng(seed)
+    freqs = rng.choice(np.arange(300, 2400, 37), size=notes, replace=False)
+    segs = []
+    for f in freqs:
+        n = int(rate * rng.choice([0.17, 0.21, 0.25, 0.29]))
+        t = np.arange(n)
+        segs.append(
+            0.4 * np.sin(2 * np.pi * f * t / rate)
+            + 0.2 * np.sin(2 * np.pi * 2 * f * t / rate)
+        )
+    x = np.concatenate(segs)
+    return (32767 * 0.8 * x / np.max(np.abs(x))).astype("<i2")
+
+
+def test_audio_fingerprint_match_planted_duplicate(spark):
+    from cds_etl_spark.operators.multimodal import (
+        audio_fingerprints,
+        match_audio_fingerprints,
+    )
+
+    rate = 8000
+    song = _melody(1)
+    # Duplicate: 60 % gain + 2048 samples (8 hops) of leading silence.
+    dup = np.concatenate(
+        [np.zeros(2048, dtype="<i2"), (0.6 * song).astype("<i2")]
+    )
+    rows = [
+        (1, "audio", bytearray(encode_wav(song, rate)), ("wav", 0, 0, rate, 1)),
+        (2, "audio", bytearray(encode_wav(dup, rate)), ("wav", 0, 0, rate, 1)),
+        (3, "audio", bytearray(encode_wav(_melody(2), rate)), ("wav", 0, 0, rate, 1)),
+        (4, "audio", bytearray(encode_wav(_melody(3), rate)), ("wav", 0, 0, rate, 1)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    fps = audio_fingerprints(df)
+    # Deterministic: two runs produce identical hash multisets.
+    s1 = sorted((r["media_id"], r["fp_hash"], r["t"]) for r in fps.collect())
+    s2 = sorted((r["media_id"], r["fp_hash"], r["t"]) for r in fps.collect())
+    assert s1 == s2 and len(s1) > 50
+    matches = match_audio_fingerprints(fps, min_votes=40).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in matches}
+    # The planted pair — and ONLY it — matches, at the planted offset
+    # (8 hops of leading silence; sign depends on id order).
+    assert set(pairs) == {(1, 2)}
+    m = pairs[(1, 2)]
+    assert abs(m["offset"]) == 8
+    assert m["votes"] >= 40
+    # The hot-hash prune leaves a selective corpus untouched.
+    pruned = match_audio_fingerprints(
+        fps, min_votes=40, max_hash_clips=3
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pruned} == {(1, 2)}
