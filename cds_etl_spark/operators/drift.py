@@ -93,3 +93,58 @@ def build_drift_baseline(
     bin_histogram(df, value_col, group_col, width, n_bins).write.mode(
         "overwrite"
     ).parquet(path)
+
+
+def build_anomaly_baseline(
+    df: DataFrame,
+    path: str,
+    value_col: str = "value",
+    group_col: str = "event_type",
+) -> None:
+    """Persist per-group reference moments (grp, n, mu, sigma) for
+    z-score anomaly flagging — the POINT-anomaly sibling of the PSI
+    baseline: PSI asks "did the distribution move", this asks "is this
+    individual row wild against the reference". Same state policy:
+    the baseline is groups-sized parquet, rebuilt deliberately, never
+    rolled forward implicitly (a self-updating reference learns to
+    love its own anomalies). Uses Spark's numerically stable
+    avg/stddev_samp — the reference window can be petabyte-scale, so
+    the exact-integer algebra of qs167 (bounded there by its 20-row
+    frame) would overflow; moment floats wobble only at the last ulp,
+    harmless at z-threshold scale."""
+    stats = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(value_col).alias("mu"),
+        F.stddev_samp(value_col).alias("sigma"),
+    )
+    stats.write.mode("overwrite").parquet(path)
+
+
+def zscore_anomalies(
+    batch: DataFrame,
+    baseline: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    z: float = 3.0,
+) -> DataFrame:
+    """Flag rows whose value deviates more than ``z`` reference
+    standard deviations from their group's baseline mean. The
+    baseline is groups-sized, so the join BROADCASTS — the batch
+    never shuffles; output is the flagged rows with a ``zscore``
+    column. Degenerate groups (sigma = 0 or NULL, n < 2) and groups
+    absent from the baseline flag nothing (inner join + sigma guard):
+    an unknown group is a schema event, not a point anomaly."""
+    j = batch.join(
+        F.broadcast(baseline),
+        batch[group_col] == baseline["grp"],
+        "inner",
+    )
+    score = (F.col(value_col) - F.col("mu")) / F.col("sigma")
+    return (
+        j.filter(
+            F.col("sigma").isNotNull()
+            & (F.col("sigma") > 0)
+            & (F.abs(F.col(value_col) - F.col("mu")) > F.lit(z) * F.col("sigma"))
+        )
+        .select(*batch.columns, F.round(score, 2).alias("zscore"))
+    )

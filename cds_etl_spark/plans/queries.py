@@ -6662,9 +6662,12 @@ def qs167(spark: SparkSession, sf: str) -> DataFrame:
     no second scan."""
     ev = load_table(spark, sf, "events")
     cents = F.round(F.col("value") * 100, 0).cast("long")
+    # x2 pre-projected so all three window aggregates reference plain
+    # columns — Catalyst then fuses them into ONE Window node (a
+    # derived sum(x*x) would split into a second same-spec pass).
     b = ev.select(
         "event_id", "event_type", "ts", cents.alias("x")
-    )
+    ).withColumn("x2", F.col("x") * F.col("x"))
     win = (
         Window.partitionBy("event_type")
         .orderBy("ts", "event_id")
@@ -6673,7 +6676,7 @@ def qs167(spark: SparkSession, sf: str) -> DataFrame:
     w = (
         b.withColumn("n", F.count("x").over(win))
         .withColumn("s1", F.sum("x").over(win))
-        .withColumn("s2", F.sum(F.col("x") * F.col("x")).over(win))
+        .withColumn("s2", F.sum("x2").over(win))
     )
     n, x, s1, s2 = F.col("n"), F.col("x"), F.col("s1"), F.col("s2")
     return w.filter(

@@ -635,3 +635,47 @@ def stream_drift_monitor(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_anomaly_monitor(
+    events_stream: DataFrame,
+    baseline_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    z: float = 3.0,
+) -> None:
+    """Continuous point-anomaly flagging: every micro-batch's rows are
+    z-scored against the PERSISTED per-group reference moments
+    (``operators/drift.build_anomaly_baseline``) and the outliers land
+    in an epoch-partitioned sink — the row-level alarm wire beside
+    ``stream_drift_monitor``'s distribution-level one (point +
+    distribution + level-shift is the qs167/qs159/qs169 monitoring
+    trio; this is the streaming face of the first).
+
+    Shape: the baseline is a groups-sized parquet read per epoch
+    (deliberately NOT cached — a rebuilt reference takes effect next
+    batch) and BROADCASTS into the join, so the batch itself never
+    shuffles; the epoch partition overwrites idempotently on replay;
+    the baseline never updates implicitly — a reference-window change
+    is an operator decision, not a side effect of data arriving."""
+    from cds_etl_spark.operators.drift import zscore_anomalies
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        base = spark.read.parquet(baseline_path)
+        flagged = zscore_anomalies(
+            batch_df, base, value_col, group_col, z
+        )
+        flagged.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={epoch_id}")
+        )
+
+    q = (
+        events_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -82,3 +82,69 @@ def test_stream_drift_monitor(spark, tmp_path):
     assert by_batch[1]["alert"] and by_batch[1]["psi"] > 0.25
     assert by_batch[0]["n_baseline"] == 4000
     assert by_batch[0]["n_current"] == 2000
+
+
+def test_zscore_anomalies_planted_outliers(spark, tmp_path):
+    from cds_etl_spark.operators.drift import (
+        build_anomaly_baseline,
+        zscore_anomalies,
+    )
+
+    bpath = str(tmp_path / "anom_base")
+    build_anomaly_baseline(_events(spark, 4000, seed=20), bpath)
+    base = spark.read.parquet(bpath)
+    # Uniform(0,480): sigma ~ 138.6, max |x-mu| = 240 < 3 sigma — a
+    # same-distribution batch flags NOTHING.
+    clean = _events(spark, 1000, seed=21)
+    assert zscore_anomalies(clean, base).count() == 0
+    # Planted wild rows — exactly those flag, with the right sign.
+    planted = clean.unionByName(
+        spark.createDataFrame(
+            [(9001, "click", 5000.0), (9002, "click", -4000.0)],
+            clean.schema,
+        )
+    )
+    rows = zscore_anomalies(planted, base).collect()
+    assert {(r["event_id"], r["zscore"] > 0) for r in rows} == {
+        (9001, True),
+        (9002, False),
+    }
+    # Unknown group = schema event, not a point anomaly: no flag.
+    alien = spark.createDataFrame(
+        [(9003, "martian", 1e9)], clean.schema
+    )
+    assert zscore_anomalies(alien, base).count() == 0
+
+
+def test_stream_anomaly_monitor(spark, tmp_path):
+    from cds_etl_spark.operators.drift import build_anomaly_baseline
+    from cds_etl_spark.streaming.ops import stream_anomaly_monitor
+
+    bpath = str(tmp_path / "anom_base2")
+    build_anomaly_baseline(_events(spark, 4000, seed=30), bpath)
+
+    b1 = _events(spark, 1000, seed=31)  # clean batch
+    b2 = _events(spark, 1000, seed=32).unionByName(
+        spark.createDataFrame(
+            [(9001, "click", 5000.0), (9002, "click", 4500.0)],
+            "event_id long, event_type string, value double",
+        )
+    )
+    src = str(tmp_path / "anom_inbox")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(b1.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = str(tmp_path / "anom_out")
+    stream_anomaly_monitor(
+        stream, bpath, out, str(tmp_path / "anom_ckpt")
+    )
+    rows = spark.read.parquet(out).collect()
+    # Only the planted pair across both epochs, in batch 2's partition.
+    assert {(r["batch_id"], r["event_id"]) for r in rows} == {
+        (1, 9001),
+        (1, 9002),
+    }
+    assert all(r["zscore"] > 3 for r in rows)
