@@ -260,3 +260,58 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def weighted_sssp(
+    edges: DataFrame,
+    source,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Bounded single-source shortest path over positively-weighted
+    edges — Bellman-Ford as relational relaxation: each round joins
+    the current distance table to the edge list and keeps the
+    per-node MIN, so after k rounds ``d(node)`` is the cheapest path
+    using ≤ k+1 edges. The weighted extension of :func:`bfs_levels`
+    (hop counts are the all-weights-equal special case).
+
+    Returns ``(node, d)`` for every node reachable from ``source``
+    within ``max_hops`` edges (the source itself appears only if a
+    cycle returns to it — consistent with path enumeration, and
+    harmless under positive weights).
+
+    Scale: the distance table is one narrow row per reached node —
+    ≪ corpus; each round is one equi-join shuffled on the node id
+    plus a min-aggregate, and lineage is cut per round with an eager
+    localCheckpoint (constant-size plan regardless of hop count, the
+    connected_components/pagerank pattern). Relaxation is the scale
+    formulation: the oracle's path ENUMERATION is exponential in
+    hops, the relaxation is linear."""
+    e = (
+        edges.select(
+            F.col(src).alias("a"),
+            F.col(dst).alias("b"),
+            F.col(weight).alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        e.filter(F.col("a") == source)
+        .groupBy(F.col("b").alias("node"))
+        .agg(F.min("w").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_hops - 1):
+        ext = (
+            dist.join(e, dist["node"] == e["a"])
+            .select(F.col("b").alias("node"), (F.col("d") + F.col("w")).alias("d"))
+        )
+        dist = (
+            dist.unionByName(ext)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

@@ -7018,3 +7018,84 @@ def qs171(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "qs172_weighted_shortest_path",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT n1.n_name AS src, n2.n_name AS dst,
+             CAST(1 + 1000000000000 //
+                  SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS w
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE n1.n_name <> n2.n_name
+      GROUP BY 1, 2),
+    p AS (
+      SELECT dst AS node, w AS d, 1 AS hops FROM e
+      WHERE src = 'NATION_3'
+      UNION ALL
+      SELECT e.dst, p.d + e.w, p.hops + 1
+      FROM p JOIN e ON e.src = p.node WHERE p.hops < 4)
+    SELECT node AS n_name, CAST(MIN(d) AS BIGINT) AS dist
+    FROM p GROUP BY node
+    """,
+)
+def qs172(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted single-source shortest path, ≤ 4 hops — Bellman-Ford
+    relaxation (operators.components.weighted_sssp) over the
+    trade-network graph: nations are nodes, a directed edge's weight
+    is the inverse of supplier→customer trade volume ("cheap" = heavy
+    trade), the classic logistics/routing question stated over the
+    TPC-H schema. Completes the graph family's weighted tier above
+    qs120's hop-count BFS.
+
+    Determinism: volumes are exact integer cents, weights are exact
+    integer floor divisions, path costs are integer sums, and MIN
+    needs no tie-break. The ORACLE states the textbook definition —
+    recursive path ENUMERATION (≈ 24⁴ rows on the dense 25-nation
+    graph) with a global MIN; the Spark side is the scale
+    formulation — 4 relaxation rounds, each one equi-join + min-agg
+    over a one-row-per-node distance table. Edge build rides the
+    qs117 snowflake (nation dims broadcast, orders⋈lineitem the only
+    big-side work)."""
+    from cds_etl_spark.operators.components import weighted_sssp
+
+    s = load_table(spark, sf, "supplier")
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("src"),
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("dst"),
+    )
+    edges = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), s["s_nationkey"] == F.col("n1_key"))
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("n2_key"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum(cents).alias("vol"))
+        .select(
+            "src",
+            "dst",
+            F.expr("1L + 1000000000000L div vol").alias("w"),
+        )
+    )
+    d = weighted_sssp(edges, "NATION_3", max_hops=4)
+    return d.select(
+        F.col("node").alias("n_name"), F.col("d").alias("dist")
+    )

@@ -152,3 +152,32 @@ def test_triangle_count_matches_brute_force(spark, edges):
         ).collect()
     }
     assert got == expected
+
+
+def test_weighted_sssp_hand_graph(spark):
+    from cds_etl_spark.operators.components import weighted_sssp
+
+    # s -1- a -1- b -1- c -1- d ; s -10- c : the cheap 4-hop chain
+    # beats the direct heavy edge only within the hop bound.
+    edges = spark.createDataFrame(
+        [
+            ("s", "a", 1), ("a", "b", 1), ("b", "c", 1), ("c", "d", 1),
+            ("s", "c", 10), ("d", "e", 1),
+        ],
+        "src string, dst string, w long",
+    )
+    d4 = {
+        r["node"]: r["d"]
+        for r in weighted_sssp(edges, "s", max_hops=4).collect()
+    }
+    # c: min(3-hop chain cost 3, direct 10) = 3; d: 4 edges, cost 4;
+    # e needs 5 edges -> reachable only via s-c(10)-d... no: c->d->e
+    # = 10+1+1 = 12 within 3 edges.
+    assert d4 == {"a": 1, "b": 2, "c": 3, "d": 4, "e": 12}
+    # Tighter bound: with <=2 hops c costs the direct edge's 10 and
+    # the chain's tail is unreachable.
+    d2 = {
+        r["node"]: r["d"]
+        for r in weighted_sssp(edges, "s", max_hops=2).collect()
+    }
+    assert d2 == {"a": 1, "b": 2, "c": 10, "d": 11}
