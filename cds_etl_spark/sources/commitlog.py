@@ -1,0 +1,255 @@
+"""Commit-log snapshot layout — atomic publish + time travel.
+
+The missing piece between a plain parquet directory and a table
+format: writers that die mid-write must never expose partial data,
+concurrent writers must never clobber each other, and readers must be
+able to pin a version. This is the core protocol of every lakehouse
+table format (Delta/Iceberg commit logs), re-expressed minimally with
+stock Spark + the Hadoop FileSystem API (scheme-portable: file://,
+hdfs://, s3a://  — no os.* path walking):
+
+  <table>/data/<commit-uuid>/part-*.parquet   immutable data files
+  <table>/_log/<version>.json                 full-snapshot manifests
+
+A manifest lists EVERY file of its snapshot (Delta-checkpoint style,
+simplified: no delta chains — manifests are metadata-sized, one line
+per file; at extreme file counts you would add incremental logs, the
+protocol below doesn't change). Data files are immutable and shared
+across versions, so time travel is free and `overwrite` is a logical
+operation: old files stay until `vacuum`.
+
+Atomicity: data files land under a fresh UUID directory that NO
+manifest references yet; the manifest itself is created at a temp
+name and published with an atomic FS rename. A rename that returns
+False (destination exists — another writer won the version) RETRIES
+with the next number instead of failing or clobbering — the
+cross-process-safe allocation the history-state module documents as
+its own single-writer boundary.
+
+The reference has no durability story at all (it overwrites TSVs in
+place — cds-transformation_v1.3.py writes directly to its output
+dir); this module is part of the declared beyond-reference surface.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG = "_log"
+_DATA = "data"
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, p.getFileSystem(hconf)
+
+
+def _jpath(jvm, s: str):
+    return jvm.org.apache.hadoop.fs.Path(s)
+
+
+def _list_files(jvm, fs, path: str) -> list[str]:
+    p = _jpath(jvm, path)
+    if not fs.exists(p):
+        return []
+    out = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if not name.startswith(("_", ".")):
+            out.append(f.getPath().toString())
+    return sorted(out)
+
+
+def _versions(jvm, fs, table: str) -> list[int]:
+    logp = _jpath(jvm, f"{table}/{_LOG}")
+    if not fs.exists(logp):
+        return []
+    out = []
+    for st in fs.listStatus(logp):
+        name = st.getPath().getName()
+        if name.endswith(".json") and not name.startswith("."):
+            try:
+                out.append(int(name[: -len(".json")]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def latest_version(spark: SparkSession, table: str) -> int | None:
+    """Highest published version, or None for an empty table."""
+    jvm, fs = _fs(spark, table)
+    vs = _versions(jvm, fs, table)
+    return vs[-1] if vs else None
+
+
+def _read_manifest(spark: SparkSession, table: str, version: int) -> dict:
+    jvm, fs = _fs(spark, table)
+    p = _jpath(jvm, f"{table}/{_LOG}/{version:012d}.json")
+    stream = fs.open(p)
+    try:
+        data = bytes(
+            spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toByteArray(
+                stream
+            )
+        )
+    finally:
+        stream.close()
+    return json.loads(data.decode("utf-8"))
+
+
+def _write_data(df: DataFrame, table: str) -> list[str]:
+    """Write df's rows as a fresh immutable commit directory; return
+    the file list. Nothing references these files until a manifest
+    is published, so a writer dying here leaves only invisible
+    garbage for vacuum — never a partial table."""
+    spark = df.sparkSession
+    cdir = f"{table}/{_DATA}/{uuid.uuid4().hex}"
+    df.write.mode("error").parquet(cdir)
+    jvm, fs = _fs(spark, table)
+    return _list_files(jvm, fs, cdir)
+
+
+def _publish(
+    spark: SparkSession,
+    table: str,
+    files: list[str],
+    mode: str,
+    schema_json: str,
+) -> int:
+    """Publish a manifest atomically; returns the version it landed
+    at. Version allocation races resolve by rename-retry, never by
+    overwrite."""
+    jvm, fs = _fs(spark, table)
+    logdir = _jpath(jvm, f"{table}/{_LOG}")
+    fs.mkdirs(logdir)
+    while True:
+        vs = _versions(jvm, fs, table)
+        version = (vs[-1] + 1) if vs else 0
+        if mode == "append" and vs:
+            prev = _read_manifest(spark, table, vs[-1])
+            snapshot = prev["files"] + files
+        else:
+            snapshot = list(files)
+        body = json.dumps(
+            {
+                "version": version,
+                "mode": mode,
+                "files": snapshot,
+                "schema": schema_json,
+            }
+        ).encode("utf-8")
+        tmp = _jpath(
+            jvm, f"{table}/{_LOG}/.tmp-{uuid.uuid4().hex}.json"
+        )
+        out = fs.create(tmp, False)
+        try:
+            out.write(body)
+        finally:
+            out.close()
+        final = _jpath(jvm, f"{table}/{_LOG}/{version:012d}.json")
+        if fs.rename(tmp, final):
+            return version
+        # Lost the race: another writer published this version.
+        # Re-read the log (an append must chain onto THEIR snapshot)
+        # and retry at the next number.
+        fs.delete(tmp, False)
+
+
+def commit_append(df: DataFrame, table: str) -> int:
+    """Atomically append ``df`` as a new snapshot version (previous
+    snapshot's files + the new commit's). Returns the version."""
+    files = _write_data(df, table)
+    return _publish(
+        df.sparkSession, table, files, "append", df.schema.json()
+    )
+
+
+def commit_overwrite(df: DataFrame, table: str) -> int:
+    """Atomically replace the table's LOGICAL content with ``df``.
+    Physically nothing is deleted — prior versions remain readable
+    until ``vacuum``. Returns the version."""
+    files = _write_data(df, table)
+    return _publish(
+        df.sparkSession, table, files, "overwrite", df.schema.json()
+    )
+
+
+def read_snapshot(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Scan exactly the files of ``version`` (latest when None) —
+    a pinned, repeatable read: concurrent commits cannot change what
+    this DataFrame sees."""
+    if version is None:
+        version = latest_version(spark, table)
+        if version is None:
+            raise ValueError(f"empty commit-log table: {table}")
+    manifest = _read_manifest(spark, table, version)
+    if not manifest["files"]:
+        # A zero-file snapshot (e.g. an overwrite with an empty
+        # DataFrame) still reads: the manifest carries the schema.
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame(
+            [], StructType.fromJson(json.loads(manifest["schema"]))
+        )
+    return spark.read.parquet(*manifest["files"])
+
+
+def compact_snapshot(
+    spark: SparkSession, table: str, target_mb: int = 128
+) -> int:
+    """Rewrite the CURRENT snapshot into size-targeted files and
+    publish the result as a new overwrite version — OPTIMIZE as a
+    commit: readers of old versions are untouched, the swap is the
+    manifest rename, and the small files become vacuum-able garbage.
+    Returns the new version."""
+    import math
+
+    cur = latest_version(spark, table)
+    if cur is None:
+        raise ValueError(f"empty commit-log table: {table}")
+    manifest = _read_manifest(spark, table, cur)
+    df = spark.read.parquet(*manifest["files"])
+    jvm, fs = _fs(spark, table)
+    total = sum(
+        fs.getFileStatus(_jpath(jvm, f)).getLen()
+        for f in manifest["files"]
+    )
+    n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    current = df.rdd.getNumPartitions()
+    sized = df.coalesce(n) if n <= current else df.repartition(n)
+    return commit_overwrite(sized, table)
+
+
+def vacuum(spark: SparkSession, table: str, keep_last: int = 1) -> int:
+    """Delete data files referenced ONLY by versions older than the
+    last ``keep_last`` manifests (plus orphaned never-published
+    commit dirs), then drop those manifests. Time travel to vacuumed
+    versions stops working — that is the point. Returns the number
+    of files deleted."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    jvm, fs = _fs(spark, table)
+    vs = _versions(jvm, fs, table)
+    if not vs:
+        return 0
+    keep_vs = vs[-keep_last:]
+    live: set[str] = set()
+    for v in keep_vs:
+        live.update(_read_manifest(spark, table, v)["files"])
+    deleted = 0
+    for f in _list_files(jvm, fs, f"{table}/{_DATA}"):
+        if f not in live:
+            fs.delete(_jpath(jvm, f), False)
+            deleted += 1
+    for v in vs[:-keep_last]:
+        fs.delete(_jpath(jvm, f"{table}/{_LOG}/{v:012d}.json"), False)
+    return deleted

@@ -1,0 +1,104 @@
+"""Commit-log snapshot layout (sources/commitlog.py).
+
+Contracts: versions are monotonic and atomic (a lost rename race
+retries, never clobbers); reads pin exact file sets (time travel);
+overwrite is logical until vacuum; compaction is itself a commit;
+vacuum removes exactly the unreferenced files.
+"""
+
+import pytest
+
+from cds_etl_spark.sources.commitlog import (
+    commit_append,
+    commit_overwrite,
+    compact_snapshot,
+    latest_version,
+    read_snapshot,
+    vacuum,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).withColumnRenamed("id", "k")
+
+
+def _ks(df):
+    return sorted(r["k"] for r in df.collect())
+
+
+def test_append_read_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    assert latest_version(spark, t) is None
+    v0 = commit_append(_df(spark, 0, 10), t)
+    v1 = commit_append(_df(spark, 10, 15), t)
+    assert (v0, v1) == (0, 1)
+    assert latest_version(spark, t) == 1
+    assert _ks(read_snapshot(spark, t)) == list(range(15))
+    # Time travel: version 0 still sees only the first commit.
+    assert _ks(read_snapshot(spark, t, 0)) == list(range(10))
+
+
+def test_overwrite_is_logical(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_append(_df(spark, 0, 10), t)
+    v1 = commit_overwrite(_df(spark, 100, 103), t)
+    assert _ks(read_snapshot(spark, t)) == [100, 101, 102]
+    # The replaced snapshot remains readable until vacuum.
+    assert _ks(read_snapshot(spark, t, v1 - 1)) == list(range(10))
+
+
+def test_version_race_retries(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_append(_df(spark, 0, 5), t)
+    # Another writer "wins" version 1: pre-publish its manifest.
+    import json
+    import os
+
+    os.makedirs(f"{t}/_log", exist_ok=True)
+    schema = _df(spark, 0, 1).schema.json()
+    with open(f"{t}/_log/{1:012d}.json", "w") as fh:
+        json.dump(
+            {"version": 1, "mode": "append", "files": [],
+             "schema": schema},
+            fh,
+        )
+    v = commit_append(_df(spark, 5, 8), t)
+    # Our commit lands at 2 and chains onto the winner's (empty)
+    # snapshot — never clobbers version 1.
+    assert v == 2
+    assert _ks(read_snapshot(spark, t, 2)) == [5, 6, 7]
+    assert read_snapshot(spark, t, 1).count() == 0
+
+
+def test_compact_snapshot_same_rows_fewer_files(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    for i in range(4):
+        commit_append(_df(spark, i * 10, i * 10 + 10).repartition(4), t)
+    before = read_snapshot(spark, t)
+    assert before.rdd.getNumPartitions() >= 8
+    v = compact_snapshot(spark, t)
+    after = read_snapshot(spark, t, v)
+    assert _ks(after) == _ks(before) == list(range(40))
+    assert after.rdd.getNumPartitions() == 1  # tiny table -> one file
+    # Old pre-compaction version still reads.
+    assert _ks(read_snapshot(spark, t, v - 1)) == list(range(40))
+
+
+def test_vacuum_removes_only_unreferenced(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_append(_df(spark, 0, 10), t)
+    commit_overwrite(_df(spark, 50, 55), t)
+    deleted = vacuum(spark, t, keep_last=1)
+    assert deleted > 0
+    # Latest survives vacuum intact...
+    assert _ks(read_snapshot(spark, t)) == list(range(50, 55))
+    # ...and the vacuumed version is gone (manifest dropped).
+    with pytest.raises(Exception):
+        read_snapshot(spark, t, 0).collect()
+    # Idempotent: nothing left to delete.
+    assert vacuum(spark, t, keep_last=1) == 0
+
+
+def test_vacuum_keep_last_guard(spark, tmp_path):
+    with pytest.raises(ValueError):
+        vacuum(spark, str(tmp_path / "t"), keep_last=0)
