@@ -122,6 +122,7 @@ def _publish(
     files: list[str],
     mode: str,
     schema_json: str,
+    epoch: int | None = None,
 ) -> int:
     """Publish a manifest atomically; returns the version it landed
     at. Version allocation races resolve by rename-retry, never by
@@ -137,14 +138,15 @@ def _publish(
             snapshot = prev["files"] + files
         else:
             snapshot = list(files)
-        body = json.dumps(
-            {
-                "version": version,
-                "mode": mode,
-                "files": snapshot,
-                "schema": schema_json,
-            }
-        ).encode("utf-8")
+        manifest = {
+            "version": version,
+            "mode": mode,
+            "files": snapshot,
+            "schema": schema_json,
+        }
+        if epoch is not None:
+            manifest["epoch"] = epoch
+        body = json.dumps(manifest).encode("utf-8")
         tmp = _jpath(
             jvm, f"{table}/{_LOG}/.tmp-{uuid.uuid4().hex}.json"
         )
@@ -162,13 +164,34 @@ def _publish(
         fs.delete(tmp, False)
 
 
-def commit_append(df: DataFrame, table: str) -> int:
+def commit_append(
+    df: DataFrame, table: str, epoch: int | None = None
+) -> int:
     """Atomically append ``df`` as a new snapshot version (previous
-    snapshot's files + the new commit's). Returns the version."""
+    snapshot's files + the new commit's). ``epoch`` optionally stamps
+    the manifest with a writer-side idempotence token (see
+    ``committed_epochs``). Returns the version."""
     files = _write_data(df, table)
     return _publish(
-        df.sparkSession, table, files, "append", df.schema.json()
+        df.sparkSession, table, files, "append", df.schema.json(), epoch
     )
+
+
+def committed_epochs(spark: SparkSession, table: str) -> set:
+    """Epoch stamps of all surviving manifests — the replay guard for
+    streaming writers: a micro-batch whose epoch is already here was
+    fully committed before a crash, so the replay skips it (the
+    commit IS the transaction marker; no separate ledger to drift).
+    Constraint: ``vacuum`` drops old manifests, so keep_last must
+    cover the stream's possible replay horizon (in practice: the
+    checkpoint's unexpired epochs)."""
+    jvm, fs = _fs(spark, table)
+    out = set()
+    for v in _versions(jvm, fs, table):
+        m = _read_manifest(spark, table, v)
+        if "epoch" in m:
+            out.add(m["epoch"])
+    return out
 
 
 def commit_overwrite(df: DataFrame, table: str) -> int:

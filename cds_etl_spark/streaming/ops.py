@@ -679,3 +679,40 @@ def stream_anomaly_monitor(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_commitlog_sink(
+    stream: DataFrame,
+    table: str,
+    checkpoint_dir: str,
+) -> None:
+    """Exactly-once streaming ingest into a commit-log snapshot table
+    (``sources/commitlog``): each micro-batch publishes as ONE atomic
+    epoch-stamped commit, and a crash-replayed epoch is detected from
+    the surviving manifests and skipped — the commit itself is the
+    transaction marker, so there is no separate dedup ledger to drift
+    from the data. Readers meanwhile pin manifest versions: they see
+    every batch entirely or not at all, never a half-written epoch
+    (the guarantee the plain partitioned sink approximates with
+    directory overwrites, made transactional).
+
+    Replay horizon: ``vacuum(keep_last=N)`` must keep at least as
+    many manifests as epochs the checkpoint could replay."""
+    from cds_etl_spark.sources.commitlog import (
+        commit_append,
+        committed_epochs,
+    )
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if epoch_id in committed_epochs(spark, table):
+            return
+        commit_append(batch_df, table, epoch=epoch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
