@@ -129,3 +129,21 @@ def test_stream_commitlog_sink_exactly_once(spark, tmp_path):
     run("ckpt2")
     assert _ks(read_snapshot(spark, t)) == list(range(15))
     assert latest_version(spark, t) == v
+
+
+def test_read_changes_incremental(spark, tmp_path):
+    from cds_etl_spark.sources.commitlog import read_changes
+
+    t = str(tmp_path / "tbl")
+    v0 = commit_append(_df(spark, 0, 10), t)
+    v1 = commit_append(_df(spark, 10, 15), t)
+    v2 = commit_append(_df(spark, 15, 18), t)
+    assert _ks(read_changes(spark, t, v0, v1)) == list(range(10, 15))
+    # Ranges compose: v0 -> v2 is both later commits.
+    assert _ks(read_changes(spark, t, v0, v2)) == list(range(10, 18))
+    with pytest.raises(ValueError):
+        read_changes(spark, t, v1, v1)
+    # Crossing an overwrite is not a file-set diff: refuse loudly.
+    commit_overwrite(_df(spark, 100, 101), t)
+    with pytest.raises(ValueError):
+        read_changes(spark, t, v1, v2 + 1)
