@@ -127,6 +127,7 @@ _GRADE_FIRST = [
     "qs170_hll_intersection",
     "qs171_cms_join_size",
     "qs172_weighted_shortest_path",
+    "qs173_ewma_smoothing",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

@@ -7099,3 +7099,97 @@ def qs172(spark: SparkSession, sf: str) -> DataFrame:
     return d.select(
         F.col("node").alias("n_name"), F.col("d").alias("dist")
     )
+
+
+@query(
+    "qs173_ewma_smoothing",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2),
+    rn AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY day) AS r
+           FROM daily),
+    pairs AS (
+      SELECT a.event_type, a.day, b.x, (a.r - b.r) AS k
+      FROM rn a JOIN rn b
+        ON a.event_type = b.event_type
+       AND b.r BETWEEN a.r - 9 AND a.r),
+    agg AS (
+      SELECT event_type, day,
+             SUM(x * 3 * CAST(POWER(7, k) AS BIGINT)
+                   * CAST(POWER(10, 9 - k) AS BIGINT)) AS num,
+             SUM(3 * CAST(POWER(7, k) AS BIGINT)
+                   * CAST(POWER(10, 9 - k) AS BIGINT)) AS den
+      FROM pairs GROUP BY 1, 2)
+    SELECT event_type, day,
+           ROUND((num * 1.0) / (den * 100.0), 4) AS ewma
+    FROM agg
+    """,
+)
+def qs173(spark: SparkSession, sf: str) -> DataFrame:
+    """EWMA-smoothed daily metric (α = 0.3, trailing-10-day window,
+    weights renormalized over available terms) — the dashboard
+    smoother between a plain moving average (qs19's physics) and the
+    monitoring detectors: recent days dominate, old noise decays
+    geometrically.
+
+    Determinism: the geometric weights are EXACT INTEGERS —
+    α(1−α)^k = 3·7^k·10^{9−k} / 10^{10} with a shared denominator, so
+    numerator and denominator accumulate as exact bigint sums in ANY
+    order; the single final division converts both to double
+    identically (IEEE round-to-nearest) and ROUNDs at 4 dp. Every
+    power (7^k ≤ 7⁹, 10^{9−k}) is integer-valued in double, so the
+    CAST is exact on both engines. The ORACLE states the textbook
+    band self-join (each day joins its 10 predecessors); the Spark
+    side is the scale formulation — the corpus shuffles ONCE to
+    (type, day), a trailing window collects ≤ 10 structs, and the
+    weighted sum is a row-local higher-order fold (array_sort makes
+    the fold independent of window traversal order)."""
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(cents).alias("x"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-9, 0)
+    )
+    xs = F.expr(
+        "transform(array_sort(win), s -> s.x)"
+    )
+    folded = (
+        daily.withColumn(
+            "win", F.collect_list(F.struct("day", "x")).over(w)
+        )
+        .withColumn("xs", xs)
+        .withColumn(
+            "agg",
+            F.expr(
+                """
+                aggregate(
+                  zip_with(xs, sequence(size(xs) - 1, 0, -1),
+                    (x, k) -> struct(
+                      x * 3 * CAST(power(7, k) AS BIGINT)
+                        * CAST(power(10, 9 - k) AS BIGINT) AS nm,
+                      3 * CAST(power(7, k) AS BIGINT)
+                        * CAST(power(10, 9 - k) AS BIGINT) AS dn)),
+                  struct(CAST(0 AS BIGINT) AS nm,
+                         CAST(0 AS BIGINT) AS dn),
+                  (a, e) -> struct(a.nm + e.nm AS nm,
+                                   a.dn + e.dn AS dn))
+                """
+            ),
+        )
+    )
+    return folded.select(
+        "event_type",
+        "day",
+        F.round(
+            (F.col("agg.nm") * F.lit(1.0))
+            / (F.col("agg.dn") * F.lit(100.0)),
+            4,
+        ).alias("ewma"),
+    )
