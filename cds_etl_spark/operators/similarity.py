@@ -673,3 +673,124 @@ def lsh_topk_fast(
         .orderBy(F.col("sim").desc(), id_col)
         .limit(k)
     )
+
+
+def ivfpq_build(
+    df: DataFrame,
+    centroids: DataFrame,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    k_codes: int = 16,
+    sample_mod: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF-PQ index build (the canonical billion-scale ANN structure,
+    Jégou et al. 2011 §IV): vectors are assigned to their coarse
+    centroid (IVF), and product quantization encodes the RESIDUAL
+    v − c(v) rather than v itself — residuals concentrate near the
+    origin, so the same codebook budget spends its resolution where
+    the data actually is. Composes the existing pieces: ``ivf_assign``
+    → residual projection → ``pq_train_codebooks``/``pq_encode`` with
+    ``metric="l2"`` (reconstruction encoding).
+
+    Returns ``(codes, codebooks)``: codes is one (id, cid, sub, code)
+    row per sub-space — the whole index is 1 coarse id + n_sub small
+    codes per vector. Scale: assignment and encode are broadcast
+    crossjoin + max-struct aggregates (one shuffled row per vector
+    resp. (vector, sub)); residual subtraction is a row-local
+    zip_with; training collects only a driver-sized hash-sample."""
+    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    res = (
+        assigned.join(
+            F.broadcast(centroids.select("cid", "cvec")), "cid"
+        )
+        .select(
+            F.col(id_col),
+            F.col("cid"),
+            F.expr(
+                f"zip_with({vec_col}, cvec, (a, b) -> a - b)"
+            ).alias(vec_col),
+        )
+    )
+    books = pq_train_codebooks(
+        res,
+        n_sub=n_sub,
+        sub_dim=sub_dim,
+        k=k_codes,
+        sample_mod=sample_mod,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    codes = pq_encode(
+        res,
+        books,
+        n_sub=n_sub,
+        sub_dim=sub_dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        metric="l2",
+    )
+    return codes.join(res.select(id_col, "cid"), id_col), books
+
+
+def ivfpq_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    centroids: DataFrame,
+    query_vec: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ search: probe the ``nprobe`` centroids with the highest
+    query dot product, then ADC-score only their lists —
+    dot(q, v̂) = dot(q, c) + Σ_sub dot(q_sub, codeword_sub), i.e. the
+    per-centroid constant plus the residual lookup-table sum. Never
+    touches an original vector.
+
+    Determinism: the pq_adc_topk contract — every LUT entry and the
+    centroid term are ROUND(dot·1e6) → BIGINT, so each candidate's
+    score is an exact integer sum (accumulation order cannot flip a
+    rank), top-k ties break by id. Scale: probes and LUT are
+    driver-sized broadcasts; the only shuffle is the per-candidate
+    n_sub-row sum, over the probed lists only (≈ nprobe/C of the
+    corpus)."""
+    qd = F.round(
+        dot_product(F.col("cvec"), F.col("qvec")) * 1_000_000
+    ).cast("long")
+    probes = (
+        centroids.join(F.broadcast(query_vec))
+        .select("cid", qd.alias("_c_e6"))
+        .orderBy(F.col("_c_e6").desc(), "cid")
+        .limit(nprobe)
+    )
+    lut = codebooks.join(F.broadcast(query_vec)).select(
+        "sub",
+        "code",
+        F.round(
+            dot_product(
+                F.col("cwvec"),
+                F.slice(
+                    F.col("qvec"), F.col("sub") * sub_dim + 1, sub_dim
+                ),
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("_e6"),
+    )
+    cand = codes.join(F.broadcast(probes), "cid")
+    return (
+        cand.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy(id_col, "_c_e6")
+        .agg(F.sum("_e6").alias("_r_e6"))
+        .select(
+            id_col,
+            (F.col("_c_e6") + F.col("_r_e6")).alias("score_e6"),
+        )
+        .orderBy(F.col("score_e6").desc(), id_col)
+        .limit(k)
+    )

@@ -227,3 +227,67 @@ def test_lsh_bucket_py_parity_and_fast_topk(spark):
     # Sparse buckets (200 vectors over 2^10 buckets) can hold fewer
     # than k candidates — the probe-set equality is the contract.
     assert slow == fast and len(fast) >= 1
+
+
+def test_ivfpq_residual_search_planted_blobs(spark):
+    """IVF-PQ composes coarse assignment with residual PQ: on a
+    blob corpus, probing 2 of 8 lists with 4x4 residual codebooks
+    must recover most of the exact dot-product top-10, beat the
+    no-residual PQ encode of the same budget, and rebuild
+    identically (full determinism chain)."""
+    import numpy as np
+
+    from cds_etl_spark.functions.vector import dot_product
+    from cds_etl_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_topk,
+        kmeans_train,
+    )
+
+    rng = np.random.default_rng(7)
+    n_blobs, per_blob, dim = 8, 25, 16
+    centers = rng.normal(size=(n_blobs, dim)) * 5.0
+    rows = []
+    for b in range(n_blobs):
+        for j in range(per_blob):
+            v = centers[b] + rng.normal(size=dim) * 0.3
+            rows.append((b * per_blob + j, [float(x) for x in v]))
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    q = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    exact = {
+        r["vec_id"]
+        for r in corpus.join(F.broadcast(q))
+        .select(
+            "vec_id",
+            dot_product(F.col("embedding"), F.col("qvec")).alias("d"),
+        )
+        .orderBy(F.col("d").desc(), "vec_id")
+        .limit(10)
+        .collect()
+    }
+    cents = kmeans_train(corpus, n_centroids=n_blobs, iterations=6)
+    codes, books = ivfpq_build(
+        corpus, cents, n_sub=4, sub_dim=4, k_codes=16, sample_mod=1
+    )
+    got = {
+        r["vec_id"]
+        for r in ivfpq_topk(
+            codes, books, cents, q, k=10, nprobe=2, n_sub=4, sub_dim=4
+        ).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.7, (recall, got)
+    # Rebuild determinism: identical codes and codebooks.
+    codes2, books2 = ivfpq_build(
+        corpus, cents, n_sub=4, sub_dim=4, k_codes=16, sample_mod=1
+    )
+    assert sorted(map(str, codes.collect())) == sorted(
+        map(str, codes2.collect())
+    )
+    assert sorted(map(str, books.collect())) == sorted(
+        map(str, books2.collect())
+    )
