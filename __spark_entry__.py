@@ -128,6 +128,8 @@ _GRADE_FIRST = [
     "qs171_cms_join_size",
     "qs172_weighted_shortest_path",
     "qs173_ewma_smoothing",
+    "qs174_benford_audit",
+    "qs175_key_skew_diagnosis",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

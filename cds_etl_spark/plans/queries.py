@@ -7193,3 +7193,160 @@ def qs173(spark: SparkSession, sf: str) -> DataFrame:
             4,
         ).alias("ewma"),
     )
+
+
+def _qs174_oracle() -> str:
+    # log10(1 + 1/d) literals computed ONCE driver-side: both engines
+    # consume the identical double (repr round-trips exactly), so the
+    # expected counts cannot diverge by a libm ulp.
+    import math
+
+    cases = " ".join(
+        f"WHEN {d} THEN {math.log10(1 + 1 / d)!r}" for d in range(1, 10)
+    )
+    return f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders),
+    obs AS (SELECT digit, COUNT(*) AS obs FROM digits GROUP BY digit),
+    tot AS (SELECT SUM(obs) AS n FROM obs),
+    e AS (
+      SELECT digit, obs,
+             CAST((SELECT n FROM tot) AS DOUBLE)
+               * CAST(CASE digit {cases} END AS DOUBLE) AS exp
+      FROM obs)
+    SELECT digit, obs,
+           ROUND(exp, 4) AS exp_4dp,
+           CAST(ROUND((obs - exp) * (obs - exp) / exp * 10000)
+             AS BIGINT) AS chi2_term_e4
+    FROM e
+    """
+
+
+@query("qs174_benford_audit", oracle=_qs174_oracle())
+def qs174(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford first-digit audit — the fraud/data-quality screen: the
+    leading digit of a naturally-spanning quantity should follow
+    log10(1 + 1/d), and a fabricated or truncated column deviates.
+    Emits one row per digit with the observed count, the expected
+    count, and the integer-scaled chi-square term (their sum is the
+    test statistic — left as per-digit terms so the result shows
+    WHERE the deviation lives, the actionable part of the audit).
+
+    Determinism: digits come from exact integer cents; expected
+    counts multiply an exact integer by a driver-computed double
+    literal shared verbatim by both engines; each chi-square term is
+    one float expression ROUND-scaled to e4 integer — no float SUM
+    anywhere. Plan: scan-fused digit projection, one 9-row groupBy,
+    a scalar-subquery total."""
+    import math
+
+    o = load_table(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    digits = o.select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("obs"))
+    n = F.sum("obs").over(Window.partitionBy())
+    law = F.create_map(
+        *[
+            x
+            for d in range(1, 10)
+            for x in (F.lit(d), F.lit(math.log10(1 + 1 / d)))
+        ]
+    )
+    e = obs.withColumn("exp", n * law[F.col("digit")])
+    return e.select(
+        "digit",
+        "obs",
+        F.round(F.col("exp"), 4).alias("exp_4dp"),
+        F.round(
+            (F.col("obs") - F.col("exp"))
+            * (F.col("obs") - F.col("exp"))
+            / F.col("exp")
+            * 10000
+        )
+        .cast("long")
+        .alias("chi2_term_e4"),
+    )
+
+
+@query(
+    "qs175_key_skew_diagnosis",
+    oracle="""
+    WITH freq AS (
+      SELECT l_suppkey, COUNT(*) AS f FROM lineitem GROUP BY l_suppkey),
+    ranked AS (
+      SELECT f,
+             ROW_NUMBER() OVER (ORDER BY f, l_suppkey) AS rn,
+             ROW_NUMBER() OVER (ORDER BY f DESC, l_suppkey) AS rd
+      FROM freq),
+    agg AS (
+      SELECT COUNT(*) AS n_keys,
+             CAST(SUM(f) AS BIGINT) AS total_rows,
+             CAST(MAX(f) AS BIGINT) AS max_freq,
+             CAST(SUM(rn * f) AS BIGINT) AS srnf,
+             CAST(SUM(CASE WHEN rd <= 10 THEN f ELSE 0 END) AS BIGINT)
+               AS top10
+      FROM ranked)
+    SELECT n_keys, total_rows, max_freq,
+           CAST(ROUND((2.0 * srnf - (n_keys + 1.0) * total_rows)
+                      * 1000000.0 / (n_keys * 1.0 * total_rows))
+             AS BIGINT) AS gini_e6,
+           CAST(ROUND(top10 * 1000000.0 / total_rows) AS BIGINT)
+             AS top10_share_e6
+    FROM agg
+    """,
+)
+def qs175(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-key skew diagnosis — the pre-flight check before keying a
+    100 TB shuffle: for a candidate join/partition key, the frequency
+    Gini coefficient, the heaviest key, and the top-10-key share of
+    all rows. Exactly the numbers that decide between a plain
+    shuffle, AQE skew splitting, and salting (operators/skew.py) —
+    the planner-diagnostics sibling of qs171's sketch join-size
+    estimate.
+
+    Determinism: frequencies and rank-weighted sums are exact
+    integers (Gini's Σ rn·f over a (f, key) total order); the two
+    final divisions ROUND-scale to e6 integers. Plan: one narrow
+    groupBy collapses the corpus to keys-sized rows; windows and the
+    final aggregate run over that — the diagnosis never re-shuffles
+    the data it is diagnosing."""
+    li = load_table(spark, sf, "lineitem")
+    freq = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("f"))
+    ranked = freq.select(
+        "f",
+        F.row_number()
+        .over(Window.partitionBy().orderBy("f", "l_suppkey"))
+        .alias("rn"),
+        F.row_number()
+        .over(Window.partitionBy().orderBy(F.col("f").desc(), "l_suppkey"))
+        .alias("rd"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("f").alias("total_rows"),
+        F.max("f").alias("max_freq"),
+        F.sum(F.col("rn") * F.col("f")).alias("srnf"),
+        F.sum(F.when(F.col("rd") <= 10, F.col("f")).otherwise(0)).alias(
+            "top10"
+        ),
+    )
+    nk, tr = F.col("n_keys"), F.col("total_rows")
+    return agg.select(
+        "n_keys",
+        "total_rows",
+        "max_freq",
+        F.round(
+            (F.lit(2.0) * F.col("srnf") - (nk + F.lit(1.0)) * tr)
+            * F.lit(1000000.0)
+            / (nk * F.lit(1.0) * tr)
+        )
+        .cast("long")
+        .alias("gini_e6"),
+        F.round(F.col("top10") * F.lit(1000000.0) / tr)
+        .cast("long")
+        .alias("top10_share_e6"),
+    )
