@@ -130,6 +130,7 @@ _GRADE_FIRST = [
     "qs173_ewma_smoothing",
     "qs174_benford_audit",
     "qs175_key_skew_diagnosis",
+    "qs176_last_touch_attribution",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

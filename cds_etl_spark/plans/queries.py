@@ -7350,3 +7350,73 @@ def qs175(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("top10_share_e6"),
     )
+
+
+@query(
+    "qs176_last_touch_attribution",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, event_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+      FROM events),
+    a AS (
+      SELECT event_type,
+             arg_max(CASE WHEN event_type <> 'purchase'
+                          THEN event_type END,
+                     CASE WHEN event_type <> 'purchase'
+                          THEN sec * 10000000 + event_id END)
+               OVER (PARTITION BY user_id ORDER BY sec
+                     RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+               AS attr
+      FROM b)
+    SELECT COALESCE(attr, 'direct') AS attributed_type,
+           COUNT(*) AS purchases
+    FROM a WHERE event_type = 'purchase' GROUP BY 1
+    """,
+)
+def qs176(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch attribution — each purchase credits the user's most
+    recent non-purchase event within a 7-day horizon, 'direct' when
+    none: the marketing-analytics question that motivates the as-of
+    join (qs09), restated as ONE window pass instead of a join.
+
+    Determinism: the horizon is a second-granular RANGE frame (both
+    engines define RANGE peers by value, so same-second ties are in
+    or out identically) and the "most recent" choice is an argmax by
+    the TOTAL key sec·10⁷ + event_id (one bigint — arg_max takes no
+    composite key in DuckDB; event_id < 10⁷ at every shipped SF) —
+    max_by/arg_max skip the NULLed purchase rows, so a purchase
+    never attributes to another purchase. Plan: one shuffle on user_id, one window, a tiny
+    groupBy — the corpus-sized band join the textbook formulation
+    would do never happens."""
+    ev = load_table(spark, sf, "events")
+    ts_s = F.col("ts").cast("timestamp").cast("double")
+    b = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.floor(ts_s).cast("long").alias("sec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-604800, 0)
+    )
+    nonp = F.col("event_type") != "purchase"
+    attr = F.max_by(
+        F.when(nonp, F.col("event_type")),
+        F.when(
+            nonp,
+            F.col("sec") * F.lit(10000000) + F.col("event_id"),
+        ),
+    ).over(w)
+    return (
+        b.withColumn("attr", attr)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(F.col("attr"), F.lit("direct")).alias(
+                "attributed_type"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("purchases"))
+    )
