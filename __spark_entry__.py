@@ -131,6 +131,7 @@ _GRADE_FIRST = [
     "qs174_benford_audit",
     "qs175_key_skew_diagnosis",
     "qs176_last_touch_attribution",
+    "qs177_winnow_fingerprints",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

@@ -7420,3 +7420,119 @@ def qs176(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("purchases"))
     )
+
+
+@query(
+    "qs177_winnow_fingerprints",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+    kg AS (SELECT doc_id, g.i AS pos,
+             md5(array_to_string(toks[g.i:g.i+4], ' ')) AS h
+           FROM tok, (SELECT unnest(range(1, 100000)) AS i) g
+           WHERE g.i + 4 <= len(toks)),
+    keyed AS (SELECT doc_id, pos,
+                h || lpad(CAST(99999999 - pos AS VARCHAR), 8, '0')
+                  AS kkey,
+                MAX(pos) OVER (PARTITION BY doc_id) AS mx
+              FROM kg),
+    win AS (SELECT doc_id, pos, mx,
+              MIN(kkey) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk
+            FROM keyed),
+    sel AS (SELECT DISTINCT doc_id, substr(mk, 1, 32) AS h
+            FROM win WHERE pos <= mx - 3),
+    hot AS (SELECT h FROM sel GROUP BY h HAVING COUNT(*) > 20),
+    fp AS (SELECT s.doc_id, s.h FROM sel s
+           LEFT JOIN hot ON s.h = hot.h WHERE hot.h IS NULL)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fp
+    FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    """,
+)
+def qs177(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the
+    MOSS algorithm): hash every 5-token k-gram, slide a 4-hash
+    window, keep each window's minimum — the selection GUARANTEES
+    any shared run of ≥ k+w−1 = 8 tokens produces a shared
+    fingerprint (a pigeonhole property MinHash only gives in
+    expectation), at ~2/(w+1) the storage of full shingling. The
+    8th near-dup physics in the dedup family, and the only one with
+    a worst-case detection guarantee.
+
+    Determinism: the in-window argmin ties break RIGHTMOST by
+    packing (hash, inverted-position) into one fixed-width string —
+    MIN of it is the paper's tie rule on both engines. Fingerprints
+    in > 20 documents are pruned before pairing (ubiquitous
+    boilerplate is not a duplication signal, and the prune bounds
+    the pair join's hot keys — the qs111 blocklist economics).
+    Scale: k-gram hashing is row-local, the shuffle carries (doc,
+    pos, 16-byte hash), selection is one window pass, and the pair
+    join runs over the winnowed ~2/(w+1) subset."""
+    d = load_table(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    k, w = 5, 4
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at(toks, (i + j).cast("int"))
+                        for j in range(k)
+                    ],
+                )
+            ).alias("h"),
+        ),
+    )
+    kg = (
+        d.filter(F.size(toks) >= k)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .select(
+            "doc_id",
+            F.col("g.pos").alias("pos"),
+            F.col("g.h").alias("h"),
+        )
+    )
+    kkey = F.concat(
+        F.col("h"),
+        F.lpad(
+            (F.lit(99999999) - F.col("pos")).cast("string"), 8, "0"
+        ),
+    )
+    wmax = Window.partitionBy("doc_id")
+    wframe = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        0, w - 1
+    )
+    win = kg.withColumn("mx", F.max("pos").over(wmax)).withColumn(
+        "mk", F.min(kkey).over(wframe)
+    )
+    sel = (
+        win.filter(F.col("pos") <= F.col("mx") - (w - 1))
+        .select("doc_id", F.substring("mk", 1, 32).alias("h"))
+        .distinct()
+    )
+    hot = (
+        sel.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 20)
+        .select("h")
+    )
+    fp = sel.join(F.broadcast(hot), "h", "left_anti")
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .filter(F.col("shared_fp") >= 3)
+    )
