@@ -132,6 +132,7 @@ _GRADE_FIRST = [
     "qs175_key_skew_diagnosis",
     "qs176_last_touch_attribution",
     "qs177_winnow_fingerprints",
+    "qs178_sparse_cosine_neighbors",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

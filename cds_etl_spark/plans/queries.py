@@ -7536,3 +7536,139 @@ def qs177(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_fp"))
         .filter(F.col("shared_fp") >= 3)
     )
+
+
+@query(
+    "qs178_sparse_cosine_neighbors",
+    oracle="""
+    WITH terms AS (
+      SELECT doc_id, term, COUNT(*) AS c FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents) t
+      WHERE term <> '' GROUP BY doc_id, term),
+    hot AS (SELECT term FROM terms GROUP BY term
+            HAVING COUNT(*) > 50),
+    kept AS (SELECT t.* FROM terms t LEFT JOIN hot USING (term)
+             WHERE hot.term IS NULL),
+    norms AS (SELECT doc_id, SUM(c * c) AS n2 FROM kept
+              GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             SUM(a.c * b.c) AS dot
+      FROM kept a JOIN kept b
+        ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sims AS (
+      SELECT doc_a, doc_b,
+             ROUND(dot / (sqrt(na.n2 * 1.0) * sqrt(nb.n2 * 1.0)), 6)
+               AS cos
+      FROM dots
+      JOIN norms na ON na.doc_id = doc_a
+      JOIN norms nb ON nb.doc_id = doc_b),
+    best AS (
+      SELECT doc_a AS doc_id, doc_b AS neighbor, cos FROM sims
+      UNION ALL
+      SELECT doc_b, doc_a, cos FROM sims),
+    r AS (SELECT doc_id, neighbor, cos,
+            ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY cos DESC, neighbor) AS rn
+          FROM best)
+    SELECT doc_id, neighbor, cos FROM r WHERE rn = 1 AND cos >= 0.2
+    """,
+)
+def qs178(spark: SparkSession, sf: str) -> DataFrame:
+    """Sparse-vector cosine nearest neighbor — each document's most
+    similar other document in raw term-count space: the
+    inverted-index similarity join (the IR-side counterpart of the
+    dense-embedding ANN family; qs115's TF-IDF weighs terms, this
+    JOINS on them). Candidate pairs come only from shared terms, and
+    terms in > 50 documents are pruned first — the Zipf head
+    contributes near-zero angular information but ALL of the join's
+    quadratic blowup (the qs111/qs177 blocklist economics, stated
+    for similarity search).
+
+    Determinism: dot products and squared norms are exact integer
+    sums; each pair's cosine is one float expression ROUNDed at 6 dp
+    BEFORE the per-doc argmax (round-before-rank, neighbor-id
+    tie-break); the 0.2 floor keeps only meaningful neighbors.
+    Plan: corpus → (doc, term, count) once; one term-keyed pair join
+    over the pruned postings; norms join doc-keyed; rn = 1."""
+    d = load_table(spark, sf, "documents")
+    terms = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias(
+                "term"
+            ),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hot = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > 50)
+        .select("term")
+    )
+    kept = terms.join(F.broadcast(hot), "term", "left_anti")
+    norms = kept.groupBy("doc_id").agg(
+        F.sum(F.col("c") * F.col("c")).alias("n2")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dot"))
+    )
+    na = norms.select(
+        F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2")
+    )
+    nb = norms.select(
+        F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2")
+    )
+    sims = (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("dot")
+                / (
+                    F.sqrt(F.col("na2") * F.lit(1.0))
+                    * F.sqrt(F.col("nb2") * F.lit(1.0))
+                ),
+                6,
+            ).alias("cos"),
+        )
+    )
+    best = sims.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("neighbor"),
+        "cos",
+    ).unionByName(
+        sims.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("neighbor"),
+            "cos",
+        )
+    )
+    r = best.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("cos").desc(), "neighbor"
+            )
+        ),
+    )
+    return r.filter((F.col("rn") == 1) & (F.col("cos") >= 0.2)).select(
+        "doc_id", "neighbor", "cos"
+    )
