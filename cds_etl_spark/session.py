@@ -25,6 +25,9 @@ RUNTIME_CONFS: dict[str, str] = {
     # nanosecond timestamp type, so read as epoch-nanos long and convert
     # in the catalog layer (catalog.load_table).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Let custom Python DataSources (sources/pysource.py) receive
+    # pushed filters — off by default in Spark 4.1.
+    "spark.sql.python.filterPushdown.enabled": "true",
     # AQE: runtime re-planning, partition coalescing, skew-join splitting.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
