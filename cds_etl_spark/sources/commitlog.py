@@ -128,6 +128,13 @@ def _publish(
     at. Version allocation races resolve by rename-retry, never by
     overwrite."""
     jvm, fs = _fs(spark, table)
+    # Qualify every file through the FS (file:/… on local) so
+    # manifests from ANY writer — the Hadoop-side commit_* path or
+    # the Python DataSourceWriter — compare identically in vacuum's
+    # liveness set and in epoch/snapshot reads.
+    files = [
+        fs.makeQualified(_jpath(jvm, f)).toString() for f in files
+    ]
     logdir = _jpath(jvm, f"{table}/{_LOG}")
     fs.mkdirs(logdir)
     while True:

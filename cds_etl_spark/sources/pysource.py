@@ -121,3 +121,146 @@ class SyntheticEventsDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
         return _SynthStreamReader(self.options)
+
+
+# --------------------------------------------------------------------------
+# "commitlog" format: the snapshot table as a first-class DataFrame
+# format — df.write.format("commitlog").save(path) runs the Python
+# DataSourceWriter two-phase protocol (tasks write invisible files,
+# the DRIVER commit publishes one atomic manifest), and
+# spark.read.format("commitlog").load(path) scans a pinned snapshot
+# (option("version", n) = time travel). Local-filesystem paths (the
+# task-side writer uses pyarrow directly; a production connector
+# would route through fsspec — the protocol is unchanged).
+# --------------------------------------------------------------------------
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    file: str | None = None
+
+
+class _CommitlogWriter(DataSourceWriter):
+    def __init__(self, path: str, schema, overwrite: bool):
+        self.path = path
+        self.schema = schema
+        self.overwrite = overwrite
+
+    def write(self, it) -> _FileCommit:
+        """Task-side: write this partition as one parquet file under
+        an unreferenced commit dir — invisible until the driver's
+        commit() publishes a manifest naming it."""
+        import os
+        import uuid as _uuid
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = list(it)
+        if not rows:
+            return _FileCommit(None)
+        pdf = pd.DataFrame(rows, columns=self.schema.names)
+        fdir = os.path.join(self.path, "data", _uuid.uuid4().hex)
+        os.makedirs(fdir, exist_ok=True)
+        f = os.path.join(fdir, f"part-{_uuid.uuid4().hex}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), f)
+        return _FileCommit(f)
+
+    def commit(self, messages) -> None:
+        """Driver-side: all tasks succeeded — publish ONE manifest.
+        This is where the write becomes visible, atomically."""
+        from pyspark.sql import SparkSession
+
+        from cds_etl_spark.sources.commitlog import _publish
+
+        files = sorted(
+            m.file for m in messages if m is not None and m.file
+        )
+        # commit() can run on a driver thread with no ACTIVE session;
+        # getOrCreate returns the existing instantiated one.
+        spark = (
+            SparkSession.getActiveSession()
+            or SparkSession.builder.getOrCreate()
+        )
+        _publish(
+            spark,
+            self.path,
+            files,
+            "overwrite" if self.overwrite else "append",
+            self.schema.json(),
+        )
+
+    def abort(self, messages) -> None:
+        """Task failure: delete the orphaned files — nothing was ever
+        referenced, so the table is untouched."""
+        import os
+
+        for m in messages:
+            if m is not None and m.file and os.path.exists(m.file):
+                os.remove(m.file)
+
+
+class _CommitlogReader(DataSourceReader):
+    def __init__(self, path: str, options):
+        import json
+        import os
+
+        self.path = path
+        version = options.get("version")
+        logdir = os.path.join(path, "_log")
+        versions = sorted(
+            int(n[: -len(".json")])
+            for n in os.listdir(logdir)
+            if n.endswith(".json") and not n.startswith(".")
+        )
+        v = int(version) if version is not None else versions[-1]
+        with open(os.path.join(logdir, f"{v:012d}.json")) as fh:
+            self.manifest = json.load(fh)
+
+    def partitions(self):
+        # One planner partition per data file — reader parallelism
+        # follows the snapshot's file layout.
+        return [
+            InputPartition(f.removeprefix("file:"))
+            for f in self.manifest["files"]
+        ]
+
+    def read(self, partition: InputPartition):
+        import pyarrow.parquet as pq
+
+        yield from pq.ParquetFile(partition.value).iter_batches()
+
+
+class CommitlogDataSource(DataSource):
+    """``spark.dataSource.register(CommitlogDataSource)`` then
+    ``df.write.format("commitlog").mode("append"|"overwrite")
+    .save(path)`` / ``spark.read.format("commitlog")
+    .option("version", n).load(path)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "commitlog"
+
+    def schema(self):
+        import json
+
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(
+            json.loads(
+                _CommitlogReader(
+                    self.options["path"], self.options
+                ).manifest["schema"]
+            )
+        )
+
+    def reader(self, schema) -> DataSourceReader:
+        return _CommitlogReader(self.options["path"], self.options)
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return _CommitlogWriter(self.options["path"], schema, overwrite)

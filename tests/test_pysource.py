@@ -111,3 +111,51 @@ def test_stream_reader_batches_and_replay(spark, tmp_path):
     assert sr.readBetweenOffsets({"i": 3}, {"i": 9}) == [
         (*synth_row(i), 0) for i in range(3, 9)
     ]
+
+
+def test_commitlog_format_write_read_time_travel(spark, tmp_path):
+    from cds_etl_spark.sources.commitlog import (
+        latest_version,
+        read_snapshot,
+        vacuum,
+    )
+    from cds_etl_spark.sources.pysource import CommitlogDataSource
+
+    spark.dataSource.register(CommitlogDataSource)
+    t = str(tmp_path / "tbl")
+    df1 = spark.range(0, 10).withColumnRenamed("id", "k")
+    df2 = spark.range(10, 15).withColumnRenamed("id", "k")
+    df1.write.format("commitlog").mode("append").save(t)
+    df2.write.format("commitlog").mode("append").save(t)
+    assert latest_version(spark, t) == 1
+    # Both read paths see the atomic snapshots, including time travel.
+    via_format = sorted(
+        r["k"]
+        for r in spark.read.format("commitlog").load(t).collect()
+    )
+    assert via_format == list(range(15))
+    assert sorted(
+        r["k"] for r in read_snapshot(spark, t).collect()
+    ) == list(range(15))
+    v0 = sorted(
+        r["k"]
+        for r in spark.read.format("commitlog")
+        .option("version", 0)
+        .load(t)
+        .collect()
+    )
+    assert v0 == list(range(10))
+    # Overwrite via the format, then vacuum: the writer's manifests
+    # must use the same qualified paths as the Hadoop-side commits,
+    # or vacuum would eat live files.
+    spark.range(100, 103).withColumnRenamed("id", "k").write.format(
+        "commitlog"
+    ).mode("overwrite").save(t)
+    vacuum(spark, t, keep_last=1)
+    assert sorted(
+        r["k"] for r in read_snapshot(spark, t).collect()
+    ) == [100, 101, 102]
+    assert sorted(
+        r["k"]
+        for r in spark.read.format("commitlog").load(t).collect()
+    ) == [100, 101, 102]
