@@ -16,7 +16,7 @@ histogram is one narrow groupBy, and PSI computes over
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -147,4 +147,125 @@ def zscore_anomalies(
             & (F.abs(F.col(value_col) - F.col("mu")) > F.lit(z) * F.col("sigma"))
         )
         .select(*batch.columns, F.round(score, 2).alias("zscore"))
+    )
+
+
+def zscore_anomalies_rolling(
+    df: DataFrame,
+    n: int = 20,
+    z: int = 3,
+    id_col: str = "event_id",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    shard: str = "day",
+) -> DataFrame:
+    """Trailing-window z-score anomalies (the qs167 semantics: flag
+    rows > ``z`` sample stddevs from their group's previous ``n``
+    rows, exact integer-cents arithmetic) — in the DAY-SHARDED
+    formulation that survives low-cardinality groups at scale.
+
+    The direct window ``partitionBy(group)`` serializes each group
+    into ONE task: with 5 event types, a 10M-row corpus sorts on 5
+    cores no matter how large the cluster (measured 19.9 s at sf10).
+    Here the window partitions by (group, day) and each day-shard
+    receives the previous day-shard's last ``n`` rows as CONTEXT
+    (tagged, never emitted): every emitted row sees exactly the same
+    ``n`` predecessors as the serial formulation, but parallelism is
+    groups × days. Correctness precondition — each non-first
+    shard holds ≥ ``n`` rows (else a frame would need rows from
+    two shards back) — is VALIDATED eagerly against the data and
+    violated loudly, not silently; pick ``shard`` ('day', 'week',
+    'month' — any date_trunc unit) so the thinnest shard clears it.
+
+    Returns (id, group, value_cents), identical to qs167's output —
+    equality-tested against the serial formulation in
+    tests/test_drift.py."""
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    b = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_grp"),
+        F.col(ts_col).alias("_ts"),
+        F.date_trunc(shard, F.col(ts_col)).alias("_day"),
+        cents.alias("_x"),
+    ).withColumn("_x2", F.col("_x") * F.col("_x"))
+    days = (
+        b.select("_grp", "_day")
+        .distinct()
+        .withColumn(
+            "_di",
+            F.row_number().over(
+                Window.partitionBy("_grp").orderBy("_day")
+            ),
+        )
+    )
+    b2 = b.join(F.broadcast(days), ["_grp", "_day"])
+    # Precondition: every INTERIOR shard has >= n rows. A thin
+    # FIRST shard is safe (no rows exist before it, so context
+    # carries all of it and both formulations see identical —
+    # possibly short — frames), and a thin LAST shard is safe (it
+    # provides context to nobody). Only a thin interior shard can
+    # starve its successor's frames of rows that exist further back.
+    counts = b2.groupBy("_grp", "_di").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    mx = counts.groupBy("_grp").agg(F.max("_di").alias("_mx"))
+    short = (
+        counts.join(mx, "_grp")
+        .filter(
+            (F.col("_di") > 1)
+            & (F.col("_di") < F.col("_mx"))
+            & (F.col("_c") < n)
+        )
+        .limit(1)
+        .collect()
+    )
+    if short:
+        r = short[0]
+        raise ValueError(
+            f"{shard}-shard ({r['_grp']}, idx {r['_di']}) has only "
+            f"{r['_c']} rows < window n={n}; shard context would be "
+            f"insufficient — use a coarser `shard` than '{shard}' "
+            "or the serial form"
+        )
+    rn_desc = F.row_number().over(
+        Window.partitionBy("_grp", "_di").orderBy(
+            F.col("_ts").desc(), F.col("_id").desc()
+        )
+    )
+    ctx = (
+        b2.withColumn("_rn", rn_desc)
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+        .withColumn("_di", F.col("_di") + 1)
+        .withColumn("_ctx", F.lit(True))
+    )
+    allr = b2.withColumn("_ctx", F.lit(False)).unionByName(ctx)
+    win = (
+        Window.partitionBy("_grp", "_di")
+        .orderBy("_ts", "_id")
+        .rowsBetween(-n, -1)
+    )
+    w = (
+        allr.withColumn("_n", F.count("_x").over(win))
+        .withColumn("_s1", F.sum("_x").over(win))
+        .withColumn("_s2", F.sum("_x2").over(win))
+    )
+    nn, x = F.col("_n"), F.col("_x")
+    s1, s2 = F.col("_s1"), F.col("_s2")
+    return (
+        w.filter(
+            (~F.col("_ctx"))
+            & (nn == n)
+            & ((nn * s2 - s1 * s1) > 0)
+            & (
+                (nn * x - s1) * (nn * x - s1) * (nn - F.lit(1))
+                > F.lit(z * z) * nn * (nn * s2 - s1 * s1)
+            )
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_grp").alias(group_col),
+            x.alias("value_cents"),
+        )
     )

@@ -148,3 +148,47 @@ def test_stream_anomaly_monitor(spark, tmp_path):
         (1, 9002),
     }
     assert all(r["zscore"] > 3 for r in rows)
+
+
+def test_zscore_rolling_sharded_equals_serial(spark):
+    """The day-sharded formulation must produce EXACTLY the serial
+    qs167 result — same ids, same cents — on the real testdata, where
+    windows routinely cross day boundaries."""
+    from cds_etl_spark.catalog import load_table
+    from cds_etl_spark.operators.drift import zscore_anomalies_rolling
+    from cds_etl_spark.plans.queries import QUERIES
+
+    for sf, shard in [
+        ("/root/testdata/sf0.001", "week"),  # thin days -> coarser
+        ("/root/testdata/sf0.01", "day"),
+    ]:
+        serial = sorted(
+            tuple(r)
+            for r in QUERIES["qs167_zscore_anomaly"](spark, sf).collect()
+        )
+        ev = load_table(spark, sf, "events")
+        sharded = sorted(
+            tuple(r)
+            for r in zscore_anomalies_rolling(ev, shard=shard).collect()
+        )
+        assert sharded == serial and len(serial) > 0
+
+
+def test_zscore_rolling_precondition_raises(spark):
+    """A shard too small to carry the window's context must fail
+    loudly, never silently mis-frame."""
+    import pytest
+
+    from cds_etl_spark.operators.drift import zscore_anomalies_rolling
+
+    rows = [
+        # Day 1: 25 rows; day 2: only 3 rows (< n) -> day 3 would be
+        # under-contexted... day 2 itself violates (di=2, c=3).
+        (i, "click", f"2026-01-0{1 + (i >= 25) + (i >= 28)}T0{i % 10}:0{i % 6}:00", 10.0 + i)
+        for i in range(31)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, s string, value double"
+    ).withColumn("ts", F.col("s").cast("timestamp")).drop("s")
+    with pytest.raises(ValueError, match="day-shard"):
+        zscore_anomalies_rolling(df)
