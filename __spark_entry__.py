@@ -133,6 +133,7 @@ _GRADE_FIRST = [
     "qs176_last_touch_attribution",
     "qs177_winnow_fingerprints",
     "qs178_sparse_cosine_neighbors",
+    "qs179_bootstrap_ci",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

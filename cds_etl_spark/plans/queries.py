@@ -7672,3 +7672,137 @@ def qs178(spark: SparkSession, sf: str) -> DataFrame:
     return r.filter((F.col("rn") == 1) & (F.col("cos") >= 0.2)).select(
         "doc_id", "neighbor", "cos"
     )
+
+
+def _poisson1_thresholds_u32() -> list[int]:
+    # Inverse-CDF thresholds of Poisson(1) scaled to 2^32, computed
+    # ONCE driver-side as exact integers shared by both engines —
+    # the weight decision is an integer comparison, never a float.
+    import math
+
+    cum, out, p, k = 0.0, [], math.exp(-1), 0
+    while len(out) < 8:
+        cum += p
+        out.append(int(cum * (1 << 32)))
+        p = p / (k + 1)
+        k += 1
+    return out
+
+
+def _qs179_oracle() -> str:
+    t = _poisson1_thresholds_u32()
+    case = " ".join(
+        f"WHEN u < {t[i]} THEN {i}" for i in range(len(t))
+    )
+    return f"""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders),
+    rs AS (SELECT k, c, g.r FROM base,
+           (SELECT unnest(range(32)) AS r) g),
+    u AS (SELECT r, c,
+            ('0x' || substr(md5(CAST(k AS VARCHAR) || ':'
+               || CAST(r AS VARCHAR)), 1, 8))::BIGINT AS u
+          FROM rs),
+    wt AS (SELECT r, c, CASE {case} ELSE 8 END AS w FROM u),
+    means AS (SELECT r,
+                ROUND(SUM(w * c) * 1.0 / (SUM(w) * 100.0), 4) AS m
+              FROM wt GROUP BY r),
+    ranked AS (SELECT m, r,
+                 ROW_NUMBER() OVER (ORDER BY m, r) AS rk
+               FROM means),
+    f AS (SELECT ROUND(SUM(c) * 1.0 / (COUNT(*) * 100.0), 4)
+            AS mean_full FROM base)
+    SELECT 32 AS n_resamples,
+           (SELECT mean_full FROM f) AS mean_full,
+           MAX(CASE WHEN rk = 2 THEN m END) AS ci_lo,
+           MAX(CASE WHEN rk = 31 THEN m END) AS ci_hi
+    FROM ranked
+    """
+
+
+@query("qs179_bootstrap_ci", oracle=_qs179_oracle())
+def qs179(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic bootstrap confidence interval for the mean
+    order value — the Poisson-bootstrap trick that makes resampling
+    DISTRIBUTABLE (Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams": per-row Poisson(1) weights ≈ with-
+    replacement resampling, so 32 resamples are one map-side weight
+    column each, never a shuffle of resampled rows) and
+    REPRODUCIBLE: the weight is an inverse-CDF lookup of an
+    md5-uniform, with the Poisson thresholds precomputed driver-side
+    as exact 2³²-scaled integers both engines compare identically.
+
+    Determinism: weighted sums are exact integer cents; each
+    resample mean is ONE division ROUNDed at 4 dp; the 5th/95th
+    bootstrap percentiles are exact order statistics (ranks 2 and 31
+    of 32, ties broken by resample index). Plan: the ×32 explode is
+    map-side and collapses to 32 rows in one partial-agg shuffle —
+    the uncertainty of a 100 TB mean costs one extra scan."""
+    o = load_table(spark, sf, "orders")
+    t = _poisson1_thresholds_u32()
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("c"),
+    )
+    rs = base.select(
+        "k", "c", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("r")
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("k").cast("string"),
+                    F.lit(":"),
+                    F.col("r").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.lit(8)
+    for i in range(len(t) - 1, -1, -1):
+        w = F.when(u < t[i], F.lit(i)).otherwise(w)
+    means = (
+        rs.withColumn("w", w)
+        .groupBy("r")
+        .agg(
+            F.round(
+                F.sum(F.col("w") * F.col("c"))
+                * F.lit(1.0)
+                / (F.sum("w") * F.lit(100.0)),
+                4,
+            ).alias("m")
+        )
+    )
+    ranked = means.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy().orderBy("m", "r")
+        ),
+    )
+    f = base.agg(
+        F.round(
+            F.sum("c") * F.lit(1.0) / (F.count(F.lit(1)) * F.lit(100.0)),
+            4,
+        ).alias("mean_full")
+    )
+    ci = ranked.agg(
+        F.max(F.when(F.col("rk") == 2, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("rk") == 31, F.col("m"))).alias("ci_hi"),
+    )
+    return (
+        ci.crossJoin(f)
+        .select(
+            F.lit(32).alias("n_resamples"),
+            "mean_full",
+            "ci_lo",
+            "ci_hi",
+        )
+    )
