@@ -77,3 +77,59 @@ def merge_aggregate_state(
         rule = _COMBINE[kind]
         cols.append(rule(F.col(f"s.{out}"), F.col(f"d.{out}")).alias(out))
     return merged.select(*cols)
+
+
+def _join_mult(
+    a: DataFrame, b: DataFrame, on: list[str], mult: str
+) -> DataFrame:
+    aa = a.withColumnRenamed(mult, "_ma")
+    bb = b.withColumnRenamed(mult, "_mb")
+    return (
+        aa.join(bb, on)
+        .withColumn(mult, F.col("_ma") * F.col("_mb"))
+        .drop("_ma", "_mb")
+    )
+
+
+def join_delta(
+    r_old: DataFrame,
+    s_old: DataFrame,
+    dr: DataFrame,
+    ds: DataFrame,
+    on: list[str],
+    mult: str = "_mult",
+) -> DataFrame:
+    """Incremental view maintenance for an inner equi-join, bag
+    algebra (the DBToaster/differential-dataflow delta rule):
+    Δ(R ⋈ S) = ΔR⋈S ∪ R⋈ΔS ∪ ΔR⋈ΔS, with every table carrying a
+    row MULTIPLICITY column — an insert is +1, a delete is −1, and
+    join multiplicities multiply, so deletions retract exactly the
+    join rows they produced. ``apply_delta`` consolidates.
+
+    Completes the IVM story next to ``aggregate_delta`` (which
+    maintains aggregates): together a 100 TB materialized join-agg
+    view updates in time proportional to the BATCH, not the view —
+    the two delta joins touch only the delta's keys (bucketed state
+    layouts make the big side shuffle-free), and the ΔR⋈ΔS term is
+    delta-sized on both sides."""
+    return (
+        _join_mult(dr, s_old, on, mult)
+        .unionByName(_join_mult(r_old, ds, on, mult))
+        .unionByName(_join_mult(dr, ds, on, mult))
+    )
+
+
+def apply_delta(
+    state: DataFrame, delta: DataFrame, mult: str = "_mult"
+) -> DataFrame:
+    """Consolidate a state table with a delta: union, sum
+    multiplicities per distinct row, drop zeros (a fully retracted
+    row vanishes — the invariant that keeps state from growing with
+    churn)."""
+    cols = [c for c in state.columns if c != mult]
+    return (
+        state.unionByName(delta.select(*state.columns))
+        .groupBy(*cols)
+        .agg(F.sum(mult).alias(mult))
+        .filter(F.col(mult) != 0)
+    )
