@@ -134,6 +134,7 @@ _GRADE_FIRST = [
     "qs177_winnow_fingerprints",
     "qs178_sparse_cosine_neighbors",
     "qs179_bootstrap_ci",
+    "qs180_clamped_balance",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

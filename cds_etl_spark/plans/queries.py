@@ -7806,3 +7806,72 @@ def qs179(spark: SparkSession, sf: str) -> DataFrame:
             "ci_hi",
         )
     )
+
+
+@query(
+    "qs180_clamped_balance",
+    oracle="""
+    WITH RECURSIVE tx AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100) AS BIGINT)
+                  ELSE -CAST(ROUND(value * 100) AS BIGINT) END AS d,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type IN ('purchase', 'error')),
+    bal AS (
+      SELECT user_id, event_id, rn, GREATEST(0, d) AS b
+      FROM tx WHERE rn = 1
+      UNION ALL
+      SELECT t.user_id, t.event_id, t.rn, GREATEST(0, bal.b + t.d)
+      FROM bal JOIN tx t
+        ON t.user_id = bal.user_id AND t.rn = bal.rn + 1)
+    SELECT user_id, event_id, CAST(b AS BIGINT) AS balance_cents
+    FROM bal
+    """,
+)
+def qs180(spark: SparkSession, sf: str) -> DataFrame:
+    """Floor-clamped running balance — credits (purchases) add,
+    debits (errors) subtract, and the balance never goes below zero:
+    the wallet/inventory/rate-limiter recursion
+    b_t = max(0, b_{t-1} + d_t) that naive SQL cannot state without
+    row-by-row recursion. The ORACLE states exactly that recursive
+    definition (WITH RECURSIVE stepping rn by rn). The Spark side
+    uses the CLOSED FORM instead:
+    b_t = prefix_t − min(0, min_{s≤t} prefix_s) — two running
+    aggregates in ONE window pass, O(n) with one shuffle — so the
+    differential proves the identity on real data. At 100 TB the
+    recursion is depth×corpus joins; the closed form is one window.
+
+    Determinism: deltas are exact integer cents, both running
+    aggregates are exact integer sums/mins, no floats anywhere."""
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    tx = ev.filter(
+        F.col("event_type").isin("purchase", "error")
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", cents)
+        .otherwise(-cents)
+        .alias("d"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        tx.withColumn("p", F.sum("d").over(w))
+        .withColumn("mp", F.min("p").over(w))
+        .select(
+            "user_id",
+            "event_id",
+            (
+                F.col("p")
+                - F.least(F.lit(0).cast("long"), F.col("mp"))
+            ).alias("balance_cents"),
+        )
+    )
+    return out
