@@ -135,6 +135,7 @@ _GRADE_FIRST = [
     "qs178_sparse_cosine_neighbors",
     "qs179_bootstrap_ci",
     "qs180_clamped_balance",
+    "qs181_mannwhitney_auc",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

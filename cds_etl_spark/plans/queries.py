@@ -7875,3 +7875,85 @@ def qs180(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return out
+
+
+@query(
+    "qs181_mannwhitney_auc",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id % 2 AS cohort,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events),
+    ranked AS (
+      SELECT cohort,
+             2 * RANK() OVER (ORDER BY c)
+               + COUNT(*) OVER (PARTITION BY c) - 1 AS r2
+      FROM obs),
+    agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n1,
+        CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n2,
+        CAST(SUM(CASE WHEN cohort = 0 THEN r2 ELSE 0 END) AS BIGINT)
+          AS r1x2
+      FROM ranked)
+    SELECT n1, n2,
+           r1x2 - n1 * (n1 + 1) AS u1_x2,
+           CAST(ROUND((r1x2 - n1 * (n1 + 1)) * 1000000.0
+                      / (2.0 * n1 * n2)) AS BIGINT) AS auc_e6
+    FROM agg
+    """,
+)
+def qs181(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann–Whitney U / AUC — the nonparametric two-sample test the
+    parametric qs168 z-test cannot replace when values are skewed:
+    U measures how often a cohort-0 value outranks a cohort-1 value,
+    and U/(n1·n2) IS the AUC (P(X₀ > X₁) + ½P(=)). The
+    experimentation readout robust to outliers.
+
+    Determinism: tie-averaged ranks stay EXACT by carrying 2×rank —
+    2·avg_rank = 2·min_rank + (ties−1) is an integer — so the rank
+    sum, U (×2), and everything up to the single e6-scaled division
+    are exact integer arithmetic. Plan: one global sort (Spark's
+    range-partitioned distributed sort), two windows ON that order,
+    a one-row aggregate; the corpus never joins itself the way the
+    textbook all-pairs definition of U would."""
+    ev = load_table(spark, sf, "events")
+    obs = ev.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    ranked = obs.select(
+        "cohort",
+        (
+            F.lit(2) * F.rank().over(Window.partitionBy().orderBy("c"))
+            + F.count(F.lit(1)).over(Window.partitionBy("c"))
+            - F.lit(1)
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("cohort") == 0, F.col("r2")).otherwise(0))
+        .cast("long")
+        .alias("r1x2"),
+    )
+    n1, n2, r1x2 = F.col("n1"), F.col("n2"), F.col("r1x2")
+    u1x2 = r1x2 - n1 * (n1 + F.lit(1))
+    return agg.select(
+        "n1",
+        "n2",
+        u1x2.alias("u1_x2"),
+        F.round(
+            u1x2 * F.lit(1000000.0) / (F.lit(2.0) * n1 * n2)
+        )
+        .cast("long")
+        .alias("auc_e6"),
+    )
