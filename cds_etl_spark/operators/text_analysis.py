@@ -247,3 +247,57 @@ def gopher_quality_flags(text: Column) -> dict[str, Column]:
     }
     flags["pass"] = flags["words_ok"] & flags["mean_len_ok"] & flags["stopwords_ok"] & flags["alpha_ok"]
     return flags
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    form: str = "NFC",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Unicode-canonical text normalization — the pass every corpus
+    pipeline runs BEFORE hashing/deduping/tokenizing, because
+    composed ``é`` and decomposed ``e +  ́`` are different bytes and
+    therefore different shingles, different MinHashes, different
+    BPE merges: normalize first or every downstream dedup silently
+    under-recalls. Applies ``unicodedata.normalize(form)``, strips
+    zero-width/soft-hyphen codepoints and C0/C1 controls, optionally
+    casefolds, and collapses whitespace runs to single spaces.
+
+    This is a deliberate Arrow-batched ``pandas_udf`` (the one
+    sanctioned Python path): the JVM has no Unicode-normalization
+    builtin, the work is per-row with no shuffle, and Arrow moves
+    the strings in columnar batches. Idempotent: normalizing twice
+    equals normalizing once (property-tested)."""
+    import re
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    drop = dict.fromkeys(
+        [0x200B, 0x200C, 0x200D, 0x2060, 0xFEFF, 0x00AD]
+    )
+    ctrl = re.compile(r"[\x00-\x08\x0B-\x1F\x7F-\x9F]")
+    ws = re.compile(r"\s+")
+
+    def _norm_fn(s):
+        def f(x):
+            if x is None:
+                return None
+            t = unicodedata.normalize(form, x)
+            t = t.translate(drop)
+            t = ctrl.sub(" ", t)
+            if lowercase:
+                t = t.casefold()
+            return ws.sub(" ", t).strip()
+
+        return s.map(f)
+
+    # Annotations set as REAL objects: the module's future-annotations
+    # import stringifies inline hints, which pyspark's type-hint
+    # resolver cannot evaluate against a function-local `pd`.
+    _norm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _norm = pandas_udf(_norm_fn, "string")
+    return df.withColumn(out_col or text_col, _norm(F.col(text_col)))

@@ -53,3 +53,27 @@ def test_bm25_multi_term_sums_contributions(spark):
     two = {r["id"]: r["score"] for r in bm25_scores(corpus, "id", "text", ["a", "b"]).collect()}
     assert two[1] > one[1]  # doc 1 gains the 'b' contribution
     assert two[2] == pytest.approx(one[2])  # doc 2 unchanged
+
+
+def test_normalize_text_unicode_canonical(spark):
+    """Composed and decomposed forms must normalize to identical
+    bytes (the property that keeps dedup hashes honest), zero-width
+    and control characters vanish, whitespace collapses, NULLs pass
+    through, and the pass is idempotent."""
+    from cds_etl_spark.operators.text_analysis import normalize_text
+
+    composed = "Café Noël"           # é, ë precomposed
+    decomposed = "Café Noël"        # e + combining marks
+    messy = "a​b­c\x07d   e\t f"      # zw, soft hyphen, BEL
+    rows = [(1, composed), (2, decomposed), (3, messy), (4, None)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r["text"] for r in normalize_text(df).collect()}
+    assert out[1] == out[2] == "café noël"
+    assert out[3] == "abc d e f"
+    assert out[4] is None
+    # Idempotent: a second pass changes nothing.
+    once = normalize_text(df)
+    twice = normalize_text(once)
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, twice.collect())
+    )
