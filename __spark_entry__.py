@@ -136,6 +136,8 @@ _GRADE_FIRST = [
     "qs179_bootstrap_ci",
     "qs180_clamped_balance",
     "qs181_mannwhitney_auc",
+    "qs182_kaplan_meier",
+    "qs183_weighted_median",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

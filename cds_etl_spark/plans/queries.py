@@ -7957,3 +7957,155 @@ def qs181(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("auc_e6"),
     )
+
+
+@query(
+    "qs182_kaplan_meier",
+    oracle="""
+    WITH deaths AS (
+      SELECT CAST(MAX(CAST(ts AS DATE)) AS DATE) AS day
+      FROM events GROUP BY user_id),
+    d AS (SELECT day, COUNT(*) AS deaths FROM deaths GROUP BY day),
+    t AS (SELECT CAST(SUM(deaths) AS BIGINT) AS total FROM d),
+    risk AS (
+      SELECT day, deaths,
+             (SELECT total FROM t)
+               - COALESCE(SUM(deaths) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS at_risk
+      FROM d),
+    km AS (
+      SELECT day, deaths, at_risk,
+             SUM(ln(CASE WHEN deaths = at_risk THEN 1.0
+                         ELSE 1.0 - deaths * 1.0 / at_risk END))
+               OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS lsum
+      FROM risk)
+    SELECT day, CAST(deaths AS BIGINT) AS deaths,
+           CAST(at_risk AS BIGINT) AS at_risk,
+           ROUND(CASE WHEN at_risk = deaths THEN 0.0
+                      ELSE exp(lsum) END, 4) AS survival
+    FROM km
+    """,
+)
+def qs182(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan–Meier survival curve for user churn — "death" is a
+    user's LAST active day, and S(t) = Π (1 − dᵢ/nᵢ) over death days
+    ≤ t with nᵢ the users still alive entering day i: the retention
+    statistic qs116's cohort triangle summarizes, stated as the
+    estimator survival analysis actually uses.
+
+    Determinism: deaths and at-risk counts are exact integers from
+    ONE per-user aggregate (the corpus collapses to users, then to
+    days — the curve computes over ≤ #days rows); the product is
+    exp(Σ ln(·)) of exact-integer ratios, ROUNDed at 4 dp (the qs84
+    ln cross-engine contract), with the final all-dead day pinned to
+    exactly 0 on both sides rather than exp(ln 0). Plan: two narrow
+    groupBys + windows over the days-sized aggregate."""
+    ev = load_table(spark, sf, "events")
+    deaths = (
+        ev.groupBy("user_id")
+        .agg(F.max(F.col("ts").cast("date")).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("deaths"))
+    )
+    wall = Window.partitionBy()
+    wprev = Window.partitionBy().orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wcum = Window.partitionBy().orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    km = deaths.withColumn(
+        "at_risk",
+        F.sum("deaths").over(wall)
+        - F.coalesce(F.sum("deaths").over(wprev), F.lit(0)),
+    ).withColumn(
+        # Terminal day (everyone left dies): the factor is 0, whose
+        # log both engines reject/NULL — contribute ln(1)=0 instead;
+        # the outer CASE pins that day's survival to exactly 0.
+        "lsum",
+        F.sum(
+            F.log(
+                F.when(
+                    F.col("deaths") == F.col("at_risk"), F.lit(1.0)
+                ).otherwise(
+                    F.lit(1.0)
+                    - F.col("deaths") * F.lit(1.0) / F.col("at_risk")
+                )
+            )
+        ).over(wcum),
+    )
+    return km.select(
+        "day",
+        F.col("deaths").cast("long").alias("deaths"),
+        F.col("at_risk").cast("long").alias("at_risk"),
+        F.round(
+            F.when(
+                F.col("at_risk") == F.col("deaths"), F.lit(0.0)
+            ).otherwise(F.exp("lsum")),
+            4,
+        ).alias("survival"),
+    )
+
+
+@query(
+    "qs183_weighted_median",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag AS flag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c,
+             CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem),
+    g AS (SELECT flag, c, SUM(q) AS q FROM b GROUP BY flag, c),
+    w AS (
+      SELECT flag, c,
+             SUM(q) OVER (PARTITION BY flag ORDER BY c
+                          ROWS UNBOUNDED PRECEDING) AS cq,
+             SUM(q) OVER (PARTITION BY flag) AS tq
+      FROM g)
+    SELECT flag AS l_returnflag,
+           CAST(MIN(CASE WHEN 2 * cq >= tq THEN c END) AS BIGINT)
+             AS wmedian_cents,
+           CAST(MAX(tq) AS BIGINT) AS total_qty
+    FROM w GROUP BY flag
+    """,
+)
+def qs183(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact QUANTITY-WEIGHTED median price per return flag — the
+    lower weighted median (first price where cumulative weight
+    reaches half the total): what "typical price" means when a line
+    of 50 units should count 50×. Complements qs44 (unweighted
+    interpolated percentiles) and qs154 (mergeable histogram
+    quantiles) as the third percentile physics.
+
+    Determinism: pure integer arithmetic — prices as cents,
+    cumulative and total weights as exact sums, the half-total test
+    cross-multiplied (2·cum ≥ total, no division), MIN as the
+    tie-break. Plan: one narrow (flag, price) pre-aggregate
+    collapses the corpus, windows run over that, and the final
+    groupBy is flags-sized."""
+    li = load_table(spark, sf, "lineitem")
+    b = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("c"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    g = b.groupBy("flag", "c").agg(F.sum("q").alias("q"))
+    w = g.withColumn(
+        "cq",
+        F.sum("q").over(
+            Window.partitionBy("flag")
+            .orderBy("c")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn("tq", F.sum("q").over(Window.partitionBy("flag")))
+    return w.groupBy(F.col("flag").alias("l_returnflag")).agg(
+        F.min(
+            F.when(F.lit(2) * F.col("cq") >= F.col("tq"), F.col("c"))
+        )
+        .cast("long")
+        .alias("wmedian_cents"),
+        F.max("tq").cast("long").alias("total_qty"),
+    )
