@@ -716,3 +716,95 @@ def stream_commitlog_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_heavy_hitters(
+    stream: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    item_col: str = "event_type",
+    k: int = 5,
+    depth: int = 4,
+    width: int = 256,
+) -> None:
+    """Continuous heavy-hitters monitoring from MERGEABLE sketches:
+    each micro-batch builds its own Count-Min sketch
+    (``operators/sketches.cms_build``) and lands it in an
+    epoch-named state partition; the current top-k estimate is read
+    from the MERGE of all epoch sketches (counters are additive —
+    ``cms_merge`` is a union + sum, never a raw-data rescan). The
+    "what's trending across the whole stream so far" question at
+    sketch cost.
+
+    Replay safety comes from the partition layout, not a ledger: a
+    replayed epoch OVERWRITES its own sketch partition byte-for-byte
+    (sketch building is deterministic), so merged totals never
+    double-count — the same idempotence-by-overwrite the drift and
+    anomaly monitors use. State size: epochs × depth × width counter
+    rows, compactable by pre-merging old epochs into one partition.
+    Candidate top-k come from the UNION of every epoch's observed
+    item set (persisted beside the sketches — CMS estimates need
+    candidates, and a batch without yesterday's trending item must
+    still rank it)."""
+    from cds_etl_spark.operators.sketches import cms_build, cms_merge
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sk = cms_build(batch_df, item_col, depth=depth, width=width)
+        sk.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "sketch", f"batch_id={epoch_id}")
+        )
+        batch_df.select(F.col(item_col).alias("item")).distinct().write.mode(
+            "overwrite"
+        ).parquet(os.path.join(state_dir, "items", f"batch_id={epoch_id}"))
+        merged = cms_merge(
+            spark.read.parquet(os.path.join(state_dir, "sketch"))
+        )
+        # Estimate = min over rows of the item's bucket counter.
+        items = (
+            spark.read.parquet(os.path.join(state_dir, "items"))
+            .select("item")
+            .distinct()
+        )
+        est = (
+            items.crossJoin(
+                merged.withColumnRenamed("cnt", "_cnt")
+            )
+            .filter(
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col("j").cast("string"),
+                                    F.lit(":"),
+                                    F.col("item"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % F.lit(width)
+                )
+                == F.col("bucket")
+            )
+            .groupBy("item")
+            .agg(F.min("_cnt").alias("est_count"))
+            .orderBy(F.col("est_count").desc(), "item")
+            .limit(k)
+        )
+        est.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={epoch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
