@@ -315,3 +315,63 @@ def weighted_sssp(
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007): every node starts in its own community and each
+    round adopts the most frequent label among its neighbors —
+    unlike :func:`connected_components` (which asks "is there ANY
+    path") this asks "where is the DENSITY", so two cliques joined
+    by one bridge edge resolve into two communities while components
+    would merge them.
+
+    Determinism (the part naive LPA lacks): rounds are synchronous
+    (all nodes update from the same snapshot), the neighbor-label
+    vote breaks ties by (count DESC, label ASC) via one max-struct
+    aggregate, and the round count is fixed — identical input gives
+    identical communities on any partitioning, every run.
+
+    Scale: one round = edges ⋈ labels (node-keyed, the labels side
+    one narrow row per node) + a (node, label) count + a max-struct
+    argmax — two shuffles per round, lineage cut per round with an
+    eager localCheckpoint (the connected_components pattern). Label
+    skew is bounded: vote rows per node = its degree.
+
+    Returns (node, community)."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        e.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("community", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        votes = (
+            e.join(labels, e["b"] == labels["node"])
+            .select(F.col("a").alias("n"), F.col("community").alias("l"))
+            .groupBy("n", "l")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.groupBy("n")
+            .agg(
+                F.max_by(
+                    F.col("l"), F.struct(F.col("c"), (-F.col("l")).alias("_t"))
+                ).alias("community")
+            )
+            .select(F.col("n").alias("node"), "community")
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -181,3 +181,38 @@ def test_weighted_sssp_hand_graph(spark):
         for r in weighted_sssp(edges, "s", max_hops=2).collect()
     }
     assert d2 == {"a": 1, "b": 2, "c": 10, "d": 11}
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    from cds_etl_spark.operators.components import (
+        connected_components,
+        label_propagation,
+    )
+
+    # Two 6-cliques joined by ONE bridge edge: components merges
+    # them; label propagation must keep them apart.
+    def clique(base):
+        return [
+            (base + i, base + j)
+            for i in range(6)
+            for j in range(i + 1, 6)
+        ]
+
+    edges = spark.createDataFrame(
+        clique(0) + clique(100) + [(5, 100)], "src long, dst long"
+    )
+    lab = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges).collect()
+    }
+    left = {lab[i] for i in range(6)}
+    right = {lab[100 + i] for i in range(6)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+    comp = connected_components(edges, "src", "dst")
+    assert comp.select("component").distinct().count() == 1
+    # Deterministic: a second run is identical.
+    again = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges).collect()
+    }
+    assert again == lab
