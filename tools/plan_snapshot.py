@@ -1,0 +1,110 @@
+"""Physical-plan shape snapshots — the regression guard for "the plan
+you'd want".
+
+A correctness suite cannot notice a lost broadcast, a vanished
+partial aggregate, or a new Exchange: the answers stay right while
+the 100 TB plan silently degrades. This tool freezes the NORMALIZED
+physical-plan shape (node names + tree structure; expression ids,
+codegen stage numbers, paths, and statistics stripped) of a
+representative query set into a golden file, and
+``tests/test_plan_shapes.py`` fails when any shape drifts — plan
+changes become explicit, reviewed diffs instead of accidents.
+
+Update after an INTENTIONAL plan change:
+
+    python tools/plan_snapshot.py --update
+
+The snapshot uses a plain vanilla session over raw sf0.01 testdata
+(no engine confs, no bucketed warehouse) so it captures the
+optimizer's unaided behavior — the same environment as the driver's
+correctness runs.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+GOLDEN = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "..",
+    "tests",
+    "golden",
+    "plan_shapes.txt",
+)
+
+# Representative shapes: every bench headline + one per join/window/
+# sketch/graph-adjacent physics family added since.
+SNAPSHOT_QUERIES = [
+    "qs01_scan_filter_project",
+    "qs03_broadcast_join",
+    "qs10_groupby_agg_tpch_q1",
+    "qs14_combine_rows_string_agg",
+    "qs20_topk_per_group",
+    "qs31_regex_filter",
+    "qs41_distinct",
+    "qs100_tpch_q3",
+    "qs140_tpch_q8_market_share",
+    "qs167_zscore_anomaly",
+    "qs171_cms_join_size",
+    "qs180_clamped_balance",
+]
+
+
+def normalized_plan(df) -> str:
+    """Executed (pre-materialization AQE initial) physical plan,
+    normalized to its stable shape: node names and nesting only —
+    crucially INCLUDING Exchange nodes, so a new shuffle or a lost
+    broadcast fails the snapshot."""
+    raw = df._jdf.queryExecution().executedPlan().toString()
+    out = []
+    for line in raw.splitlines():
+        # Strip codegen stage markers and keep tree prefix + node name.
+        line = re.sub(r"\*\(\d+\)\s*", "", line)
+        m = re.match(r"^([ :+\-]*)([A-Za-z][A-Za-z0-9_]*)", line)
+        if not m:
+            continue
+        prefix, node = m.groups()
+        # Subtree continuation lines of a multi-line node repeat the
+        # node name only on the first line; keep those only.
+        out.append(f"{prefix}{node}")
+    return "\n".join(out)
+
+
+def build_snapshot(spark, sf_dir: str) -> str:
+    from cds_etl_spark.plans import QUERIES
+
+    parts = []
+    for name in SNAPSHOT_QUERIES:
+        df = QUERIES[name](spark, sf_dir)
+        parts.append(f"=== {name} ===\n{normalized_plan(df)}")
+    return "\n\n".join(parts) + "\n"
+
+
+def main() -> None:
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."),
+    )
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    snap = build_snapshot(spark, "/root/testdata/sf0.01")
+    if "--update" in sys.argv:
+        os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
+        with open(GOLDEN, "w") as fh:
+            fh.write(snap)
+        print(f"wrote {GOLDEN} ({len(snap.splitlines())} lines)")
+    else:
+        print(snap)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
