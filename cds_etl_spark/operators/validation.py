@@ -311,3 +311,74 @@ def ui_validation(
         report_rows, "Missing_Properties string, UI_Related boolean, Raw_Data_File string"
     )
     return tables, report
+
+
+def schema_drift_report(
+    expected: "StructType", observed: "StructType"
+) -> "DataFrame | list[dict]":
+    """Compare an arriving batch's schema against the registered
+    contract — the ingest-governance gate that catches an upstream
+    change BEFORE it corrupts a 100 TB table: silently-added columns
+    (dropped by projection today, someone's data tomorrow), removed
+    columns (NULL floods), type changes (parquet scan errors or
+    lossy coercions), and nullability loosening (constraint
+    violations downstream).
+
+    Pure metadata — no Spark job, no data touched. Returns a list of
+    finding dicts {column, kind, expected, observed, breaking}:
+    ``removed``/``type_changed`` and nullable-tightening are
+    BREAKING (readers malfunction), ``added`` and
+    nullable-loosening are non-breaking (writers grew). Empty list =
+    schemas agree. The generalization of the reference's fixed-sheet
+    column validation (cds-transformation_v1.3.py's
+    missing-property reporting) to arbitrary schema pairs."""
+    exp = {f.name: f for f in expected.fields}
+    obs = {f.name: f for f in observed.fields}
+    findings: list[dict] = []
+    for name, f in exp.items():
+        if name not in obs:
+            findings.append(
+                {
+                    "column": name,
+                    "kind": "removed",
+                    "expected": f.dataType.simpleString(),
+                    "observed": None,
+                    "breaking": True,
+                }
+            )
+            continue
+        o = obs[name]
+        if f.dataType != o.dataType:
+            findings.append(
+                {
+                    "column": name,
+                    "kind": "type_changed",
+                    "expected": f.dataType.simpleString(),
+                    "observed": o.dataType.simpleString(),
+                    "breaking": True,
+                }
+            )
+        if f.nullable != o.nullable:
+            findings.append(
+                {
+                    "column": name,
+                    "kind": "nullability_changed",
+                    "expected": f"nullable={f.nullable}",
+                    "observed": f"nullable={o.nullable}",
+                    # Loosening (required -> nullable) breaks readers
+                    # that rely on the constraint; tightening is safe.
+                    "breaking": (not f.nullable) and o.nullable,
+                }
+            )
+    for name, o in obs.items():
+        if name not in exp:
+            findings.append(
+                {
+                    "column": name,
+                    "kind": "added",
+                    "expected": None,
+                    "observed": o.dataType.simpleString(),
+                    "breaking": False,
+                }
+            )
+    return findings

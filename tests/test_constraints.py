@@ -41,3 +41,40 @@ def test_check_constraints(spark):
     # No Python in the plan: expressions only.
     plan = check_constraints({"file": df}, MODEL)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_schema_drift_report_kinds_and_breaking():
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from cds_etl_spark.operators.validation import schema_drift_report
+
+    expected = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("name", StringType(), True),
+            StructField("gone", StringType(), True),
+        ]
+    )
+    observed = StructType(
+        [
+            StructField("id", LongType(), True),      # loosened
+            StructField("name", LongType(), True),    # type change
+            StructField("extra", StringType(), True), # added
+        ]
+    )
+    fs = {
+        (f["column"], f["kind"]): f["breaking"]
+        for f in schema_drift_report(expected, observed)
+    }
+    assert fs == {
+        ("gone", "removed"): True,
+        ("name", "type_changed"): True,
+        ("id", "nullability_changed"): True,
+        ("extra", "added"): False,
+    }
+    assert schema_drift_report(expected, expected) == []
