@@ -318,3 +318,28 @@ def read_changes(
             [], StructType.fromJson(json.loads(new_manifest["schema"]))
         )
     return spark.read.parquet(*added)
+
+
+def commit_merge(
+    source: DataFrame,
+    table: str,
+    key_cols: list[str],
+    **merge_kwargs,
+) -> int:
+    """MERGE INTO the commit-log table, atomically: read the CURRENT
+    snapshot, apply the keyed upsert (operators/reconcile.merge_into
+    — update matched, insert unmatched, optional delete condition),
+    and publish the result as one overwrite commit. Readers never see
+    a half-merged table; the previous version stays time-travelable
+    until vacuum — the Delta/Iceberg MERGE flow on the minimal
+    protocol. Concurrency note: read-modify-write spans two commits'
+    worth of time, so a concurrent writer landing in between is
+    serialized AFTER this merge by the version race (the rename
+    retry re-reads nothing here — callers needing strict
+    serializable merges should single-writer the table)."""
+    from cds_etl_spark.operators.reconcile import merge_into
+
+    spark = source.sparkSession
+    target = read_snapshot(spark, table)
+    merged = merge_into(target, source, key_cols, **merge_kwargs)
+    return commit_overwrite(merged, table)

@@ -147,3 +147,41 @@ def test_read_changes_incremental(spark, tmp_path):
     commit_overwrite(_df(spark, 100, 101), t)
     with pytest.raises(ValueError):
         read_changes(spark, t, v1, v2 + 1)
+
+
+def test_commit_merge_atomic_upsert(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from cds_etl_spark.sources.commitlog import commit_merge
+
+    t = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k long, name string, v long",
+    )
+    commit_append(base, t)
+    updates = spark.createDataFrame(
+        [(2, "B", 99), (4, "d", 40)], "k long, name string, v long"
+    )
+    v = commit_merge(updates, t, ["k"])
+    got = sorted(
+        tuple(r) for r in read_snapshot(spark, t, v).collect()
+    )
+    assert got == [
+        (1, "a", 10), (2, "B", 99), (3, "c", 30), (4, "d", 40),
+    ]
+    # Pre-merge snapshot untouched (time travel).
+    before = sorted(
+        tuple(r) for r in read_snapshot(spark, t, v - 1).collect()
+    )
+    assert before == [(1, "a", 10), (2, "b", 20), (3, "c", 30)]
+    # Delete condition flows through.
+    v2 = commit_merge(
+        spark.createDataFrame([(3, "c", 0)], "k long, name string, v long"),
+        t,
+        ["k"],
+        delete_condition=F.col("v") == 0,
+    )
+    assert sorted(
+        r["k"] for r in read_snapshot(spark, t, v2).collect()
+    ) == [1, 2, 4]
