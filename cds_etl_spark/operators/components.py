@@ -375,3 +375,57 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """The k-core: the maximal subgraph where every node has degree
+    ≥ k, computed by iterative peeling — drop all nodes with degree
+    < k, recompute degrees (removals lower neighbors' degrees),
+    repeat to a fixed point. The standard dense-substructure filter
+    (spam rings, engaged-community extraction) one tier up from
+    degree thresholds: a node with 100 low-quality neighbors
+    survives a degree filter but not the core.
+
+    Deterministic by construction (each round removes a SET, no
+    ordering anywhere). Each round is a degree aggregate + a semi
+    join of the edge list against surviving nodes — edges shrink
+    monotonically, lineage cut per round; rounds ≤ nodes peeled, in
+    practice a handful (``max_rounds`` is a backstop, and the
+    fixed point is detected by count, which each round computes
+    anyway for the degree aggregate).
+
+    Returns the surviving ``(node, degree)`` rows (degree within
+    the core)."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select("a")
+        n_before = deg.count()
+        n_after = keep.count()
+        if n_after == n_before:
+            return deg.select(F.col("a").alias("node"), "degree")
+        if n_after == 0:
+            return deg.select(
+                F.col("a").alias("node"), "degree"
+            ).limit(0)
+        e = (
+            e.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.filter(F.col("degree") >= k).select(
+        F.col("a").alias("node"), "degree"
+    )

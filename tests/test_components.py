@@ -216,3 +216,23 @@ def test_label_propagation_splits_bridged_cliques(spark):
         for r in label_propagation(edges).collect()
     }
     assert again == lab
+
+
+def test_k_core_peels_tendrils_keeps_clique(spark):
+    from cds_etl_spark.operators.components import k_core
+
+    # A 5-clique (every degree 4) with a chain of tendrils hanging
+    # off it: 0-1-2-3-4 complete, then 4-10-11-12. The 3-core is
+    # exactly the clique — the chain peels away layer by layer
+    # (which requires the ITERATION: node 10's initial degree is 2
+    # only after 11 goes, proving single-pass filtering is wrong).
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    chain = [(4, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(clique + chain, "src long, dst long")
+    core3 = {
+        r["node"]: r["degree"] for r in k_core(edges, 3).collect()
+    }
+    assert core3 == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4}
+    # k=1 keeps everything; k=5 empties (max degree in core is 4).
+    assert k_core(edges, 1).count() == 8
+    assert k_core(edges, 5).count() == 0

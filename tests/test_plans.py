@@ -398,3 +398,50 @@ def test_partsupp_extras_plan_shapes(spark, tmp_path_factory):
     # the lineitem aggregation (partial+final over l_partkey,l_suppkey)
     # appears below the partsupp join, i.e. pre-aggregation survived.
     assert p20.count("HashAggregate") >= 2
+
+
+def test_runtime_bloom_filter_join_injection(spark, sf_dir):
+    """Spark's runtime row-level bloom filter (SPARK-32268): with a
+    selective filter on the small join side, the optimizer injects a
+    bloom_filter_agg on the build side and a might_contain probe
+    into the big side's scan — rows that cannot match are dropped
+    BEFORE the shuffle. At 100 TB this activates by itself (the
+    application-side threshold defaults to 10 GB); here the
+    thresholds are lowered to make the injection observable at test
+    scale. This is evidence the engine's sessions leave the feature
+    reachable, plus documentation of the knobs that govern it."""
+    from pyspark.sql import functions as F
+
+    from cds_etl_spark.catalog import load_table
+
+    knobs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in knobs.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+        # And the filtered result is still right.
+        assert j.count() == 1
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
