@@ -138,6 +138,8 @@ _GRADE_FIRST = [
     "qs181_mannwhitney_auc",
     "qs182_kaplan_meier",
     "qs183_weighted_median",
+    "qs184_powerlaw_fit",
+    "qs185_rolling_actives",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

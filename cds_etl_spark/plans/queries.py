@@ -8109,3 +8109,101 @@ def qs183(spark: SparkSession, sf: str) -> DataFrame:
         .alias("wmedian_cents"),
         F.max("tq").cast("long").alias("total_qty"),
     )
+
+
+@query(
+    "qs184_powerlaw_fit",
+    oracle="""
+    WITH freq AS (
+      SELECT o_custkey, COUNT(*) AS f FROM orders GROUP BY o_custkey),
+    fit AS (SELECT f FROM freq WHERE f >= 5)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_fit,
+           CAST(5 AS BIGINT) AS fmin,
+           ROUND(1.0 + COUNT(*) / SUM(ln(f / 4.5)), 4) AS alpha
+    FROM fit
+    """,
+)
+def qs184(spark: SparkSession, sf: str) -> DataFrame:
+    """Power-law exponent of the key-frequency distribution — the
+    Clauset/Shalizi/Newman continuous-MLE estimate
+    α = 1 + n / Σ ln(fᵢ/(fmin−½)) over keys at or above fmin: the
+    "is this Zipfian, and how hard" companion to qs175's skew
+    diagnosis (Gini says HOW concentrated; α says what LAW the tail
+    follows — the number that predicts how much worse skew gets at
+    100× the data).
+
+    Determinism: frequencies are exact integers; each ln sees an
+    exact small-integer ratio and the ~customer-count-term float sum
+    is ROUNDed at 4 dp (the qs84/qs182 ln contract). Plan: one
+    narrow groupBy collapses the corpus to keys, then a keys-sized
+    aggregate."""
+    o = load_table(spark, sf, "orders")
+    freq = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("f"))
+    fit = freq.filter(F.col("f") >= 5)
+    return fit.agg(
+        F.count(F.lit(1)).cast("long").alias("n_fit"),
+        F.lit(5).cast("long").alias("fmin"),
+        F.round(
+            F.lit(1.0)
+            + F.count(F.lit(1)) / F.sum(F.log(F.col("f") / F.lit(4.5))),
+            4,
+        ).alias("alpha"),
+    )
+
+
+@query(
+    "qs185_rolling_actives",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    days AS (SELECT DISTINCT day FROM ud),
+    wau AS (
+      SELECT d.day,
+             COUNT(DISTINCT u.user_id) AS wau
+      FROM days d JOIN ud u
+        ON u.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day),
+    dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day)
+    SELECT dau.day, CAST(dau AS BIGINT) AS dau,
+           CAST(wau AS BIGINT) AS wau
+    FROM dau JOIN wau ON dau.day = wau.day
+    """,
+)
+def qs185(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling active users — DAU and trailing-7-day WAU per day,
+    the engagement curve every product dashboard opens with. The
+    ORACLE states the naive definition (each day range-joins every
+    user-day within its window — O(days × activity)). The Spark
+    side inverts it: each (user, day) activity CONTRIBUTES itself
+    to the 7 days it keeps active (a ×7 row-local explode), so WAU
+    is a plain distinct count per day — the corpus is touched once
+    and the explode factor is the window length, not the day count.
+    The contribution-explode is the formulation that survives a
+    3-year × 100M-user table.
+
+    Determinism: pure exact counts. Only days with activity are
+    emitted (both sides agree by construction)."""
+    ev = load_table(spark, sf, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), 6)
+            )
+        ).alias("day"),
+    )
+    wau = contrib.groupBy("day").agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+        )
+    )
