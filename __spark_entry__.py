@@ -140,6 +140,8 @@ _GRADE_FIRST = [
     "qs183_weighted_median",
     "qs184_powerlaw_fit",
     "qs185_rolling_actives",
+    "qs186_session_stats",
+    "qs187_basket_lift",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

@@ -8207,3 +8207,146 @@ def qs185(spark: SparkSession, sf: str) -> DataFrame:
             F.col("wau").cast("long").alias("wau"),
         )
     )
+
+
+@query(
+    "qs186_session_stats",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, event_id, ts,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+    per AS (
+      SELECT user_id, sid, COUNT(*) AS n_events,
+             CAST(FLOOR(epoch(MAX(ts))) AS BIGINT)
+               - CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS dur_s
+      FROM s GROUP BY user_id, sid)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           quantile_cont(dur_s, 0.50) AS p50_dur_s,
+           quantile_cont(dur_s, 0.95) AS p95_dur_s,
+           CAST(MAX(n_events) AS BIGINT) AS max_events
+    FROM per
+    """,
+)
+def qs186(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-duration statistics — the dashboard row behind every
+    engagement report: sessionize (operators/sessions, the qs43
+    30-minute-gap semantics), then per-session event counts and
+    wall durations, then exact interpolated p50/p95 over the
+    sessions. Composes the sessionize operator with the qs44
+    exact-percentile physics — operators proving they stack.
+
+    Determinism: session boundaries are the engine-portable
+    epoch-double comparison qs43 established; durations are exact
+    integer seconds (floored epochs); percentiles interpolate exact
+    integers (qs44 contract). Plan: one shuffle on user_id for the
+    windows, one sessions-sized aggregate, one tiny final row."""
+    ev = load_table(spark, sf, "events")
+    out = sessionize(
+        ev, "user_id", "ts", gap_seconds=1800, tiebreak="event_id"
+    )
+    ep = F.floor(F.col("ts").cast("timestamp").cast("double")).cast(
+        "long"
+    )
+    per = out.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(ep) - F.min(ep)).alias("dur_s"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.percentile(F.col("dur_s"), F.lit(0.50)).alias("p50_dur_s"),
+        F.percentile(F.col("dur_s"), F.lit(0.95)).alias("p95_dur_s"),
+        F.max("n_events").cast("long").alias("max_events"),
+    )
+
+
+@query(
+    "qs187_basket_lift",
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey % 50 AS item
+      FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders
+          FROM basket),
+    sup AS (SELECT item, COUNT(*) AS s FROM basket GROUP BY item),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS s_ab
+      FROM basket a JOIN basket b
+        ON a.o = b.o AND a.item < b.item
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+    lift AS (
+      SELECT item_a, item_b, s_ab,
+             ROUND(s_ab * 1.0 * (SELECT n_orders FROM n)
+                   / (sa.s * 1.0 * sb.s), 4) AS lift
+      FROM pairs
+      JOIN sup sa ON sa.item = item_a
+      JOIN sup sb ON sb.item = item_b)
+    SELECT item_a, item_b, CAST(s_ab AS BIGINT) AS support, lift
+    FROM lift
+    ORDER BY lift DESC, item_a, item_b LIMIT 20
+    """,
+)
+def qs187(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket lift — the retail association statistic
+    lift(a,b) = P(ab)/(P(a)P(b)) over order baskets (parts bucketed
+    to 50 item classes so baskets overlap), support-thresholded and
+    top-20 by lift: qs155's a-priori co-occurrence with the
+    normalization that separates "popular together" from "popular
+    separately".
+
+    Determinism: supports are exact integers; each lift is one
+    float expression ROUNDed at 4 dp BEFORE the ordered LIMIT
+    (round-before-rank, item-pair tie-break). Scale shape: baskets
+    distinct to (order, class) first (the dedup that bounds pair
+    fan-out), the pair join keys on the ORDER (baskets are small —
+    fan-out is per-basket quadratic, not corpus quadratic), and
+    class supports broadcast back."""
+    li = load_table(spark, sf, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("o"),
+        (F.col("l_partkey") % 50).alias("item"),
+    ).distinct()
+    n_orders = basket.select("o").distinct().count()
+    sup = basket.groupBy("item").agg(F.count(F.lit(1)).alias("s"))
+    a, b = basket.alias("a"), basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"),
+            F.col("b.item").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+        .filter(F.col("s_ab") >= 5)
+    )
+    sa = sup.select(F.col("item").alias("item_a"), F.col("s").alias("sa"))
+    sb = sup.select(F.col("item").alias("item_b"), F.col("s").alias("sb"))
+    lift = (
+        pairs.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            F.col("s_ab").cast("long").alias("support"),
+            F.round(
+                F.col("s_ab") * F.lit(1.0) * F.lit(n_orders)
+                / (F.col("sa") * F.lit(1.0) * F.col("sb")),
+                4,
+            ).alias("lift"),
+        )
+    )
+    return lift.orderBy(
+        F.col("lift").desc(), "item_a", "item_b"
+    ).limit(20)
