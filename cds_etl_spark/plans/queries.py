@@ -8315,7 +8315,9 @@ def qs187(spark: SparkSession, sf: str) -> DataFrame:
         F.col("l_orderkey").alias("o"),
         (F.col("l_partkey") % 50).alias("item"),
     ).distinct()
-    n_orders = basket.select("o").distinct().count()
+    # In-plan scalar (1-row crossJoin), not a driver-side count():
+    # the query stays one lazy plan, no extra job.
+    n = basket.agg(F.count_distinct("o").alias("n_orders"))
     sup = basket.groupBy("item").agg(F.count(F.lit(1)).alias("s"))
     a, b = basket.alias("a"), basket.alias("b")
     pairs = (
@@ -8336,12 +8338,13 @@ def qs187(spark: SparkSession, sf: str) -> DataFrame:
     lift = (
         pairs.join(F.broadcast(sa), "item_a")
         .join(F.broadcast(sb), "item_b")
+        .crossJoin(F.broadcast(n))
         .select(
             "item_a",
             "item_b",
             F.col("s_ab").cast("long").alias("support"),
             F.round(
-                F.col("s_ab") * F.lit(1.0) * F.lit(n_orders)
+                F.col("s_ab") * F.lit(1.0) * F.col("n_orders")
                 / (F.col("sa") * F.lit(1.0) * F.col("sb")),
                 4,
             ).alias("lift"),
