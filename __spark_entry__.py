@@ -142,6 +142,8 @@ _GRADE_FIRST = [
     "qs185_rolling_actives",
     "qs186_session_stats",
     "qs187_basket_lift",
+    "qs188_time_to_convert",
+    "qs189_lorenz_deciles",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

@@ -8353,3 +8353,132 @@ def qs187(spark: SparkSession, sf: str) -> DataFrame:
     return lift.orderBy(
         F.col("lift").desc(), "item_a", "item_b"
     ).limit(20)
+
+
+@query(
+    "qs188_time_to_convert",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup'
+                 THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END) AS t0,
+             MIN(CASE WHEN event_type = 'purchase'
+                 THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END) AS t1
+      FROM events GROUP BY user_id),
+    conv AS (
+      SELECT user_id, t1 - t0 AS lat_s FROM f
+      WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           quantile_cont(lat_s, 0.50) AS p50_s,
+           quantile_cont(lat_s, 0.90) AS p90_s,
+           CAST(MIN(lat_s) AS BIGINT) AS min_s,
+           CAST(MAX(lat_s) AS BIGINT) AS max_s
+    FROM conv
+    """,
+)
+def qs188(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-to-convert distribution — latency from a user's FIRST
+    signup to their FIRST subsequent purchase, summarized as exact
+    interpolated percentiles: the activation-latency row under
+    qs99's funnel counts (the funnel says how many convert; this
+    says how long conversion takes, which is what pacing and
+    payback models consume).
+
+    Determinism: first-event times are conditional MINs in ONE
+    per-user aggregate (no ordering, no window), latencies exact
+    integer seconds, percentiles the qs44 contract. Users who
+    purchased before ever signing up are excluded on both sides
+    (t1 ≥ t0). Plan: one shuffle on user_id, then a one-row
+    aggregate."""
+    ev = load_table(spark, sf, "events")
+    ep = F.floor(F.col("ts").cast("timestamp").cast("double")).cast(
+        "long"
+    )
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", ep)).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", ep)).alias(
+            "t1"
+        ),
+    )
+    conv = f.filter(
+        F.col("t0").isNotNull()
+        & F.col("t1").isNotNull()
+        & (F.col("t1") >= F.col("t0"))
+    ).select((F.col("t1") - F.col("t0")).alias("lat_s"))
+    return conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.percentile(F.col("lat_s"), F.lit(0.50)).alias("p50_s"),
+        F.percentile(F.col("lat_s"), F.lit(0.90)).alias("p90_s"),
+        F.min("lat_s").cast("long").alias("min_s"),
+        F.max("lat_s").cast("long").alias("max_s"),
+    )
+
+
+@query(
+    "qs189_lorenz_deciles",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS r
+      FROM orders GROUP BY o_custkey),
+    deciled AS (
+      SELECT r, NTILE(10) OVER (ORDER BY r, o_custkey) AS d
+      FROM rev),
+    agg AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n_cust,
+             CAST(SUM(r) AS BIGINT) AS rev
+      FROM deciled GROUP BY d),
+    w AS (
+      SELECT d, n_cust, rev,
+             SUM(rev) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+               AS cum,
+             SUM(rev) OVER () AS tot
+      FROM agg)
+    SELECT d AS decile, n_cust, rev AS rev_cents,
+           CAST(ROUND(cum * 1000000.0 / tot) AS BIGINT)
+             AS cum_share_e6
+    FROM w
+    """,
+)
+def qs189(spark: SparkSession, sf: str) -> DataFrame:
+    """Lorenz curve by customer revenue deciles — each decile's
+    exact revenue and the cumulative share: the concentration curve
+    whose single-number summary is qs175's Gini, kept as 10 rows so
+    the answer shows WHERE the concentration lives ("the top decile
+    is 38% of revenue" is actionable; 0.41 Gini is not).
+
+    Determinism: revenue in exact integer cents; NTILE over the
+    TOTAL order (revenue, custkey) assigns deciles identically on
+    both engines; cumulative shares e6-scale one exact ratio per
+    decile. Plan: one narrow groupBy to customers, one global sort
+    for NTILE (Spark's distributed range sort), windows over the
+    10-row aggregate."""
+    o = load_table(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    rev = o.groupBy("o_custkey").agg(F.sum(cents).alias("r"))
+    deciled = rev.select(
+        "r",
+        F.ntile(10)
+        .over(Window.partitionBy().orderBy("r", "o_custkey"))
+        .alias("d"),
+    )
+    agg = deciled.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum("r").cast("long").alias("rev"),
+    )
+    w = agg.withColumn(
+        "cum",
+        F.sum("rev").over(
+            Window.partitionBy()
+            .orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn("tot", F.sum("rev").over(Window.partitionBy()))
+    return w.select(
+        F.col("d").alias("decile"),
+        "n_cust",
+        F.col("rev").alias("rev_cents"),
+        F.round(F.col("cum") * F.lit(1000000.0) / F.col("tot"))
+        .cast("long")
+        .alias("cum_share_e6"),
+    )
