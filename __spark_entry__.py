@@ -144,6 +144,9 @@ _GRADE_FIRST = [
     "qs187_basket_lift",
     "qs188_time_to_convert",
     "qs189_lorenz_deciles",
+    "qs190_dow_seasonality",
+    "qs191_new_vs_returning",
+    "qs192_cohort_ltv",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

@@ -8482,3 +8482,182 @@ def qs189(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("cum_share_e6"),
     )
+
+
+@query(
+    "qs190_dow_seasonality",
+    oracle="""
+    WITH d AS (
+      SELECT dayofweek(o_orderdate) + 1 AS dow,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders),
+    g AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CAST(SUM(c) AS BIGINT) AS rev
+          FROM d GROUP BY dow),
+    w AS (SELECT dow, n_orders, rev,
+                 SUM(rev) OVER () AS tot_rev,
+                 SUM(n_orders) OVER () AS tot_n
+          FROM g)
+    SELECT dow, n_orders, rev AS rev_cents,
+           ROUND((rev * 1.0 / n_orders)
+                 / (tot_rev * 1.0 / tot_n), 4) AS index_vs_mean
+    FROM w
+    """,
+)
+def qs190(spark: SparkSession, sf: str) -> DataFrame:
+    """Day-of-week seasonality index — each weekday's average order
+    value relative to the overall average (index 1.0 = typical):
+    the first decomposition any forecaster runs before trusting a
+    trend. Exercises the documented cross-engine calendar trap:
+    DuckDB's dayofweek is Sunday=0 where Spark's is Sunday=1 — the
+    oracle adds 1 (the module-header rule, stated as a query).
+
+    Determinism: counts and revenue are exact integers; the index
+    divides two exact ratios once, ROUNDed at 4 dp. Plan: scan-fused
+    dow projection, a 7-row groupBy, windows over 7 rows."""
+    o = load_table(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    g = o.groupBy(F.dayofweek("o_orderdate").alias("dow")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(cents).cast("long").alias("rev"),
+    )
+    w = g.withColumn(
+        "tot_rev", F.sum("rev").over(Window.partitionBy())
+    ).withColumn("tot_n", F.sum("n_orders").over(Window.partitionBy()))
+    return w.select(
+        "dow",
+        "n_orders",
+        F.col("rev").alias("rev_cents"),
+        F.round(
+            (F.col("rev") * F.lit(1.0) / F.col("n_orders"))
+            / (F.col("tot_rev") * F.lit(1.0) / F.col("tot_n")),
+            4,
+        ).alias("index_vs_mean"),
+    )
+
+
+@query(
+    "qs191_new_vs_returning",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    first AS (SELECT user_id, MIN(day) AS d0 FROM ud GROUP BY user_id)
+    SELECT ud.day,
+           CAST(SUM(CASE WHEN ud.day = f.d0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN ud.day > f.d0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS returning_users
+    FROM ud JOIN first f ON ud.user_id = f.user_id
+    GROUP BY ud.day
+    """,
+)
+def qs191(spark: SparkSession, sf: str) -> DataFrame:
+    """New-vs-returning actives per day — growth accounting's first
+    split: of today's active users, who is new (first day ever) and
+    who came back. With qs185 (rolling actives) and qs116 (cohort
+    retention) this completes the engagement-accounting family.
+
+    Determinism: pure exact counts; a user's first day is a MIN.
+    Plan: the user-day table computes once, first-days are one
+    narrow aggregate joined back ON THE USER KEY (same shuffle key
+    both sides — co-located under bucketed layouts), then a per-day
+    count."""
+    ev = load_table(spark, sf, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    first = ud.groupBy("user_id").agg(F.min("day").alias("d0"))
+    return (
+        ud.join(first, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.when(F.col("day") == F.col("d0"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("new_users"),
+            F.sum(
+                F.when(F.col("day") > F.col("d0"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("returning_users"),
+        )
+    )
+
+
+@query(
+    "qs192_cohort_ltv",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, date_trunc('month', o_orderdate) AS m,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders),
+    cohort AS (SELECT o_custkey, MIN(m) AS m0 FROM o
+               GROUP BY o_custkey),
+    rev AS (
+      SELECT c2.m0 AS cohort_month,
+             CAST((year(o.m) - year(c2.m0)) * 12
+                  + (month(o.m) - month(c2.m0)) AS INTEGER)
+               AS month_offset,
+             SUM(o.c) AS rev
+      FROM o JOIN cohort c2 ON o.o_custkey = c2.o_custkey
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT cohort_month, month_offset,
+             CAST(SUM(rev) OVER (PARTITION BY cohort_month
+                 ORDER BY month_offset ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum_rev_cents
+      FROM rev)
+    SELECT CAST(cohort_month AS DATE) AS cohort_month, month_offset,
+           cum_rev_cents
+    FROM cum WHERE month_offset <= 6
+    """,
+)
+def qs192(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort LTV curve — cumulative revenue by acquisition cohort
+    (first-order month) and months-since-acquisition, the money
+    twin of qs116's retention triangle: retention says who comes
+    back, LTV says what coming back is worth, and the curve's
+    flattening point is the payback horizon.
+
+    Determinism: revenue exact integer cents; month offsets exact
+    integer year/month arithmetic (no DATEDIFF unit ambiguity);
+    running sums over the (cohorts × offsets)-sized aggregate.
+    Plan: one groupBy to customer cohorts joined back on the
+    customer key, a narrow (cohort, offset) aggregate, one window."""
+    o = load_table(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    base = o.select(
+        "o_custkey",
+        F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+        cents.alias("c"),
+    )
+    cohort = base.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    rev = (
+        base.join(cohort, "o_custkey")
+        .groupBy(
+            F.col("m0").alias("cohort_month"),
+            (
+                (F.year("m") - F.year("m0")) * 12
+                + (F.month("m") - F.month("m0"))
+            )
+            .cast("int")
+            .alias("month_offset"),
+        )
+        .agg(F.sum("c").alias("rev"))
+    )
+    cum = rev.withColumn(
+        "cum_rev_cents",
+        F.sum("rev")
+        .over(
+            Window.partitionBy("cohort_month")
+            .orderBy("month_offset")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("long"),
+    )
+    return cum.filter(F.col("month_offset") <= 6).select(
+        F.col("cohort_month").cast("date").alias("cohort_month"),
+        "month_offset",
+        "cum_rev_cents",
+    )
