@@ -147,6 +147,7 @@ _GRADE_FIRST = [
     "qs190_dow_seasonality",
     "qs191_new_vs_returning",
     "qs192_cohort_ltv",
+    "qs193_duplicate_payments",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

@@ -8661,3 +8661,69 @@ def qs192(spark: SparkSession, sf: str) -> DataFrame:
         "month_offset",
         "cum_rev_cents",
     )
+
+
+@query(
+    "qs193_duplicate_payments",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100000
+               AS bucket,
+             CAST(o_orderdate AS DATE) AS d
+      FROM orders)
+    SELECT a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           a.o_custkey, a.bucket AS amount_bucket,
+           CAST(b.d - a.d AS BIGINT) AS gap_days
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey AND a.bucket = b.bucket
+     AND a.o_orderkey < b.o_orderkey
+     AND b.d >= a.d AND b.d - a.d <= 365
+    """,
+)
+def qs193(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-payment screening — pairs of orders by the same
+    customer with amounts in the same $1000 bucket within a year:
+    the accounts-payable audit shape (double-billed invoices,
+    re-submitted charges) every finance team runs. The join key is
+    the discipline: blocking on (customer, amount bucket) makes the
+    candidate set tiny WITHOUT fuzzy matching, and the date band is
+    a residual filter, not a join dimension (qs114's blocking rule
+    on a financial shape). Production tightens the bucket to exact
+    cents; the synthetic corpus's continuous prices need the coarser
+    bucket to exhibit the shape at test scale.
+
+    Determinism: buckets and day gaps are exact integer arithmetic,
+    pair order pinned by orderkey. Scale: one shuffle on the
+    (custkey, bucket) composite; per-key fan-out is per-customer
+    quadratic at worst, near-1 in practice — skew-free by
+    construction."""
+    o = load_table(spark, sf, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            "CAST(ROUND(o_totalprice * 100) AS BIGINT) div 100000"
+        ).alias("bucket"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (F.col("b.d") >= F.col("a.d"))
+            & (F.datediff(F.col("b.d"), F.col("a.d")) <= 365),
+        )
+        .select(
+            F.col("a.o_orderkey").alias("order_a"),
+            F.col("b.o_orderkey").alias("order_b"),
+            F.col("a.o_custkey").alias("o_custkey"),
+            F.col("a.bucket").alias("amount_bucket"),
+            F.datediff(F.col("b.d"), F.col("a.d"))
+            .cast("long")
+            .alias("gap_days"),
+        )
+    )
