@@ -109,8 +109,11 @@ _GRADE_FIRST = [
     #  additions qs146-qs156, stay r04-green within the freshness
     #  goal)
     # -- beyond the 50-entry window: r07 front-of-queue (the late
-    #    round-6 additions, local-differential-green, no driver row
-    #    yet; then the five deferred r03-green entries) --
+    #    round-6 additions qs157-qs193, each local-differential-green
+    #    at sf0.001 AND sf0.01 with no driver row yet, in
+    #    registration order; then the five deferred r03-green
+    #    entries). More than one 50-entry window's worth — r07
+    #    grades the first 50 here and r08 takes the remainder. --
     "qs157_perplexity_buckets",
     "qs158_epoch_shard_plan",
     "qs159_psi_drift",
