@@ -260,3 +260,32 @@ def test_incremental_merge_equals_full_property(spark, b1, b2, b3):
         full = full.unionByName(d)
     want = aggregate_delta(full, ["k"], spec)
     assert sorted(map(tuple, state.collect())) == sorted(map(tuple, want.collect()))
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-1000, max_value=1000),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_clamped_balance_closed_form_identity(deltas):
+    """The qs180 identity, property-tested in pure Python: the
+    closed form b_t = prefix_t − min(0, running-min prefix_t)
+    equals the direct recursion b_t = max(0, b_{t−1} + d_t) for ANY
+    integer delta sequence — the algebraic fact the qs180
+    differential relies on, pinned here without an engine in the
+    loop."""
+    # Direct recursion.
+    bal, direct = 0, []
+    for d in deltas:
+        bal = max(0, bal + d)
+        direct.append(bal)
+    # Closed form.
+    prefix, mn, closed = 0, 0, []
+    for d in deltas:
+        prefix += d
+        mn = min(mn, prefix)
+        closed.append(prefix - min(0, mn))
+    assert closed == direct
