@@ -151,6 +151,8 @@ _GRADE_FIRST = [
     "qs191_new_vs_returning",
     "qs192_cohort_ltv",
     "qs193_duplicate_payments",
+    "qs194_ship_sla",
+    "qs195_supplier_activity_islands",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

@@ -8740,3 +8740,126 @@ def qs193(spark: SparkSession, sf: str) -> DataFrame:
             .alias("gap_days"),
         )
     )
+
+
+@query(
+    "qs194_ship_sla",
+    oracle="""
+    WITH lat AS (
+      SELECT date_trunc('month', o.o_orderdate) AS m,
+             CAST(CAST(l.l_shipdate AS DATE)
+                  - CAST(o.o_orderdate AS DATE) AS BIGINT) AS days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    SELECT CAST(m AS DATE) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(ROUND(SUM(CASE WHEN days <= 30 THEN 1 ELSE 0 END)
+                      * 1000000.0 / COUNT(*)) AS BIGINT)
+             AS within_30d_e6,
+           quantile_cont(days, 0.90) AS p90_days
+    FROM lat GROUP BY m ORDER BY m
+    """,
+)
+def qs194(spark: SparkSession, sf: str) -> DataFrame:
+    """Ship-latency SLA by order month — per month: line count,
+    the e6-scaled share shipped within 30 days of ordering, and the
+    exact p90 latency. The operations dashboard that turns qs126's
+    (TPC-H Q12) late-line counts into a tracked service level with
+    a tail percentile.
+
+    Determinism: latencies are exact integer day differences; the
+    share is one e6-scaled exact ratio; p90 interpolates exact
+    integers (qs44 contract). Plan: the one big join rides the
+    o/l_orderkey co-location the bench layouts bucket for; months
+    aggregate narrow."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    lat = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        )
+        .cast("long")
+        .alias("days"),
+    )
+    return (
+        lat.groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(
+                F.sum(F.when(F.col("days") <= 30, 1).otherwise(0))
+                * F.lit(1000000.0)
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("within_30d_e6"),
+            F.percentile(F.col("days"), F.lit(0.90)).alias("p90_days"),
+        )
+        .select(
+            F.col("m").cast("date").alias("month"),
+            "n_lines",
+            "within_30d_e6",
+            "p90_days",
+        )
+        .orderBy("month")
+    )
+
+
+@query(
+    "qs195_supplier_activity_islands",
+    oracle="""
+    WITH months AS (
+      SELECT DISTINCT l_suppkey,
+             year(l_shipdate) * 12 + month(l_shipdate) AS mi
+      FROM lineitem),
+    grp AS (
+      SELECT l_suppkey, mi,
+             mi - ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                     ORDER BY mi) AS island
+      FROM months),
+    islands AS (
+      SELECT l_suppkey, island,
+             CAST(COUNT(*) AS BIGINT) AS len
+      FROM grp GROUP BY l_suppkey, island)
+    SELECT l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(MAX(len) AS BIGINT) AS longest_months,
+           CAST(SUM(len) AS BIGINT) AS active_months
+    FROM islands GROUP BY l_suppkey
+    """,
+)
+def qs195(spark: SparkSession, sf: str) -> DataFrame:
+    """Supplier activity islands — gaps-and-islands over CALENDAR
+    months: consecutive active months group into islands (mi −
+    row_number is constant within a run), and each supplier reports
+    island count, longest streak, and total active months. The
+    supply-reliability screen ("how often does this supplier go
+    dark"), and the time-axis twin of qs142's token-position span
+    merge — the same physics on a different axis.
+
+    Determinism: month indices are exact integers (year·12+month),
+    islands are integer arithmetic end to end. Plan: the corpus
+    collapses to distinct (supplier, month) — ≤ suppliers × months
+    rows — before any window; one shuffle on the supplier key."""
+    li = load_table(spark, sf, "lineitem")
+    months = li.select(
+        "l_suppkey",
+        (
+            F.year("l_shipdate") * 12 + F.month("l_shipdate")
+        ).alias("mi"),
+    ).distinct()
+    grp = months.withColumn(
+        "island",
+        F.col("mi")
+        - F.row_number().over(
+            Window.partitionBy("l_suppkey").orderBy("mi")
+        ),
+    )
+    islands = grp.groupBy("l_suppkey", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    return islands.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.max("len").cast("long").alias("longest_months"),
+        F.sum("len").cast("long").alias("active_months"),
+    )
