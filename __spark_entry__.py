@@ -153,6 +153,7 @@ _GRADE_FIRST = [
     "qs193_duplicate_payments",
     "qs194_ship_sla",
     "qs195_supplier_activity_islands",
+    "qs196_embedding_drift",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

@@ -8863,3 +8863,87 @@ def qs195(spark: SparkSession, sf: str) -> DataFrame:
         F.max("len").cast("long").alias("longest_months"),
         F.sum("len").cast("long").alias("active_months"),
     )
+
+
+@query(
+    "qs196_embedding_drift",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id % 2 AS half, label,
+             generate_subscripts(embedding, 1) AS dim,
+             CAST(ROUND(unnest(embedding) * 1000000) AS BIGINT)
+               AS v_e6
+      FROM embeddings),
+    m AS (
+      SELECT label, half, dim,
+             SUM(v_e6) AS s, COUNT(*) AS n
+      FROM e GROUP BY label, half, dim),
+    d AS (
+      SELECT a.label, a.dim,
+             (a.s * 1.0 / a.n) - (b.s * 1.0 / b.n) AS diff,
+             a.n AS n0, b.n AS n1
+      FROM m a JOIN m b
+        ON a.label = b.label AND a.dim = b.dim
+       AND a.half = 0 AND b.half = 1)
+    SELECT label,
+           CAST(MAX(n0) AS BIGINT) AS n0,
+           CAST(MAX(n1) AS BIGINT) AS n1,
+           ROUND(sqrt(SUM(diff * diff)) / 1000000.0, 4)
+             AS centroid_dist
+    FROM d GROUP BY label
+    """,
+)
+def qs196(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding centroid drift — per label, the Euclidean distance
+    between the mean vectors of two cohorts (vec_id parity standing
+    in for "reference vs current batch"): the VECTOR-space drift
+    monitor beside qs159's scalar PSI — retrained encoders and
+    shifted corpora move centroids long before scalar stats notice.
+
+    Determinism: float32 components scale to EXACT e6 integers, so
+    per-(label, half, dim) sums are order-independent bigints and
+    each centroid coordinate is ONE exact-integer division; the
+    64-term diff² sum is the only float accumulation, with ~1e-17
+    relative wobble against a 4 dp ROUND. Plan: one posexplode
+    (×dim, map-side) into a (labels × 2 × dims)-row aggregate —
+    the corpus never shuffles raw vectors."""
+    emb = load_table(spark, sf, "embeddings")
+    e = emb.select(
+        (F.col("vec_id") % 2).alias("half"),
+        "label",
+        F.posexplode(F.col("embedding")).alias("dim", "val"),
+    ).select(
+        "half",
+        "label",
+        (F.col("dim") + 1).alias("dim"),
+        F.round(F.col("val").cast("double") * 1000000, 0)
+        .cast("long")
+        .alias("v_e6"),
+    )
+    m = e.groupBy("label", "half", "dim").agg(
+        F.sum("v_e6").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    a = m.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("s").alias("s0"), F.col("n").alias("n0")
+    )
+    b = m.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("s").alias("s1"), F.col("n").alias("n1")
+    )
+    d = a.join(b, ["label", "dim"]).select(
+        "label",
+        "n0",
+        "n1",
+        (
+            F.col("s0") * F.lit(1.0) / F.col("n0")
+            - F.col("s1") * F.lit(1.0) / F.col("n1")
+        ).alias("diff"),
+    )
+    return d.groupBy("label").agg(
+        F.max("n0").cast("long").alias("n0"),
+        F.max("n1").cast("long").alias("n1"),
+        F.round(
+            F.sqrt(F.sum(F.col("diff") * F.col("diff")))
+            / F.lit(1000000.0),
+            4,
+        ).alias("centroid_dist"),
+    )
