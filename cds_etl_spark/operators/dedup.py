@@ -24,7 +24,7 @@ Scale design (the part that must survive 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cds_etl_spark.functions.text import (
@@ -817,4 +817,104 @@ def compact_minhash_index(spark, path: str, out_path: str) -> None:
     )
     sh.dropDuplicates([id_col]).write.mode("overwrite").parquet(
         f"{out_path}/shingles"
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints, production hash family (Schleimer et
+    al. 2003 — qs177 is the md5 oracle vehicle of the same
+    selection; this is the fast path): xxhash64 every k-token gram
+    JVM-side, slide a w-hash window, keep each window's minimum with
+    the paper's rightmost tie rule — any shared run of ≥ k+w−1
+    tokens between two documents is GUARANTEED to yield a shared
+    fingerprint (pigeonhole, not probability), at ~2/(w+1) the
+    storage of full shingling.
+
+    Returns (id, fp, pos) distinct selected fingerprints. The
+    argmin ties break rightmost via a (hash, −pos) struct MIN —
+    no string packing needed when the oracle isn't watching.
+    Scale: k-gram hashing and window minima are row-local /
+    doc-partitioned; the shuffle carries (id, pos, 8-byte hash)."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.xxhash64(
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at(toks, (i + j).cast("int"))
+                        for j in range(k)
+                    ],
+                )
+            ).alias("h"),
+        ),
+    )
+    kg = (
+        df.filter(F.size(toks) >= k)
+        .select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(
+            id_col,
+            F.col("g.pos").alias("pos"),
+            F.col("g.h").alias("h"),
+        )
+    )
+    wmax = Window.partitionBy(id_col)
+    wframe = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+        0, w - 1
+    )
+    key = F.struct(F.col("h"), (-F.col("pos")).alias("np"))
+    win = kg.withColumn("mx", F.max("pos").over(wmax)).withColumn(
+        "mk", F.min(key).over(wframe)
+    )
+    return (
+        win.filter(F.col("pos") <= F.col("mx") - (w - 1))
+        .select(
+            F.col(id_col),
+            F.col("mk.h").alias("fp"),
+            (-F.col("mk.np")).alias("pos"),
+        )
+        .distinct()
+    )
+
+
+def winnow_match(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    min_shared: int = 3,
+    max_fp_docs: int | None = None,
+) -> DataFrame:
+    """Pair documents sharing ≥ ``min_shared`` distinct winnowed
+    fingerprints — the match stage over ``winnow_fingerprints``
+    output, with the qs177/qs111 hot-key prune (``max_fp_docs``
+    drops boilerplate fingerprints present in more documents than
+    that, bounding the pair join's fan-out)."""
+    base = fps.select(F.col(id_col).alias("id"), "fp").distinct()
+    if max_fp_docs is not None:
+        hot = (
+            base.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_fp_docs)
+            .select("fp")
+        )
+        base = base.join(F.broadcast(hot), "fp", "left_anti")
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .filter(F.col("shared_fp") >= min_shared)
     )

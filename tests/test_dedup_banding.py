@@ -181,3 +181,47 @@ def test_compact_minhash_index_equivalence(spark, tmp_path):
     a = {tuple(r) for r in probe_minhash_index(spark, batch, idx).collect()}
     b = {tuple(r) for r in probe_minhash_index(spark, batch, out).collect()}
     assert a == b and a
+
+
+def test_winnow_guarantee_planted_shared_run(spark):
+    """The winnowing pigeonhole guarantee, exercised: two documents
+    sharing a planted run of exactly k+w-1 = 8 tokens MUST share at
+    least one fingerprint, wherever the run sits; unrelated random
+    docs share none; selection density is ~2/(w+1); reruns are
+    identical."""
+    import random
+
+    from cds_etl_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_match,
+    )
+
+    rng = random.Random(11)
+
+    def words(n, tag):
+        return [f"{tag}{rng.randrange(10**6)}" for _ in range(n)]
+
+    shared = [f"run{i}" for i in range(8)]  # k+w-1 tokens
+    rows = []
+    for doc_id in range(6):
+        body = words(120, f"d{doc_id}_")
+        if doc_id in (0, 3):  # plant the run at different offsets
+            at = 17 if doc_id == 0 else 83
+            body[at : at + 8] = shared
+        rows.append((doc_id, " ".join(body)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared_fp"]
+        for r in winnow_match(fps, min_shared=1).collect()
+    }
+    assert (0, 3) in pairs  # the GUARANTEE
+    assert all(p == (0, 3) for p in pairs)  # randoms never collide
+    # Density ~ 2/(w+1) = 0.4 of the ~116 k-gram positions per doc.
+    per_doc = fps.groupBy("doc_id").count().collect()
+    for r in per_doc:
+        assert 0.2 * 116 <= r["count"] <= 0.7 * 116
+    # Deterministic reruns.
+    s1 = sorted(map(tuple, fps.collect()))
+    s2 = sorted(map(tuple, winnow_fingerprints(df).collect()))
+    assert s1 == s2
