@@ -684,6 +684,7 @@ def ivfpq_build(
     sample_mod: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_arrow: bool = False,
 ):
     """IVF-PQ index build (the canonical billion-scale ANN structure,
     Jégou et al. 2011 §IV): vectors are assigned to their coarse
@@ -699,8 +700,18 @@ def ivfpq_build(
     codes per vector. Scale: assignment and encode are broadcast
     crossjoin + max-struct aggregates (one shuffled row per vector
     resp. (vector, sub)); residual subtraction is a row-local
-    zip_with; training collects only a driver-sized hash-sample."""
-    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    zip_with; training collects only a driver-sized hash-sample.
+    ``use_arrow`` routes coarse assignment through the batched-matmul
+    strategy (ivf_assign_arrow — the corpus-scale path, 294 s → 13 s
+    at 200k×64 per the BASELINE ANN evidence)."""
+    if use_arrow:
+        assigned = ivf_assign_arrow(
+            df, centroids, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        assigned = ivf_assign(
+            df, centroids, id_col=id_col, vec_col=vec_col
+        )
     res = (
         assigned.join(
             F.broadcast(centroids.select("cid", "cvec")), "cid"

@@ -29,6 +29,8 @@ from cds_etl_spark.operators.similarity import (  # noqa: E402
     cosine_topk,
     hyperplane_lsh_assign,
     ivf_assign_arrow,
+    ivfpq_build,
+    ivfpq_topk,
     lsh_topk_fast,
     ivf_topk,
     pq_train_codebooks,
@@ -94,9 +96,23 @@ def main() -> None:
     codes = pq_encode(en, cb, n_sub=4, sub_dim=16, metric="l2").localCheckpoint(eager=True)
     builds["pq_build_s"] = round(time.perf_counter() - t0, 2)
 
+    t0 = time.perf_counter()
+    # IVF-PQ: coarse centroids over the NORMALIZED corpus (so the
+    # dot(q, c) + residual-LUT score IS cosine), residual codebooks.
+    cents_n = kmeans_train(
+        en, n_centroids=64, iterations=iters, sample_mod=smod
+    ).localCheckpoint(eager=True)
+    codes_r, books_r = ivfpq_build(
+        en, cents_n, n_sub=4, sub_dim=16, k_codes=64,
+        sample_mod=smod, use_arrow=True,
+    )
+    codes_r = codes_r.localCheckpoint(eager=True)
+    books_r = books_r.localCheckpoint(eager=True)
+    builds["ivfpq_build_s"] = round(time.perf_counter() - t0, 2)
+
     truth, res = {}, {}
-    times = {"brute": [], "ivf": [], "lsh": [], "pq": []}
-    hits = {"ivf": 0, "lsh": 0, "pq": 0}
+    times = {"brute": [], "ivf": [], "lsh": [], "pq": [], "ivfpq": []}
+    hits = {"ivf": 0, "lsh": 0, "pq": 0, "ivfpq": 0}
     for qid, vec in queries.items():
         q = qdf(vec)
         t0 = time.perf_counter()
@@ -127,6 +143,19 @@ def main() -> None:
         got = [r["vec_id"] for r in cosine_topk(cand, q, k=10).collect()]
         times["pq"].append(time.perf_counter() - t0)
         hits["pq"] += len(set(got) & set(truth[qid]))
+
+        t0 = time.perf_counter()
+        # IVF-PQ: probe 8/64 lists, residual-ADC shortlist, exact
+        # cosine re-rank of the shortlist (same pipeline as PQ, but
+        # the scan touches only the probed lists).
+        short = ivfpq_topk(
+            codes_r, books_r, cents_n, qn, k=4000, nprobe=8,
+            n_sub=4, sub_dim=16,
+        ).select("vec_id")
+        cand = e.join(F.broadcast(short), "vec_id")
+        got = [r["vec_id"] for r in cosine_topk(cand, q, k=10).collect()]
+        times["ivfpq"].append(time.perf_counter() - t0)
+        hits["ivfpq"] += len(set(got) & set(truth[qid]))
 
     out = {
         "n_vectors": n,
