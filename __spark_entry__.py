@@ -154,6 +154,8 @@ _GRADE_FIRST = [
     "qs194_ship_sla",
     "qs195_supplier_activity_islands",
     "qs196_embedding_drift",
+    "qs197_percent_of_parent",
+    "qs198_rank_movers",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

@@ -8947,3 +8947,147 @@ def qs196(spark: SparkSession, sf: str) -> DataFrame:
             4,
         ).alias("centroid_dist"),
     )
+
+
+@query(
+    "qs197_percent_of_parent",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS c
+      FROM orders o
+      JOIN customer cu ON o.o_custkey = cu.c_custkey
+      JOIN nation n ON cu.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2),
+    w AS (
+      SELECT region, nation, c,
+             SUM(c) OVER (PARTITION BY region) AS rc,
+             SUM(c) OVER () AS tc
+      FROM rev)
+    SELECT region, nation, CAST(c AS BIGINT) AS rev_cents,
+           CAST(ROUND(c * 1000000.0 / rc) AS BIGINT)
+             AS share_of_region_e6,
+           CAST(ROUND(rc * 1000000.0 / tc) AS BIGINT)
+             AS region_share_e6
+    FROM w
+    """,
+)
+def qs197(spark: SparkSession, sf: str) -> DataFrame:
+    """Percent-of-parent contribution rollup — each nation's share
+    of its region's revenue AND the region's share of the world:
+    the two-level drill-down every contribution dashboard renders
+    (where qs12's ROLLUP gives the subtotal ROWS, this gives the
+    RATIOS between hierarchy levels, which is what the reader
+    actually wants).
+
+    Determinism: exact integer cents; both shares are e6-scaled
+    exact ratios over window sums of the (region, nation)-sized
+    aggregate. Plan: the snowflake joins broadcast their dims
+    (nation 25, region 5), one narrow groupBy, two windows over
+    ≤ 25 rows."""
+    o = load_table(spark, sf, "orders")
+    cu = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    rev = (
+        o.join(cu, o["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(n), cu["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.sum(cents).alias("c"))
+    )
+    w = rev.withColumn(
+        "rc", F.sum("c").over(Window.partitionBy("region"))
+    ).withColumn("tc", F.sum("c").over(Window.partitionBy()))
+    return w.select(
+        "region",
+        "nation",
+        F.col("c").cast("long").alias("rev_cents"),
+        F.round(F.col("c") * F.lit(1000000.0) / F.col("rc"))
+        .cast("long")
+        .alias("share_of_region_e6"),
+        F.round(F.col("rc") * F.lit(1000000.0) / F.col("tc"))
+        .cast("long")
+        .alias("region_share_e6"),
+    )
+
+
+@query(
+    "qs198_rank_movers",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey % 200 AS pgrp,
+             year(l_shipdate) AS y,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS c
+      FROM lineitem WHERE year(l_shipdate) IN (1996, 1997)
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT pgrp, y,
+             CAST(ROW_NUMBER() OVER (PARTITION BY y
+                 ORDER BY c DESC, pgrp) AS BIGINT) AS rk
+      FROM rev),
+    j AS (
+      SELECT a.pgrp, a.rk AS rank_1996, b.rk AS rank_1997,
+             a.rk - b.rk AS climb
+      FROM ranked a JOIN ranked b
+        ON a.pgrp = b.pgrp AND a.y = 1996 AND b.y = 1997)
+    SELECT pgrp, rank_1996, rank_1997, climb
+    FROM j ORDER BY climb DESC, pgrp LIMIT 15
+    """,
+)
+def qs198(spark: SparkSession, sf: str) -> DataFrame:
+    """Period-over-period rank movers — the product groups that
+    climbed furthest in the revenue ranking between two years: the
+    "top movers" board every category manager reads, where absolute
+    revenue deltas mislead (a small category doubling jumps 40
+    ranks; a giant's 2% wiggle moves none).
+
+    Determinism: revenue exact cents; ranks are ROW_NUMBER over the
+    total (revenue DESC, group) order; climb is integer rank
+    arithmetic with a total ORDER BY before the LIMIT. Plan: one
+    narrow (group, year) aggregate, per-year window, a groups-sized
+    self-join on the group key."""
+    li = load_table(spark, sf, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    rev = (
+        li.filter(F.year("l_shipdate").isin(1996, 1997))
+        .groupBy(
+            (F.col("l_partkey") % 200).alias("pgrp"),
+            F.year("l_shipdate").alias("y"),
+        )
+        .agg(F.sum(cents).alias("c"))
+    )
+    ranked = rev.select(
+        "pgrp",
+        "y",
+        F.row_number()
+        .over(
+            Window.partitionBy("y").orderBy(
+                F.col("c").desc(), "pgrp"
+            )
+        )
+        .cast("long")
+        .alias("rk"),
+    )
+    a = ranked.filter(F.col("y") == 1996).select(
+        "pgrp", F.col("rk").alias("rank_1996")
+    )
+    b = ranked.filter(F.col("y") == 1997).select(
+        "pgrp", F.col("rk").alias("rank_1997")
+    )
+    return (
+        a.join(b, "pgrp")
+        .select(
+            "pgrp",
+            "rank_1996",
+            "rank_1997",
+            (F.col("rank_1996") - F.col("rank_1997")).alias("climb"),
+        )
+        .orderBy(F.col("climb").desc(), "pgrp")
+        .limit(15)
+    )
