@@ -156,6 +156,11 @@ _GRADE_FIRST = [
     "qs196_embedding_drift",
     "qs197_percent_of_parent",
     "qs198_rank_movers",
+    "qs199_scd2_dimension",
+    "qs200_proration_cents",
+    "qs201_date_spine_fill",
+    "qs202_group_ols_trend",
+    "qs203_funnel_conversion",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

@@ -9091,3 +9091,399 @@ def qs198(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("climb").desc(), "pgrp")
         .limit(15)
     )
+
+
+@query(
+    "qs199_scd2_dimension",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev
+      FROM events),
+    ch AS (
+      SELECT user_id, ts, event_type FROM e
+      WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, event_type AS status,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts) AS BIGINT) AS version,
+           ts AS eff_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS eff_to
+    FROM ch
+    """,
+)
+def qs199(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD Type-2 dimension build — collapse each user's event
+    stream into status validity intervals: one row per status CHANGE
+    with [eff_from, eff_to) and a per-user version number, eff_to
+    NULL on the current row. The warehouse-dimension companion to
+    qs107's MERGE upsert (which keeps only the latest state; this
+    keeps the full history the way a dimension table must —
+    reference's historical accumulate, congos-5-transformation
+    s3_file_transfer.py-era history sheets, does the same job with
+    whole-file snapshots).
+
+    Determinism: change detection and versioning both order by
+    (ts, event_id) within the user; ts collisions are broken by the
+    unique event_id. Plan: one shuffle on user_id serves both
+    windows and the change filter — partition-local thereafter, no
+    data-sized collect, scales with users at 100 TB."""
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev").isNull()
+            | (F.col("prev") != F.col("event_type"))
+        )
+        .select("user_id", "ts", "event_type")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    return ch.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        F.col("ts").alias("eff_from"),
+        F.lead("ts").over(w2).alias("eff_to"),
+    )
+
+
+@query(
+    "qs200_proration_cents",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS w
+      FROM lineitem WHERE l_orderkey % 97 = 0),
+    o AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS t
+      FROM orders WHERE o_orderkey % 97 = 0),
+    base AS (
+      SELECT li.l_orderkey, li.l_linenumber, o.t, li.w,
+             SUM(li.w) OVER (PARTITION BY li.l_orderkey) AS tw
+      FROM li JOIN o ON li.l_orderkey = o.o_orderkey),
+    fl AS (
+      SELECT l_orderkey, l_linenumber,
+             (t * w) // tw AS fl_cents,
+             t * w - ((t * w) // tw) * tw AS rem
+      FROM base),
+    rk AS (
+      SELECT l_orderkey, l_linenumber, fl_cents,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                 ORDER BY rem DESC, l_linenumber) AS rk,
+             (SELECT t FROM o WHERE o.o_orderkey = fl.l_orderkey)
+               - SUM(fl_cents) OVER (PARTITION BY l_orderkey) AS k
+      FROM fl)
+    SELECT l_orderkey, l_linenumber,
+           CAST(fl_cents + CASE WHEN rk <= k THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_cents
+    FROM rk
+    """,
+)
+def qs200(spark: SparkSession, sf: str) -> DataFrame:
+    """Largest-remainder proration — allocate each order's header
+    total across its line items proportionally to extended price, in
+    EXACT integer cents that sum back to the header total: floor the
+    proportional shares, then hand the leftover k cents to the k
+    largest remainders (ties to the lowest line number). The
+    finance-ETL allocation kernel (revenue splits, tax spreading,
+    discount pro-ration) that naive double multiplication gets wrong
+    by a cent per order.
+
+    Determinism: all-integer arithmetic — `(t*w) div tw` floors
+    exactly (t·w ≤ ~5·10¹⁴, inside BIGINT), remainders are exact
+    integers, the +1 ranking is total-ordered. Plan: one shuffle on
+    l_orderkey serves the weight-sum window, the remainder ranking
+    and the header join (orders side aggregated to (key, t) first);
+    the modulo filter is partition-prunable; per-order group sizes
+    are bounded (≤ 7 lines), so no skew at 100 TB.
+
+    Note: (l_orderkey, l_linenumber) is NOT unique in the synthetic
+    lineitem; rows tying on (rem, l_linenumber) are INDISTINGUISHABLE
+    in the output columns, so whichever dup row ranks first, the
+    output multiset — and hence the order-insensitive driver hash —
+    is identical."""
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_orderkey") % 97 == 0
+    )
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderkey") % 97 == 0
+    )
+    li = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("w"),
+    )
+    o = o.select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("t"),
+    )
+    j = li.join(o, "l_orderkey").withColumn(
+        "tw", F.sum("w").over(Window.partitionBy("l_orderkey"))
+    )
+    fl = j.select(
+        "l_orderkey",
+        "l_linenumber",
+        "t",
+        F.expr("(t * w) div tw").alias("fl_cents"),
+        F.expr("t * w - ((t * w) div tw) * tw").alias("rem"),
+    )
+    wk = Window.partitionBy("l_orderkey")
+    rk = fl.select(
+        "l_orderkey",
+        "l_linenumber",
+        "fl_cents",
+        F.row_number()
+        .over(wk.orderBy(F.col("rem").desc(), "l_linenumber"))
+        .alias("rk"),
+        (F.col("t") - F.sum("fl_cents").over(wk)).alias("k"),
+    )
+    return rk.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("fl_cents")
+            + F.when(F.col("rk") <= F.col("k"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc_cents"),
+    )
+
+
+@query(
+    "qs201_date_spine_fill",
+    oracle="""
+    WITH spine AS (
+      SELECT CAST(unnest(generate_series(DATE '1996-01-01',
+                 DATE '1996-06-30', INTERVAL 1 DAY)) AS DATE) AS d),
+    grps AS (SELECT unnest(range(0, 20)) AS grp),
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, o_custkey % 20 AS grp,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS c
+      FROM orders
+      WHERE o_orderdate >= DATE '1996-01-01'
+        AND o_orderdate < DATE '1996-07-01'
+      GROUP BY 1, 2)
+    SELECT s.d, g.grp,
+           CAST(COALESCE(daily.c, 0) AS BIGINT) AS day_cents,
+           CAST(SUM(COALESCE(daily.c, 0)) OVER (PARTITION BY g.grp
+               ORDER BY s.d) AS BIGINT) AS cum_cents
+    FROM spine s CROSS JOIN grps g
+    LEFT JOIN daily ON daily.d = s.d AND daily.grp = g.grp
+    """,
+)
+def qs201(spark: SparkSession, sf: str) -> DataFrame:
+    """Date-spine densification — materialize EVERY (day, group)
+    cell of H1-1996 for 20 customer groups, zero-filling days with
+    no orders, then a running total over the dense series. The
+    gap-filling pass every time-series chart and every
+    window-over-time calculation needs first (a rolling average over
+    a SPARSE series silently shortens its window; qs48's range
+    frame sidesteps it with time-range frames — this materializes
+    the dense grid those charts actually consume).
+
+    Determinism: exact integer cents, zero-fill is exact, the
+    cumulative window orders by the unique (grp, day) grid.
+    Plan: the spine is generated (sequence+explode crossed with a
+    20-row broadcast — no scan), the fact side aggregates BEFORE
+    the left join so the join carries one row per (day, grp), and
+    the cumulative window shuffles the 3 640-row grid once. At
+    100 TB the spine stays metadata-sized: it grows with the
+    calendar, not the data."""
+    o = load_table(spark, sf, "orders")
+    spine = spark.sql(
+        "SELECT explode(sequence(DATE '1996-01-01',"
+        " DATE '1996-06-30', interval 1 day)) AS d"
+    )
+    grps = spark.range(0, 20).select(F.col("id").alias("grp"))
+    daily = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("date"))
+        )
+        .groupBy(
+            F.col("o_orderdate").cast("date").alias("d"),
+            (F.col("o_custkey") % 20).alias("grp"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("c")
+        )
+    )
+    grid = spine.crossJoin(F.broadcast(grps)).join(
+        daily, ["d", "grp"], "left"
+    )
+    return grid.select(
+        "d",
+        "grp",
+        F.coalesce("c", F.lit(0)).cast("long").alias("day_cents"),
+        F.sum(F.coalesce("c", F.lit(0)))
+        .over(Window.partitionBy("grp").orderBy("d"))
+        .cast("long")
+        .alias("cum_cents"),
+    )
+
+
+@query(
+    "qs202_group_ols_trend",
+    oracle="""
+    WITH m AS (
+      SELECT l_partkey % 100 AS grp,
+             (year(l_shipdate) - 1995) * 12 + month(l_shipdate) AS t,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS y
+      FROM lineitem GROUP BY 1, 2),
+    s AS (
+      SELECT grp, COUNT(*) AS n, SUM(t) AS st, SUM(y) AS sy,
+             SUM(t * t) AS stt, SUM(t * y) AS sty
+      FROM m GROUP BY 1)
+    SELECT grp, CAST(n AS BIGINT) AS n_months,
+           ROUND(CAST(n * sty - st * sy AS DOUBLE)
+               / CAST(n * stt - st * st AS DOUBLE), 4) AS slope,
+           ROUND(CAST(sy * stt - st * sty AS DOUBLE)
+               / CAST(n * stt - st * st AS DOUBLE), 4) AS intercept
+    FROM s
+    """,
+)
+def qs202(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group OLS revenue trend — closed-form least-squares
+    slope and intercept of monthly revenue against a month index,
+    one regression per part group, entirely from five distributive
+    sums (n, Σt, Σy, Σt², Σty). The "is this product line growing
+    and how fast" fit — qs184's power-law MLE characterizes a
+    DISTRIBUTION's tail; this fits a TREND per series, the other
+    regression every dashboard ships.
+
+    Determinism: the sums are exact BIGINTs (Σty ≤ ~10¹⁴), both
+    closed-form numerators/denominators are exact-integer-valued,
+    and the single double division of exactly-representable
+    integers is the same IEEE operation in both engines; ROUND(,4)
+    guards the printout. Plan: two narrow partial+final hash
+    aggregates (month grid then group), no window, no join — the
+    canonical map-side-combine shape that holds at any scale."""
+    li = load_table(spark, sf, "lineitem")
+    m = li.groupBy(
+        (F.col("l_partkey") % 100).alias("grp"),
+        (
+            (F.year("l_shipdate") - 1995) * 12
+            + F.month("l_shipdate")
+        ).alias("t"),
+    ).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        ).alias("y")
+    )
+    s = m.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+    )
+    den = (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast(
+        "double"
+    )
+    return s.select(
+        "grp",
+        F.col("n").cast("long").alias("n_months"),
+        F.round(
+            (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")).cast(
+                "double"
+            )
+            / den,
+            4,
+        ).alias("slope"),
+        F.round(
+            (
+                F.col("sy") * F.col("stt") - F.col("st") * F.col("sty")
+            ).cast("double")
+            / den,
+            4,
+        ).alias("intercept"),
+    )
+
+
+@query(
+    "qs203_funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+    c AS (
+      SELECT (SELECT COUNT(*) FROM s1) AS c1,
+             (SELECT COUNT(*) FROM s2) AS c2,
+             (SELECT COUNT(*) FROM s3) AS c3)
+    SELECT * FROM (
+      SELECT 1 AS step, 'view' AS funnel, CAST(c1 AS BIGINT) AS users,
+             CAST(1000000 AS BIGINT) AS conv_from_prev_e6 FROM c
+      UNION ALL
+      SELECT 2, 'view>click', CAST(c2 AS BIGINT),
+             CAST(ROUND(c2 * 1000000.0 / NULLIF(c1, 0)) AS BIGINT)
+      FROM c
+      UNION ALL
+      SELECT 3, 'view>click>purchase', CAST(c3 AS BIGINT),
+             CAST(ROUND(c3 * 1000000.0 / NULLIF(c2, 0)) AS BIGINT)
+      FROM c)
+    """,
+)
+def qs203(spark: SparkSession, sf: str) -> DataFrame:
+    """Strict-order funnel conversion — users who viewed, THEN
+    clicked after their first view, THEN purchased after that first
+    qualifying click, with step-over-step conversion rates. The
+    product-analytics staple qs123/qs164 circle around (transitions
+    and frequent sequences count ADJACENT pairs anywhere; a funnel
+    anchors each step after the previous step's FIRST qualifying
+    time — the semantics Amplitude/GA call "strict order").
+
+    Determinism: step times are MINs of distinct timestamps;
+    conversion ratios are e6-scaled rounds of exact counts. Plan:
+    three successive per-user conditional aggregates, each a narrow
+    (user, min-ts) shuffle joined user-to-user — no window over the
+    raw stream, no collect; the three single-row counts cross-join
+    driver-sized. User-partitioned end to end, so it scales with
+    the user dimension at 100 TB."""
+    e = load_table(spark, sf, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    c = (
+        s1.agg(F.count(F.lit(1)).alias("c1"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("c2")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("c3")))
+    )
+    return c.selectExpr(
+        """stack(3,
+             1L, 'view', CAST(c1 AS LONG), 1000000L,
+             2L, 'view>click', CAST(c2 AS LONG),
+               CAST(ROUND(c2 * 1000000.0 / NULLIF(c1, 0)) AS LONG),
+             3L, 'view>click>purchase', CAST(c3 AS LONG),
+               CAST(ROUND(c3 * 1000000.0 / NULLIF(c2, 0)) AS LONG)
+           ) AS (step, funnel, users, conv_from_prev_e6)"""
+    )
