@@ -161,6 +161,9 @@ _GRADE_FIRST = [
     "qs201_date_spine_fill",
     "qs202_group_ols_trend",
     "qs203_funnel_conversion",
+    "qs204_autocorrelation",
+    "qs205_theilsen_slope",
+    "qs206_grid_spatial_pairs",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

@@ -9487,3 +9487,301 @@ def qs203(spark: SparkSession, sf: str) -> DataFrame:
                CAST(ROUND(c3 * 1000000.0 / NULLIF(c2, 0)) AS LONG)
            ) AS (step, funnel, users, conv_from_prev_e6)"""
     )
+
+
+@query(
+    "qs204_autocorrelation",
+    oracle="""
+    WITH m AS (
+      SELECT l_suppkey % 10 AS grp,
+             (year(l_shipdate) - 1995) * 12 + month(l_shipdate) AS t,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+               // 10000 AS y
+      FROM lineitem GROUP BY 1, 2),
+    lagged AS (
+      SELECT grp, t, y,
+             lag(y, 1) OVER (PARTITION BY grp ORDER BY t) AS y1,
+             lag(y, 2) OVER (PARTITION BY grp ORDER BY t) AS y2
+      FROM m),
+    s AS (
+      SELECT grp, COUNT(*) AS n, SUM(y) AS sy, SUM(y * y) AS syy,
+             COUNT(y1) AS n1, SUM(y * y1) AS p1,
+             SUM(CASE WHEN y1 IS NOT NULL THEN y END) AS a1,
+             SUM(y1) AS b1,
+             COUNT(y2) AS n2, SUM(y * y2) AS p2,
+             SUM(CASE WHEN y2 IS NOT NULL THEN y END) AS a2,
+             SUM(y2) AS b2
+      FROM lagged GROUP BY grp)
+    SELECT grp, CAST(n AS BIGINT) AS n_months,
+           ROUND(CAST(n * n * p1 - n * sy * (a1 + b1) + n1 * sy * sy
+                      AS DOUBLE)
+               / CAST(n * n * syy - 2 * n * sy * sy + n * sy * sy
+                      AS DOUBLE), 4) AS acf1,
+           ROUND(CAST(n * n * p2 - n * sy * (a2 + b2) + n2 * sy * sy
+                      AS DOUBLE)
+               / CAST(n * n * syy - 2 * n * sy * sy + n * sy * sy
+                      AS DOUBLE), 4) AS acf2
+    FROM s
+    """,
+)
+def qs204(spark: SparkSession, sf: str) -> DataFrame:
+    """Lag-1/lag-2 autocorrelation of each supplier group's monthly
+    revenue series — the "is this series momentum-driven or mean-
+    reverting" diagnostic that decides whether qs173's EWMA or
+    qs190's seasonal profile is the right model. ACF here is the
+    observation-lag variant (lag over OBSERVED months ordered by
+    month index; the full-series mean centers both factors), stated
+    with every term exact-integer: multiplying the centered sum by
+    n² gives n²Σyᵗyᵗ⁻ᵏ − n·Sy·(Σ'yᵗ + Σ'yᵗ⁻ᵏ) + nₖ·Sy², and the
+    denominator n²Σy² − n·Sy² (the k=0 case), so the single double
+    division is over exactly-representable integers (y is scaled to
+    10⁴-cent units to keep every product inside BIGINT).
+
+    Plan: one (grp, month) hash aggregate, one window on the tiny
+    month grid, one final hash aggregate — the raw scan never
+    shuffles twice, and the window input is calendar-sized, not
+    data-sized."""
+    li = load_table(spark, sf, "lineitem")
+    m = li.groupBy(
+        (F.col("l_suppkey") % 10).alias("grp"),
+        (
+            (F.year("l_shipdate") - 1995) * 12
+            + F.month("l_shipdate")
+        ).alias("t"),
+    ).agg(
+        F.expr(
+            "sum(CAST(ROUND(l_extendedprice * 100, 0) AS LONG))"
+            " div 10000"
+        ).alias("y")
+    )
+    w = Window.partitionBy("grp").orderBy("t")
+    lagged = m.select(
+        "grp",
+        "y",
+        F.lag("y", 1).over(w).alias("y1"),
+        F.lag("y", 2).over(w).alias("y2"),
+    )
+    s = lagged.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.count("y1").alias("n1"),
+        F.sum(F.col("y") * F.col("y1")).alias("p1"),
+        F.sum(F.when(F.col("y1").isNotNull(), F.col("y"))).alias("a1"),
+        F.sum("y1").alias("b1"),
+        F.count("y2").alias("n2"),
+        F.sum(F.col("y") * F.col("y2")).alias("p2"),
+        F.sum(F.when(F.col("y2").isNotNull(), F.col("y"))).alias("a2"),
+        F.sum("y2").alias("b2"),
+    )
+    den = (
+        F.col("n") * F.col("n") * F.col("syy")
+        - F.col("n") * F.col("sy") * F.col("sy")
+    ).cast("double")
+
+    def acf(nk, pk, ak, bk):
+        num = (
+            F.col("n") * F.col("n") * F.col(pk)
+            - F.col("n") * F.col("sy") * (F.col(ak) + F.col(bk))
+            + F.col(nk) * F.col("sy") * F.col("sy")
+        ).cast("double")
+        return F.round(num / den, 4)
+
+    return s.select(
+        "grp",
+        F.col("n").cast("long").alias("n_months"),
+        acf("n1", "p1", "a1", "b1").alias("acf1"),
+        acf("n2", "p2", "a2", "b2").alias("acf2"),
+    )
+
+
+@query(
+    "qs205_theilsen_slope",
+    oracle="""
+    WITH m AS (
+      SELECT l_partkey % 50 AS grp,
+             (year(l_shipdate) - 1995) * 12 + month(l_shipdate) AS t,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+               // 10000 AS y
+      FROM lineitem GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.grp,
+             ((b.y - a.y) * 1000000) // (b.t - a.t) AS slope_e6
+      FROM m a JOIN m b ON a.grp = b.grp AND b.t > a.t),
+    g AS (
+      SELECT grp, slope_e6, COUNT(*) AS c FROM pairs GROUP BY 1, 2),
+    w AS (
+      SELECT grp, slope_e6,
+             SUM(c) OVER (PARTITION BY grp ORDER BY slope_e6
+                          ROWS UNBOUNDED PRECEDING) AS cc,
+             SUM(c) OVER (PARTITION BY grp) AS tc
+      FROM g)
+    SELECT grp,
+           CAST(MIN(CASE WHEN 2 * cc >= tc THEN slope_e6 END)
+                AS BIGINT) AS theil_sen_e6,
+           CAST(MAX(tc) AS BIGINT) AS n_pairs
+    FROM w GROUP BY grp
+    """,
+)
+def qs205(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil–Sen robust trend — the lower median of all pairwise
+    slopes of each part group's monthly revenue series: the
+    regression that shrugs off the outlier months that drag qs202's
+    OLS line around (breakdown point 29% vs OLS's 0%). Slopes are
+    e6-scaled floor divisions, so the rational ordering is exact
+    integer ordering, and the median is the qs183 lower-median
+    (first slope where cumulative pair count reaches half) — no
+    doubles anywhere.
+
+    Plan: the pairwise self-join is keyed by grp and the per-group
+    series is CALENDAR-sized (≤ ~80 months → ≤ 3 160 pairs per
+    group regardless of data volume), so the quadratic blowup is
+    bounded by time, not rows — the same bounded-block argument as
+    qs162's interval bins. One narrow aggregate feeds the join;
+    the median windows run over (grp, slope)-distinct rows."""
+    li = load_table(spark, sf, "lineitem")
+    m = li.groupBy(
+        (F.col("l_partkey") % 50).alias("grp"),
+        (
+            (F.year("l_shipdate") - 1995) * 12
+            + F.month("l_shipdate")
+        ).alias("t"),
+    ).agg(
+        F.expr(
+            "sum(CAST(ROUND(l_extendedprice * 100, 0) AS LONG))"
+            " div 10000"
+        ).alias("y")
+    )
+    a = m.select("grp", F.col("t").alias("ta"), F.col("y").alias("ya"))
+    b = m.select("grp", F.col("t").alias("tb"), F.col("y").alias("yb"))
+    pairs = a.join(b, "grp").filter(F.col("tb") > F.col("ta")).select(
+        "grp",
+        F.expr("((yb - ya) * 1000000) div (tb - ta)").alias(
+            "slope_e6"
+        ),
+    )
+    g = pairs.groupBy("grp", "slope_e6").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wc = (
+        Window.partitionBy("grp")
+        .orderBy("slope_e6")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w = g.select(
+        "grp",
+        "slope_e6",
+        F.sum("c").over(wc).alias("cc"),
+        F.sum("c").over(Window.partitionBy("grp")).alias("tc"),
+    )
+    return w.groupBy("grp").agg(
+        F.min(
+            F.when(2 * F.col("cc") >= F.col("tc"), F.col("slope_e6"))
+        )
+        .cast("long")
+        .alias("theil_sen_e6"),
+        F.max("tc").cast("long").alias("n_pairs"),
+    )
+
+
+@query(
+    "qs206_grid_spatial_pairs",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             (c_custkey * 48271) % 1800000 - 900000 AS lat,
+             (c_custkey * 69621) % 3600000 - 1800000 AS lon
+      FROM customer),
+    cells AS (
+      SELECT id, lat, lon,
+             (lat + 900000) // 50000 AS cx,
+             (lon + 1800000) // 50000 AS cy
+      FROM pts),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             (a.lat - b.lat) * (a.lat - b.lat)
+               + (a.lon - b.lon) * (a.lon - b.lon) AS d2
+      FROM cells a
+      JOIN cells b
+        ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+       AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+       AND a.id < b.id)
+    SELECT id_a, id_b, CAST(d2 AS BIGINT) AS d2
+    FROM cand WHERE d2 <= 2500000000
+    """,
+)
+def qs206(spark: SparkSession, sf: str) -> DataFrame:
+    """Grid-blocked spatial self-join — all point pairs within a
+    5-degree planar radius, found via uniform-grid blocking: bucket
+    points into 5°×5° cells, join each point against its 3×3 cell
+    neighborhood (the only cells that can hold a match), refine
+    with the exact distance predicate. The geospatial join kernel
+    (DBSCAN neighborhoods, store-coverage overlap, proximity
+    dedup), same candidate-then-refine physics as qs55's LSH bands
+    and qs163's prefix filter — blocking bounds the quadratic to
+    cell-local pairs. Coordinates are synthesized deterministically
+    from the key (LCG-style multipliers, e4-scaled integer degrees)
+    so the operator is testable on the shipped schema.
+
+    Determinism: all-integer coords, cells, and squared distances;
+    radius² = (5·10⁴·10)² in e4 units. Plan: Spark explodes the 9
+    neighbor offsets on the build side so the join is a pure EQUI
+    join on (cx, cy) — hash-partitionable, no range-condition
+    nested loop; the refine predicate drops non-matches before the
+    pair ever shuffles again. Cell occupancy is ~uniform by LCG
+    mixing, so no hot cell at 100 TB."""
+    cu = load_table(spark, sf, "customer")
+    pts = cu.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 48271) % 1800000 - 900000).alias("lat"),
+        ((F.col("c_custkey") * 69621) % 3600000 - 1800000).alias(
+            "lon"
+        ),
+    )
+    cells = pts.select(
+        "id",
+        "lat",
+        "lon",
+        F.expr("(lat + 900000) div 50000").alias("cx"),
+        F.expr("(lon + 1800000) div 50000").alias("cy"),
+    )
+    # Build side replicated into its 9 neighbor cells -> equi join.
+    off = F.expr(
+        "explode(arrays_zip(array(-1,-1,-1,0,0,0,1,1,1),"
+        " array(-1,0,1,-1,0,1,-1,0,1)))"
+    )
+    b = (
+        cells.select(
+            F.col("id").alias("id_b"),
+            F.col("lat").alias("lat_b"),
+            F.col("lon").alias("lon_b"),
+            "cx",
+            "cy",
+            off.alias("o"),
+        )
+        .select(
+            "id_b",
+            "lat_b",
+            "lon_b",
+            (F.col("cx") + F.col("o.0")).alias("cx"),
+            (F.col("cy") + F.col("o.1")).alias("cy"),
+        )
+    )
+    a = cells.select(
+        F.col("id").alias("id_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        "cx",
+        "cy",
+    )
+    d2 = (F.col("lat_a") - F.col("lat_b")) * (
+        F.col("lat_a") - F.col("lat_b")
+    ) + (F.col("lon_a") - F.col("lon_b")) * (
+        F.col("lon_a") - F.col("lon_b")
+    )
+    return (
+        a.join(b, ["cx", "cy"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", d2.cast("long").alias("d2"))
+        .filter(F.col("d2") <= 2500000000)
+    )

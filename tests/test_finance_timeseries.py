@@ -150,3 +150,57 @@ def test_qs203_funnel_counts_monotone(spark, sf_dir):
     }
     assert set(rows) == {1, 2, 3}
     assert rows[1] >= rows[2] >= rows[3] >= 0
+
+
+def test_qs206_grid_blocking_has_full_recall(spark, sf_dir):
+    """The 3x3 neighborhood is sufficient: radius (5 deg) == cell
+    size, so every true pair falls in adjacent cells — the blocked
+    join must equal the brute-force all-pairs join exactly."""
+    out = QUERIES["qs206_grid_spatial_pairs"](spark, sf_dir)
+    cu = load_table(spark, sf_dir, "customer")
+    pts = cu.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 48271) % 1800000 - 900000).alias(
+            "lat"
+        ),
+        ((F.col("c_custkey") * 69621) % 3600000 - 1800000).alias(
+            "lon"
+        ),
+    )
+    a = pts.select(
+        F.col("id").alias("id_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+    )
+    b = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+    )
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                (F.col("lat_a") - F.col("lat_b"))
+                * (F.col("lat_a") - F.col("lat_b"))
+                + (F.col("lon_a") - F.col("lon_b"))
+                * (F.col("lon_a") - F.col("lon_b"))
+            )
+            .cast("long")
+            .alias("d2"),
+        )
+        .filter(F.col("d2") <= 2500000000)
+    )
+    assert out.exceptAll(brute).count() == 0
+    assert brute.exceptAll(out).count() == 0
+
+
+def test_qs204_acf_bounded(spark, sf_dir):
+    rows = QUERIES["qs204_autocorrelation"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r["acf1"] <= 1.0
+        assert -1.0 <= r["acf2"] <= 1.0
