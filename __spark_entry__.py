@@ -164,6 +164,8 @@ _GRADE_FIRST = [
     "qs204_autocorrelation",
     "qs205_theilsen_slope",
     "qs206_grid_spatial_pairs",
+    "qs207_feature_hashing",
+    "qs208_quantile_normalization",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

@@ -9767,13 +9767,18 @@ def qs206(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("cy") + F.col("o.1")).alias("cy"),
         )
     )
+    # The candidate join multiplies the probe side ~(9 x cell
+    # occupancy); a single-file scan would otherwise feed the whole
+    # expansion through ONE task (the broadcast join keeps the probe
+    # side's scan partitioning). Redistribute on the join key BEFORE
+    # the expansion so the pair work parallelizes at any scale.
     a = cells.select(
         F.col("id").alias("id_a"),
         F.col("lat").alias("lat_a"),
         F.col("lon").alias("lon_a"),
         "cx",
         "cy",
-    )
+    ).repartition("cx", "cy")
     d2 = (F.col("lat_a") - F.col("lat_b")) * (
         F.col("lat_a") - F.col("lat_b")
     ) + (F.col("lon_a") - F.col("lon_b")) * (
@@ -9784,4 +9789,142 @@ def qs206(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", d2.cast("long").alias("d2"))
         .filter(F.col("d2") <= 2500000000)
+    )
+
+
+@query(
+    "qs207_feature_hashing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents WHERE doc_id % 20 = 0)
+    SELECT doc_id,
+           ('0x' || substr(md5(term), 1, 8))::BIGINT % 1024
+             AS bucket,
+           COUNT(*) AS cnt
+    FROM toks WHERE term <> ''
+    GROUP BY 1, 2
+    """,
+)
+def qs207(spark: SparkSession, sf: str) -> DataFrame:
+    """Feature hashing (the hashing trick) — project each document's
+    token counts into a FIXED 1024-dimension space via a portable
+    hash, emitted in long/COO form (doc, bucket, count): the
+    vectorizer that needs no vocabulary pass, no dictionary
+    broadcast, and no vocabulary-size coordination across 1000
+    executors — the reason Vowpal-Wabbit-style pipelines scale
+    embarrassingly. Long form keeps the result hash-checkable (array
+    columns break order-insensitive hashing, qs104's lesson) and IS
+    the natural shuffle layout for the downstream sparse matmul
+    (qs178 consumes exactly this shape).
+
+    Determinism: the bucket is the first 8 hex chars of md5 — the
+    engine-portable hash family qs122/qs143 standardized — mod a
+    power of two; counts are exact. Plan: explode → one (doc,
+    bucket) hash aggregate with map-side combine; the modulo filter
+    prunes 95% of documents before the explode."""
+    d = load_table(spark, sf, "documents").filter(
+        F.col("doc_id") % 20 == 0
+    )
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    return toks.groupBy(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast(
+                "long"
+            )
+            % 1024
+        ).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query(
+    "qs208_quantile_normalization",
+    oracle="""
+    WITH m AS (
+      SELECT l_suppkey % 10 AS grp,
+             (year(l_shipdate) - 1995) * 12 + month(l_shipdate) AS t,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS y
+      FROM lineitem GROUP BY 1, 2),
+    r AS (
+      SELECT grp, t, y,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY y, t)
+               AS rk,
+             COUNT(*) OVER (PARTITION BY grp) AS n
+      FROM m),
+    g AS (
+      SELECT y AS gy,
+             ROW_NUMBER() OVER (ORDER BY y, grp, t) AS gi
+      FROM m),
+    nn AS (SELECT COUNT(*) AS big_n FROM m)
+    SELECT r.grp, r.t, CAST(r.y AS BIGINT) AS y,
+           CAST(g.gy AS BIGINT) AS qnorm
+    FROM r, nn
+    JOIN g ON g.gi = ((r.rk - 1) * (nn.big_n - 1))
+                // (r.n - 1) + 1
+    """,
+)
+def qs208(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile normalization — replace each group's monthly revenue
+    by the POOLED distribution's value at the same quantile, so all
+    series share one marginal distribution (the cross-sample
+    calibration step microarray pipelines made standard and feature
+    pipelines reuse before comparing heterogeneous sources; qs159's
+    PSI measures the distribution drift this transform removes).
+
+    Determinism: within-group rank and the pooled index are
+    ROW_NUMBERs over total orders ((y, t) and (y, grp, t)); the
+    quantile index ((rk−1)(N−1)) div (n−1) + 1 is floor arithmetic;
+    the looked-up value depends only on the sorted multiset. Plan:
+    two narrow aggregates feed two windows (group-partitioned and
+    pooled over a calendar-bounded ~800-row table) and one equi
+    join on the pooled index — every input is month-grid-sized, so
+    the pooled single-partition window is metadata-scale, not
+    data-scale."""
+    li = load_table(spark, sf, "lineitem")
+    m = li.groupBy(
+        (F.col("l_suppkey") % 10).alias("grp"),
+        (
+            (F.year("l_shipdate") - 1995) * 12
+            + F.month("l_shipdate")
+        ).alias("t"),
+    ).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        ).alias("y")
+    )
+    r = m.select(
+        "grp",
+        "t",
+        "y",
+        F.row_number()
+        .over(Window.partitionBy("grp").orderBy("y", "t"))
+        .alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("grp"))
+        .alias("n"),
+    )
+    g = m.select(
+        F.col("y").alias("gy"),
+        F.row_number()
+        .over(Window.partitionBy().orderBy("y", "grp", "t"))
+        .alias("gi"),
+    )
+    big_n = m.agg(F.count(F.lit(1)).alias("big_n"))
+    return (
+        r.crossJoin(F.broadcast(big_n))
+        .withColumn(
+            "gi",
+            F.expr("((rk - 1) * (big_n - 1)) div (n - 1) + 1"),
+        )
+        .join(F.broadcast(g), "gi")
+        .select(
+            "grp",
+            "t",
+            F.col("y").cast("long").alias("y"),
+            F.col("gy").cast("long").alias("qnorm"),
+        )
     )
