@@ -166,6 +166,10 @@ _GRADE_FIRST = [
     "qs206_grid_spatial_pairs",
     "qs207_feature_hashing",
     "qs208_quantile_normalization",
+    "qs209_seasonal_decompose",
+    "qs210_rfm_segments",
+    "qs211_herfindahl_index",
+    "qs212_readability",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

@@ -9928,3 +9928,389 @@ def qs208(spark: SparkSession, sf: str) -> DataFrame:
             F.col("gy").cast("long").alias("qnorm"),
         )
     )
+
+
+@query(
+    "qs209_seasonal_decompose",
+    oracle="""
+    WITH m AS (
+      SELECT l_suppkey % 5 AS grp,
+             (year(l_shipdate) - 1995) * 12 + month(l_shipdate) AS t,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+               // 10000 AS y
+      FROM lineitem GROUP BY 1, 2),
+    w AS (
+      SELECT grp, t, y,
+             2 * SUM(y) OVER (PARTITION BY grp ORDER BY t
+                 ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+               - lag(y, 6) OVER (PARTITION BY grp ORDER BY t)
+               - lead(y, 6) OVER (PARTITION BY grp ORDER BY t)
+               AS trend_x24,
+             COUNT(*) OVER (PARTITION BY grp ORDER BY t
+                 ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS wn
+      FROM m),
+    d AS (
+      SELECT grp, t, y, trend_x24, 24 * y - trend_x24 AS det_x24,
+             (t - 1) % 12 AS moy
+      FROM w WHERE wn = 13),
+    s AS (
+      SELECT grp, moy, SUM(det_x24) AS sn, COUNT(*) AS sc
+      FROM d GROUP BY 1, 2)
+    SELECT d.grp, d.t, CAST(d.y AS BIGINT) AS y,
+           CAST(d.trend_x24 AS BIGINT) AS trend_x24,
+           ROUND(CAST(s.sn AS DOUBLE) / s.sc / 24.0, 4) AS seasonal,
+           ROUND((d.det_x24 - CAST(s.sn AS DOUBLE) / s.sc) / 24.0, 4)
+             AS resid
+    FROM d JOIN s ON d.grp = s.grp AND d.moy = s.moy
+    """,
+)
+def qs209(spark: SparkSession, sf: str) -> DataFrame:
+    """Additive seasonal decomposition (STL-lite) of each supplier
+    group's monthly revenue: trend = the classical 2×12 centered
+    moving average, seasonal = the month-of-year mean of the
+    detrended series, residual = what's left — the decomposition
+    behind every "is this a trend or just December" question (qs190
+    profiles day-of-week seasonality; this separates all three
+    components on the monthly grid).
+
+    Determinism: y in 10⁴-cent units; trend×24 is the all-integer
+    identity 2·Σ₋₆..₆ − y₋₆ − y₊₆ (half-weight endpoints of the
+    even-period MA); the detrended series stays integer; only the
+    seasonal mean divides, as one double division of exact
+    integers, ROUND(,4) on output. Edge rows without the full
+    13-observation window are excluded (wn = 13), observation-
+    indexed like qs204.
+
+    Plan: one (grp, month) aggregate, ONE user-partitioned window
+    pass computing MA+lag+lead+count together, a month-of-year
+    re-aggregate over the calendar-sized grid, and a grid-sized
+    join — the raw scan shuffles once."""
+    li = load_table(spark, sf, "lineitem")
+    m = li.groupBy(
+        (F.col("l_suppkey") % 5).alias("grp"),
+        (
+            (F.year("l_shipdate") - 1995) * 12
+            + F.month("l_shipdate")
+        ).alias("t"),
+    ).agg(
+        F.expr(
+            "sum(CAST(ROUND(l_extendedprice * 100, 0) AS LONG))"
+            " div 10000"
+        ).alias("y")
+    )
+    wo = Window.partitionBy("grp").orderBy("t")
+    wr = wo.rowsBetween(-6, 6)
+    w = m.select(
+        "grp",
+        "t",
+        "y",
+        (
+            2 * F.sum("y").over(wr)
+            - F.lag("y", 6).over(wo)
+            - F.lead("y", 6).over(wo)
+        ).alias("trend_x24"),
+        F.count(F.lit(1)).over(wr).alias("wn"),
+    )
+    d = w.filter(F.col("wn") == 13).select(
+        "grp",
+        "t",
+        "y",
+        "trend_x24",
+        (24 * F.col("y") - F.col("trend_x24")).alias("det_x24"),
+        ((F.col("t") - 1) % 12).alias("moy"),
+    )
+    s = d.groupBy("grp", "moy").agg(
+        F.sum("det_x24").alias("sn"), F.count(F.lit(1)).alias("sc")
+    )
+    return d.join(s, ["grp", "moy"]).select(
+        "grp",
+        "t",
+        F.col("y").cast("long").alias("y"),
+        F.col("trend_x24").cast("long").alias("trend_x24"),
+        F.round(
+            F.col("sn").cast("double") / F.col("sc") / F.lit(24.0), 4
+        ).alias("seasonal"),
+        F.round(
+            (
+                F.col("det_x24")
+                - F.col("sn").cast("double") / F.col("sc")
+            )
+            / F.lit(24.0),
+            4,
+        ).alias("resid"),
+    )
+
+
+@query(
+    "qs210_rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS cust,
+             date_diff('day', MAX(o_orderdate),
+                       TIMESTAMP '2001-09-01') AS recency_days,
+             COUNT(*) AS freq,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1),
+    scored AS (
+      SELECT cust, recency_days, freq, cents,
+             CAST(ntile(5) OVER (ORDER BY recency_days DESC, cust)
+                  AS BIGINT) AS r_score,
+             CAST(ntile(5) OVER (ORDER BY freq, cust) AS BIGINT)
+               AS f_score,
+             CAST(ntile(5) OVER (ORDER BY cents, cust) AS BIGINT)
+               AS m_score
+      FROM base)
+    SELECT cust, CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(freq AS BIGINT) AS freq, cents,
+           r_score, f_score, m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                WHEN r_score >= 4 THEN 'recent'
+                WHEN f_score >= 4 THEN 'loyal'
+                WHEN r_score <= 2 AND f_score <= 2 THEN 'at_risk'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+)
+def qs210(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM segmentation — quintile-score every customer on Recency
+    / Frequency / Monetary and bucket into the marketing segments
+    (champion / recent / loyal / at-risk / regular): the canonical
+    customer-base cut that qs192's cohort-LTV and qs191's
+    new-vs-returning views feed into. Anchor date is the fixed day
+    after the data's last order so recency is reproducible.
+
+    Determinism: ntile over TOTAL orders (metric, cust) — equal
+    metrics split by key, so tile boundaries are exact; day diffs
+    and cents are integers; the segment CASE is pure integer logic.
+    Plan: one narrow per-customer aggregate, then three global
+    ntile windows over the customer-sized table — single-partition
+    windows, but over CUSTOMERS, not facts; at 100 TB the
+    per-customer aggregate has already collapsed the volume (and a
+    range-partitioned percent_rank variant swaps in if the customer
+    dimension itself outgrows one partition)."""
+    o = load_table(spark, sf, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.datediff(
+            F.lit("2001-09-01").cast("date"), F.max("o_orderdate")
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        ).alias("cents"),
+    )
+    scored = base.select(
+        "cust",
+        F.col("recency_days").cast("long").alias("recency_days"),
+        F.col("freq").cast("long").alias("freq"),
+        "cents",
+        F.ntile(5)
+        .over(
+            Window.orderBy(F.col("recency_days").desc(), F.col("cust"))
+        )
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("freq", "cust"))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("cents", "cust"))
+        .cast("long")
+        .alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4),
+            "champion",
+        )
+        .when(F.col("r_score") >= 4, "recent")
+        .when(F.col("f_score") >= 4, "loyal")
+        .when(
+            (F.col("r_score") <= 2) & (F.col("f_score") <= 2),
+            "at_risk",
+        )
+        .otherwise("regular"),
+    )
+
+
+@query(
+    "qs211_herfindahl_index",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey AS nationkey, l.l_suppkey AS supp,
+             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS c
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2),
+    sh AS (
+      SELECT nationkey, supp, c,
+             (c * 10000) // SUM(c) OVER (PARTITION BY nationkey)
+               AS share_e4
+      FROM rev)
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(share_e4 * share_e4) AS BIGINT) AS hhi_e8,
+           CAST(MAX(share_e4) AS BIGINT) AS top_share_e4
+    FROM sh JOIN nation n ON sh.nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def qs211(spark: SparkSession, sf: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per supplier
+    nation — Σ(share²) over each supplier's e4-scaled revenue share
+    of its nation: the antitrust-grade concentration number that
+    complements qs175 (which diagnoses processing skew) and qs189
+    (Lorenz/Gini inequality) — HHI is the one regulators and
+    category strategists quote (10 000 = monopoly, < 1 500 =
+    competitive).
+
+    Determinism: shares are floor divisions of exact cent sums
+    (Σshare_e4 ≤ 10⁴ by construction), HHI is an exact integer sum
+    of squares ≤ 10⁸. Plan: one (nation, supplier) hash aggregate
+    collapses the fact table, the share window runs over the
+    supplier-dimension-sized result, the nation name join
+    broadcasts — fact data shuffles exactly once."""
+    li = load_table(spark, sf, "lineitem")
+    su = load_table(spark, sf, "supplier")
+    na = load_table(spark, sf, "nation")
+    rev = (
+        li.join(
+            F.broadcast(su), li["l_suppkey"] == su["s_suppkey"]
+        )
+        .groupBy(
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast(
+                    "long"
+                )
+            ).alias("c")
+        )
+    )
+    sh = rev.withColumn(
+        "share_e4",
+        F.expr(
+            "(c * 10000) div sum(c) OVER"
+            " (PARTITION BY nationkey)"
+        ),
+    )
+    return (
+        sh.join(
+            F.broadcast(na),
+            sh["nationkey"] == na["n_nationkey"],
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum(F.col("share_e4") * F.col("share_e4"))
+            .cast("long")
+            .alias("hhi_e8"),
+            F.max("share_e4").cast("long").alias("top_share_e4"),
+        )
+    )
+
+
+@query(
+    "qs212_readability",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             length(regexp_replace(lower(text), '[^ ]', '', 'g'))
+               + 1 AS words,
+             greatest(length(text)
+               - length(replace(text, '.', '')), 1) AS sentences,
+             greatest(length(regexp_replace(lower(text),
+                 '[aeiouy]+', 'a', 'g'))
+               - length(replace(regexp_replace(lower(text),
+                 '[aeiouy]+', 'a', 'g'), 'a', '')), 1) AS vgroups
+      FROM documents WHERE doc_id % 10 = 0 AND text <> ''),
+    r AS (
+      SELECT doc_id, words, sentences, vgroups,
+             (words * 10000) // sentences AS wps_e4,
+             (vgroups * 10000) // words AS spw_e4
+      FROM c)
+    SELECT doc_id, CAST(words AS BIGINT) AS words,
+           CAST(sentences AS BIGINT) AS sentences,
+           CAST(vgroups AS BIGINT) AS vgroups,
+           CAST(wps_e4 AS BIGINT) AS wps_e4,
+           CAST(spw_e4 AS BIGINT) AS spw_e4,
+           CAST(206835 - (1015 * wps_e4) // 10000
+                       - (84600 * spw_e4) // 10000 AS BIGINT)
+             AS flesch_e3
+    FROM r
+    """,
+)
+def qs212(spark: SparkSession, sf: str) -> DataFrame:
+    """Flesch-style readability scoring — words per sentence and
+    vowel-group-per-word (the portable syllable proxy) folded into
+    an e3-scaled Flesch reading-ease score per document: the
+    text-quality signal the Gopher rules (qs147) and quality filter
+    (qs124) don't capture (they gate on composition; this measures
+    sentence complexity, a standard pretraining-corpus feature).
+
+    Determinism: word count = space count + 1, sentences = period
+    count (≥1), vowel groups via regexp_count of [aeiouy]+ — a
+    marker replacement (every vowel group collapses to a lone 'a';
+    all original vowels are consumed, so counting 'a' markers counts
+    groups — DuckDB has no regexp_count) — a character-class-plus-
+    quantifier pattern RE2 (DuckDB) and Java regex (Spark) treat
+    identically; ratios and the Flesch fold are
+    e4/e3 floor arithmetic, no doubles anywhere. Plan: pure
+    row-local map over a 10%-pruned scan, one narrow projection —
+    embarrassingly parallel at any scale."""
+    d = load_table(spark, sf, "documents").filter(
+        (F.col("doc_id") % 10 == 0) & (F.col("text") != "")
+    )
+    c = d.select(
+        "doc_id",
+        (
+            F.length(
+                F.regexp_replace(F.lower(F.col("text")), "[^ ]", "")
+            )
+            + 1
+        ).alias("words"),
+        F.greatest(
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), "\\.", "")),
+            F.lit(1),
+        ).alias("sentences"),
+        F.greatest(
+            F.length(
+                F.regexp_replace(
+                    F.lower(F.col("text")), "[aeiouy]+", "a"
+                )
+            )
+            - F.length(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.lower(F.col("text")), "[aeiouy]+", "a"
+                    ),
+                    "a",
+                    "",
+                )
+            ),
+            F.lit(1),
+        ).alias("vgroups"),
+    )
+    r = c.select(
+        "doc_id",
+        "words",
+        "sentences",
+        "vgroups",
+        F.expr("(words * 10000) div sentences").alias("wps_e4"),
+        F.expr("(vgroups * 10000) div words").alias("spw_e4"),
+    )
+    return r.select(
+        F.col("doc_id"),
+        F.col("words").cast("long").alias("words"),
+        F.col("sentences").cast("long").alias("sentences"),
+        F.col("vgroups").cast("long").alias("vgroups"),
+        F.col("wps_e4").cast("long").alias("wps_e4"),
+        F.col("spw_e4").cast("long").alias("spw_e4"),
+        F.expr(
+            "CAST(206835 - (1015 * wps_e4) div 10000"
+            " - (84600 * spw_e4) div 10000 AS LONG)"
+        ).alias("flesch_e3"),
+    )
