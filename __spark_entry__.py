@@ -170,6 +170,9 @@ _GRADE_FIRST = [
     "qs210_rfm_segments",
     "qs211_herfindahl_index",
     "qs212_readability",
+    "qs213_knn_accuracy",
+    "qs214_degree_assortativity",
+    "qs215_ndcg_retrieval_eval",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

@@ -10314,3 +10314,366 @@ def qs212(spark: SparkSession, sf: str) -> DataFrame:
             " - (84600 * spw_e4) div 10000 AS LONG)"
         ).alias("flesch_e3"),
     )
+
+
+@query(
+    "qs213_knn_accuracy",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+      FROM embeddings WHERE vec_id % 5 = 0),
+    c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+      FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS qid, q.label AS qlabel,
+             c.vec_id AS cid, c.label AS clabel,
+             ROUND(list_cosine_similarity(q.v, c.v), 6) AS sim
+      FROM q JOIN c ON q.vec_id <> c.vec_id),
+    top3 AS (
+      SELECT qid, qlabel, clabel,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY sim DESC, cid) AS rk
+      FROM scored),
+    votes AS (
+      SELECT qid, qlabel, clabel, COUNT(*) AS n
+      FROM top3 WHERE rk <= 3 GROUP BY 1, 2, 3),
+    pred AS (
+      SELECT qid, qlabel, clabel AS plabel,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY n DESC, clabel) AS pr
+      FROM votes)
+    SELECT qlabel AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST((SUM(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END)
+                 * 10000) // COUNT(*) AS BIGINT) AS accuracy_e4
+    FROM pred WHERE pr = 1 GROUP BY 1
+    """,
+)
+def qs213(spark: SparkSession, sf: str) -> DataFrame:
+    """Leave-one-out 3-NN classifier evaluation over the embedding
+    table — per-label accuracy of majority-vote nearest neighbors:
+    the label-quality / embedding-quality eval every curation
+    pipeline runs before trusting labels at scale (noisy-label
+    detection is exactly "my neighbors disagree with me"). Uses the
+    same exact-cosine kernel as qs52 and the ANN family; an IVF
+    shortlist swaps in for the exact scan at corpus scale.
+
+    Determinism: similarities are ROUND(,6) before ranking (both
+    engines reduce the dot product left-to-right in doubles;
+    rounding kills last-ulp rank flips, qs52's contract tightened),
+    ties break by candidate id; majority vote breaks ties toward
+    the smaller label; accuracy is e4 floor arithmetic. Plan: the
+    query side (20%) joins the candidate scan, per-query top-3 via
+    window rank, two narrow aggregates — candidate generation is
+    the one quadratic stage and is the part ANN replaces."""
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+        F.col("label").alias("clabel"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "qlabel",
+            "cid",
+            "clabel",
+            F.round(
+                cosine_similarity(F.col("qv"), F.col("cv")), 6
+            ).alias("sim"),
+        )
+    )
+    top3 = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(
+                F.col("sim").desc(), "cid"
+            )
+        ),
+    ).filter(F.col("rk") <= 3)
+    votes = top3.groupBy("qid", "qlabel", "clabel").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    pred = votes.withColumn(
+        "pr",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(
+                F.col("n").desc(), "clabel"
+            )
+        ),
+    ).filter(F.col("pr") == 1)
+    correct = F.sum(
+        F.when(F.col("clabel") == F.col("qlabel"), 1).otherwise(0)
+    )
+    return pred.groupBy(F.col("qlabel").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        correct.cast("long").alias("n_correct"),
+        F.expr(
+            "CAST((SUM(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END)"
+            " * 10000) div COUNT(*) AS LONG)"
+        ).alias("accuracy_e4"),
+    )
+
+
+@query(
+    "qs214_degree_assortativity",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM documents a JOIN documents b
+        ON a.lang = b.lang AND a.n_chars = b.n_chars
+       AND a.doc_id < b.doc_id),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION ALL SELECT d2, d1 FROM pairs),
+    deg AS (SELECT a AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+    ed AS (
+      SELECT da.deg AS x, db.deg AS y
+      FROM edges e
+      JOIN deg da ON e.a = da.node
+      JOIN deg db ON e.b = db.node),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy,
+             SUM(x * y) AS sxy
+      FROM ed)
+    SELECT CAST(n AS BIGINT) AS n_edge_ends,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 4)
+             AS assortativity
+    FROM s
+    """,
+)
+def qs214(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree assortativity of the similarity graph — the Pearson
+    correlation of endpoint degrees over all directed edge ends
+    (Newman's r): do well-connected documents cluster with each
+    other (r>0, hub cores — boilerplate families) or with leaves
+    (r<0, star shapes — template + variants)? The one-number
+    topology summary on the same (lang, n_chars) blocking graph
+    qs94/qs108/qs120 analyze — it predicts whether component sizes
+    explode under transitive dedup closure.
+
+    Determinism: degrees and all five moment sums are exact
+    integers; one double division over sqrt of exact-integer
+    products, ROUND(,4). Plan: blocked edge generation (bounded
+    per (lang, n_chars) block), a degree aggregate, two
+    broadcast-sized degree joins, and a single scalar aggregate —
+    no window, no iteration."""
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    a = d.select(
+        F.col("doc_id").alias("d1"), "lang", "n_chars"
+    )
+    b = d.select(
+        F.col("doc_id").alias("d2"), "lang", "n_chars"
+    )
+    pairs = a.join(b, ["lang", "n_chars"]).filter(
+        F.col("d1") < F.col("d2")
+    )
+    edges = pairs.select(
+        F.col("d1").alias("a"), F.col("d2").alias("b")
+    ).unionAll(
+        pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b"))
+    )
+    deg = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    ed = (
+        edges.join(
+            F.broadcast(
+                deg.select(
+                    F.col("node").alias("a"), F.col("deg").alias("x")
+                )
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                deg.select(
+                    F.col("node").alias("b"), F.col("deg").alias("y")
+                )
+            ),
+            "b",
+        )
+    )
+    s = ed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_edge_ends"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            / F.sqrt(
+                (
+                    F.col("n") * F.col("sxx")
+                    - F.col("sx") * F.col("sx")
+                ).cast("double")
+                * (
+                    F.col("n") * F.col("syy")
+                    - F.col("sy") * F.col("sy")
+                ).cast("double")
+            ),
+            4,
+        ).alias("assortativity"),
+    )
+
+
+# e6-scaled 1/log2(i+1) NDCG position weights for ranks 1..10,
+# precomputed as integer constants so the DCG fold is exact integer
+# arithmetic in both engines (no per-row log/double accumulation).
+_NDCG_W = [
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+]
+_NDCG_CASE = "CASE rk " + " ".join(
+    f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W)
+) + " ELSE 0 END"
+_NDCG_IDEAL = "CASE WHEN n_rel >= 10 THEN " + str(sum(_NDCG_W)) + " " + " ".join(
+    f"WHEN n_rel = {k} THEN {sum(_NDCG_W[:k])}"
+    for k in range(1, 10)
+) + " ELSE 0 END"
+
+
+@query(
+    "qs215_ndcg_retrieval_eval",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split(lower(text), ' ')) AS term
+      FROM documents),
+    q AS (SELECT doc_id, source FROM documents WHERE doc_id % 50 = 0),
+    d AS (SELECT doc_id, source FROM documents),
+    ov AS (
+      SELECT q.doc_id AS qid, q.source AS qsrc,
+             t2.doc_id AS cid, d.source AS csrc,
+             COUNT(*) AS overlap
+      FROM q
+      JOIN toks t1 ON t1.doc_id = q.doc_id AND t1.term <> ''
+      JOIN toks t2 ON t2.term = t1.term AND t2.doc_id <> q.doc_id
+      JOIN d ON d.doc_id = t2.doc_id
+      GROUP BY 1, 2, 3, 4),
+    ranked AS (
+      SELECT qid, qsrc, cid, csrc,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY overlap DESC, cid) AS rk
+      FROM ov),
+    rel AS (
+      SELECT qid,
+             SUM(CASE WHEN rk <= 10 AND csrc = qsrc
+                 THEN {_NDCG_CASE} ELSE 0 END) AS dcg_e6
+      FROM ranked GROUP BY qid),
+    nrel AS (
+      SELECT q.doc_id AS qid,
+             (SELECT COUNT(*) FROM d
+              WHERE d.source = q.source
+                AND d.doc_id <> q.doc_id) AS n_rel
+      FROM q)
+    SELECT r.qid, CAST(r.dcg_e6 AS BIGINT) AS dcg_e6,
+           CAST(({_NDCG_IDEAL}) AS BIGINT) AS idcg_e6,
+           CAST((r.dcg_e6 * 1000000)
+                // NULLIF(({_NDCG_IDEAL}), 0) AS BIGINT)
+             AS ndcg_e6
+    FROM rel r JOIN nrel ON r.qid = nrel.qid
+    """,
+)
+def qs215(spark: SparkSession, sf: str) -> DataFrame:
+    """NDCG@10 retrieval evaluation — rank every corpus document
+    against each query document by DISTINCT-token overlap (the
+    inverted-index join qs104 builds and qs84's BM25 refines),
+    score same-source as relevant, and fold position-discounted
+    gains into NDCG. The ranking-quality metric that closes the
+    retrieval loop: qs84 ranks, qs152 filters, this measures
+    whether the ranking is any good.
+
+    Determinism: relevance (binary) and overlap counts are exact
+    integers, so the ranking is integer-ordered with id tiebreaks;
+    the log2 position discounts are PRE-SCALED e6 integer constants
+    (module-level, emitted into both engines' SQL), so DCG/IDCG are
+    exact integer folds and NDCG is one floor division — a ranking
+    metric with zero floating point. Plan: the token self-join is
+    the sparse retrieval join (term-keyed shuffle, distinct-token
+    postings), per-query ranking windows are query-partitioned, and
+    the ideal-DCG lookup is a CASE over the relevant-count — no
+    second pass over the corpus."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col("text")), " "))
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    q = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("qid"), F.col("source").alias("qsrc")
+    )
+    d = docs.select(
+        F.col("doc_id").alias("cid"), F.col("source").alias("csrc")
+    )
+    qt = toks.join(
+        F.broadcast(q), toks["doc_id"] == q["qid"]
+    ).select("qid", "qsrc", "term")
+    ov = (
+        qt.join(
+            toks.select(
+                F.col("doc_id").alias("cid"), "term"
+            ),
+            "term",
+        )
+        .filter(F.col("cid") != F.col("qid"))
+        .groupBy("qid", "qsrc", "cid")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+        .join(d, "cid")
+    )
+    ranked = ov.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(
+                F.col("overlap").desc(), "cid"
+            )
+        ),
+    )
+    rel = ranked.groupBy("qid").agg(
+        F.sum(
+            F.when(
+                (F.col("rk") <= 10)
+                & (F.col("csrc") == F.col("qsrc")),
+                F.expr(_NDCG_CASE),
+            ).otherwise(0)
+        ).alias("dcg_e6")
+    )
+    nrel = (
+        q.join(d, q["qsrc"] == d["csrc"])
+        .filter(F.col("cid") != F.col("qid"))
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_rel"))
+    )
+    out = rel.join(nrel, "qid").withColumn(
+        "idcg_e6", F.expr(_NDCG_IDEAL)
+    )
+    return out.select(
+        "qid",
+        F.col("dcg_e6").cast("long").alias("dcg_e6"),
+        F.col("idcg_e6").cast("long").alias("idcg_e6"),
+        F.expr(
+            "CAST((dcg_e6 * 1000000) div NULLIF(idcg_e6, 0)"
+            " AS LONG)"
+        ).alias("ndcg_e6"),
+    )
