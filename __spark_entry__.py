@@ -173,6 +173,9 @@ _GRADE_FIRST = [
     "qs213_knn_accuracy",
     "qs214_degree_assortativity",
     "qs215_ndcg_retrieval_eval",
+    "qs216_did_estimator",
+    "qs217_laspeyres_index",
+    "qs218_dbscan_core_points",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

@@ -10677,3 +10677,325 @@ def qs215(spark: SparkSession, sf: str) -> DataFrame:
             " AS LONG)"
         ).alias("ndcg_e6"),
     )
+
+
+@query(
+    "qs216_did_estimator",
+    oracle="""
+    WITH cells AS (
+      SELECT o_custkey % 2 AS treated,
+             CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 0 END AS post,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS c
+      FROM orders GROUP BY 1, 2),
+    m AS (
+      SELECT treated, post,
+             CAST(c AS DOUBLE) / n AS mean_cents, n
+      FROM cells)
+    SELECT
+      CAST((SELECT n FROM m WHERE treated = 1 AND post = 1)
+           AS BIGINT) AS n_treated_post,
+      ROUND((SELECT mean_cents FROM m WHERE treated=1 AND post=1)
+          - (SELECT mean_cents FROM m WHERE treated=1 AND post=0)
+          - ((SELECT mean_cents FROM m WHERE treated=0 AND post=1)
+           - (SELECT mean_cents FROM m WHERE treated=0 AND post=0)),
+          4) AS did_cents
+    """,
+)
+def qs216(spark: SparkSession, sf: str) -> DataFrame:
+    """Difference-in-differences estimator — the 2×2 causal
+    workhorse: (treated post − treated pre) − (control post −
+    control pre) on mean order value around the 1998 boundary, with
+    odd customer keys as the treated arm. The experiment-analysis
+    companion to qs168's z-test (which tests ONE difference; DiD
+    nets out the common time trend first — the standard when
+    treatment wasn't randomized at a point in time).
+
+    Determinism: the four cell sums/counts are exact integers; each
+    mean is one double division of exactly-representable values and
+    the three subtractions are IEEE-identical cross-engine;
+    ROUND(,4) on output. Plan: ONE narrow scan → 4-row aggregate →
+    driver-sized pivot arithmetic; nothing shuffles twice."""
+    o = load_table(spark, sf, "orders")
+    cells = o.groupBy(
+        (F.col("o_custkey") % 2).alias("treated"),
+        F.when(
+            F.col("o_orderdate") >= F.lit("1998-01-01").cast("date"),
+            1,
+        )
+        .otherwise(0)
+        .alias("post"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        ).alias("c"),
+    )
+    m = cells.select(
+        "treated",
+        "post",
+        (F.col("c").cast("double") / F.col("n")).alias("mean_cents"),
+        "n",
+    )
+    # Conditional aggregation over the 4-row cell frame extracts the
+    # 2x2 cells in one deterministic, driver-sized pass.
+    agg = m.agg(
+        F.max(
+            F.when(
+                (F.col("treated") == 1) & (F.col("post") == 1),
+                F.col("mean_cents"),
+            )
+        ).alias("t1"),
+        F.max(
+            F.when(
+                (F.col("treated") == 1) & (F.col("post") == 0),
+                F.col("mean_cents"),
+            )
+        ).alias("t0"),
+        F.max(
+            F.when(
+                (F.col("treated") == 0) & (F.col("post") == 1),
+                F.col("mean_cents"),
+            )
+        ).alias("c1"),
+        F.max(
+            F.when(
+                (F.col("treated") == 0) & (F.col("post") == 0),
+                F.col("mean_cents"),
+            )
+        ).alias("c0"),
+        F.max(
+            F.when(
+                (F.col("treated") == 1) & (F.col("post") == 1),
+                F.col("n"),
+            )
+        ).alias("n_tp"),
+    )
+    return agg.select(
+        F.col("n_tp").cast("long").alias("n_treated_post"),
+        F.round(
+            F.col("t1") - F.col("t0") - (F.col("c1") - F.col("c0")),
+            4,
+        ).alias("did_cents"),
+    )
+
+
+@query(
+    "qs217_laspeyres_index",
+    oracle="""
+    WITH g AS (
+      SELECT l_partkey % 100 AS grp,
+             (year(l_shipdate) - 1995) * 12 + month(l_shipdate) AS t,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS c,
+             SUM(CAST(l_quantity AS BIGINT)) AS q
+      FROM lineitem GROUP BY 1, 2),
+    p AS (
+      SELECT grp, t, (c * 100) // q AS p_e2 FROM g WHERE q > 0),
+    base AS (
+      SELECT grp,
+             (SUM(c) * 100) // SUM(q) AS p0_e2, SUM(q) AS q0
+      FROM g WHERE t BETWEEN 13 AND 24 AND q > 0
+      GROUP BY grp),
+    ix AS (
+      SELECT p.t,
+             SUM(p.p_e2 * base.q0) AS num,
+             SUM(base.p0_e2 * base.q0) AS den
+      FROM p JOIN base ON p.grp = base.grp
+      GROUP BY p.t)
+    SELECT t, CAST((num * 1000000) // den AS BIGINT) AS index_e6
+    FROM ix WHERE den > 0
+    """,
+)
+def qs217(spark: SparkSession, sf: str) -> DataFrame:
+    """Laspeyres price index — monthly price level vs the 1996 base
+    year, weighting each part group's unit price by its BASE-period
+    quantity: Σ(pₜ·q₀)/Σ(p₀·q₀), the CPI construction. The
+    economics-grade "are prices rising" series that raw revenue
+    (volume-confounded) and qs190's seasonality can't answer.
+
+    Determinism: unit prices are e2 floor divisions of exact cent
+    and quantity sums; numerator/denominator are exact integer
+    weighted sums (≤ ~10¹⁴); the index is one e6 floor division.
+    Groups absent from the base period drop out by the inner join
+    (fixed-basket semantics, as Laspeyres defines). Plan: one
+    (grp, month) aggregate; the base-period table is group-sized
+    and BROADCAST; the monthly re-aggregate shuffles the month
+    grid only."""
+    li = load_table(spark, sf, "lineitem")
+    g = li.groupBy(
+        (F.col("l_partkey") % 100).alias("grp"),
+        (
+            (F.year("l_shipdate") - 1995) * 12
+            + F.month("l_shipdate")
+        ).alias("t"),
+    ).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        ).alias("c"),
+        F.sum(F.col("l_quantity").cast("long")).alias("q"),
+    )
+    p = g.filter(F.col("q") > 0).select(
+        "grp", "t", F.expr("(c * 100) div q").alias("p_e2")
+    )
+    base = (
+        g.filter(
+            (F.col("t") >= 13) & (F.col("t") <= 24) & (F.col("q") > 0)
+        )
+        .groupBy("grp")
+        .agg(
+            F.expr("(SUM(c) * 100) div SUM(q)").alias("p0_e2"),
+            F.sum("q").alias("q0"),
+        )
+    )
+    ix = (
+        p.join(F.broadcast(base), "grp")
+        .groupBy("t")
+        .agg(
+            F.sum(F.col("p_e2") * F.col("q0")).alias("num"),
+            F.sum(F.col("p0_e2") * F.col("q0")).alias("den"),
+        )
+    )
+    return ix.filter(F.col("den") > 0).select(
+        "t",
+        F.expr("CAST((num * 1000000) div den AS LONG)").alias(
+            "index_e6"
+        ),
+    )
+
+
+@query(
+    "qs218_dbscan_core_points",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             (c_custkey * 48271) % 1800000 - 900000 AS lat,
+             (c_custkey * 69621) % 3600000 - 1800000 AS lon
+      FROM customer),
+    cells AS (
+      SELECT id, lat, lon,
+             (lat + 900000) // 50000 AS cx,
+             (lon + 1800000) // 50000 AS cy
+      FROM pts),
+    nbr AS (
+      SELECT a.id, COUNT(*) AS n_neighbors
+      FROM cells a JOIN cells b
+        ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+       AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+       AND a.id <> b.id
+       AND (a.lat - b.lat) * (a.lat - b.lat)
+         + (a.lon - b.lon) * (a.lon - b.lon) <= 2500000000
+      GROUP BY a.id),
+    lab AS (
+      SELECT p.id, COALESCE(n.n_neighbors, 0) AS n_neighbors,
+             CASE WHEN COALESCE(n.n_neighbors, 0) >= 4
+                  THEN 1 ELSE 0 END AS is_core
+      FROM pts p LEFT JOIN nbr n ON p.id = n.id),
+    border AS (
+      SELECT DISTINCT a.id
+      FROM cells a
+      JOIN cells b ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+       AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+       AND a.id <> b.id
+       AND (a.lat - b.lat) * (a.lat - b.lat)
+         + (a.lon - b.lon) * (a.lon - b.lon) <= 2500000000
+      JOIN lab lb ON lb.id = b.id AND lb.is_core = 1)
+    SELECT lab.id, CAST(lab.n_neighbors AS BIGINT) AS n_neighbors,
+           CASE WHEN lab.is_core = 1 THEN 'core'
+                WHEN border.id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role
+    FROM lab LEFT JOIN border ON lab.id = border.id
+    """,
+)
+def qs218(spark: SparkSession, sf: str) -> DataFrame:
+    """DBSCAN density classification — label every point core /
+    border / noise (eps = the qs206 radius, minPts = 4 neighbors):
+    the density phase of DBSCAN, after which clusters are exactly
+    the connected components (qs81's operator) of the core-point
+    graph. Reuses qs206's uniform-grid candidate generation — the
+    same blocked join does neighbor COUNTING here instead of pair
+    listing, which is the form whose output stays LINEAR in the
+    points regardless of density.
+
+    Determinism: all-integer coords/distances; role labels are
+    integer threshold logic; border status is a semi-join against
+    core neighbors. Plan: two grid-blocked equi joins (count, then
+    core-adjacency semi-join), both repartitioned on the cell key
+    before expansion (qs206's lesson); the core-label table
+    broadcasts."""
+    cu = load_table(spark, sf, "customer")
+    pts = cu.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 48271) % 1800000 - 900000).alias(
+            "lat"
+        ),
+        ((F.col("c_custkey") * 69621) % 3600000 - 1800000).alias(
+            "lon"
+        ),
+    )
+    cells = pts.select(
+        "id",
+        "lat",
+        "lon",
+        F.expr("(lat + 900000) div 50000").alias("cx"),
+        F.expr("(lon + 1800000) div 50000").alias("cy"),
+    )
+    off = F.expr(
+        "explode(arrays_zip(array(-1,-1,-1,0,0,0,1,1,1),"
+        " array(-1,0,1,-1,0,1,-1,0,1)))"
+    )
+    b = (
+        cells.select(
+            F.col("id").alias("id_b"),
+            F.col("lat").alias("lat_b"),
+            F.col("lon").alias("lon_b"),
+            "cx",
+            "cy",
+            off.alias("o"),
+        )
+        .select(
+            "id_b",
+            "lat_b",
+            "lon_b",
+            (F.col("cx") + F.col("o.0")).alias("cx"),
+            (F.col("cy") + F.col("o.1")).alias("cy"),
+        )
+    )
+    a = cells.repartition("cx", "cy")
+    within = (
+        (F.col("lat") - F.col("lat_b"))
+        * (F.col("lat") - F.col("lat_b"))
+        + (F.col("lon") - F.col("lon_b"))
+        * (F.col("lon") - F.col("lon_b"))
+        <= 2500000000
+    )
+    pairs = (
+        a.join(b, ["cx", "cy"])
+        .filter((F.col("id") != F.col("id_b")) & within)
+        .select("id", "id_b")
+    )
+    nbr = pairs.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_neighbors")
+    )
+    lab = pts.select("id").join(nbr, "id", "left").select(
+        "id",
+        F.coalesce("n_neighbors", F.lit(0)).alias("n_neighbors"),
+        (F.coalesce("n_neighbors", F.lit(0)) >= 4).alias("is_core"),
+    )
+    core = lab.filter(F.col("is_core")).select(
+        F.col("id").alias("id_b")
+    )
+    border = (
+        pairs.join(F.broadcast(core), "id_b")
+        .select("id")
+        .distinct()
+        .withColumn("has_core_nbr", F.lit(True))
+    )
+    return lab.join(border, "id", "left").select(
+        "id",
+        F.col("n_neighbors").cast("long").alias("n_neighbors"),
+        F.when(F.col("is_core"), "core")
+        .when(F.col("has_core_nbr").isNotNull(), "border")
+        .otherwise("noise")
+        .alias("role"),
+    )
