@@ -176,6 +176,10 @@ _GRADE_FIRST = [
     "qs216_did_estimator",
     "qs217_laspeyres_index",
     "qs218_dbscan_core_points",
+    "qs219_abc_classification",
+    "qs220_segment_migration",
+    "qs221_mase_forecast_eval",
+    "qs222_jaccard_link_prediction",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

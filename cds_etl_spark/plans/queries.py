@@ -10999,3 +10999,368 @@ def qs218(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise("noise")
         .alias("role"),
     )
+
+
+@query(
+    "qs219_abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey % 200 AS pgrp,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS c
+      FROM lineitem GROUP BY 1),
+    w AS (
+      SELECT pgrp, c,
+             SUM(c) OVER (ORDER BY c DESC, pgrp
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c) OVER () AS total
+      FROM rev)
+    SELECT pgrp, CAST(c AS BIGINT) AS rev_cents,
+           CAST((cum * 10000) // total AS BIGINT) AS cum_share_e4,
+           CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                WHEN cum * 100 <= total * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM w
+    """,
+)
+def qs219(spark: SparkSession, sf: str) -> DataFrame:
+    """ABC classification — rank part groups by revenue and cut the
+    descending cumulative share at 80%/95% into the A/B/C inventory
+    classes: the Pareto cut every ops and procurement team runs
+    (qs189's Lorenz deciles describe the whole inequality curve;
+    ABC is the actionable 3-bucket version of it).
+
+    Determinism: exact cent sums; the cumulative window orders by
+    (revenue DESC, group); class thresholds are exact integer
+    cross-multiplications (cum·100 ≤ total·80 avoids any division).
+    Plan: one narrow fact aggregate, then windows over the
+    group-sized table — the global window runs on 200 rows, not
+    the fact table."""
+    li = load_table(spark, sf, "lineitem")
+    rev = li.groupBy((F.col("l_partkey") % 200).alias("pgrp")).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        ).alias("c")
+    )
+    w = rev.select(
+        "pgrp",
+        "c",
+        F.sum("c")
+        .over(
+            Window.orderBy(F.col("c").desc(), "pgrp").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("total"),
+    )
+    return w.select(
+        "pgrp",
+        F.col("c").cast("long").alias("rev_cents"),
+        F.expr("CAST((cum * 10000) div total AS LONG)").alias(
+            "cum_share_e4"
+        ),
+        F.when(
+            F.col("cum") * 100 <= F.col("total") * 80, "A"
+        )
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+@query(
+    "qs220_segment_migration",
+    oracle="""
+    WITH yr AS (
+      SELECT o_custkey AS cust, year(o_orderdate) AS y,
+             COUNT(*) AS freq,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT cust, y,
+             CAST(ntile(4) OVER (PARTITION BY y
+                 ORDER BY cents, cust) AS BIGINT) AS tier
+      FROM yr),
+    m AS (
+      SELECT a.cust, a.tier AS tier_1996, b.tier AS tier_1997
+      FROM scored a JOIN scored b
+        ON a.cust = b.cust AND a.y = 1996 AND b.y = 1997)
+    SELECT tier_1996, tier_1997,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM m GROUP BY 1, 2
+    """,
+)
+def qs220(spark: SparkSession, sf: str) -> DataFrame:
+    """Segment-migration matrix — quartile-tier every customer's
+    spend in 1996 and in 1997, then count the 4×4 transition cells:
+    the "are my gold customers sliding to bronze" movement view
+    that a static RFM snapshot (qs210) can't show and qs198's rank
+    movers show only for the extremes. The matrix is the input to
+    qs123-style Markov churn projections.
+
+    Determinism: per-year ntile over the total (cents, cust) order;
+    the join keeps customers active in BOTH years (migration is
+    defined on survivors; qs191 counts the entries/exits). Plan:
+    one narrow (cust, year) aggregate, per-year window partitions,
+    a customer-keyed self-join, and a 16-cell aggregate."""
+    o = load_table(spark, sf, "orders")
+    yr = (
+        o.filter(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            F.year("o_orderdate").alias("y"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("cents"),
+        )
+    )
+    scored = yr.select(
+        "cust",
+        "y",
+        F.ntile(4)
+        .over(Window.partitionBy("y").orderBy("cents", "cust"))
+        .cast("long")
+        .alias("tier"),
+    )
+    a = scored.filter(F.col("y") == 1996).select(
+        "cust", F.col("tier").alias("tier_1996")
+    )
+    b = scored.filter(F.col("y") == 1997).select(
+        "cust", F.col("tier").alias("tier_1997")
+    )
+    return (
+        a.join(b, "cust")
+        .groupBy("tier_1996", "tier_1997")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+
+
+@query(
+    "qs221_mase_forecast_eval",
+    oracle="""
+    WITH m AS (
+      SELECT l_suppkey % 10 AS grp,
+             (year(l_shipdate) - 1995) * 12 + month(l_shipdate) AS t,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+               // 10000 AS y
+      FROM lineitem GROUP BY 1, 2),
+    lagged AS (
+      SELECT grp, t, y,
+             lag(y, 12) OVER (PARTITION BY grp ORDER BY t) AS snaive,
+             lag(y, 1) OVER (PARTITION BY grp ORDER BY t) AS naive1
+      FROM m),
+    e AS (
+      SELECT grp,
+             SUM(CASE WHEN snaive IS NOT NULL
+                 THEN abs(y - snaive) END) AS mae_s_num,
+             COUNT(snaive) AS n_s,
+             SUM(CASE WHEN naive1 IS NOT NULL
+                 THEN abs(y - naive1) END) AS mae_1_num,
+             COUNT(naive1) AS n_1
+      FROM lagged GROUP BY grp)
+    SELECT grp, CAST(n_s AS BIGINT) AS n_eval,
+           CAST((mae_s_num * n_1 * 1000000)
+                // NULLIF(mae_1_num * n_s, 0) AS BIGINT) AS mase_e6
+    FROM e
+    """,
+)
+def qs221(spark: SparkSession, sf: str) -> DataFrame:
+    """MASE forecast-accuracy evaluation — the seasonal-naive
+    forecast (same month last year) scored against the one-step
+    naive baseline as Mean Absolute Scaled Error per series:
+    Hyndman's scale-free metric that makes forecast quality
+    comparable across series of different volumes (MASE < 1e6 here
+    means seasonal-naive beats drift — the go/no-go gate before
+    shipping qs141's trend forecast or qs209's decomposition as a
+    predictor).
+
+    Determinism: both error sums are exact integer sums of absolute
+    differences; MASE is one e6 floor division with the counts
+    cross-multiplied (no intermediate means). Plan: one (grp,
+    month) aggregate, one window pass computing both lags, one
+    final group aggregate — same single-shuffle shape as qs204."""
+    li = load_table(spark, sf, "lineitem")
+    m = li.groupBy(
+        (F.col("l_suppkey") % 10).alias("grp"),
+        (
+            (F.year("l_shipdate") - 1995) * 12
+            + F.month("l_shipdate")
+        ).alias("t"),
+    ).agg(
+        F.expr(
+            "sum(CAST(ROUND(l_extendedprice * 100, 0) AS LONG))"
+            " div 10000"
+        ).alias("y")
+    )
+    w = Window.partitionBy("grp").orderBy("t")
+    lagged = m.select(
+        "grp",
+        "y",
+        F.lag("y", 12).over(w).alias("snaive"),
+        F.lag("y", 1).over(w).alias("naive1"),
+    )
+    e = lagged.groupBy("grp").agg(
+        F.sum(
+            F.when(
+                F.col("snaive").isNotNull(),
+                F.abs(F.col("y") - F.col("snaive")),
+            )
+        ).alias("mae_s_num"),
+        F.count("snaive").alias("n_s"),
+        F.sum(
+            F.when(
+                F.col("naive1").isNotNull(),
+                F.abs(F.col("y") - F.col("naive1")),
+            )
+        ).alias("mae_1_num"),
+        F.count("naive1").alias("n_1"),
+    )
+    return e.select(
+        "grp",
+        F.col("n_s").cast("long").alias("n_eval"),
+        F.expr(
+            "CAST((mae_s_num * n_1 * 1000000)"
+            " div NULLIF(mae_1_num * n_s, 0) AS LONG)"
+        ).alias("mase_e6"),
+    )
+
+
+@query(
+    "qs222_jaccard_link_prediction",
+    oracle="""
+    WITH e1 AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM documents a JOIN documents b
+        ON a.lang = b.lang AND a.n_chars = b.n_chars
+       AND a.doc_id < b.doc_id),
+    e2 AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM documents a JOIN documents b
+        ON a.source = b.source AND a.n_chars % 5 = b.n_chars % 5
+       AND a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT DISTINCT d1, d2 FROM
+        (SELECT * FROM e1 UNION ALL SELECT * FROM e2)),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION ALL SELECT d2, d1 FROM pairs),
+    deg AS (SELECT a AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+    cn AS (
+      SELECT x.a AS u, y.a AS v, COUNT(*) AS common
+      FROM edges x JOIN edges y
+        ON x.b = y.b AND x.a < y.a
+      GROUP BY 1, 2),
+    nonedge AS (
+      SELECT cn.u, cn.v, cn.common
+      FROM cn LEFT JOIN pairs p
+        ON p.d1 = cn.u AND p.d2 = cn.v
+      WHERE p.d1 IS NULL)
+    SELECT ne.u, ne.v, CAST(ne.common AS BIGINT) AS common_nbrs,
+           CAST((ne.common * 1000000)
+                // (du.deg + dv.deg - ne.common) AS BIGINT)
+             AS jaccard_e6
+    FROM nonedge ne
+    JOIN deg du ON du.node = ne.u
+    JOIN deg dv ON dv.node = ne.v
+    """,
+)
+def qs222(spark: SparkSession, sf: str) -> DataFrame:
+    """Jaccard link prediction — for every NON-adjacent node pair
+    with ≥2 common neighbors, the Jaccard overlap of their
+    neighborhoods |Γu∩Γv| / |Γu∪Γv|: the classic "who should be
+    connected" score (recommendation, missing-dedup-edge recovery)
+    over a TWO-blocking graph (the (lang, n_chars) similarity edges
+    unioned with (source, n_chars band) provenance edges — a single
+    blocking yields cliques where every 2-hop pair is already an
+    edge and link prediction is vacuous). The 2-hop wedge join is
+    qs108\'s triangle kernel pointed at OPEN wedges instead of
+    closed ones.
+
+    Determinism: common-neighbor counts, degrees, and the e6
+    Jaccard floor division are all exact integers; the union size
+    is deg_u + deg_v − common (inclusion–exclusion, no second
+    neighborhood pass). Plan: wedges shuffle on the shared
+    neighbor (blocked, bounded per block), the edge anti-join
+    removes existing pairs, degrees broadcast."""
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars", "source"
+    )
+    a1 = d.select(F.col("doc_id").alias("d1"), "lang", "n_chars")
+    b1 = d.select(F.col("doc_id").alias("d2"), "lang", "n_chars")
+    sim = a1.join(b1, ["lang", "n_chars"]).filter(
+        F.col("d1") < F.col("d2")
+    )
+    a2 = d.select(
+        F.col("doc_id").alias("d1"),
+        "source",
+        (F.col("n_chars") % 5).alias("band"),
+    )
+    b2 = d.select(
+        F.col("doc_id").alias("d2"),
+        "source",
+        (F.col("n_chars") % 5).alias("band"),
+    )
+    prov = a2.join(b2, ["source", "band"]).filter(
+        F.col("d1") < F.col("d2")
+    )
+    pairs = (
+        sim.select("d1", "d2")
+        .unionAll(prov.select("d1", "d2"))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("d1").alias("a"), F.col("d2").alias("b")
+    ).unionAll(
+        pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b"))
+    )
+    deg = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    wx = edges.select(F.col("a").alias("u"), "b")
+    wy = edges.select(F.col("a").alias("v"), "b")
+    cn = (
+        wx.join(wy, "b")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    nonedge = cn.join(
+        pairs.select(
+            F.col("d1").alias("u"), F.col("d2").alias("v")
+        ),
+        ["u", "v"],
+        "left_anti",
+    )
+    return (
+        nonedge.join(
+            F.broadcast(
+                deg.select(
+                    F.col("node").alias("u"),
+                    F.col("deg").alias("du"),
+                )
+            ),
+            "u",
+        )
+        .join(
+            F.broadcast(
+                deg.select(
+                    F.col("node").alias("v"),
+                    F.col("deg").alias("dv"),
+                )
+            ),
+            "v",
+        )
+        .select(
+            "u",
+            "v",
+            F.col("common").cast("long").alias("common_nbrs"),
+            F.expr(
+                "CAST((common * 1000000)"
+                " div (du + dv - common) AS LONG)"
+            ).alias("jaccard_e6"),
+        )
+    )
