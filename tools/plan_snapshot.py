@@ -49,6 +49,12 @@ SNAPSHOT_QUERIES = [
     "qs167_zscore_anomaly",
     "qs171_cms_join_size",
     "qs180_clamped_balance",
+    # r6 session-4 structural plans: the repartition-before-expansion
+    # grid join, the broadcast-dim share window, and the two-stage
+    # window+join decomposition.
+    "qs206_grid_spatial_pairs",
+    "qs211_herfindahl_index",
+    "qs209_seasonal_decompose",
 ]
 
 
