@@ -180,6 +180,9 @@ _GRADE_FIRST = [
     "qs220_segment_migration",
     "qs221_mase_forecast_eval",
     "qs222_jaccard_link_prediction",
+    "qs223_event_study_lift",
+    "qs224_log_odds_keywords",
+    "qs225_golden_record",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

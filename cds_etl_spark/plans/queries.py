@@ -11364,3 +11364,257 @@ def qs222(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("jaccard_e6"),
         )
     )
+
+
+@query(
+    "qs223_event_study_lift",
+    oracle="""
+    WITH r AS (
+      SELECT n.n_regionkey AS rkey,
+             CAST(o.o_orderdate AS DATE) AS d,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS c
+      FROM orders o
+      JOIN customer cu ON o.o_custkey = cu.c_custkey
+      JOIN nation n ON cu.c_nationkey = n.n_nationkey
+      WHERE o.o_orderdate >= DATE '1996-12-18'
+        AND o.o_orderdate < DATE '1997-01-02'),
+    agg AS (
+      SELECT rkey,
+             SUM(CASE WHEN d < DATE '1996-12-25' THEN c END) AS pre_c,
+             SUM(CASE WHEN d >= DATE '1996-12-25' THEN c END)
+               AS post_c
+      FROM r GROUP BY rkey)
+    SELECT rg.r_name AS region,
+           CAST(pre_c AS BIGINT) AS pre_cents,
+           CAST(post_c AS BIGINT) AS post_cents,
+           CAST((post_c * 7 * 10000) // NULLIF(pre_c * 8, 0)
+                AS BIGINT) AS lift_e4
+    FROM agg JOIN region rg ON agg.rkey = rg.r_regionkey
+    """,
+)
+def qs223(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-study lift — mean daily revenue in the 8 days from the
+    event (1996-12-25) vs the 7 days before, per region: the
+    promo-impact readout marketing runs after every campaign (the
+    single-event, short-window cousin of qs216's DiD — no control
+    arm, the pre-window IS the counterfactual).
+
+    Determinism: exact cent sums; the day-count normalization is
+    cross-multiplied into the e4 floor division (post·7·10⁴ div
+    pre·8) so no mean is ever materialized as a double. Plan: the
+    date filter prunes at the scan, both dims broadcast, one 5-row
+    aggregate."""
+    o = load_table(spark, sf, "orders")
+    cu = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    rg = load_table(spark, sf, "region")
+    r = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-12-18").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1997-01-02").cast("date"))
+        )
+        .join(cu, o["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(n), cu["c_nationkey"] == n["n_nationkey"])
+        .select(
+            F.col("n_regionkey").alias("rkey"),
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    agg = r.groupBy("rkey").agg(
+        F.sum(
+            F.when(
+                F.col("d") < F.lit("1996-12-25").cast("date"),
+                F.col("c"),
+            )
+        ).alias("pre_c"),
+        F.sum(
+            F.when(
+                F.col("d") >= F.lit("1996-12-25").cast("date"),
+                F.col("c"),
+            )
+        ).alias("post_c"),
+    )
+    return agg.join(
+        F.broadcast(rg), agg["rkey"] == rg["r_regionkey"]
+    ).select(
+        F.col("r_name").alias("region"),
+        F.col("pre_c").cast("long").alias("pre_cents"),
+        F.col("post_c").cast("long").alias("post_cents"),
+        F.expr(
+            "CAST((post_c * 7 * 10000) div NULLIF(pre_c * 8, 0)"
+            " AS LONG)"
+        ).alias("lift_e4"),
+    )
+
+
+@query(
+    "qs224_log_odds_keywords",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents),
+    tc AS (
+      SELECT source, term, COUNT(*) AS y
+      FROM toks WHERE term <> '' GROUP BY 1, 2),
+    src AS (SELECT source, SUM(y) AS n FROM tc GROUP BY 1),
+    tot AS (
+      SELECT term, SUM(y) AS yw FROM tc GROUP BY 1),
+    g AS (SELECT SUM(y) AS n_all, COUNT(DISTINCT term) AS v FROM tc),
+    d AS (
+      SELECT tc.source, tc.term,
+             ln((tc.y + 1.0)
+                / (src.n + g.v - tc.y - 1.0))
+           - ln((tot.yw + 1.0)
+                / (g.n_all + g.v - tot.yw - 1.0)) AS delta
+      FROM tc
+      JOIN src ON tc.source = src.source
+      JOIN tot ON tc.term = tot.term
+      CROSS JOIN g),
+    rk AS (
+      SELECT source, term, ROUND(delta, 6) AS delta_r,
+             ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY ROUND(delta, 6) DESC, term) AS rk
+      FROM d)
+    SELECT source, term, delta_r AS log_odds, CAST(rk AS BIGINT) AS rk
+    FROM rk WHERE rk <= 5
+    """,
+)
+def qs224(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinctive-keyword extraction via log-odds with a Dirichlet
+    prior (Monroe et al.'s "Fightin' Words") — the top-5 terms that
+    distinguish each source from the rest of the corpus: the
+    principled replacement for raw tf-idf keyword lists (qs115)
+    when comparing CORPORA rather than documents — the prior stops
+    rare words from dominating, the odds form stops stopwords.
+
+    Determinism: all counts exact integers; each ln sees a single
+    division of exact-integer-valued doubles (the qs84/qs184 ln
+    contract), deltas are ROUND(,6) BEFORE ranking so cross-engine
+    last-ulp noise cannot flip ranks, term breaks ties. Plan:
+    tokenize → (source, term) aggregate; the per-source and
+    per-term marginals are dimension-sized broadcasts; one window
+    per source partition."""
+    docs = load_table(spark, sf, "documents")
+    tc = (
+        docs.select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.col("text")), " ")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    src = tc.groupBy("source").agg(F.sum("y").alias("n"))
+    tot = tc.groupBy("term").agg(F.sum("y").alias("yw"))
+    g = tc.agg(
+        F.sum("y").alias("n_all"),
+        F.countDistinct("term").alias("v"),
+    )
+    d = (
+        tc.join(F.broadcast(src), "source")
+        .join(tot, "term")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "source",
+            "term",
+            (
+                F.log(
+                    (F.col("y") + 1.0)
+                    / (
+                        F.col("n")
+                        + F.col("v")
+                        - F.col("y")
+                        - F.lit(1.0)
+                    )
+                )
+                - F.log(
+                    (F.col("yw") + 1.0)
+                    / (
+                        F.col("n_all")
+                        + F.col("v")
+                        - F.col("yw")
+                        - F.lit(1.0)
+                    )
+                )
+            ).alias("delta"),
+        )
+    )
+    rk = d.select(
+        "source",
+        "term",
+        F.round("delta", 6).alias("delta_r"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.col("delta_r").desc(), "term"
+            )
+        ),
+    )
+    return rk.filter(F.col("rk") <= 5).select(
+        "source",
+        "term",
+        F.col("delta_r").alias("log_odds"),
+        F.col("rk").cast("long").alias("rk"),
+    )
+
+
+@query(
+    "qs225_golden_record",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey // 5 AS entity, c_custkey,
+             c_name, c_nationkey, c_mktsegment,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer)
+    SELECT entity,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           arg_max(c_name, bal_cents * 10000000 + c_custkey)
+             AS name,
+           CAST(MAX(bal_cents) AS BIGINT) AS best_bal_cents,
+           arg_min(c_mktsegment, c_custkey) AS segment,
+           CAST(MIN(c_nationkey) AS BIGINT) AS nationkey
+    FROM c GROUP BY entity
+    """,
+)
+def qs225(spark: SparkSession, sf: str) -> DataFrame:
+    """Golden-record survivorship — collapse each duplicate-entity
+    group to ONE master record with per-field survivorship rules
+    (name from the highest-balance record, segment from the
+    earliest record, conservative min for nation): the MDM merge
+    step that runs AFTER matching (qs114's fuzzy link / qs81's
+    components decide who is the same; this decides what the
+    merged row says). Entity = custkey div 5 stands in for the
+    matcher's cluster id.
+
+    Determinism: every argmax key is a PACKED integer
+    (bal·10⁷+key — the composite-argmax encoding the verify notes
+    require, since DuckDB arg_max takes no composite key); all
+    rules are min/max/arg_max aggregates, so the merge is one
+    hash aggregate with map-side combine — the shape that holds
+    at any duplicate-cluster cardinality."""
+    cu = load_table(spark, sf, "customer")
+    c = cu.select(
+        F.expr("c_custkey div 5").alias("entity"),
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100, 0)
+        .cast("long")
+        .alias("bal_cents"),
+    )
+    return c.groupBy("entity").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.expr(
+            "max_by(c_name, bal_cents * 10000000 + c_custkey)"
+        ).alias("name"),
+        F.max("bal_cents").cast("long").alias("best_bal_cents"),
+        F.expr("min_by(c_mktsegment, c_custkey)").alias("segment"),
+        F.min("c_nationkey").cast("long").alias("nationkey"),
+    )
