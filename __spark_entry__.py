@@ -183,6 +183,9 @@ _GRADE_FIRST = [
     "qs223_event_study_lift",
     "qs224_log_odds_keywords",
     "qs225_golden_record",
+    "qs226_vocab_coverage",
+    "qs227_ks_two_sample",
+    "qs228_simpson_detector",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

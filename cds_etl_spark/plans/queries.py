@@ -11618,3 +11618,265 @@ def qs225(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("min_by(c_mktsegment, c_custkey)").alias("segment"),
         F.min("c_nationkey").cast("long").alias("nationkey"),
     )
+
+
+@query(
+    "qs226_vocab_coverage",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents),
+    tc AS (
+      SELECT source, term, COUNT(*) AS y
+      FROM toks WHERE term <> '' GROUP BY 1, 2),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, SUM(y) AS yw,
+               ROW_NUMBER() OVER (ORDER BY SUM(y) DESC, term) AS rk
+        FROM tc GROUP BY term) WHERE rk <= 1000),
+    cov AS (
+      SELECT tc.source,
+             SUM(tc.y) AS n_tokens,
+             SUM(CASE WHEN v.term IS NOT NULL THEN tc.y ELSE 0 END)
+               AS in_vocab
+      FROM tc LEFT JOIN vocab v ON tc.term = v.term
+      GROUP BY tc.source)
+    SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(in_vocab AS BIGINT) AS in_vocab,
+           CAST((in_vocab * 1000000) // n_tokens AS BIGINT)
+             AS coverage_e6
+    FROM cov
+    """,
+)
+def qs226(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary coverage / OOV-rate audit — build the top-1000
+    corpus vocabulary and measure what fraction of each source's
+    token stream it covers: the tokenizer-fit diagnostic run before
+    committing a vocab (a source with low coverage will fragment
+    into garbage subwords — the per-source version of the qs145 BPE
+    loop's stopping criterion).
+
+    Determinism: the vocab cut is a ROW_NUMBER over (freq DESC,
+    term); coverage is exact token counts and one e6 floor
+    division. Plan: one tokenize→(source, term) aggregate serves
+    BOTH the vocab build (a term-keyed re-aggregate) and the
+    coverage join; the 1000-term vocab broadcasts."""
+    docs = load_table(spark, sf, "documents")
+    tc = (
+        docs.select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.col("text")), " ")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    vocab = (
+        tc.groupBy("term")
+        .agg(F.sum("y").alias("yw"))
+        .select(
+            "term",
+            F.row_number()
+            .over(Window.orderBy(F.col("yw").desc(), "term"))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") <= 1000)
+        .select("term", F.lit(True).alias("inv"))
+    )
+    cov = (
+        tc.join(F.broadcast(vocab), "term", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("y").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("inv").isNotNull(), F.col("y")).otherwise(
+                    0
+                )
+            ).alias("in_vocab"),
+        )
+    )
+    return cov.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("in_vocab").cast("long").alias("in_vocab"),
+        F.expr(
+            "CAST((in_vocab * 1000000) div n_tokens AS LONG)"
+        ).alias("coverage_e6"),
+    )
+
+
+@query(
+    "qs227_ks_two_sample",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey % 2 AS grp,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders),
+    n AS (
+      SELECT SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n0,
+             SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n1
+      FROM s),
+    pooled AS (
+      SELECT v,
+             SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS c0,
+             SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c1
+      FROM s GROUP BY v),
+    cum AS (
+      SELECT v,
+             SUM(c0) OVER (ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS f0,
+             SUM(c1) OVER (ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS f1
+      FROM pooled)
+    SELECT CAST(n.n0 AS BIGINT) AS n0, CAST(n.n1 AS BIGINT) AS n1,
+           CAST(MAX(abs(cum.f0 * n.n1 - cum.f1 * n.n0)) AS BIGINT)
+             AS d_num,
+           CAST((MAX(abs(cum.f0 * n.n1 - cum.f1 * n.n0)) * 1000000)
+                // (n.n0 * n.n1) AS BIGINT) AS ks_d_e6
+    FROM cum, n GROUP BY n.n0, n.n1
+    """,
+)
+def qs227(spark: SparkSession, sf: str) -> DataFrame:
+    """Kolmogorov–Smirnov two-sample statistic — the maximum ECDF
+    gap between even- and odd-customer order values: the
+    whole-distribution "are these two samples from the same
+    distribution" test that completes the nonparametric family
+    (qs181's Mann–Whitney detects location shift; KS detects ANY
+    shape difference — variance, tails, bimodality).
+
+    Determinism: ECDFs never materialize as fractions — the gap is
+    |F₀·n₁ − F₁·n₀| in exact cumulative-count cross-multiplication
+    (≤ ~10⁹), maxed as an integer, with one final e6 floor
+    division. Plan: one (value) aggregate collapses the scan, the
+    cumulative window runs over DISTINCT values (value-grid-sized),
+    and the counts cross-join is a two-scalar broadcast."""
+    o = load_table(spark, sf, "orders")
+    s = o.select(
+        (F.col("o_custkey") % 2).alias("grp"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("v"),
+    )
+    n = s.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    pooled = s.groupBy("v").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    wc = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = pooled.select(
+        F.sum("c0").over(wc).alias("f0"),
+        F.sum("c1").over(wc).alias("f1"),
+    )
+    gap = cum.crossJoin(F.broadcast(n)).agg(
+        F.max(
+            F.abs(
+                F.col("f0") * F.col("n1") - F.col("f1") * F.col("n0")
+            )
+        ).alias("d_num"),
+        F.first("n0").alias("n0"),
+        F.first("n1").alias("n1"),
+    )
+    return gap.select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("d_num").cast("long").alias("d_num"),
+        F.expr(
+            "CAST((d_num * 1000000) div (n0 * n1) AS LONG)"
+        ).alias("ks_d_e6"),
+    )
+
+
+@query(
+    "qs228_simpson_detector",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag AS grp,
+             (year(l_shipdate) - 1995) * 12 + month(l_shipdate) AS t,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+               // 10000 AS y
+      FROM lineitem GROUP BY 1, 2),
+    per AS (
+      SELECT grp, COUNT(*) AS n, SUM(t) AS st, SUM(y) AS sy,
+             SUM(t * y) AS sty
+      FROM m GROUP BY grp),
+    overall AS (
+      SELECT COUNT(*) AS n, SUM(t) AS st, SUM(y) AS sy,
+             SUM(t * y) AS sty
+      FROM m)
+    SELECT per.grp,
+           CAST(sign(per.n * per.sty - per.st * per.sy) AS BIGINT)
+             AS group_trend_sign,
+           CAST(sign(o.n * o.sty - o.st * o.sy) AS BIGINT)
+             AS overall_trend_sign,
+           CAST(CASE WHEN sign(per.n * per.sty - per.st * per.sy)
+                   <> sign(o.n * o.sty - o.st * o.sy)
+                THEN 1 ELSE 0 END AS BIGINT) AS reverses
+    FROM per CROSS JOIN overall o
+    """,
+)
+def qs228(spark: SparkSession, sf: str) -> DataFrame:
+    """Simpson's-paradox detector — does any return-flag segment's
+    revenue TREND point the opposite way from the pooled trend?
+    Flags the aggregation-reversal trap before a dashboard ships
+    the pooled line: the OLS slope SIGN per group vs overall, where
+    sign(slope) = sign(n·Σty − Σt·Σy) needs no division at all —
+    the qs202 regression reduced to its integer numerator. The
+    governance companion to qs175/qs174: those audit data shape,
+    this audits a CONCLUSION's stability under disaggregation.
+
+    Determinism: pure integer moment sums and sign(); zero
+    floating point anywhere. Plan: one (grp, month) aggregate,
+    two tiny re-aggregates, a 1-row cross join."""
+    li = load_table(spark, sf, "lineitem")
+    m = li.groupBy(
+        F.col("l_returnflag").alias("grp"),
+        (
+            (F.year("l_shipdate") - 1995) * 12
+            + F.month("l_shipdate")
+        ).alias("t"),
+    ).agg(
+        F.expr(
+            "sum(CAST(ROUND(l_extendedprice * 100, 0) AS LONG))"
+            " div 10000"
+        ).alias("y")
+    )
+    per = m.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+    )
+    overall = m.agg(
+        F.count(F.lit(1)).alias("on_"),
+        F.sum("t").alias("ost"),
+        F.sum("y").alias("osy"),
+        F.sum(F.col("t") * F.col("y")).alias("osty"),
+    )
+    j = per.crossJoin(F.broadcast(overall))
+    gsign = F.signum(
+        (
+            F.col("n") * F.col("sty") - F.col("st") * F.col("sy")
+        ).cast("double")
+    ).cast("long")
+    osign = F.signum(
+        (
+            F.col("on_") * F.col("osty")
+            - F.col("ost") * F.col("osy")
+        ).cast("double")
+    ).cast("long")
+    return j.select(
+        "grp",
+        gsign.alias("group_trend_sign"),
+        osign.alias("overall_trend_sign"),
+        F.when(gsign != osign, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("reverses"),
+    )
