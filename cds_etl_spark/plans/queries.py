@@ -10375,11 +10375,16 @@ def qs213(spark: SparkSession, sf: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("qv"),
         F.col("label").alias("qlabel"),
     )
+    # The scored join multiplies each candidate partition by the
+    # whole broadcast query side; a single-file scan would run the
+    # entire quadratic kernel in one task (qs206's lesson). Spread
+    # candidates first. (Exact all-pairs is the EVAL harness — the
+    # ANN family qs59/qs61/qs151 is the production path at scale.)
     c = emb.select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").cast("array<double>").alias("cv"),
         F.col("label").alias("clabel"),
-    )
+    ).repartition("cid")
     scored = (
         F.broadcast(q)
         .join(c, F.col("qid") != F.col("cid"))
