@@ -186,6 +186,9 @@ _GRADE_FIRST = [
     "qs226_vocab_coverage",
     "qs227_ks_two_sample",
     "qs228_simpson_detector",
+    "qs229_eb_shrinkage",
+    "qs230_var_cvar",
+    "qs231_modularity",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

@@ -11885,3 +11885,257 @@ def qs228(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("reverses"),
     )
+
+
+@query(
+    "qs229_eb_shrinkage",
+    oracle="""
+    WITH g AS (
+      SELECT l_partkey % 500 AS grp, COUNT(*) AS n,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS c
+      FROM lineitem GROUP BY 1),
+    tot AS (SELECT SUM(c) AS tc, SUM(n) AS tn FROM g)
+    SELECT grp, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(c AS DOUBLE) / n, 4) AS raw_mean_cents,
+           ROUND((c + 20.0 * tot.tc / tot.tn) / (n + 20), 4)
+             AS shrunk_mean_cents
+    FROM g, tot
+    """,
+)
+def qs229(spark: SparkSession, sf: str) -> DataFrame:
+    """Empirical-Bayes shrinkage — each part group's mean line
+    value pulled toward the corpus mean with a pseudo-count prior
+    of 20 observations: (Σx + k·μ)/(n + k), the James-Stein-style
+    estimator that stops a 3-observation group from topping every
+    ranking (the small-sample pathology qs20's raw top-k and
+    qs210's raw tiers inherit). The standard fix wherever entities
+    with wildly different sample sizes are compared.
+
+    Determinism: c, n, and the corpus totals are exact integers;
+    the prior mean and the shrunken mean are fixed sequences of
+    IEEE double ops on exactly-representable operands, ROUND(,4).
+    Plan: one narrow fact aggregate; the corpus total is a
+    broadcast scalar — shrinkage itself is a pure row-local map."""
+    li = load_table(spark, sf, "lineitem")
+    g = li.groupBy((F.col("l_partkey") % 500).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        ).alias("c"),
+    )
+    tot = g.agg(
+        F.sum("c").alias("tc"), F.sum("n").alias("tn")
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("c").cast("double") / F.col("n"), 4).alias(
+            "raw_mean_cents"
+        ),
+        F.round(
+            (
+                F.col("c")
+                + F.lit(20.0) * F.col("tc") / F.col("tn")
+            )
+            / (F.col("n") + 20),
+            4,
+        ).alias("shrunk_mean_cents"),
+    )
+
+
+@query(
+    "qs230_var_cvar",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority AS prio,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders),
+    g AS (SELECT prio, v, COUNT(*) AS cnt FROM s GROUP BY 1, 2),
+    w AS (
+      SELECT prio, v, cnt,
+             SUM(cnt) OVER (PARTITION BY prio ORDER BY v DESC
+                 ROWS UNBOUNDED PRECEDING) AS cum_hi,
+             SUM(cnt) OVER (PARTITION BY prio) AS tn
+      FROM g),
+    var AS (
+      SELECT prio,
+             MIN(CASE WHEN 20 * cum_hi >= tn THEN v END) AS var95,
+             MAX(tn) AS tn
+      FROM w GROUP BY prio)
+    SELECT var.prio, CAST(var.var95 AS BIGINT) AS var95_cents,
+           CAST(SUM(s.v) // COUNT(*) AS BIGINT) AS cvar95_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_tail
+    FROM var JOIN s ON s.prio = var.prio AND s.v >= var.var95
+    GROUP BY var.prio, var.var95
+    """,
+)
+def qs230(spark: SparkSession, sf: str) -> DataFrame:
+    """VaR / CVaR at the 95th percentile of order value per
+    priority class — the tail-risk pair finance and capacity
+    planning both run: VaR = the smallest value whose upper tail
+    holds ≥5% of the mass (exact upper-quantile over the value
+    grid, qs183's cumulative-count physics pointed at the tail);
+    CVaR/expected shortfall = the mean INSIDE that tail, the
+    coherent-risk upgrade that sees tail SHAPE where VaR sees one
+    point.
+
+    Determinism: the quantile is an integer cumulative-count
+    threshold (20·cum ≥ n cross-multiplied); CVaR is an integer
+    floor-division mean over an exactly-defined tail set (v ≥
+    VaR). Plan: value-grid aggregate + per-class windows, then one
+    semi-join back to sum the tail — the tail join is
+    priority-keyed and the VaR table broadcasts."""
+    o = load_table(spark, sf, "orders")
+    s = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("v"),
+    )
+    g = s.groupBy("prio", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    w = g.select(
+        "prio",
+        "v",
+        F.sum("cnt")
+        .over(
+            Window.partitionBy("prio")
+            .orderBy(F.col("v").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cum_hi"),
+        F.sum("cnt").over(Window.partitionBy("prio")).alias("tn"),
+    )
+    var = w.groupBy("prio").agg(
+        F.min(
+            F.when(20 * F.col("cum_hi") >= F.col("tn"), F.col("v"))
+        ).alias("var95"),
+        F.max("tn").alias("tn"),
+    )
+    tail = s.join(F.broadcast(var), "prio").filter(
+        F.col("v") >= F.col("var95")
+    )
+    return tail.groupBy("prio", "var95").agg(
+        F.expr("CAST(SUM(v) div COUNT(*) AS LONG)").alias(
+            "cvar95_cents"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+    ).select(
+        "prio",
+        F.col("var95").cast("long").alias("var95_cents"),
+        "cvar95_cents",
+        "n_tail",
+    )
+
+
+@query(
+    "qs231_modularity",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             a.lang AS lang, a.n_chars AS n_chars
+      FROM documents a JOIN documents b
+        ON a.lang = b.lang AND a.n_chars = b.n_chars
+       AND a.doc_id < b.doc_id),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION ALL SELECT d2, d1 FROM pairs),
+    comm AS (
+      SELECT doc_id AS node, lang || '|' || (n_chars % 7) AS c
+      FROM documents),
+    deg AS (SELECT a AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+    m2 AS (SELECT COUNT(*) AS mm FROM edges),
+    within AS (
+      SELECT SUM(CASE WHEN ca.c = cb.c THEN 1 ELSE 0 END) AS e_in
+      FROM edges e
+      JOIN comm ca ON e.a = ca.node
+      JOIN comm cb ON e.b = cb.node),
+    dsum AS (
+      SELECT SUM(dc * dc) AS sum_d2 FROM (
+        SELECT comm.c, SUM(deg.deg) AS dc
+        FROM deg JOIN comm ON deg.node = comm.node
+        GROUP BY comm.c))
+    SELECT CAST(m2.mm AS BIGINT) AS edge_ends,
+           CAST(within.e_in AS BIGINT) AS within_ends,
+           CAST(((within.e_in * m2.mm - dsum.sum_d2) * 1000000)
+                // (m2.mm * m2.mm) AS BIGINT) AS modularity_e6
+    FROM m2, within, dsum
+    """,
+)
+def qs231(spark: SparkSession, sf: str) -> DataFrame:
+    """Newman modularity of a community partition — Q = Σc(e_c/2m −
+    (d_c/2m)²) for the (lang, n_chars-band) communities on the
+    blocked similarity graph: the partition-quality score that
+    tells you whether qs81's components or the label-propagation
+    communities actually cut along structure (Q≈0 = no better than
+    random given the degree sequence). Scaled to one integer:
+    Q·(2m)² = e_in·2m − Σd_c², then e6 floor division.
+
+    Determinism: edge-end counts, within-community ends, and
+    squared degree sums are exact integers (≤ ~10¹²); one floor
+    division. Plan: the edge list joins node→community twice
+    (community map broadcasts), degrees re-aggregate per
+    community — three dimension-sized aggregates, no iteration."""
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    a = d.select(F.col("doc_id").alias("d1"), "lang", "n_chars")
+    b = d.select(F.col("doc_id").alias("d2"), "lang", "n_chars")
+    pairs = a.join(b, ["lang", "n_chars"]).filter(
+        F.col("d1") < F.col("d2")
+    )
+    edges = pairs.select(
+        F.col("d1").alias("a"), F.col("d2").alias("b")
+    ).unionAll(
+        pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b"))
+    )
+    comm = d.select(
+        F.col("doc_id").alias("node"),
+        F.concat_ws(
+            "|", F.col("lang"), (F.col("n_chars") % 7).cast("string")
+        ).alias("c"),
+    )
+    deg = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    mm = edges.agg(F.count(F.lit(1)).alias("mm"))
+    within = (
+        edges.join(
+            F.broadcast(
+                comm.select(
+                    F.col("node").alias("a"), F.col("c").alias("ca")
+                )
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                comm.select(
+                    F.col("node").alias("b"), F.col("c").alias("cb")
+                )
+            ),
+            "b",
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("ca") == F.col("cb"), 1).otherwise(0)
+            ).alias("e_in")
+        )
+    )
+    dsum = (
+        deg.join(F.broadcast(comm), "node")
+        .groupBy("c")
+        .agg(F.sum("deg").alias("dc"))
+        .agg(F.sum(F.col("dc") * F.col("dc")).alias("sum_d2"))
+    )
+    return (
+        mm.crossJoin(within)
+        .crossJoin(dsum)
+        .select(
+            F.col("mm").cast("long").alias("edge_ends"),
+            F.col("e_in").cast("long").alias("within_ends"),
+            F.expr(
+                "CAST(((e_in * mm - sum_d2) * 1000000)"
+                " div (mm * mm) AS LONG)"
+            ).alias("modularity_e6"),
+        )
+    )
