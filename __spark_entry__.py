@@ -189,6 +189,8 @@ _GRADE_FIRST = [
     "qs229_eb_shrinkage",
     "qs230_var_cvar",
     "qs231_modularity",
+    "qs232_xmr_control_chart",
+    "qs233_blocking_recall_eval",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

@@ -12139,3 +12139,199 @@ def qs231(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("modularity_e6"),
         )
     )
+
+
+@query(
+    "qs232_xmr_control_chart",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+               // 10000 AS y
+      FROM orders
+      WHERE o_orderdate >= DATE '1997-01-01'
+        AND o_orderdate < DATE '1997-07-01'
+      GROUP BY 1),
+    mr AS (
+      SELECT day, y,
+             abs(y - lag(y) OVER (ORDER BY day)) AS mrange
+      FROM d),
+    lims AS (
+      SELECT SUM(y) AS sy, COUNT(*) AS n,
+             SUM(mrange) AS smr, COUNT(mrange) AS nmr
+      FROM mr)
+    SELECT mr.day, CAST(mr.y AS BIGINT) AS y,
+           ROUND(CAST(l.sy AS DOUBLE) / l.n, 4) AS center,
+           ROUND(CAST(l.sy AS DOUBLE) / l.n
+               + 2.66 * l.smr / l.nmr, 4) AS ucl,
+           ROUND(CAST(l.sy AS DOUBLE) / l.n
+               - 2.66 * l.smr / l.nmr, 4) AS lcl,
+           CAST(CASE WHEN mr.y * l.n * l.nmr
+                       > l.sy * l.nmr + CAST(266 * l.n * l.smr
+                           AS BIGINT) // 100
+                  OR mr.y * l.n * l.nmr
+                       < l.sy * l.nmr - CAST(266 * l.n * l.smr
+                           AS BIGINT) // 100
+                THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
+    FROM mr, lims l
+    """,
+)
+def qs232(spark: SparkSession, sf: str) -> DataFrame:
+    """XmR (individuals / moving-range) control chart — daily
+    revenue against ±2.66·MR̄ natural-process limits: Shewhart's
+    SPC chart, the monitoring physics that uses the MOVING RANGE
+    for dispersion instead of the global σ (so a slow drift can't
+    inflate its own limits — exactly the failure mode of qs167's
+    z-score detector, which this complements).
+
+    Determinism: daily sums are integers; center/UCL/LCL are fixed
+    IEEE expressions ROUND(,4) for display, but the OUT-OF-CONTROL
+    FLAG is decided in pure cross-multiplied integer arithmetic
+    (y·n·nmr vs sy·nmr ± (266·n·smr) div 100) — the decision never
+    touches a double. Plan: one (day) aggregate, one lag window
+    over the calendar-sized series, one scalar limit row
+    broadcast."""
+    o = load_table(spark, sf, "orders")
+    d = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1997-07-01").cast("date"))
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.expr(
+                "sum(CAST(ROUND(o_totalprice * 100, 0) AS LONG))"
+                " div 10000"
+            ).alias("y")
+        )
+    )
+    mr = d.select(
+        "day",
+        "y",
+        F.abs(
+            F.col("y") - F.lag("y").over(Window.orderBy("day"))
+        ).alias("mrange"),
+    )
+    lims = mr.agg(
+        F.sum("y").alias("sy"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mrange").alias("smr"),
+        F.count("mrange").alias("nmr"),
+    )
+    j = mr.crossJoin(F.broadcast(lims))
+    center = F.col("sy").cast("double") / F.col("n")
+    band = F.lit(2.66) * F.col("smr") / F.col("nmr")
+    hi = F.col("y") * F.col("n") * F.col("nmr") > F.col("sy") * F.col(
+        "nmr"
+    ) + F.expr("CAST(266 * n * smr AS LONG) div 100")
+    lo = F.col("y") * F.col("n") * F.col("nmr") < F.col("sy") * F.col(
+        "nmr"
+    ) - F.expr("CAST(266 * n * smr AS LONG) div 100")
+    return j.select(
+        "day",
+        F.col("y").cast("long").alias("y"),
+        F.round(center, 4).alias("center"),
+        F.round(center + band, 4).alias("ucl"),
+        F.round(center - band, 4).alias("lcl"),
+        F.when(hi | lo, 1).otherwise(0).cast("long").alias(
+            "out_of_control"
+        ),
+    )
+
+
+@query(
+    "qs233_blocking_recall_eval",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, n_chars // 64 AS lenband,
+             string_split(text, ' ') AS toks
+      FROM documents),
+    sh AS (
+      SELECT doc_id, lang, lenband,
+        CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
+          range(1, len(toks) - 1),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        ELSE [] END AS s
+      FROM t),
+    brute AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             len(list_intersect(a.s, b.s)) AS inter,
+             len(list_distinct(list_concat(a.s, b.s))) AS uni,
+             CASE WHEN a.lenband = b.lenband THEN 1 ELSE 0 END
+               AS same_band
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id),
+    truth AS (
+      SELECT same_band FROM brute WHERE 10 * inter >= 3 * uni)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+           CAST(SUM(same_band) AS BIGINT) AS n_found_by_band,
+           CAST((SUM(same_band) * 1000000) // NULLIF(COUNT(*), 0)
+                AS BIGINT) AS recall_e6
+    FROM truth
+    """,
+)
+def qs233(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocking-recall audit — ground-truth near-dup pairs (trigram
+    Jaccard ≥ 0.3 within language) vs the pairs the (lang, length-
+    band) blocking scheme can actually see: the measured recall of
+    the blocking trade qs57's docstring only ASSERTS ("recall loss
+    is only boundary-straddling pairs" — this query puts a number
+    on it, the audit every production dedup pipeline schedules on
+    a sample). Language blocks bound the truth computation; run on
+    a block sample at corpus scale.
+
+    Determinism: the Jaccard threshold is the cross-multiplied
+    integer test 10·|∩| ≥ 3·|∪| (no double ever materializes);
+    shingle sets are exact distinct trigram lists; recall is an e6
+    floor division. Plan: shingle once, one lang-keyed blocked
+    self-join, one scalar aggregate."""
+    docs = load_table(spark, sf, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.expr("n_chars div 64").alias("lenband"),
+        F.split(F.col("text"), " ").alias("toks"),
+    )
+    sh = t.select(
+        "doc_id",
+        "lang",
+        "lenband",
+        F.expr(
+            "CASE WHEN size(toks) >= 3 THEN array_distinct("
+            "transform(sequence(0, size(toks) - 3),"
+            " i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"
+            " ELSE array() END"
+        ).alias("s"),
+    )
+    a = sh.select(
+        F.col("doc_id").alias("d1"),
+        "lang",
+        F.col("lenband").alias("lb1"),
+        F.col("s").alias("s1"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("d2"),
+        "lang",
+        F.col("lenband").alias("lb2"),
+        F.col("s").alias("s2"),
+    )
+    brute = (
+        a.join(b, "lang")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            F.size(F.array_intersect("s1", "s2")).alias("inter"),
+            F.size(F.array_union("s1", "s2")).alias("uni"),
+            F.when(F.col("lb1") == F.col("lb2"), 1)
+            .otherwise(0)
+            .alias("same_band"),
+        )
+    )
+    truth = brute.filter(10 * F.col("inter") >= 3 * F.col("uni"))
+    return truth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
+        F.sum("same_band").cast("long").alias("n_found_by_band"),
+        F.expr(
+            "CAST((SUM(same_band) * 1000000)"
+            " div NULLIF(COUNT(*), 0) AS LONG)"
+        ).alias("recall_e6"),
+    )
