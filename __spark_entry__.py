@@ -191,6 +191,9 @@ _GRADE_FIRST = [
     "qs231_modularity",
     "qs232_xmr_control_chart",
     "qs233_blocking_recall_eval",
+    "qs234_wilson_interval",
+    "qs235_token_burstiness",
+    "qs236_mix_shift_decomposition",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

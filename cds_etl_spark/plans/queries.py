@@ -12335,3 +12335,223 @@ def qs233(spark: SparkSession, sf: str) -> DataFrame:
             " div NULLIF(COUNT(*), 0) AS LONG)"
         ).alias("recall_e6"),
     )
+
+
+@query(
+    "qs234_wilson_interval",
+    oracle="""
+    WITH g AS (
+      SELECT l_partkey % 100 AS grp,
+             COUNT(*) AS n,
+             SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS k
+      FROM lineitem GROUP BY 1)
+    SELECT grp, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+           ROUND((k + 1.92) / (n + 3.84), 4) AS p_center,
+           ROUND((k + 1.92) / (n + 3.84)
+               - 1.96 * sqrt(CAST(k AS DOUBLE) * (n - k) / n + 0.96)
+                 / (n + 3.84), 4) AS ci_lo,
+           ROUND((k + 1.92) / (n + 3.84)
+               + 1.96 * sqrt(CAST(k AS DOUBLE) * (n - k) / n + 0.96)
+                 / (n + 3.84), 4) AS ci_hi
+    FROM g
+    """,
+)
+def qs234(spark: SparkSession, sf: str) -> DataFrame:
+    """Wilson score interval — the 95% confidence interval on each
+    part group's return RATE: the closed-form proportion CI that
+    stays inside [0,1] and behaves at k=0/k=n where the naive Wald
+    interval collapses (qs179 bootstraps CIs for MEANS; proportions
+    have this exact formula, z²=3.84 folded into the constants).
+    The ranking-with-uncertainty tool: sort groups by ci_lo, not by
+    raw rate, and small-sample groups stop winning (the qs229
+    shrinkage story, frequentist edition).
+
+    Determinism: k and n are exact counts; center and bounds are
+    fixed IEEE expression trees over exactly-representable
+    operands (one sqrt), ROUND(,4). Plan: one narrow conditional
+    aggregate, then row-local math — nothing after the single
+    shuffle."""
+    li = load_table(spark, sf, "lineitem")
+    g = li.groupBy((F.col("l_partkey") % 100).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("k"),
+    )
+    center = (F.col("k") + 1.92) / (F.col("n") + 3.84)
+    half = (
+        F.lit(1.96)
+        * F.sqrt(
+            F.col("k").cast("double")
+            * (F.col("n") - F.col("k"))
+            / F.col("n")
+            + 0.96
+        )
+        / (F.col("n") + 3.84)
+    )
+    return g.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round(center, 4).alias("p_center"),
+        F.round(center - half, 4).alias("ci_lo"),
+        F.round(center + half, 4).alias("ci_hi"),
+    )
+
+
+@query(
+    "qs235_token_burstiness",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents),
+    dc AS (
+      SELECT term, doc_id, COUNT(*) AS x
+      FROM toks WHERE term <> '' GROUP BY 1, 2),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    s AS (
+      SELECT term, COUNT(*) AS docs_in, SUM(x) AS sx,
+             SUM(x * x) AS sxx
+      FROM dc GROUP BY term HAVING SUM(x) >= 50)
+    SELECT term, CAST(sx AS BIGINT) AS total_count,
+           CAST(docs_in AS BIGINT) AS docs_in,
+           CAST(((nd.n * sxx - sx * sx) * 1000000)
+                // (nd.n * sx) AS BIGINT) AS vmr_e6
+    FROM s, nd
+    """,
+)
+def qs235(spark: SparkSession, sf: str) -> DataFrame:
+    """Token burstiness — the variance-to-mean ratio of each
+    frequent term's per-document count, zeros included (Church/
+    Gale's burstiness): VMR ≈ 1e6 means Poisson-scattered function
+    words; VMR ≫ 1e6 means the term CLUMPS into few documents —
+    topical or boilerplate mass. The corpus-statistics signal
+    orthogonal to frequency (qs137), entropy (qs160), and
+    repetition (qs89): two terms with identical counts can have
+    10× different burstiness, and the bursty one is the dedup/
+    topic candidate.
+
+    Determinism: zeros enter through the closed form — over all N
+    docs, Σx and Σx² only need the nonzero counts, so VMR·1e6 =
+    (N·Σx² − (Σx)²)·10⁶ div (N·Σx), all exact integers. Plan:
+    tokenize → (term, doc) count → per-term moment aggregate; the
+    HAVING prunes the tail before the scalar N broadcast joins."""
+    docs = load_table(spark, sf, "documents")
+    dc = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.col("text")), " ")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    nd = docs.agg(F.countDistinct("doc_id").alias("n"))
+    s = (
+        dc.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("docs_in"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .filter(F.col("sx") >= 50)
+    )
+    return s.crossJoin(F.broadcast(nd)).select(
+        "term",
+        F.col("sx").cast("long").alias("total_count"),
+        F.col("docs_in").cast("long").alias("docs_in"),
+        F.expr(
+            "CAST(((n * sxx - sx * sx) * 1000000)"
+            " div (n * sx) AS LONG)"
+        ).alias("vmr_e6"),
+    )
+
+
+@query(
+    "qs236_mix_shift_decomposition",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS seg,
+             year(o_orderdate) AS y, COUNT(*) AS n,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS c
+      FROM orders WHERE year(o_orderdate) IN (1996, 1998)
+      GROUP BY 1, 2),
+    w AS (
+      SELECT seg,
+             MAX(CASE WHEN y = 1996 THEN n END) AS n0,
+             MAX(CASE WHEN y = 1996 THEN c END) AS c0,
+             MAX(CASE WHEN y = 1998 THEN n END) AS n1,
+             MAX(CASE WHEN y = 1998 THEN c END) AS c1
+      FROM g GROUP BY seg),
+    tot AS (
+      SELECT SUM(n0) AS tn0, SUM(n1) AS tn1 FROM w)
+    SELECT w.seg,
+           ROUND((CAST(w.n1 AS DOUBLE) / tot.tn1
+                - CAST(w.n0 AS DOUBLE) / tot.tn0)
+               * (CAST(w.c0 AS DOUBLE) / w.n0), 4) AS mix_effect,
+           ROUND((CAST(w.n0 AS DOUBLE) / tot.tn0)
+               * (CAST(w.c1 AS DOUBLE) / w.n1
+                - CAST(w.c0 AS DOUBLE) / w.n0), 4) AS rate_effect,
+           ROUND((CAST(w.n1 AS DOUBLE) / tot.tn1
+                - CAST(w.n0 AS DOUBLE) / tot.tn0)
+               * (CAST(w.c1 AS DOUBLE) / w.n1
+                - CAST(w.c0 AS DOUBLE) / w.n0), 4)
+             AS interaction_effect
+    FROM w, tot
+    """,
+)
+def qs236(spark: SparkSession, sf: str) -> DataFrame:
+    """Mix-shift decomposition (Oaxaca–Blinder style) — why did the
+    overall mean order value move between 1996 and 1998? Split each
+    priority segment's contribution into MIX (its share of orders
+    changed), RATE (its own mean changed), and the interaction:
+    Δ = Σ Δw·m₀ + Σ w₀·Δm + Σ Δw·Δm. The "is revenue/order down
+    because customers changed or because behavior changed" question
+    every growth review asks; qs228 flags that pooled and per-group
+    trends disagree — this quantifies where the pooled move comes
+    from.
+
+    Determinism: all shares and means are single double divisions
+    of exact integer sums; the three products are fixed IEEE
+    expression trees, ROUND(,4). Plan: one conditional (segment,
+    year) aggregate, a segment-sized pivot, a two-scalar broadcast
+    — the decomposition is row-local."""
+    o = load_table(spark, sf, "orders")
+    g = (
+        o.filter(F.year("o_orderdate").isin(1996, 1998))
+        .groupBy(
+            F.col("o_orderpriority").alias("seg"),
+            F.year("o_orderdate").alias("y"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("c"),
+        )
+    )
+    w = g.groupBy("seg").agg(
+        F.max(F.when(F.col("y") == 1996, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("y") == 1996, F.col("c"))).alias("c0"),
+        F.max(F.when(F.col("y") == 1998, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("y") == 1998, F.col("c"))).alias("c1"),
+    )
+    tot = w.agg(
+        F.sum("n0").alias("tn0"), F.sum("n1").alias("tn1")
+    )
+    j = w.crossJoin(F.broadcast(tot))
+    w0 = F.col("n0").cast("double") / F.col("tn0")
+    w1 = F.col("n1").cast("double") / F.col("tn1")
+    m0 = F.col("c0").cast("double") / F.col("n0")
+    m1 = F.col("c1").cast("double") / F.col("n1")
+    return j.select(
+        "seg",
+        F.round((w1 - w0) * m0, 4).alias("mix_effect"),
+        F.round(w0 * (m1 - m0), 4).alias("rate_effect"),
+        F.round((w1 - w0) * (m1 - m0), 4).alias(
+            "interaction_effect"
+        ),
+    )
