@@ -194,6 +194,8 @@ _GRADE_FIRST = [
     "qs234_wilson_interval",
     "qs235_token_burstiness",
     "qs236_mix_shift_decomposition",
+    "qs237_seasonal_index_ratio",
+    "qs238_order_aging_buckets",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

@@ -12555,3 +12555,179 @@ def qs236(spark: SparkSession, sf: str) -> DataFrame:
             "interaction_effect"
         ),
     )
+
+
+@query(
+    "qs237_seasonal_index_ratio",
+    oracle="""
+    WITH m AS (
+      SELECT l_suppkey % 5 AS grp,
+             (year(l_shipdate) - 1995) * 12 + month(l_shipdate) AS t,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+               // 10000 AS y
+      FROM lineitem GROUP BY 1, 2),
+    w AS (
+      SELECT grp, t, y,
+             2 * SUM(y) OVER (PARTITION BY grp ORDER BY t
+                 ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+               - lag(y, 6) OVER (PARTITION BY grp ORDER BY t)
+               - lead(y, 6) OVER (PARTITION BY grp ORDER BY t)
+               AS trend_x24,
+             COUNT(*) OVER (PARTITION BY grp ORDER BY t
+                 ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS wn
+      FROM m),
+    r AS (
+      SELECT grp, (t - 1) % 12 AS moy,
+             (24 * y * 1000000) // trend_x24 AS ratio_e6
+      FROM w WHERE wn = 13 AND trend_x24 > 0),
+    g AS (
+      SELECT grp, moy, ratio_e6, COUNT(*) AS c
+      FROM r GROUP BY 1, 2, 3),
+    cum AS (
+      SELECT grp, moy, ratio_e6,
+             SUM(c) OVER (PARTITION BY grp, moy ORDER BY ratio_e6
+                 ROWS UNBOUNDED PRECEDING) AS cc,
+             SUM(c) OVER (PARTITION BY grp, moy) AS tc
+      FROM g)
+    SELECT grp, CAST(moy AS BIGINT) AS moy,
+           CAST(MIN(CASE WHEN 2 * cc >= tc THEN ratio_e6 END)
+                AS BIGINT) AS seasonal_index_e6,
+           CAST(MAX(tc) AS BIGINT) AS n_obs
+    FROM cum GROUP BY grp, moy
+    """,
+)
+def qs237(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiplicative seasonal index via ratio-to-moving-average —
+    each month-of-year's LOWER MEDIAN ratio of actual to the 2×12
+    centered trend: the classical-decomposition sibling of qs209
+    (additive residuals there; multiplicative indices here — the
+    right model when seasonal swings scale WITH the level, which
+    revenue seasonality usually does). An index of 1.08e6 reads
+    directly as "January runs 8% above trend".
+
+    Determinism: ratios are e6 floor divisions of the all-integer
+    trend×24 identity; the median is the qs183 cumulative-count
+    lower median — no doubles anywhere. Plan: the qs209 single
+    window pass, then calendar-sized median windows per (grp,
+    month-of-year)."""
+    li = load_table(spark, sf, "lineitem")
+    m = li.groupBy(
+        (F.col("l_suppkey") % 5).alias("grp"),
+        (
+            (F.year("l_shipdate") - 1995) * 12
+            + F.month("l_shipdate")
+        ).alias("t"),
+    ).agg(
+        F.expr(
+            "sum(CAST(ROUND(l_extendedprice * 100, 0) AS LONG))"
+            " div 10000"
+        ).alias("y")
+    )
+    wo = Window.partitionBy("grp").orderBy("t")
+    wr = wo.rowsBetween(-6, 6)
+    w = m.select(
+        "grp",
+        "t",
+        "y",
+        (
+            2 * F.sum("y").over(wr)
+            - F.lag("y", 6).over(wo)
+            - F.lead("y", 6).over(wo)
+        ).alias("trend_x24"),
+        F.count(F.lit(1)).over(wr).alias("wn"),
+    )
+    r = w.filter(
+        (F.col("wn") == 13) & (F.col("trend_x24") > 0)
+    ).select(
+        "grp",
+        ((F.col("t") - 1) % 12).alias("moy"),
+        F.expr("(24 * y * 1000000) div trend_x24").alias(
+            "ratio_e6"
+        ),
+    )
+    g = r.groupBy("grp", "moy", "ratio_e6").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wc = (
+        Window.partitionBy("grp", "moy")
+        .orderBy("ratio_e6")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = g.select(
+        "grp",
+        "moy",
+        "ratio_e6",
+        F.sum("c").over(wc).alias("cc"),
+        F.sum("c")
+        .over(Window.partitionBy("grp", "moy"))
+        .alias("tc"),
+    )
+    return cum.groupBy("grp", F.col("moy").cast("long").alias("moy")).agg(
+        F.min(
+            F.when(2 * F.col("cc") >= F.col("tc"), F.col("ratio_e6"))
+        )
+        .cast("long")
+        .alias("seasonal_index_e6"),
+        F.max("tc").cast("long").alias("n_obs"),
+    )
+
+
+@query(
+    "qs238_order_aging_buckets",
+    oracle="""
+    WITH open_o AS (
+      SELECT o_orderpriority AS prio,
+             date_diff('day', o_orderdate,
+                       TIMESTAMP '1998-08-01') AS age_days,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+      WHERE o_orderstatus = 'O'
+        AND o_orderdate < TIMESTAMP '1998-08-01')
+    SELECT prio,
+           CASE WHEN age_days <= 30 THEN '0-30'
+                WHEN age_days <= 90 THEN '31-90'
+                WHEN age_days <= 365 THEN '91-365'
+                ELSE '365+' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(c) AS BIGINT) AS value_cents,
+           CAST(MAX(age_days) AS BIGINT) AS oldest_days
+    FROM open_o GROUP BY 1, 2
+    """,
+)
+def qs238(spark: SparkSession, sf: str) -> DataFrame:
+    """Open-order aging report — the AR-aging staple: every order
+    still open at the snapshot date bucketed into 0-30 / 31-90 /
+    91-365 / 365+ days with counts, exposure value, and the oldest
+    item per priority class. The operational companion to qs194's
+    ship-SLA percentiles: SLA measures what DID ship; aging
+    measures what hasn't.
+
+    Determinism: day arithmetic and cent sums are exact integers;
+    bucket edges are integer CASE tests. Plan: scan-pruned by the
+    status+date predicates (both reach PushedFilters), one
+    conditional aggregate — the minimal one-shuffle report."""
+    o = load_table(spark, sf, "orders")
+    open_o = o.filter(
+        (F.col("o_orderstatus") == "O")
+        & (F.col("o_orderdate") < F.lit("1998-08-01").cast("date"))
+    ).select(
+        F.col("o_orderpriority").alias("prio"),
+        F.datediff(
+            F.lit("1998-08-01").cast("date"), F.col("o_orderdate")
+        ).alias("age_days"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("c"),
+    )
+    return open_o.groupBy(
+        "prio",
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 90, "31-90")
+        .when(F.col("age_days") <= 365, "91-365")
+        .otherwise("365+")
+        .alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("c").cast("long").alias("value_cents"),
+        F.max("age_days").cast("long").alias("oldest_days"),
+    )
