@@ -9771,14 +9771,20 @@ def qs206(spark: SparkSession, sf: str) -> DataFrame:
     # occupancy); a single-file scan would otherwise feed the whole
     # expansion through ONE task (the broadcast join keeps the probe
     # side's scan partitioning). Redistribute on the join key BEFORE
-    # the expansion so the pair work parallelizes at any scale.
+    # the expansion — with an EXPLICIT partition count: AQE coalesces
+    # a bare repartition(keys) back to one partition here (the probe
+    # is only a few MB pre-expansion; the optimizer cannot see the
+    # 500x blowup inside the join), and explicit-count repartitions
+    # are exempt from coalescing.
     a = cells.select(
         F.col("id").alias("id_a"),
         F.col("lat").alias("lat_a"),
         F.col("lon").alias("lon_a"),
         "cx",
         "cy",
-    ).repartition("cx", "cy")
+    ).repartition(
+        spark.sparkContext.defaultParallelism, "cx", "cy"
+    )
     d2 = (F.col("lat_a") - F.col("lat_b")) * (
         F.col("lat_a") - F.col("lat_b")
     ) + (F.col("lon_a") - F.col("lon_b")) * (
@@ -10384,7 +10390,7 @@ def qs213(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("cid"),
         F.col("embedding").cast("array<double>").alias("cv"),
         F.col("label").alias("clabel"),
-    ).repartition("cid")
+    ).repartition(spark.sparkContext.defaultParallelism, "cid")
     scored = (
         F.broadcast(q)
         .join(c, F.col("qid") != F.col("cid"))
@@ -10966,7 +10972,9 @@ def qs218(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("cy") + F.col("o.1")).alias("cy"),
         )
     )
-    a = cells.repartition("cx", "cy")
+    a = cells.repartition(
+        spark.sparkContext.defaultParallelism, "cx", "cy"
+    )
     within = (
         (F.col("lat") - F.col("lat_b"))
         * (F.col("lat") - F.col("lat_b"))

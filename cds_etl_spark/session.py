@@ -107,6 +107,15 @@ LOCAL_LATENCY_RUNTIME_CONFS: dict[str, str] = {
 # noise on multi-hundred-ms queries it can actually improve. The large
 # profile keeps the local statics (tmpfs shuffle, FAIR, no compression)
 # but restores the scale runtime settings.
+#
+# Threshold history: an r6 session briefly lowered this to 128 MB on
+# the theory that sf1 (~240 MB) analytics queries were mis-served by
+# the latency profile; measurement showed the slow sf1 audit numbers
+# were ambient contention (the audits use the PLAIN profile, which
+# this constant never gates), while the sf1 BENCH point measurably
+# prefers the latency profile (0.233 s recorded vs ~0.31 s under the
+# scale profile). 512 MB stands: between the sf1 bench regime and the
+# multi-GB regime where the latency statics invert.
 LOCAL_LATENCY_LARGE_DATA_BYTES = 512 * 1024 * 1024
 # …and above THIS size the statics invert too: an uncompressed shuffle
 # in RAM-backed /dev/shm is ~3x the compressed on-disk bytes, so a
