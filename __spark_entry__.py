@@ -196,6 +196,8 @@ _GRADE_FIRST = [
     "qs236_mix_shift_decomposition",
     "qs237_seasonal_index_ratio",
     "qs238_order_aging_buckets",
+    "qs239_tukey_fences",
+    "qs240_lexical_diversity",
     "qs46_full_outer_join",
     "qs48_time_range_frame",
     "qs66_hash_split",

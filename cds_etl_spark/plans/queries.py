@@ -12739,3 +12739,148 @@ def qs238(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("c").cast("long").alias("value_cents"),
         F.max("age_days").cast("long").alias("oldest_days"),
     )
+
+
+@query(
+    "qs239_tukey_fences",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag AS grp,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
+      FROM lineitem),
+    q AS (
+      SELECT grp,
+             quantile_cont(v, 0.25) AS q1,
+             quantile_cont(v, 0.75) AS q3
+      FROM b GROUP BY grp)
+    SELECT q.grp, ROUND(q.q1, 4) AS q1, ROUND(q.q3, 4) AS q3,
+           ROUND(q.q3 - q.q1, 4) AS iqr,
+           ROUND(q.q1 - 1.5 * (q.q3 - q.q1), 4) AS lo_fence,
+           ROUND(q.q3 + 1.5 * (q.q3 - q.q1), 4) AS hi_fence,
+           CAST(SUM(CASE WHEN b.v < q.q1 - 1.5 * (q.q3 - q.q1)
+                       OR b.v > q.q3 + 1.5 * (q.q3 - q.q1)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM b JOIN q ON b.grp = q.grp
+    GROUP BY q.grp, q.q1, q.q3
+    """,
+)
+def qs239(spark: SparkSession, sf: str) -> DataFrame:
+    """Tukey box-plot profile — Q1/Q3/IQR, the 1.5·IQR fences, and
+    the outlier count per return flag: the boxplot every EDA pass
+    draws, completing the outlier-detection trio (qs167 z-score
+    assumes normality, qs156 median/MAD resists it, Tukey fences
+    are the distribution-free convention dashboards actually use).
+
+    Determinism: quantiles over integer cents follow the qs44
+    exact-interpolation contract (endpoints exact doubles,
+    lower + frac·(upper−lower) bit-identical); the fence comparison
+    is integer v against an exact-operand double expression —
+    identical in both engines; ROUND(,4) on display. Plan: one
+    percentile aggregate over the fact scan, the 3-row quantile
+    table broadcast back for the outlier count — two passes, both
+    narrow."""
+    li = load_table(spark, sf, "lineitem")
+    b = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("v"),
+    )
+    q = b.groupBy("grp").agg(
+        F.percentile("v", F.lit(0.25)).alias("q1"),
+        F.percentile("v", F.lit(0.75)).alias("q3"),
+    )
+    j = b.join(F.broadcast(q), "grp")
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - 1.5 * iqr
+    hi = F.col("q3") + 1.5 * iqr
+    return (
+        j.groupBy("grp", "q1", "q3")
+        .agg(
+            F.sum(
+                F.when((F.col("v") < lo) | (F.col("v") > hi), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            "grp",
+            F.round("q1", 4).alias("q1"),
+            F.round("q3", 4).alias("q3"),
+            F.round(F.col("q3") - F.col("q1"), 4).alias("iqr"),
+            F.round(
+                F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")), 4
+            ).alias("lo_fence"),
+            F.round(
+                F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")), 4
+            ).alias("hi_fence"),
+            "n_outliers",
+            "n",
+        )
+    )
+
+
+@query(
+    "qs240_lexical_diversity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents WHERE doc_id % 10 = 0),
+    c AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             COUNT(DISTINCT term) AS n_types
+      FROM toks WHERE term <> '' GROUP BY doc_id)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_types AS BIGINT) AS n_types,
+           CAST((n_types * 10000) // n_tokens AS BIGINT) AS ttr_e4,
+           CAST((n_types * n_types * 10000) // n_tokens AS BIGINT)
+             AS root_ttr_sq_e4
+    FROM c
+    """,
+)
+def qs240(spark: SparkSession, sf: str) -> DataFrame:
+    """Lexical diversity — type-token ratio per document plus the
+    length-controlled index types²/tokens (the SQUARE of Guiraud's
+    root-TTR, kept in exact integers instead of a sqrt): raw TTR
+    punishes long documents (types grow ~√tokens), so ranking by
+    types²/tokens compares lexical richness fairly across lengths.
+    The vocabulary-side quality signal beside qs160's entropy (how
+    evenly tokens are used) and qs89's repetition (how much text
+    repeats) — template spam scores low here even when its token
+    DISTRIBUTION looks fine.
+
+    Determinism: token/type counts exact, both indices e4 floor
+    divisions — zero doubles. Plan: tokenize → one (doc) aggregate
+    with a distinct count inside; the modulo filter prunes 90% of
+    documents before the explode."""
+    docs = load_table(spark, sf, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    c = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.col("text")), " ")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("term").alias("n_types"),
+        )
+    )
+    return c.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.expr("CAST((n_types * 10000) div n_tokens AS LONG)").alias(
+            "ttr_e4"
+        ),
+        F.expr(
+            "CAST((n_types * n_types * 10000) div n_tokens AS LONG)"
+        ).alias("root_ttr_sq_e4"),
+    )
