@@ -664,12 +664,19 @@ def phash_images(df: DataFrame) -> DataFrame:
 
 def _bands_for(max_hamming: int) -> int:
     """Smallest power-of-two divisor of 64 strictly greater than
-    ``max_hamming`` (capped at 16 bands of 4 bits — beyond distance
-    15, banding stops being selective and a coarser strategy is
-    needed anyway): the pigeonhole recall guarantee needs
-    max_hamming < n_bands."""
+    ``max_hamming``: the pigeonhole recall guarantee needs
+    max_hamming < n_bands. Bands are capped at 16 (4-bit chunks —
+    beyond distance 15 banding stops being selective and a coarser
+    strategy is needed anyway), and rather than silently losing the
+    recall guarantee past the cap, distances >= 16 are an error."""
+    if max_hamming >= 16:
+        raise ValueError(
+            "max_hamming >= 16 breaks the pigeonhole recall guarantee"
+            " (64-bit hashes band into at most 16 chunks); use a"
+            " coarser signature or multi-probe strategy instead"
+        )
     b = 1
-    while b <= max_hamming and b < 16:
+    while b <= max_hamming:
         b *= 2
     return b
 
@@ -783,7 +790,11 @@ def extract_audio_features(
             out = []
             for _, row in pdf.iterrows():
                 samples, rate = decode_wav(bytes(row["content"]))
-                x = samples.astype(np.float64) / 32768.0
+                # Mono-mix first (decode_wav returns (n_samples,
+                # channels)): n must count FRAMES, not samples ×
+                # channels, or stereo duration doubles and the framed
+                # reshape below breaks on multi-channel clips.
+                x = samples.astype(np.float64).mean(axis=1) / 32768.0
                 n = x.size
                 rms = float(np.sqrt(np.mean(x**2))) if n else 0.0
                 zcr = (

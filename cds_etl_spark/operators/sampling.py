@@ -246,21 +246,35 @@ def epoch_shards(
       range partitioning and NO global ordering (a naive ORDER BY
       md5(...) over 100 TB is a full-corpus range sort; this is one
       hash shuffle, the same cost as any groupBy);
-    * ``pos`` is a row_number per shard ordered by the same hash —
-      each window covers only its shard's rows, sorts locally inside
-      the exchange that the hash partitioning already paid for.
+    * ``pos`` is a row_number per shard ordered by the full md5 hex
+      of the same salted key — each window covers only its shard's
+      rows, sorts locally inside the exchange that the hash
+      partitioning already paid for.
 
     md5-derived (``hash_bucket``), so the permutation is engine-
     portable and auditable: the qs158 oracle recomputes the identical
     addresses in DuckDB SQL. Changing ``epoch`` re-salts the hash —
     epochs are statistically independent permutations of the same
     corpus, no state carried between them.
+
+    ``pos`` orders by the FULL 32-hex md5 string (then key as the
+    final tiebreak), not the million-way-quantized ``hash_bucket``
+    value: past ~1M rows a shard's bucketed hashes collide and a
+    bucket-ordered permutation would fall back to raw key order
+    inside every tie group — the same order every epoch, exactly at
+    the pretraining scale this exists for. Shard assignment keeps
+    the bucketed hash (collisions there are the point of a mod).
     """
-    h = hash_bucket(F.col(key_col), f"{salt}{epoch}")
-    with_h = df.withColumn("__h", h).withColumn(
-        "__shard", (F.col("__h") % num_shards).cast("bigint")
+    hexh = F.md5(
+        F.concat(F.col(key_col).cast("string"), F.lit(f"|{salt}{epoch}"))
     )
-    w = Window.partitionBy("__shard").orderBy("__h", key_col)
+    h = hash_bucket(F.col(key_col), f"{salt}{epoch}")
+    with_h = (
+        df.withColumn("__hex", hexh)
+        .withColumn("__h", h)
+        .withColumn("__shard", (F.col("__h") % num_shards).cast("bigint"))
+    )
+    w = Window.partitionBy("__shard").orderBy("__hex", key_col)
     return with_h.select(
         F.col(key_col),
         F.col("__shard").alias("shard"),

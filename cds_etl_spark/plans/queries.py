@@ -5929,13 +5929,14 @@ def qs157(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     WITH h AS (
       SELECT doc_id,
+             md5(doc_id || '|epoch1') AS hx,
              ('0x' || substr(md5(doc_id || '|epoch1'), 1, 8))::BIGINT
                % 1000000 AS hk
       FROM documents)
     SELECT doc_id,
            CAST(hk % 8 AS BIGINT) AS shard,
            CAST(ROW_NUMBER() OVER (PARTITION BY hk % 8
-                                   ORDER BY hk, doc_id) AS INT) AS pos
+                                   ORDER BY hx, doc_id) AS INT) AS pos
     FROM h
     """,
 )

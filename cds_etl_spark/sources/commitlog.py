@@ -163,12 +163,52 @@ def _publish(
         finally:
             out.close()
         final = _jpath(jvm, f"{table}/{_LOG}/{version:012d}.json")
-        if fs.rename(tmp, final):
+        if _publish_rename(spark, jvm, fs, tmp, final):
             return version
         # Lost the race: another writer published this version.
         # Re-read the log (an append must chain onto THEIR snapshot)
         # and retry at the next number.
         fs.delete(tmp, False)
+
+
+def _publish_rename(spark: SparkSession, jvm, fs, tmp, final) -> bool:
+    """Rename that FAILS when the destination exists — the commit
+    point of the protocol.
+
+    ``FileSystem.rename`` cannot express no-overwrite: on ``file://``
+    RawLocalFileSystem delegates to POSIX ``rename(2)``, which
+    silently REPLACES an existing destination, so two racing writers
+    could both "win" a version and one manifest would vanish. The
+    ``FileContext`` API takes ``Options.Rename.NONE`` and raises
+    ``FileAlreadyExistsException`` instead — the same primitive
+    Delta's HDFSLogStore builds its commit on, and it holds on
+    ``file://`` too (verified by ``test_commitlog.py``'s no-clobber
+    test). Returns False when the destination exists (lost the
+    race); falls back to ``FileSystem.rename`` only on stores with
+    no AbstractFileSystem binding (e.g. bare s3a), whose False
+    return means the same thing.
+    """
+    sc = spark.sparkContext
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            final.toUri(), sc._jsc.hadoopConfiguration()
+        )
+    except Exception:
+        return fs.rename(tmp, final)
+    opts = sc._gateway.new_array(
+        jvm.org.apache.hadoop.fs.Options.Rename, 1
+    )
+    opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.NONE
+    try:
+        fc.rename(tmp, final, opts)
+        return True
+    except Exception as ex:
+        java_ex = getattr(ex, "java_exception", None)
+        if java_ex is not None and "AlreadyExists" in (
+            java_ex.getClass().getName()
+        ):
+            return False
+        raise
 
 
 def commit_append(
@@ -259,12 +299,28 @@ def compact_snapshot(
     return commit_overwrite(sized, table)
 
 
-def vacuum(spark: SparkSession, table: str, keep_last: int = 1) -> int:
+def vacuum(
+    spark: SparkSession,
+    table: str,
+    keep_last: int = 1,
+    retention_s: float = 3600.0,
+) -> int:
     """Delete data files referenced ONLY by versions older than the
     last ``keep_last`` manifests (plus orphaned never-published
     commit dirs), then drop those manifests. Time travel to vacuumed
     versions stops working — that is the point. Returns the number
-    of files deleted."""
+    of files deleted.
+
+    ``retention_s`` is the concurrent-writer grace window (Delta's
+    retention-check, same reason): a writer that has finished
+    ``_write_data`` but not yet ``_publish`` has data files on disk
+    that NO manifest references — without an age check vacuum would
+    delete them and the writer would then publish a manifest pointing
+    at deleted files, a permanently corrupt snapshot. Unreferenced
+    files younger than ``retention_s`` (by FS modification time,
+    compared against the filesystem's own clock) are therefore kept.
+    ``retention_s=0`` is the exclusive-access fast path for tests
+    and single-writer maintenance jobs."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     jvm, fs = _fs(spark, table)
@@ -275,11 +331,21 @@ def vacuum(spark: SparkSession, table: str, keep_last: int = 1) -> int:
     live: set[str] = set()
     for v in keep_vs:
         live.update(_read_manifest(spark, table, v)["files"])
+    cutoff = (
+        jvm.java.lang.System.currentTimeMillis() - retention_s * 1000.0
+    )
     deleted = 0
     for f in _list_files(jvm, fs, f"{table}/{_DATA}"):
-        if f not in live:
-            fs.delete(_jpath(jvm, f), False)
-            deleted += 1
+        if f in live:
+            continue
+        p = _jpath(jvm, f)
+        if (
+            retention_s > 0
+            and fs.getFileStatus(p).getModificationTime() > cutoff
+        ):
+            continue  # inside the in-flight-writer grace window
+        fs.delete(p, False)
+        deleted += 1
     for v in vs[:-keep_last]:
         fs.delete(_jpath(jvm, f"{table}/{_LOG}/{v:012d}.json"), False)
     return deleted

@@ -88,7 +88,7 @@ def test_vacuum_removes_only_unreferenced(spark, tmp_path):
     t = str(tmp_path / "tbl")
     commit_append(_df(spark, 0, 10), t)
     commit_overwrite(_df(spark, 50, 55), t)
-    deleted = vacuum(spark, t, keep_last=1)
+    deleted = vacuum(spark, t, keep_last=1, retention_s=0)
     assert deleted > 0
     # Latest survives vacuum intact...
     assert _ks(read_snapshot(spark, t)) == list(range(50, 55))
@@ -96,12 +96,62 @@ def test_vacuum_removes_only_unreferenced(spark, tmp_path):
     with pytest.raises(Exception):
         read_snapshot(spark, t, 0).collect()
     # Idempotent: nothing left to delete.
-    assert vacuum(spark, t, keep_last=1) == 0
+    assert vacuum(spark, t, keep_last=1, retention_s=0) == 0
 
 
 def test_vacuum_keep_last_guard(spark, tmp_path):
     with pytest.raises(ValueError):
         vacuum(spark, str(tmp_path / "t"), keep_last=0)
+
+
+def test_vacuum_retention_spares_inflight_writer(spark, tmp_path):
+    """An in-flight writer's data files (written, not yet published)
+    must survive a concurrent vacuum: they are unreferenced by any
+    manifest, but younger than the retention window — deleting them
+    would let the writer publish a manifest pointing at deleted
+    files."""
+    from cds_etl_spark.sources.commitlog import _publish, _write_data
+
+    t = str(tmp_path / "tbl")
+    commit_append(_df(spark, 0, 10), t)
+    commit_overwrite(_df(spark, 50, 55), t)
+    # Simulate a concurrent writer paused between write and publish.
+    inflight = _write_data(_df(spark, 90, 93), t)
+    deleted = vacuum(spark, t, keep_last=1)  # default retention
+    assert deleted == 0  # every unreferenced file is inside the window
+    # The paused writer resumes and publishes successfully.
+    df = _df(spark, 90, 93)
+    _publish(spark, t, inflight, "append", df.schema.json())
+    assert _ks(read_snapshot(spark, t)) == [50, 51, 52, 53, 54, 90, 91, 92]
+    # With exclusive access (retention 0) the same files WOULD go.
+    commit_overwrite(_df(spark, 1, 2), t)
+    assert vacuum(spark, t, keep_last=1, retention_s=0) > 0
+
+
+def test_publish_rename_never_clobbers(spark, tmp_path):
+    """The commit point must FAIL, not replace, when the destination
+    version already exists — on file:// a plain POSIX rename(2) would
+    silently replace it, losing the winning writer's manifest. The
+    FileContext Rename.NONE path must report the lost race (False)
+    and leave the winner's bytes intact."""
+    from cds_etl_spark.sources.commitlog import _fs, _jpath, _publish_rename
+
+    d = str(tmp_path / "race")
+    jvm, fs = _fs(spark, d)
+    winner = _jpath(jvm, f"{d}/000000000001.json")
+    loser_tmp = _jpath(jvm, f"{d}/.tmp-loser.json")
+    for p, body in [(winner, b'{"winner": true}'), (loser_tmp, b"{}")]:
+        out = fs.create(p, False)
+        try:
+            out.write(body)
+        finally:
+            out.close()
+    assert _publish_rename(spark, jvm, fs, loser_tmp, winner) is False
+    with open(f"{tmp_path}/race/000000000001.json", "rb") as f:
+        assert f.read() == b'{"winner": true}'
+    # A free destination still publishes.
+    free = _jpath(jvm, f"{d}/000000000002.json")
+    assert _publish_rename(spark, jvm, fs, loser_tmp, free) is True
 
 
 def test_stream_commitlog_sink_exactly_once(spark, tmp_path):

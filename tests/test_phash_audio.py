@@ -177,6 +177,43 @@ def test_audio_features_sine_and_silence(spark):
     assert by_id[3]["silence_frac"] == 1.0 and by_id[3]["rms"] == 0.0
 
 
+def test_audio_features_stereo_counts_frames_not_samples(spark):
+    # A stereo clip must report FRAME counts: n_samples = frames (not
+    # frames x channels), duration unchanged vs its mono mix, and the
+    # framed silence computation must not blow up on the 2-D layout.
+    rate = 8000
+    t = np.arange(rate)  # 1 s
+    left = (0.5 * 32767 * np.sin(2 * np.pi * 440 * t / rate)).astype("<i2")
+    stereo = np.stack([left, left], axis=1)  # identical channels
+    rows = [
+        (1, "audio", bytearray(encode_wav(left, rate)),
+         ("wav", 0, 0, rate, 1)),
+        (2, "audio", bytearray(encode_wav(stereo, rate)),
+         ("wav", 0, 0, rate, 2)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    by_id = {r["media_id"]: r for r in extract_audio_features(df).collect()}
+    mono, st = by_id[1], by_id[2]
+    assert st["n_samples"] == rate  # frames, not 2*rate
+    assert abs(st["duration_s"] - 1.0) < 1e-6
+    # Identical channels -> the mono mix is the same signal: every
+    # feature matches the mono clip exactly.
+    for f in ["rms", "zero_cross_rate", "silence_frac"]:
+        assert abs(st[f] - mono[f]) < 1e-6
+
+
+def test_bands_for_rejects_guarantee_breaking_distance(spark):
+    from cds_etl_spark.operators.multimodal import _bands_for
+
+    assert _bands_for(3) == 4 and _bands_for(15) == 16
+    with pytest.raises(ValueError, match="pigeonhole"):
+        _bands_for(16)
+    # The join-level entry points inherit the guard.
+    sigs = spark.createDataFrame([(1, 7)], ["media_id", "phash"])
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_near_dup(sigs, max_hamming=16)
+
+
 def test_phash_index_build_append_probe(spark, tmp_path):
     # In-memory banded join and persisted-index probe must agree, and
     # append must extend the standing index.

@@ -151,7 +151,7 @@ def test_commitlog_format_write_read_time_travel(spark, tmp_path):
     spark.range(100, 103).withColumnRenamed("id", "k").write.format(
         "commitlog"
     ).mode("overwrite").save(t)
-    vacuum(spark, t, keep_last=1)
+    vacuum(spark, t, keep_last=1, retention_s=0)
     assert sorted(
         r["k"] for r in read_snapshot(spark, t).collect()
     ) == [100, 101, 102]

@@ -173,3 +173,17 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     df = spark.createDataFrame([(1, 0.0), (2, -1.0), (3, 5.0)], "id long, w double")
     got = {r["id"] for r in weighted_hash_sample(df, "id", "w", 10).collect()}
     assert got == {3}
+
+
+def test_epoch_shards_orders_by_full_hash_not_bucket(spark):
+    from cds_etl_spark.operators.sampling import epoch_shards
+
+    # k33 and k2055 collide in hash_bucket (both -> 168096 for salt
+    # "epoch1") but their FULL md5 hexes order k33 < k2055 while raw
+    # key order says k2055 < k33. Bucket-quantized ordering would fall
+    # back to key order inside the tie — the every-epoch-same-order
+    # defect this pins against. (Pairs found by brute md5 search.)
+    df = spark.createDataFrame([("k33",), ("k2055",)], "doc_id string")
+    out = epoch_shards(df, "doc_id", num_shards=1, epoch=1)
+    pos = {r["doc_id"]: r["pos"] for r in out.collect()}
+    assert pos["k33"] < pos["k2055"]
