@@ -156,7 +156,7 @@ def test_zscore_rolling_sharded_equals_serial(spark):
     windows routinely cross day boundaries."""
     from cds_etl_spark.catalog import load_table
     from cds_etl_spark.operators.drift import zscore_anomalies_rolling
-    from cds_etl_spark.plans.queries import QUERIES
+    from cds_etl_spark.plans import QUERIES
 
     for sf, shard in [
         ("/root/testdata/sf0.001", "week"),  # thin days -> coarser
