@@ -171,8 +171,10 @@ def ingest(spark: SparkSession, sf_dir: str) -> str:
     # Layout fingerprint in the path: changing the ingest parameters
     # invalidates the cached warehouse instead of silently reusing the
     # old layout via its _SUCCESS markers.
+    cents = os.environ.get("SPARK_GRAFT_BENCH_CENTS") == "1"
     layout = (
-        f"r{INGEST_ROWS_PER_FILE}_"
+        ("cents_" if cents else "")
+        + f"r{INGEST_ROWS_PER_FILE}_"
         + "_".join(
             f"{t}-{'-'.join(cols)}-{n_bucket}-s{'-'.join(sort)}"
             for t, (cols, sort) in sorted(BUCKETED.items())
@@ -195,6 +197,15 @@ def ingest(spark: SparkSession, sf_dir: str) -> str:
         ranged = RANGED.get(t)
         if not done:
             df = load_table(spark, sf_dir, t)
+            if cents:
+                # Pre-projected kernel layout (sources/derived.py):
+                # materialize the money-cents / histogram-bucket /
+                # token-array projections at ingest; queries detect the
+                # columns and skip the per-row work. Off by default —
+                # BASELINE.md records the measured effect.
+                from cds_etl_spark.sources.derived import with_derived
+
+                df = with_derived(df, t)
             if bucket:
                 cols, sort = bucket
                 write_bucketed(
