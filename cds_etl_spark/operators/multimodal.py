@@ -381,6 +381,31 @@ def synthetic_media(spark, n: int = 64, partitions: int = 8) -> DataFrame:
     )
 
 
+def _decode_video_av(
+    content: bytes, every_k: int = 1
+) -> "list[np.ndarray] | None":
+    """Decode a real-codec (H.264/H.265/…) video via PyAV when it is
+    importable, else return None (callers fall back to their gate).
+    Returns every ``every_k``-th frame as an (H, W, 3) uint8 RGB
+    array. Import-gated on purpose: the sandbox ships no codec
+    libraries, so PyAV presence is an environment property — the
+    Spark-side plumbing (schema, batching, sharding) is identical
+    either way and is what the tests pin."""
+    try:
+        import av  # PyAV — optional, not in the default environment
+    except ImportError:
+        return None
+    import io
+
+    frames: list[np.ndarray] = []
+    with av.open(io.BytesIO(content)) as container:
+        stream = container.streams.video[0]
+        for i, frame in enumerate(container.decode(stream)):
+            if i % every_k == 0:
+                frames.append(frame.to_ndarray(format="rgb24"))
+    return frames
+
+
 def _decode_bytes(content: bytes, fmt: str) -> np.ndarray:
     """Decode media bytes to a pixel/sample array.
 
@@ -412,9 +437,13 @@ def _decode_bytes(content: bytes, fmt: str) -> np.ndarray:
             return np.frombuffer(
                 b"".join(extract_samples(bytes(content))), dtype=np.uint8
             )
+        frames = _decode_video_av(bytes(content))
+        if frames is not None:
+            return np.stack(frames) if frames else np.zeros((0,), np.uint8)
         raise NotImplementedError(
             f"mp4 codec {info['codec']!r} needs an external decoder "
-            "(container parsed fine; H.264/H.265 entropy decode is gated)"
+            "(container parsed fine; H.264/H.265 entropy decode is "
+            "gated — install PyAV, import name 'av', to enable it)"
         )
     if _HAVE_PIL:
         raise NotImplementedError("real decoder wiring reserved for PIL builds")
@@ -543,9 +572,29 @@ def sample_frames(df: DataFrame, every_k: int = 4) -> DataFrame:
                     # Real container-level split: per-sample byte
                     # ranges from the stbl sample table — the shard
                     # step a video pipeline runs BEFORE any codec.
-                    from cds_etl_spark.operators.mp4 import extract_samples
+                    from cds_etl_spark.operators.mp4 import (
+                        extract_samples,
+                        probe_mp4,
+                    )
 
-                    samples = extract_samples(bytes(row["content"]))
+                    content = bytes(row["content"])
+                    if probe_mp4(content)["codec"] != "raw":
+                        # Real codec: decode end-to-end when PyAV is
+                        # importable (frame = RGB pixels); otherwise
+                        # keep the encoded access units — the shard
+                        # step still works, decode stays gated.
+                        decoded = _decode_video_av(content, every_k)
+                        if decoded is not None:
+                            for j, arr in enumerate(decoded):
+                                out.append(
+                                    {
+                                        "media_id": row["media_id"],
+                                        "frame_idx": j * every_k,
+                                        "frame": arr.tobytes(),
+                                    }
+                                )
+                            continue
+                    samples = extract_samples(content)
                     for fi in range(0, len(samples), every_k):
                         out.append(
                             {

@@ -460,3 +460,54 @@ def test_mp4_sample_frames_container_level(spark):
     df = spark.createDataFrame(row, MEDIA_SCHEMA)
     got = {r["frame_idx"]: bytes(r["frame"]) for r in sample_frames(df, every_k=4).collect()}
     assert got == {0: frames[0], 4: frames[4], 8: frames[8]}
+
+
+def test_h264_gate_names_the_optional_decoder():
+    # Without PyAV the gate must stay an explicit NotImplementedError
+    # that tells the operator how to enable real decode.
+    import importlib.util
+
+    from cds_etl_spark.operators.mp4 import encode_mp4
+    from cds_etl_spark.operators.multimodal import _decode_video_av
+
+    buf = encode_mp4([b"\x00\x01\x02"], 2, 2, codec=b"avc1")
+    if importlib.util.find_spec("av") is None:
+        assert _decode_video_av(buf) is None
+        with pytest.raises(NotImplementedError, match="PyAV"):
+            _decode_bytes(buf, "mp4")
+    else:  # pragma: no cover - environment-dependent branch
+        # With PyAV present the gate must NOT fire (decode errors on
+        # this synthetic payload are allowed to surface as av errors).
+        assert _decode_video_av is not None
+
+
+def test_h264_decodes_end_to_end_with_pyav(spark):
+    # Skips cleanly where PyAV is absent (this sandbox); in PyAV
+    # environments it pins the end-to-end decode: encode real H.264
+    # with av, ship it through sample_frames, get RGB pixel frames.
+    av = pytest.importorskip("av")
+    import io
+
+    from cds_etl_spark.operators.multimodal import sample_frames
+
+    w, h, n = 32, 16, 6
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as container:
+        stream = container.add_stream("h264", rate=8)
+        stream.width, stream.height = w, h
+        stream.pix_fmt = "yuv420p"
+        for i in range(n):
+            arr = np.full((h, w, 3), i * 30, dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(arr, format="rgb24")
+            container.mux(stream.encode(frame))
+        container.mux(stream.encode())
+    row = [(
+        int(7), "video", bytearray(buf.getvalue()),
+        {"format": "mp4", "width": w, "height": h,
+         "sample_rate": 0, "n_frames": n},
+    )]
+    df = spark.createDataFrame(row, MEDIA_SCHEMA)
+    got = sample_frames(df, every_k=2).collect()
+    assert len(got) >= 2
+    # Frames are decoded RGB pixels now, not encoded access units.
+    assert all(len(r["frame"]) == w * h * 3 for r in got)
