@@ -140,6 +140,25 @@ _GRADE_FIRST = [
     "qs66_hash_split",
     "qs82_sequence_packing",
     "qs89_repetition_signal",
+    # -- round-7 additions qs241-qs255 (classic stats, eval harnesses,
+    #    iterative-graph-with-unrolled-oracle, BM25/stylometry) — each
+    #    local-differential-green at sf0.001 AND sf0.01; queued after
+    #    the r08 backlog above --
+    "qs241_chi_square_independence",
+    "qs242_cusum_drift",
+    "qs243_spearman_corr",
+    "qs244_langid_kappa_eval",
+    "qs245_gains_lift_deciles",
+    "qs246_nelson_aalen",
+    "qs247_position_attribution",
+    "qs248_kmeans_update",
+    "qs249_kcore_decomposition",
+    "qs250_label_propagation",
+    "qs251_price_elasticity",
+    "qs252_vocab_jaccard_sources",
+    "qs253_burrows_delta",
+    "qs254_mcnemar_paired",
+    "qs255_bm25_topk",
 ]
 
 

@@ -18,6 +18,7 @@ from cds_etl_spark.plans import (  # noqa: E402,F401  (import = registration)
     q_monitoring_stats,
     q_commerce,
     q_eval_advanced,
+    q_ml_graph_stats,
 )
 
 __all__ = ["QUERIES", "ORACLE_SQL"]
