@@ -159,6 +159,13 @@ _GRADE_FIRST = [
     "qs253_burrows_delta",
     "qs254_mcnemar_paired",
     "qs255_bm25_topk",
+    "qs256_frequent_triples",
+    "qs257_rrf_fusion",
+    "qs258_fd_profile",
+    "qs259_decision_stump",
+    "qs260_hits_scores",
+    "qs261_cochran_armitage",
+    "qs262_ngram_novelty",
 ]
 
 

@@ -19,6 +19,7 @@ from cds_etl_spark.plans import (  # noqa: E402,F401  (import = registration)
     q_commerce,
     q_eval_advanced,
     q_ml_graph_stats,
+    q_ml_graph_stats2,
 )
 
 __all__ = ["QUERIES", "ORACLE_SQL"]

@@ -738,26 +738,33 @@ def qs214(spark: SparkSession, sf: str) -> DataFrame:
             "b",
         )
     )
+    # Moment sums in DECIMAL(38): Σx² over the edge-end expansion
+    # passes 64-bit at sf10 edge volumes (the r7 scale-audit catch —
+    # ANSI long overflow); DuckDB's integer SUM is already HUGEINT,
+    # so widening Spark's accumulator keeps value identity exact.
+    dx = F.col("x").cast("decimal(38,0)")
+    dy = F.col("y").cast("decimal(38,0)")
     s = ed.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(dx).alias("sx"),
+        F.sum(dy).alias("sy"),
+        F.sum(dx * dx).alias("sxx"),
+        F.sum(dy * dy).alias("syy"),
+        F.sum(dx * dy).alias("sxy"),
     )
+    n = F.col("n").cast("decimal(38,0)")
     return s.select(
         F.col("n").cast("long").alias("n_edge_ends"),
         F.round(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
             .cast("double")
             / F.sqrt(
                 (
-                    F.col("n") * F.col("sxx")
+                    n * F.col("sxx")
                     - F.col("sx") * F.col("sx")
                 ).cast("double")
                 * (
-                    F.col("n") * F.col("syy")
+                    n * F.col("syy")
                     - F.col("sy") * F.col("sy")
                 ).cast("double")
             ),

@@ -1,0 +1,634 @@
+"""Round-7 additions, second block: frequent itemsets (a-priori
+triples), reciprocal-rank fusion, functional-dependency profiling,
+a Gini decision stump, exact-integer HITS, the Cochran–Armitage
+trend test, and first-occurrence n-gram novelty — qs256–qs262.
+Registration contract, aliasing and cross-engine rules:
+cds_etl_spark/plans/registry.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cds_etl_spark.catalog import load_table
+from cds_etl_spark.plans.registry import query
+
+
+# ---------------------------------------------------------------------------
+# qs256 frequent brand triples (a-priori 3-itemsets)
+# ---------------------------------------------------------------------------
+
+@query(
+    "qs256_frequent_triples",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+    SELECT x.b AS b1, y.b AS b2, z.b AS b3,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM ob x JOIN ob y ON x.o = y.o AND x.b < y.b
+              JOIN ob z ON y.o = z.o AND y.b < z.b
+    GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5
+    """,
+)
+def qs256(spark: SparkSession, sf: str) -> DataFrame:
+    """Frequent 3-itemsets over order baskets (brands co-purchased
+    in one order, support ≥ 5) — the a-priori step above qs187's
+    pair lift: pairs say WHICH two sell together, triples are where
+    bundle recommendations and planogram rules actually come from.
+
+    Determinism: supports are exact integers; the lexicographic
+    b1 < b2 < b3 canonicalization emits each triple once. Scale:
+    the basket width is BOUNDED (≤ lineitems per order, ≤ 7 here),
+    so the within-order 3-way self-join fans out ≤ C(w,3) rows per
+    basket — linear in orders, not quadratic in items (the qs187
+    lesson: expansion bounded per basket key, shuffled on the
+    basket key, aggregated with map-side combine). The brand lookup
+    is a broadcast join before the basket distinct."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    ob = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    x = ob.select("o", F.col("b").alias("b1"))
+    y = ob.select("o", F.col("b").alias("b2"))
+    z = ob.select("o", F.col("b").alias("b3"))
+    return (
+        x.join(y, "o")
+        .filter(F.col("b1") < F.col("b2"))
+        .join(z, "o")
+        .filter(F.col("b2") < F.col("b3"))
+        .groupBy("b1", "b2", "b3")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# qs257 reciprocal-rank fusion of two retrieval rankings
+# ---------------------------------------------------------------------------
+
+_RRF_TERMS = ("data", "query", "scan")
+
+
+@query(
+    "qs257_rrf_fusion",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, t AS term
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\\s+'))
+                     AS t
+            FROM documents)
+      WHERE t <> ''),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM dl),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+           WHERE term IN {_RRF_TERMS!r} GROUP BY 1, 2),
+    idf AS (
+      SELECT term, ln((CAST((SELECT n FROM stats) AS DOUBLE)
+                       - COUNT(*) + 0.5) / (COUNT(*) + 0.5) + 1.0)
+               AS idf
+      FROM tf GROUP BY term),
+    bm AS (
+      SELECT tf.doc_id,
+             SUM(idf.idf * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                    / (CAST((SELECT sdl FROM stats) AS DOUBLE)
+                       / (SELECT n FROM stats))))) AS s
+      FROM tf JOIN idf ON tf.term = idf.term
+              JOIN dl ON tf.doc_id = dl.doc_id
+      GROUP BY tf.doc_id),
+    r1 AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY ROUND(s, 4) DESC,
+                                        doc_id) AS r
+      FROM bm QUALIFY r <= 100),
+    r2 AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_chars DESC,
+                                        doc_id) AS r
+      FROM documents QUALIFY r <= 100),
+    fused AS (
+      SELECT COALESCE(r1.doc_id, r2.doc_id) AS doc_id,
+             COALESCE(1.0 / (60 + r1.r), 0.0)
+               + COALESCE(1.0 / (60 + r2.r), 0.0) AS rrf
+      FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id)
+    SELECT doc_id, ROUND(rrf, 6) AS rrf
+    FROM fused ORDER BY ROUND(rrf, 6) DESC, doc_id LIMIT 15
+    """,
+)
+def qs257(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal-rank fusion (RRF, k = 60) of two rankings — the
+    qs255 BM25 list and a static length prior (n_chars) — the
+    zero-tuning rank combiner hybrid retrieval ships (Cormack et
+    al. 2009): Σ 1/(k + rankᵢ) over the lists a document appears
+    in, top-100 per list, fused top-15 out.
+
+    Determinism: both input rankings tie-break by doc_id (BM25 on
+    its 4 dp-rounded score — the qs255 ordering contract), ranks
+    are exact integers, and the fused score is a sum of ≤ 2
+    exactly-representable reciprocals, rounded at 6 dp for both the
+    ORDER BY and the emitted value. Scale: each ranking is a
+    top-100 TakeOrdered (per-partition heads, then merge — no
+    global sort), the fusion is a 100-row full outer join."""
+    d = load_table(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_RRF_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats.select("n")))
+        .select(
+            "term",
+            F.log(
+                (F.col("n").cast("double") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+                + 1.0
+            ).alias("idf"),
+        )
+    )
+    bm = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("idf")
+                * F.col("tf")
+                * 2.2
+                / (
+                    F.col("tf")
+                    + 1.2
+                    * (
+                        0.25
+                        + 0.75
+                        * F.col("dl")
+                        / (F.col("sdl").cast("double") / F.col("n"))
+                    )
+                )
+            ).alias("s")
+        )
+    )
+    r1 = (
+        bm.select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.round(F.col("s"), 4).desc(), "doc_id"))
+            .alias("r"),
+        )
+        .filter(F.col("r") <= 100)
+        .withColumnRenamed("doc_id", "d1")
+    )
+    r2 = (
+        d.select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("n_chars").desc(), "doc_id"))
+            .alias("r"),
+        )
+        .filter(F.col("r") <= 100)
+        .withColumnRenamed("doc_id", "d2")
+    )
+    fused = r1.join(
+        r2, r1["d1"] == r2["d2"], "full_outer"
+    ).select(
+        F.coalesce(F.col("d1"), F.col("d2")).alias("doc_id"),
+        (
+            F.coalesce(1.0 / (60 + r1["r"]), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + r2["r"]), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.select("doc_id", F.round(F.col("rrf"), 6).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# qs258 functional-dependency / candidate-key profile
+# ---------------------------------------------------------------------------
+
+#: (table, determinant, dependent) candidates; the orderkey FD holds
+#: (unique determinant = candidate-key discovery), the others are
+#: expected violations — the profile reports both.
+_FD_CANDIDATES = (
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderstatus"),
+    ("part", "p_name", "p_brand"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+)
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for tbl, det, dep in _FD_CANDIDATES:
+        parts.append(f"""
+    SELECT '{det}' AS det_col, '{dep}' AS dep_col,
+           CAST(COUNT(*) AS BIGINT) AS n_det,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS violations,
+           CAST(CASE WHEN SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+                THEN 1 ELSE 0 END AS BIGINT) AS holds
+    FROM (SELECT {det}, COUNT(DISTINCT {dep}) AS nd
+          FROM {tbl} GROUP BY {det})""")
+    return " UNION ALL ".join(parts)
+
+
+@query("qs258_fd_profile", oracle=_fd_oracle())
+def qs258(spark: SparkSession, sf: str) -> DataFrame:
+    """Functional-dependency profile — for each candidate A → B,
+    count determinant values whose dependent is not unique: zero
+    violations means the FD holds (and a held FD with a row-unique
+    determinant is a discovered candidate KEY). The data-profiling
+    primitive schema-inference and normalization audits run before
+    trusting upstream contracts — qs88 profiles COLUMNS in
+    isolation; this profiles column RELATIONSHIPS.
+
+    Determinism: counts only. Scale: each candidate is one
+    (det → count distinct dep) hash aggregate — map-side combined,
+    one shuffle per candidate on the determinant key, the natural
+    partitioning — followed by a 1-row rollup; candidates run as a
+    union of independent narrow plans (2-column scans each,
+    verified column pruning)."""
+    out = None
+    for tbl, det, dep in _FD_CANDIDATES:
+        t = load_table(spark, sf, tbl)
+        nd = t.groupBy(det).agg(F.countDistinct(dep).alias("nd"))
+        viol = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+        row = nd.agg(
+            F.lit(det).alias("det_col"),
+            F.lit(dep).alias("dep_col"),
+            F.count(F.lit(1)).cast("long").alias("n_det"),
+            viol.cast("long").alias("violations"),
+            F.when(viol == 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("holds"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# qs259 Gini decision stump on order value
+# ---------------------------------------------------------------------------
+
+@query(
+    "qs259_decision_stump",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) // 2500000
+               AS bkt,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders),
+    h AS (SELECT bkt, COUNT(*) AS n, SUM(y) AS pos FROM b
+          GROUP BY bkt),
+    c AS (
+      SELECT bkt, n, pos,
+             SUM(n) OVER (ORDER BY bkt ROWS UNBOUNDED PRECEDING)
+               AS ln,
+             SUM(pos) OVER (ORDER BY bkt ROWS UNBOUNDED PRECEDING)
+               AS lp,
+             SUM(n) OVER () AS tn, SUM(pos) OVER () AS tp
+      FROM h),
+    s AS (
+      SELECT bkt, ln, lp, tn - ln AS rn, tp - lp AS rp,
+             (CAST(ln AS DOUBLE)
+              - (CAST(lp * lp AS DOUBLE)
+                 + CAST((ln - lp) * (ln - lp) AS DOUBLE))
+                / CAST(ln AS DOUBLE))
+             + (CAST(tn - ln AS DOUBLE)
+                - (CAST((tp - lp) * (tp - lp) AS DOUBLE)
+                   + CAST(((tn - ln) - (tp - lp))
+                          * ((tn - ln) - (tp - lp)) AS DOUBLE))
+                  / CAST(tn - ln AS DOUBLE)) AS cost
+      FROM c WHERE ln > 0 AND tn - ln > 0),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY cost, bkt) AS rn_
+      FROM s)
+    SELECT (bkt + 1) * 2500000 AS threshold_cents,
+           CAST(ln AS BIGINT) AS n_left, CAST(lp AS BIGINT) AS pos_left,
+           CAST(rn AS BIGINT) AS n_right, CAST(rp AS BIGINT)
+             AS pos_right,
+           ROUND(cost, 4) AS weighted_gini
+    FROM best WHERE rn_ = 1
+    """,
+)
+def qs259(spark: SparkSession, sf: str) -> DataFrame:
+    """Best single split (decision stump) of order value predicting
+    high-priority orders, by weighted Gini impurity — evaluate every
+    $25k threshold from ONE histogram pass: left/right class counts
+    come from cumulative sums over the bucket histogram, so the scan
+    cost is one aggregate regardless of how many thresholds are
+    scored. The CART building block (and the one-feature baseline
+    every classifier must beat), stated the distributed way: no
+    per-threshold rescan.
+
+    Determinism: class counts are exact integers; each candidate's
+    impurity is assembled from exact integer squares with two
+    divisions, the SAME expression on both engines (identical
+    doubles → identical argmin), tie-broken by lowest threshold;
+    the reported cost rounds at 4 dp. Scale: corpus → ≤ 200-bucket
+    histogram in one map-side-combined aggregate; windows run over
+    the histogram."""
+    o = load_table(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    b = o.select(
+        F.floor(cents / 2500000).alias("bkt"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    h = b.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    wc = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    c = (
+        h.withColumn("ln", F.sum("n").over(wc))
+        .withColumn("lp", F.sum("pos").over(wc))
+        .withColumn("tn", F.sum("n").over(wall))
+        .withColumn("tp", F.sum("pos").over(wall))
+    )
+    ln, lp = F.col("ln"), F.col("lp")
+    rn = F.col("tn") - ln
+    rp = F.col("tp") - lp
+    cost = (
+        ln.cast("double")
+        - (
+            (lp * lp).cast("double")
+            + ((ln - lp) * (ln - lp)).cast("double")
+        )
+        / ln.cast("double")
+    ) + (
+        rn.cast("double")
+        - ((rp * rp).cast("double") + ((rn - rp) * (rn - rp)).cast("double"))
+        / rn.cast("double")
+    )
+    s = c.filter((ln > 0) & (rn > 0)).select(
+        "bkt",
+        ln.alias("ln_"),
+        lp.alias("lp_"),
+        rn.alias("rn_v"),
+        rp.alias("rp_v"),
+        cost.alias("cost"),
+    )
+    best = s.withColumn(
+        "rk", F.row_number().over(Window.orderBy("cost", "bkt"))
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        ((F.col("bkt") + 1) * 2500000).alias("threshold_cents"),
+        F.col("ln_").cast("long").alias("n_left"),
+        F.col("lp_").cast("long").alias("pos_left"),
+        F.col("rn_v").cast("long").alias("n_right"),
+        F.col("rp_v").cast("long").alias("pos_right"),
+        F.round(F.col("cost"), 4).alias("weighted_gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qs260 exact-integer HITS (2 iterations) on the customer→supplier graph
+# ---------------------------------------------------------------------------
+
+@query(
+    "qs260_hits_scores",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    a1 AS (SELECT s, COUNT(*) AS a FROM e GROUP BY s),
+    h1 AS (SELECT e.c, SUM(a1.a) AS h FROM e JOIN a1 ON e.s = a1.s
+           GROUP BY e.c),
+    a2 AS (SELECT e.s, SUM(h1.h) AS a FROM e JOIN h1 ON e.c = h1.c
+           GROUP BY e.s)
+    SELECT s AS node, CAST(a AS BIGINT) AS authority
+    FROM a2 ORDER BY a DESC, s LIMIT 20
+    """,
+)
+def qs260(spark: SparkSession, sf: str) -> DataFrame:
+    """HITS hubs-and-authorities, two unnormalized power iterations
+    on the bipartite customer→supplier purchase graph (Kleinberg
+    1999): a₁ = in-degree, h₁ = Σ a₁ over a customer's suppliers,
+    a₂ = Σ h₁ over a supplier's customers — "a good supplier is
+    bought by well-connected customers". qs94's PageRank ranks by
+    random-walk mass; HITS separates the two bipartite roles, the
+    natural fit here.
+
+    Determinism: with the all-ones start, unnormalized HITS scores
+    are EXACT INTEGERS (walk counts) — no float normalization
+    anywhere, so no FP accumulation question at all; top-20
+    tie-breaks by node. Scale: each half-iteration is one edge ⋈
+    score join (score side one narrow row per node) plus a keyed
+    aggregate — the connected-components/pagerank skeleton with a
+    fixed 2-round unroll, edges deduplicated once up front."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    e = (
+        o.select("o_orderkey", F.col("o_custkey").alias("c"))
+        .join(
+            li.select("l_orderkey", F.col("l_suppkey").alias("s")),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select("c", "s")
+        .distinct()
+    )
+    a1 = e.groupBy("s").agg(F.count(F.lit(1)).alias("a"))
+    h1 = (
+        e.join(a1, "s")
+        .groupBy("c")
+        .agg(F.sum("a").alias("h"))
+    )
+    a2 = (
+        e.join(h1, "c")
+        .groupBy("s")
+        .agg(F.sum("h").alias("a"))
+    )
+    return (
+        a2.select(
+            F.col("s").alias("node"),
+            F.col("a").cast("long").alias("authority"),
+        )
+        .orderBy(F.col("authority").desc(), "node")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# qs261 Cochran–Armitage trend test
+# ---------------------------------------------------------------------------
+
+@query(
+    "qs261_cochran_armitage",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+             COUNT(*) AS n,
+             SUM(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END)
+               AS r
+      FROM orders GROUP BY 1),
+    s AS (
+      SELECT SUM(n) AS nn, SUM(r) AS rr, SUM(w * r) AS swr,
+             SUM(w * n) AS swn, SUM(w * w * n) AS swwn
+      FROM g)
+    SELECT CAST(nn AS BIGINT) AS n, CAST(rr AS BIGINT) AS responders,
+           ROUND(CAST(CAST(nn * swr - rr * swn AS HUGEINT)
+                      * (nn * swr - rr * swn) AS DOUBLE) * nn
+                 / (CAST(rr AS DOUBLE) * (nn - rr)
+                    * CAST(nn * swwn - swn * swn AS DOUBLE)), 4)
+             AS ca_chi2
+    FROM s
+    """,
+)
+def qs261(spark: SparkSession, sf: str) -> DataFrame:
+    """Cochran–Armitage test for trend — is the high-value-order
+    rate MONOTONE in the priority ordinal (1-URGENT … 5-LOW)?
+    The dose-response statistic for ordered categories, strictly
+    more powerful than qs241's chi-square when the alternative is a
+    trend (chi-square spends power on arbitrary deviations; CA on
+    the linear contrast Σwᵢrᵢ).
+
+    Determinism: all five moment sums are exact integers; the
+    squared numerator is widened to 128-bit (HUGEINT / DECIMAL(38))
+    BEFORE squaring — (N·Σwr)² reaches 10³⁰ at sf10 — and one
+    division produces the double, rounded 4 dp. Scale: one 5-row
+    hash aggregate off the scan; the epilogue is constant."""
+    o = load_table(spark, sf, "orders")
+    g = o.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("o_totalprice") > 250000, 1).otherwise(0)
+        ).alias("r"),
+    )
+    s = g.agg(
+        F.sum("n").alias("nn"),
+        F.sum("r").alias("rr"),
+        F.sum(F.col("w") * F.col("r")).alias("swr"),
+        F.sum(F.col("w") * F.col("n")).alias("swn"),
+        F.sum(F.col("w") * F.col("w") * F.col("n")).alias("swwn"),
+    )
+    num = (
+        F.col("nn") * F.col("swr") - F.col("rr") * F.col("swn")
+    ).cast("decimal(38,0)")
+    return s.select(
+        F.col("nn").cast("long").alias("n"),
+        F.col("rr").cast("long").alias("responders"),
+        F.round(
+            (num * num).cast("double")
+            * F.col("nn")
+            / (
+                F.col("rr").cast("double")
+                * (F.col("nn") - F.col("rr"))
+                * (
+                    F.col("nn") * F.col("swwn")
+                    - F.col("swn") * F.col("swn")
+                ).cast("double")
+            ),
+            4,
+        ).alias("ca_chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qs262 first-occurrence n-gram novelty per document
+# ---------------------------------------------------------------------------
+
+@query(
+    "qs262_ngram_novelty",
+    oracle="""
+    WITH rt AS (
+      SELECT doc_id, string_split(text, ' ') AS rt FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, g
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(rt) - 1),
+                     i -> rt[i] || ' ' || rt[i+1] || ' ' || rt[i+2]))
+                     AS g
+            FROM rt WHERE len(rt) >= 3)),
+    owner AS (SELECT g, MIN(doc_id) AS first_doc FROM grams
+              GROUP BY g)
+    SELECT grams.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           ROUND(CAST(SUM(CASE WHEN owner.first_doc = grams.doc_id
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS novelty
+    FROM grams JOIN owner ON grams.g = owner.g
+    GROUP BY grams.doc_id
+    """,
+)
+def qs262(spark: SparkSession, sf: str) -> DataFrame:
+    """First-occurrence trigram novelty — for each document, the
+    fraction of its DISTINCT word-trigrams whose earliest owner
+    (min doc_id) is the document itself: the corpus-growth curve
+    behind data-curation decisions ("are later crawls adding new
+    content or re-serving old?"). qs142 measures how much of a doc
+    is DUPLICATED span; this measures how much it CONTRIBUTES
+    first — the two sides of incremental-corpus accounting.
+
+    Determinism: set sizes and min-ownership are exact integers;
+    one division, 4 dp. Scale: one explode to distinct (doc, gram)
+    — the qs60 shingle shuffle — then a gram-keyed min aggregate
+    joined back on the gram: both shuffles carry the gram key, and
+    at warehouse scale this is exactly the standing shingle-gram
+    table (operators/shingle_index.py) pattern — the explode is
+    paid once at ingest, and this query becomes two aggregates
+    over the index."""
+    d = load_table(spark, sf, "documents")
+    rt = d.select(
+        "doc_id", F.split(F.col("text"), " ").alias("rt")
+    ).filter(F.size("rt") >= 3)
+    grams = rt.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("rt") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.col("rt")[i],
+                    F.col("rt")[i + 1],
+                    F.col("rt")[i + 2],
+                ),
+            )
+        ).alias("g"),
+    ).distinct()
+    owner = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(owner, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("first_doc") == F.col("doc_id"), 1
+                    ).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("novelty"),
+        )
+    )
