@@ -1092,11 +1092,16 @@ def qs217(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.col("p0_e2") * F.col("q0")).alias("den"),
         )
     )
+    # The e6 scaling is widened to DECIMAL(38) before the multiply:
+    # num reaches ~10¹³ at sf10, so num·10⁶ passes 64-bit (r7 scale-
+    # audit ANSI overflow catch). DuckDB's integer SUM is HUGEINT
+    # already; the floor division itself is exact either way.
     return ix.filter(F.col("den") > 0).select(
         "t",
-        F.expr("CAST((num * 1000000) div den AS LONG)").alias(
-            "index_e6"
-        ),
+        F.expr(
+            "CAST((CAST(num AS DECIMAL(38,0)) * 1000000) div den"
+            " AS LONG)"
+        ).alias("index_e6"),
     )
 
 
@@ -2025,8 +2030,13 @@ def qs227(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n0").cast("long").alias("n0"),
         F.col("n1").cast("long").alias("n1"),
         F.col("d_num").cast("long").alias("d_num"),
+        # DECIMAL(38) widening: d_num is bounded by n0·n1 (~10¹³ at
+        # sf10), so d_num·10⁶ can pass 64-bit when the two samples
+        # genuinely differ — same ANSI-overflow family as the r7
+        # qs214/qs217 scale-audit catches, widened preemptively.
         F.expr(
-            "CAST((d_num * 1000000) div (n0 * n1) AS LONG)"
+            "CAST((CAST(d_num AS DECIMAL(38,0)) * 1000000)"
+            " div (n0 * n1) AS LONG)"
         ).alias("ks_d_e6"),
     )
 
