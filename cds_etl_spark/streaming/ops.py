@@ -681,6 +681,119 @@ def stream_anomaly_monitor(
     q.awaitTermination()
 
 
+def stream_cusum_monitor(
+    events_stream: DataFrame,
+    baseline_path: str,
+    state_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    k: float = 0.5,
+    h: float = 5.0,
+) -> None:
+    """Continuous CUSUM level-shift detection — the streaming face of
+    qs242/qs169 that completes the monitoring trio beside
+    ``stream_anomaly_monitor`` (point) and ``stream_drift_monitor``
+    (distribution): a persistent 0.1σ mean shift never trips a z = 3
+    row flag and barely moves PSI, but the tabular CUSUM recursion
+    S⁺ = max(0, S⁺ + z − k), S⁻ = min(0, S⁻ + z + k) ACCUMULATES it
+    across batches and alarms within a handful of epochs (Page 1954;
+    z standardizes each batch MEAN by σ/√n against the persisted
+    reference moments, so sensitivity grows with batch size).
+
+    State story: per-group (S⁺, S⁻) lives as EPOCH-GENERATIONAL
+    parquet (``state_path/epoch=<id>``) and epoch N always reads its
+    PREDECESSOR (the newest epoch < N) — a crash-replayed epoch
+    recomputes from the same predecessor and overwrites its own
+    partition, so replay is exactly-once without a transaction log
+    (the corpus-ingest index pattern). Groups absent from a batch
+    carry their accumulation forward unchanged (full-outer state
+    join); the reference moments never roll forward implicitly — a
+    self-updating reference learns to love its own drift. Each epoch
+    is a groups-sized broadcast join + one batch aggregate; nothing
+    here scales with stream history."""
+
+    def _prev_state_epoch(spark: SparkSession, epoch_id: int):
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        jpath = jvm.org.apache.hadoop.fs.Path(state_path)
+        fs = jpath.getFileSystem(hconf)
+        if not fs.exists(jpath):
+            return None
+        best = None
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if name.startswith("epoch="):
+                e = int(name.split("=", 1)[1])
+                if e < epoch_id and (best is None or e > best):
+                    best = e
+        return best
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        base = spark.read.parquet(baseline_path)
+        cur = batch_df.groupBy(F.col(group_col).alias("grp")).agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.avg(value_col).alias("xbar"),
+        )
+        z = cur.join(
+            F.broadcast(base.select("grp", "mu", "sigma")), "grp"
+        ).select(
+            "grp",
+            "n_batch",
+            (
+                (F.col("xbar") - F.col("mu"))
+                / (F.col("sigma") / F.sqrt(F.col("n_batch")))
+            ).alias("z"),
+        )
+        prev = _prev_state_epoch(spark, epoch_id)
+        if prev is not None:
+            prior = spark.read.parquet(
+                os.path.join(state_path, f"epoch={prev}")
+            ).select("grp", "s_pos", "s_neg")
+        else:
+            prior = (
+                z.select("grp")
+                .limit(0)
+                .withColumn("s_pos", F.lit(0.0))
+                .withColumn("s_neg", F.lit(0.0))
+            )
+        # Absent group ⇒ z side null ⇒ the coalesced increment is 0
+        # and max/min against the carried S is the identity.
+        st = z.join(prior, "grp", "full_outer").select(
+            "grp",
+            F.coalesce("n_batch", F.lit(0)).alias("n_batch"),
+            F.greatest(
+                F.lit(0.0),
+                F.coalesce("s_pos", F.lit(0.0))
+                + F.coalesce(F.col("z") - k, F.lit(0.0)),
+            ).alias("s_pos"),
+            F.least(
+                F.lit(0.0),
+                F.coalesce("s_neg", F.lit(0.0))
+                + F.coalesce(F.col("z") + k, F.lit(0.0)),
+            ).alias("s_neg"),
+        )
+        out = st.withColumn(
+            "alert", (F.col("s_pos") > h) | (F.col("s_neg") < -h)
+        ).localCheckpoint(eager=True)
+        out.write.mode("overwrite").parquet(
+            os.path.join(state_path, f"epoch={epoch_id}")
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={epoch_id}")
+        )
+
+    q = (
+        events_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_commitlog_sink(
     stream: DataFrame,
     table: str,

@@ -192,3 +192,96 @@ def test_zscore_rolling_precondition_raises(spark):
     ).withColumn("ts", F.col("s").cast("timestamp")).drop("s")
     with pytest.raises(ValueError, match="day-shard"):
         zscore_anomalies_rolling(df)
+
+
+def test_stream_cusum_monitor_accumulates_small_shift(spark, tmp_path):
+    """A persistent +0.15 sigma mean shift: far inside the z=3 row
+    gate (stream_anomaly_monitor never flags it), but the CUSUM
+    recursion accumulates the standardized BATCH means and alarms
+    within two shifted epochs. Clean epochs stay quiet; a group
+    absent from a batch carries its accumulation forward unchanged."""
+    from cds_etl_spark.operators.drift import build_anomaly_baseline
+    from cds_etl_spark.streaming.ops import stream_cusum_monitor
+
+    bpath = str(tmp_path / "cusum_base")
+    build_anomaly_baseline(_events(spark, 8000, seed=40), bpath)
+    sigma = 480.0 / (12.0 ** 0.5)  # uniform(0,480)
+
+    batches = [
+        _events(spark, 1000, seed=41),                       # clean
+        _events(spark, 1000, seed=42),                       # clean
+        _events(spark, 1000, shift=0.15 * sigma, seed=43),   # shifted
+        _events(spark, 1000, shift=0.15 * sigma, seed=44),   # shifted
+    ]
+    src = str(tmp_path / "cusum_inbox")
+    for b in batches:
+        b.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(batches[0].schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = str(tmp_path / "cusum_out")
+    state = str(tmp_path / "cusum_state")
+    stream_cusum_monitor(
+        stream, bpath, state, out, str(tmp_path / "cusum_ckpt")
+    )
+
+    rows = {
+        r["batch_id"]: r
+        for r in spark.read.parquet(out).filter(
+            F.col("grp") == "click"
+        ).collect()
+    }
+    assert len(rows) == 4
+    # Clean epochs: no alert, bounded accumulation.
+    assert not rows[0]["alert"] and not rows[1]["alert"]
+    # The shift accumulates: S+ strictly grows across shifted epochs
+    # and crosses h by the second one.
+    assert rows[2]["s_pos"] > rows[1]["s_pos"]
+    assert rows[3]["s_pos"] > rows[2]["s_pos"]
+    assert rows[3]["alert"]
+    # Row-level z against the reference never reaches 3 for a 0.15
+    # sigma shift of a bounded uniform (the monitor this completes).
+    assert 0.15 * sigma + 240.0 < 3.0 * sigma
+
+
+def test_stream_cusum_absent_group_carries_state(spark, tmp_path):
+    """An epoch without a group's rows must neither reset nor grow
+    that group's CUSUM state (full-outer carry-forward)."""
+    from cds_etl_spark.operators.drift import build_anomaly_baseline
+    from cds_etl_spark.streaming.ops import stream_cusum_monitor
+
+    bpath = str(tmp_path / "cusum_base2")
+    base = _events(spark, 4000, seed=50).unionByName(
+        _events(spark, 4000, seed=51, etype="view")
+    )
+    build_anomaly_baseline(base, bpath)
+    sigma = 480.0 / (12.0 ** 0.5)
+
+    b1 = _events(spark, 800, shift=0.2 * sigma, seed=52).unionByName(
+        _events(spark, 800, seed=53, etype="view")
+    )
+    b2 = _events(spark, 800, seed=54, etype="view")  # no "click" rows
+    src = str(tmp_path / "cusum_inbox2")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(b1.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = str(tmp_path / "cusum_out2")
+    stream_cusum_monitor(
+        stream,
+        bpath,
+        str(tmp_path / "cusum_state2"),
+        out,
+        str(tmp_path / "cusum_ckpt2"),
+    )
+    click = {
+        r["batch_id"]: r
+        for r in spark.read.parquet(out).filter(
+            F.col("grp") == "click"
+        ).collect()
+    }
+    assert click[0]["s_pos"] > 0.0
+    assert click[1]["n_batch"] == 0
+    assert click[1]["s_pos"] == click[0]["s_pos"]
+    assert click[1]["s_neg"] == click[0]["s_neg"]
