@@ -166,6 +166,10 @@ _GRADE_FIRST = [
     "qs260_hits_scores",
     "qs261_cochran_armitage",
     "qs262_ngram_novelty",
+    "qs263_rake_keyphrases",
+    "qs264_calibration_ece",
+    "qs265_neyman_allocation",
+    "qs266_temporal_consistency",
 ]
 
 

@@ -632,3 +632,400 @@ def qs262(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qs263 RAKE keyphrase extraction
+# ---------------------------------------------------------------------------
+
+_RAKE_STOPS = (
+    "the", "a", "of", "and", "to", "in", "is", "that", "it", "for",
+)
+
+
+@query(
+    "qs263_rake_keyphrases",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok,
+             unnest(range(1, len(regexp_split_to_array(lower(text),
+                                                       '\\s+')) + 1))
+               AS pos
+      FROM documents),
+    flagged AS (
+      SELECT doc_id, tok, pos,
+             CASE WHEN tok = '' OR list_contains(
+                    {list(_RAKE_STOPS)!r}, tok)
+                  THEN 1 ELSE 0 END AS stop
+      FROM toks),
+    isl AS (
+      SELECT doc_id, tok, pos, stop,
+             SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged),
+    phr AS (
+      SELECT doc_id, island,
+             string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             COUNT(*) AS plen
+      FROM isl WHERE stop = 0
+      GROUP BY doc_id, island
+      HAVING COUNT(*) BETWEEN 1 AND 4),
+    members AS (
+      SELECT doc_id, island, plen, phrase,
+             unnest(string_split(phrase, ' ')) AS w
+      FROM phr),
+    wstats AS (
+      SELECT w, COUNT(*) AS freq, SUM(plen) AS deg
+      FROM members GROUP BY w),
+    scored AS (
+      SELECT m.phrase,
+             SUM(CAST(ws.deg AS DOUBLE) / ws.freq) AS score
+      FROM members m JOIN wstats ws ON m.w = ws.w
+      GROUP BY m.doc_id, m.island, m.phrase),
+    best AS (
+      SELECT phrase, MAX(score) AS score,
+             CAST(COUNT(*) AS BIGINT) AS occurrences
+      FROM scored GROUP BY phrase)
+    SELECT phrase, ROUND(score, 4) AS rake_score, occurrences
+    FROM best ORDER BY ROUND(score, 4) DESC, phrase LIMIT 15
+    """,
+)
+def qs263(spark: SparkSession, sf: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) — candidate
+    phrases are maximal stopword-delimited token runs (length ≤ 4);
+    each word scores degree/frequency over the phrase graph and a
+    phrase scores the sum of its words: multi-word domain terms beat
+    bare frequency because their words co-occur in LONG candidates.
+    The keyphrase-side summary beside qs115's TF-IDF (per-doc terms)
+    and qs224's log-odds (corpus-contrastive terms).
+
+    Determinism: island segmentation is a cumulative integer flag
+    sum in position order; freq/deg are exact integers; word scores
+    are one division each and a phrase sums ≤ 4 of them, rounded at
+    4 dp for ORDER BY and output (phrase-text tie-break). Plan:
+    tokenize + flag row-locally, one doc-keyed window builds
+    islands, phrase assembly is one ordered aggregate per (doc,
+    island), word stats one hash aggregate, and the score join is
+    vocabulary-sized."""
+    d = load_table(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.lower(F.col("text")), r"\s+")
+        ).alias("pos0", "tok"),
+    ).select(
+        "doc_id", "tok", (F.col("pos0") + 1).alias("pos")
+    )
+    stops = F.array(*[F.lit(w) for w in _RAKE_STOPS])
+    flagged = toks.withColumn(
+        "stop",
+        F.when(
+            (F.col("tok") == "") | F.array_contains(stops, F.col("tok")),
+            1,
+        ).otherwise(0),
+    )
+    wisl = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = flagged.withColumn("island", F.sum("stop").over(wisl))
+    phr = (
+        isl.filter(F.col("stop") == 0)
+        .groupBy("doc_id", "island")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("plen"),
+        )
+        .filter((F.col("plen") >= 1) & (F.col("plen") <= 4))
+    )
+    members = phr.select(
+        "doc_id",
+        "island",
+        "plen",
+        "phrase",
+        F.explode(F.split(F.col("phrase"), " ")).alias("w"),
+    )
+    wstats = members.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    )
+    scored = (
+        members.join(wstats, "w")
+        .groupBy("doc_id", "island", "phrase")
+        .agg(
+            F.sum(
+                F.col("deg").cast("double") / F.col("freq")
+            ).alias("score")
+        )
+    )
+    best = scored.groupBy("phrase").agg(
+        F.max("score").alias("score"),
+        F.count(F.lit(1)).cast("long").alias("occurrences"),
+    )
+    return (
+        best.select(
+            "phrase",
+            F.round(F.col("score"), 4).alias("rake_score"),
+            "occurrences",
+        )
+        .orderBy(F.col("rake_score").desc(), "phrase")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# qs264 calibration bins + expected calibration error
+# ---------------------------------------------------------------------------
+
+@query(
+    "qs264_calibration_ece",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS s
+      FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+    resp AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE year(o_orderdate) = 1996),
+    lab AS (
+      SELECT spend.o_custkey AS ck, s,
+             CASE WHEN resp.o_custkey IS NULL THEN 0 ELSE 1 END AS y
+      FROM spend LEFT JOIN resp ON spend.o_custkey = resp.o_custkey),
+    train AS (SELECT * FROM lab WHERE ck % 2 = 1),
+    test  AS (SELECT * FROM lab WHERE ck % 2 = 0),
+    td AS (
+      SELECT CAST(NTILE(10) OVER (ORDER BY s DESC, ck) AS INTEGER)
+               AS d, s, y
+      FROM train),
+    model AS (
+      SELECT d, MIN(s) AS lo, COUNT(*) AS n_train, SUM(y) AS r_train
+      FROM td GROUP BY d),
+    assigned AS (
+      SELECT t.ck, t.y,
+             COALESCE(MIN(m.d), 10) AS d
+      FROM test t LEFT JOIN model m ON t.s >= m.lo
+      GROUP BY t.ck, t.y),
+    bins AS (
+      SELECT a.d, COUNT(*) AS n_test, SUM(a.y) AS hits,
+             MAX(m.n_train) AS n_train, MAX(m.r_train) AS r_train
+      FROM assigned a JOIN model m ON a.d = m.d
+      GROUP BY a.d),
+    tot AS (SELECT SUM(n_test) AS nt FROM bins)
+    SELECT d AS decile,
+           CAST(n_test AS BIGINT) AS n_test,
+           ROUND(CAST(r_train AS DOUBLE) / n_train, 4) AS confidence,
+           ROUND(CAST(hits AS DOUBLE) / n_test, 4) AS accuracy,
+           ROUND(ABS(CAST(r_train AS DOUBLE) / n_train
+                     - CAST(hits AS DOUBLE) / n_test)
+                 * n_test / (SELECT nt FROM tot), 6)
+             AS ece_contrib
+    FROM bins
+    """,
+)
+def qs264(spark: SparkSession, sf: str) -> DataFrame:
+    """Calibration (reliability) bins with per-bin ECE contribution —
+    the qs245 decile model trained on ODD customers (per-decile 1996
+    reorder rate = its predicted confidence) is scored on EVEN
+    customers assigned to the train decile boundaries: a calibrated
+    model has accuracy ≈ confidence per bin, and Σ ece_contrib is
+    the expected calibration error. The honest-holdout eval the
+    in-sample gains table (qs245) cannot give, and the calibration
+    axis qs215's NDCG (ranking) and qs244's kappa (agreement) miss.
+
+    Determinism: spends are exact cents, decile boundaries are MINs,
+    test assignment is COALESCE(MIN over qualifying boundaries, last
+    bin) — pure integer comparisons; rates are exact-integer
+    divisions rounded 4/6 dp. Plan: two year-pruned aggregates, one
+    train-side NTILE over train customers, a 10-row broadcast
+    boundary join for assignment, and a 10-row epilogue."""
+    o = load_table(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    spend = (
+        o.filter(F.year("o_orderdate") == 1995)
+        .groupBy("o_custkey")
+        .agg(F.sum(cents).alias("s"))
+    )
+    resp = (
+        o.filter(F.year("o_orderdate") == 1996)
+        .select("o_custkey")
+        .distinct()
+        .withColumn("y1", F.lit(1))
+    )
+    lab = spend.join(resp, "o_custkey", "left").select(
+        F.col("o_custkey").alias("ck"),
+        "s",
+        F.coalesce(F.col("y1"), F.lit(0)).alias("y"),
+    )
+    train = lab.filter(F.col("ck") % 2 == 1)
+    test = lab.filter(F.col("ck") % 2 == 0)
+    td = train.select(
+        F.ntile(10)
+        .over(Window.orderBy(F.col("s").desc(), "ck"))
+        .alias("d"),
+        "s",
+        "y",
+    )
+    model = td.groupBy("d").agg(
+        F.min("s").alias("lo"),
+        F.count(F.lit(1)).alias("n_train"),
+        F.sum("y").alias("r_train"),
+    )
+    assigned = (
+        test.join(F.broadcast(model), test["s"] >= model["lo"], "left")
+        .groupBy("ck", "y")
+        .agg(F.coalesce(F.min("d"), F.lit(10)).alias("d"))
+    )
+    bins = (
+        assigned.join(F.broadcast(model), "d")
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum("y").alias("hits"),
+            F.max("n_train").alias("n_train"),
+            F.max("r_train").alias("r_train"),
+        )
+    )
+    tot = bins.agg(F.sum("n_test").alias("nt"))
+    conf = F.col("r_train").cast("double") / F.col("n_train")
+    acc = F.col("hits").cast("double") / F.col("n_test")
+    return bins.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("decile"),
+        F.col("n_test").cast("long").alias("n_test"),
+        F.round(conf, 4).alias("confidence"),
+        F.round(acc, 4).alias("accuracy"),
+        F.round(
+            F.abs(conf - acc) * F.col("n_test") / F.col("nt"), 6
+        ).alias("ece_contrib"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qs265 Neyman optimal stratified-sample allocation
+# ---------------------------------------------------------------------------
+
+@query(
+    "qs265_neyman_allocation",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS stratum, COUNT(*) AS nh,
+             STDDEV_SAMP(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+               AS sh
+      FROM orders GROUP BY 1),
+    t AS (SELECT SUM(nh * sh) AS tot FROM g)
+    SELECT stratum, CAST(nh AS BIGINT) AS n_stratum,
+           ROUND(sh / 100.0, 2) AS sigma_dollars,
+           ROUND(nh * sh / (SELECT tot FROM t), 6) AS weight,
+           CAST(FLOOR(10000 * nh * sh / (SELECT tot FROM t))
+                AS BIGINT) AS alloc
+    FROM g
+    """,
+)
+def qs265(spark: SparkSession, sf: str) -> DataFrame:
+    """Neyman optimal allocation for a stratified sample of 10,000
+    orders — sample each stratum proportionally to Nₕ·σₕ, not Nₕ:
+    high-variance strata get oversampled because that is where the
+    estimator's variance lives (Neyman 1934). The sampling-DESIGN
+    companion to qs67's stratified executor: qs67 applies given
+    rates; this computes the rates a fixed budget should use.
+
+    Determinism: counts are exact; σ is the engines' numerically
+    stable stddev over exact cent integers (identical input set →
+    last-ulp agreement, guarded by 2/6 dp rounds; the floor of the
+    shared allocation quotient is the same double on both sides).
+    Plan: one 5-row hash aggregate + scalar total — the allocation
+    table is broadcast-sized by construction at any corpus scale."""
+    o = load_table(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    g = o.groupBy(
+        F.col("o_orderpriority").alias("stratum")
+    ).agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.stddev_samp(cents).alias("sh"),
+    )
+    t = g.agg(F.sum(F.col("nh") * F.col("sh")).alias("tot"))
+    return g.crossJoin(F.broadcast(t)).select(
+        "stratum",
+        F.col("nh").cast("long").alias("n_stratum"),
+        F.round(F.col("sh") / 100.0, 2).alias("sigma_dollars"),
+        F.round(F.col("nh") * F.col("sh") / F.col("tot"), 6).alias(
+            "weight"
+        ),
+        F.floor(
+            10000 * F.col("nh") * F.col("sh") / F.col("tot")
+        )
+        .cast("long")
+        .alias("alloc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qs266 temporal-consistency audit (cross-table date contract)
+# ---------------------------------------------------------------------------
+
+@query(
+    "qs266_temporal_consistency",
+    oracle="""
+    SELECT year(o.o_orderdate) AS yr,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS ship_before_order,
+           CAST(SUM(CASE WHEN l.l_shipdate >= o.o_orderdate
+                          AND CAST(l.l_shipdate AS DATE)
+                              > CAST(o.o_orderdate AS DATE)
+                                + INTERVAL 365 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS ship_over_1y,
+           ROUND(CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS violation_rate
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def qs266(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-table temporal-consistency audit — per order year, how
+    many line items ship BEFORE their order exists, and how many
+    ship implausibly late (> 1 year): the date-contract sibling of
+    qs258's FD profile (value relationships) and the reference's
+    validation-report surface (O22–O27 audit rows, not exceptions
+    — violations are COUNTED and rated, the pipeline keeps moving).
+
+    Determinism: pure integer date comparisons and counts, one
+    rate division. Plan: the orderkey equi-join is the natural
+    co-partitioning (both sides bucket on the same key in the
+    warehouse layout); flags fold into ONE aggregate with map-side
+    combine — a scan-shaped audit that runs at any scale."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    j = li.select("l_orderkey", "l_shipdate").join(
+        o.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    before = F.when(
+        F.col("l_shipdate") < F.col("o_orderdate"), 1
+    ).otherwise(0)
+    late = F.when(
+        (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (
+            F.col("l_shipdate").cast("date")
+            > F.date_add(F.col("o_orderdate").cast("date"), 365)
+        ),
+        1,
+    ).otherwise(0)
+    return j.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(before).cast("long").alias("ship_before_order"),
+        F.sum(late).cast("long").alias("ship_over_1y"),
+        F.round(
+            F.sum(before).cast("double") / F.count(F.lit(1)), 4
+        ).alias("violation_rate"),
+    )
