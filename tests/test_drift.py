@@ -285,3 +285,43 @@ def test_stream_cusum_absent_group_carries_state(spark, tmp_path):
     assert click[1]["n_batch"] == 0
     assert click[1]["s_pos"] == click[0]["s_pos"]
     assert click[1]["s_neg"] == click[0]["s_neg"]
+
+
+def test_stream_cusum_replay_recomputes_identically(spark, tmp_path):
+    """Exactly-once story: re-running the same inbox with a FRESH
+    checkpoint against the SAME state directory (the worst replay —
+    every epoch re-fires with its own state partitions already on
+    disk) must recompute byte-identical state and output, because
+    epoch N reads only epochs < N and overwrites its own partition."""
+    from cds_etl_spark.operators.drift import build_anomaly_baseline
+    from cds_etl_spark.streaming.ops import stream_cusum_monitor
+
+    bpath = str(tmp_path / "base")
+    build_anomaly_baseline(_events(spark, 4000, seed=60), bpath)
+    src = str(tmp_path / "inbox")
+    for seed in (61, 62, 63):
+        _events(spark, 500, shift=30.0 * (seed % 2), seed=seed).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run(tag):
+        stream = spark.readStream.schema(
+            _events(spark, 1, seed=0).schema
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        out = str(tmp_path / f"out_{tag}")
+        stream_cusum_monitor(
+            stream,
+            bpath,
+            str(tmp_path / "state"),          # SHARED state dir
+            out,
+            str(tmp_path / f"ckpt_{tag}"),    # fresh checkpoint
+        )
+        return sorted(
+            (r["batch_id"], r["grp"], r["n_batch"],
+             round(r["s_pos"], 12), round(r["s_neg"], 12), r["alert"])
+            for r in spark.read.parquet(out).collect()
+        )
+
+    first = run("a")
+    second = run("b")   # full replay over pre-existing state
+    assert first == second and len(first) == 3
