@@ -55,6 +55,13 @@ SNAPSHOT_QUERIES = [
     "qs206_grid_spatial_pairs",
     "qs211_herfindahl_index",
     "qs209_seasonal_decompose",
+    # r7 structural plans: the value-level midrank join (no global
+    # sort), the bounded-basket 3-way self-join, the broadcast-dim
+    # elasticity aggregate, and the two-half-iteration HITS joins.
+    "qs243_spearman_corr",
+    "qs256_frequent_triples",
+    "qs251_price_elasticity",
+    "qs260_hits_scores",
 ]
 
 
