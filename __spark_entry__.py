@@ -170,6 +170,8 @@ _GRADE_FIRST = [
     "qs264_calibration_ece",
     "qs265_neyman_allocation",
     "qs266_temporal_consistency",
+    "qs267_markov_entropy_rate",
+    "qs268_weighted_vocab_jaccard",
 ]
 
 

@@ -1029,3 +1029,243 @@ def qs266(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(before).cast("double") / F.count(F.lit(1)), 4
         ).alias("violation_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qs267 Markov entropy rate of the event-type process
+# ---------------------------------------------------------------------------
+
+@query(
+    "qs267_markov_entropy_rate",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events),
+    pair AS (
+      SELECT event_type AS cur, nxt, COUNT(*) AS c
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    ctx AS (
+      SELECT cur, SUM(c) AS n FROM pair GROUP BY cur),
+    tot AS (SELECT SUM(c) AS t FROM pair),
+    terms AS (
+      SELECT pair.cur, pair.c, ctx.n, tot.t
+      FROM pair JOIN ctx ON pair.cur = ctx.cur, tot)
+    SELECT CAST(MAX(t) AS BIGINT) AS n_transitions,
+           ROUND(-SUM((CAST(c AS DOUBLE) / t)
+                      * ln(CAST(c AS DOUBLE) / n)) / ln(2), 4)
+             AS entropy_rate_bits,
+           ROUND(-SUM((CAST(c AS DOUBLE) / t)
+                      * ln(CAST(c AS DOUBLE) / t)) / ln(2), 4)
+             AS joint_entropy_bits
+    FROM terms
+    """,
+)
+def qs267(spark: SparkSession, sf: str) -> DataFrame:
+    """Entropy rate of the per-user event-type Markov chain —
+    H(next | current) = −Σ p(cur,next)·log₂ p(next|cur) over observed
+    transitions, beside the joint pair entropy: how PREDICTABLE is
+    the next step given where the user is now. Complements qs123
+    (the transition probabilities themselves), qs166 (MI of one
+    pair), and qs160 (marginal token entropy) with the process-level
+    number sequence models are bounded by — an entropy rate near the
+    marginal entropy means history buys nothing.
+
+    Determinism: transition, context, and total counts are exact
+    integers from ONE user-keyed window pass; each term is built
+    from the same two divisions and one ln on both engines (the
+    qs184 ln contract) and the Σ runs over ≤ |types|² = 25 terms,
+    rounded 4 dp. Plan: one shuffle by user for the LEAD window,
+    then a 25-row aggregate epilogue."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    pair = seq.groupBy(
+        F.col("event_type").alias("cur"), "nxt"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    ctx = pair.groupBy("cur").agg(F.sum("c").alias("n"))
+    tot = pair.agg(F.sum("c").alias("t"))
+    terms = pair.join(F.broadcast(ctx), "cur").crossJoin(
+        F.broadcast(tot)
+    )
+    p_joint = F.col("c").cast("double") / F.col("t")
+    return terms.agg(
+        F.max("t").cast("long").alias("n_transitions"),
+        F.round(
+            -F.sum(
+                p_joint
+                * F.log(F.col("c").cast("double") / F.col("n"))
+            )
+            / F.log(F.lit(2.0)),
+            4,
+        ).alias("entropy_rate_bits"),
+        F.round(
+            -F.sum(
+                p_joint
+                * F.log(F.col("c").cast("double") / F.col("t"))
+            )
+            / F.log(F.lit(2.0)),
+            4,
+        ).alias("joint_entropy_bits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qs268 weighted vocabulary Jaccard between sources
+# ---------------------------------------------------------------------------
+
+@query(
+    "qs268_weighted_vocab_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT source, t AS term
+      FROM (SELECT source,
+                   unnest(regexp_split_to_array(lower(text), '\\s+'))
+                     AS t
+            FROM documents)
+      WHERE t <> ''),
+    cnt AS (SELECT source, term, COUNT(*) AS c FROM toks
+            GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.source AS s1, b.source AS s2,
+             SUM(LEAST(a.c, b.c)) AS smin,
+             SUM(GREATEST(a.c, b.c)) AS sboth
+      FROM cnt a JOIN cnt b
+        ON a.term = b.term AND a.source < b.source
+      GROUP BY 1, 2),
+    tot AS (SELECT source, SUM(c) AS tot FROM cnt GROUP BY source),
+    only_ AS (
+      SELECT p.s1, p.s2, p.smin,
+             p.sboth + (x.tot - ps1.shared) + (y.tot - ps2.shared)
+               AS smax
+      FROM pairs p
+      JOIN tot x ON p.s1 = x.source
+      JOIN tot y ON p.s2 = y.source
+      JOIN (SELECT a.source AS s, b.source AS o, SUM(a.c) AS shared
+            FROM cnt a JOIN cnt b
+              ON a.term = b.term AND a.source <> b.source
+            GROUP BY 1, 2) ps1
+        ON ps1.s = p.s1 AND ps1.o = p.s2
+      JOIN (SELECT a.source AS s, b.source AS o, SUM(a.c) AS shared
+            FROM cnt a JOIN cnt b
+              ON a.term = b.term AND a.source <> b.source
+            GROUP BY 1, 2) ps2
+        ON ps2.s = p.s2 AND ps2.o = p.s1)
+    SELECT s1, s2, CAST(smin AS BIGINT) AS w_inter,
+           CAST(smax AS BIGINT) AS w_union,
+           ROUND(CAST(smin AS DOUBLE) / CAST(smax AS DOUBLE), 4)
+             AS weighted_jaccard
+    FROM only_
+    """,
+)
+def qs268(spark: SparkSession, sf: str) -> DataFrame:
+    """WEIGHTED vocabulary Jaccard between sources —
+    Σ min(c₁,c₂) / (Σ max(c₁,c₂) + mass unique to either side) over
+    term counts: qs252's set Jaccard says whether vocabularies
+    OVERLAP; this says whether the sources USE the shared words at
+    the same rate, so a boilerplate farm that hammers 50 shared
+    templates scores near 1 here while its set overlap looks modest.
+    The multiset similarity weighted-MinHash approximates at corpus
+    scale, computed exactly.
+
+    Determinism: min/max/unique-mass sums are exact integers (the
+    union mass adds each side's total minus its shared mass, so
+    terms absent from one side contribute their full count); one
+    division, 4 dp. Plan: one (source, term) count aggregate feeds
+    everything; the term-keyed self-join fans out ≤ |sources| per
+    term; totals and shared-mass tables are sources²-sized
+    broadcasts."""
+    d = load_table(spark, sf, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias(
+            "term"
+        ),
+    ).filter(F.col("term") != "")
+    cnt = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    a = cnt.select(
+        F.col("source").alias("s1"), "term", F.col("c").alias("c1")
+    )
+    b = cnt.select(
+        F.col("source").alias("s2"), "term", F.col("c").alias("c2")
+    )
+    pairs = (
+        a.join(b, "term")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(
+            F.sum(F.least("c1", "c2")).alias("smin"),
+            F.sum(F.greatest("c1", "c2")).alias("sboth"),
+        )
+    )
+    shared = (
+        a.join(
+            b.withColumnRenamed("s2", "o").withColumnRenamed(
+                "c2", "co"
+            ),
+            "term",
+        )
+        .filter(F.col("s1") != F.col("o"))
+        .groupBy(F.col("s1").alias("s"), F.col("o"))
+        .agg(F.sum("c1").alias("shared"))
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("tot"))
+    out = (
+        pairs.join(
+            F.broadcast(
+                tot.select(
+                    F.col("source").alias("s1"),
+                    F.col("tot").alias("t1"),
+                )
+            ),
+            "s1",
+        )
+        .join(
+            F.broadcast(
+                tot.select(
+                    F.col("source").alias("s2"),
+                    F.col("tot").alias("t2"),
+                )
+            ),
+            "s2",
+        )
+        .join(
+            F.broadcast(
+                shared.select(
+                    F.col("s").alias("s1"),
+                    F.col("o").alias("s2"),
+                    F.col("shared").alias("sh1"),
+                )
+            ),
+            ["s1", "s2"],
+        )
+        .join(
+            F.broadcast(
+                shared.select(
+                    F.col("o").alias("s1"),
+                    F.col("s").alias("s2"),
+                    F.col("shared").alias("sh2"),
+                )
+            ),
+            ["s1", "s2"],
+        )
+    )
+    smax = (
+        F.col("sboth")
+        + (F.col("t1") - F.col("sh1"))
+        + (F.col("t2") - F.col("sh2"))
+    )
+    return out.select(
+        "s1",
+        "s2",
+        F.col("smin").cast("long").alias("w_inter"),
+        smax.cast("long").alias("w_union"),
+        F.round(
+            F.col("smin").cast("double") / smax.cast("double"), 4
+        ).alias("weighted_jaccard"),
+    )
