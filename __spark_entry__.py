@@ -97,10 +97,10 @@ _GRADE_FIRST = [
     "qs204_autocorrelation",
     "qs205_theilsen_slope",
     "qs206_grid_spatial_pairs",
-    # -- beyond the 50-entry window: r08 front-of-queue (the session-4
-    #    round-6 additions qs207-qs240, then the five deferred
-    #    r03-green entries; 39 total — fits one window with room for
-    #    round-7 additions to append after qs89) --
+    # -- beyond the 50-entry window: r08 front-of-queue — the
+    #    session-4 round-6 additions qs207-qs240, the five deferred
+    #    r03-green entries, then the round-7 additions qs241-qs268
+    #    (67 staged total: r08 grades the first 50, r09 the rest) --
     "qs207_feature_hashing",
     "qs208_quantile_normalization",
     "qs209_seasonal_decompose",
