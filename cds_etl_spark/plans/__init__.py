@@ -20,6 +20,7 @@ from cds_etl_spark.plans import (  # noqa: E402,F401  (import = registration)
     q_eval_advanced,
     q_ml_graph_stats,
     q_ml_graph_stats2,
+    q_stats_tests,
 )
 
 __all__ = ["QUERIES", "ORACLE_SQL"]

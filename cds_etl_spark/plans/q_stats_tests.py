@@ -1,0 +1,816 @@
+"""Hypothesis-test family: log-rank survival comparison, Welch t,
+Kruskal–Wallis, one-way ANOVA, Cramér's V association audit, and
+Jensen–Shannon source divergence (qs269+) — one family of the
+declared oracle-checkable query set. These extend the survival
+(qs182/qs246), rank (qs181/qs243), and drift (qs159/qs227) blocks
+with the classical inference tests a data-quality/ETL pipeline runs
+over curated tables (reference validation-report surface:
+/root/reference/data_loader.py validation hooks). Registration
+contract, aliasing and cross-engine rules:
+cds_etl_spark/plans/registry.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cds_etl_spark.catalog import load_table
+from cds_etl_spark.plans.registry import query
+
+# --------------------------------------------------------------------------
+# qs269 two-group log-rank test on user churn (pairs with qs182/qs246)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs269_logrank_test",
+    oracle="""
+    WITH lastd AS (
+      SELECT user_id % 2 AS g, MAX(CAST(ts AS DATE)) AS day
+      FROM events GROUP BY user_id),
+    d AS (SELECT day, g, COUNT(*) AS d FROM lastd GROUP BY day, g),
+    days AS (SELECT DISTINCT day FROM d),
+    grid AS (
+      SELECT days.day, gg.g, COALESCE(d.d, 0) AS d
+      FROM days CROSS JOIN (SELECT 0 AS g UNION ALL SELECT 1) gg
+      LEFT JOIN d ON d.day = days.day AND d.g = gg.g),
+    tot AS (SELECT g, SUM(d) AS tot FROM grid GROUP BY g),
+    risk AS (
+      SELECT grid.day, grid.g, grid.d,
+             tot.tot - COALESCE(SUM(grid.d) OVER (
+               PARTITION BY grid.g ORDER BY grid.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS n
+      FROM grid JOIN tot ON tot.g = grid.g),
+    byday AS (
+      SELECT day,
+             SUM(CASE WHEN g = 1 THEN d ELSE 0 END) AS d1,
+             SUM(d) AS d,
+             SUM(CASE WHEN g = 1 THEN n ELSE 0 END) AS n1,
+             SUM(n) AS n
+      FROM risk GROUP BY day),
+    terms AS (
+      SELECT d1, d * 1.0 * n1 / n AS e1,
+             CASE WHEN n > 1 THEN
+               (d * 1.0 * n1 / n) * (1.0 * (n - n1) / n)
+                 * (1.0 * (n - d) / (n - 1))
+             ELSE 0.0 END AS v
+      FROM byday WHERE d > 0)
+    SELECT CAST(SUM(d1) AS BIGINT) AS observed1,
+           ROUND(SUM(e1), 4) AS expected1,
+           ROUND(SUM(v), 4) AS variance1,
+           ROUND(POWER(SUM(d1) - SUM(e1), 2) / SUM(v), 4)
+             AS logrank_chi2
+    FROM terms
+    """,
+)
+def qs269(spark: SparkSession, sf: str) -> DataFrame:
+    """LOG-RANK test comparing churn ("death" = a user's last active
+    day, the qs182 framing) between two user cohorts (user_id
+    parity): at each death day the observed cohort-1 deaths are
+    compared with the hypergeometric expectation d·n1/n given the
+    at-risk sets, and (ΣO−ΣE)²/ΣV is the χ²₁ statistic — the
+    standard two-sample survival comparison that Kaplan–Meier curves
+    (qs182) get eyeballed for.
+
+    Determinism: deaths and at-risk counts are exact integers built
+    on a days×2 grid (missing cells pinned to 0 so both cohorts'
+    at-risk windows see every death day); expectation/variance terms
+    are exact-integer ratios in double, summed over ≤ #days rows,
+    ROUND 4. Plan: the corpus collapses to one row per user, then to
+    a days-sized grid — windows and the final aggregate run on
+    <1k rows regardless of corpus size."""
+    ev = load_table(spark, sf, "events")
+    lastd = ev.groupBy("user_id").agg(
+        F.max(F.col("ts").cast("date")).alias("day")
+    ).select((F.col("user_id") % 2).alias("g"), "day")
+    d = lastd.groupBy("day", "g").agg(F.count(F.lit(1)).alias("d"))
+    days = d.select("day").distinct()
+    groups = spark.range(2).select(F.col("id").alias("g"))
+    grid = (
+        days.crossJoin(F.broadcast(groups))
+        .join(d, ["day", "g"], "left")
+        .select("day", "g", F.coalesce("d", F.lit(0)).alias("d"))
+    )
+    tot = grid.groupBy("g").agg(F.sum("d").alias("tot"))
+    wprev = (
+        Window.partitionBy("g")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = grid.join(F.broadcast(tot), "g").withColumn(
+        "n",
+        F.col("tot")
+        - F.coalesce(F.sum("d").over(wprev), F.lit(0)),
+    )
+    byday = risk.groupBy("day").agg(
+        F.sum(F.when(F.col("g") == 1, F.col("d")).otherwise(0)).alias("d1"),
+        F.sum("d").alias("d"),
+        F.sum(F.when(F.col("g") == 1, F.col("n")).otherwise(0)).alias("n1"),
+        F.sum("n").alias("n"),
+    ).filter(F.col("d") > 0)
+    e1 = F.col("d") * F.lit(1.0) * F.col("n1") / F.col("n")
+    v = F.when(
+        F.col("n") > 1,
+        e1
+        * (F.lit(1.0) * (F.col("n") - F.col("n1")) / F.col("n"))
+        * (F.lit(1.0) * (F.col("n") - F.col("d")) / (F.col("n") - 1)),
+    ).otherwise(F.lit(0.0))
+    agg = byday.agg(
+        F.sum("d1").alias("o1"),
+        F.sum(e1).alias("e1"),
+        F.sum(v).alias("v1"),
+    )
+    return agg.select(
+        F.col("o1").cast("long").alias("observed1"),
+        F.round("e1", 4).alias("expected1"),
+        F.round("v1", 4).alias("variance1"),
+        F.round(
+            F.pow(F.col("o1") - F.col("e1"), 2) / F.col("v1"), 4
+        ).alias("logrank_chi2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs270 Welch two-sample t-test (unequal variances)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs270_welch_ttest",
+    oracle="""
+    WITH s AS (
+      SELECT c_nationkey AS g,
+             CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents
+      FROM customer WHERE c_nationkey IN (0, 1)),
+    m AS (SELECT g, COUNT(*) AS n, SUM(cents) AS s1,
+                 SUM(cents * cents) AS s2
+          FROM s GROUP BY g),
+    w AS (SELECT
+      MAX(CASE WHEN g = 0 THEN n END) AS n0,
+      MAX(CASE WHEN g = 1 THEN n END) AS n1,
+      MAX(CASE WHEN g = 0 THEN CAST(s1 AS DOUBLE) END) AS a0,
+      MAX(CASE WHEN g = 1 THEN CAST(s1 AS DOUBLE) END) AS a1,
+      MAX(CASE WHEN g = 0 THEN CAST(s2 AS DOUBLE) END) AS b0,
+      MAX(CASE WHEN g = 1 THEN CAST(s2 AS DOUBLE) END) AS b1
+      FROM m),
+    v AS (SELECT n0, n1, a0 / n0 AS m0, a1 / n1 AS m1,
+                 (b0 - a0 * a0 / n0) / (n0 - 1) / n0 AS se0,
+                 (b1 - a1 * a1 / n1) / (n1 - 1) / n1 AS se1
+          FROM w)
+    SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           ROUND(m0 / 100, 4) AS mean0,
+           ROUND(m1 / 100, 4) AS mean1,
+           ROUND((m0 - m1) / sqrt(se0 + se1), 4) AS t_stat,
+           ROUND(POWER(se0 + se1, 2)
+                 / (se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1)),
+                 4) AS welch_df
+    FROM v
+    """,
+)
+def qs270(spark: SparkSession, sf: str) -> DataFrame:
+    """WELCH two-sample t-test (unequal variances) on account
+    balances of two nations: t = (m₀−m₁)/√(v₀/n₀+v₁/n₁) with the
+    Welch–Satterthwaite degrees of freedom — the mean-shift test
+    qs168's proportion z-test states for continuous measures.
+
+    Determinism: per-group moments (n, Σx, Σx²) accumulate as exact
+    integers over cents (Σx² ≤ ~1.5e18 at sf10 fits BIGINT; wider
+    deployments lift to DECIMAL as qs272 does), the t/df formula then
+    runs in double on both engines from identical integers, ROUND 4.
+    Plan: one partial-aggregated scan collapses the table to 2
+    moment rows; everything after is a broadcast-sized pivot."""
+    c = load_table(spark, sf, "customer")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    s = c.filter(F.col("c_nationkey").isin(0, 1)).select(
+        F.col("c_nationkey").alias("g"), cents.alias("cents")
+    )
+    m = s.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    w = m.agg(
+        F.max(F.when(F.col("g") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("g") == 1, F.col("n"))).alias("n1"),
+        F.max(
+            F.when(F.col("g") == 0, F.col("s1").cast("double"))
+        ).alias("a0"),
+        F.max(
+            F.when(F.col("g") == 1, F.col("s1").cast("double"))
+        ).alias("a1"),
+        F.max(
+            F.when(F.col("g") == 0, F.col("s2").cast("double"))
+        ).alias("b0"),
+        F.max(
+            F.when(F.col("g") == 1, F.col("s2").cast("double"))
+        ).alias("b1"),
+    )
+    m0 = F.col("a0") / F.col("n0")
+    m1 = F.col("a1") / F.col("n1")
+    se0 = (
+        (F.col("b0") - F.col("a0") * F.col("a0") / F.col("n0"))
+        / (F.col("n0") - 1)
+        / F.col("n0")
+    )
+    se1 = (
+        (F.col("b1") - F.col("a1") * F.col("a1") / F.col("n1"))
+        / (F.col("n1") - 1)
+        / F.col("n1")
+    )
+    v = w.select("n0", "n1", m0.alias("m0"), m1.alias("m1"),
+                 se0.alias("se0"), se1.alias("se1"))
+    return v.select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        F.round(F.col("m0") / 100, 4).alias("mean0"),
+        F.round(F.col("m1") / 100, 4).alias("mean1"),
+        F.round(
+            (F.col("m0") - F.col("m1"))
+            / F.sqrt(F.col("se0") + F.col("se1")),
+            4,
+        ).alias("t_stat"),
+        F.round(
+            F.pow(F.col("se0") + F.col("se1"), 2)
+            / (
+                F.col("se0") * F.col("se0") / (F.col("n0") - 1)
+                + F.col("se1") * F.col("se1") / (F.col("n1") - 1)
+            ),
+            4,
+        ).alias("welch_df"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs271 Kruskal–Wallis H (tie-corrected) across order priorities
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs271_kruskal_wallis",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority AS g,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v
+      FROM orders),
+    vc AS (SELECT v, COUNT(*) AS c FROM s GROUP BY v),
+    mr AS (
+      SELECT v, c,
+             2 * SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - c + 1 AS midrank2
+      FROM vc),
+    vg AS (SELECT g, v, COUNT(*) AS cg FROM s GROUP BY g, v),
+    pg AS (
+      SELECT g, SUM(cg) AS n_g,
+             SUM(cg * mr.midrank2) AS r2_g
+      FROM vg JOIN mr ON vg.v = mr.v GROUP BY g),
+    t AS (
+      SELECT SUM(n_g) AS n,
+             SUM(CAST(r2_g AS DOUBLE) * r2_g / (4.0 * n_g)) AS rsq,
+             (SELECT SUM(CAST(c AS DOUBLE) * c * c - c) FROM vc)
+               AS ties
+      FROM pg),
+    h AS (
+      SELECT n,
+             12.0 / (n * (n + 1.0)) * rsq - 3.0 * (n + 1.0) AS hraw,
+             1.0 - ties / (CAST(n AS DOUBLE) * n * n - n) AS cf
+      FROM t)
+    SELECT pg.g AS priority, CAST(pg.n_g AS BIGINT) AS n_g,
+           ROUND(CAST(pg.r2_g AS DOUBLE) / (2.0 * pg.n_g), 4)
+             AS mean_rank,
+           ROUND(h.hraw, 4) AS h_raw,
+           ROUND(h.hraw / h.cf, 4) AS h_stat
+    FROM pg CROSS JOIN h ORDER BY priority
+    """,
+)
+def qs271(spark: SparkSession, sf: str) -> DataFrame:
+    """KRUSKAL–WALLIS H test: do order totals differ in distribution
+    across priorities? Midranks with tie correction, H = 12/(N(N+1))
+    ΣR²g/ng − 3(N+1), divided by 1 − Σ(t³−t)/(N³−N) — the k-group
+    generalization of qs181's Mann–Whitney, computed at VALUE level
+    (the qs243 Spearman midrank formulation: no per-row global sort;
+    the window runs over distinct cents values).
+
+    Determinism: doubled midranks (2·avg-rank = 2·cum−c+1) and
+    per-group rank sums are exact integers; squares and the final H
+    go to double (R²g ≤ 4N⁴ exceeds BIGINT at scale), ROUND 4. Plan:
+    two value-level aggregates + one ordered window over distinct
+    values + a groups-sized epilogue; the per-group rows carry the
+    global H (one broadcast scalar)."""
+    o = load_table(spark, sf, "orders")
+    s = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("v"),
+    )
+    vc = s.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    mr = vc.withColumn(
+        "midrank2",
+        2 * F.sum("c").over(wcum) - F.col("c") + 1,
+    )
+    vg = s.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cg"))
+    pg = (
+        vg.join(mr.select("v", "midrank2"), "v")
+        .groupBy("g")
+        .agg(
+            F.sum("cg").alias("n_g"),
+            F.sum(F.col("cg") * F.col("midrank2")).alias("r2_g"),
+        )
+    )
+    ties = vc.agg(
+        F.sum(
+            F.col("c").cast("double") * F.col("c") * F.col("c")
+            - F.col("c")
+        ).alias("ties")
+    )
+    t = pg.agg(
+        F.sum("n_g").alias("n"),
+        F.sum(
+            F.col("r2_g").cast("double")
+            * F.col("r2_g")
+            / (F.lit(4.0) * F.col("n_g"))
+        ).alias("rsq"),
+    ).crossJoin(F.broadcast(ties))
+    h = t.select(
+        "n",
+        (
+            F.lit(12.0) / (F.col("n") * (F.col("n") + F.lit(1.0)))
+            * F.col("rsq")
+            - F.lit(3.0) * (F.col("n") + F.lit(1.0))
+        ).alias("hraw"),
+        (
+            F.lit(1.0)
+            - F.col("ties")
+            / (
+                F.col("n").cast("double")
+                * F.col("n")
+                * F.col("n")
+                - F.col("n")
+            )
+        ).alias("cf"),
+    )
+    return (
+        pg.crossJoin(F.broadcast(h))
+        .select(
+            F.col("g").alias("priority"),
+            F.col("n_g").cast("long").alias("n_g"),
+            F.round(
+                F.col("r2_g").cast("double")
+                / (F.lit(2.0) * F.col("n_g")),
+                4,
+            ).alias("mean_rank"),
+            F.round("hraw", 4).alias("h_raw"),
+            F.round(F.col("hraw") / F.col("cf"), 4).alias("h_stat"),
+        )
+        .orderBy("priority")
+    )
+
+
+# --------------------------------------------------------------------------
+# qs272 one-way ANOVA F across order statuses
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs272_anova_oneway",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderstatus AS g,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v
+      FROM orders),
+    m AS (SELECT g, COUNT(*) AS n, SUM(v) AS s1,
+                 SUM(CAST(v AS HUGEINT) * v) AS s2
+          FROM s GROUP BY g),
+    w AS (
+      SELECT COUNT(*) AS k, SUM(n) AS nn, SUM(s1) AS ss,
+             MAX(CASE WHEN g = 'F' THEN n END) AS n_f,
+             MAX(CASE WHEN g = 'O' THEN n END) AS n_o,
+             MAX(CASE WHEN g = 'P' THEN n END) AS n_p,
+             MAX(CASE WHEN g = 'F' THEN s1 END) AS s1_f,
+             MAX(CASE WHEN g = 'O' THEN s1 END) AS s1_o,
+             MAX(CASE WHEN g = 'P' THEN s1 END) AS s1_p,
+             MAX(CASE WHEN g = 'F' THEN s2 END) AS s2_f,
+             MAX(CASE WHEN g = 'O' THEN s2 END) AS s2_o,
+             MAX(CASE WHEN g = 'P' THEN s2 END) AS s2_p
+      FROM m),
+    cw AS (SELECT w.*, ss // nn AS c FROM w),
+    d AS (
+      SELECT k, nn,
+        CAST(COALESCE(s1_f - n_f * c, 0) AS DOUBLE) AS d1_f,
+        CAST(COALESCE(s1_o - n_o * c, 0) AS DOUBLE) AS d1_o,
+        CAST(COALESCE(s1_p - n_p * c, 0) AS DOUBLE) AS d1_p,
+        CAST(COALESCE(s2_f - 2 * CAST(c AS HUGEINT) * s1_f
+             + CAST(n_f AS HUGEINT) * c * c, 0) AS DOUBLE) AS d2_f,
+        CAST(COALESCE(s2_o - 2 * CAST(c AS HUGEINT) * s1_o
+             + CAST(n_o AS HUGEINT) * c * c, 0) AS DOUBLE) AS d2_o,
+        CAST(COALESCE(s2_p - 2 * CAST(c AS HUGEINT) * s1_p
+             + CAST(n_p AS HUGEINT) * c * c, 0) AS DOUBLE) AS d2_p,
+        CAST(COALESCE(n_f, 1) AS DOUBLE) AS nf,
+        CAST(COALESCE(n_o, 1) AS DOUBLE) AS no,
+        CAST(COALESCE(n_p, 1) AS DOUBLE) AS np
+      FROM cw),
+    f AS (
+      SELECT k, nn AS n,
+        (d1_f * d1_f / nf + d1_o * d1_o / no + d1_p * d1_p / np
+         - (d1_f + d1_o + d1_p) * (d1_f + d1_o + d1_p) / nn) / 1e4
+          AS ssb,
+        (d2_f - d1_f * d1_f / nf + d2_o - d1_o * d1_o / no
+         + d2_p - d1_p * d1_p / np) / 1e4 AS ssw
+      FROM d)
+    SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+           ROUND(ssb / (k - 1), 2) AS ms_between,
+           ROUND(ssw / (n - k), 2) AS ms_within,
+           ROUND((ssb / (k - 1)) / (ssw / (n - k)), 4) AS f_stat
+    FROM f
+    """,
+)
+def qs272(spark: SparkSession, sf: str) -> DataFrame:
+    """One-way ANOVA F across order statuses: MS_between/MS_within
+    from exact per-group moments — the parametric counterpart of
+    qs271 (and the variance decomposition qs228's Simpson detector
+    examines group-wise).
+
+    Determinism: Σx accumulates in BIGINT cents and Σx² in
+    DECIMAL(38)/HUGEINT (cents² ~2.5e15 per row overflows BIGINT at
+    sf10 row counts — the qs214 widening). The naive Σ(S_h²/n_h) −
+    S²/N epilogue is catastrophically cancellative (~7 digits lost;
+    it flipped ROUND-2 output between sessions on summation order),
+    so the moments are first re-centered EXACTLY on c = S DIV N via
+    integer algebra (S_h−n_h·c, S2_h−2cS_h+n_h·c²), pivoted into ONE
+    row over the fixed TPC-H status domain {F,O,P}, and only the
+    final well-conditioned SSB/SSW formula runs in double — a fixed
+    scalar expression tree, identical IEEE ops on both engines.
+    Plan: one partial-aggregated scan → 3 moment rows → one-row
+    epilogue, no shuffle beyond the k-row exchange."""
+    o = load_table(spark, sf, "orders")
+    s = o.select(
+        F.col("o_orderstatus").alias("g"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("v"),
+    )
+    m = s.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(
+            (F.col("v") * F.col("v")).cast("decimal(38,0)")
+        ).alias("s2"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s1").alias("ss"),
+    ]
+    for g in ("f", "o", "p"):
+        lit = g.upper()
+        for c_ in ("n", "s1", "s2"):
+            aggs.append(
+                F.max(
+                    F.when(F.col("g") == lit, F.col(c_))
+                ).alias(f"{c_}_{g}")
+            )
+    w = m.agg(*aggs).withColumn(
+        "c", F.expr("ss DIV nn")
+    )
+    dcols = [F.col("k"), F.col("nn")]
+    for g in ("f", "o", "p"):
+        dcols.append(
+            F.coalesce(
+                F.col(f"s1_{g}") - F.col(f"n_{g}") * F.col("c"),
+                F.lit(0),
+            )
+            .cast("double")
+            .alias(f"d1_{g}")
+        )
+        dcols.append(
+            F.coalesce(
+                F.col(f"s2_{g}")
+                - (
+                    F.lit(2).cast("decimal(38,0)")
+                    * F.col("c")
+                    * F.col(f"s1_{g}")
+                ).cast("decimal(38,0)")
+                + (
+                    F.col(f"n_{g}").cast("decimal(38,0)")
+                    * F.col("c")
+                    * F.col("c")
+                ).cast("decimal(38,0)"),
+                F.lit(0),
+            )
+            .cast("double")
+            .alias(f"d2_{g}")
+        )
+        dcols.append(
+            F.coalesce(F.col(f"n_{g}"), F.lit(1))
+            .cast("double")
+            .alias(f"n{g}")
+        )
+    d = w.select(*dcols)
+    bsq = (
+        F.col("d1_f") * F.col("d1_f") / F.col("nf")
+        + F.col("d1_o") * F.col("d1_o") / F.col("no")
+        + F.col("d1_p") * F.col("d1_p") / F.col("np")
+    )
+    tot = F.col("d1_f") + F.col("d1_o") + F.col("d1_p")
+    ssw = (
+        F.col("d2_f")
+        - F.col("d1_f") * F.col("d1_f") / F.col("nf")
+        + F.col("d2_o")
+        - F.col("d1_o") * F.col("d1_o") / F.col("no")
+        + F.col("d2_p")
+        - F.col("d1_p") * F.col("d1_p") / F.col("np")
+    )
+    f = d.select(
+        "k",
+        F.col("nn").alias("n"),
+        ((bsq - tot * tot / F.col("nn")) / F.lit(1e4)).alias("ssb"),
+        (ssw / F.lit(1e4)).alias("ssw"),
+    )
+    return f.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("ssb") / (F.col("k") - 1), 2).alias(
+            "ms_between"
+        ),
+        F.round(F.col("ssw") / (F.col("n") - F.col("k")), 2).alias(
+            "ms_within"
+        ),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("n") - F.col("k"))),
+            4,
+        ).alias("f_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs273 Cramér's V categorical-association audit
+# --------------------------------------------------------------------------
+
+_CRAMER_ORACLE_ONE = """
+    SELECT '{name}' AS pair, a AS x, b AS y, COUNT(*) AS c
+    FROM (SELECT {xa} AS a, {xb} AS b FROM {tbl}) GROUP BY a, b
+"""
+
+
+@query(
+    "qs273_cramers_v",
+    oracle="""
+    WITH cells AS (
+      SELECT 'orders_priority_status' AS pair,
+             o_orderpriority AS x, o_orderstatus AS y,
+             COUNT(*) AS c
+      FROM orders GROUP BY 2, 3
+      UNION ALL
+      SELECT 'lineitem_flag_status', l_returnflag, l_linestatus,
+             COUNT(*)
+      FROM lineitem GROUP BY 2, 3),
+    rt AS (SELECT pair, x, SUM(c) AS rx FROM cells GROUP BY pair, x),
+    ct AS (SELECT pair, y, SUM(c) AS cy FROM cells GROUP BY pair, y),
+    n AS (SELECT pair, SUM(c) AS n,
+                 COUNT(DISTINCT x) AS r, COUNT(DISTINCT y) AS cc
+          FROM cells GROUP BY pair),
+    chi AS (
+      SELECT cells.pair,
+             SUM(POWER(cells.c - rt.rx * 1.0 * ct.cy / n.n, 2)
+                 / (rt.rx * 1.0 * ct.cy / n.n)) AS chi2
+      FROM cells
+      JOIN rt ON rt.pair = cells.pair AND rt.x = cells.x
+      JOIN ct ON ct.pair = cells.pair AND ct.y = cells.y
+      JOIN n ON n.pair = cells.pair
+      GROUP BY cells.pair)
+    SELECT chi.pair, CAST(n.n AS BIGINT) AS n,
+           CAST((n.r - 1) * (n.cc - 1) AS BIGINT) AS dof,
+           ROUND(chi.chi2, 4) AS chi2,
+           ROUND(sqrt(chi.chi2
+                 / (n.n * (CASE WHEN n.r < n.cc THEN n.r
+                                ELSE n.cc END - 1))), 4)
+             AS cramers_v
+    FROM chi JOIN n ON n.pair = chi.pair ORDER BY chi.pair
+    """,
+)
+def qs273(spark: SparkSession, sf: str) -> DataFrame:
+    """CRAMÉR'S V association audit over categorical column pairs —
+    χ² on the contingency table, normalized to [0,1] by
+    √(χ²/(N·(min(r,c)−1))): the profiling statistic that tells a
+    pipeline whether two coded columns are redundant (V≈1) or
+    independent (V≈0), extending qs241's single-pair χ² to a
+    multi-pair audit (reference validation-report surface).
+
+    Determinism: cell/margin counts are exact integers; expected
+    frequencies and χ² in double, ROUND 4. Plan: one grouped count
+    per audited table (map-side partial), then joins over
+    cells-sized (≤ r·c rows) frames — the audit epilogue never
+    touches the fact tables again."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    cells = (
+        o.groupBy(
+            F.lit("orders_priority_status").alias("pair"),
+            F.col("o_orderpriority").alias("x"),
+            F.col("o_orderstatus").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .unionAll(
+            li.groupBy(
+                F.lit("lineitem_flag_status").alias("pair"),
+                F.col("l_returnflag").alias("x"),
+                F.col("l_linestatus").alias("y"),
+            ).agg(F.count(F.lit(1)).alias("c"))
+        )
+    )
+    rt = cells.groupBy("pair", "x").agg(F.sum("c").alias("rx"))
+    ct = cells.groupBy("pair", "y").agg(F.sum("c").alias("cy"))
+    n = cells.groupBy("pair").agg(
+        F.sum("c").alias("n"),
+        F.countDistinct("x").alias("r"),
+        F.countDistinct("y").alias("cc"),
+    )
+    exp = F.col("rx") * F.lit(1.0) * F.col("cy") / F.col("n")
+    chi = (
+        cells.join(rt, ["pair", "x"])
+        .join(ct, ["pair", "y"])
+        .join(F.broadcast(n.select("pair", "n")), "pair")
+        .groupBy("pair")
+        .agg(F.sum(F.pow(F.col("c") - exp, 2) / exp).alias("chi2"))
+    )
+    return (
+        chi.join(F.broadcast(n), "pair")
+        .select(
+            "pair",
+            F.col("n").cast("long").alias("n"),
+            ((F.col("r") - 1) * (F.col("cc") - 1))
+            .cast("long")
+            .alias("dof"),
+            F.round("chi2", 4).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (
+                        F.col("n")
+                        * (F.least("r", "cc") - 1)
+                    )
+                ),
+                4,
+            ).alias("cramers_v"),
+        )
+        .orderBy("pair")
+    )
+
+
+# --------------------------------------------------------------------------
+# qs274 Jensen–Shannon divergence between source token distributions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs274_js_divergence",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(list_filter(
+               string_split(lower(text), ' '), x -> x <> '')) AS term
+      FROM documents),
+    cnt AS (SELECT source, term, COUNT(*) AS c
+            FROM toks GROUP BY source, term),
+    tot AS (SELECT source, SUM(c) AS t FROM cnt GROUP BY source),
+    plp AS (
+      SELECT cnt.source,
+             SUM((cnt.c * 1.0 / tot.t)
+                 * ln(cnt.c * 1.0 / tot.t)) AS plp
+      FROM cnt JOIN tot ON tot.source = cnt.source
+      GROUP BY cnt.source),
+    shared AS (
+      SELECT a.source AS s1, b.source AS s2,
+             SUM(((a.c * 1.0 / ta.t + b.c * 1.0 / tb.t) / 2)
+                 * ln((a.c * 1.0 / ta.t + b.c * 1.0 / tb.t) / 2))
+               AS smlm,
+             SUM((a.c * 1.0 / ta.t) * ln(a.c * 1.0 / ta.t)) AS sp,
+             SUM((b.c * 1.0 / tb.t) * ln(b.c * 1.0 / tb.t)) AS sq,
+             SUM(a.c * 1.0 / ta.t) AS mp,
+             SUM(b.c * 1.0 / tb.t) AS mq
+      FROM cnt a JOIN cnt b
+        ON a.term = b.term AND a.source < b.source
+      JOIN tot ta ON ta.source = a.source
+      JOIN tot tb ON tb.source = b.source
+      GROUP BY 1, 2),
+    jsd AS (
+      SELECT s1, s2,
+             -(smlm
+               + 0.5 * (p1.plp - sp) - 0.5 * ln(2) * (1 - mp)
+               + 0.5 * (p2.plp - sq) - 0.5 * ln(2) * (1 - mq))
+               - (-(p1.plp) - p2.plp) / 2 AS jsd
+      FROM shared
+      JOIN plp p1 ON p1.source = shared.s1
+      JOIN plp p2 ON p2.source = shared.s2)
+    SELECT s1, s2, ROUND(jsd, 4) AS jsd_nats,
+           ROUND(jsd / ln(2), 4) AS jsd_bits
+    FROM jsd ORDER BY s1, s2
+    """,
+)
+def qs274(spark: SparkSession, sf: str) -> DataFrame:
+    """JENSEN–SHANNON divergence between per-source token
+    distributions — H(m) − (H(p)+H(q))/2 with m the even mixture:
+    the bounded, symmetric distribution distance corpus curation
+    uses where qs159's PSI needs pre-binned features. Terms unique
+    to one side are folded in CLOSED FORM (for q=0, m=p/2
+    contributes ½·p·ln p − ½ln2·p), so only an inner term join is
+    needed — no full-outer per pair.
+
+    Determinism: counts and totals exact integers; each engine
+    evaluates the identical p·ln p algebra in double and sums
+    term-level contributions, ROUND 4 (the qs84/qs157 ln contract).
+    Plan: one (source, term) count aggregate feeds everything (the
+    qs268 frame); the term self-join fans out ≤ |sources| per term;
+    entropy totals are sources-sized broadcasts."""
+    d = load_table(spark, sf, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias(
+            "term"
+        ),
+    ).filter(F.col("term") != "")
+    cnt = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("t"))
+    p = F.col("c") * F.lit(1.0) / F.col("t")
+    plp = (
+        cnt.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(F.sum(p * F.log(p)).alias("plp"))
+    )
+    a = (
+        cnt.join(F.broadcast(tot), "source")
+        .select(
+            F.col("source").alias("s1"),
+            "term",
+            (F.col("c") * F.lit(1.0) / F.col("t")).alias("p1"),
+        )
+    )
+    b = (
+        cnt.join(F.broadcast(tot), "source")
+        .select(
+            F.col("source").alias("s2"),
+            "term",
+            (F.col("c") * F.lit(1.0) / F.col("t")).alias("p2"),
+        )
+    )
+    mcol = (F.col("p1") + F.col("p2")) / 2
+    shared = (
+        a.join(b, "term")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(
+            F.sum(mcol * F.log(mcol)).alias("smlm"),
+            F.sum(F.col("p1") * F.log("p1")).alias("sp"),
+            F.sum(F.col("p2") * F.log("p2")).alias("sq"),
+            F.sum("p1").alias("mp"),
+            F.sum("p2").alias("mq"),
+        )
+    )
+    ln2 = F.lit(0.6931471805599453)
+    out = (
+        shared.join(
+            F.broadcast(
+                plp.select(
+                    F.col("source").alias("s1"),
+                    F.col("plp").alias("plp1"),
+                )
+            ),
+            "s1",
+        )
+        .join(
+            F.broadcast(
+                plp.select(
+                    F.col("source").alias("s2"),
+                    F.col("plp").alias("plp2"),
+                )
+            ),
+            "s2",
+        )
+        .withColumn(
+            "jsd",
+            -(
+                F.col("smlm")
+                + F.lit(0.5) * (F.col("plp1") - F.col("sp"))
+                - F.lit(0.5) * ln2 * (1 - F.col("mp"))
+                + F.lit(0.5) * (F.col("plp2") - F.col("sq"))
+                - F.lit(0.5) * ln2 * (1 - F.col("mq"))
+            )
+            - (-F.col("plp1") - F.col("plp2")) / 2,
+        )
+    )
+    return out.select(
+        "s1",
+        "s2",
+        F.round("jsd", 4).alias("jsd_nats"),
+        F.round(F.col("jsd") / F.log(F.lit(2.0)), 4).alias(
+            "jsd_bits"
+        ),
+    ).orderBy("s1", "s2")
