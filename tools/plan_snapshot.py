@@ -62,6 +62,12 @@ SNAPSHOT_QUERIES = [
     "qs256_frequent_triples",
     "qs251_price_elasticity",
     "qs260_hits_scores",
+    # r7 stats-test plans: the log-rank risk-set grid (cross of a
+    # 2-row Range with the day spine, cumulative window per group)
+    # and the JS-divergence shared-term join with broadcast per-source
+    # entropy epilogue.
+    "qs269_logrank_test",
+    "qs274_js_divergence",
 ]
 
 
