@@ -21,6 +21,7 @@ from cds_etl_spark.plans import (  # noqa: E402,F401  (import = registration)
     q_ml_graph_stats,
     q_ml_graph_stats2,
     q_stats_tests,
+    q_experiments,
 )
 
 __all__ = ["QUERIES", "ORACLE_SQL"]
