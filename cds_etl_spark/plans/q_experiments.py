@@ -487,8 +487,17 @@ def qs278(spark: SparkSession, sf: str) -> DataFrame:
     m = d.agg(
         F.max("n").alias("n"),
         F.sum("d").alias("s1"),
-        F.sum(F.col("d") * F.col("d")).alias("s2"),
-        F.sum(F.col("d") * F.col("d") * F.col("d")).alias("s3"),
+        # d² and d³ fit BIGINT per row but their SUMS overflow it
+        # from sf1 row counts up — accumulate in DECIMAL(38,0)
+        # (DuckDB's SUM(BIGINT) is HUGEINT already).
+        F.sum((F.col("d") * F.col("d")).cast("decimal(38,0)")).alias(
+            "s2"
+        ),
+        F.sum(
+            (F.col("d") * F.col("d") * F.col("d")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("s3"),
         F.sum(
             (F.col("d") * F.col("d") * F.col("d")).cast(
                 "decimal(38,0)"

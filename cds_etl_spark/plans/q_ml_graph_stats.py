@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cds_etl_spark.catalog import load_table
+from cds_etl_spark.operators.prefix import midrank2
 from cds_etl_spark.operators.text_analysis import LANG_LEXICONS
 from cds_etl_spark.plans.registry import query
 
@@ -252,19 +253,17 @@ def qs243(spark: SparkSession, sf: str) -> DataFrame:
         vals = df.groupBy("flag", col).agg(
             F.count(F.lit(1)).alias("_c")
         )
-        wv = Window.partitionBy("flag").orderBy(col)
-        return vals.withColumn(
-            out,
-            2
-            * (
-                F.sum("_c").over(
-                    wv.rowsBetween(Window.unboundedPreceding, 0)
-                )
-                - F.col("_c")
-                + 1
-            )
-            + F.col("_c")
-            - 1,
+        # Bucketed prefix sum (operators/prefix.py): the per-flag
+        # serial window put ~2M distinct prices per flag in ONE task
+        # each at sf10; range buckets spread the sort, bit-identical.
+        # The bucket arithmetic needs an INTEGRAL order key: cents
+        # (2-dp columns → order- and tie-preserving; qy is already
+        # integer cents, qx integral quantities).
+        vals = vals.withColumn(
+            "_ik", F.round(F.col(col) * 100, 0).cast("long")
+        )
+        return midrank2(
+            vals, "_ik", "_c", out, part_cols=("flag",)
         ).select("flag", col, out)
 
     rx = midranks(b, "qx", "rx")
