@@ -107,6 +107,271 @@ def bucketed_prefix_sum(
     return out
 
 
+def bucketed_row_number(
+    df: DataFrame,
+    bucket_key_col: str,
+    order_cols: list,
+    out_col: str,
+    part_cols: tuple[str, ...] = (),
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Global ``row_number`` over ``order_cols`` (within
+    ``part_cols`` groups) without the single-task global sort:
+    rows range-bucket on ``bucket_key_col`` — an INTEGRAL column
+    that must be a monotone non-decreasing coarsening of the total
+    order (e.g. the first sort column, negated for descending) —
+    take an in-bucket ``row_number`` over the full ``order_cols``,
+    and add each bucket's exclusive running row count. Ties of the
+    bucket key always land in one bucket, so the composite order's
+    tiebreakers only ever act locally."""
+    pc = list(part_cols)
+    gb = df.groupBy(*pc) if pc else df.groupBy()
+    bounds = gb.agg(
+        F.min(bucket_key_col).alias("_mn"),
+        F.max(bucket_key_col).alias("_mx"),
+    )
+    b = (
+        df.join(F.broadcast(bounds), pc)
+        if pc
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    b = (
+        b.withColumn(
+            "_w",
+            F.expr(f"(_mx - _mn) DIV {int(n_buckets)}") + F.lit(1),
+        )
+        .withColumn(
+            "_bkt", F.expr(f"(`{bucket_key_col}` - _mn) DIV _w")
+        )
+        .drop("_mn", "_mx", "_w")
+    )
+    win_in = Window.partitionBy(*pc, "_bkt").orderBy(*order_cols)
+    b = b.withColumn("_rn_in", F.row_number().over(win_in))
+    btot = b.groupBy(*pc, "_bkt").agg(F.count(F.lit(1)).alias("_c"))
+    win_b = (
+        Window.partitionBy(*pc)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    boff = btot.select(
+        *pc,
+        "_bkt",
+        (F.sum("_c").over(win_b) - F.col("_c")).alias("_off"),
+    )
+    return (
+        b.join(F.broadcast(boff), pc + ["_bkt"])
+        .withColumn(
+            out_col, (F.col("_rn_in") + F.col("_off")).cast("long")
+        )
+        .drop("_bkt", "_rn_in", "_off")
+    )
+
+
+def ntile_from_rank(
+    rank_col: str, total_col: str, n: int
+):
+    """Spark/DuckDB ``NTILE(n)`` tile id from a 1-based rank and
+    the partition row count: both engines fill LARGER TILES FIRST
+    (first ``N mod n`` tiles get ``N DIV n + 1`` rows). Pure integer
+    expression — pair with :func:`bucketed_row_number` for a
+    cluster-parallel ntile."""
+    size = F.expr(f"`{total_col}` DIV {int(n)}")
+    rem = F.col(total_col) - size * n
+    big = rem * (size + 1)
+    r0 = F.col(rank_col) - 1
+    return (
+        F.when(
+            F.col(rank_col) <= big,
+            F.expr(f"(`{rank_col}` - 1) DIV (`{total_col}` DIV {int(n)} + 1)"),
+        )
+        .otherwise(
+            rem
+            + F.floor(
+                (r0 - big)
+                / size
+            ).cast("long")
+        )
+        + 1
+    )
+
+
+def scalable_ntile(
+    df: DataFrame,
+    metric_col: str,
+    tiebreak_col: str,
+    out_col: str,
+    n: int,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """``NTILE(n) OVER (ORDER BY metric, tiebreak)`` — single-metric
+    convenience wrapper over :func:`scalable_ntile_multi`."""
+    return scalable_ntile_multi(
+        df, [(metric_col, out_col)], tiebreak_col, n, n_buckets
+    )
+
+
+def scalable_ntile_multi(
+    df: DataFrame,
+    metrics: list,
+    tiebreak_col: str,
+    n: int,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """``NTILE(n) OVER (ORDER BY metric_j, tiebreak)`` for SEVERAL
+    metrics at once, without ranking a single row: a tile assignment
+    only needs each ordering's n-1 BOUNDARY pairs. Boundary ranks
+    follow the engines' larger-tiles-first rule
+    (r_i = i·(N DIV n) + min(i, N mod n)); boundary metric values
+    come from an (exclusive, inclusive] probe of per-metric
+    distinct-value running counts (:func:`bucketed_prefix_sum`,
+    grouped by metric name — parallel); within-value tiebreak
+    elements from a per-(metric, value) ``row_number`` (never
+    global); and every row's tiles are
+    1 + #{boundaries strictly below} against ONE broadcast pivot row
+    holding all metrics' boundaries. No global sort exists anywhere
+    in the plan, and the full frame is scanned ~3× TOTAL regardless
+    of how many metrics are tiled (the long-format explode feeds
+    every metric's counts and ties at once) — chaining or branching
+    one-metric calls instead re-evaluates the input per call, which
+    is exactly the compounding this entry point exists to avoid.
+
+    ``metrics`` is ``[(metric_col, out_col), ...]``; metric columns
+    must be integral (bucket arithmetic), and ``(metric_col,
+    tiebreak_col)`` unique per row (ntile over a non-unique order is
+    ambiguous in the serial form too). Matches ``F.ntile``
+    bit-for-bit (tests/test_prefix.py)."""
+    stack_args = ", ".join(
+        f"'{m}', CAST(`{m}` AS BIGINT)" for m, _ in metrics
+    )
+    long = df.select(
+        F.col(tiebreak_col).cast("long").alias("_tb"),
+        F.expr(
+            f"stack({len(metrics)}, {stack_args}) AS (_mname, _mval)"
+        ),
+    )
+    vc = long.groupBy("_mname", "_mval").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    cum = bucketed_prefix_sum(
+        vc, "_mval", "_c", "_cum", part_cols=("_mname",),
+        n_buckets=n_buckets,
+    )
+    tot = vc.groupBy("_mname").agg(F.sum("_c").alias("_nn"))
+    # Boundary ranks r_1..r_{n-1} per metric: a row with
+    # rank <= r_i is in tile <= i. size = N DIV n, the first
+    # (N mod n) tiles take one extra.
+    ranks = (
+        tot.crossJoin(
+            F.broadcast(
+                df.sparkSession.range(1, n).withColumnRenamed(
+                    "id", "_i"
+                )
+            )
+        )
+        .select(
+            "_mname",
+            "_i",
+            (
+                F.col("_i") * F.expr(f"_nn DIV {int(n)}")
+                + F.least(
+                    F.col("_i"),
+                    F.col("_nn") - F.expr(f"_nn DIV {int(n)}") * n,
+                )
+            ).alias("_r"),
+        )
+        .filter(F.col("_r") >= 1)
+    )
+    # The boundary's metric value: the unique vc row whose running
+    # count first reaches r_i. _k = how deep into that value's tie
+    # group the boundary sits.
+    bvals = (
+        cum.withColumnRenamed("_mname", "_mn2")
+        .join(
+            F.broadcast(ranks),
+            (F.col("_mn2") == F.col("_mname"))
+            & (F.col("_cum") >= F.col("_r"))
+            & (F.col("_cum") - F.col("_c") < F.col("_r")),
+        )
+        .select(
+            "_mname",
+            "_i",
+            F.col("_mval").alias("_bv"),
+            (F.col("_r") - (F.col("_cum") - F.col("_c"))).alias("_k"),
+            F.col("_c").alias("_bc"),
+        )
+    )
+    # Tiebreak element: the _k-th smallest tiebreak within the
+    # boundary's (metric, value) group. Skipped entirely when the
+    # boundary falls on the group's last row (_k == _bc): the pair
+    # closes at (value, +inf) and rows compare on the value alone.
+    inner = bvals.filter(F.col("_k") < F.col("_bc"))
+    bpairs_closed = bvals.filter(F.col("_k") == F.col("_bc")).select(
+        "_mname", "_i", "_bv", F.lit(None).cast("long").alias("_bt")
+    )
+    wv = Window.partitionBy("_mname", "_mval").orderBy("_tb")
+    ties = (
+        long.join(
+            F.broadcast(
+                inner.select(
+                    F.col("_mname").alias("_mn3"),
+                    F.col("_bv").alias("_bv3"),
+                ).distinct()
+            ),
+            (F.col("_mname") == F.col("_mn3"))
+            & (F.col("_mval") == F.col("_bv3")),
+        )
+        .withColumn("_vrn", F.row_number().over(wv))
+        .select("_mname", "_mval", F.col("_tb").alias("_btt"), "_vrn")
+    )
+    bpairs_inner = inner.join(
+        ties.withColumnRenamed("_mname", "_mn4"),
+        (F.col("_mn4") == F.col("_mname"))
+        & (F.col("_mval") == F.col("_bv"))
+        & (F.col("_vrn") == F.col("_k")),
+    ).select("_mname", "_i", "_bv", F.col("_btt").alias("_bt"))
+    bounds = bpairs_closed.unionByName(bpairs_inner)
+    # One pivot row holds every metric's n-1 boundary pairs (+
+    # closed flags): tiles are then pure per-row expressions against
+    # a broadcast scalar — no row expansion, no regroup. A CLOSED
+    # boundary sits on the LAST row of its value group, i.e. at
+    # (bv, +inf): rows sharing bv are never after it.
+    aggs = []
+    for j, (m, _) in enumerate(metrics):
+        for i in range(1, n):
+            hit = (F.col("_mname") == m) & (F.col("_i") == i)
+            aggs.append(
+                F.max(F.when(hit, F.col("_bv"))).alias(f"_bv_{j}_{i}")
+            )
+            aggs.append(
+                F.max(F.when(hit, F.col("_bt"))).alias(f"_bt_{j}_{i}")
+            )
+            aggs.append(
+                F.max(
+                    F.when(hit, F.col("_bt").isNull().cast("int"))
+                ).alias(f"_cl_{j}_{i}")
+            )
+    piv = bounds.groupBy().agg(*aggs)
+    out = df.crossJoin(F.broadcast(piv))
+    drop = []
+    for j, (m, out_col) in enumerate(metrics):
+        tile = F.lit(1)
+        for i in range(1, n):
+            after = (
+                F.col(m).cast("long") > F.col(f"_bv_{j}_{i}")
+            ) | (
+                (F.col(m).cast("long") == F.col(f"_bv_{j}_{i}"))
+                & (F.col(f"_cl_{j}_{i}") == 0)
+                & (
+                    F.col(tiebreak_col).cast("long")
+                    > F.col(f"_bt_{j}_{i}")
+                )
+            )
+            tile = tile + after.cast("long")
+            drop += [f"_bv_{j}_{i}", f"_bt_{j}_{i}", f"_cl_{j}_{i}"]
+        out = out.withColumn(out_col, tile)
+    return out.drop(*drop)
+
+
 def midrank2(
     df: DataFrame,
     value_col: str,

@@ -12,6 +12,10 @@ from pyspark.sql import Row, Window
 from pyspark.sql import functions as F
 
 from cds_etl_spark.operators.prefix import (
+    bucketed_row_number,
+    ntile_from_rank,
+    scalable_ntile,
+    scalable_ntile_multi,
     bucketed_prefix_sum,
     midrank2,
 )
@@ -101,4 +105,158 @@ def test_midrank2_matches_rank_formula(spark):
         .distinct()
         .collect()
     }
+    assert got == want
+
+
+def test_bucketed_row_number_matches_serial(spark):
+    rng = random.Random(274)
+    rows = [
+        Row(k=rng.randint(-200, 200), tb=i) for i in range(777)
+    ]
+    df = spark.createDataFrame(rows)
+    got = (
+        bucketed_row_number(
+            df, "k", [F.col("k"), F.col("tb")], "rn", n_buckets=16
+        )
+        .orderBy("rn")
+        .collect()
+    )
+    want = (
+        df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("k", "tb"))
+        )
+        .orderBy("rn")
+        .collect()
+    )
+    assert [(r.k, r.tb, r.rn) for r in got] == [
+        (r.k, r.tb, r.rn) for r in want
+    ]
+
+
+def test_bucketed_row_number_desc_via_negated_key(spark):
+    rng = random.Random(275)
+    rows = [Row(k=rng.randint(0, 99), tb=i) for i in range(300)]
+    df = spark.createDataFrame(rows).withColumn(
+        "neg", -F.col("k")
+    )
+    got = (
+        bucketed_row_number(
+            df,
+            "neg",
+            [F.col("k").desc(), F.col("tb")],
+            "rn",
+            n_buckets=8,
+        )
+        .orderBy("rn")
+        .collect()
+    )
+    want = (
+        df.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("k").desc(), "tb")
+            ),
+        )
+        .orderBy("rn")
+        .collect()
+    )
+    assert [(r.k, r.tb, r.rn) for r in got] == [
+        (r.k, r.tb, r.rn) for r in want
+    ]
+
+
+@pytest.mark.parametrize("n_rows", [3, 5, 23, 100])
+def test_ntile_from_rank_matches_spark_ntile(spark, n_rows):
+    rows = [Row(k=i) for i in range(n_rows)]
+    df = spark.createDataFrame(rows)
+    w = Window.orderBy("k")
+    serial = df.select(
+        "k", F.ntile(5).over(w).cast("long").alias("t")
+    )
+    mine = (
+        df.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        )
+        .withColumn("total", F.lit(n_rows).cast("long"))
+        .select(
+            "k",
+            ntile_from_rank("rank", "total", 5)
+            .cast("long")
+            .alias("t"),
+        )
+    )
+    assert sorted(map(tuple, serial.collect())) == sorted(
+        map(tuple, mine.collect())
+    )
+
+
+@pytest.mark.parametrize(
+    "n,n_rows,dup", [(5, 100, 1), (5, 23, 7), (4, 3, 1), (3, 1000, 50), (7, 64, 64)]
+)
+def test_scalable_ntile_matches_spark_ntile(spark, n, n_rows, dup):
+    # dup controls tie density: metric = i DIV dup, so dup rows share
+    # each metric value and the tiebreak decides their tiles.
+    rows = [Row(m=i // dup, tb=i * 13 % n_rows) for i in range(n_rows)]
+    df = spark.createDataFrame(rows)
+    w = Window.orderBy("m", "tb")
+    want = sorted(
+        (r.m, r.tb, r.t)
+        for r in df.select(
+            "m", "tb", F.ntile(n).over(w).cast("long").alias("t")
+        ).collect()
+    )
+    got = sorted(
+        (r.m, r.tb, r.t)
+        for r in scalable_ntile(df, "m", "tb", "t", n, n_buckets=8)
+        .collect()
+    )
+    assert got == want
+
+
+def test_scalable_ntile_multi_matches_three_windows(spark):
+    rng = random.Random(276)
+    rows = [
+        Row(
+            cust=i,
+            a=rng.randint(0, 40),
+            b=rng.randint(-1000, 1000),
+            c=rng.randint(0, 3),
+        )
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows)
+    want = sorted(
+        map(
+            tuple,
+            df.select(
+                "cust",
+                F.ntile(5)
+                .over(Window.orderBy("a", "cust"))
+                .cast("long")
+                .alias("ta"),
+                F.ntile(5)
+                .over(Window.orderBy("b", "cust"))
+                .cast("long")
+                .alias("tb_"),
+                F.ntile(5)
+                .over(Window.orderBy("c", "cust"))
+                .cast("long")
+                .alias("tc"),
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            scalable_ntile_multi(
+                df,
+                [("a", "ta"), ("b", "tb_"), ("c", "tc")],
+                "cust",
+                5,
+                n_buckets=16,
+            )
+            .select("cust", "ta", "tb_", "tc")
+            .collect(),
+        )
+    )
     assert got == want
