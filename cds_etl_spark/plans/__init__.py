@@ -22,6 +22,7 @@ from cds_etl_spark.plans import (  # noqa: E402,F401  (import = registration)
     q_ml_graph_stats2,
     q_stats_tests,
     q_experiments,
+    q_commerce_ops,
 )
 
 __all__ = ["QUERIES", "ORACLE_SQL"]
