@@ -424,3 +424,66 @@ def qs284(spark: SparkSession, sf: str) -> DataFrame:
         F.col("bins").cast("long").alias("bins"),
         F.round("chi2", 4).alias("chi2"),
     )
+
+
+# --------------------------------------------------------------------------
+# qs286 weekly OHLC revenue bars (first/last by packed argmin/argmax)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs286_weekly_ohlc",
+    oracle="""
+    WITH o AS (
+      SELECT date_trunc('week', o_orderdate) AS wk,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             datediff('day', DATE '1990-01-01', o_orderdate)
+               * 100000000 + o_orderkey AS seq
+      FROM orders)
+    SELECT CAST(wk AS DATE) AS week,
+           CAST(arg_min(cents, seq) AS BIGINT) AS open_cents,
+           CAST(MAX(cents) AS BIGINT) AS high_cents,
+           CAST(MIN(cents) AS BIGINT) AS low_cents,
+           CAST(arg_max(cents, seq) AS BIGINT) AS close_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS volume_cents
+    FROM o GROUP BY wk ORDER BY week
+    """,
+)
+def qs286(spark: SparkSession, sf: str) -> DataFrame:
+    """WEEKLY OHLC bars over order values: open/close are the first/
+    last order of the week (by date then order key — the composite
+    packed into ONE BIGINT, the repo's arg_max vehicle: DuckDB's
+    arg_max takes no struct ordinal), high/low/volume the extremes
+    and total — the finance-style rollup that qs237's seasonal index
+    and qs242's CUSUM read downstream.
+
+    Determinism: cents exact, the packed sequence key is an exact
+    integer and unique per order, min_by/max_by are therefore
+    unambiguous. Plan: ONE partial-aggregated scan — min_by/max_by/
+    min/max/sum all combine map-side; output is calendar-sized."""
+    o = load_table(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    seq = (
+        F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date"))
+        .cast("long")
+        * F.lit(100000000).cast("long")
+        + F.col("o_orderkey")
+    )
+    b = o.select(
+        F.date_trunc("week", "o_orderdate").cast("date").alias("week"),
+        cents.alias("cents"),
+        seq.alias("seq"),
+    )
+    return (
+        b.groupBy("week")
+        .agg(
+            F.min_by("cents", "seq").cast("long").alias("open_cents"),
+            F.max("cents").cast("long").alias("high_cents"),
+            F.min("cents").cast("long").alias("low_cents"),
+            F.max_by("cents", "seq").cast("long").alias("close_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("volume_cents"),
+        )
+        .orderBy("week")
+    )

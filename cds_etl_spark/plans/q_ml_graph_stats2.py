@@ -1269,3 +1269,133 @@ def qs268(spark: SparkSession, sf: str) -> DataFrame:
             F.col("smin").cast("double") / smax.cast("double"), 4
         ).alias("weighted_jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qs285 local clustering coefficient on the supplier co-order graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "qs285_clustering_coefficient",
+    oracle="""
+    WITH os AS (
+      SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+      FROM lineitem),
+    e AS (
+      SELECT a.s AS s1, b.s AS s2
+      FROM os a JOIN os b ON a.o = b.o AND a.s < b.s
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    deg AS (
+      SELECT s AS node, COUNT(*) AS d FROM (
+        SELECT s1 AS s FROM e UNION ALL SELECT s2 FROM e)
+      GROUP BY s),
+    tri AS (
+      SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+      FROM e e1
+      JOIN e e2 ON e2.s1 = e1.s2
+      JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2),
+    tn AS (
+      SELECT v, COUNT(*) AS t FROM (
+        SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+      GROUP BY v),
+    cc AS (
+      SELECT deg.node, deg.d, COALESCE(tn.t, 0) AS t,
+             2.0 * COALESCE(tn.t, 0) / (deg.d * (deg.d - 1)) AS cc
+      FROM deg LEFT JOIN tn ON tn.v = deg.node
+      WHERE deg.d >= 2),
+    agg AS (
+      SELECT COUNT(*) AS n_nodes, SUM(t) AS t3,
+             SUM(d * (d - 1)) AS wedges2, AVG(cc) AS avg_cc
+      FROM cc)
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(t3 / 3 AS BIGINT) AS n_triangles,
+           ROUND(avg_cc, 4) AS avg_clustering,
+           ROUND(CAST(t3 AS DOUBLE) / wedges2, 4) AS transitivity
+    FROM agg
+    """,
+)
+def qs285(spark: SparkSession, sf: str) -> DataFrame:
+    """LOCAL CLUSTERING COEFFICIENT over the supplier co-order
+    graph (suppliers sharing ≥2 orders — min-support thresholding:
+    the raw ≥1 projection DENSIFIES with scale (avg degree ~1800 at
+    sf1, ~10¹⁰ triangles — unenumerable by any engine), while
+    expected pair support drops ~1/V, so support ≥2 sparsifies
+    super-linearly; the qs187 basket projection
+    — overlapping per-order cliques, so CC is informative, unlike
+    the (lang, n_chars) block graph whose blocks are exact
+    cliques): per node cc = 2t/(d(d−1)), reported as the average CC
+    (Watts–Strogatz) beside the global transitivity 3·triangles /
+    wedges — the local-density counterparts of qs106's global
+    triangle count and qs214's assortativity.
+
+    Determinism: edges, degrees, per-node triangle counts and wedge
+    counts are exact integers; avg_cc sums ~node-count bounded
+    rationals (noise ≪ ROUND 4). Plan: per-order supplier pairs are
+    row-local bounded expansion (qs187); the triangle enumeration
+    is the canonical two-hop join e(a,b)⋈e(b,c)⋈e(a,c) with a<b<c
+    ordering so each triangle materializes once; everything after
+    is node-dimension-sized."""
+    li = load_table(spark, sf, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    e = (
+        os_.alias("x")
+        .join(os_.alias("y"), "o")
+        .filter(F.col("x.s") < F.col("y.s"))
+        .groupBy(F.col("x.s").alias("s1"), F.col("y.s").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .filter(F.col("_w") >= 2)
+        .select("s1", "s2")
+    )
+    deg = (
+        e.select(F.col("s1").alias("node"))
+        .unionAll(e.select(F.col("s2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1 = e.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
+    e2 = e.select(F.col("s1").alias("b"), F.col("s2").alias("c"))
+    e3 = e.select(F.col("s1").alias("a"), F.col("s2").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    tn = (
+        tri.select(F.col("a").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("v")))
+        .unionAll(tri.select(F.col("c").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    cc = (
+        deg.filter(F.col("d") >= 2)
+        .join(tn, deg.node == tn.v, "left")
+        .select(
+            "d",
+            F.coalesce(F.col("t"), F.lit(0)).alias("t"),
+            (
+                F.lit(2.0)
+                * F.coalesce(F.col("t"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1))
+            ).alias("cc"),
+        )
+    )
+    agg = cc.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("t").alias("t3"),
+        F.sum(F.col("d") * (F.col("d") - 1)).alias("wedges2"),
+        F.avg("cc").alias("avg_cc"),
+    )
+    # Edge count from degrees (Σd = 2E) — one fewer reference to
+    # the expensive pair-projection subplan.
+    ecnt = deg.agg(F.expr("SUM(d) DIV 2").alias("n_edges"))
+    return agg.crossJoin(F.broadcast(ecnt)).select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.expr("t3 DIV 3").cast("long").alias("n_triangles"),
+        F.round("avg_cc", 4).alias("avg_clustering"),
+        F.round(
+            F.col("t3").cast("double") / F.col("wedges2"), 4
+        ).alias("transitivity"),
+    )
