@@ -238,8 +238,19 @@ def scalable_ntile_multi(
     ``metrics`` is ``[(metric_col, out_col), ...]``; metric columns
     must be integral (bucket arithmetic), and ``(metric_col,
     tiebreak_col)`` unique per row (ntile over a non-unique order is
-    ambiguous in the serial form too). Matches ``F.ntile``
+    ambiguous in the serial form too). Order columns must be
+    non-NULL (the bucket arithmetic and the serial window's
+    nulls-first rule diverge; every in-repo caller feeds count/key
+    tables where NULL cannot occur). Matches ``F.ntile``
     bit-for-bit (tests/test_prefix.py)."""
+    if n == 1:
+        # NTILE(1) is constant; the boundary machinery would produce
+        # an empty bounds frame (null pivot row) instead.
+        return df.withColumn(
+            metrics[0][1], F.lit(1).cast("long")
+        ) if len(metrics) == 1 else df.select(
+            "*", *[F.lit(1).cast("long").alias(o) for _, o in metrics]
+        )
     stack_args = ", ".join(
         f"'{m}', CAST(`{m}` AS BIGINT)" for m, _ in metrics
     )

@@ -438,7 +438,7 @@ def qs284(spark: SparkSession, sf: str) -> DataFrame:
       SELECT date_trunc('week', o_orderdate) AS wk,
              CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
              datediff('day', DATE '1990-01-01', o_orderdate)
-               * 100000000 + o_orderkey AS seq
+               * 1000000000000 + o_orderkey AS seq
       FROM orders)
     SELECT CAST(wk AS DATE) AS week,
            CAST(arg_min(cents, seq) AS BIGINT) AS open_cents,
@@ -454,7 +454,9 @@ def qs286(spark: SparkSession, sf: str) -> DataFrame:
     """WEEKLY OHLC bars over order values: open/close are the first/
     last order of the week (by date then order key — the composite
     packed into ONE BIGINT, the repo's arg_max vehicle: DuckDB's
-    arg_max takes no struct ordinal), high/low/volume the extremes
+    arg_max takes no struct ordinal; the 1e12 day stride keeps the
+    packing collision-free up to 10¹² order keys), high/low/volume
+    the extremes
     and total — the finance-style rollup that qs237's seasonal index
     and qs242's CUSUM read downstream.
 
@@ -467,7 +469,7 @@ def qs286(spark: SparkSession, sf: str) -> DataFrame:
     seq = (
         F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date"))
         .cast("long")
-        * F.lit(100000000).cast("long")
+        * F.lit(1000000000000).cast("long")
         + F.col("o_orderkey")
     )
     b = o.select(

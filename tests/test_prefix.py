@@ -260,3 +260,9 @@ def test_scalable_ntile_multi_matches_three_windows(spark):
         )
     )
     assert got == want
+
+
+def test_scalable_ntile_n1_is_constant(spark):
+    df = spark.createDataFrame([Row(m=i, tb=i) for i in range(7)])
+    out = scalable_ntile(df, "m", "tb", "t", 1).collect()
+    assert sorted(r.t for r in out) == [1] * 7
