@@ -430,9 +430,14 @@ def qs245(spark: SparkSession, sf: str) -> DataFrame:
     and every rate/lift is ONE division of exact integer products
     (cr·tn / cn·tr). Plan: one year-filtered aggregate per side
     (both pushed to the scan), a key-hash join, one NTILE sort over
-    customers-with-1995-orders (the deciling IS a global rank — at
-    100 TB swap in the qs71 percent_rank-over-distributed-sort
-    formulation), then a 10-row epilogue."""
+    customers-with-1995-orders, then a 10-row epilogue. The decile
+    sort is one task but customer-DIMENSION-sized; the measured
+    swap-in for a dimension that outgrows a task is
+    operators/prefix.py scalable_ntile (boundary-broadcast, F.ntile
+    bit-identical) — wired here it re-evaluates the year-filtered
+    aggregate ~3x and measured 10.0 s vs 2.1 s serial at sf10 on
+    local[32], so the serial window stays until the dimension, not
+    the fact table, is the bottleneck."""
     o = load_table(spark, sf, "orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     spend = (
