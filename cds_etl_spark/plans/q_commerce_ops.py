@@ -489,3 +489,103 @@ def qs286(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# --------------------------------------------------------------------------
+# qs287 Fisher ideal price index (geometric mean of Laspeyres/Paasche)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs287_fisher_index",
+    oracle="""
+    WITH g AS (
+      SELECT l_partkey % 100 AS grp,
+             (year(l_shipdate) - 1995) * 12 + month(l_shipdate) AS t,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS c,
+             SUM(CAST(l_quantity AS BIGINT)) AS q
+      FROM lineitem GROUP BY 1, 2),
+    p AS (
+      SELECT grp, t, (c * 100) // q AS p_e2, q FROM g WHERE q > 0),
+    base AS (
+      SELECT grp,
+             (SUM(c) * 100) // SUM(q) AS p0_e2, SUM(q) AS q0
+      FROM g WHERE t BETWEEN 13 AND 24 AND q > 0
+      GROUP BY grp),
+    ix AS (
+      SELECT p.t,
+             SUM(p.p_e2 * base.q0) AS ln_,
+             SUM(base.p0_e2 * base.q0) AS ld,
+             SUM(p.p_e2 * p.q) AS pn,
+             SUM(base.p0_e2 * p.q) AS pd
+      FROM p JOIN base ON p.grp = base.grp
+      GROUP BY p.t)
+    SELECT t,
+           ROUND(CAST(ln_ AS DOUBLE) / ld, 6) AS laspeyres,
+           ROUND(CAST(pn AS DOUBLE) / pd, 6) AS paasche,
+           ROUND(sqrt((CAST(ln_ AS DOUBLE) / ld)
+                      * (CAST(pn AS DOUBLE) / pd)), 6) AS fisher
+    FROM ix WHERE ld > 0 AND pd > 0 ORDER BY t
+    """,
+)
+def qs287(spark: SparkSession, sf: str) -> DataFrame:
+    """FISHER IDEAL price index: the geometric mean of the
+    Laspeyres (base-basket, qs217) and Paasche (current-basket)
+    indices — the superlative index that cancels the substitution
+    biases of both. Same fixed-basket conventions as qs217: e2
+    floor-division unit prices per (part-group, month), 1996 base
+    year.
+
+    Determinism: all four weighted sums are exact integers from
+    exact e2 prices and quantity sums; L and P are single
+    double divisions per month, Fisher one IEEE-exact sqrt,
+    ROUND 6. Plan: one (grp, month) aggregate; the base table is
+    group-sized and broadcast; the month epilogue is grid-sized."""
+    li = load_table(spark, sf, "lineitem")
+    g = li.groupBy(
+        (F.col("l_partkey") % 100).alias("grp"),
+        (
+            (F.year("l_shipdate") - 1995) * 12
+            + F.month("l_shipdate")
+        ).alias("t"),
+    ).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        ).alias("c"),
+        F.sum(F.col("l_quantity").cast("long")).alias("q"),
+    )
+    p = g.filter(F.col("q") > 0).select(
+        "grp", "t", F.expr("(c * 100) DIV q").alias("p_e2"), "q"
+    )
+    base = (
+        g.filter(
+            (F.col("t") >= 13) & (F.col("t") <= 24) & (F.col("q") > 0)
+        )
+        .groupBy("grp")
+        .agg(
+            F.expr("(SUM(c) * 100) DIV SUM(q)").alias("p0_e2"),
+            F.sum("q").alias("q0"),
+        )
+    )
+    ix = (
+        p.join(F.broadcast(base), "grp")
+        .groupBy("t")
+        .agg(
+            F.sum(F.col("p_e2") * F.col("q0")).alias("ln_"),
+            F.sum(F.col("p0_e2") * F.col("q0")).alias("ld"),
+            F.sum(F.col("p_e2") * F.col("q")).alias("pn"),
+            F.sum(F.col("p0_e2") * F.col("q")).alias("pd"),
+        )
+    )
+    lasp = F.col("ln_").cast("double") / F.col("ld")
+    paas = F.col("pn").cast("double") / F.col("pd")
+    return (
+        ix.filter((F.col("ld") > 0) & (F.col("pd") > 0))
+        .select(
+            "t",
+            F.round(lasp, 6).alias("laspeyres"),
+            F.round(paas, 6).alias("paasche"),
+            F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+        )
+        .orderBy("t")
+    )
