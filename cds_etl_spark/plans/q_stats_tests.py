@@ -811,3 +811,523 @@ def qs274(spark: SparkSession, sf: str) -> DataFrame:
             "jsd_bits"
         ),
     ).orderBy("s1", "s2")
+
+
+# --------------------------------------------------------------------------
+# qs288 Dunn post-hoc pairwise tests after Kruskal–Wallis (BH-adjusted)
+# --------------------------------------------------------------------------
+
+_DUNN_X = "(abs(zval) * 0.7071067811865476)"
+_DUNN_T = "(1.0 / (1.0 + 0.3275911 * {x}))".format(x=_DUNN_X)
+_DUNN_P = (
+    "({t} * (0.254829592 + {t} * (-0.284496736 + {t} * (1.421413741 "
+    "+ {t} * (-1.453152027 + {t} * 1.061405429)))))"
+).format(t=_DUNN_T) + f" * exp(-({_DUNN_X} * {_DUNN_X}))"
+
+
+@query(
+    "qs288_dunn_posthoc",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority AS g,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v
+      FROM orders),
+    vc AS (SELECT v, COUNT(*) AS c FROM s GROUP BY v),
+    mr AS (
+      SELECT v, c,
+             2 * SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - c + 1 AS midrank2
+      FROM vc),
+    vg AS (SELECT g, v, COUNT(*) AS cg FROM s GROUP BY g, v),
+    pg AS (
+      SELECT g, SUM(cg) AS n_g, SUM(cg * mr.midrank2) AS r2_g
+      FROM vg JOIN mr ON vg.v = mr.v GROUP BY g),
+    tot AS (
+      SELECT SUM(n_g) AS n,
+             (SELECT SUM(CAST(c AS DOUBLE) * c * c - c) FROM vc)
+               AS ties
+      FROM pg),
+    pairs AS (
+      SELECT a.g AS g1, b.g AS g2,
+             CAST(a.r2_g AS DOUBLE) / (2.0 * a.n_g)
+               - CAST(b.r2_g AS DOUBLE) / (2.0 * b.n_g) AS dmean,
+             a.n_g AS n1, b.n_g AS n2
+      FROM pg a JOIN pg b ON a.g < b.g),
+    z AS (
+      SELECT g1, g2,
+             dmean / sqrt((CAST(n AS DOUBLE) * (n + 1.0) / 12.0
+                           - ties / (12.0 * (n - 1.0)))
+                          * (1.0 / n1 + 1.0 / n2)) AS zval
+      FROM pairs CROSS JOIN tot),
+    p AS (
+      SELECT g1, g2, zval, {pform} AS ptwo FROM z),
+    r AS (
+      SELECT g1, g2, zval, ptwo,
+             ROW_NUMBER() OVER (ORDER BY ptwo, g1, g2) AS i,
+             COUNT(*) OVER () AS m
+      FROM p),
+    k AS (
+      SELECT r.*,
+             MAX(CASE WHEN ptwo <= 0.05 * i / m THEN i ELSE 0 END)
+               OVER () AS kmax
+      FROM r)
+    SELECT g1, g2, ROUND(zval, 4) AS z, ROUND(ptwo, 6) AS p_two,
+           CAST(i AS BIGINT) AS bh_rank,
+           CAST(CASE WHEN i <= kmax THEN 1 ELSE 0 END AS INT)
+             AS significant
+    FROM k ORDER BY g1, g2
+    """.replace("{pform}", _DUNN_P),
+)
+def qs288(spark: SparkSession, sf: str) -> DataFrame:
+    """DUNN POST-HOC pairwise comparisons after qs271's omnibus
+    Kruskal–Wallis: which priority pairs actually differ?
+    z_ij = (R̄_i − R̄_j)/√((N(N+1)/12 − Στ/(12(N−1)))·(1/nᵢ+1/nⱼ))
+    with tie correction, Benjamini–Hochberg-adjusted across the 10
+    pairs (the qs276 step-up) — the standard follow-up that makes
+    an omnibus rejection actionable.
+
+    Determinism: the value-level midrank table and per-group rank
+    sums are exact integers (qs271's machinery via
+    operators/prefix.py); each pair's z is a fixed double tree over
+    exact integers; p via the shared A&S erf polynomial; BH ranks
+    over 10 epilogue rows with (g1, g2) tiebreak. Plan: one scan →
+    value-level aggregates + bucketed prefix sum → a groups² (≤25
+    row) epilogue."""
+    o = load_table(spark, sf, "orders")
+    s = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("v"),
+    )
+    vc = s.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    mr = midrank2(vc, "v", "c", "midrank2")
+    vg = s.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cg"))
+    pg = (
+        vg.join(mr.select("v", "midrank2"), "v")
+        .groupBy("g")
+        .agg(
+            F.sum("cg").alias("n_g"),
+            F.sum(F.col("cg") * F.col("midrank2")).alias("r2_g"),
+        )
+    )
+    ties = vc.agg(
+        F.sum(
+            F.col("c").cast("double") * F.col("c") * F.col("c")
+            - F.col("c")
+        ).alias("ties")
+    )
+    tot = pg.agg(F.sum("n_g").alias("n")).crossJoin(
+        F.broadcast(ties)
+    )
+    a = pg.select(
+        F.col("g").alias("g1"),
+        F.col("n_g").alias("n1"),
+        F.col("r2_g").alias("r1"),
+    )
+    b = pg.select(
+        F.col("g").alias("g2"),
+        F.col("n_g").alias("n2"),
+        F.col("r2_g").alias("r2"),
+    )
+    pairs = (
+        a.join(b, F.col("g1") < F.col("g2"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "g1",
+            "g2",
+            (
+                (
+                    F.col("r1").cast("double")
+                    / (F.lit(2.0) * F.col("n1"))
+                    - F.col("r2").cast("double")
+                    / (F.lit(2.0) * F.col("n2"))
+                )
+                / F.sqrt(
+                    (
+                        F.col("n").cast("double")
+                        * (F.col("n") + F.lit(1.0))
+                        / F.lit(12.0)
+                        - F.col("ties")
+                        / (F.lit(12.0) * (F.col("n") - F.lit(1.0)))
+                    )
+                    * (
+                        F.lit(1.0) / F.col("n1")
+                        + F.lit(1.0) / F.col("n2")
+                    )
+                )
+            ).alias("zval"),
+        )
+    )
+    p = pairs.withColumn("ptwo", F.expr(_DUNN_P))
+    wrank = Window.orderBy("ptwo", "g1", "g2")
+    wall = Window.partitionBy()
+    r = p.withColumn("i", F.row_number().over(wrank)).withColumn(
+        "m", F.count(F.lit(1)).over(wall)
+    )
+    k = r.withColumn(
+        "kmax",
+        F.max(
+            F.when(
+                F.col("ptwo")
+                <= F.lit(0.05) * F.col("i") / F.col("m"),
+                F.col("i"),
+            ).otherwise(0)
+        ).over(wall),
+    )
+    return (
+        k.select(
+            "g1",
+            "g2",
+            F.round("zval", 4).alias("z"),
+            F.round("ptwo", 6).alias("p_two"),
+            F.col("i").cast("long").alias("bh_rank"),
+            F.when(F.col("i") <= F.col("kmax"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("significant"),
+        )
+        .orderBy("g1", "g2")
+    )
+
+
+# --------------------------------------------------------------------------
+# qs289 Friedman test: priority revenue ranks within weekly blocks
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs289_friedman_test",
+    oracle="""
+    WITH wk AS (
+      SELECT date_trunc('week', o_orderdate) AS b,
+             o_orderpriority AS t,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS x
+      FROM orders GROUP BY 1, 2),
+    full_ AS (
+      SELECT b FROM wk GROUP BY b HAVING COUNT(*) = 5),
+    r AS (
+      SELECT wk.b, wk.t,
+             2 * RANK() OVER (PARTITION BY wk.b ORDER BY wk.x)
+               + COUNT(*) OVER (PARTITION BY wk.b, wk.x) - 1 AS mr2
+      FROM wk JOIN full_ ON full_.b = wk.b),
+    tr AS (
+      SELECT t, SUM(mr2) AS r2 FROM r GROUP BY t),
+    nb AS (SELECT COUNT(*) AS b FROM full_),
+    chi AS (
+      SELECT nb.b,
+             (12.0 * SUM(CAST(tr.r2 AS DOUBLE) * tr.r2 / 4.0)
+              / (nb.b * 5 * 6.0) - 3.0 * nb.b * 6.0)
+               AS fr_raw
+      FROM tr CROSS JOIN nb GROUP BY nb.b)
+    SELECT CAST(b AS BIGINT) AS n_blocks,
+           CAST(4 AS BIGINT) AS dof,
+           ROUND(fr_raw, 4) AS friedman_chi2
+    FROM chi
+    """,
+)
+def qs289(spark: SparkSession, sf: str) -> DataFrame:
+    """FRIEDMAN rank test across repeated blocks: do the five order
+    priorities differ in weekly revenue, controlling for the week?
+    Each complete week ranks its five priority totals (midranks for
+    ties), χ²_F = 12/(bk(k+1))·ΣR_j² − 3b(k+1) — the nonparametric
+    repeated-measures counterpart of qs272's one-way ANOVA (which
+    ignores the block structure qs190's seasonality shows matters).
+
+    Determinism: weekly cent totals exact; within-block midranks are
+    exact integers from a k=5-row KEYED window (parallel over
+    blocks — never global); ΣR² goes to double in a fixed one-row
+    epilogue, ROUND 4. Incomplete weeks (missing a priority) drop —
+    Friedman requires complete blocks, and the HAVING COUNT(*)=5
+    gate is stated identically on both engines. Plan: one grouped
+    scan → block-keyed window over 5-row partitions → k-row
+    epilogue."""
+    o = load_table(spark, sf, "orders")
+    wk = o.groupBy(
+        F.date_trunc("week", "o_orderdate").alias("b"),
+        F.col("o_orderpriority").alias("t"),
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        ).alias("x")
+    )
+    full_ = (
+        wk.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("_k"))
+        .filter(F.col("_k") == 5)
+        .select("b")
+    )
+    wrank = Window.partitionBy("b").orderBy("x")
+    wtie = Window.partitionBy("b", "x")
+    r = wk.join(full_, "b").select(
+        "b",
+        "t",
+        (
+            2 * F.rank().over(wrank)
+            + F.count(F.lit(1)).over(wtie)
+            - 1
+        ).alias("mr2"),
+    )
+    tr = r.groupBy("t").agg(F.sum("mr2").alias("r2"))
+    nb = full_.agg(F.count(F.lit(1)).alias("b"))
+    chi = tr.crossJoin(F.broadcast(nb)).agg(
+        F.max("b").alias("b"),
+        (
+            F.lit(12.0)
+            * F.sum(
+                F.col("r2").cast("double") * F.col("r2") / F.lit(4.0)
+            )
+            / (F.max("b") * F.lit(5) * F.lit(6.0))
+            - F.lit(3.0) * F.max("b") * F.lit(6.0)
+        ).alias("fr_raw"),
+    )
+    return chi.select(
+        F.col("b").cast("long").alias("n_blocks"),
+        F.lit(4).cast("long").alias("dof"),
+        F.round("fr_raw", 4).alias("friedman_chi2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs290 Cronbach's alpha over per-user event-type engagement items
+# --------------------------------------------------------------------------
+
+_CRONBACH_ITEMS = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "qs290_cronbach_alpha",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             {items}
+      FROM events GROUP BY user_id),
+    m AS (
+      SELECT COUNT(*) AS n,
+             {moments},
+             SUM({tot}) AS st,
+             SUM(CAST({tot} AS HUGEINT) * ({tot})) AS st2
+      FROM u),
+    v AS (
+      SELECT n,
+             {vars_} AS svi,
+             (CAST(st2 AS DOUBLE) - CAST(st AS DOUBLE) * st / n) / n
+               AS vt
+      FROM m)
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(5 AS BIGINT) AS k_items,
+           ROUND(svi, 4) AS sum_item_var,
+           ROUND(vt, 4) AS total_var,
+           ROUND(5.0 / 4.0 * (1.0 - svi / vt), 4) AS cronbach_alpha
+    FROM v
+    """.format(
+        items=",\n             ".join(
+            f"SUM(CASE WHEN event_type = '{it}' THEN "
+            f"CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) AS x{j}"
+            for j, it in enumerate(_CRONBACH_ITEMS)
+        ),
+        moments=",\n             ".join(
+            f"SUM(x{j}) AS s{j}, "
+            f"SUM(CAST(x{j} AS HUGEINT) * x{j}) AS q{j}"
+            for j in range(5)
+        ),
+        tot="(" + " + ".join(f"x{j}" for j in range(5)) + ")",
+        vars_=" + ".join(
+            f"(CAST(q{j} AS DOUBLE) - CAST(s{j} AS DOUBLE) * s{j} / n) / n"
+            for j in range(5)
+        ),
+    ),
+)
+def qs290(spark: SparkSession, sf: str) -> DataFrame:
+    """CRONBACH'S ALPHA internal-consistency reliability: treating a
+    user's spend in each of the five event types as five "items" of
+    an engagement scale, α = k/(k−1)·(1 − Σσ²ᵢ/σ²_total) — the
+    instrument-reliability statistic that tells a metrics team
+    whether the components of a composite score measure one
+    construct (α→1) or unrelated things (α→0, even negative).
+
+    Determinism: per-user item cents are exact; all (Σxᵢ, Σxᵢ²,
+    Σtotal, Σtotal²) moments accumulate exactly (HUGEINT/long — per
+    user ≤ ~1e5 cents, squares ≤ 1e10·users); variances and α are
+    ONE fixed double tree on one row — the five item variances are
+    summed as a literal five-term expression, not an aggregate, so
+    no ordering exists to vary. Plan: one user-keyed pivot aggregate
+    collapses the corpus, then a one-row epilogue."""
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    u = ev.groupBy("user_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("event_type") == it, cents).otherwise(0)
+            ).alias(f"x{j}")
+            for j, it in enumerate(_CRONBACH_ITEMS)
+        ]
+    )
+    tot = sum((F.col(f"x{j}") for j in range(1, 5)), F.col("x0"))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for j in range(5):
+        aggs.append(F.sum(f"x{j}").alias(f"s{j}"))
+        aggs.append(
+            F.sum(
+                F.col(f"x{j}").cast("decimal(38,0)") * F.col(f"x{j}")
+            ).alias(f"q{j}")
+        )
+    aggs.append(F.sum(tot).alias("st"))
+    aggs.append(
+        F.sum(tot.cast("decimal(38,0)") * tot).alias("st2")
+    )
+    m = u.agg(*aggs)
+    n = F.col("n")
+    svi = None
+    for j in range(5):
+        term = (
+            F.col(f"q{j}").cast("double")
+            - F.col(f"s{j}").cast("double") * F.col(f"s{j}") / n
+        ) / n
+        svi = term if svi is None else svi + term
+    vt = (
+        F.col("st2").cast("double")
+        - F.col("st").cast("double") * F.col("st") / n
+    ) / n
+    v = m.select("n", svi.alias("svi"), vt.alias("vt"))
+    return v.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.lit(5).cast("long").alias("k_items"),
+        F.round("svi", 4).alias("sum_item_var"),
+        F.round("vt", 4).alias("total_var"),
+        F.round(
+            F.lit(5.0)
+            / F.lit(4.0)
+            * (F.lit(1.0) - F.col("svi") / F.col("vt")),
+            4,
+        ).alias("cronbach_alpha"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs291 Brown–Forsythe variance-homogeneity test (Levene on medians)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs291_brown_forsythe",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority AS g,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v
+      FROM orders),
+    vc AS (SELECT g, v, COUNT(*) AS c FROM s GROUP BY g, v),
+    cum AS (
+      SELECT g, v, c,
+             SUM(c) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(c) OVER (PARTITION BY g) AS n_g
+      FROM vc),
+    med AS (
+      SELECT g, MIN(v) AS med
+      FROM cum WHERE cum >= (n_g + 1) // 2 GROUP BY g),
+    z AS (
+      SELECT s.g, ABS(s.v - med.med) AS z
+      FROM s JOIN med ON med.g = s.g),
+    m AS (
+      SELECT g, COUNT(*) AS n, SUM(z) AS s1,
+             SUM(CAST(z AS HUGEINT) * z) AS s2
+      FROM z GROUP BY g),
+    t AS (
+      SELECT COUNT(*) AS k, SUM(n) AS nn,
+             SUM(CAST(s1 AS DOUBLE)) AS gs1,
+             SUM(CAST(s1 AS DOUBLE) * s1 / n) AS bsq,
+             SUM(CAST(s2 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * s1 / n) AS ssw
+      FROM m),
+    f AS (
+      SELECT k, nn,
+             bsq - gs1 * gs1 / nn AS ssb, ssw
+      FROM t)
+    SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
+           ROUND((ssb / (k - 1)) / (ssw / (nn - k)), 4) AS bf_stat
+    FROM f
+    """,
+)
+def qs291(spark: SparkSession, sf: str) -> DataFrame:
+    """BROWN–FORSYTHE variance-homogeneity test (Levene on group
+    MEDIANS): one-way ANOVA F over |x − median_g| across order
+    priorities — the robust heteroscedasticity screen that decides
+    whether qs272's equal-variance ANOVA or qs270's Welch framing
+    applies. Medians are exact type-1 order statistics per group
+    (rank probe over keyed cumulative counts — parallel over
+    groups, never a global sort).
+
+    Determinism: group medians and the |x−med| deviations are exact
+    integers; per-group (n, Σz, Σz²) exact (Σz² in HUGEINT/
+    DECIMAL(38)); the SSB epilogue loses ~3.7 digits to
+    cancellation (measured: terms 2.33e18, SSB 5.04e14) but the
+    k-row summation-order noise lands at ~1e-12 RELATIVE on the
+    F ratio vs the 2e-5 tolerance of ROUND 4 — seven orders of
+    margin, unlike qs272's raw-moment form which sat at the ROUND
+    boundary and needed exact re-centering. ROUND 4. Plan: one scan →
+    (g,v) counts → keyed median probes (broadcast) → one deviation
+    scan → 5 moment rows → one-row epilogue."""
+    o = load_table(spark, sf, "orders")
+    s = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("v"),
+    )
+    vc = s.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("g")
+    cum = vc.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n_g", F.sum("c").over(wall)
+    )
+    med = (
+        cum.filter(F.col("cum") >= F.expr("(n_g + 1) DIV 2"))
+        .groupBy("g")
+        .agg(F.min("v").alias("med"))
+    )
+    z = s.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("v") - F.col("med")).alias("z")
+    )
+    m = z.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("z").alias("s1"),
+        F.sum(
+            (F.col("z") * F.col("z")).cast("decimal(38,0)")
+        ).alias("s2"),
+    )
+    t = m.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum(F.col("s1").cast("double")).alias("gs1"),
+        F.sum(
+            F.col("s1").cast("double") * F.col("s1") / F.col("n")
+        ).alias("bsq"),
+        F.sum(
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+        ).alias("ssw"),
+    )
+    f = t.select(
+        "k",
+        "nn",
+        (F.col("bsq") - F.col("gs1") * F.col("gs1") / F.col("nn")).alias(
+            "ssb"
+        ),
+        "ssw",
+    )
+    return f.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("nn").cast("long").alias("n"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("nn") - F.col("k"))),
+            4,
+        ).alias("bf_stat"),
+    )
