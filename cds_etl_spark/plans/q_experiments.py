@@ -813,3 +813,95 @@ def qs280(spark: SparkSession, sf: str) -> DataFrame:
             2,
         ).alias("naive_diff"),
     )
+
+
+# --------------------------------------------------------------------------
+# qs292 minimum-detectable-effect design table per metric
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs292_mde_power",
+    oracle="""
+    WITH u AS (
+      SELECT event_type, user_id,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS x
+      FROM events GROUP BY event_type, user_id),
+    m AS (
+      SELECT event_type, COUNT(*) AS n, SUM(x) AS s1,
+             SUM(CAST(x AS HUGEINT) * x) AS s2
+      FROM u GROUP BY event_type),
+    v AS (
+      SELECT event_type, n,
+             CAST(s1 AS DOUBLE) / n AS mu,
+             sqrt((CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
+               AS sd
+      FROM m)
+    SELECT event_type, CAST(n AS BIGINT) AS n_users,
+           ROUND(mu / 100, 2) AS mean_dollars,
+           ROUND(sd / 100, 2) AS sd_dollars,
+           ROUND(2.801585 * sd
+                 * sqrt(2.0 / (CAST(n AS DOUBLE) / 2.0)) / 100, 2)
+             AS mde_dollars,
+           ROUND(100.0 * 2.801585 * sd
+                 * sqrt(2.0 / (CAST(n AS DOUBLE) / 2.0)) / mu, 2)
+             AS mde_pct
+    FROM v ORDER BY event_type
+    """,
+)
+def qs292(spark: SparkSession, sf: str) -> DataFrame:
+    """MINIMUM DETECTABLE EFFECT design table: for each metric
+    (per-user spend by event type), the smallest true lift a 50/50
+    experiment on the current population can detect at 80% power,
+    α = 0.05 two-sided — MDE = (z_{0.975}+z_{0.80})·σ·√(2/n_arm)
+    with the constant 1.959964 + 0.841621 = 2.801585 folded into a
+    literal. The DESIGN step that precedes qs275's CUPED analysis
+    and qs276's corrected readout (and quantifies what qs275's
+    variance reduction buys).
+
+    Determinism: per-user cents and per-type (n, Σx, Σx²) are exact
+    integers; σ/MDE are fixed per-row double trees (√ IEEE-exact),
+    ROUND 2. Plan: one user-keyed aggregate collapses the corpus,
+    one type-keyed moment aggregate, 5-row epilogue."""
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    u = ev.groupBy("event_type", "user_id").agg(
+        F.sum(cents).alias("x")
+    )
+    m = u.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(
+            F.col("x").cast("decimal(38,0)") * F.col("x")
+        ).alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+        )
+        / (F.col("n") - 1)
+    )
+    v = m.select(
+        "event_type", "n", mu.alias("mu"), sd.alias("sd")
+    )
+    mde = (
+        F.lit(2.801585)
+        * F.col("sd")
+        * F.sqrt(F.lit(2.0) / (F.col("n").cast("double") / F.lit(2.0)))
+    )
+    return (
+        v.select(
+            "event_type",
+            F.col("n").cast("long").alias("n_users"),
+            F.round(F.col("mu") / 100, 2).alias("mean_dollars"),
+            F.round(F.col("sd") / 100, 2).alias("sd_dollars"),
+            F.round(mde / 100, 2).alias("mde_dollars"),
+            F.round(F.lit(100.0) * mde / F.col("mu"), 2).alias(
+                "mde_pct"
+            ),
+        )
+        .orderBy("event_type")
+    )
