@@ -183,3 +183,71 @@ def decontaminate_indexed(
     return hits.join(per_doc, "doc_id").select(
         F.col("doc_id").alias("doc_id"), "n_shared", "n_shingles"
     )
+
+
+def perplexity_tiers_indexed(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """qs157's CCNet-style perplexity tercile table off a STANDING
+    k=1 lowercase gram index (``build_shingle_index(k=1,
+    lowercase=True)``): consecutive token hashes pair into bigrams
+    via one doc-keyed LEAD window, the add-one bigram LM and the
+    per-document mean log-probability then run entirely over 8-byte
+    hash keys — the corpus is never re-tokenized, no string ever
+    reaches a shuffle, and the model join hashes longs instead of
+    word pairs. Measured tradeoff (BASELINE.md): the pairing window
+    costs one (doc, pos) exchange the inline query's row-local
+    array-transform avoids, so the index wins where tokenization
+    dominates (1.5× at sf1) and roughly breaks even / loses where
+    the exchange does (sf10 local[32]) — use it when the text
+    column is wide or scored repeatedly, keep the inline form for
+    one-shot scoring of narrow corpora.
+
+    Equivalence with the inline qs157 holds whenever (a) xxhash64 is
+    collision-free over the corpus vocabulary/bigrams (violations ~
+    n²/2⁶⁵) and (b) documents are single-space tokenizable (the
+    index's ``split(text, ' ')`` keeps empty tokens where qs157's
+    filter drops them; identical on corpora without repeated
+    spaces) — pinned by tests/test_shingle_index.py.
+
+    Returns (lang, tier, n_docs, mean_logp) — the qs157 contract."""
+    grams = read_shingle_index(spark, path)
+    wnext = Window.partitionBy("doc_id").orderBy("pos")
+    bge = (
+        grams.withColumn("h2", F.lead("h").over(wnext))
+        .filter(F.col("h2").isNotNull())
+        .select("doc_id", F.col("h").alias("w1"), F.col("h2").alias("w2"))
+    )
+    cbg = bge.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cctx = cbg.groupBy("w1").agg(F.sum("cb").alias("cc"))
+    v = grams.agg(F.countDistinct("h").alias("v"))
+    lang = docs.select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang"))
+    score = (
+        bge.join(cbg, ["w1", "w2"])
+        .join(cctx, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(
+                    F.log((F.col("cb") + 1.0) / (F.col("cc") + F.col("v")))
+                ),
+                4,
+            ).alias("lp")
+        )
+        .join(lang, "doc_id")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("lp").desc(), "doc_id")
+    tiered = score.withColumn("t3", F.ntile(3).over(w))
+    tier = F.element_at(
+        F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+        F.col("t3"),
+    )
+    return tiered.groupBy("lang", "t3").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("lp"), 4).alias("mean_logp"),
+    ).select("lang", tier.alias("tier"), "n_docs", "mean_logp")

@@ -105,3 +105,21 @@ def test_replay_guard_dedups_reappended_epoch(spark, docs, tmp_path):
     assert _rows(read_shingle_index(spark, idx)) == _rows(
         read_shingle_index(spark, once)
     )
+
+
+def test_perplexity_tiers_indexed_equals_inline(
+    spark, sf_dir, docs, tmp_path
+):
+    # qs157 off the standing k=1 lowercase table must reproduce the
+    # inline string-keyed query exactly (hash-collision-free corpus,
+    # single-space tokenization).
+    from cds_etl_spark.operators.shingle_index import (
+        perplexity_tiers_indexed,
+    )
+    from cds_etl_spark.plans import QUERIES
+
+    idx = str(tmp_path / "k1lc")
+    build_shingle_index(docs, idx, k=1, lowercase=True)
+    got = _rows(perplexity_tiers_indexed(spark, idx, docs))
+    want = _rows(QUERIES["qs157_perplexity_buckets"](spark, sf_dir))
+    assert got == want
