@@ -36,8 +36,8 @@ from pyspark.sql import functions as F
 def bucketed_prefix_sum(
     df: DataFrame,
     order_col: str,
-    weight_col: str,
-    out_col: str,
+    weight_col,
+    out_col,
     part_cols: tuple[str, ...] = (),
     n_buckets: int = 1024,
 ) -> DataFrame:
@@ -47,15 +47,24 @@ def bucketed_prefix_sum(
     ``F.sum(weight).over(Window.partitionBy(*part_cols)
     .orderBy(order_col).rowsBetween(unboundedPreceding, 0))``
     but parallel over ``n_buckets`` range buckets per group.
+    ``weight_col``/``out_col`` may be lists of equal length: every
+    weight shares the single bucketed window/offset pass (the
+    two-ECDF shape of KS-style tests).
 
     Requirements: ``order_col`` is an integral type (the bucket
     arithmetic is exact integer division) and UNIQUE within its
     group (the usual shape — callers run it over a distinct-value
     count table, where ties were already collapsed; with duplicate
     keys an inclusive running sum is ordering-ambiguous in the
-    serial form too). ``weight_col`` must be integral for the
-    exactness guarantee to hold.
+    serial form too). Weights must be integral for the exactness
+    guarantee to hold.
     """
+    weights = (
+        [weight_col] if isinstance(weight_col, str) else list(weight_col)
+    )
+    outs = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(weights) != len(outs):
+        raise ValueError("weight_col/out_col length mismatch")
     pc = list(part_cols)
     gb = df.groupBy(*pc) if pc else df.groupBy()
     bounds = gb.agg(
@@ -85,9 +94,10 @@ def bucketed_prefix_sum(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    b = b.withColumn("_cum_in", F.sum(weight_col).over(win_in))
+    for j, wcol in enumerate(weights):
+        b = b.withColumn(f"_cum_in{j}", F.sum(wcol).over(win_in))
     btot = b.groupBy(*pc, "_bkt").agg(
-        F.sum(weight_col).alias("_tot")
+        *[F.sum(w).alias(f"_tot{j}") for j, w in enumerate(weights)]
     )
     win_b = (
         Window.partitionBy(*pc)
@@ -97,14 +107,21 @@ def bucketed_prefix_sum(
     boff = btot.select(
         *pc,
         "_bkt",
-        (F.sum("_tot").over(win_b) - F.col("_tot")).alias("_off"),
+        *[
+            (F.sum(f"_tot{j}").over(win_b) - F.col(f"_tot{j}")).alias(
+                f"_off{j}"
+            )
+            for j in range(len(weights))
+        ],
     )
-    out = (
-        b.join(F.broadcast(boff), pc + ["_bkt"])
-        .withColumn(out_col, F.col("_cum_in") + F.col("_off"))
-        .drop("_bkt", "_cum_in", "_off")
-    )
-    return out
+    out = b.join(F.broadcast(boff), pc + ["_bkt"])
+    drop = ["_bkt"]
+    for j, oc in enumerate(outs):
+        out = out.withColumn(
+            oc, F.col(f"_cum_in{j}") + F.col(f"_off{j}")
+        )
+        drop += [f"_cum_in{j}", f"_off{j}"]
+    return out.drop(*drop)
 
 
 def bucketed_row_number(

@@ -2001,8 +2001,13 @@ def qs227(spark: SparkSession, sf: str) -> DataFrame:
     |F₀·n₁ − F₁·n₀| in exact cumulative-count cross-multiplication
     (≤ ~10⁹), maxed as an integer, with one final e6 floor
     division. Plan: one (value) aggregate collapses the scan, the
-    cumulative window runs over DISTINCT values (value-grid-sized),
-    and the counts cross-join is a two-scalar broadcast."""
+    cumulative window runs over DISTINCT values (value-grid-sized;
+    one task, but with nothing downstream of it — the measured
+    bucketed prefix-sum swap-in, operators/prefix.py multi-weight,
+    re-evaluates the pooled aggregate for its bounds and lost 2.0 →
+    3.5 s at sf10 local[32]; it remains the escape hatch for a
+    value grid that outgrows a task), and the counts cross-join is
+    a two-scalar broadcast."""
     o = load_table(spark, sf, "orders")
     s = o.select(
         (F.col("o_custkey") % 2).alias("grp"),

@@ -266,3 +266,29 @@ def test_scalable_ntile_n1_is_constant(spark):
     df = spark.createDataFrame([Row(m=i, tb=i) for i in range(7)])
     out = scalable_ntile(df, "m", "tb", "t", 1).collect()
     assert sorted(r.t for r in out) == [1] * 7
+
+
+def test_prefix_sum_multi_weight_matches_serial(spark):
+    rng = random.Random(277)
+    rows = [
+        Row(v=k, a=rng.randint(0, 5), b=rng.randint(0, 3))
+        for k in rng.sample(range(0, 5000), 400)
+    ]
+    df = spark.createDataFrame(rows)
+    got = (
+        bucketed_prefix_sum(
+            df, "v", ["a", "b"], ["ca", "cb"], n_buckets=16
+        )
+        .orderBy("v")
+        .collect()
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    want = (
+        df.withColumn("ca", F.sum("a").over(w))
+        .withColumn("cb", F.sum("b").over(w))
+        .orderBy("v")
+        .collect()
+    )
+    assert [(r.v, r.ca, r.cb) for r in got] == [
+        (r.v, r.ca, r.cb) for r in want
+    ]
