@@ -330,3 +330,117 @@ def qs60(spark: SparkSession, sf: str) -> DataFrame:
     return document_profile(load_table(spark, sf, "documents"))
 
 
+
+
+# ---------------------------------------------------------------------------
+# qs293 dedup threshold sweep: the "what would t delete" tuning curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "qs293_dedup_threshold_sweep",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (SELECT doc_id, shset, [{_MINHASH_SIG_SQL}] AS sg FROM sh),
+    bands AS (
+      SELECT doc_id,
+        [md5(sg[1]||','||sg[2]||','||sg[3]), md5(sg[4]||','||sg[5]||','||sg[6]),
+         md5(sg[7]||','||sg[8]||','||sg[9]), md5(sg[10]||','||sg[11]||','||sg[12])] AS bk
+      FROM sig
+    ),
+    exploded AS (
+      SELECT doc_id, g.i AS bi, bk[g.i] AS key
+      FROM bands, (SELECT unnest(range(1,5)) AS i) g
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM exploded a JOIN exploded b
+        ON a.bi = b.bi AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT cand.d1, cand.d2,
+        {_JACCARD_SQL.format(a='sa.shset', b='sb.shset')} AS jac
+      FROM cand JOIN sh sa ON cand.d1 = sa.doc_id
+                JOIN sh sb ON cand.d2 = sb.doc_id
+      WHERE jac >= 0.5
+    ),
+    thr AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS t),
+    tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+    sweep AS (
+      SELECT thr.t, pairs.d1, pairs.d2
+      FROM thr JOIN pairs ON pairs.jac >= thr.t)
+    SELECT thr.t AS threshold,
+           CAST(COALESCE(COUNT(DISTINCT (sweep.d1, sweep.d2)), 0)
+                AS BIGINT) AS n_pairs,
+           CAST(COALESCE(COUNT(DISTINCT u.d), 0) AS BIGINT)
+             AS n_docs_affected,
+           ROUND(10000.0 * COALESCE(COUNT(DISTINCT u.d), 0)
+                 / MAX(tot.n_docs), 2) AS affected_bp
+    FROM thr
+    LEFT JOIN sweep ON sweep.t = thr.t
+    LEFT JOIN LATERAL (SELECT unnest([sweep.d1, sweep.d2]) AS d) u
+      ON TRUE
+    CROSS JOIN tot
+    GROUP BY thr.t ORDER BY thr.t
+    """,
+)
+def qs293(spark: SparkSession, sf: str) -> DataFrame:
+    """DEDUP THRESHOLD SWEEP: for each candidate Jaccard threshold
+    t ∈ {0.5 … 0.9}, how many near-duplicate pairs fire and how many
+    documents are touched (basis points of the corpus) — the tuning
+    curve a data-curation team reads before committing a dedup pass
+    (too low ⇒ false merges, too high ⇒ residual duplication), built
+    on the SAME banded-LSH + exact-refine pipeline qs55 ships, so
+    the sweep is over the decisions production would make.
+
+    Determinism: pair Jaccards are exact integer divisions; the
+    threshold comparisons are double-vs-literal (identical both
+    engines); counts are exact; the affected fraction is one ROUND 2
+    of a basis-point ratio. Plan: the banded candidate set and exact
+    refine run ONCE (the qs55 physics — only (id, band, key) triples
+    shuffle); the 5-threshold sweep is a broadcast cross over the
+    surviving pair list (candidate-pair-sized, not corpus-sized)."""
+    d = load_table(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(d).select("d1", "d2", "jac")
+    thr = spark.createDataFrame(
+        [(t,) for t in (0.5, 0.6, 0.7, 0.8, 0.9)], ["threshold"]
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    sweep = thr.join(
+        pairs, pairs.jac >= thr.threshold, "left"
+    )
+    docs = sweep.select(
+        "threshold",
+        F.explode(
+            F.when(
+                F.col("d1").isNotNull(),
+                F.array(F.col("d1"), F.col("d2")),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("d"),
+    )
+    npairs = sweep.groupBy("threshold").agg(
+        F.sum(
+            F.when(F.col("d1").isNotNull(), 1).otherwise(0)
+        ).alias("n_pairs")
+    )
+    ndocs = docs.groupBy("threshold").agg(
+        F.countDistinct("d").alias("n_docs_affected")
+    )
+    return (
+        npairs.join(ndocs, "threshold", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "threshold",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.coalesce(F.col("n_docs_affected"), F.lit(0))
+            .cast("long")
+            .alias("n_docs_affected"),
+            F.round(
+                F.lit(10000.0)
+                * F.coalesce(F.col("n_docs_affected"), F.lit(0))
+                / F.col("n_docs"),
+                2,
+            ).alias("affected_bp"),
+        )
+        .orderBy("threshold")
+    )
