@@ -364,7 +364,7 @@ def qs60(spark: SparkSession, sf: str) -> DataFrame:
                 JOIN sh sb ON cand.d2 = sb.doc_id
       WHERE jac >= 0.5
     ),
-    thr AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS t),
+    thr AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS t),
     tot AS (SELECT COUNT(*) AS n_docs FROM documents),
     sweep AS (
       SELECT thr.t, pairs.d1, pairs.d2
