@@ -1304,3 +1304,183 @@ def qs255(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# qs295 language-ID precision/recall/F1 per class + macro/micro rows
+# ---------------------------------------------------------------------------
+
+
+def _f1_oracle() -> str:
+    hits = ", ".join(
+        f"len(list_filter(toks, t -> list_contains({_sql_list(lex)}, t)))"
+        f" AS h_{lang}"
+        for lang, lex in LANG_LEXICONS.items()
+    )
+    gr = "greatest(h_en, h_de, h_es, h_fr)"
+    lang_case = (
+        f"CASE WHEN {gr} = 0 THEN 'und' "
+        + " ".join(
+            f"WHEN h_{lang} = {gr} THEN '{lang}'" for lang in LANG_LEXICONS
+        )
+        + " END"
+    )
+    return f"""
+    WITH b AS (
+      SELECT lang AS truth,
+             regexp_split_to_array(lower(text), '\\s+') AS toks
+      FROM documents),
+    h AS (SELECT truth, {hits} FROM b),
+    g AS (SELECT truth, {lang_case} AS guess FROM h),
+    conf AS (SELECT truth, guess, COUNT(*) AS c FROM g GROUP BY 1, 2),
+    labs AS (SELECT DISTINCT truth AS lab FROM conf),
+    pc AS (
+      SELECT labs.lab,
+        COALESCE((SELECT SUM(c) FROM conf
+          WHERE truth = labs.lab AND guess = labs.lab), 0) AS tp,
+        COALESCE((SELECT SUM(c) FROM conf
+          WHERE guess = labs.lab AND truth <> labs.lab), 0) AS fp,
+        COALESCE((SELECT SUM(c) FROM conf
+          WHERE truth = labs.lab AND guess <> labs.lab), 0) AS fn
+      FROM labs),
+    scored AS (
+      SELECT lab, tp, fp, fn,
+        CASE WHEN tp + fp = 0 THEN 0.0
+             ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS p,
+        CASE WHEN tp + fn = 0 THEN 0.0
+             ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS r
+      FROM pc),
+    f1s AS (
+      SELECT lab, tp, fp, fn, p, r,
+        CASE WHEN p + r = 0 THEN 0.0 ELSE 2.0 * p * r / (p + r) END
+          AS f1
+      FROM scored),
+    agg AS (
+      SELECT 'macro' AS lab, SUM(tp) AS tp, SUM(fp) AS fp,
+             SUM(fn) AS fn, AVG(p) AS p, AVG(r) AS r, AVG(f1) AS f1
+      FROM f1s
+      UNION ALL
+      SELECT 'micro', SUM(tp), SUM(fp), SUM(fn),
+        CASE WHEN SUM(tp + fp) = 0 THEN 0.0
+             ELSE CAST(SUM(tp) AS DOUBLE) / SUM(tp + fp) END,
+        CASE WHEN SUM(tp + fn) = 0 THEN 0.0
+             ELSE CAST(SUM(tp) AS DOUBLE) / SUM(tp + fn) END,
+        CASE WHEN SUM(tp + fp) = 0 OR SUM(tp + fn) = 0 THEN 0.0
+             ELSE 2.0 * (CAST(SUM(tp) AS DOUBLE) / SUM(tp + fp))
+                  * (CAST(SUM(tp) AS DOUBLE) / SUM(tp + fn))
+                  / (CAST(SUM(tp) AS DOUBLE) / SUM(tp + fp)
+                     + CAST(SUM(tp) AS DOUBLE) / SUM(tp + fn)) END
+      FROM f1s)
+    SELECT lab AS class, CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+           ROUND(p, 4) AS precision_, ROUND(r, 4) AS recall_,
+           ROUND(f1, 4) AS f1
+    FROM (SELECT * FROM f1s UNION ALL SELECT * FROM agg)
+    ORDER BY class
+    """
+
+
+@query("qs295_langid_f1_eval", oracle=_f1_oracle())
+def qs295(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-class PRECISION / RECALL / F1 for the lexicon language-ID
+    heuristic against the labeled lang column, plus macro (class-
+    averaged — the imbalance-honest summary) and micro (pooled)
+    rows — the standard eval table beside qs244's single-number
+    kappa. Classes are the observed truth labels; 'und' appears only
+    as a guess (a pure-precision sink), exactly how an abstaining
+    classifier should be scored.
+
+    Determinism: the confusion matrix and per-class tp/fp/fn are
+    exact integers; P/R/F1 are fixed per-row double trees with
+    explicit zero guards; macro averages 5 per-class doubles (like-
+    magnitude, noise ≪ ROUND 4). Plan: row-local lexicon scoring →
+    one ≤|langs|² confusion aggregate → label-sized epilogue."""
+    from cds_etl_spark.operators.text_analysis import language_id
+
+    d = load_table(spark, sf, "documents")
+    g = d.select(
+        F.col("lang").alias("truth"),
+        language_id(F.col("text")).alias("guess"),
+    )
+    conf = g.groupBy("truth", "guess").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    labs = conf.select(F.col("truth").alias("lab")).distinct()
+    tp = conf.filter(F.col("truth") == F.col("guess")).select(
+        F.col("truth").alias("lab"), F.col("c").alias("tp")
+    )
+    fp = (
+        conf.filter(F.col("truth") != F.col("guess"))
+        .groupBy(F.col("guess").alias("lab"))
+        .agg(F.sum("c").alias("fp"))
+    )
+    fn = (
+        conf.filter(F.col("truth") != F.col("guess"))
+        .groupBy(F.col("truth").alias("lab"))
+        .agg(F.sum("c").alias("fn"))
+    )
+    pc = (
+        labs.join(tp, "lab", "left")
+        .join(fp, "lab", "left")
+        .join(fn, "lab", "left")
+        .select(
+            "lab",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            F.coalesce("fp", F.lit(0)).alias("fp"),
+            F.coalesce("fn", F.lit(0)).alias("fn"),
+        )
+    )
+    p = F.when(F.col("tp") + F.col("fp") == 0, F.lit(0.0)).otherwise(
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))
+    )
+    r = F.when(F.col("tp") + F.col("fn") == 0, F.lit(0.0)).otherwise(
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))
+    )
+    scored = pc.select("lab", "tp", "fp", "fn", p.alias("p"), r.alias("r"))
+    f1 = F.when(F.col("p") + F.col("r") == 0, F.lit(0.0)).otherwise(
+        F.lit(2.0) * F.col("p") * F.col("r") / (F.col("p") + F.col("r"))
+    )
+    f1s = scored.withColumn("f1", f1)
+    sp_ = F.sum("tp") + F.sum("fp")
+    sr_ = F.sum("tp") + F.sum("fn")
+    micro_p = F.when(sp_ == 0, F.lit(0.0)).otherwise(
+        F.sum("tp").cast("double") / sp_
+    )
+    micro_r = F.when(sr_ == 0, F.lit(0.0)).otherwise(
+        F.sum("tp").cast("double") / sr_
+    )
+    micro_f1 = F.when(
+        (sp_ == 0) | (sr_ == 0), F.lit(0.0)
+    ).otherwise(F.lit(2.0) * micro_p * micro_r / (micro_p + micro_r))
+    agg = f1s.agg(
+        F.sum("tp").alias("tp"),
+        F.sum("fp").alias("fp"),
+        F.sum("fn").alias("fn"),
+        F.avg("p").alias("p"),
+        F.avg("r").alias("r"),
+        F.avg("f1").alias("f1"),
+    ).select(F.lit("macro").alias("lab"), "tp", "fp", "fn", "p", "r", "f1").unionByName(
+        f1s.agg(
+            F.sum("tp").alias("tp"),
+            F.sum("fp").alias("fp"),
+            F.sum("fn").alias("fn"),
+            micro_p.alias("p"),
+            micro_r.alias("r"),
+            micro_f1.alias("f1"),
+        ).select(
+            F.lit("micro").alias("lab"), "tp", "fp", "fn", "p", "r", "f1"
+        )
+    )
+    return (
+        f1s.unionByName(agg)
+        .select(
+            F.col("lab").alias("class"),
+            F.col("tp").cast("long").alias("tp"),
+            F.col("fp").cast("long").alias("fp"),
+            F.col("fn").cast("long").alias("fn"),
+            F.round("p", 4).alias("precision_"),
+            F.round("r", 4).alias("recall_"),
+            F.round("f1", 4).alias("f1"),
+        )
+        .orderBy("class")
+    )

@@ -1351,9 +1351,10 @@ def qs285(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("_w") >= 2)
         .select("s1", "s2")
     )
+    # Explode-not-union: one reference to the expensive pair
+    # projection instead of two (each DAG reference re-evaluates it).
     deg = (
-        e.select(F.col("s1").alias("node"))
-        .unionAll(e.select(F.col("s2").alias("node")))
+        e.select(F.explode(F.array("s1", "s2")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
@@ -1398,4 +1399,109 @@ def qs285(spark: SparkSession, sf: str) -> DataFrame:
         F.round(
             F.col("t3").cast("double") / F.col("wedges2"), 4
         ).alias("transitivity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qs294 rich-club coefficient on the support-≥2 supplier co-order graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "qs294_rich_club",
+    oracle="""
+    WITH os AS (
+      SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+      FROM lineitem),
+    e AS (
+      SELECT a.s AS s1, b.s AS s2
+      FROM os a JOIN os b ON a.o = b.o AND a.s < b.s
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    deg AS (
+      SELECT s AS node, COUNT(*) AS d FROM (
+        SELECT s1 AS s FROM e UNION ALL SELECT s2 FROM e)
+      GROUP BY s),
+    ks AS (SELECT unnest([2, 4, 8, 16]) AS k),
+    club AS (
+      SELECT ks.k, deg.node FROM ks JOIN deg ON deg.d > ks.k),
+    cn AS (SELECT k, COUNT(*) AS n_k FROM club GROUP BY k),
+    ce AS (
+      SELECT c1.k, COUNT(*) AS e_k
+      FROM e JOIN club c1 ON c1.node = e.s1
+             JOIN club c2 ON c2.node = e.s2 AND c2.k = c1.k
+      GROUP BY c1.k)
+    SELECT cn.k AS k, CAST(cn.n_k AS BIGINT) AS n_nodes,
+           CAST(COALESCE(ce.e_k, 0) AS BIGINT) AS n_edges,
+           CASE WHEN cn.n_k >= 2 THEN
+             ROUND(2.0 * COALESCE(ce.e_k, 0)
+                   / (cn.n_k * (cn.n_k - 1.0)), 4)
+           ELSE 0.0 END AS phi
+    FROM cn LEFT JOIN ce ON ce.k = cn.k ORDER BY cn.k
+    """,
+)
+def qs294(spark: SparkSession, sf: str) -> DataFrame:
+    """RICH-CLUB coefficient φ(k) = 2·E_{>k}/(N_{>k}(N_{>k}−1)) on
+    the support-≥2 supplier co-order graph (qs285's edges): do the
+    highest-degree suppliers preferentially interconnect (φ→1, an
+    elite core — concentration risk in the supply network) or not?
+    Evaluated at k ∈ {2,4,8,16} — the hub-structure summary beside
+    qs214's assortativity (correlation view) and qs285's clustering
+    (local-density view).
+
+    Determinism: edges, degrees, club memberships and within-club
+    edge counts are exact integers; φ is one double division per k,
+    ROUND 4. Plan: the qs187-bounded pair projection and degree
+    aggregate run once; club joins broadcast the (k, node) list
+    (node-dimension-sized); output is 4 rows."""
+    li = load_table(spark, sf, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    e = (
+        os_.alias("x")
+        .join(os_.alias("y"), "o")
+        .filter(F.col("x.s") < F.col("y.s"))
+        .groupBy(F.col("x.s").alias("s1"), F.col("y.s").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .filter(F.col("_w") >= 2)
+        .select("s1", "s2")
+    )
+    # Explode-not-union: one reference to the expensive pair
+    # projection instead of two (each DAG reference re-evaluates it).
+    deg = (
+        e.select(F.explode(F.array("s1", "s2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ks = spark.createDataFrame([(2,), (4,), (8,), (16,)], ["k"])
+    club = ks.join(deg, deg.d > ks.k).select("k", "node")
+    cn = club.groupBy("k").agg(F.count(F.lit(1)).alias("n_k"))
+    c1 = club.select(F.col("k"), F.col("node").alias("s1"))
+    c2 = club.select(F.col("k"), F.col("node").alias("s2"))
+    ce = (
+        e.join(F.broadcast(c1), "s1")
+        .join(F.broadcast(c2), ["k", "s2"])
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("e_k"))
+    )
+    phi = F.when(
+        F.col("n_k") >= 2,
+        F.round(
+            F.lit(2.0)
+            * F.coalesce(F.col("e_k"), F.lit(0))
+            / (F.col("n_k") * (F.col("n_k") - F.lit(1.0))),
+            4,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        cn.join(ce, "k", "left")
+        .select(
+            "k",
+            F.col("n_k").cast("long").alias("n_nodes"),
+            F.coalesce(F.col("e_k"), F.lit(0))
+            .cast("long")
+            .alias("n_edges"),
+            phi.alias("phi"),
+        )
+        .orderBy("k")
     )
