@@ -2005,3 +2005,226 @@ def qs206(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# qs296 restricted mean survival time (area under the KM curve)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "qs296_rmst",
+    oracle="""
+    WITH entry AS (
+      SELECT MIN(CAST(ts AS DATE)) AS e FROM events),
+    deaths AS (
+      SELECT datediff('day', MAX(entry.e), MAX(CAST(ts AS DATE)))
+        AS t
+      FROM events CROSS JOIN entry GROUP BY user_id),
+    d AS (SELECT t, COUNT(*) AS deaths FROM deaths GROUP BY t),
+    tot AS (SELECT CAST(SUM(deaths) AS BIGINT) AS total FROM d),
+    risk AS (
+      SELECT t, deaths,
+             (SELECT total FROM tot)
+               - COALESCE(SUM(deaths) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS at_risk
+      FROM d),
+    km AS (
+      SELECT t, deaths, at_risk,
+             CASE WHEN at_risk = deaths THEN 0.0 ELSE
+               exp(SUM(ln(CASE WHEN deaths = at_risk THEN 1.0
+                          ELSE 1.0 - deaths * 1.0 / at_risk END))
+                   OVER (ORDER BY t ROWS UNBOUNDED PRECEDING))
+             END AS s,
+             LEAD(t, 1, 21) OVER (ORDER BY t) AS tn
+      FROM risk),
+    seg AS (
+      SELECT SUM(s * GREATEST(0,
+               LEAST(tn, 21) - LEAST(t, 21))) AS area_after,
+             MIN(LEAST(t, 21)) AS first_seg
+      FROM km)
+    SELECT CAST(21 AS BIGINT) AS tau_days,
+           (SELECT total FROM tot) AS n_users,
+           ROUND(first_seg + area_after, 4) AS rmst_days,
+           ROUND(COALESCE((SELECT MAX(s) FROM km
+             WHERE t = (SELECT MAX(t) FROM km WHERE t <= 21)), 1.0),
+             4) AS surv_at_tau
+    FROM seg
+    """,
+)
+def qs296(spark: SparkSession, sf: str) -> DataFrame:
+    """RESTRICTED MEAN SURVIVAL TIME at τ = 21 days: the area under
+    qs182's Kaplan–Meier churn curve from study entry (the corpus's
+    first event day) to τ — "average days retained in the first
+    three weeks", the clinically-standard effect scale that stays
+    defined when medians don't and hazards cross (the number
+    qs269's log-rank p-value cannot give you).
+
+    Determinism: death times are exact day integers from two narrow
+    aggregates; S(t) is the qs182 exp(Σln) contract over exact
+    ratios with the all-dead step pinned to 0; segment widths are
+    exact integer clamps, the area one days-grid-sized sum, ROUND 4.
+    Plan: corpus → users → day grid; every window runs over ≤ #days
+    rows."""
+    ev = load_table(spark, sf, "events")
+    tau = 21
+    entry = ev.agg(F.min(F.col("ts").cast("date")).alias("e"))
+    deaths = (
+        ev.crossJoin(F.broadcast(entry))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.max(F.col("ts").cast("date")), F.first("e")
+            ).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("deaths"))
+    )
+    wall = Window.partitionBy()
+    wprev = wall.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wcum = wall.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = deaths.withColumn(
+        "at_risk",
+        F.sum("deaths").over(wall)
+        - F.coalesce(F.sum("deaths").over(wprev), F.lit(0)),
+    )
+    km = risk.withColumn(
+        "s",
+        F.when(F.col("at_risk") == F.col("deaths"), F.lit(0.0)).otherwise(
+            F.exp(
+                F.sum(
+                    F.log(
+                        F.when(
+                            F.col("deaths") == F.col("at_risk"),
+                            F.lit(1.0),
+                        ).otherwise(
+                            F.lit(1.0)
+                            - F.col("deaths")
+                            * F.lit(1.0)
+                            / F.col("at_risk")
+                        )
+                    )
+                ).over(wcum)
+            )
+        ),
+    ).withColumn(
+        "tn", F.lead("t", 1, tau).over(wall.orderBy("t"))
+    )
+    seg = km.agg(
+        F.sum(
+            F.col("s")
+            * F.greatest(
+                F.lit(0),
+                F.least(F.col("tn"), F.lit(tau))
+                - F.least(F.col("t"), F.lit(tau)),
+            )
+        ).alias("area_after"),
+        F.min(F.least(F.col("t"), F.lit(tau))).alias("first_seg"),
+    )
+    tot = deaths.agg(F.sum("deaths").cast("long").alias("n_users"))
+    # Aggregate, not limit: an empty filter (no death time ≤ τ yet)
+    # must still yield ONE row (NULL → coalesce 1.0), matching the
+    # oracle's scalar subquery.
+    stau = (
+        km.filter(F.col("t") <= tau)
+        .agg(F.max_by("s", "t").alias("s_tau"))
+    )
+    return (
+        seg.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(stau))
+        .select(
+            F.lit(tau).cast("long").alias("tau_days"),
+            "n_users",
+            F.round(F.col("first_seg") + F.col("area_after"), 4).alias(
+                "rmst_days"
+            ),
+            F.round(F.coalesce(F.col("s_tau"), F.lit(1.0)), 4).alias(
+                "surv_at_tau"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# qs297 negative-binomial method-of-moments fit on per-user activity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "qs297_negbinomial_fit",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, COUNT(*) AS k FROM events GROUP BY user_id),
+    m AS (
+      SELECT COUNT(*) AS n, SUM(k) AS s,
+             SUM(CAST(k AS HUGEINT) * k) AS s2
+      FROM u),
+    v AS (
+      SELECT n, CAST(s AS DOUBLE) / n AS mu,
+             (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+               / (n - 1) AS var
+      FROM m)
+    SELECT CAST(n AS BIGINT) AS n_users,
+           ROUND(mu, 4) AS mean_events,
+           ROUND(var, 4) AS var_events,
+           ROUND(var / mu, 4) AS dispersion_index,
+           ROUND(CASE WHEN var > mu THEN mu * mu / (var - mu)
+                      ELSE 0.0 END, 4) AS nb_r,
+           ROUND(CASE WHEN var > mu THEN mu / var
+                      ELSE 1.0 END, 4) AS nb_p
+    FROM v
+    """,
+)
+def qs297(spark: SparkSession, sf: str) -> DataFrame:
+    """NEGATIVE-BINOMIAL method-of-moments fit on per-user event
+    counts: r = μ²/(σ²−μ), p = μ/σ² — the overdispersed count model
+    behind user-activity heterogeneity (a Poisson user base has
+    dispersion ≈ 1; real ones don't), completing qs284's Poisson
+    GOF with the model you reach for when its dispersion index
+    rejects. Equidispersed corpora degenerate to (r=0, p=1)
+    sentinels by the shared CASE.
+
+    Determinism: per-user counts and (n, Σk, Σk²) are exact
+    integers; μ/σ²/r/p are one fixed one-row double tree, ROUND 4.
+    Plan: one user-keyed count collapses the corpus; the epilogue
+    is one row."""
+    ev = load_table(spark, sf, "events")
+    u = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("k"))
+    m = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("s"),
+        F.sum(
+            F.col("k").cast("decimal(38,0)") * F.col("k")
+        ).alias("s2"),
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("n") - 1)
+    v = m.select("n", mu.alias("mu"), var.alias("var"))
+    return v.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.round("mu", 4).alias("mean_events"),
+        F.round("var", 4).alias("var_events"),
+        F.round(F.col("var") / F.col("mu"), 4).alias(
+            "dispersion_index"
+        ),
+        F.round(
+            F.when(
+                F.col("var") > F.col("mu"),
+                F.col("mu") * F.col("mu") / (F.col("var") - F.col("mu")),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("nb_r"),
+        F.round(
+            F.when(
+                F.col("var") > F.col("mu"),
+                F.col("mu") / F.col("var"),
+            ).otherwise(F.lit(1.0)),
+            4,
+        ).alias("nb_p"),
+    )
