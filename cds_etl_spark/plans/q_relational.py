@@ -830,3 +830,135 @@ def qs53(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# qs300 cross-table validation scorecard (the reference's report surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "qs300_validation_scorecard",
+    oracle="""
+    WITH o AS (SELECT COUNT(*) AS n_orders,
+                      SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0
+                          END) AS null_cust
+               FROM orders),
+    l AS (SELECT COUNT(*) AS n_lineitems FROM lineitem),
+    orph AS (
+      SELECT COUNT(*) AS orphan_lineitems
+      FROM lineitem WHERE NOT EXISTS (
+        SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)),
+    dup AS (
+      SELECT COUNT(*) AS dup_order_keys FROM (
+        SELECT o_orderkey FROM orders GROUP BY o_orderkey
+        HAVING COUNT(*) > 1)),
+    dates AS (
+      SELECT SUM(CASE WHEN l_shipdate < o.o_orderdate THEN 1 ELSE 0
+                 END) AS ship_before_order
+      FROM lineitem JOIN orders o ON o_orderkey = l_orderkey),
+    ssn AS (
+      SELECT SUM(CASE WHEN regexp_matches(text,
+                 '[0-9]{3}-[0-9]{2}-[0-9]{4}') THEN 1 ELSE 0 END)
+        AS ssn_like_docs
+      FROM documents),
+    neg AS (
+      SELECT SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+        AS negative_balances,
+        COUNT(*) AS n_customers
+      FROM customer)
+    SELECT CAST(o.n_orders AS BIGINT) AS n_orders,
+           CAST(l.n_lineitems AS BIGINT) AS n_lineitems,
+           CAST(neg.n_customers AS BIGINT) AS n_customers,
+           CAST(orph.orphan_lineitems AS BIGINT) AS orphan_lineitems,
+           CAST(dup.dup_order_keys AS BIGINT) AS dup_order_keys,
+           CAST(o.null_cust AS BIGINT) AS null_custkeys,
+           CAST(dates.ship_before_order AS BIGINT)
+             AS ship_before_order,
+           CAST(ssn.ssn_like_docs AS BIGINT) AS ssn_like_docs,
+           CAST(neg.negative_balances AS BIGINT)
+             AS negative_balances
+    FROM o, l, orph, dup, dates, ssn, neg
+    """,
+)
+def qs300(spark: SparkSession, sf: str) -> DataFrame:
+    """VALIDATION SCORECARD — the reference's report surface
+    (/root/reference/cds_transformation_functions.py:247-299:
+    duplicate-ID detection, orphan detection, SSN regex scan) as
+    ONE cross-table audit row: referential orphans (anti-join),
+    duplicate keys, null foreign keys, temporal contract violations
+    (ship before order), PII-pattern hits, and negative balances.
+    The single row a pipeline gate reads before publishing a batch
+    (reference EP1's validation step, O22/O23/O26 in SURVEY §2.1).
+
+    Determinism: every metric is an exact integer count. Plan: each
+    audit is one scan-fused aggregate or keyed anti-join/join;
+    the seven one-row frames broadcast-cross into the scorecard —
+    nothing joins at row grain except the two keyed checks."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    c = load_table(spark, sf, "customer")
+    d = load_table(spark, sf, "documents")
+    om = o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
+        ).alias("null_custkeys"),
+    )
+    lm = li.agg(F.count(F.lit(1)).alias("n_lineitems"))
+    orph = (
+        li.join(
+            o.select("o_orderkey"),
+            li.l_orderkey == o.o_orderkey,
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("orphan_lineitems"))
+    )
+    dup = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .agg(F.count(F.lit(1)).alias("dup_order_keys"))
+    )
+    dates = (
+        li.join(o.select("o_orderkey", "o_orderdate"),
+                li.l_orderkey == o.o_orderkey)
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("l_shipdate") < F.col("o_orderdate"), 1
+                ).otherwise(0)
+            ).alias("ship_before_order")
+        )
+    )
+    ssn = d.agg(
+        F.sum(
+            F.when(
+                F.col("text").rlike(r"[0-9]{3}-[0-9]{2}-[0-9]{4}"), 1
+            ).otherwise(0)
+        ).alias("ssn_like_docs")
+    )
+    neg = c.agg(
+        F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0)).alias(
+            "negative_balances"
+        ),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+    row = (
+        om.crossJoin(F.broadcast(lm))
+        .crossJoin(F.broadcast(orph))
+        .crossJoin(F.broadcast(dup))
+        .crossJoin(F.broadcast(dates))
+        .crossJoin(F.broadcast(ssn))
+        .crossJoin(F.broadcast(neg))
+    )
+    return row.select(
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("n_lineitems").cast("long").alias("n_lineitems"),
+        F.col("n_customers").cast("long").alias("n_customers"),
+        F.col("orphan_lineitems").cast("long").alias("orphan_lineitems"),
+        F.col("dup_order_keys").cast("long").alias("dup_order_keys"),
+        F.col("null_custkeys").cast("long").alias("null_custkeys"),
+        F.col("ship_before_order").cast("long").alias("ship_before_order"),
+        F.col("ssn_like_docs").cast("long").alias("ssn_like_docs"),
+        F.col("negative_balances").cast("long").alias("negative_balances"),
+    )

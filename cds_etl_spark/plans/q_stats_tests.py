@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cds_etl_spark.catalog import load_table
-from cds_etl_spark.operators.prefix import midrank2
+from cds_etl_spark.operators.prefix import bucketed_prefix_sum, midrank2
 from cds_etl_spark.plans.registry import query
 
 # --------------------------------------------------------------------------
@@ -1330,4 +1330,263 @@ def qs291(spark: SparkSession, sf: str) -> DataFrame:
             / (F.col("ssw") / (F.col("nn") - F.col("k"))),
             4,
         ).alias("bf_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs298 Jonckheere–Terpstra ordered-alternative trend test
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs298_jonckheere_trend",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v
+      FROM orders),
+    vc AS (
+      SELECT v,
+             SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS c2,
+             SUM(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS c3,
+             SUM(CASE WHEN g = 4 THEN 1 ELSE 0 END) AS c4,
+             SUM(CASE WHEN g = 5 THEN 1 ELSE 0 END) AS c5
+      FROM s GROUP BY v),
+    cum AS (
+      SELECT v, c1, c2, c3, c4, c5,
+             SUM(c1) OVER w AS f1, SUM(c2) OVER w AS f2,
+             SUM(c3) OVER w AS f3, SUM(c4) OVER w AS f4,
+             SUM(c5) OVER w AS f5
+      FROM vc
+      WINDOW w AS (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    jt AS (
+      SELECT
+        SUM(c2 * (2 * (f1 - c1) + c1) + c3 * (2 * (f1 - c1) + c1)
+          + c4 * (2 * (f1 - c1) + c1) + c5 * (2 * (f1 - c1) + c1)
+          + c3 * (2 * (f2 - c2) + c2) + c4 * (2 * (f2 - c2) + c2)
+          + c5 * (2 * (f2 - c2) + c2)
+          + c4 * (2 * (f3 - c3) + c3) + c5 * (2 * (f3 - c3) + c3)
+          + c5 * (2 * (f4 - c4) + c4)) AS jt2,
+        SUM(c1 + c2 + c3 + c4 + c5) AS n,
+        SUM(c1) AS n1, SUM(c2) AS n2, SUM(c3) AS n3,
+        SUM(c4) AS n4, SUM(c5) AS n5
+      FROM cum)
+    SELECT CAST(jt2 AS BIGINT) AS jt2,
+           CAST(n AS BIGINT) AS n,
+           ROUND((CAST(n AS DOUBLE) * n
+                  - (CAST(n1 AS DOUBLE) * n1 + CAST(n2 AS DOUBLE) * n2
+                     + CAST(n3 AS DOUBLE) * n3 + CAST(n4 AS DOUBLE) * n4
+                     + CAST(n5 AS DOUBLE) * n5)) / 2.0, 1) AS e_jt2,
+           ROUND((jt2 - (CAST(n AS DOUBLE) * n
+                  - (CAST(n1 AS DOUBLE) * n1 + CAST(n2 AS DOUBLE) * n2
+                     + CAST(n3 AS DOUBLE) * n3 + CAST(n4 AS DOUBLE) * n4
+                     + CAST(n5 AS DOUBLE) * n5)) / 2.0)
+                 / ((CAST(n AS DOUBLE) * n
+                  - (CAST(n1 AS DOUBLE) * n1 + CAST(n2 AS DOUBLE) * n2
+                     + CAST(n3 AS DOUBLE) * n3 + CAST(n4 AS DOUBLE) * n4
+                     + CAST(n5 AS DOUBLE) * n5)) / 2.0), 4)
+             AS trend_index
+    FROM jt
+    """,
+)
+def qs298(spark: SparkSession, sf: str) -> DataFrame:
+    """JONCKHEERE–TERPSTRA ordered-alternative trend test: is order
+    value monotonically increasing across the ORDERED priority
+    levels 1-URGENT → 5-LOW? JT = Σ_{i<j} U_ij (pairwise
+    Mann–Whitney counts, ties at ½) — strictly more powerful than
+    qs271's unordered Kruskal–Wallis when the alternative is a
+    trend. Reported doubled (jt2 = 2·JT stays an exact integer
+    through the tie halves) beside its null expectation and the
+    normalized trend index (JT − E)/E ∈ [−1, 1].
+
+    Determinism: value-level group counts pivot into five columns
+    whose running totals share ONE multi-weight bucketed prefix-sum
+    pass (operators/prefix.py — no single-task window over the
+    distinct-cents grid); every U term is an exact integer; the
+    two output ratios are fixed one-row double trees. Plan: one
+    scan → value-grid pivot aggregate → bucketed prefix sums →
+    one-row epilogue."""
+    o = load_table(spark, sf, "orders")
+    s = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("g"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("v"),
+    )
+    vc = s.groupBy("v").agg(
+        *[
+            F.sum(F.when(F.col("g") == i, 1).otherwise(0)).alias(
+                f"c{i}"
+            )
+            for i in range(1, 6)
+        ]
+    )
+    cum = bucketed_prefix_sum(
+        vc,
+        "v",
+        [f"c{i}" for i in range(1, 6)],
+        [f"f{i}" for i in range(1, 6)],
+    )
+    jt_terms = None
+    for i in range(1, 6):
+        below_i = 2 * (F.col(f"f{i}") - F.col(f"c{i}")) + F.col(f"c{i}")
+        for j in range(i + 1, 6):
+            term = F.col(f"c{j}") * below_i
+            jt_terms = term if jt_terms is None else jt_terms + term
+    jt = cum.agg(
+        F.sum(jt_terms).alias("jt2"),
+        F.sum(
+            sum((F.col(f"c{i}") for i in range(2, 6)), F.col("c1"))
+        ).alias("n"),
+        *[F.sum(f"c{i}").alias(f"n{i}") for i in range(1, 6)],
+    )
+    sumsq = None
+    for i in range(1, 6):
+        t = F.col(f"n{i}").cast("double") * F.col(f"n{i}")
+        sumsq = t if sumsq is None else sumsq + t
+    e2 = (F.col("n").cast("double") * F.col("n") - sumsq) / F.lit(2.0)
+    return jt.select(
+        F.col("jt2").cast("long").alias("jt2"),
+        F.col("n").cast("long").alias("n"),
+        F.round(e2, 1).alias("e_jt2"),
+        F.round((F.col("jt2") - e2) / e2, 4).alias("trend_index"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs299 Kendall tau-b ordinal association (priority × status)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs299_kendall_taub",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS x,
+             CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'P' THEN 2
+                  ELSE 3 END AS y,
+             COUNT(*) AS c
+      FROM orders GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.c * b.c AS w,
+             CASE WHEN (a.x < b.x AND a.y < b.y)
+                    OR (a.x > b.x AND a.y > b.y) THEN 1
+                  WHEN (a.x < b.x AND a.y > b.y)
+                    OR (a.x > b.x AND a.y < b.y) THEN -1
+                  ELSE 0 END AS sgn
+      FROM cells a JOIN cells b
+        ON a.x < b.x OR (a.x = b.x AND a.y < b.y)),
+    cd AS (
+      SELECT SUM(CASE WHEN sgn = 1 THEN w ELSE 0 END) AS conc,
+             SUM(CASE WHEN sgn = -1 THEN w ELSE 0 END) AS disc
+      FROM pairs),
+    marg AS (
+      SELECT SUM(c) AS n,
+             (SELECT SUM(r * (r - 1)) FROM
+               (SELECT SUM(c) AS r FROM cells GROUP BY x)) AS tx2,
+             (SELECT SUM(r * (r - 1)) FROM
+               (SELECT SUM(c) AS r FROM cells GROUP BY y)) AS ty2
+      FROM cells)
+    SELECT CAST(marg.n AS BIGINT) AS n,
+           CAST(cd.conc AS BIGINT) AS concordant,
+           CAST(cd.disc AS BIGINT) AS discordant,
+           ROUND((CAST(cd.conc AS DOUBLE) - cd.disc)
+                 / sqrt((CAST(marg.n AS DOUBLE) * (marg.n - 1) - tx2)
+                        / 2.0
+                        * (CAST(marg.n AS DOUBLE) * (marg.n - 1)
+                           - ty2) / 2.0), 4) AS tau_b
+    FROM cd CROSS JOIN marg
+    """,
+)
+def qs299(spark: SparkSession, sf: str) -> DataFrame:
+    """KENDALL τ-b between two ORDINAL columns (priority rank ×
+    status progression O→P→F recoded F<P<O as completion order
+    reversed — any fixed order works for association strength):
+    (C−D)/√((n₀−n_x)(n₀−n_y)) with tie-corrected denominators —
+    the ordinal association measure where qs273's Cramér's V is
+    nominal and qs243's Spearman needs a continuous-ish scale.
+    Concordant/discordant pair counts come from the CONTINGENCY
+    TABLE (15 cells → 105 cell pairs), never from row pairs.
+
+    Determinism: cell counts, C, D, and both tie terms are exact
+    integers (C,D ≤ N²/2 — DECIMAL(38)/HUGEINT at scale); τ-b is
+    one fixed double tree with an IEEE-exact sqrt, ROUND 4. Plan:
+    one grouped scan → 15-row epilogue self-join."""
+    o = load_table(spark, sf, "orders")
+    cells = o.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("x"),
+        F.when(F.col("o_orderstatus") == "F", 1)
+        .when(F.col("o_orderstatus") == "P", 2)
+        .otherwise(3)
+        .alias("y"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = cells.select(
+        F.col("x").alias("x1"), F.col("y").alias("y1"), F.col("c").alias("ca")
+    )
+    b = cells.select(
+        F.col("x").alias("x2"), F.col("y").alias("y2"), F.col("c").alias("cb")
+    )
+    pairs = a.join(
+        b,
+        (F.col("x1") < F.col("x2"))
+        | ((F.col("x1") == F.col("x2")) & (F.col("y1") < F.col("y2"))),
+    )
+    w = (F.col("ca").cast("decimal(38,0)") * F.col("cb"))
+    sgn = (
+        F.when(
+            ((F.col("x1") < F.col("x2")) & (F.col("y1") < F.col("y2")))
+            | ((F.col("x1") > F.col("x2")) & (F.col("y1") > F.col("y2"))),
+            1,
+        )
+        .when(
+            ((F.col("x1") < F.col("x2")) & (F.col("y1") > F.col("y2")))
+            | ((F.col("x1") > F.col("x2")) & (F.col("y1") < F.col("y2"))),
+            -1,
+        )
+        .otherwise(0)
+    )
+    cd = pairs.agg(
+        F.sum(F.when(sgn == 1, w).otherwise(F.lit(0))).alias("conc"),
+        F.sum(F.when(sgn == -1, w).otherwise(F.lit(0))).alias("disc"),
+    )
+    rx = cells.groupBy("x").agg(F.sum("c").alias("r"))
+    ry = cells.groupBy("y").agg(F.sum("c").alias("r"))
+    marg = (
+        cells.agg(F.sum("c").alias("n"))
+        .crossJoin(
+            F.broadcast(
+                rx.agg(
+                    F.sum(
+                        F.col("r").cast("decimal(38,0)") * (F.col("r") - 1)
+                    ).alias("tx2")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                ry.agg(
+                    F.sum(
+                        F.col("r").cast("decimal(38,0)") * (F.col("r") - 1)
+                    ).alias("ty2")
+                )
+            )
+        )
+    )
+    nn = F.col("n").cast("double")
+    return cd.crossJoin(F.broadcast(marg)).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("conc").cast("long").alias("concordant"),
+        F.col("disc").cast("long").alias("discordant"),
+        F.round(
+            (F.col("conc").cast("double") - F.col("disc").cast("double"))
+            / F.sqrt(
+                (nn * (nn - 1) - F.col("tx2").cast("double"))
+                / F.lit(2.0)
+                * (nn * (nn - 1) - F.col("ty2").cast("double"))
+                / F.lit(2.0)
+            ),
+            4,
+        ).alias("tau_b"),
     )
