@@ -99,8 +99,8 @@ _GRADE_FIRST = [
     "qs206_grid_spatial_pairs",
     # -- beyond the 50-entry window: r08 front-of-queue — the
     #    session-4 round-6 additions qs207-qs240, the five deferred
-    #    r03-green entries, then the round-7 additions qs241-qs300
-    #    (99 staged total: r08 grades the first 50, r09 the rest) --
+    #    r03-green entries, then the round-7 additions qs241-qs302
+    #    (101 staged total: r08 grades the first 50, r09 the rest) --
     "qs207_feature_hashing",
     "qs208_quantile_normalization",
     "qs209_seasonal_decompose",
@@ -204,6 +204,8 @@ _GRADE_FIRST = [
     "qs298_jonckheere_trend",
     "qs299_kendall_taub",
     "qs300_validation_scorecard",
+    "qs301_theils_u",
+    "qs302_runs_test",
 ]
 
 

@@ -1590,3 +1590,199 @@ def qs299(spark: SparkSession, sf: str) -> DataFrame:
             4,
         ).alias("tau_b"),
     )
+
+
+# --------------------------------------------------------------------------
+# qs301 Theil's uncertainty coefficient U(y|x)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs301_theils_u",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS x, o_orderstatus AS y, COUNT(*) AS c
+      FROM orders GROUP BY 1, 2),
+    n AS (SELECT SUM(c) AS n FROM cells),
+    hy AS (
+      SELECT -SUM((CAST(r AS DOUBLE) / n.n)
+                  * ln(CAST(r AS DOUBLE) / n.n)) AS hy
+      FROM (SELECT y, SUM(c) AS r FROM cells GROUP BY y)
+      CROSS JOIN n),
+    hyx AS (
+      SELECT -SUM((CAST(cells.c AS DOUBLE) / n.n)
+                  * ln(CAST(cells.c AS DOUBLE) / rx.r)) AS hyx
+      FROM cells
+      JOIN (SELECT x, SUM(c) AS r FROM cells GROUP BY x) rx
+        ON rx.x = cells.x
+      CROSS JOIN n)
+    SELECT CAST(n.n AS BIGINT) AS n,
+           ROUND(hy.hy, 4) AS h_y,
+           ROUND(hyx.hyx, 4) AS h_y_given_x,
+           ROUND((hy.hy - hyx.hyx) / hy.hy, 4) AS theils_u
+    FROM n CROSS JOIN hy CROSS JOIN hyx
+    """,
+)
+def qs301(spark: SparkSession, sf: str) -> DataFrame:
+    """THEIL'S UNCERTAINTY COEFFICIENT U(status|priority) =
+    (H(y) − H(y|x))/H(y): the ASYMMETRIC entropy-based association
+    — "how much does knowing the priority reduce uncertainty about
+    the status" — completing the association family (qs273 Cramér's
+    V is symmetric-nominal, qs299 τ-b ordinal, qs166 mutual
+    information unnormalized).
+
+    Determinism: cell and marginal counts are exact integers; the
+    entropy sums run over ≤15 cells of like-magnitude negative
+    terms (noise ≪ ROUND 4; ln is the accepted 1-ulp libm
+    contract). Plan: one grouped scan → cells-sized epilogue."""
+    o = load_table(spark, sf, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("x"),
+        F.col("o_orderstatus").alias("y"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    n = cells.agg(F.sum("c").alias("n"))
+    ry = cells.groupBy("y").agg(F.sum("c").alias("r"))
+    hy = ry.crossJoin(F.broadcast(n)).agg(
+        (
+            -F.sum(
+                (F.col("r").cast("double") / F.col("n"))
+                * F.log(F.col("r").cast("double") / F.col("n"))
+            )
+        ).alias("hy")
+    )
+    rx = cells.groupBy("x").agg(F.sum("c").alias("r"))
+    hyx = (
+        cells.join(rx, "x")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            (
+                -F.sum(
+                    (F.col("c").cast("double") / F.col("n"))
+                    * F.log(
+                        F.col("c").cast("double") / F.col("r")
+                    )
+                )
+            ).alias("hyx")
+        )
+    )
+    return (
+        n.crossJoin(F.broadcast(hy))
+        .crossJoin(F.broadcast(hyx))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.round("hy", 4).alias("h_y"),
+            F.round("hyx", 4).alias("h_y_given_x"),
+            F.round(
+                (F.col("hy") - F.col("hyx")) / F.col("hy"), 4
+            ).alias("theils_u"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# qs302 Wald–Wolfowitz runs test on the daily revenue series
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs302_runs_test",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS x
+      FROM events GROUP BY 1),
+    med AS (
+      SELECT MIN(x) AS m FROM (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY x, day) AS rn,
+               COUNT(*) OVER () AS n
+        FROM daily) q
+      WHERE rn >= (n + 1) // 2),
+    lab AS (
+      SELECT day, CASE WHEN x > med.m THEN 1 ELSE 0 END AS hi
+      FROM daily CROSS JOIN med),
+    runs AS (
+      SELECT hi,
+             CASE WHEN LAG(hi) OVER (ORDER BY day) IS DISTINCT
+                  FROM hi THEN 1 ELSE 0 END AS brk
+      FROM lab),
+    agg AS (
+      SELECT SUM(brk) AS r, SUM(hi) AS n1,
+             SUM(1 - hi) AS n0
+      FROM runs)
+    SELECT CAST(r AS BIGINT) AS n_runs,
+           CAST(n1 AS BIGINT) AS n_above,
+           CAST(n0 AS BIGINT) AS n_at_or_below,
+           ROUND(1.0 + 2.0 * n1 * n0 / (n1 + n0), 4)
+             AS expected_runs,
+           ROUND((r - (1.0 + 2.0 * n1 * n0 / (n1 + n0)))
+                 / sqrt(2.0 * n1 * n0 * (2.0 * n1 * n0 - n1 - n0)
+                        / ((CAST(n1 + n0 AS DOUBLE))
+                           * (n1 + n0) * (n1 + n0 - 1))), 4)
+             AS z
+    FROM agg
+    """,
+)
+def qs302(spark: SparkSession, sf: str) -> DataFrame:
+    """WALD–WOLFOWITZ RUNS TEST for randomness of the daily revenue
+    series around its median: too few runs of above/below-median
+    days means trending or clustering (autocorrelated regimes), too
+    many means oscillation — the model-free randomness screen
+    beside qs204's parametric autocorrelation and qs242's CUSUM.
+    The median is the exact type-1 order statistic with a day
+    tiebreak, so both engines label identical days.
+
+    Determinism: daily cent totals, the median, run breaks and all
+    counts are exact integers (runs = Σ boundary indicators — the
+    first row's NULL lag counts as a break, giving the standard R =
+    boundaries formulation); E[R] and z are fixed one-row double
+    trees (√ IEEE-exact), ROUND 4. Plan: corpus → 30-day grid;
+    every window runs over calendar-sized rows."""
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(
+            F.round(F.col("value") * 100, 0).cast("long")
+        ).alias("x")
+    )
+    wrn = Window.orderBy("x", "day")
+    wall = Window.partitionBy()
+    med = (
+        daily.withColumn("rn", F.row_number().over(wrn))
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+        .filter(F.col("rn") >= F.expr("(n + 1) DIV 2"))
+        .agg(F.min("x").alias("m"))
+    )
+    lab = daily.crossJoin(F.broadcast(med)).select(
+        "day",
+        F.when(F.col("x") > F.col("m"), 1).otherwise(0).alias("hi"),
+    )
+    wday = Window.orderBy("day")
+    runs = lab.select(
+        "hi",
+        F.when(
+            ~F.lag("hi").over(wday).eqNullSafe(F.col("hi")), 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    agg = runs.agg(
+        F.sum("brk").alias("r"),
+        F.sum("hi").alias("n1"),
+        F.sum(F.lit(1) - F.col("hi")).alias("n0"),
+    )
+    n1 = F.col("n1").cast("double")
+    n0 = F.col("n0").cast("double")
+    er = F.lit(1.0) + F.lit(2.0) * n1 * n0 / (n1 + n0)
+    vr = (
+        F.lit(2.0)
+        * n1
+        * n0
+        * (F.lit(2.0) * n1 * n0 - n1 - n0)
+        / ((n1 + n0) * (n1 + n0) * (n1 + n0 - 1))
+    )
+    return agg.select(
+        F.col("r").cast("long").alias("n_runs"),
+        F.col("n1").cast("long").alias("n_above"),
+        F.col("n0").cast("long").alias("n_at_or_below"),
+        F.round(er, 4).alias("expected_runs"),
+        F.round((F.col("r") - er) / F.sqrt(vr), 4).alias("z"),
+    )
