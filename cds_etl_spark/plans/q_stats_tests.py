@@ -1,7 +1,10 @@
-"""Hypothesis-test family: log-rank survival comparison, Welch t,
-Kruskal–Wallis, one-way ANOVA, Cramér's V association audit, and
-Jensen–Shannon source divergence (qs269+) — one family of the
-declared oracle-checkable query set. These extend the survival
+"""Hypothesis-test family (qs269–qs274, qs288–qs291,
+qs298–qs302): log-rank survival comparison, Welch t,
+Kruskal–Wallis + Dunn post-hoc, one-way ANOVA + Brown–Forsythe,
+Friedman, Cronbach's α, Jonckheere–Terpstra trend, Kendall τ-b,
+Theil's U, the runs test, Cramér's V association audit, and
+Jensen–Shannon source divergence — one family of the declared
+oracle-checkable query set. These extend the survival
 (qs182/qs246), rank (qs181/qs243), and drift (qs159/qs227) blocks
 with the classical inference tests a data-quality/ETL pipeline runs
 over curated tables (reference validation-report surface:

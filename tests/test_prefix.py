@@ -292,3 +292,38 @@ def test_prefix_sum_multi_weight_matches_serial(spark):
     assert [(r.v, r.ca, r.cb) for r in got] == [
         (r.v, r.ca, r.cb) for r in want
     ]
+
+
+def test_scalable_ntile_multi_fewer_rows_than_tiles(spark):
+    # N < n across several metrics: boundary ranks repeat and each
+    # row must still land in its own tile, matching F.ntile.
+    df = spark.createDataFrame(
+        [Row(cust=i, a=i % 2, b=5 - i) for i in range(3)]
+    )
+    want = sorted(
+        map(
+            tuple,
+            df.select(
+                "cust",
+                F.ntile(5)
+                .over(Window.orderBy("a", "cust"))
+                .cast("long")
+                .alias("ta"),
+                F.ntile(5)
+                .over(Window.orderBy("b", "cust"))
+                .cast("long")
+                .alias("tb_"),
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            scalable_ntile_multi(
+                df, [("a", "ta"), ("b", "tb_")], "cust", 5, n_buckets=4
+            )
+            .select("cust", "ta", "tb_")
+            .collect(),
+        )
+    )
+    assert got == want

@@ -68,6 +68,12 @@ SNAPSHOT_QUERIES = [
     # entropy epilogue.
     "qs269_logrank_test",
     "qs274_js_divergence",
+    # r7 session-2 structural plans: the one-row exact-moment pivot
+    # epilogue (CUPED), the boundary-broadcast multi-ntile (RFM),
+    # and the multi-weight bucketed prefix sum (Jonckheere).
+    "qs275_cuped_lift",
+    "qs210_rfm_segments",
+    "qs298_jonckheere_trend",
 ]
 
 
