@@ -37,70 +37,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # r05 graded the round-5 additions + the r02-stale queue + 8 stale-r03
 # backfills; r06 graded 34 r03-green backfills + the 16 new/newly
 # hash-checkable entries (qs90 portable-HLL + qs142-qs156) — 50/50 green.
-# r07 (this list): the first 50 of the staged queue — the late round-6
-# additions qs157-qs206, each local-differential-green at sf0.001 AND
-# sf0.01, taking their first official driver rows. The remainder
-# (qs207-qs240, then the five deferred r03-green entries
-# qs46/qs48/qs66/qs82/qs89) is staged in order for r08's window.
+# r07 graded qs157-qs206 (50/50 green). r08 (this list): the next 50 of
+# the staged queue — the session-4 round-6 additions qs207-qs240 (34),
+# the five deferred r03-green entries qs46/qs48/qs66/qs82/qs89, and the
+# front of the round-7 additions qs241-qs251 (11) — exactly as the r7
+# verdict's task 1 prescribed. The remainder (qs252-qs302, 51 entries)
+# is staged in order for r09's window.
 # Every name below MUST exist in the registry — tests/test_sql_surface.py
 # asserts set(_GRADE_FIRST) <= set(QUERIES) so a typo fails loudly instead
 # of silently falling back to registration order (the r03 defect).
 _GRADE_FIRST = [
-    # -- r07 window: first official driver rows for qs157-qs206 (50) --
-    "qs157_perplexity_buckets",
-    "qs158_epoch_shard_plan",
-    "qs159_psi_drift",
-    "qs160_token_entropy",
-    "qs161_winsorized_mean",
-    "qs162_interval_overlap_binned",
-    "qs163_prefix_filter_simjoin",
-    "qs164_sequence_mining",
-    "qs165_sweepline_concurrency",
-    "qs166_mutual_information",
-    "qs167_zscore_anomaly",
-    "qs168_ab_proportion_ztest",
-    "qs169_changepoint_meanshift",
-    "qs170_hll_intersection",
-    "qs171_cms_join_size",
-    "qs172_weighted_shortest_path",
-    "qs173_ewma_smoothing",
-    "qs174_benford_audit",
-    "qs175_key_skew_diagnosis",
-    "qs176_last_touch_attribution",
-    "qs177_winnow_fingerprints",
-    "qs178_sparse_cosine_neighbors",
-    "qs179_bootstrap_ci",
-    "qs180_clamped_balance",
-    "qs181_mannwhitney_auc",
-    "qs182_kaplan_meier",
-    "qs183_weighted_median",
-    "qs184_powerlaw_fit",
-    "qs185_rolling_actives",
-    "qs186_session_stats",
-    "qs187_basket_lift",
-    "qs188_time_to_convert",
-    "qs189_lorenz_deciles",
-    "qs190_dow_seasonality",
-    "qs191_new_vs_returning",
-    "qs192_cohort_ltv",
-    "qs193_duplicate_payments",
-    "qs194_ship_sla",
-    "qs195_supplier_activity_islands",
-    "qs196_embedding_drift",
-    "qs197_percent_of_parent",
-    "qs198_rank_movers",
-    "qs199_scd2_dimension",
-    "qs200_proration_cents",
-    "qs201_date_spine_fill",
-    "qs202_group_ols_trend",
-    "qs203_funnel_conversion",
-    "qs204_autocorrelation",
-    "qs205_theilsen_slope",
-    "qs206_grid_spatial_pairs",
-    # -- beyond the 50-entry window: r08 front-of-queue — the
-    #    session-4 round-6 additions qs207-qs240, the five deferred
-    #    r03-green entries, then the round-7 additions qs241-qs302
-    #    (101 staged total: r08 grades the first 50, r09 the rest) --
+    # -- r08 window (50): qs207-qs240 + the five deferred + qs241-qs251 --
     "qs207_feature_hashing",
     "qs208_quantile_normalization",
     "qs209_seasonal_decompose",
@@ -140,10 +87,6 @@ _GRADE_FIRST = [
     "qs66_hash_split",
     "qs82_sequence_packing",
     "qs89_repetition_signal",
-    # -- round-7 additions qs241-qs255 (classic stats, eval harnesses,
-    #    iterative-graph-with-unrolled-oracle, BM25/stylometry) — each
-    #    local-differential-green at sf0.001 AND sf0.01; queued after
-    #    the r08 backlog above --
     "qs241_chi_square_independence",
     "qs242_cusum_drift",
     "qs243_spearman_corr",
@@ -155,6 +98,8 @@ _GRADE_FIRST = [
     "qs249_kcore_decomposition",
     "qs250_label_propagation",
     "qs251_price_elasticity",
+    # -- r09 front-of-queue: the remaining round-7 additions
+    #    qs252-qs302 (51 staged) --
     "qs252_vocab_jaccard_sources",
     "qs253_burrows_delta",
     "qs254_mcnemar_paired",
@@ -206,6 +151,58 @@ _GRADE_FIRST = [
     "qs300_validation_scorecard",
     "qs301_theils_u",
     "qs302_runs_test",
+    # -- already officially graded (r07 window, 50/50 green): rotated
+    #    to the back of the queue --
+    "qs157_perplexity_buckets",
+    "qs158_epoch_shard_plan",
+    "qs159_psi_drift",
+    "qs160_token_entropy",
+    "qs161_winsorized_mean",
+    "qs162_interval_overlap_binned",
+    "qs163_prefix_filter_simjoin",
+    "qs164_sequence_mining",
+    "qs165_sweepline_concurrency",
+    "qs166_mutual_information",
+    "qs167_zscore_anomaly",
+    "qs168_ab_proportion_ztest",
+    "qs169_changepoint_meanshift",
+    "qs170_hll_intersection",
+    "qs171_cms_join_size",
+    "qs172_weighted_shortest_path",
+    "qs173_ewma_smoothing",
+    "qs174_benford_audit",
+    "qs175_key_skew_diagnosis",
+    "qs176_last_touch_attribution",
+    "qs177_winnow_fingerprints",
+    "qs178_sparse_cosine_neighbors",
+    "qs179_bootstrap_ci",
+    "qs180_clamped_balance",
+    "qs181_mannwhitney_auc",
+    "qs182_kaplan_meier",
+    "qs183_weighted_median",
+    "qs184_powerlaw_fit",
+    "qs185_rolling_actives",
+    "qs186_session_stats",
+    "qs187_basket_lift",
+    "qs188_time_to_convert",
+    "qs189_lorenz_deciles",
+    "qs190_dow_seasonality",
+    "qs191_new_vs_returning",
+    "qs192_cohort_ltv",
+    "qs193_duplicate_payments",
+    "qs194_ship_sla",
+    "qs195_supplier_activity_islands",
+    "qs196_embedding_drift",
+    "qs197_percent_of_parent",
+    "qs198_rank_movers",
+    "qs199_scd2_dimension",
+    "qs200_proration_cents",
+    "qs201_date_spine_fill",
+    "qs202_group_ols_trend",
+    "qs203_funnel_conversion",
+    "qs204_autocorrelation",
+    "qs205_theilsen_slope",
+    "qs206_grid_spatial_pairs",
 ]
 
 
