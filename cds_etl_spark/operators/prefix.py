@@ -32,6 +32,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+_INTEGRAL_TYPES = ("byte", "short", "int", "integer", "bigint", "long")
+
+
+def _guard_span(bounds: DataFrame, fname: str) -> DataFrame:
+    """Fail loudly (both ANSI modes) if a group's order-value span
+    exceeds int64 — under ANSI-off Spark ``_mx - _mn`` would wrap
+    silently and bucket ids would lose order alignment. The check
+    runs in DECIMAL on the tiny per-group bounds frame (one row per
+    group), so it costs nothing per data row."""
+    return bounds.withColumn(
+        "_mn",
+        F.expr(
+            "CASE WHEN CAST(_mx AS DECIMAL(21,0)) - CAST(_mn AS DECIMAL(21,0))"
+            " > 9223372036854775807"
+            f" THEN CAST(raise_error('{fname}: order-column span exceeds"
+            " int64; bucket arithmetic would wrap') AS BIGINT)"
+            " ELSE _mn END"
+        ),
+    )
+
 
 def bucketed_prefix_sum(
     df: DataFrame,
@@ -57,7 +77,11 @@ def bucketed_prefix_sum(
     count table, where ties were already collapsed; with duplicate
     keys an inclusive running sum is ordering-ambiguous in the
     serial form too). Weights must be integral for the exactness
-    guarantee to hold.
+    guarantee to hold. The order values' span must fit in int64
+    (``max - min <= 2^63 - 1``) — a range that wide (e.g. negated
+    keys near LONG_MIN against positives near LONG_MAX) would wrap
+    the bucket arithmetic; the bounds pass checks the span in
+    DECIMAL and raises instead of mis-bucketing.
     """
     weights = (
         [weight_col] if isinstance(weight_col, str) else list(weight_col)
@@ -67,9 +91,12 @@ def bucketed_prefix_sum(
         raise ValueError("weight_col/out_col length mismatch")
     pc = list(part_cols)
     gb = df.groupBy(*pc) if pc else df.groupBy()
-    bounds = gb.agg(
-        F.min(order_col).alias("_mn"),
-        F.max(order_col).alias("_mx"),
+    bounds = _guard_span(
+        gb.agg(
+            F.min(order_col).alias("_mn"),
+            F.max(order_col).alias("_mx"),
+        ),
+        "bucketed_prefix_sum",
     )
     b = (
         df.join(F.broadcast(bounds), pc)
@@ -140,12 +167,17 @@ def bucketed_row_number(
     take an in-bucket ``row_number`` over the full ``order_cols``,
     and add each bucket's exclusive running row count. Ties of the
     bucket key always land in one bucket, so the composite order's
-    tiebreakers only ever act locally."""
+    tiebreakers only ever act locally. As in
+    :func:`bucketed_prefix_sum`, the bucket key's span must fit in
+    int64 — the bounds pass checks and raises otherwise."""
     pc = list(part_cols)
     gb = df.groupBy(*pc) if pc else df.groupBy()
-    bounds = gb.agg(
-        F.min(bucket_key_col).alias("_mn"),
-        F.max(bucket_key_col).alias("_mx"),
+    bounds = _guard_span(
+        gb.agg(
+            F.min(bucket_key_col).alias("_mn"),
+            F.max(bucket_key_col).alias("_mx"),
+        ),
+        "bucketed_row_number",
     )
     b = (
         df.join(F.broadcast(bounds), pc)
@@ -195,7 +227,13 @@ def ntile_from_rank(
     size = F.expr(f"`{total_col}` DIV {int(n)}")
     rem = F.col(total_col) - size * n
     big = rem * (size + 1)
-    r0 = F.col(rank_col) - 1
+    # Both branches are pure integer DIV so the tile id stays exact
+    # at any partition size (float floor-division loses exactness
+    # past 2^53 rows). The otherwise branch only fires when
+    # rank > big, which requires size >= 1, so its DIV denominator
+    # is never zero.
+    rem_sql = f"(`{total_col}` - (`{total_col}` DIV {int(n)}) * {int(n)})"
+    big_sql = f"({rem_sql} * ((`{total_col}` DIV {int(n)}) + 1))"
     return (
         F.when(
             F.col(rank_col) <= big,
@@ -203,10 +241,10 @@ def ntile_from_rank(
         )
         .otherwise(
             rem
-            + F.floor(
-                (r0 - big)
-                / size
-            ).cast("long")
+            + F.expr(
+                f"(`{rank_col}` - 1 - {big_sql})"
+                f" DIV (`{total_col}` DIV {int(n)})"
+            )
         )
         + 1
     )
@@ -258,8 +296,20 @@ def scalable_ntile_multi(
     ambiguous in the serial form too). Order columns must be
     non-NULL (the bucket arithmetic and the serial window's
     nulls-first rule diverge; every in-repo caller feeds count/key
-    tables where NULL cannot occur). Matches ``F.ntile``
-    bit-for-bit (tests/test_prefix.py)."""
+    tables where NULL cannot occur). The tiebreak column must also
+    be integral and non-NULL — it is compared as BIGINT, and a
+    non-integral type (e.g. a string key) would cast to NULL and
+    silently mis-tile, so the types are asserted up front.
+    Matches ``F.ntile`` bit-for-bit (tests/test_prefix.py)."""
+    for c in [tiebreak_col] + [m for m, _ in metrics]:
+        t = df.schema[c].dataType.simpleString()
+        if t not in _INTEGRAL_TYPES:
+            raise TypeError(
+                f"scalable_ntile_multi: column {c!r} has type {t}; "
+                "metric and tiebreak columns must be integral "
+                "(non-integral values would CAST to NULL and "
+                "silently mis-tile)"
+            )
     if n == 1:
         # NTILE(1) is constant; the boundary machinery would produce
         # an empty bounds frame (null pivot row) instead.

@@ -710,7 +710,11 @@ def stream_cusum_monitor(
     (the corpus-ingest index pattern). Groups absent from a batch
     carry their accumulation forward unchanged (full-outer state
     join); the reference moments never roll forward implicitly — a
-    self-updating reference learns to love its own drift. Each epoch
+    self-updating reference learns to love its own drift. Every
+    output row carries a ``status`` column: ``ok``, ``no_baseline``
+    (batch group absent from the reference moments — surfaced, not
+    dropped), ``bad_sigma`` (sigma<=0 or NULL — accumulation held,
+    flagged), or ``carried`` (group absent from this batch). Each epoch
     is a groups-sized broadcast join + one batch aggregate; nothing
     here scales with stream history."""
 
@@ -737,14 +741,31 @@ def stream_cusum_monitor(
             F.count(F.lit(1)).alias("n_batch"),
             F.avg(value_col).alias("xbar"),
         )
+        # LEFT join so a batch group missing from the reference
+        # moments still surfaces (status='no_baseline') instead of
+        # silently vanishing every epoch; sigma<=0 is guarded
+        # explicitly (status='bad_sigma') rather than relying on a
+        # NULL-divide quietly coalescing to a 0 increment.
         z = cur.join(
-            F.broadcast(base.select("grp", "mu", "sigma")), "grp"
+            F.broadcast(base.select("grp", "mu", "sigma")),
+            "grp",
+            "left",
         ).select(
             "grp",
             "n_batch",
-            (
+            F.when(
+                F.col("mu").isNull(), F.lit("no_baseline")
+            )
+            .when(
+                F.col("sigma").isNull() | (F.col("sigma") <= 0.0),
+                F.lit("bad_sigma"),
+            )
+            .otherwise(F.lit("ok"))
+            .alias("status"),
+            F.when(
+                F.col("mu").isNotNull() & (F.col("sigma") > 0.0),
                 (F.col("xbar") - F.col("mu"))
-                / (F.col("sigma") / F.sqrt(F.col("n_batch")))
+                / (F.col("sigma") / F.sqrt(F.col("n_batch"))),
             ).alias("z"),
         )
         prev = _prev_state_epoch(spark, epoch_id)
@@ -764,6 +785,7 @@ def stream_cusum_monitor(
         st = z.join(prior, "grp", "full_outer").select(
             "grp",
             F.coalesce("n_batch", F.lit(0)).alias("n_batch"),
+            F.coalesce("status", F.lit("carried")).alias("status"),
             F.greatest(
                 F.lit(0.0),
                 F.coalesce("s_pos", F.lit(0.0))

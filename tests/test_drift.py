@@ -325,3 +325,49 @@ def test_stream_cusum_replay_recomputes_identically(spark, tmp_path):
     first = run("a")
     second = run("b")   # full replay over pre-existing state
     assert first == second and len(first) == 3
+
+
+def test_stream_cusum_surfaces_unbaselined_group_and_status(spark, tmp_path):
+    """A batch group with no reference moments must surface with
+    status='no_baseline' (not silently drop), ok rows read
+    status='ok', and a group absent from the batch reads
+    status='carried'."""
+    from cds_etl_spark.operators.drift import build_anomaly_baseline
+    from cds_etl_spark.streaming.ops import stream_cusum_monitor
+
+    bpath = str(tmp_path / "cusum_base3")
+    base = _events(spark, 4000, seed=70).unionByName(
+        _events(spark, 4000, seed=71, etype="view")
+    )
+    build_anomaly_baseline(base, bpath)
+
+    # Batch 1: click + a brand-new group the baseline never saw.
+    b1 = _events(spark, 400, seed=72).unionByName(
+        _events(spark, 400, seed=73, etype="install")
+    )
+    # Batch 2: only "view" rows — click carries.
+    b2 = _events(spark, 400, seed=74, etype="view")
+    src = str(tmp_path / "cusum_inbox3")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(b1.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = str(tmp_path / "cusum_out3")
+    stream_cusum_monitor(
+        stream,
+        bpath,
+        str(tmp_path / "cusum_state3"),
+        out,
+        str(tmp_path / "cusum_ckpt3"),
+    )
+    rows = {
+        (r["batch_id"], r["grp"]): r
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows[(0, "install")]["status"] == "no_baseline"
+    assert rows[(0, "install")]["n_batch"] == 400
+    assert rows[(0, "install")]["s_pos"] == 0.0  # held, not NULLed
+    assert rows[(0, "click")]["status"] == "ok"
+    assert rows[(1, "click")]["status"] == "carried"
+    assert rows[(1, "click")]["n_batch"] == 0

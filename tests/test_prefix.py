@@ -327,3 +327,44 @@ def test_scalable_ntile_multi_fewer_rows_than_tiles(spark):
         )
     )
     assert got == want
+
+
+def test_scalable_ntile_rejects_non_integral_tiebreak(spark):
+    df = spark.createDataFrame(
+        [Row(v=i, k=f"id{i}") for i in range(10)]
+    )
+    with pytest.raises(TypeError, match="tiebreak columns must be integral"):
+        scalable_ntile(df, "v", "k", "tile", 4)
+
+
+def test_prefix_sum_span_overflow_raises(spark):
+    # Negated keys near LONG_MIN against positives near LONG_MAX:
+    # mx - mn exceeds int64 and the bounds pass must raise loudly
+    # instead of wrapping into misaligned bucket ids.
+    big = 9223372036854775807
+    df = spark.createDataFrame(
+        [Row(v=-big + 2, c=1), Row(v=big - 2, c=1)]
+    )
+    with pytest.raises(Exception, match="span exceeds int64"):
+        bucketed_prefix_sum(df, "v", "c", "cum").collect()
+
+
+def test_ntile_from_rank_remainder_branch_is_integral(spark):
+    # The otherwise branch (ranks past the big tiles) must be pure
+    # integer DIV — probe a shape where N mod n > 0 so both branches
+    # fire, and check the result column's type is integral.
+    df = (
+        spark.range(1, 11)
+        .withColumnRenamed("id", "r")
+        .withColumn("n", F.lit(10).cast("long"))
+    )
+    out = df.select(ntile_from_rank("r", "n", 3).alias("t"))
+    assert dict(out.dtypes)["t"] == "bigint"
+    got = [r.t for r in out.orderBy("t").collect()]
+    want = [
+        r.t
+        for r in spark.range(1, 11)
+        .select(F.ntile(3).over(Window.orderBy("id")).alias("t"))
+        .collect()
+    ]
+    assert sorted(got) == sorted(want)
