@@ -239,7 +239,11 @@ def qs243(spark: SparkSession, sf: str) -> DataFrame:
     over the DISTINCT-value table (50 quantity values; prices
     near-unique) joined back on (flag, value) — the corpus is never
     globally sorted, unlike a naive per-flag RANK window; the
-    oracle states the textbook window formulation, same math."""
+    oracle states the textbook window formulation, same math. Each
+    variable's distinct-value grid is materialized with an eager
+    localCheckpoint before the bucketed machinery references it ~4×
+    (the pure-plan diamond otherwise re-aggregates the full corpus
+    per reference — qs285 precedent)."""
     li = load_table(spark, sf, "lineitem")
     b = li.select(
         F.col("l_returnflag").alias("flag"),
@@ -250,8 +254,14 @@ def qs243(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     def midranks(df: DataFrame, col: str, out: str) -> DataFrame:
-        vals = df.groupBy("flag", col).agg(
-            F.count(F.lit(1)).alias("_c")
+        # The distinct-value grid is one full-corpus aggregate and
+        # the bucketed machinery below references it ~4× — checkpoint
+        # it so the corpus aggregates ONCE (prices are near-unique:
+        # the grid is value-dimension-sized, far below the corpus).
+        vals = (
+            df.groupBy("flag", col)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .localCheckpoint(eager=True)
         )
         # Bucketed prefix sum (operators/prefix.py): the per-flag
         # serial window put ~2M distinct prices per flag in ONE task

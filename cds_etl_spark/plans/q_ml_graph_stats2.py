@@ -1337,7 +1337,13 @@ def qs285(spark: SparkSession, sf: str) -> DataFrame:
     row-local bounded expansion (qs187); the triangle enumeration
     is the canonical two-hop join e(a,b)⋈e(b,c)⋈e(a,c) with a<b<c
     ordering so each triangle materializes once; everything after
-    is node-dimension-sized."""
+    is node-dimension-sized. The pair projection is the dominant
+    cost and the DAG references it 4× (degrees + the three triangle
+    legs) — pure plans re-evaluate per reference, so it is
+    materialized ONCE with an eager localCheckpoint (the qs249/
+    components.py iterative-graph precedent; the edge table is
+    support-thresholded and node-dimension-bounded, far smaller
+    than the corpus it projects from)."""
     li = load_table(spark, sf, "lineitem")
     os_ = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
@@ -1350,6 +1356,7 @@ def qs285(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_w"))
         .filter(F.col("_w") >= 2)
         .select("s1", "s2")
+        .localCheckpoint(eager=True)
     )
     # Explode-not-union: one reference to the expensive pair
     # projection instead of two (each DAG reference re-evaluates it).
@@ -1362,10 +1369,10 @@ def qs285(spark: SparkSession, sf: str) -> DataFrame:
     e2 = e.select(F.col("s1").alias("b"), F.col("s2").alias("c"))
     e3 = e.select(F.col("s1").alias("a"), F.col("s2").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    # Explode-not-union: the triangle join is the second-most
+    # expensive subplan and a 3-way union would re-run it per leg.
     tn = (
-        tri.select(F.col("a").alias("v"))
-        .unionAll(tri.select(F.col("b").alias("v")))
-        .unionAll(tri.select(F.col("c").alias("v")))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("t"))
     )
@@ -1450,9 +1457,13 @@ def qs294(spark: SparkSession, sf: str) -> DataFrame:
 
     Determinism: edges, degrees, club memberships and within-club
     edge counts are exact integers; φ is one double division per k,
-    ROUND 4. Plan: the qs187-bounded pair projection and degree
-    aggregate run once; club joins broadcast the (k, node) list
-    (node-dimension-sized); output is 4 rows."""
+    ROUND 4. Plan: the qs187-bounded pair projection is the dominant
+    cost and the DAG references it via degrees (which club/cn/c1/c2
+    re-reference 3×) plus the within-club edge count — so the edge
+    table is materialized ONCE with an eager localCheckpoint (qs285/
+    qs249 precedent) and the node-dimension degree aggregate once
+    more on top; club joins broadcast the (k, node) list; output is
+    4 rows."""
     li = load_table(spark, sf, "lineitem")
     os_ = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
@@ -1465,13 +1476,18 @@ def qs294(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_w"))
         .filter(F.col("_w") >= 2)
         .select("s1", "s2")
+        .localCheckpoint(eager=True)
     )
     # Explode-not-union: one reference to the expensive pair
     # projection instead of two (each DAG reference re-evaluates it).
+    # Degrees are node-dimension-sized but club/cn/c1/c2 reference
+    # them 3x — checkpoint the tiny aggregate too so the explode+agg
+    # over the edge table runs once.
     deg = (
         e.select(F.explode(F.array("s1", "s2")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
     )
     ks = spark.createDataFrame([(2,), (4,), (8,), (16,)], ["k"])
     club = ks.join(deg, deg.d > ks.k).select("k", "node")
