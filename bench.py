@@ -171,7 +171,11 @@ def ingest(spark: SparkSession, sf_dir: str) -> str:
     # Layout fingerprint in the path: changing the ingest parameters
     # invalidates the cached warehouse instead of silently reusing the
     # old layout via its _SUCCESS markers.
-    cents = os.environ.get("SPARK_GRAFT_BENCH_CENTS") == "1"
+    # Derived kernel layout (sources/derived.py) defaults ON for the
+    # bench warehouse: measured 1.55x on qs161, 1.33x on qs157, 0.98x
+    # (neutral) on q2 at sf10 — set SPARK_GRAFT_BENCH_CENTS=0 to opt
+    # out (BASELINE.md r8 records the decision).
+    cents = os.environ.get("SPARK_GRAFT_BENCH_CENTS", "1") == "1"
     layout = (
         ("cents_" if cents else "")
         + f"r{INGEST_ROWS_PER_FILE}_"
