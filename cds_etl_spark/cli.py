@@ -18,12 +18,17 @@ flag, config key for config key:
 * ``--download_s3`` / ``--upload_s3``: raw-file transfer
   (sources/transfer.py), subfoldered by the O33 batch timestamp
   (:114-115, upload_files :82-104);
-* ``--pipeline_version 1.2``: EP3 — the v1.0/v1.2 seven-sheet workbook
+* ``--pipeline_version 1.2``: EP3 — the v1.2 seven-sheet workbook
   flow (`cds-transformation_v1.2.py:92-200`, pipeline_v12.py), where
   each batch file is a workbook (xlsx, or a ``*.book/`` directory of
   per-sheet tsv/csv/parquet files for the no-openpyxl path) and
   outputs are prefixed with the study's phs_accession instead of the
-  raw file name.
+  raw file name;
+* ``--pipeline_version 1.0``: the original two-workbook flow
+  (`cds-transformation.py:80-146`, pipeline_v10.py) — DATA_FILE1/
+  DATA_FILE2 name the workbooks directly, the headerless Study sheet
+  transposes + replicates, and the hard-coded add_properties table
+  wires the FKs; outputs are unprefixed ``<node>.tsv``.
 
 Beyond the reference: data files may be ``.tsv``/``.csv``/``.parquet``
 as well as ``.xlsx`` (the xlsx edge adapter needs openpyxl), and
@@ -296,6 +301,45 @@ def run_transform_v12(
     return written
 
 
+def run_transform_v10(
+    spark: SparkSession, config: dict, model: Model
+) -> dict[str, list[str]]:
+    """--pipeline_version 1.0: the original two-workbook flow
+    (`cds-transformation.py:80-146`). DATA_FILE1/DATA_FILE2 name the
+    workbooks directly (xlsx, or ``*.book`` directories of per-sheet
+    files); outputs are unprefixed ``<node>.tsv`` in OUTPUT_FOLDER."""
+    from cds_etl_spark.pipeline_v10 import (
+        FILE1_SHEETS,
+        FILE2_SHEETS,
+        CdsPipelineV10,
+        read_study_kv,
+    )
+
+    sheets: dict[str, DataFrame] = {}
+    for book_key, names in (("DATA_FILE1", FILE1_SHEETS), ("DATA_FILE2", FILE2_SHEETS)):
+        book = config[book_key]
+        for sheet in names:
+            df = read_sheet(spark, book, sheet)
+            if df is not None:
+                sheets[sheet] = df
+    study_kv = read_study_kv(spark, config["DATA_FILE2"])
+
+    pipe = CdsPipelineV10(model, config)
+    out_dir = config["OUTPUT_FOLDER"]
+    os.makedirs(out_dir, exist_ok=True)
+    written: dict[str, list[str]] = {"nodes": []}
+    try:
+        tables = pipe.run(sheets, study_kv)
+        for node, df in tables.items():
+            p = write_tsv_file(df, out_dir, node)
+            if p:
+                written["nodes"].append(p)
+                log.info("wrote %s (data node %s is created)", p, node)
+    finally:
+        pipe.unpersist()
+    return written
+
+
 def run_extract_dictionary_v12(
     spark: SparkSession, config: dict, model: Model
 ) -> str:
@@ -345,10 +389,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument(
         "--pipeline_version",
-        choices=["1.3", "1.2"],
+        choices=["1.3", "1.2", "1.0"],
         default="1.3",
         help="Reference generation to run: 1.3 (single-sheet metadata, "
-        "default) or 1.2 (seven-sheet workbook flow)",
+        "default), 1.2 (seven-sheet workbook flow) or 1.0 (two-workbook "
+        "flow with the hard-coded property table)",
     )
     return parser
 
@@ -373,10 +418,19 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             got = download_batch(spark, config)
             log.info("downloaded %d raw files", len(got))
         v12 = args.pipeline_version == "1.2"
+        v10 = args.pipeline_version == "1.0"
         if args.extract_raw_data_dictionary:
+            if v10:
+                raise SystemExit(
+                    "--extract_raw_data_dictionary is not part of the v1.0 "
+                    "generation (cds-transformation.py has no dictionary "
+                    "mode); use --pipeline_version 1.2 or 1.3"
+                )
             (run_extract_dictionary_v12 if v12 else run_extract_dictionary)(
                 spark, config, model
             )
+        elif v10:
+            run_transform_v10(spark, config, model)
         else:
             (run_transform_v12 if v12 else run_transform)(spark, config, model)
             if args.upload_s3:
