@@ -9,11 +9,16 @@ raising. mp4 remains gated (container + H.264 entropy decode is far
 outside a reasonable pure-numpy scope; JPEG is not).
 
 Encoder: quality-scaled Annex K quantization (IJG scaling), 4:4:4 or
-4:2:0 subsampling, standard Huffman tables, byte stuffing. Decoder:
-baseline sequential only (SOF0), arbitrary sampling factors (MCU
-interleave + nearest-neighbor upsample per JFIF), restart-marker
-aware, 8-bit precision. Progressive (SOF2) and arithmetic coding raise
-``NotImplementedError`` explicitly.
+4:2:0 subsampling, standard Huffman tables, byte stuffing; both
+baseline (``encode_jpeg``) and progressive (``encode_jpeg_progressive``
+— spectral selection + successive approximation per Annex G, the
+libjpeg default scan script). Decoder: baseline sequential (SOF0/1)
+AND progressive (SOF2) — multi-scan coefficient accumulation with
+DC-first/DC-refine/AC-first/AC-refine entropy decoders, EOB-run and
+correction-bit semantics per T.81 G.2 — arbitrary sampling factors
+(MCU interleave + nearest-neighbor upsample per JFIF),
+restart-marker aware, 8-bit precision. Arithmetic coding (SOF9-11)
+and hierarchical (SOF5-7) raise ``NotImplementedError`` explicitly.
 
 Everything vectorizes per 8x8 block batch through one einsum DCT; the
 only per-symbol Python loop is Huffman coding, which is inherent to
@@ -394,13 +399,399 @@ def encode_jpeg(
 
 
 # --------------------------------------------------------------------------
+# Progressive encoder (ITU-T T.81 Annex G — spectral selection +
+# successive approximation, Huffman entropy coding)
+# --------------------------------------------------------------------------
+
+#: libjpeg's default progressive scan script for 3 components
+#: (jcparam.c std_scan_script): (component indexes, Ss, Se, Ah, Al).
+#: Exercises all four scan kinds: interleaved DC first + refine,
+#: per-component AC first (split spectral bands for luma) and two
+#: levels of AC refinement for luma.
+DEFAULT_SCAN_SCRIPT: list[tuple[tuple[int, ...], int, int, int, int]] = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+def _emit_eobrun(
+    writer: _BitWriter, ac_codes: dict, eobrun: int, pending: list[int]
+) -> int:
+    """Emit an accumulated EOBn run (code = nbits<<4, appended low
+    bits) followed by the correction bits buffered for the run's
+    blocks (T.81 G.1.2.3 / jcphuff emit_eobrun)."""
+    if eobrun > 0:
+        nbits = eobrun.bit_length() - 1
+        code, length = ac_codes[nbits << 4]
+        writer.write(code, length)
+        if nbits:
+            writer.write(eobrun & ((1 << nbits) - 1), nbits)
+        for b in pending:
+            writer.write(b, 1)
+        pending.clear()
+    return 0
+
+
+def _encode_ac_first(
+    writer: _BitWriter,
+    ac_codes: dict,
+    blocks: list[np.ndarray],
+    ss: int,
+    se: int,
+    al: int,
+) -> None:
+    """AC first scan for one component (G.1.2.2): magnitudes
+    point-transformed by ``abs >> Al``, zero runs with ZRL, EOB runs
+    accumulated across blocks."""
+    eobrun = 0
+    nothing: list[int] = []
+    for zz in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            t = abs(v) >> al
+            if t == 0:
+                r += 1
+                continue
+            eobrun = _emit_eobrun(writer, ac_codes, eobrun, nothing)
+            while r > 15:
+                code, length = ac_codes[0xF0]
+                writer.write(code, length)
+                r -= 16
+            nbits = t.bit_length()
+            code, length = ac_codes[(r << 4) | nbits]
+            writer.write(code, length)
+            writer.write(t if v > 0 else (1 << nbits) - 1 - t, nbits)
+            r = 0
+        if r > 0:
+            # Emit EOB immediately (run length 1): the Annex K typical
+            # tables define only the EOB0 symbol (0x00) — EOBn run
+            # accumulation needs custom tables. Spec-valid, slightly
+            # larger output; the decoder handles arbitrary EOBn runs.
+            eobrun = _emit_eobrun(writer, ac_codes, eobrun + 1, nothing)
+    _emit_eobrun(writer, ac_codes, eobrun, nothing)
+
+
+def _encode_ac_refine(
+    writer: _BitWriter,
+    ac_codes: dict,
+    blocks: list[np.ndarray],
+    ss: int,
+    se: int,
+    al: int,
+) -> None:
+    """AC refinement scan for one component (G.1.2.3 / jcphuff
+    encode_mcu_AC_refine): newly-significant coefficients emit
+    (run, 1) + sign, history-nonzero coefficients emit one correction
+    bit each, buffered so they follow the symbol (or EOB run) that
+    the decoder reads before passing them."""
+    eobrun = 0
+    be_bits: list[int] = []   # correction bits owned by the EOB run
+    for zz in blocks:
+        tvals = {k: abs(int(zz[k])) >> al for k in range(ss, se + 1)}
+        eob_pos = max((k for k, t in tvals.items() if t == 1), default=-1)
+        br_bits: list[int] = []  # correction bits since the last symbol
+        r = 0
+        for k in range(ss, se + 1):
+            t = tvals[k]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob_pos:
+                eobrun = _emit_eobrun(writer, ac_codes, eobrun, be_bits)
+                code, length = ac_codes[0xF0]
+                writer.write(code, length)
+                r -= 16
+                for b in br_bits:
+                    writer.write(b, 1)
+                br_bits = []
+            if t > 1:
+                br_bits.append(t & 1)
+                continue
+            eobrun = _emit_eobrun(writer, ac_codes, eobrun, be_bits)
+            code, length = ac_codes[(r << 4) | 1]
+            writer.write(code, length)
+            writer.write(1 if int(zz[k]) > 0 else 0, 1)
+            for b in br_bits:
+                writer.write(b, 1)
+            br_bits = []
+            r = 0
+        if r > 0 or br_bits:
+            # EOB0 per block (see _encode_ac_first: the Annex K tables
+            # have no EOBn symbols), flushing this block's correction
+            # bits right after the EOB code.
+            be_bits.extend(br_bits)
+            eobrun = _emit_eobrun(writer, ac_codes, eobrun + 1, be_bits)
+    _emit_eobrun(writer, ac_codes, eobrun, be_bits)
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    scans: list[tuple[tuple[int, ...], int, int, int, int]] | None = None,
+) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB (or (H, W) grayscale) array as a
+    PROGRESSIVE JFIF JPEG (SOF2). Quantized coefficients are identical
+    to :func:`encode_jpeg` at the same quality/subsampling — only the
+    entropy layout differs — so both decode to identical pixels.
+    ``scans`` overrides the default libjpeg scan script; every scan is
+    (component indexes, Ss, Se, Ah, Al) and must follow T.81's rules
+    (DC scans may interleave, AC scans are single-component, a
+    refinement's Ah equals the previous Al for that band)."""
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    h, w, _ = arr.shape
+    rgb = arr.astype(np.float64)
+    y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128
+    cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128
+
+    if subsampling == "420":
+        hs = vs = 2
+        ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+        cb = _pad_to(cb, ph, pw).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cr = _pad_to(cr, ph, pw).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    elif subsampling == "444":
+        hs = vs = 1
+    else:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+
+    qt_l = _quality_scale(QT_LUMA, quality)
+    qt_c = _quality_scale(QT_CHROMA, quality)
+
+    mcu_h, mcu_w = 8 * vs, 8 * hs
+    yh = (h + mcu_h - 1) // mcu_h * mcu_h
+    yw = (w + mcu_w - 1) // mcu_w * mcu_w
+    yp = _pad_to(y, yh, yw)
+    ch = (yh // vs, yw // hs)
+    cbp = _pad_to(cb, *ch)
+    crp = _pad_to(cr, *ch)
+
+    def quantize(plane, qt):
+        blocks = _dct2(_to_blocks(plane - 128.0))
+        q = np.round(blocks / qt).astype(np.int32)
+        return q.reshape(-1, 64)[:, ZIGZAG]
+
+    quant = [quantize(yp, qt_l), quantize(cbp, qt_c), quantize(crp, qt_c)]
+    samp = [(hs, vs), (1, 1), (1, 1)]
+    grid_w = [yw // 8, ch[1] // 8, ch[1] // 8]     # blocks per row
+    # Non-interleaved dims (T.81 A.1.1: ceil over the component's own
+    # sample dims) — can be smaller than the MCU-padded grid.
+    ni_dims = [
+        (
+            -(-(h * v) // (vs * 8)),
+            -(-(w * hh) // (hs * 8)),
+        )
+        for hh, v in samp
+    ]
+
+    dc_codes = [
+        _build_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+        _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
+        _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
+    ]
+    ac_codes = [
+        _build_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+        _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS),
+        _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ]
+    mcus_x, mcus_y = yw // mcu_w, yh // mcu_h
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")                                    # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(qt_l.reshape(64)[ZIGZAG].astype(np.uint8)))
+    out += seg(0xFFDB, b"\x01" + bytes(qt_c.reshape(64)[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, (hs << 4) | vs, 0])                            # Y
+    sof += bytes([2, 0x11, 1])                                      # Cb
+    sof += bytes([3, 0x11, 1])                                      # Cr
+    out += seg(0xFFC2, sof)                                         # SOF2
+    for tc_th, bits, vals in (
+        (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
+        (0x10, AC_LUMA_BITS, AC_LUMA_VALS),
+        (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+        (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ):
+        out += seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+
+    for comp_idxs, ss, se, ah, al in (scans or DEFAULT_SCAN_SCRIPT):
+        writer = _BitWriter()
+        if ss == 0:                                # DC scan (se == 0)
+            if se != 0:
+                raise ValueError("DC scans must have Se == 0")
+            if ah == 0:
+                preds = {ci: 0 for ci in comp_idxs}
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        for ci in comp_idxs:
+                            hh, v = samp[ci]
+                            for by in range(v):
+                                for bx in range(hh):
+                                    i = (my * v + by) * grid_w[ci] + (mx * hh + bx)
+                                    t = int(quant[ci][i][0]) >> al
+                                    diff = t - preds[ci]
+                                    preds[ci] = t
+                                    cat = _category(diff)
+                                    code, length = dc_codes[ci][cat]
+                                    writer.write(code, length)
+                                    if cat:
+                                        bits = diff if diff > 0 else diff + (1 << cat) - 1
+                                        writer.write(bits, cat)
+            else:                                  # DC refinement: 1 bit/block
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        for ci in comp_idxs:
+                            hh, v = samp[ci]
+                            for by in range(v):
+                                for bx in range(hh):
+                                    i = (my * v + by) * grid_w[ci] + (mx * hh + bx)
+                                    writer.write((int(quant[ci][i][0]) >> al) & 1, 1)
+        else:                                      # AC scan: one component
+            if len(comp_idxs) != 1:
+                raise ValueError("AC scans must be single-component")
+            ci = comp_idxs[0]
+            nh, nw = ni_dims[ci]
+            blocks = [
+                quant[ci][by * grid_w[ci] + bx]
+                for by in range(nh)
+                for bx in range(nw)
+            ]
+            if ah == 0:
+                _encode_ac_first(writer, ac_codes[ci], blocks, ss, se, al)
+            else:
+                _encode_ac_refine(writer, ac_codes[ci], blocks, ss, se, al)
+        sos = bytes([len(comp_idxs)])
+        for ci in comp_idxs:
+            t = min(ci, 1)                         # 0: luma tables, 1: chroma
+            sos += bytes([ci + 1, (t << 4) | t])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xFFDA, sos)
+        out += writer.flush()
+    out += b"\xff\xd9"                                              # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
 # Decoder
 # --------------------------------------------------------------------------
 
 
+def _find_scan_end(data: bytes, start: int) -> int:
+    """Index of the first real marker (not stuffed 0xFF00, not RSTn)
+    after the entropy-coded data starting at ``start``."""
+    i = start
+    n = len(data) - 1
+    while i < n:
+        if data[i] == 0xFF:
+            nxt = data[i + 1]
+            if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+                return i
+        i += 1
+    return len(data)
+
+
+def _refine_nonzero(reader: _BitReader, coef: np.ndarray, k: int, p1: int, m1: int) -> None:
+    """One correction bit for an already-nonzero coefficient
+    (T.81 G.2.2): a 1-bit grows the magnitude by 2^Al."""
+    if reader.read_bit():
+        if not (int(coef[k]) & p1):
+            coef[k] += p1 if int(coef[k]) >= 0 else m1
+
+
+def _decode_ac_first_block(
+    reader: _BitReader,
+    ac_tab: dict,
+    coef: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huffman(reader, ac_tab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r < 15:                             # EOBn
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.receive(r)
+                break
+            k += 16                                # ZRL
+            continue
+        k += r
+        coef[k] = _extend(reader.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _decode_ac_refine_block(
+    reader: _BitReader,
+    ac_tab: dict,
+    coef: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huffman(reader, ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if r < 15:                         # EOBn: rest via EOB logic
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:                                  # s == 1 in refinements
+                newval = p1 if reader.read_bit() else m1
+            while k <= se:
+                if int(coef[k]) != 0:
+                    _refine_nonzero(reader, coef, k, p1, m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                coef[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:                             # trailing corrections
+            if int(coef[k]) != 0:
+                _refine_nonzero(reader, coef, k, p1, m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def decode_jpeg(content: bytes) -> np.ndarray:
-    """Decode a baseline sequential JFIF JPEG to (H, W, 3) uint8 RGB
-    (or (H, W) for single-component). Progressive/arithmetic raise."""
+    """Decode a baseline-sequential (SOF0/1) or progressive (SOF2)
+    JFIF JPEG to (H, W, 3) uint8 RGB (or (H, W) for single-component).
+    Progressive files accumulate coefficients across every scan —
+    DC/AC first and refinement passes per T.81 G.2 — and dequantize +
+    IDCT once at the end. Arithmetic-coded and hierarchical frames
+    raise ``NotImplementedError``."""
     data = content
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -408,10 +799,12 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], dict] = {}
     comps: list[dict] = []
-    h = w = 0
+    coeffs: dict[int, np.ndarray] = {}
+    h = w = hmax = vmax = mcus_x = mcus_y = 0
     restart_interval = 0
-    scan = None
-    while pos < len(data):
+    progressive = False
+    saw_scan = False
+    while pos < len(data) - 1:
         if data[pos] != 0xFF:
             pos += 1
             continue
@@ -441,7 +834,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 vals = list(payload[p + 17:p + 17 + n])
                 htabs[(tc, th)] = _build_decoder(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:
+        elif marker in (0xC0, 0xC1, 0xC2):
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -451,83 +845,72 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                c["gh"], c["gw"] = mcus_y * c["v"], mcus_x * c["h"]
+                c["nh"] = -(-(h * c["v"]) // (vmax * 8))
+                c["nw"] = -(-(w * c["h"]) // (hmax * 8))
+                coeffs[c["id"]] = np.zeros(
+                    (c["gh"], c["gw"], 64), dtype=np.int32
+                )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0xFF{marker:02X})"
+                f"unsupported JPEG frame type (SOF marker 0xFF{marker:02X})"
             )
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:
+            if not comps:
+                raise ValueError("SOS before SOF")
             ns = payload[0]
             scan_comps = []
             for i in range(ns):
                 cs, tdta = payload[1 + 2 * i], payload[2 + 2 * i]
                 comp = next(c for c in comps if c["id"] == cs)
                 scan_comps.append((comp, tdta >> 4, tdta & 0xF))
-            scan = (scan_comps, pos + seglen)
-            break
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ahal = payload[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            entropy_start = pos + seglen
+            end = _find_scan_end(data, entropy_start)
+            reader = _BitReader(data[entropy_start:end])
+            _decode_scan(
+                reader, scan_comps, coeffs, htabs,
+                ss, se, ah, al, progressive,
+                mcus_x, mcus_y, restart_interval,
+            )
+            saw_scan = True
+            pos = end
+            continue
         pos += seglen
-    if scan is None:
+    if not saw_scan:
         raise ValueError("no SOS marker found")
 
-    scan_comps, entropy_start = scan
-    hmax = max(c["h"] for c, _, _ in scan_comps)
-    vmax = max(c["v"] for c, _, _ in scan_comps)
-    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
-    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
-
-    planes = {}
-    for c, _, _ in scan_comps:
-        cw, chh = mcus_x * c["h"] * 8, mcus_y * c["v"] * 8
-        planes[c["id"]] = np.zeros((chh // 8, cw // 8, 8, 8), dtype=np.float64)
-
-    reader = _BitReader(data[entropy_start:])
-    preds = {c["id"]: 0 for c, _, _ in scan_comps}
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.sync_restart()
-                preds = {k: 0 for k in preds}
-            mcu_count += 1
-            for c, td, ta in scan_comps:
-                dc_tab, ac_tab = htabs[(0, td)], htabs[(1, ta)]
-                qt = qtabs[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int32)
-                        cat = _decode_huffman(reader, dc_tab)
-                        diff = _extend(reader.receive(cat), cat)
-                        preds[c["id"]] += diff
-                        zz[0] = preds[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_huffman(reader, ac_tab)
-                            if rs == 0x00:          # EOB
-                                break
-                            if rs == 0xF0:          # ZRL
-                                k += 16
-                                continue
-                            k += rs >> 4
-                            cat = rs & 0xF
-                            zz[k] = _extend(reader.receive(cat), cat)
-                            k += 1
-                        block = zz[UNZIGZAG].reshape(8, 8) * qt
-                        planes[c["id"]][my * c["v"] + by, mx * c["h"] + bx] = block
-
     out_planes = {}
-    for c, _, _ in scan_comps:
-        p = planes[c["id"]]
-        bh, bw = p.shape[:2]
-        pix = _idct2(p).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
-        # Upsample to full resolution (JFIF nearest/replicate), crop.
-        pix = np.repeat(np.repeat(pix, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+    for c in comps:
+        zz = coeffs[c["id"]]
+        qt = qtabs[c["tq"]]
+        nat = zz[:, :, UNZIGZAG].reshape(c["gh"], c["gw"], 8, 8) * qt
+        pix = (
+            _idct2(nat.astype(np.float64))
+            .transpose(0, 2, 1, 3)
+            .reshape(c["gh"] * 8, c["gw"] * 8)
+            + 128.0
+        )
+        pix = np.repeat(
+            np.repeat(pix, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
         out_planes[c["id"]] = pix[:h, :w]
 
     if len(out_planes) == 1:
         g = np.clip(next(iter(out_planes.values())), 0, 255)
-        return g.astype(np.uint8)
-    y, cb, cr = (out_planes[c["id"]] for c, _, _ in scan_comps[:3])
+        return np.round(g).astype(np.uint8)
+    y, cb, cr = (out_planes[c["id"]] for c in comps[:3])
     cb = cb - 128.0
     cr = cr - 128.0
     r = y + 1.402 * cr
@@ -535,3 +918,103 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_scan(
+    reader: _BitReader,
+    scan_comps: list[tuple[dict, int, int]],
+    coeffs: dict[int, np.ndarray],
+    htabs: dict,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    progressive: bool,
+    mcus_x: int,
+    mcus_y: int,
+    restart_interval: int,
+) -> None:
+    """Decode one entropy-coded scan into the coefficient arrays.
+
+    Baseline: the classic interleaved DC+AC MCU loop. Progressive:
+    one of four kinds keyed on (Ss, Ah) — DC first/refine (MCU
+    order when interleaved, the component's non-interleaved raster
+    when ns == 1) and AC first/refine (always non-interleaved)."""
+    if not progressive or ss == 0:
+        # MCU-ordered scans. ns == 1 uses the component's own
+        # non-interleaved block raster (T.81 A.2.2).
+        interleaved = len(scan_comps) > 1
+        preds = {c["id"]: 0 for c, _, _ in scan_comps}
+        if interleaved:
+            units = mcus_x * mcus_y
+
+            def unit_blocks(u):
+                my, mx = divmod(u, mcus_x)
+                for c, td, ta in scan_comps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            yield c, td, ta, my * c["v"] + by, mx * c["h"] + bx
+        else:
+            c0, td0, ta0 = scan_comps[0]
+            units = c0["nh"] * c0["nw"]
+
+            def unit_blocks(u):
+                by, bx = divmod(u, c0["nw"])
+                yield c0, td0, ta0, by, bx
+
+        for u in range(units):
+            if restart_interval and u and u % restart_interval == 0:
+                reader.sync_restart()
+                preds = {k: 0 for k in preds}
+            for c, td, ta, by, bx in unit_blocks(u):
+                coef = coeffs[c["id"]][by, bx]
+                if not progressive:
+                    dc_tab, ac_tab = htabs[(0, td)], htabs[(1, ta)]
+                    cat = _decode_huffman(reader, dc_tab)
+                    diff = _extend(reader.receive(cat), cat)
+                    preds[c["id"]] += diff
+                    coef[0] = preds[c["id"]]
+                    k = 1
+                    while k <= 63:
+                        rs = _decode_huffman(reader, ac_tab)
+                        if rs == 0x00:             # EOB
+                            break
+                        if rs == 0xF0:             # ZRL
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        s = rs & 0xF
+                        coef[k] = _extend(reader.receive(s), s)
+                        k += 1
+                elif ah == 0:                      # DC first
+                    cat = _decode_huffman(reader, htabs[(0, td)])
+                    diff = _extend(reader.receive(cat), cat)
+                    preds[c["id"]] += diff
+                    coef[0] = preds[c["id"]] << al
+                else:                              # DC refine: 1 bit
+                    coef[0] = int(coef[0]) | (reader.read_bit() << al)
+        return
+
+    # Progressive AC scans: single component, non-interleaved raster.
+    if len(scan_comps) != 1:
+        raise ValueError("progressive AC scans must be single-component")
+    c, _, ta = scan_comps[0]
+    ac_tab = htabs[(1, ta)]
+    grid = coeffs[c["id"]]
+    eobrun = 0
+    u = 0
+    for by in range(c["nh"]):
+        for bx in range(c["nw"]):
+            if restart_interval and u and u % restart_interval == 0:
+                reader.sync_restart()
+                eobrun = 0
+            u += 1
+            coef = grid[by, bx]
+            if ah == 0:
+                eobrun = _decode_ac_first_block(
+                    reader, ac_tab, coef, ss, se, al, eobrun
+                )
+            else:
+                eobrun = _decode_ac_refine_block(
+                    reader, ac_tab, coef, ss, se, al, eobrun
+                )

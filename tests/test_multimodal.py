@@ -350,11 +350,94 @@ def test_jpeg_grayscale_input_and_guards():
     assert _psnr(np.stack([g] * 3, -1), dec) > 35
     with _pytest.raises(ValueError):
         decode_jpeg(b"JUNKJUNK")
-    # Progressive SOF2 must raise explicitly, not mis-decode: craft a
-    # minimal stream whose first segment is SOF2.
-    sof2 = b"\xff\xd8" + b"\xff\xc2" + b"\x00\x0b" + bytes(9) + b"\xff\xd9"
+    # Arithmetic-coded SOF9 must raise explicitly, not mis-decode:
+    # craft a minimal stream whose first segment is SOF9. (Progressive
+    # SOF2 is now implemented — see the test below.)
+    sof9 = b"\xff\xd8" + b"\xff\xc9" + b"\x00\x0b" + b"\x08" + bytes(8) + b"\xff\xd9"
     with _pytest.raises(NotImplementedError):
-        decode_jpeg(sof2)
+        decode_jpeg(sof9)
+
+
+def test_jpeg_progressive_decodes_identical_to_baseline():
+    # Progressive (SOF2) and baseline encodes share the same quantized
+    # coefficients at a given quality/subsampling — only the entropy
+    # layout differs — so decode must be BIT-IDENTICAL, which exercises
+    # every progressive scan kind in the default script (interleaved
+    # DC first + refine, split-band AC first, two AC refinement
+    # levels) against the reference baseline path.
+    from cds_etl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:41, 0:53]
+    img = np.stack(
+        [(xx * 3 + yy * 2) % 256, (255 - xx * 4) % 256,
+         ((xx // 8) * 40 + (yy // 8) * 30) % 256], axis=-1
+    ).astype(np.uint8)
+    img[10:20, 10:20] = rng.integers(0, 256, (10, 10, 3), dtype=np.uint8)
+    for ss in ("444", "420"):
+        for q in (50, 85, 95):
+            base = decode_jpeg(encode_jpeg(img, quality=q, subsampling=ss))
+            prog = decode_jpeg(
+                encode_jpeg_progressive(img, quality=q, subsampling=ss)
+            )
+            assert np.array_equal(base, prog), (ss, q)
+
+
+def test_jpeg_progressive_custom_script_and_grayscale():
+    from cds_etl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (21, 37, 3)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=80))
+    # A different valid script (no successive approximation at all:
+    # single DC scan + one full-band AC scan per component).
+    flat_script = [
+        ((0, 1, 2), 0, 0, 0, 0),
+        ((0,), 1, 63, 0, 0),
+        ((1,), 1, 63, 0, 0),
+        ((2,), 1, 63, 0, 0),
+    ]
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, quality=80, scans=flat_script)
+    )
+    assert np.array_equal(base, prog)
+    # Deeper successive approximation than the default (3 levels).
+    deep_script = [
+        ((0, 1, 2), 0, 0, 0, 3),
+        ((0,), 1, 63, 0, 3),
+        ((1,), 1, 63, 0, 3),
+        ((2,), 1, 63, 0, 3),
+        ((0, 1, 2), 0, 0, 3, 2),
+        ((0,), 1, 63, 3, 2),
+        ((1,), 1, 63, 3, 2),
+        ((2,), 1, 63, 3, 2),
+        ((0, 1, 2), 0, 0, 2, 1),
+        ((0,), 1, 63, 2, 1),
+        ((1,), 1, 63, 2, 1),
+        ((2,), 1, 63, 2, 1),
+        ((0, 1, 2), 0, 0, 1, 0),
+        ((0,), 1, 63, 1, 0),
+        ((1,), 1, 63, 1, 0),
+        ((2,), 1, 63, 1, 0),
+    ]
+    deep = decode_jpeg(
+        encode_jpeg_progressive(img, quality=80, scans=deep_script)
+    )
+    assert np.array_equal(base, deep)
+    # Grayscale input upconverts to 3 components, same as baseline.
+    g = (np.mgrid[0:19, 0:23][0] * 9 % 256).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, quality=90)),
+        decode_jpeg(encode_jpeg_progressive(g, quality=90)),
+    )
 
 
 def test_jpeg_bitstream_structure_parses():
