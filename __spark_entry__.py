@@ -41,8 +41,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # the staged queue — the session-4 round-6 additions qs207-qs240 (34),
 # the five deferred r03-green entries qs46/qs48/qs66/qs82/qs89, and the
 # front of the round-7 additions qs241-qs251 (11) — exactly as the r7
-# verdict's task 1 prescribed. The remainder (qs252-qs302, 51 entries)
-# is staged in order for r09's window.
+# verdict's task 1 prescribed. The remainder (qs252-qs302, 51 entries,
+# plus the round-8 additions qs303-qs308 — 57 staged total) queues in
+# order for r09's window with the tail spilling to r10.
 # Every name below MUST exist in the registry — tests/test_sql_surface.py
 # asserts set(_GRADE_FIRST) <= set(QUERIES) so a typo fails loudly instead
 # of silently falling back to registration order (the r03 defect).
@@ -151,6 +152,13 @@ _GRADE_FIRST = [
     "qs300_validation_scorecard",
     "qs301_theils_u",
     "qs302_runs_test",
+    # -- round-8 additions --
+    "qs303_durbin_watson",
+    "qs304_moods_median",
+    "qs305_mann_kendall",
+    "qs306_grubbs_outlier",
+    "qs307_gini_balances",
+    "qs308_split_leakage",
     # -- already officially graded (r07 window, 50/50 green): rotated
     #    to the back of the queue --
     "qs157_perplexity_buckets",

@@ -18,7 +18,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cds_etl_spark.catalog import load_table
-from cds_etl_spark.operators.prefix import bucketed_prefix_sum
+from cds_etl_spark.operators.prefix import (
+    bucketed_prefix_sum,
+    bucketed_row_number,
+)
 from cds_etl_spark.plans.registry import query
 
 # --------------------------------------------------------------------------
@@ -588,4 +591,92 @@ def qs287(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
         )
         .orderBy("t")
+    )
+
+
+# --------------------------------------------------------------------------
+# qs307 per-nation Gini concentration of positive customer balances
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs307_gini_balances",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey,
+             CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents,
+             c_custkey
+      FROM customer WHERE c_acctbal > 0),
+    r AS (
+      SELECT c_nationkey, cents,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY cents, c_custkey) AS rn
+      FROM c),
+    g AS (
+      SELECT c_nationkey, COUNT(*) AS n,
+             SUM(CAST(cents AS HUGEINT)) AS s,
+             SUM(CAST(rn AS HUGEINT) * cents) AS w
+      FROM r GROUP BY 1)
+    SELECT n_name AS nation,
+           CAST(g.n AS BIGINT) AS n_customers,
+           ROUND(CAST(2 * g.w - (g.n + 1) * g.s AS DOUBLE)
+                 / CAST(g.n * g.s AS DOUBLE), 4) AS gini
+    FROM g JOIN nation ON n_nationkey = g.c_nationkey
+    ORDER BY nation
+    """,
+)
+def qs307(spark: SparkSession, sf: str) -> DataFrame:
+    """PER-NATION GINI COEFFICIENT of positive customer balances:
+    G = (2Σᵢ i·yᵢ − (n+1)Σy)/(nΣy) over the balance-sorted sequence —
+    the single-number concentration summary behind qs189's Lorenz
+    deciles (deciles show the curve's shape; Gini ranks nations by
+    inequality in one sortable column).
+
+    Determinism: ranks come from a TOTAL order (cents, custkey — no
+    ties), so Σ i·yᵢ is an exact DECIMAL(38)/HUGEINT integer and G is
+    one double division per nation, ROUND 4. Plan: the rank is
+    :func:`operators.prefix.bucketed_row_number` partitioned by
+    nation — range buckets on the cents key spread each nation's
+    sort across tasks instead of the oracle's one-task-per-nation
+    window, bit-identical by construction (the total order has no
+    ties for buckets to split)."""
+    c = (
+        load_table(spark, sf, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(
+            "c_nationkey",
+            F.round(F.col("c_acctbal") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+            "c_custkey",
+        )
+    )
+    r = bucketed_row_number(
+        c, "cents", ["cents", "c_custkey"], "rn",
+        part_cols=("c_nationkey",),
+    )
+    dec38 = "decimal(38,0)"
+    g = r.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents").cast(dec38)).alias("s"),
+        F.sum(F.col("rn").cast(dec38) * F.col("cents")).alias("w"),
+    )
+    nat = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("nation"),
+    )
+    return (
+        g.join(F.broadcast(nat), "c_nationkey")
+        .select(
+            "nation",
+            F.col("n").cast("long").alias("n_customers"),
+            F.round(
+                (
+                    2 * F.col("w") - (F.col("n") + 1) * F.col("s")
+                ).cast("double")
+                / (F.col("n").cast(dec38) * F.col("s")).cast("double"),
+                4,
+            ).alias("gini"),
+        )
+        .orderBy("nation")
     )

@@ -444,3 +444,110 @@ def qs293(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+# --------------------------------------------------------------------------
+# qs308 split-leakage audit: near-dup pairs that cross hash-split folds
+# --------------------------------------------------------------------------
+
+# Same md5 bucket as operators/sampling.hash_bucket (qs65/qs66 oracle
+# family) — restated here so the dedup module needs no cross-module
+# import (plans import order IS registration order).
+_SPLIT_BK = "('0x' || substr(md5(doc_id || '|split'), 1, 8))::BIGINT % 1000000"
+
+
+@query(
+    "qs308_split_leakage",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (SELECT doc_id, shset, [{_MINHASH_SIG_SQL}] AS sg FROM sh),
+    bands AS (
+      SELECT doc_id,
+        [md5(sg[1]||','||sg[2]||','||sg[3]), md5(sg[4]||','||sg[5]||','||sg[6]),
+         md5(sg[7]||','||sg[8]||','||sg[9]), md5(sg[10]||','||sg[11]||','||sg[12])] AS bk
+      FROM bands_src
+    ),
+    exploded AS (
+      SELECT doc_id, g.i AS bi, bk[g.i] AS key
+      FROM bands, (SELECT unnest(range(1,5)) AS i) g
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM exploded a JOIN exploded b
+        ON a.bi = b.bi AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT cand.d1, cand.d2,
+        {_JACCARD_SQL.format(a='sa.shset', b='sb.shset')} AS jac
+      FROM cand JOIN sh sa ON cand.d1 = sa.doc_id
+                JOIN sh sb ON cand.d2 = sb.doc_id
+      WHERE {_JACCARD_SQL.format(a='sa.shset', b='sb.shset')} >= 0.5
+    ),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN {_SPLIT_BK} < 800000 THEN 'train'
+                  WHEN {_SPLIT_BK} < 900000 THEN 'val'
+                  ELSE 'test' END AS s
+      FROM documents
+    )
+    SELECT least(sa.s, sb.s) || '|' || greatest(sa.s, sb.s) AS split_pair,
+           COUNT(*) AS n_pairs,
+           SUM(CAST(FLOOR(pairs.jac * 10000) AS BIGINT)) AS sum_jac_bp
+    FROM pairs JOIN sp sa ON pairs.d1 = sa.doc_id
+               JOIN sp sb ON pairs.d2 = sb.doc_id
+    WHERE sa.s <> sb.s
+    GROUP BY 1 ORDER BY split_pair
+    """.replace("FROM bands_src", "FROM sig"),
+)
+def qs308(spark: SparkSession, sf: str) -> DataFrame:
+    """TRAIN/TEST SPLIT-LEAKAGE AUDIT: near-duplicate document pairs
+    whose members land in DIFFERENT hash-split folds — the
+    contamination every LLM training pipeline must audit before
+    trusting held-out metrics (a test document with a train-side
+    near-dup leaks the answer). Composes the qs66 hash-split
+    assignment with the qs55 MinHash-LSH near-dup pairs: banded LSH
+    finds the pairs (no all-pairs), the split label joins on the
+    doc dimension, and leakage aggregates per fold pair.
+
+    Determinism: fold assignment and the band/signature family are
+    the portable md5 contract (bit-identical across engines); the
+    per-pair Jaccard is an exact integer ratio and both engines
+    compute the SAME IEEE double, so FLOOR(jac·10⁴) is exact — sums
+    are integers, no rounding anywhere. Plan: shingles/signatures
+    are paid once (the qs55 path); only (id, band-key) pairs and
+    the doc-dimension split table shuffle."""
+    from cds_etl_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    sp = hash_split(
+        docs.select("doc_id"),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="split",
+    )
+    j = (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("d1"), F.col("split").alias("sa")),
+            "d1",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("d2"), F.col("split").alias("sb")),
+            "d2",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+    )
+    return (
+        j.select(
+            F.concat_ws(
+                "|", F.least("sa", "sb"), F.greatest("sa", "sb")
+            ).alias("split_pair"),
+            F.floor(F.col("jac") * 10000).cast("long").alias("jbp"),
+        )
+        .groupBy("split_pair")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("jbp").alias("sum_jac_bp"),
+        )
+        .orderBy("split_pair")
+    )

@@ -1789,3 +1789,377 @@ def qs302(spark: SparkSession, sf: str) -> DataFrame:
         F.round(er, 4).alias("expected_runs"),
         F.round((F.col("r") - er) / F.sqrt(vr), 4).alias("z"),
     )
+
+
+# --------------------------------------------------------------------------
+# qs303 Durbin–Watson autocorrelation of monthly-trend residuals
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs303_durbin_watson",
+    oracle="""
+    WITH m AS (
+      SELECT (YEAR(o_orderdate) - 1992) * 12 + MONTH(o_orderdate) AS t,
+             COUNT(*) AS y
+      FROM orders GROUP BY 1),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(t) AS sx, SUM(y) AS sy,
+             SUM(t * t) AS sxx, SUM(CAST(t AS HUGEINT) * y) AS sxy
+      FROM m),
+    e AS (
+      SELECT m.t,
+             (s.n * s.sxx - s.sx * s.sx) * CAST(m.y AS HUGEINT)
+             - (s.sy * s.sxx - s.sx * s.sxy)
+             - (s.n * s.sxy - s.sx * s.sy) * m.t AS e
+      FROM m CROSS JOIN s),
+    d AS (
+      SELECT SUM(e * e) AS see,
+             SUM(CASE WHEN pe IS NULL THEN CAST(0 AS HUGEINT)
+                      ELSE (e - pe) * (e - pe) END) AS sdd
+      FROM (SELECT e, LAG(e) OVER (ORDER BY t) AS pe FROM e))
+    SELECT CAST(s.n AS BIGINT) AS n_months,
+           ROUND(CAST(d.sdd AS DOUBLE) / CAST(d.see AS DOUBLE), 4) AS dw,
+           ROUND(1.0 - CAST(d.sdd AS DOUBLE) / CAST(d.see AS DOUBLE) / 2.0, 4)
+             AS rho1
+    FROM s CROSS JOIN d
+    """,
+)
+def qs303(spark: SparkSession, sf: str) -> DataFrame:
+    """DURBIN–WATSON statistic on the residuals of the monthly
+    order-count trend: dw ≈ 2 means uncorrelated residuals, dw → 0
+    positive autocorrelation (momentum/regimes the OLS trend misses),
+    dw → 4 negative (oscillation) — the regression-residual
+    companion to qs204's raw autocorrelation and qs302's runs test,
+    with rho1 ≈ 1 − dw/2 reported alongside.
+
+    Determinism (qs272 doctrine): the residuals are kept in the
+    EXACT integer domain — e_t·D = D·y_t − (SyСxx − SxСxy) −
+    (nСxy − SxСy)·t where D = nΣt²−(Σt)², all integer sums — so
+    Σe² and Σ(Δe)² are exact DECIMAL(38)/HUGEINT integers (D² cancels
+    in the ratio) and only ONE double division feeds each ROUND 4.
+    Plan: one grouped scan → calendar-sized epilogue (the LAG window
+    runs over ~84 month rows)."""
+    o = load_table(spark, sf, "orders")
+    m = o.groupBy(
+        (
+            (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate")
+        ).alias("t")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = m.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).alias("sxx"),
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+    )
+    e = m.crossJoin(F.broadcast(s)).select(
+        "t",
+        (
+            (dec("n") * dec("sxx") - dec("sx") * dec("sx")) * dec("y")
+            - (dec("sy") * dec("sxx") - dec("sx") * dec("sxy"))
+            - (dec("n") * dec("sxy") - dec("sx") * dec("sy")) * dec("t")
+        ).alias("e"),
+    )
+    lagw = Window.orderBy("t")
+    d = e.withColumn("pe", F.lag("e").over(lagw)).agg(
+        F.sum(F.col("e") * F.col("e")).alias("see"),
+        F.sum(
+            F.when(F.col("pe").isNull(), F.lit(0).cast("decimal(38,0)"))
+            .otherwise((F.col("e") - F.col("pe")) * (F.col("e") - F.col("pe")))
+        ).alias("sdd"),
+    )
+    return s.crossJoin(F.broadcast(d)).select(
+        F.col("n").cast("long").alias("n_months"),
+        F.round(
+            F.col("sdd").cast("double") / F.col("see").cast("double"), 4
+        ).alias("dw"),
+        F.round(
+            1.0 - F.col("sdd").cast("double") / F.col("see").cast("double") / 2.0,
+            4,
+        ).alias("rho1"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs304 Mood's median test: quantity medians across return flags
+# --------------------------------------------------------------------------
+
+
+def _mood_chi2_sql(flags: tuple[str, ...]) -> str:
+    """Σ (O − R·C/N)²/(R·C/N) over the 2×k above/at-or-below table,
+    written as one fixed expression tree (identical on both engines)."""
+    ca = " + ".join(f"a_{f}" for f in flags)
+    cb = " + ".join(f"b_{f}" for f in flags)
+    terms = []
+    for f in flags:
+        row = f"(a_{f} + b_{f})"
+        for o, ctot in ((f"a_{f}", ca), (f"b_{f}", cb)):
+            e = f"(CAST({row} AS DOUBLE) * ({ctot}) / n)"
+            terms.append(f"(({o} - {e}) * ({o} - {e}) / {e})")
+    return " + ".join(terms)
+
+
+_MOOD_FLAGS = ("A", "N", "R")
+
+
+@query(
+    "qs304_moods_median",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q, COUNT(*) AS c
+      FROM lineitem GROUP BY 1),
+    med AS (
+      SELECT MIN(q) AS m FROM (
+        SELECT q, SUM(c) OVER (ORDER BY q) AS cum, SUM(c) OVER () AS nn
+        FROM v) x
+      WHERE cum >= (nn + 1) // 2),
+    cells AS (
+      SELECT {", ".join(
+        f"SUM(CASE WHEN l_returnflag = '{f}' AND l_quantity > med.m THEN 1 ELSE 0 END) AS a_{f}, "
+        f"SUM(CASE WHEN l_returnflag = '{f}' AND l_quantity <= med.m THEN 1 ELSE 0 END) AS b_{f}"
+        for f in _MOOD_FLAGS)},
+        COUNT(*) AS n, MIN(med.m) AS median_qty
+      FROM lineitem CROSS JOIN med)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(median_qty AS BIGINT) AS median_qty,
+           ROUND({_mood_chi2_sql(_MOOD_FLAGS)}, 4) AS chi2
+    FROM cells
+    """,
+)
+def qs304(spark: SparkSession, sf: str) -> DataFrame:
+    """MOOD'S MEDIAN TEST: do the three return-flag populations share
+    a common quantity median? Nonparametric k-sample location test —
+    the median-based screen beside qs271's rank-based Kruskal–Wallis
+    (robust to heavy tails where KW is not). The grand median is the
+    exact type-1 order statistic; the 2×3 above/at-or-below table
+    feeds a χ² with 2 df.
+
+    Determinism: the median comes from the 50-value distinct-count
+    table (integer cumulative counts), all six cells are exact
+    integer counts pivoted into ONE row, and the χ² is a fixed
+    scalar double tree written identically on both engines, ROUND 4.
+    Plan: two grouped scans (value grid, then the cells) — the
+    cumulative window runs over 50 distinct quantities."""
+    li = load_table(spark, sf, "lineitem")
+    v = li.groupBy(F.col("l_quantity").cast("long").alias("q")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cumw = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    med = (
+        v.withColumn("cum", F.sum("c").over(cumw))
+        .withColumn("nn", F.sum("c").over(Window.partitionBy()))
+        .filter(F.col("cum") >= (F.col("nn") + 1) / 2)
+        .agg(F.min("q").alias("m"))
+    )
+    cells = li.crossJoin(F.broadcast(med)).agg(
+        *[
+            agg
+            for f in _MOOD_FLAGS
+            for agg in (
+                F.sum(
+                    F.when(
+                        (F.col("l_returnflag") == f)
+                        & (F.col("l_quantity") > F.col("m")),
+                        1,
+                    ).otherwise(0)
+                ).alias(f"a_{f}"),
+                F.sum(
+                    F.when(
+                        (F.col("l_returnflag") == f)
+                        & (F.col("l_quantity") <= F.col("m")),
+                        1,
+                    ).otherwise(0)
+                ).alias(f"b_{f}"),
+            )
+        ],
+        F.count(F.lit(1)).alias("n"),
+        F.min("m").alias("median_qty"),
+    )
+    return cells.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("median_qty").cast("long").alias("median_qty"),
+        F.round(F.expr(_mood_chi2_sql(_MOOD_FLAGS)), 4).alias("chi2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs305 Mann–Kendall trend test on monthly revenue
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs305_mann_kendall",
+    oracle="""
+    WITH m AS (
+      SELECT (YEAR(o_orderdate) - 1992) * 12 + MONTH(o_orderdate) AS t,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS y
+      FROM orders GROUP BY 1),
+    s AS (
+      SELECT SUM(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+                      ELSE 0 END) AS s
+      FROM m a JOIN m b ON a.t < b.t),
+    ties AS (
+      SELECT COALESCE(SUM(CAST(c AS HUGEINT) * (c - 1) * (2 * c + 5)), 0) AS tt
+      FROM (SELECT y, COUNT(*) AS c FROM m GROUP BY y HAVING COUNT(*) > 1)),
+    n AS (SELECT COUNT(*) AS n FROM m)
+    SELECT CAST(n.n AS BIGINT) AS n_months,
+           CAST(s.s AS BIGINT) AS s,
+           ROUND(
+             CASE WHEN s.s > 0 THEN (s.s - 1) ELSE (s.s + 1) END
+             / sqrt((CAST(n.n AS HUGEINT) * (n.n - 1) * (2 * n.n + 5)
+                     - ties.tt) / CAST(18 AS DOUBLE)), 4) AS z
+    FROM n CROSS JOIN s CROSS JOIN ties
+    """,
+)
+def qs305(spark: SparkSession, sf: str) -> DataFrame:
+    """MANN–KENDALL TREND TEST on monthly revenue: S = Σ_{i<j}
+    sign(y_j − y_i) with the tie-corrected normal approximation —
+    the nonparametric monotone-trend screen beside qs298's
+    Jonckheere (ordered GROUPS) and qs205's Theil–Sen (slope
+    estimate); this is the classical is-there-a-trend-at-all test
+    run before fitting anything.
+
+    Determinism: monthly cent totals, S, and the tie term are exact
+    integers; z is one fixed double tree (continuity-corrected
+    S∓1, √ IEEE-exact), ROUND 4. Plan: one grouped scan → the pair
+    join runs over the ~84-row month grid (≈3.5k pairs), never the
+    corpus."""
+    o = load_table(spark, sf, "orders")
+    m = o.groupBy(
+        (
+            (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate")
+        ).alias("t")
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        ).alias("y")
+    )
+    a, b = m.alias("a"), m.alias("b")
+    s = (
+        a.join(b, F.col("a.t") < F.col("b.t"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.y") > F.col("a.y"), 1)
+                .when(F.col("b.y") < F.col("a.y"), -1)
+                .otherwise(0)
+            ).alias("s")
+        )
+    )
+    ties = (
+        m.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("c").cast("decimal(38,0)")
+                    * (F.col("c") - 1)
+                    * (2 * F.col("c") + 5)
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("tt")
+        )
+    )
+    n = m.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        n.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("n").cast("long").alias("n_months"),
+            F.col("s").cast("long").alias("s"),
+            F.round(
+                F.when(F.col("s") > 0, F.col("s") - 1)
+                .otherwise(F.col("s") + 1)
+                / F.sqrt(
+                    (
+                        F.col("n").cast("decimal(38,0)")
+                        * (F.col("n") - 1)
+                        * (2 * F.col("n") + 5)
+                        - F.col("tt")
+                    ).cast("double")
+                    / 18.0
+                ),
+                4,
+            ).alias("z"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# qs306 Grubbs' outlier statistic on monthly revenue
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs306_grubbs_outlier",
+    oracle="""
+    WITH m AS (
+      SELECT (YEAR(o_orderdate) - 1992) * 12 + MONTH(o_orderdate) AS t,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS y
+      FROM orders GROUP BY 1),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM m),
+    d AS (
+      SELECT MAX(ABS(s.n * CAST(m.y AS HUGEINT) - s.sy)) AS maxdev
+      FROM m CROSS JOIN s)
+    SELECT CAST(s.n AS BIGINT) AS n_months,
+           CAST(d.maxdev AS BIGINT) AS max_abs_dev_n,
+           ROUND(
+             (CAST(d.maxdev AS DOUBLE) / s.n)
+             / sqrt(CAST(s.n * s.syy - s.sy * s.sy AS DOUBLE)
+                    / (CAST(s.n AS DOUBLE) * (s.n - 1))), 4) AS g
+    FROM s CROSS JOIN d
+    """,
+)
+def qs306(spark: SparkSession, sf: str) -> DataFrame:
+    """GRUBBS' OUTLIER STATISTIC G = max|y − ȳ|/s on the monthly
+    revenue series — the single-most-discordant-month screen the
+    reporting pipeline runs before publishing a trend (one bad
+    backfill month shows up here before it skews qs202's OLS).
+    Companion to qs239's per-row Tukey fences: Grubbs is the
+    series-level studentized extreme.
+
+    Determinism: the deviation is kept integer-exact as
+    |n·y − Σy| (max over months — no rational mean), moments are
+    exact DECIMAL(38)/HUGEINT sums, and G is one fixed double tree
+    over the one-row pivot, ROUND 4 (√ IEEE-exact). Plan: one
+    grouped scan → month-grid epilogue."""
+    o = load_table(spark, sf, "orders")
+    m = o.groupBy(
+        (
+            (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate")
+        ).alias("t")
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        ).alias("y")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = m.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(
+            F.col("y").cast("decimal(38,0)") * F.col("y")
+        ).alias("syy"),
+    )
+    d = m.crossJoin(F.broadcast(s)).agg(
+        F.max(F.abs(dec("n") * dec("y") - F.col("sy"))).alias("maxdev")
+    )
+    return s.crossJoin(F.broadcast(d)).select(
+        F.col("n").cast("long").alias("n_months"),
+        F.col("maxdev").cast("long").alias("max_abs_dev_n"),
+        F.round(
+            (F.col("maxdev").cast("double") / F.col("n"))
+            / F.sqrt(
+                (dec("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+                / (F.col("n").cast("double") * (F.col("n") - 1))
+            ),
+            4,
+        ).alias("g"),
+    )
