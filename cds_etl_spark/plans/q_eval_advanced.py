@@ -704,61 +704,35 @@ def qs214(spark: SparkSession, sf: str) -> DataFrame:
 
     Determinism: degrees and all five moment sums are exact
     integers; one double division over sqrt of exact-integer
-    products, ROUND(,4). Plan: blocked edge generation (bounded
-    per (lang, n_chars) block), a degree aggregate, two
-    broadcast-sized degree joins, and a single scalar aggregate —
-    no window, no iteration."""
-    d = load_table(spark, sf, "documents").select(
-        "doc_id", "lang", "n_chars"
-    )
-    a = d.select(
-        F.col("doc_id").alias("d1"), "lang", "n_chars"
-    )
-    b = d.select(
-        F.col("doc_id").alias("d2"), "lang", "n_chars"
-    )
-    pairs = a.join(b, ["lang", "n_chars"]).filter(
-        F.col("d1") < F.col("d2")
-    )
-    edges = pairs.select(
-        F.col("d1").alias("a"), F.col("d2").alias("b")
-    ).unionAll(
-        pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b"))
-    )
-    deg = edges.groupBy(F.col("a").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
-    )
-    ed = (
-        edges.join(
-            F.broadcast(
-                deg.select(
-                    F.col("node").alias("a"), F.col("deg").alias("x")
-                )
-            ),
-            "a",
-        )
-        .join(
-            F.broadcast(
-                deg.select(
-                    F.col("node").alias("b"), F.col("deg").alias("y")
-                )
-            ),
-            "b",
-        )
-    )
-    # Moment sums in DECIMAL(38): Σx² over the edge-end expansion
-    # passes 64-bit at sf10 edge volumes (the r7 scale-audit catch —
-    # ANSI long overflow); DuckDB's integer SUM is already HUGEINT,
-    # so widening Spark's accumulator keeps value identity exact.
-    dx = F.col("x").cast("decimal(38,0)")
-    dy = F.col("y").cast("decimal(38,0)")
-    s = ed.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(dx).alias("sx"),
-        F.sum(dy).alias("sy"),
-        F.sum(dx * dx).alias("sxx"),
-        F.sum(dy * dy).alias("syy"),
-        F.sum(dx * dy).alias("sxy"),
+    products, ROUND(,4). Plan: the (lang, n_chars) blocking graph
+    is a DISJOINT UNION OF CLIQUES — every node in a size-k block
+    has degree exactly k−1 and every edge stays inside its block —
+    so each of the oracle's edge-end moments collapses to a
+    block-size aggregate: n = Σ k(k−1), Σx = Σy = Σ k(k−1)², and
+    Σx² = Σy² = Σxy = Σ k(k−1)³. The moments are the IDENTICAL
+    exact integers the textbook edge enumeration produces
+    (cross-checked against it in DuckDB), so the double epilogue is
+    bit-equal — but the plan is ONE grouped scan over the block-size
+    table instead of materializing the O(Σk²) edge expansion four
+    times (36.4 s → sub-second at sf10; the oracle still states the
+    edge-enumeration formulation)."""
+    d = load_table(spark, sf, "documents").select("lang", "n_chars")
+    blocks = d.groupBy("lang", "n_chars").agg(
+        F.count(F.lit(1)).alias("k")
+    ).filter(F.col("k") > 1)
+    # Moment sums in DECIMAL(38): k(k−1)³ passes 64-bit at sf10
+    # block sizes (the r7 scale-audit catch — ANSI long overflow);
+    # DuckDB's integer SUM is already HUGEINT, so widening Spark's
+    # accumulator keeps value identity exact.
+    kk = F.col("k").cast("decimal(38,0)")
+    ends = kk * (kk - 1)                     # directed edge ends per block
+    s = blocks.agg(
+        F.sum(ends).cast("long").alias("n"),
+        F.sum(ends * (kk - 1)).alias("sx"),
+        F.sum(ends * (kk - 1)).alias("sy"),
+        F.sum(ends * (kk - 1) * (kk - 1)).alias("sxx"),
+        F.sum(ends * (kk - 1) * (kk - 1)).alias("syy"),
+        F.sum(ends * (kk - 1) * (kk - 1)).alias("sxy"),
     )
     n = F.col("n").cast("decimal(38,0)")
     return s.select(
