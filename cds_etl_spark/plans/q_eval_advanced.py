@@ -3106,3 +3106,61 @@ def qs240(spark: SparkSession, sf: str) -> DataFrame:
             "CAST((n_types * n_types * 10000) div n_tokens AS LONG)"
         ).alias("root_ttr_sq_e4"),
     )
+
+
+# --------------------------------------------------------------------------
+# qs313 k-anonymity audit on customer quasi-identifiers
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs313_k_anonymity",
+    oracle="""
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 100) AS BIGINT) AS bal_band,
+             COUNT(*) AS k
+      FROM customer GROUP BY 1, 2, 3)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+             AS rows_below_5,
+           CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_below_5,
+           CAST(SUM(k) AS BIGINT) AS n_rows
+    FROM cls
+    """,
+)
+def qs313(spark: SparkSession, sf: str) -> DataFrame:
+    """K-ANONYMITY AUDIT over the customer quasi-identifier set
+    (nation, market segment, hundred-dollar balance band): class
+    sizes, the
+    minimum k, and how many rows/classes fall below k = 5 — the
+    re-identification risk screen a privacy-aware ETL runs BEFORE
+    releasing a table (the enforcement counterpart of qs96's
+    anonymize: qs96 transforms, this one measures whether the
+    release policy holds). Reference parity: the validation-report
+    family (SSN/PII scan qs31/qs148) extended to the structural
+    linkage risk the reference's per-value scan cannot see.
+
+    Determinism: every output is an exact integer — no doubles
+    anywhere. Plan: one grouped scan → class-dimension aggregate;
+    at 100 TB the QI groupBy is the only shuffle and the audit
+    row is a broadcastable scalar."""
+    c = load_table(spark, sf, "customer")
+    cls = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 100).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("k"))
+    return cls.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("k").cast("long").alias("min_k"),
+        F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("rows_below_5"),
+        F.sum(F.when(F.col("k") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("classes_below_5"),
+        F.sum("k").cast("long").alias("n_rows"),
+    )

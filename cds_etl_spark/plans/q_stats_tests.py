@@ -2163,3 +2163,429 @@ def qs306(spark: SparkSession, sf: str) -> DataFrame:
             4,
         ).alias("g"),
     )
+
+
+# --------------------------------------------------------------------------
+# qs309 Bartlett's test: quantity variance homogeneity across flags
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs309_bartlett_test",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag AS g, COUNT(*) AS n,
+             SUM(CAST(l_quantity AS BIGINT)) AS s1,
+             SUM(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS BIGINT)) AS s2
+      FROM lineitem GROUP BY 1),
+    w AS (
+      SELECT COUNT(*) AS k, SUM(n) AS nn,
+        MAX(CASE WHEN g = 'A' THEN CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (n - 1)) END) AS v_a,
+        MAX(CASE WHEN g = 'N' THEN CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (n - 1)) END) AS v_n,
+        MAX(CASE WHEN g = 'R' THEN CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (n - 1)) END) AS v_r,
+        MAX(CASE WHEN g = 'A' THEN n END) AS n_a,
+        MAX(CASE WHEN g = 'N' THEN n END) AS n_n,
+        MAX(CASE WHEN g = 'R' THEN n END) AS n_r
+      FROM m),
+    t AS (
+      SELECT k, nn,
+        ((CAST(n_a AS DOUBLE) - 1) * v_a + (n_n - 1) * v_n
+         + (n_r - 1) * v_r) / (nn - k) AS vp
+      FROM w)
+    SELECT CAST(w.k AS BIGINT) AS k, CAST(w.nn AS BIGINT) AS n,
+      ROUND(
+        ((w.nn - w.k) * ln(t.vp)
+         - ((w.n_a - 1) * ln(w.v_a) + (w.n_n - 1) * ln(w.v_n)
+            + (w.n_r - 1) * ln(w.v_r)))
+        / (1.0 + (1.0 / (w.n_a - 1) + 1.0 / (w.n_n - 1) + 1.0 / (w.n_r - 1)
+                  - 1.0 / (w.nn - w.k)) / (3.0 * (w.k - 1))), 4)
+        AS t_bartlett
+    FROM w CROSS JOIN t
+    """,
+)
+def qs309(spark: SparkSession, sf: str) -> DataFrame:
+    """BARTLETT'S TEST of quantity variance homogeneity across the
+    return flags — the parametric (normal-theory) variance test
+    beside qs291's robust Brown–Forsythe: Bartlett is the more
+    powerful screen when normality holds, and running both is the
+    standard equal-variance audit before qs272-style ANOVA.
+
+    Determinism: per-group n·ΣX² − (ΣX)² is computed EXACTLY in
+    DECIMAL(38)/HUGEINT (≈1-digit cancellation happens in integer
+    space, not floating point) and each variance is one double
+    division; the statistic is a fixed one-row tree over the pivoted
+    {A,N,R} domain (ln is the accepted 1-ulp libm contract; its
+    error scaled by n stays ≪ ROUND 4). Plan: one partial-aggregated
+    scan → 3 moment rows → one-row epilogue."""
+    li = load_table(spark, sf, "lineitem")
+    m = li.groupBy(F.col("l_returnflag").alias("g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).alias("s1"),
+        F.sum(
+            F.col("l_quantity").cast("decimal(38,0)")
+            * F.col("l_quantity").cast("long")
+        ).alias("s2"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    var = (
+        (dec("n") * F.col("s2") - dec("s1") * dec("s1")).cast("double")
+        / (F.col("n").cast("double") * (F.col("n") - 1))
+    )
+    w = m.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        *[
+            agg
+            for f in ("A", "N", "R")
+            for agg in (
+                F.max(F.when(F.col("g") == f, var)).alias(f"v_{f.lower()}"),
+                F.max(F.when(F.col("g") == f, F.col("n"))).alias(
+                    f"n_{f.lower()}"
+                ),
+            )
+        ],
+    )
+    vp = (
+        (F.col("n_a").cast("double") - 1) * F.col("v_a")
+        + (F.col("n_n") - 1) * F.col("v_n")
+        + (F.col("n_r") - 1) * F.col("v_r")
+    ) / (F.col("nn") - F.col("k"))
+    num = (F.col("nn") - F.col("k")) * F.log(vp) - (
+        (F.col("n_a") - 1) * F.log("v_a")
+        + (F.col("n_n") - 1) * F.log("v_n")
+        + (F.col("n_r") - 1) * F.log("v_r")
+    )
+    den = 1.0 + (
+        1.0 / (F.col("n_a") - 1)
+        + 1.0 / (F.col("n_n") - 1)
+        + 1.0 / (F.col("n_r") - 1)
+        - 1.0 / (F.col("nn") - F.col("k"))
+    ) / (3.0 * (F.col("k") - 1))
+    return w.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("nn").cast("long").alias("n"),
+        F.round(num / den, 4).alias("t_bartlett"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs310 Cliff's delta: ordinal effect size between two return flags
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs310_cliffs_delta",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS q,
+             COUNT(*) AS c
+      FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1, 2),
+    a AS (SELECT q, c FROM v WHERE g = 'A'),
+    r AS (SELECT q, c FROM v WHERE g = 'R'),
+    cross_cells AS (
+      SELECT SUM(CASE WHEN a.q > r.q THEN CAST(a.c AS HUGEINT) * r.c
+                      ELSE CAST(0 AS HUGEINT) END) AS gt,
+             SUM(CASE WHEN a.q < r.q THEN CAST(a.c AS HUGEINT) * r.c
+                      ELSE CAST(0 AS HUGEINT) END) AS lt
+      FROM a CROSS JOIN r),
+    n AS (
+      SELECT SUM(CASE WHEN g = 'A' THEN c ELSE 0 END) AS n1,
+             SUM(CASE WHEN g = 'R' THEN c ELSE 0 END) AS n2
+      FROM v)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           ROUND(CAST(gt - lt AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * n2), 4) AS cliffs_delta
+    FROM cross_cells CROSS JOIN n
+    """,
+)
+def qs310(spark: SparkSession, sf: str) -> DataFrame:
+    """CLIFF'S DELTA between the A and R return-flag quantity
+    distributions: δ = (#{x>y} − #{x<y})/(n₁n₂) — the ordinal,
+    distribution-free effect size that accompanies the qs181
+    Mann–Whitney/AUC family (δ = 2·AUC − 1): a significant rank
+    test with a tiny δ is noise at corpus scale, so effect size is
+    reported alongside.
+
+    Determinism: the dominance counts come from the 50×50
+    distinct-value contingency cross (exact DECIMAL(38)/HUGEINT
+    products — never the n₁·n₂ row pairs), and δ is one double
+    division, ROUND 4. Plan: one grouped scan → a 2500-cell grid
+    cross — corpus row pairs are never materialized."""
+    li = load_table(spark, sf, "lineitem")
+    v = (
+        li.filter(F.col("l_returnflag").isin("A", "R"))
+        .groupBy(
+            F.col("l_returnflag").alias("g"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = v.filter(F.col("g") == "A").select(
+        F.col("q").alias("qa"), F.col("c").alias("ca")
+    )
+    r = v.filter(F.col("g") == "R").select(
+        F.col("q").alias("qr"), F.col("c").alias("cr")
+    )
+    dec38 = "decimal(38,0)"
+    cells = a.crossJoin(r).agg(
+        F.sum(
+            F.when(
+                F.col("qa") > F.col("qr"),
+                F.col("ca").cast(dec38) * F.col("cr"),
+            ).otherwise(F.lit(0).cast(dec38))
+        ).alias("gt"),
+        F.sum(
+            F.when(
+                F.col("qa") < F.col("qr"),
+                F.col("ca").cast(dec38) * F.col("cr"),
+            ).otherwise(F.lit(0).cast(dec38))
+        ).alias("lt"),
+    )
+    n = v.agg(
+        F.sum(F.when(F.col("g") == "A", F.col("c")).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("g") == "R", F.col("c")).otherwise(0)).alias("n2"),
+    )
+    return cells.crossJoin(F.broadcast(n)).select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(
+            (F.col("gt") - F.col("lt")).cast("double")
+            / (F.col("n1").cast("double") * F.col("n2")),
+            4,
+        ).alias("cliffs_delta"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs311 Cohen's d / Hedges' g: standardized mean difference (A vs R)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs311_cohens_d",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag AS g, COUNT(*) AS n,
+             SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS s1,
+             SUM(CAST(ROUND(l_extendedprice * 100, 0) AS HUGEINT)
+                 * CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS s2
+      FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1),
+    w AS (
+      SELECT MAX(CASE WHEN g = 'A' THEN n END) AS n1,
+             MAX(CASE WHEN g = 'R' THEN n END) AS n2,
+             MAX(CASE WHEN g = 'A' THEN s1 END) AS s1_1,
+             MAX(CASE WHEN g = 'R' THEN s1 END) AS s1_2,
+             MAX(CASE WHEN g = 'A' THEN
+               CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) / n END) AS q1,
+             MAX(CASE WHEN g = 'R' THEN
+               CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) / n END) AS q2
+      FROM m),
+    d AS (
+      SELECT n1, n2,
+        (CAST(s1_1 AS HUGEINT) * n2 - CAST(s1_2 AS HUGEINT) * n1) AS dnum,
+        sqrt((q1 + q2) / (n1 + n2 - 2)) AS sp
+      FROM w)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      ROUND(CAST(dnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2) / sp, 4)
+        AS cohens_d,
+      ROUND(CAST(dnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2) / sp
+            * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 4) AS hedges_g
+    FROM d
+    """,
+)
+def qs311(spark: SparkSession, sf: str) -> DataFrame:
+    """COHEN'S D AND HEDGES' G for the A-vs-R extended-price
+    difference: the standardized mean difference (pooled-SD) and
+    its small-sample-corrected form — the parametric effect sizes
+    that pair with qs270's Welch t the way qs310's δ pairs with the
+    rank tests. At 10⁷-row groups everything is "significant"; d/g
+    say whether it matters.
+
+    Determinism: per-group n·ΣX² − (ΣX)² and the mean-difference
+    numerator S₁n₂ − S₂n₁ are exact DECIMAL(38)/HUGEINT integers
+    (cents); d and g are one fixed double tree each over the
+    one-row pivot (√ IEEE-exact), ROUND 4. Plan: one
+    partial-aggregated scan → 2 moment rows → one-row epilogue."""
+    li = load_table(spark, sf, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    m = (
+        li.filter(F.col("l_returnflag").isin("A", "R"))
+        .groupBy(F.col("l_returnflag").alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("s1"),
+            F.sum(cents.cast("decimal(38,0)") * cents).alias("s2"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    qexpr = (dec("n") * F.col("s2") - dec("s1") * dec("s1")).cast(
+        "double"
+    ) / F.col("n")
+    w = m.agg(
+        F.max(F.when(F.col("g") == "A", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("g") == "R", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("g") == "A", F.col("s1"))).alias("s1_1"),
+        F.max(F.when(F.col("g") == "R", F.col("s1"))).alias("s1_2"),
+        F.max(F.when(F.col("g") == "A", qexpr)).alias("q1"),
+        F.max(F.when(F.col("g") == "R", qexpr)).alias("q2"),
+    )
+    dnum = dec("s1_1") * F.col("n2") - dec("s1_2") * F.col("n1")
+    sp = F.sqrt((F.col("q1") + F.col("q2")) / (F.col("n1") + F.col("n2") - 2))
+    d = dnum.cast("double") / (F.col("n1").cast("double") * F.col("n2")) / sp
+    return w.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(d, 4).alias("cohens_d"),
+        F.round(
+            d * (1.0 - 3.0 / (4.0 * (F.col("n1") + F.col("n2")) - 9.0)), 4
+        ).alias("hedges_g"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs312 ANOVA effect sizes (eta² / omega²) on event values by type
+# --------------------------------------------------------------------------
+
+_ETA_GROUPS = ("click", "error", "purchase", "signup", "view")
+
+
+def _eta_pivot_sql() -> str:
+    cols = []
+    for g in _ETA_GROUPS:
+        cols.append(f"MAX(CASE WHEN g = '{g}' THEN n END) AS n_{g}")
+        cols.append(f"MAX(CASE WHEN g = '{g}' THEN s1 END) AS s1_{g}")
+        cols.append(f"MAX(CASE WHEN g = '{g}' THEN s2 END) AS s2_{g}")
+    return ", ".join(cols)
+
+
+def _eta_center_sql() -> str:
+    cols = []
+    for g in _ETA_GROUPS:
+        cols.append(f"CAST(s1_{g} - n_{g} * c AS DOUBLE) AS d1_{g}")
+        cols.append(
+            f"CAST(s2_{g} - 2 * CAST(c AS HUGEINT) * s1_{g}"
+            f" + CAST(n_{g} AS HUGEINT) * c * c AS DOUBLE) AS d2_{g}"
+        )
+        cols.append(f"CAST(n_{g} AS DOUBLE) AS nf_{g}")
+    return ", ".join(cols)
+
+
+_ETA_SSB = (
+    " + ".join(f"d1_{g} * d1_{g} / nf_{g}" for g in _ETA_GROUPS)
+    + " - ("
+    + " + ".join(f"d1_{g}" for g in _ETA_GROUPS)
+    + ") * ("
+    + " + ".join(f"d1_{g}" for g in _ETA_GROUPS)
+    + ") / nn"
+)
+_ETA_SSW = " + ".join(
+    f"(d2_{g} - d1_{g} * d1_{g} / nf_{g})" for g in _ETA_GROUPS
+)
+
+
+@query(
+    "qs312_anova_effect_sizes",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type AS g,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+      FROM events),
+    m AS (SELECT g, COUNT(*) AS n, SUM(v) AS s1,
+                 SUM(CAST(v AS HUGEINT) * v) AS s2
+          FROM s GROUP BY g),
+    w AS (SELECT COUNT(*) AS k, SUM(n) AS nn, SUM(s1) AS ss,
+                 {_eta_pivot_sql()}
+          FROM m),
+    cw AS (SELECT w.*, ss // nn AS c FROM w),
+    d AS (SELECT k, nn, {_eta_center_sql()} FROM cw),
+    f AS (SELECT k, nn,
+                 ({_ETA_SSB}) / 1e4 AS ssb,
+                 ({_ETA_SSW}) / 1e4 AS ssw
+          FROM d)
+    SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
+           ROUND(ssb / (ssb + ssw), 6) AS eta2,
+           ROUND((ssb - (k - 1) * (ssw / (nn - k)))
+                 / (ssb + ssw + ssw / (nn - k)), 6) AS omega2
+    FROM f
+    """,
+)
+def qs312(spark: SparkSession, sf: str) -> DataFrame:
+    """ANOVA EFFECT SIZES for event value across the five event
+    types: η² = SSB/SST (variance explained) and the
+    less-biased ω² — the "does the difference MATTER" companions
+    to qs272's F statistic (at 10⁶-row groups F is always
+    "significant"; η²/ω² say by how much).
+
+    Determinism: the qs272 recipe verbatim — exact integer cents
+    moments re-centered EXACTLY on c = S DIV N (the naive
+    Σ(S²/n) − S²/N epilogue loses ~7 digits), pivoted into ONE row
+    over the fixed event-type domain, with only the final
+    well-conditioned SSB/SSW algebra in double, ROUND 6. Plan: one
+    partial-aggregated scan → 5 moment rows → one-row epilogue."""
+    ev = load_table(spark, sf, "events")
+    s = ev.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+    )
+    m = s.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("s2"),
+    )
+    w = m.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s1").alias("ss"),
+        *[
+            agg
+            for g in _ETA_GROUPS
+            for agg in (
+                F.max(F.when(F.col("g") == g, F.col("n"))).alias(f"n_{g}"),
+                F.max(F.when(F.col("g") == g, F.col("s1"))).alias(f"s1_{g}"),
+                F.max(F.when(F.col("g") == g, F.col("s2"))).alias(f"s2_{g}"),
+            )
+        ],
+    )
+    cw = w.withColumn("c", F.expr("ss DIV nn"))
+    d = cw.select(
+        "k",
+        "nn",
+        *[
+            col
+            for g in _ETA_GROUPS
+            for col in (
+                (F.col(f"s1_{g}") - F.col(f"n_{g}") * F.col("c"))
+                .cast("double")
+                .alias(f"d1_{g}"),
+                (
+                    F.col(f"s2_{g}")
+                    - 2 * F.col("c").cast("decimal(38,0)") * F.col(f"s1_{g}")
+                    + F.col(f"n_{g}").cast("decimal(38,0)")
+                    * F.col("c")
+                    * F.col("c")
+                )
+                .cast("double")
+                .alias(f"d2_{g}"),
+                F.col(f"n_{g}").cast("double").alias(f"nf_{g}"),
+            )
+        ],
+    )
+    f = d.select(
+        "k",
+        "nn",
+        (F.expr(_ETA_SSB) / 1e4).alias("ssb"),
+        (F.expr(_ETA_SSW) / 1e4).alias("ssw"),
+    )
+    return f.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("nn").cast("long").alias("n"),
+        F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6).alias("eta2"),
+        F.round(
+            (F.col("ssb") - (F.col("k") - 1) * (F.col("ssw") / (F.col("nn") - F.col("k"))))
+            / (F.col("ssb") + F.col("ssw") + F.col("ssw") / (F.col("nn") - F.col("k"))),
+            6,
+        ).alias("omega2"),
+    )
