@@ -74,6 +74,13 @@ SNAPSHOT_QUERIES = [
     "qs275_cuped_lift",
     "qs210_rfm_segments",
     "qs298_jonckheere_trend",
+    # r8 structural plans: the clique-identity assortativity collapse
+    # (block-size aggregate instead of the O(Σk²) edge expansion),
+    # the bucketed_row_number Gini total order, and the split-leakage
+    # LSH×hash-split composition.
+    "qs214_degree_assortativity",
+    "qs307_gini_balances",
+    "qs308_split_leakage",
 ]
 
 
