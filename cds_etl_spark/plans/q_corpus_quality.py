@@ -1742,3 +1742,97 @@ def qs156(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+
+# --------------------------------------------------------------------------
+# qs314 filter-yield audit: marginal/total/cumulative kill per quality rule
+# --------------------------------------------------------------------------
+
+_YIELD_RULES = ("words_ok", "mean_len_ok", "stopwords_ok", "alpha_ok")
+
+
+@query(
+    "qs314_filter_yield_audit",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    f AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS words_ok,
+        CASE WHEN list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks)
+               BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END AS mean_len_ok,
+        CASE WHEN len(list_filter(toks, t -> list_contains(
+               ['the','and','of','to','in','a','is','that'], t))) >= 2
+             THEN 1 ELSE 0 END AS stopwords_ok,
+        CASE WHEN len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))::DOUBLE
+               / len(toks) >= 0.8 THEN 1 ELSE 0 END AS alpha_ok
+      FROM t),
+    agg AS (
+      SELECT COUNT(*) AS n_docs,
+        {", ".join(
+            f"SUM(1 - {r}) AS fail_{r}, "
+            f"SUM((1 - {r}) * "
+            + " * ".join(o for o in _YIELD_RULES if o != r)
+            + f") AS only_{r}, "
+            + "SUM("
+            + " * ".join(_YIELD_RULES[: i + 1])
+            + f") AS cum_{r}"
+            for i, r in enumerate(_YIELD_RULES))}
+      FROM f)
+    SELECT u.rule, u.n_fail, u.n_only_fail, u.survivors_cum,
+           agg.n_docs AS n_docs
+    FROM agg, LATERAL (
+      VALUES {", ".join(
+          f"('{i + 1}_{r}', CAST(fail_{r} AS BIGINT), CAST(only_{r} AS BIGINT),"
+          f" CAST(cum_{r} AS BIGINT))"
+          for i, r in enumerate(_YIELD_RULES))}
+    ) AS u(rule, n_fail, n_only_fail, survivors_cum)
+    ORDER BY rule
+    """,
+)
+def qs314(spark: SparkSession, sf: str) -> DataFrame:
+    """FILTER-YIELD AUDIT over the Gopher quality rules (qs147's
+    gate): per rule, how many documents it kills in total, how many
+    it ALONE kills (marginal value — a rule with zero unique kills
+    is redundant), and the cumulative survivor count applying rules
+    in their fixed order — the curation dashboard every pretraining
+    pipeline reads before committing a filter chain (kill too much
+    → data starvation; a rule with no marginal kill → drop it).
+
+    Determinism: every figure is an exact integer count over 0/1
+    flags; no doubles anywhere. Plan: the flags are row-local scan
+    algebra (qs147), ONE aggregate computes all 13 sums, and the
+    4-row unpivot is a row-local stack of the one-row result — at
+    100 TB this is one scan + one scalar exchange."""
+    from cds_etl_spark.operators.text_analysis import gopher_quality_flags
+
+    d = load_table(spark, sf, "documents")
+    flags = gopher_quality_flags(F.col("text"))
+    f = d.select(
+        *[flags[r].cast("long").alias(r) for r in _YIELD_RULES]
+    )
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for i, r in enumerate(_YIELD_RULES):
+        others = [o for o in _YIELD_RULES if o != r]
+        prod_others = F.lit(1)
+        for o in others:
+            prod_others = prod_others * F.col(o)
+        prod_cum = F.lit(1)
+        for o in _YIELD_RULES[: i + 1]:
+            prod_cum = prod_cum * F.col(o)
+        aggs += [
+            F.sum(1 - F.col(r)).alias(f"fail_{r}"),
+            F.sum((1 - F.col(r)) * prod_others).alias(f"only_{r}"),
+            F.sum(prod_cum).alias(f"cum_{r}"),
+        ]
+    one = f.agg(*aggs)
+    stack_expr = "stack(4, " + ", ".join(
+        f"'{i + 1}_{r}', fail_{r}, only_{r}, cum_{r}"
+        for i, r in enumerate(_YIELD_RULES)
+    ) + ") AS (rule, n_fail, n_only_fail, survivors_cum)"
+    return one.select(F.expr(stack_expr), "n_docs").select(
+        "rule",
+        F.col("n_fail").cast("long").alias("n_fail"),
+        F.col("n_only_fail").cast("long").alias("n_only_fail"),
+        F.col("survivors_cum").cast("long").alias("survivors_cum"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    ).orderBy("rule")

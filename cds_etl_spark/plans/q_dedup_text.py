@@ -551,3 +551,53 @@ def qs308(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("split_pair")
     )
+
+
+# --------------------------------------------------------------------------
+# qs315 duplicate-cluster size histogram (the dedup audit)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs315_dedup_cluster_stats",
+    oracle="""
+    WITH cl AS (
+      SELECT md5(text) AS h, COUNT(*) AS k FROM documents GROUP BY 1)
+    SELECT CAST(k AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(k) AS BIGINT) AS n_docs,
+           CAST(SUM(k) - COUNT(*) AS BIGINT) AS n_removable
+    FROM cl GROUP BY k ORDER BY cluster_size
+    """,
+)
+def qs315(spark: SparkSession, sf: str) -> DataFrame:
+    """DUPLICATE-CLUSTER SIZE HISTOGRAM: group exact-content clusters
+    (qs54's md5 identity) by size and report, per size, how many
+    clusters, how many documents they hold, and how many rows dedup
+    would remove — the audit read before and after a dedup pass
+    (a heavy tail of large clusters means boilerplate families;
+    Σ n_removable is the dedup yield forecast).
+
+    Determinism: all exact integers off two grouped aggregates.
+    Plan: the corpus shuffles once on the 32-byte content hash
+    (never the text — map-side md5), then the histogram is a
+    cluster-dimension aggregate."""
+    d = load_table(spark, sf, "documents")
+    cl = d.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    return (
+        cl.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("k").alias("n_docs"),
+            (F.sum("k") - F.count(F.lit(1))).alias("n_removable"),
+        )
+        .select(
+            F.col("k").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_removable").cast("long").alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )
