@@ -2589,3 +2589,182 @@ def qs312(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("omega2"),
     )
+
+
+# --------------------------------------------------------------------------
+# qs316 partial correlation (quantity, price | discount) + VIF
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs316_partial_correlation",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y,
+             CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS z
+      FROM lineitem),
+    m AS (
+      SELECT COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(z AS HUGEINT) * z) AS szz,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * z) AS sxz,
+             SUM(CAST(y AS HUGEINT) * z) AS syz
+      FROM v),
+    r AS (
+      SELECT n,
+        CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+          / sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+               * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)) AS rxy,
+        CAST(n * sxz - CAST(sx AS HUGEINT) * sz AS DOUBLE)
+          / sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+               * CAST(n * szz - CAST(sz AS HUGEINT) * sz AS DOUBLE)) AS rxz,
+        CAST(n * syz - CAST(sy AS HUGEINT) * sz AS DOUBLE)
+          / sqrt(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+               * CAST(n * szz - CAST(sz AS HUGEINT) * sz AS DOUBLE)) AS ryz
+      FROM m)
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(rxy, 4) AS r_xy,
+           ROUND((rxy - rxz * ryz)
+                 / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 4)
+             AS r_xy_given_z,
+           ROUND(1.0 / (1.0 - rxz * rxz), 4) AS vif_x_on_z
+    FROM r
+    """,
+)
+def qs316(spark: SparkSession, sf: str) -> DataFrame:
+    """PARTIAL CORRELATION of quantity and extended price CONTROLLING
+    for discount — r_xy·z = (r_xy − r_xz r_yz)/√((1−r_xz²)(1−r_yz²))
+    — plus the VIF of the控制 regressor: the confounder screen run
+    before trusting qs86's raw correlation or qs279's Granger lag
+    (a strong r_xy that vanishes given z was z's doing all along).
+
+    Determinism: the full 3×3 moment matrix accumulates as exact
+    DECIMAL(38)/HUGEINT integers in ONE scan; each pairwise r is one
+    double expression from exact integers and the partial/VIF
+    epilogue is a fixed one-row tree (√ IEEE-exact), ROUND 4. Plan:
+    one partial-aggregated scan → one-row epilogue."""
+    li = load_table(spark, sf, "lineitem")
+    v = li.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("z"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    dc = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    m = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(dc(F.col("x")) * F.col("x")).alias("sxx"),
+        F.sum(dc(F.col("y")) * F.col("y")).alias("syy"),
+        F.sum(dc(F.col("z")) * F.col("z")).alias("szz"),
+        F.sum(dc(F.col("x")) * F.col("y")).alias("sxy"),
+        F.sum(dc(F.col("x")) * F.col("z")).alias("sxz"),
+        F.sum(dc(F.col("y")) * F.col("z")).alias("syz"),
+    )
+
+    def corr(sab, sa, sb, saa, sbb):
+        return (d("n") * F.col(sab) - d(sa) * d(sb)).cast("double") / F.sqrt(
+            (d("n") * F.col(saa) - d(sa) * d(sa)).cast("double")
+            * (d("n") * F.col(sbb) - d(sb) * d(sb)).cast("double")
+        )
+
+    r = m.select(
+        "n",
+        corr("sxy", "sx", "sy", "sxx", "syy").alias("rxy"),
+        corr("sxz", "sx", "sz", "sxx", "szz").alias("rxz"),
+        corr("syz", "sy", "sz", "syy", "szz").alias("ryz"),
+    )
+    return r.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("rxy"), 4).alias("r_xy"),
+        F.round(
+            (F.col("rxy") - F.col("rxz") * F.col("ryz"))
+            / F.sqrt(
+                (1.0 - F.col("rxz") * F.col("rxz"))
+                * (1.0 - F.col("ryz") * F.col("ryz"))
+            ),
+            4,
+        ).alias("r_xy_given_z"),
+        F.round(1.0 / (1.0 - F.col("rxz") * F.col("rxz")), 4).alias(
+            "vif_x_on_z"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs317 process capability (Cp / Cpk) for order fulfilment latency
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs317_process_capability",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS lag
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    m AS (
+      SELECT COUNT(*) AS n, SUM(lag) AS s,
+             SUM(CAST(lag AS HUGEINT) * lag) AS q
+      FROM v)
+    SELECT CAST(n AS BIGINT) AS n,
+      ROUND(CAST(s AS DOUBLE) / n, 4) AS mean_lag_days,
+      ROUND((120.0 - 0.0)
+            / (6.0 * sqrt(CAST(n * q - CAST(s AS HUGEINT) * s AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * (n - 1)))), 4) AS cp,
+      ROUND(LEAST(120.0 - CAST(s AS DOUBLE) / n,
+                  CAST(s AS DOUBLE) / n - 0.0)
+            / (3.0 * sqrt(CAST(n * q - CAST(s AS HUGEINT) * s AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * (n - 1)))), 4) AS cpk
+    FROM m
+    """,
+)
+def qs317(spark: SparkSession, sf: str) -> DataFrame:
+    """PROCESS CAPABILITY Cp/Cpk of the order-to-ship latency
+    against a 0–120-day spec window: Cp = (USL−LSL)/6σ measures
+    whether the process spread fits the spec at all, Cpk =
+    min(USL−μ, μ−LSL)/3σ penalizes off-center processes — the SPC
+    summary that pairs with qs232's XmR chart (the chart watches
+    stability over time; Cp/Cpk judges the stable process against
+    the contract) and qs194's SLA rate (rate says how often we
+    miss; Cpk says how much margin the process has).
+
+    Determinism: day lags are exact integer date differences,
+    n·ΣX² − (ΣX)² exact in DECIMAL(38)/HUGEINT, and Cp/Cpk are
+    fixed one-row double trees over spec constants (√ IEEE-exact,
+    LEAST on two exact doubles), ROUND 4. Plan: the only row-grain
+    work is the lineitem⋈orders key join (the qs300 scorecard's
+    date-check shape), then one partial-aggregated scan → one-row
+    epilogue."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    v = li.select("l_orderkey", "l_shipdate").join(o, "l_orderkey").select(
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("lag")
+    )
+    m = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lag").alias("s"),
+        F.sum(F.col("lag").cast("decimal(38,0)") * F.col("lag")).alias("q"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sd = F.sqrt(
+        (d("n") * F.col("q") - d("s") * d("s")).cast("double")
+        / (F.col("n").cast("double") * (F.col("n") - 1))
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    usl, lsl = F.lit(120.0), F.lit(0.0)
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(mean, 4).alias("mean_lag_days"),
+        F.round((usl - lsl) / (6.0 * sd), 4).alias("cp"),
+        F.round(F.least(usl - mean, mean - lsl) / (3.0 * sd), 4).alias(
+            "cpk"
+        ),
+    )
