@@ -487,6 +487,31 @@ def test_jpeg_feature_resize_pipeline(spark):
     assert out["meta"]["width"] == 16 and out["meta"]["height"] == 16
 
 
+def test_jpeg_progressive_blob_through_pipeline(spark):
+    # A PROGRESSIVE (SOF2) blob flows through the same mapInPandas
+    # decode path untouched — the pipeline dispatches on the format
+    # tag and decode_jpeg handles both entropy layouts, so features
+    # from the progressive and baseline encodes of one image are
+    # identical (their quantized coefficients are).
+    from cds_etl_spark.operators.jpeg import encode_jpeg, encode_jpeg_progressive
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (24, 16, 3)).astype(np.uint8)
+    rows = [
+        (int(1), "image", bytearray(encode_jpeg(img, quality=85)),
+         {"format": "jpeg", "width": 16, "height": 24,
+          "sample_rate": 0, "n_frames": 1}),
+        (int(2), "image", bytearray(encode_jpeg_progressive(img, quality=85)),
+         {"format": "jpeg", "width": 16, "height": 24,
+          "sample_rate": 0, "n_frames": 1}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in extract_features(df).collect()}
+    assert len(feats) == 2
+    assert feats[1]["mean_intensity"] == feats[2]["mean_intensity"]
+    assert feats[1]["std_intensity"] == feats[2]["std_intensity"]
+
+
 # ---------------------------------------------------------------------------
 # ISO-BMFF container layer (operators/mp4.py)
 # ---------------------------------------------------------------------------
