@@ -2768,3 +2768,180 @@ def qs317(spark: SparkSession, sf: str) -> DataFrame:
             "cpk"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# qs318 Ljung–Box portmanteau test on the monthly order-count series
+# --------------------------------------------------------------------------
+
+_LB_LAGS = 12
+
+
+@query(
+    "qs318_ljung_box",
+    oracle=f"""
+    WITH m AS (
+      SELECT (YEAR(o_orderdate) - 1992) * 12 + MONTH(o_orderdate) AS t,
+             COUNT(*) AS y
+      FROM orders GROUP BY 1),
+    s AS (SELECT COUNT(*) AS n, SUM(y) AS sy FROM m),
+    e AS (
+      SELECT m.t, CAST(s.n AS HUGEINT) * m.y - s.sy AS e
+      FROM m CROSS JOIN s),
+    c0 AS (SELECT SUM(e * e) AS c0 FROM e),
+    ck AS (
+      SELECT b.t - a.t AS k, SUM(a.e * b.e) AS c
+      FROM e a JOIN e b ON b.t - a.t BETWEEN 1 AND {_LB_LAGS}
+      GROUP BY 1),
+    piv AS (
+      SELECT {", ".join(
+          f"MAX(CASE WHEN k = {k} THEN CAST(c AS DOUBLE) END) AS c{k}"
+          for k in range(1, _LB_LAGS + 1))}
+      FROM ck)
+    SELECT CAST(s.n AS BIGINT) AS n_months,
+           CAST({_LB_LAGS} AS BIGINT) AS m_lags,
+           ROUND(s.n * (s.n + 2.0) * (
+             {" + ".join(
+                 f"(c{k} / CAST(c0.c0 AS DOUBLE))"
+                 f" * (c{k} / CAST(c0.c0 AS DOUBLE)) / (s.n - {k})"
+                 for k in range(1, _LB_LAGS + 1))}
+           ), 4) AS q_lb
+    FROM s CROSS JOIN c0 CROSS JOIN piv
+    """,
+)
+def qs318(spark: SparkSession, sf: str) -> DataFrame:
+    """LJUNG–BOX PORTMANTEAU TEST at 12 lags on the monthly
+    order-count series: Q = n(n+2)Σρ̂ₖ²/(n−k) — "is there ANY
+    autocorrelation structure" in one statistic, the standard
+    residual-whiteness screen after a seasonal fit (qs204 reports
+    the individual ρₖ; qs303's Durbin–Watson only lag 1; this
+    aggregates all twelve).
+
+    Determinism: the series is centered EXACTLY as eₜ = n·yₜ − Σy
+    (scale factors cancel in ρ̂ₖ = cₖ/c₀), so c₀ and every cₖ are
+    exact DECIMAL(38)/HUGEINT integers off the ~84-row month grid;
+    the twelve lag terms pivot into ONE row and Q is a fixed double
+    tree, ROUND 4. Plan: one grouped corpus scan → the lag pairing
+    is a month-grid self-join (≤ 12·84 pairs)."""
+    o = load_table(spark, sf, "orders")
+    m = o.groupBy(
+        (
+            (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate")
+        ).alias("t")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    s = m.agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy"))
+    e = m.crossJoin(F.broadcast(s)).select(
+        "t",
+        "n",
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("y") - F.col("sy")
+        ).alias("e"),
+    )
+    c0 = e.agg(F.sum(F.col("e") * F.col("e")).alias("c0"))
+    a, b = e.alias("a"), e.alias("b")
+    ck = (
+        a.join(
+            b,
+            (F.col("b.t") - F.col("a.t") >= 1)
+            & (F.col("b.t") - F.col("a.t") <= _LB_LAGS),
+        )
+        .groupBy((F.col("b.t") - F.col("a.t")).alias("k"))
+        .agg(F.sum(F.col("a.e") * F.col("b.e")).alias("c"))
+    )
+    piv = ck.agg(
+        *[
+            F.max(
+                F.when(F.col("k") == k, F.col("c").cast("double"))
+            ).alias(f"c{k}")
+            for k in range(1, _LB_LAGS + 1)
+        ]
+    )
+    qsum = None
+    for k in range(1, _LB_LAGS + 1):
+        rho = F.col(f"c{k}") / F.col("c0").cast("double")
+        term = rho * rho / (F.col("n") - k)
+        qsum = term if qsum is None else qsum + term
+    return (
+        s.crossJoin(F.broadcast(c0))
+        .crossJoin(F.broadcast(piv))
+        .select(
+            F.col("n").cast("long").alias("n_months"),
+            F.lit(_LB_LAGS).cast("long").alias("m_lags"),
+            F.round(F.col("n") * (F.col("n") + 2.0) * qsum, 4).alias("q_lb"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# qs319 Cochran's Q for three related binary conditions on orders
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs319_cochran_q",
+    oracle="""
+    WITH f AS (
+      SELECT CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS f1,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS f2,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS f3
+      FROM orders),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(f1) AS c1, SUM(f2) AS c2, SUM(f3) AS c3,
+             SUM(f1 + f2 + f3) AS sr,
+             SUM(CAST(f1 + f2 + f3 AS HUGEINT) * (f1 + f2 + f3)) AS sr2
+      FROM f)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(3 AS BIGINT) AS k,
+           ROUND(2.0 * CAST(
+               (3 * CAST(c1 AS HUGEINT) - sr) * (3 * CAST(c1 AS HUGEINT) - sr)
+             + (3 * CAST(c2 AS HUGEINT) - sr) * (3 * CAST(c2 AS HUGEINT) - sr)
+             + (3 * CAST(c3 AS HUGEINT) - sr) * (3 * CAST(c3 AS HUGEINT) - sr)
+             AS DOUBLE)
+             / (3.0 * CAST(3 * CAST(sr AS HUGEINT) - sr2 AS DOUBLE)), 4)
+             AS q_cochran
+    FROM s
+    """,
+)
+def qs319(spark: SparkSession, sf: str) -> DataFrame:
+    """COCHRAN'S Q for three related binary conditions evaluated on
+    every order (high value / urgent priority / fulfilled): do the
+    three flags fire at the same rate across the shared population?
+    The k-treatment extension of qs254's McNemar (k = 2) and the
+    binary counterpart of qs289's Friedman — the classic audit for
+    "do our rule variants flag the same fraction" before swapping
+    one rule for another.
+
+    Determinism: with the identity Σⱼ(Cⱼ − ΣR/k)² = Σⱼ(k·Cⱼ − ΣR)²/k²
+    the statistic is Q = (k−1)·Σⱼ(k·Cⱼ − ΣR)² / (k·(k·ΣR − ΣR²)) —
+    every sum an exact DECIMAL(38)/HUGEINT integer from ONE scan,
+    one double division, ROUND 4. Plan: one partial-aggregated scan
+    → one-row epilogue."""
+    o = load_table(spark, sf, "orders")
+    f = o.select(
+        F.when(F.col("o_totalprice") > 150000, 1).otherwise(0).alias("f1"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("f2"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("f3"),
+    )
+    r = F.col("f1") + F.col("f2") + F.col("f3")
+    s = f.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("f1").alias("c1"),
+        F.sum("f2").alias("c2"),
+        F.sum("f3").alias("c3"),
+        F.sum(r).alias("sr"),
+        F.sum(r.cast("decimal(38,0)") * r).alias("sr2"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    dev = lambda c: 3 * d(c) - d("sr")  # noqa: E731
+    num = (
+        dev("c1") * dev("c1") + dev("c2") * dev("c2") + dev("c3") * dev("c3")
+    ).cast("double")
+    den = (3 * d("sr") - F.col("sr2")).cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.lit(3).cast("long").alias("k"),
+        F.round(2.0 * num / (3.0 * den), 4).alias("q_cochran"),
+    )
