@@ -42,7 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # the five deferred r03-green entries qs46/qs48/qs66/qs82/qs89, and the
 # front of the round-7 additions qs241-qs251 (11) — exactly as the r7
 # verdict's task 1 prescribed. The remainder (qs252-qs302, 51 entries,
-# plus the round-8 additions qs303-qs319 — 68 staged total) queues in
+# plus the round-8 additions qs303-qs321 — 70 staged total) queues in
 # order for r09's window with the tail spilling to r10.
 # Every name below MUST exist in the registry — tests/test_sql_surface.py
 # asserts set(_GRADE_FIRST) <= set(QUERIES) so a typo fails loudly instead
@@ -170,6 +170,8 @@ _GRADE_FIRST = [
     "qs317_process_capability",
     "qs318_ljung_box",
     "qs319_cochran_q",
+    "qs320_pettitt_changepoint",
+    "qs321_kendalls_w",
     # -- already officially graded (r07 window, 50/50 green): rotated
     #    to the back of the queue --
     "qs157_perplexity_buckets",

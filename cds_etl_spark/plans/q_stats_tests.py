@@ -2945,3 +2945,228 @@ def qs319(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(3).cast("long").alias("k"),
         F.round(2.0 * num / (3.0 * den), 4).alias("q_cochran"),
     )
+
+
+# --------------------------------------------------------------------------
+# qs320 Pettitt change-point test on the monthly revenue series
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs320_pettitt_changepoint",
+    oracle="""
+    WITH m AS (
+      SELECT (YEAR(o_orderdate) - 1992) * 12 + MONTH(o_orderdate) AS t,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS y
+      FROM orders GROUP BY 1),
+    v AS (
+      SELECT a.t,
+             SUM(CASE WHEN a.y > b.y THEN 1 WHEN a.y < b.y THEN -1
+                      ELSE 0 END) AS vt
+      FROM m a JOIN m b ON a.t <> b.t GROUP BY a.t),
+    u AS (
+      SELECT t, SUM(vt) OVER (ORDER BY t) AS ut FROM v),
+    k AS (SELECT MAX(ABS(ut)) AS k FROM u),
+    n AS (SELECT COUNT(*) AS n FROM m),
+    cp AS (
+      SELECT MIN(u.t) AS t_star FROM u CROSS JOIN k
+      WHERE ABS(u.ut) = k.k)
+    SELECT CAST(n.n AS BIGINT) AS n_months,
+           CAST(k.k AS BIGINT) AS k_stat,
+           CAST(cp.t_star AS BIGINT) AS change_month,
+           ROUND(2.0 * exp(-6.0 * CAST(k.k AS DOUBLE) * k.k
+                 / (CAST(n.n AS DOUBLE) * n.n * n.n
+                    + CAST(n.n AS DOUBLE) * n.n)), 6) AS p_approx
+    FROM n CROSS JOIN k CROSS JOIN cp
+    """,
+)
+def qs320(spark: SparkSession, sf: str) -> DataFrame:
+    """PETTITT CHANGE-POINT TEST on monthly revenue: Uₜ = Σᵢ≤ₜ Vᵢ
+    with Vᵢ = Σⱼ sign(yᵢ − yⱼ), K = max|Uₜ| and the argmax month —
+    the rank-based single-change-point locator beside qs169's
+    mean-shift changepoint (qs169 is parametric in levels; Pettitt
+    is distribution-free, the standard first pass on series with
+    outliers). p ≈ 2·exp(−6K²/(n³+n²)).
+
+    Determinism: Vᵢ, Uₜ, K and the argmax (MIN month tiebreak) are
+    exact integers off the ~84-row month grid; p is one fixed
+    double expression (exp = accepted 1-ulp libm contract),
+    ROUND 6. Plan: one grouped corpus scan → month-grid pair join
+    (≈84² pairs) → calendar-sized cumulative window."""
+    o = load_table(spark, sf, "orders")
+    m = o.groupBy(
+        (
+            (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate")
+        ).alias("t")
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        ).alias("y")
+    )
+    a, b = m.alias("a"), m.alias("b")
+    v = (
+        a.join(b, F.col("a.t") != F.col("b.t"))
+        .groupBy(F.col("a.t").alias("t"))
+        .agg(
+            F.sum(
+                F.when(F.col("a.y") > F.col("b.y"), 1)
+                .when(F.col("a.y") < F.col("b.y"), -1)
+                .otherwise(0)
+            ).alias("vt")
+        )
+    )
+    cumw = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    u = v.select("t", F.sum("vt").over(cumw).alias("ut"))
+    k = u.agg(F.max(F.abs(F.col("ut"))).alias("k"))
+    n = m.agg(F.count(F.lit(1)).alias("n"))
+    cp = (
+        u.crossJoin(F.broadcast(k))
+        .filter(F.abs(F.col("ut")) == F.col("k"))
+        .agg(F.min("t").alias("t_star"))
+    )
+    nn = F.col("n").cast("double")
+    kk = F.col("k").cast("double")
+    return (
+        n.crossJoin(F.broadcast(k))
+        .crossJoin(F.broadcast(cp))
+        .select(
+            F.col("n").cast("long").alias("n_months"),
+            F.col("k").cast("long").alias("k_stat"),
+            F.col("t_star").cast("long").alias("change_month"),
+            F.round(
+                2.0 * F.exp(-6.0 * kk * kk / (nn * nn * nn + nn * nn)), 6
+            ).alias("p_approx"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# qs321 Kendall's W — concordance of weekly priority rankings
+# --------------------------------------------------------------------------
+
+_W_PRIOS = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+@query(
+    "qs321_kendalls_w",
+    oracle=f"""
+    WITH wk AS (
+      SELECT date_trunc('week', o_orderdate) AS b,
+             o_orderpriority AS t,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS x
+      FROM orders GROUP BY 1, 2),
+    full_ AS (
+      SELECT b FROM wk GROUP BY b HAVING COUNT(*) = 5),
+    r AS (
+      SELECT wk.b, wk.t,
+             2 * RANK() OVER (PARTITION BY wk.b ORDER BY wk.x)
+               + COUNT(*) OVER (PARTITION BY wk.b, wk.x) - 1 AS mr2
+      FROM wk JOIN full_ ON full_.b = wk.b),
+    ties AS (
+      SELECT COALESCE(SUM(CAST(c AS HUGEINT) * c * c - c), 0) AS tt
+      FROM (SELECT wk.b, wk.x, COUNT(*) AS c FROM wk
+            JOIN full_ ON full_.b = wk.b GROUP BY wk.b, wk.x
+            HAVING COUNT(*) > 1)),
+    tr AS (
+      SELECT {", ".join(
+          f"MAX(CASE WHEN t = '{p}' THEN r2 END) AS r2_{i}"
+          for i, p in enumerate(_W_PRIOS))}
+      FROM (SELECT t, SUM(mr2) AS r2 FROM r GROUP BY t)),
+    nb AS (SELECT COUNT(*) AS b FROM full_)
+    SELECT CAST(nb.b AS BIGINT) AS n_blocks,
+           ROUND(12.0 * CAST(
+             {" + ".join(
+                 f"(r2_{i} - nb.b * 6) * (r2_{i} - nb.b * 6)"
+                 for i in range(5))}
+             AS DOUBLE)
+             / (4.0 * (CAST(nb.b AS DOUBLE) * nb.b * 5 * 24
+                       - nb.b * CAST(ties.tt AS DOUBLE))), 4) AS kendalls_w
+    FROM nb CROSS JOIN ties CROSS JOIN tr
+    """,
+)
+def qs321(spark: SparkSession, sf: str) -> DataFrame:
+    """KENDALL'S W (coefficient of concordance) over the weekly
+    priority-revenue rankings: how consistently do the 5 priorities
+    rank across weeks (0 = random week-to-week, 1 = identical
+    ranking every week)? The EFFECT SIZE behind qs289's Friedman
+    test — Friedman says the priorities differ; W says how stable
+    the ordering is — with the standard tie correction
+    W = 12·Σ(Rⱼ−R̄)² / (b²k(k²−1) − b·ΣT).
+
+    Determinism: doubled midranks make 4·Σ(Rⱼ−R̄)² =
+    Σ(R2ⱼ − b(k+1))² exact integers over the FIXED 5-priority pivot;
+    the tie term Σ(t³−t) is exact; W is one double division,
+    ROUND 4. Plan: one grouped scan → block-keyed 5-row windows →
+    one-row epilogue (qs289's plan shape plus the tie aggregate)."""
+    o = load_table(spark, sf, "orders")
+    wk = o.groupBy(
+        F.date_trunc("week", "o_orderdate").alias("b"),
+        F.col("o_orderpriority").alias("t"),
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        ).alias("x")
+    )
+    full_ = wk.groupBy("b").agg(F.count(F.lit(1)).alias("_k")).filter(
+        F.col("_k") == 5
+    ).select("b")
+    wkf = wk.join(full_, "b")
+    rw = Window.partitionBy("b").orderBy("x")
+    tw = Window.partitionBy("b", "x")
+    r = wkf.select(
+        "t",
+        (
+            2 * F.rank().over(rw) + F.count(F.lit(1)).over(tw) - 1
+        ).alias("mr2"),
+    )
+    ties = (
+        wkf.groupBy("b", "x")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("c").cast("decimal(38,0)") * F.col("c") * F.col("c")
+                    - F.col("c")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("tt")
+        )
+    )
+    tr = (
+        r.groupBy("t")
+        .agg(F.sum("mr2").alias("r2"))
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("t") == p, F.col("r2"))
+                ).alias(f"r2_{i}")
+                for i, p in enumerate(_W_PRIOS)
+            ]
+        )
+    )
+    nb = full_.agg(F.count(F.lit(1)).alias("b"))
+    dev2 = None
+    for i in range(5):
+        term = (F.col(f"r2_{i}") - F.col("b") * 6) * (
+            F.col(f"r2_{i}") - F.col("b") * 6
+        )
+        dev2 = term if dev2 is None else dev2 + term
+    return (
+        nb.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            F.col("b").cast("long").alias("n_blocks"),
+            F.round(
+                12.0 * dev2.cast("double")
+                / (
+                    4.0
+                    * (
+                        F.col("b").cast("double") * F.col("b") * 5 * 24
+                        - F.col("b") * F.col("tt").cast("double")
+                    )
+                ),
+                4,
+            ).alias("kendalls_w"),
+        )
+    )
