@@ -37,70 +37,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # r05 graded the round-5 additions + the r02-stale queue + 8 stale-r03
 # backfills; r06 graded 34 r03-green backfills + the 16 new/newly
 # hash-checkable entries (qs90 portable-HLL + qs142-qs156) — 50/50 green.
-# r07 graded qs157-qs206 (50/50 green). r08 (this list): the next 50 of
-# the staged queue — the session-4 round-6 additions qs207-qs240 (34),
-# the five deferred r03-green entries qs46/qs48/qs66/qs82/qs89, and the
-# front of the round-7 additions qs241-qs251 (11) — exactly as the r7
-# verdict's task 1 prescribed. The remainder (qs252-qs302, 51 entries,
-# plus the round-8 additions qs303-qs321 — 70 staged total) queues in
-# order for r09's window with the tail spilling to r10.
+# r07 graded qs157-qs206 (50/50 green). r08 graded qs207-qs251 + the five
+# deferred r03-green entries — 48/50, the 2 reds (qs210/qs248) being
+# oracle-canonicalization bugs (DuckDB HUGEINT→float64 rendering and IEEE
+# -0.0), both repaired this round along with the queued-to-fail qs308;
+# tools/driver_diff.py is now kind-strict + sign-of-zero-strict so the
+# class cannot ship silently again. r09 (this list): the next 50 of the
+# staged queue, qs252-qs301, exactly as the r8 verdict's task 2
+# prescribed (the full 319-query strict sweep says all 50 pass). The r10
+# queue behind them: the round-8 tail qs302-qs321 (20), the two repaired
+# reds qs210/qs248 for their official re-grade, and any r9 additions —
+# so the registry ends r10 with zero never-graded entries.
 # Every name below MUST exist in the registry — tests/test_sql_surface.py
 # asserts set(_GRADE_FIRST) <= set(QUERIES) so a typo fails loudly instead
 # of silently falling back to registration order (the r03 defect).
 _GRADE_FIRST = [
-    # -- r08 window (50): qs207-qs240 + the five deferred + qs241-qs251 --
-    "qs207_feature_hashing",
-    "qs208_quantile_normalization",
-    "qs209_seasonal_decompose",
-    "qs210_rfm_segments",
-    "qs211_herfindahl_index",
-    "qs212_readability",
-    "qs213_knn_accuracy",
-    "qs214_degree_assortativity",
-    "qs215_ndcg_retrieval_eval",
-    "qs216_did_estimator",
-    "qs217_laspeyres_index",
-    "qs218_dbscan_core_points",
-    "qs219_abc_classification",
-    "qs220_segment_migration",
-    "qs221_mase_forecast_eval",
-    "qs222_jaccard_link_prediction",
-    "qs223_event_study_lift",
-    "qs224_log_odds_keywords",
-    "qs225_golden_record",
-    "qs226_vocab_coverage",
-    "qs227_ks_two_sample",
-    "qs228_simpson_detector",
-    "qs229_eb_shrinkage",
-    "qs230_var_cvar",
-    "qs231_modularity",
-    "qs232_xmr_control_chart",
-    "qs233_blocking_recall_eval",
-    "qs234_wilson_interval",
-    "qs235_token_burstiness",
-    "qs236_mix_shift_decomposition",
-    "qs237_seasonal_index_ratio",
-    "qs238_order_aging_buckets",
-    "qs239_tukey_fences",
-    "qs240_lexical_diversity",
-    "qs46_full_outer_join",
-    "qs48_time_range_frame",
-    "qs66_hash_split",
-    "qs82_sequence_packing",
-    "qs89_repetition_signal",
-    "qs241_chi_square_independence",
-    "qs242_cusum_drift",
-    "qs243_spearman_corr",
-    "qs244_langid_kappa_eval",
-    "qs245_gains_lift_deciles",
-    "qs246_nelson_aalen",
-    "qs247_position_attribution",
-    "qs248_kmeans_update",
-    "qs249_kcore_decomposition",
-    "qs250_label_propagation",
-    "qs251_price_elasticity",
-    # -- r09 front-of-queue: the remaining round-7 additions
-    #    qs252-qs302 (51 staged) --
+    # -- r09 window (50): the remaining round-7 additions qs252-qs301 --
     "qs252_vocab_jaccard_sources",
     "qs253_burrows_delta",
     "qs254_mcnemar_paired",
@@ -151,8 +103,9 @@ _GRADE_FIRST = [
     "qs299_kendall_taub",
     "qs300_validation_scorecard",
     "qs301_theils_u",
+    # -- r10 queue: round-8 tail + the two repaired r08 reds + r9
+    #    additions (appended as registered) --
     "qs302_runs_test",
-    # -- round-8 additions --
     "qs303_durbin_watson",
     "qs304_moods_median",
     "qs305_mann_kendall",
@@ -172,8 +125,58 @@ _GRADE_FIRST = [
     "qs319_cochran_q",
     "qs320_pettitt_changepoint",
     "qs321_kendalls_w",
-    # -- already officially graded (r07 window, 50/50 green): rotated
-    #    to the back of the queue --
+    "qs210_rfm_segments",
+    "qs248_kmeans_update",
+    # -- already officially graded: r08 window minus the two repaired
+    #    reds above, then the r07 window, rotated to the back --
+    "qs207_feature_hashing",
+    "qs208_quantile_normalization",
+    "qs209_seasonal_decompose",
+    "qs211_herfindahl_index",
+    "qs212_readability",
+    "qs213_knn_accuracy",
+    "qs214_degree_assortativity",
+    "qs215_ndcg_retrieval_eval",
+    "qs216_did_estimator",
+    "qs217_laspeyres_index",
+    "qs218_dbscan_core_points",
+    "qs219_abc_classification",
+    "qs220_segment_migration",
+    "qs221_mase_forecast_eval",
+    "qs222_jaccard_link_prediction",
+    "qs223_event_study_lift",
+    "qs224_log_odds_keywords",
+    "qs225_golden_record",
+    "qs226_vocab_coverage",
+    "qs227_ks_two_sample",
+    "qs228_simpson_detector",
+    "qs229_eb_shrinkage",
+    "qs230_var_cvar",
+    "qs231_modularity",
+    "qs232_xmr_control_chart",
+    "qs233_blocking_recall_eval",
+    "qs234_wilson_interval",
+    "qs235_token_burstiness",
+    "qs236_mix_shift_decomposition",
+    "qs237_seasonal_index_ratio",
+    "qs238_order_aging_buckets",
+    "qs239_tukey_fences",
+    "qs240_lexical_diversity",
+    "qs46_full_outer_join",
+    "qs48_time_range_frame",
+    "qs66_hash_split",
+    "qs82_sequence_packing",
+    "qs89_repetition_signal",
+    "qs241_chi_square_independence",
+    "qs242_cusum_drift",
+    "qs243_spearman_corr",
+    "qs244_langid_kappa_eval",
+    "qs245_gains_lift_deciles",
+    "qs246_nelson_aalen",
+    "qs247_position_attribution",
+    "qs249_kcore_decomposition",
+    "qs250_label_propagation",
+    "qs251_price_elasticity",
     "qs157_perplexity_buckets",
     "qs158_epoch_shard_plan",
     "qs159_psi_drift",

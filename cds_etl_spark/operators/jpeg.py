@@ -631,33 +631,45 @@ def encode_jpeg_progressive(
         if ss == 0:                                # DC scan (se == 0)
             if se != 0:
                 raise ValueError("DC scans must have Se == 0")
+
+            # Block visit order (T.81 A.2): MULTI-component DC scans are
+            # interleaved over the MCU-padded grid; a SINGLE-component DC
+            # scan is non-interleaved and covers only the component's own
+            # nh×nw raster (A.2.2) — the decoder reads exactly that, so
+            # emitting the MCU grid here desyncs the bit reader when the
+            # padded grid is larger (e.g. single-luma DC at 4:2:0 with
+            # h or w mod 16 in 1..8).
+            def _dc_order():
+                if len(comp_idxs) == 1:
+                    ci = comp_idxs[0]
+                    nh, nw = ni_dims[ci]
+                    for by in range(nh):
+                        for bx in range(nw):
+                            yield ci, by * grid_w[ci] + bx
+                else:
+                    for my in range(mcus_y):
+                        for mx in range(mcus_x):
+                            for ci in comp_idxs:
+                                hh, v = samp[ci]
+                                for by in range(v):
+                                    for bx in range(hh):
+                                        yield ci, (my * v + by) * grid_w[ci] + (mx * hh + bx)
+
             if ah == 0:
                 preds = {ci: 0 for ci in comp_idxs}
-                for my in range(mcus_y):
-                    for mx in range(mcus_x):
-                        for ci in comp_idxs:
-                            hh, v = samp[ci]
-                            for by in range(v):
-                                for bx in range(hh):
-                                    i = (my * v + by) * grid_w[ci] + (mx * hh + bx)
-                                    t = int(quant[ci][i][0]) >> al
-                                    diff = t - preds[ci]
-                                    preds[ci] = t
-                                    cat = _category(diff)
-                                    code, length = dc_codes[ci][cat]
-                                    writer.write(code, length)
-                                    if cat:
-                                        bits = diff if diff > 0 else diff + (1 << cat) - 1
-                                        writer.write(bits, cat)
+                for ci, i in _dc_order():
+                    t = int(quant[ci][i][0]) >> al
+                    diff = t - preds[ci]
+                    preds[ci] = t
+                    cat = _category(diff)
+                    code, length = dc_codes[ci][cat]
+                    writer.write(code, length)
+                    if cat:
+                        bits = diff if diff > 0 else diff + (1 << cat) - 1
+                        writer.write(bits, cat)
             else:                                  # DC refinement: 1 bit/block
-                for my in range(mcus_y):
-                    for mx in range(mcus_x):
-                        for ci in comp_idxs:
-                            hh, v = samp[ci]
-                            for by in range(v):
-                                for bx in range(hh):
-                                    i = (my * v + by) * grid_w[ci] + (mx * hh + bx)
-                                    writer.write((int(quant[ci][i][0]) >> al) & 1, 1)
+                for ci, i in _dc_order():
+                    writer.write((int(quant[ci][i][0]) >> al) & 1, 1)
         else:                                      # AC scan: one component
             if len(comp_idxs) != 1:
                 raise ValueError("AC scans must be single-component")

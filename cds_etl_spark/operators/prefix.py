@@ -32,7 +32,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_INTEGRAL_TYPES = ("byte", "short", "int", "integer", "bigint", "long")
+# DataType.simpleString() spellings (NOT the Python-style aliases:
+# ByteType → 'tinyint', ShortType → 'smallint', LongType → 'bigint').
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
 
 
 def _guard_span(bounds: DataFrame, fname: str) -> DataFrame:

@@ -285,7 +285,29 @@ class CdsPipelineV10:
                     *[c for c, _ in specs if c != prop and c in df.columns]
                 )
                 joined = df.join(right, prop, "left")
-                return joined.dropDuplicates(_data_cols(joined))
+                # pandas drop_duplicates keeps the FIRST occurrence
+                # (lowest original index); dropDuplicates keeps an
+                # arbitrary survivor, which makes a later positional
+                # concat nondeterministic across runs when full data-
+                # duplicate rows exist. Keep min(_pos)/min(ROW_ID) per
+                # data-column group to mirror keep='first'.
+                dcols = _data_cols(joined)
+                keys = [c for c in INTERNAL if c in joined.columns]
+                if not keys:
+                    return joined.dropDuplicates(dcols)
+                # backtick-quote: sheet headers can contain dots
+                # (e.g. `file.file_id`), which bare strings would
+                # parse as struct access.
+                w = Window.partitionBy(
+                    *[F.col(f"`{c}`") for c in dcols]
+                ).orderBy(*[F.col(f"`{c}`") for c in keys])
+                return (
+                    joined.withColumn(
+                        "_rn10", F.row_number().over(w)
+                    )
+                    .filter(F.col("_rn10") == 1)
+                    .drop("_rn10")
+                )
         # :54-56 truncate to the node's length, then concat.
         n_rows = df.count()
         new_df = new_df.filter(F.col(POS) <= n_rows)

@@ -492,7 +492,8 @@ _SPLIT_BK = "('0x' || substr(md5(doc_id || '|split'), 1, 8))::BIGINT % 1000000"
     )
     SELECT least(sa.s, sb.s) || '|' || greatest(sa.s, sb.s) AS split_pair,
            COUNT(*) AS n_pairs,
-           SUM(CAST(FLOOR(pairs.jac * 10000) AS BIGINT)) AS sum_jac_bp
+           CAST(SUM(CAST(FLOOR(pairs.jac * 10000) AS BIGINT))
+                AS BIGINT) AS sum_jac_bp
     FROM pairs JOIN sp sa ON pairs.d1 = sa.doc_id
                JOIN sp sb ON pairs.d2 = sb.doc_id
     WHERE sa.s <> sb.s

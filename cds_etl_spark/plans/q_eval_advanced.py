@@ -274,7 +274,8 @@ def qs209(spark: SparkSession, sf: str) -> DataFrame:
              date_diff('day', MAX(o_orderdate),
                        TIMESTAMP '2001-09-01') AS recency_days,
              COUNT(*) AS freq,
-             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
       FROM orders GROUP BY 1),
     scored AS (
       SELECT cust, recency_days, freq, cents,

@@ -668,9 +668,9 @@ def qs247(spark: SparkSession, sf: str) -> DataFrame:
                                      ORDER BY s DESC, cid) rn
         FROM scored) WHERE rn = 1)
     SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_assigned,
-           ROUND(AVG(vv[1]), 4) AS c1,
-           ROUND(AVG(vv[2]), 4) AS c2,
-           ROUND(AVG(vv[3]), 4) AS c3
+           ROUND(AVG(vv[1]), 4) + 0.0 AS c1,
+           ROUND(AVG(vv[2]), 4) + 0.0 AS c2,
+           ROUND(AVG(vv[3]), 4) + 0.0 AS c3
     FROM assigned GROUP BY cid
     """,
 )
@@ -698,11 +698,14 @@ def qs248(spark: SparkSession, sf: str) -> DataFrame:
     )
     assigned = ivf_assign(emb, cents)
     e = F.col("embedding")
+    # `+ 0.0` on BOTH engines: ROUND at 4 dp preserves IEEE sign-of-zero
+    # (DuckDB emits -0.0 for a tiny negative mean where Spark emits 0.0);
+    # adding +0.0 canonicalizes because -0.0 + 0.0 = +0.0 exactly.
     return assigned.groupBy("cid").agg(
         F.count(F.lit(1)).cast("long").alias("n_assigned"),
-        F.round(F.avg(F.element_at(e, 1)), 4).alias("c1"),
-        F.round(F.avg(F.element_at(e, 2)), 4).alias("c2"),
-        F.round(F.avg(F.element_at(e, 3)), 4).alias("c3"),
+        (F.round(F.avg(F.element_at(e, 1)), 4) + F.lit(0.0)).alias("c1"),
+        (F.round(F.avg(F.element_at(e, 2)), 4) + F.lit(0.0)).alias("c2"),
+        (F.round(F.avg(F.element_at(e, 3)), 4) + F.lit(0.0)).alias("c3"),
     )
 
 

@@ -2638,7 +2638,7 @@ def qs312(spark: SparkSession, sf: str) -> DataFrame:
 def qs316(spark: SparkSession, sf: str) -> DataFrame:
     """PARTIAL CORRELATION of quantity and extended price CONTROLLING
     for discount — r_xy·z = (r_xy − r_xz r_yz)/√((1−r_xz²)(1−r_yz²))
-    — plus the VIF of the控制 regressor: the confounder screen run
+    — plus the VIF of the control regressor: the confounder screen run
     before trusting qs86's raw correlation or qs279's Granger lag
     (a strong r_xy that vanishes given z was z's doing all along).
 

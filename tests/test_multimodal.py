@@ -440,6 +440,41 @@ def test_jpeg_progressive_custom_script_and_grayscale():
     )
 
 
+def test_jpeg_progressive_single_component_dc_scans():
+    # r8 ADVICE regression: SINGLE-component DC scans are
+    # non-interleaved (T.81 A.2.2) and must cover only the component's
+    # own nh×nw raster, not the MCU-padded grid. At 4:2:0 with h/w
+    # mod 16 in 1..8 the padded grid is strictly larger, so the old
+    # MCU-grid emission desynced the decoder's bit reader.
+    from cds_etl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    per_comp_dc = [
+        ((0,), 0, 0, 0, 1),        # luma DC first pass, Al=1
+        ((1,), 0, 0, 0, 0),
+        ((2,), 0, 0, 0, 0),
+        ((0,), 0, 0, 1, 0),        # luma DC refinement (1 bit/block)
+        ((0,), 1, 63, 0, 0),
+        ((1,), 1, 63, 0, 0),
+        ((2,), 1, 63, 0, 0),
+    ]
+    rng = np.random.default_rng(17)
+    # 4:2:0 with both dims mod 16 in 1..8 (the desync shape) plus an
+    # aligned control.
+    for shape in ((17, 23, 3), (24, 21, 3), (32, 32, 3)):
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=80, subsampling="420"))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(
+                img, quality=80, subsampling="420", scans=per_comp_dc
+            )
+        )
+        assert np.array_equal(base, prog), shape
+
+
 def test_jpeg_bitstream_structure_parses():
     # Structural known-answer checks on the emitted stream: JFIF APP0,
     # two DQTs, SOF0 with sampling factors, four DHTs, one SOS — i.e.

@@ -329,6 +329,39 @@ def test_scalable_ntile_multi_fewer_rows_than_tiles(spark):
     assert got == want
 
 
+def test_scalable_ntile_accepts_smallint_metric(spark):
+    # simpleString() spells ShortType 'smallint' / ByteType 'tinyint';
+    # the type gate must accept them (r8 ADVICE: python-style names in
+    # _INTEGRAL_TYPES falsely rejected valid short/byte columns).
+    df = spark.createDataFrame(
+        [Row(cust=i, a=i % 7) for i in range(40)]
+    ).select(
+        F.col("cust").cast("smallint").alias("cust"),
+        F.col("a").cast("tinyint").alias("a"),
+    )
+    want = sorted(
+        map(
+            tuple,
+            df.select(
+                "cust",
+                F.ntile(4)
+                .over(Window.orderBy("a", "cust"))
+                .cast("long")
+                .alias("ta"),
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            scalable_ntile_multi(df, [("a", "ta")], "cust", 4, n_buckets=4)
+            .select("cust", "ta")
+            .collect(),
+        )
+    )
+    assert got == want
+
+
 def test_scalable_ntile_rejects_non_integral_tiebreak(spark):
     df = spark.createDataFrame(
         [Row(v=i, k=f"id{i}") for i in range(10)]

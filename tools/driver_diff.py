@@ -104,13 +104,54 @@ def main(names: list[str]) -> int:
                 )
                 for i in idx:
                     print(f"   row{i}: spark={sv[i]!r} duck={dv[i]!r}")
-        # dtype-only mismatch can still flip a hash (1 vs 1.0)
+        # STRICT (r9): KIND-level dtype divergence IS a failure — the
+        # driver hashes the pandas rendering, so int64 `6437750` vs
+        # float64 `6437750.0` hashes red even when every value compares
+        # equal (the qs210/qs308 r8 defect class: DuckDB SUM(BIGINT) →
+        # HUGEINT → float64). Width/signedness-only divergence
+        # (int32/int64/uint32) renders identically and is driver-proven
+        # benign (qs87/qs189/qs190/qs203/qs208/qs209/qs217 all graded
+        # green with exactly that mismatch) — note it, don't fail.
         for col in s.columns:
-            if str(s[col].dtype) != str(d[col].dtype):
+            sk = s[col].dtype.kind.replace("u", "i")
+            dk = d[col].dtype.kind.replace("u", "i")
+            if sk != dk:
                 print(
-                    f"{full}: DTYPE col={col!r} spark={s[col].dtype} "
+                    f"{full}: DTYPE FAIL col={col!r} spark={s[col].dtype} "
                     f"duck={d[col].dtype}"
                 )
+                ndiff += 1
+            elif str(s[col].dtype) != str(d[col].dtype):
+                print(
+                    f"{full}: dtype note col={col!r} spark={s[col].dtype} "
+                    f"duck={d[col].dtype} (width-only; hashes equal)"
+                )
+        # STRICT (r9): IEEE sign-of-zero divergence IS a failure —
+        # `-0.0 == 0.0` is True so the value compare above masks it, but
+        # the driver's hash sees the rendering (the qs248 r8 defect).
+        # Any -0.0 PRESENT on either side is also flagged: whether the
+        # other engine matches the sign can flip with summation order.
+        import numpy as np  # local: only float columns need it
+
+        for col in s.columns:
+            sv, dv = s[col], d[col]
+            if sv.dtype.kind == "f" and dv.dtype.kind == "f":
+                szero = np.signbit(sv.to_numpy()) & (sv.to_numpy() == 0.0)
+                dzero = np.signbit(dv.to_numpy()) & (dv.to_numpy() == 0.0)
+                bad = szero != dzero
+                if bad.any():
+                    print(
+                        f"{full}: SIGNZERO FAIL col={col!r} "
+                        f"nmismatch={int(bad.sum())}"
+                    )
+                    ndiff += int(bad.sum())
+                elif szero.any() or dzero.any():
+                    print(
+                        f"{full}: SIGNZERO FAIL col={col!r} -0.0 present "
+                        f"(spark={int(szero.sum())} duck={int(dzero.sum())})"
+                        " — canonicalize with `+ 0.0` after ROUND"
+                    )
+                    ndiff += 1
         if ndiff == 0:
             print(f"{full}: values EQUAL ({len(s)} rows)")
         else:
