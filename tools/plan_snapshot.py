@@ -81,6 +81,10 @@ SNAPSHOT_QUERIES = [
     "qs214_degree_assortativity",
     "qs307_gini_balances",
     "qs308_split_leakage",
+    # r9 structural plan: the VaR/CVaR cumulative tail count on
+    # bucketed_prefix_sum (kills the 5-task per-prio value-grid
+    # window; cum_hi = tn - cum_lo + cnt).
+    "qs230_var_cvar",
 ]
 
 
