@@ -218,6 +218,52 @@ def bucketed_row_number(
     )
 
 
+def capped_row_number(
+    df: DataFrame,
+    part_cols,
+    order_cols,
+    k: int,
+    out_col: str = "pos",
+    n_salts: int = 64,
+) -> DataFrame:
+    """Per-group top-``k`` with ranks — ``row_number() OVER
+    (PARTITION BY part_cols ORDER BY order_cols)`` kept only where
+    ``<= k`` — WITHOUT putting each group's entire row set in one
+    task. With few groups (the qs105 shape: 5 sources over the whole
+    corpus) the plain window is a handful of tasks forever; here each
+    row first salts into one of ``n_salts`` sub-partitions by a
+    deterministic hash of its order key, a local window takes the
+    per-salt top-k (a SUPERSET-preserving prune: any global top-k row
+    is in its salt bucket's top-k), and the final window ranks only
+    the ≤ ``k * n_salts`` survivors per group. Both shuffles are
+    parallel; the second input is candidate-sized.
+
+    ``order_cols`` must be a UNIQUE total order within each group
+    (the usual deterministic-cap contract — qs105 orders by
+    (md5(id), id)); with duplicates the kept set would be
+    ordering-ambiguous in the serial window too. Equality with the
+    serial form is pinned in tests/test_prefix.py."""
+    pc = list(part_cols)
+    oc = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    # Deterministic salt from the order key itself (xxhash64 is
+    # stable across runs/partitionings), so the plan is reproducible
+    # — though correctness only needs the superset property, which
+    # holds under ANY salt assignment.
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*oc), F.lit(int(n_salts)))
+    )
+    w_local = Window.partitionBy(*pc, "_salt").orderBy(*oc)
+    cand = (
+        salted.withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= k)
+        .drop("_lr", "_salt")
+    )
+    w_final = Window.partitionBy(*pc).orderBy(*oc)
+    return cand.withColumn(
+        out_col, F.row_number().over(w_final)
+    ).filter(F.col(out_col) <= k)
+
+
 def ntile_from_rank(
     rank_col: str, total_col: str, n: int
 ):

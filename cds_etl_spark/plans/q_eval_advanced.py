@@ -1902,16 +1902,16 @@ def qs226(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("source", "term")
         .agg(F.count(F.lit(1)).alias("y"))
     )
+    # Top-1000 via orderBy().limit(): TakeOrderedAndProject merges
+    # per-partition top-k instead of the old single-task global
+    # row_number window over the whole vocabulary (which grows with
+    # the corpus under Heaps' law). (yw DESC, term) is a unique total
+    # order, so the kept set is identical.
     vocab = (
         tc.groupBy("term")
         .agg(F.sum("y").alias("yw"))
-        .select(
-            "term",
-            F.row_number()
-            .over(Window.orderBy(F.col("yw").desc(), "term"))
-            .alias("rk"),
-        )
-        .filter(F.col("rk") <= 1000)
+        .orderBy(F.col("yw").desc(), "term")
+        .limit(1000)
         .select("term", F.lit(True).alias("inv"))
     )
     cov = (

@@ -186,24 +186,34 @@ def qs257(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("s")
         )
     )
+    # Top-100 via orderBy().limit() — TakeOrderedAndProject keeps the
+    # corpus scan parallel (per-partition top-k, then merge); the old
+    # global row_number window pulled every scored document into ONE
+    # task. The rank column the RRF formula needs is then a window
+    # over the 100 SURVIVORS only: ranks within the top-k equal the
+    # global ranks because the (score, doc_id) total order is unique.
     r1 = (
-        bm.select(
+        bm.select("doc_id", F.round(F.col("s"), 4).alias("s4"))
+        .orderBy(F.col("s4").desc(), "doc_id")
+        .limit(100)
+        .select(
             "doc_id",
             F.row_number()
-            .over(Window.orderBy(F.round(F.col("s"), 4).desc(), "doc_id"))
+            .over(Window.orderBy(F.col("s4").desc(), "doc_id"))
             .alias("r"),
         )
-        .filter(F.col("r") <= 100)
         .withColumnRenamed("doc_id", "d1")
     )
     r2 = (
-        d.select(
+        d.select("doc_id", "n_chars")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .limit(100)
+        .select(
             "doc_id",
             F.row_number()
             .over(Window.orderBy(F.col("n_chars").desc(), "doc_id"))
             .alias("r"),
         )
-        .filter(F.col("r") <= 100)
         .withColumnRenamed("doc_id", "d2")
     )
     fused = r1.join(

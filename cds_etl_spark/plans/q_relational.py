@@ -374,14 +374,53 @@ def qs20(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def qs21(spark: SparkSession, sf: str) -> DataFrame:
-    """rank/dense_rank/ntile over global orderings."""
+    """rank/dense_rank/ntile over global orderings.
+
+    Plan (r9 rewire, 33.5 → measured-below s sf10): the three
+    unpartitioned windows each put ALL orders in one task. Exact
+    rank algebra replaces them: (a) the (price DESC, orderkey)
+    order is unique, so RANK == ROW_NUMBER == bucketed_row_number
+    on negated integer cents; (b) DENSE_RANK over o_orderpriority
+    has 5 distinct values — a broadcast dictionary built from the
+    5-row distinct table; (c) NTILE(4) over unique o_orderkey is
+    ntile_from_rank(rn, n, 4) with rn a second bucketed_row_number
+    keyed on o_orderkey itself."""
+    from cds_etl_spark.operators.prefix import (
+        bucketed_row_number,
+        ntile_from_rank,
+    )
+
     o = load_table(spark, sf, "orders")
+    s = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        (-F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "_negc"
+        ),
+    )
+    ranked = bucketed_row_number(
+        s, "_negc", ["_negc", "o_orderkey"], "_r"
+    )
+    ranked = bucketed_row_number(
+        ranked, "o_orderkey", ["o_orderkey"], "_rn_key"
+    )
+    prio = (
+        s.select("o_orderpriority")
+        .distinct()
+        .withColumn(
+            "_dr",
+            F.row_number().over(Window.orderBy("o_orderpriority")),
+        )
+    )
+    n = s.agg(F.count(F.lit(1)).alias("_n"))
     return (
-        o.select(
+        ranked.join(F.broadcast(prio), "o_orderpriority")
+        .crossJoin(F.broadcast(n))
+        .select(
             "o_orderkey",
-            F.rank().over(Window.orderBy(F.col("o_totalprice").desc(), "o_orderkey")).alias("r"),
-            F.dense_rank().over(Window.orderBy("o_orderpriority")).alias("dr"),
-            F.ntile(4).over(Window.orderBy("o_orderkey")).alias("nt"),
+            F.col("_r").cast("int").alias("r"),
+            F.col("_dr").cast("int").alias("dr"),
+            ntile_from_rank("_rn_key", "_n", 4).cast("int").alias("nt"),
         )
         .orderBy("o_orderkey")
         .limit(1000)

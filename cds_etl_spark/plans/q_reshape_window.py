@@ -210,17 +210,54 @@ def qs17(spark: SparkSession, sf: str) -> DataFrame:
 def qs24(spark: SparkSession, sf: str) -> DataFrame:
     """percent_rank / cume_dist / first_value / last_value with an
     explicit unbounded frame (last_value under the default frame is the
-    current row — the classic trap; the frame makes it the true max)."""
+    current row — the classic trap; the frame makes it the true max).
+
+    Plan (r9 rewire, 15.3 → measured-below s sf10): o_orderstatus has
+    3 values, so the plain window was a 3-task stage over all orders.
+    The (price, orderkey) order is unique per status, so each window
+    collapses to exact per-status rank algebra: rn from
+    operators/prefix.bucketed_row_number (integer-cents bucket key,
+    part_cols=status), pr = (rn−1)/(n−1), cd = rn/n; first/last value
+    over the unbounded frame are the orderkeys at rn = 1 and rn = n,
+    carried on the broadcast 3-row per-status stats table."""
+    from cds_etl_spark.operators.prefix import bucketed_row_number
+
     o = load_table(spark, sf, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
-    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    s = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("_cents"),
+    )
+    rn = bucketed_row_number(
+        s,
+        "_cents",
+        ["_cents", "o_orderkey"],
+        "_rn",
+        part_cols=("o_orderstatus",),
+    )
+    # Per-status n plus the frame endpoints: first = min(cents,key)
+    # struct, last = max — exact because the composite is unique.
+    stats = s.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(F.struct("_cents", "o_orderkey")).alias("_lo"),
+        F.max(F.struct("_cents", "o_orderkey")).alias("_hi"),
+    )
     return (
-        o.select(
+        rn.join(F.broadcast(stats), "o_orderstatus")
+        .select(
             "o_orderkey",
-            F.round(F.percent_rank().over(w), 6).alias("pr"),
-            F.round(F.cume_dist().over(w), 6).alias("cd"),
-            F.first("o_orderkey").over(w).alias("fv"),
-            F.last("o_orderkey").over(wfull).alias("lv"),
+            F.round(
+                (F.col("_rn") - 1).cast("double")
+                / (F.col("_n") - 1),
+                6,
+            ).alias("pr"),
+            F.round(
+                F.col("_rn").cast("double") / F.col("_n"), 6
+            ).alias("cd"),
+            F.col("_lo.o_orderkey").alias("fv"),
+            F.col("_hi.o_orderkey").alias("lv"),
         )
         .orderBy("o_orderkey")
         .limit(1000)

@@ -197,16 +197,40 @@ def qs70(spark: SparkSession, sf: str) -> DataFrame:
 )
 def qs71(spark: SparkSession, sf: str) -> DataFrame:
     """percent_rank/cume_dist — the remaining ranking-family windows
-    (qs21 covers rank/dense_rank/ntile). Single unpartitioned window:
-    a global-sort shape that at scale wants a range-partitioned sort,
-    which Spark's window exec plans automatically."""
+    (qs21 covers rank/dense_rank/ntile).
+
+    Plan (r9 rewire, 27.2 → measured-below s sf10): the
+    unpartitioned window put ALL orders in one task; since the
+    (o_totalprice, o_orderkey) order is a UNIQUE composite, ties are
+    impossible and the window functions collapse to exact rank
+    algebra — percent_rank = (rn−1)/(n−1), cume_dist = rn/n — with
+    rn from operators/prefix.bucketed_row_number (2-dp prices map
+    bijectively to integer cents, the required monotone integral
+    bucket key) and n one broadcast scalar."""
+    from cds_etl_spark.operators.prefix import bucketed_row_number
+
     o = load_table(spark, sf, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    s = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("_cents"),
+    )
+    rn = bucketed_row_number(
+        s, "_cents", ["_cents", "o_orderkey"], "_rn"
+    )
+    n = s.agg(F.count(F.lit(1)).alias("_n"))
     return (
-        o.select(
+        rn.crossJoin(F.broadcast(n))
+        .select(
             "o_orderkey",
-            F.round(F.percent_rank().over(w), 6).alias("pr"),
-            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            F.round(
+                (F.col("_rn") - 1).cast("double") / (F.col("_n") - 1),
+                6,
+            ).alias("pr"),
+            F.round(
+                F.col("_rn").cast("double") / F.col("_n"), 6
+            ).alias("cd"),
         )
         .orderBy("o_orderkey")
         .limit(1000)

@@ -228,17 +228,23 @@ def qs105(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic per-group cap: keep at most k documents per
     source, chosen by md5-hash order — the 'no domain dominates the
     training mix' operator. Engine-portable determinism (same hash →
-    same sample anywhere, no RNG state); one shuffle on the group key,
-    and rank()-over-window prunes to k rows per group before anything
-    wide is carried."""
+    same sample anywhere, no RNG state). Plan (r9): the handful of
+    sources made the plain per-source window a 5-task stage over the
+    whole corpus; operators/prefix.capped_row_number salts each row
+    by a hash of its own order key into 64 sub-partitions, takes the
+    per-salt top-k in parallel (superset-preserving prune), and
+    ranks only the ≤ 5·64 survivors per source."""
+    from cds_etl_spark.operators.prefix import capped_row_number
+
     d = load_table(spark, sf, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-    )
-    return (
-        d.select("source", "doc_id", F.row_number().over(w).alias("pos"))
-        .filter(F.col("pos") <= 5)
-    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    return capped_row_number(
+        d.select("source", "doc_id", h.alias("_h")),
+        ["source"],
+        ["_h", "doc_id"],
+        5,
+        out_col="pos",
+    ).select("source", "doc_id", F.col("pos").cast("int").alias("pos"))
 
 
 @query(

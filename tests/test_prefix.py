@@ -329,6 +329,38 @@ def test_scalable_ntile_multi_fewer_rows_than_tiles(spark):
     assert got == want
 
 
+def test_capped_row_number_matches_serial_window(spark):
+    # Salted two-level top-k == plain per-group row_number <= k,
+    # including groups with fewer than k rows and k > n_salts overlap.
+    from cds_etl_spark.operators.prefix import capped_row_number
+
+    rng = random.Random(278)
+    rows = [
+        Row(g=f"s{i % 4}", v=rng.randint(0, 10**9), i=i)
+        for i in range(500)
+    ] + [Row(g="tiny", v=7, i=9999)]
+    df = spark.createDataFrame(rows)
+    w = Window.partitionBy("g").orderBy("v", "i")
+    want = sorted(
+        map(
+            tuple,
+            df.withColumn("pos", F.row_number().over(w))
+            .filter(F.col("pos") <= 7)
+            .select("g", "v", "i", "pos")
+            .collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            capped_row_number(df, ["g"], ["v", "i"], 7, n_salts=8)
+            .select("g", "v", "i", "pos")
+            .collect(),
+        )
+    )
+    assert got == want
+
+
 def test_scalable_ntile_accepts_smallint_metric(spark):
     # simpleString() spells ShortType 'smallint' / ByteType 'tinyint';
     # the type gate must accept them (r8 ADVICE: python-style names in

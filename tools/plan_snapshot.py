@@ -85,6 +85,14 @@ SNAPSHOT_QUERIES = [
     # bucketed_prefix_sum (kills the 5-task per-prio value-grid
     # window; cum_hi = tn - cum_lo + cnt).
     "qs230_var_cvar",
+    # r9 ranking-family rewires: exact rank algebra on
+    # bucketed_row_number replaces the single-task (qs21/qs71) and
+    # 3-task (qs24) global-sort windows; qs105's per-source cap runs
+    # on the salted two-level capped_row_number.
+    "qs21_ranking_family",
+    "qs71_rank_pct",
+    "qs24_window_navigation",
+    "qs105_cap_per_group",
 ]
 
 
