@@ -127,6 +127,24 @@ _GRADE_FIRST = [
     "qs321_kendalls_w",
     "qs210_rfm_segments",
     "qs248_kmeans_update",
+    # -- round-9 additions --
+    "qs322_pages_trend",
+    "qs323_hodges_lehmann",
+    "qs324_siegel_tukey",
+    "qs326_bowker_symmetry",
+    "qs327_ordinal_association",
+    "qs329_gini_mean_difference",
+    "qs340_temporal_conformance",
+    "qs330_average_precision",
+    "qs331_matthews_corr",
+    "qs332_brier_decomposition",
+    "qs333_binned_logloss",
+    "qs334_adamic_adar",
+    "qs335_zipf_slope",
+    "qs336_xyz_classification",
+    "qs337_association_metrics",
+    "qs338_croston_forecast",
+    "qs341_shingle_containment",
     # -- already officially graded: r08 window minus the two repaired
     #    reds above, then the r07 window, rotated to the back --
     "qs207_feature_hashing",

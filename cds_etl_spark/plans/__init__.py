@@ -23,6 +23,7 @@ from cds_etl_spark.plans import (  # noqa: E402,F401  (import = registration)
     q_stats_tests,
     q_experiments,
     q_commerce_ops,
+    q_assoc_eval,
 )
 
 __all__ = ["QUERIES", "ORACLE_SQL"]

@@ -1,0 +1,1745 @@
+"""Round-9 family (qs322+): ordered-alternative and dispersion rank
+tests (Page, Hodges–Lehmann, Siegel–Tukey), square-table symmetry
+(Bowker), the ordinal-association suite (gamma / Somers' D / tau-c),
+Gini mean difference, ranked-retrieval AP, confusion/forecast-quality
+metrics (MCC, Brier decomposition, binned log-loss), Adamic–Adar link
+prediction, Zipf slope, XYZ demand classification, association-rule
+metrics, Croston intermittent-demand forecasts, temporal-conformance
+data-quality audits, and shingle containment — extending the
+inference (q_stats_tests), eval (q_eval_advanced) and dedup
+(q_dedup_text) blocks. These are the aggregate/window shapes the
+reference's validation surface (/root/reference/data_loader.py
+validation hooks) and a training-data curation pipeline both run.
+Registration contract, aliasing and cross-engine determinism rules:
+cds_etl_spark/plans/registry.py; the exact-integer / one-row-pivot
+doctrine is applied throughout (double sums only over fixed literal
+grids or positive few-term epilogues).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cds_etl_spark.catalog import load_table
+from cds_etl_spark.operators.prefix import bucketed_row_number
+from cds_etl_spark.plans.registry import query
+
+_PRIOS = (
+    "1-URGENT",
+    "2-HIGH",
+    "3-MEDIUM",
+    "4-NOT SPECIFIED",
+    "5-LOW",
+)
+
+
+# --------------------------------------------------------------------------
+# qs322 Page's trend test for ordered alternatives
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs322_pages_trend",
+    oracle="""
+    WITH wk AS (
+      SELECT date_trunc('week', o_orderdate) AS b,
+             CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS t,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS x
+      FROM orders GROUP BY 1, 2),
+    full_ AS (SELECT b FROM wk GROUP BY b HAVING COUNT(*) = 5),
+    r AS (
+      SELECT wk.b, wk.t,
+             ROW_NUMBER() OVER (PARTITION BY wk.b
+                                ORDER BY wk.x, wk.t) AS rk
+      FROM wk JOIN full_ ON wk.b = full_.b),
+    agg AS (
+      SELECT CAST(SUM(t * rk) AS BIGINT) AS l,
+             CAST(COUNT(*) / 5 AS BIGINT) AS nb
+      FROM r)
+    SELECT l, nb,
+           ROUND((l - 45.0 * nb) / (5.0 * sqrt(CAST(nb AS DOUBLE))), 4)
+             AS z
+    FROM agg
+    """,
+)
+def qs322(spark: SparkSession, sf: str) -> DataFrame:
+    """Page's L test for ordered alternatives — does weekly revenue
+    rise monotonically with order priority? The trend-sensitive
+    upgrade of qs289's Friedman test (which only detects SOME
+    difference): L = ΣΣ j·r_bj over complete week blocks, with the
+    treatments hypothesized in priority order 1..5. Pairs with
+    qs298's Jonckheere (independent groups) — Page is its
+    repeated-measures sibling.
+
+    Determinism: within-block ranks order by (exact cents, priority
+    index) — a unique composite, so row_number is reproducible; L
+    and b are exact integers; E[L] = 45b and Var[L] = 25b for k = 5
+    collapse the z into one fixed double expression (√ IEEE-exact).
+    Plan: corpus → (week × 5) grid in one aggregate; every window
+    runs inside a 5-row block."""
+    o = load_table(spark, sf, "orders")
+    wk = o.groupBy(
+        F.date_trunc("week", "o_orderdate").alias("b"),
+        F.substring("o_orderpriority", 1, 1)
+        .cast("long")
+        .alias("t"),
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        ).alias("x")
+    )
+    full_ = (
+        wk.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("_k"))
+        .filter(F.col("_k") == 5)
+        .select("b")
+    )
+    r = wk.join(full_, "b").select(
+        "t",
+        F.row_number()
+        .over(Window.partitionBy("b").orderBy("x", "t"))
+        .alias("rk"),
+    )
+    agg = r.agg(
+        F.sum(F.col("t") * F.col("rk")).cast("long").alias("l"),
+        (F.count(F.lit(1)) / 5).cast("long").alias("nb"),
+    )
+    return agg.select(
+        "l",
+        "nb",
+        F.round(
+            (F.col("l") - 45.0 * F.col("nb"))
+            / (5.0 * F.sqrt(F.col("nb").cast("double"))),
+            4,
+        ).alias("z"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs323 Hodges–Lehmann shift estimator (R vs N lineitems)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs323_hodges_lehmann",
+    oracle="""
+    WITH g0 AS (SELECT CAST(l_quantity AS BIGINT) AS v, COUNT(*) AS c
+                FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1),
+    g1 AS (SELECT CAST(l_quantity AS BIGINT) AS v, COUNT(*) AS c
+           FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+    d AS (
+      SELECT g1.v - g0.v AS d, SUM(g1.c * g0.c) AS w
+      FROM g1 CROSS JOIN g0 GROUP BY 1),
+    cum AS (
+      SELECT d, SUM(w) OVER (ORDER BY d
+                 ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER () AS tw
+      FROM d)
+    SELECT CAST((SELECT MIN(d) FROM cum WHERE 2 * cw >= tw + 1)
+                + (SELECT MIN(d) FROM cum WHERE 2 * cw >= tw + 2)
+                AS BIGINT) AS hl2,
+           CAST(MAX(tw) AS BIGINT) AS n_pairs
+    FROM cum
+    """,
+)
+def qs323(spark: SparkSession, sf: str) -> DataFrame:
+    """Hodges–Lehmann estimator of the R-vs-N quantity shift — the
+    median of ALL pairwise differences x_R − x_N, the robust
+    location-shift companion to qs181's Mann–Whitney AUC (HL is the
+    shift the MW test implicitly tests for). Emitted as hl2 = lower
+    middle + upper middle of the weighted difference multiset (2×
+    the median, keeping even-count averaging in exact integers).
+
+    Determinism: quantities are integers 1..50, so the difference
+    grid has ≤ 99 values with exact pair-count weights (cᵢ·cⱼ sums
+    — DECIMAL-free at any SF since Σw = n₁·n₀ < 2⁶³ through sf100);
+    the weighted median is an integer cumulative-count threshold
+    (2·cum ≥ T+1 cross-multiplied). Plan: two 50-row grids cross
+    into ≤ 2,500 pairs, re-aggregated to ≤ 99 difference rows — the
+    corpus is touched by exactly one grouped scan; every window is
+    grid-sized."""
+    li = load_table(spark, sf, "lineitem")
+    qv = F.col("l_quantity").cast("long").alias("v")
+    g0 = (
+        li.filter(F.col("l_returnflag") == "N")
+        .groupBy(qv)
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    g1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy(qv)
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    d = (
+        g1.alias("a")
+        .crossJoin(F.broadcast(g0.alias("b")))
+        .groupBy((F.col("a.v") - F.col("b.v")).alias("d"))
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("w"))
+    )
+    cum = d.select(
+        "d",
+        F.sum("w")
+        .over(
+            Window.orderBy("d").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .alias("cw"),
+        F.sum("w").over(Window.partitionBy()).alias("tw"),
+    )
+    lo = cum.filter(2 * F.col("cw") >= F.col("tw") + 1).agg(
+        F.min("d").alias("lo")
+    )
+    hi = cum.filter(2 * F.col("cw") >= F.col("tw") + 2).agg(
+        F.min("d").alias("hi")
+    )
+    tot = cum.agg(F.max("tw").alias("n_pairs"))
+    return (
+        lo.crossJoin(F.broadcast(hi))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("lo") + F.col("hi")).cast("long").alias("hl2"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# qs324 Siegel–Tukey dispersion test
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs324_siegel_tukey",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey % 2 AS g, o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders),
+    r AS (
+      SELECT g,
+             ROW_NUMBER() OVER (ORDER BY v, o_orderkey) AS i,
+             COUNT(*) OVER () AS n
+      FROM s),
+    sc AS (
+      SELECT g, n,
+             CASE WHEN i <= (n + 1) // 2
+                  THEN CASE WHEN i % 2 = 1 THEN 2 * i - 1
+                            ELSE 2 * i END
+                  ELSE CASE WHEN (n + 1 - i) % 2 = 1
+                            THEN 2 * (n + 1 - i)
+                            ELSE 2 * (n + 1 - i) - 1 END
+             END AS st
+      FROM r),
+    agg AS (
+      SELECT CAST(SUM(CASE WHEN g = 1 THEN st END) AS BIGINT) AS w,
+             CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0
+      FROM sc)
+    SELECT w, n1, n0,
+           ROUND((w - n1 * (n1 + n0 + 1) / 2.0)
+                 / sqrt(CAST(n1 AS DOUBLE) * n0 * (n1 + n0 + 1)
+                        / 12.0), 4) AS z
+    FROM agg
+    """,
+)
+def qs324(spark: SparkSession, sf: str) -> DataFrame:
+    """Siegel–Tukey test — do even- and odd-customer order values
+    differ in DISPERSION? Ranks alternate from the two extremes
+    inward (1 to the minimum; 2, 3 to the two maxima; 4, 5 to the
+    next two minima; …), so a group hogging the tails collects low
+    scores; the scored rank-sum then reuses the exact Wilcoxon
+    moments. Completes the scale-test block (qs291 Brown–Forsythe
+    and qs309 Bartlett are its moment-based siblings).
+
+    Determinism: the pooled order is the unique (cents, orderkey)
+    composite (classical ST assumes no ties; the deterministic key
+    tiebreak fixes the engine contract and is stated here); the
+    alternating score is a closed-form integer CASE on (i, N); W and
+    the Wilcoxon moments are exact integers into one fixed z tree.
+    Plan: the global rank comes from operators/prefix.
+    bucketed_row_number — range-bucketed, no single-task sort —
+    and the scored rank-sum is one aggregate."""
+    o = load_table(spark, sf, "orders")
+    s = o.select(
+        (F.col("o_custkey") % 2).alias("g"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("v"),
+    )
+    r = bucketed_row_number(s, "v", ["v", "o_orderkey"], "i")
+    n = s.agg(F.count(F.lit(1)).alias("n"))
+    m = F.col("n") + 1 - F.col("i")
+    st = F.when(
+        F.col("i") <= F.expr("(n + 1) DIV 2"),
+        F.when(F.col("i") % 2 == 1, 2 * F.col("i") - 1).otherwise(
+            2 * F.col("i")
+        ),
+    ).otherwise(
+        F.when(m % 2 == 1, 2 * m).otherwise(2 * m - 1)
+    )
+    agg = (
+        r.crossJoin(F.broadcast(n))
+        .select("g", st.alias("st"))
+        .agg(
+            F.sum(F.when(F.col("g") == 1, F.col("st")))
+            .cast("long")
+            .alias("w"),
+            F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+            F.sum(F.when(F.col("g") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n0"),
+        )
+    )
+    return agg.select(
+        "w",
+        "n1",
+        "n0",
+        F.round(
+            (
+                F.col("w")
+                - F.col("n1") * (F.col("n1") + F.col("n0") + 1) / 2.0
+            )
+            / F.sqrt(
+                F.col("n1").cast("double")
+                * F.col("n0")
+                * (F.col("n1") + F.col("n0") + 1)
+                / 12.0
+            ),
+            4,
+        ).alias("z"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs326 Bowker symmetry test on the first→last priority transition
+# --------------------------------------------------------------------------
+
+
+def _bowker_oracle() -> str:
+    cells = []
+    for i, pi in enumerate(_PRIOS, 1):
+        for j, pj in enumerate(_PRIOS, 1):
+            if i != j:
+                cells.append(
+                    f"SUM(CASE WHEN fp = '{pi}' AND lp = '{pj}'"
+                    f" THEN 1 ELSE 0 END) AS n{i}{j}"
+                )
+    terms = []
+    for i in range(1, 6):
+        for j in range(i + 1, 6):
+            a, b = f"n{i}{j}", f"n{j}{i}"
+            terms.append(
+                f"CASE WHEN {a} + {b} > 0 THEN"
+                f" CAST(({a} - {b}) * ({a} - {b}) AS DOUBLE)"
+                f" / ({a} + {b}) ELSE 0.0 END"
+            )
+    dfree = " + ".join(
+        f"CASE WHEN n{i}{j} + n{j}{i} > 0 THEN 1 ELSE 0 END"
+        for i in range(1, 6)
+        for j in range(i + 1, 6)
+    )
+    return f"""
+    WITH fl AS (
+      SELECT o_custkey,
+             arg_min(o_orderpriority,
+                     CAST(epoch(o_orderdate) AS BIGINT) * 10000000
+                     + o_orderkey) AS fp,
+             arg_max(o_orderpriority,
+                     CAST(epoch(o_orderdate) AS BIGINT) * 10000000
+                     + o_orderkey) AS lp
+      FROM orders GROUP BY 1),
+    cells AS (SELECT {', '.join(cells)} FROM fl)
+    SELECT ROUND({' + '.join(terms)}, 4) AS chi2,
+           CAST({dfree} AS BIGINT) AS df
+    FROM cells
+    """
+
+
+@query("qs326_bowker_symmetry", oracle=_bowker_oracle())
+def qs326(spark: SparkSession, sf: str) -> DataFrame:
+    """Bowker's symmetry test on the customer priority-transition
+    table — is the first-order → last-order priority matrix
+    symmetric, i.e. do customers drift toward urgency as often as
+    away from it? The k×k generalization of qs254's McNemar (k = 2
+    reduces to it exactly): χ² = Σ_{i<j} (n_ij − n_ji)²/(n_ij+n_ji).
+
+    Determinism: first/last order resolve through an exact integer
+    sort key (epoch·10⁷ + orderkey — unique, no struct-vs-arg_min
+    divergence between engines); all 20 off-diagonal cells are
+    integer counts PIVOTED into one row, so the χ² is a fixed
+    scalar double tree (zero-pair terms drop via CASE, df counts
+    the live pairs). Plan: one per-customer min/max aggregate, one
+    20-column pivot aggregate, no window anywhere."""
+    o = load_table(spark, sf, "orders")
+    skey = (
+        F.unix_timestamp("o_orderdate").cast("long") * 10000000
+        + F.col("o_orderkey")
+    )
+    fl = o.groupBy("o_custkey").agg(
+        F.min_by("o_orderpriority", skey).alias("fp"),
+        F.max_by("o_orderpriority", skey).alias("lp"),
+    )
+    aggs = []
+    for i, pi in enumerate(_PRIOS, 1):
+        for j, pj in enumerate(_PRIOS, 1):
+            if i != j:
+                aggs.append(
+                    F.sum(
+                        F.when(
+                            (F.col("fp") == pi) & (F.col("lp") == pj),
+                            1,
+                        ).otherwise(0)
+                    ).alias(f"n{i}{j}")
+                )
+    cells = fl.agg(*aggs)
+    chi2 = None
+    dfree = None
+    for i in range(1, 6):
+        for j in range(i + 1, 6):
+            a, b = F.col(f"n{i}{j}"), F.col(f"n{j}{i}")
+            term = F.when(
+                a + b > 0,
+                ((a - b) * (a - b)).cast("double") / (a + b),
+            ).otherwise(F.lit(0.0))
+            live = F.when(a + b > 0, 1).otherwise(0)
+            chi2 = term if chi2 is None else chi2 + term
+            dfree = live if dfree is None else dfree + live
+    return cells.select(
+        F.round(chi2, 4).alias("chi2"),
+        dfree.cast("long").alias("df"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs327 ordinal association suite: gamma / Somers' D / Stuart's tau-c
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs327_ordinal_association",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS x,
+             LEAST(4, 1 + CAST(FLOOR(o_totalprice / 150000)
+                               AS BIGINT)) AS y
+      FROM orders),
+    g AS (SELECT x, y, COUNT(*) AS c FROM s GROUP BY 1, 2),
+    pairs AS (
+      SELECT
+        CAST(SUM(CASE WHEN b.x > a.x AND b.y > a.y
+                 THEN a.c * b.c ELSE 0 END) AS BIGINT) AS conc,
+        CAST(SUM(CASE WHEN b.x > a.x AND b.y < a.y
+                 THEN a.c * b.c ELSE 0 END) AS BIGINT) AS disc,
+        CAST(SUM(CASE WHEN b.x = a.x AND b.y > a.y
+                 THEN a.c * b.c ELSE 0 END) AS BIGINT) AS tx,
+        CAST(SUM(CASE WHEN b.x > a.x AND b.y = a.y
+                 THEN a.c * b.c ELSE 0 END) AS BIGINT) AS ty,
+        CAST((SELECT SUM(c) FROM g) AS BIGINT) AS n
+      FROM g a CROSS JOIN g b)
+    SELECT conc, disc,
+           ROUND(CAST(conc - disc AS DOUBLE) / (conc + disc), 6)
+             AS gamma,
+           ROUND(CAST(conc - disc AS DOUBLE) / (conc + disc + ty), 6)
+             AS somers_d_yx,
+           ROUND(CAST(conc - disc AS DOUBLE) / (conc + disc + tx), 6)
+             AS somers_d_xy,
+           ROUND(8.0 * (conc - disc)
+                 / (CAST(n AS DOUBLE) * n * 3), 6) AS tau_c
+    FROM pairs
+    """,
+)
+def qs327(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordinal association suite between order priority (5 levels)
+    and price tier (4 fixed bands): Goodman–Kruskal gamma (ties
+    ignored), both Somers' D asymmetries (ties on the dependent
+    margin penalized — the ordinal regression-direction measure),
+    and Stuart's tau-c (the rectangular-table correction). qs299's
+    tau-b covers the square-table variant; together they finish the
+    ordinal-association family.
+
+    Determinism: concordant/discordant/tied pair counts come from
+    the 5×4 contingency grid squared (≤ 400 cell pairs — a.c·b.c
+    products ≤ n² < 2⁶³ through sf100), all exact integers; each
+    statistic is ONE division of exact integers, ROUND 6. tau-c
+    with m = 4: 2m/(m−1) = 8/3, written as 8·(C−D)/(n²·3)
+    identically on both engines. Plan: one grouped scan → 20-cell
+    grid → broadcast self-join; no window, no second scan."""
+    o = load_table(spark, sf, "orders")
+    s = o.select(
+        F.substring("o_orderpriority", 1, 1)
+        .cast("long")
+        .alias("x"),
+        F.least(
+            F.lit(4),
+            1
+            + F.floor(F.col("o_totalprice") / 150000).cast("long"),
+        ).alias("y"),
+    )
+    g = s.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+    n = g.agg(F.sum("c").cast("long").alias("n"))
+    a, b = g.alias("a"), g.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("b.x") > F.col("a.x"))
+                    & (F.col("b.y") > F.col("a.y")),
+                    F.col("a.c") * F.col("b.c"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("conc"),
+            F.sum(
+                F.when(
+                    (F.col("b.x") > F.col("a.x"))
+                    & (F.col("b.y") < F.col("a.y")),
+                    F.col("a.c") * F.col("b.c"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("disc"),
+            F.sum(
+                F.when(
+                    (F.col("b.x") == F.col("a.x"))
+                    & (F.col("b.y") > F.col("a.y")),
+                    F.col("a.c") * F.col("b.c"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("tx"),
+            F.sum(
+                F.when(
+                    (F.col("b.x") > F.col("a.x"))
+                    & (F.col("b.y") == F.col("a.y")),
+                    F.col("a.c") * F.col("b.c"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("ty"),
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    cd = (F.col("conc") - F.col("disc")).cast("double")
+    return pairs.select(
+        "conc",
+        "disc",
+        F.round(cd / (F.col("conc") + F.col("disc")), 6).alias(
+            "gamma"
+        ),
+        F.round(
+            cd / (F.col("conc") + F.col("disc") + F.col("ty")), 6
+        ).alias("somers_d_yx"),
+        F.round(
+            cd / (F.col("conc") + F.col("disc") + F.col("tx")), 6
+        ).alias("somers_d_xy"),
+        F.round(
+            8.0
+            * (F.col("conc") - F.col("disc"))
+            / (F.col("n").cast("double") * F.col("n") * 3),
+            6,
+        ).alias("tau_c"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs329 Gini mean difference per return flag
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs329_gini_mean_difference",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS v,
+             COUNT(*) AS c
+      FROM lineitem GROUP BY 1, 2),
+    p AS (
+      SELECT a.flag,
+             SUM(CAST(a.c * b.c * abs(a.v - b.v)
+                      AS DECIMAL(38,0))) AS raw,
+             CAST((SELECT SUM(c) FROM g gg WHERE gg.flag = a.flag)
+                  AS BIGINT) AS n
+      FROM g a JOIN g b ON a.flag = b.flag
+      GROUP BY a.flag)
+    SELECT flag, n,
+           ROUND(CAST(raw AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (n - 1)), 6) AS gmd
+    FROM p ORDER BY flag
+    """,
+)
+def qs329(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini mean difference of order quantity per return flag — the
+    mean absolute difference over all row pairs, the dispersion
+    measure behind qs307's Gini coefficient (GMD = 2·mean·Gini)
+    that stays meaningful for non-positive data. Flags with heavier
+    quantity spread surface directly.
+
+    Determinism: quantities are integers 1..50, so the per-flag
+    value grid has ≤ 50 rows and the pair expansion ≤ 2,500 exact
+    integer cells; the raw Σ cᵢcⱼ|vᵢ−vⱼ| accumulates in
+    DECIMAL(38,0) on BOTH engines (n²·49 passes int64 past sf30);
+    one double division, ROUND 6. Plan: one grouped scan, then
+    grid×grid per flag — the corpus never self-joins."""
+    li = load_table(spark, sf, "lineitem")
+    g = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = g.groupBy("flag").agg(F.sum("c").cast("long").alias("n"))
+    a, b = g.alias("a"), g.alias("b")
+    p = (
+        a.join(F.broadcast(b), F.col("a.flag") == F.col("b.flag"))
+        .groupBy(F.col("a.flag").alias("flag"))
+        .agg(
+            F.sum(
+                (
+                    F.col("a.c")
+                    * F.col("b.c")
+                    * F.abs(F.col("a.v") - F.col("b.v"))
+                ).cast("decimal(38,0)")
+            ).alias("raw")
+        )
+        .join(F.broadcast(tot), "flag")
+    )
+    return p.select(
+        "flag",
+        "n",
+        F.round(
+            F.col("raw").cast("double")
+            / (F.col("n").cast("double") * (F.col("n") - 1)),
+            6,
+        ).alias("gmd"),
+    ).orderBy("flag")
+
+
+# --------------------------------------------------------------------------
+# qs340 temporal-conformance audit (ship lag vs order date)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs340_temporal_conformance",
+    oracle="""
+    SELECT o.o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN lag < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violation,
+           CAST(SUM(CASE WHEN lag BETWEEN 0 AND 30 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_0_30,
+           CAST(SUM(CASE WHEN lag BETWEEN 31 AND 90 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_31_90,
+           CAST(SUM(CASE WHEN lag > 90 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gt_90
+    FROM (SELECT l_orderkey,
+                 date_diff('day', CAST(o_orderdate AS DATE),
+                           CAST(l_shipdate AS DATE)) AS lag,
+                 o_orderstatus
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey) o
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def qs340(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal-conformance audit — every lineitem's ship date must
+    not precede its order date, and the ship-lag distribution is
+    bucketed (0–30 / 31–90 / >90 days) per order status: the
+    cross-table referential DATE rule the reference's validation
+    surface checks field-by-field (data_loader.py UI-validation
+    hooks validate single-frame formats; this is the join-rule
+    extension, feeding the qs300 scorecard).
+
+    Determinism: day diffs and bucket counts are exact integers.
+    Plan: one orderkey-keyed shuffle join (both sides pruned to two
+    columns) into a 3-row aggregate; AQE handles the join side
+    sizing at any SF."""
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_orderstatus").alias("status"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).alias("lag"),
+    )
+    return (
+        j.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("lag") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violation"),
+            F.sum(
+                F.when(
+                    (F.col("lag") >= 0) & (F.col("lag") <= 30), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_0_30"),
+            F.sum(
+                F.when(
+                    (F.col("lag") >= 31) & (F.col("lag") <= 90), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_31_90"),
+            F.sum(F.when(F.col("lag") > 90, 1).otherwise(0))
+            .cast("long")
+            .alias("n_gt_90"),
+        )
+        .orderBy("status")
+    )
+
+
+# --------------------------------------------------------------------------
+# qs330 average precision @ 1000 (ranked-retrieval eval)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs330_average_precision",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey AS cust,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+    resp AS (SELECT DISTINCT o_custkey AS cust FROM orders
+             WHERE year(o_orderdate) = 1996),
+    lab AS (
+      SELECT s.cust, s.cents,
+             CASE WHEN r.cust IS NULL THEN 0 ELSE 1 END AS rel
+      FROM spend s LEFT JOIN resp r ON s.cust = r.cust),
+    top AS (
+      SELECT cust, rel FROM lab
+      ORDER BY cents DESC, cust LIMIT 1000),
+    rk AS (
+      SELECT rel,
+             ROW_NUMBER() OVER () AS rn,
+             SUM(rel) OVER (ROWS UNBOUNDED PRECEDING) AS cumrel
+      FROM (SELECT l.rel FROM lab l JOIN top t ON l.cust = t.cust
+            ORDER BY l.cents DESC, l.cust))
+    SELECT ROUND(SUM(CASE WHEN rel = 1
+                     THEN CAST(cumrel AS DOUBLE) / rn END)
+                 / MAX(cumrel), 6) AS ap,
+           CAST(MAX(cumrel) AS BIGINT) AS n_rel_retrieved,
+           CAST((SELECT SUM(rel) FROM lab) AS BIGINT) AS n_rel_total
+    FROM rk
+    """,
+)
+def qs330(spark: SparkSession, sf: str) -> DataFrame:
+    """Average precision at 1000 — rank 1995 customers by spend,
+    mark the ones who returned in 1996 as relevant, and average the
+    precision at every relevant rank: the ranked-retrieval summary
+    qs215's NDCG complements (AP integrates the full PR curve where
+    NDCG discounts by position). On a curation pipeline this scores
+    any 'rank by signal, audit who was actually good' heuristic.
+
+    Determinism: the (cents DESC, cust) order is unique so the kept
+    top-1000 and their ranks are exact; cumrel/rn are exact-integer
+    ratios and the AP sum has ≤ 1000 positive terms (noise ~1e-13
+    against a 5e-7 ROUND-6 boundary — the qs291 margin argument).
+    Plan: TakeOrderedAndProject keeps the customer scan parallel;
+    the rank/cumulative windows run over the 1000 survivors only."""
+    o = load_table(spark, sf, "orders")
+    spend = (
+        o.filter(F.year("o_orderdate") == 1995)
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("cents")
+        )
+    )
+    resp = (
+        o.filter(F.year("o_orderdate") == 1996)
+        .select(F.col("o_custkey").alias("cust"))
+        .distinct()
+        .withColumn("y1", F.lit(1))
+    )
+    lab = spend.join(resp, "cust", "left").select(
+        "cust",
+        "cents",
+        F.coalesce(F.col("y1"), F.lit(0)).alias("rel"),
+    )
+    nrel = lab.agg(F.sum("rel").cast("long").alias("n_rel_total"))
+    top = lab.orderBy(F.col("cents").desc(), "cust").limit(1000)
+    w = Window.orderBy(F.col("cents").desc(), "cust")
+    rk = top.select(
+        "rel",
+        F.row_number().over(w).alias("rn"),
+        F.sum("rel")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cumrel"),
+    )
+    return (
+        rk.agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("rel") == 1,
+                        F.col("cumrel").cast("double") / F.col("rn"),
+                    )
+                )
+                / F.max("cumrel"),
+                6,
+            ).alias("ap"),
+            F.max("cumrel").cast("long").alias("n_rel_retrieved"),
+        )
+        .crossJoin(F.broadcast(nrel))
+        .select("ap", "n_rel_retrieved", "n_rel_total")
+    )
+
+
+# --------------------------------------------------------------------------
+# qs331 Matthews correlation coefficient
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs331_matthews_corr",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey AS cust,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+    resp AS (SELECT DISTINCT o_custkey AS cust FROM orders
+             WHERE year(o_orderdate) = 1996),
+    cm AS (
+      SELECT
+        CAST(SUM(CASE WHEN cents >= 15000000 AND r.cust IS NOT NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN cents >= 15000000 AND r.cust IS NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN cents < 15000000 AND r.cust IS NOT NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN cents < 15000000 AND r.cust IS NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM spend s LEFT JOIN resp r ON s.cust = r.cust)
+    SELECT tp, fp, fn, tn,
+           ROUND((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                 / (sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn))
+                    * sqrt(CAST(tn + fp AS DOUBLE) * (tn + fn))), 6)
+             AS mcc
+    FROM cm
+    """,
+)
+def qs331(spark: SparkSession, sf: str) -> DataFrame:
+    """Matthews correlation coefficient of the 'big 1995 spender →
+    returns in 1996' classifier — the single balanced summary of the
+    whole confusion matrix (chance = 0 even under heavy class skew,
+    unlike accuracy or F1), completing the eval block next to
+    qs181's AUC and qs264's calibration.
+
+    Determinism: the four confusion cells are exact integer counts
+    from one aggregate; MCC is a fixed double tree (two IEEE-exact
+    sqrts of pairwise products keep the intermediate under 10¹⁶ at
+    any SF — the four-way product would overflow a double's integer
+    range past sf30). Plan: one per-customer aggregate, one
+    broadcast anti-ish left join, one pivot row."""
+    o = load_table(spark, sf, "orders")
+    spend = (
+        o.filter(F.year("o_orderdate") == 1995)
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("cents")
+        )
+    )
+    resp = (
+        o.filter(F.year("o_orderdate") == 1996)
+        .select(F.col("o_custkey").alias("cust"))
+        .distinct()
+        .withColumn("y1", F.lit(1))
+    )
+    lab = spend.join(resp, "cust", "left").select(
+        (F.col("cents") >= 15000000).alias("pred"),
+        F.coalesce(F.col("y1"), F.lit(0)).alias("y"),
+    )
+    cm = lab.agg(
+        F.sum(F.when(F.col("pred") & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(F.col("pred") & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(
+            F.when(~F.col("pred") & (F.col("y") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("fn"),
+        F.sum(
+            F.when(~F.col("pred") & (F.col("y") == 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("tn"),
+    )
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(
+            (
+                F.col("tp").cast("double") * F.col("tn")
+                - F.col("fp").cast("double") * F.col("fn")
+            )
+            / (
+                F.sqrt(
+                    (F.col("tp") + F.col("fp")).cast("double")
+                    * (F.col("tp") + F.col("fn"))
+                )
+                * F.sqrt(
+                    (F.col("tn") + F.col("fp")).cast("double")
+                    * (F.col("tn") + F.col("fn"))
+                )
+            ),
+            6,
+        ).alias("mcc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs332 Brier score decomposition (reliability / resolution / uncertainty)
+# --------------------------------------------------------------------------
+
+
+def _brier_oracle() -> str:
+    cells = ", ".join(
+        f"SUM(CASE WHEN b = {b} THEN 1 ELSE 0 END) AS n{b}, "
+        f"SUM(CASE WHEN b = {b} THEN y ELSE 0 END) AS s{b}"
+        for b in range(10)
+    )
+    rel = " + ".join(
+        f"CASE WHEN n{b} > 0 THEN n{b} * "
+        f"pow(CAST(2 * {b} + 1 AS DOUBLE) / 20"
+        f" - CAST(s{b} AS DOUBLE) / n{b}, 2) ELSE 0.0 END"
+        for b in range(10)
+    )
+    res = " + ".join(
+        f"CASE WHEN n{b} > 0 THEN n{b} * "
+        f"pow(CAST(s{b} AS DOUBLE) / n{b} - obar, 2) ELSE 0.0 END"
+        for b in range(10)
+    )
+    ns = " + ".join(f"n{b}" for b in range(10))
+    ss = " + ".join(f"s{b}" for b in range(10))
+    return f"""
+    WITH lab AS (
+      SELECT LEAST(9, GREATEST(0,
+               CAST(FLOOR((c.c_acctbal + 1000) / 1100) AS BIGINT)))
+               AS b,
+             CASE WHEN o.o_custkey IS NULL THEN 0 ELSE 1 END AS y
+      FROM customer c LEFT JOIN
+           (SELECT DISTINCT o_custkey FROM orders) o
+        ON c.c_custkey = o.o_custkey),
+    cells AS (SELECT {cells} FROM lab),
+    m AS (SELECT *, CAST({ss} AS DOUBLE) / ({ns}) AS obar,
+                 CAST({ns} AS BIGINT) AS n FROM cells)
+    SELECT n,
+           ROUND(({rel}) / n, 6) AS reliability,
+           ROUND(({res}) / n, 6) AS resolution,
+           ROUND(obar * (1 - obar), 6) AS uncertainty
+    FROM m
+    """
+
+
+@query("qs332_brier_decomposition", oracle=_brier_oracle())
+def qs332(spark: SparkSession, sf: str) -> DataFrame:
+    """Murphy decomposition of the Brier score for the acctbal-decile
+    'will this customer ever order' forecaster: reliability (how far
+    each bin's forecast sits from its observed rate — calibration
+    error, squared), resolution (how much the bins separate outcomes
+    — the forecaster's actual skill), uncertainty (the outcome base
+    rate's variance floor). Brier = REL − RES + UNC; qs264's ECE is
+    the L1 sibling of the reliability term.
+
+    Determinism: 10 fixed forecast bins (p_b = (2b+1)/20 literal
+    rationals) whose (n_b, s_b) counts PIVOT into one row — the
+    whole decomposition is a fixed scalar double tree over 20 exact
+    integers, empty bins dropped via CASE. Plan: one broadcast-dim
+    left join (distinct buyers), one pivot aggregate, no window."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    buyers = o.select(
+        F.col("o_custkey").alias("cust")
+    ).distinct().withColumn("y1", F.lit(1))
+    lab = c.join(
+        buyers, c["c_custkey"] == buyers["cust"], "left"
+    ).select(
+        F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("c_acctbal") + 1000) / 1100).cast(
+                    "long"
+                ),
+            ),
+        ).alias("b"),
+        F.coalesce(F.col("y1"), F.lit(0)).alias("y"),
+    )
+    aggs = []
+    for b in range(10):
+        aggs.append(
+            F.sum(F.when(F.col("b") == b, 1).otherwise(0)).alias(
+                f"n{b}"
+            )
+        )
+        aggs.append(
+            F.sum(
+                F.when(F.col("b") == b, F.col("y")).otherwise(0)
+            ).alias(f"s{b}")
+        )
+    cells = lab.agg(*aggs)
+    ns = None
+    ss = None
+    for b in range(10):
+        ns = F.col(f"n{b}") if ns is None else ns + F.col(f"n{b}")
+        ss = F.col(f"s{b}") if ss is None else ss + F.col(f"s{b}")
+    m = cells.select(
+        "*",
+        (ss.cast("double") / ns).alias("obar"),
+        ns.cast("long").alias("n"),
+    )
+    rel = None
+    res = None
+    for b in range(10):
+        nb, sb = F.col(f"n{b}"), F.col(f"s{b}")
+        pb = F.lit((2 * b + 1) / 20.0)
+        relb = F.when(
+            nb > 0,
+            nb * F.pow(pb - sb.cast("double") / nb, 2),
+        ).otherwise(F.lit(0.0))
+        resb = F.when(
+            nb > 0,
+            nb
+            * F.pow(sb.cast("double") / nb - F.col("obar"), 2),
+        ).otherwise(F.lit(0.0))
+        rel = relb if rel is None else rel + relb
+        res = resb if res is None else res + resb
+    return m.select(
+        "n",
+        F.round(rel / F.col("n"), 6).alias("reliability"),
+        F.round(res / F.col("n"), 6).alias("resolution"),
+        F.round(
+            F.col("obar") * (1 - F.col("obar")), 6
+        ).alias("uncertainty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs333 binned log-loss (cross-entropy of the decile forecaster)
+# --------------------------------------------------------------------------
+
+
+def _logloss_oracle() -> str:
+    cells = ", ".join(
+        f"SUM(CASE WHEN b = {b} THEN 1 ELSE 0 END) AS n{b}, "
+        f"SUM(CASE WHEN b = {b} THEN y ELSE 0 END) AS s{b}"
+        for b in range(10)
+    )
+    ll = " + ".join(
+        f"(s{b} * ln(CAST(2 * {b} + 1 AS DOUBLE) / 20)"
+        f" + (n{b} - s{b}) * ln(1 - CAST(2 * {b} + 1 AS DOUBLE) / 20))"
+        for b in range(10)
+    )
+    ns = " + ".join(f"n{b}" for b in range(10))
+    return f"""
+    WITH lab AS (
+      SELECT LEAST(9, GREATEST(0,
+               CAST(FLOOR((c.c_acctbal + 1000) / 1100) AS BIGINT)))
+               AS b,
+             CASE WHEN o.o_custkey IS NULL THEN 0 ELSE 1 END AS y
+      FROM customer c LEFT JOIN
+           (SELECT DISTINCT o_custkey FROM orders) o
+        ON c.c_custkey = o.o_custkey),
+    cells AS (SELECT {cells} FROM lab)
+    SELECT CAST({ns} AS BIGINT) AS n,
+           ROUND(-({ll}) / ({ns}), 6) AS logloss
+    FROM cells
+    """
+
+
+@query("qs333_binned_logloss", oracle=_logloss_oracle())
+def qs333(spark: SparkSession, sf: str) -> DataFrame:
+    """Binned log-loss (cross-entropy) of the same acctbal-decile
+    forecaster qs332 decomposes — the proper scoring rule that
+    punishes confident misses exponentially where Brier is
+    quadratic. Together they are the standard forecast-quality
+    pair a model-routing or data-selection pipeline tracks.
+
+    Determinism: the corpus collapses to 20 integers (n_b, s_b) by
+    construction — log-loss over binned forecasts is EXACTLY
+    Σ counts·ln(literal rationals), so the only doubles are ln of
+    the ten fixed p_b (libm ≤ 1 ulp, the accepted contract) inside
+    one pivoted row; p_b ∈ [0.05, 0.95] keeps both ln arguments
+    strictly positive. Plan: identical to qs332 — one broadcast-dim
+    join, one pivot aggregate."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    buyers = o.select(
+        F.col("o_custkey").alias("cust")
+    ).distinct().withColumn("y1", F.lit(1))
+    lab = c.join(
+        buyers, c["c_custkey"] == buyers["cust"], "left"
+    ).select(
+        F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("c_acctbal") + 1000) / 1100).cast(
+                    "long"
+                ),
+            ),
+        ).alias("b"),
+        F.coalesce(F.col("y1"), F.lit(0)).alias("y"),
+    )
+    aggs = []
+    for b in range(10):
+        aggs.append(
+            F.sum(F.when(F.col("b") == b, 1).otherwise(0)).alias(
+                f"n{b}"
+            )
+        )
+        aggs.append(
+            F.sum(
+                F.when(F.col("b") == b, F.col("y")).otherwise(0)
+            ).alias(f"s{b}")
+        )
+    cells = lab.agg(*aggs)
+    ll = None
+    ns = None
+    for b in range(10):
+        nb, sb = F.col(f"n{b}"), F.col(f"s{b}")
+        pb = F.lit((2 * b + 1)).cast("double") / 20
+        term = sb * F.log(pb) + (nb - sb) * F.log(1 - pb)
+        ll = term if ll is None else ll + term
+        ns = nb if ns is None else ns + nb
+    return cells.select(
+        ns.cast("long").alias("n"),
+        F.round(-ll / ns, 6).alias("logloss"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs334 Adamic–Adar link prediction (weighted common neighbors)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs334_adamic_adar",
+    oracle="""
+    WITH e1 AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM documents a JOIN documents b
+        ON a.lang = b.lang AND a.n_chars = b.n_chars
+       AND a.doc_id < b.doc_id),
+    e2 AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM documents a JOIN documents b
+        ON a.source = b.source AND a.n_chars % 5 = b.n_chars % 5
+       AND a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT DISTINCT d1, d2 FROM
+        (SELECT * FROM e1 UNION ALL SELECT * FROM e2)),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION ALL SELECT d2, d1 FROM pairs),
+    deg AS (SELECT a AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+    aa AS (
+      SELECT x.a AS u, y.a AS v,
+             COUNT(*) AS common,
+             SUM(1.0 / ln(CAST(dz.deg AS DOUBLE))) AS aa
+      FROM edges x JOIN edges y ON x.b = y.b AND x.a < y.a
+      JOIN deg dz ON dz.node = x.b
+      GROUP BY 1, 2),
+    nonedge AS (
+      SELECT aa.u, aa.v, aa.common, aa.aa
+      FROM aa LEFT JOIN pairs p ON p.d1 = aa.u AND p.d2 = aa.v
+      WHERE p.d1 IS NULL)
+    SELECT u, v, CAST(common AS BIGINT) AS common_nbrs,
+           ROUND(aa, 4) AS adamic_adar
+    FROM nonedge
+    """,
+)
+def qs334(spark: SparkSession, sf: str) -> DataFrame:
+    """Adamic–Adar link prediction on qs222's two-blocking document
+    graph — common neighbors weighted by 1/ln(degree), so a shared
+    RARE neighbor says more than a shared hub: the standard upgrade
+    over raw counts and qs222's Jaccard, and the third member of the
+    link-prediction family.
+
+    Determinism: the graph, degrees and common counts are exact
+    integers; every shared neighbor has degree ≥ 2 (it touches both
+    endpoints), so ln ≥ ln 2 and no division guard is needed; the AA
+    sum has one positive 1/ln(int) term per common neighbor (exact
+    libm args; block-bounded term counts keep the ROUND-4 margin at
+    the qs291 level). Plan: identical shape to qs222 — wedges
+    shuffle on the shared neighbor with the degree table broadcast
+    into the wedge join, the edge anti-join drops existing pairs."""
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars", "source"
+    )
+    a1 = d.select(F.col("doc_id").alias("d1"), "lang", "n_chars")
+    b1 = d.select(F.col("doc_id").alias("d2"), "lang", "n_chars")
+    sim = a1.join(b1, ["lang", "n_chars"]).filter(
+        F.col("d1") < F.col("d2")
+    )
+    a2 = d.select(
+        F.col("doc_id").alias("d1"),
+        "source",
+        (F.col("n_chars") % 5).alias("band"),
+    )
+    b2 = d.select(
+        F.col("doc_id").alias("d2"),
+        "source",
+        (F.col("n_chars") % 5).alias("band"),
+    )
+    prov = a2.join(b2, ["source", "band"]).filter(
+        F.col("d1") < F.col("d2")
+    )
+    pairs = (
+        sim.select("d1", "d2")
+        .unionAll(prov.select("d1", "d2"))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("d1").alias("a"), F.col("d2").alias("b")
+    ).unionAll(
+        pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b"))
+    )
+    deg = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    wx = edges.select(F.col("a").alias("u"), "b")
+    wy = edges.select(F.col("a").alias("v"), "b")
+    aa = (
+        wx.join(wy, "b")
+        .filter(F.col("u") < F.col("v"))
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("b"), "deg")),
+            "b",
+        )
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum(
+                1.0 / F.log(F.col("deg").cast("double"))
+            ).alias("aa"),
+        )
+    )
+    nonedge = aa.join(
+        pairs.select(F.col("d1").alias("u"), F.col("d2").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    return nonedge.select(
+        "u",
+        "v",
+        F.col("common").cast("long").alias("common_nbrs"),
+        F.round("aa", 4).alias("adamic_adar"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs335 Zipf slope of the term rank-frequency curve
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs335_zipf_slope",
+    oracle="""
+    WITH tc AS (
+      SELECT t AS term, COUNT(*) AS f
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS t
+            FROM documents)
+      WHERE t <> '' GROUP BY 1),
+    top AS (
+      SELECT term, f FROM tc ORDER BY f DESC, term LIMIT 100),
+    xy AS (
+      SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY f DESC, term)
+                     AS DOUBLE)) AS x,
+             ln(CAST(f AS DOUBLE)) AS y
+      FROM top),
+    m AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM xy)
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+             AS zipf_slope
+    FROM m
+    """,
+)
+def qs335(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf slope — OLS fit of ln(frequency) on ln(rank) over the
+    top-100 corpus terms: the rank-frequency law every natural
+    corpus obeys (slope ≈ −1) and synthetic/template-spam text does
+    not, making the fitted slope a corpus-quality gate next to
+    qs184's degree power-law (the same estimator pointed at the
+    vocabulary). Covers the Zipf/Heaps column of the text-analysis
+    block.
+
+    Determinism: the top-100 set and its ranks are exact (unique
+    (f DESC, term) order); x = ln(rank) is a fixed 100-value literal
+    grid on both engines and y = ln(exact integer counts) — libm ≤ 1
+    ulp; the OLS moments are 100-term double sums with a benign ~5%
+    cancellation in n·Sxx − Sx² (noise ~1e-13 against the ROUND-4
+    boundary). Plan: TakeOrderedAndProject keeps the vocabulary scan
+    parallel; the rank window and moments run over 100 rows."""
+    d = load_table(spark, sf, "documents")
+    tc = (
+        d.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias(
+                "term"
+            )
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    top = tc.orderBy(F.col("f").desc(), "term").limit(100)
+    xy = top.select(
+        F.log(
+            F.row_number()
+            .over(Window.orderBy(F.col("f").desc(), "term"))
+            .cast("double")
+        ).alias("x"),
+        F.log(F.col("f").cast("double")).alias("y"),
+    )
+    m = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.col("n") * F.col("sxx")
+                - F.col("sx") * F.col("sx")
+            ),
+            4,
+        ).alias("zipf_slope"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs336 XYZ demand-variability classification
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs336_xyz_classification",
+    oracle="""
+    WITH wk AS (
+      SELECT l_partkey % 200 AS grp,
+             date_trunc('week', l_shipdate) AS w,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x
+      FROM lineitem GROUP BY 1, 2),
+    m AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS q
+      FROM wk GROUP BY 1)
+    SELECT grp, n,
+           CAST((n * q - s * s) * 1000000 // (s * s) AS BIGINT)
+             AS cv2_e6,
+           CASE WHEN 4 * (n * q - s * s) <= s * s THEN 'X'
+                WHEN n * q - s * s <= s * s THEN 'Y'
+                ELSE 'Z' END AS xyz
+    FROM m ORDER BY grp
+    """,
+)
+def qs336(spark: SparkSession, sf: str) -> DataFrame:
+    """XYZ demand-variability classification — per part group, the
+    squared coefficient of variation of weekly demand buckets the
+    group as X (steady, cv ≤ 0.5), Y (fluctuating, cv ≤ 1) or Z
+    (erratic): the planning-side companion of qs219's ABC value
+    classification (ABC says how much a group matters, XYZ how
+    forecastable it is — their cross-table drives stocking policy).
+
+    Determinism: weekly quantity sums and the population moments
+    (n, S, Q) are exact integers; cv² = (nQ − S²)/S² is emitted as
+    an exact e6 floor division and the class thresholds are integer
+    cross-multiplications (cv ≤ ½ ⟺ 4(nQ−S²) ≤ S²) — no float
+    anywhere. Plan: one grouped scan → (group × week) grid → 200-row
+    moment aggregate; no window."""
+    li = load_table(spark, sf, "lineitem")
+    wk = li.groupBy(
+        (F.col("l_partkey") % 200).alias("grp"),
+        F.date_trunc("week", "l_shipdate").alias("w"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("x"))
+    m = wk.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+    )
+    num = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    den = F.col("s") * F.col("s")
+    return m.select(
+        "grp",
+        "n",
+        F.expr(
+            "CAST((n * q - s * s) * 1000000 DIV (s * s) AS LONG)"
+        ).alias("cv2_e6"),
+        F.when(4 * num <= den, "X")
+        .when(num <= den, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+    ).orderBy("grp")
+
+
+# --------------------------------------------------------------------------
+# qs337 association-rule metrics beyond lift
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs337_association_metrics",
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey % 50 AS item
+      FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders
+          FROM basket),
+    sup AS (SELECT item, COUNT(*) AS s FROM basket GROUP BY item),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS s_ab
+      FROM basket a JOIN basket b ON a.o = b.o AND a.item < b.item
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+    mx AS (
+      SELECT item_a, item_b, s_ab, sa.s AS sa, sb.s AS sb,
+             (SELECT n_orders FROM n) AS nn
+      FROM pairs JOIN sup sa ON sa.item = item_a
+                 JOIN sup sb ON sb.item = item_b)
+    SELECT item_a, item_b, CAST(s_ab AS BIGINT) AS support,
+           ROUND((CAST(s_ab AS DOUBLE) / nn)
+                 - (CAST(sa AS DOUBLE) / nn) * (CAST(sb AS DOUBLE) / nn),
+                 6) AS leverage,
+           ROUND(CASE WHEN sb < nn AND s_ab < sa THEN
+                   (1.0 - CAST(sb AS DOUBLE) / nn)
+                   / (1.0 - CAST(s_ab AS DOUBLE) / sa) END, 6)
+             AS conviction,
+           ROUND((CAST(s_ab AS DOUBLE) * nn - CAST(sa AS DOUBLE) * sb)
+                 / (GREATEST(CAST(s_ab AS DOUBLE) * nn
+                             - CAST(s_ab AS DOUBLE) * sb,
+                             CAST(sa AS DOUBLE) * sb
+                             - CAST(s_ab AS DOUBLE) * sb)), 6)
+             AS zhang
+    FROM mx ORDER BY item_a, item_b
+    """,
+)
+def qs337(spark: SparkSession, sf: str) -> DataFrame:
+    """Association-rule metrics beyond qs187's lift — leverage
+    (P(ab) − P(a)P(b): absolute co-occurrence excess), conviction
+    ((1−P(b))/(1−conf(a→b)): how much MORE often the rule would have
+    to fail if a and b were independent; NULL on the degenerate
+    perfect-confidence / universal-consequent cases), and Zhang's
+    metric (the normalized ±1 association bound). Same baskets, same
+    support threshold, so the two queries' outputs join directly.
+
+    Determinism: every metric is a fixed expression over the exact
+    integer triple (s_ab, s_a, s_b, N) ROUNDed at 6 dp — single
+    divisions, no accumulation. Scale shape: identical to qs187 —
+    the oracle states the textbook order-keyed self-join while the
+    Spark side expands pairs row-locally from the one corpus shuffle
+    (collect_set baskets), and only the ≤ C(50,2) aggregated pairs
+    ever shuffle again."""
+    li = load_table(spark, sf, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("o"),
+        (F.col("l_partkey") % 50).alias("item"),
+    ).groupBy("o").agg(
+        F.sort_array(F.collect_set("item")).alias("items")
+    )
+    n = baskets.agg(F.count(F.lit(1)).alias("nn"))
+    sup = baskets.select(F.explode("items").alias("item")).groupBy(
+        "item"
+    ).agg(F.count(F.lit(1)).alias("s"))
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, (x, i) -> "
+                    "transform(slice(items, i + 2, size(items)), "
+                    "y -> struct(x AS item_a, y AS item_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(
+            F.col("p.item_a").alias("item_a"),
+            F.col("p.item_b").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+        .filter(F.col("s_ab") >= 5)
+    )
+    sa = sup.select(
+        F.col("item").alias("item_a"), F.col("s").alias("sa")
+    )
+    sb = sup.select(
+        F.col("item").alias("item_b"), F.col("s").alias("sb")
+    )
+    mx = (
+        pairs.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .crossJoin(F.broadcast(n))
+    )
+    dab = F.col("s_ab").cast("double")
+    dsa = F.col("sa").cast("double")
+    dsb = F.col("sb").cast("double")
+    dnn = F.col("nn").cast("double")
+    return mx.select(
+        "item_a",
+        "item_b",
+        F.col("s_ab").cast("long").alias("support"),
+        F.round(dab / dnn - (dsa / dnn) * (dsb / dnn), 6).alias(
+            "leverage"
+        ),
+        F.round(
+            F.when(
+                (F.col("sb") < F.col("nn"))
+                & (F.col("s_ab") < F.col("sa")),
+                (1.0 - dsb / dnn) / (1.0 - dab / dsa),
+            ),
+            6,
+        ).alias("conviction"),
+        F.round(
+            (dab * dnn - dsa * dsb)
+            / F.greatest(
+                dab * dnn - dab * dsb, dsa * dsb - dab * dsb
+            ),
+            6,
+        ).alias("zhang"),
+    ).orderBy("item_a", "item_b")
+
+
+# --------------------------------------------------------------------------
+# qs338 Croston intermittent-demand forecast
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs338_croston_forecast",
+    oracle="""
+    WITH dem AS (
+      SELECT l_partkey % 10 AS grp,
+             CAST(date_diff('week', TIMESTAMP '1995-01-02',
+                            date_trunc('week', l_shipdate))
+                  AS BIGINT) AS w,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS z
+      FROM lineitem WHERE l_partkey % 97 = 3
+      GROUP BY 1, 2),
+    seq AS (
+      SELECT grp, z,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY w) AS j,
+             COUNT(*) OVER (PARTITION BY grp) AS jn,
+             w - COALESCE(LAG(w) OVER (PARTITION BY grp ORDER BY w),
+                          w - 1) AS gap
+      FROM dem),
+    sm AS (
+      SELECT grp, CAST(MAX(jn) AS BIGINT) AS n_demands,
+             SUM(CASE WHEN j = 1 THEN pow(0.8, jn - 1) * z
+                      ELSE 0.2 * pow(0.8, jn - j) * z END) AS zhat,
+             SUM(CASE WHEN j = 1 THEN pow(0.8, jn - 1) * gap
+                      ELSE 0.2 * pow(0.8, jn - j) * gap END) AS phat
+      FROM seq GROUP BY grp)
+    SELECT grp, n_demands,
+           ROUND(zhat, 4) AS size_hat,
+           ROUND(phat, 4) AS interval_hat,
+           ROUND(zhat / phat, 4) AS croston_rate
+    FROM sm ORDER BY grp
+    """,
+)
+def qs338(spark: SparkSession, sf: str) -> DataFrame:
+    """Croston's method on a sparse part family — intermittent
+    demand (many zero weeks) breaks plain EWMA, so Croston smooths
+    the NONZERO demand sizes and the inter-demand intervals
+    separately and forecasts their ratio. The classic spare-parts /
+    long-tail-SKU estimator, completing the forecasting block next
+    to qs173's EWMA and qs221's MASE.
+
+    Determinism: the EWMA recursion s_j = αz_j + (1−α)s_{j−1}
+    unrolls to the closed weight form Σ α(1−α)^{J−j} z_j (+ the
+    (1−α)^{J−1} initialization term) — pow of the literal 0.8 with
+    integer exponents is bit-identical across engines, demands and
+    gaps are exact integers, and each group's sum has ≤ a few
+    hundred positive terms (ROUND-4 margin per the qs291 argument).
+    Plan: the filter prunes the corpus BEFORE the shuffle
+    (predicate-pushdown on partkey), then all windows run on the
+    10-group × week grid."""
+    li = load_table(spark, sf, "lineitem")
+    dem = (
+        li.filter(F.col("l_partkey") % 97 == 3)
+        .groupBy(
+            (F.col("l_partkey") % 10).alias("grp"),
+            F.floor(
+                F.datediff(
+                    F.date_trunc("week", "l_shipdate"),
+                    F.lit("1995-01-02").cast("timestamp"),
+                )
+                / 7
+            ).alias("w"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("z"))
+    )
+    wg = Window.partitionBy("grp").orderBy("w")
+    seq = dem.select(
+        "grp",
+        "z",
+        F.row_number().over(wg).alias("j"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("grp"))
+        .alias("jn"),
+        (
+            F.col("w")
+            - F.coalesce(F.lag("w").over(wg), F.col("w") - 1)
+        ).alias("gap"),
+    )
+    a = F.lit(0.2)
+    b = F.lit(0.8)
+    zterm = F.when(
+        F.col("j") == 1,
+        F.pow(b, F.col("jn") - 1) * F.col("z"),
+    ).otherwise(a * F.pow(b, F.col("jn") - F.col("j")) * F.col("z"))
+    pterm = F.when(
+        F.col("j") == 1,
+        F.pow(b, F.col("jn") - 1) * F.col("gap"),
+    ).otherwise(
+        a * F.pow(b, F.col("jn") - F.col("j")) * F.col("gap")
+    )
+    sm = seq.groupBy("grp").agg(
+        F.max("jn").cast("long").alias("n_demands"),
+        F.sum(zterm).alias("zhat"),
+        F.sum(pterm).alias("phat"),
+    )
+    return sm.select(
+        "grp",
+        "n_demands",
+        F.round("zhat", 4).alias("size_hat"),
+        F.round("phat", 4).alias("interval_hat"),
+        F.round(F.col("zhat") / F.col("phat"), 4).alias(
+            "croston_rate"
+        ),
+    ).orderBy("grp")
+
+
+# --------------------------------------------------------------------------
+# qs341 shingle containment pairs (asymmetric near-dup direction)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs341_shingle_containment",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, n_chars // 64 AS lenband,
+                      string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, lang, lenband,
+        CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
+          range(1, len(toks)-1),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        ELSE [] END AS shset
+      FROM t),
+    p AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             len(list_intersect(a.shset, b.shset)) AS inter,
+             len(a.shset) AS sz1, len(b.shset) AS sz2
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.lenband = b.lenband
+       AND a.doc_id < b.doc_id
+      WHERE len(a.shset) > 0 AND len(b.shset) > 0)
+    SELECT d1, d2, CAST(inter AS BIGINT) AS n_common,
+           CAST(inter * 10000 // sz1 AS BIGINT) AS cont12_bp,
+           CAST(inter * 10000 // sz2 AS BIGINT) AS cont21_bp
+    FROM p
+    WHERE inter * 2 >= sz1 OR inter * 2 >= sz2
+    """,
+)
+def qs341(spark: SparkSession, sf: str) -> DataFrame:
+    """Shingle CONTAINMENT pairs — C(A→B) = |A∩B|/|A| in both
+    directions for blocked document pairs where either direction
+    reaches 50%: the asymmetric near-dup measure Jaccard (qs57)
+    misses — a short document wholly quoted inside a long one has
+    tiny Jaccard but containment ≈ 1, which is exactly the
+    quote/boilerplate-inclusion case a dedup pipeline must see.
+
+    Determinism: shingle-set sizes and intersections are exact
+    integers; containments are e4 basis-point floor divisions; the
+    50% gate is an integer cross-multiplication. Plan: qs57's
+    (lang, 64-char length band) blocking bounds the per-block pair
+    counts; sets stay row-local arrays inside each blocked pair."""
+    d = load_table(spark, sf, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / F.lit(64)).cast("long").alias("lenband"),
+        F.split(F.col("text"), " ").alias("toks"),
+    )
+    sh = t.select(
+        "doc_id",
+        "lang",
+        "lenband",
+        F.when(
+            F.size("toks") >= 3,
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 3), i -> "
+                    "concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("shset"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.lenband") == F.col("b.lenband"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(
+            (F.size("a.shset") > 0) & (F.size("b.shset") > 0)
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.size(
+                F.array_intersect(F.col("a.shset"), F.col("b.shset"))
+            )
+            .cast("long")
+            .alias("inter"),
+            F.size("a.shset").cast("long").alias("sz1"),
+            F.size("b.shset").cast("long").alias("sz2"),
+        )
+    )
+    return p.filter(
+        (F.col("inter") * 2 >= F.col("sz1"))
+        | (F.col("inter") * 2 >= F.col("sz2"))
+    ).select(
+        "d1",
+        "d2",
+        F.col("inter").alias("n_common"),
+        F.expr("CAST(inter * 10000 DIV sz1 AS LONG)").alias(
+            "cont12_bp"
+        ),
+        F.expr("CAST(inter * 10000 DIV sz2 AS LONG)").alias(
+            "cont21_bp"
+        ),
+    )
