@@ -427,6 +427,14 @@ def _decode_bytes(content: bytes, fmt: str) -> np.ndarray:
         return samples
     if fmt == "fake":
         return np.frombuffer(content, dtype=np.uint8)
+    if fmt in ("h264", "avc"):
+        # Annex-B elementary stream: the in-engine layer decodes
+        # I_PCM IDR frames bit-exactly; predicted macroblocks raise
+        # the documented CAVLC/CABAC gate (operators/h264.py module
+        # docstring records the decision + rationale).
+        from cds_etl_spark.operators.h264 import decode_h264
+
+        return decode_h264(bytes(content))
     if fmt == "mp4":
         # Container parses for real (operators/mp4.py); whether the
         # sample payloads decode depends on the declared codec.
@@ -440,6 +448,31 @@ def _decode_bytes(content: bytes, fmt: str) -> np.ndarray:
         frames = _decode_video_av(bytes(content))
         if frames is not None:
             return np.stack(frames) if frames else np.zeros((0,), np.uint8)
+        if info["codec"] in ("avc1", "h264"):
+            # In-engine fallback: avcC out-of-band SPS/PPS + AVCC
+            # samples → Annex-B → the I_PCM subset decoder
+            # (operators/h264.py); real-codec frames raise its
+            # documented CAVLC/CABAC gate.
+            from cds_etl_spark.operators.h264 import (
+                avcc_config_to_annexb,
+                avcc_to_annexb,
+                decode_h264,
+            )
+            from cds_etl_spark.operators.mp4 import extract_avcc
+
+            record = extract_avcc(bytes(content))
+            prefix, nls = (
+                avcc_config_to_annexb(record)
+                if record
+                else (b"", 4)
+            )
+            samples = extract_samples(bytes(content))
+            return np.stack(
+                [
+                    decode_h264(prefix + avcc_to_annexb(s, nls))
+                    for s in samples
+                ]
+            )
         raise NotImplementedError(
             f"mp4 codec {info['codec']!r} needs an external decoder "
             "(container parsed fine; H.264/H.265 entropy decode is "

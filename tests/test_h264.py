@@ -1,0 +1,192 @@
+"""H.264 bitstream layer + I_PCM codec tests (operators/h264.py).
+
+The in-engine scope is the NAL/SPS/PPS/slice-header layers plus
+bit-exact I_PCM frames; CAVLC/CABAC entropy decode is permanently
+gated (module docstring records the decision) — the gate itself is
+asserted here so it cannot silently widen or vanish.
+"""
+
+import numpy as np
+import pytest
+
+from cds_etl_spark.operators.h264 import (
+    _BitReader,
+    _BitWriter,
+    annexb_split,
+    avcc_to_annexb,
+    build_pps,
+    build_sps,
+    decode_h264,
+    encode_h264_ipcm,
+    ep_escape,
+    ep_unescape,
+    parse_pps,
+    parse_sps,
+    probe_h264,
+    _rgb_to_yuv420,
+    _yuv420_to_rgb,
+)
+
+
+def test_exp_golomb_roundtrip():
+    w = _BitWriter()
+    vals_ue = [0, 1, 2, 3, 7, 8, 254, 255, 1023]
+    vals_se = [0, 1, -1, 2, -2, 17, -31]
+    for v in vals_ue:
+        w.ue(v)
+    for v in vals_se:
+        w.se(v)
+    w.rbsp_trailing()
+    r = _BitReader(w.tobytes())
+    assert [r.ue() for _ in vals_ue] == vals_ue
+    assert [r.se() for _ in vals_se] == vals_se
+
+
+def test_emulation_prevention_roundtrip():
+    # Sequences that NEED escaping: raw 00 00 0x patterns.
+    payloads = [
+        b"\x00\x00\x00\x00\x01",
+        b"\x00\x00\x01\x02\x03",
+        b"\xff\x00\x00\x02\x00\x00\x03\x00\x00",
+        bytes(range(256)) * 3,
+        b"\x00" * 64,
+    ]
+    for p in payloads:
+        esc = ep_escape(p)
+        # No start-code emulation survives in the escaped form.
+        assert b"\x00\x00\x00" not in esc
+        assert b"\x00\x00\x01" not in esc
+        assert b"\x00\x00\x02" not in esc
+        assert ep_unescape(esc) == p
+
+
+def test_sps_pps_roundtrip_and_fields():
+    for w_px, h_px in [(64, 48), (18, 34), (320, 240), (2, 2)]:
+        sps = parse_sps(build_sps(w_px, h_px))
+        assert sps["profile_idc"] == 66
+        assert sps["width"] == w_px and sps["height"] == h_px, (w_px, h_px)
+    pps = parse_pps(build_pps())
+    assert pps["entropy_coding_mode"] == 0          # CAVLC
+    assert pps["deblocking_control_present"] == 1
+    assert pps["pic_init_qp"] == 26
+    with pytest.raises(ValueError, match="2-sample units"):
+        build_sps(17, 16)
+
+
+def test_annexb_split_and_probe():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (48, 64, 3)).astype(np.uint8)
+    stream = encode_h264_ipcm(img)
+    nals = annexb_split(stream)
+    assert [n[0] & 0x1F for n in nals] == [7, 8, 5]  # SPS, PPS, IDR
+    info = probe_h264(stream)
+    assert info["nal_types"] == ["sps", "pps", "idr"]
+    assert info["idr_indices"] == [2]
+    assert info["width"] == 64 and info["height"] == 48
+    assert info["profile_idc"] == 66 and info["level_idc"] == 30
+
+
+def test_ipcm_roundtrip_is_sample_exact():
+    # I_PCM carries raw 4:2:0 samples, so decode(encode(x)) must
+    # reproduce the encoder's own color-converted frame BIT-EXACTLY —
+    # including odd-in-MB (crop) sizes and flat/extreme inputs that
+    # stress the emulation-prevention path (long zero runs).
+    rng = np.random.default_rng(7)
+    cases = [
+        rng.integers(0, 256, (48, 64, 3)).astype(np.uint8),
+        rng.integers(0, 256, (18, 34, 3)).astype(np.uint8),
+        np.zeros((16, 16, 3), np.uint8),              # all-zero: EP stress
+        np.full((34, 2, 3), 255, np.uint8),
+    ]
+    for img in cases:
+        y, cb, cr = _rgb_to_yuv420(img)
+        want = _yuv420_to_rgb(y, cb, cr)
+        got = decode_h264(encode_h264_ipcm(img))
+        assert got.shape == img.shape
+        assert np.array_equal(got, want), img.shape
+    # Grayscale input upconverts like the JPEG codec.
+    g = (np.mgrid[0:18, 0:22][0] * 11 % 256).astype(np.uint8)
+    assert decode_h264(encode_h264_ipcm(g)).shape == (18, 22, 3)
+
+
+def test_avcc_conversion_decodes():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    annexb = encode_h264_ipcm(img)
+    avcc = b"".join(
+        len(n).to_bytes(4, "big") + n for n in annexb_split(annexb)
+    )
+    assert np.array_equal(
+        decode_h264(avcc_to_annexb(avcc)), decode_h264(annexb)
+    )
+
+
+def test_entropy_decode_gate_is_explicit():
+    # A non-PCM macroblock type must raise the documented gate, not
+    # misdecode: craft a stream whose first mb_type is 0 (I_4x4).
+    img = np.zeros((16, 16, 3), np.uint8)
+    stream = encode_h264_ipcm(img)
+    nals = annexb_split(stream)
+    sps_rbsp = ep_unescape(nals[0][1:])
+    pps_rbsp = ep_unescape(nals[1][1:])
+    slice_rbsp = bytearray(ep_unescape(nals[2][1:]))
+    # Slice header for this fixed encoder layout ends after
+    # disable_deblocking_filter_idc; mb_type ue(25) starts at a known
+    # bit offset. Rather than bit-surgery, rebuild the slice with a
+    # bogus mb_type through the writer.
+    from cds_etl_spark.operators.h264 import _BitWriter, _nal
+
+    bw = _BitWriter()
+    bw.ue(0)
+    bw.ue(7)
+    bw.ue(0)
+    bw.u(0, 4)
+    bw.ue(0)
+    bw.u(0, 1)
+    bw.u(0, 1)
+    bw.se(0)
+    bw.ue(1)
+    bw.ue(0)                      # mb_type 0: I_4x4 — gated
+    bw.rbsp_trailing()
+    bad = (
+        _nal(7, sps_rbsp) + _nal(8, pps_rbsp) + _nal(5, bytes(bw.tobytes()))
+    )
+    with pytest.raises(NotImplementedError, match="CAVLC|PyAV"):
+        decode_h264(bad)
+    # And the I-slice / CABAC gates:
+    with pytest.raises(ValueError, match="no slice"):
+        decode_h264(_nal(7, sps_rbsp) + _nal(8, pps_rbsp))
+
+
+def test_mp4_avc1_ipcm_end_to_end():
+    # Mux I_PCM IDR frames as an avc1 mp4 (avcC out-of-band SPS/PPS,
+    # AVCC 4-byte length prefixes) and decode through the multimodal
+    # _decode_bytes mp4 branch — the full container→codec path with
+    # no external library.
+    from cds_etl_spark.operators.h264 import (
+        build_avcc_config,
+        build_pps,
+        build_sps,
+    )
+    from cds_etl_spark.operators.mp4 import encode_mp4, extract_avcc
+    from cds_etl_spark.operators.multimodal import _decode_bytes
+
+    rng = np.random.default_rng(13)
+    frames_rgb = [
+        rng.integers(0, 256, (32, 48, 3)).astype(np.uint8)
+        for _ in range(3)
+    ]
+    samples = []
+    for f in frames_rgb:
+        annexb = encode_h264_ipcm(f)
+        # Keep only the IDR NAL in samples (SPS/PPS travel in avcC).
+        idr = [n for n in annexb_split(annexb) if (n[0] & 0x1F) == 5][0]
+        samples.append(len(idr).to_bytes(4, "big") + idr)
+    record = build_avcc_config(build_sps(48, 32), build_pps())
+    mp4 = encode_mp4(samples, 48, 32, codec=b"avc1", extradata=record)
+    assert extract_avcc(mp4) == record
+    got = _decode_bytes(mp4, "mp4")
+    assert got.shape == (3, 32, 48, 3)
+    for k, f in enumerate(frames_rgb):
+        y, cb, cr = _rgb_to_yuv420(f)
+        assert np.array_equal(got[k], _yuv420_to_rgb(y, cb, cr)), k

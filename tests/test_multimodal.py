@@ -579,11 +579,14 @@ def test_mp4_container_roundtrip_and_structure():
 
 
 def test_mp4_h264_codec_raises_but_container_parses():
+    # Garbage avc1 payloads still parse at the container layer; the
+    # in-engine H.264 fallback (operators/h264.py) then fails loudly
+    # on the non-stream bytes instead of returning silent garbage.
     from cds_etl_spark.operators.mp4 import encode_mp4, probe_mp4
 
     buf = encode_mp4([b"\x00\x01\x02"], 2, 2, codec=b"avc1")
     assert probe_mp4(buf)["codec"] == "avc1"  # container layer is fine
-    with pytest.raises(NotImplementedError, match="avc1"):
+    with pytest.raises((ValueError, NotImplementedError)):
         _decode_bytes(buf, "mp4")
 
 
@@ -616,8 +619,40 @@ def test_h264_gate_names_the_optional_decoder():
     buf = encode_mp4([b"\x00\x01\x02"], 2, 2, codec=b"avc1")
     if importlib.util.find_spec("av") is None:
         assert _decode_video_av(buf) is None
-        with pytest.raises(NotImplementedError, match="PyAV"):
+        # Real-codec (non-I_PCM) frames surface the documented gate
+        # from the in-engine decoder; this garbage payload has no
+        # slice NAL at all, so it fails at the bitstream layer.
+        with pytest.raises((ValueError, NotImplementedError)):
             _decode_bytes(buf, "mp4")
+        from cds_etl_spark.operators.h264 import decode_h264
+
+        with pytest.raises(NotImplementedError, match="PyAV|CAVLC"):
+            # A REAL stream whose mb_type needs entropy decode names
+            # the PyAV escape hatch (asserted structurally in
+            # tests/test_h264.py::test_entropy_decode_gate_is_explicit).
+            from cds_etl_spark.operators.h264 import (
+                _BitWriter,
+                _nal,
+                build_pps,
+                build_sps,
+            )
+
+            bw = _BitWriter()
+            for op, v in [("ue", 0), ("ue", 7), ("ue", 0)]:
+                getattr(bw, op)(v)
+            bw.u(0, 4)
+            bw.ue(0)
+            bw.u(0, 1)
+            bw.u(0, 1)
+            bw.se(0)
+            bw.ue(1)
+            bw.ue(0)  # I_4x4 -> gate
+            bw.rbsp_trailing()
+            decode_h264(
+                _nal(7, build_sps(16, 16))
+                + _nal(8, build_pps())
+                + _nal(5, bw.tobytes())
+            )
     else:  # pragma: no cover - environment-dependent branch
         # With PyAV present the gate must NOT fire (decode errors on
         # this synthetic payload are allowed to surface as av errors).
