@@ -145,6 +145,16 @@ _GRADE_FIRST = [
     "qs337_association_metrics",
     "qs338_croston_forecast",
     "qs341_shingle_containment",
+    "qs325_breslow_day",
+    "qs328_quade_test",
+    "qs339_cucconi_test",
+    "qs343_kupiec_pof",
+    "qs345_hurst_exponent",
+    "qs350_theil_index",
+    # qs230 re-grade: its r9 MIN→MAX semantic repair (the VaR
+    # threshold picked the global minimum; both engines mirrored it
+    # so the differential stayed green) changes official values.
+    "qs230_var_cvar",
     # -- already officially graded: r08 window minus the two repaired
     #    reds above, then the r07 window, rotated to the back --
     "qs207_feature_hashing",
@@ -169,7 +179,6 @@ _GRADE_FIRST = [
     "qs227_ks_two_sample",
     "qs228_simpson_detector",
     "qs229_eb_shrinkage",
-    "qs230_var_cvar",
     "qs231_modularity",
     "qs232_xmr_control_chart",
     "qs233_blocking_recall_eval",

@@ -1743,3 +1743,741 @@ def qs341(spark: SparkSession, sf: str) -> DataFrame:
             "cont21_bp"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# qs325 Breslow–Day homogeneity of odds ratios
+# --------------------------------------------------------------------------
+
+_SEGS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+
+def _bd_cells_sql() -> str:
+    cells = []
+    for i, seg in enumerate(_SEGS):
+        for cell, cond in (
+            ("a", "x = 1 AND y = 1"),
+            ("b", "x = 1 AND y = 0"),
+            ("c", "x = 0 AND y = 1"),
+            ("d", "x = 0 AND y = 0"),
+        ):
+            cells.append(
+                f"CAST(SUM(CASE WHEN seg = '{seg}' AND {cond}"
+                f" THEN 1 ELSE 0 END) AS DOUBLE) AS {cell}{i}"
+            )
+    return ", ".join(cells)
+
+
+def _bd_term_sql(i: int) -> str:
+    """One stratum's (a − ã)²/Var term + the fitted ã, as SQL over the
+    pivoted a{i}..d{i} doubles and the common odds ratio orr."""
+    a, b, c, d = f"a{i}", f"b{i}", f"c{i}", f"d{i}"
+    n1 = f"({a} + {b})"
+    n0 = f"({c} + {d})"
+    m1 = f"({a} + {c})"
+    bb = f"(orr * ({n1} + {m1}) + ({n0} - {m1}))"
+    disc = f"sqrt({bb} * {bb} - 4.0 * (orr - 1.0) * orr * {n1} * {m1})"
+    atil = f"(({bb} - {disc}) / (2.0 * (orr - 1.0)))"
+    var = (
+        f"(1.0 / (1.0/{atil} + 1.0/({n1} - {atil})"
+        f" + 1.0/({m1} - {atil}) + 1.0/({n0} - {m1} + {atil})))"
+    )
+    return f"(({a} - {atil}) * ({a} - {atil}) / {var})"
+
+
+def _bd_oracle() -> str:
+    rsum = " + ".join(f"a{i} * d{i} / (a{i}+b{i}+c{i}+d{i})" for i in range(5))
+    ssum = " + ".join(f"b{i} * c{i} / (a{i}+b{i}+c{i}+d{i})" for i in range(5))
+    chi = " + ".join(_bd_term_sql(i) for i in range(5))
+    return f"""
+    WITH lab AS (
+      SELECT c.c_mktsegment AS seg,
+             CASE WHEN c.c_acctbal > 5000 THEN 1 ELSE 0 END AS x,
+             CASE WHEN o.o_custkey IS NULL THEN 0 ELSE 1 END AS y
+      FROM customer c LEFT JOIN
+           (SELECT o_custkey FROM orders
+            GROUP BY 1 HAVING COUNT(*) >= 11) o
+        ON c.c_custkey = o.o_custkey),
+    cells AS (SELECT {_bd_cells_sql()} FROM lab),
+    m AS (SELECT *, ({rsum}) / ({ssum}) AS orr FROM cells)
+    SELECT ROUND(orr, 6) AS common_or, ROUND({chi}, 4) AS bd_chi2,
+           CAST(4 AS BIGINT) AS df
+    FROM m
+    """
+
+
+@query("qs325_breslow_day", oracle=_bd_oracle())
+def qs325(spark: SparkSession, sf: str) -> DataFrame:
+    """Breslow–Day test — is the acctbal→heavy-buyer (≥11 orders)
+    odds ratio the SAME across the five market segments? qs277's CMH estimates the
+    common OR assuming homogeneity; Breslow–Day is the check that
+    assumption deserves: fit each stratum's expected exposed-case
+    count ã under the common OR (the valid root of the quadratic
+    OR·(n1−ã)(m1−ã) = ã(n0−m1+ã)) and score Σ(a−ã)²/Var(ã).
+
+    Determinism: all 20 cells are exact integer counts PIVOTED into
+    one row; the Mantel–Haenszel OR and the per-stratum quadratic
+    root/variance form one fixed double tree written structurally
+    identically on both engines (√ IEEE-exact, five fixed strata, no
+    data-dependent accumulation). Plan: one broadcast-dim left join,
+    one 20-column pivot aggregate, no window."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    buyers = (
+        o.groupBy(F.col("o_custkey").alias("cust"))
+        .agg(F.count(F.lit(1)).alias("_k"))
+        .filter(F.col("_k") >= 11)
+        .select("cust")
+        .withColumn("y1", F.lit(1))
+    )
+    lab = c.join(
+        buyers, c["c_custkey"] == buyers["cust"], "left"
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_acctbal") > 5000).cast("int").alias("x"),
+        F.coalesce(F.col("y1"), F.lit(0)).alias("y"),
+    )
+    aggs = []
+    for i, seg in enumerate(_SEGS):
+        for cell, (xv, yv) in (
+            (f"a{i}", (1, 1)),
+            (f"b{i}", (1, 0)),
+            (f"c{i}", (0, 1)),
+            (f"d{i}", (0, 0)),
+        ):
+            aggs.append(
+                F.sum(
+                    F.when(
+                        (F.col("seg") == seg)
+                        & (F.col("x") == xv)
+                        & (F.col("y") == yv),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("double")
+                .alias(cell)
+            )
+    cells = lab.agg(*aggs)
+    rsum = None
+    ssum = None
+    for i in range(5):
+        n = (
+            F.col(f"a{i}")
+            + F.col(f"b{i}")
+            + F.col(f"c{i}")
+            + F.col(f"d{i}")
+        )
+        rt = F.col(f"a{i}") * F.col(f"d{i}") / n
+        st = F.col(f"b{i}") * F.col(f"c{i}") / n
+        rsum = rt if rsum is None else rsum + rt
+        ssum = st if ssum is None else ssum + st
+    m = cells.withColumn("orr", rsum / ssum)
+    chi = None
+    for i in range(5):
+        a = F.col(f"a{i}")
+        n1 = F.col(f"a{i}") + F.col(f"b{i}")
+        n0 = F.col(f"c{i}") + F.col(f"d{i}")
+        m1 = F.col(f"a{i}") + F.col(f"c{i}")
+        orr = F.col("orr")
+        bb = orr * (n1 + m1) + (n0 - m1)
+        disc = F.sqrt(bb * bb - 4.0 * (orr - 1.0) * orr * n1 * m1)
+        atil = (bb - disc) / (2.0 * (orr - 1.0))
+        var = 1.0 / (
+            1.0 / atil
+            + 1.0 / (n1 - atil)
+            + 1.0 / (m1 - atil)
+            + 1.0 / (n0 - m1 + atil)
+        )
+        term = (a - atil) * (a - atil) / var
+        chi = term if chi is None else chi + term
+    return m.select(
+        F.round("orr", 6).alias("common_or"),
+        F.round(chi, 4).alias("bd_chi2"),
+        F.lit(4).cast("long").alias("df"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs328 Quade test (weighted rank ANOVA over complete blocks)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs328_quade_test",
+    oracle="""
+    WITH wk AS (
+      SELECT date_trunc('week', o_orderdate) AS b,
+             CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS t,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS x
+      FROM orders GROUP BY 1, 2),
+    full_ AS (SELECT b FROM wk GROUP BY b HAVING COUNT(*) = 5),
+    wkf AS (SELECT wk.* FROM wk JOIN full_ ON wk.b = full_.b),
+    r AS (
+      SELECT b, t, x,
+             ROW_NUMBER() OVER (PARTITION BY b ORDER BY x, t) AS rk
+      FROM wkf),
+    blk AS (
+      SELECT b, MAX(x) - MIN(x) AS rng FROM wkf GROUP BY b),
+    q AS (
+      SELECT b, ROW_NUMBER() OVER (ORDER BY rng, b) AS qb FROM blk),
+    s AS (
+      SELECT r.t, q.qb * (2 * r.rk - 6) AS s2 FROM r JOIN q ON r.b = q.b),
+    agg AS (
+      SELECT CAST(SUM(s2 * s2) AS BIGINT) AS a2,
+             CAST((SELECT COUNT(*) FROM q) AS BIGINT) AS nb
+      FROM s),
+    tj AS (
+      SELECT CAST(SUM(sj * sj) AS BIGINT) AS b2n
+      FROM (SELECT t, SUM(s2) AS sj FROM s GROUP BY t))
+    SELECT a2, b2n, nb,
+           ROUND((nb - 1.0) * b2n / (nb * CAST(a2 AS DOUBLE) - b2n), 4)
+             AS f_stat
+    FROM agg, tj
+    """,
+)
+def qs328(spark: SparkSession, sf: str) -> DataFrame:
+    """Quade test — Friedman's (qs289) block-weighted upgrade: blocks
+    with a LARGER within-block spread get more say (block weight =
+    rank of the block's range), which recovers power when treatment
+    effects scale with block level — exactly the weekly-revenue
+    shape, where busy weeks separate priorities more.
+
+    Determinism: within-block ranks and block-range ranks are unique
+    integer orders ((cents, t) and (range, week)); the doubled score
+    2S = Q(2r−6) keeps S integral, so A₂ = Σ(2S)², B₂·b = Σ(2Sⱼ)²
+    and the F statistic's single division are exact-integer algebra.
+    Plan: corpus → week×5 grid; the block-rank window runs over the
+    week dimension only."""
+    o = load_table(spark, sf, "orders")
+    wk = o.groupBy(
+        F.date_trunc("week", "o_orderdate").alias("b"),
+        F.substring("o_orderpriority", 1, 1)
+        .cast("long")
+        .alias("t"),
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        ).alias("x")
+    )
+    full_ = (
+        wk.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("_k"))
+        .filter(F.col("_k") == 5)
+        .select("b")
+    )
+    wkf = wk.join(full_, "b")
+    r = wkf.select(
+        "b",
+        "t",
+        F.row_number()
+        .over(Window.partitionBy("b").orderBy("x", "t"))
+        .alias("rk"),
+    )
+    blk = wkf.groupBy("b").agg(
+        (F.max("x") - F.min("x")).alias("rng")
+    )
+    q = blk.select(
+        "b",
+        F.row_number().over(Window.orderBy("rng", "b")).alias("qb"),
+    )
+    s = r.join(F.broadcast(q), "b").select(
+        "t", (F.col("qb") * (2 * F.col("rk") - 6)).alias("s2")
+    )
+    agg = s.agg(
+        F.sum(F.col("s2") * F.col("s2")).cast("long").alias("a2")
+    ).crossJoin(
+        F.broadcast(q.agg(F.count(F.lit(1)).cast("long").alias("nb")))
+    )
+    tj = (
+        s.groupBy("t")
+        .agg(F.sum("s2").alias("sj"))
+        .agg(
+            F.sum(F.col("sj") * F.col("sj")).cast("long").alias("b2n")
+        )
+    )
+    return agg.crossJoin(F.broadcast(tj)).select(
+        "a2",
+        "b2n",
+        "nb",
+        F.round(
+            (F.col("nb") - 1.0)
+            * F.col("b2n")
+            / (F.col("nb") * F.col("a2").cast("double") - F.col("b2n")),
+            4,
+        ).alias("f_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs339 Cucconi location-scale test
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs339_cucconi_test",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey % 2 AS g, o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders),
+    r AS (
+      SELECT g,
+             CAST(ROW_NUMBER() OVER (ORDER BY v, o_orderkey)
+                  AS BIGINT) AS rk,
+             COUNT(*) OVER () AS nn
+      FROM s),
+    agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        CAST(MAX(nn) AS BIGINT) AS n,
+        SUM(CASE WHEN g = 1
+            THEN CAST(rk * rk AS DECIMAL(38,0)) END) AS sr2,
+        SUM(CASE WHEN g = 1
+            THEN CAST((nn + 1 - rk) * (nn + 1 - rk)
+                      AS DECIMAL(38,0)) END) AS ss2
+      FROM r),
+    z AS (
+      SELECT n1, n0, n,
+        (6.0 * CAST(sr2 AS DOUBLE)
+         - CAST(n1 AS DOUBLE) * (n + 1) * (2 * n + 1))
+        / sqrt(CAST(n1 AS DOUBLE) * n0 * (n + 1)
+               * (2.0 * n + 1) * (8.0 * n + 11) / 5.0) AS u,
+        (6.0 * CAST(ss2 AS DOUBLE)
+         - CAST(n1 AS DOUBLE) * (n + 1) * (2 * n + 1))
+        / sqrt(CAST(n1 AS DOUBLE) * n0 * (n + 1)
+               * (2.0 * n + 1) * (8.0 * n + 11) / 5.0) AS v,
+        2.0 * (CAST(n AS DOUBLE) * n - 4)
+        / ((2.0 * n + 1) * (8.0 * n + 11)) - 1.0 AS rho
+      FROM agg)
+    SELECT n1, n0,
+           ROUND(u, 4) AS u, ROUND(v, 4) AS v,
+           ROUND((u * u + v * v - 2.0 * rho * u * v)
+                 / (2.0 * (1.0 - rho * rho)), 4) AS c_stat
+    FROM z
+    """,
+)
+def qs339(spark: SparkSession, sf: str) -> DataFrame:
+    """Cucconi test — the location-AND-scale two-sample test (older
+    and, with ties absent, often preferred to the Lepage combo):
+    U standardizes Σrank² of one group, V the same on contrary ranks
+    (N+1−R), and C = (U² + V² − 2ρUV)/(2(1−ρ²)) rejects when either
+    the center or the spread moved. Completes the two-sample block
+    next to qs181 (location), qs324 (dispersion), qs227 (shape).
+
+    Determinism: the pooled rank is the unique (cents, orderkey)
+    composite from operators/prefix.bucketed_row_number (no one-task
+    sort); Σrank² accumulates in DECIMAL(38,0) on BOTH engines (it
+    passes int64 near N ≈ 2.1M — sf1 scale — since ΣR² ~ N³/3); the
+    moments and ρ are one fixed double tree. Plan: one grouped rank
+    pass, one pivot row."""
+    o = load_table(spark, sf, "orders")
+    s = o.select(
+        (F.col("o_custkey") % 2).alias("g"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("v"),
+    )
+    r = bucketed_row_number(s, "v", ["v", "o_orderkey"], "rk")
+    n_ = s.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    agg = (
+        r.crossJoin(F.broadcast(n_))
+        .agg(
+            F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+            F.sum(F.when(F.col("g") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n0"),
+            F.max("n").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("g") == 1,
+                    (F.col("rk") * F.col("rk")).cast("decimal(38,0)"),
+                )
+            ).alias("sr2"),
+            F.sum(
+                F.when(
+                    F.col("g") == 1,
+                    (
+                        (F.col("n") + 1 - F.col("rk"))
+                        * (F.col("n") + 1 - F.col("rk"))
+                    ).cast("decimal(38,0)"),
+                )
+            ).alias("ss2"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    denom = F.sqrt(
+        F.col("n1").cast("double")
+        * F.col("n0")
+        * (F.col("n") + 1)
+        * (2.0 * nd + 1)
+        * (8.0 * nd + 11)
+        / 5.0
+    )
+    u = (
+        6.0 * F.col("sr2").cast("double")
+        - F.col("n1").cast("double") * (F.col("n") + 1) * (2 * F.col("n") + 1)
+    ) / denom
+    v = (
+        6.0 * F.col("ss2").cast("double")
+        - F.col("n1").cast("double") * (F.col("n") + 1) * (2 * F.col("n") + 1)
+    ) / denom
+    rho = 2.0 * (nd * nd - 4) / ((2.0 * nd + 1) * (8.0 * nd + 11)) - 1.0
+    z = agg.select(
+        "n1",
+        "n0",
+        u.alias("u"),
+        v.alias("v"),
+        rho.alias("rho"),
+    )
+    return z.select(
+        "n1",
+        "n0",
+        F.round("u", 4).alias("u"),
+        F.round("v", 4).alias("v"),
+        F.round(
+            (
+                F.col("u") * F.col("u")
+                + F.col("v") * F.col("v")
+                - 2.0 * F.col("rho") * F.col("u") * F.col("v")
+            )
+            / (2.0 * (1.0 - F.col("rho") * F.col("rho"))),
+            4,
+        ).alias("c_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs343 Kupiec proportion-of-failures VaR backtest
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs343_kupiec_pof",
+    oracle="""
+    WITH s96 AS (
+      SELECT o_orderpriority AS prio,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders WHERE year(o_orderdate) = 1996),
+    g AS (SELECT prio, v, COUNT(*) AS cnt FROM s96 GROUP BY 1, 2),
+    w AS (
+      SELECT prio, v, cnt,
+             SUM(cnt) OVER (PARTITION BY prio ORDER BY v DESC
+                 ROWS UNBOUNDED PRECEDING) AS cum_hi,
+             SUM(cnt) OVER (PARTITION BY prio) AS tn
+      FROM g),
+    var AS (
+      SELECT prio, MAX(CASE WHEN 20 * cum_hi >= tn THEN v END) AS var95
+      FROM w GROUP BY prio),
+    oos AS (
+      SELECT o_orderpriority AS prio,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders WHERE year(o_orderdate) = 1997),
+    cm AS (
+      SELECT var.prio, CAST(var.var95 AS BIGINT) AS var95_cents,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN oos.v >= var.var95 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM oos JOIN var ON oos.prio = var.prio
+      GROUP BY 1, 2)
+    SELECT prio, var95_cents, n, x,
+           ROUND(-2.0 * ((n - x) * ln(0.95) + x * ln(0.05)
+                 - (n - x) * ln(1.0 - CAST(x AS DOUBLE) / n)
+                 - CASE WHEN x = 0 THEN 0.0
+                        ELSE x * ln(CAST(x AS DOUBLE) / n) END), 4)
+             AS lr_pof
+    FROM cm ORDER BY prio
+    """,
+)
+def qs343(spark: SparkSession, sf: str) -> DataFrame:
+    """Kupiec proportion-of-failures backtest — fit the 95% VaR per
+    priority on 1996 orders (qs230's exact cumulative-count
+    machinery) and score the 1997 out-of-sample exceedance count
+    with the likelihood ratio −2[lnL(p₀) − lnL(x/n)]: the standard
+    'is your tail model actually 5%?' audit, pairing qs230's risk
+    measure with its validation.
+
+    Determinism: the in-sample VaR is an exact integer threshold
+    (bucketed_prefix_sum cumulative counts); n and x are exact
+    integers; the LR is ln of the fixed literals 0.95/0.05 and of
+    the exact rational x/n (identical args both engines, x = 0
+    guarded by CASE — n = x would need every order in the tail and
+    cannot occur with a 5% in-sample threshold on this data). Plan:
+    two year-pruned scans, the 5-row VaR table broadcast into the
+    out-of-sample aggregate."""
+    from cds_etl_spark.operators.prefix import bucketed_prefix_sum
+
+    o = load_table(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    s96 = o.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_orderpriority").alias("prio"), cents.alias("v")
+    )
+    g = s96.groupBy("prio", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    gp = bucketed_prefix_sum(g, "v", "cnt", "cum_lo", part_cols=("prio",))
+    tn = s96.groupBy("prio").agg(F.count(F.lit(1)).alias("tn"))
+    var = (
+        gp.join(F.broadcast(tn), "prio")
+        .groupBy("prio")
+        .agg(
+            F.max(
+                F.when(
+                    20 * (F.col("tn") - F.col("cum_lo") + F.col("cnt"))
+                    >= F.col("tn"),
+                    F.col("v"),
+                )
+            ).alias("var95")
+        )
+    )
+    oos = o.filter(F.year("o_orderdate") == 1997).select(
+        F.col("o_orderpriority").alias("prio"), cents.alias("v")
+    )
+    cm = (
+        oos.join(F.broadcast(var), "prio")
+        .groupBy("prio", "var95")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("v") >= F.col("var95"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("x"),
+        )
+    )
+    xn = F.col("x").cast("double") / F.col("n")
+    lr = -2.0 * (
+        (F.col("n") - F.col("x")) * F.log(F.lit(0.95))
+        + F.col("x") * F.log(F.lit(0.05))
+        - (F.col("n") - F.col("x")) * F.log(1.0 - xn)
+        - F.when(F.col("x") == 0, F.lit(0.0)).otherwise(
+            F.col("x") * F.log(xn)
+        )
+    )
+    return cm.select(
+        "prio",
+        F.col("var95").cast("long").alias("var95_cents"),
+        "n",
+        "x",
+        F.round(lr, 4).alias("lr_pof"),
+    ).orderBy("prio")
+
+
+# --------------------------------------------------------------------------
+# qs345 Hurst exponent (rescaled-range analysis)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs345_hurst_exponent",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(date_diff('day', DATE '1995-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) // 10000
+               AS y
+      FROM orders GROUP BY 1, 2),
+    win AS (SELECT w FROM (VALUES (50), (100), (200), (400)) AS v(w)),
+    blk AS (
+      SELECT win.w, daily.t // win.w AS b, daily.t, daily.y
+      FROM daily CROSS JOIN win),
+    full_ AS (
+      SELECT w, b FROM blk GROUP BY w, b HAVING COUNT(*) = w),
+    dev AS (
+      SELECT blk.w, blk.b, blk.t,
+             CAST(blk.y AS DOUBLE)
+               - AVG(CAST(blk.y AS DOUBLE))
+                 OVER (PARTITION BY blk.w, blk.b) AS d,
+             COUNT(*) OVER (PARTITION BY blk.w, blk.b) AS bn,
+             SUM(blk.y * blk.y) OVER (PARTITION BY blk.w, blk.b) AS q,
+             SUM(blk.y) OVER (PARTITION BY blk.w, blk.b) AS s
+      FROM blk JOIN full_ ON blk.w = full_.w AND blk.b = full_.b),
+    cum AS (
+      SELECT w, b, bn, q, s,
+             SUM(d) OVER (PARTITION BY w, b ORDER BY t
+                 ROWS UNBOUNDED PRECEDING) AS cd
+      FROM dev),
+    rs AS (
+      SELECT w, b,
+             (MAX(cd) - MIN(cd))
+             / sqrt(CAST(MAX(q) AS DOUBLE) / MAX(bn)
+                    - (CAST(MAX(s) AS DOUBLE) / MAX(bn))
+                      * (CAST(MAX(s) AS DOUBLE) / MAX(bn))) AS rsv
+      FROM cum GROUP BY w, b),
+    pts AS (
+      SELECT ln(CAST(w AS DOUBLE)) AS x, ln(AVG(rsv)) AS y,
+             CAST(COUNT(*) AS BIGINT) AS n_blocks
+      FROM rs GROUP BY w),
+    m AS (
+      SELECT COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy,
+             CAST(SUM(n_blocks) AS BIGINT) AS nb
+      FROM pts)
+    SELECT CAST(k AS BIGINT) AS n_windows, nb AS n_blocks,
+           ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 4)
+             AS hurst
+    FROM m
+    """,
+)
+def qs345(spark: SparkSession, sf: str) -> DataFrame:
+    """Hurst exponent of daily revenue via rescaled-range analysis —
+    for window sizes 50/100/200/400 days, split the series into
+    complete blocks, compute each block's R/S (range of cumulative
+    mean deviations over population std) and fit ln E[R/S] ~ H·ln w:
+    H ≈ 0.5 is a random walk, H > 0.5 long-memory persistence — the
+    long-range-dependence diagnostic qs204's short-lag
+    autocorrelation cannot see.
+
+    Determinism: daily sums are exact integers; every window runs on
+    the ~2,400-row calendar grid (blocks ≤ 400 rows); R/S and the
+    4-point OLS are fixed double trees over per-block exact moments
+    (population variance from integer Σy/Σy², √ IEEE-exact; block
+    means subtract exactly the same way on both engines since the
+    per-block AVG/SUM windows see identical value sets — summation
+    order inside a ≤400-row block window is frame-ordered, not
+    partial-agg-ordered). Plan: one grouped scan → day grid; the
+    4-size block expansion is a broadcast cross of the grid."""
+    o = load_table(spark, sf, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.expr(
+            "sum(CAST(ROUND(o_totalprice * 100, 0) AS LONG)) div 10000"
+        ).alias("y")
+    ).select(
+        F.datediff(
+            "day", F.lit("1995-01-01").cast("date")
+        ).cast("long").alias("t"),
+        "y",
+    )
+    win = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in (50, 100, 200, 400)])).alias("w")
+    )
+    blk = daily.crossJoin(F.broadcast(win)).select(
+        "w", F.expr("t DIV w").alias("b"), "t", "y"
+    )
+    full_ = (
+        blk.groupBy("w", "b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") == F.col("w"))
+        .select("w", "b")
+    )
+    wb = Window.partitionBy("w", "b")
+    dev = blk.join(full_, ["w", "b"]).select(
+        "w",
+        "b",
+        "t",
+        (
+            F.col("y").cast("double")
+            - F.avg(F.col("y").cast("double")).over(wb)
+        ).alias("d"),
+        F.count(F.lit(1)).over(wb).alias("bn"),
+        F.sum(F.col("y") * F.col("y")).over(wb).alias("q"),
+        F.sum("y").over(wb).alias("s"),
+    )
+    cum = dev.select(
+        "w",
+        "b",
+        "bn",
+        "q",
+        "s",
+        F.sum("d")
+        .over(
+            Window.partitionBy("w", "b")
+            .orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("cd"),
+    )
+    mean = F.max("s").cast("double") / F.max("bn")
+    rs = cum.groupBy("w", "b").agg(
+        (
+            (F.max("cd") - F.min("cd"))
+            / F.sqrt(
+                F.max("q").cast("double") / F.max("bn") - mean * mean
+            )
+        ).alias("rsv")
+    )
+    pts = rs.groupBy("w").agg(
+        F.log(F.avg("rsv")).alias("y"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+    ).select(
+        F.log(F.col("w").cast("double")).alias("x"),
+        "y",
+        "n_blocks",
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum("n_blocks").cast("long").alias("nb"),
+    )
+    return m.select(
+        F.col("k").cast("long").alias("n_windows"),
+        F.col("nb").alias("n_blocks"),
+        F.round(
+            (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            4,
+        ).alias("hurst"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs350 Theil entropy inequality index over part-group revenue
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs350_theil_index",
+    oracle="""
+    WITH g AS (
+      SELECT l_partkey % 200 AS grp,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS c
+      FROM lineitem GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS tc,
+                   CAST(COUNT(*) AS BIGINT) AS n FROM g)
+    SELECT n AS n_groups,
+           ROUND(SUM((c / tc) * ln(c * n / tc)), 6) AS theil_t,
+           ROUND(-SUM((1.0 / n) * ln(c * n / tc)), 6) AS theil_l
+    FROM g, tot GROUP BY n
+    """,
+)
+def qs350(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil T and L inequality indices over the 200-part-group
+    revenue distribution — the entropy-based decomposable inequality
+    pair next to qs307's Gini and qs189's Lorenz deciles (Theil is
+    the one that splits exactly into within/between components, the
+    property concentration audits want). T weights by revenue share,
+    L (mean log deviation) by population share.
+
+    Determinism: group cents are exact integers; shares c/C are the
+    same double division on both engines; the 200 positive ln terms
+    sum with ~1e-13 noise against a 5e-7 ROUND-6 boundary (the qs291
+    margin argument — no cancellation, all terms share sign per
+    index). Plan: one grouped scan → 200-row grid; one broadcast
+    total; no window."""
+    li = load_table(spark, sf, "lineitem")
+    g = li.groupBy((F.col("l_partkey") % 200).alias("grp")).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        ).alias("c")
+    )
+    tot = g.agg(
+        F.sum("c").cast("double").alias("tc"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    share = F.col("c") / F.col("tc")
+    lt = F.log(F.col("c") * F.col("n") / F.col("tc"))
+    return j.groupBy("n").agg(
+        F.round(F.sum(share * lt), 6).alias("theil_t"),
+        F.round(-F.sum((1.0 / F.col("n")) * lt), 6).alias("theil_l"),
+    ).select(
+        F.col("n").alias("n_groups"), "theil_t", "theil_l"
+    )

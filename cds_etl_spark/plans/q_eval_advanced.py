@@ -2193,7 +2193,7 @@ def qs229(spark: SparkSession, sf: str) -> DataFrame:
       FROM g),
     var AS (
       SELECT prio,
-             MIN(CASE WHEN 20 * cum_hi >= tn THEN v END) AS var95,
+             MAX(CASE WHEN 20 * cum_hi >= tn THEN v END) AS var95,
              MAX(tn) AS tn
       FROM w GROUP BY prio)
     SELECT var.prio, CAST(var.var95 AS BIGINT) AS var95_cents,
@@ -2206,9 +2206,16 @@ def qs229(spark: SparkSession, sf: str) -> DataFrame:
 def qs230(spark: SparkSession, sf: str) -> DataFrame:
     """VaR / CVaR at the 95th percentile of order value per
     priority class — the tail-risk pair finance and capacity
-    planning both run: VaR = the smallest value whose upper tail
-    holds ≥5% of the mass (exact upper-quantile over the value
-    grid, qs183's cumulative-count physics pointed at the tail);
+    planning both run: VaR = the LARGEST value whose upper tail
+    still holds ≥5% of the mass — the exact upper-quantile over the
+    value grid (qs183's cumulative-count physics pointed at the
+    tail). r9 semantic repair: the original MIN over the tail
+    condition selected the global minimum (every value below the
+    boundary also satisfies cum_hi ≥ n/20), which both engines
+    mirrored — the oracle-differential gate proves ENGINE
+    equivalence, not formula intent, and this is the class it
+    cannot catch; found while building qs343's Kupiec backtest on
+    top (x ≈ n exceedances exposed the degenerate threshold);
     CVaR/expected shortfall = the mean INSIDE that tail, the
     coherent-risk upgrade that sees tail SHAPE where VaR sees one
     point.
@@ -2239,7 +2246,7 @@ def qs230(spark: SparkSession, sf: str) -> DataFrame:
     tn = s.groupBy("prio").agg(F.count(F.lit(1)).alias("tn"))
     w = gp.join(F.broadcast(tn), "prio")
     var = w.groupBy("prio").agg(
-        F.min(
+        F.max(
             F.when(
                 20 * (F.col("tn") - F.col("cum_lo") + F.col("cnt"))
                 >= F.col("tn"),
