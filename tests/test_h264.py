@@ -129,11 +129,8 @@ def test_entropy_decode_gate_is_explicit():
     nals = annexb_split(stream)
     sps_rbsp = ep_unescape(nals[0][1:])
     pps_rbsp = ep_unescape(nals[1][1:])
-    slice_rbsp = bytearray(ep_unescape(nals[2][1:]))
-    # Slice header for this fixed encoder layout ends after
-    # disable_deblocking_filter_idc; mb_type ue(25) starts at a known
-    # bit offset. Rather than bit-surgery, rebuild the slice with a
-    # bogus mb_type through the writer.
+    # Rather than bit-surgery on the encoded slice, rebuild one whose
+    # first mb_type is 0 (I_4x4) through the writer.
     from cds_etl_spark.operators.h264 import _BitWriter, _nal
 
     bw = _BitWriter()
