@@ -151,6 +151,10 @@ _GRADE_FIRST = [
     "qs343_kupiec_pof",
     "qs345_hurst_exponent",
     "qs350_theil_index",
+    "qs346_dixon_q",
+    "qs347_weighted_kappa",
+    "qs348_entropy_profile",
+    "qs349_page_hinkley",
     # qs230 re-grade: its r9 MIN→MAX semantic repair (the VaR
     # threshold picked the global minimum; both engines mirrored it
     # so the differential stayed green) changes official values.

@@ -2481,3 +2481,397 @@ def qs350(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         F.col("n").alias("n_groups"), "theil_t", "theil_l"
     )
+
+
+# --------------------------------------------------------------------------
+# qs346 Dixon's Q extreme-outlier ratio per market segment
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs346_dixon_q",
+    oracle="""
+    WITH daily AS (
+      SELECT c.c_mktsegment AS seg, CAST(o.o_orderdate AS DATE) AS d,
+             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS x
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE year(o.o_orderdate) = 1996
+      GROUP BY 1, 2),
+    ex AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+             MIN(x) AS x1, MAX(x) AS xn
+      FROM daily GROUP BY seg),
+    nb AS (
+      SELECT d.seg,
+             MIN(CASE WHEN d.x > ex.x1 THEN d.x END) AS x2,
+             MAX(CASE WHEN d.x < ex.xn THEN d.x END) AS xn1
+      FROM daily d JOIN ex ON d.seg = ex.seg
+      GROUP BY d.seg)
+    SELECT ex.seg AS segment, ex.n,
+           ROUND(CAST(nb.x2 - ex.x1 AS DOUBLE)
+                 / (ex.xn - ex.x1), 6) AS q_low,
+           ROUND(CAST(ex.xn - nb.xn1 AS DOUBLE)
+                 / (ex.xn - ex.x1), 6) AS q_high
+    FROM ex JOIN nb ON ex.seg = nb.seg
+    ORDER BY ex.seg
+    """,
+)
+def qs346(spark: SparkSession, sf: str) -> DataFrame:
+    """Dixon's Q ratios per market segment — the gap-over-range
+    screen for a single suspect extreme (Q = (x₂−x₁)/(xₙ−x₁) low
+    side, (xₙ−xₙ₋₁)/(xₙ−x₁) high side) on 1996 daily segment
+    revenue: the small-sample outlier check next to qs306's Grubbs
+    (which needs moments) and qs239's Tukey fences (which needs
+    quartiles) — Q needs only the two extremes per side.
+
+    Determinism: the second-lowest/second-highest come from exact
+    integer conditional aggregates against the broadcast extremes
+    (no sort, no window); both Q ratios are single divisions of
+    exact cents, ROUND 6. Plan: one join-grouped scan → segment×day
+    grid → two 5-row aggregates."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    daily = (
+        o.filter(F.year("o_orderdate") == 1996)
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("x")
+        )
+    )
+    ex = daily.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("x").alias("x1"),
+        F.max("x").alias("xn"),
+    )
+    nb = (
+        daily.join(F.broadcast(ex), "seg")
+        .groupBy("seg")
+        .agg(
+            F.min(
+                F.when(F.col("x") > F.col("x1"), F.col("x"))
+            ).alias("x2"),
+            F.max(
+                F.when(F.col("x") < F.col("xn"), F.col("x"))
+            ).alias("xn1"),
+        )
+    )
+    return (
+        ex.join(nb, "seg")
+        .select(
+            F.col("seg").alias("segment"),
+            "n",
+            F.round(
+                (F.col("x2") - F.col("x1")).cast("double")
+                / (F.col("xn") - F.col("x1")),
+                6,
+            ).alias("q_low"),
+            F.round(
+                (F.col("xn") - F.col("xn1")).cast("double")
+                / (F.col("xn") - F.col("x1")),
+                6,
+            ).alias("q_high"),
+        )
+        .orderBy("segment")
+    )
+
+
+# --------------------------------------------------------------------------
+# qs347 quadratic-weighted Cohen's kappa (ordinal agreement)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs347_weighted_kappa",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS i,
+             LEAST(5, 1 + CAST(FLOOR(o_totalprice / 100000)
+                               AS BIGINT)) AS j
+      FROM orders),
+    o_ AS (SELECT i, j, COUNT(*) AS c FROM s GROUP BY 1, 2),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM o_),
+    rm AS (SELECT i, SUM(c) AS r FROM o_ GROUP BY i),
+    cm AS (SELECT j, SUM(c) AS g FROM o_ GROUP BY j),
+    num AS (SELECT CAST(SUM((o_.i - o_.j) * (o_.i - o_.j) * o_.c)
+                        AS BIGINT) AS wo FROM o_),
+    den AS (SELECT CAST(SUM((rm.i - cm.j) * (rm.i - cm.j)
+                            * rm.r * cm.g) AS BIGINT) AS wrc
+            FROM rm CROSS JOIN cm)
+    SELECT n.n AS n_orders,
+           ROUND(1.0 - CAST(n.n AS DOUBLE) * num.wo / den.wrc, 6)
+             AS weighted_kappa
+    FROM n, num, den
+    """,
+)
+def qs347(spark: SparkSession, sf: str) -> DataFrame:
+    """Quadratic-weighted Cohen's kappa between order priority (rater
+    1, ordinal 1..5) and the fixed price quintile band (rater 2) —
+    the ordinal-agreement upgrade of qs244's plain kappa: near-miss
+    disagreements (priority 2 vs band 3) cost (i−j)² = 1 while
+    opposite-end calls cost 16, which is what ordinal raters need.
+    κ_w = 1 − n·Σw·O / Σw·R·C with quadratic weights.
+
+    Determinism: the 5×5 observed table, margins, and both weighted
+    sums are exact integers (Σw·R·C ≤ 16n² < 2⁶³ through sf100); one
+    division, ROUND 6. Plan: one grouped scan → ≤25-cell grid; the
+    margin cross is 5×5."""
+    o = load_table(spark, sf, "orders")
+    s = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("i"),
+        F.least(
+            F.lit(5),
+            1 + F.floor(F.col("o_totalprice") / 100000).cast("long"),
+        ).alias("j"),
+    )
+    obs = s.groupBy("i", "j").agg(F.count(F.lit(1)).alias("c"))
+    n = obs.agg(F.sum("c").cast("long").alias("n"))
+    rm = obs.groupBy("i").agg(F.sum("c").alias("r"))
+    cm = obs.groupBy("j").agg(F.sum("c").alias("g"))
+    num = obs.agg(
+        F.sum(
+            (F.col("i") - F.col("j"))
+            * (F.col("i") - F.col("j"))
+            * F.col("c")
+        )
+        .cast("long")
+        .alias("wo")
+    )
+    den = (
+        rm.crossJoin(F.broadcast(cm))
+        .agg(
+            F.sum(
+                (F.col("i") - F.col("j"))
+                * (F.col("i") - F.col("j"))
+                * F.col("r")
+                * F.col("g")
+            )
+            .cast("long")
+            .alias("wrc")
+        )
+    )
+    return (
+        n.crossJoin(F.broadcast(num))
+        .crossJoin(F.broadcast(den))
+        .select(
+            F.col("n").alias("n_orders"),
+            F.round(
+                1.0
+                - F.col("n").cast("double")
+                * F.col("wo")
+                / F.col("wrc"),
+                6,
+            ).alias("weighted_kappa"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# qs348 categorical-entropy column profile
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs348_entropy_profile",
+    oracle="""
+    WITH cols AS (
+      SELECT 'o_orderpriority' AS col, o_orderpriority AS v
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', o_orderstatus FROM orders
+      UNION ALL
+      SELECT 'l_returnflag', l_returnflag FROM lineitem
+      UNION ALL
+      SELECT 'c_mktsegment', c_mktsegment FROM customer),
+    g AS (SELECT col, v, COUNT(*) AS c FROM cols GROUP BY 1, 2),
+    t AS (SELECT col, CAST(SUM(c) AS BIGINT) AS n,
+                 CAST(COUNT(*) AS BIGINT) AS k
+          FROM g GROUP BY col)
+    SELECT g.col AS column_name, t.n, t.k AS n_distinct,
+           ROUND(-SUM((CAST(g.c AS DOUBLE) / t.n)
+                      * ln(CAST(g.c AS DOUBLE) / t.n)), 6)
+             AS entropy_nats,
+           ROUND(-SUM((CAST(g.c AS DOUBLE) / t.n)
+                      * ln(CAST(g.c AS DOUBLE) / t.n))
+                 / ln(CAST(t.k AS DOUBLE)), 6) AS normalized
+    FROM g JOIN t ON g.col = t.col
+    GROUP BY g.col, t.n, t.k ORDER BY g.col
+    """,
+)
+def qs348(spark: SparkSession, sf: str) -> DataFrame:
+    """Categorical-entropy column profile — Shannon entropy and its
+    ln(k)-normalized form for the four low-cardinality categorical
+    columns: the balance-of-categories audit that extends qs88's
+    null/distinct profile (normalized ≈ 1 means uniform categories,
+    ≈ 0 means one value dominates — the skew signal partition
+    planning and stratified sampling both read).
+
+    Determinism: category counts are exact integers; shares c/n are
+    identical double divisions on both engines and each column's
+    entropy sums ≤ 7 positive ln terms (fixed small grids). Plan:
+    per-column grouped scans unioned into one ≤ 20-row grid; no
+    window, no join back to any corpus table."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    c = load_table(spark, sf, "customer")
+    cols = (
+        o.select(
+            F.lit("o_orderpriority").alias("col"),
+            F.col("o_orderpriority").alias("v"),
+        )
+        .unionAll(
+            o.select(
+                F.lit("o_orderstatus").alias("col"),
+                F.col("o_orderstatus").alias("v"),
+            )
+        )
+        .unionAll(
+            li.select(
+                F.lit("l_returnflag").alias("col"),
+                F.col("l_returnflag").alias("v"),
+            )
+        )
+        .unionAll(
+            c.select(
+                F.lit("c_mktsegment").alias("col"),
+                F.col("c_mktsegment").alias("v"),
+            )
+        )
+    )
+    g = cols.groupBy("col", "v").agg(F.count(F.lit(1)).alias("c"))
+    t = g.groupBy("col").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    j = g.join(F.broadcast(t), "col")
+    share = F.col("c").cast("double") / F.col("n")
+    ent = -F.sum(share * F.log(share))
+    return (
+        j.groupBy("col", "n", "k")
+        .agg(
+            F.round(ent, 6).alias("entropy_nats"),
+            F.round(
+                ent / F.log(F.col("k").cast("double")), 6
+            ).alias("normalized"),
+        )
+        .select(
+            F.col("col").alias("column_name"),
+            "n",
+            F.col("k").alias("n_distinct"),
+            "entropy_nats",
+            "normalized",
+        )
+        .orderBy("column_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# qs349 Page–Hinkley mean-shift detector on daily revenue
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs349_page_hinkley",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) // 10000
+               AS x
+      FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+      GROUP BY 1),
+    cum AS (
+      SELECT d, x,
+             CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t,
+             CAST(SUM(x) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS sx
+      FROM daily),
+    m AS (
+      SELECT t, d,
+             CAST(sx AS DOUBLE) - t * (CAST(sx AS DOUBLE) / t)
+               + 0.0 AS zero_chk,
+             SUM(CAST(x AS DOUBLE)
+                 - CAST(sx AS DOUBLE) / t - 5.0)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS mt
+      FROM cum),
+    ph AS (
+      SELECT MAX(mt) - MIN(mt) AS ph_range,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM m),
+    amax AS (
+      SELECT d AS peak_day FROM m
+      WHERE mt = (SELECT MAX(mt) FROM m)
+      ORDER BY d LIMIT 1)
+    SELECT ph.n_days, ROUND(ph.ph_range, 4) AS ph_range, amax.peak_day
+    FROM ph, amax
+    """,
+)
+def qs349(spark: SparkSession, sf: str) -> DataFrame:
+    """Page–Hinkley mean-shift detector over 1996–97 daily revenue —
+    the cumulative deviation from the RUNNING mean (minus drift
+    allowance δ = 5), whose max-minus-min range fires on a sustained
+    level shift: the sequential change detector that complements
+    qs242's known-baseline CUSUM (PH needs no reference window — the
+    running mean IS the baseline) and qs169's retrospective
+    change-point.
+
+    Determinism: daily sums and prefix sums are exact integers; the
+    running mean sx/t is the same double division on both engines,
+    and m_t accumulates over the ~730-row calendar grid in the
+    window's FRAME order (deterministic, unlike partial-agg order);
+    peak day ties break by earliest date. Plan: corpus → day grid;
+    every window is calendar-sized."""
+    o = load_table(spark, sf, "orders")
+    daily = (
+        o.filter(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.expr(
+                "sum(CAST(ROUND(o_totalprice * 100, 0) AS LONG))"
+                " div 10000"
+            ).alias("x")
+        )
+    )
+    wd = Window.orderBy("d")
+    cum = daily.select(
+        "d",
+        "x",
+        F.row_number().over(wd).cast("long").alias("t"),
+        F.sum("x")
+        .over(wd.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("sx"),
+    )
+    wt = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    m = cum.select(
+        "t",
+        "d",
+        F.sum(
+            F.col("x").cast("double")
+            - F.col("sx").cast("double") / F.col("t")
+            - 5.0
+        )
+        .over(wt)
+        .alias("mt"),
+    )
+    ph = m.agg(
+        (F.max("mt") - F.min("mt")).alias("ph_range"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    mx = m.agg(F.max("mt").alias("mmax"))
+    amax = (
+        m.crossJoin(F.broadcast(mx))
+        .filter(F.col("mt") == F.col("mmax"))
+        .agg(F.min("d").alias("peak_day"))
+    )
+    return ph.crossJoin(F.broadcast(amax)).select(
+        "n_days",
+        F.round("ph_range", 4).alias("ph_range"),
+        "peak_day",
+    )
