@@ -187,3 +187,34 @@ def test_mp4_avc1_ipcm_end_to_end():
     for k, f in enumerate(frames_rgb):
         y, cb, cr = _rgb_to_yuv420(f)
         assert np.array_equal(got[k], _yuv420_to_rgb(y, cb, cr)), k
+
+
+def test_probe_multi_idr_and_sei_aud_inventory():
+    # Keyframe-offset sharding metadata on a multi-frame stream with
+    # interleaved non-VCL NALs (SEI, AUD) — probe must inventory all
+    # NAL types and list every IDR index without decoding anything.
+    from cds_etl_spark.operators.h264 import _nal
+
+    rng = np.random.default_rng(15)
+    imgs = [
+        rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+        for _ in range(3)
+    ]
+    streams = [encode_h264_ipcm(im) for im in imgs]
+    nals0 = annexb_split(streams[0])
+    sps_nal = b"\x00\x00\x00\x01" + nals0[0]
+    pps_nal = b"\x00\x00\x00\x01" + nals0[1]
+    idrs = [
+        b"\x00\x00\x00\x01"
+        + [n for n in annexb_split(s) if (n[0] & 0x1F) == 5][0]
+        for s in streams
+    ]
+    sei = _nal(6, b"\x05\x04test\x80", ref_idc=0)   # payload arbitrary
+    aud = _nal(9, b"\x10", ref_idc=0)
+    stream = sps_nal + pps_nal + aud + idrs[0] + sei + idrs[1] + idrs[2]
+    info = probe_h264(stream)
+    assert info["nal_types"] == [
+        "sps", "pps", "aud", "idr", "sei", "idr", "idr",
+    ]
+    assert info["idr_indices"] == [3, 5, 6]
+    assert info["width"] == 16 and info["height"] == 16

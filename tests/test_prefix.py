@@ -133,6 +133,46 @@ def test_bucketed_row_number_matches_serial(spark):
     ]
 
 
+def test_bucketed_row_number_partitioned_matches_serial(spark):
+    # part_cols path (the qs24 per-status shape): ranks restart per
+    # group and must match the serial partitioned window exactly.
+    rng = random.Random(279)
+    rows = [
+        Row(g=f"s{i % 3}", k=rng.randint(-500, 500), tb=i)
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows)
+    got = sorted(
+        map(
+            tuple,
+            bucketed_row_number(
+                df,
+                "k",
+                [F.col("k"), F.col("tb")],
+                "rn",
+                part_cols=("g",),
+                n_buckets=16,
+            )
+            .select("g", "k", "tb", "rn")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            df.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("g").orderBy("k", "tb")
+                ),
+            )
+            .select("g", "k", "tb", "rn")
+            .collect(),
+        )
+    )
+    assert got == want
+
+
 def test_bucketed_row_number_desc_via_negated_key(spark):
     rng = random.Random(275)
     rows = [Row(k=rng.randint(0, 99), tb=i) for i in range(300)]
