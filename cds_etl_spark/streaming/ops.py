@@ -816,6 +816,115 @@ def stream_cusum_monitor(
     q.awaitTermination()
 
 
+def stream_page_hinkley_monitor(
+    events_stream: DataFrame,
+    state_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    delta: float = 0.005,
+    lam: float = 50.0,
+) -> None:
+    """Continuous Page–Hinkley mean-shift detection — the
+    REFERENCE-FREE member of the monitoring family (the batch twin is
+    qs349): where ``stream_cusum_monitor`` standardizes against a
+    persisted baseline (and inherits its staleness), PH maintains the
+    running mean ITSELF and accumulates m = Σ(x_e − x̄_e − δ) over the
+    per-(group, epoch) batch means, alarming when m − min(m) > λ.
+    That makes it the bootstrap monitor for NEW groups that have no
+    baseline yet — exactly the rows CUSUM marks ``no_baseline``.
+
+    State story: identical to the CUSUM epoch-generational contract —
+    per-group (cnt, xsum, mt, mt_min) lives at
+    ``state_path/epoch=<id>``, epoch N reads only its newest
+    predecessor and overwrites its own partition, so a crash-replayed
+    epoch recomputes byte-identically (exactly-once without a log).
+    Groups absent from a batch carry state unchanged
+    (status='carried'). Each epoch is one batch aggregate + a
+    groups-sized full-outer state join; nothing scales with stream
+    history."""
+
+    def _prev_state_epoch(spark: SparkSession, epoch_id: int):
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        jpath = jvm.org.apache.hadoop.fs.Path(state_path)
+        fs = jpath.getFileSystem(hconf)
+        if not fs.exists(jpath):
+            return None
+        best = None
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if name.startswith("epoch="):
+                e = int(name.split("=", 1)[1])
+                if e < epoch_id and (best is None or e > best):
+                    best = e
+        return best
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cur = batch_df.groupBy(F.col(group_col).alias("grp")).agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.avg(value_col).alias("xbar"),
+        )
+        prev = _prev_state_epoch(spark, epoch_id)
+        if prev is not None:
+            prior = spark.read.parquet(
+                os.path.join(state_path, f"epoch={prev}")
+            ).select("grp", "cnt", "xsum", "mt", "mt_min")
+        else:
+            prior = (
+                cur.select("grp")
+                .limit(0)
+                .withColumn("cnt", F.lit(0).cast("long"))
+                .withColumn("xsum", F.lit(0.0))
+                .withColumn("mt", F.lit(0.0))
+                .withColumn("mt_min", F.lit(0.0))
+            )
+        j = cur.join(prior, "grp", "full_outer")
+        has_obs = F.col("xbar").isNotNull()
+        cnt1 = F.coalesce("cnt", F.lit(0)) + has_obs.cast("long")
+        xsum1 = F.coalesce("xsum", F.lit(0.0)) + F.coalesce(
+            "xbar", F.lit(0.0)
+        )
+        mean1 = xsum1 / cnt1
+        mt1 = F.coalesce("mt", F.lit(0.0)) + F.when(
+            has_obs, F.col("xbar") - mean1 - delta
+        ).otherwise(F.lit(0.0))
+        st = j.select(
+            "grp",
+            F.coalesce("n_batch", F.lit(0)).alias("n_batch"),
+            F.when(has_obs, F.lit("ok"))
+            .otherwise(F.lit("carried"))
+            .alias("status"),
+            cnt1.alias("cnt"),
+            xsum1.alias("xsum"),
+            mt1.alias("mt"),
+            F.least(
+                F.coalesce("mt_min", F.lit(0.0)), mt1
+            ).alias("mt_min"),
+        )
+        out = st.withColumn(
+            "ph", F.col("mt") - F.col("mt_min")
+        ).withColumn(
+            "alert", F.col("ph") > lam
+        ).localCheckpoint(eager=True)
+        out.write.mode("overwrite").parquet(
+            os.path.join(state_path, f"epoch={epoch_id}")
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={epoch_id}")
+        )
+
+    q = (
+        events_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_commitlog_sink(
     stream: DataFrame,
     table: str,

@@ -371,3 +371,68 @@ def test_stream_cusum_surfaces_unbaselined_group_and_status(spark, tmp_path):
     assert rows[(0, "click")]["status"] == "ok"
     assert rows[(1, "click")]["status"] == "carried"
     assert rows[(1, "click")]["n_batch"] == 0
+
+
+def test_stream_page_hinkley_matches_reference_and_alarms(spark, tmp_path):
+    """Reference-free PH: per-(group, epoch) batch means feed the
+    running-mean recursion m += x̄ − mean − δ; a sustained level shift
+    drives m − min(m) past λ while clean epochs stay quiet. Parity is
+    checked against an independent python replay of the SAME batch
+    means (the monitor's declared semantics), and an absent-group
+    epoch must carry state unchanged."""
+    from cds_etl_spark.streaming.ops import stream_page_hinkley_monitor
+
+    sigma = 480.0 / (12.0 ** 0.5)
+    batches = [
+        _events(spark, 800, seed=61),
+        _events(spark, 800, seed=62),
+        _events(spark, 800, seed=63, etype="view"),      # no "click"
+        _events(spark, 800, shift=0.8 * sigma, seed=64),
+        _events(spark, 800, shift=0.8 * sigma, seed=65),
+    ]
+    src = str(tmp_path / "ph_inbox")
+    for b in batches:
+        b.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(batches[0].schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = str(tmp_path / "ph_out")
+    stream_page_hinkley_monitor(
+        stream,
+        str(tmp_path / "ph_state"),
+        out,
+        str(tmp_path / "ph_ckpt"),
+        delta=0.0,
+        lam=0.7 * sigma,
+    )
+    got = {
+        r["batch_id"]: r
+        for r in spark.read.parquet(out)
+        .filter(F.col("grp") == "click")
+        .collect()
+    }
+    assert len(got) == 5
+    # Independent replay of the declared per-epoch semantics.
+    means = {
+        i: b.filter(F.col("event_type") == "click")
+        .agg(F.avg("value"))
+        .collect()[0][0]
+        for i, b in enumerate(batches)
+        if i != 2
+    }
+    cnt = xsum = mt = mt_min = 0.0
+    for i in range(5):
+        if i == 2:                      # carried epoch
+            assert got[i]["status"] == "carried"
+            assert got[i]["mt"] == got[i - 1]["mt"]
+            assert got[i]["cnt"] == got[i - 1]["cnt"]
+            continue
+        cnt += 1
+        xsum += means[i]
+        mt += means[i] - xsum / cnt - 0.0
+        mt_min = min(mt_min, mt)
+        assert abs(got[i]["mt"] - mt) < 1e-9, i
+        assert abs(got[i]["ph"] - (mt - mt_min)) < 1e-9, i
+    # Clean epochs quiet; the sustained shift alarms by the last one.
+    assert not got[0]["alert"] and not got[1]["alert"]
+    assert got[4]["alert"]
