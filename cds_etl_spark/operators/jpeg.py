@@ -17,8 +17,11 @@ AND progressive (SOF2) — multi-scan coefficient accumulation with
 DC-first/DC-refine/AC-first/AC-refine entropy decoders, EOB-run and
 correction-bit semantics per T.81 G.2 — arbitrary sampling factors
 (MCU interleave + nearest-neighbor upsample per JFIF),
-restart-marker aware, 8-bit precision. Arithmetic coding (SOF9-11)
-and hierarchical (SOF5-7) raise ``NotImplementedError`` explicitly.
+restart-marker aware, 8-bit precision. LOSSLESS (SOF3, Annex H
+spatial DPCM, predictors 1-7, no color transform — bit-exact round
+trip) encodes via ``encode_jpeg_lossless`` and decodes through the
+same ``decode_jpeg`` entry point. Arithmetic coding (SOF9-11) and
+hierarchical (SOF5-7) raise ``NotImplementedError`` explicitly.
 
 Everything vectorizes per 8x8 block batch through one einsum DCT; the
 only per-symbol Python loop is Huffman coding, which is inherent to
@@ -868,7 +871,11 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 coeffs[c["id"]] = np.zeros(
                     (c["gh"], c["gw"], 64), dtype=np.int32
                 )
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC3:
+            # Lossless (Annex H): a different coding model entirely —
+            # delegate to the dedicated spatial-DPCM decoder.
+            return _decode_jpeg_lossless(data)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"unsupported JPEG frame type (SOF marker 0xFF{marker:02X})"
             )
@@ -1030,3 +1037,212 @@ def _decode_scan(
                 eobrun = _decode_ac_refine_block(
                     reader, ac_tab, coef, ss, se, al, eobrun
                 )
+
+
+# --------------------------------------------------------------------------
+# Lossless JPEG (SOF3, T.81 Annex H) — spatial DPCM + Huffman
+# --------------------------------------------------------------------------
+
+#: Diff categories for 8-bit lossless reach SSSS 9 (predictor 4's
+#: a+b−c can leave [0,255], so |diff| ≤ 510): a DC-style table whose
+#: value set extends through category 9.
+LL_DIFF_BITS = [0, 1, 5, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+LL_DIFF_VALS = list(range(10))
+
+
+def _ll_predict(a: int, b: int, c: int, p: int) -> int:
+    """T.81 H.1.2.1 predictors 1–7 (no clamping — that is JPEG-LS)."""
+    if p == 1:
+        return a
+    if p == 2:
+        return b
+    if p == 3:
+        return c
+    if p == 4:
+        return a + b - c
+    if p == 5:
+        return a + ((b - c) >> 1)
+    if p == 6:
+        return b + ((a - c) >> 1)
+    return (a + b) >> 1                                # p == 7
+
+
+def encode_jpeg_lossless(arr: np.ndarray, predictor: int = 4) -> bytes:
+    """Encode (H, W) grayscale or (H, W, 3) RGB as a LOSSLESS JPEG
+    (SOF3, T.81 Annex H): spatial DPCM with the chosen predictor
+    (1–7), Huffman-coded diff categories, components stored interleaved
+    with no subsampling and NO color transform — decode reproduces the
+    input array bit-exactly. 8-bit precision, point transform 0, no
+    restart markers.
+
+    Sample order/prediction per H.1.1: the first sample of the image
+    predicts from 2^(P−1) = 128; the rest of the first LINE uses
+    predictor 1 (left); the first sample of every other line uses
+    predictor 2 (above); everything else uses the scan's predictor."""
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    if arr.ndim == 2:
+        planes = [arr.astype(np.int32)]
+    elif arr.ndim == 3:
+        planes = [arr[..., k].astype(np.int32) for k in range(arr.shape[2])]
+    else:
+        raise ValueError("expected (H, W) or (H, W, C)")
+    h, w = planes[0].shape
+    nc = len(planes)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")                                    # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for k in range(nc):
+        sof += bytes([k + 1, 0x11, 0])        # h=v=1, Tq unused
+    out += seg(0xFFC3, sof)                                         # SOF3
+    out += seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(LL_DIFF_BITS) + bytes(LL_DIFF_VALS),
+    )
+    sos = bytes([nc])
+    for k in range(nc):
+        sos += bytes([k + 1, 0x00])           # DC table 0 for all
+    sos += bytes([predictor, 0, 0])           # Ss=predictor, Se=0, AhAl=0
+    out += seg(0xFFDA, sos)
+
+    codes = _build_codes(LL_DIFF_BITS, LL_DIFF_VALS)
+    writer = _BitWriter()
+    for y in range(h):
+        for x in range(w):
+            for pl in planes:
+                xv = int(pl[y, x])
+                if y == 0 and x == 0:
+                    px = 128
+                elif y == 0:
+                    px = int(pl[0, x - 1])
+                elif x == 0:
+                    px = int(pl[y - 1, 0])
+                else:
+                    px = _ll_predict(
+                        int(pl[y, x - 1]),
+                        int(pl[y - 1, x]),
+                        int(pl[y - 1, x - 1]),
+                        predictor,
+                    )
+                d = xv - px
+                cat = _category(d)
+                code, length = codes[cat]
+                writer.write(code, length)
+                if cat:
+                    bits = d if d > 0 else d + (1 << cat) - 1
+                    writer.write(bits, cat)
+    out += writer.flush()
+    out += b"\xff\xd9"                                              # EOI
+    return bytes(out)
+
+
+def _decode_jpeg_lossless(data: bytes) -> np.ndarray:
+    """Decode an SOF3 lossless JPEG produced by any conformant encoder
+    within this subset: 8-bit, h=v=1 components, one interleaved scan,
+    point transform 0, no restart intervals."""
+    pos = 2
+    htabs: dict[int, dict] = {}
+    h = w = nc = 0
+    predictor = 0
+    comps: list[int] = []
+    scan_start = None
+    while pos < len(data) - 1:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        payload = data[pos + 2:pos + seglen]
+        if marker == 0xC3:
+            prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
+            if prec != 8:
+                raise NotImplementedError(
+                    "lossless decode supports 8-bit precision"
+                )
+            for i in range(nc):
+                hv = payload[7 + 3 * i]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "lossless decode supports h=v=1 components"
+                    )
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0xF
+                bits = list(payload[p + 1:p + 17])
+                n = sum(bits)
+                vals = list(payload[p + 17:p + 17 + n])
+                if tc == 0:
+                    htabs[th] = _build_decoder(bits, vals)
+                p += 17 + n
+        elif marker == 0xDD:
+            (ri,) = struct.unpack(">H", payload[:2])
+            if ri:
+                raise NotImplementedError(
+                    "restart intervals unsupported in lossless decode"
+                )
+        elif marker == 0xDA:
+            ns = payload[0]
+            comps = [payload[1 + 2 * i + 1] >> 4 for i in range(ns)]
+            predictor = payload[1 + 2 * ns]
+            al = payload[3 + 2 * ns] & 0xF
+            if al:
+                raise NotImplementedError("point transform unsupported")
+            if ns != nc:
+                raise NotImplementedError(
+                    "lossless decode supports one interleaved scan"
+                )
+            scan_start = pos + seglen
+            break
+        pos += seglen
+    if scan_start is None or not h:
+        raise ValueError("no lossless scan found")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"invalid lossless predictor {predictor}")
+    reader = _BitReader(data[scan_start:])
+    planes = [np.zeros((h, w), np.int32) for _ in range(nc)]
+
+    def read_diff(table):
+        # bit-serial canonical Huffman: extend one bit at a time
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | reader.read_bit()
+            if (length, code) in table:
+                cat = table[(length, code)]
+                if cat == 0:
+                    return 0
+                return _extend(reader.receive(cat), cat)
+        raise ValueError("bad Huffman code in lossless scan")
+
+    for y in range(h):
+        for x in range(w):
+            for k in range(nc):
+                pl = planes[k]
+                d = read_diff(htabs[comps[k]])
+                if y == 0 and x == 0:
+                    px = 128
+                elif y == 0:
+                    px = int(pl[0, x - 1])
+                elif x == 0:
+                    px = int(pl[y - 1, 0])
+                else:
+                    px = _ll_predict(
+                        int(pl[y, x - 1]),
+                        int(pl[y - 1, x]),
+                        int(pl[y - 1, x - 1]),
+                        predictor,
+                    )
+                pl[y, x] = (px + d) & 0xFFFF
+    outp = [np.clip(pl, 0, 255).astype(np.uint8) for pl in planes]
+    if nc == 1:
+        return outp[0]
+    return np.stack(outp, axis=-1)

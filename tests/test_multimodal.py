@@ -689,3 +689,57 @@ def test_h264_decodes_end_to_end_with_pyav(spark):
     assert len(got) >= 2
     # Frames are decoded RGB pixels now, not encoded access units.
     assert all(len(r["frame"]) == w * h * 3 for r in got)
+
+
+def test_jpeg_lossless_roundtrip_all_predictors():
+    # SOF3 lossless: decode(encode(x)) == x BIT-EXACTLY for every
+    # predictor 1..7, RGB and grayscale, odd sizes, flat and extreme
+    # inputs (long zero runs stress byte stuffing).
+    from cds_etl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(23)
+    cases = [
+        rng.integers(0, 256, (13, 17, 3)).astype(np.uint8),
+        rng.integers(0, 256, (8, 9)).astype(np.uint8),
+        np.zeros((5, 5, 3), np.uint8),
+        np.full((3, 7), 255, np.uint8),
+    ]
+    for img in cases:
+        for p in range(1, 8):
+            got = decode_jpeg(encode_jpeg_lossless(img, predictor=p))
+            assert got.shape == img.shape, (img.shape, p)
+            assert np.array_equal(got, img), (img.shape, p)
+
+
+def test_jpeg_lossless_stream_structure():
+    # The emitted stream is a REAL SOF3 JPEG: SOI, JFIF APP0, SOF3,
+    # one DHT, one SOS whose Ss field carries the predictor.
+    import struct
+
+    from cds_etl_spark.operators.jpeg import encode_jpeg_lossless
+
+    img = (np.mgrid[0:6, 0:8][0] * 31 % 256).astype(np.uint8)
+    data = encode_jpeg_lossless(img, predictor=5)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    markers = []
+    pos = 2
+    while pos < len(data) - 1:
+        assert data[pos] == 0xFF
+        m = data[pos + 1]
+        markers.append(m)
+        if m == 0xDA:
+            (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+            ns = data[pos + 4]
+            ss = data[pos + 4 + 1 + 2 * ns]
+            assert ss == 5                     # predictor in Ss
+            break
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        pos += 2 + ln
+    assert markers[:3] == [0xE0, 0xC3, 0xC4]
+    # SOF3 precision/dims parse:
+    sof_at = data.find(b"\xff\xc3")
+    prec, h, w, nc = struct.unpack(">BHHB", data[sof_at + 4 : sof_at + 10])
+    assert (prec, h, w, nc) == (8, 6, 8, 1)
