@@ -3,6 +3,11 @@ DuckDB oracle at a given sf, canonicalize both to pandas (columns sorted
 by name, rows lexsorted), and report exact value diffs.
 
 Usage: python tools/driver_diff.py qs48_time_range_frame [qs66 ...]
+       python tools/driver_diff.py --all        # full registry sweep
+
+Strict since r9: kind-level dtype divergence (int vs float — the
+DuckDB HUGEINT class) and sign-of-zero (-0.0) FAIL; width-only
+integer divergence is a note (driver-proven benign).
 """
 
 from __future__ import annotations
@@ -50,6 +55,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main(names: list[str]) -> int:
+    if names == ["--all"]:
+        names = list(QUERIES)
     spark = get_spark()
     con = duckdb.connect()
     for t in TABLES:
