@@ -42,69 +42,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracle-canonicalization bugs (DuckDB HUGEINT→float64 rendering and IEEE
 # -0.0), both repaired this round along with the queued-to-fail qs308;
 # tools/driver_diff.py is now kind-strict + sign-of-zero-strict so the
-# class cannot ship silently again. r09 (this list): the next 50 of the
-# staged queue, qs252-qs301, exactly as the r8 verdict's task 2
-# prescribed (the full 319-query strict sweep says all 50 pass). The r10
-# queue behind them: the round-8 tail qs302-qs321 (20), the two repaired
-# reds qs210/qs248 for their official re-grade, and any r9 additions —
-# so the registry ends r10 with zero never-graded entries.
+# class cannot ship silently again. r09 graded the next 50 of the staged
+# queue, qs252-qs301 — 50/50 green (CORRECTNESS_r09). r10 (this list):
+# the round-8 tail qs302-qs321 (20), the two repaired r08 reds
+# qs210/qs248 for their official re-grade, the 27 round-9 additions, and
+# the qs230 re-grade (its r9 MIN→MAX semantic repair) — exactly 50, so
+# the registry ends r10 with zero never-graded entries.
 # Every name below MUST exist in the registry — tests/test_sql_surface.py
 # asserts set(_GRADE_FIRST) <= set(QUERIES) so a typo fails loudly instead
 # of silently falling back to registration order (the r03 defect).
 _GRADE_FIRST = [
-    # -- r09 window (50): the remaining round-7 additions qs252-qs301 --
-    "qs252_vocab_jaccard_sources",
-    "qs253_burrows_delta",
-    "qs254_mcnemar_paired",
-    "qs255_bm25_topk",
-    "qs256_frequent_triples",
-    "qs257_rrf_fusion",
-    "qs258_fd_profile",
-    "qs259_decision_stump",
-    "qs260_hits_scores",
-    "qs261_cochran_armitage",
-    "qs262_ngram_novelty",
-    "qs263_rake_keyphrases",
-    "qs264_calibration_ece",
-    "qs265_neyman_allocation",
-    "qs266_temporal_consistency",
-    "qs267_markov_entropy_rate",
-    "qs268_weighted_vocab_jaccard",
-    "qs269_logrank_test",
-    "qs270_welch_ttest",
-    "qs271_kruskal_wallis",
-    "qs272_anova_oneway",
-    "qs273_cramers_v",
-    "qs274_js_divergence",
-    "qs275_cuped_lift",
-    "qs276_bh_fdr",
-    "qs277_cmh_odds",
-    "qs278_jarque_bera",
-    "qs279_granger_lag",
-    "qs280_matching_att",
-    "qs281_inventory_policy",
-    "qs282_price_dispersion",
-    "qs283_interpurchase_intervals",
-    "qs284_poisson_gof",
-    "qs285_clustering_coefficient",
-    "qs286_weekly_ohlc",
-    "qs287_fisher_index",
-    "qs288_dunn_posthoc",
-    "qs289_friedman_test",
-    "qs290_cronbach_alpha",
-    "qs291_brown_forsythe",
-    "qs292_mde_power",
-    "qs293_dedup_threshold_sweep",
-    "qs294_rich_club",
-    "qs295_langid_f1_eval",
-    "qs296_rmst",
-    "qs297_negbinomial_fit",
-    "qs298_jonckheere_trend",
-    "qs299_kendall_taub",
-    "qs300_validation_scorecard",
-    "qs301_theils_u",
-    # -- r10 queue: round-8 tail + the two repaired r08 reds + r9
-    #    additions (appended as registered) --
+    # -- r10 window (50): round-8 tail + the two repaired r08 reds + r9
+    #    additions (appended as registered) + the qs230 re-grade --
     "qs302_runs_test",
     "qs303_durbin_watson",
     "qs304_moods_median",
@@ -159,8 +108,59 @@ _GRADE_FIRST = [
     # threshold picked the global minimum; both engines mirrored it
     # so the differential stayed green) changes official values.
     "qs230_var_cvar",
-    # -- already officially graded: r08 window minus the two repaired
-    #    reds above, then the r07 window, rotated to the back --
+    # -- already officially graded: the r09 window (qs252-qs301, 50/50
+    #    green in CORRECTNESS_r09), then the r08 window minus the two
+    #    repaired reds above, then the r07 window, rotated to the back --
+    "qs252_vocab_jaccard_sources",
+    "qs253_burrows_delta",
+    "qs254_mcnemar_paired",
+    "qs255_bm25_topk",
+    "qs256_frequent_triples",
+    "qs257_rrf_fusion",
+    "qs258_fd_profile",
+    "qs259_decision_stump",
+    "qs260_hits_scores",
+    "qs261_cochran_armitage",
+    "qs262_ngram_novelty",
+    "qs263_rake_keyphrases",
+    "qs264_calibration_ece",
+    "qs265_neyman_allocation",
+    "qs266_temporal_consistency",
+    "qs267_markov_entropy_rate",
+    "qs268_weighted_vocab_jaccard",
+    "qs269_logrank_test",
+    "qs270_welch_ttest",
+    "qs271_kruskal_wallis",
+    "qs272_anova_oneway",
+    "qs273_cramers_v",
+    "qs274_js_divergence",
+    "qs275_cuped_lift",
+    "qs276_bh_fdr",
+    "qs277_cmh_odds",
+    "qs278_jarque_bera",
+    "qs279_granger_lag",
+    "qs280_matching_att",
+    "qs281_inventory_policy",
+    "qs282_price_dispersion",
+    "qs283_interpurchase_intervals",
+    "qs284_poisson_gof",
+    "qs285_clustering_coefficient",
+    "qs286_weekly_ohlc",
+    "qs287_fisher_index",
+    "qs288_dunn_posthoc",
+    "qs289_friedman_test",
+    "qs290_cronbach_alpha",
+    "qs291_brown_forsythe",
+    "qs292_mde_power",
+    "qs293_dedup_threshold_sweep",
+    "qs294_rich_club",
+    "qs295_langid_f1_eval",
+    "qs296_rmst",
+    "qs297_negbinomial_fit",
+    "qs298_jonckheere_trend",
+    "qs299_kendall_taub",
+    "qs300_validation_scorecard",
+    "qs301_theils_u",
     "qs207_feature_hashing",
     "qs208_quantile_normalization",
     "qs209_seasonal_decompose",
