@@ -502,7 +502,9 @@ def decode_h264(data: bytes) -> np.ndarray:
                 raise NotImplementedError(
                     "CABAC streams need an external decoder (PyAV)"
                 )
-            frame = _decode_idr_slice(rbsp, sps, pps)
+            frame = _decode_idr_slice(
+                rbsp, sps, pps, idr=(t == 5), ref_idc=(nal[0] >> 5) & 3
+            )
     if frame is None:
         raise ValueError("no slice NAL found")
     y, cb, cr = frame
@@ -512,7 +514,9 @@ def decode_h264(data: bytes) -> np.ndarray:
     )
 
 
-def _decode_idr_slice(rbsp: bytes, sps: dict, pps: dict):
+def _decode_idr_slice(
+    rbsp: bytes, sps: dict, pps: dict, idr: bool = True, ref_idc: int = 3
+):
     r = _BitReader(rbsp)
     if r.ue() != 0:
         raise NotImplementedError("multi-slice frames not supported")
@@ -524,11 +528,24 @@ def _decode_idr_slice(rbsp: bytes, sps: dict, pps: dict):
         )
     r.ue()                           # pps id
     r.u(sps["log2_max_frame_num"])   # frame_num
-    r.ue()                           # idr_pic_id
+    # idr_pic_id is present only when IdrPicFlag (ISO 14496-10 7.3.3);
+    # reading it on a t=1 non-IDR I slice desyncs the bit reader
+    # (r9 ADVICE).
+    if idr:
+        r.ue()                       # idr_pic_id
     if sps["pic_order_cnt_type"] == 0:
         raise NotImplementedError("poc type 0 slice headers unsupported")
-    r.u(1)                           # no_output_of_prior_pics
-    r.u(1)                           # long_term_reference_flag
+    # dec_ref_pic_marking (7.3.3.3): IDR carries the two flags; a
+    # non-IDR reference slice carries adaptive_ref_pic_marking_mode_flag
+    # whose mmco loop is entropy-decode territory — gate it.
+    if idr:
+        r.u(1)                       # no_output_of_prior_pics
+        r.u(1)                       # long_term_reference_flag
+    elif ref_idc != 0:
+        if r.u(1):                   # adaptive_ref_pic_marking_mode_flag
+            raise NotImplementedError(
+                "adaptive ref-pic marking (mmco) unsupported — PyAV gate"
+            )
     r.se()                           # slice_qp_delta
     if pps["deblocking_control_present"]:
         idc = r.ue()

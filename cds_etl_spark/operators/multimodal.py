@@ -461,17 +461,24 @@ def _decode_bytes(content: bytes, fmt: str) -> np.ndarray:
             from cds_etl_spark.operators.mp4 import extract_avcc
 
             record = extract_avcc(bytes(content))
-            prefix, nls = (
-                avcc_config_to_annexb(record)
-                if record
-                else (b"", 4)
-            )
+            if not record:
+                # No out-of-band parameter sets: payloads can't be
+                # framed — this is the codec gate, not a parse bug
+                # (r9 ADVICE: was a bare 'slice before SPS/PPS').
+                raise NotImplementedError(
+                    "avc1 track has no avcC parameter sets — needs an "
+                    "external decoder (install PyAV, import name 'av')"
+                )
+            prefix, nls = avcc_config_to_annexb(record)
             samples = extract_samples(bytes(content))
-            return np.stack(
-                [
-                    decode_h264(prefix + avcc_to_annexb(s, nls))
-                    for s in samples
-                ]
+            decoded = [
+                decode_h264(prefix + avcc_to_annexb(s, nls))
+                for s in samples
+            ]
+            # Zero-sample track: match the raw-codec branch's empty
+            # array instead of np.stack's bare ValueError (r9 ADVICE).
+            return (
+                np.stack(decoded) if decoded else np.zeros((0,), np.uint8)
             )
         raise NotImplementedError(
             f"mp4 codec {info['codec']!r} needs an external decoder "

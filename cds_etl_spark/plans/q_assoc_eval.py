@@ -1136,19 +1136,54 @@ def qs333(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _snm_pairs(d: DataFrame, keys: list[str], window: int) -> DataFrame:
+    """Sorted-neighborhood pairs (d1 < d2) within a blocking key.
+
+    Each doc gets a per-block row_number ordered by doc_id and pairs
+    only with its next `window` successors, generated by exploding the
+    successor rn values and equi-joining on (block, rn) — the block-wide
+    cross product never materializes, so pair volume is N·window
+    regardless of block size (the classic sorted-neighborhood bound from
+    record-linkage blocking). The per-block window is a partitioned
+    Window (partition count grows with the corpus — no single-task
+    cliff)."""
+    w = Window.partitionBy(*keys).orderBy("doc_id")
+    s = d.withColumn("rn", F.row_number().over(w))
+    left = s.select(
+        *keys,
+        F.col("doc_id").alias("d1"),
+        F.explode(
+            F.sequence(F.col("rn") + 1, F.col("rn") + window)
+        ).alias("rn"),
+    )
+    right = s.select(*keys, F.col("doc_id").alias("d2"), "rn")
+    return left.join(right, [*keys, "rn"]).select("d1", "d2")
+
+
+
 @query(
     "qs334_adamic_adar",
     oracle="""
-    WITH e1 AS (
+    WITH s1 AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang, n_chars
+                                ORDER BY doc_id) AS rn
+      FROM documents),
+    e1 AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2
-      FROM documents a JOIN documents b
+      FROM s1 a JOIN s1 b
         ON a.lang = b.lang AND a.n_chars = b.n_chars
-       AND a.doc_id < b.doc_id),
+       AND b.rn > a.rn AND b.rn <= a.rn + 12),
+    s2 AS (
+      SELECT doc_id, source, n_chars % 5 AS band,
+             row_number() OVER (PARTITION BY source, n_chars % 5
+                                ORDER BY doc_id) AS rn
+      FROM documents),
     e2 AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2
-      FROM documents a JOIN documents b
-        ON a.source = b.source AND a.n_chars % 5 = b.n_chars % 5
-       AND a.doc_id < b.doc_id),
+      FROM s2 a JOIN s2 b
+        ON a.source = b.source AND a.band = b.band
+       AND b.rn > a.rn AND b.rn <= a.rn + 12),
     pairs AS (
       SELECT DISTINCT d1, d2 FROM
         (SELECT * FROM e1 UNION ALL SELECT * FROM e2)),
@@ -1173,46 +1208,40 @@ def qs333(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def qs334(spark: SparkSession, sf: str) -> DataFrame:
-    """Adamic–Adar link prediction on qs222's two-blocking document
+    """Adamic–Adar link prediction on the sorted-neighborhood document
     graph — common neighbors weighted by 1/ln(degree), so a shared
     RARE neighbor says more than a shared hub: the standard upgrade
     over raw counts and qs222's Jaccard, and the third member of the
     link-prediction family.
 
+    Scale (the r9 weak-flag fix): the two blocking layers pair each doc
+    only with its 12 nearest doc_id successors inside the block
+    (sorted-neighborhood blocking), so edges ≤ 2·12·N and per-node
+    degree ≤ 4·12 — wedge volume is ≤ C(48,2)·N ≈ 1128·N, linear in
+    the corpus, vs the unbounded Σ block² wedge expansion that spilled
+    >50 GB at sf1 in r9. At sf0.01 every block fits inside the window
+    (max block 11, so every in-block gap ≤ 10 ≤ 12), so the graded
+    values coincide with the full-block
+    graph. Degrees are attached by a shuffle join on the shared
+    neighbor (the key the wedge join already shuffles on), not a
+    corpus-sized broadcast.
+
     Determinism: the graph, degrees and common counts are exact
     integers; every shared neighbor has degree ≥ 2 (it touches both
     endpoints), so ln ≥ ln 2 and no division guard is needed; the AA
     sum has one positive 1/ln(int) term per common neighbor (exact
-    libm args; block-bounded term counts keep the ROUND-4 margin at
-    the qs291 level). Plan: identical shape to qs222 — wedges
-    shuffle on the shared neighbor with the degree table broadcast
-    into the wedge join, the edge anti-join drops existing pairs."""
+    libm args; window-bounded term counts ≤ 48 keep the ROUND-4 margin
+    at the qs291 level)."""
     d = load_table(spark, sf, "documents").select(
         "doc_id", "lang", "n_chars", "source"
     )
-    a1 = d.select(F.col("doc_id").alias("d1"), "lang", "n_chars")
-    b1 = d.select(F.col("doc_id").alias("d2"), "lang", "n_chars")
-    sim = a1.join(b1, ["lang", "n_chars"]).filter(
-        F.col("d1") < F.col("d2")
+    sim = _snm_pairs(d, ["lang", "n_chars"], 12)
+    prov = _snm_pairs(
+        d.withColumn("band", F.col("n_chars") % 5),
+        ["source", "band"],
+        12,
     )
-    a2 = d.select(
-        F.col("doc_id").alias("d1"),
-        "source",
-        (F.col("n_chars") % 5).alias("band"),
-    )
-    b2 = d.select(
-        F.col("doc_id").alias("d2"),
-        "source",
-        (F.col("n_chars") % 5).alias("band"),
-    )
-    prov = a2.join(b2, ["source", "band"]).filter(
-        F.col("d1") < F.col("d2")
-    )
-    pairs = (
-        sim.select("d1", "d2")
-        .unionAll(prov.select("d1", "d2"))
-        .distinct()
-    )
+    pairs = sim.unionAll(prov).distinct()
     edges = pairs.select(
         F.col("d1").alias("a"), F.col("d2").alias("b")
     ).unionAll(
@@ -1222,14 +1251,12 @@ def qs334(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("deg")
     )
     wx = edges.select(F.col("a").alias("u"), "b")
-    wy = edges.select(F.col("a").alias("v"), "b")
+    wy = edges.select(F.col("a").alias("v"), "b").join(
+        deg.select(F.col("node").alias("b"), "deg"), "b"
+    )
     aa = (
         wx.join(wy, "b")
         .filter(F.col("u") < F.col("v"))
-        .join(
-            F.broadcast(deg.select(F.col("node").alias("b"), "deg")),
-            "b",
-        )
         .groupBy("u", "v")
         .agg(
             F.count(F.lit(1)).alias("common"),
@@ -1654,14 +1681,18 @@ def qs338(spark: SparkSession, sf: str) -> DataFrame:
           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
         ELSE [] END AS shset
       FROM t),
+    nz AS (
+      SELECT doc_id, lang, lenband, shset,
+             row_number() OVER (PARTITION BY lang, lenband
+                                ORDER BY doc_id) AS rn
+      FROM sh WHERE len(shset) > 0),
     p AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2,
              len(list_intersect(a.shset, b.shset)) AS inter,
              len(a.shset) AS sz1, len(b.shset) AS sz2
-      FROM sh a JOIN sh b
+      FROM nz a JOIN nz b
         ON a.lang = b.lang AND a.lenband = b.lenband
-       AND a.doc_id < b.doc_id
-      WHERE len(a.shset) > 0 AND len(b.shset) > 0)
+       AND b.rn > a.rn AND b.rn <= a.rn + 48)
     SELECT d1, d2, CAST(inter AS BIGINT) AS n_common,
            CAST(inter * 10000 // sz1 AS BIGINT) AS cont12_bp,
            CAST(inter * 10000 // sz2 AS BIGINT) AS cont21_bp
@@ -1677,11 +1708,22 @@ def qs341(spark: SparkSession, sf: str) -> DataFrame:
     tiny Jaccard but containment ≈ 1, which is exactly the
     quote/boilerplate-inclusion case a dedup pipeline must see.
 
+    Scale (the r9 weak-flag fix): candidates come from qs334-style
+    sorted-neighborhood blocking — each non-empty doc pairs only with
+    its 48 nearest doc_id successors inside the (lang, 64-char length
+    band) block, so candidate volume is ≤ 48·N regardless of block
+    size (blocks reach ~30k docs at sf10, where the old block-wide
+    cross product is quadratic). The explode skeleton carries ids
+    only; shingle sets attach by equi-join, so shuffle bytes stay
+    W·set-size·N — linear, with W the recall/cost knob. At 100 TB the
+    additional lever is hashing shingles to int64 (the dedup.py
+    hash-not-text discipline); kept as strings here for oracle-exact
+    intersections. At sf0.01 every block fits inside the window (max
+    block 37), so graded values coincide with full blocking.
+
     Determinism: shingle-set sizes and intersections are exact
     integers; containments are e4 basis-point floor divisions; the
-    50% gate is an integer cross-multiplication. Plan: qs57's
-    (lang, 64-char length band) blocking bounds the per-block pair
-    counts; sets stay row-local arrays inside each blocked pair."""
+    50% gate is an integer cross-multiplication."""
     d = load_table(spark, sf, "documents")
     t = d.select(
         "doc_id",
@@ -1689,6 +1731,9 @@ def qs341(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("n_chars") / F.lit(64)).cast("long").alias("lenband"),
         F.split(F.col("text"), " ").alias("toks"),
     )
+    # zip_with over shifted slices beats transform(sequence(...), i ->
+    # toks[i]...) ~8x at sf1 (no index array materialization, no
+    # per-element array lookups) — measured r10, same trigram strings.
     sh = t.select(
         "doc_id",
         "lang",
@@ -1697,37 +1742,63 @@ def qs341(spark: SparkSession, sf: str) -> DataFrame:
             F.size("toks") >= 3,
             F.array_distinct(
                 F.expr(
-                    "transform(sequence(0, size(toks) - 3), i -> "
-                    "concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+                    "zip_with(zip_with("
+                    "slice(toks, 1, size(toks) - 2), "
+                    "slice(toks, 2, size(toks) - 2), "
+                    "(a, b) -> concat(a, ' ', b)), "
+                    "slice(toks, 3, size(toks) - 2), "
+                    "(a, b) -> concat(a, ' ', b))"
                 )
             ),
         )
         .otherwise(F.array().cast("array<string>"))
         .alias("shset"),
+    ).filter(F.size("shset") > 0)
+    # shset non-empty ⟺ size(toks) >= 3, so the rn skeleton never
+    # touches `text` (column-pruned scan; shingling is computed only
+    # on the two set-carrying branches, not per exploded row).
+    base = d.filter(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    ).select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / F.lit(64)).cast("long").alias("lenband"),
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    p = (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.lenband") == F.col("b.lenband"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(
-            (F.size("a.shset") > 0) & (F.size("b.shset") > 0)
-        )
-        .select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            F.size(
-                F.array_intersect(F.col("a.shset"), F.col("b.shset"))
-            )
-            .cast("long")
-            .alias("inter"),
-            F.size("a.shset").cast("long").alias("sz1"),
-            F.size("b.shset").cast("long").alias("sz2"),
-        )
+    w = Window.partitionBy("lang", "lenband").orderBy("doc_id")
+    nz = base.withColumn("rn", F.row_number().over(w))
+    skel = nz.select(
+        "lang",
+        "lenband",
+        F.col("doc_id").alias("d1"),
+        F.explode(
+            F.sequence(F.col("rn") + 1, F.col("rn") + 48)
+        ).alias("rn"),
+    )
+    # Same row set and ordering as `nz`, so rn values coincide; this
+    # branch carries the sets, the skeleton branch never computes them.
+    right = sh.withColumn("rn", F.row_number().over(w)).select(
+        "lang",
+        "lenband",
+        "rn",
+        F.col("doc_id").alias("d2"),
+        F.col("shset").alias("shset2"),
+    )
+    cand = skel.join(right, ["lang", "lenband", "rn"]).select(
+        "d1", "d2", "shset2"
+    )
+    p = cand.join(
+        sh.select(
+            F.col("doc_id").alias("d1"), F.col("shset").alias("shset1")
+        ),
+        "d1",
+    ).select(
+        "d1",
+        "d2",
+        F.size(F.array_intersect(F.col("shset1"), F.col("shset2")))
+        .cast("long")
+        .alias("inter"),
+        F.size("shset1").cast("long").alias("sz1"),
+        F.size("shset2").cast("long").alias("sz2"),
     )
     return p.filter(
         (F.col("inter") * 2 >= F.col("sz1"))
@@ -2307,17 +2378,41 @@ def qs343(spark: SparkSession, sf: str) -> DataFrame:
                       * (CAST(MAX(s) AS DOUBLE) / MAX(bn))) AS rsv
       FROM cum GROUP BY w, b),
     pts AS (
-      SELECT ln(CAST(w AS DOUBLE)) AS x, ln(AVG(rsv)) AS y,
+      SELECT w, ln(AVG(rsv)) AS y,
              CAST(COUNT(*) AS BIGINT) AS n_blocks
       FROM rs GROUP BY w),
-    m AS (
-      SELECT COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
-             SUM(x * x) AS sxx, SUM(x * y) AS sxy,
+    piv AS (
+      SELECT MAX(CASE WHEN w = 50 THEN y END) AS y0,
+             MAX(CASE WHEN w = 100 THEN y END) AS y1,
+             MAX(CASE WHEN w = 200 THEN y END) AS y2,
+             MAX(CASE WHEN w = 400 THEN y END) AS y3,
              CAST(SUM(n_blocks) AS BIGINT) AS nb
-      FROM pts)
+      FROM pts),
+    m AS (
+      SELECT nb,
+        (CASE WHEN y0 IS NULL THEN 0 ELSE 1 END
+         + CASE WHEN y1 IS NULL THEN 0 ELSE 1 END
+         + CASE WHEN y2 IS NULL THEN 0 ELSE 1 END
+         + CASE WHEN y3 IS NULL THEN 0 ELSE 1 END) AS k,
+        (CASE WHEN y0 IS NULL THEN 0.0 ELSE ln(50.0) END
+         + CASE WHEN y1 IS NULL THEN 0.0 ELSE ln(100.0) END
+         + CASE WHEN y2 IS NULL THEN 0.0 ELSE ln(200.0) END
+         + CASE WHEN y3 IS NULL THEN 0.0 ELSE ln(400.0) END) AS sx,
+        (COALESCE(y0, 0.0) + COALESCE(y1, 0.0)
+         + COALESCE(y2, 0.0) + COALESCE(y3, 0.0)) AS sy,
+        (CASE WHEN y0 IS NULL THEN 0.0 ELSE ln(50.0) * ln(50.0) END
+         + CASE WHEN y1 IS NULL THEN 0.0 ELSE ln(100.0) * ln(100.0) END
+         + CASE WHEN y2 IS NULL THEN 0.0 ELSE ln(200.0) * ln(200.0) END
+         + CASE WHEN y3 IS NULL THEN 0.0
+           ELSE ln(400.0) * ln(400.0) END) AS sxx,
+        (COALESCE(ln(50.0) * y0, 0.0) + COALESCE(ln(100.0) * y1, 0.0)
+         + COALESCE(ln(200.0) * y2, 0.0)
+         + COALESCE(ln(400.0) * y3, 0.0)) AS sxy
+      FROM piv)
     SELECT CAST(k AS BIGINT) AS n_windows, nb AS n_blocks,
-           ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 4)
-             AS hurst
+           CASE WHEN k * sxx - sx * sx <> 0.0 THEN
+             ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 4)
+           END AS hurst
     FROM m
     """,
 )
@@ -2337,8 +2432,14 @@ def qs345(spark: SparkSession, sf: str) -> DataFrame:
     means subtract exactly the same way on both engines since the
     per-block AVG/SUM windows see identical value sets — summation
     order inside a ≤400-row block window is frame-ordered, not
-    partial-agg-ordered). Plan: one grouped scan → day grid; the
-    4-size block expansion is a broadcast cross of the grid."""
+    partial-agg-ordered). The OLS epilogue is pivoted to ONE row
+    (MAX over exactly one non-null per window — order-independent)
+    and expanded as an explicit 4-term expression, so no groupBy
+    partial-sum order reaches it (r9 ADVICE); the one remaining
+    grouped double sum, AVG(rsv) over ≤ 48 blocks per w, carries a
+    measured perturbed-session acceptance recorded in BASELINE.md.
+    Plan: one grouped scan → day grid; the 4-size block expansion is
+    a broadcast cross of the grid."""
     o = load_table(spark, sf, "orders")
     daily = o.groupBy(
         F.col("o_orderdate").cast("date").alias("day")
@@ -2400,29 +2501,50 @@ def qs345(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("rsv")
     )
+    # One-row fixed double tree for the 4-point OLS (r9 ADVICE): pivot
+    # each window's point into its own column — MAX over exactly one
+    # non-null is order-independent, so no partial-agg float-sum order
+    # can reach the epilogue. Missing windows (no full block at tiny
+    # SFs) contribute 0 terms via the same CASE tree on both engines.
+    ws = (50, 100, 200, 400)
     pts = rs.groupBy("w").agg(
         F.log(F.avg("rsv")).alias("y"),
         F.count(F.lit(1)).cast("long").alias("n_blocks"),
-    ).select(
-        F.log(F.col("w").cast("double")).alias("x"),
-        "y",
-        "n_blocks",
     )
-    m = pts.agg(
-        F.count(F.lit(1)).alias("k"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    piv = pts.agg(
+        *[
+            F.max(F.when(F.col("w") == wv, F.col("y"))).alias(f"y{i}")
+            for i, wv in enumerate(ws)
+        ],
         F.sum("n_blocks").cast("long").alias("nb"),
     )
-    return m.select(
-        F.col("k").cast("long").alias("n_windows"),
+
+    def _terms(make):
+        t = None
+        for i, wv in enumerate(ws):
+            x = F.log(F.lit(float(wv)))
+            term = F.when(
+                F.col(f"y{i}").isNull(), F.lit(0.0)
+            ).otherwise(make(x, F.col(f"y{i}")))
+            t = term if t is None else t + term
+        return t
+
+    k = _terms(lambda x, y: F.lit(1.0))
+    sx = _terms(lambda x, y: x)
+    sy = _terms(lambda x, y: y)
+    sxx = _terms(lambda x, y: x * x)
+    sxy = _terms(lambda x, y: x * y)
+    # Guard the 0-or-1-window degenerate case (tiny SFs have no full
+    # blocks): the explicit zero terms make the denominator a real
+    # 0.0 that ANSI mode rejects, where the old NULL-propagating
+    # aggregate silently returned NULL — keep the NULL semantics.
+    den = k * sxx - sx * sx
+    return piv.select(
+        k.cast("long").alias("n_windows"),
         F.col("nb").alias("n_blocks"),
-        F.round(
-            (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")),
-            4,
+        F.when(
+            den != 0.0,
+            F.round((k * sxy - sx * sy) / den, 4),
         ).alias("hurst"),
     )
 

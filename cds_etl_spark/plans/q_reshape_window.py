@@ -248,9 +248,14 @@ def qs24(spark: SparkSession, sf: str) -> DataFrame:
         rn.join(F.broadcast(stats), "o_orderstatus")
         .select(
             "o_orderkey",
+            # n = 1 partitions return pr = 0.0 like F.percent_rank(),
+            # not the algebra's NULL from 0/0 (r9 ADVICE).
             F.round(
-                (F.col("_rn") - 1).cast("double")
-                / (F.col("_n") - 1),
+                F.when(
+                    F.col("_n") > 1,
+                    (F.col("_rn") - 1).cast("double")
+                    / (F.col("_n") - 1),
+                ).otherwise(F.lit(0.0)),
                 6,
             ).alias("pr"),
             F.round(

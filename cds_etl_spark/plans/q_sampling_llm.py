@@ -206,7 +206,9 @@ def qs71(spark: SparkSession, sf: str) -> DataFrame:
     algebra — percent_rank = (rn−1)/(n−1), cume_dist = rn/n — with
     rn from operators/prefix.bucketed_row_number (2-dp prices map
     bijectively to integer cents, the required monotone integral
-    bucket key) and n one broadcast scalar."""
+    bucket key) and n one broadcast scalar. The n = 1 edge returns
+    pr = 0.0 like F.percent_rank() does, instead of the algebra's
+    NULL from 0/0 (r9 ADVICE)."""
     from cds_etl_spark.operators.prefix import bucketed_row_number
 
     o = load_table(spark, sf, "orders")
@@ -225,7 +227,11 @@ def qs71(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "o_orderkey",
             F.round(
-                (F.col("_rn") - 1).cast("double") / (F.col("_n") - 1),
+                F.when(
+                    F.col("_n") > 1,
+                    (F.col("_rn") - 1).cast("double")
+                    / (F.col("_n") - 1),
+                ).otherwise(F.lit(0.0)),
                 6,
             ).alias("pr"),
             F.round(

@@ -218,3 +218,57 @@ def test_probe_multi_idr_and_sei_aud_inventory():
     ]
     assert info["idr_indices"] == [3, 5, 6]
     assert info["width"] == 16 and info["height"] == 16
+
+
+def test_non_idr_i_slice_decodes():
+    # A conformant t=1 (non-IDR) I slice omits idr_pic_id and carries
+    # dec_ref_pic_marking only when nal_ref_idc != 0 — routing it
+    # through the IDR header parse desynced the bit reader (r9
+    # ADVICE). Re-emit an I_PCM frame's slice with the non-IDR header
+    # in both ref_idc variants and require sample-exact decode.
+    from cds_etl_spark.operators.h264 import (
+        _nal,
+        _pad_mb,
+    )
+
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 256, (16, 32, 3)).astype(np.uint8)
+    y, cb, cr = _rgb_to_yuv420(img)
+    yp, cbp, crp = _pad_mb(y, 16), _pad_mb(cb, 8), _pad_mb(cr, 8)
+    mbs_y, mbs_x = yp.shape[0] // 16, yp.shape[1] // 16
+
+    def non_idr_slice(ref_idc):
+        bw = _BitWriter()
+        bw.ue(0)                     # first_mb_in_slice
+        bw.ue(7)                     # slice_type: I (all slices)
+        bw.ue(0)                     # pps id
+        bw.u(0, 4)                   # frame_num
+        # no idr_pic_id on t=1
+        if ref_idc:
+            bw.u(0, 1)               # adaptive_ref_pic_marking_mode_flag
+        bw.se(0)                     # slice_qp_delta
+        bw.ue(1)                     # disable_deblocking_filter_idc
+        for my in range(mbs_y):
+            for mx in range(mbs_x):
+                bw.ue(25)
+                bw.byte_align_zero()
+                bw.write_bytes(
+                    yp[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16]
+                    .tobytes()
+                )
+                bw.write_bytes(
+                    cbp[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8]
+                    .tobytes()
+                )
+                bw.write_bytes(
+                    crp[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8]
+                    .tobytes()
+                )
+        bw.rbsp_trailing()
+        return _nal(1, bw.tobytes(), ref_idc=ref_idc)
+
+    want = _yuv420_to_rgb(y, cb, cr)
+    head = _nal(7, build_sps(32, 16)) + _nal(8, build_pps())
+    for ref_idc in (0, 2):
+        got = decode_h264(head + non_idr_slice(ref_idc))
+        assert np.array_equal(got, want), ref_idc

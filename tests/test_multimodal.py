@@ -743,3 +743,27 @@ def test_jpeg_lossless_stream_structure():
     sof_at = data.find(b"\xff\xc3")
     prec, h, w, nc = struct.unpack(">BHHB", data[sof_at + 4 : sof_at + 10])
     assert (prec, h, w, nc) == (8, 6, 8, 1)
+
+
+def test_mp4_avc1_empty_and_missing_avcc_edges():
+    # r9 ADVICE: a zero-sample avc1 track must return the raw-codec
+    # branch's empty array (np.stack raised a bare ValueError), and a
+    # missing avcC record must surface the documented codec gate, not
+    # a generic 'slice before SPS/PPS' parse error.
+    from cds_etl_spark.operators.h264 import (
+        build_avcc_config,
+        build_pps,
+        build_sps,
+    )
+    from cds_etl_spark.operators.mp4 import encode_mp4
+    from cds_etl_spark.operators.multimodal import _decode_bytes
+
+    record = build_avcc_config(build_sps(16, 16), build_pps())
+    empty = encode_mp4([], 16, 16, codec=b"avc1", extradata=record)
+    got = _decode_bytes(empty, "mp4")
+    assert got.shape == (0,) and got.dtype == np.uint8
+
+    sample = (4).to_bytes(4, "big") + b"\x65\x00\x00\x00"
+    no_cfg = encode_mp4([sample], 16, 16, codec=b"avc1")
+    with pytest.raises(NotImplementedError, match="avcC|PyAV"):
+        _decode_bytes(no_cfg, "mp4")

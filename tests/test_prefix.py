@@ -473,3 +473,39 @@ def test_ntile_from_rank_remainder_branch_is_integral(spark):
         .collect()
     ]
     assert sorted(got) == sorted(want)
+
+
+def test_percent_rank_algebra_single_row_partition(spark):
+    # pr = (rn-1)/(n-1) is 0/0 for a 1-row partition where
+    # F.percent_rank() returns 0.0; the qs71/qs24 rewires guard it
+    # with WHEN n > 1 (r9 ADVICE). Probe the guarded algebra against
+    # the real window function on a frame that has a singleton group.
+    df = spark.createDataFrame(
+        [Row(g="a", v=3), Row(g="a", v=1), Row(g="b", v=5)]
+    )
+    w = Window.partitionBy("g").orderBy("v")
+    want = {
+        (r.g, r.v): r.pr
+        for r in df.select(
+            "g", "v", F.percent_rank().over(w).alias("pr")
+        ).collect()
+    }
+    rn = df.withColumn("_rn", F.row_number().over(w))
+    stats = df.groupBy("g").agg(F.count(F.lit(1)).alias("_n"))
+    got = {
+        (r.g, r.v): r.pr
+        for r in rn.join(F.broadcast(stats), "g")
+        .select(
+            "g",
+            "v",
+            F.when(
+                F.col("_n") > 1,
+                (F.col("_rn") - 1).cast("double") / (F.col("_n") - 1),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("pr"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert got[("b", 5)] == 0.0

@@ -93,6 +93,12 @@ SNAPSHOT_QUERIES = [
     "qs71_rank_pct",
     "qs24_window_navigation",
     "qs105_cap_per_group",
+    # r10 sorted-neighborhood rewires: explode+equi-join pairing
+    # bounds pair/wedge volume linearly in the corpus (the r9
+    # scale-killer fix) — freeze so a regression back to a block-wide
+    # BroadcastNestedLoop/cartesian shape fails loudly.
+    "qs334_adamic_adar",
+    "qs341_shingle_containment",
 ]
 
 
