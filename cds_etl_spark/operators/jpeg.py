@@ -23,6 +23,27 @@ trip) encodes via ``encode_jpeg_lossless`` and decodes through the
 same ``decode_jpeg`` entry point. Arithmetic coding (SOF9-11) and
 hierarchical (SOF5-7) raise ``NotImplementedError`` explicitly.
 
+The SOF9-11 / SOF5-7 decision (r10, recorded the way h264.py's
+CAVLC/CABAC gate was): PERMANENTLY deferred, for the same two
+reasons. (1) Validation: the QM-coder's probability-estimation state
+machine (T.81 Table D.3) and the conditioning models of Annex F.1.4.4
+are long numeric tables; this container has no reference arithmetic
+JPEG codec (no Pillow/libjpeg, and mainstream libjpeg builds
+historically reject arithmetic anyway), so an in-engine implementation
+could only be round-trip-tested against itself — a wrong state table
+round-trips perfectly and ships silent corruption on wild streams,
+exactly the unvalidatable-table risk that gated CAVLC. Baseline,
+progressive, and lossless JPEG never had this problem: their Annex K
+tables are exercised against independently-constructed fixtures and
+bit-exact DPCM round trips. (2) Corpus statistics: arithmetic JPEG is
+effectively absent from real-world corpora — it was patent-encumbered
+until ~2010, browsers and most decoders never shipped support, and
+encoders default to Huffman; hierarchical (SOF5-7) was never adopted
+outside niche medical pipelines. A training-data pipeline hitting one
+treats it as a quarantine/transcode case, not a decode path. The gate
+message names the escape hatch (external decode + baseline
+re-encode).
+
 Everything vectorizes per 8x8 block batch through one einsum DCT; the
 only per-symbol Python loop is Huffman coding, which is inherent to
 the bitstream and bounded by the entropy data size. At corpus scale
@@ -876,8 +897,18 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             # delegate to the dedicated spatial-DPCM decoder.
             return _decode_jpeg_lossless(data)
         elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            # Permanent gate — the decided defer (module docstring
+            # "The SOF9-11 / SOF5-7 decision", r10): arithmetic
+            # coding's QM-coder state table and the hierarchical
+            # frame protocol are unvalidatable here (no reference
+            # codec in the container), and both are ~absent from
+            # real corpora.
             raise NotImplementedError(
                 f"unsupported JPEG frame type (SOF marker 0xFF{marker:02X})"
+                " — arithmetic (SOF9-11) and hierarchical (SOF5-7)"
+                " frames are a recorded permanent defer (decode"
+                " externally, e.g. Pillow/libjpeg, and re-encode"
+                " baseline for ingest)"
             )
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", payload[:2])

@@ -1144,11 +1144,14 @@ def _snm_pairs(d: DataFrame, keys: list[str], window: int) -> DataFrame:
     successor rn values and equi-joining on (block, rn) — the block-wide
     cross product never materializes, so pair volume is N·window
     regardless of block size (the classic sorted-neighborhood bound from
-    record-linkage blocking). The per-block window is a partitioned
-    Window (partition count grows with the corpus — no single-task
-    cliff)."""
-    w = Window.partitionBy(*keys).orderBy("doc_id")
-    s = d.withColumn("rn", F.row_number().over(w))
+    record-linkage blocking). The per-block rn comes from
+    operators/prefix.bucketed_row_number (part_cols=blocking keys,
+    doc_id bucket key), NOT a partitioned Window: blocking keys are
+    corpus-independent (e.g. 25 (source, band) cells), so a plain
+    window would put corpus/25 rows in ONE task — measured +15 % on
+    the sf10 pairing skeleton for the bucketed version (12.4 → 14.3 s,
+    BASELINE r10), paid to remove the per-block task ceiling."""
+    s = bucketed_row_number(d, "doc_id", ["doc_id"], "rn", part_cols=tuple(keys))
     left = s.select(
         *keys,
         F.col("doc_id").alias("d1"),
@@ -1242,6 +1245,12 @@ def qs334(spark: SparkSession, sf: str) -> DataFrame:
         12,
     )
     pairs = sim.unionAll(prov).distinct()
+    # Diamond-tax note (measured r10, BASELINE): `pairs` is referenced
+    # 7x through edges/deg/wedges/anti-join; a restructure to 3x
+    # (explode both edge directions + deg as a whole-partition count
+    # window) measured NEUTRAL at sf10 (69.6 vs 69.5 s) and slightly
+    # worse at sf1 — the wedge groupBy shuffle dominates, so the
+    # simpler shape stays.
     edges = pairs.select(
         F.col("d1").alias("a"), F.col("d2").alias("b")
     ).unionAll(
@@ -1764,6 +1773,12 @@ def qs341(spark: SparkSession, sf: str) -> DataFrame:
         "lang",
         (F.col("n_chars") / F.lit(64)).cast("long").alias("lenband"),
     )
+    # Plain per-block window, with a MEASURED reject of the
+    # bucketed_row_number rewire (r10, BASELINE): the rn machinery
+    # would run on both the skeleton and set branches and cost
+    # 24.9 → 34.6 s at sf10. ~250 (lang, lenband) cells is an order
+    # more parallelism than qs334's 25-cell layer; the part_cols
+    # rewire stays one line away if blocks ever outgrow tasks.
     w = Window.partitionBy("lang", "lenband").orderBy("doc_id")
     nz = base.withColumn("rn", F.row_number().over(w))
     skel = nz.select(

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from cds_etl_spark.catalog import load_table
 from cds_etl_spark.operators.prefix import (
     bucketed_prefix_sum,
+    capped_row_number,
     scalable_ntile_multi,
 )
 from cds_etl_spark.plans.registry import query
@@ -1773,19 +1774,24 @@ def qs224(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("delta"),
         )
     )
-    rk = d.select(
-        "source",
-        "term",
-        F.round("delta", 6).alias("delta_r"),
-    ).withColumn(
-        "rk",
-        F.row_number().over(
-            Window.partitionBy("source").orderBy(
-                F.col("delta_r").desc(), "term"
-            )
+    # Per-source top-5 on capped_row_number (r10): the plain
+    # partitionBy(source) window is 5 tasks over the whole vocab —
+    # a corpus-scaling cliff. Descending delta becomes the ascending
+    # negation (finite rounded doubles — order-equivalent), the
+    # operator's unique-total-order contract is (delta, term).
+    rk = capped_row_number(
+        d.select(
+            "source",
+            "term",
+            F.round("delta", 6).alias("delta_r"),
+            (-F.round("delta", 6)).alias("_nd"),
         ),
+        ["source"],
+        ["_nd", "term"],
+        5,
+        out_col="rk",
     )
-    return rk.filter(F.col("rk") <= 5).select(
+    return rk.select(
         "source",
         "term",
         F.col("delta_r").alias("log_odds"),

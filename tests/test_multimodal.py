@@ -767,3 +767,26 @@ def test_mp4_avc1_empty_and_missing_avcc_edges():
     no_cfg = encode_mp4([sample], 16, 16, codec=b"avc1")
     with pytest.raises(NotImplementedError, match="avcC|PyAV"):
         _decode_bytes(no_cfg, "mp4")
+
+
+def test_jpeg_arithmetic_and_hierarchical_gate_is_explicit():
+    # r10 decision record (jpeg.py module docstring): SOF9-11 /
+    # SOF5-7 are a PERMANENT defer — the gate must name the defer and
+    # the external escape hatch, mirroring the h264 CAVLC gate test.
+    import struct
+
+    from cds_etl_spark.operators.jpeg import decode_jpeg
+
+    for sof in (0xC9, 0xCA, 0xCB, 0xC5, 0xC6, 0xC7):
+        frame = (
+            b"\xff\xd8"  # SOI
+            + bytes([0xFF, sof])
+            + struct.pack(">H", 11)  # seglen
+            + struct.pack(">BHHB", 8, 8, 8, 1)  # prec, h, w, nc
+            + bytes([1, 0x11, 0])  # comp id, sampling, quant
+            + b"\xff\xd9"  # EOI
+        )
+        with pytest.raises(
+            NotImplementedError, match="permanent defer"
+        ):
+            decode_jpeg(frame)
