@@ -2007,7 +2007,8 @@ def qs304(spark: SparkSession, sf: str) -> DataFrame:
     SELECT CAST(n.n AS BIGINT) AS n_months,
            CAST(s.s AS BIGINT) AS s,
            ROUND(
-             CASE WHEN s.s > 0 THEN (s.s - 1) ELSE (s.s + 1) END
+             CASE WHEN s.s > 0 THEN (s.s - 1)
+                  WHEN s.s < 0 THEN (s.s + 1) ELSE 0 END
              / sqrt((CAST(n.n AS HUGEINT) * (n.n - 1) * (2 * n.n + 5)
                      - ties.tt) / CAST(18 AS DOUBLE)), 4) AS z
     FROM n CROSS JOIN s CROSS JOIN ties
@@ -2023,7 +2024,7 @@ def qs305(spark: SparkSession, sf: str) -> DataFrame:
 
     Determinism: monthly cent totals, S, and the tie term are exact
     integers; z is one fixed double tree (continuity-corrected
-    S∓1, √ IEEE-exact), ROUND 4. Plan: one grouped scan → the pair
+    S∓1, zero at S = 0, √ IEEE-exact), ROUND 4. Plan: one grouped scan → the pair
     join runs over the ~84-row month grid (≈3.5k pairs), never the
     corpus."""
     o = load_table(spark, sf, "orders")
@@ -2069,9 +2070,13 @@ def qs305(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             F.col("n").cast("long").alias("n_months"),
             F.col("s").cast("long").alias("s"),
+            # z = 0 when S = 0 (textbook continuity correction;
+            # the old ELSE branch gave (S+1)/sigma — the r10 intent
+            # sweep's by-construction find, unreached on this data).
             F.round(
                 F.when(F.col("s") > 0, F.col("s") - 1)
-                .otherwise(F.col("s") + 1)
+                .when(F.col("s") < 0, F.col("s") + 1)
+                .otherwise(F.lit(0))
                 / F.sqrt(
                     (
                         F.col("n").cast("decimal(38,0)")

@@ -1,0 +1,695 @@
+"""Mirrored-oracle INTENT audit (r10, verdict task 2 — the qs230
+lesson systematized).
+
+The driver differential proves Spark ≡ DuckDB oracle, but a formula
+that is wrong the same way on both sides stays green forever — qs230's
+VaR selected MIN over the tail condition (the global minimum) and
+passed every differential until a dependent query (Kupiec) screamed.
+
+Each test here recomputes one named statistic INDEPENDENTLY — a pure
+numpy/pandas textbook formulation over the raw sf0.001 parquet, written
+from the statistic's definition, not from the query's SQL — and
+compares it against the registered Spark query's output. The targeted
+risk classes (BASELINE.md r10 sweep table):
+
+- tail/extreme selectors (MIN/MAX-over-condition — the qs230 class)
+- quantile/median index conventions (off-by-one, lower-vs-interpolated)
+- rank statistics (midrank/tie handling)
+- sign/direction conventions (slopes, correlations, one-sided z)
+- moment conventions (population vs sample variance, pooled s)
+
+Tolerances: columns the query ROUNDs to k decimals compare with
+abs tol 2·10^-k (the independent float path may wobble the last
+rounded digit); exact-integer columns compare exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cds_etl_spark.plans import QUERIES
+
+
+def _pd(sf_dir: str, table: str) -> pd.DataFrame:
+    return pd.read_parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _run(spark, sf_dir, name) -> pd.DataFrame:
+    return QUERIES[name](spark, sf_dir).toPandas()
+
+
+def _cents(s: pd.Series) -> np.ndarray:
+    # Match the engine's exact integer-cents lift: round-half-up on
+    # the double, which for TPC-H 2-dp values equals plain round.
+    return np.round(s.to_numpy() * 100).astype(np.int64)
+
+
+# -- tail / extreme selectors ----------------------------------------------
+
+
+def test_intent_qs306_grubbs(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    t = (o["o_orderdate"].dt.year - 1992) * 12 + o["o_orderdate"].dt.month
+    y = (
+        pd.DataFrame({"t": t, "c": _cents(o["o_totalprice"])})
+        .groupby("t")["c"]
+        .sum()
+        .to_numpy()
+        .astype(np.float64)
+    )
+    g = np.max(np.abs(y - y.mean())) / y.std(ddof=1)
+    got = _run(spark, sf_dir, "qs306_grubbs_outlier").iloc[0]
+    assert got["n_months"] == len(y)
+    assert got["g"] == pytest.approx(g, abs=2e-4)
+
+
+def test_intent_qs346_dixon_q(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    c = _pd(sf_dir, "customer")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j = j[j["o_orderdate"].dt.year == 1996]
+    daily = (
+        pd.DataFrame(
+            {
+                "seg": j["c_mktsegment"],
+                "d": j["o_orderdate"].dt.date,
+                "x": _cents(j["o_totalprice"]),
+            }
+        )
+        .groupby(["seg", "d"])["x"]
+        .sum()
+        .reset_index()
+    )
+    got = _run(spark, sf_dir, "qs346_dixon_q").set_index("segment")
+    for seg, grp in daily.groupby("seg"):
+        # Textbook Dixon r10 ratios on the DISTINCT-value gaps: the
+        # engine's convention (documented in the query) takes the
+        # nearest distinct neighbor of each extreme, which equals the
+        # order statistic x(2) / x(n-1) whenever extremes are untied —
+        # assert that precondition holds on this data, then the ratio.
+        xs = np.sort(grp["x"].to_numpy())
+        assert xs[0] != xs[1] and xs[-1] != xs[-2], seg
+        q_low = (xs[1] - xs[0]) / (xs[-1] - xs[0])
+        q_high = (xs[-1] - xs[-2]) / (xs[-1] - xs[0])
+        assert got.loc[seg, "n"] == len(xs)
+        assert got.loc[seg, "q_low"] == pytest.approx(q_low, abs=2e-6)
+        assert got.loc[seg, "q_high"] == pytest.approx(q_high, abs=2e-6)
+
+
+def test_intent_qs239_tukey_fences(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    v = pd.DataFrame(
+        {"grp": li["l_returnflag"], "v": _cents(li["l_extendedprice"])}
+    )
+    got = _run(spark, sf_dir, "qs239_tukey_fences").set_index("grp")
+    for g, grp in v.groupby("grp"):
+        x = grp["v"].to_numpy()
+        q1 = np.quantile(x, 0.25)  # linear interpolation = type 7
+        q3 = np.quantile(x, 0.75)
+        iqr = q3 - q1
+        lo, hi = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+        n_out = int(np.sum((x < lo) | (x > hi)))
+        assert got.loc[g, "q1"] == pytest.approx(q1, abs=2e-4)
+        assert got.loc[g, "q3"] == pytest.approx(q3, abs=2e-4)
+        assert got.loc[g, "lo_fence"] == pytest.approx(lo, abs=2e-4)
+        assert got.loc[g, "hi_fence"] == pytest.approx(hi, abs=2e-4)
+        assert got.loc[g, "n_outliers"] == n_out
+        assert got.loc[g, "n"] == len(x)
+
+
+# -- quantile / median index conventions -----------------------------------
+
+
+def test_intent_qs183_weighted_median(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    df = pd.DataFrame(
+        {
+            "flag": li["l_returnflag"],
+            "c": _cents(li["l_extendedprice"]),
+            "q": li["l_quantity"].astype(np.int64),
+        }
+    )
+    got = _run(spark, sf_dir, "qs183_weighted_median").set_index(
+        "l_returnflag"
+    )
+    for flag, grp in df.groupby("flag"):
+        s = grp.sort_values("c")
+        cw = s["q"].cumsum().to_numpy()
+        tot = int(cw[-1])
+        # lower weighted median: first value whose cumulative weight
+        # reaches half the total (2*cw >= tot)
+        idx = int(np.argmax(2 * cw >= tot))
+        wm = int(s["c"].to_numpy()[idx])
+        assert got.loc[flag, "wmedian_cents"] == wm
+        assert got.loc[flag, "total_qty"] == tot
+
+
+def test_intent_qs304_moods_median(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    q = li["l_quantity"].astype(np.int64).to_numpy()
+    flags = li["l_returnflag"].to_numpy()
+    # lower median: (n+1)//2-th order statistic (1-based)
+    m = int(np.sort(q)[(len(q) + 1) // 2 - 1])
+    chi2 = 0.0
+    n = len(q)
+    above = q > m
+    col_tot = {True: int(above.sum()), False: int(n - above.sum())}
+    for flag in ("A", "N", "R"):
+        sel = flags == flag
+        row_tot = int(sel.sum())
+        for side in (True, False):
+            obs = int((sel & (above == side)).sum())
+            exp = row_tot * col_tot[side] / n
+            chi2 += (obs - exp) ** 2 / exp
+    got = _run(spark, sf_dir, "qs304_moods_median").iloc[0]
+    assert got["n"] == n
+    assert got["median_qty"] == m
+    assert got["chi2"] == pytest.approx(chi2, abs=2e-4)
+
+
+def test_intent_qs323_hodges_lehmann(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    q = li["l_quantity"].astype(np.int64)
+    a = q[li["l_returnflag"] == "N"].to_numpy()
+    b = q[li["l_returnflag"] == "R"].to_numpy()
+    diffs = np.sort((b[:, None] - a[None, :]).ravel())
+    k = len(diffs)
+    # median of the pairwise differences, lower+upper (hl2 = 2*median)
+    hl2 = int(diffs[(k - 1) // 2]) + int(diffs[k // 2])
+    got = _run(spark, sf_dir, "qs323_hodges_lehmann").iloc[0]
+    assert got["n_pairs"] == k
+    assert got["hl2"] == hl2
+
+
+# -- rank statistics (midranks / ties) --------------------------------------
+
+
+def test_intent_qs181_mannwhitney_auc(spark, sf_dir):
+    ev = _pd(sf_dir, "events")
+    df = pd.DataFrame(
+        {
+            "cohort": (ev["user_id"] % 2).astype(np.int64),
+            "c": _cents(ev["value"]),
+        }
+    )
+    r = pd.Series(df["c"]).rank(method="average").to_numpy()
+    m0 = df["cohort"].to_numpy() == 0
+    n1, n2 = int(m0.sum()), int((~m0).sum())
+    u1 = float(r[m0].sum()) - n1 * (n1 + 1) / 2
+    auc = u1 / (n1 * n2)
+    got = _run(spark, sf_dir, "qs181_mannwhitney_auc").iloc[0]
+    assert got["n1"] == n1 and got["n2"] == n2
+    assert got["u1_x2"] == pytest.approx(2 * u1, abs=1e-9)
+    assert got["auc_e6"] == round(auc * 1e6)
+
+
+def test_intent_qs271_kruskal_wallis(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    df = pd.DataFrame(
+        {
+            "g": o["o_orderpriority"],
+            "v": _cents(o["o_totalprice"]),
+        }
+    )
+    r = df["v"].rank(method="average")
+    n = len(df)
+    h = 0.0
+    for _g, idx in df.groupby("g").groups.items():
+        rg = r.loc[idx]
+        h += float(rg.sum()) ** 2 / len(rg)
+    h = 12.0 / (n * (n + 1)) * h - 3 * (n + 1)
+    _vals, counts = np.unique(df["v"].to_numpy(), return_counts=True)
+    cf = 1.0 - float(np.sum(counts**3 - counts)) / (n**3 - n)
+    got = _run(spark, sf_dir, "qs271_kruskal_wallis")
+    row = got.iloc[0]
+    assert row["h_raw"] == pytest.approx(h, abs=2e-4)
+    assert row["h_stat"] == pytest.approx(h / cf, abs=2e-4)
+    mr = got.set_index("priority")["mean_rank"]
+    for g, idx in df.groupby("g").groups.items():
+        assert mr[g] == pytest.approx(float(r.loc[idx].mean()), abs=2e-4)
+
+
+# -- sign / direction / one-sided conventions --------------------------------
+
+
+def test_intent_qs270_welch(spark, sf_dir):
+    c = _pd(sf_dir, "customer")
+    g0 = _cents(c.loc[c["c_nationkey"] == 0, "c_acctbal"]).astype(float)
+    g1 = _cents(c.loc[c["c_nationkey"] == 1, "c_acctbal"]).astype(float)
+    se0 = g0.var(ddof=1) / len(g0)
+    se1 = g1.var(ddof=1) / len(g1)
+    t = (g0.mean() - g1.mean()) / math.sqrt(se0 + se1)
+    df = (se0 + se1) ** 2 / (
+        se0**2 / (len(g0) - 1) + se1**2 / (len(g1) - 1)
+    )
+    got = _run(spark, sf_dir, "qs270_welch_ttest").iloc[0]
+    assert got["n0"] == len(g0) and got["n1"] == len(g1)
+    assert got["mean0"] == pytest.approx(g0.mean() / 100, abs=2e-4)
+    assert got["t_stat"] == pytest.approx(t, abs=2e-4)
+    assert got["welch_df"] == pytest.approx(df, abs=2e-3)
+
+
+def test_intent_qs303_durbin_watson(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    t = (
+        (o["o_orderdate"].dt.year - 1992) * 12 + o["o_orderdate"].dt.month
+    )
+    m = t.value_counts().sort_index()
+    x = m.index.to_numpy().astype(float)
+    y = m.to_numpy().astype(float)
+    slope, intercept = np.polyfit(x, y, 1)
+    e = y - (slope * x + intercept)
+    dw = float(np.sum(np.diff(e) ** 2) / np.sum(e**2))
+    got = _run(spark, sf_dir, "qs303_durbin_watson").iloc[0]
+    assert got["n_months"] == len(x)
+    assert got["dw"] == pytest.approx(dw, abs=2e-4)
+    assert got["rho1"] == pytest.approx(1 - dw / 2, abs=2e-4)
+
+
+def test_intent_qs305_mann_kendall(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    t = (
+        (o["o_orderdate"].dt.year - 1992) * 12 + o["o_orderdate"].dt.month
+    )
+    y = (
+        pd.DataFrame({"t": t, "c": _cents(o["o_totalprice"])})
+        .groupby("t")["c"]
+        .sum()
+        .sort_index()
+        .to_numpy()
+    )
+    n = len(y)
+    s_stat = int(np.sum(np.sign(y[None, :] - y[:, None])[np.triu_indices(n, 1)]))
+    _v, counts = np.unique(y, return_counts=True)
+    tt = int(np.sum(counts * (counts - 1) * (2 * counts + 5)))
+    var = (n * (n - 1) * (2 * n + 5) - tt) / 18.0
+    if s_stat > 0:
+        z = (s_stat - 1) / math.sqrt(var)
+    elif s_stat < 0:
+        z = (s_stat + 1) / math.sqrt(var)
+    else:
+        z = 0.0
+    got = _run(spark, sf_dir, "qs305_mann_kendall").iloc[0]
+    assert got["n_months"] == n
+    assert got["s"] == s_stat
+    assert got["z"] == pytest.approx(z, abs=2e-4)
+
+
+def test_intent_qs302_runs_test(spark, sf_dir):
+    ev = _pd(sf_dir, "events")
+    daily = (
+        pd.DataFrame(
+            {"day": ev["ts"].dt.date, "x": _cents(ev["value"])}
+        )
+        .groupby("day")["x"]
+        .sum()
+        .sort_index()
+        .to_numpy()
+    )
+    n = len(daily)
+    m = int(np.sort(daily)[(n + 1) // 2 - 1])  # lower median
+    hi = daily > m  # at-or-below goes to the 0 side (documented)
+    r = 1 + int(np.sum(hi[1:] != hi[:-1]))
+    n1, n0 = int(hi.sum()), int(n - hi.sum())
+    mu = 1 + 2 * n1 * n0 / (n1 + n0)
+    sig = math.sqrt(
+        2 * n1 * n0 * (2 * n1 * n0 - n1 - n0)
+        / ((n1 + n0) ** 2 * (n1 + n0 - 1))
+    )
+    got = _run(spark, sf_dir, "qs302_runs_test").iloc[0]
+    assert got["n_runs"] == r
+    assert got["n_above"] == n1 and got["n_at_or_below"] == n0
+    assert got["expected_runs"] == pytest.approx(mu, abs=2e-4)
+    assert got["z"] == pytest.approx((r - mu) / sig, abs=2e-4)
+
+
+def test_intent_qs331_matthews_corr(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    y95 = o[o["o_orderdate"].dt.year == 1995]
+    spend = (
+        pd.DataFrame(
+            {"cust": y95["o_custkey"], "c": _cents(y95["o_totalprice"])}
+        )
+        .groupby("cust")["c"]
+        .sum()
+    )
+    resp = set(o.loc[o["o_orderdate"].dt.year == 1996, "o_custkey"])
+    pred = spend >= 15_000_000
+    actual = spend.index.isin(list(resp))
+    tp = int((pred & actual).sum())
+    fp = int((pred & ~actual).sum())
+    fn = int((~pred & actual).sum())
+    tn = int((~pred & ~actual).sum())
+    mcc = (tp * tn - fp * fn) / (
+        math.sqrt((tp + fp) * (tp + fn)) * math.sqrt((tn + fp) * (tn + fn))
+    )
+    got = _run(spark, sf_dir, "qs331_matthews_corr").iloc[0]
+    assert (got["tp"], got["fp"], got["fn"], got["tn"]) == (tp, fp, fn, tn)
+    assert got["mcc"] == pytest.approx(mcc, abs=2e-6)
+
+
+# -- moment conventions (population vs sample, pooled) -----------------------
+
+
+def test_intent_qs278_jarque_bera(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    v = np.round(o["o_totalprice"].to_numpy()).astype(np.int64).astype(
+        float
+    )
+    n = len(v)
+    m = v.mean()
+    m2 = np.mean((v - m) ** 2)
+    skew = np.mean((v - m) ** 3) / m2**1.5
+    exk = np.mean((v - m) ** 4) / m2**2 - 3
+    jb = n / 6 * (skew**2 + exk**2 / 4)
+    got = _run(spark, sf_dir, "qs278_jarque_bera").iloc[0]
+    assert got["n"] == n
+    assert got["skewness"] == pytest.approx(skew, abs=2e-4)
+    assert got["ex_kurtosis"] == pytest.approx(exk, abs=2e-4)
+    assert got["jb_stat"] == pytest.approx(jb, abs=2e-2)
+
+
+def test_intent_qs290_cronbach_alpha(spark, sf_dir):
+    ev = _pd(sf_dir, "events")
+    items = ["click", "error", "purchase", "signup", "view"]
+    piv = (
+        pd.DataFrame(
+            {
+                "u": ev["user_id"],
+                "t": ev["event_type"],
+                "c": _cents(ev["value"]),
+            }
+        )
+        .pivot_table(
+            index="u", columns="t", values="c", aggfunc="sum", fill_value=0
+        )
+        .reindex(columns=items, fill_value=0)
+        .astype(float)
+    )
+    k = len(items)
+    # alpha is invariant to the variance ddof (the factor cancels in
+    # the ratio) — use sample variances as the textbook writes it.
+    item_vars = piv.var(ddof=1).sum()
+    total_var = piv.sum(axis=1).var(ddof=1)
+    alpha = k / (k - 1) * (1 - item_vars / total_var)
+    got = _run(spark, sf_dir, "qs290_cronbach_alpha").iloc[0]
+    assert got["n_users"] == len(piv)
+    assert got["k_items"] == k
+    assert got["cronbach_alpha"] == pytest.approx(alpha, abs=2e-4)
+
+
+def test_intent_qs311_cohens_d(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    a = _cents(
+        li.loc[li["l_returnflag"] == "A", "l_extendedprice"]
+    ).astype(float)
+    r = _cents(
+        li.loc[li["l_returnflag"] == "R", "l_extendedprice"]
+    ).astype(float)
+    n1, n2 = len(a), len(r)
+    sp = math.sqrt(
+        ((n1 - 1) * a.var(ddof=1) + (n2 - 1) * r.var(ddof=1))
+        / (n1 + n2 - 2)
+    )
+    d = (a.mean() - r.mean()) / sp
+    g = d * (1 - 3 / (4 * (n1 + n2) - 9))
+    got = _run(spark, sf_dir, "qs311_cohens_d").iloc[0]
+    assert got["n1"] == n1 and got["n2"] == n2
+    assert got["cohens_d"] == pytest.approx(d, abs=2e-4)
+    assert got["hedges_g"] == pytest.approx(g, abs=2e-4)
+
+
+def test_intent_qs299_kendall_taub(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    x = o["o_orderpriority"].str[0].astype(int).to_numpy()
+    y = (
+        o["o_orderstatus"]
+        .map({"F": 1, "P": 2})
+        .fillna(3)
+        .astype(int)
+        .to_numpy()
+    )
+    # tau-b from its definition on the contingency table: concordant /
+    # discordant weighted cell pairs, tie terms from the margins
+    # (pandas' kendall needs scipy, absent here).
+    n = len(x)
+    xs, ys = np.unique(x), np.unique(y)
+    tab = np.zeros((len(xs), len(ys)), dtype=np.int64)
+    for i, xv in enumerate(xs):
+        for j, yv in enumerate(ys):
+            tab[i, j] = int(np.sum((x == xv) & (y == yv)))
+    conc = disc = 0
+    for i in range(len(xs)):
+        for j in range(len(ys)):
+            conc += tab[i, j] * tab[i + 1 :, j + 1 :].sum()
+            disc += tab[i, j] * tab[i + 1 :, :j].sum()
+    tx = sum(int(r) * (int(r) - 1) // 2 for r in tab.sum(axis=1))
+    ty = sum(int(c) * (int(c) - 1) // 2 for c in tab.sum(axis=0))
+    n0 = n * (n - 1) // 2
+    tau = (conc - disc) / math.sqrt((n0 - tx) * (n0 - ty))
+    got = _run(spark, sf_dir, "qs299_kendall_taub").iloc[0]
+    assert got["n"] == n
+    assert got["concordant"] == conc and got["discordant"] == disc
+    assert got["tau_b"] == pytest.approx(tau, abs=2e-4)
+
+
+def test_intent_qs310_cliffs_delta(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    q = li["l_quantity"].astype(np.int64)
+    a = q[li["l_returnflag"] == "A"].to_numpy()
+    r = q[li["l_returnflag"] == "R"].to_numpy()
+    diff = np.sign(a[:, None] - r[None, :])
+    delta = float(diff.sum()) / (len(a) * len(r))
+    got = _run(spark, sf_dir, "qs310_cliffs_delta").iloc[0]
+    assert got["n1"] == len(a) and got["n2"] == len(r)
+    assert got["cliffs_delta"] == pytest.approx(delta, abs=2e-4)
+
+
+def test_intent_qs205_theilsen_slope(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    m = (
+        pd.DataFrame(
+            {
+                "grp": li["l_partkey"] % 50,
+                "t": (li["l_shipdate"].dt.year - 1995) * 12
+                + li["l_shipdate"].dt.month,
+                "c": _cents(li["l_extendedprice"]),
+            }
+        )
+        .groupby(["grp", "t"])["c"]
+        .sum()
+        // 10000
+    ).reset_index(name="y")
+    got = _run(spark, sf_dir, "qs205_theilsen_slope").set_index("grp")
+    for grp, g in m.groupby("grp"):
+        t = g["t"].to_numpy()
+        y = g["y"].to_numpy()
+        slopes = []
+        for i in range(len(t)):
+            for j in range(i + 1, len(t)):
+                lo, hi = (i, j) if t[i] < t[j] else (j, i)
+                num = (int(y[hi]) - int(y[lo])) * 1_000_000
+                den = int(t[hi]) - int(t[lo])
+                # both engines' integer division truncates toward
+                # zero (C-style), not Python's floor — the e6
+                # quantization convention, found by this audit and
+                # immaterial to the estimator (1e-6 on negative
+                # slopes); mirror trunc here.
+                qq, rem = divmod(num, den)
+                slopes.append(qq + (1 if qq < 0 and rem != 0 else 0))
+        slopes.sort()
+        k = len(slopes)
+        med = slopes[(k - 1) // 2]  # lower median
+        assert got.loc[grp, "n_pairs"] == k
+        assert got.loc[grp, "theil_sen_e6"] == med
+
+
+def test_intent_qs216_did(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    treated = (o["o_custkey"] % 2).to_numpy()
+    post = (o["o_orderdate"] >= "1998-01-01").to_numpy()
+    cents = _cents(o["o_totalprice"]).astype(float)
+
+    def mean(tr, po):
+        sel = (treated == tr) & (post == po)
+        return cents[sel].mean()
+
+    did = (mean(1, True) - mean(1, False)) - (
+        mean(0, True) - mean(0, False)
+    )
+    got = _run(spark, sf_dir, "qs216_did_estimator").iloc[0]
+    assert got["n_treated_post"] == int(
+        ((treated == 1) & post).sum()
+    )
+    assert got["did_cents"] == pytest.approx(did, abs=2e-4)
+
+
+def test_intent_qs161_winsorized_mean(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    df = pd.DataFrame(
+        {
+            "st": o["o_orderstatus"],
+            "cents": _cents(o["o_totalprice"]),
+            "bucket": np.clip(
+                np.floor(o["o_totalprice"].to_numpy() / 4096.0).astype(
+                    np.int64
+                ),
+                0,
+                127,
+            ),
+        }
+    )
+    got = _run(spark, sf_dir, "qs161_winsorized_mean").set_index(
+        "o_orderstatus"
+    )
+    for st, g in df.groupby("st"):
+        n = len(g)
+        b = np.sort(g["bucket"].to_numpy())
+        lo_b = int(b[math.ceil(n * 5 / 100) - 1])
+        hi_b = int(b[math.ceil(n * 95 / 100) - 1])
+        lo_c, hi_c = lo_b * 409600, (hi_b + 1) * 409600
+        w = np.where(
+            g["bucket"] < lo_b,
+            lo_c,
+            np.where(g["bucket"] > hi_b, hi_c, g["cents"]),
+        )
+        assert got.loc[st, "n"] == n
+        assert got.loc[st, "lo_cents"] == lo_c
+        assert got.loc[st, "hi_cents"] == hi_c
+        assert got.loc[st, "winsorized_mean_cents"] == pytest.approx(
+            w.mean(), abs=2e-4
+        )
+
+
+def test_intent_qs298_jonckheere(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    g = o["o_orderpriority"].str[0].astype(int).to_numpy()
+    v = _cents(o["o_totalprice"])
+    jt2 = 0
+    for gi in range(1, 5):
+        for gj in range(gi + 1, 6):
+            a = v[g == gi]
+            b = v[g == gj]
+            cmpx = np.sign(b[:, None] - a[None, :])
+            # 2*(#a<b) + #ties  (ties count half in JT)
+            jt2 += int(2 * (cmpx > 0).sum() + (cmpx == 0).sum())
+    n = len(v)
+    counts = np.array([(g == k).sum() for k in range(1, 6)])
+    e_jt2 = (n * n - int(np.sum(counts**2))) / 2
+    got = _run(spark, sf_dir, "qs298_jonckheere_trend").iloc[0]
+    assert got["jt2"] == jt2
+    assert got["n"] == n
+    assert got["e_jt2"] == pytest.approx(e_jt2, abs=0.11)
+    assert got["trend_index"] == pytest.approx(
+        (jt2 - e_jt2) / e_jt2, abs=2e-4
+    )
+
+
+def test_intent_qs324_siegel_tukey(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    df = pd.DataFrame(
+        {
+            "g": (o["o_custkey"] % 2).to_numpy(),
+            "key": o["o_orderkey"].to_numpy(),
+            "v": _cents(o["o_totalprice"]),
+        }
+    ).sort_values(["v", "key"], kind="mergesort")
+    n = len(df)
+    # textbook alternating-extreme assignment, two pointers: bottom
+    # gets 1; then pairs alternate top (2,3), bottom (4,5), top (6,7)…
+    scores = np.zeros(n, dtype=np.int64)
+    lo, hi, rank = 0, n - 1, 1
+    take_bottom, first = True, True
+    while lo <= hi:
+        k = 1 if first else 2
+        for _ in range(k):
+            if lo > hi:
+                break
+            if take_bottom:
+                scores[lo] = rank
+                lo += 1
+            else:
+                scores[hi] = rank
+                hi -= 1
+            rank += 1
+        first = False
+        take_bottom = not take_bottom
+    garr = df["g"].to_numpy()
+    w = int(scores[garr == 1].sum())
+    n1, n0 = int((garr == 1).sum()), int((garr == 0).sum())
+    z = (w - n1 * (n1 + n0 + 1) / 2) / math.sqrt(
+        n1 * n0 * (n1 + n0 + 1) / 12
+    )
+    got = _run(spark, sf_dir, "qs324_siegel_tukey").iloc[0]
+    assert got["w"] == w
+    assert got["n1"] == n1 and got["n0"] == n0
+    assert got["z"] == pytest.approx(z, abs=2e-4)
+
+
+def test_intent_qs320_pettitt(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    t = (o["o_orderdate"].dt.year - 1992) * 12 + o["o_orderdate"].dt.month
+    m = (
+        pd.DataFrame({"t": t, "c": _cents(o["o_totalprice"])})
+        .groupby("t")["c"]
+        .sum()
+        .sort_index()
+    )
+    y = m.to_numpy()
+    ts = m.index.to_numpy()
+    n = len(y)
+    # textbook U_t = sum_{i<=t} sum_{j>t} sign(x_i - x_j)
+    best_k, best_t = -1, None
+    for cut in range(n):
+        u = int(
+            np.sign(y[: cut + 1, None] - y[None, cut + 1 :]).sum()
+        )
+        if abs(u) > best_k:
+            best_k, best_t = abs(u), int(ts[cut])
+    p = 2 * math.exp(-6 * best_k**2 / (n**3 + n**2))
+    got = _run(spark, sf_dir, "qs320_pettitt_changepoint").iloc[0]
+    assert got["n_months"] == n
+    assert got["k_stat"] == best_k
+    assert got["change_month"] == best_t
+    assert got["p_approx"] == pytest.approx(p, abs=2e-6)
+
+
+def test_intent_qs167_zscore_anomaly(spark, sf_dir):
+    ev = _pd(sf_dir, "events").sort_values(["event_type", "ts", "event_id"])
+    want = set()
+    for _et, g in ev.groupby("event_type"):
+        x = _cents(g["value"]).astype(float)
+        ids = g["event_id"].to_numpy()
+        for i in range(len(x)):
+            win = x[max(0, i - 20) : i]
+            if len(win) < 20:
+                continue
+            mu, sd = win.mean(), win.std(ddof=1)
+            if sd > 0 and abs(x[i] - mu) > 3 * sd:
+                want.add(int(ids[i]))
+    got = _run(spark, sf_dir, "qs167_zscore_anomaly")
+    assert set(got["event_id"].astype(int)) == want
+
+
+def test_intent_qs230_var_cvar(spark, sf_dir):
+    # The original mirrored-oracle sinner, now pinned independently:
+    # historical VaR95 = the ceil(n/20)-th LARGEST value (top-5% tail
+    # cutoff), CVaR95 = floor-mean of every value at or above it.
+    o = _pd(sf_dir, "orders")
+    df = pd.DataFrame(
+        {"prio": o["o_orderpriority"], "v": _cents(o["o_totalprice"])}
+    )
+    got = _run(spark, sf_dir, "qs230_var_cvar").set_index("prio")
+    for prio, g in df.groupby("prio"):
+        v = np.sort(g["v"].to_numpy())[::-1]
+        k = math.ceil(len(v) / 20)
+        var95 = int(v[k - 1])
+        tail = v[v >= var95].astype(object)
+        cvar = int(sum(tail)) // len(tail)
+        assert got.loc[prio, "var95_cents"] == var95
+        assert got.loc[prio, "cvar95_cents"] == cvar
+        assert got.loc[prio, "n_tail"] == len(tail)
