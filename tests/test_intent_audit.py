@@ -693,3 +693,267 @@ def test_intent_qs230_var_cvar(spark, sf_dir):
         assert got.loc[prio, "var95_cents"] == var95
         assert got.loc[prio, "cvar95_cents"] == cvar
         assert got.loc[prio, "n_tail"] == len(tail)
+
+
+# -- wave 2: variance-homogeneity, blocked ranks, survival, proportions -----
+
+
+def test_intent_qs309_bartlett(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    groups = [
+        li.loc[li["l_returnflag"] == f, "l_quantity"]
+        .astype(float)
+        .to_numpy()
+        for f in ("A", "N", "R")
+    ]
+    k = len(groups)
+    n_tot = sum(len(g) for g in groups)
+    vp = sum((len(g) - 1) * g.var(ddof=1) for g in groups) / (n_tot - k)
+    num = (n_tot - k) * math.log(vp) - sum(
+        (len(g) - 1) * math.log(g.var(ddof=1)) for g in groups
+    )
+    den = 1 + (
+        sum(1 / (len(g) - 1) for g in groups) - 1 / (n_tot - k)
+    ) / (3 * (k - 1))
+    got = _run(spark, sf_dir, "qs309_bartlett_test").iloc[0]
+    assert got["k"] == k and got["n"] == n_tot
+    assert got["t_bartlett"] == pytest.approx(num / den, abs=2e-4)
+
+
+def test_intent_qs291_brown_forsythe(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    df = pd.DataFrame(
+        {"g": o["o_orderpriority"], "v": _cents(o["o_totalprice"])}
+    )
+    zs = []
+    for _g, grp in df.groupby("g"):
+        v = np.sort(grp["v"].to_numpy())
+        med = v[(len(v) + 1) // 2 - 1]  # lower median (documented)
+        zs.append(np.abs(grp["v"].to_numpy() - med).astype(float))
+    k = len(zs)
+    n_tot = sum(len(z) for z in zs)
+    grand = np.concatenate(zs).mean()
+    ssb = sum(len(z) * (z.mean() - grand) ** 2 for z in zs)
+    ssw = sum(((z - z.mean()) ** 2).sum() for z in zs)
+    f = (ssb / (k - 1)) / (ssw / (n_tot - k))
+    got = _run(spark, sf_dir, "qs291_brown_forsythe").iloc[0]
+    assert got["k"] == k and got["n"] == n_tot
+    assert got["bf_stat"] == pytest.approx(f, abs=2e-4)
+
+
+def test_intent_qs289_friedman(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    wk = (
+        pd.DataFrame(
+            {
+                "b": o["o_orderdate"]
+                .dt.to_period("W-SUN")
+                .dt.start_time,
+                "t": o["o_orderpriority"],
+                "c": _cents(o["o_totalprice"]),
+            }
+        )
+        .groupby(["b", "t"])["c"]
+        .sum()
+        .unstack()
+        .dropna()  # complete blocks only (all 5 treatments)
+    )
+    b, k = wk.shape
+    ranks = wk.rank(axis=1, method="average")
+    rj = ranks.sum(axis=0).to_numpy()
+    chi2 = 12.0 / (b * k * (k + 1)) * float((rj**2).sum()) - 3 * b * (
+        k + 1
+    )
+    got = _run(spark, sf_dir, "qs289_friedman_test").iloc[0]
+    assert got["n_blocks"] == b
+    assert got["dof"] == k - 1
+    assert got["friedman_chi2"] == pytest.approx(chi2, abs=2e-4)
+
+
+def test_intent_qs269_logrank(spark, sf_dir):
+    ev = _pd(sf_dir, "events")
+    last = (
+        pd.DataFrame(
+            {"u": ev["user_id"], "g": ev["user_id"] % 2, "d": ev["ts"].dt.date}
+        )
+        .groupby("u")
+        .agg(g=("g", "first"), day=("d", "max"))
+    )
+    days = sorted(last["day"].unique())
+    n1 = int((last["g"] == 1).sum())
+    n0 = int((last["g"] == 0).sum())
+    obs1 = exp1 = var1 = 0.0
+    for day in days:
+        d1 = int(((last["g"] == 1) & (last["day"] == day)).sum())
+        d0 = int(((last["g"] == 0) & (last["day"] == day)).sum())
+        d, n = d1 + d0, n1 + n0
+        if d > 0:
+            obs1 += d1
+            exp1 += d * n1 / n
+            if n > 1:
+                var1 += d * (n1 / n) * ((n - n1) / n) * ((n - d) / (n - 1))
+        n1 -= d1
+        n0 -= d0
+    chi2 = (obs1 - exp1) ** 2 / var1
+    got = _run(spark, sf_dir, "qs269_logrank_test").iloc[0]
+    assert got["observed1"] == int(obs1)
+    assert got["expected1"] == pytest.approx(exp1, abs=2e-4)
+    assert got["variance1"] == pytest.approx(var1, abs=2e-4)
+    assert got["logrank_chi2"] == pytest.approx(chi2, abs=2e-4)
+
+
+def test_intent_qs234_wilson(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    g = pd.DataFrame(
+        {
+            "grp": li["l_partkey"] % 100,
+            "r": (li["l_returnflag"] == "R").astype(int),
+        }
+    ).groupby("grp")["r"]
+    got = _run(spark, sf_dir, "qs234_wilson_interval").set_index("grp")
+    z2 = 3.84  # documented convention: z^2 = 3.84 folded constants
+    for grp, s in g:
+        n, k = int(s.count()), int(s.sum())
+        center = (k + z2 / 2) / (n + z2)
+        half = math.sqrt(z2) * math.sqrt(k * (n - k) / n + z2 / 4) / (
+            n + z2
+        )
+        assert got.loc[grp, "n"] == n and got.loc[grp, "k"] == k
+        assert got.loc[grp, "p_center"] == pytest.approx(
+            center, abs=2e-4
+        )
+        assert got.loc[grp, "ci_lo"] == pytest.approx(
+            center - half, abs=2e-4
+        )
+        assert got.loc[grp, "ci_hi"] == pytest.approx(
+            center + half, abs=2e-4
+        )
+
+
+# -- wave 3: index numbers, entropy association, survival means, priors -----
+
+
+def test_intent_qs287_fisher(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    g = (
+        pd.DataFrame(
+            {
+                "grp": li["l_partkey"] % 100,
+                "t": (li["l_shipdate"].dt.year - 1995) * 12
+                + li["l_shipdate"].dt.month,
+                "c": _cents(li["l_extendedprice"]),
+                "q": li["l_quantity"].astype(np.int64),
+            }
+        )
+        .groupby(["grp", "t"])
+        .agg(c=("c", "sum"), q=("q", "sum"))
+        .reset_index()
+    )
+    g = g[g["q"] > 0]
+    g["p_e2"] = (g["c"] * 100) // g["q"]  # documented e2 unit-price floor
+    base = (
+        g[(g["t"] >= 13) & (g["t"] <= 24)]
+        .groupby("grp")
+        .agg(c=("c", "sum"), q0=("q", "sum"))
+    )
+    base["p0_e2"] = (base["c"] * 100) // base["q0"]
+    j = g.merge(base[["p0_e2", "q0"]], on="grp")
+    got = _run(spark, sf_dir, "qs287_fisher_index").set_index("t")
+    for t, grp in j.groupby("t"):
+        ld = float((grp["p0_e2"] * grp["q0"]).sum())
+        pdn = float((grp["p0_e2"] * grp["q"]).sum())
+        if ld <= 0 or pdn <= 0:
+            continue
+        lasp = float((grp["p_e2"] * grp["q0"]).sum()) / ld
+        paas = float((grp["p_e2"] * grp["q"]).sum()) / pdn
+        assert got.loc[t, "laspeyres"] == pytest.approx(lasp, abs=2e-6)
+        assert got.loc[t, "paasche"] == pytest.approx(paas, abs=2e-6)
+        assert got.loc[t, "fisher"] == pytest.approx(
+            math.sqrt(lasp * paas), abs=2e-6
+        )
+
+
+def test_intent_qs301_theils_u(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    x = o["o_orderpriority"].to_numpy()
+    y = o["o_orderstatus"].to_numpy()
+    n = len(o)
+    py = pd.Series(y).value_counts() / n
+    hy = float(-(py * np.log(py)).sum())
+    hyx = 0.0
+    for xv in np.unique(x):
+        sel = x == xv
+        pxy = pd.Series(y[sel]).value_counts() / n
+        pygx = pd.Series(y[sel]).value_counts() / sel.sum()
+        hyx += float(-(pxy.to_numpy() * np.log(pygx.to_numpy())).sum())
+    got = _run(spark, sf_dir, "qs301_theils_u").iloc[0]
+    assert got["n"] == n
+    assert got["h_y"] == pytest.approx(hy, abs=2e-4)
+    assert got["h_y_given_x"] == pytest.approx(hyx, abs=2e-4)
+    assert got["theils_u"] == pytest.approx((hy - hyx) / hy, abs=2e-4)
+
+
+def test_intent_qs296_rmst(spark, sf_dir):
+    ev = _pd(sf_dir, "events")
+    e0 = ev["ts"].dt.date.min()
+    t = (
+        pd.DataFrame({"u": ev["user_id"], "d": ev["ts"].dt.date})
+        .groupby("u")["d"]
+        .max()
+        .map(lambda d: (d - e0).days)
+        .to_numpy()
+    )
+    tau = 21
+    n = len(t)
+    times = np.sort(np.unique(t))
+    s, at_risk = 1.0, n
+    rmst = 0.0
+    prev, s_at_tau = 0, 1.0
+    for tt in times:
+        seg_end = min(int(tt), tau)
+        rmst += s * max(0, seg_end - prev)
+        prev = seg_end
+        d = int((t == tt).sum())
+        s *= 1 - d / at_risk
+        at_risk -= d
+        if tt <= tau:
+            s_at_tau = s
+    rmst += s * max(0, tau - prev)
+    got = _run(spark, sf_dir, "qs296_rmst").iloc[0]
+    assert got["tau_days"] == tau and got["n_users"] == n
+    assert got["rmst_days"] == pytest.approx(rmst, abs=2e-4)
+    assert got["surv_at_tau"] == pytest.approx(s_at_tau, abs=2e-4)
+
+
+def test_intent_qs229_eb_shrinkage(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    g = (
+        pd.DataFrame(
+            {"grp": li["l_partkey"] % 500, "c": _cents(li["l_extendedprice"])}
+        )
+        .groupby("grp")["c"]
+        .agg(["count", "sum"])
+    )
+    grand = g["sum"].sum() / g["count"].sum()
+    got = _run(spark, sf_dir, "qs229_eb_shrinkage").set_index("grp")
+    for grp, row in g.iterrows():
+        n, c = int(row["count"]), int(row["sum"])
+        assert got.loc[grp, "n"] == n
+        assert got.loc[grp, "raw_mean_cents"] == pytest.approx(
+            c / n, abs=2e-4
+        )
+        assert got.loc[grp, "shrunk_mean_cents"] == pytest.approx(
+            (c + 20 * grand) / (n + 20), abs=2e-4
+        )
+
+
+def test_intent_qs184_powerlaw(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    f = o["o_custkey"].value_counts().to_numpy()
+    fit = f[f >= 5].astype(float)
+    # discrete Hill/Clauset MLE approximation with x_min - 1/2
+    alpha = 1 + len(fit) / float(np.log(fit / 4.5).sum())
+    got = _run(spark, sf_dir, "qs184_powerlaw_fit").iloc[0]
+    assert got["n_fit"] == len(fit)
+    assert got["fmin"] == 5
+    assert got["alpha"] == pytest.approx(alpha, abs=2e-4)
