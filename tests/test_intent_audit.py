@@ -957,3 +957,772 @@ def test_intent_qs184_powerlaw(spark, sf_dir):
     assert got["n_fit"] == len(fit)
     assert got["fmin"] == 5
     assert got["alpha"] == pytest.approx(alpha, abs=2e-4)
+
+
+# -- wave 4: the r10 grading window's remaining named statistics ------------
+
+
+def test_intent_qs322_pages_trend(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    wk = (
+        pd.DataFrame(
+            {
+                "b": o["o_orderdate"].dt.to_period("W-SUN").dt.start_time,
+                "t": o["o_orderpriority"].str[0].astype(int),
+                "c": _cents(o["o_totalprice"]),
+            }
+        )
+        .groupby(["b", "t"])["c"]
+        .sum()
+        .unstack()
+        .dropna()
+    )
+    b, k = wk.shape
+    ranks = wk.rank(axis=1, method="first")  # unique sums; tie by t
+    ell = int((ranks * np.arange(1, k + 1)).to_numpy().sum())
+    z = (ell - b * k * (k + 1) ** 2 / 4) / math.sqrt(
+        b * k**2 * (k + 1) * (k**2 - 1) / 144
+    )
+    got = _run(spark, sf_dir, "qs322_pages_trend").iloc[0]
+    assert got["nb"] == b
+    assert got["l"] == ell
+    assert got["z"] == pytest.approx(z, abs=2e-4)
+
+
+def test_intent_qs329_gmd(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    got = _run(spark, sf_dir, "qs329_gini_mean_difference").set_index(
+        "flag"
+    )
+    for flag, grp in li.groupby("l_returnflag"):
+        v = grp["l_quantity"].astype(np.int64).to_numpy()
+        n = len(v)
+        gmd = float(np.abs(v[:, None] - v[None, :]).sum()) / (
+            n * (n - 1)
+        )
+        assert got.loc[flag, "n"] == n
+        assert got.loc[flag, "gmd"] == pytest.approx(gmd, abs=2e-6)
+
+
+def test_intent_qs335_zipf_slope(spark, sf_dir):
+    docs = _pd(sf_dir, "documents")
+    toks = pd.Series(
+        [t for s in docs["text"] for t in s.lower().split(" ") if t]
+    )
+    f = toks.value_counts()
+    top = f.sort_values(ascending=False).head(100)
+    # rank ties broken by term, matching the documented (f desc, term)
+    top = top.reset_index()
+    top.columns = ["term", "f"]
+    top = top.sort_values(["f", "term"], ascending=[False, True])
+    x = np.log(np.arange(1, len(top) + 1, dtype=float))
+    y = np.log(top["f"].to_numpy(dtype=float))
+    slope = np.polyfit(x, y, 1)[0]
+    got = _run(spark, sf_dir, "qs335_zipf_slope").iloc[0]
+    assert got["n_terms"] == len(top)
+    assert got["zipf_slope"] == pytest.approx(slope, abs=2e-4)
+
+
+def test_intent_qs350_theil(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    c = (
+        pd.DataFrame(
+            {"grp": li["l_partkey"] % 200, "c": _cents(li["l_extendedprice"])}
+        )
+        .groupby("grp")["c"]
+        .sum()
+        .to_numpy()
+        .astype(float)
+    )
+    n = len(c)
+    s = c / c.sum()
+    theil_t = float((s * np.log(s * n)).sum())
+    theil_l = float(-(np.log(s * n)).sum() / n)
+    got = _run(spark, sf_dir, "qs350_theil_index").iloc[0]
+    assert got["n_groups"] == n
+    assert got["theil_t"] == pytest.approx(theil_t, abs=2e-6)
+    assert got["theil_l"] == pytest.approx(theil_l, abs=2e-6)
+
+
+def test_intent_qs343_kupiec(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    df = pd.DataFrame(
+        {
+            "prio": o["o_orderpriority"],
+            "v": _cents(o["o_totalprice"]),
+            "y": o["o_orderdate"].dt.year,
+        }
+    )
+    got = _run(spark, sf_dir, "qs343_kupiec_pof").set_index("prio")
+    for prio, g in df.groupby("prio"):
+        v96 = np.sort(g.loc[g["y"] == 1996, "v"].to_numpy())[::-1]
+        var95 = int(v96[math.ceil(len(v96) / 20) - 1])
+        oos = g.loc[g["y"] == 1997, "v"].to_numpy()
+        n, x = len(oos), int((oos >= var95).sum())
+        lr = -2 * (
+            (n - x) * math.log(0.95)
+            + x * math.log(0.05)
+            - (n - x) * math.log(1 - x / n)
+            - (x * math.log(x / n) if x > 0 else 0.0)
+        )
+        assert got.loc[prio, "var95_cents"] == var95
+        assert got.loc[prio, "n"] == n and got.loc[prio, "x"] == x
+        assert got.loc[prio, "lr_pof"] == pytest.approx(lr, abs=2e-4)
+
+
+def _bin_labels(sf_dir):
+    c = _pd(sf_dir, "customer")
+    o = _pd(sf_dir, "orders")
+    has = c["c_custkey"].isin(set(o["o_custkey"]))
+    b = np.clip(
+        np.floor((c["c_acctbal"].to_numpy() + 1000) / 1100).astype(int),
+        0,
+        9,
+    )
+    return b, has.to_numpy().astype(int)
+
+
+def test_intent_qs330_average_precision(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    y95 = o[o["o_orderdate"].dt.year == 1995]
+    spend = (
+        pd.DataFrame(
+            {"cust": y95["o_custkey"], "c": _cents(y95["o_totalprice"])}
+        )
+        .groupby("cust")["c"]
+        .sum()
+        .reset_index()
+    )
+    resp = set(o.loc[o["o_orderdate"].dt.year == 1996, "o_custkey"])
+    spend["rel"] = spend["cust"].isin(resp).astype(int)
+    top = spend.sort_values(
+        ["c", "cust"], ascending=[False, True]
+    ).head(1000)
+    rel = top["rel"].to_numpy()
+    cum = np.cumsum(rel)
+    rn = np.arange(1, len(rel) + 1)
+    ap = float((cum[rel == 1] / rn[rel == 1]).sum()) / cum[-1]
+    got = _run(spark, sf_dir, "qs330_average_precision").iloc[0]
+    assert got["n_rel_retrieved"] == int(cum[-1])
+    assert got["n_rel_total"] == int(spend["rel"].sum())
+    assert got["ap"] == pytest.approx(ap, abs=2e-6)
+
+
+def test_intent_qs332_brier_decomposition(spark, sf_dir):
+    b, y = _bin_labels(sf_dir)
+    n = len(y)
+    obar = y.mean()
+    rel = res = 0.0
+    for k in range(10):
+        sel = b == k
+        nk = int(sel.sum())
+        if nk == 0:
+            continue
+        ok = y[sel].mean()
+        pk = (2 * k + 1) / 20
+        rel += nk * (pk - ok) ** 2
+        res += nk * (ok - obar) ** 2
+    got = _run(spark, sf_dir, "qs332_brier_decomposition").iloc[0]
+    assert got["n"] == n
+    assert got["reliability"] == pytest.approx(rel / n, abs=2e-6)
+    assert got["resolution"] == pytest.approx(res / n, abs=2e-6)
+    assert got["uncertainty"] == pytest.approx(
+        obar * (1 - obar), abs=2e-6
+    )
+
+
+def test_intent_qs333_binned_logloss(spark, sf_dir):
+    b, y = _bin_labels(sf_dir)
+    ll = 0.0
+    for k in range(10):
+        sel = b == k
+        s, nk = int(y[sel].sum()), int(sel.sum())
+        p = (2 * k + 1) / 20
+        ll -= s * math.log(p) + (nk - s) * math.log(1 - p)
+    got = _run(spark, sf_dir, "qs333_binned_logloss").iloc[0]
+    assert got["n"] == len(y)
+    assert got["logloss"] == pytest.approx(ll / len(y), abs=2e-6)
+
+
+def test_intent_qs336_xyz(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    wk = (
+        pd.DataFrame(
+            {
+                "grp": li["l_partkey"] % 200,
+                "w": li["l_shipdate"].dt.to_period("W-SUN").dt.start_time,
+                "q": li["l_quantity"].astype(np.int64),
+            }
+        )
+        .groupby(["grp", "w"])["q"]
+        .sum()
+        .reset_index(name="x")
+    )
+    got = _run(spark, sf_dir, "qs336_xyz_classification").set_index("grp")
+    for grp, g in wk.groupby("grp"):
+        x = g["x"].to_numpy().astype(float)
+        n = len(x)
+        cv2 = x.var(ddof=0) / x.mean() ** 2  # population CV^2
+        cls = "X" if cv2 <= 0.25 else ("Y" if cv2 <= 1.0 else "Z")
+        assert got.loc[grp, "n"] == n
+        # engine reports an e6 trunc of the same integer-exact ratio
+        assert got.loc[grp, "cv2_e6"] == pytest.approx(
+            cv2 * 1e6, abs=1.01
+        )
+        assert got.loc[grp, "xyz"] == cls
+
+
+def test_intent_qs338_croston(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    li = li[li["l_partkey"] % 97 == 3]
+    wk0 = pd.Timestamp("1995-01-02")
+    dem = (
+        pd.DataFrame(
+            {
+                "grp": li["l_partkey"] % 10,
+                "w": (
+                    li["l_shipdate"].dt.to_period("W-SUN").dt.start_time
+                    - wk0
+                ).dt.days
+                // 7,
+                "q": li["l_quantity"].astype(np.int64),
+            }
+        )
+        .groupby(["grp", "w"])["q"]
+        .sum()
+        .reset_index(name="z")
+    )
+    got = _run(spark, sf_dir, "qs338_croston_forecast").set_index("grp")
+    for grp, g in dem.groupby("grp"):
+        g = g.sort_values("w")
+        z = g["z"].to_numpy().astype(float)
+        w = g["w"].to_numpy()
+        gaps = np.concatenate([[1.0], np.diff(w).astype(float)])
+        zh, ph = z[0], gaps[0]
+        for j in range(1, len(z)):  # classic SES recursion, alpha=0.2
+            zh = 0.2 * z[j] + 0.8 * zh
+            ph = 0.2 * gaps[j] + 0.8 * ph
+        assert got.loc[grp, "n_demands"] == len(z)
+        assert got.loc[grp, "size_hat"] == pytest.approx(zh, abs=2e-4)
+        assert got.loc[grp, "interval_hat"] == pytest.approx(
+            ph, abs=2e-4
+        )
+        assert got.loc[grp, "croston_rate"] == pytest.approx(
+            zh / ph, abs=2e-4
+        )
+
+
+def test_intent_qs326_bowker(spark, sf_dir):
+    o = _pd(sf_dir, "orders").sort_values(["o_orderdate", "o_orderkey"])
+    fp = o.groupby("o_custkey")["o_orderpriority"].first()
+    lp = o.groupby("o_custkey")["o_orderpriority"].last()
+    cats = sorted(o["o_orderpriority"].unique())
+    chi2, dof = 0.0, 0
+    for a in range(len(cats)):
+        for b in range(a + 1, len(cats)):
+            nab = int(((fp == cats[a]) & (lp == cats[b])).sum())
+            nba = int(((fp == cats[b]) & (lp == cats[a])).sum())
+            dof += 1
+            if nab + nba > 0:
+                chi2 += (nab - nba) ** 2 / (nab + nba)
+    got = _run(spark, sf_dir, "qs326_bowker_symmetry").iloc[0]
+    assert got["df"] == dof
+    assert got["chi2"] == pytest.approx(chi2, abs=2e-4)
+
+
+def test_intent_qs339_cucconi(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    df = pd.DataFrame(
+        {
+            "g": (o["o_custkey"] % 2).to_numpy(),
+            "key": o["o_orderkey"].to_numpy(),
+            "v": _cents(o["o_totalprice"]),
+        }
+    ).sort_values(["v", "key"], kind="mergesort")
+    n = len(df)
+    rk = np.arange(1, n + 1)
+    sel = df["g"].to_numpy() == 1
+    n1, n0 = int(sel.sum()), int(n - sel.sum())
+    sr2 = float((rk[sel] ** 2).sum())
+    ss2 = float(((n + 1 - rk[sel]) ** 2).sum())
+    den = math.sqrt(n1 * n0 * (n + 1) * (2 * n + 1) * (8 * n + 11) / 5)
+    u = (6 * sr2 - n1 * (n + 1) * (2 * n + 1)) / den
+    v = (6 * ss2 - n1 * (n + 1) * (2 * n + 1)) / den
+    rho = 2 * (n**2 - 4) / ((2 * n + 1) * (8 * n + 11)) - 1
+    c = (u**2 + v**2 - 2 * rho * u * v) / (2 * (1 - rho**2))
+    got = _run(spark, sf_dir, "qs339_cucconi_test").iloc[0]
+    assert got["n1"] == n1 and got["n0"] == n0
+    assert got["u"] == pytest.approx(u, abs=2e-4)
+    assert got["v"] == pytest.approx(v, abs=2e-4)
+    assert got["c_stat"] == pytest.approx(c, abs=2e-4)
+
+
+def test_intent_qs347_weighted_kappa(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    i = o["o_orderpriority"].str[0].astype(int).to_numpy()
+    j = np.minimum(
+        5, 1 + np.floor(o["o_totalprice"].to_numpy() / 100000).astype(int)
+    )
+    n = len(i)
+    # quadratic-disagreement-weight kappa: 1 - n*sum(w*obs)/sum(w*exp)
+    wo = float(((i - j) ** 2).sum())
+    wrc = 0.0
+    for a in np.unique(i):
+        for b in np.unique(j):
+            wrc += (
+                (a - b) ** 2
+                * int((i == a).sum())
+                * int((j == b).sum())
+            )
+    kappa = 1 - n * wo / wrc
+    got = _run(spark, sf_dir, "qs347_weighted_kappa").iloc[0]
+    assert got["n_orders"] == n
+    assert got["weighted_kappa"] == pytest.approx(kappa, abs=2e-6)
+
+
+def test_intent_qs348_entropy_profile(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    li = _pd(sf_dir, "lineitem")
+    c = _pd(sf_dir, "customer")
+    cols = {
+        "o_orderpriority": o["o_orderpriority"],
+        "o_orderstatus": o["o_orderstatus"],
+        "l_returnflag": li["l_returnflag"],
+        "c_mktsegment": c["c_mktsegment"],
+    }
+    got = _run(spark, sf_dir, "qs348_entropy_profile").set_index(
+        "column_name"
+    )
+    for name, s in cols.items():
+        p = s.value_counts(normalize=True).to_numpy()
+        h = float(-(p * np.log(p)).sum())
+        k = len(p)
+        assert got.loc[name, "n"] == len(s)
+        assert got.loc[name, "n_distinct"] == k
+        assert got.loc[name, "entropy_nats"] == pytest.approx(
+            h, abs=2e-6
+        )
+        assert got.loc[name, "normalized"] == pytest.approx(
+            h / math.log(k), abs=2e-6
+        )
+
+
+def test_intent_qs349_page_hinkley(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    o = o[o["o_orderdate"].dt.year.isin([1996, 1997])]
+    daily = (
+        pd.DataFrame(
+            {"d": o["o_orderdate"].dt.date, "c": _cents(o["o_totalprice"])}
+        )
+        .groupby("d")["c"]
+        .sum()
+        .sort_index()
+        // 10000
+    )
+    x = daily.to_numpy().astype(float)
+    days = daily.index.to_numpy()
+    # online PH: m_T = sum_{s<=T} (x_s - running_mean_s - delta)
+    m, sx, ms = 0.0, 0.0, []
+    for t, xv in enumerate(x, start=1):
+        sx += xv
+        m += xv - sx / t - 5.0
+        ms.append(m)
+    ms = np.array(ms)
+    got = _run(spark, sf_dir, "qs349_page_hinkley").iloc[0]
+    assert got["n_days"] == len(x)
+    assert got["ph_range"] == pytest.approx(
+        float(ms.max() - ms.min()), abs=2e-4
+    )
+    assert got["peak_day"] == days[int(np.argmax(ms))]
+
+
+def test_intent_qs327_ordinal_association(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    x = o["o_orderpriority"].str[0].astype(int).to_numpy()
+    y = np.minimum(
+        4, 1 + np.floor(o["o_totalprice"].to_numpy() / 150000).astype(int)
+    )
+    n = len(x)
+    xs, ys = np.unique(x), np.unique(y)
+    tab = np.zeros((len(xs), len(ys)), dtype=np.int64)
+    for i, xv in enumerate(xs):
+        for j, yv in enumerate(ys):
+            tab[i, j] = int(((x == xv) & (y == yv)).sum())
+    conc = disc = tx = ty = 0
+    for i in range(len(xs)):
+        for j in range(len(ys)):
+            conc += tab[i, j] * tab[i + 1 :, j + 1 :].sum()
+            disc += tab[i, j] * tab[i + 1 :, :j].sum()
+            tx += tab[i, j] * tab[i, j + 1 :].sum()  # tied x, y differs
+            ty += tab[i, j] * tab[i + 1 :, j].sum()  # tied y, x differs
+    m = min(len(xs), len(ys))
+    got = _run(spark, sf_dir, "qs327_ordinal_association").iloc[0]
+    assert got["conc"] == conc and got["disc"] == disc
+    assert got["gamma"] == pytest.approx(
+        (conc - disc) / (conc + disc), abs=2e-6
+    )
+    assert got["somers_d_yx"] == pytest.approx(
+        (conc - disc) / (conc + disc + ty), abs=2e-6
+    )
+    assert got["somers_d_xy"] == pytest.approx(
+        (conc - disc) / (conc + disc + tx), abs=2e-6
+    )
+    # Kendall tau-c = 2m(C-D)/(n^2(m-1))
+    assert got["tau_c"] == pytest.approx(
+        2 * m * (conc - disc) / (n * n * (m - 1)), abs=2e-6
+    )
+
+
+def test_intent_qs328_quade(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    wk = (
+        pd.DataFrame(
+            {
+                "b": o["o_orderdate"].dt.to_period("W-SUN").dt.start_time,
+                "t": o["o_orderpriority"].str[0].astype(int),
+                "c": _cents(o["o_totalprice"]),
+            }
+        )
+        .groupby(["b", "t"])["c"]
+        .sum()
+        .unstack()
+        .dropna()
+    )
+    nb, k = wk.shape
+    ranks = wk.rank(axis=1, method="first").to_numpy()
+    # block weights: rank of each block's sample range (ties broken by
+    # block order — method="first" over the b-sorted frame)
+    rng = (wk.max(axis=1) - wk.min(axis=1)).sort_index()
+    qb = rng.rank(method="first").to_numpy()
+    s = qb[:, None] * (ranks - (k + 1) / 2)
+    a = float((s**2).sum())
+    bstat = float((s.sum(axis=0) ** 2).sum()) / nb
+    f = (nb - 1) * bstat / (a - bstat)
+    got = _run(spark, sf_dir, "qs328_quade_test").iloc[0]
+    assert got["nb"] == nb
+    assert got["f_stat"] == pytest.approx(f, abs=2e-4)
+
+
+def test_intent_qs337_association_metrics(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    basket = (
+        pd.DataFrame(
+            {"o": li["l_orderkey"], "item": li["l_partkey"] % 50}
+        )
+        .drop_duplicates()
+    )
+    nn = basket["o"].nunique()
+    sup = basket.groupby("item")["o"].apply(set)
+    got = _run(spark, sf_dir, "qs337_association_metrics").set_index(
+        ["item_a", "item_b"]
+    )
+    checked = 0
+    items = sorted(sup.index)
+    for ai in range(len(items)):
+        for bi in range(ai + 1, len(items)):
+            a, b = items[ai], items[bi]
+            s_ab = len(sup[a] & sup[b])
+            if s_ab < 5:
+                assert (a, b) not in got.index
+                continue
+            sa, sb = len(sup[a]), len(sup[b])
+            lev = s_ab / nn - (sa / nn) * (sb / nn)
+            conv = (
+                (1 - sb / nn) / (1 - s_ab / sa)
+                if sb < nn and s_ab < sa
+                else None
+            )
+            zhang = (s_ab * nn - sa * sb) / max(
+                s_ab * nn - s_ab * sb, sa * sb - s_ab * sb
+            )
+            row = got.loc[(a, b)]
+            assert row["support"] == s_ab
+            assert row["leverage"] == pytest.approx(lev, abs=2e-6)
+            if conv is not None:
+                assert row["conviction"] == pytest.approx(conv, abs=2e-6)
+            assert row["zhang"] == pytest.approx(zhang, abs=2e-6)
+            checked += 1
+    assert checked == len(got)
+
+
+def test_intent_qs340_temporal_conformance(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    o = _pd(sf_dir, "orders")
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    lag = (j["l_shipdate"].dt.normalize() - j["o_orderdate"]).dt.days
+    got = _run(spark, sf_dir, "qs340_temporal_conformance").set_index(
+        "status"
+    )
+    for st, g in lag.groupby(j["o_orderstatus"]):
+        assert got.loc[st, "n"] == len(g)
+        assert got.loc[st, "n_violation"] == int((g < 0).sum())
+        assert got.loc[st, "n_0_30"] == int(((g >= 0) & (g <= 30)).sum())
+        assert got.loc[st, "n_31_90"] == int(((g > 30) & (g <= 90)).sum())
+        assert got.loc[st, "n_gt_90"] == int((g > 90).sum())
+
+
+def test_intent_qs315_dedup_cluster_stats(spark, sf_dir):
+    import hashlib
+
+    docs = _pd(sf_dir, "documents")
+    h = docs["text"].map(
+        lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()
+    )
+    sizes = h.value_counts().value_counts().sort_index()
+    got = _run(spark, sf_dir, "qs315_dedup_cluster_stats").set_index(
+        "cluster_size"
+    )
+    assert len(got) == len(sizes)
+    for k, n_cl in sizes.items():
+        assert got.loc[k, "n_clusters"] == n_cl
+        assert got.loc[k, "n_docs"] == k * n_cl
+        assert got.loc[k, "n_removable"] == (k - 1) * n_cl
+
+
+# -- wave 5: remaining r10-window statistics ---------------------------------
+
+
+def test_intent_qs321_kendalls_w(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    wk = (
+        pd.DataFrame(
+            {
+                "b": o["o_orderdate"].dt.to_period("W-SUN").dt.start_time,
+                "t": o["o_orderpriority"],
+                "c": _cents(o["o_totalprice"]),
+            }
+        )
+        .groupby(["b", "t"])["c"]
+        .sum()
+        .unstack()
+        .dropna()
+    )
+    b, k = wk.shape
+    ranks = wk.rank(axis=1, method="average")
+    rj = ranks.sum(axis=0).to_numpy()
+    s = float(((rj - b * (k + 1) / 2) ** 2).sum())
+    tt = 0
+    for _i, row in wk.iterrows():
+        _v, counts = np.unique(row.to_numpy(), return_counts=True)
+        tt += int((counts**3 - counts).sum())
+    w = 12 * s / (b**2 * k * (k**2 - 1) - b * tt)
+    got = _run(spark, sf_dir, "qs321_kendalls_w").iloc[0]
+    assert got["n_blocks"] == b
+    assert got["kendalls_w"] == pytest.approx(w, abs=2e-4)
+
+
+def test_intent_qs318_ljung_box(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    t = (o["o_orderdate"].dt.year - 1992) * 12 + o["o_orderdate"].dt.month
+    y = t.value_counts().sort_index().to_numpy().astype(float)
+    n = len(y)
+    e = y - y.mean()
+    c0 = float((e * e).sum())
+    q = 0.0
+    for k in range(1, 13):
+        rk = float((e[:-k] * e[k:]).sum()) / c0
+        q += rk**2 / (n - k)
+    q *= n * (n + 2)
+    got = _run(spark, sf_dir, "qs318_ljung_box").iloc[0]
+    assert got["n_months"] == n and got["m_lags"] == 12
+    assert got["q_lb"] == pytest.approx(q, abs=2e-4)
+
+
+def test_intent_qs319_cochran_q(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    f = np.stack(
+        [
+            (o["o_totalprice"] > 150000).to_numpy().astype(int),
+            o["o_orderpriority"]
+            .isin(["1-URGENT", "2-HIGH"])
+            .to_numpy()
+            .astype(int),
+            (o["o_orderstatus"] == "F").to_numpy().astype(int),
+        ],
+        axis=1,
+    )
+    k = 3
+    cj = f.sum(axis=0)
+    ri = f.sum(axis=1)
+    s = int(ri.sum())
+    q = (
+        k
+        * (k - 1)
+        * float(((cj - s / k) ** 2).sum())
+        / (k * s - int((ri**2).sum()))
+    )
+    got = _run(spark, sf_dir, "qs319_cochran_q").iloc[0]
+    assert got["n"] == len(f) and got["k"] == k
+    assert got["q_cochran"] == pytest.approx(q, abs=2e-4)
+
+
+def test_intent_qs316_partial_correlation(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    x = li["l_quantity"].astype(float).to_numpy()
+    y = _cents(li["l_extendedprice"]).astype(float)
+    z = np.round(li["l_discount"].to_numpy() * 100).astype(float)
+    rxy = np.corrcoef(x, y)[0, 1]
+    rxz = np.corrcoef(x, z)[0, 1]
+    ryz = np.corrcoef(y, z)[0, 1]
+    pc = (rxy - rxz * ryz) / math.sqrt((1 - rxz**2) * (1 - ryz**2))
+    got = _run(spark, sf_dir, "qs316_partial_correlation").iloc[0]
+    assert got["n"] == len(x)
+    assert got["r_xy"] == pytest.approx(rxy, abs=2e-4)
+    assert got["r_xy_given_z"] == pytest.approx(pc, abs=2e-4)
+    assert got["vif_x_on_z"] == pytest.approx(
+        1 / (1 - rxz**2), abs=2e-4
+    )
+
+
+def test_intent_qs317_process_capability(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    o = _pd(sf_dir, "orders")
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    lag = (
+        (j["l_shipdate"].dt.normalize() - j["o_orderdate"]).dt.days
+    ).to_numpy(dtype=float)
+    mu, sd = lag.mean(), lag.std(ddof=1)
+    cp = (120 - 0) / (6 * sd)
+    cpk = min(120 - mu, mu - 0) / (3 * sd)
+    got = _run(spark, sf_dir, "qs317_process_capability").iloc[0]
+    assert got["n"] == len(lag)
+    assert got["mean_lag_days"] == pytest.approx(mu, abs=2e-4)
+    assert got["cp"] == pytest.approx(cp, abs=2e-4)
+    assert got["cpk"] == pytest.approx(cpk, abs=2e-4)
+
+
+def test_intent_qs307_gini(spark, sf_dir):
+    c = _pd(sf_dir, "customer")
+    nat = _pd(sf_dir, "nation")
+    c = c[c["c_acctbal"] > 0]
+    df = pd.DataFrame(
+        {
+            "nk": c["c_nationkey"],
+            "cents": _cents(c["c_acctbal"]),
+        }
+    ).merge(nat, left_on="nk", right_on="n_nationkey")
+    got = _run(spark, sf_dir, "qs307_gini_balances").set_index("nation")
+    for name, g in df.groupby("n_name"):
+        x = np.sort(g["cents"].to_numpy()).astype(float)
+        n = len(x)
+        gini = (2 * float((np.arange(1, n + 1) * x).sum()) - (n + 1)
+                * x.sum()) / (n * x.sum())
+        assert got.loc[name, "n_customers"] == n
+        assert got.loc[name, "gini"] == pytest.approx(gini, abs=2e-4)
+
+
+def test_intent_qs312_anova_effect_sizes(spark, sf_dir):
+    ev = _pd(sf_dir, "events")
+    df = pd.DataFrame(
+        {"g": ev["event_type"], "v": _cents(ev["value"]).astype(float)}
+    )
+    n = len(df)
+    k = df["g"].nunique()
+    grand = df["v"].mean()
+    ssb = sum(
+        len(g) * (g["v"].mean() - grand) ** 2
+        for _x, g in df.groupby("g")
+    )
+    sst = float(((df["v"] - grand) ** 2).sum())
+    ssw = sst - ssb
+    msw = ssw / (n - k)
+    eta2 = ssb / sst
+    omega2 = (ssb - (k - 1) * msw) / (sst + msw)
+    got = _run(spark, sf_dir, "qs312_anova_effect_sizes").iloc[0]
+    assert got["k"] == k and got["n"] == n
+    assert got["eta2"] == pytest.approx(eta2, abs=2e-6)
+    assert got["omega2"] == pytest.approx(omega2, abs=2e-6)
+
+
+def test_intent_qs325_breslow_day(spark, sf_dir):
+    c = _pd(sf_dir, "customer")
+    o = _pd(sf_dir, "orders")
+    heavy = set(
+        o.groupby("o_custkey").size().loc[lambda s: s >= 11].index
+    )
+    segs = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+            "MACHINERY")
+    tabs = []
+    for seg in segs:
+        sel = c["c_mktsegment"] == seg
+        x = (c.loc[sel, "c_acctbal"] > 5000).to_numpy()
+        y = c.loc[sel, "c_custkey"].isin(heavy).to_numpy()
+        tabs.append(
+            (
+                float((x & y).sum()),
+                float((x & ~y).sum()),
+                float((~x & y).sum()),
+                float((~x & ~y).sum()),
+            )
+        )
+    # Mantel-Haenszel common odds ratio
+    orr = sum(a * d / (a + b + cc + d) for a, b, cc, d in tabs) / sum(
+        b * cc / (a + b + cc + d) for a, b, cc, d in tabs
+    )
+    chi2 = 0.0
+    for a, b, cc, d in tabs:
+        n1, m1, n = a + b, a + cc, a + b + cc + d
+        # fitted a under the common OR: the standard quadratic, minus
+        # root (keeps all four fitted cells positive)
+        A = orr - 1
+        B = orr * (n1 + m1) + (n - n1 - m1)
+        C = orr * n1 * m1
+        atil = (B - math.sqrt(B * B - 4 * A * C)) / (2 * A)
+        var = 1 / (
+            1 / atil
+            + 1 / (n1 - atil)
+            + 1 / (m1 - atil)
+            + 1 / (n - n1 - m1 + atil)
+        )
+        chi2 += (a - atil) ** 2 / var
+    got = _run(spark, sf_dir, "qs325_breslow_day").iloc[0]
+    assert got["df"] == len(segs) - 1
+    assert got["common_or"] == pytest.approx(orr, abs=2e-6)
+    assert got["bd_chi2"] == pytest.approx(chi2, abs=2e-4)
+
+
+def test_intent_qs345_hurst(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    daily = (
+        pd.DataFrame(
+            {
+                "t": (
+                    o["o_orderdate"] - pd.Timestamp("1995-01-01")
+                ).dt.days,
+                "c": _cents(o["o_totalprice"]),
+            }
+        )
+        .groupby("t")["c"]
+        .sum()
+        // 10000
+    )
+    xs, ys, nb_total = [], [], 0
+    for w in (50, 100, 200, 400):
+        blocks = daily.groupby(daily.index // w)
+        rsvs = []
+        for _b, g in blocks:
+            if len(g) != w:
+                continue
+            y = g.sort_index().to_numpy().astype(float)
+            d = y - y.mean()
+            cum = np.cumsum(d)
+            s = y.std(ddof=0)
+            rsvs.append((cum.max() - cum.min()) / s)
+        if rsvs:
+            xs.append(math.log(w))
+            ys.append(math.log(np.mean(rsvs)))
+            nb_total += len(rsvs)
+    k = len(xs)
+    got = _run(spark, sf_dir, "qs345_hurst_exponent").iloc[0]
+    assert got["n_windows"] == k
+    if k < 2:
+        # degenerate slope (0/1 usable windows at tiny SFs): the query
+        # returns NULL — the textbook OLS is undefined there too
+        assert pd.isna(got["hurst"])
+        return
+    assert got["n_blocks"] == nb_total
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    hurst = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    assert got["hurst"] == pytest.approx(hurst, abs=2e-4)
