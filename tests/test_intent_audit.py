@@ -1726,3 +1726,440 @@ def test_intent_qs345_hurst(spark, sf_dir):
     sxy = sum(x * y for x, y in zip(xs, ys))
     hurst = (k * sxy - sx * sy) / (k * sxx - sx * sx)
     assert got["hurst"] == pytest.approx(hurst, abs=2e-4)
+
+
+# -- wave 6: older-round named statistics (KS, ranks, kappa, ECE) -----------
+
+
+def test_intent_qs227_ks(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    v = _cents(o["o_totalprice"])
+    g = (o["o_custkey"] % 2).to_numpy()
+    a = np.sort(v[g == 0])
+    b = np.sort(v[g == 1])
+    pooled = np.unique(v)
+    f0 = np.searchsorted(a, pooled, side="right") / len(a)
+    f1 = np.searchsorted(b, pooled, side="right") / len(b)
+    d = float(np.max(np.abs(f0 - f1)))
+    got = _run(spark, sf_dir, "qs227_ks_two_sample").iloc[0]
+    assert got["n0"] == len(a) and got["n1"] == len(b)
+    # engine reports an e6 floor of the exact rational D
+    assert got["ks_d_e6"] == int(d * 1e6) or got[
+        "ks_d_e6"
+    ] == pytest.approx(d * 1e6, abs=1.01)
+
+
+def test_intent_qs243_spearman(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    got = _run(spark, sf_dir, "qs243_spearman_corr").set_index("flag")
+    for flag, g in li.groupby("l_returnflag"):
+        rx = g["l_quantity"].rank(method="average").to_numpy()
+        ry = (
+            pd.Series(_cents(g["l_extendedprice"]))
+            .rank(method="average")
+            .to_numpy()
+        )
+        rho = np.corrcoef(rx, ry)[0, 1]
+        assert got.loc[flag, "n"] == len(g)
+        assert got.loc[flag, "spearman_rho"] == pytest.approx(
+            rho, abs=2e-4
+        )
+
+
+def test_intent_qs244_cohens_kappa(spark, sf_dir):
+    docs = _pd(sf_dir, "documents")
+    stop = {
+        "en": {"the", "a", "of", "and", "to", "in", "is", "that", "it",
+               "for"},
+        "de": {"der", "die", "das", "und", "ist", "nicht", "ein",
+               "mit", "auf", "zu"},
+        "es": {"el", "la", "de", "que", "y", "en", "un", "es", "no",
+               "por"},
+        "fr": {"le", "la", "de", "et", "un", "est", "pas", "que",
+               "pour", "dans"},
+    }
+    import re as _re
+
+    guesses, truths = [], []
+    for _i, row in docs.iterrows():
+        toks = _re.split(r"\s+", row["text"].lower())
+        hits = {
+            lang: sum(t in sw for t in toks) for lang, sw in stop.items()
+        }
+        best = max(hits.values())
+        if best == 0:
+            guess = "und"
+        else:  # tie order en > de > es > fr (the documented CASE order)
+            for lang in ("en", "de", "es", "fr"):
+                if hits[lang] == best:
+                    guess = lang
+                    break
+        guesses.append(guess)
+        truths.append(row["lang"])
+    g = np.array(guesses)
+    t = np.array(truths)
+    n = len(t)
+    po = float((g == t).mean())
+    labs = set(g) | set(t)
+    pe = sum(
+        float((t == L).sum()) * float((g == L).sum()) for L in labs
+    ) / (n * n)
+    kappa = (po - pe) / (1 - pe)
+    got = _run(spark, sf_dir, "qs244_langid_kappa_eval").iloc[0]
+    assert got["n_docs"] == n
+    assert got["accuracy"] == pytest.approx(po, abs=2e-4)
+    assert got["kappa"] == pytest.approx(kappa, abs=2e-4)
+
+
+def test_intent_qs254_mcnemar(spark, sf_dir):
+    docs = _pd(sf_dir, "documents")
+    toks = docs["text"].str.split(" ")
+    a = toks.map(len).between(50, 100000).astype(int)
+    avg = toks.map(lambda ts: sum(len(t) for t in ts) / len(ts))
+    b = avg.between(3.0, 10.0).astype(int)
+    nb = int(((a == 1) & (b == 0)).sum())
+    nc = int(((a == 0) & (b == 1)).sum())
+    # UNcorrected McNemar chi2 (documented; no continuity correction)
+    chi2 = 0.0 if nb + nc == 0 else (nb - nc) ** 2 / (nb + nc)
+    got = _run(spark, sf_dir, "qs254_mcnemar_paired").iloc[0]
+    assert got["only_a"] == nb and got["only_b"] == nc
+    assert got["mcnemar_chi2"] == pytest.approx(chi2, abs=2e-4)
+
+
+def test_intent_qs264_ece(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    y95 = o[o["o_orderdate"].dt.year == 1995]
+    spend = (
+        pd.DataFrame(
+            {"ck": y95["o_custkey"], "s": _cents(y95["o_totalprice"])}
+        )
+        .groupby("ck")["s"]
+        .sum()
+        .reset_index()
+    )
+    resp = set(o.loc[o["o_orderdate"].dt.year == 1996, "o_custkey"])
+    spend["y"] = spend["ck"].isin(resp).astype(int)
+    train = spend[spend["ck"] % 2 == 1].sort_values(
+        ["s", "ck"], ascending=[False, True]
+    )
+    test = spend[spend["ck"] % 2 == 0]
+    n_tr = len(train)
+    # NTILE(10): first (n mod 10) tiles get the extra row
+    base, extra = divmod(n_tr, 10)
+    tile_sizes = [base + (1 if i < extra else 0) for i in range(10)]
+    tiles = np.repeat(np.arange(1, 11), tile_sizes)
+    train = train.assign(d=tiles)
+    model = train.groupby("d").agg(
+        lo=("s", "min"), n_train=("s", "size"), r_train=("y", "sum")
+    )
+    los = model["lo"].to_numpy()
+
+    def assign(s):
+        ds = np.where(s >= los)[0]
+        return int(ds.min()) + 1 if len(ds) else 10
+
+    test = test.assign(d=test["s"].map(assign))
+    nt = len(test)
+    got = _run(spark, sf_dir, "qs264_calibration_ece").set_index(
+        "decile"
+    )
+    for d, g in test.groupby("d"):
+        conf = model.loc[d, "r_train"] / model.loc[d, "n_train"]
+        acc = g["y"].mean()
+        assert got.loc[d, "n_test"] == len(g)
+        assert got.loc[d, "confidence"] == pytest.approx(conf, abs=2e-4)
+        assert got.loc[d, "accuracy"] == pytest.approx(acc, abs=2e-4)
+        assert got.loc[d, "ece_contrib"] == pytest.approx(
+            abs(conf - acc) * len(g) / nt, abs=2e-6
+        )
+
+
+# -- wave 7: F / chi-square families, divergences, GOF -----------------------
+
+
+def test_intent_qs272_anova_oneway(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    df = pd.DataFrame(
+        {"g": o["o_orderstatus"], "v": _cents(o["o_totalprice"]).astype(float)}
+    )
+    n = len(df)
+    k = df["g"].nunique()
+    grand = df["v"].mean()
+    ssb = sum(
+        len(g) * (g["v"].mean() - grand) ** 2 for _x, g in df.groupby("g")
+    )
+    ssw = sum(
+        float(((g["v"] - g["v"].mean()) ** 2).sum())
+        for _x, g in df.groupby("g")
+    )
+    # the query reports mean squares in DOLLAR^2 (cents^2 / 1e4)
+    msb, msw = ssb / (k - 1) / 1e4, ssw / (n - k) / 1e4
+    got = _run(spark, sf_dir, "qs272_anova_oneway").iloc[0]
+    assert got["k"] == k and got["n"] == n
+    assert got["ms_between"] == pytest.approx(msb, rel=1e-6)
+    assert got["ms_within"] == pytest.approx(msw, rel=1e-6)
+    assert got["f_stat"] == pytest.approx(msb / msw, abs=2e-3)
+
+
+def test_intent_qs273_cramers_v(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    li = _pd(sf_dir, "lineitem")
+    pairs = {
+        "orders_priority_status": (o["o_orderpriority"], o["o_orderstatus"]),
+        "lineitem_flag_status": (li["l_returnflag"], li["l_linestatus"]),
+    }
+    got = _run(spark, sf_dir, "qs273_cramers_v").set_index("pair")
+    for pair, (x, y) in pairs.items():
+        tab = pd.crosstab(x, y).to_numpy().astype(float)
+        n = tab.sum()
+        exp = np.outer(tab.sum(axis=1), tab.sum(axis=0)) / n
+        chi2 = float(((tab - exp) ** 2 / exp).sum())
+        r, c = tab.shape
+        v = math.sqrt(chi2 / (n * (min(r, c) - 1)))
+        assert got.loc[pair, "n"] == n
+        assert got.loc[pair, "dof"] == (r - 1) * (c - 1)
+        assert got.loc[pair, "chi2"] == pytest.approx(chi2, abs=2e-4)
+        assert got.loc[pair, "cramers_v"] == pytest.approx(v, abs=2e-4)
+
+
+def test_intent_qs274_js_divergence(spark, sf_dir):
+    docs = _pd(sf_dir, "documents")
+    dists = {}
+    for src, g in docs.groupby("source"):
+        toks = pd.Series(
+            [t for s in g["text"] for t in s.lower().split(" ") if t]
+        )
+        dists[src] = toks.value_counts(normalize=True)
+    got = _run(spark, sf_dir, "qs274_js_divergence").set_index(
+        ["s1", "s2"]
+    )
+    srcs = sorted(dists)
+    checked = 0
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            p = dists[srcs[i]]
+            q = dists[srcs[j]]
+            support = p.index.union(q.index)
+            pv = p.reindex(support, fill_value=0.0).to_numpy()
+            qv = q.reindex(support, fill_value=0.0).to_numpy()
+            m = (pv + qv) / 2
+            with np.errstate(divide="ignore", invalid="ignore"):
+                jsd = 0.5 * float(
+                    np.where(pv > 0, pv * np.log(pv / m), 0.0).sum()
+                ) + 0.5 * float(
+                    np.where(qv > 0, qv * np.log(qv / m), 0.0).sum()
+                )
+            assert got.loc[(srcs[i], srcs[j]), "jsd_nats"] == pytest.approx(
+                jsd, abs=2e-4
+            )
+            assert got.loc[(srcs[i], srcs[j]), "jsd_bits"] == pytest.approx(
+                jsd / math.log(2), abs=2e-4
+            )
+            checked += 1
+    assert checked == len(got)
+
+
+def test_intent_qs261_cochran_armitage(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    w = o["o_orderpriority"].str[0].astype(int).to_numpy()
+    resp = (o["o_totalprice"] > 250000).to_numpy().astype(int)
+    n = len(w)
+    r = int(resp.sum())
+    swr = float((w * resp).sum())
+    swn = float(w.sum())
+    swwn = float((w * w).sum())
+    num = (n * swr - r * swn) ** 2 * n
+    den = r * (n - r) * (n * swwn - swn**2)
+    got = _run(spark, sf_dir, "qs261_cochran_armitage").iloc[0]
+    assert got["n"] == n and got["responders"] == r
+    assert got["ca_chi2"] == pytest.approx(num / den, abs=2e-4)
+
+
+def test_intent_qs284_poisson_gof(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    kcounts = li.groupby("l_orderkey").size()
+    obs = kcounts.value_counts().sort_index()
+    n = int(obs.sum())
+    lam = float(kcounts.mean())
+    disp = float(kcounts.var(ddof=0)) / lam
+    chi2 = 0.0
+    for k, o_k in obs.items():
+        e = n * math.exp(-lam) * lam**k / math.factorial(k)
+        chi2 += (o_k - e) ** 2 / e
+    got = _run(spark, sf_dir, "qs284_poisson_gof").iloc[0]
+    assert got["n_orders"] == n
+    assert got["lambda"] == pytest.approx(lam, abs=2e-4)
+    assert got["dispersion_index"] == pytest.approx(disp, abs=2e-4)
+    assert got["bins"] == len(obs)
+    assert got["chi2"] == pytest.approx(chi2, abs=2e-3)
+
+
+def test_intent_qs277_cmh(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    sad = sbc = sa = se = sv = 0.0
+    n_tot = 0
+    strata = 0
+    for _p, g in o.groupby("o_orderpriority"):
+        x = (g["o_custkey"] % 2 == 1).to_numpy()
+        y = (g["o_orderstatus"] == "F").to_numpy()
+        a = float((x & y).sum())
+        b = float((x & ~y).sum())
+        c = float((~x & y).sum())
+        d = float((~x & ~y).sum())
+        n = a + b + c + d
+        sad += a * d / n
+        sbc += b * c / n
+        sa += a
+        se += (a + b) * (a + c) / n
+        sv += (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1))
+        n_tot += int(n)
+        strata += 1
+    or_cmh = sad / sbc
+    chi2 = (abs(sa - se) - 0.5) ** 2 / sv  # continuity-corrected
+    got = _run(spark, sf_dir, "qs277_cmh_odds").iloc[0]
+    assert got["strata"] == strata and got["n"] == n_tot
+    assert got["or_cmh"] == pytest.approx(or_cmh, abs=2e-4)
+    assert got["chi2_cmh"] == pytest.approx(chi2, abs=2e-4)
+
+
+def test_intent_qs182_kaplan_meier(spark, sf_dir):
+    ev = _pd(sf_dir, "events")
+    last = ev.groupby("user_id")["ts"].max().dt.date
+    days = last.value_counts().sort_index()
+    at_risk = int(days.sum())
+    s = 1.0
+    got = _run(spark, sf_dir, "qs182_kaplan_meier").set_index("day")
+    for day, d in days.items():
+        srv = 0.0 if at_risk == d else s * (1 - d / at_risk)
+        row = got.loc[day]
+        assert row["deaths"] == d and row["at_risk"] == at_risk
+        assert row["survival"] == pytest.approx(srv, abs=2e-4)
+        s = srv if at_risk != d else 0.0
+        at_risk -= d
+
+
+def test_intent_qs174_benford(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    cents = _cents(o["o_totalprice"])
+    first = np.array([int(str(c)[0]) for c in cents])
+    n = len(first)
+    got = _run(spark, sf_dir, "qs174_benford_audit").set_index("digit")
+    for d in range(1, 10):
+        obs = int((first == d).sum())
+        exp = n * math.log10(1 + 1 / d)
+        assert got.loc[d, "obs"] == obs
+        assert got.loc[d, "exp_4dp"] == pytest.approx(exp, abs=2e-4)
+        assert got.loc[d, "chi2_term_e4"] == pytest.approx(
+            (obs - exp) ** 2 / exp * 10000, abs=0.51
+        )
+
+
+def test_intent_qs166_mutual_information(spark, sf_dir):
+    ev = _pd(sf_dir, "events")
+    x = ev["event_type"].to_numpy()
+    y = np.clip(
+        np.floor(ev["value"].to_numpy() / 32.0).astype(int), 0, 15
+    )
+    n = len(x)
+    mi = 0.0
+    for xv in np.unique(x):
+        for yv in np.unique(y):
+            pxy = float(((x == xv) & (y == yv)).sum()) / n
+            if pxy == 0:
+                continue
+            px = float((x == xv).sum()) / n
+            py = float((y == yv).sum()) / n
+            mi += pxy * math.log2(pxy / (px * py))
+    got = _run(spark, sf_dir, "qs166_mutual_information").iloc[0]
+    assert got["n"] == n
+    assert got["mi_bits"] == pytest.approx(mi, abs=2e-4)
+
+
+def test_intent_qs215_ndcg(spark, sf_dir):
+    docs = _pd(sf_dir, "documents")
+    tokens = {
+        r["doc_id"]: set(t for t in r["text"].lower().split(" ") if t)
+        for _i, r in docs.iterrows()
+    }
+    src = dict(zip(docs["doc_id"], docs["source"]))
+    weights = [round(1e6 / math.log2(rk + 1)) for rk in range(1, 11)]
+    got = _run(spark, sf_dir, "qs215_ndcg_retrieval_eval").set_index(
+        "qid"
+    )
+    for qid in docs.loc[docs["doc_id"] % 50 == 0, "doc_id"]:
+        qt = tokens[qid]
+        cands = [
+            (len(qt & tokens[cid]), cid)
+            for cid in tokens
+            if cid != qid and len(qt & tokens[cid]) > 0
+        ]
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        dcg = sum(
+            weights[rk]
+            for rk, (_ov, cid) in enumerate(cands[:10])
+            if src[cid] == src[qid]
+        )
+        n_rel = sum(
+            1 for d2, s2 in src.items() if s2 == src[qid] and d2 != qid
+        )
+        idcg = sum(weights[: min(10, n_rel)])
+        row = got.loc[qid]
+        assert row["dcg_e6"] == dcg
+        assert row["idcg_e6"] == idcg
+        # e6 floor ratio of the two quantized sums
+        assert row["ndcg_e6"] == dcg * 1_000_000 // idcg
+
+
+# -- sweep-completeness gate --------------------------------------------------
+
+
+def test_sweep_classification_is_complete():
+    """Every registry query must carry an intent-audit class in
+    tests/golden/intent_audit_classes.txt (the r10 task-2 sweep made
+    permanent): new queries fail on arrival until classified, stale
+    lines fail when queries are renamed/removed, and INTENT-TESTED
+    claims are verified against this file's own test bodies."""
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    golden = os.path.join(here, "golden", "intent_audit_classes.txt")
+    classes = {}
+    for line in open(golden):
+        line = line.rstrip("\n")
+        if not line or line.startswith("#"):
+            continue
+        name, cls = line.split("|", 1)
+        classes[name] = cls
+
+    allowed = {
+        "INTENT-TESTED",
+        "ANSI-STRUCTURAL",
+        "TWO-ENGINE-BUILTIN",
+        "EXACT-DEFINITIONAL",
+        "COVERED-ELSEWHERE",
+        "NAMED-STAT-REMAINING",
+    }
+    bad = {n: c for n, c in classes.items() if c not in allowed}
+    assert not bad, f"unknown class(es): {bad}"
+
+    registry = set(QUERIES)
+    missing = sorted(registry - set(classes))
+    assert not missing, (
+        "unclassified registry quer"
+        f"{'y' if len(missing) == 1 else 'ies'} — add to {golden}:\n"
+        + "\n".join(missing)
+    )
+    stale = sorted(set(classes) - registry)
+    assert not stale, f"stale classification line(s): {stale}"
+
+    src = open(os.path.abspath(__file__)).read()
+    mentioned = set(re.findall(r'"(qs\d+[a-z0-9_]*)"', src))
+    unbacked = sorted(
+        n
+        for n, c in classes.items()
+        if c == "INTENT-TESTED" and n not in mentioned
+    )
+    assert not unbacked, (
+        f"classified INTENT-TESTED but not exercised here: {unbacked}"
+    )
