@@ -49,8 +49,8 @@ def _sql_list(words: tuple[str, ...]) -> str:
     SELECT CAST(MAX(n) AS BIGINT) AS n,
            CAST((COUNT(DISTINCT t) - 1) * (COUNT(DISTINCT s) - 1)
                 AS BIGINT) AS dof,
-           ROUND(SUM(d * d / den) * MAX(n), 4) AS chi2,
-           ROUND(SQRT(SUM(d * d / den) * MAX(n) / (CAST(MAX(n) AS DOUBLE)
+           ROUND(SUM(d * d / den), 4) AS chi2,
+           ROUND(SQRT(SUM(d * d / den) / (CAST(MAX(n) AS DOUBLE)
                  * LEAST(COUNT(DISTINCT t) - 1, COUNT(DISTINCT s) - 1))),
                  4) AS cramers_v
     FROM terms
@@ -64,7 +64,9 @@ def qs241(spark: SparkSession, sf: str) -> DataFrame:
     behind feature screening and A/B segment-balance checks.
 
     Determinism: each cell's (oN − r·c) is an EXACT integer
-    (64/128-bit on Spark/DuckDB) before the single double division;
+    (64/128-bit on Spark/DuckDB) before the single double division
+    ((oN − rc)²/(Nrc) is exactly (o − E)²/E — r10 intent-audit fix:
+    a spurious ×N factor previously inflated χ² and pushed V above 1);
     the Σ over ≤ |types|·|segments| cells (20 here) is rounded at
     4 dp. Zero cells are absent from the contingency aggregate on
     BOTH engines (with >10³ events per cell expectation every cell
@@ -89,7 +91,12 @@ def qs241(spark: SparkSession, sf: str) -> DataFrame:
         * F.col("ct").cast("double")
     )
     terms = w.select("n", "t", "s", d.alias("d"), den.alias("den"))
-    chi2 = F.sum(F.col("d") * F.col("d") / F.col("den")) * F.max("n")
+    # d^2/den = (oN - rc)^2 / (N*r*c) IS the Pearson term (o-E)^2/E —
+    # the old extra *MAX(n) factor inflated chi2 by N and Cramer's V by
+    # sqrt(N) (reported V was 1.27 > 1, impossible). Mirrored in the
+    # oracle, so every differential stayed green: found by the r10
+    # intent audit's independent recomputation.
+    chi2 = F.sum(F.col("d") * F.col("d") / F.col("den"))
     mindim = F.least(
         F.countDistinct("t") - 1, F.countDistinct("s") - 1
     )

@@ -2163,3 +2163,803 @@ def test_sweep_classification_is_complete():
     assert not unbacked, (
         f"classified INTENT-TESTED but not exercised here: {unbacked}"
     )
+
+
+# -- wave 9: clearing the NAMED-STAT-REMAINING list --------------------------
+
+
+def test_intent_qs168_ab_ztest(spark, sf_dir):
+    ev = _pd(sf_dir, "events")
+    u = (
+        pd.DataFrame(
+            {
+                "cohort": ev["user_id"] % 2,
+                "conv": (ev["value"] >= 150).astype(int),
+                "u": ev["user_id"],
+            }
+        )
+        .groupby("u")
+        .agg(cohort=("cohort", "first"), conv=("conv", "max"))
+    )
+    n1 = int((u["cohort"] == 0).sum())
+    x1 = int(u.loc[u["cohort"] == 0, "conv"].sum())
+    n2 = int((u["cohort"] == 1).sum())
+    x2 = int(u.loc[u["cohort"] == 1, "conv"].sum())
+    got = _run(spark, sf_dir, "qs168_ab_proportion_ztest").iloc[0]
+    assert (got["n1"], got["x1"], got["n2"], got["x2"]) == (
+        n1, x1, n2, x2,
+    )
+    if x1 + x2 in (0, n1 + n2):
+        # pooled p is 0 or 1 -> z undefined; documented NULL branch
+        # (every sf0.001 user converts)
+        assert pd.isna(got["z"])
+        return
+    p = (x1 + x2) / (n1 + n2)
+    z = (x1 / n1 - x2 / n2) / math.sqrt(p * (1 - p) * (1 / n1 + 1 / n2))
+    assert got["z"] == pytest.approx(z, abs=2e-4)
+
+
+def test_intent_qs202_ols_trend(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    m = (
+        pd.DataFrame(
+            {
+                "grp": li["l_partkey"] % 100,
+                "t": (li["l_shipdate"].dt.year - 1995) * 12
+                + li["l_shipdate"].dt.month,
+                "c": _cents(li["l_extendedprice"]),
+            }
+        )
+        .groupby(["grp", "t"])["c"]
+        .sum()
+        .reset_index(name="y")
+    )
+    got = _run(spark, sf_dir, "qs202_group_ols_trend").set_index("grp")
+    for grp, g in m.groupby("grp"):
+        slope, intercept = np.polyfit(
+            g["t"].to_numpy(float), g["y"].to_numpy(float), 1
+        )
+        assert got.loc[grp, "n_months"] == len(g)
+        assert got.loc[grp, "slope"] == pytest.approx(slope, abs=2e-4)
+        assert got.loc[grp, "intercept"] == pytest.approx(
+            intercept, rel=1e-6, abs=2e-4
+        )
+
+
+def test_intent_qs204_autocorrelation(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    m = (
+        pd.DataFrame(
+            {
+                "grp": li["l_suppkey"] % 10,
+                "t": (li["l_shipdate"].dt.year - 1995) * 12
+                + li["l_shipdate"].dt.month,
+                "c": _cents(li["l_extendedprice"]),
+            }
+        )
+        .groupby(["grp", "t"])["c"]
+        .sum()
+        // 10000
+    ).reset_index(name="y")
+    got = _run(spark, sf_dir, "qs204_autocorrelation").set_index("grp")
+    for grp, g in m.groupby("grp"):
+        y = g.sort_values("t")["y"].to_numpy(float)
+        mu = y.mean()
+        den = float(((y - mu) ** 2).sum())
+        for k, col in ((1, "acf1"), (2, "acf2")):
+            num = float(((y[:-k] - mu) * (y[k:] - mu)).sum())
+            assert got.loc[grp, col] == pytest.approx(
+                num / den, abs=2e-4
+            )
+        assert got.loc[grp, "n_months"] == len(y)
+
+
+def test_intent_qs241_chi_square(spark, sf_dir):
+    ev = _pd(sf_dir, "events")
+    tab = pd.crosstab(ev["event_type"], ev["user_id"] % 4).to_numpy(
+        float
+    )
+    n = tab.sum()
+    exp = np.outer(tab.sum(axis=1), tab.sum(axis=0)) / n
+    chi2 = float(((tab - exp) ** 2 / exp).sum())
+    r, c = tab.shape
+    v = math.sqrt(chi2 / (n * (min(r, c) - 1)))
+    got = _run(spark, sf_dir, "qs241_chi_square_independence").iloc[0]
+    assert got["n"] == n
+    assert got["dof"] == (r - 1) * (c - 1)
+    assert got["chi2"] == pytest.approx(chi2, abs=2e-4)
+    assert got["cramers_v"] == pytest.approx(v, abs=2e-4)
+
+
+def test_intent_qs246_nelson_aalen(spark, sf_dir):
+    ev = _pd(sf_dir, "events")
+    days = (
+        ev.groupby("user_id")["ts"].max().dt.date.value_counts()
+        .sort_index()
+    )
+    at_risk = int(days.sum())
+    h = 0.0
+    got = _run(spark, sf_dir, "qs246_nelson_aalen").set_index("day")
+    for day, d in days.items():
+        h += d / at_risk
+        row = got.loc[day]
+        assert row["deaths"] == d and row["at_risk"] == at_risk
+        assert row["cum_hazard"] == pytest.approx(h, abs=2e-4)
+        at_risk -= d
+
+
+def test_intent_qs217_laspeyres(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    g = (
+        pd.DataFrame(
+            {
+                "grp": li["l_partkey"] % 100,
+                "t": (li["l_shipdate"].dt.year - 1995) * 12
+                + li["l_shipdate"].dt.month,
+                "c": _cents(li["l_extendedprice"]),
+                "q": li["l_quantity"].astype(np.int64),
+            }
+        )
+        .groupby(["grp", "t"])
+        .agg(c=("c", "sum"), q=("q", "sum"))
+        .reset_index()
+    )
+    g = g[g["q"] > 0]
+    g["p_e2"] = (g["c"] * 100) // g["q"]
+    base = (
+        g[(g["t"] >= 13) & (g["t"] <= 24)]
+        .groupby("grp")
+        .agg(c=("c", "sum"), q0=("q", "sum"))
+    )
+    base["p0_e2"] = (base["c"] * 100) // base["q0"]
+    j = g.merge(base[["p0_e2", "q0"]], on="grp")
+    got = _run(spark, sf_dir, "qs217_laspeyres_index").set_index("t")
+    for t, grp in j.groupby("t"):
+        num = int((grp["p_e2"] * grp["q0"]).sum())
+        den = int((grp["p0_e2"] * grp["q0"]).sum())
+        if den <= 0:
+            continue
+        assert got.loc[t, "index_e6"] == num * 1_000_000 // den
+
+
+def test_intent_qs208_quantile_normalization(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    m = (
+        pd.DataFrame(
+            {
+                "grp": li["l_suppkey"] % 10,
+                "t": (li["l_shipdate"].dt.year - 1995) * 12
+                + li["l_shipdate"].dt.month,
+                "c": _cents(li["l_extendedprice"]),
+            }
+        )
+        .groupby(["grp", "t"])["c"]
+        .sum()
+        .reset_index(name="y")
+    )
+    # global reference distribution sorted by (y, grp, t); each row
+    # maps its in-group rank onto the global order by linear index
+    glob = m.sort_values(["y", "grp", "t"]).reset_index(drop=True)
+    big_n = len(glob)
+    got = _run(spark, sf_dir, "qs208_quantile_normalization").set_index(
+        ["grp", "t"]
+    )
+    for grp, g in m.groupby("grp"):
+        g = g.sort_values(["y", "t"]).reset_index(drop=True)
+        n = len(g)
+        for rk0, row in g.iterrows():
+            gi = rk0 * (big_n - 1) // (n - 1)
+            want = int(glob.loc[gi, "y"])
+            assert got.loc[(grp, row["t"]), "qnorm"] == want
+
+
+def test_intent_qs212_readability(spark, sf_dir):
+    import re as _re
+
+    docs = _pd(sf_dir, "documents")
+    docs = docs[(docs["doc_id"] % 10 == 0) & (docs["text"] != "")]
+    got = _run(spark, sf_dir, "qs212_readability").set_index("doc_id")
+    for _i, r in docs.iterrows():
+        text = r["text"]
+        words = text.lower().count(" ") + 1
+        sentences = max(text.count("."), 1)
+        # vowel-group syllable proxy: maximal [aeiouy]+ runs
+        vgroups = max(len(_re.findall(r"[aeiouy]+", text.lower())), 1)
+        wps_e4 = words * 10000 // sentences
+        spw_e4 = vgroups * 10000 // words
+        flesch_e3 = (
+            206835 - 1015 * wps_e4 // 10000 - 84600 * spw_e4 // 10000
+        )
+        row = got.loc[r["doc_id"]]
+        assert row["words"] == words
+        assert row["sentences"] == sentences
+        assert row["vgroups"] == vgroups
+        # Flesch 206.835 - 1.015 wps - 84.6 spw, e3-quantized
+        assert row["flesch_e3"] == flesch_e3
+
+
+def test_intent_qs214_assortativity(spark, sf_dir):
+    docs = _pd(sf_dir, "documents")
+    key = list(zip(docs["lang"], docs["n_chars"]))
+    groups = {}
+    for d, k in zip(docs["doc_id"], key):
+        groups.setdefault(k, []).append(d)
+    xs, ys = [], []
+    deg = {}
+    edges = []
+    for mem in groups.values():
+        for i in range(len(mem)):
+            for j in range(len(mem)):
+                if i != j:
+                    edges.append((mem[i], mem[j]))
+    for a, _b in edges:
+        deg[a] = deg.get(a, 0) + 1
+    for a, b in edges:
+        xs.append(deg[a])
+        ys.append(deg[b])
+    r = np.corrcoef(np.array(xs, float), np.array(ys, float))[0, 1]
+    got = _run(spark, sf_dir, "qs214_degree_assortativity").iloc[0]
+    assert got["n_edge_ends"] == len(edges)
+    assert got["assortativity"] == pytest.approx(r, abs=2e-4)
+
+
+def test_intent_qs221_mase(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    m = (
+        pd.DataFrame(
+            {
+                "grp": li["l_suppkey"] % 10,
+                "t": (li["l_shipdate"].dt.year - 1995) * 12
+                + li["l_shipdate"].dt.month,
+                "c": _cents(li["l_extendedprice"]),
+            }
+        )
+        .groupby(["grp", "t"])["c"]
+        .sum()
+        // 10000
+    ).reset_index(name="y")
+    got = _run(spark, sf_dir, "qs221_mase_forecast_eval").set_index(
+        "grp"
+    )
+    for grp, g in m.groupby("grp"):
+        y = g.sort_values("t")["y"].to_numpy()
+        es = np.abs(y[12:] - y[:-12])  # seasonal-naive errors
+        e1 = np.abs(y[1:] - y[:-1])  # naive-1 errors
+        if len(es) == 0 or e1.sum() == 0:
+            continue
+        # MASE = MAE_snaive / MAE_naive1, e6 floor on the int ratio
+        mase_e6 = int(es.sum()) * len(e1) * 1_000_000 // (
+            int(e1.sum()) * len(es)
+        )
+        assert got.loc[grp, "n_eval"] == len(es)
+        assert got.loc[grp, "mase_e6"] == mase_e6
+
+
+def test_intent_qs224_log_odds(spark, sf_dir):
+    docs = _pd(sf_dir, "documents")
+    rows = []
+    for _i, r in docs.iterrows():
+        for t in r["text"].lower().split(" "):
+            if t:
+                rows.append((r["source"], t))
+    tc = pd.DataFrame(rows, columns=["source", "term"]).groupby(
+        ["source", "term"]
+    ).size()
+    src_n = tc.groupby("source").sum()
+    tot = tc.groupby("term").sum()
+    n_all = int(tc.sum())
+    v = tc.index.get_level_values("term").nunique()
+    got = _run(spark, sf_dir, "qs224_log_odds_keywords")
+    for (source, g) in got.groupby("source"):
+        # monroe-style smoothed log-odds, top-5 by (delta_r desc, term)
+        deltas = {}
+        for term, y in tc.loc[source].items():
+            yw = int(tot[term])
+            d = math.log(
+                (y + 1.0) / (src_n[source] + v - y - 1.0)
+            ) - math.log((yw + 1.0) / (n_all + v - yw - 1.0))
+            deltas[term] = round(d, 6)
+        top = sorted(deltas.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        want = {
+            (term, rk + 1): dr for rk, (term, dr) in enumerate(top)
+        }
+        for _j, row in g.iterrows():
+            assert (row["term"], row["rk"]) in want
+            assert row["log_odds"] == pytest.approx(
+                want[(row["term"], row["rk"])], abs=2e-6
+            )
+
+
+def test_intent_qs228_simpson(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    m = (
+        pd.DataFrame(
+            {
+                "grp": li["l_returnflag"],
+                "t": (li["l_shipdate"].dt.year - 1995) * 12
+                + li["l_shipdate"].dt.month,
+                "c": _cents(li["l_extendedprice"]),
+            }
+        )
+        .groupby(["grp", "t"])["c"]
+        .sum()
+        // 10000
+    ).reset_index(name="y")
+
+    def slope_sign(g):
+        t = g["t"].to_numpy(float)
+        y = g["y"].to_numpy(float)
+        return int(np.sign(len(t) * (t * y).sum() - t.sum() * y.sum()))
+
+    overall = slope_sign(m)
+    got = _run(spark, sf_dir, "qs228_simpson_detector").set_index("grp")
+    for grp, g in m.groupby("grp"):
+        s = slope_sign(g)
+        assert got.loc[grp, "group_trend_sign"] == s
+        assert got.loc[grp, "overall_trend_sign"] == overall
+        assert got.loc[grp, "reverses"] == int(s != overall)
+
+
+def test_intent_qs231_modularity(spark, sf_dir):
+    docs = _pd(sf_dir, "documents")
+    comm = {
+        d: f"{la}|{nc % 7}"
+        for d, la, nc in zip(
+            docs["doc_id"], docs["lang"], docs["n_chars"]
+        )
+    }
+    groups = {}
+    for d, la, nc in zip(docs["doc_id"], docs["lang"], docs["n_chars"]):
+        groups.setdefault((la, nc), []).append(d)
+    edges = []
+    for mem in groups.values():
+        for i in range(len(mem)):
+            for j in range(len(mem)):
+                if i != j:
+                    edges.append((mem[i], mem[j]))
+    mm = len(edges)  # edge ends (2m)
+    e_in = sum(1 for a, b in edges if comm[a] == comm[b])
+    deg = {}
+    for a, _b in edges:
+        deg[a] = deg.get(a, 0) + 1
+    dsum = {}
+    for node, d in deg.items():
+        dsum[comm[node]] = dsum.get(comm[node], 0) + d
+    sum_d2 = sum(v * v for v in dsum.values())
+    # Newman modularity Q = e_in/2m - sum_c (d_c/2m)^2, e6 floor
+    q_e6 = (e_in * mm - sum_d2) * 1_000_000 // (mm * mm)
+    got = _run(spark, sf_dir, "qs231_modularity").iloc[0]
+    assert got["edge_ends"] == mm
+    assert got["within_ends"] == e_in
+    assert got["modularity_e6"] == q_e6
+
+
+def test_intent_qs232_xmr(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    o = o[
+        (o["o_orderdate"] >= "1997-01-01")
+        & (o["o_orderdate"] < "1997-07-01")
+    ]
+    daily = (
+        pd.DataFrame(
+            {"day": o["o_orderdate"].dt.date, "c": _cents(o["o_totalprice"])}
+        )
+        .groupby("day")["c"]
+        .sum()
+        .sort_index()
+        // 10000
+    )
+    y = daily.to_numpy()
+    n = len(y)
+    sy = int(y.sum())
+    mrs = np.abs(np.diff(y))
+    smr, nmr = int(mrs.sum()), len(mrs)
+    center = sy / n
+    sigma = 2.66 * smr / nmr
+    got = _run(spark, sf_dir, "qs232_xmr_control_chart").set_index(
+        "day"
+    )
+    for day, yv in daily.items():
+        row = got.loc[day]
+        assert row["y"] == yv
+        assert row["center"] == pytest.approx(center, abs=2e-4)
+        assert row["ucl"] == pytest.approx(center + sigma, abs=2e-4)
+        assert row["lcl"] == pytest.approx(center - sigma, abs=2e-4)
+        # the exact-integer OOC rule both engines implement
+        lim = 266 * n * smr // 100
+        ooc = int(
+            yv * n * nmr > sy * nmr + lim or yv * n * nmr < sy * nmr - lim
+        )
+        assert row["out_of_control"] == ooc
+
+
+def test_intent_qs251_elasticity(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    part = _pd(sf_dir, "part")
+    pp = (
+        pd.DataFrame(
+            {
+                "pk": li["l_partkey"],
+                "q": li["l_quantity"].astype(np.int64),
+                "r": _cents(li["l_extendedprice"]),
+            }
+        )
+        .groupby("pk")
+        .agg(q=("q", "sum"), r=("r", "sum"))
+        .reset_index()
+    )
+    j = pp.merge(part, left_on="pk", right_on="p_partkey")
+    got = _run(spark, sf_dir, "qs251_price_elasticity").set_index(
+        "brand"
+    )
+    for brand, g in j.groupby("p_brand"):
+        x = np.log(g["r"].to_numpy(float) / g["q"].to_numpy(float) / 100)
+        y = np.log(g["q"].to_numpy(float))
+        slope = np.polyfit(x, y, 1)[0]
+        assert got.loc[brand, "n_parts"] == len(g)
+        assert got.loc[brand, "elasticity"] == pytest.approx(
+            slope, abs=2e-4
+        )
+
+
+def test_intent_qs259_stump(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    bkt = _cents(o["o_totalprice"]) // 2_500_000
+    yv = o["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]).astype(int)
+    h = (
+        pd.DataFrame({"bkt": bkt, "y": yv})
+        .groupby("bkt")
+        .agg(n=("y", "size"), pos=("y", "sum"))
+        .sort_index()
+    )
+    tn, tp = int(h["n"].sum()), int(h["pos"].sum())
+    best = None
+    ln = lp = 0
+    for b, row in h.iterrows():
+        ln += int(row["n"])
+        lp += int(row["pos"])
+        rn, rp = tn - ln, tp - lp
+        if ln == 0 or rn == 0:
+            continue
+        # weighted Gini split cost: n_side * Gini_side summed
+        cost = (ln - (lp**2 + (ln - lp) ** 2) / ln) + (
+            rn - (rp**2 + (rn - rp) ** 2) / rn
+        )
+        if best is None or cost < best[0] - 1e-12:
+            best = (cost, b, ln, lp, rn, rp)
+    cost, b, ln, lp, rn, rp = best
+    got = _run(spark, sf_dir, "qs259_decision_stump").iloc[0]
+    assert got["threshold_cents"] == (b + 1) * 2_500_000
+    assert (got["n_left"], got["pos_left"]) == (ln, lp)
+    assert (got["n_right"], got["pos_right"]) == (rn, rp)
+    assert got["weighted_gini"] == pytest.approx(cost, abs=2e-4)
+
+
+def test_intent_qs169_changepoint(spark, sf_dir):
+    ev = _pd(sf_dir, "events")
+    daily = (
+        pd.DataFrame(
+            {
+                "et": ev["event_type"],
+                "day": ev["ts"].dt.date,
+                "c": _cents(ev["value"]),
+            }
+        )
+        .groupby(["et", "day"])["c"]
+        .sum()
+        .reset_index()
+    )
+    got = _run(spark, sf_dir, "qs169_changepoint_meanshift").set_index(
+        "event_type"
+    )
+    for et, g in daily.groupby("et"):
+        g = g.sort_values("day").reset_index(drop=True)
+        x = g["c"].to_numpy(float)
+        m = len(x)
+        best = None
+        for k in range(1, m):  # cut after position k (1-based)
+            shift = round(
+                abs(x[:k].mean() - x[k:].mean()) / 100, 4
+            )
+            cand = (-shift, g.loc[k - 1, "day"])
+            if best is None or cand < best:
+                best = cand
+        assert got.loc[et, "n_days"] == m
+        assert got.loc[et, "change_day"] == best[1]
+        assert got.loc[et, "mean_shift"] == pytest.approx(
+            -best[0], abs=2e-4
+        )
+
+
+def test_intent_qs209_seasonal_decompose(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    m = (
+        pd.DataFrame(
+            {
+                "grp": li["l_suppkey"] % 5,
+                "t": (li["l_shipdate"].dt.year - 1995) * 12
+                + li["l_shipdate"].dt.month,
+                "c": _cents(li["l_extendedprice"]),
+            }
+        )
+        .groupby(["grp", "t"])["c"]
+        .sum()
+        // 10000
+    ).reset_index(name="y")
+    got = _run(spark, sf_dir, "qs209_seasonal_decompose").set_index(
+        ["grp", "t"]
+    )
+    for grp, g in m.groupby("grp"):
+        g = g.sort_values("t").reset_index(drop=True)
+        y = g["y"].to_numpy()
+        n = len(y)
+        rows = []
+        for i in range(6, n - 6):
+            # classical centered 2x12 moving average, kept x24 integer
+            trend24 = int(2 * y[i - 6 : i + 7].sum() - y[i - 6] - y[i + 6])
+            det24 = 24 * int(y[i]) - trend24
+            moy = (int(g.loc[i, "t"]) - 1) % 12
+            rows.append((int(g.loc[i, "t"]), int(y[i]), trend24, det24, moy))
+        smeans = {}
+        for _t, _yv, _tr, det24, moy in rows:
+            smeans.setdefault(moy, []).append(det24)
+        for t, yv, trend24, det24, moy in rows:
+            sbar = sum(smeans[moy]) / len(smeans[moy])
+            row = got.loc[(grp, t)]
+            assert row["y"] == yv and row["trend_x24"] == trend24
+            assert row["seasonal"] == pytest.approx(
+                sbar / 24, abs=2e-4
+            )
+            assert row["resid"] == pytest.approx(
+                (det24 - sbar) / 24, abs=2e-4
+            )
+
+
+def test_intent_qs275_cuped(spark, sf_dir):
+    ev = _pd(sf_dir, "events")
+    u = (
+        pd.DataFrame(
+            {
+                "u": ev["user_id"],
+                "arm": ev["user_id"] % 2,
+                "p": np.where(
+                    ev["ts"].dt.day <= 15, _cents(ev["value"]), 0
+                ),
+                "q": np.where(
+                    ev["ts"].dt.day > 15, _cents(ev["value"]), 0
+                ),
+            }
+        )
+        .groupby("u")
+        .agg(arm=("arm", "first"), p=("p", "sum"), q=("q", "sum"))
+    )
+    p = u["p"].to_numpy(float)
+    q = u["q"].to_numpy(float)
+    # CUPED: theta = cov(p,q)/var(p) (population), adjust each arm's
+    # outcome mean by theta*(parm_mean - pooled p mean)
+    theta = float(np.cov(p, q, bias=True)[0, 1]) / float(p.var())
+    rho2 = float(np.corrcoef(p, q)[0, 1]) ** 2
+    a0 = u["arm"] == 0
+    lift_raw = (q[~a0].mean() - q[a0].mean()) / 100
+    pbar = p.mean()
+    adj1 = q[~a0].mean() - theta * (p[~a0].mean() - pbar)
+    adj0 = q[a0].mean() - theta * (p[a0].mean() - pbar)
+    got = _run(spark, sf_dir, "qs275_cuped_lift").iloc[0]
+    assert got["n0"] == int(a0.sum()) and got["n1"] == int((~a0).sum())
+    assert got["lift_raw"] == pytest.approx(lift_raw, abs=2e-4)
+    assert got["lift_cuped"] == pytest.approx(
+        (adj1 - adj0) / 100, abs=2e-4
+    )
+    assert got["theta"] == pytest.approx(theta, abs=2e-6)
+    assert got["var_reduction_pct"] == pytest.approx(
+        100 * rho2, abs=2e-2
+    )
+
+
+def _as_erfc_p_two(z):
+    # the documented two-sided normal p: Abramowitz–Stegun 7.1.26
+    # erfc approximation evaluated at |z|/sqrt(2)
+    x = abs(z) * 0.7071067811865476
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (
+        0.254829592
+        + t
+        * (
+            -0.284496736
+            + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))
+        )
+    )
+    return poly * math.exp(-x * x)
+
+
+def test_intent_qs276_bh_fdr(spark, sf_dir):
+    ev = _pd(sf_dir, "events")
+    ua = ev[["user_id", "event_type"]].drop_duplicates()
+    ua["arm"] = ua["user_id"] % 2
+    users = ua[["user_id", "arm"]].drop_duplicates()
+    n0 = int((users["arm"] == 0).sum())
+    n1 = int((users["arm"] == 1).sum())
+    ps = []
+    for et, g in ua.groupby("event_type"):
+        x0 = int((g["arm"] == 0).sum())
+        x1 = int((g["arm"] == 1).sum())
+        if x0 + x1 in (0, n0 + n1):
+            z = 0.0
+        else:
+            pp = (x0 + x1) / (n0 + n1)
+            z = (x1 / n1 - x0 / n0) / math.sqrt(
+                pp * (1 - pp) * (1 / n0 + 1 / n1)
+            )
+        ps.append((et, x0 / n0, x1 / n1, z, _as_erfc_p_two(z)))
+    ps.sort(key=lambda r: (r[4], r[0]))
+    mvals = len(ps)
+    kmax = max(
+        (i + 1 for i in range(mvals) if ps[i][4] <= 0.05 * (i + 1) / mvals),
+        default=0,
+    )
+    got = _run(spark, sf_dir, "qs276_bh_fdr").set_index("event_type")
+    for i, (et, p0, p1, z, ptwo) in enumerate(ps):
+        row = got.loc[et]
+        assert row["conv0"] == pytest.approx(p0, abs=2e-4)
+        assert row["conv1"] == pytest.approx(p1, abs=2e-4)
+        assert row["z"] == pytest.approx(z, abs=2e-4)
+        assert row["p_two"] == pytest.approx(ptwo, abs=2e-6)
+        assert row["bh_rank"] == i + 1
+        assert row["significant"] == int(i + 1 <= kmax)
+
+
+def test_intent_qs279_granger(spark, sf_dir):
+    ev = _pd(sf_dir, "events")
+    daily = (
+        pd.DataFrame(
+            {
+                "day": ev["ts"].dt.date,
+                "xc": (ev["event_type"] == "click").astype(int),
+                "yc": (ev["event_type"] == "purchase").astype(int),
+            }
+        )
+        .groupby("day")
+        .sum()
+        .sort_index()
+    )
+    y = daily["yc"].to_numpy(float)[1:]
+    y1 = daily["yc"].to_numpy(float)[:-1]
+    x1 = daily["xc"].to_numpy(float)[:-1]
+    n = len(y)
+    # restricted: y ~ y1; full: y ~ y1 + x1 (both with intercept)
+    X_r = np.column_stack([np.ones(n), y1])
+    X_f = np.column_stack([np.ones(n), y1, x1])
+    b_r, *_ = np.linalg.lstsq(X_r, y, rcond=None)
+    b_f, *_ = np.linalg.lstsq(X_f, y, rcond=None)
+    rss_r = float(((y - X_r @ b_r) ** 2).sum())
+    rss_f = float(((y - X_f @ b_f) ** 2).sum())
+    f = (rss_r - rss_f) / (rss_f / (n - 3))
+    got = _run(spark, sf_dir, "qs279_granger_lag").iloc[0]
+    assert got["n_days"] == n
+    assert got["b_lag_y"] == pytest.approx(b_f[1], abs=2e-6)
+    assert got["b_lag_x"] == pytest.approx(b_f[2], abs=2e-6)
+    assert got["f_stat"] == pytest.approx(f, abs=2e-4)
+    assert got["rss_reduction_pct"] == pytest.approx(
+        100 * (rss_r - rss_f) / rss_r, abs=2e-2
+    )
+
+
+def test_intent_qs280_matching_att(spark, sf_dir):
+    c = _pd(sf_dir, "customer")
+    o = _pd(sf_dir, "orders")
+    spend = (
+        pd.DataFrame(
+            {"ck": o["o_custkey"], "c": _cents(o["o_totalprice"])}
+        )
+        .groupby("ck")["c"]
+        .sum()
+    )
+    bal = np.where(
+        c["c_acctbal"] < 0, 0, np.where(c["c_acctbal"] < 5000, 1, 2)
+    )
+    df = pd.DataFrame(
+        {
+            "nk": c["c_nationkey"],
+            "bal": bal,
+            "treated": (c["c_mktsegment"] == "AUTOMOBILE").astype(int),
+            "y": c["c_custkey"].map(spend).fillna(0).astype(np.int64),
+        }
+    )
+    att_num = 0.0
+    nt_matched = n_cells = 0
+    for _k, g in df.groupby(["nk", "bal"]):
+        t = g[g["treated"] == 1]
+        ctl = g[g["treated"] == 0]
+        if len(t) and len(ctl):
+            n_cells += 1
+            nt_matched += len(t)
+            att_num += float(t["y"].sum()) - len(t) * ctl["y"].mean()
+    naive = (
+        df.loc[df["treated"] == 1, "y"].mean()
+        - df.loc[df["treated"] == 0, "y"].mean()
+    )
+    got = _run(spark, sf_dir, "qs280_matching_att").iloc[0]
+    assert got["n_cells"] == n_cells
+    assert got["n_treated_matched"] == nt_matched
+    assert got["att"] == pytest.approx(
+        att_num / nt_matched / 100, abs=2e-2
+    )
+    assert got["naive_diff"] == pytest.approx(naive / 100, abs=2e-2)
+
+
+def test_intent_qs288_dunn(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    df = pd.DataFrame(
+        {"g": o["o_orderpriority"], "v": _cents(o["o_totalprice"])}
+    )
+    r = df["v"].rank(method="average")
+    n = len(df)
+    _vals, counts = np.unique(df["v"].to_numpy(), return_counts=True)
+    ties = float(np.sum(counts.astype(float) ** 3 - counts))
+    got = _run(spark, sf_dir, "qs288_dunn_posthoc").set_index(
+        ["g1", "g2"]
+    )
+    groups = {g: r.loc[idx] for g, idx in df.groupby("g").groups.items()}
+    names = sorted(groups)
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            a, b = groups[names[i]], groups[names[j]]
+            dmean = float(a.mean() - b.mean())
+            z = dmean / math.sqrt(
+                (n * (n + 1) / 12 - ties / (12 * (n - 1)))
+                * (1 / len(a) + 1 / len(b))
+            )
+            row = got.loc[(names[i], names[j])]
+            zcol = [c for c in got.columns if c.startswith("z")][0]
+            assert row[zcol] == pytest.approx(z, abs=2e-4)
+
+
+def test_intent_qs292_mde(spark, sf_dir):
+    ev = _pd(sf_dir, "events")
+    u = (
+        pd.DataFrame(
+            {
+                "et": ev["event_type"],
+                "u": ev["user_id"],
+                "c": _cents(ev["value"]),
+            }
+        )
+        .groupby(["et", "u"])["c"]
+        .sum()
+        .reset_index()
+    )
+    got = _run(spark, sf_dir, "qs292_mde_power").set_index("event_type")
+    for et, g in u.groupby("et"):
+        x = g["c"].to_numpy(float)
+        n = len(x)
+        mu, sd = x.mean(), x.std(ddof=1)
+        # (z_{0.975} + z_{0.8}) = 1.959964 + 0.841621 = 2.801585;
+        # equal split n/2 per arm
+        mde = 2.801585 * sd * math.sqrt(2 / (n / 2))
+        row = got.loc[et]
+        assert row["n_users"] == n
+        assert row["mean_dollars"] == pytest.approx(mu / 100, abs=2e-2)
+        assert row["sd_dollars"] == pytest.approx(sd / 100, abs=2e-2)
+        assert row["mde_dollars"] == pytest.approx(mde / 100, abs=2e-2)
+        assert row["mde_pct"] == pytest.approx(
+            100 * mde / mu, abs=2e-2
+        )
+
+
+def test_intent_qs297_negbinomial(spark, sf_dir):
+    ev = _pd(sf_dir, "events")
+    k = ev.groupby("user_id").size().to_numpy(float)
+    n = len(k)
+    mu = k.mean()
+    var = k.var(ddof=1)
+    got = _run(spark, sf_dir, "qs297_negbinomial_fit").iloc[0]
+    assert got["n_users"] == n
+    assert got["mean_events"] == pytest.approx(mu, abs=2e-4)
+    assert got["var_events"] == pytest.approx(var, abs=2e-4)
+    assert got["dispersion_index"] == pytest.approx(var / mu, abs=2e-4)
+    # method-of-moments NB: r = mu^2/(var-mu), p = mu/var
+    if var > mu:
+        assert got["nb_r"] == pytest.approx(
+            mu * mu / (var - mu), abs=2e-4
+        )
+        assert got["nb_p"] == pytest.approx(mu / var, abs=2e-4)
