@@ -111,10 +111,13 @@ _GRADE_FIRST = [
     # -- already officially graded: the r09 window (qs252-qs301, 50/50
     #    green in CORRECTNESS_r09), then the r08 window minus the two
     #    repaired reds above, then the r07 window, rotated to the back.
-    #    r11 RE-GRADE QUEUE: qs241_chi_square_independence — its r10
-    #    intent-audit repair (spurious xN factor on chi2/V, mirrored in
-    #    the oracle) changes official values vs the r8-graded row; put
-    #    it in the r11 window's front like qs230 was this round. --
+    #    r11 RE-GRADE QUEUE: qs241_chi_square_independence (spurious
+    #    xN factor on chi2/V) and qs159_psi_drift (PSI summed only
+    #    observed bins while the +1/+16 smoothing defines mass on the
+    #    full 16-bin grid — understated drift) — both r10 intent-audit
+    #    repairs mirrored in their oracles, so official values change
+    #    vs their graded rows; put both in the r11 window's front like
+    #    qs230 was this round. --
     "qs252_vocab_jaccard_sources",
     "qs253_burrows_delta",
     "qs254_mcnemar_paired",

@@ -185,13 +185,18 @@ def qs158(spark: SparkSession, sf: str) -> DataFrame:
       FROM events),
     c AS (SELECT event_type, period, bin, COUNT(*) AS c
           FROM b GROUP BY 1, 2, 3),
+    et AS (SELECT DISTINCT event_type FROM b),
+    grid AS (
+      SELECT et.event_type, g.bin
+      FROM et CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) g),
     p AS (
-      SELECT COALESCE(a.event_type, d.event_type) AS event_type,
-             COALESCE(a.bin, d.bin) AS bin,
+      SELECT grid.event_type, grid.bin,
              COALESCE(a.c, 0) AS c1, COALESCE(d.c, 0) AS c2
-      FROM (SELECT * FROM c WHERE period = 1) a
-      FULL JOIN (SELECT * FROM c WHERE period = 2) d
-        ON a.event_type = d.event_type AND a.bin = d.bin),
+      FROM grid
+      LEFT JOIN (SELECT * FROM c WHERE period = 1) a
+        ON a.event_type = grid.event_type AND a.bin = grid.bin
+      LEFT JOIN (SELECT * FROM c WHERE period = 2) d
+        ON d.event_type = grid.event_type AND d.bin = grid.bin),
     w AS (
       SELECT event_type, bin, c1, c2,
              SUM(c1) OVER (PARTITION BY event_type) AS t1,
@@ -213,8 +218,9 @@ def qs159(spark: SparkSession, sf: str) -> DataFrame:
     between two batches": per event type, bin `value` into 16
     fixed-width buckets, compare first-half-of-month vs second-half
     shares with PSI = Σ (p₁-p₂)·ln(p₁/p₂) under +1 Laplace smoothing
-    (smoothing makes empty bins finite AND both engines agree exactly
-    on the zero-count algebra). Rule of thumb: <0.1 stable, >0.25
+    over the FULL 16-bin grid (smoothing gives never-observed bins
+    real mass — (c+1)/(t+16) — so they contribute terms; r10
+    intent-audit repair, re-grade queued). Rule of thumb: <0.1 stable, >0.25
     drifted — the gate a 100 TB/day ingest would alarm on.
 
     Determinism: bin edges are value/32 with a power-of-two divisor
@@ -233,14 +239,27 @@ def qs159(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(15),
         ).alias("bin"),
     )
-    # Conditional aggregation IS the bin alignment: one groupBy emits
-    # (c1, c2) per occupied (type, bin) — the full-outer join the SQL
-    # oracle states would cost a second aggregate plus a join for the
-    # identical result (a bin empty in one period shows a 0; a bin
-    # empty in both is absent on both formulations and both engines).
-    p = b.groupBy("event_type", "bin").agg(
+    # Conditional aggregation does the period alignment; the FULL
+    # 16-bin grid per type is then restored with a broadcast
+    # (type x bin) frame — the +1/+16 smoothing assigns never-observed
+    # bins real mass, so they MUST contribute terms (r10 intent-audit
+    # find #3: the old observed-bins-only sum understated PSI against
+    # the docstring's own "16-term sum" whenever a bin was empty in
+    # both halves).
+    occ = b.groupBy("event_type", "bin").agg(
         F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).alias("c1"),
         F.sum(F.when(F.col("period") == 2, 1).otherwise(0)).alias("c2"),
+    )
+    grid = (
+        b.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(16).select(F.col("id").alias("bin"))
+        )
+    )
+    p = (
+        grid.join(occ, ["event_type", "bin"], "left")
+        .fillna(0, subset=["c1", "c2"])
     )
     w = Window.partitionBy("event_type")
     p1 = (F.col("c1") + 1.0) / (F.col("t1") + 16.0)

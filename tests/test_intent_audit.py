@@ -2963,3 +2963,66 @@ def test_intent_qs297_negbinomial(spark, sf_dir):
             mu * mu / (var - mu), abs=2e-4
         )
         assert got["nb_p"] == pytest.approx(mu / var, abs=2e-4)
+
+
+def test_intent_qs159_psi(spark, sf_dir):
+    ev = _pd(sf_dir, "events")
+    df = pd.DataFrame(
+        {
+            "et": ev["event_type"],
+            "period": np.where(ev["ts"].dt.day <= 15, 1, 2),
+            "bin": np.clip(
+                np.floor(ev["value"].to_numpy() / 32.0).astype(int),
+                0,
+                15,
+            ),
+        }
+    )
+    got = _run(spark, sf_dir, "qs159_psi_drift").set_index("event_type")
+    for et, g in df.groupby("et"):
+        c1 = np.array(
+            [((g["period"] == 1) & (g["bin"] == b)).sum() for b in range(16)],
+            dtype=float,
+        )
+        c2 = np.array(
+            [((g["period"] == 2) & (g["bin"] == b)).sum() for b in range(16)],
+            dtype=float,
+        )
+        t1, t2 = c1.sum(), c2.sum()
+        # add-1 smoothed bin shares over the full 16-bin grid
+        p1 = (c1 + 1) / (t1 + 16)
+        p2 = (c2 + 1) / (t2 + 16)
+        psi = float(((p1 - p2) * np.log(p1 / p2)).sum())
+        assert got.loc[et, "n_before"] == int(t1)
+        assert got.loc[et, "n_after"] == int(t2)
+        assert got.loc[et, "psi"] == pytest.approx(psi, abs=2e-4)
+
+
+def test_intent_qs173_ewma(spark, sf_dir):
+    ev = _pd(sf_dir, "events")
+    daily = (
+        pd.DataFrame(
+            {
+                "et": ev["event_type"],
+                "day": ev["ts"].dt.date,
+                "c": _cents(ev["value"]),
+            }
+        )
+        .groupby(["et", "day"])["c"]
+        .sum()
+        .reset_index()
+    )
+    got = _run(spark, sf_dir, "qs173_ewma_smoothing").set_index(
+        ["event_type", "day"]
+    )
+    for et, g in daily.groupby("et"):
+        g = g.sort_values("day").reset_index(drop=True)
+        x = g["c"].to_numpy(float)
+        for i in range(len(x)):
+            lo = max(0, i - 9)
+            win = x[lo : i + 1][::-1]  # k = 0 (today) .. 9
+            w = 0.3 * 0.7 ** np.arange(len(win))  # truncated EWMA
+            val = float((win * w).sum() / w.sum()) / 100
+            assert got.loc[(et, g.loc[i, "day"]), "ewma"] == pytest.approx(
+                val, abs=2e-4
+            )
