@@ -3026,3 +3026,146 @@ def test_intent_qs173_ewma(spark, sf_dir):
             assert got.loc[(et, g.loc[i, "day"]), "ewma"] == pytest.approx(
                 val, abs=2e-4
             )
+
+
+# -- honesty pass over weak COVERED-ELSEWHERE claims --------------------------
+
+
+def test_intent_qs179_bootstrap_ci(spark, sf_dir):
+    import hashlib
+
+    o = _pd(sf_dir, "orders")
+    k = o["o_orderkey"].to_numpy()
+    c = _cents(o["o_totalprice"])
+    # cumulative Poisson(1) thresholds scaled to 2^32 (the documented
+    # hash-uniform -> Poisson weight scheme); md5 recomputed with
+    # hashlib, independently of both engines' md5
+    import math as _m
+
+    cum, acc = [], 0.0
+    for j in range(9):
+        acc += _m.exp(-1) / _m.factorial(j)
+        cum.append(acc)
+    thresholds = [int(round(p * 2**32)) for p in cum[:-1]]
+    means = []
+    for r in range(32):
+        num = den = 0
+        for ki, ci in zip(k, c):
+            u = int(
+                hashlib.md5(f"{ki}:{r}".encode()).hexdigest()[:8], 16
+            )
+            w = 0
+            while w < 8 and u >= thresholds[w]:
+                w += 1
+            num += w * int(ci)
+            den += w
+        means.append(round(num / (den * 100.0), 4))
+    means.sort()
+    got = _run(spark, sf_dir, "qs179_bootstrap_ci").iloc[0]
+    assert got["n_resamples"] == 32
+    assert got["mean_full"] == pytest.approx(
+        c.sum() / (len(c) * 100), abs=2e-4
+    )
+    # CI = 2nd / 31st order statistics of the resample means
+    assert got["ci_lo"] == pytest.approx(means[1], abs=2e-4)
+    assert got["ci_hi"] == pytest.approx(means[30], abs=2e-4)
+
+
+def test_intent_qs249_kcore(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    pairs = (
+        li[["l_orderkey", "l_suppkey"]]
+        .merge(li[["l_orderkey", "l_suppkey"]], on="l_orderkey")
+        .query("l_suppkey_x < l_suppkey_y")
+        .groupby(["l_suppkey_x", "l_suppkey_y"])
+        .size()
+    )
+    edges = {tuple(e) for e, cnt in pairs.items() if cnt >= 3}
+    # textbook 3-core: iteratively peel nodes with degree < 3 to the
+    # FIXPOINT (the query unrolls 30 rounds; this reference proves the
+    # unroll reaches the fixpoint on this data)
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for node in list(adj):
+            if len(adj[node]) < 3:
+                for nb in adj.pop(node):
+                    adj[nb].discard(node)
+                changed = True
+    got = _run(spark, sf_dir, "qs249_kcore_decomposition").set_index(
+        "node"
+    )
+    assert set(got.index) == set(adj)
+    for node, nbs in adj.items():
+        assert got.loc[node, "degree"] == len(nbs)
+
+
+def test_intent_qs257_rrf(spark, sf_dir):
+    docs = _pd(sf_dir, "documents")
+    toks = {
+        r["doc_id"]: [t for t in r["text"].lower().split() if t]
+        for _i, r in docs.iterrows()
+    }
+    dl = {d: len(ts) for d, ts in toks.items()}
+    n = len(dl)
+    avgdl = sum(dl.values()) / n
+    terms = ("data", "query", "scan")
+    tf = {
+        t: {d: ts.count(t) for d, ts in toks.items() if t in ts}
+        for t in terms
+    }
+    scores = {}
+    for t in terms:
+        df_t = len(tf[t])
+        idf = math.log((n - df_t + 0.5) / (df_t + 0.5) + 1)
+        for d, f in tf[t].items():
+            # BM25 with k1 = 1.2, b = 0.75
+            scores[d] = scores.get(d, 0.0) + idf * f * 2.2 / (
+                f + 1.2 * (0.25 + 0.75 * dl[d] / avgdl)
+            )
+    r1 = sorted(scores, key=lambda d: (-round(scores[d], 4), d))[:100]
+    r2 = sorted(dl, key=lambda d: (-docs.set_index("doc_id").loc[d, "n_chars"], d))[:100]
+    rrf = {}
+    for rk, d in enumerate(r1, 1):
+        rrf[d] = rrf.get(d, 0.0) + 1 / (60 + rk)
+    for rk, d in enumerate(r2, 1):
+        rrf[d] = rrf.get(d, 0.0) + 1 / (60 + rk)
+    top = sorted(rrf.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[
+        :15
+    ]
+    got = _run(spark, sf_dir, "qs257_rrf_fusion")
+    assert list(got["doc_id"]) == [d for d, _s in top]
+    for (d, s), (_i, row) in zip(top, got.iterrows()):
+        assert row["rrf"] == pytest.approx(s, abs=2e-6)
+
+
+def test_intent_qs294_rich_club(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    os_ = li[["l_orderkey", "l_suppkey"]].drop_duplicates()
+    pairs = (
+        os_.merge(os_, on="l_orderkey")
+        .query("l_suppkey_x < l_suppkey_y")
+        .groupby(["l_suppkey_x", "l_suppkey_y"])
+        .size()
+    )
+    edges = [tuple(e) for e, cnt in pairs.items() if cnt >= 2]
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    got = _run(spark, sf_dir, "qs294_rich_club").set_index("k")
+    for k in (2, 4, 8, 16):
+        club = {v for v, d in deg.items() if d > k}
+        ek = sum(1 for a, b in edges if a in club and b in club)
+        nk = len(club)
+        phi = 2 * ek / (nk * (nk - 1)) if nk >= 2 else 0.0
+        if k not in got.index:
+            assert nk == 0
+            continue
+        assert got.loc[k, "n_nodes"] == nk
+        assert got.loc[k, "n_edges"] == ek
+        assert got.loc[k, "phi"] == pytest.approx(phi, abs=2e-4)
