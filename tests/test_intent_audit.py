@@ -3169,3 +3169,234 @@ def test_intent_qs294_rich_club(spark, sf_dir):
         assert got.loc[k, "n_nodes"] == nk
         assert got.loc[k, "n_edges"] == ek
         assert got.loc[k, "phi"] == pytest.approx(phi, abs=2e-4)
+
+
+def test_intent_qs253_burrows_delta(spark, sf_dir):
+    docs = _pd(sf_dir, "documents")
+    rows = []
+    for _i, r in docs.iterrows():
+        for t in r["text"].lower().split():
+            if t:
+                rows.append((r["source"], t))
+    tc = (
+        pd.DataFrame(rows, columns=["source", "term"])
+        .groupby(["source", "term"])
+        .size()
+    )
+    tot = tc.groupby("source").sum()
+    overall = tc.groupby("term").sum().reset_index()
+    overall.columns = ["term", "c"]
+    top = (
+        overall.sort_values(["c", "term"], ascending=[False, True])
+        .head(20)["term"]
+        .tolist()
+    )
+    sources = sorted(tot.index)
+    fr = pd.DataFrame(
+        {
+            s: [tc.get((s, t), 0) / tot[s] for t in top]
+            for s in sources
+        },
+        index=top,
+    )
+    z = fr.sub(fr.mean(axis=1), axis=0).div(fr.std(axis=1, ddof=1), axis=0)
+    z = z.fillna(0.0)
+    got = _run(spark, sf_dir, "qs253_burrows_delta").set_index(
+        ["s1", "s2"]
+    )
+    for i in range(len(sources)):
+        for j in range(i + 1, len(sources)):
+            delta = float(
+                (z[sources[i]] - z[sources[j]]).abs().mean()
+            )
+            assert got.loc[
+                (sources[i], sources[j]), "delta"
+            ] == pytest.approx(delta, abs=2e-4)
+
+
+def test_intent_qs265_neyman(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    g = pd.DataFrame(
+        {"st": o["o_orderpriority"], "c": _cents(o["o_totalprice"])}
+    ).groupby("st")["c"]
+    stats = {st: (int(s.count()), float(s.std(ddof=1))) for st, s in g}
+    tot = sum(n * sd for n, sd in stats.values())
+    got = _run(spark, sf_dir, "qs265_neyman_allocation").set_index(
+        "stratum"
+    )
+    for st, (n, sd) in stats.items():
+        w = n * sd / tot
+        assert got.loc[st, "n_stratum"] == n
+        assert got.loc[st, "sigma_dollars"] == pytest.approx(
+            sd / 100, abs=2e-2
+        )
+        assert got.loc[st, "weight"] == pytest.approx(w, abs=2e-6)
+        assert got.loc[st, "alloc"] == math.floor(10000 * w)
+
+
+def test_intent_qs267_markov_entropy(spark, sf_dir):
+    ev = _pd(sf_dir, "events").sort_values(["user_id", "ts", "event_id"])
+    pairs = {}
+    for _u, g in ev.groupby("user_id"):
+        ets = g["event_type"].tolist()
+        for a, b in zip(ets, ets[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    t = sum(pairs.values())
+    ctx = {}
+    for (a, _b), c in pairs.items():
+        ctx[a] = ctx.get(a, 0) + c
+    # entropy rate H(next | cur) = -sum p(cur,next) log2 p(next | cur)
+    h_rate = -sum(
+        (c / t) * math.log2(c / ctx[a]) for (a, _b), c in pairs.items()
+    )
+    h_joint = -sum((c / t) * math.log2(c / t) for c in pairs.values())
+    got = _run(spark, sf_dir, "qs267_markov_entropy_rate").iloc[0]
+    assert got["n_transitions"] == t
+    assert got["entropy_rate_bits"] == pytest.approx(h_rate, abs=2e-4)
+    assert got["joint_entropy_bits"] == pytest.approx(h_joint, abs=2e-4)
+
+
+def test_intent_qs211_hhi(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    sup = _pd(sf_dir, "supplier")
+    nat = _pd(sf_dir, "nation")
+    j = li.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+    rev = (
+        pd.DataFrame(
+            {
+                "nk": j["s_nationkey"],
+                "supp": j["l_suppkey"],
+                "c": _cents(j["l_extendedprice"]),
+            }
+        )
+        .groupby(["nk", "supp"])["c"]
+        .sum()
+        .reset_index()
+    )
+    got = _run(spark, sf_dir, "qs211_herfindahl_index").set_index(
+        "nation"
+    )
+    names = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    for nk, g in rev.groupby("nk"):
+        tot = int(g["c"].sum())
+        # e4-floored shares BEFORE squaring (the documented quantized
+        # HHI convention — exact integers end to end)
+        sh = (g["c"] * 10000 // tot).astype(np.int64)
+        hhi = int((sh * sh).sum())
+        row = got.loc[names[nk]]
+        assert row["n_suppliers"] == len(g)
+        assert row["hhi_e8"] == hhi
+        assert row["top_share_e4"] == int(sh.max())
+
+
+def test_intent_qs235_burstiness(spark, sf_dir):
+    docs = _pd(sf_dir, "documents")
+    n = docs["doc_id"].nunique()
+    counts = {}
+    for _i, r in docs.iterrows():
+        seen = {}
+        for t in r["text"].lower().split(" "):
+            if t:
+                seen[t] = seen.get(t, 0) + 1
+        for t, c in seen.items():
+            counts.setdefault(t, []).append(c)
+    got = _run(spark, sf_dir, "qs235_token_burstiness").set_index(
+        "term"
+    )
+    checked = 0
+    for t, xs in counts.items():
+        sx = sum(xs)
+        if sx < 50:
+            continue
+        sxx = sum(x * x for x in xs)
+        # VMR over ALL docs (zeros included through n): var_pop/mean
+        vmr_e6 = (n * sxx - sx * sx) * 1_000_000 // (n * sx)
+        row = got.loc[t]
+        assert row["total_count"] == sx
+        assert row["docs_in"] == len(xs)
+        assert row["vmr_e6"] == vmr_e6
+        checked += 1
+    assert checked == len(got)
+
+
+def test_intent_qs240_lexical_diversity(spark, sf_dir):
+    docs = _pd(sf_dir, "documents")
+    docs = docs[docs["doc_id"] % 10 == 0]
+    got = _run(spark, sf_dir, "qs240_lexical_diversity").set_index(
+        "doc_id"
+    )
+    for _i, r in docs.iterrows():
+        toks = [t for t in r["text"].lower().split(" ") if t]
+        n, v = len(toks), len(set(toks))
+        row = got.loc[r["doc_id"]]
+        assert row["n_tokens"] == n and row["n_types"] == v
+        assert row["ttr_e4"] == v * 10000 // n
+        # root-TTR squared (V^2/N) keeps it integer-exact
+        assert row["root_ttr_sq_e4"] == v * v * 10000 // n
+
+
+def test_intent_qs282_price_dispersion(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    part = _pd(sf_dir, "part")
+    uc = np.round(
+        li["l_extendedprice"].to_numpy() * 100
+        / li["l_quantity"].to_numpy()
+    ).astype(np.int64)
+    sm = (
+        pd.DataFrame(
+            {"part": li["l_partkey"], "supp": li["l_suppkey"], "uc": uc}
+        )
+        .groupby(["part", "supp"])["uc"]
+        .agg(["sum", "size"])
+    )
+    sm["m"] = sm["sum"] // sm["size"]
+    got = _run(spark, sf_dir, "qs282_price_dispersion").set_index(
+        "brand"
+    )
+    brand_of = dict(zip(part["p_partkey"], part["p_brand"]))
+    acc = {}
+    for pk, g in sm.groupby(level=0):
+        m = g["m"].to_numpy(float)
+        if len(m) < 3:
+            continue
+        cv = m.std(ddof=0) / m.mean()  # population CV (documented)
+        spread = m.max() / m.min()
+        acc.setdefault(brand_of[pk], []).append((cv, spread))
+    for brand, rows in acc.items():
+        cvs = [c for c, _s in rows]
+        sps = [s for _c, s in rows]
+        r = got.loc[brand]
+        assert r["n_parts"] == len(rows)
+        assert r["avg_cv"] == pytest.approx(np.mean(cvs), abs=2e-4)
+        assert r["avg_spread"] == pytest.approx(np.mean(sps), abs=2e-4)
+        assert r["n_dispersed"] == sum(1 for c in cvs if c > 0.05)
+
+
+def test_intent_qs189_lorenz(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    rev = (
+        pd.DataFrame(
+            {"ck": o["o_custkey"], "c": _cents(o["o_totalprice"])}
+        )
+        .groupby("ck")["c"]
+        .sum()
+        .reset_index()
+        .sort_values(["c", "ck"])
+        .reset_index(drop=True)
+    )
+    n = len(rev)
+    base, extra = divmod(n, 10)
+    sizes = [base + (1 if i < extra else 0) for i in range(10)]
+    rev["d"] = np.repeat(np.arange(1, 11), sizes)
+    agg = rev.groupby("d")["c"].agg(["size", "sum"])
+    tot = int(agg["sum"].sum())
+    cum = 0
+    got = _run(spark, sf_dir, "qs189_lorenz_deciles").set_index(
+        "decile"
+    )
+    for d, row in agg.iterrows():
+        cum += int(row["sum"])
+        r = got.loc[d]
+        assert r["n_cust"] == row["size"]
+        assert r["rev_cents"] == row["sum"]
+        assert r["cum_share_e6"] == round(cum * 1_000_000 / tot)
