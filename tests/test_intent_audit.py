@@ -3338,9 +3338,12 @@ def test_intent_qs240_lexical_diversity(spark, sf_dir):
 def test_intent_qs282_price_dispersion(spark, sf_dir):
     li = _pd(sf_dir, "lineitem")
     part = _pd(sf_dir, "part")
-    uc = np.round(
+    # engines ROUND half-away-from-zero; np.round is half-to-even —
+    # unit costs landing on exact .5 must round up here (positive)
+    uc = np.floor(
         li["l_extendedprice"].to_numpy() * 100
         / li["l_quantity"].to_numpy()
+        + 0.5
     ).astype(np.int64)
     sm = (
         pd.DataFrame(
