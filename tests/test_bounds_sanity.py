@@ -1,0 +1,92 @@
+"""Mathematical-bounds sanity gate (r10).
+
+qs241 shipped a Cramér's V of 1.27 — above the statistic's hard upper
+bound of 1 — and stayed green for two rounds because the oracle
+mirrored the same inflation. Range violations like that are cheap to
+catch mechanically: every bounded statistic in the registry is listed
+here with its mathematical range, and this test runs each owning
+query at sf0.001 and asserts no output value can exist outside it.
+This is NOT a formula check (test_intent_audit.py does that); it is
+the impossible-value tripwire that fires even when engine, oracle,
+and the intent reference are all wrong together.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from cds_etl_spark.plans import QUERIES
+
+# (query, column, lo, hi) — closed intervals; None = unbounded side.
+BOUNDS = [
+    ("qs159_psi_drift", "psi", 0.0, None),
+    ("qs181_mannwhitney_auc", "auc_e6", 0, 1_000_000),
+    ("qs182_kaplan_meier", "survival", 0.0, 1.0),
+    ("qs214_degree_assortativity", "assortativity", -1.0, 1.0),
+    ("qs215_ndcg_retrieval_eval", "ndcg_e6", 0, 1_000_000),
+    ("qs231_modularity", "modularity_e6", -1_000_000, 1_000_000),
+    ("qs234_wilson_interval", "ci_lo", 0.0, 1.0),
+    ("qs234_wilson_interval", "ci_hi", 0.0, 1.0),
+    ("qs234_wilson_interval", "p_center", 0.0, 1.0),
+    ("qs241_chi_square_independence", "cramers_v", 0.0, 1.0),
+    ("qs243_spearman_corr", "spearman_rho", -1.0, 1.0),
+    ("qs244_langid_kappa_eval", "accuracy", 0.0, 1.0),
+    ("qs244_langid_kappa_eval", "kappa", -1.0, 1.0),
+    ("qs264_calibration_ece", "accuracy", 0.0, 1.0),
+    ("qs264_calibration_ece", "confidence", 0.0, 1.0),
+    ("qs273_cramers_v", "cramers_v", 0.0, 1.0),
+    ("qs274_js_divergence", "jsd_nats", 0.0, math.log(2) + 1e-9),
+    ("qs274_js_divergence", "jsd_bits", 0.0, 1.0 + 1e-9),
+    ("qs276_bh_fdr", "conv0", 0.0, 1.0),
+    ("qs276_bh_fdr", "conv1", 0.0, 1.0),
+    ("qs276_bh_fdr", "p_two", 0.0, 1.0 + 1e-6),
+    ("qs288_dunn_posthoc", "p_two", 0.0, 1.0 + 1e-6),
+    ("qs290_cronbach_alpha", "cronbach_alpha", None, 1.0),
+    ("qs294_rich_club", "phi", 0.0, 1.0),
+    ("qs296_rmst", "surv_at_tau", 0.0, 1.0),
+    ("qs299_kendall_taub", "tau_b", -1.0, 1.0),
+    ("qs301_theils_u", "theils_u", 0.0, 1.0),
+    ("qs303_durbin_watson", "dw", 0.0, 4.0),
+    ("qs303_durbin_watson", "rho1", -1.0, 1.0),
+    ("qs307_gini_balances", "gini", 0.0, 1.0),
+    ("qs310_cliffs_delta", "cliffs_delta", -1.0, 1.0),
+    ("qs312_anova_effect_sizes", "eta2", 0.0, 1.0),
+    ("qs316_partial_correlation", "r_xy", -1.0, 1.0),
+    ("qs316_partial_correlation", "r_xy_given_z", -1.0, 1.0),
+    ("qs320_pettitt_changepoint", "p_approx", 0.0, 2.0),
+    ("qs321_kendalls_w", "kendalls_w", 0.0, 1.0),
+    ("qs327_ordinal_association", "gamma", -1.0, 1.0),
+    ("qs327_ordinal_association", "somers_d_yx", -1.0, 1.0),
+    ("qs327_ordinal_association", "somers_d_xy", -1.0, 1.0),
+    ("qs327_ordinal_association", "tau_c", -1.0, 1.0),
+    ("qs330_average_precision", "ap", 0.0, 1.0),
+    ("qs331_matthews_corr", "mcc", -1.0, 1.0),
+    ("qs332_brier_decomposition", "uncertainty", 0.0, 0.25),
+    ("qs336_xyz_classification", "cv2_e6", 0, None),
+    ("qs345_hurst_exponent", "hurst", 0.0, 1.0),
+    ("qs347_weighted_kappa", "weighted_kappa", -1.0, 1.0),
+    ("qs348_entropy_profile", "normalized", 0.0, 1.0 + 1e-9),
+    ("qs350_theil_index", "theil_t", 0.0, None),
+    ("qs350_theil_index", "theil_l", 0.0, None),
+]
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted({q for q, _c, _l, _h in BOUNDS}),
+)
+def test_bounded_statistics_stay_in_range(spark, sf_dir, name):
+    pdf = QUERIES[name](spark, sf_dir).toPandas()
+    for q, col, lo, hi in BOUNDS:
+        if q != name:
+            continue
+        vals = pd.to_numeric(pdf[col], errors="raise").dropna()
+        if lo is not None:
+            bad = vals[vals < lo]
+            assert bad.empty, f"{name}.{col} below {lo}: {bad.tolist()[:5]}"
+        if hi is not None:
+            bad = vals[vals > hi]
+            assert bad.empty, f"{name}.{col} above {hi}: {bad.tolist()[:5]}"
