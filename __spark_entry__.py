@@ -52,8 +52,67 @@ def entry(spark: SparkSession) -> DataFrame:
 # asserts set(_GRADE_FIRST) <= set(QUERIES) so a typo fails loudly instead
 # of silently falling back to registration order (the r03 defect).
 _GRADE_FIRST = [
-    # -- r10 window (50): round-8 tail + the two repaired r08 reds + r9
-    #    additions (appended as registered) + the qs230 re-grade --
+    # -- r11 window (first 50 graded): the two r10 intent-audit repairs
+    #    whose official values changed vs their graded rows (qs241 chi2/V
+    #    de-inflated xN; qs159 PSI now sums the full smoothed 16-bin grid)
+    #    lead the window, per the r10 verdict task 1 / the qs230 pattern. --
+    "qs241_chi_square_independence",
+    "qs159_psi_drift",
+    # -- r11 additions are inserted HERE as they are registered, so every
+    #    new query lands inside the r11 graded window. --
+    # -- backfill: the r07 window (stalest green rows, last graded in
+    #    CORRECTNESS_r07) rotated forward to refresh its evidence. --
+    "qs157_perplexity_buckets",
+    "qs158_epoch_shard_plan",
+    "qs160_token_entropy",
+    "qs161_winsorized_mean",
+    "qs162_interval_overlap_binned",
+    "qs163_prefix_filter_simjoin",
+    "qs164_sequence_mining",
+    "qs165_sweepline_concurrency",
+    "qs166_mutual_information",
+    "qs167_zscore_anomaly",
+    "qs168_ab_proportion_ztest",
+    "qs169_changepoint_meanshift",
+    "qs170_hll_intersection",
+    "qs171_cms_join_size",
+    "qs172_weighted_shortest_path",
+    "qs173_ewma_smoothing",
+    "qs174_benford_audit",
+    "qs175_key_skew_diagnosis",
+    "qs176_last_touch_attribution",
+    "qs177_winnow_fingerprints",
+    "qs178_sparse_cosine_neighbors",
+    "qs179_bootstrap_ci",
+    "qs180_clamped_balance",
+    "qs181_mannwhitney_auc",
+    "qs182_kaplan_meier",
+    "qs183_weighted_median",
+    "qs184_powerlaw_fit",
+    "qs185_rolling_actives",
+    "qs186_session_stats",
+    "qs187_basket_lift",
+    "qs188_time_to_convert",
+    "qs189_lorenz_deciles",
+    "qs190_dow_seasonality",
+    "qs191_new_vs_returning",
+    "qs192_cohort_ltv",
+    "qs193_duplicate_payments",
+    "qs194_ship_sla",
+    "qs195_supplier_activity_islands",
+    "qs196_embedding_drift",
+    "qs197_percent_of_parent",
+    "qs198_rank_movers",
+    "qs199_scd2_dimension",
+    "qs200_proration_cents",
+    "qs201_date_spine_fill",
+    "qs202_group_ols_trend",
+    "qs203_funnel_conversion",
+    "qs204_autocorrelation",
+    "qs205_theilsen_slope",
+    "qs206_grid_spatial_pairs",
+    # -- already officially graded: the r10 window (CORRECTNESS_r10, 50/50
+    #    green), then the r09/r08 windows, rotated to the back. --
     "qs302_runs_test",
     "qs303_durbin_watson",
     "qs304_moods_median",
@@ -76,7 +135,6 @@ _GRADE_FIRST = [
     "qs321_kendalls_w",
     "qs210_rfm_segments",
     "qs248_kmeans_update",
-    # -- round-9 additions --
     "qs322_pages_trend",
     "qs323_hodges_lehmann",
     "qs324_siegel_tukey",
@@ -104,20 +162,7 @@ _GRADE_FIRST = [
     "qs347_weighted_kappa",
     "qs348_entropy_profile",
     "qs349_page_hinkley",
-    # qs230 re-grade: its r9 MIN→MAX semantic repair (the VaR
-    # threshold picked the global minimum; both engines mirrored it
-    # so the differential stayed green) changes official values.
     "qs230_var_cvar",
-    # -- already officially graded: the r09 window (qs252-qs301, 50/50
-    #    green in CORRECTNESS_r09), then the r08 window minus the two
-    #    repaired reds above, then the r07 window, rotated to the back.
-    #    r11 RE-GRADE QUEUE: qs241_chi_square_independence (spurious
-    #    xN factor on chi2/V) and qs159_psi_drift (PSI summed only
-    #    observed bins while the +1/+16 smoothing defines mass on the
-    #    full 16-bin grid — understated drift) — both r10 intent-audit
-    #    repairs mirrored in their oracles, so official values change
-    #    vs their graded rows; put both in the r11 window's front like
-    #    qs230 was this round. --
     "qs252_vocab_jaccard_sources",
     "qs253_burrows_delta",
     "qs254_mcnemar_paired",
@@ -205,7 +250,6 @@ _GRADE_FIRST = [
     "qs66_hash_split",
     "qs82_sequence_packing",
     "qs89_repetition_signal",
-    "qs241_chi_square_independence",
     "qs242_cusum_drift",
     "qs243_spearman_corr",
     "qs244_langid_kappa_eval",
@@ -215,56 +259,6 @@ _GRADE_FIRST = [
     "qs249_kcore_decomposition",
     "qs250_label_propagation",
     "qs251_price_elasticity",
-    "qs157_perplexity_buckets",
-    "qs158_epoch_shard_plan",
-    "qs159_psi_drift",
-    "qs160_token_entropy",
-    "qs161_winsorized_mean",
-    "qs162_interval_overlap_binned",
-    "qs163_prefix_filter_simjoin",
-    "qs164_sequence_mining",
-    "qs165_sweepline_concurrency",
-    "qs166_mutual_information",
-    "qs167_zscore_anomaly",
-    "qs168_ab_proportion_ztest",
-    "qs169_changepoint_meanshift",
-    "qs170_hll_intersection",
-    "qs171_cms_join_size",
-    "qs172_weighted_shortest_path",
-    "qs173_ewma_smoothing",
-    "qs174_benford_audit",
-    "qs175_key_skew_diagnosis",
-    "qs176_last_touch_attribution",
-    "qs177_winnow_fingerprints",
-    "qs178_sparse_cosine_neighbors",
-    "qs179_bootstrap_ci",
-    "qs180_clamped_balance",
-    "qs181_mannwhitney_auc",
-    "qs182_kaplan_meier",
-    "qs183_weighted_median",
-    "qs184_powerlaw_fit",
-    "qs185_rolling_actives",
-    "qs186_session_stats",
-    "qs187_basket_lift",
-    "qs188_time_to_convert",
-    "qs189_lorenz_deciles",
-    "qs190_dow_seasonality",
-    "qs191_new_vs_returning",
-    "qs192_cohort_ltv",
-    "qs193_duplicate_payments",
-    "qs194_ship_sla",
-    "qs195_supplier_activity_islands",
-    "qs196_embedding_drift",
-    "qs197_percent_of_parent",
-    "qs198_rank_movers",
-    "qs199_scd2_dimension",
-    "qs200_proration_cents",
-    "qs201_date_spine_fill",
-    "qs202_group_ols_trend",
-    "qs203_funnel_conversion",
-    "qs204_autocorrelation",
-    "qs205_theilsen_slope",
-    "qs206_grid_spatial_pairs",
 ]
 
 
