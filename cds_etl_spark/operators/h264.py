@@ -267,10 +267,15 @@ def parse_sps(rbsp: bytes) -> dict:
             raise NotImplementedError("scaling matrices not supported")
     log2_mfn = r.ue() + 4
     poc_type = r.ue()
+    log2_max_poc_lsb = 0
+    delta_poc_always_zero = 1
     if poc_type == 0:
-        r.ue()
+        log2_max_poc_lsb = r.ue() + 4
     elif poc_type == 1:
-        r.u(1)
+        # delta_pic_order_always_zero_flag governs whether slice headers
+        # carry delta_pic_order_cnt[0/1] (7.3.3) — discarding it desyncs
+        # the slice bit reader (r10 ADVICE).
+        delta_poc_always_zero = r.u(1)
         r.se()
         r.se()
         for _ in range(r.ue()):
@@ -292,6 +297,9 @@ def parse_sps(rbsp: bytes) -> dict:
         "level_idc": level,
         "log2_max_frame_num": log2_mfn,
         "pic_order_cnt_type": poc_type,
+        "log2_max_poc_lsb": log2_max_poc_lsb,
+        "delta_pic_order_always_zero": delta_poc_always_zero,
+        "frame_mbs_only": frame_mbs_only,
         "width_mbs": w_mbs,
         "height_mbs": h_mbs,
         "width": 16 * w_mbs - 2 * (crop_l + crop_r),
@@ -528,13 +536,31 @@ def _decode_idr_slice(
         )
     r.ue()                           # pps id
     r.u(sps["log2_max_frame_num"])   # frame_num
+    if not sps["frame_mbs_only"]:
+        if r.u(1):                   # field_pic_flag
+            raise NotImplementedError(
+                "field pictures (interlaced) unsupported — PyAV gate"
+            )
     # idr_pic_id is present only when IdrPicFlag (ISO 14496-10 7.3.3);
     # reading it on a t=1 non-IDR I slice desyncs the bit reader
     # (r9 ADVICE).
     if idr:
         r.ue()                       # idr_pic_id
+    # POC slice-header fields (7.3.3) — field_pic_flag is gated above,
+    # so the bottom-field variants apply whenever the PPS flag is set.
     if sps["pic_order_cnt_type"] == 0:
-        raise NotImplementedError("poc type 0 slice headers unsupported")
+        r.u(sps["log2_max_poc_lsb"])  # pic_order_cnt_lsb
+        if pps["bottom_field_pic_order"]:
+            r.se()                   # delta_pic_order_cnt_bottom
+    elif (
+        sps["pic_order_cnt_type"] == 1
+        and not sps["delta_pic_order_always_zero"]
+    ):
+        r.se()                       # delta_pic_order_cnt[0]
+        if pps["bottom_field_pic_order"]:
+            r.se()                   # delta_pic_order_cnt[1]
+    if pps["redundant_pic_cnt_present"]:
+        r.ue()                       # redundant_pic_cnt
     # dec_ref_pic_marking (7.3.3.3): IDR carries the two flags; a
     # non-IDR reference slice carries adaptive_ref_pic_marking_mode_flag
     # whose mmco loop is entropy-decode territory — gate it.

@@ -66,7 +66,10 @@ BOUNDS = [
     ("qs331_matthews_corr", "mcc", -1.0, 1.0),
     ("qs332_brier_decomposition", "uncertainty", 0.0, 0.25),
     ("qs336_xyz_classification", "cv2_e6", 0, None),
-    ("qs345_hurst_exponent", "hurst", 0.0, 1.0),
+    # hurst is a 4-point OLS slope on log(R/S) vs log(n): asymptotically
+    # in [0,1] but NOT mathematically confined there at finite sample —
+    # an empirical band, not a hard bound (r10 ADVICE).
+    ("qs345_hurst_exponent", "hurst", -0.5, 1.5),
     ("qs347_weighted_kappa", "weighted_kappa", -1.0, 1.0),
     ("qs348_entropy_profile", "normalized", 0.0, 1.0 + 1e-9),
     ("qs350_theil_index", "theil_t", 0.0, None),

@@ -272,3 +272,133 @@ def test_non_idr_i_slice_decodes():
     for ref_idc in (0, 2):
         got = decode_h264(head + non_idr_slice(ref_idc))
         assert np.array_equal(got, want), ref_idc
+
+
+def test_poc_and_redundant_slice_header_fields():
+    # Conformant streams may carry pic_order_cnt_lsb /
+    # delta_pic_order_cnt[0..1] / redundant_pic_cnt in the slice header
+    # (ISO 14496-10 7.3.3) depending on SPS poc_type +
+    # delta_pic_order_always_zero_flag and the two PPS presence flags.
+    # parse_sps used to discard delta_pic_order_always_zero_flag and the
+    # slice parse never read redundant_pic_cnt — the same bit-reader
+    # desync class as the r9 idr_pic_id bug (r10 ADVICE). Build each
+    # variant with NONZERO field values and require sample-exact decode.
+    from cds_etl_spark.operators.h264 import _nal, _pad_mb, parse_pps
+
+    rng = np.random.default_rng(57)
+    img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    y, cb, cr = _rgb_to_yuv420(img)
+    yp, cbp, crp = _pad_mb(y, 16), _pad_mb(cb, 8), _pad_mb(cr, 8)
+    mbs_y, mbs_x = yp.shape[0] // 16, yp.shape[1] // 16
+
+    def sps_rbsp(poc_type, always_zero=1):
+        w = _BitWriter()
+        w.u(66, 8)                   # profile_idc Baseline
+        w.u(0xC0, 8)
+        w.u(30, 8)                   # level_idc
+        w.ue(0)                      # sps id
+        w.ue(0)                      # log2_max_frame_num_minus4
+        w.ue(poc_type)
+        if poc_type == 0:
+            w.ue(2)                  # log2_max_pic_order_cnt_lsb_minus4
+        elif poc_type == 1:
+            w.u(always_zero, 1)      # delta_pic_order_always_zero_flag
+            w.se(0)                  # offset_for_non_ref_pic
+            w.se(0)                  # offset_for_top_to_bottom_field
+            w.ue(0)                  # num_ref_frames_in_poc_cycle
+        w.ue(0)                      # max_num_ref_frames
+        w.u(0, 1)                    # gaps_in_frame_num
+        w.ue(mbs_x - 1)
+        w.ue(mbs_y - 1)
+        w.u(1, 1)                    # frame_mbs_only_flag
+        w.u(1, 1)                    # direct_8x8_inference
+        w.u(0, 1)                    # no cropping
+        w.u(0, 1)                    # no vui
+        w.rbsp_trailing()
+        return w.tobytes()
+
+    def pps_rbsp(bottom_field=0, redundant=0):
+        w = _BitWriter()
+        w.ue(0)                      # pps id
+        w.ue(0)                      # sps id
+        w.u(0, 1)                    # CAVLC
+        w.u(bottom_field, 1)         # bottom_field_pic_order_in_frame
+        w.ue(0)                      # num_slice_groups_minus1
+        w.ue(0)
+        w.ue(0)
+        w.u(0, 1)                    # weighted_pred
+        w.u(0, 2)                    # weighted_bipred_idc
+        w.se(0)                      # pic_init_qp_minus26
+        w.se(0)                      # pic_init_qs_minus26
+        w.se(0)                      # chroma_qp_index_offset
+        w.u(1, 1)                    # deblocking_filter_control_present
+        w.u(0, 1)                    # constrained_intra_pred
+        w.u(redundant, 1)            # redundant_pic_cnt_present
+        w.rbsp_trailing()
+        return w.tobytes()
+
+    def idr_slice(poc_fields=(), redundant=None):
+        bw = _BitWriter()
+        bw.ue(0)                     # first_mb_in_slice
+        bw.ue(7)                     # slice_type I
+        bw.ue(0)                     # pps id
+        bw.u(0, 4)                   # frame_num
+        bw.ue(3)                     # idr_pic_id (nonzero-ish)
+        for kind, val in poc_fields:
+            if kind == "u6":
+                bw.u(val, 6)         # pic_order_cnt_lsb (log2=6)
+            else:
+                bw.se(val)
+        if redundant is not None:
+            bw.ue(redundant)         # redundant_pic_cnt
+        bw.u(1, 1)                   # no_output_of_prior_pics
+        bw.u(0, 1)                   # long_term_reference_flag
+        bw.se(0)                     # slice_qp_delta
+        bw.ue(1)                     # disable_deblocking_filter_idc
+        for my in range(mbs_y):
+            for mx in range(mbs_x):
+                bw.ue(25)
+                bw.byte_align_zero()
+                bw.write_bytes(
+                    yp[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16]
+                    .tobytes()
+                )
+                bw.write_bytes(
+                    cbp[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8]
+                    .tobytes()
+                )
+                bw.write_bytes(
+                    crp[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8]
+                    .tobytes()
+                )
+        bw.rbsp_trailing()
+        return _nal(5, bw.tobytes())
+
+    want = _yuv420_to_rgb(y, cb, cr)
+    cases = [
+        # poc type 0: pic_order_cnt_lsb, + delta_pic_order_cnt_bottom
+        # when the PPS bottom-field flag is up
+        (sps_rbsp(0), pps_rbsp(), [("u6", 37)], None),
+        (sps_rbsp(0), pps_rbsp(bottom_field=1), [("u6", 37), ("se", -3)],
+         None),
+        # poc type 1, always_zero=0: delta_pic_order_cnt[0] (+[1])
+        (sps_rbsp(1, always_zero=0), pps_rbsp(), [("se", -5)], None),
+        (sps_rbsp(1, always_zero=0), pps_rbsp(bottom_field=1),
+         [("se", -5), ("se", 7)], None),
+        # poc type 1, always_zero=1: NO poc fields (no over-read)
+        (sps_rbsp(1, always_zero=1), pps_rbsp(), [], None),
+        # redundant_pic_cnt read when the PPS flag is up (poc type 2)
+        (sps_rbsp(2), pps_rbsp(redundant=1), [], 4),
+        # everything at once
+        (sps_rbsp(1, always_zero=0), pps_rbsp(bottom_field=1, redundant=1),
+         [("se", 9), ("se", -1)], 2),
+    ]
+    for i, (sps_b, pps_b, poc_fields, red) in enumerate(cases):
+        pps = parse_pps(pps_b)
+        assert pps["redundant_pic_cnt_present"] == (red is not None), i
+        stream = (
+            _nal(7, sps_b) + _nal(8, pps_b)
+            + idr_slice(poc_fields, redundant=red)
+        )
+        got = decode_h264(stream)
+        assert np.array_equal(got, want), f"case {i} desynced"

@@ -46,6 +46,10 @@ LOW_CARD = (
 )
 
 _NAME_RE = re.compile(r'^\s*(?:"(qs\d+[a-z0-9_]*)"|def (qs\d+)\b)')
+# A module-level helper def between queries must reset the enclosing-name
+# key, or its Window sites get attributed to the PRECEDING query in the
+# allowlist key — stable but misleading (r10 ADVICE).
+_DEF_RE = re.compile(r"^def ([A-Za-z_]\w*)\b")
 
 
 def find_sites(root: str | None = None) -> list[tuple[str, int, str, str, str]]:
@@ -67,6 +71,10 @@ def find_sites(root: str | None = None) -> list[tuple[str, int, str, str, str]]:
             m = _NAME_RE.match(line)
             if m:
                 current = m.group(1) or m.group(2)
+            else:
+                md = _DEF_RE.match(line)
+                if md:
+                    current = md.group(1)
             s = line.strip()
             if re.search(r"Window\.orderBy\(", s):
                 hits.append((rel, i, "GLOBAL", current, s[:90]))
