@@ -691,6 +691,7 @@ def stream_cusum_monitor(
     group_col: str = "event_type",
     k: float = 0.5,
     h: float = 5.0,
+    fault=None,
 ) -> None:
     """Continuous CUSUM level-shift detection — the streaming face of
     qs242/qs169 that completes the monitoring trio beside
@@ -806,6 +807,13 @@ def stream_cusum_monitor(
         out.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={epoch_id}")
         )
+        # fault (tests only): raising here simulates a crash with the
+        # epoch's state + output durable but the checkpoint commit
+        # missing — the replay must recompute from the PREDECESSOR
+        # state (its own epoch partition is excluded by e < epoch_id)
+        # and overwrite, never chain onto itself.
+        if fault is not None:
+            fault(epoch_id)
 
     q = (
         events_stream.writeStream.foreachBatch(handle)
@@ -929,6 +937,7 @@ def stream_commitlog_sink(
     stream: DataFrame,
     table: str,
     checkpoint_dir: str,
+    fault=None,
 ) -> None:
     """Exactly-once streaming ingest into a commit-log snapshot table
     (``sources/commitlog``): each micro-batch publishes as ONE atomic
@@ -941,7 +950,15 @@ def stream_commitlog_sink(
     directory overwrites, made transactional).
 
     Replay horizon: ``vacuum(keep_last=N)`` must keep at least as
-    many manifests as epochs the checkpoint could replay."""
+    many manifests as epochs the checkpoint could replay.
+
+    ``fault`` (tests only): callable invoked as ``fault(epoch_id,
+    phase)`` with phase ``"pre"`` (replay-guard passed, commit not yet
+    published) and ``"post"`` (commit published, checkpoint commit not
+    yet recorded). Raising in either phase simulates the two crash
+    windows of the protocol; the fault-injection soak
+    (tests/test_fault_injection.py) restarts until drained and asserts
+    exactly-once either way."""
     from cds_etl_spark.sources.commitlog import (
         commit_append,
         committed_epochs,
@@ -951,7 +968,11 @@ def stream_commitlog_sink(
         spark = batch_df.sparkSession
         if epoch_id in committed_epochs(spark, table):
             return
+        if fault is not None:
+            fault(epoch_id, "pre")
         commit_append(batch_df, table, epoch=epoch_id)
+        if fault is not None:
+            fault(epoch_id, "post")
 
     q = (
         stream.writeStream.foreachBatch(handle)
@@ -971,6 +992,7 @@ def stream_heavy_hitters(
     k: int = 5,
     depth: int = 4,
     width: int = 256,
+    fault=None,
 ) -> None:
     """Continuous heavy-hitters monitoring from MERGEABLE sketches:
     each micro-batch builds its own Count-Min sketch
@@ -1044,6 +1066,12 @@ def stream_heavy_hitters(
         est.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={epoch_id}")
         )
+        # fault (tests only): crash window after durable writes,
+        # before the checkpoint commit — replay must overwrite the
+        # epoch's sketch/items partitions byte-for-byte so merged
+        # totals never double-count.
+        if fault is not None:
+            fault(epoch_id)
 
     q = (
         stream.writeStream.foreachBatch(handle)
