@@ -58,10 +58,28 @@ _GRADE_FIRST = [
     #    lead the window, per the r10 verdict task 1 / the qs230 pattern. --
     "qs241_chi_square_independence",
     "qs159_psi_drift",
-    # -- r11 additions are inserted HERE as they are registered, so every
-    #    new query lands inside the r11 graded window. --
+    # -- r11 additions (qs351-qs366, the round-11 diagnostics family):
+    #    each passed both-SF driver_diff before registration here. --
+    "qs351_levene_test",
+    "qs352_fleiss_kappa",
+    "qs353_turning_points",
+    "qs354_periodogram",
+    "qs355_variance_ratio",
+    "qs356_l_diversity",
+    "qs357_t_closeness",
+    "qs358_breusch_pagan",
+    "qs359_overdispersion",
+    "qs360_boilerplate_ngrams",
+    "qs361_gk_lambda",
+    "qs362_dagostino_skew",
+    "qs363_seasonal_strength",
+    "qs364_sprt_ab",
+    "qs365_pmi_collocations",
+    "qs366_heaps_law",
     # -- backfill: the r07 window (stalest green rows, last graded in
-    #    CORRECTNESS_r07) rotated forward to refresh its evidence. --
+    #    CORRECTNESS_r07) rotated forward to refresh its evidence; with
+    #    the 16 r11 additions ahead, the first 32 of these fill the
+    #    window (qs189+ keep their green r07 rows and rotate next). --
     "qs157_perplexity_buckets",
     "qs158_epoch_shard_plan",
     "qs160_token_entropy",

@@ -24,6 +24,7 @@ from cds_etl_spark.plans import (  # noqa: E402,F401  (import = registration)
     q_experiments,
     q_commerce_ops,
     q_assoc_eval,
+    q_diagnostics,
 )
 
 __all__ = ["QUERIES", "ORACLE_SQL"]

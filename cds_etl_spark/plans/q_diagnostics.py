@@ -1,0 +1,1619 @@
+"""Round-11 family (qs351+): variance-equality and heteroscedasticity
+tests (Brown–Forsythe Levene, Breusch–Pagan), multi-rater agreement
+(Fleiss' kappa), randomness/spectral time-series diagnostics (turning
+points, periodogram, Lo–MacKinlay variance ratio, seasonal strength,
+D'Agostino skewness z), privacy audits beyond qs313's k-anonymity
+(l-diversity, t-closeness), nominal association (Goodman–Kruskal
+lambda), count-model dispersion, sequential A/B (SPRT), and the
+corpus-quality trio boilerplate n-grams / PMI collocations / Heaps'
+law — the statistical-validation surface the reference's loader hooks
+(/root/reference/data_loader.py validation + report paths) imply for
+a curation pipeline, re-expressed as Spark aggregate plans.
+
+Registration contract, aliasing and cross-engine determinism rules:
+cds_etl_spark/plans/registry.py. The exact-integer / one-row-pivot
+doctrine applies throughout: every statistic's core moments are exact
+integers (cents, counts, squared integer deviations), grouped double
+sums appear only over literal-sized grids or positive-term epilogues,
+and multi-point OLS fits use the qs345 explicit fixed-term expansion.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cds_etl_spark.catalog import load_table
+from cds_etl_spark.plans.registry import query
+
+
+# --------------------------------------------------------------------------
+# qs351 Brown–Forsythe Levene test for equal variances across segments
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs351_levene_test",
+    oracle="""
+    WITH x AS (
+      SELECT c_mktsegment AS seg,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS c
+      FROM customer),
+    med AS (
+      SELECT seg, CAST(2 * quantile_cont(c, 0.5) AS BIGINT) AS m2
+      FROM x GROUP BY seg),
+    z AS (
+      SELECT x.seg, ABS(2 * x.c - med.m2) AS z2
+      FROM x JOIN med ON x.seg = med.seg),
+    g AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(z2) AS BIGINT) AS s1,
+             CAST(SUM(z2 * z2) AS BIGINT) AS s2
+      FROM z GROUP BY seg),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(s1) AS DOUBLE) / SUM(n) AS zbar
+            FROM g)
+    SELECT nn AS n_rows, k AS n_groups,
+           ROUND(
+             (CAST(nn - k AS DOUBLE) / (k - 1))
+             * SUM(n * (CAST(s1 AS DOUBLE) / n - zbar)
+                     * (CAST(s1 AS DOUBLE) / n - zbar))
+             / SUM(s2 - CAST(s1 AS DOUBLE) * s1 / n), 4) AS levene_w
+    FROM g CROSS JOIN tot GROUP BY nn, k
+    """,
+)
+def qs351(spark: SparkSession, sf: str) -> DataFrame:
+    """Brown–Forsythe Levene test: are account-balance variances equal
+    across the 5 market segments?  z_ij = |x_ij - median_j| replaces
+    the classic mean deviation (the robust variant), and
+    W = ((N-k)/(k-1)) * SUM n_j (zbar_j - zbar)^2 / SUM_j SS_j is the
+    one-way ANOVA F computed on the deviations.
+
+    Determinism: balances are exact cents; the group median doubles to
+    an exact integer m2 = 2*median (interpolated median of integers is
+    a half-integer), so z2 = |2x - m2| is an exact integer and the
+    per-group moments n / SUM z2 / SUM z2^2 are exact integers (z2 <
+    2.2e6, z2^2 < 4.9e12, fits through sf30).  The W epilogue is a
+    5-row grid sum of positive terms from those integers, ROUND 4.
+    Plan: one scan -> 5-group exact-percentile agg, broadcast back,
+    one grouped-moment agg, one-row epilogue; no window."""
+    x = load_table(spark, sf, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100)
+        .cast("long")
+        .alias("c"),
+    )
+    med = x.groupBy("seg").agg(
+        (2 * F.percentile("c", F.lit(0.5))).cast("long").alias("m2")
+    )
+    z = x.join(F.broadcast(med), "seg").select(
+        "seg", F.abs(2 * F.col("c") - F.col("m2")).alias("z2")
+    )
+    g = z.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("z2").cast("long").alias("s1"),
+        F.sum(F.col("z2") * F.col("z2")).cast("long").alias("s2"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        (F.sum("s1").cast("double") / F.sum("n")).alias("zbar"),
+    )
+    zm = F.col("s1").cast("double") / F.col("n")
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("nn", "k")
+        .agg(
+            F.round(
+                ((F.col("nn") - F.col("k")).cast("double") / (F.col("k") - 1))
+                * F.sum(
+                    F.col("n") * (zm - F.col("zbar")) * (zm - F.col("zbar"))
+                )
+                / F.sum(
+                    F.col("s2")
+                    - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+                ),
+                4,
+            ).alias("levene_w")
+        )
+        .select(
+            F.col("nn").alias("n_rows"),
+            F.col("k").alias("n_groups"),
+            "levene_w",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# qs352 Fleiss' kappa over 4-rater return-flag "judgements" per order
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs352_fleiss_kappa",
+    oracle="""
+    WITH subj AS (
+      SELECT l_orderkey,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nr,
+             CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nn,
+             CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS na
+      FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) = 4),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects,
+             CAST(SUM(nr * nr + nn * nn + na * na - 4) AS BIGINT) AS sp,
+             CAST(SUM(nr) AS BIGINT) AS tr,
+             CAST(SUM(nn) AS BIGINT) AS tn,
+             CAST(SUM(na) AS BIGINT) AS ta
+      FROM subj)
+    SELECT n_subjects,
+           ROUND(CAST(sp AS DOUBLE) / (n_subjects * 12), 6) AS p_bar,
+           ROUND(
+             (CAST(sp AS DOUBLE) / (n_subjects * 12)
+              - (CAST(tr AS DOUBLE) * tr + CAST(tn AS DOUBLE) * tn
+                 + CAST(ta AS DOUBLE) * ta)
+                / (16.0 * n_subjects * n_subjects))
+             / (1.0
+                - (CAST(tr AS DOUBLE) * tr + CAST(tn AS DOUBLE) * tn
+                   + CAST(ta AS DOUBLE) * ta)
+                  / (16.0 * n_subjects * n_subjects)), 6) AS fleiss_kappa
+    FROM m
+    """,
+)
+def qs352(spark: SparkSession, sf: str) -> DataFrame:
+    """Fleiss' kappa — chance-corrected agreement when each subject is
+    rated by the same number of raters: orders with exactly 4 line
+    items are the subjects, the 4 lines are the raters, and the
+    return flag (R/N/A) is the category each "rater" assigns.
+    kappa = (P_bar - P_e) / (1 - P_e) with
+    P_i = (SUM_j n_ij^2 - n) / (n(n-1)), P_e = SUM_j p_j^2.
+
+    Determinism: with n = 4 raters, every P_i shares the denominator
+    n(n-1) = 12, so SUM_i (SUM_j n_ij^2 - 4) is one exact integer and
+    P_bar is a single division; the category totals are exact
+    integers and P_e is a fixed 3-term double tree.  ROUND 6.
+    Plan: one grouped scan (conditional sums per flag), one-row
+    epilogue; no window, no join."""
+    li = load_table(spark, sf, "lineitem")
+    flag_n = {
+        f: F.sum(
+            F.when(F.col("l_returnflag") == f, 1).otherwise(0)
+        ).cast("long")
+        for f in ("R", "N", "A")
+    }
+    subj = (
+        li.groupBy("l_orderkey")
+        .agg(
+            flag_n["R"].alias("nr"),
+            flag_n["N"].alias("nn"),
+            flag_n["A"].alias("na"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .filter(F.col("cnt") == 4)
+    )
+    m = subj.agg(
+        F.count(F.lit(1)).cast("long").alias("n_subjects"),
+        F.sum(
+            F.col("nr") * F.col("nr")
+            + F.col("nn") * F.col("nn")
+            + F.col("na") * F.col("na")
+            - 4
+        )
+        .cast("long")
+        .alias("sp"),
+        F.sum("nr").cast("long").alias("tr"),
+        F.sum("nn").cast("long").alias("tn"),
+        F.sum("na").cast("long").alias("ta"),
+    )
+    p_bar = F.col("sp").cast("double") / (F.col("n_subjects") * 12)
+    p_e = (
+        F.col("tr").cast("double") * F.col("tr")
+        + F.col("tn").cast("double") * F.col("tn")
+        + F.col("ta").cast("double") * F.col("ta")
+    ) / (16.0 * F.col("n_subjects") * F.col("n_subjects"))
+    return m.select(
+        "n_subjects",
+        F.round(p_bar, 6).alias("p_bar"),
+        F.round((p_bar - p_e) / (1.0 - p_e), 6).alias("fleiss_kappa"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs353 Turning-points randomness test on the daily order-count series
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs353_turning_points",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS c
+      FROM orders GROUP BY 1),
+    lagged AS (
+      SELECT c,
+             LAG(c) OVER (ORDER BY d) AS pc,
+             LEAD(c) OVER (ORDER BY d) AS nc
+      FROM daily),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN pc IS NOT NULL AND nc IS NOT NULL
+                           AND ((c > pc AND c > nc)
+                                OR (c < pc AND c < nc))
+                      THEN 1 ELSE 0 END) AS BIGINT) AS tp
+      FROM lagged)
+    SELECT n AS n_days, tp AS t_points,
+           ROUND((tp - 2.0 * (n - 2) / 3.0)
+                 / sqrt((16.0 * n - 29.0) / 90.0), 4) AS z
+    FROM t
+    """,
+)
+def qs353(spark: SparkSession, sf: str) -> DataFrame:
+    """Turning-points test for randomness of the daily order-count
+    series: T = number of STRICT local maxima/minima (plateau ties do
+    not turn — documented convention; counts are integers so ties
+    occur), E[T] = 2(n-2)/3, Var[T] = (16n-29)/90 under i.i.d., and
+    z = (T - E)/sqrt(Var) is the randomness diagnostic next to
+    qs302's runs test (signs) and qs204's autocorrelation (levels).
+
+    Determinism: counts are exact integers, the strict comparisons
+    are integer compares, T and n are exact, the z epilogue is one
+    fixed double tree, ROUND 4.  Plan: one grouped scan -> ~2,400-row
+    day grid; lag/lead run on the grid (GRID window class), one-row
+    epilogue."""
+    o = load_table(spark, sf, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "c",
+        F.lag("c").over(w).alias("pc"),
+        F.lead("c").over(w).alias("nc"),
+    )
+    t = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(
+                F.col("pc").isNotNull()
+                & F.col("nc").isNotNull()
+                & (
+                    ((F.col("c") > F.col("pc")) & (F.col("c") > F.col("nc")))
+                    | ((F.col("c") < F.col("pc")) & (F.col("c") < F.col("nc")))
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("tp"),
+    )
+    return t.select(
+        F.col("n").alias("n_days"),
+        F.col("tp").alias("t_points"),
+        F.round(
+            (F.col("tp") - 2.0 * (F.col("n") - 2) / 3.0)
+            / F.sqrt((16.0 * F.col("n") - 29.0) / 90.0),
+            4,
+        ).alias("z"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs354 Periodogram — normalized spectral power at candidate periods
+# --------------------------------------------------------------------------
+
+_PERIODS = (7, 30, 91, 365)
+
+
+@query(
+    "qs354_periodogram",
+    oracle="""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1995-01-01',
+                      CAST(o_orderdate AS DATE)) AS t,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS DOUBLE) / COUNT(*) AS ybar
+            FROM daily),
+    per AS (SELECT unnest([7, 30, 91, 365]) AS period),
+    comp AS (
+      SELECT per.period, tot.n,
+             SUM((d.y - tot.ybar) * cos(2 * pi() * d.t / per.period)) AS cs,
+             SUM((d.y - tot.ybar) * sin(2 * pi() * d.t / per.period)) AS sn,
+             SUM((d.y - tot.ybar) * (d.y - tot.ybar)) AS ss
+      FROM daily d CROSS JOIN tot CROSS JOIN per
+      GROUP BY per.period, tot.n)
+    SELECT CAST(period AS BIGINT) AS period,
+           ROUND((cs * cs + sn * sn) / (2.0 * n * ss), 6) AS norm_power
+    FROM comp ORDER BY period
+    """,
+)
+def qs354(spark: SparkSession, sf: str) -> DataFrame:
+    """Periodogram probe: normalized spectral power of the
+    mean-centered daily-revenue series at the seasonality candidates
+    a commerce series actually has (weekly 7, monthly 30, quarterly
+    91, yearly 365).  norm_power(P) = (C^2 + S^2) / (2 n SS) with
+    C = SUM y~_t cos(2 pi t / P), S the sine sum, SS = SUM y~_t^2 —
+    Cauchy–Schwarz bounds C^2, S^2 <= n*SS each, so the statistic is
+    mathematically confined to [0, 1].
+
+    Determinism: daily cents are exact integers; the mean and the
+    centered values are the same double tree on both engines; the
+    three per-period sums run over the ~2,400-row day grid (partial-
+    agg order noise ~1e-12 relative against a ROUND-6 boundary — the
+    qs291 margin argument; cos/sin of identical doubles are
+    identical IEEE values on both libms for these arguments, and any
+    last-ulp wobble is absorbed by the same margin).  Plan: one
+    grouped scan -> day grid, broadcast one-row totals, broadcast
+    4-row period explode, one grouped epilogue; no window."""
+    o = load_table(spark, sf, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("t")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("ybar"),
+    )
+    per = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(p) for p in _PERIODS])
+        ).alias("period")
+    )
+    yc = F.col("y") - F.col("ybar")
+    ang = 2 * math.pi * F.col("t") / F.col("period")
+    comp = (
+        daily.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(per))
+        .groupBy("period", "n")
+        .agg(
+            F.sum(yc * F.cos(ang)).alias("cs"),
+            F.sum(yc * F.sin(ang)).alias("sn"),
+            F.sum(yc * yc).alias("ss"),
+        )
+    )
+    return comp.select(
+        F.col("period").cast("long").alias("period"),
+        F.round(
+            (F.col("cs") * F.col("cs") + F.col("sn") * F.col("sn"))
+            / (2.0 * F.col("n") * F.col("ss")),
+            6,
+        ).alias("norm_power"),
+    ).orderBy("period")
+
+
+# --------------------------------------------------------------------------
+# qs355 Lo–MacKinlay variance ratio VR(5) on daily log revenue
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs355_variance_ratio",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+    r AS (
+      SELECT ln(CAST(y AS DOUBLE))
+             - ln(CAST(LAG(y) OVER (ORDER BY d) AS DOUBLE)) AS r,
+             ROW_NUMBER() OVER (ORDER BY d) AS i
+      FROM daily QUALIFY LAG(y) OVER (ORDER BY d) IS NOT NULL),
+    s AS (
+      SELECT SUM(r) OVER (ORDER BY i
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sq,
+             COUNT(*) OVER (ORDER BY i
+                            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS w
+      FROM r),
+    v1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(r) / COUNT(*) AS mu,
+                  SUM(r * r) / COUNT(*)
+                  - (SUM(r) / COUNT(*)) * (SUM(r) / COUNT(*)) AS var1
+           FROM r),
+    vq AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                  SUM(sq * sq) / COUNT(*)
+                  - (SUM(sq) / COUNT(*)) * (SUM(sq) / COUNT(*)) AS varq
+           FROM s WHERE w = 5)
+    SELECT v1.n AS n_returns, vq.m AS n_windows,
+           ROUND(vq.varq / (5.0 * v1.var1), 4) AS vr5
+    FROM v1 CROSS JOIN vq
+    """,
+)
+def qs355(spark: SparkSession, sf: str) -> DataFrame:
+    """Lo–MacKinlay variance-ratio diagnostic VR(5) on the daily
+    log-revenue increments: population variance of overlapping 5-day
+    return sums over 5x the 1-day variance.  VR ~ 1 is a random walk,
+    > 1 momentum, < 1 mean reversion — the horizon-scaling companion
+    to qs345's Hurst exponent (simple population-variance form, no
+    heteroscedasticity correction — documented convention).
+
+    Determinism: daily cents are exact integers; log returns are the
+    same two-log double tree on both engines; both variances are
+    moment epilogues over the ~2,400-row grid (positive r*r / sq*sq
+    term sums — the margin argument), ROUND 4.  Plan: one grouped
+    scan -> day grid; lag + rolling-5 windows run on the grid (GRID
+    class), two one-row epilogues crossed."""
+    o = load_table(spark, sf, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    w = Window.orderBy("d")
+    r = (
+        daily.select(
+            F.log(F.col("y").cast("double")).alias("ly"),
+            F.log(F.lag("y").over(w).cast("double")).alias("lp"),
+            F.row_number().over(w).alias("i"),
+        )
+        .filter(F.col("lp").isNotNull())
+        .select((F.col("ly") - F.col("lp")).alias("r"), "i")
+    )
+    w5 = Window.orderBy("i").rowsBetween(-4, 0)
+    s = r.select(
+        F.sum("r").over(w5).alias("sq"),
+        F.count(F.lit(1)).over(w5).alias("w"),
+    ).filter(F.col("w") == 5)
+    v1 = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.sum(F.col("r") * F.col("r")) / F.count(F.lit(1))
+            - (F.sum("r") / F.count(F.lit(1)))
+            * (F.sum("r") / F.count(F.lit(1)))
+        ).alias("var1"),
+    )
+    vq = s.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        (
+            F.sum(F.col("sq") * F.col("sq")) / F.count(F.lit(1))
+            - (F.sum("sq") / F.count(F.lit(1)))
+            * (F.sum("sq") / F.count(F.lit(1)))
+        ).alias("varq"),
+    )
+    return v1.crossJoin(vq).select(
+        F.col("n").alias("n_returns"),
+        F.col("m").alias("n_windows"),
+        F.round(F.col("varq") / (5.0 * F.col("var1")), 4).alias("vr5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs356 l-diversity audit over quasi-identifier classes
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs356_l_diversity",
+    oracle="""
+    WITH cls AS (
+      SELECT c.c_nationkey AS nat, c.c_mktsegment AS seg,
+             CAST(COUNT(DISTINCT o.o_orderpriority) AS BIGINT) AS l,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(l) AS BIGINT) AS min_l,
+           CAST(MAX(l) AS BIGINT) AS max_l,
+           CAST(SUM(CASE WHEN l >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_l_ge_3,
+           CAST(MIN(n) AS BIGINT) AS min_class_rows
+    FROM cls
+    """,
+)
+def qs356(spark: SparkSession, sf: str) -> DataFrame:
+    """l-diversity audit — the release-safety check one step past
+    qs313's k-anonymity: within every quasi-identifier class
+    (nation x market segment), how many DISTINCT values of the
+    sensitive attribute (order priority) appear?  A class with l = 1
+    lets an attacker infer the sensitive value from the QI alone
+    even when k-anonymity holds.  Reports the class count, min/max
+    l, how many classes reach l >= 3, and the smallest class.
+
+    Determinism: pure exact counting (COUNT DISTINCT over a 5-value
+    attribute, integer mins/maxes).  Plan: one shuffle join
+    (orders x broadcast customer dim), one grouped distinct-count on
+    the <=125-class grid, one-row epilogue."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    cls = (
+        o.join(
+            F.broadcast(
+                c.select("c_custkey", "c_nationkey", "c_mktsegment")
+            ),
+            o["o_custkey"] == c["c_custkey"],
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nat"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .agg(
+            F.countDistinct("o_orderpriority").cast("long").alias("l"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    return cls.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("l").cast("long").alias("min_l"),
+        F.max("l").cast("long").alias("max_l"),
+        F.sum(F.when(F.col("l") >= 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_l_ge_3"),
+        F.min("n").cast("long").alias("min_class_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs357 t-closeness (ordered EMD) over the same QI classes
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs357_t_closeness",
+    oracle="""
+    WITH f AS (
+      SELECT c.c_nationkey AS nat, c.c_mktsegment AS seg,
+             CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) AS r
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey),
+    cls AS (
+      SELECT nat, seg, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+             CAST(SUM(CASE WHEN r = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+             CAST(SUM(CASE WHEN r = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4
+      FROM f GROUP BY 1, 2),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS tn,
+             CAST(SUM(c1) AS BIGINT) AS t1, CAST(SUM(c2) AS BIGINT) AS t2,
+             CAST(SUM(c3) AS BIGINT) AS t3, CAST(SUM(c4) AS BIGINT) AS t4
+      FROM cls),
+    emd AS (
+      SELECT (ABS(d1) + ABS(d1 + d2) + ABS(d1 + d2 + d3)
+              + ABS(d1 + d2 + d3 + d4)) / 4.0 AS e
+      FROM (
+        SELECT CAST(c1 AS DOUBLE) / n - CAST(t1 AS DOUBLE) / tn AS d1,
+               CAST(c2 AS DOUBLE) / n - CAST(t2 AS DOUBLE) / tn AS d2,
+               CAST(c3 AS DOUBLE) / n - CAST(t3 AS DOUBLE) / tn AS d3,
+               CAST(c4 AS DOUBLE) / n - CAST(t4 AS DOUBLE) / tn AS d4
+        FROM cls CROSS JOIN tot))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           ROUND(MAX(e), 6) AS t_closeness,
+           ROUND(AVG(e), 6) AS avg_emd
+    FROM emd
+    """,
+)
+def qs357(spark: SparkSession, sf: str) -> DataFrame:
+    """t-closeness audit — the distributional privacy check past
+    qs356's l-diversity: for each QI class, the earth-mover's
+    distance between the class's distribution of the ORDERED
+    sensitive attribute (priority rank 1..5, unit ground distance)
+    and the global distribution,
+    EMD = SUM_{i=1..m-1} |cum_i(p - q)| / (m - 1) in [0, 1];
+    t-closeness is the worst class.
+
+    Determinism: all counts exact integers; each class's EMD is a
+    fixed 4-term tree of exact-integer-derived doubles; MAX over
+    classes is order-free and AVG runs over the <=125-row grid
+    (positive terms, ROUND 6 margin).  Plan: one shuffle join with
+    the broadcast customer dim, one grouped conditional-sum agg on
+    the class grid, broadcast one-row totals, one-row epilogue."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    f = o.join(
+        F.broadcast(c.select("c_custkey", "c_nationkey", "c_mktsegment")),
+        o["o_custkey"] == c["c_custkey"],
+    ).select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("r"),
+    )
+    conds = [
+        F.sum(F.when(F.col("r") == i, 1).otherwise(0))
+        .cast("long")
+        .alias(f"c{i}")
+        for i in (1, 2, 3, 4)
+    ]
+    cls = f.groupBy("nat", "seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), *conds
+    )
+    tot = cls.agg(
+        F.sum("n").cast("long").alias("tn"),
+        *[
+            F.sum(f"c{i}").cast("long").alias(f"t{i}")
+            for i in (1, 2, 3, 4)
+        ],
+    )
+    d = [
+        (
+            F.col(f"c{i}").cast("double") / F.col("n")
+            - F.col(f"t{i}").cast("double") / F.col("tn")
+        )
+        for i in (1, 2, 3, 4)
+    ]
+    e = (
+        F.abs(d[0])
+        + F.abs(d[0] + d[1])
+        + F.abs(d[0] + d[1] + d[2])
+        + F.abs(d[0] + d[1] + d[2] + d[3])
+    ) / 4.0
+    return (
+        cls.crossJoin(F.broadcast(tot))
+        .select(e.alias("e"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.round(F.max("e"), 6).alias("t_closeness"),
+            F.round(F.avg("e"), 6).alias("avg_emd"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# qs358 Breusch–Pagan heteroscedasticity test on the revenue trend
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs358_breusch_pagan",
+    oracle="""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1995-01-01',
+                      CAST(o_orderdate AS DATE)) AS t,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(t * t) AS BIGINT) AS stt,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(t * y) AS BIGINT) AS sty
+      FROM daily),
+    fit AS (
+      SELECT n, st, stt,
+             (CAST(n AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st) AS b,
+             (CAST(sy AS DOUBLE)
+              - st * ((CAST(n AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy)
+                      / (CAST(n AS DOUBLE) * stt
+                         - CAST(st AS DOUBLE) * st))) / n AS a
+      FROM m),
+    u AS (
+      SELECT d.t,
+             (d.y - fit.a - fit.b * d.t) * (d.y - fit.a - fit.b * d.t) AS u,
+             fit.n, fit.st, fit.stt
+      FROM daily d CROSS JOIN fit),
+    r2 AS (
+      SELECT n,
+             (CAST(n AS DOUBLE) * SUM(t * u) - CAST(st AS DOUBLE) * SUM(u))
+             * (CAST(n AS DOUBLE) * SUM(t * u) - CAST(st AS DOUBLE) * SUM(u))
+             / ((CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st)
+                * (CAST(n AS DOUBLE) * SUM(u * u)
+                   - SUM(u) * SUM(u))) AS rsq
+      FROM u GROUP BY n, st, stt)
+    SELECT n AS n_days, ROUND(rsq, 6) AS r2_aux,
+           ROUND(n * rsq, 4) AS bp_lm
+    FROM r2
+    """,
+)
+def qs358(spark: SparkSession, sf: str) -> DataFrame:
+    """Breusch–Pagan heteroscedasticity test on the daily-revenue
+    time trend: fit y_t = a + b t by OLS, regress the squared
+    residuals u_t = e_t^2 back on t, and report the auxiliary R^2
+    and the LM statistic n*R^2 (Koenker's studentized form) —
+    chi2(1) under homoscedasticity.  The variance-stability check
+    behind every forecasting query (qs338, qs173).
+
+    Determinism: the first OLS runs entirely on exact integer sums
+    (SUM t*y fits int64 through sf30 — ~1.4e18 at 45M orders/day
+    grid); residuals and u_t are the same double tree on both
+    engines; the auxiliary sums are positive-term or margin-safe
+    grid sums over ~2,400 rows, ROUND 6/4.  Plan: one grouped scan
+    -> day grid, one-row moment epilogue, broadcast back, second
+    one-row epilogue; no window."""
+    o = load_table(spark, sf, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("t")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sty"),
+    )
+    den = (
+        F.col("n").cast("double") * F.col("stt")
+        - F.col("st").cast("double") * F.col("st")
+    )
+    b = (
+        F.col("n").cast("double") * F.col("sty")
+        - F.col("st").cast("double") * F.col("sy")
+    ) / den
+    fit = m.select(
+        "n",
+        "st",
+        "stt",
+        b.alias("b"),
+        ((F.col("sy").cast("double") - F.col("st") * b) / F.col("n")).alias(
+            "a"
+        ),
+    )
+    e = F.col("y") - F.col("a") - F.col("b") * F.col("t")
+    u = daily.crossJoin(F.broadcast(fit)).select(
+        "t", (e * e).alias("u"), "n", "st", "stt"
+    )
+    num = (
+        F.col("n").cast("double") * F.sum(F.col("t") * F.col("u"))
+        - F.col("st").cast("double") * F.sum("u")
+    )
+    r2 = u.groupBy("n", "st", "stt").agg(
+        (
+            num
+            * num
+            / (
+                (
+                    F.col("n").cast("double") * F.col("stt")
+                    - F.col("st").cast("double") * F.col("st")
+                )
+                * (
+                    F.col("n").cast("double")
+                    * F.sum(F.col("u") * F.col("u"))
+                    - F.sum("u") * F.sum("u")
+                )
+            )
+        ).alias("rsq")
+    )
+    return r2.select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("rsq"), 6).alias("r2_aux"),
+        F.round(F.col("n") * F.col("rsq"), 4).alias("bp_lm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs359 Overdispersion index of daily event counts per type
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs359_overdispersion",
+    oracle="""
+    WITH types AS (SELECT DISTINCT event_type FROM events),
+    bounds AS (
+      SELECT MIN(datediff('day', DATE '1995-01-01', CAST(ts AS DATE))) AS a,
+             MAX(datediff('day', DATE '1995-01-01', CAST(ts AS DATE))) AS b
+      FROM events),
+    spine AS (
+      SELECT t.event_type, dd.dd
+      FROM types t CROSS JOIN
+        (SELECT unnest(range((SELECT a FROM bounds),
+                             (SELECT b FROM bounds) + 1)) AS dd) dd),
+    daily AS (
+      SELECT event_type,
+             datediff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS dd,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    dense AS (
+      SELECT s.event_type, COALESCE(d.c, 0) AS c
+      FROM spine s LEFT JOIN daily d
+        ON d.event_type = s.event_type AND d.dd = s.dd),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s1,
+             CAST(SUM(c * c) AS BIGINT) AS s2
+      FROM dense GROUP BY 1)
+    SELECT event_type, n AS n_days,
+           ROUND(CAST(s1 AS DOUBLE) / n, 4) AS mean_count,
+           ROUND((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                 / (CAST(n AS DOUBLE) * s1), 4) AS dispersion
+    FROM m ORDER BY event_type
+    """,
+)
+def qs359(spark: SparkSession, sf: str) -> DataFrame:
+    """Overdispersion index D = Var/Mean of the daily event counts per
+    event type over the dense observed-day spine (zero days INCLUDED
+    — dropping them biases the variance down, the classic mistake).
+    D ~ 1 is Poisson arrivals; D >> 1 flags bursty/clustered traffic
+    the Poisson-GOF query (qs284) would reject — the count-model
+    companion to qs167's z-score anomalies.  The spine is data-driven
+    (min..max observed day) so the query is calendar-agnostic.
+
+    Determinism: counts are exact integers; with population variance,
+    D = (n*S2 - S1^2) / (n*S1) is ONE division of exact integers per
+    type (S2 <= 365 * 2.7e8 at sf30 — safe), ROUND 4.  Plan: one
+    grouped scan -> (type, day) cells, left join onto the generated
+    types x days spine (broadcast), 5-row epilogue."""
+    ev = load_table(spark, sf, "events")
+    dd = F.datediff(
+        F.col("ts").cast("date"), F.lit("1995-01-01").cast("date")
+    )
+    types = ev.select("event_type").distinct()
+    days = (
+        ev.agg(F.min(dd).alias("a"), F.max(dd).alias("b"))
+        .select(
+            F.explode(
+                F.sequence(F.col("a").cast("long"), F.col("b").cast("long"))
+            ).alias("dd")
+        )
+    )
+    spine = types.crossJoin(days)
+    daily = ev.groupBy(
+        "event_type", dd.alias("dd")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    dense = spine.join(daily, ["event_type", "dd"], "left").select(
+        "event_type", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    m = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(F.col("s1").cast("double") / F.col("n"), 4).alias(
+            "mean_count"
+        ),
+        F.round(
+            (
+                F.col("n").cast("double") * F.col("s2")
+                - F.col("s1").cast("double") * F.col("s1")
+            )
+            / (F.col("n").cast("double") * F.col("s1")),
+            4,
+        ).alias("dispersion"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# qs360 Boilerplate bigram audit per source
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs360_boilerplate_ngrams",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+      FROM documents),
+    bge AS (
+      SELECT doc_id, source, bg FROM (
+        SELECT doc_id, source, unnest(CASE WHEN len(ts) >= 2 THEN
+            list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])
+          ELSE [] END) AS bg
+        FROM t)),
+    grams AS (
+      SELECT source, bg, CAST(COUNT(*) AS BIGINT) AS inst,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs
+      FROM bge GROUP BY 1, 2),
+    per_src AS (
+      SELECT source,
+             CAST(SUM(inst) AS BIGINT) AS total_inst,
+             CAST(SUM(CASE WHEN docs >= 3 THEN inst ELSE 0 END)
+                  AS BIGINT) AS boiler_inst,
+             CAST(SUM(CASE WHEN docs >= 3 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_boiler_bigrams
+      FROM grams GROUP BY 1),
+    nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1)
+    SELECT p.source, nd.n_docs, p.n_boiler_bigrams,
+           ROUND(CAST(p.boiler_inst AS DOUBLE) / p.total_inst, 6)
+             AS boiler_ratio
+    FROM per_src p JOIN nd ON nd.source = p.source
+    ORDER BY p.source
+    """,
+)
+def qs360(spark: SparkSession, sf: str) -> DataFrame:
+    """Boilerplate n-gram audit — the template-contamination signal
+    web-corpus curation runs before training: within each source, a
+    bigram that recurs across >= 3 distinct documents is boilerplate
+    (headers, footers, navigation chrome); report how many bigram
+    TYPES are boilerplate and what fraction of the source's bigram
+    INSTANCES they cover.  High ratios mark sources to de-template
+    before dedup (boilerplate inflates MinHash similarity — qs55).
+
+    Determinism: pure exact counting plus one final division, ROUND
+    6.  Plan: row-local bigram transform (no per-doc shuffle), one
+    grouped count on (source, bigram), per-source epilogue joined to
+    the per-source doc counts; all shuffles are on the gram/source
+    keys — no window, no driver collect."""
+    d = load_table(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.filter(
+            F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
+        ).alias("ts"),
+    )
+    bge = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(
+                F.size("ts") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1), "
+                    "i -> concat(element_at(ts, i), ' ', "
+                    "element_at(ts, i + 1)))"
+                ),
+            ).otherwise(F.array())
+        ).alias("bg"),
+    )
+    grams = bge.groupBy("source", "bg").agg(
+        F.count(F.lit(1)).cast("long").alias("inst"),
+        F.countDistinct("doc_id").cast("long").alias("docs"),
+    )
+    per_src = grams.groupBy("source").agg(
+        F.sum("inst").cast("long").alias("total_inst"),
+        F.sum(F.when(F.col("docs") >= 3, F.col("inst")).otherwise(0))
+        .cast("long")
+        .alias("boiler_inst"),
+        F.sum(F.when(F.col("docs") >= 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_boiler_bigrams"),
+    )
+    nd = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return (
+        per_src.join(nd, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_boiler_bigrams",
+            F.round(
+                F.col("boiler_inst").cast("double") / F.col("total_inst"), 6
+            ).alias("boiler_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# qs361 Goodman–Kruskal lambda (nominal predictive association)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs361_gk_lambda",
+    oracle="""
+    WITH grid AS (
+      SELECT c_nationkey AS nat, c_mktsegment AS seg,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM customer GROUP BY 1, 2),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM grid),
+    rm AS (SELECT CAST(SUM(mx) AS BIGINT) AS srm FROM
+             (SELECT nat, MAX(c) AS mx FROM grid GROUP BY nat)),
+    cm AS (SELECT CAST(SUM(mx) AS BIGINT) AS scm FROM
+             (SELECT seg, MAX(c) AS mx FROM grid GROUP BY seg)),
+    rs AS (SELECT CAST(MAX(s) AS BIGINT) AS mr FROM
+             (SELECT nat, SUM(c) AS s FROM grid GROUP BY nat)),
+    cs AS (SELECT CAST(MAX(s) AS BIGINT) AS mc FROM
+             (SELECT seg, SUM(c) AS s FROM grid GROUP BY seg))
+    SELECT n.n AS n_rows,
+           ROUND(CAST(rm.srm - cs.mc AS DOUBLE) / (n.n - cs.mc), 6)
+             AS lambda_seg_given_nat,
+           ROUND(CAST(cm.scm - rs.mr AS DOUBLE) / (n.n - rs.mr), 6)
+             AS lambda_nat_given_seg
+    FROM n, rm, cm, rs, cs
+    """,
+)
+def qs361(spark: SparkSession, sf: str) -> DataFrame:
+    """Goodman–Kruskal lambda — the proportional-reduction-in-error
+    association for NOMINAL pairs (qs327's gamma/Somers' D need
+    order; nation and segment have none): how much better do you
+    predict a customer's segment knowing their nation (and vice
+    versa) than always guessing the modal category?
+    lambda = (SUM_rows max_col n_rc - max_col n_+c) / (n - max_col
+    n_+c), in [0, 1].
+
+    Determinism: every term is an exact integer from the 125-cell
+    contingency grid (modal counts, not argmax — ties cannot bite);
+    each lambda is ONE division, ROUND 6.  Plan: one grouped scan ->
+    grid, four grid-sized re-aggregations, one-row epilogue of five
+    crossed scalars."""
+    c = load_table(spark, sf, "customer")
+    grid = c.groupBy(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n = grid.agg(F.sum("c").cast("long").alias("n"))
+    rm = (
+        grid.groupBy("nat")
+        .agg(F.max("c").alias("mx"))
+        .agg(F.sum("mx").cast("long").alias("srm"))
+    )
+    cm = (
+        grid.groupBy("seg")
+        .agg(F.max("c").alias("mx"))
+        .agg(F.sum("mx").cast("long").alias("scm"))
+    )
+    rs = (
+        grid.groupBy("nat")
+        .agg(F.sum("c").alias("s"))
+        .agg(F.max("s").cast("long").alias("mr"))
+    )
+    cs = (
+        grid.groupBy("seg")
+        .agg(F.sum("c").alias("s"))
+        .agg(F.max("s").cast("long").alias("mc"))
+    )
+    return (
+        n.crossJoin(rm)
+        .crossJoin(cm)
+        .crossJoin(rs)
+        .crossJoin(cs)
+        .select(
+            F.col("n").alias("n_rows"),
+            F.round(
+                (F.col("srm") - F.col("mc")).cast("double")
+                / (F.col("n") - F.col("mc")),
+                6,
+            ).alias("lambda_seg_given_nat"),
+            F.round(
+                (F.col("scm") - F.col("mr")).cast("double")
+                / (F.col("n") - F.col("mr")),
+                6,
+            ).alias("lambda_nat_given_seg"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# qs362 D'Agostino skewness z-test on account balances
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs362_dagostino_skew",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(ROUND(c_acctbal, 0) AS BIGINT) AS x FROM customer),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s1,
+             CAST(SUM(x * x) AS BIGINT) AS s2,
+             CAST(SUM(x * x * x) AS BIGINT) AS s3
+      FROM x),
+    g AS (
+      SELECT n,
+        (CAST(s3 AS DOUBLE) / n
+         - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+         + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+           * (CAST(s1 AS DOUBLE) / n))
+        / pow(CAST(s2 AS DOUBLE) / n
+              - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+              1.5) AS g1
+      FROM m),
+    z AS (
+      SELECT n, g1,
+        g1 * sqrt((CAST(n AS DOUBLE) + 1) * (n + 3) / (6.0 * (n - 2)))
+          AS y,
+        3.0 * (CAST(n AS DOUBLE) * n + 27 * n - 70) * (n + 1) * (n + 3)
+          / ((CAST(n AS DOUBLE) - 2) * (n + 5) * (n + 7) * (n + 9)) AS b2
+      FROM g),
+    p AS (
+      SELECT n, g1, y,
+             sqrt(2.0 * (b2 - 1)) - 1.0 AS w2
+      FROM z)
+    SELECT n AS n_rows, ROUND(g1, 6) AS g1,
+           ROUND(
+             (1.0 / sqrt(ln(sqrt(w2))))
+             * ln(y / sqrt(2.0 / (w2 - 1))
+                  + sqrt((y / sqrt(2.0 / (w2 - 1)))
+                         * (y / sqrt(2.0 / (w2 - 1))) + 1.0)), 4)
+             AS z_skew
+    FROM p
+    """,
+)
+def qs362(spark: SparkSession, sf: str) -> DataFrame:
+    """D'Agostino skewness z-test on customer balances: the sample
+    skewness g1 transformed to an approximately standard-normal z
+    (D'Agostino 1970): Y = g1*sqrt((n+1)(n+3)/(6(n-2))), beta2 the
+    exact kurtosis of g1 under normality, W^2 = sqrt(2(beta2-1))-1,
+    delta = 1/sqrt(ln W), alpha^2 = 2/(W^2-1), and
+    z = delta * asinh(Y/alpha).  The normality screen finer than
+    qs278's omnibus Jarque–Bera (which cannot say WHICH moment
+    deviates).
+
+    Determinism: x = whole-dollar balances (ROUND half-away — exact
+    on both engines since only exact .5 doubles sit on the
+    boundary); S1/S2/S3 are exact integers (|x|^3 <= 1e12, SUM <=
+    4.5e18 at sf30); everything downstream is one fixed scalar tree
+    (the n-polynomials computed in doubles — they overflow int64
+    past sf10), ROUND 6/4.  asinh is spelled ln(v + sqrt(v^2+1))
+    identically on both engines.  Plan: one scan, one-row moments,
+    scalar epilogue."""
+    x = load_table(spark, sf, "customer").select(
+        F.round(F.col("c_acctbal"), 0).cast("long").alias("x")
+    )
+    m = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x")).cast("long").alias("s3"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n") - mu * mu
+    m3 = (
+        F.col("s3").cast("double") / F.col("n")
+        - 3.0 * mu * (F.col("s2").cast("double") / F.col("n"))
+        + 2.0 * mu * mu * mu
+    )
+    g1 = m3 / F.pow(m2, 1.5)
+    y = g1 * F.sqrt((nd + 1) * (F.col("n") + 3) / (6.0 * (F.col("n") - 2)))
+    b2 = (
+        3.0
+        * (nd * F.col("n") + 27 * F.col("n") - 70)
+        * (F.col("n") + 1)
+        * (F.col("n") + 3)
+        / ((nd - 2) * (F.col("n") + 5) * (F.col("n") + 7) * (F.col("n") + 9))
+    )
+    w2 = F.sqrt(2.0 * (b2 - 1)) - 1.0
+    alpha = F.sqrt(2.0 / (w2 - 1))
+    v = y / alpha
+    z = (1.0 / F.sqrt(F.log(F.sqrt(w2)))) * F.log(
+        v + F.sqrt(v * v + 1.0)
+    )
+    return m.select(
+        F.col("n").alias("n_rows"),
+        F.round(g1, 6).alias("g1"),
+        F.round(z, 4).alias("z_skew"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs363 Seasonal strength of weekly seasonality (STL-lite)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs363_seasonal_strength",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+    spine AS (
+      SELECT CAST(unnest(generate_series(
+               (SELECT MIN(d) FROM daily), (SELECT MAX(d) FROM daily),
+               INTERVAL 1 DAY)) AS DATE) AS d),
+    dense AS (
+      SELECT s.d, CAST(COALESCE(daily.y, 0) AS BIGINT) AS y
+      FROM spine s LEFT JOIN daily ON daily.d = s.d),
+    tr AS (
+      SELECT d, y,
+             AVG(CAST(y AS DOUBLE)) OVER (ORDER BY d
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+             COUNT(*) OVER (ORDER BY d
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w
+      FROM dense),
+    det AS (
+      SELECT datediff('day', DATE '1995-01-01', d) % 7 AS dow,
+             y - trend AS dt
+      FROM tr WHERE w = 7),
+    sea AS (SELECT dow, AVG(dt) AS s FROM det GROUP BY dow),
+    r AS (
+      SELECT det.dt, det.dt - sea.s AS r
+      FROM det JOIN sea ON sea.dow = det.dow),
+    v AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(r * r) / COUNT(*)
+               - (SUM(r) / COUNT(*)) * (SUM(r) / COUNT(*)) AS vr,
+             SUM(dt * dt) / COUNT(*)
+               - (SUM(dt) / COUNT(*)) * (SUM(dt) / COUNT(*)) AS vd
+      FROM r)
+    SELECT n AS n_days,
+           ROUND(CASE WHEN 1.0 - vr / vd > 0.0
+                      THEN 1.0 - vr / vd ELSE 0.0 END, 4)
+             AS seasonal_strength
+    FROM v
+    """,
+)
+def qs363(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal-strength diagnostic (the STL decomposition measure,
+    computed moving-average style): detrend the dense daily-revenue
+    series with a centered 7-day moving average, estimate the weekly
+    seasonal as the per-day-of-week mean of the detrended series,
+    and report Fs = max(0, 1 - Var(remainder)/Var(detrended)) in
+    [0, 1] — how much of the detrended variance weekly seasonality
+    explains.  The quantitative version of qs190's day-of-week
+    profile.
+
+    Determinism: daily cents exact, zero-filled on the generated
+    spine; trend/seasonal/remainder are the same double trees on
+    both engines (7-term window means; day-of-week via datediff % 7
+    from a fixed anchor — no engine dow-convention dependence); the
+    variance epilogues are positive-term grid sums, ROUND 4.  Plan:
+    dense grid via generated spine left-join, one GRID window pass,
+    broadcast 7-row seasonal join, one-row epilogue."""
+    o = load_table(spark, sf, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    spine = daily.agg(
+        F.min("d").alias("mn"), F.max("d").alias("mx")
+    ).select(
+        F.explode(F.sequence("mn", "mx")).alias("d")
+    )
+    dense = spine.join(daily, "d", "left").select(
+        "d", F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = dense.select(
+        "d",
+        "y",
+        F.avg(F.col("y").cast("double")).over(w7).alias("trend"),
+        F.count(F.lit(1)).over(w7).alias("w"),
+    ).filter(F.col("w") == 7)
+    det = tr.select(
+        (
+            F.datediff("d", F.lit("1995-01-01").cast("date")) % 7
+        ).alias("dow"),
+        (F.col("y") - F.col("trend")).alias("dt"),
+    )
+    sea = det.groupBy("dow").agg(F.avg("dt").alias("s"))
+    r = det.join(F.broadcast(sea), "dow").select(
+        "dt", (F.col("dt") - F.col("s")).alias("r")
+    )
+    cnt = F.count(F.lit(1))
+    v = r.agg(
+        cnt.cast("long").alias("n"),
+        (
+            F.sum(F.col("r") * F.col("r")) / cnt
+            - (F.sum("r") / cnt) * (F.sum("r") / cnt)
+        ).alias("vr"),
+        (
+            F.sum(F.col("dt") * F.col("dt")) / cnt
+            - (F.sum("dt") / cnt) * (F.sum("dt") / cnt)
+        ).alias("vd"),
+    )
+    fs = 1.0 - F.col("vr") / F.col("vd")
+    return v.select(
+        F.col("n").alias("n_days"),
+        F.round(
+            F.when(fs > 0.0, fs).otherwise(F.lit(0.0)), 4
+        ).alias("seasonal_strength"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs364 Sequential probability ratio test (SPRT) on daily conversions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs364_sprt_ab",
+    oracle="""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS dd,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN value >= 70.0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM events WHERE user_id % 2 = 1 GROUP BY 1),
+    cum AS (
+      SELECT dd,
+             SUM(x * ln(0.35 / 0.25)
+                 + (n - x) * ln(0.65 / 0.75)) OVER (ORDER BY dd) AS llr
+      FROM daily),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             SUM(x * ln(0.35 / 0.25) + (n - x) * ln(0.65 / 0.75))
+               AS final_llr
+      FROM daily),
+    cross_hi AS (SELECT MIN(dd) AS d_hi FROM cum WHERE llr >= ln(19.0)),
+    cross_lo AS (SELECT MIN(dd) AS d_lo FROM cum WHERE llr <= -ln(19.0))
+    SELECT agg.n_days, ROUND(agg.final_llr, 4) AS final_llr,
+           CASE WHEN d_hi IS NOT NULL
+                     AND (d_lo IS NULL OR d_hi <= d_lo) THEN 'reject_h0'
+                WHEN d_lo IS NOT NULL THEN 'accept_h0'
+                ELSE 'continue' END AS decision,
+           CAST(LEAST(d_hi, d_lo) AS BIGINT) AS cross_day
+    FROM agg, cross_hi, cross_lo
+    """,
+)
+def qs364(spark: SparkSession, sf: str) -> DataFrame:
+    """Wald sequential probability ratio test on the treatment arm's
+    daily conversion stream (users with odd id; conversion = event
+    value >= 70): H0 p = 0.25 vs H1 p = 0.35, alpha = beta = 0.05,
+    so the decision boundaries are +/- ln(19).  Reports the final
+    cumulative log-likelihood ratio, the decision at the first
+    boundary crossing, and the crossing day — the early-stopping
+    companion to qs168's fixed-horizon z-test.
+
+    Determinism: daily trial/success counts are exact integers; the
+    LLR increments multiply them by two shared log literals, the
+    running sum is frame-ordered on the unique day grid (GRID
+    window), and the boundary compare carries O(1)-sized increments
+    against ln 19 — a last-ulp libm wobble cannot flip a crossing
+    (margin argument, documented).  ROUND 4 on the reported LLR.
+    Plan: one grouped scan -> <=365-row day grid, one GRID running
+    window, three one-row epilogues crossed."""
+    la = math.log(0.35 / 0.25)
+    lb = math.log(0.65 / 0.75)
+    bound = math.log(19.0)
+    ev = load_table(spark, sf, "events").filter(
+        F.col("user_id") % 2 == 1
+    )
+    daily = ev.groupBy(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("dd")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("value") >= 70.0, 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+    )
+    inc = F.col("x") * F.lit(la) + (F.col("n") - F.col("x")) * F.lit(lb)
+    cum = daily.select(
+        "dd", F.sum(inc).over(Window.orderBy("dd")).alias("llr")
+    )
+    agg = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(inc).alias("final_llr"),
+    )
+    hi = cum.filter(F.col("llr") >= bound).agg(F.min("dd").alias("d_hi"))
+    lo = cum.filter(F.col("llr") <= -bound).agg(F.min("dd").alias("d_lo"))
+    return (
+        agg.crossJoin(hi)
+        .crossJoin(lo)
+        .select(
+            "n_days",
+            F.round("final_llr", 4).alias("final_llr"),
+            F.when(
+                F.col("d_hi").isNotNull()
+                & (
+                    F.col("d_lo").isNull()
+                    | (F.col("d_hi") <= F.col("d_lo"))
+                ),
+                F.lit("reject_h0"),
+            )
+            .when(F.col("d_lo").isNotNull(), F.lit("accept_h0"))
+            .otherwise(F.lit("continue"))
+            .alias("decision"),
+            F.least("d_hi", "d_lo").cast("long").alias("cross_day"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# qs365 PMI collocations (pointwise mutual information bigrams)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs365_pmi_collocations",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+      FROM documents),
+    uni AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM
+        (SELECT unnest(ts) AS term FROM t) GROUP BY term),
+    bge AS (
+      SELECT bg['w1'] AS w1, bg['w2'] AS w2 FROM (
+        SELECT unnest(CASE WHEN len(ts) >= 2 THEN
+            list_transform(range(1, len(ts)),
+                           i -> struct_pack(w1 := ts[i], w2 := ts[i+1]))
+          ELSE [] END) AS bg
+        FROM t)),
+    big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM bge GROUP BY 1, 2),
+    tot AS (
+      SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS nu,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM bge) AS nb)
+    SELECT big.w1, big.w2, big.c12,
+           ROUND(ln((CAST(big.c12 AS DOUBLE) * nu * nu)
+                    / (CAST(nb AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
+    FROM big
+    JOIN uni u1 ON u1.term = big.w1
+    JOIN uni u2 ON u2.term = big.w2
+    CROSS JOIN tot
+    WHERE big.c12 >= 5
+    ORDER BY pmi DESC, big.w1, big.w2 LIMIT 20
+    """,
+)
+def qs365(spark: SparkSession, sf: str) -> DataFrame:
+    """PMI collocation mining — the top-20 adjacent word pairs whose
+    co-occurrence most exceeds chance: PMI = ln(p(w1,w2) / (p(w1)
+    p(w2))) with bigram probabilities over the bigram total and
+    unigram probabilities over the token total, minimum bigram count
+    5 (the low-count PMI explosion guard).  The collocation signal
+    tokenizer training uses to decide merge candidates (qs-BPE's
+    statistical cousin).
+
+    Determinism: all counts exact integers; PMI is one ln of a
+    double ratio built identically on both engines; ordering is by
+    the ROUNDED pmi (6 dp) with a full (w1, w2) tiebreak, so a
+    last-ulp ln wobble cannot reorder the kept 20.  Plan: row-local
+    bigram transform, two grid-sized count aggs (vocab is corpus-
+    bounded), broadcast unigram joins onto the bigram grid, top-k
+    sort on the <=|V|^2 grid."""
+    d = load_table(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
+        ).alias("ts"),
+    )
+    uni = toks.select(F.explode("ts").alias("term")).groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    bge = toks.select(
+        F.explode(
+            F.when(
+                F.size("ts") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1), "
+                    "i -> struct(element_at(ts, i) as w1, "
+                    "element_at(ts, i + 1) as w2))"
+                ),
+            ).otherwise(F.array())
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    big = bge.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    tot = uni.agg(F.sum("c").cast("long").alias("nu")).crossJoin(
+        bge.agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    )
+    u1 = uni.select(F.col("term").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("c12").cast("double") * F.col("nu") * F.col("nu"))
+            / (F.col("nb").cast("double") * F.col("c1") * F.col("c2"))
+        ),
+        6,
+    )
+    return (
+        big.filter(F.col("c12") >= 5)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c12", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# qs366 Heaps' law fit on bigram-vocabulary growth
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs366_heaps_law",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+      FROM documents),
+    nn AS (SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS nd FROM documents),
+    bge AS (
+      SELECT doc_id, bg FROM (
+        SELECT doc_id, unnest(CASE WHEN len(ts) >= 2 THEN
+            list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])
+          ELSE [] END) AS bg
+        FROM t)),
+    cp AS (
+      SELECT
+        CAST(COUNT(CASE WHEN doc_id * 10 < nd THEN 1 END) AS BIGINT) AS t1,
+        CAST(COUNT(DISTINCT CASE WHEN doc_id * 10 < nd THEN bg END)
+             AS BIGINT) AS v1,
+        CAST(COUNT(CASE WHEN doc_id * 4 < nd THEN 1 END) AS BIGINT) AS t2,
+        CAST(COUNT(DISTINCT CASE WHEN doc_id * 4 < nd THEN bg END)
+             AS BIGINT) AS v2,
+        CAST(COUNT(CASE WHEN doc_id * 2 < nd THEN 1 END) AS BIGINT) AS t3,
+        CAST(COUNT(DISTINCT CASE WHEN doc_id * 2 < nd THEN bg END)
+             AS BIGINT) AS v3,
+        CAST(COUNT(*) AS BIGINT) AS t4,
+        CAST(COUNT(DISTINCT bg) AS BIGINT) AS v4,
+        MAX(nd) AS nd
+      FROM bge CROSS JOIN nn)
+    SELECT nd AS n_docs, t4 AS n_bigrams, v4 AS n_types,
+      ROUND((4.0 * (ln(t1) * ln(v1) + ln(t2) * ln(v2) + ln(t3) * ln(v3)
+                    + ln(t4) * ln(v4))
+             - (ln(t1) + ln(t2) + ln(t3) + ln(t4))
+               * (ln(v1) + ln(v2) + ln(v3) + ln(v4)))
+            / (4.0 * (ln(t1) * ln(t1) + ln(t2) * ln(t2) + ln(t3) * ln(t3)
+                      + ln(t4) * ln(t4))
+               - (ln(t1) + ln(t2) + ln(t3) + ln(t4))
+                 * (ln(t1) + ln(t2) + ln(t3) + ln(t4))), 4) AS beta
+    FROM cp
+    """,
+)
+def qs366(spark: SparkSession, sf: str) -> DataFrame:
+    """Heaps'-law growth fit on the bigram vocabulary: V(T) ~ K*T^beta
+    measured at four corpus prefixes (10%/25%/50%/100% of documents
+    by id), beta from the 4-point log-log OLS.  Sublinear beta is
+    the expected vocabulary-growth law; beta near 0 means the corpus
+    is saturated/templated, near 1 means unbounded novelty — the
+    scaling companion to qs262's n-gram novelty and qs335's Zipf
+    slope.  Bigram types (not unigrams) are the vocabulary so growth
+    is visible on a closed word list.
+
+    Determinism: prefix token/type counts are exact integers
+    (conditional counts against the doc-id cutoffs — doc ids are the
+    dense 0..N-1 synthetic keys); the OLS is the qs345 explicit
+    4-term expansion over their logs, one-row, ROUND 4.  Plan:
+    row-local bigram transform, ONE aggregate with four conditional
+    distinct-counts (grid-sized distinct spaces), scalar epilogue."""
+    d = load_table(spark, sf, "documents")
+    nn = d.agg((F.max("doc_id") + 1).cast("long").alias("nd"))
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
+        ).alias("ts"),
+    )
+    bge = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ts") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1), "
+                    "i -> concat(element_at(ts, i), ' ', "
+                    "element_at(ts, i + 1)))"
+                ),
+            ).otherwise(F.array())
+        ).alias("bg"),
+    )
+    cuts = {1: 10, 2: 4, 3: 2}
+    aggs = []
+    for k, mult in cuts.items():
+        cond = F.col("doc_id") * mult < F.col("nd")
+        aggs.append(
+            F.count(F.when(cond, 1)).cast("long").alias(f"t{k}")
+        )
+        aggs.append(
+            F.countDistinct(F.when(cond, F.col("bg")))
+            .cast("long")
+            .alias(f"v{k}")
+        )
+    aggs.append(F.count(F.lit(1)).cast("long").alias("t4"))
+    aggs.append(F.countDistinct("bg").cast("long").alias("v4"))
+    aggs.append(F.max("nd").alias("nd"))
+    cp = bge.crossJoin(F.broadcast(nn)).agg(*aggs)
+    lx = [F.log(F.col(f"t{k}").cast("double")) for k in (1, 2, 3, 4)]
+    ly = [F.log(F.col(f"v{k}").cast("double")) for k in (1, 2, 3, 4)]
+    sx = lx[0] + lx[1] + lx[2] + lx[3]
+    sy = ly[0] + ly[1] + ly[2] + ly[3]
+    sxy = sum((lx[i] * ly[i] for i in range(1, 4)), lx[0] * ly[0])
+    sxx = sum((lx[i] * lx[i] for i in range(1, 4)), lx[0] * lx[0])
+    beta = (4.0 * sxy - sx * sy) / (4.0 * sxx - sx * sx)
+    return cp.select(
+        F.col("nd").alias("n_docs"),
+        F.col("t4").alias("n_bigrams"),
+        F.col("v4").alias("n_types"),
+        F.round(beta, 4).alias("beta"),
+    )

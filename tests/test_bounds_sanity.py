@@ -74,6 +74,23 @@ BOUNDS = [
     ("qs348_entropy_profile", "normalized", 0.0, 1.0 + 1e-9),
     ("qs350_theil_index", "theil_t", 0.0, None),
     ("qs350_theil_index", "theil_l", 0.0, None),
+    ("qs351_levene_test", "levene_w", 0.0, None),
+    ("qs352_fleiss_kappa", "p_bar", 0.0, 1.0),
+    ("qs352_fleiss_kappa", "fleiss_kappa", None, 1.0),
+    # norm_power = (C^2+S^2)/(2 n SS): Cauchy-Schwarz gives C^2 <= n*SS
+    # and S^2 <= n*SS, so the ratio is hard-bounded in [0, 1].
+    ("qs354_periodogram", "norm_power", 0.0, 1.0 + 1e-9),
+    ("qs355_variance_ratio", "vr5", 0.0, None),
+    ("qs356_l_diversity", "min_l", 1, None),
+    ("qs357_t_closeness", "t_closeness", 0.0, 1.0 + 1e-9),
+    ("qs357_t_closeness", "avg_emd", 0.0, 1.0 + 1e-9),
+    ("qs358_breusch_pagan", "r2_aux", 0.0, 1.0 + 1e-9),
+    ("qs358_breusch_pagan", "bp_lm", 0.0, None),
+    ("qs359_overdispersion", "dispersion", 0.0, None),
+    ("qs360_boilerplate_ngrams", "boiler_ratio", 0.0, 1.0 + 1e-9),
+    ("qs361_gk_lambda", "lambda_seg_given_nat", 0.0, 1.0),
+    ("qs361_gk_lambda", "lambda_nat_given_seg", 0.0, 1.0),
+    ("qs363_seasonal_strength", "seasonal_strength", 0.0, 1.0),
 ]
 
 

@@ -3403,3 +3403,332 @@ def test_intent_qs189_lorenz(spark, sf_dir):
         assert r["n_cust"] == row["size"]
         assert r["rev_cents"] == row["sum"]
         assert r["cum_share_e6"] == round(cum * 1_000_000 / tot)
+
+
+# -- wave 10: the round-11 diagnostics family (qs351+) -----------------------
+
+
+def _round_away(v: np.ndarray) -> np.ndarray:
+    # Engines ROUND half-away-from-zero; np.round is half-to-even
+    # (the qs282 lesson).
+    return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+
+
+def test_intent_qs351_levene(spark, sf_dir):
+    c = _pd(sf_dir, "customer")
+    x = pd.DataFrame(
+        {"g": c["c_mktsegment"], "v": _cents(c["c_acctbal"]).astype(float)}
+    )
+    z = x.copy()
+    z["z"] = x.groupby("g")["v"].transform(lambda s: np.abs(s - np.median(s)))
+    n_tot = len(z)
+    k = z["g"].nunique()
+    zbar = z["z"].mean()
+    num = sum(
+        len(grp) * (grp["z"].mean() - zbar) ** 2 for _, grp in z.groupby("g")
+    )
+    den = sum(
+        ((grp["z"] - grp["z"].mean()) ** 2).sum() for _, grp in z.groupby("g")
+    )
+    w = (n_tot - k) / (k - 1) * num / den
+    got = _run(spark, sf_dir, "qs351_levene_test").iloc[0]
+    assert got["n_rows"] == n_tot and got["n_groups"] == k
+    assert got["levene_w"] == pytest.approx(w, abs=2e-4)
+
+
+def test_intent_qs352_fleiss(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    tab = (
+        li.groupby("l_orderkey")["l_returnflag"]
+        .value_counts()
+        .unstack(fill_value=0)
+        .reindex(columns=["R", "N", "A"], fill_value=0)
+    )
+    tab = tab[tab.sum(axis=1) == 4]
+    n_subj = len(tab)
+    p_i = (np.square(tab.to_numpy()).sum(axis=1) - 4) / 12.0
+    p_bar = p_i.mean()
+    p_j = tab.to_numpy().sum(axis=0) / (4.0 * n_subj)
+    p_e = float(np.square(p_j).sum())
+    kappa = (p_bar - p_e) / (1.0 - p_e)
+    got = _run(spark, sf_dir, "qs352_fleiss_kappa").iloc[0]
+    assert got["n_subjects"] == n_subj
+    assert got["p_bar"] == pytest.approx(p_bar, abs=2e-6)
+    assert got["fleiss_kappa"] == pytest.approx(kappa, abs=2e-6)
+
+
+def test_intent_qs353_turning_points(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    daily = (
+        o.groupby(o["o_orderdate"].dt.date)
+        .size()
+        .sort_index()
+        .to_numpy()
+        .astype(np.int64)
+    )
+    n = len(daily)
+    mid, prev, nxt = daily[1:-1], daily[:-2], daily[2:]
+    t = int(
+        (((mid > prev) & (mid > nxt)) | ((mid < prev) & (mid < nxt))).sum()
+    )
+    z = (t - 2.0 * (n - 2) / 3.0) / math.sqrt((16.0 * n - 29.0) / 90.0)
+    got = _run(spark, sf_dir, "qs353_turning_points").iloc[0]
+    assert got["n_days"] == n and got["t_points"] == t
+    assert got["z"] == pytest.approx(z, abs=2e-4)
+
+
+def test_intent_qs354_periodogram(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    daily = (
+        pd.DataFrame(
+            {
+                "t": (o["o_orderdate"].dt.normalize()
+                      - pd.Timestamp("1995-01-01")).dt.days,
+                "y": _cents(o["o_totalprice"]),
+            }
+        )
+        .groupby("t")["y"]
+        .sum()
+    )
+    t = daily.index.to_numpy().astype(float)
+    y = daily.to_numpy().astype(float)
+    yc = y - y.mean()
+    n = len(y)
+    got = _run(spark, sf_dir, "qs354_periodogram").set_index("period")
+    for p in (7, 30, 91, 365):
+        ang = 2 * np.pi * t / p
+        cs = float((yc * np.cos(ang)).sum())
+        sn = float((yc * np.sin(ang)).sum())
+        want = (cs * cs + sn * sn) / (2.0 * n * float((yc * yc).sum()))
+        assert 0.0 <= want <= 1.0
+        assert got.loc[p, "norm_power"] == pytest.approx(want, abs=2e-6)
+
+
+def test_intent_qs355_variance_ratio(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    y = (
+        pd.DataFrame(
+            {"d": o["o_orderdate"].dt.date, "y": _cents(o["o_totalprice"])}
+        )
+        .groupby("d")["y"]
+        .sum()
+        .sort_index()
+        .to_numpy()
+        .astype(float)
+    )
+    r = np.diff(np.log(y))
+    s5 = np.convolve(r, np.ones(5), mode="valid")
+    vr = s5.var() / (5.0 * r.var())  # numpy var = population var
+    got = _run(spark, sf_dir, "qs355_variance_ratio").iloc[0]
+    assert got["n_returns"] == len(r) and got["n_windows"] == len(s5)
+    assert got["vr5"] == pytest.approx(vr, abs=2e-4)
+
+
+def test_intent_qs357_t_closeness(spark, sf_dir):
+    c = _pd(sf_dir, "customer")
+    o = _pd(sf_dir, "orders")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["r"] = j["o_orderpriority"].str[0].astype(int)
+    glob = j["r"].value_counts(normalize=True).reindex(
+        range(1, 6), fill_value=0.0
+    )
+    emds = []
+    for _, grp in j.groupby(["c_nationkey", "c_mktsegment"]):
+        p = grp["r"].value_counts(normalize=True).reindex(
+            range(1, 6), fill_value=0.0
+        )
+        d = (p - glob).to_numpy()
+        emds.append(float(np.abs(np.cumsum(d)[:-1]).sum()) / 4.0)
+    got = _run(spark, sf_dir, "qs357_t_closeness").iloc[0]
+    assert got["n_classes"] == len(emds)
+    assert got["t_closeness"] == pytest.approx(max(emds), abs=2e-6)
+    assert got["avg_emd"] == pytest.approx(np.mean(emds), abs=2e-6)
+
+
+def test_intent_qs358_breusch_pagan(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    daily = (
+        pd.DataFrame(
+            {
+                "t": (o["o_orderdate"].dt.normalize()
+                      - pd.Timestamp("1995-01-01")).dt.days,
+                "y": _cents(o["o_totalprice"]),
+            }
+        )
+        .groupby("t")["y"]
+        .sum()
+    )
+    t = daily.index.to_numpy().astype(float)
+    y = daily.to_numpy().astype(float)
+    b = ((t - t.mean()) * (y - y.mean())).sum() / ((t - t.mean()) ** 2).sum()
+    a = y.mean() - b * t.mean()
+    u = (y - a - b * t) ** 2
+    r2 = float(np.corrcoef(t, u)[0, 1]) ** 2
+    got = _run(spark, sf_dir, "qs358_breusch_pagan").iloc[0]
+    assert got["n_days"] == len(t)
+    assert got["r2_aux"] == pytest.approx(r2, abs=2e-6)
+    assert got["bp_lm"] == pytest.approx(len(t) * r2, abs=2e-4)
+
+
+def test_intent_qs359_overdispersion(spark, sf_dir):
+    ev = _pd(sf_dir, "events")
+    dd = (ev["ts"].dt.normalize() - pd.Timestamp("1995-01-01")).dt.days
+    lo, hi = int(dd.min()), int(dd.max())
+    got = _run(spark, sf_dir, "qs359_overdispersion").set_index("event_type")
+    for typ, grp in dd.groupby(ev["event_type"]):
+        c = (
+            grp.value_counts()
+            .reindex(range(lo, hi + 1), fill_value=0)
+            .to_numpy()
+            .astype(float)
+        )
+        r = got.loc[typ]
+        assert r["n_days"] == hi - lo + 1
+        assert r["mean_count"] == pytest.approx(c.mean(), abs=2e-4)
+        assert r["dispersion"] == pytest.approx(
+            c.var() / c.mean(), abs=2e-4
+        )
+
+
+def test_intent_qs361_gk_lambda(spark, sf_dir):
+    c = _pd(sf_dir, "customer")
+    tab = pd.crosstab(c["c_nationkey"], c["c_mktsegment"]).to_numpy()
+    n = tab.sum()
+    lam_cg = (tab.max(axis=1).sum() - tab.sum(axis=0).max()) / (
+        n - tab.sum(axis=0).max()
+    )
+    lam_rg = (tab.max(axis=0).sum() - tab.sum(axis=1).max()) / (
+        n - tab.sum(axis=1).max()
+    )
+    got = _run(spark, sf_dir, "qs361_gk_lambda").iloc[0]
+    assert got["n_rows"] == n
+    assert got["lambda_seg_given_nat"] == pytest.approx(lam_cg, abs=2e-6)
+    assert got["lambda_nat_given_seg"] == pytest.approx(lam_rg, abs=2e-6)
+
+
+def test_intent_qs362_dagostino_skew(spark, sf_dir):
+    c = _pd(sf_dir, "customer")
+    x = _round_away(c["c_acctbal"].to_numpy()).astype(float)
+    n = len(x)
+    m2 = ((x - x.mean()) ** 2).mean()
+    m3 = ((x - x.mean()) ** 3).mean()
+    g1 = m3 / m2**1.5
+    y = g1 * math.sqrt((n + 1) * (n + 3) / (6.0 * (n - 2)))
+    b2 = (
+        3.0
+        * (n * n + 27 * n - 70)
+        * (n + 1)
+        * (n + 3)
+        / ((n - 2.0) * (n + 5) * (n + 7) * (n + 9))
+    )
+    w2 = math.sqrt(2.0 * (b2 - 1)) - 1.0
+    delta = 1.0 / math.sqrt(math.log(math.sqrt(w2)))
+    alpha = math.sqrt(2.0 / (w2 - 1))
+    z = delta * math.asinh(y / alpha)
+    got = _run(spark, sf_dir, "qs362_dagostino_skew").iloc[0]
+    assert got["n_rows"] == n
+    assert got["g1"] == pytest.approx(g1, abs=2e-6)
+    assert got["z_skew"] == pytest.approx(z, abs=2e-4)
+
+
+def test_intent_qs363_seasonal_strength(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    daily = (
+        pd.DataFrame(
+            {"d": o["o_orderdate"].dt.normalize(), "y": _cents(o["o_totalprice"])}
+        )
+        .groupby("d")["y"]
+        .sum()
+    )
+    dense = daily.reindex(
+        pd.date_range(daily.index.min(), daily.index.max()), fill_value=0
+    ).astype(float)
+    trend = dense.rolling(7, center=True).mean().dropna()
+    dt = dense.loc[trend.index] - trend
+    dow = (trend.index - pd.Timestamp("1995-01-01")).days % 7
+    sea = dt.groupby(dow).mean()
+    r = dt - sea.loc[dow].to_numpy()
+    fs = max(0.0, 1.0 - r.var(ddof=0) / dt.var(ddof=0))
+    got = _run(spark, sf_dir, "qs363_seasonal_strength").iloc[0]
+    assert got["n_days"] == len(dt)
+    assert got["seasonal_strength"] == pytest.approx(fs, abs=2e-4)
+
+
+def test_intent_qs364_sprt(spark, sf_dir):
+    ev = _pd(sf_dir, "events")
+    arm = ev[ev["user_id"] % 2 == 1]
+    dd = (arm["ts"].dt.normalize() - pd.Timestamp("1995-01-01")).dt.days
+    g = pd.DataFrame(
+        {"dd": dd, "s": (arm["value"] >= 70.0).astype(int)}
+    ).groupby("dd")["s"]
+    days = g.count().sort_index()
+    succ = g.sum().sort_index()
+    la, lb = math.log(0.35 / 0.25), math.log(0.65 / 0.75)
+    inc = succ * la + (days - succ) * lb
+    cum = inc.cumsum()
+    bound = math.log(19.0)
+    hi = cum.index[cum >= bound]
+    lo = cum.index[cum <= -bound]
+    d_hi = int(hi[0]) if len(hi) else None
+    d_lo = int(lo[0]) if len(lo) else None
+    if d_hi is not None and (d_lo is None or d_hi <= d_lo):
+        decision, cross = "reject_h0", d_hi
+    elif d_lo is not None:
+        decision, cross = "accept_h0", d_lo
+    else:
+        decision, cross = "continue", None
+    got = _run(spark, sf_dir, "qs364_sprt_ab").iloc[0]
+    assert got["n_days"] == len(days)
+    assert got["final_llr"] == pytest.approx(float(inc.sum()), abs=2e-4)
+    assert got["decision"] == decision
+    if cross is None:
+        assert pd.isna(got["cross_day"])
+    else:
+        assert got["cross_day"] == cross
+
+
+def test_intent_qs365_pmi(spark, sf_dir):
+    from collections import Counter
+
+    d = _pd(sf_dir, "documents")
+    uni, big = Counter(), Counter()
+    for text in d["text"]:
+        ws = [w for w in text.lower().split(" ") if w]
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+    nu = sum(uni.values())
+    nb = sum(big.values())
+    rows = []
+    for (w1, w2), c12 in big.items():
+        if c12 >= 5:
+            pmi = math.log(c12 * nu * nu / (nb * uni[w1] * uni[w2]))
+            rows.append((round(pmi, 6), w1, w2, c12))
+    rows.sort(key=lambda r: (-r[0], r[1], r[2]))
+    want = rows[:20]
+    got = _run(spark, sf_dir, "qs365_pmi_collocations")
+    assert len(got) == len(want)
+    for grow, (pmi, w1, w2, c12) in zip(got.itertuples(index=False), want):
+        assert (grow.w1, grow.w2, grow.c12) == (w1, w2, c12)
+        assert grow.pmi == pytest.approx(pmi, abs=2e-6)
+
+
+def test_intent_qs366_heaps(spark, sf_dir):
+    d = _pd(sf_dir, "documents")
+    nd = int(d["doc_id"].max()) + 1
+    pts = []
+    for frac in (10, 4, 2, 1):
+        cut = d[d["doc_id"] * frac < nd]
+        toks, types = 0, set()
+        for text in cut["text"]:
+            ws = [w for w in text.lower().split(" ") if w]
+            bgs = list(zip(ws, ws[1:]))
+            toks += len(bgs)
+            types.update(bgs)
+        pts.append((toks, len(types)))
+    lx = np.log([p[0] for p in pts])
+    ly = np.log([p[1] for p in pts])
+    beta = np.polyfit(lx, ly, 1)[0]
+    got = _run(spark, sf_dir, "qs366_heaps_law").iloc[0]
+    assert got["n_docs"] == nd
+    assert (got["n_bigrams"], got["n_types"]) == pts[3]
+    assert got["beta"] == pytest.approx(beta, abs=2e-4)
