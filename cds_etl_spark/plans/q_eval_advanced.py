@@ -2321,8 +2321,14 @@ def qs231(spark: SparkSession, sf: str) -> DataFrame:
     Q·(2m)² = e_in·2m − Σd_c², then e6 floor division.
 
     Determinism: edge-end counts, within-community ends, and
-    squared degree sums are exact integers (≤ ~10¹²); one floor
-    division. Plan: the edge list joins node→community twice
+    squared degree sums are exact integers; the epilogue runs in
+    DECIMAL(38,0) because (e_in·2m − Σd_c²)·10⁶ exceeds int64 once
+    the corpus graph passes ~4M edge-ends (it overflowed at the sf10
+    gen corpus — caught by the r11 sf30 linearity audit; DuckDB's
+    SUM is HUGEINT so only the Spark side needed the lift), then one
+    truncating div — identical semantics and values at every SF
+    where the old LONG path worked. Plan: the edge list joins
+    node→community twice
     (community map broadcasts), degrees re-aggregate per
     community — three dimension-sized aggregates, no iteration."""
     d = load_table(spark, sf, "documents").select(
@@ -2384,8 +2390,9 @@ def qs231(spark: SparkSession, sf: str) -> DataFrame:
             F.col("mm").cast("long").alias("edge_ends"),
             F.col("e_in").cast("long").alias("within_ends"),
             F.expr(
-                "CAST(((e_in * mm - sum_d2) * 1000000)"
-                " div (mm * mm) AS LONG)"
+                "CAST(((CAST(e_in AS DECIMAL(38, 0)) * mm - sum_d2)"
+                " * 1000000) div (CAST(mm AS DECIMAL(38, 0)) * mm)"
+                " AS LONG)"
             ).alias("modularity_e6"),
         )
     )
