@@ -76,10 +76,22 @@ _GRADE_FIRST = [
     "qs364_sprt_ab",
     "qs365_pmi_collocations",
     "qs366_heaps_law",
+    "qs367_cox_stuart",
+    "qs368_bartels_rank",
+    "qs369_hartley_fmax",
+    "qs370_hoover_index",
+    "qs371_atkinson_index",
+    "qs372_source_kl_matrix",
+    "qs373_adjusted_rand",
+    "qs374_fowlkes_mallows",
+    "qs375_hosmer_lemeshow",
+    "qs376_youden_threshold",
+    "qs377_cramer_von_mises",
+    "qs378_theil_decomposition",
     # -- backfill: the r07 window (stalest green rows, last graded in
     #    CORRECTNESS_r07) rotated forward to refresh its evidence; with
-    #    the 16 r11 additions ahead, the first 32 of these fill the
-    #    window (qs189+ keep their green r07 rows and rotate next). --
+    #    the 28 r11 additions ahead, the first 20 of these fill the
+    #    window (qs177+ keep their green r07 rows and rotate next). --
     "qs157_perplexity_buckets",
     "qs158_epoch_shard_plan",
     "qs160_token_entropy",

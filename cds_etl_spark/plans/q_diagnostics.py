@@ -1617,3 +1617,992 @@ def qs366(spark: SparkSession, sf: str) -> DataFrame:
         F.col("v4").alias("n_types"),
         F.round(beta, 4).alias("beta"),
     )
+
+
+# --------------------------------------------------------------------------
+# qs367 Cox–Stuart trend test on daily revenue
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs367_cox_stuart",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+    idx AS (
+      SELECT y, ROW_NUMBER() OVER (ORDER BY d) AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM daily),
+    pairs AS (
+      SELECT a.y AS y1, b.y AS y2
+      FROM idx a JOIN idx b
+        ON b.rn = a.rn + (a.n + 1) // 2
+      WHERE a.rn <= a.n // 2),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN y2 > y1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS sp,
+             CAST(SUM(CASE WHEN y2 <> y1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS np
+      FROM pairs)
+    SELECT np AS n_pairs, sp AS s_plus,
+           ROUND((sp - np / 2.0) / sqrt(np / 4.0), 4) AS z
+    FROM s
+    """,
+)
+def qs367(spark: SparkSession, sf: str) -> DataFrame:
+    """Cox–Stuart trend test: pair each day in the first half of the
+    daily-revenue series with its opposite in the second half
+    (offset ceil(n/2), middle dropped when n is odd); under no trend
+    the signs of the differences are a fair coin, so
+    z = (S+ - n'/2)/sqrt(n'/4) over the n' untied pairs.  The
+    distribution-free sibling of qs305's Mann–Kendall (which weighs
+    ALL pairs; Cox–Stuart is the O(n) long-span variant).
+
+    Determinism: daily cents exact; sign compares are integer; S+
+    and n' exact; one fixed z tree, ROUND 4.  Plan: one grouped scan
+    -> day grid, grid self-join on the computed offset (GRID
+    row_number), one-row epilogue."""
+    o = load_table(spark, sf, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    w = Window.orderBy("d")
+    idx = daily.select(
+        "y",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("n"),
+    )
+    a = idx.filter(F.col("rn") <= F.expr("n div 2")).select(
+        F.col("y").alias("y1"),
+        (F.col("rn") + F.expr("(n + 1) div 2")).alias("target"),
+    )
+    b = idx.select(F.col("rn").alias("target"), F.col("y").alias("y2"))
+    s = a.join(b, "target").agg(
+        F.sum(F.when(F.col("y2") > F.col("y1"), 1).otherwise(0))
+        .cast("long")
+        .alias("sp"),
+        F.sum(F.when(F.col("y2") != F.col("y1"), 1).otherwise(0))
+        .cast("long")
+        .alias("np"),
+    )
+    return s.select(
+        F.col("np").alias("n_pairs"),
+        F.col("sp").alias("s_plus"),
+        F.round(
+            (F.col("sp") - F.col("np") / 2.0)
+            / F.sqrt(F.col("np") / 4.0),
+            4,
+        ).alias("z"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs368 Bartels rank von Neumann randomness test
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs368_bartels_rank",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+    rk AS (
+      SELECT d, CAST(ROW_NUMBER() OVER (ORDER BY y, d) AS BIGINT) AS r
+      FROM daily),
+    seq AS (
+      SELECT r, LEAD(r) OVER (ORDER BY d) AS nr
+      FROM rk),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN nr IS NULL THEN 0
+                           ELSE (r - nr) * (r - nr) END) AS BIGINT) AS nm,
+             CAST(SUM(r) AS BIGINT) AS sr,
+             CAST(SUM(r * r) AS BIGINT) AS srr
+      FROM seq)
+    SELECT n AS n_days,
+           ROUND(nm / (srr - CAST(sr AS DOUBLE) * sr / n), 4) AS rvn,
+           ROUND((nm / (srr - CAST(sr AS DOUBLE) * sr / n) - 2.0)
+                 / sqrt(4.0 * (n - 2) * (5.0 * n * n - 2 * n - 9)
+                        / (5.0 * n * (n + 1.0) * (n - 1) * (n - 1))),
+                 4) AS z
+    FROM m
+    """,
+)
+def qs368(spark: SparkSession, sf: str) -> DataFrame:
+    """Bartels' rank von Neumann ratio — the rank (outlier-proof)
+    version of qs303's Durbin–Watson randomness check:
+    RVN = SUM (R_t - R_{t+1})^2 / SUM (R_t - Rbar)^2 over the ranks
+    of the daily-revenue series, E[RVN] = 2 under randomness, and
+    z uses Bartels' exact variance 4(n-2)(5n^2-2n-9)/(5n(n+1)(n-1)^2).
+    Rank convention: unique permutation ranks via the (y, day)
+    tiebreak (documented — integer cents make exact ties possible in
+    principle but the tiebreak keeps both engines identical).
+
+    Determinism: ranks are exact integers, both sums exact integers,
+    one fixed double tree, ROUND 4.  Plan: one grouped scan -> day
+    grid; the rank and lead run on the grid (GRID windows), one-row
+    epilogue."""
+    o = load_table(spark, sf, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    rk = daily.select(
+        "d",
+        F.row_number().over(Window.orderBy("y", "d")).cast("long").alias("r"),
+    )
+    seq = rk.select(
+        "r", F.lead("r").over(Window.orderBy("d")).alias("nr")
+    )
+    m = seq.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("nr").isNull(), 0).otherwise(
+                (F.col("r") - F.col("nr")) * (F.col("r") - F.col("nr"))
+            )
+        )
+        .cast("long")
+        .alias("nm"),
+        F.sum("r").cast("long").alias("sr"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("srr"),
+    )
+    den = F.col("srr") - F.col("sr").cast("double") * F.col("sr") / F.col("n")
+    rvn = F.col("nm") / den
+    nd = F.col("n").cast("double")
+    var = (
+        4.0
+        * (F.col("n") - 2)
+        * (5.0 * nd * F.col("n") - 2 * F.col("n") - 9)
+        / (5.0 * nd * (F.col("n") + 1.0) * (F.col("n") - 1) * (F.col("n") - 1))
+    )
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.round(rvn, 4).alias("rvn"),
+        F.round((rvn - 2.0) / F.sqrt(var), 4).alias("z"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs369 Hartley's Fmax variance-ratio screen
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs369_hartley_fmax",
+    oracle="""
+    WITH x AS (
+      SELECT c_mktsegment AS seg,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS c
+      FROM customer),
+    g AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s1,
+             CAST(SUM(c * c) AS BIGINT) AS s2
+      FROM x GROUP BY seg),
+    v AS (
+      SELECT seg, n,
+             (s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) AS var
+      FROM g)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(n) AS BIGINT) AS min_n,
+           ROUND(MAX(var) / MIN(var), 4) AS f_max
+    FROM v
+    """,
+)
+def qs369(spark: SparkSession, sf: str) -> DataFrame:
+    """Hartley's Fmax — the quick variance-homogeneity screen before
+    ANOVA: the ratio of the largest to the smallest sample variance
+    across the 5 market segments, >= 1 by construction (~1 = safe,
+    >> 1 = heteroscedastic; qs351's Levene and qs309's Bartlett are
+    the formal tests this screens for).
+
+    Determinism: per-group sample variances come from exact integer
+    moments (one double tree each); MAX/MIN over the 5-row grid are
+    order-free; ONE division, ROUND 4.  Plan: one grouped scan,
+    5-row epilogue."""
+    x = load_table(spark, sf, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("c"),
+    )
+    g = x.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    var = (
+        F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+    ) / (F.col("n") - 1)
+    return g.select("n", var.alias("var")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("n").cast("long").alias("min_n"),
+        F.round(F.max("var") / F.min("var"), 4).alias("f_max"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs370 Hoover (Robin Hood) index over part-group revenue
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs370_hoover_index",
+    oracle="""
+    WITH g AS (
+      SELECT l_partkey % 200 AS grp,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS c
+      FROM lineitem GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS tc,
+                   CAST(COUNT(*) AS BIGINT) AS n FROM g)
+    SELECT n AS n_groups,
+           ROUND(0.5 * SUM(ABS(c / tc - 1.0 / n)), 6) AS hoover
+    FROM g CROSS JOIN tot GROUP BY n
+    """,
+)
+def qs370(spark: SparkSession, sf: str) -> DataFrame:
+    """Hoover / Robin Hood index over the 200-part-group revenue
+    distribution: H = (1/2) SUM |s_g - 1/G| — the fraction of total
+    revenue that would have to move to equalize the groups, in
+    [0, 1].  The third member of the inequality family (qs307 Gini =
+    area-based, qs350 Theil = entropy-based, Hoover = L1) — the
+    three disagree exactly when the distribution shape matters.
+
+    Determinism: group cents exact; each |.| term is the same fixed
+    double; the 200-term positive sum carries the qs291 ROUND-6
+    margin.  Plan: one grouped scan -> 200-row grid, broadcast
+    one-row total, one-row epilogue."""
+    li = load_table(spark, sf, "lineitem")
+    g = li.groupBy((F.col("l_partkey") % 200).alias("grp")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("c")
+    )
+    tot = g.agg(
+        F.sum("c").cast("double").alias("tc"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.round(
+                0.5
+                * F.sum(
+                    F.abs(F.col("c") / F.col("tc") - 1.0 / F.col("n"))
+                ),
+                6,
+            ).alias("hoover")
+        )
+        .select(F.col("n").alias("n_groups"), "hoover")
+    )
+
+
+# --------------------------------------------------------------------------
+# qs371 Atkinson inequality index (epsilon = 1)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs371_atkinson_index",
+    oracle="""
+    WITH g AS (
+      SELECT l_partkey % 200 AS grp,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS c
+      FROM lineitem GROUP BY 1),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mean,
+                 SUM(ln(CAST(c AS DOUBLE))) / COUNT(*) AS mlog
+          FROM g)
+    SELECT n AS n_groups,
+           ROUND(1.0 - exp(mlog) / mean, 6) AS atkinson
+    FROM m
+    """,
+)
+def qs371(spark: SparkSession, sf: str) -> DataFrame:
+    """Atkinson inequality index at inequality-aversion epsilon = 1:
+    A = 1 - geometric_mean/arithmetic_mean over the 200-part-group
+    revenues — in [0, 1) for positive values by AM-GM, and the
+    member of the inequality family with an explicit welfare
+    interpretation (the fraction of total revenue society would give
+    up to equalize).  Completes qs307/qs350/qs370.
+
+    Determinism: group cents exact and strictly positive (every
+    group has revenue at every SF); mean-log is a 200-term
+    same-sign-add grid sum (margin argument), one exp and one
+    division, ROUND 6.  Plan: one grouped scan -> 200-row grid,
+    one-row epilogue."""
+    li = load_table(spark, sf, "lineitem")
+    g = li.groupBy((F.col("l_partkey") % 200).alias("grp")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("c")
+    )
+    m = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("c").cast("double") / F.count(F.lit(1))).alias("mean"),
+        (
+            F.sum(F.log(F.col("c").cast("double"))) / F.count(F.lit(1))
+        ).alias("mlog"),
+    )
+    return m.select(
+        F.col("n").alias("n_groups"),
+        F.round(1.0 - F.exp(F.col("mlog")) / F.col("mean"), 6).alias(
+            "atkinson"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs372 Pairwise source KL-divergence matrix over unigram models
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs372_source_kl_matrix",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+      FROM documents),
+    tok AS (SELECT source, unnest(ts) AS w FROM t),
+    vocab AS (SELECT DISTINCT w FROM tok),
+    srcs AS (SELECT DISTINCT source FROM documents),
+    cnt AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok GROUP BY 1, 2),
+    vn AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+    totals AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS tt
+               FROM tok GROUP BY 1),
+    dense AS (
+      SELECT s.source, vb.w,
+             (COALESCE(cnt.c, 0) + 1.0)
+               / (totals.tt + vn.v) AS p
+      FROM srcs s CROSS JOIN vocab vb CROSS JOIN vn
+      JOIN totals ON totals.source = s.source
+      LEFT JOIN cnt ON cnt.source = s.source AND cnt.w = vb.w),
+    kl AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             SUM(a.p * ln(a.p / b.p)) AS kl
+      FROM dense a JOIN dense b ON a.w = b.w
+      WHERE a.source <> b.source
+      GROUP BY 1, 2)
+    SELECT source_a, source_b, ROUND(kl, 6) AS kl_nats
+    FROM kl ORDER BY source_a, source_b
+    """,
+)
+def qs372(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise KL divergence between per-source unigram language
+    models (add-1 smoothing over the shared vocabulary, so every
+    support is full and KL is finite and >= 0 by Gibbs) — the
+    source-similarity matrix corpus curation uses to decide which
+    sources are redundant and which add distributional novelty
+    (pairs with qs274's symmetric JSD on two fixed cohorts; this is
+    the full asymmetric matrix).
+
+    Determinism: counts exact; smoothed probabilities are identical
+    double trees; each KL sums |vocab| fixed-form terms on the
+    (source_a, source_b) grid (ROUND-6 margin).  Plan: one token
+    scan -> (source, word) counts; the dense model is sources x
+    vocab (grid-sized — vocab is corpus-bounded); the matrix is a
+    grid self-join on the word key.  At 100 TB the vocab grid, not
+    the corpus, is what the pairwise join touches."""
+    d = load_table(spark, sf, "documents")
+    tok = d.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("w"),
+    )
+    cnt = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    vocab = tok.select("w").distinct()
+    srcs = d.select("source").distinct()
+    vn = vocab.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    totals = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("tt")
+    )
+    dense = (
+        srcs.crossJoin(vocab)
+        .crossJoin(F.broadcast(vn))
+        .join(F.broadcast(totals), "source")
+        .join(F.broadcast(cnt), ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            (
+                (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                / (F.col("tt") + F.col("v"))
+            ).alias("p"),
+        )
+    )
+    a = dense.select(
+        F.col("source").alias("source_a"), "w", F.col("p").alias("pa")
+    )
+    b = dense.select(
+        F.col("source").alias("source_b"), "w", F.col("p").alias("pb")
+    )
+    return (
+        a.join(b, "w")
+        .filter(F.col("source_a") != F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.round(
+                F.sum(F.col("pa") * F.log(F.col("pa") / F.col("pb"))), 6
+            ).alias("kl_nats")
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# qs373 Adjusted Rand index between price tier and priority
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs373_adjusted_rand",
+    oracle="""
+    WITH f AS (
+      SELECT LEAST(3, CAST(FLOOR(o_totalprice / 125000) AS BIGINT)) AS x,
+             o_orderpriority AS y
+      FROM orders),
+    grid AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c
+             FROM f GROUP BY 1, 2),
+    m AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS sij
+      FROM grid),
+    ra AS (SELECT CAST(SUM(s * (s - 1) / 2) AS BIGINT) AS sa FROM
+             (SELECT x, SUM(c) AS s FROM grid GROUP BY x)),
+    rb AS (SELECT CAST(SUM(s * (s - 1) / 2) AS BIGINT) AS sb FROM
+             (SELECT y, SUM(c) AS s FROM grid GROUP BY y))
+    SELECT m.n AS n_rows,
+           ROUND((m.sij - CAST(ra.sa AS DOUBLE) * rb.sb
+                          / (CAST(m.n AS DOUBLE) * (m.n - 1) / 2))
+                 / ((CAST(ra.sa AS DOUBLE) + rb.sb) / 2
+                    - CAST(ra.sa AS DOUBLE) * rb.sb
+                      / (CAST(m.n AS DOUBLE) * (m.n - 1) / 2)), 6)
+             AS ari
+    FROM m, ra, rb
+    """,
+)
+def qs373(spark: SparkSession, sf: str) -> DataFrame:
+    """Adjusted Rand index between two partitions of the order set —
+    the 4-band price tier vs the 5-level priority: the
+    chance-corrected pair-counting agreement
+    ARI = (SUMij C(n_ij,2) - E) / (max - E) with
+    E = SUMa*SUMb / C(n,2).  ~0 for unrelated partitions, 1 for
+    identical — the clustering-evaluation workhorse (label-free,
+    unlike qs331's MCC which needs a designated truth).
+
+    Determinism: every pair count C(x,2) = x(x-1)/2 is an exact
+    integer off the 20-cell contingency grid; the E and max terms
+    are fixed double trees (the SUMa*SUMb product overflows int64
+    past ~sf10 so the ratio runs in doubles by design), ROUND 6.
+    Plan: one grouped scan -> grid, three grid re-aggregations,
+    one-row epilogue."""
+    o = load_table(spark, sf, "orders")
+    f = o.select(
+        F.least(
+            F.lit(3), F.floor(F.col("o_totalprice") / 125000)
+        ).cast("long").alias("x"),
+        F.col("o_orderpriority").alias("y"),
+    )
+    grid = f.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    c2 = lambda col: F.sum(col * (col - 1) / 2).cast("long")  # noqa: E731
+    m = grid.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("sij"),
+    )
+    ra = grid.groupBy("x").agg(F.sum("c").alias("s")).agg(
+        c2(F.col("s")).alias("sa")
+    )
+    rb = grid.groupBy("y").agg(F.sum("c").alias("s")).agg(
+        c2(F.col("s")).alias("sb")
+    )
+    npairs = F.col("n").cast("double") * (F.col("n") - 1) / 2
+    e = F.col("sa").cast("double") * F.col("sb") / npairs
+    mx = (F.col("sa").cast("double") + F.col("sb")) / 2
+    return (
+        m.crossJoin(ra)
+        .crossJoin(rb)
+        .select(
+            F.col("n").alias("n_rows"),
+            F.round((F.col("sij") - e) / (mx - e), 6).alias("ari"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# qs374 Fowlkes–Mallows + Rand index (nation vs segment)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs374_fowlkes_mallows",
+    oracle="""
+    WITH grid AS (
+      SELECT c_nationkey AS x, c_mktsegment AS y,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM customer GROUP BY 1, 2),
+    m AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS sij
+      FROM grid),
+    ra AS (SELECT CAST(SUM(s * (s - 1) / 2) AS BIGINT) AS sa FROM
+             (SELECT x, SUM(c) AS s FROM grid GROUP BY x)),
+    rb AS (SELECT CAST(SUM(s * (s - 1) / 2) AS BIGINT) AS sb FROM
+             (SELECT y, SUM(c) AS s FROM grid GROUP BY y))
+    SELECT m.n AS n_rows,
+           ROUND(m.sij / sqrt(CAST(ra.sa AS DOUBLE) * rb.sb), 6) AS fm,
+           ROUND(1.0 - (CAST(ra.sa AS DOUBLE) + rb.sb - 2.0 * m.sij)
+                       / (CAST(m.n AS DOUBLE) * (m.n - 1) / 2), 6)
+             AS rand_index
+    FROM m, ra, rb
+    """,
+)
+def qs374(spark: SparkSession, sf: str) -> DataFrame:
+    """Fowlkes–Mallows index and plain Rand index between the nation
+    partition (25 blocks) and the segment partition (5 blocks) of
+    the customer set: FM = TP/sqrt((TP+FP)(TP+FN)) is the geometric
+    mean of pairwise precision and recall; RI the raw pair-agreement
+    rate.  The un-adjusted companions to qs373's ARI — reported
+    together because FM stays informative when one partition is much
+    finer, exactly where RI saturates.
+
+    Determinism: same exact-integer pair counting off the 125-cell
+    grid; two fixed double expressions, ROUND 6.  Plan: one grouped
+    scan -> grid, three grid re-aggregations, one-row epilogue."""
+    cu = load_table(spark, sf, "customer")
+    grid = cu.groupBy(
+        F.col("c_nationkey").alias("x"),
+        F.col("c_mktsegment").alias("y"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    c2 = lambda col: F.sum(col * (col - 1) / 2).cast("long")  # noqa: E731
+    m = grid.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("sij"),
+    )
+    ra = grid.groupBy("x").agg(F.sum("c").alias("s")).agg(
+        c2(F.col("s")).alias("sa")
+    )
+    rb = grid.groupBy("y").agg(F.sum("c").alias("s")).agg(
+        c2(F.col("s")).alias("sb")
+    )
+    npairs = F.col("n").cast("double") * (F.col("n") - 1) / 2
+    return (
+        m.crossJoin(ra)
+        .crossJoin(rb)
+        .select(
+            F.col("n").alias("n_rows"),
+            F.round(
+                F.col("sij")
+                / F.sqrt(F.col("sa").cast("double") * F.col("sb")),
+                6,
+            ).alias("fm"),
+            F.round(
+                1.0
+                - (
+                    F.col("sa").cast("double")
+                    + F.col("sb")
+                    - 2.0 * F.col("sij")
+                )
+                / npairs,
+                6,
+            ).alias("rand_index"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# qs375 Hosmer–Lemeshow calibration test
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs375_hosmer_lemeshow",
+    oracle="""
+    WITH sc AS (
+      SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bin,
+             1.0 / (1.0 + exp(-(value - 50.0) / 10.0)) AS p,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS o
+      FROM events WHERE value < 100),
+    b AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS nb,
+             CAST(SUM(o) AS BIGINT) AS obs, SUM(p) AS exp
+      FROM sc GROUP BY bin)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(nb) AS BIGINT) AS n_events,
+           ROUND(SUM((obs - exp) * (obs - exp)
+                     / (exp * (1.0 - exp / nb))), 4) AS hl_chi2
+    FROM b
+    """,
+)
+def qs375(spark: SparkSession, sf: str) -> DataFrame:
+    """Hosmer–Lemeshow goodness-of-fit on a deterministic logistic
+    scorer (p = sigmoid((value-50)/10), outcome = purchase event):
+    bin by predicted probability (10 fixed score bands — p is
+    monotone in value so value bands ARE p-deciles of the design),
+    chi2 = SUM (O_g - E_g)^2 / (E_g (1 - E_g/n_g)).  The calibration
+    TEST next to qs264's ECE (which measures miscalibration but
+    carries no null distribution).
+
+    Determinism: O and n are exact integers; E sums positive
+    sigmoids per bin (same double tree both engines, ROUND-4 margin);
+    10-term epilogue.  Plan: one scan -> 10-row grid, one-row
+    epilogue."""
+    ev = load_table(spark, sf, "events").filter(F.col("value") < 100)
+    sc = ev.select(
+        F.floor(F.col("value") / 10).cast("long").alias("bin"),
+        (
+            1.0 / (1.0 + F.exp(-(F.col("value") - 50.0) / 10.0))
+        ).alias("p"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("o"),
+    )
+    b = sc.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("o").cast("long").alias("obs"),
+        F.sum("p").alias("exp"),
+    )
+    return b.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("nb").cast("long").alias("n_events"),
+        F.round(
+            F.sum(
+                (F.col("obs") - F.col("exp"))
+                * (F.col("obs") - F.col("exp"))
+                / (F.col("exp") * (1.0 - F.col("exp") / F.col("nb")))
+            ),
+            4,
+        ).alias("hl_chi2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs376 Youden's J optimal threshold over score bands
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs376_youden_threshold",
+    oracle="""
+    WITH sc AS (
+      SELECT CAST(FLOOR(value / 5) AS BIGINT) AS band,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events WHERE value < 100),
+    b AS (
+      SELECT band, CAST(SUM(pos) AS BIGINT) AS p,
+             CAST(SUM(1 - pos) AS BIGINT) AS q
+      FROM sc GROUP BY band),
+    cum AS (
+      SELECT band,
+             SUM(p) OVER (ORDER BY band DESC) AS cp,
+             SUM(q) OVER (ORDER BY band DESC) AS cq,
+             SUM(p) OVER () AS tp, SUM(q) OVER () AS tq
+      FROM b),
+    j AS (
+      SELECT CAST(band * 5 AS BIGINT) AS threshold,
+             ROUND(CAST(cp AS DOUBLE) / tp, 6) AS tpr,
+             ROUND(CAST(cq AS DOUBLE) / tq, 6) AS fpr,
+             ROUND(CAST(cp AS DOUBLE) / tp
+                   - CAST(cq AS DOUBLE) / tq, 6) AS j
+      FROM cum)
+    SELECT threshold, tpr, fpr, j FROM j
+    ORDER BY j DESC, threshold LIMIT 1
+    """,
+)
+def qs376(spark: SparkSession, sf: str) -> DataFrame:
+    """Youden's J optimal operating point: score events by value (20
+    fixed bands), positives = purchase events, and for each
+    candidate threshold t compute TPR(t) - FPR(t); report the
+    J-maximizing threshold (smallest on ties).  The
+    threshold-SELECTION query next to qs181's threshold-free AUC and
+    qs264's fixed-threshold calibration.
+
+    Determinism: band counts exact; suffix cumulatives run on the
+    20-row band grid; TPR/FPR/J are ROUNDed (6 dp) BEFORE the
+    ordered LIMIT with a full threshold tiebreak (round-before-rank
+    doctrine).  Plan: one scan -> 20-row grid, GRID window, top-1
+    sort on 20 rows."""
+    ev = load_table(spark, sf, "events").filter(F.col("value") < 100)
+    sc = ev.select(
+        F.floor(F.col("value") / 5).cast("long").alias("band"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    b = sc.groupBy("band").agg(
+        F.sum("pos").cast("long").alias("p"),
+        F.sum(1 - F.col("pos")).cast("long").alias("q"),
+    )
+    wdesc = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = b.select(
+        "band",
+        F.sum("p").over(wdesc).alias("cp"),
+        F.sum("q").over(wdesc).alias("cq"),
+        F.sum("p").over(wall).alias("tp"),
+        F.sum("q").over(wall).alias("tq"),
+    )
+    tpr = F.round(F.col("cp").cast("double") / F.col("tp"), 6)
+    fpr = F.round(F.col("cq").cast("double") / F.col("tq"), 6)
+    j = F.round(
+        F.col("cp").cast("double") / F.col("tp")
+        - F.col("cq").cast("double") / F.col("tq"),
+        6,
+    )
+    return (
+        cum.select(
+            (F.col("band") * 5).cast("long").alias("threshold"),
+            tpr.alias("tpr"),
+            fpr.alias("fpr"),
+            j.alias("j"),
+        )
+        .orderBy(F.col("j").desc(), "threshold")
+        .limit(1)
+    )
+
+
+# --------------------------------------------------------------------------
+# qs377 Cramér–von Mises two-sample test on segment revenue series
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs377_cramer_von_mises",
+    oracle="""
+    WITH daily AS (
+      SELECT c.c_mktsegment AS seg, CAST(o.o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+      GROUP BY 1, 2),
+    rk AS (
+      SELECT seg,
+             CAST(ROW_NUMBER() OVER (ORDER BY y, seg, d) AS BIGINT) AS r,
+             CAST(ROW_NUMBER() OVER (PARTITION BY seg
+                                     ORDER BY y, seg, d) AS BIGINT) AS i
+      FROM daily),
+    m AS (
+      SELECT
+        CAST(SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END)
+             AS BIGINT) AS mm,
+        CAST(SUM(CASE WHEN seg = 'BUILDING'
+                 THEN (r - i) * (r - i) ELSE 0 END) AS BIGINT) AS ux,
+        CAST(SUM(CASE WHEN seg = 'MACHINERY'
+                 THEN (r - i) * (r - i) ELSE 0 END) AS BIGINT) AS uy
+      FROM rk)
+    SELECT n AS n_x, mm AS n_y,
+           ROUND((CAST(n AS DOUBLE) * ux + CAST(mm AS DOUBLE) * uy)
+                 / (CAST(n AS DOUBLE) * mm * (n + mm))
+                 - (4.0 * n * mm - 1) / (6.0 * (n + mm)), 6) AS cvm_t
+    FROM m
+    """,
+)
+def qs377(spark: SparkSession, sf: str) -> DataFrame:
+    """Cramér–von Mises two-sample test between the BUILDING and
+    MACHINERY daily-revenue distributions — the integrated-squared
+    ECDF distance that weighs the WHOLE distribution, where qs227's
+    KS statistic sees only the single worst gap:
+    T = (n*U_x + m*U_y)/(nm(n+m)) - (4nm-1)/(6(n+m)) with
+    U_s = SUM (r_i - i)^2 over each sample's combined-vs-own ranks.
+    Rank convention: unique permutation ranks via the (y, seg, day)
+    tiebreak (documented, same on both engines).
+
+    Determinism: both rank sets and both U sums are exact integers
+    on the ~4,800-row day grid; one fixed double tree, ROUND 6.
+    Plan: one broadcast-dim join + grouped scan -> (seg, day) grid,
+    two GRID rank windows, one-row epilogue."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    daily = (
+        o.join(
+            F.broadcast(
+                c.select("c_custkey", "c_mktsegment").filter(
+                    F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+                )
+            ),
+            o["o_custkey"] == c["c_custkey"],
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    rk = daily.select(
+        "seg",
+        F.row_number()
+        .over(Window.orderBy("y", "seg", "d"))
+        .cast("long")
+        .alias("r"),
+        F.row_number()
+        .over(Window.partitionBy("seg").orderBy("y", "seg", "d"))
+        .cast("long")
+        .alias("i"),
+    )
+    d2 = (F.col("r") - F.col("i")) * (F.col("r") - F.col("i"))
+    m = rk.agg(
+        F.sum(F.when(F.col("seg") == "BUILDING", 1).otherwise(0))
+        .cast("long")
+        .alias("n"),
+        F.sum(F.when(F.col("seg") == "MACHINERY", 1).otherwise(0))
+        .cast("long")
+        .alias("mm"),
+        F.sum(F.when(F.col("seg") == "BUILDING", d2).otherwise(0))
+        .cast("long")
+        .alias("ux"),
+        F.sum(F.when(F.col("seg") == "MACHINERY", d2).otherwise(0))
+        .cast("long")
+        .alias("uy"),
+    )
+    nd = F.col("n").cast("double")
+    md = F.col("mm").cast("double")
+    t = (nd * F.col("ux") + md * F.col("uy")) / (
+        nd * F.col("mm") * (F.col("n") + F.col("mm"))
+    ) - (4.0 * F.col("n") * md - 1) / (6.0 * (F.col("n") + F.col("mm")))
+    return m.select(
+        F.col("n").alias("n_x"),
+        F.col("mm").alias("n_y"),
+        F.round(t, 6).alias("cvm_t"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs378 Theil T within/between decomposition
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs378_theil_decomposition",
+    oracle="""
+    WITH g AS (
+      SELECT l_partkey % 200 AS grp,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS c
+      FROM lineitem GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS tc,
+                   CAST(COUNT(*) AS BIGINT) AS ng FROM g),
+    reg AS (
+      SELECT grp % 5 AS r, CAST(SUM(c) AS DOUBLE) AS cr,
+             CAST(COUNT(*) AS BIGINT) AS nr
+      FROM g GROUP BY 1),
+    tw AS (
+      SELECT reg.r,
+             SUM((g.c / reg.cr) * ln(g.c * reg.nr / reg.cr)) AS tr,
+             MAX(reg.cr) AS cr
+      FROM g JOIN reg ON g.grp % 5 = reg.r
+      GROUP BY reg.r),
+    parts AS (
+      SELECT SUM((tw.cr / tot.tc) * tw.tr) AS t_within,
+             SUM((tw.cr / tot.tc)
+                 * ln((tw.cr / tot.tc) * 5.0)) AS t_between,
+             MAX(tot.ng) AS ng
+      FROM tw CROSS JOIN tot),
+    ttot AS (
+      SELECT SUM((g.c / tot.tc) * ln(g.c * tot.ng / tot.tc)) AS t_total
+      FROM g CROSS JOIN tot)
+    SELECT parts.ng AS n_groups,
+           ROUND(ttot.t_total, 6) AS t_total,
+           ROUND(parts.t_within, 6) AS t_within,
+           ROUND(parts.t_between, 6) AS t_between
+    FROM parts, ttot
+    """,
+)
+def qs378(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil T within/between decomposition — the property qs350
+    advertises, executed: partition the 200 revenue groups into 5
+    equal-size super-regions (grp % 5) and split total inequality
+    EXACTLY into T_total = SUM_r s_r T_r + T_between (s_r = revenue
+    share).  The intent test asserts the identity to float
+    precision — the decomposition is its own cross-check, which is
+    why concentration audits prefer Theil over Gini (whose
+    decomposition has a residual).
+
+    Determinism: group cents exact; every term is a fixed double
+    tree over the 200-row / 5-row grids with same-sign sums per
+    index (ROUND-6 margin).  Plan: one grouped scan -> 200-row grid,
+    5-row region re-aggregation, broadcast totals, two one-row
+    epilogues crossed."""
+    li = load_table(spark, sf, "lineitem")
+    g = li.groupBy((F.col("l_partkey") % 200).alias("grp")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("c")
+    )
+    tot = g.agg(
+        F.sum("c").cast("double").alias("tc"),
+        F.count(F.lit(1)).cast("long").alias("ng"),
+    )
+    reg = g.groupBy((F.col("grp") % 5).alias("r")).agg(
+        F.sum("c").cast("double").alias("cr"),
+        F.count(F.lit(1)).cast("long").alias("nr"),
+    )
+    tw = (
+        g.select((F.col("grp") % 5).alias("r"), "c")
+        .join(F.broadcast(reg), "r")
+        .groupBy("r")
+        .agg(
+            F.sum(
+                (F.col("c") / F.col("cr"))
+                * F.log(F.col("c") * F.col("nr") / F.col("cr"))
+            ).alias("tr"),
+            F.max("cr").alias("cr"),
+        )
+    )
+    parts = tw.crossJoin(F.broadcast(tot)).agg(
+        F.sum((F.col("cr") / F.col("tc")) * F.col("tr")).alias("t_within"),
+        F.sum(
+            (F.col("cr") / F.col("tc"))
+            * F.log((F.col("cr") / F.col("tc")) * 5.0)
+        ).alias("t_between"),
+        F.max("ng").alias("ng"),
+    )
+    ttot = g.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            (F.col("c") / F.col("tc"))
+            * F.log(F.col("c") * F.col("ng") / F.col("tc"))
+        ).alias("t_total")
+    )
+    return parts.crossJoin(ttot).select(
+        F.col("ng").alias("n_groups"),
+        F.round("t_total", 6).alias("t_total"),
+        F.round("t_within", 6).alias("t_within"),
+        F.round("t_between", 6).alias("t_between"),
+    )

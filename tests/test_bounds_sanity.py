@@ -91,6 +91,23 @@ BOUNDS = [
     ("qs361_gk_lambda", "lambda_seg_given_nat", 0.0, 1.0),
     ("qs361_gk_lambda", "lambda_nat_given_seg", 0.0, 1.0),
     ("qs363_seasonal_strength", "seasonal_strength", 0.0, 1.0),
+    ("qs368_bartels_rank", "rvn", 0.0, None),
+    ("qs369_hartley_fmax", "f_max", 1.0, None),
+    ("qs370_hoover_index", "hoover", 0.0, 1.0),
+    # AM-GM: geometric mean <= arithmetic mean for positive values
+    ("qs371_atkinson_index", "atkinson", 0.0, 1.0),
+    # Gibbs' inequality: KL >= 0 (full support via add-1 smoothing)
+    ("qs372_source_kl_matrix", "kl_nats", 0.0, None),
+    ("qs373_adjusted_rand", "ari", None, 1.0),
+    ("qs374_fowlkes_mallows", "fm", 0.0, 1.0),
+    ("qs374_fowlkes_mallows", "rand_index", 0.0, 1.0),
+    ("qs375_hosmer_lemeshow", "hl_chi2", 0.0, None),
+    ("qs376_youden_threshold", "tpr", 0.0, 1.0),
+    ("qs376_youden_threshold", "fpr", 0.0, 1.0),
+    ("qs376_youden_threshold", "j", -1.0, 1.0),
+    ("qs378_theil_decomposition", "t_total", 0.0, None),
+    ("qs378_theil_decomposition", "t_within", 0.0, None),
+    ("qs378_theil_decomposition", "t_between", 0.0, None),
 ]
 
 

@@ -3732,3 +3732,276 @@ def test_intent_qs366_heaps(spark, sf_dir):
     assert got["n_docs"] == nd
     assert (got["n_bigrams"], got["n_types"]) == pts[3]
     assert got["beta"] == pytest.approx(beta, abs=2e-4)
+
+
+# -- wave 11: the round-11 batch-2 diagnostics (qs367+) ----------------------
+
+
+def _daily_cents(sf_dir):
+    o = _pd(sf_dir, "orders")
+    return (
+        pd.DataFrame(
+            {"d": o["o_orderdate"].dt.date, "y": _cents(o["o_totalprice"])}
+        )
+        .groupby("d")["y"]
+        .sum()
+        .sort_index()
+        .to_numpy()
+        .astype(np.int64)
+    )
+
+
+def test_intent_qs367_cox_stuart(spark, sf_dir):
+    y = _daily_cents(sf_dir)
+    n = len(y)
+    h, m = (n + 1) // 2, n // 2
+    y1, y2 = y[:m], y[h:h + m]
+    sp = int((y2 > y1).sum())
+    npairs = int((y2 != y1).sum())
+    z = (sp - npairs / 2.0) / math.sqrt(npairs / 4.0)
+    got = _run(spark, sf_dir, "qs367_cox_stuart").iloc[0]
+    assert (got["n_pairs"], got["s_plus"]) == (npairs, sp)
+    assert got["z"] == pytest.approx(z, abs=2e-4)
+
+
+def test_intent_qs368_bartels(spark, sf_dir):
+    y = _daily_cents(sf_dir)
+    n = len(y)
+    order = np.lexsort((np.arange(n), y))  # (y, day) tiebreak
+    r = np.empty(n, dtype=np.int64)
+    r[order] = np.arange(1, n + 1)
+    nm = int((np.diff(r) ** 2).sum())
+    den = float(((r - r.mean()) ** 2).sum())
+    rvn = nm / den
+    var = (
+        4.0 * (n - 2) * (5.0 * n * n - 2 * n - 9)
+        / (5.0 * n * (n + 1.0) * (n - 1) ** 2)
+    )
+    z = (rvn - 2.0) / math.sqrt(var)
+    got = _run(spark, sf_dir, "qs368_bartels_rank").iloc[0]
+    assert got["n_days"] == n
+    assert got["rvn"] == pytest.approx(rvn, abs=2e-4)
+    assert got["z"] == pytest.approx(z, abs=2e-4)
+
+
+def test_intent_qs369_hartley(spark, sf_dir):
+    c = _pd(sf_dir, "customer")
+    v = (
+        pd.DataFrame(
+            {"g": c["c_mktsegment"], "x": _cents(c["c_acctbal"]).astype(float)}
+        )
+        .groupby("g")["x"]
+        .var(ddof=1)
+    )
+    got = _run(spark, sf_dir, "qs369_hartley_fmax").iloc[0]
+    assert got["n_groups"] == len(v)
+    assert got["f_max"] == pytest.approx(v.max() / v.min(), abs=2e-4)
+
+
+def _group_cents(sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    return (
+        pd.DataFrame(
+            {
+                "g": li["l_partkey"] % 200,
+                "c": _cents(li["l_extendedprice"]),
+            }
+        )
+        .groupby("g")["c"]
+        .sum()
+        .to_numpy()
+        .astype(float)
+    )
+
+
+def test_intent_qs370_hoover(spark, sf_dir):
+    c = _group_cents(sf_dir)
+    s = c / c.sum()
+    h = 0.5 * np.abs(s - 1.0 / len(c)).sum()
+    got = _run(spark, sf_dir, "qs370_hoover_index").iloc[0]
+    assert got["n_groups"] == len(c)
+    assert got["hoover"] == pytest.approx(h, abs=2e-6)
+
+
+def test_intent_qs371_atkinson(spark, sf_dir):
+    c = _group_cents(sf_dir)
+    a = 1.0 - math.exp(np.log(c).mean()) / c.mean()
+    got = _run(spark, sf_dir, "qs371_atkinson_index").iloc[0]
+    assert got["n_groups"] == len(c)
+    assert got["atkinson"] == pytest.approx(a, abs=2e-6)
+
+
+def test_intent_qs372_source_kl(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    d = _pd(sf_dir, "documents")
+    cnt, tot = defaultdict(Counter), Counter()
+    vocab = set()
+    for src, text in zip(d["source"], d["text"]):
+        ws = [w for w in text.lower().split(" ") if w]
+        cnt[src].update(ws)
+        tot[src] += len(ws)
+        vocab.update(ws)
+    v = len(vocab)
+    got = _run(spark, sf_dir, "qs372_source_kl_matrix").set_index(
+        ["source_a", "source_b"]
+    )
+    srcs = sorted(cnt)
+    assert len(got) == len(srcs) * (len(srcs) - 1)
+    checked = 0
+    for a in srcs:
+        for b in srcs:
+            if a == b:
+                continue
+            kl = sum(
+                ((cnt[a][w] + 1.0) / (tot[a] + v))
+                * math.log(
+                    ((cnt[a][w] + 1.0) / (tot[a] + v))
+                    / ((cnt[b][w] + 1.0) / (tot[b] + v))
+                )
+                for w in vocab
+            )
+            assert got.loc[(a, b), "kl_nats"] == pytest.approx(
+                kl, abs=2e-6
+            )
+            checked += 1
+    assert checked == len(got)
+
+
+def _pair_counts(tab):
+    a = tab.to_numpy().astype(np.int64)
+    c2 = lambda x: x * (x - 1) // 2  # noqa: E731
+    sij = int(c2(a).sum())
+    sa = int(c2(a.sum(axis=1)).sum())
+    sb = int(c2(a.sum(axis=0)).sum())
+    n = int(a.sum())
+    return n, sij, sa, sb
+
+
+def test_intent_qs373_ari(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    x = np.minimum(3, np.floor(o["o_totalprice"] / 125000)).astype(int)
+    tab = pd.crosstab(x, o["o_orderpriority"])
+    n, sij, sa, sb = _pair_counts(tab)
+    e = sa * sb / (n * (n - 1) / 2)
+    ari = (sij - e) / ((sa + sb) / 2 - e)
+    got = _run(spark, sf_dir, "qs373_adjusted_rand").iloc[0]
+    assert got["n_rows"] == n
+    assert got["ari"] == pytest.approx(ari, abs=2e-6)
+
+
+def test_intent_qs374_fm(spark, sf_dir):
+    c = _pd(sf_dir, "customer")
+    tab = pd.crosstab(c["c_nationkey"], c["c_mktsegment"])
+    n, sij, sa, sb = _pair_counts(tab)
+    fm = sij / math.sqrt(sa * sb)
+    ri = 1.0 - (sa + sb - 2 * sij) / (n * (n - 1) / 2)
+    got = _run(spark, sf_dir, "qs374_fowlkes_mallows").iloc[0]
+    assert got["n_rows"] == n
+    assert got["fm"] == pytest.approx(fm, abs=2e-6)
+    assert got["rand_index"] == pytest.approx(ri, abs=2e-6)
+
+
+def test_intent_qs375_hosmer_lemeshow(spark, sf_dir):
+    ev = _pd(sf_dir, "events")
+    ev = ev[ev["value"] < 100]
+    p = 1.0 / (1.0 + np.exp(-(ev["value"] - 50.0) / 10.0))
+    df = pd.DataFrame(
+        {
+            "bin": np.floor(ev["value"] / 10).astype(int),
+            "p": p,
+            "o": (ev["event_type"] == "purchase").astype(int),
+        }
+    )
+    g = df.groupby("bin").agg(nb=("o", "size"), obs=("o", "sum"), e=("p", "sum"))
+    hl = float(
+        (((g["obs"] - g["e"]) ** 2) / (g["e"] * (1 - g["e"] / g["nb"]))).sum()
+    )
+    got = _run(spark, sf_dir, "qs375_hosmer_lemeshow").iloc[0]
+    assert got["n_bins"] == len(g) and got["n_events"] == len(df)
+    assert got["hl_chi2"] == pytest.approx(hl, abs=2e-4)
+
+
+def test_intent_qs376_youden(spark, sf_dir):
+    ev = _pd(sf_dir, "events")
+    ev = ev[ev["value"] < 100]
+    band = np.floor(ev["value"] / 5).astype(int)
+    pos = (ev["event_type"] == "purchase").astype(int)
+    g = pd.DataFrame({"band": band, "p": pos}).groupby("band")["p"].agg(
+        ["sum", "size"]
+    )
+    tp_tot = int(g["sum"].sum())
+    tq_tot = int((g["size"] - g["sum"]).sum())
+    best = None
+    for b in sorted(g.index):
+        cp = int(g.loc[g.index >= b, "sum"].sum())
+        cq = int((g.loc[g.index >= b, "size"] - g.loc[g.index >= b, "sum"]).sum())
+        row = (
+            round(cp / tp_tot - cq / tq_tot, 6),
+            -(b * 5),
+            b * 5,
+            round(cp / tp_tot, 6),
+            round(cq / tq_tot, 6),
+        )
+        if best is None or row[:2] > best[:2]:
+            best = row
+    got = _run(spark, sf_dir, "qs376_youden_threshold").iloc[0]
+    assert got["threshold"] == best[2]
+    assert got["tpr"] == pytest.approx(best[3], abs=2e-6)
+    assert got["fpr"] == pytest.approx(best[4], abs=2e-6)
+    assert got["j"] == pytest.approx(best[0], abs=2e-6)
+
+
+def test_intent_qs377_cvm(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    c = _pd(sf_dir, "customer")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j = j[j["c_mktsegment"].isin(["BUILDING", "MACHINERY"])]
+    daily = (
+        pd.DataFrame(
+            {
+                "seg": j["c_mktsegment"],
+                "d": j["o_orderdate"].dt.date,
+                "y": _cents(j["o_totalprice"]),
+            }
+        )
+        .groupby(["seg", "d"])["y"]
+        .sum()
+        .reset_index()
+        .sort_values(["y", "seg", "d"])
+        .reset_index(drop=True)
+    )
+    daily["r"] = np.arange(1, len(daily) + 1)
+    daily["i"] = daily.groupby("seg").cumcount() + 1
+    x = daily[daily["seg"] == "BUILDING"]
+    y = daily[daily["seg"] == "MACHINERY"]
+    n, m = len(x), len(y)
+    ux = int(((x["r"] - x["i"]) ** 2).sum())
+    uy = int(((y["r"] - y["i"]) ** 2).sum())
+    t = (n * ux + m * uy) / (n * m * (n + m)) - (4.0 * n * m - 1) / (
+        6.0 * (n + m)
+    )
+    got = _run(spark, sf_dir, "qs377_cramer_von_mises").iloc[0]
+    assert (got["n_x"], got["n_y"]) == (n, m)
+    assert got["cvm_t"] == pytest.approx(t, abs=2e-6)
+
+
+def test_intent_qs378_theil_decomposition(spark, sf_dir):
+    c = _group_cents(sf_dir)
+    g = np.arange(len(c))
+    tc, ng = c.sum(), len(c)
+    t_total = float(((c / tc) * np.log(c * ng / tc)).sum())
+    t_within = t_between = 0.0
+    for r in range(5):
+        cr = c[g % 5 == r]
+        sr = cr.sum() / tc
+        tr = float(((cr / cr.sum()) * np.log(cr * len(cr) / cr.sum())).sum())
+        t_within += sr * tr
+        t_between += sr * math.log(sr * 5.0)
+    got = _run(spark, sf_dir, "qs378_theil_decomposition").iloc[0]
+    assert got["n_groups"] == ng
+    assert got["t_total"] == pytest.approx(t_total, abs=2e-6)
+    assert got["t_within"] == pytest.approx(t_within, abs=2e-6)
+    assert got["t_between"] == pytest.approx(t_between, abs=2e-6)
+    # the decomposition identity is exact by construction
+    assert t_total == pytest.approx(t_within + t_between, abs=1e-9)
