@@ -99,6 +99,15 @@ SNAPSHOT_QUERIES = [
     # BroadcastNestedLoop/cartesian shape fails loudly.
     "qs334_adamic_adar",
     "qs341_shingle_containment",
+    # r11 structural plans: the row-local bigram transform feeding a
+    # gram-keyed count + per-source epilogue (boilerplate), the
+    # vocab-grid dense-model self-join (source KL matrix), and the
+    # one-aggregate four-conditional-distinct Heaps fit — freeze the
+    # shapes so a corpus-shuffle regression (e.g. a per-doc window
+    # sneaking into the bigram path) fails loudly.
+    "qs360_boilerplate_ngrams",
+    "qs372_source_kl_matrix",
+    "qs366_heaps_law",
 ]
 
 
