@@ -88,10 +88,14 @@ _GRADE_FIRST = [
     "qs376_youden_threshold",
     "qs377_cramer_von_mises",
     "qs378_theil_decomposition",
+    "qs379_quintile_shares",
+    "qs380_gwet_ac1",
+    "qs381_seasonal_mann_kendall",
+    "qs382_wilcoxon_signed_rank",
     # -- backfill: the r07 window (stalest green rows, last graded in
     #    CORRECTNESS_r07) rotated forward to refresh its evidence; with
-    #    the 28 r11 additions ahead, the first 20 of these fill the
-    #    window (qs177+ keep their green r07 rows and rotate next). --
+    #    the 32 r11 additions ahead, the first 16 of these fill the
+    #    window (qs173+ keep their green r07 rows and rotate next). --
     "qs157_perplexity_buckets",
     "qs158_epoch_shard_plan",
     "qs160_token_entropy",

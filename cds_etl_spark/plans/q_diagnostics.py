@@ -2606,3 +2606,380 @@ def qs378(spark: SparkSession, sf: str) -> DataFrame:
         F.round("t_within", 6).alias("t_within"),
         F.round("t_between", 6).alias("t_between"),
     )
+
+
+# --------------------------------------------------------------------------
+# qs379 Quintile share ratio + Palma ratio
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs379_quintile_shares",
+    oracle="""
+    WITH g AS (
+      SELECT l_partkey % 200 AS grp,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS c
+      FROM lineitem GROUP BY 1),
+    d AS (
+      SELECT c, NTILE(10) OVER (ORDER BY c, grp) AS dec
+      FROM g),
+    sh AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS DOUBLE) AS tc,
+             CAST(SUM(CASE WHEN dec >= 9 THEN c ELSE 0 END) AS DOUBLE)
+               AS top20,
+             CAST(SUM(CASE WHEN dec <= 2 THEN c ELSE 0 END) AS DOUBLE)
+               AS bot20,
+             CAST(SUM(CASE WHEN dec = 10 THEN c ELSE 0 END) AS DOUBLE)
+               AS top10,
+             CAST(SUM(CASE WHEN dec <= 4 THEN c ELSE 0 END) AS DOUBLE)
+               AS bot40
+      FROM d)
+    SELECT n AS n_groups,
+           ROUND(top20 / bot20, 6) AS s80_s20,
+           ROUND(top10 / bot40, 6) AS palma
+    FROM sh
+    """,
+)
+def qs379(spark: SparkSession, sf: str) -> DataFrame:
+    """Quintile share ratio (S80/S20, the Eurostat headline
+    inequality indicator) and Palma ratio (top-10% share over
+    bottom-40% share) of the 200-part-group revenue distribution —
+    the RATIO members of the inequality family (qs307 Gini, qs350
+    Theil, qs370 Hoover, qs371 Atkinson), the two that track the
+    tails specifically where Gini is famously middle-sensitive.
+
+    Determinism: the decile assignment is NTILE(10) over (c, grp) —
+    200 groups split 20/20 exactly (no ntile remainder ambiguity at
+    any SF since the group count is the fixed 200 grid), a unique
+    total order; the four conditional sums are exact integers and
+    each ratio is ONE division, ROUND 6.  S80/S20 >= 1 by the sort.
+    Plan: one grouped scan -> 200-row grid, GRID ntile window,
+    one-row epilogue."""
+    li = load_table(spark, sf, "lineitem")
+    g = li.groupBy((F.col("l_partkey") % 200).alias("grp")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("c")
+    )
+    d = g.select(
+        "c", F.ntile(10).over(Window.orderBy("c", "grp")).alias("dec")
+    )
+    sh = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("dec") >= 9, F.col("c")).otherwise(0))
+        .cast("double")
+        .alias("top20"),
+        F.sum(F.when(F.col("dec") <= 2, F.col("c")).otherwise(0))
+        .cast("double")
+        .alias("bot20"),
+        F.sum(F.when(F.col("dec") == 10, F.col("c")).otherwise(0))
+        .cast("double")
+        .alias("top10"),
+        F.sum(F.when(F.col("dec") <= 4, F.col("c")).otherwise(0))
+        .cast("double")
+        .alias("bot40"),
+    )
+    return sh.select(
+        F.col("n").alias("n_groups"),
+        F.round(F.col("top20") / F.col("bot20"), 6).alias("s80_s20"),
+        F.round(F.col("top10") / F.col("bot40"), 6).alias("palma"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs380 Gwet's AC1 agreement (kappa-paradox-robust)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs380_gwet_ac1",
+    oracle="""
+    WITH subj AS (
+      SELECT l_orderkey,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nr,
+             CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nn,
+             CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS na
+      FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) = 4),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(nr * nr + nn * nn + na * na - 4) AS BIGINT) AS sp,
+             CAST(SUM(nr) AS BIGINT) AS tr,
+             CAST(SUM(nn) AS BIGINT) AS tn,
+             CAST(SUM(na) AS BIGINT) AS ta
+      FROM subj),
+    p AS (
+      SELECT n,
+             CAST(sp AS DOUBLE) / (n * 12) AS pa,
+             (CAST(tr AS DOUBLE) / (4 * n) * (1 - CAST(tr AS DOUBLE) / (4 * n))
+              + CAST(tn AS DOUBLE) / (4 * n) * (1 - CAST(tn AS DOUBLE) / (4 * n))
+              + CAST(ta AS DOUBLE) / (4 * n) * (1 - CAST(ta AS DOUBLE) / (4 * n)))
+             / 2.0 AS pe
+      FROM m)
+    SELECT n AS n_subjects, ROUND(pa, 6) AS pa,
+           ROUND((pa - pe) / (1.0 - pe), 6) AS gwet_ac1
+    FROM p
+    """,
+)
+def qs380(spark: SparkSession, sf: str) -> DataFrame:
+    """Gwet's AC1 chance-corrected agreement on the same 4-rater
+    return-flag construction as qs352 — the estimator built to
+    escape the kappa paradox (Fleiss' kappa collapses toward 0 when
+    one category dominates even at near-perfect raw agreement):
+    AC1 = (Pa - Pe)/(1 - Pe) with Pe = (1/(K-1)) SUM pi_k(1 - pi_k).
+    Reporting both (qs352 + this) is the standard practice the
+    agreement literature recommends.
+
+    Determinism: identical exact-integer moments as qs352 (shared
+    n(n-1) = 12 denominator for Pa); Pe is a fixed 3-term double
+    tree, ROUND 6.  Plan: one grouped scan, one-row epilogue."""
+    li = load_table(spark, sf, "lineitem")
+    flag_n = {
+        f: F.sum(
+            F.when(F.col("l_returnflag") == f, 1).otherwise(0)
+        ).cast("long")
+        for f in ("R", "N", "A")
+    }
+    subj = (
+        li.groupBy("l_orderkey")
+        .agg(
+            flag_n["R"].alias("nr"),
+            flag_n["N"].alias("nn"),
+            flag_n["A"].alias("na"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .filter(F.col("cnt") == 4)
+    )
+    m = subj.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.col("nr") * F.col("nr")
+            + F.col("nn") * F.col("nn")
+            + F.col("na") * F.col("na")
+            - 4
+        )
+        .cast("long")
+        .alias("sp"),
+        F.sum("nr").cast("long").alias("tr"),
+        F.sum("nn").cast("long").alias("tn"),
+        F.sum("na").cast("long").alias("ta"),
+    )
+    pa = F.col("sp").cast("double") / (F.col("n") * 12)
+    pis = [
+        F.col(c).cast("double") / (4 * F.col("n"))
+        for c in ("tr", "tn", "ta")
+    ]
+    pe = sum((p * (1 - p) for p in pis[1:]), pis[0] * (1 - pis[0])) / 2.0
+    return m.select(
+        F.col("n").alias("n_subjects"),
+        F.round(pa, 6).alias("pa"),
+        F.round((pa - pe) / (1.0 - pe), 6).alias("gwet_ac1"),
+    )
+
+
+# --------------------------------------------------------------------------
+# qs381 Seasonal Mann–Kendall trend test
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs381_seasonal_mann_kendall",
+    oracle="""
+    WITH m AS (
+      SELECT YEAR(o_orderdate) AS yr, MONTH(o_orderdate) AS season,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1, 2),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s
+      FROM m a JOIN m b ON a.season = b.season AND a.yr < b.yr),
+    v AS (
+      SELECT CAST(SUM(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5))
+                  AS DOUBLE) / 18.0 AS var
+      FROM (SELECT season, COUNT(*) AS n FROM m GROUP BY season)),
+    cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells FROM m)
+    SELECT cnt.n_cells, s.s AS s_stat,
+           ROUND(CASE WHEN s.s > 0 THEN (s.s - 1)
+                      WHEN s.s < 0 THEN (s.s + 1) ELSE 0 END
+                 / sqrt(v.var), 4) AS z
+    FROM cnt CROSS JOIN s CROSS JOIN v
+    """,
+)
+def qs381(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal Mann–Kendall trend test on monthly revenue: qs305's
+    S statistic computed WITHIN each calendar month across years
+    (Jan-vs-Jan, Feb-vs-Feb, ...) and summed — the Hirsch–Slack
+    variant that detects a multi-year trend qs305's all-pairs S
+    dilutes when the series has strong seasonality.  S = SUM_s S_s,
+    Var = SUM_s n_s(n_s-1)(2n_s+5)/18 (no tie term — monthly cents
+    sums are effectively tie-free and the convention is documented;
+    qs305 carries the tie correction for the pooled variant),
+    z continuity-corrected exactly as qs305 (zero at S = 0).
+
+    Determinism: per-season pair signs are integer compares on exact
+    cents; S and the per-season counts are exact; one fixed z tree,
+    ROUND 4.  Plan: one grouped scan -> (year, month) grid (~84
+    rows), grid self-join per season, one-row epilogue."""
+    o = load_table(spark, sf, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("season"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    a = m.select(
+        F.col("season").alias("s1"),
+        F.col("yr").alias("yr1"),
+        F.col("y").alias("ya"),
+    )
+    b = m.select(
+        F.col("season").alias("s1"),
+        F.col("yr").alias("yr2"),
+        F.col("y").alias("yb"),
+    )
+    s = (
+        a.join(b, "s1")
+        .filter(F.col("yr1") < F.col("yr2"))
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    v = (
+        m.groupBy("season")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            (
+                F.sum(
+                    F.col("n").cast("double")
+                    * (F.col("n") - 1)
+                    * (2 * F.col("n") + 5)
+                )
+                / 18.0
+            ).alias("var")
+        )
+    )
+    cnt = m.agg(F.count(F.lit(1)).cast("long").alias("n_cells"))
+    zc = (
+        F.when(F.col("s") > 0, F.col("s") - 1)
+        .when(F.col("s") < 0, F.col("s") + 1)
+        .otherwise(0)
+    )
+    return (
+        cnt.crossJoin(s)
+        .crossJoin(v)
+        .select(
+            "n_cells",
+            F.col("s").alias("s_stat"),
+            F.round(zc / F.sqrt(F.col("var")), 4).alias("z"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# qs382 Wilcoxon signed-rank test on paired yearly revenue
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qs382_wilcoxon_signed_rank",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey % 100 AS grp,
+             CAST(SUM(CASE WHEN YEAR(o_orderdate) = 1995
+                      THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS y95,
+             CAST(SUM(CASE WHEN YEAR(o_orderdate) = 1996
+                      THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS y96
+      FROM orders WHERE YEAR(o_orderdate) IN (1995, 1996)
+      GROUP BY 1),
+    d AS (
+      SELECT grp, y96 - y95 AS d FROM g WHERE y96 <> y95),
+    rk AS (
+      SELECT d, CAST(ROW_NUMBER() OVER (ORDER BY ABS(d), grp)
+                     AS BIGINT) AS r
+      FROM d),
+    w AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN d > 0 THEN r ELSE 0 END) AS BIGINT)
+               AS w_plus
+      FROM rk)
+    SELECT n AS n_pairs, w_plus,
+           ROUND((w_plus - CAST(n AS DOUBLE) * (n + 1) / 4)
+                 / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24),
+                 4) AS z
+    FROM w
+    """,
+)
+def qs382(spark: SparkSession, sf: str) -> DataFrame:
+    """Wilcoxon signed-rank test — the PAIRED rank test missing
+    between qs181's unpaired Mann–Whitney and qs254's paired-binary
+    McNemar: pair each customer group's 1995 revenue with its 1996
+    revenue, rank the absolute differences, and test whether the
+    positive-difference ranks dominate.
+    z = (W+ - n(n+1)/4) / sqrt(n(n+1)(2n+1)/24), zero-differences
+    dropped.  Rank convention: permutation ranks via the (|d|, grp)
+    tiebreak (documented — exact-cents |d| ties are measure-zero and
+    the tiebreak keeps both engines identical; equal to midranks
+    when no ties).
+
+    Determinism: yearly cents, differences, ranks, and W+ are exact
+    integers on the 100-group grid; one fixed z tree, ROUND 4.
+    Plan: one grouped scan -> 100-row grid, GRID rank window,
+    one-row epilogue."""
+    o = load_table(spark, sf, "orders").filter(
+        F.year("o_orderdate").isin(1995, 1996)
+    )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    g = o.groupBy((F.col("o_custkey") % 100).alias("grp")).agg(
+        F.sum(
+            F.when(F.year("o_orderdate") == 1995, cents).otherwise(0)
+        )
+        .cast("long")
+        .alias("y95"),
+        F.sum(
+            F.when(F.year("o_orderdate") == 1996, cents).otherwise(0)
+        )
+        .cast("long")
+        .alias("y96"),
+    )
+    d = g.filter(F.col("y96") != F.col("y95")).select(
+        "grp", (F.col("y96") - F.col("y95")).alias("d")
+    )
+    rk = d.select(
+        "d",
+        F.row_number()
+        .over(Window.orderBy(F.abs(F.col("d")), F.col("grp")))
+        .cast("long")
+        .alias("r"),
+    )
+    w = rk.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("d") > 0, F.col("r")).otherwise(0))
+        .cast("long")
+        .alias("w_plus"),
+    )
+    nd = F.col("n").cast("double")
+    return w.select(
+        F.col("n").alias("n_pairs"),
+        "w_plus",
+        F.round(
+            (F.col("w_plus") - nd * (F.col("n") + 1) / 4)
+            / F.sqrt(nd * (F.col("n") + 1) * (2 * F.col("n") + 1) / 24),
+            4,
+        ).alias("z"),
+    )

@@ -108,6 +108,11 @@ BOUNDS = [
     ("qs378_theil_decomposition", "t_total", 0.0, None),
     ("qs378_theil_decomposition", "t_within", 0.0, None),
     ("qs378_theil_decomposition", "t_between", 0.0, None),
+    # top quintile of the sorted deciles >= bottom quintile
+    ("qs379_quintile_shares", "s80_s20", 1.0, None),
+    ("qs379_quintile_shares", "palma", 0.0, None),
+    ("qs380_gwet_ac1", "pa", 0.0, 1.0),
+    ("qs380_gwet_ac1", "gwet_ac1", None, 1.0),
 ]
 
 

@@ -4005,3 +4005,97 @@ def test_intent_qs378_theil_decomposition(spark, sf_dir):
     assert got["t_between"] == pytest.approx(t_between, abs=2e-6)
     # the decomposition identity is exact by construction
     assert t_total == pytest.approx(t_within + t_between, abs=1e-9)
+
+
+# -- wave 12: the round-11 mini-batch (qs379+) -------------------------------
+
+
+def test_intent_qs379_quintile_shares(spark, sf_dir):
+    c = np.sort(_group_cents(sf_dir))
+    n = len(c)
+    assert n == 200  # decile split is exact 20/20
+    dec = np.repeat(np.arange(1, 11), n // 10)
+    tot = c.sum()
+    s80s20 = c[dec >= 9].sum() / c[dec <= 2].sum()
+    palma = c[dec == 10].sum() / c[dec <= 4].sum()
+    assert c[dec >= 9].sum() / tot <= 1.0
+    got = _run(spark, sf_dir, "qs379_quintile_shares").iloc[0]
+    assert got["n_groups"] == n
+    assert got["s80_s20"] == pytest.approx(s80s20, abs=2e-6)
+    assert got["palma"] == pytest.approx(palma, abs=2e-6)
+
+
+def test_intent_qs380_gwet_ac1(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    tab = (
+        li.groupby("l_orderkey")["l_returnflag"]
+        .value_counts()
+        .unstack(fill_value=0)
+        .reindex(columns=["R", "N", "A"], fill_value=0)
+    )
+    tab = tab[tab.sum(axis=1) == 4].to_numpy()
+    n = len(tab)
+    pa = float(((np.square(tab).sum(axis=1) - 4) / 12.0).mean())
+    pi = tab.sum(axis=0) / (4.0 * n)
+    pe = float((pi * (1 - pi)).sum()) / 2.0
+    ac1 = (pa - pe) / (1.0 - pe)
+    got = _run(spark, sf_dir, "qs380_gwet_ac1").iloc[0]
+    assert got["n_subjects"] == n
+    assert got["pa"] == pytest.approx(pa, abs=2e-6)
+    assert got["gwet_ac1"] == pytest.approx(ac1, abs=2e-6)
+
+
+def test_intent_qs381_seasonal_mk(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    m = (
+        pd.DataFrame(
+            {
+                "yr": o["o_orderdate"].dt.year,
+                "season": o["o_orderdate"].dt.month,
+                "y": _cents(o["o_totalprice"]),
+            }
+        )
+        .groupby(["yr", "season"])["y"]
+        .sum()
+        .reset_index()
+    )
+    s_stat, var = 0, 0.0
+    for _, grp in m.groupby("season"):
+        y = grp.sort_values("yr")["y"].to_numpy()
+        ns = len(y)
+        for i in range(ns):
+            for jj in range(i + 1, ns):
+                s_stat += int(np.sign(y[jj] - y[i]))
+        var += ns * (ns - 1) * (2 * ns + 5) / 18.0
+    zc = s_stat - 1 if s_stat > 0 else (s_stat + 1 if s_stat < 0 else 0)
+    z = zc / math.sqrt(var)
+    got = _run(spark, sf_dir, "qs381_seasonal_mann_kendall").iloc[0]
+    assert got["n_cells"] == len(m)
+    assert got["s_stat"] == s_stat
+    assert got["z"] == pytest.approx(z, abs=2e-4)
+
+
+def test_intent_qs382_wilcoxon(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    o = o[o["o_orderdate"].dt.year.isin([1995, 1996])]
+    cents = _cents(o["o_totalprice"])
+    df = pd.DataFrame(
+        {
+            "grp": o["o_custkey"] % 100,
+            "y95": np.where(o["o_orderdate"].dt.year == 1995, cents, 0),
+            "y96": np.where(o["o_orderdate"].dt.year == 1996, cents, 0),
+        }
+    ).groupby("grp").sum()
+    d = (df["y96"] - df["y95"])
+    d = d[d != 0]
+    order = np.lexsort((d.index.to_numpy(), np.abs(d.to_numpy())))
+    r = np.empty(len(d), dtype=np.int64)
+    r[order] = np.arange(1, len(d) + 1)
+    w_plus = int(r[(d > 0).to_numpy()].sum())
+    n = len(d)
+    z = (w_plus - n * (n + 1) / 4.0) / math.sqrt(
+        n * (n + 1) * (2 * n + 1) / 24.0
+    )
+    got = _run(spark, sf_dir, "qs382_wilcoxon_signed_rank").iloc[0]
+    assert (got["n_pairs"], got["w_plus"]) == (n, w_plus)
+    assert got["z"] == pytest.approx(z, abs=2e-4)
