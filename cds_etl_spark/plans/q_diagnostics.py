@@ -127,6 +127,49 @@ def qs351(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _rater4_moments(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared subject/moment pipeline for the 4-rater agreement pair
+    (qs352 Fleiss' kappa, qs380 Gwet's AC1): orders with exactly 4
+    line items are the subjects, the 4 lines the raters, and the
+    return flag (R/N/A) the assigned category.  Returns the one-row
+    moment frame (n, sp, tr, tn, ta) where sp = SUM_i(SUM_j n_ij^2
+    - 4) shares the fixed n(n-1) = 12 denominator.  The matching
+    oracle CTEs (subj/m) are likewise shared text between the two
+    queries' SQL — keep all three in sync on any edit."""
+    li = load_table(spark, sf, "lineitem")
+    flag_n = {
+        f: F.sum(
+            F.when(F.col("l_returnflag") == f, 1).otherwise(0)
+        ).cast("long")
+        for f in ("R", "N", "A")
+    }
+    subj = (
+        li.groupBy("l_orderkey")
+        .agg(
+            flag_n["R"].alias("nr"),
+            flag_n["N"].alias("nn"),
+            flag_n["A"].alias("na"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .filter(F.col("cnt") == 4)
+    )
+    return subj.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.col("nr") * F.col("nr")
+            + F.col("nn") * F.col("nn")
+            + F.col("na") * F.col("na")
+            - 4
+        )
+        .cast("long")
+        .alias("sp"),
+        F.sum("nr").cast("long").alias("tr"),
+        F.sum("nn").cast("long").alias("tn"),
+        F.sum("na").cast("long").alias("ta"),
+    )
+
+
+
 # --------------------------------------------------------------------------
 # qs352 Fleiss' kappa over 4-rater return-flag "judgements" per order
 # --------------------------------------------------------------------------
@@ -177,47 +220,18 @@ def qs352(spark: SparkSession, sf: str) -> DataFrame:
     n(n-1) = 12, so SUM_i (SUM_j n_ij^2 - 4) is one exact integer and
     P_bar is a single division; the category totals are exact
     integers and P_e is a fixed 3-term double tree.  ROUND 6.
-    Plan: one grouped scan (conditional sums per flag), one-row
-    epilogue; no window, no join."""
-    li = load_table(spark, sf, "lineitem")
-    flag_n = {
-        f: F.sum(
-            F.when(F.col("l_returnflag") == f, 1).otherwise(0)
-        ).cast("long")
-        for f in ("R", "N", "A")
-    }
-    subj = (
-        li.groupBy("l_orderkey")
-        .agg(
-            flag_n["R"].alias("nr"),
-            flag_n["N"].alias("nn"),
-            flag_n["A"].alias("na"),
-            F.count(F.lit(1)).alias("cnt"),
-        )
-        .filter(F.col("cnt") == 4)
-    )
-    m = subj.agg(
-        F.count(F.lit(1)).cast("long").alias("n_subjects"),
-        F.sum(
-            F.col("nr") * F.col("nr")
-            + F.col("nn") * F.col("nn")
-            + F.col("na") * F.col("na")
-            - 4
-        )
-        .cast("long")
-        .alias("sp"),
-        F.sum("nr").cast("long").alias("tr"),
-        F.sum("nn").cast("long").alias("tn"),
-        F.sum("na").cast("long").alias("ta"),
-    )
-    p_bar = F.col("sp").cast("double") / (F.col("n_subjects") * 12)
+    Plan: one grouped scan (conditional sums per flag, shared with
+    qs380 via _rater4_moments), one-row epilogue; no window, no
+    join."""
+    m = _rater4_moments(spark, sf)
+    p_bar = F.col("sp").cast("double") / (F.col("n") * 12)
     p_e = (
         F.col("tr").cast("double") * F.col("tr")
         + F.col("tn").cast("double") * F.col("tn")
         + F.col("ta").cast("double") * F.col("ta")
-    ) / (16.0 * F.col("n_subjects") * F.col("n_subjects"))
+    ) / (16.0 * F.col("n").cast("double") * F.col("n"))
     return m.select(
-        "n_subjects",
+        F.col("n").alias("n_subjects"),
         F.round(p_bar, 6).alias("p_bar"),
         F.round((p_bar - p_e) / (1.0 - p_e), 6).alias("fleiss_kappa"),
     )
@@ -524,16 +538,17 @@ def qs356(spark: SparkSession, sf: str) -> DataFrame:
     l, how many classes reach l >= 3, and the smallest class.
 
     Determinism: pure exact counting (COUNT DISTINCT over a 5-value
-    attribute, integer mins/maxes).  Plan: one shuffle join
-    (orders x broadcast customer dim), one grouped distinct-count on
-    the <=125-class grid, one-row epilogue."""
+    attribute, integer mins/maxes).  Plan: one key-shuffle join
+    (orders x customer — BOTH corpus-proportional, so no broadcast
+    hint: AQE picks the join strategy and may still broadcast at
+    small SFs, but the plan is not pinned into a driver-OOM at
+    100x), one grouped distinct-count on the <=125-class grid,
+    one-row epilogue."""
     c = load_table(spark, sf, "customer")
     o = load_table(spark, sf, "orders")
     cls = (
         o.join(
-            F.broadcast(
-                c.select("c_custkey", "c_nationkey", "c_mktsegment")
-            ),
+            c.select("c_custkey", "c_nationkey", "c_mktsegment"),
             o["o_custkey"] == c["c_custkey"],
         )
         .groupBy(
@@ -607,13 +622,14 @@ def qs357(spark: SparkSession, sf: str) -> DataFrame:
     Determinism: all counts exact integers; each class's EMD is a
     fixed 4-term tree of exact-integer-derived doubles; MAX over
     classes is order-free and AVG runs over the <=125-row grid
-    (positive terms, ROUND 6 margin).  Plan: one shuffle join with
-    the broadcast customer dim, one grouped conditional-sum agg on
-    the class grid, broadcast one-row totals, one-row epilogue."""
+    (positive terms, ROUND 6 margin).  Plan: one key-shuffle join
+    (orders x customer — both corpus-proportional, no broadcast
+    hint; AQE chooses), one grouped conditional-sum agg on the
+    class grid, broadcast one-row totals, one-row epilogue."""
     c = load_table(spark, sf, "customer")
     o = load_table(spark, sf, "orders")
     f = o.join(
-        F.broadcast(c.select("c_custkey", "c_nationkey", "c_mktsegment")),
+        c.select("c_custkey", "c_nationkey", "c_mktsegment"),
         o["o_custkey"] == c["c_custkey"],
     ).select(
         F.col("c_nationkey").alias("nat"),
@@ -1211,7 +1227,8 @@ def qs362(spark: SparkSession, sf: str) -> DataFrame:
                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w
       FROM dense),
     det AS (
-      SELECT datediff('day', DATE '1995-01-01', d) % 7 AS dow,
+      SELECT ((datediff('day', DATE '1995-01-01', d) % 7) + 7) % 7
+               AS dow,
              y - trend AS dt
       FROM tr WHERE w = 7),
     sea AS (SELECT dow, AVG(dt) AS s FROM det GROUP BY dow),
@@ -1244,8 +1261,9 @@ def qs363(spark: SparkSession, sf: str) -> DataFrame:
 
     Determinism: daily cents exact, zero-filled on the generated
     spine; trend/seasonal/remainder are the same double trees on
-    both engines (7-term window means; day-of-week via datediff % 7
-    from a fixed anchor — no engine dow-convention dependence); the
+    both engines (7-term window means; day-of-week via a NON-NEGATIVE
+    modulus pmod(datediff, 7) from a fixed anchor — sign-safe for
+    pre-anchor dates, no engine dow-convention dependence); the
     variance epilogues are positive-term grid sums, ROUND 4.  Plan:
     dense grid via generated spine left-join, one GRID window pass,
     broadcast 7-row seasonal join, one-row epilogue."""
@@ -1273,8 +1291,8 @@ def qs363(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).over(w7).alias("w"),
     ).filter(F.col("w") == 7)
     det = tr.select(
-        (
-            F.datediff("d", F.lit("1995-01-01").cast("date")) % 7
+        F.pmod(
+            F.datediff("d", F.lit("1995-01-01").cast("date")), F.lit(7)
         ).alias("dow"),
         (F.col("y") - F.col("trend")).alias("dt"),
     )
@@ -1455,7 +1473,9 @@ def qs365(spark: SparkSession, sf: str) -> DataFrame:
     the ROUNDED pmi (6 dp) with a full (w1, w2) tiebreak, so a
     last-ulp ln wobble cannot reorder the kept 20.  Plan: row-local
     bigram transform, two grid-sized count aggs (vocab is corpus-
-    bounded), broadcast unigram joins onto the bigram grid, top-k
+    bounded), key-shuffle unigram joins onto the bigram grid (the
+    unigram table is vocab-sized, i.e. grows with the corpus — no
+    broadcast hint; AQE chooses), top-k
     sort on the <=|V|^2 grid."""
     d = load_table(spark, sf, "documents")
     toks = d.select(
@@ -1496,8 +1516,8 @@ def qs365(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         big.filter(F.col("c12") >= 5)
-        .join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        .join(u1, "w1")
+        .join(u2, "w2")
         .crossJoin(F.broadcast(tot))
         .select("w1", "w2", "c12", pmi.alias("pmi"))
         .orderBy(F.col("pmi").desc(), "w1", "w2")
@@ -2046,7 +2066,7 @@ def qs372(spark: SparkSession, sf: str) -> DataFrame:
         srcs.crossJoin(vocab)
         .crossJoin(F.broadcast(vn))
         .join(F.broadcast(totals), "source")
-        .join(F.broadcast(cnt), ["source", "w"], "left")
+        .join(cnt, ["source", "w"], "left")
         .select(
             "source",
             "w",
@@ -2443,16 +2463,16 @@ def qs377(spark: SparkSession, sf: str) -> DataFrame:
 
     Determinism: both rank sets and both U sums are exact integers
     on the ~4,800-row day grid; one fixed double tree, ROUND 6.
-    Plan: one broadcast-dim join + grouped scan -> (seg, day) grid,
+    Plan: one key-shuffle join (orders x 2-segment customer slice —
+    still corpus-proportional, no broadcast hint; AQE chooses) +
+    grouped scan -> (seg, day) grid,
     two GRID rank windows, one-row epilogue."""
     c = load_table(spark, sf, "customer")
     o = load_table(spark, sf, "orders")
     daily = (
         o.join(
-            F.broadcast(
-                c.select("c_custkey", "c_mktsegment").filter(
-                    F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
-                )
+            c.select("c_custkey", "c_mktsegment").filter(
+                F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
             ),
             o["o_custkey"] == c["c_custkey"],
         )
@@ -2736,38 +2756,10 @@ def qs380(spark: SparkSession, sf: str) -> DataFrame:
 
     Determinism: identical exact-integer moments as qs352 (shared
     n(n-1) = 12 denominator for Pa); Pe is a fixed 3-term double
-    tree, ROUND 6.  Plan: one grouped scan, one-row epilogue."""
-    li = load_table(spark, sf, "lineitem")
-    flag_n = {
-        f: F.sum(
-            F.when(F.col("l_returnflag") == f, 1).otherwise(0)
-        ).cast("long")
-        for f in ("R", "N", "A")
-    }
-    subj = (
-        li.groupBy("l_orderkey")
-        .agg(
-            flag_n["R"].alias("nr"),
-            flag_n["N"].alias("nn"),
-            flag_n["A"].alias("na"),
-            F.count(F.lit(1)).alias("cnt"),
-        )
-        .filter(F.col("cnt") == 4)
-    )
-    m = subj.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(
-            F.col("nr") * F.col("nr")
-            + F.col("nn") * F.col("nn")
-            + F.col("na") * F.col("na")
-            - 4
-        )
-        .cast("long")
-        .alias("sp"),
-        F.sum("nr").cast("long").alias("tr"),
-        F.sum("nn").cast("long").alias("tn"),
-        F.sum("na").cast("long").alias("ta"),
-    )
+    tree, ROUND 6.  Plan: one grouped scan (shared with qs352 via
+    _rater4_moments — the subj/m oracle CTEs are the same shared
+    text), one-row epilogue."""
+    m = _rater4_moments(spark, sf)
     pa = F.col("sp").cast("double") / (F.col("n") * 12)
     pis = [
         F.col(c).cast("double") / (4 * F.col("n"))

@@ -2328,9 +2328,10 @@ def qs231(spark: SparkSession, sf: str) -> DataFrame:
     SUM is HUGEINT so only the Spark side needed the lift), then one
     truncating div — identical semantics and values at every SF
     where the old LONG path worked. Plan: the edge list joins
-    node→community twice
-    (community map broadcasts), degrees re-aggregate per
-    community — three dimension-sized aggregates, no iteration."""
+    node→community twice via KEY-SHUFFLE joins — the community map
+    has one row per DOCUMENT, i.e. it is corpus-proportional, so no
+    broadcast hint (AQE may still broadcast at small SFs); degrees
+    re-aggregate per community, no iteration."""
     d = load_table(spark, sf, "documents").select(
         "doc_id", "lang", "n_chars"
     )
@@ -2356,18 +2357,14 @@ def qs231(spark: SparkSession, sf: str) -> DataFrame:
     mm = edges.agg(F.count(F.lit(1)).alias("mm"))
     within = (
         edges.join(
-            F.broadcast(
-                comm.select(
-                    F.col("node").alias("a"), F.col("c").alias("ca")
-                )
+            comm.select(
+                F.col("node").alias("a"), F.col("c").alias("ca")
             ),
             "a",
         )
         .join(
-            F.broadcast(
-                comm.select(
-                    F.col("node").alias("b"), F.col("c").alias("cb")
-                )
+            comm.select(
+                F.col("node").alias("b"), F.col("c").alias("cb")
             ),
             "b",
         )
@@ -2378,7 +2375,7 @@ def qs231(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     dsum = (
-        deg.join(F.broadcast(comm), "node")
+        deg.join(comm, "node")
         .groupBy("c")
         .agg(F.sum("deg").alias("dc"))
         .agg(F.sum(F.col("dc") * F.col("dc")).alias("sum_d2"))
