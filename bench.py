@@ -328,9 +328,40 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+# Self-settling launch guard (r11 verdict task 2): the official
+# BENCH_r10/r11 artifacts were captured at ambient-loaded moments and
+# landed outside the settled band (0.0578-0.0653 s) both rounds even
+# though the settled number was reproducible on demand. The fix lives
+# HERE because the artifact is driver-captured: wait (bounded) until
+# the 1-min loadavg drops below the threshold before starting the JVM,
+# and emit the launch loadavg into the JSON so any future inflated
+# point carries its own diagnosis.
+SETTLE_LOADAVG = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE_LOADAVG", "1.5"))
+SETTLE_MAX_WAIT = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE_MAX", "420"))
+SETTLE_POLL = 5.0
+
+
+def settle(
+    threshold: float = SETTLE_LOADAVG,
+    max_wait: float = SETTLE_MAX_WAIT,
+    poll: float = SETTLE_POLL,
+) -> tuple[float, float]:
+    """Block until the 1-min loadavg is <= ``threshold`` or ``max_wait``
+    seconds elapse (whichever first); returns (final loadavg, waited
+    seconds). Never raises — an unsettled box proceeds and the emitted
+    ``loadavg_launch`` self-diagnoses the point."""
+    t0 = time.monotonic()
+    la = os.getloadavg()[0]
+    while la > threshold and time.monotonic() - t0 < max_wait:
+        time.sleep(poll)
+        la = os.getloadavg()[0]
+    return la, round(time.monotonic() - t0, 1)
+
+
 def main() -> None:
     from cds_etl_spark.session import get_spark
 
+    loadavg_launch, settle_wait = settle()
     data_bytes = _dir_bytes(SF_DIR)
     large = data_bytes >= LOCAL_LATENCY_LARGE_DATA_BYTES
     spark = get_spark(
@@ -429,6 +460,8 @@ def main() -> None:
         "cached": cached,
         "mode": f"concurrent{BATCH_THREADS}_fair_bestof{BATCH_RUNS}",
         "profile": "local_scale" if large else "local_latency",
+        "loadavg_launch": round(loadavg_launch, 2),
+        "settle_wait_sec": settle_wait,
         "sf": sf,
     }
     print(json.dumps(out))
