@@ -27,75 +27,112 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["qs10_groupby_agg_tpch_q1"](spark, "/root/testdata/sf0.001")
 
 
-# The round driver grades the FIRST 50 registry entries (CORRECTNESS_r01
-# contained exactly the first 50 registered queries). Rounds rotate which
-# queries occupy that window so every query accumulates a green driver row.
-# History: r01 graded the first 50 registered; r02 the repaired rows plus
-# the 47 the r01 window missed; r03 the round-3 additions qs103..qs116 and
-# r02's repaired rows backfilled by registration order; r04 the round-4
-# additions qs117..qs124, qs94, and 41 of the 64 queries r03 skipped.
-# r05 graded the round-5 additions + the r02-stale queue + 8 stale-r03
-# backfills; r06 graded 34 r03-green backfills + the 16 new/newly
-# hash-checkable entries (qs90 portable-HLL + qs142-qs156) — 50/50 green.
-# r07 graded qs157-qs206 (50/50 green). r08 graded qs207-qs251 + the five
-# deferred r03-green entries — 48/50, the 2 reds (qs210/qs248) being
-# oracle-canonicalization bugs (DuckDB HUGEINT→float64 rendering and IEEE
-# -0.0), both repaired this round along with the queued-to-fail qs308;
-# tools/driver_diff.py is now kind-strict + sign-of-zero-strict so the
-# class cannot ship silently again. r09 graded the next 50 of the staged
-# queue, qs252-qs301 — 50/50 green (CORRECTNESS_r09). r10 (this list):
-# the round-8 tail qs302-qs321 (20), the two repaired r08 reds
-# qs210/qs248 for their official re-grade, the 27 round-9 additions, and
-# the qs230 re-grade (its r9 MIN→MAX semantic repair) — exactly 50, so
-# the registry ends r10 with zero never-graded entries.
-# Every name below MUST exist in the registry — tests/test_sql_surface.py
-# asserts set(_GRADE_FIRST) <= set(QUERIES) so a typo fails loudly instead
-# of silently falling back to registration order (the r03 defect).
+# The round driver grades the FIRST 50 registry entries. Rounds rotate
+# which queries occupy that window so every query accumulates a recent
+# green driver row (full history of r01-r11 windows: git log on this
+# file). Every name below MUST exist in the registry —
+# tests/test_sql_surface.py asserts set(_GRADE_FIRST) <= set(QUERIES)
+# so a typo fails loudly instead of silently falling back to
+# registration order (the r03 defect).
 _GRADE_FIRST = [
-    # -- r11 window (first 50 graded): the two r10 intent-audit repairs
-    #    whose official values changed vs their graded rows (qs241 chi2/V
-    #    de-inflated xN; qs159 PSI now sums the full smoothed 16-bin grid)
-    #    lead the window, per the r10 verdict task 1 / the qs230 pattern. --
+    # -- r12 window (first 50 graded): the 9 official re-grades whose
+    #    plans changed this round (the six corpus-proportional
+    #    F.broadcast hint removals qs231/qs356/qs357/qs365/qs372/qs377,
+    #    the qs363 sign-safe weekday modulus, and the qs352/qs380
+    #    shared-pipeline refactor — all values verified unchanged vs
+    #    DuckDB at both SFs before staging), then 41 of the 49 rows
+    #    whose most recent official grade is CORRECTNESS_r04 — the
+    #    stalest cohort in the cumulative record (no r01-r03-era rows
+    #    remain; everything older was already re-graded r04+). All 49
+    #    r04 rows re-proved EQUAL at sf0.01 on this tree before
+    #    staging; the remaining 8 lead the next rotation. --
+    "qs231_modularity",
+    "qs352_fleiss_kappa",
+    "qs356_l_diversity",
+    "qs357_t_closeness",
+    "qs363_seasonal_strength",
+    "qs365_pmi_collocations",
+    "qs372_source_kl_matrix",
+    "qs377_cramer_von_mises",
+    "qs380_gwet_ac1",
+    "qs09_asof_join",
+    "qs117_tpch_q7",
+    "qs118_tpch_q10",
+    "qs119_bigram_lm",
+    "qs120_graph_bfs",
+    "qs121_pareto_frontier",
+    "qs122_minhash_signatures",
+    "qs123_event_transitions",
+    "qs124_quality_filter",
+    "qs16_pivot",
+    "qs17_grouping_sets",
+    "qs24_window_navigation",
+    "qs25_global_topk",
+    "qs26_intersect",
+    "qs27_except",
+    "qs28_union_all",
+    "qs29_setops_all",
+    "qs30_string_functions",
+    "qs32_datetime_functions",
+    "qs33_math_functions",
+    "qs34_json_extraction",
+    "qs35_array_functions",
+    "qs37_levenshtein",
+    "qs38_date_arithmetic",
+    "qs39_conditional_agg",
+    "qs40_case_coalesce",
+    "qs41_distinct",
+    "qs42_having",
+    "qs47_map_aggregation",
+    "qs49_in_subquery",
+    "qs50_word_count",
+    "qs51_dedup_blocking",
+    "qs52_cosine_topk",
+    "qs53_vector_group_agg",
+    "qs55_minhash_lsh_pairs",
+    "qs57_ngram_jaccard_pairs",
+    "qs58_embedding_neardup",
+    "qs59_ivf_topk",
+    "qs60_document_profile",
+    "qs61_cosine_topk_pandas",
+    "qs62_approx_count_distinct",
+    # -- next rotation: the 8 r04-era rows the 50-slot window missed --
+    "qs63_approx_quantiles",
+    "qs65_hash_sample",
+    "qs67_stratified_sample",
+    "qs68_interleave_sources",
+    "qs69_unpivot",
+    "qs70_grouping_id",
+    "qs71_rank_pct",
+    "qs94_pagerank",
+    # -- already officially graded r05+ (rotated to the back; order --
+    # -- preserves the r11 staging history for reference) --
     "qs241_chi_square_independence",
     "qs159_psi_drift",
-    # -- r11 additions (qs351-qs366, the round-11 diagnostics family):
-    #    each passed both-SF driver_diff before registration here. --
     "qs351_levene_test",
-    "qs352_fleiss_kappa",
     "qs353_turning_points",
     "qs354_periodogram",
     "qs355_variance_ratio",
-    "qs356_l_diversity",
-    "qs357_t_closeness",
     "qs358_breusch_pagan",
     "qs359_overdispersion",
     "qs360_boilerplate_ngrams",
     "qs361_gk_lambda",
     "qs362_dagostino_skew",
-    "qs363_seasonal_strength",
     "qs364_sprt_ab",
-    "qs365_pmi_collocations",
     "qs366_heaps_law",
     "qs367_cox_stuart",
     "qs368_bartels_rank",
     "qs369_hartley_fmax",
     "qs370_hoover_index",
     "qs371_atkinson_index",
-    "qs372_source_kl_matrix",
     "qs373_adjusted_rand",
     "qs374_fowlkes_mallows",
     "qs375_hosmer_lemeshow",
     "qs376_youden_threshold",
-    "qs377_cramer_von_mises",
     "qs378_theil_decomposition",
     "qs379_quintile_shares",
-    "qs380_gwet_ac1",
     "qs381_seasonal_mann_kendall",
     "qs382_wilcoxon_signed_rank",
-    # -- backfill: the r07 window (stalest green rows, last graded in
-    #    CORRECTNESS_r07) rotated forward to refresh its evidence; with
-    #    the 32 r11 additions ahead, the first 16 of these fill the
-    #    window (qs173+ keep their green r07 rows and rotate next). --
     "qs157_perplexity_buckets",
     "qs158_epoch_shard_plan",
     "qs160_token_entropy",
@@ -145,8 +182,6 @@ _GRADE_FIRST = [
     "qs204_autocorrelation",
     "qs205_theilsen_slope",
     "qs206_grid_spatial_pairs",
-    # -- already officially graded: the r10 window (CORRECTNESS_r10, 50/50
-    #    green), then the r09/r08 windows, rotated to the back. --
     "qs302_runs_test",
     "qs303_durbin_watson",
     "qs304_moods_median",
@@ -269,7 +304,6 @@ _GRADE_FIRST = [
     "qs227_ks_two_sample",
     "qs228_simpson_detector",
     "qs229_eb_shrinkage",
-    "qs231_modularity",
     "qs232_xmr_control_chart",
     "qs233_blocking_recall_eval",
     "qs234_wilson_interval",
