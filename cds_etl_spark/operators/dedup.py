@@ -334,7 +334,8 @@ def segment_dedup(
     * ``max_doc_frequency=k`` — drop segments occurring in ≥ k distinct
       documents (boilerplate removal). The blocklist is the HEAD of the
       document-frequency distribution — by Zipf a tiny set — so it is
-      broadcast and the corpus-side filter is a broadcast LEFT ANTI
+      corpus-bounded (<= rows/threshold by pigeonhole, so the hint is
+      omitted and AQE sizes the join) and the corpus-side filter is a LEFT ANTI
       join on the segment hash: the exploded corpus never shuffles.
     * ``first_wins=True`` — keep only the globally-first occurrence
       (min (doc, pos)) of every duplicated segment: one shuffle of the
@@ -365,7 +366,7 @@ def segment_dedup(
             .filter(F.col("ndocs") >= max_doc_frequency)
             .select("h")
         )
-        kept = kept.join(F.broadcast(blocklist), "h", "left_anti")
+        kept = kept.join(blocklist, "h", "left_anti")
     if first_wins:
         winners = kept.groupBy("h").agg(
             F.min(F.struct(id_col, "pos")).alias("w")
@@ -904,7 +905,7 @@ def winnow_match(
             .filter(F.col("_n") > max_fp_docs)
             .select("fp")
         )
-        base = base.join(F.broadcast(hot), "fp", "left_anti")
+        base = base.join(hot, "fp", "left_anti")
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(

@@ -1319,7 +1319,7 @@ def match_audio_fingerprints(
             .filter(F.col("nc") > max_hash_clips)
             .select("fp_hash")
         )
-        fps = fps.join(F.broadcast(hot), "fp_hash", "left_anti")
+        fps = fps.join(hot, "fp_hash", "left_anti")
     a = fps.alias("a")
     b = fps.alias("b")
     votes = (

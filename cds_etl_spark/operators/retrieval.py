@@ -91,7 +91,9 @@ def bm25_scores(
     containing at least one query term. Corpus statistics (N, avgdl,
     per-term df) are computed from the corpus itself; N and avgdl are
     a single-row aggregate attached by broadcast cross join, df a
-    broadcast |terms|-row join — the corpus is shuffled once, on the
+    |terms|-row join left UNHINTED (the document-frequency table is
+    vocab-sized, i.e. grows with the corpus — AQE broadcasts it only
+    while genuinely small) — the corpus is shuffled once, on the
     (id, term) regroup.
     """
     tokens = corpus.select(
@@ -112,7 +114,7 @@ def bm25_scores(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
     )
     per_term = (
-        tf.join(F.broadcast(df_t), "tok")
+        tf.join(df_t, "tok")
         .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .withColumn(

@@ -1530,8 +1530,8 @@ def qs337(spark: SparkSession, sf: str) -> DataFrame:
         F.col("item").alias("item_b"), F.col("s").alias("sb")
     )
     mx = (
-        pairs.join(F.broadcast(sa), "item_a")
-        .join(F.broadcast(sb), "item_b")
+        pairs.join(sa, "item_a")
+        .join(sb, "item_b")
         .crossJoin(F.broadcast(n))
     )
     dab = F.col("s_ab").cast("double")

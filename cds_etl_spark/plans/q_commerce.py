@@ -556,8 +556,8 @@ def qs187(spark: SparkSession, sf: str) -> DataFrame:
     sa = sup.select(F.col("item").alias("item_a"), F.col("s").alias("sa"))
     sb = sup.select(F.col("item").alias("item_b"), F.col("s").alias("sb"))
     lift = (
-        pairs.join(F.broadcast(sa), "item_a")
-        .join(F.broadcast(sb), "item_b")
+        pairs.join(sa, "item_a")
+        .join(sb, "item_b")
         .crossJoin(F.broadcast(n))
         .select(
             "item_a",

@@ -124,7 +124,7 @@ def qs127(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-09-01").cast("date"))
             & (F.col("l_shipdate") < F.lit("1997-10-01").cast("date"))
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
             .alias("promo_e4"),
@@ -169,7 +169,7 @@ def qs128(spark: SparkSession, sf: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
     ).cast("bigint")
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(F.sum(rev).alias("rev_c"), F.count(F.lit(1)).alias("n"))
     )
@@ -263,7 +263,7 @@ def qs130(spark: SparkSession, sf: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_c") == F.col("m"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", "total_c")
     )
 
@@ -303,7 +303,7 @@ def qs131(spark: SparkSession, sf: str) -> DataFrame:
     prc_c = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
     return (
         li.join(
-            F.broadcast(p.filter(F.col("p_brand") == "Brand#23")),
+            p.filter(F.col("p_brand") == "Brand#23"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .join(pa, F.col("pa_partkey") == F.col("l_partkey"))
@@ -369,7 +369,7 @@ def qs132(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("o3") == F.col("l_orderkey")) & (F.col("s3") != F.col("l_suppkey")),
             "left_anti",
         )
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -753,13 +753,13 @@ def qs140(spark: SparkSession, sf: str) -> DataFrame:
     sn = n.alias("sn")
     return (
         li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(cn), F.col("cn.n_nationkey") == F.col("c_nationkey"))
         .join(
             F.broadcast(r.filter(F.col("r_name") == "ASIA")),
             F.col("r_regionkey") == F.col("cn.n_regionkey"),
         )
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(sn), F.col("sn.n_nationkey") == F.col("s_nationkey"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(

@@ -405,14 +405,15 @@ def qs211(spark: SparkSession, sf: str) -> DataFrame:
     (Σshare_e4 ≤ 10⁴ by construction), HHI is an exact integer sum
     of squares ≤ 10⁸. Plan: one (nation, supplier) hash aggregate
     collapses the fact table, the share window runs over the
-    supplier-dimension-sized result, the nation name join
+    supplier-dimension-sized result (supplier scales with SF, so its
+    join is unhinted — AQE chooses), the 25-row nation name join
     broadcasts — fact data shuffles exactly once."""
     li = load_table(spark, sf, "lineitem")
     su = load_table(spark, sf, "supplier")
     na = load_table(spark, sf, "nation")
     rev = (
         li.join(
-            F.broadcast(su), li["l_suppkey"] == su["s_suppkey"]
+            su, li["l_suppkey"] == su["s_suppkey"]
         )
         .groupBy(
             F.col("s_nationkey").alias("nationkey"),
@@ -851,7 +852,7 @@ def qs215(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id").alias("cid"), F.col("source").alias("csrc")
     )
     qt = toks.join(
-        F.broadcast(q), toks["doc_id"] == q["qid"]
+        q, toks["doc_id"] == q["qid"]
     ).select("qid", "qsrc", "term")
     ov = (
         qt.join(
@@ -1216,7 +1217,7 @@ def qs218(spark: SparkSession, sf: str) -> DataFrame:
         F.col("id").alias("id_b")
     )
     border = (
-        pairs.join(F.broadcast(core), "id_b")
+        pairs.join(core, "id_b")
         .select("id")
         .distinct()
         .withColumn("has_core_nbr", F.lit(True))
@@ -1515,7 +1516,9 @@ def qs222(spark: SparkSession, sf: str) -> DataFrame:
     is deg_u + deg_v − common (inclusion–exclusion, no second
     neighborhood pass). Plan: wedges shuffle on the shared
     neighbor (blocked, bounded per block), the edge anti-join
-    removes existing pairs, degrees broadcast."""
+    removes existing pairs; the per-node degree table is
+    CORPUS-PROPORTIONAL, so its joins carry no broadcast hint (AQE
+    chooses; at measured SFs it still broadcasts)."""
     d = load_table(spark, sf, "documents").select(
         "doc_id", "lang", "n_chars", "source"
     )
@@ -1567,20 +1570,16 @@ def qs222(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         nonedge.join(
-            F.broadcast(
-                deg.select(
-                    F.col("node").alias("u"),
-                    F.col("deg").alias("du"),
-                )
+            deg.select(
+                F.col("node").alias("u"),
+                F.col("deg").alias("du"),
             ),
             "u",
         )
         .join(
-            F.broadcast(
-                deg.select(
-                    F.col("node").alias("v"),
-                    F.col("deg").alias("dv"),
-                )
+            deg.select(
+                F.col("node").alias("v"),
+                F.col("deg").alias("dv"),
             ),
             "v",
         )

@@ -897,7 +897,7 @@ def qs251(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("r"),
     )
     pts = pp.join(
-        F.broadcast(p.select("p_partkey", "p_brand")),
+        p.select("p_partkey", "p_brand"),
         pp["l_partkey"] == F.col("p_partkey"),
     ).select(
         F.col("p_brand").alias("brand"),

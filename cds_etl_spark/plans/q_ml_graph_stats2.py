@@ -45,12 +45,13 @@ def qs256(spark: SparkSession, sf: str) -> DataFrame:
     basket — linear in orders, not quadratic in items (the qs187
     lesson: expansion bounded per basket key, shuffled on the
     basket key, aggregated with map-side combine). The brand lookup
-    is a broadcast join before the basket distinct."""
+    runs unhinted before the basket distinct (part scales with SF —
+    AQE broadcasts while it is genuinely small, shuffles at 100x)."""
     li = load_table(spark, sf, "lineitem")
     p = load_table(spark, sf, "part")
     ob = (
         li.join(
-            F.broadcast(p.select("p_partkey", "p_brand")),
+            p.select("p_partkey", "p_brand"),
             li["l_partkey"] == F.col("p_partkey"),
         )
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
@@ -1505,8 +1506,8 @@ def qs294(spark: SparkSession, sf: str) -> DataFrame:
     c1 = club.select(F.col("k"), F.col("node").alias("s1"))
     c2 = club.select(F.col("k"), F.col("node").alias("s2"))
     ce = (
-        e.join(F.broadcast(c1), "s1")
-        .join(F.broadcast(c2), ["k", "s2"])
+        e.join(c1, "s1")
+        .join(c2, ["k", "s2"])
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("e_k"))
     )

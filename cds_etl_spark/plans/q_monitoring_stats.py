@@ -1769,7 +1769,7 @@ def qs177(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("_n") > 20)
         .select("h")
     )
-    fp = sel.join(F.broadcast(hot), "h", "left_anti")
+    fp = sel.join(hot, "h", "left_anti")
     a, b = fp.alias("a"), fp.alias("b")
     return (
         a.join(
@@ -1859,7 +1859,7 @@ def qs178(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("_df") > 50)
         .select("term")
     )
-    kept = terms.join(F.broadcast(hot), "term", "left_anti")
+    kept = terms.join(hot, "term", "left_anti")
     norms = kept.groupBy("doc_id").agg(
         F.sum(F.col("c") * F.col("c")).alias("n2")
     )

@@ -158,7 +158,7 @@ def qs103(spark: SparkSession, sf: str) -> DataFrame:
         c.join(o, F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -417,7 +417,7 @@ def qs109(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         o.join(big, o["o_orderkey"] == big["l_orderkey"])
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_name",
             "c_custkey",

@@ -51,7 +51,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     cand = ps.join(
-        F.broadcast(region_supp), ps.ps_suppkey == region_supp.s_suppkey
+        region_supp, ps.ps_suppkey == region_supp.s_suppkey
     )
     w = Window.partitionBy("ps_partkey")
     best = cand.withColumn("_min_cost", F.min("ps_supplycost").over(w)).filter(
@@ -61,7 +61,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
     ).select("p_partkey", "p_name")
     return (
-        best.join(F.broadcast(target_parts),
+        best.join(target_parts,
                   best.ps_partkey == target_parts.p_partkey)
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey",
@@ -109,9 +109,9 @@ def q9_product_type_profit(spark: SparkSession, sf: str) -> DataFrame:
         * F.col("l_quantity").cast("long")
     )
     return (
-        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        li.join(p.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
         .join(ps, (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey))
-        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+        .join(s.select("s_suppkey", "s_nationkey"),
               li.l_suppkey == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .join(o.select("o_orderkey", "o_orderdate"),
@@ -160,8 +160,8 @@ def q16_supplier_part_count(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("p_size").isin(1, 9, 15, 23, 31, 42, 49))
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     return (
-        ps.join(F.broadcast(parts), ps.ps_partkey == parts.p_partkey)
-        .join(F.broadcast(excluded), ps.ps_suppkey == F.col("_ex"), "left_anti")
+        ps.join(parts, ps.ps_partkey == parts.p_partkey)
+        .join(excluded, ps.ps_suppkey == F.col("_ex"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
     )
@@ -203,7 +203,7 @@ def q20_potential_promotion(spark: SparkSession, sf: str) -> DataFrame:
     )
     green = p.filter(F.col("p_name").startswith("green")).select("p_partkey")
     qualifying = (
-        ps.join(F.broadcast(green), ps.ps_partkey == F.col("p_partkey"))
+        ps.join(green, ps.ps_partkey == F.col("p_partkey"))
         .join(
             shipped,
             (ps.ps_partkey == shipped.l_partkey)
