@@ -586,12 +586,24 @@ def probe_minhash_index(
     min_jaccard: float = 0.5,
     hash_family: str = "fast",
     broadcast_batch: bool = True,
+    max_band_entries: int | None = None,
 ) -> DataFrame:
     """Probe a batch against a persisted index (``build_minhash_index``
     with the SAME parameters): returns (new_id, index_id, jac) pairs
     with jac >= threshold. The index is scanned, never re-shingled —
     probe cost is the batch's signatures plus a broadcast join against
-    the index's band table."""
+    the index's band table.
+
+    ``max_band_entries``: optional hot-band guard (r12 index skew
+    audit). A template duplicated k× in the corpus puts k identical
+    rows under EVERY band key, so a probe batch containing the
+    template emits k·(batch copies) candidate pairs — quadratic
+    output in the duplication rate (measured: 250 probe copies ×
+    5000 index copies → 1.25M pairs at sf10). With a cap, band keys
+    whose INDEX-side entry count exceeds it are excluded from
+    candidate generation: near-dup recall on mega-cluster templates
+    is the job of exact-hash dedup (one pass, linear), not the LSH
+    probe. None (default) preserves the exact legacy output."""
     sh_new, bands_new = _signature_bands(
         new_df, id_col, text_col, shingle_k, num_hashes, bands, hash_family
     )
@@ -609,6 +621,17 @@ def probe_minhash_index(
         )
         .dropDuplicates()
     )
+    if max_band_entries is not None:
+        # Hot-band exclusion list: corpus-proportional in the worst
+        # case, so the anti-join carries NO broadcast hint (the r12
+        # broadcast-audit rule) — AQE sizes it.
+        hot = (
+            bands_idx.groupBy("_bi", "_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_band_entries)
+            .select("_bi", "_key")
+        )
+        bands_idx = bands_idx.join(hot, ["_bi", "_key"], "left_anti")
     sh_idx = (
         spark.read.parquet(f"{path}/shingles")
         .select(F.col(id_col).alias("_id"), F.col("shingles").alias("_sh"))

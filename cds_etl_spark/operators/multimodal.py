@@ -937,10 +937,18 @@ def probe_phash_index(
     max_hamming: int = 3,
     n_bands: int | None = None,
     broadcast_batch: bool = True,
+    max_band_entries: int | None = None,
 ) -> DataFrame:
     """Probe a batch of signatures against a persisted pHash index:
     returns (new_id, index_id, hamming) pairs within ``max_hamming``
     bits. Recall is pigeonhole-guaranteed for max_hamming < n_bands.
+
+    ``max_band_entries``: optional hot-band guard (r12 index skew
+    audit, same hazard as the MinHash probe): k copies of one
+    template image share every (band, chunk) key, so probe output is
+    quadratic in the duplication rate. With a cap, index-side band
+    keys above it are excluded — mega-cluster exact duplicates belong
+    to exact-hash dedup, not the Hamming probe. None = legacy output.
 
     Scale shape: the index scan reads 16-byte rows and explodes each
     into ``n_bands`` integer chunk keys in the scan stage; the (small)
@@ -960,6 +968,16 @@ def probe_phash_index(
     banded_idx = idx.select(
         "_iid", "_ih", F.explode(_hash_chunks("_ih", n_bands)).alias("b")
     ).select("_iid", "_ih", "b.band", "b.chunk")
+    if max_band_entries is not None:
+        # Unhinted anti-join (r12 broadcast-audit rule): the hot-band
+        # list is corpus-proportional in the worst case.
+        hot = (
+            banded_idx.groupBy("band", "chunk")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_band_entries)
+            .select("band", "chunk")
+        )
+        banded_idx = banded_idx.join(hot, ["band", "chunk"], "left_anti")
     new = new_sigs.select(
         F.col("media_id").alias("_nid"), F.col("phash").alias("_nh")
     )

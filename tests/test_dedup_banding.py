@@ -225,3 +225,48 @@ def test_winnow_guarantee_planted_shared_run(spark):
     s1 = sorted(map(tuple, fps.collect()))
     s2 = sorted(map(tuple, winnow_fingerprints(df).collect()))
     assert s1 == s2
+
+
+def test_probe_minhash_hot_band_guard(spark, tmp_path):
+    """r12 index skew audit: a template duplicated k x in the index
+    shares EVERY band key, so an uncapped probe containing the
+    template emits k pairs per probe copy (quadratic output — measured
+    1.25M pairs from 250x5000 copies at sf10). max_band_entries
+    excludes those mega-bands from candidate generation; distinct
+    near-dup pairs are untouched, and None keeps legacy output."""
+    from cds_etl_spark.operators.dedup import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+
+    tpl = "the exact template text repeated verbatim in many rows ok"
+    docs = spark.createDataFrame(
+        [(i, tpl) for i in range(10)]
+        + [(100 + i, f"w{i} the quick brown fox number {i} leaps far")
+           for i in range(8)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "hotidx")
+    build_minhash_index(docs, idx)
+    batch = spark.createDataFrame(
+        [(900, tpl),
+         (901, "w3 the quick brown fox number 3 leaps far extra")],
+        "doc_id long, text string",
+    )
+    uncapped = {
+        (r["new_id"], r["index_id"])
+        for r in probe_minhash_index(spark, batch, idx).collect()
+    }
+    # template probe hits all 10 index copies; the near-dup hits doc 103
+    assert sum(1 for p in uncapped if p[0] == 900) == 10
+    assert (901, 103) in uncapped
+
+    capped = {
+        (r["new_id"], r["index_id"])
+        for r in probe_minhash_index(
+            spark, batch, idx, max_band_entries=5
+        ).collect()
+    }
+    # mega-band candidates gone, distinct near-dup pair preserved
+    assert not any(p[0] == 900 for p in capped)
+    assert (901, 103) in capped

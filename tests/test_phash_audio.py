@@ -477,3 +477,40 @@ def test_audio_fingerprint_match_planted_duplicate(spark):
         fps, min_votes=40, max_hash_clips=3
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in pruned} == {(1, 2)}
+
+
+def test_probe_phash_hot_band_guard(spark, tmp_path):
+    """r12 index skew audit, pHash flavor: k copies of one template
+    hash share every (band, chunk) key; max_band_entries drops those
+    index bands while distinct near-dups keep matching."""
+    from cds_etl_spark.operators.multimodal import (
+        build_phash_index,
+        probe_phash_index,
+    )
+
+    rng = np.random.default_rng(4)
+    hot = int(rng.integers(-(2**63), 2**63 - 1))
+    sigs = [(i, hot) for i in range(12)] + [
+        (100 + i, int(rng.integers(-(2**63), 2**63 - 1))) for i in range(6)
+    ]
+    idx = str(tmp_path / "hotph")
+    build_phash_index(spark.createDataFrame(sigs, ["media_id", "phash"]), idx)
+    near = sigs[12][1] ^ (1 << 5)  # 1 bit off media 100
+    batch = spark.createDataFrame(
+        [(900, hot), (901, int(np.int64(np.uint64(near & 0xFFFFFFFFFFFFFFFF))))],
+        ["media_id", "phash"],
+    )
+    uncapped = {
+        (r["new_id"], r["index_id"])
+        for r in probe_phash_index(spark, batch, idx, max_hamming=3).collect()
+    }
+    assert sum(1 for p in uncapped if p[0] == 900) == 12
+    assert (901, 100) in uncapped
+    capped = {
+        (r["new_id"], r["index_id"])
+        for r in probe_phash_index(
+            spark, batch, idx, max_hamming=3, max_band_entries=6
+        ).collect()
+    }
+    assert not any(p[0] == 900 for p in capped)
+    assert (901, 100) in capped
