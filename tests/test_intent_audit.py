@@ -4099,3 +4099,363 @@ def test_intent_qs382_wilcoxon(spark, sf_dir):
     got = _run(spark, sf_dir, "qs382_wilcoxon_signed_rank").iloc[0]
     assert (got["n_pairs"], got["w_plus"]) == (n, w_plus)
     assert got["z"] == pytest.approx(z, abs=2e-4)
+
+
+# -- wave 13 (r12): promote COVERED-ELSEWHERE classes to INTENT-TESTED ----
+# Independent pure-python/numpy reimplementations of the similarity,
+# retrieval, and graph family — written from each statistic's textbook
+# definition over the raw parquet, not from the query's SQL.
+
+
+def _emb(sf_dir):
+    e = _pd(sf_dir, "embeddings")
+    return (
+        e["vec_id"].to_numpy(),
+        np.stack([np.asarray(v, dtype=np.float64) for v in e["embedding"]]),
+        e["label"].to_numpy(),
+    )
+
+
+def test_intent_qs52_cosine_topk(spark, sf_dir):
+    ids, V, _ = _emb(sf_dir)
+    q = V[ids == 0][0]
+    mask = ids != 0
+    sims = (V[mask] @ q) / (
+        np.linalg.norm(V[mask], axis=1) * np.linalg.norm(q)
+    )
+    ref = dict(zip(ids[mask], sims))
+    out = _run(spark, sf_dir, "qs52_cosine_topk")
+    assert len(out) == 10
+    for vid, sim in zip(out["vec_id"], out["sim"]):
+        assert abs(ref[vid] - sim) <= 2e-4
+    # nothing outside the returned set beats the worst returned sim
+    floor = out["sim"].min()
+    others = [s for v, s in ref.items() if v not in set(out["vec_id"])]
+    assert max(others) <= floor + 2e-4
+
+
+def test_intent_qs61_cosine_topk_pandas(spark, sf_dir):
+    ids, V, _ = _emb(sf_dir)
+    q = V[ids == 0][0]
+    mask = ids != 0
+    sims = (V[mask] @ q) / (
+        np.linalg.norm(V[mask], axis=1) * np.linalg.norm(q)
+    )
+    ref = dict(zip(ids[mask], sims))
+    out = _run(spark, sf_dir, "qs61_cosine_topk_pandas")
+    assert len(out) == 10
+    for vid, sim in zip(out["vec_id"], out["sim"]):
+        assert abs(ref[vid] - sim) <= 2e-4
+
+
+def test_intent_qs53_vector_group_agg(spark, sf_dir):
+    ids, V, labels = _emb(sf_dir)
+    out = _run(spark, sf_dir, "qs53_vector_group_agg")
+    assert set(out["label"]) == set(labels)
+    for _, r in out.iterrows():
+        m = labels == r["label"]
+        assert r["c"] == int(m.sum())
+        assert abs((V[m] ** 2).sum(axis=1).mean() - r["avg_sqnorm"]) <= 2e-4
+
+
+def test_intent_qs84_bm25(spark, sf_dir):
+    # Okapi BM25, Robertson idf with +1 (k1=1.2, b=0.75), from the
+    # textbook formula over whitespace-lowered tokens.
+    d = _pd(sf_dir, "documents")
+    toks = {r.doc_id: r.text.lower().split(" ") for r in d.itertuples()}
+    N = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / N
+    terms = ["hash", "join", "scan"]
+    df = {
+        t: sum(1 for tk in toks.values() if t in tk) for t in terms
+    }
+    k1, b = 1.2, 0.75
+    ref = {}
+    for did, tk in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = tk.count(t)
+            if tf == 0:
+                continue
+            idf = math.log((N - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(tk) / avgdl)
+            )
+        if s > 0.0:
+            ref[did] = s
+    out = _run(spark, sf_dir, "qs84_bm25")
+    got = dict(zip(out["doc_id"], out["score"]))
+    assert set(got) == set(ref)
+    for did, s in ref.items():
+        assert abs(got[did] - s) <= 2e-4
+
+
+def _block_graph(sf_dir):
+    """The qs51 blocking graph: undirected edges between documents
+    sharing (lang, n_chars)."""
+    d = _pd(sf_dir, "documents")
+    from collections import defaultdict
+
+    blocks = defaultdict(list)
+    for r in d.itertuples():
+        blocks[(r.lang, r.n_chars)].append(r.doc_id)
+    adj = defaultdict(set)
+    for ids in blocks.values():
+        for i in ids:
+            for j in ids:
+                if i != j:
+                    adj[i].add(j)
+    return adj
+
+
+def test_intent_qs94_pagerank(spark, sf_dir):
+    # Textbook power iteration: r' = 0.15/n + 0.85 * sum(r_u/deg_u),
+    # 10 iterations from the uniform vector, over the blocking graph.
+    adj = _block_graph(sf_dir)
+    nodes = sorted(adj)
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(10):
+        nxt = {v: 0.15 / n for v in nodes}
+        for u in nodes:
+            share = 0.85 * rank[u] / len(adj[u])
+            for v in adj[u]:
+                nxt[v] += share
+        rank = nxt
+    out = _run(spark, sf_dir, "qs94_pagerank")
+    got = dict(zip(out["node"], out["rank"]))
+    assert set(got) == set(rank)
+    for v in nodes:
+        assert abs(got[v] - rank[v]) <= 2e-4
+    # rank mass conservation (no dangling nodes in a symmetric graph)
+    assert abs(sum(rank.values()) - 1.0) < 1e-9
+
+
+def test_intent_qs120_graph_bfs(spark, sf_dir):
+    # Multi-source BFS levels, classic frontier expansion, <=3 hops.
+    adj = _block_graph(sf_dir)
+    level = {v: 0 for v in adj if v % 20 == 0}
+    frontier = set(level)
+    for lvl in (1, 2, 3):
+        nxt = set()
+        for u in frontier:
+            for v in adj[u]:
+                if v not in level:
+                    level[v] = lvl
+                    nxt.add(v)
+        frontier = nxt
+    out = _run(spark, sf_dir, "qs120_graph_bfs")
+    got = dict(zip(out["node"], out["level"]))
+    assert got == level
+
+
+def test_intent_qs156_robust_outliers(spark, sf_dir):
+    # Median/MAD robust outlier rule: |x - med| > 4.4478 * MAD
+    # (3 sigma with the 1.4826 normal-consistency factor), medians
+    # linearly interpolated.
+    o = _pd(sf_dir, "orders")
+    cents = _cents(o["o_totalprice"])
+    out = _run(spark, sf_dir, "qs156_robust_outliers")
+    for _, r in out.iterrows():
+        x = cents[(o["o_orderstatus"] == r["o_orderstatus"]).to_numpy()]
+        med = np.percentile(x, 50, method="linear")
+        d = np.abs(x - med)
+        mad = np.percentile(d, 50, method="linear")
+        assert r["n"] == len(x)
+        assert abs(r["med_cents"] - med) <= 1e-6
+        assert abs(r["mad_cents"] - mad) <= 1e-6
+        assert r["n_outliers"] == int((d > 4.4478 * mad).sum())
+
+
+def test_intent_qs172_weighted_sssp(spark, sf_dir):
+    # Bellman-Ford, <=4 relaxation rounds, on the nation trade graph
+    # with weight = 1 + 10^12 // volume_cents.
+    li = _pd(sf_dir, "lineitem")
+    o = _pd(sf_dir, "orders")
+    c = _pd(sf_dir, "customer")
+    s = _pd(sf_dir, "supplier")
+    nat = _pd(sf_dir, "nation")
+    nname = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    j = (
+        li.merge(s, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+    )
+    j["src"] = j["s_nationkey"].map(nname)
+    j["dst"] = j["c_nationkey"].map(nname)
+    j = j[j["src"] != j["dst"]]
+    j["cents"] = _cents(j["l_extendedprice"])
+    vol = j.groupby(["src", "dst"])["cents"].sum()
+    edges = {
+        (a, b): 1 + 10**12 // int(v) for (a, b), v in vol.items()
+    }
+    # Path semantics: every path has >= 1 edge, so the source itself
+    # is reported at its cheapest <=4-hop CYCLE cost (not 0).
+    dist = {
+        b: w for (a, b), w in edges.items() if a == "NATION_3"
+    }
+    for _ in range(3):
+        nxt = dict(dist)
+        for (a, b), w in edges.items():
+            if a in dist and dist[a] + w < nxt.get(b, float("inf")):
+                nxt[b] = dist[a] + w
+        dist = nxt
+    out = _run(spark, sf_dir, "qs172_weighted_shortest_path")
+    got = dict(zip(out["n_name"], out["dist"]))
+    assert got == dist
+
+
+def test_intent_qs213_knn_accuracy(spark, sf_dir):
+    # Leave-one-out 3-NN majority vote, the documented tie-breaks:
+    # sims rounded to 6 before ranking, rank ties to smaller cid,
+    # vote ties to smaller label; accuracy = floor(correct*1e4/n).
+    ids, V, labels = _emb(sf_dir)
+    lab = dict(zip(ids, labels))
+    norm = np.linalg.norm(V, axis=1)
+    per_label = {}
+    for qi, qid in enumerate(ids):
+        if qid % 5 != 0:
+            continue
+        sims = (V @ V[qi]) / (norm * norm[qi])
+        cand = sorted(
+            (
+                (-round(float(sims[ci]), 6), int(cid))
+                for ci, cid in enumerate(ids)
+                if cid != qid
+            ),
+        )[:3]
+        votes = {}
+        for _s, cid in cand:
+            votes[lab[cid]] = votes.get(lab[cid], 0) + 1
+        pred = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        n, k = per_label.get(lab[qid], (0, 0))
+        per_label[lab[qid]] = (n + 1, k + (pred == lab[qid]))
+    out = _run(spark, sf_dir, "qs213_knn_accuracy")
+    assert len(out) == len(per_label)
+    for _, r in out.iterrows():
+        n, k = per_label[r["label"]]
+        assert (r["n_queries"], r["n_correct"]) == (n, k)
+        assert r["accuracy_e4"] == k * 10000 // n
+
+
+def _two_layer_graph(sf_dir, window=None):
+    """qs222/qs334 provenance graph: union of (lang, n_chars) and
+    (source, n_chars%5) blocking layers; ``window`` = the qs334
+    sorted-neighborhood W (pair only the W doc_id successors)."""
+    d = _pd(sf_dir, "documents")
+    from collections import defaultdict
+
+    layers = [
+        defaultdict(list),
+        defaultdict(list),
+    ]
+    for r in d.itertuples():
+        layers[0][(r.lang, r.n_chars)].append(r.doc_id)
+        layers[1][(r.source, r.n_chars % 5)].append(r.doc_id)
+    pairs = set()
+    for blocks in layers:
+        for ids_ in blocks.values():
+            ids_ = sorted(ids_)
+            for i, a in enumerate(ids_):
+                hi = len(ids_) if window is None else min(
+                    len(ids_), i + 1 + window
+                )
+                for b in ids_[i + 1 : hi]:
+                    pairs.add((a, b))
+    from collections import defaultdict as dd
+
+    adj = dd(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    return pairs, adj
+
+
+def test_intent_qs222_jaccard_link_prediction(spark, sf_dir):
+    pairs, adj = _two_layer_graph(sf_dir)
+    ref = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1 :]:
+            if (u, v) in pairs:
+                continue
+            common = len(adj[u] & adj[v])
+            if common:
+                ref[(u, v)] = (
+                    common,
+                    common * 1_000_000 // (len(adj[u]) + len(adj[v]) - common),
+                )
+    out = _run(spark, sf_dir, "qs222_jaccard_link_prediction")
+    got = {
+        (r["u"], r["v"]): (r["common_nbrs"], r["jaccard_e6"])
+        for _, r in out.iterrows()
+    }
+    assert got == ref
+
+
+def test_intent_qs334_adamic_adar(spark, sf_dir):
+    pairs, adj = _two_layer_graph(sf_dir, window=12)
+    ref = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1 :]:
+            if (u, v) in pairs:
+                continue
+            common = adj[u] & adj[v]
+            if common:
+                aa = sum(1.0 / math.log(len(adj[z])) for z in common)
+                ref[(u, v)] = (len(common), aa)
+    out = _run(spark, sf_dir, "qs334_adamic_adar")
+    got = {
+        (r["u"], r["v"]): (r["common_nbrs"], r["adamic_adar"])
+        for _, r in out.iterrows()
+    }
+    assert set(got) == set(ref)
+    for k, (cn, aa) in ref.items():
+        assert got[k][0] == cn
+        assert abs(got[k][1] - aa) <= 2e-4
+
+
+def test_intent_qs285_clustering_coefficient(spark, sf_dir):
+    # Supplier co-order graph with edge support >= 2; per-node
+    # cc = 2t / d(d-1) over nodes with d >= 2; transitivity =
+    # 3*triangles / wedges (both from first principles).
+    li = _pd(sf_dir, "lineitem")
+    os_ = li[["l_orderkey", "l_suppkey"]].drop_duplicates()
+    from collections import defaultdict
+
+    per_order = defaultdict(list)
+    for r in os_.itertuples():
+        per_order[r.l_orderkey].append(r.l_suppkey)
+    support = defaultdict(int)
+    for sup in per_order.values():
+        sup = sorted(set(sup))
+        for i, a in enumerate(sup):
+            for b in sup[i + 1 :]:
+                support[(a, b)] += 1
+    edges = {p for p, n in support.items() if n >= 2}
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri_per_node = defaultdict(int)
+    n_tri = 0
+    for a, b in edges:
+        for z in adj[a] & adj[b]:
+            if z > b:  # each triangle counted once via its max node
+                n_tri += 1
+                tri_per_node[a] += 1
+                tri_per_node[b] += 1
+                tri_per_node[z] += 1
+    eligible = [v for v in adj if len(adj[v]) >= 2]
+    ccs = [
+        2.0 * tri_per_node[v] / (len(adj[v]) * (len(adj[v]) - 1))
+        for v in eligible
+    ]
+    wedges2 = sum(len(adj[v]) * (len(adj[v]) - 1) for v in eligible)
+    out = _run(spark, sf_dir, "qs285_clustering_coefficient").iloc[0]
+    assert out["n_nodes"] == len(eligible)
+    assert out["n_edges"] == len(edges)
+    assert out["n_triangles"] == n_tri
+    assert abs(out["avg_clustering"] - np.mean(ccs)) <= 2e-4
+    assert abs(out["transitivity"] - 3.0 * n_tri / wedges2) <= 2e-4
