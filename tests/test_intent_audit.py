@@ -4459,3 +4459,284 @@ def test_intent_qs285_clustering_coefficient(spark, sf_dir):
     assert out["n_triangles"] == n_tri
     assert abs(out["avg_clustering"] - np.mean(ccs)) <= 2e-4
     assert abs(out["transitivity"] - 3.0 * n_tri / wedges2) <= 2e-4
+
+
+# -- wave 14 (r12): dedup + hash-sampling family --------------------------
+# The md5-keyed constructions (minhash slices, simhash votes, bucket
+# keys, Efraimidis-Spirakis priorities) recomputed with hashlib from
+# the documented definitions — independent of both engines' md5/expr
+# trees.
+
+import hashlib
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_intent_qs54_exact_dedup(spark, sf_dir):
+    d = _pd(sf_dir, "documents")
+    ref = {}
+    for r in d.itertuples():
+        h = _md5(r.text)
+        mn, n = ref.get(h, (r.doc_id, 0))
+        ref[h] = (min(mn, r.doc_id), n + 1)
+    out = _run(spark, sf_dir, "qs54_exact_dedup")
+    got = {
+        r["content_hash"]: (r["doc_id"], r["n_copies"])
+        for _, r in out.iterrows()
+    }
+    assert got == ref
+
+
+def _shingles(text, k=3, lower=False):
+    toks = (text.lower() if lower else text).split(" ")
+    if len(toks) < k:
+        return set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def test_intent_qs55_minhash_lsh(spark, sf_dir):
+    # 12 sliced-md5 minhashes -> 4 band keys -> bucket candidates ->
+    # exact-Jaccard refine at 0.5, all rebuilt with hashlib.
+    d = _pd(sf_dir, "documents")
+    sh = {r.doc_id: _shingles(r.text) for r in d.itertuples()}
+    sigs = {}
+    for did, ss in sh.items():
+        if not ss:
+            continue
+        sigs[did] = [
+            min(
+                _md5(f"p{j // 4}|" + s)[8 * (j % 4) : 8 * (j % 4) + 8]
+                for s in ss
+            )
+            for j in range(12)
+        ]
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for did, sg in sigs.items():
+        for b in range(4):
+            key = _md5(",".join(sg[3 * b : 3 * b + 3]))
+            buckets[(b, key)].append(did)
+    cands = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                cands.add((a, b))
+    ref = {}
+    for a, b in cands:
+        inter = len(sh[a] & sh[b])
+        union = len(sh[a] | sh[b])
+        jac = inter / union if union else 0.0
+        if jac >= 0.5:
+            ref[(a, b)] = jac
+    out = _run(spark, sf_dir, "qs55_minhash_lsh_pairs")
+    got = {(r["d1"], r["d2"]): r["jac"] for _, r in out.iterrows()}
+    assert set(got) == set(ref)
+    for k, v in ref.items():
+        assert abs(got[k] - v) <= 1e-9
+
+
+def test_intent_qs56_simhash(spark, sf_dir):
+    import re
+
+    d = _pd(sf_dir, "documents")
+    ref = {}
+    for r in d.itertuples():
+        toks = set(re.split(r"\s+", r.text.lower()))
+        fp = 0
+        for i in range(16):
+            vote = sum(
+                1 if (int(_md5(t)[:8], 16) >> i) & 1 else -1 for t in toks
+            )
+            if vote > 0:
+                fp |= 1 << i
+        ref[r.doc_id] = fp
+    out = _run(spark, sf_dir, "qs56_simhash")
+    got = dict(zip(out["doc_id"], out["simhash"]))
+    assert got == ref
+
+
+def test_intent_qs57_ngram_jaccard(spark, sf_dir):
+    d = _pd(sf_dir, "documents")
+    from collections import defaultdict
+
+    blocks = defaultdict(list)
+    for r in d.itertuples():
+        blocks[(r.lang, r.n_chars // 64)].append(
+            (r.doc_id, _shingles(r.text))
+        )
+    ref = {}
+    for ids in blocks.values():
+        ids = sorted(ids)
+        for i, (a, sa) in enumerate(ids):
+            for b, sb in ids[i + 1 :]:
+                union = len(sa | sb)
+                jac = len(sa & sb) / union if union else 0.0
+                if jac >= 0.5:
+                    ref[(a, b)] = jac
+    out = _run(spark, sf_dir, "qs57_ngram_jaccard_pairs")
+    got = {(r["d1"], r["d2"]): r["jac"] for _, r in out.iterrows()}
+    assert set(got) == set(ref)
+    for k, v in ref.items():
+        assert abs(got[k] - v) <= 1e-9
+
+
+def test_intent_qs58_embedding_neardup(spark, sf_dir):
+    ids, V, labels = _emb(sf_dir)
+    norm = np.linalg.norm(V, axis=1)
+    ref = {}
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and labels[i] == labels[j]:
+                cos = float(V[i] @ V[j] / (norm[i] * norm[j]))
+                if cos >= 0.4:
+                    ref[(ids[i], ids[j])] = cos
+    out = _run(spark, sf_dir, "qs58_embedding_neardup")
+    got = {(r["d1"], r["d2"]): r["cos"] for _, r in out.iterrows()}
+    assert set(got) == set(ref)
+    for k, v in ref.items():
+        assert abs(got[k] - v) <= 2e-4
+
+
+def _bucket(key, salt) -> int:
+    return int(_md5(f"{key}|{salt}")[:8], 16) % 1_000_000
+
+
+def test_intent_qs65_hash_sample(spark, sf_dir):
+    d = _pd(sf_dir, "documents")
+    ref = sorted(
+        did for did in d["doc_id"] if _bucket(did, "sample") < 100_000
+    )
+    out = _run(spark, sf_dir, "qs65_hash_sample")
+    assert list(out["doc_id"]) == ref
+
+
+def test_intent_qs66_hash_split(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    cents = _cents(o["o_totalprice"])
+    agg = {}
+    for k, c in zip(o["o_orderkey"], cents):
+        bk = _bucket(k, "split")
+        s = "train" if bk < 800_000 else ("val" if bk < 900_000 else "test")
+        n, t = agg.get(s, (0, 0))
+        agg[s] = (n + 1, t + int(c))
+    out = _run(spark, sf_dir, "qs66_hash_split")
+    got = {r["split"]: (r["n"], r["cents"]) for _, r in out.iterrows()}
+    assert got == agg
+
+
+def test_intent_qs67_stratified_sample(spark, sf_dir):
+    d = _pd(sf_dir, "documents")
+    rate = {"en": 200_000, "de": 800_000, "zh": 800_000}
+    ref = sorted(
+        (r.doc_id, r.lang)
+        for r in d.itertuples()
+        if _bucket(r.doc_id, "strata") < rate.get(r.lang, 500_000)
+    )
+    out = _run(spark, sf_dir, "qs67_stratified_sample")
+    assert [tuple(x) for x in out[["doc_id", "lang"]].to_numpy()] == ref
+
+
+def test_intent_qs97_weighted_sample(spark, sf_dir):
+    # Efraimidis-Spirakis: priority = u^(1/w), u = (bucket+0.5)/1e6.
+    d = _pd(sf_dir, "documents")
+    pri = [
+        (
+            -(((_bucket(r.doc_id, "ws") + 0.5) / 1e6) ** (1.0 / r.n_chars)),
+            r.doc_id,
+        )
+        for r in d.itertuples()
+        if r.n_chars > 0
+    ]
+    ref = [did for _p, did in sorted(pri)[:50]]
+    out = _run(spark, sf_dir, "qs97_weighted_sample")
+    assert sorted(out["doc_id"]) == sorted(ref)
+
+
+def test_intent_qs82_sequence_packing(spark, sf_dir):
+    # Concat-and-chunk at 256 tokens per language, docs in doc_id
+    # order; one row per (doc, chunk) overlap.
+    d = _pd(sf_dir, "documents").sort_values("doc_id")
+    ref = set()
+    cum = {}
+    for r in d.itertuples():
+        n = len(r.text.split(" "))
+        if n <= 0:
+            continue
+        before = cum.get(r.lang, 0)
+        cum[r.lang] = before + n
+        for chunk in range(before // 256, (before + n - 1) // 256 + 1):
+            ref.add((r.lang, r.doc_id, chunk, n, before))
+    out = _run(spark, sf_dir, "qs82_sequence_packing")
+    got = {
+        (r["lang"], r["doc_id"], r["chunk_id"], r["n_tokens"], r["cum_before"])
+        for _, r in out.iterrows()
+    }
+    assert got == ref
+
+
+def test_intent_qs83_decontaminate(spark, sf_dir):
+    # Distinct 3-gram overlap of each corpus doc against the probe
+    # set's shingle union (lowercase tokens), contaminated docs only.
+    d = _pd(sf_dir, "documents")
+    probe_sh = set()
+    for r in d.itertuples():
+        if r.doc_id % 101 == 0:
+            probe_sh |= _shingles(r.text, lower=True)
+    ref = {}
+    for r in d.itertuples():
+        if r.doc_id % 101 == 0:
+            continue
+        ss = _shingles(r.text, lower=True)
+        shared = len(ss & probe_sh)
+        if shared:
+            ref[r.doc_id] = (shared, len(ss))
+    out = _run(spark, sf_dir, "qs83_decontaminate")
+    got = {
+        r["doc_id"]: (r["n_shared"], r["n_shingles"])
+        for _, r in out.iterrows()
+    }
+    assert got == ref
+
+
+def test_intent_qs105_cap_per_group(spark, sf_dir):
+    d = _pd(sf_dir, "documents")
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in d.itertuples():
+        per[r.source].append((_md5(str(r.doc_id)), r.doc_id))
+    ref = set()
+    for src, lst in per.items():
+        for pos, (_h, did) in enumerate(sorted(lst)[:5], start=1):
+            ref.add((src, did, pos))
+    out = _run(spark, sf_dir, "qs105_cap_per_group")
+    got = {
+        (r["source"], r["doc_id"], r["pos"]) for _, r in out.iterrows()
+    }
+    assert got == ref
+
+
+def test_intent_qs180_clamped_balance(spark, sf_dir):
+    # The sequential definition b_t = max(0, b_{t-1} + d_t), stepped
+    # row by row in python — the closed-form window formulation must
+    # reproduce it exactly.
+    e = _pd(sf_dir, "events")
+    e = e[e["event_type"].isin(["purchase", "error"])].copy()
+    e["d"] = np.where(
+        (e["event_type"] == "purchase").to_numpy(),
+        _cents(e["value"]),
+        -_cents(e["value"]),
+    )
+    ref = {}
+    for _uid, g in e.groupby("user_id"):
+        bal = 0
+        for r in g.sort_values(["ts", "event_id"]).itertuples():
+            bal = max(0, bal + int(r.d))
+            ref[r.event_id] = bal
+    out = _run(spark, sf_dir, "qs180_clamped_balance")
+    got = dict(zip(out["event_id"], out["balance_cents"]))
+    assert got == ref
