@@ -105,6 +105,20 @@ _GRADE_FIRST = [
     "qs70_grouping_id",
     "qs71_rank_pct",
     "qs94_pagerank",
+    # -- r12 additions (qs383-qs392, the round-12 diagnostics2 family):
+    #    each passed both-SF driver_diff + intent + bounds before
+    #    registration; they queue behind the 8 r04 rows above for the
+    #    r13 window. --
+    "qs383_somers_d",
+    "qs384_stuart_tau_c",
+    "qs385_scott_pi",
+    "qs386_yule_q",
+    "qs387_ansari_bradley",
+    "qs388_ww_runs",
+    "qs389_mrr_eval",
+    "qs390_kpss",
+    "qs391_wasserstein",
+    "qs392_lorenz_asymmetry",
     # -- already officially graded r05+ (rotated to the back; order --
     # -- preserves the r11 staging history for reference) --
     "qs241_chi_square_independence",

@@ -25,6 +25,7 @@ from cds_etl_spark.plans import (  # noqa: E402,F401  (import = registration)
     q_commerce_ops,
     q_assoc_eval,
     q_diagnostics,
+    q_diagnostics2,
 )
 
 __all__ = ["QUERIES", "ORACLE_SQL"]

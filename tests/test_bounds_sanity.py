@@ -113,6 +113,17 @@ BOUNDS = [
     ("qs379_quintile_shares", "palma", 0.0, None),
     ("qs380_gwet_ac1", "pa", 0.0, 1.0),
     ("qs380_gwet_ac1", "gwet_ac1", None, 1.0),
+    ("qs383_somers_d", "d_yx", -1.0, 1.0),
+    ("qs383_somers_d", "d_xy", -1.0, 1.0),
+    ("qs384_stuart_tau_c", "tau_c", -1.0, 1.0),
+    ("qs385_scott_pi", "po", 0.0, 1.0),
+    ("qs385_scott_pi", "scott_pi", None, 1.0),
+    ("qs386_yule_q", "yule_q", -1.0, 1.0),
+    ("qs386_yule_q", "odds_ratio", 0.0, None),
+    ("qs389_mrr_eval", "mrr_e6", 0, 1_000_000),
+    ("qs390_kpss", "kpss_stat", 0.0, None),
+    ("qs391_wasserstein", "w1_dollars", 0.0, None),
+    ("qs392_lorenz_asymmetry", "lorenz_asymmetry", 0.0, 2.0),
 ]
 
 

@@ -4740,3 +4740,235 @@ def test_intent_qs180_clamped_balance(spark, sf_dir):
     out = _run(spark, sf_dir, "qs180_clamped_balance")
     got = dict(zip(out["event_id"], out["balance_cents"]))
     assert got == ref
+
+
+# -- wave 15 (r12): the qs383-qs392 additions ------------------------------
+
+
+def _prio_status_cells_pd(sf_dir):
+    o = _pd(sf_dir, "orders")
+    x = o["o_orderpriority"].str[0].astype(int)
+    y = o["o_orderstatus"].map({"F": 1, "O": 2}).fillna(3).astype(int)
+    return pd.crosstab(x, y)
+
+
+def _conc_disc_pd(ct):
+    conc = disc = 0
+    rows, cols = ct.index.to_list(), ct.columns.to_list()
+    for xi in rows:
+        for yi in cols:
+            c = int(ct.loc[xi, yi])
+            for xj in rows:
+                for yj in cols:
+                    if xj > xi:
+                        if yj > yi:
+                            conc += c * int(ct.loc[xj, yj])
+                        elif yj < yi:
+                            disc += c * int(ct.loc[xj, yj])
+    return conc, disc
+
+
+def test_intent_qs383_somers_d(spark, sf_dir):
+    ct = _prio_status_cells_pd(sf_dir)
+    conc, disc = _conc_disc_pd(ct)
+    n = int(ct.values.sum())
+    tx2 = int((ct.sum(axis=1) ** 2).sum())
+    ty2 = int((ct.sum(axis=0) ** 2).sum())
+    out = _run(spark, sf_dir, "qs383_somers_d").iloc[0]
+    assert (out["concordant"], out["discordant"]) == (conc, disc)
+    assert abs(out["d_yx"] - 2 * (conc - disc) / (n * n - tx2)) <= 2e-6
+    assert abs(out["d_xy"] - 2 * (conc - disc) / (n * n - ty2)) <= 2e-6
+
+
+def test_intent_qs384_stuart_tau_c(spark, sf_dir):
+    ct = _prio_status_cells_pd(sf_dir)
+    conc, disc = _conc_disc_pd(ct)
+    n = int(ct.values.sum())
+    m = min(ct.shape)
+    out = _run(spark, sf_dir, "qs384_stuart_tau_c").iloc[0]
+    assert abs(
+        out["tau_c"] - 2 * m * (conc - disc) / (n * n * (m - 1))
+    ) <= 2e-6
+
+
+def test_intent_qs385_scott_pi(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    g = li.groupby("l_orderkey")
+    two = g.filter(lambda x: len(x) == 2)
+    two = two.copy()
+    two["ok"] = two["l_linenumber"] * 4 + two["l_returnflag"].map(
+        {"A": 0, "N": 1}
+    ).fillna(2).astype(int)
+    two = two.sort_values(["l_orderkey", "ok"], kind="mergesort")
+    a = two.groupby("l_orderkey")["l_returnflag"].first()
+    b = two.groupby("l_orderkey")["l_returnflag"].last()
+    n = len(a)
+    po = float((a.to_numpy() == b.to_numpy()).mean())
+    pe = sum(
+        ((a == f).sum() + (b == f).sum()) ** 2 for f in ("R", "N", "A")
+    ) / (4.0 * n * n)
+    out = _run(spark, sf_dir, "qs385_scott_pi").iloc[0]
+    assert out["n_subjects"] == n
+    assert abs(out["po"] - po) <= 2e-6
+    assert abs(out["scott_pi"] - (po - pe) / (1 - pe)) <= 2e-6
+
+
+def test_intent_qs386_yule_q(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    a = (o["o_totalprice"] >= 150000).to_numpy()
+    b = (o["o_orderpriority"].str[0].astype(int) <= 2).to_numpy()
+    n11 = int((a & b).sum())
+    n10 = int((a & ~b).sum())
+    n01 = int((~a & b).sum())
+    n00 = int((~a & ~b).sum())
+    out = _run(spark, sf_dir, "qs386_yule_q").iloc[0]
+    assert (out["n11"], out["n10"], out["n01"], out["n00"]) == (
+        n11, n10, n01, n00,
+    )
+    ad, bc = n11 * n00, n10 * n01
+    assert abs(out["yule_q"] - (ad - bc) / (ad + bc)) <= 2e-6
+    assert abs(out["odds_ratio"] - ad / bc) <= 2e-6
+    # identity Q = (OR-1)/(OR+1)
+    orr = out["odds_ratio"]
+    assert abs(out["yule_q"] - (orr - 1) / (orr + 1)) <= 1e-4
+
+
+def _daily_two_segments_pd(sf_dir):
+    o = _pd(sf_dir, "orders")
+    c = _pd(sf_dir, "customer")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j = j[j["c_mktsegment"].isin(["BUILDING", "MACHINERY"])]
+    j["cents"] = _cents(j["o_totalprice"])
+    d = (
+        j.groupby(["c_mktsegment", j["o_orderdate"].dt.date])["cents"]
+        .sum()
+        .reset_index()
+    )
+    d.columns = ["seg", "d", "y"]
+    return d
+
+
+def test_intent_qs387_ansari_bradley(spark, sf_dir):
+    d = _daily_two_segments_pd(sf_dir)
+    d = d.sort_values(["y", "seg", "d"]).reset_index(drop=True)
+    N = len(d)
+    rk = np.arange(1, N + 1)
+    scores = np.minimum(rk, N + 1 - rk)
+    is1 = (d["seg"] == "BUILDING").to_numpy()
+    n1, n2 = int(is1.sum()), int((~is1).sum())
+    ab = int(scores[is1].sum())
+    if N % 2 == 0:
+        mean = n1 * (N + 2) / 4.0
+        var = n1 * n2 * (N + 2) * (N - 2) / (48.0 * (N - 1))
+    else:
+        mean = n1 * (N + 1) ** 2 / (4.0 * N)
+        var = n1 * n2 * (N + 1) * (3 + N * N) / (48.0 * N * N)
+    out = _run(spark, sf_dir, "qs387_ansari_bradley").iloc[0]
+    assert (out["n1"], out["n2"], out["ab_stat"]) == (n1, n2, ab)
+    assert abs(out["z"] - (ab - mean) / math.sqrt(var)) <= 2e-4
+
+
+def test_intent_qs388_ww_runs(spark, sf_dir):
+    d = _daily_two_segments_pd(sf_dir)
+    d = d.sort_values(["y", "seg", "d"]).reset_index(drop=True)
+    segs = d["seg"].to_numpy()
+    runs = 1 + int((segs[1:] != segs[:-1]).sum())
+    n1 = int((segs == "BUILDING").sum())
+    n2 = int((segs == "MACHINERY").sum())
+    N = n1 + n2
+    mean = 2.0 * n1 * n2 / N + 1
+    var = 2.0 * n1 * n2 * (2.0 * n1 * n2 - N) / (N * N * (N - 1))
+    out = _run(spark, sf_dir, "qs388_ww_runs").iloc[0]
+    assert (out["n1"], out["n2"], out["runs"]) == (n1, n2, runs)
+    assert abs(out["z"] - (runs - mean) / math.sqrt(var)) <= 2e-4
+
+
+def test_intent_qs389_mrr(spark, sf_dir):
+    d = _pd(sf_dir, "documents")
+    toks = {
+        r.doc_id: set(t for t in r.text.lower().split(" ") if t)
+        for r in d.itertuples()
+    }
+    src = dict(zip(d["doc_id"], d["source"]))
+    qids = [i for i in d["doc_id"] if i % 50 == 0]
+    sum_rr = h1 = h3 = h10 = 0
+    for qid in qids:
+        scored = sorted(
+            (
+                (-len(toks[qid] & toks[cid]), cid)
+                for cid in d["doc_id"]
+                if cid != qid and len(toks[qid] & toks[cid]) > 0
+            ),
+        )
+        fr = None
+        for rank, (_s, cid) in enumerate(scored, start=1):
+            if src[cid] == src[qid]:
+                fr = rank
+                break
+        if fr is not None:
+            sum_rr += 1_000_000 // fr
+            h1 += fr == 1
+            h3 += fr <= 3
+            h10 += fr <= 10
+    out = _run(spark, sf_dir, "qs389_mrr_eval").iloc[0]
+    assert out["n_queries"] == len(qids)
+    assert (out["hits_at_1"], out["hits_at_3"], out["hits_at_10"]) == (
+        h1, h3, h10,
+    )
+    assert out["mrr_e6"] == sum_rr // len(qids)
+
+
+def test_intent_qs390_kpss(spark, sf_dir):
+    # Plain float KPSS from the definition: partial sums of the
+    # demeaned series over the Bartlett(l=4) long-run variance.
+    o = _pd(sf_dir, "orders")
+    t = (o["o_orderdate"].dt.year - 1992) * 12 + o["o_orderdate"].dt.month
+    y = (
+        pd.DataFrame({"t": t, "c": _cents(o["o_totalprice"])})
+        .groupby("t")["c"]
+        .sum()
+        .sort_index()
+        .to_numpy()
+        .astype(float)
+    )
+    N = len(y)
+    e = y - y.mean()
+    S = np.cumsum(e)
+    lrv = (e @ e) / N
+    for j in range(1, 5):
+        lrv += 2 * (1 - j / 5.0) * (e[j:] @ e[:-j]) / N
+    kpss = (S @ S) / (N * N * lrv)
+    out = _run(spark, sf_dir, "qs390_kpss").iloc[0]
+    assert out["n_months"] == N
+    assert abs(out["kpss_stat"] - kpss) <= 2e-6
+
+
+def test_intent_qs391_wasserstein(spark, sf_dir):
+    d = _daily_two_segments_pd(sf_dir)
+    x1 = np.sort(d[d["seg"] == "BUILDING"]["y"].to_numpy())
+    x2 = np.sort(d[d["seg"] == "MACHINERY"]["y"].to_numpy())
+    grid = np.unique(np.concatenate([x1, x2]))
+    w1 = 0.0
+    for lo, hi in zip(grid[:-1], grid[1:]):
+        f1 = np.searchsorted(x1, lo, side="right") / len(x1)
+        f2 = np.searchsorted(x2, lo, side="right") / len(x2)
+        w1 += abs(f1 - f2) * (hi - lo)
+    out = _run(spark, sf_dir, "qs391_wasserstein").iloc[0]
+    assert (out["n1"], out["n2"]) == (len(x1), len(x2))
+    assert abs(out["w1_dollars"] - w1 / 100.0) <= 2e-4
+
+
+def test_intent_qs392_lorenz_asymmetry(spark, sf_dir):
+    c = _pd(sf_dir, "customer")
+    x = np.sort(
+        _cents(c[c["c_acctbal"] > 0]["c_acctbal"]).astype(float)
+    )
+    n, mu = len(x), x.mean()
+    m = int((x < mu).sum())
+    xm, xm1 = x[m - 1], x[m]
+    delta = (mu - xm) / (xm1 - xm)
+    lac = (m + delta) / n + (x[:m].sum() + delta * xm1) / x.sum()
+    out = _run(spark, sf_dir, "qs392_lorenz_asymmetry").iloc[0]
+    assert out["n"] == n
+    assert out["n_below_mean"] == m
+    assert abs(out["lorenz_asymmetry"] - lac) <= 2e-6
