@@ -626,7 +626,11 @@ def qs389(spark: SparkSession, sf: str) -> DataFrame:
     floor(1e6 / rank), MRR their integer-mean floor — a ranking
     metric with zero floating point. Plan: one term-keyed sparse
     retrieval join, per-query ranking windows, conditional-MIN
-    first-relevant, one-row epilogue."""
+    first-relevant, one-row epilogue. SCALE: slice-scale EVAL
+    HARNESS by construction (the qs213/qs215/qs233 class, BASELINE
+    r12 cells) — the unpruned hot-term postings join is quadratic;
+    the prefix-filter join (qs163) and the ANN family are the scale
+    paths for this shape."""
     docs = load_table(spark, sf, "documents")
     toks = docs.select(
         "doc_id",
