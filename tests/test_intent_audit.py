@@ -4972,3 +4972,326 @@ def test_intent_qs392_lorenz_asymmetry(spark, sf_dir):
     assert out["n"] == n
     assert out["n_below_mean"] == m
     assert abs(out["lorenz_asymmetry"] - lac) <= 2e-6
+
+
+# -- wave 16 (r12): blocking/graph/streaming-batch family ------------------
+
+
+def test_intent_qs51_dedup_blocking(spark, sf_dir):
+    d = _pd(sf_dir, "documents")
+    from collections import defaultdict
+
+    blocks = defaultdict(list)
+    for r in d.itertuples():
+        blocks[(r.lang, r.n_chars)].append(r.doc_id)
+    pairs = []
+    for ids in blocks.values():
+        ids = sorted(ids)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                pairs.append((a, b))
+    ref = sorted(pairs)[:100]
+    out = _run(spark, sf_dir, "qs51_dedup_blocking")
+    assert [tuple(x) for x in out[["d1", "d2"]].to_numpy()] == ref
+
+
+def test_intent_qs64_salted_agg(spark, sf_dir):
+    # The salted two-level aggregation must equal the plain groupby.
+    o = _pd(sf_dir, "orders")
+    g = o.groupby("o_custkey")
+    ref = {
+        k: (len(v), round(_cents(v["o_totalprice"]).sum() / 100.0, 2))
+        for k, v in g
+    }
+    out = _run(spark, sf_dir, "qs64_salted_agg")
+    got = {
+        r["o_custkey"]: (r["n"], round(r["total"], 2))
+        for _, r in out.iterrows()
+    }
+    assert got == ref
+
+
+def test_intent_qs81_connected_dedup(spark, sf_dir):
+    # Union-find over the blocking graph; canonical id = component min.
+    d = _pd(sf_dir, "documents")
+    from collections import defaultdict
+
+    blocks = defaultdict(list)
+    for r in d.itertuples():
+        blocks[(r.lang, r.n_chars)].append(r.doc_id)
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for ids in blocks.values():
+        if len(ids) < 2:
+            continue
+        for i in ids:
+            parent.setdefault(i, i)
+            nodes.add(i)
+        root = ids[0]
+        for i in ids[1:]:
+            ra, rb = find(root), find(i)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    ref = {v: find(v) for v in nodes}
+    out = _run(spark, sf_dir, "qs81_connected_dedup")
+    got = dict(zip(out["doc_id"], out["component"]))
+    assert got == ref
+
+
+def test_intent_qs89_repetition_signal(spark, sf_dir):
+    d = _pd(sf_dir, "documents")
+    from collections import Counter
+
+    ref = {}
+    for r in d.itertuples():
+        toks = r.text.lower().split(" ")
+        if len(toks) < 2:
+            continue
+        c = Counter(
+            f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)
+        )
+        top = max(c.values())
+        n = sum(c.values())
+        ref[r.doc_id] = (top, n, top / n)
+    out = _run(spark, sf_dir, "qs89_repetition_signal")
+    got = {
+        r["doc_id"]: (r["top_cnt"], r["n_grams"], r["top_fraction"])
+        for _, r in out.iterrows()
+    }
+    assert set(got) == set(ref)
+    for k, (t, n, f) in ref.items():
+        assert got[k][0] == t and got[k][1] == n
+        assert abs(got[k][2] - f) <= 1e-12
+
+
+def _supplier_edges_pd(sf_dir, min_support):
+    li = _pd(sf_dir, "lineitem")
+    from collections import defaultdict
+
+    per_order = defaultdict(set)
+    for r in li.itertuples():
+        per_order[r.l_orderkey].add(r.l_suppkey)
+    support = defaultdict(int)
+    for sup in per_order.values():
+        sup = sorted(sup)
+        for i, a in enumerate(sup):
+            for b in sup[i + 1 :]:
+                support[(a, b)] += 1
+    # NOTE: pair support counts co-ORDER rows; lineitem may repeat a
+    # supplier inside an order — the queries count joined row pairs.
+    support2 = defaultdict(int)
+    per_order_rows = defaultdict(list)
+    for r in li.itertuples():
+        per_order_rows[r.l_orderkey].append(r.l_suppkey)
+    for rows in per_order_rows.values():
+        for i, a in enumerate(rows):
+            for b in rows:
+                if a < b:
+                    support2[(a, b)] += 1
+    return {p for p, n in support2.items() if n >= min_support}
+
+
+def test_intent_qs108_triangle_count(spark, sf_dir):
+    edges = _supplier_edges_pd(sf_dir, 3)
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = defaultdict(int)
+    for a, b in edges:
+        for z in adj[a] & adj[b]:
+            if z > b:
+                tri[a] += 1
+                tri[b] += 1
+                tri[z] += 1
+    out = _run(spark, sf_dir, "qs108_triangle_count")
+    got = dict(zip(out["node"], out["triangles"]))
+    assert got == dict(tri)
+
+
+def test_intent_qs119_bigram_lm(spark, sf_dir):
+    d = _pd(sf_dir, "documents")
+    from collections import Counter
+
+    docs = {}
+    cbg, cctx = Counter(), Counter()
+    vocab = set()
+    for r in d.itertuples():
+        ts = [t for t in r.text.lower().split(" ") if t]
+        vocab.update(ts)
+        bgs = list(zip(ts, ts[1:]))
+        docs[r.doc_id] = bgs
+        for bg in bgs:
+            cbg[bg] += 1
+            cctx[bg[0]] += 1
+    V = len(vocab)
+    out = _run(spark, sf_dir, "qs119_bigram_lm")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+        for _, r in out.iterrows()
+    }
+    ref = {
+        did: (
+            len(bgs),
+            np.mean(
+                [math.log((cbg[bg] + 1.0) / (cctx[bg[0]] + V)) for bg in bgs]
+            ),
+        )
+        for did, bgs in docs.items()
+        if bgs
+    }
+    assert set(got) == set(ref)
+    for k, (n, lp) in ref.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - lp) <= 2e-4
+
+
+def test_intent_qs195_islands(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    mi = (
+        li["l_shipdate"].dt.year * 12 + li["l_shipdate"].dt.month
+    )
+    months = set(zip(li["l_suppkey"], mi))
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for s, m in months:
+        per[s].append(m)
+    ref = {}
+    for s, ms in per.items():
+        ms = sorted(ms)
+        islands = []
+        run = 1
+        for a, b in zip(ms, ms[1:]):
+            if b == a + 1:
+                run += 1
+            else:
+                islands.append(run)
+                run = 1
+        islands.append(run)
+        ref[s] = (len(islands), max(islands), sum(islands))
+    out = _run(spark, sf_dir, "qs195_supplier_activity_islands")
+    got = {
+        r["l_suppkey"]: (
+            r["n_islands"], r["longest_months"], r["active_months"],
+        )
+        for _, r in out.iterrows()
+    }
+    assert got == ref
+
+
+def test_intent_qs196_embedding_drift(spark, sf_dir):
+    ids, V, labels = _emb(sf_dir)
+    Ve6 = np.round(V * 1_000_000).astype(np.int64)
+    out = _run(spark, sf_dir, "qs196_embedding_drift")
+    for _, r in out.iterrows():
+        m0 = (labels == r["label"]) & (ids % 2 == 0)
+        m1 = (labels == r["label"]) & (ids % 2 == 1)
+        assert (r["n0"], r["n1"]) == (int(m0.sum()), int(m1.sum()))
+        diff = Ve6[m0].mean(axis=0) - Ve6[m1].mean(axis=0)
+        assert abs(
+            r["centroid_dist"] - math.sqrt((diff ** 2).sum()) / 1e6
+        ) <= 2e-4
+
+
+def test_intent_qs242_cusum(spark, sf_dir):
+    e = _pd(sf_dir, "events")
+    e = e.copy()
+    e["day"] = e["ts"].dt.date
+    e["x"] = _cents(e["value"])
+    daily = e.groupby(["event_type", "day"])["x"].sum().reset_index()
+    out = _run(spark, sf_dir, "qs242_cusum_drift")
+    got = {
+        r["event_type"]: (r["peak_day"], r["cusum_peak"])
+        for _, r in out.iterrows()
+    }
+    for et, g in daily.groupby("event_type"):
+        g = g.sort_values("day")
+        x = g["x"].to_numpy()
+        n = len(x)
+        tot = x.sum()
+        cum = np.cumsum(x)
+        i = np.arange(1, n + 1)
+        t = np.abs(n * cum - i * tot)
+        best = int(np.argmax(t))  # np.argmax returns FIRST max = earliest day
+        peak_day, peak = got[et]
+        assert str(peak_day) == str(g["day"].iloc[best])
+        assert abs(peak - t[best] / (n * 100.0)) <= 0.02
+
+
+def test_intent_qs248_kmeans_update(spark, sf_dir):
+    ids, V, _ = _emb(sf_dir)
+    cents = {int(i): V[ids == i][0] for i in ids if i < 8}
+    norm = np.linalg.norm(V, axis=1)
+    assign = {}
+    for k, vi in enumerate(ids):
+        best = min(
+            (
+                -round(
+                    float(
+                        V[k] @ cents[c]
+                        / (norm[k] * np.linalg.norm(cents[c]))
+                    ),
+                    6,
+                ),
+                c,
+            )
+            for c in cents
+        )
+        assign.setdefault(best[1], []).append(k)
+    out = _run(spark, sf_dir, "qs248_kmeans_update")
+    assert len(out) == len(assign)
+    for _, r in out.iterrows():
+        rows = assign[r["cid"]]
+        assert r["n_assigned"] == len(rows)
+        for j, col in enumerate(("c1", "c2", "c3")):
+            assert abs(V[rows, j].mean() - r[col]) <= 2e-4
+
+
+def test_intent_qs260_hits(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    li = _pd(sf_dir, "lineitem")
+    j = o.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    edges = set(zip(j["o_custkey"], j["l_suppkey"]))
+    from collections import defaultdict
+
+    a1 = defaultdict(int)
+    for c, s in edges:
+        a1[s] += 1
+    h1 = defaultdict(int)
+    for c, s in edges:
+        h1[c] += a1[s]
+    a2 = defaultdict(int)
+    for c, s in edges:
+        a2[s] += h1[c]
+    top = sorted(a2.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    out = _run(spark, sf_dir, "qs260_hits_scores")
+    assert [
+        (r["node"], r["authority"]) for _, r in out.iterrows()
+    ] == top
+
+
+def test_intent_qs68_interleave(spark, sf_dir):
+    d = _pd(sf_dir, "documents")
+    web_srcs = {f"src{i}" for i in range(10)}
+    ref = []
+    for r in d.itertuples():
+        if r.source in web_srcs:
+            if _bucket(r.doc_id, "mix|web") < 250_000:
+                ref.append((r.doc_id, "web"))
+        else:
+            ref.append((r.doc_id, "curated"))
+    ref = sorted(ref)
+    out = _run(spark, sf_dir, "qs68_interleave_sources")
+    assert [
+        tuple(x) for x in out[["doc_id", "source_ds"]].to_numpy()
+    ] == ref
