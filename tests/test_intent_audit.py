@@ -5295,3 +5295,217 @@ def test_intent_qs68_interleave(spark, sf_dir):
     assert [
         tuple(x) for x in out[["doc_id", "source_ds"]].to_numpy()
     ] == ref
+
+
+# -- wave 17 (r12): portable-sketch + containment + scorecard family -------
+# The md5-derived sketch structures (CMS counters, HLL registers,
+# hyperplane sign bits, minhash slices) recomputed with hashlib from
+# their documented definitions.
+
+
+def test_intent_qs110_cms_sketch(spark, sf_dir):
+    d = _pd(sf_dir, "documents")
+    from collections import Counter
+
+    ref = Counter()
+    for text in d["text"]:
+        for term in text.lower().split(" "):
+            if term:
+                for j in range(4):
+                    ref[(j, int(_md5(f"{j}:{term}")[:8], 16) % 64)] += 1
+    out = _run(spark, sf_dir, "qs110_cms_sketch")
+    got = {
+        (r["j"], r["bucket"]): r["cnt"] for _, r in out.iterrows()
+    }
+    assert got == dict(ref)
+
+
+def test_intent_qs111_segment_dedup(spark, sf_dir):
+    d = _pd(sf_dir, "documents")
+    from collections import defaultdict
+
+    docfreq = defaultdict(set)
+    for r in d.itertuples():
+        for seg in r.text.split(" "):
+            if seg:
+                docfreq[seg].add(r.doc_id)
+    blocked = {s for s, docs in docfreq.items() if len(docs) >= 100}
+    ref = {}
+    for r in d.itertuples():
+        kept = [s for s in r.text.split(" ") if s and s not in blocked]
+        ref[r.doc_id] = (" ".join(kept), len(kept))
+    out = _run(spark, sf_dir, "qs111_segment_dedup")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"])
+        for _, r in out.iterrows()
+    }
+    assert got == ref
+
+
+def test_intent_qs122_minhash_signatures(spark, sf_dir):
+    d = _pd(sf_dir, "documents")
+    ref = {}
+    for r in d.itertuples():
+        ss = _shingles(r.text)  # 3-token shingles, original case
+        if not ss:
+            continue
+        sig = [
+            min(
+                _md5(f"p{j // 4}|" + s)[8 * (j % 4) : 8 * (j % 4) + 8]
+                for s in ss
+            )
+            for j in range(12)
+        ]
+        ref[r.doc_id] = ",".join(sig)
+    out = _run(spark, sf_dir, "qs122_minhash_signatures")
+    got = dict(zip(out["doc_id"], out["sig_csv"]))
+    assert got == ref
+
+
+def _hll_estimate_py(values, p=10):
+    m = 1 << p
+    regs = {}
+    for v in values:
+        h = _md5(str(v))
+        idx = int(h[:8], 16) % m
+        w = int(h[8:16], 16)
+        rank = 33 if w == 0 else 33 - w.bit_length()
+        regs[idx] = max(regs.get(idx, 0), rank)
+    sp = sum(1 << (40 - r) for r in regs.values())
+    v0 = m - len(regs)
+    s_scaled = float(sp + v0 * (1 << 40))
+    alpha_num = (0.7213 / (1.0 + 1.079 / m)) * m * m * float(1 << 40)
+    e_raw = alpha_num / s_scaled
+    if e_raw <= 2.5 * m and v0 > 0:
+        return round(m * math.log(m / float(v0)))
+    return round(e_raw)
+
+
+def test_intent_qs90_hll_distinct(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    out = _run(spark, sf_dir, "qs90_hll_distinct_sketch")
+    got = dict(zip(out["l_returnflag"], out["estimate"]))
+    for flag, g in li.groupby("l_returnflag"):
+        est = _hll_estimate_py(g["l_orderkey"].tolist())
+        assert got[flag] == est
+        # sketch sanity: p=10 standard error is ~3.25%; this draw's
+        # worst flag sits at 10.8% — a 15% band catches gross breakage
+        # without flaking on the tail
+        true = g["l_orderkey"].nunique()
+        assert abs(est - true) <= 0.15 * true
+
+
+def test_intent_qs112_lsh_buckets(spark, sf_dir):
+    # Hyperplane signs from md5 parity (seed:bit:dim first digest
+    # byte & 1), bucket = sum of sign-projection bits.
+    ids, V, _ = _emb(sf_dir)
+    signs = np.array(
+        [
+            [
+                1
+                if hashlib.md5(f"0:{i}:{d}".encode()).digest()[0] & 1
+                else -1
+                for d in range(64)
+            ]
+            for i in range(8)
+        ],
+        dtype=np.float64,
+    )
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for k, vid in enumerate(ids):
+        b = 0
+        for i in range(8):
+            # same left-to-right summation; float64 exactness is not
+            # required for the sign at these magnitudes
+            if float(signs[i] @ V[k]) >= 0:
+                b |= 1 << i
+        buckets[b].append(vid)
+    out = _run(spark, sf_dir, "qs112_lsh_buckets")
+    got = {
+        r["bucket"]: (r["n"], r["min_id"]) for _, r in out.iterrows()
+    }
+    ref = {b: (len(v), min(v)) for b, v in buckets.items()}
+    assert got == ref
+
+
+def test_intent_qs137_heavy_hitters(spark, sf_dir):
+    # CMS candidates over-approximate; the exact refine means the
+    # final set IS the exact heavy-hitter set (cnt * 1000 >= N).
+    d = _pd(sf_dir, "documents")
+    from collections import Counter
+
+    c = Counter()
+    for text in d["text"]:
+        for t in text.lower().split(" "):
+            if t:
+                c[t] += 1
+    n = sum(c.values())
+    ref = {t: k for t, k in c.items() if k * 1000 >= n}
+    out = _run(spark, sf_dir, "qs137_sketch_heavy_hitters")
+    got = dict(zip(out["tok"], out["cnt"]))
+    assert got == ref
+
+
+def test_intent_qs341_shingle_containment(spark, sf_dir):
+    d = _pd(sf_dir, "documents")
+    from collections import defaultdict
+
+    blocks = defaultdict(list)
+    for r in d.itertuples():
+        ss = _shingles(r.text)  # original-case trigrams
+        if ss:
+            blocks[(r.lang, r.n_chars // 64)].append((r.doc_id, ss))
+    ref = {}
+    for ids in blocks.values():
+        ids.sort()
+        for i, (a, sa) in enumerate(ids):
+            for b, sb in ids[i + 1 : i + 1 + 48]:
+                inter = len(sa & sb)
+                if 2 * inter >= len(sa) or 2 * inter >= len(sb):
+                    ref[(a, b)] = (
+                        inter,
+                        inter * 10000 // len(sa),
+                        inter * 10000 // len(sb),
+                    )
+    out = _run(spark, sf_dir, "qs341_shingle_containment")
+    got = {
+        (r["d1"], r["d2"]): (r["n_common"], r["cont12_bp"], r["cont21_bp"])
+        for _, r in out.iterrows()
+    }
+    assert got == ref
+
+
+def test_intent_qs300_scorecard(spark, sf_dir):
+    import re
+
+    o = _pd(sf_dir, "orders")
+    li = _pd(sf_dir, "lineitem")
+    c = _pd(sf_dir, "customer")
+    d = _pd(sf_dir, "documents")
+    out = _run(spark, sf_dir, "qs300_validation_scorecard").iloc[0]
+    assert out["n_orders"] == len(o)
+    assert out["n_lineitems"] == len(li)
+    assert out["n_customers"] == len(c)
+    okeys = set(o["o_orderkey"])
+    assert out["orphan_lineitems"] == int(
+        (~li["l_orderkey"].isin(okeys)).sum()
+    )
+    assert out["dup_order_keys"] == int(
+        (o["o_orderkey"].value_counts() > 1).sum()
+    )
+    assert out["null_custkeys"] == int(o["o_custkey"].isna().sum())
+    j = li.merge(
+        o[["o_orderkey", "o_orderdate"]],
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+    )
+    assert out["ship_before_order"] == int(
+        (j["l_shipdate"] < j["o_orderdate"]).sum()
+    )
+    pat = re.compile(r"[0-9]{3}-[0-9]{2}-[0-9]{4}")
+    assert out["ssn_like_docs"] == sum(
+        1 for t in d["text"] if pat.search(t)
+    )
+    assert out["negative_balances"] == int((c["c_acctbal"] < 0).sum())
