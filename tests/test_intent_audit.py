@@ -5509,3 +5509,201 @@ def test_intent_qs300_scorecard(spark, sf_dir):
         1 for t in d["text"] if pat.search(t)
     )
     assert out["negative_balances"] == int((c["c_acctbal"] < 0).sum())
+
+
+# -- wave 18 (r12): sketch composition + leakage + anonymization -----------
+
+
+def test_intent_qs143_hll_registers(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    ref = {}
+    for flag, g in li.groupby("l_returnflag"):
+        for v in g["l_orderkey"]:
+            h = _md5(str(v))
+            idx = int(h[:8], 16) % 256
+            w = int(h[8:16], 16)
+            r = 33 if w == 0 else 33 - w.bit_length()
+            k = (flag, idx)
+            ref[k] = max(ref.get(k, 0), r)
+    out = _run(spark, sf_dir, "qs143_hll_register_table")
+    got = {
+        (r["l_returnflag"], r["idx"]): r["r"] for _, r in out.iterrows()
+    }
+    assert got == ref
+
+
+def test_intent_qs144_dsir_weights(spark, sf_dir):
+    d = _pd(sf_dir, "documents")
+    from collections import Counter, defaultdict
+
+    raw_b, tgt_b = Counter(), Counter()
+    doc_b = defaultdict(Counter)
+    n_raw = n_tgt = 0
+    for r in d.itertuples():
+        for t in r.text.lower().split(" "):
+            if not t:
+                continue
+            b = int(_md5(t)[:8], 16) % 256
+            raw_b[b] += 1
+            n_raw += 1
+            doc_b[r.doc_id][b] += 1
+            if r.lang == "en":
+                tgt_b[b] += 1
+                n_tgt += 1
+    lr = {
+        b: round(
+            math.log(
+                ((tgt_b.get(b, 0) + 1) / (n_tgt + 256))
+                / ((c + 1) / (n_raw + 256))
+            )
+            * 1_000_000
+        )
+        for b, c in raw_b.items()
+    }
+    out = _run(spark, sf_dir, "qs144_dsir_importance_weights")
+    got = {
+        r["doc_id"]: (r["weight_e6"], r["n_tokens"])
+        for _, r in out.iterrows()
+    }
+    ref = {
+        did: (
+            sum(k * lr[b] for b, k in bs.items()),
+            sum(bs.values()),
+        )
+        for did, bs in doc_b.items()
+    }
+    assert got == ref
+
+
+def test_intent_qs170_hll_intersection(spark, sf_dir):
+    e = _pd(sf_dir, "events")
+    e = e[e["event_type"].isin(["click", "purchase"])].copy()
+    e["ud"] = (
+        e["user_id"].astype(str) + ":" + e["ts"].dt.date.astype(str)
+    )
+    a = set(e[e["event_type"] == "click"]["ud"])
+    b = set(e[e["event_type"] == "purchase"]["ud"])
+    ea = _hll_estimate_py(sorted(a))
+    eb = _hll_estimate_py(sorted(b))
+    eu = _hll_estimate_py(sorted(a | b))
+    out = _run(spark, sf_dir, "qs170_hll_intersection").iloc[0]
+    assert (out["est_a"], out["est_b"], out["est_union"]) == (ea, eb, eu)
+    assert out["est_intersection"] == ea + eb - eu
+    assert out["exact_intersection"] == len(a & b)
+
+
+def test_intent_qs171_cms_join_size(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    from collections import Counter
+
+    sk = [Counter() for _ in range(4)]
+    for v in li["l_partkey"]:
+        for j in range(4):
+            sk[j][int(_md5(f"{j}:{v}")[:8], 16) % 4096] += 1
+    est = min(sum(c * c for c in sk[j].values()) for j in range(4))
+    exact = sum(c * c for c in Counter(li["l_partkey"]).values())
+    out = _run(spark, sf_dir, "qs171_cms_join_size").iloc[0]
+    assert (out["est_pairs"], out["exact_pairs"]) == (est, exact)
+    assert est >= exact  # CMS inner products only over-estimate
+    assert abs(
+        out["overest_pct"] - round((est - exact) * 100.0 / exact, 2)
+    ) <= 0.011
+
+
+def test_intent_qs152_bloom(spark, sf_dir):
+    d = _pd(sf_dir, "documents")
+    total_bits = 64 * 32
+    member = set()
+    probes = {}
+    for r in d.itertuples():
+        ss = _shingles(r.text)  # original-case trigrams
+        if r.doc_id % 10 == 0:
+            for s in ss:
+                for j in range(3):
+                    member.add(int(_md5(f"{j}:{s}")[:8], 16) % total_bits)
+        else:
+            probes[r.doc_id] = ss
+    ref = {}
+    for did, ss in probes.items():
+        flagged = sum(
+            1
+            for s in ss
+            if all(
+                int(_md5(f"{j}:{s}")[:8], 16) % total_bits in member
+                for j in range(3)
+            )
+        )
+        if ss:
+            ref[did] = (len(ss), flagged)
+    out = _run(spark, sf_dir, "qs152_bloom_decontaminate")
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_flagged"])
+        for _, r in out.iterrows()
+    }
+    assert got == ref
+
+
+def test_intent_qs308_split_leakage(spark, sf_dir):
+    # Recompute the full composition: minhash-LSH pairs (wave-14
+    # machinery) x md5 hash-split folds -> per-fold-pair leakage.
+    d = _pd(sf_dir, "documents")
+    sh = {r.doc_id: _shingles(r.text) for r in d.itertuples()}
+    sigs = {}
+    for did, ss in sh.items():
+        if not ss:
+            continue
+        sigs[did] = [
+            min(
+                _md5(f"p{j // 4}|" + s)[8 * (j % 4) : 8 * (j % 4) + 8]
+                for s in ss
+            )
+            for j in range(12)
+        ]
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for did, sg in sigs.items():
+        for b in range(4):
+            buckets[(b, _md5(",".join(sg[3 * b : 3 * b + 3])))].append(did)
+    cands = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                cands.add((a, b))
+    split = {}
+    for did in d["doc_id"]:
+        bk = _bucket(did, "split")
+        split[did] = (
+            "train" if bk < 800_000 else ("val" if bk < 900_000 else "test")
+        )
+    agg = defaultdict(lambda: [0, 0])
+    for a, b in cands:
+        inter = len(sh[a] & sh[b])
+        union = len(sh[a] | sh[b])
+        jac = inter / union if union else 0.0
+        if jac >= 0.5 and split[a] != split[b]:
+            key = "|".join(sorted((split[a], split[b])))
+            agg[key][0] += 1
+            agg[key][1] += math.floor(jac * 10000)
+    out = _run(spark, sf_dir, "qs308_split_leakage")
+    got = {
+        r["split_pair"]: (r["n_pairs"], r["sum_jac_bp"])
+        for _, r in out.iterrows()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_intent_qs96_anonymize(spark, sf_dir):
+    c = _pd(sf_dir, "customer")
+    out = _run(spark, sf_dir, "qs96_anonymize")
+    got = {
+        r["c_custkey"]: (r["name_h"], r["seg_m"], r["bal_band"])
+        for _, r in out.iterrows()
+    }
+    for r in c.itertuples():
+        h = hashlib.sha256(("pepper" + r.c_name).encode()).hexdigest()
+        seg = r.c_mktsegment
+        masked = "*" * max(len(seg) - 4, 0) + seg[-4:]
+        band = int(math.floor(r.c_acctbal / 1000) * 1000)
+        assert got[r.c_custkey] == (h, masked, band)
