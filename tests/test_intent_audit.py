@@ -5707,3 +5707,159 @@ def test_intent_qs96_anonymize(spark, sf_dir):
         masked = "*" * max(len(seg) - 4, 0) + seg[-4:]
         band = int(math.floor(r.c_acctbal / 1000) * 1000)
         assert got[r.c_custkey] == (h, masked, band)
+
+
+# -- wave 19 (r12): final stragglers ---------------------------------------
+
+
+def test_intent_qs138_repetition_rowlocal(spark, sf_dir):
+    # Same textbook reference as qs89 — the row-local strategy must
+    # produce identical rows.
+    d = _pd(sf_dir, "documents")
+    from collections import Counter
+
+    ref = {}
+    for r in d.itertuples():
+        toks = r.text.lower().split(" ")
+        if len(toks) < 2:
+            continue
+        c = Counter(
+            f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)
+        )
+        ref[r.doc_id] = (max(c.values()), sum(c.values()))
+    out = _run(spark, sf_dir, "qs138_repetition_rowlocal")
+    got = {
+        r["doc_id"]: (r["top_cnt"], r["n_grams"])
+        for _, r in out.iterrows()
+    }
+    assert got == ref
+
+
+def test_intent_qs207_feature_hashing(spark, sf_dir):
+    d = _pd(sf_dir, "documents")
+    from collections import Counter
+
+    ref = Counter()
+    for r in d.itertuples():
+        if r.doc_id % 20 != 0:
+            continue
+        for t in r.text.lower().split(" "):
+            if t:
+                ref[(r.doc_id, int(_md5(t)[:8], 16) % 1024)] += 1
+    out = _run(spark, sf_dir, "qs207_feature_hashing")
+    got = {
+        (r["doc_id"], r["bucket"]): r["cnt"] for _, r in out.iterrows()
+    }
+    assert got == dict(ref)
+
+
+def test_intent_qs293_threshold_sweep(spark, sf_dir):
+    # Recompute the qs55 pair pipeline, then the 5-threshold curve.
+    d = _pd(sf_dir, "documents")
+    sh = {r.doc_id: _shingles(r.text) for r in d.itertuples()}
+    sigs = {}
+    for did, ss in sh.items():
+        if not ss:
+            continue
+        sigs[did] = [
+            min(
+                _md5(f"p{j // 4}|" + s)[8 * (j % 4) : 8 * (j % 4) + 8]
+                for s in ss
+            )
+            for j in range(12)
+        ]
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for did, sg in sigs.items():
+        for b in range(4):
+            buckets[(b, _md5(",".join(sg[3 * b : 3 * b + 3])))].append(did)
+    pairs = {}
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                if (a, b) in pairs:
+                    continue
+                inter = len(sh[a] & sh[b])
+                union = len(sh[a] | sh[b])
+                jac = inter / union if union else 0.0
+                if jac >= 0.5:
+                    pairs[(a, b)] = jac
+    n_docs = len(d)
+    out = _run(spark, sf_dir, "qs293_dedup_threshold_sweep")
+    assert len(out) == 5
+    for _, r in out.iterrows():
+        t = r["threshold"]
+        sel = {p for p, j in pairs.items() if j >= t}
+        docs = {x for p in sel for x in p}
+        assert r["n_pairs"] == len(sel)
+        assert r["n_docs_affected"] == len(docs)
+        assert abs(
+            r["affected_bp"] - round(10000.0 * len(docs) / n_docs, 2)
+        ) <= 0.011
+
+
+def test_intent_qs255_bm25_topk(spark, sf_dir):
+    import re
+
+    d = _pd(sf_dir, "documents")
+    toks = {
+        r.doc_id: [t for t in re.split(r"\s+", r.text.lower()) if t]
+        for r in d.itertuples()
+    }
+    dl = {k: len(v) for k, v in toks.items() if v}
+    N = len(dl)
+    avgdl = sum(dl.values()) / N
+    terms = ("data", "query", "scan")
+    df = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    scored = {}
+    for did, tk in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = tk.count(t)
+            if tf == 0:
+                continue
+            idf = math.log((N - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl[did] / avgdl))
+        if s > 0.0:
+            scored[did] = round(s, 4)
+    top = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    out = _run(spark, sf_dir, "qs255_bm25_topk")
+    got = [(r["doc_id"], r["bm25"]) for _, r in out.iterrows()]
+    assert [g[0] for g in got] == [t[0] for t in top]
+    for (gd, gs), (_td, ts) in zip(got, top):
+        assert abs(gs - ts) <= 2e-4
+
+
+def test_intent_qs59_ivf_topk(spark, sf_dir):
+    # IVF from the documented deterministic construction: centroids =
+    # first 8 vectors, assignment by 6dp cosine (cid tiebreak), probe
+    # the 3 closest buckets, exact top-10 within (4dp, id tiebreak).
+    ids, V, _ = _emb(sf_dir)
+    norm = np.linalg.norm(V, axis=1)
+    cents = {int(i): V[ids == i][0] for i in ids if i < 8}
+    cnorm = {c: np.linalg.norm(v) for c, v in cents.items()}
+    q = V[ids == 0][0]
+    qn = np.linalg.norm(q)
+    assign = {}
+    for k, vid in enumerate(ids):
+        best = min(
+            (-round(float(V[k] @ cents[c] / (norm[k] * cnorm[c])), 6), c)
+            for c in cents
+        )
+        assign[int(vid)] = best[1]
+    probed = sorted(
+        cents, key=lambda c: (-round(float(cents[c] @ q / (cnorm[c] * qn)), 6), c)
+    )[:3]
+    cand = [
+        (int(vid), round(float(V[k] @ q / (norm[k] * qn)), 4))
+        for k, vid in enumerate(ids)
+        if assign[int(vid)] in probed
+    ]
+    top = sorted(cand, key=lambda kv: (-kv[1], kv[0]))[:10]
+    out = _run(spark, sf_dir, "qs59_ivf_topk")
+    got = [(r["vec_id"], r["sim"]) for _, r in out.iterrows()]
+    assert [g[0] for g in got] == [t[0] for t in top]
+    for (_gd, gs), (_td, ts) in zip(got, top):
+        assert abs(gs - ts) <= 2e-4
