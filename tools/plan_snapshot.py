@@ -68,6 +68,13 @@ SNAPSHOT_QUERIES = [
     # entropy epilogue.
     "qs269_logrank_test",
     "qs274_js_divergence",
+    # r12 structural plans: the two-segment pooled rank window (no
+    # broadcast hints on the corpus-proportional join), the exact
+    # KPSS month-grid cumsum/lag pass, and the merged value-grid
+    # Wasserstein CDF window.
+    "qs387_ansari_bradley",
+    "qs390_kpss",
+    "qs391_wasserstein",
     # r7 session-2 structural plans: the one-row exact-moment pivot
     # epilogue (CUPED), the boundary-broadcast multi-ntile (RFM),
     # and the multi-weight bucketed prefix sum (Jonckheere).
