@@ -336,7 +336,12 @@ def _dir_bytes(path: str) -> int:
 # the 1-min loadavg drops below the threshold before starting the JVM,
 # and emit the launch loadavg into the JSON so any future inflated
 # point carries its own diagnosis.
-SETTLE_LOADAVG = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE_LOADAVG", "1.5"))
+# 0.6, not 1.5: measured r12 ladder — launch at loadavg 1.4 (decaying
+# from a just-finished test suite) inflated the workload wall to
+# 0.094 s, 0.76 gave 0.071 s, 0.33 gave 0.068 s vs the 0.058-0.067
+# fully-settled band; each ~0.4 of 1-min decay costs ~60-90 s of wait,
+# and 0.6 is the measured knee of that ladder within the 420 s budget.
+SETTLE_LOADAVG = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE_LOADAVG", "0.6"))
 SETTLE_MAX_WAIT = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE_MAX", "420"))
 SETTLE_POLL = 5.0
 
@@ -358,10 +363,18 @@ def settle(
     return la, round(time.monotonic() - t0, 1)
 
 
+def loadavg5() -> float:
+    """5-min loadavg — emitted alongside the launch value because the
+    1-min average settles minutes before the box does (measured r12:
+    a 0.19/1.09 launch still ran ~8% above the fully-idle band)."""
+    return os.getloadavg()[1]
+
+
 def main() -> None:
     from cds_etl_spark.session import get_spark
 
     loadavg_launch, settle_wait = settle()
+    loadavg5_launch = loadavg5()
     data_bytes = _dir_bytes(SF_DIR)
     large = data_bytes >= LOCAL_LATENCY_LARGE_DATA_BYTES
     spark = get_spark(
@@ -461,6 +474,7 @@ def main() -> None:
         "mode": f"concurrent{BATCH_THREADS}_fair_bestof{BATCH_RUNS}",
         "profile": "local_scale" if large else "local_latency",
         "loadavg_launch": round(loadavg_launch, 2),
+        "loadavg5_launch": round(loadavg5_launch, 2),
         "settle_wait_sec": settle_wait,
         "sf": sf,
     }
