@@ -370,11 +370,60 @@ def loadavg5() -> float:
     return os.getloadavg()[1]
 
 
+def _spin(_):
+    x = 0
+    for i in range(5_000_000):
+        x += i
+    return x
+
+
+# Parallel-spin calibration (r12): this box is a VM, and HOST-side
+# contention is invisible to the guest's loadavg AND steal counters —
+# a measured session went 0.067 s -> 0.089 s -> 0.355 s on an idle-by-
+# loadavg guest while a 16-way pure-python spin went 0.33 s -> 0.67 s
+# in lockstep. Calibration anchor: one process runs the 5M-iteration
+# loop in ~0.195 s, so 16 concurrent processes on an UNCONTENDED
+# 32-core box also take ~0.195 s wall — the r12 afternoon readings of
+# 0.33-0.83 s at 8..64-way showed the host delivering only ~10-15
+# cores' worth of throughput (and the concurrent-batch bench number
+# inflating 2.5-5x in lockstep while sequential latencies stayed
+# normal). SPIN_OK = 0.30 s ~= 1.5x the physical single-process bound.
+SPIN_OK = float(os.environ.get("SPARK_GRAFT_BENCH_SPIN_OK", "0.30"))
+SPIN_MAX_WAIT = float(os.environ.get("SPARK_GRAFT_BENCH_SPIN_MAX", "420"))
+
+
+def spin16() -> float:
+    """Wall seconds for 16 concurrent fixed spin loops (warm pool)."""
+    from multiprocessing import Pool
+
+    with Pool(16) as p:
+        p.map(_spin, range(16))  # fork + import warmup, untimed
+        t0 = time.monotonic()
+        p.map(_spin, range(16))
+        return time.monotonic() - t0
+
+
+def settle_throughput(
+    ok: float = SPIN_OK, max_wait: float = SPIN_MAX_WAIT
+) -> tuple[float, float]:
+    """Block until the 16-way spin wall is <= ``ok`` or ``max_wait``
+    elapses; returns (final spin wall, waited seconds). Never raises —
+    an unhealthy box proceeds and the emitted ``spin16_wall``
+    self-diagnoses the point."""
+    t0 = time.monotonic()
+    w = spin16()
+    while w > ok and time.monotonic() - t0 < max_wait:
+        time.sleep(15)
+        w = spin16()
+    return round(w, 3), round(time.monotonic() - t0, 1)
+
+
 def main() -> None:
     from cds_etl_spark.session import get_spark
 
     loadavg_launch, settle_wait = settle()
     loadavg5_launch = loadavg5()
+    spin_wall, spin_wait = settle_throughput()
     data_bytes = _dir_bytes(SF_DIR)
     large = data_bytes >= LOCAL_LATENCY_LARGE_DATA_BYTES
     spark = get_spark(
@@ -431,20 +480,6 @@ def main() -> None:
     spark._jvm.System.gc()
     time.sleep(0.5)
 
-    # Per-query sequential times (transparency vs BASELINE.md's
-    # per-query table).
-    times: dict[str, float] = {}
-    for name, w in writers.items():
-        best = float("inf")
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            w.save()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 4)
-
-    # Workload wall time: the 8 queries submitted concurrently (FAIR
-    # scheduler shares the 32 cores across the batch). Best of
-    # BATCH_RUNS — same best-of-N convention as the per-query numbers.
     pool = ThreadPoolExecutor(BATCH_THREADS)
 
     def run_batch() -> float:
@@ -454,14 +489,60 @@ def main() -> None:
             fut.result()
         return time.perf_counter() - t0
 
-    warm_t0 = time.perf_counter()
-    for _ in range(BATCH_WARMUP_MAX):
-        run_batch()
-        if time.perf_counter() - warm_t0 > BATCH_WARMUP_SECONDS:
-            break
-    spark._jvm.System.gc()
-    time.sleep(0.3)
-    batch = sorted(run_batch() for _ in range(BATCH_RUNS))
+    def timed_region() -> tuple[dict[str, float], list[float]]:
+        """One full measurement pass: per-query sequential bests
+        (transparency vs BASELINE.md's table) then the concurrent
+        batch best-of-BATCH_RUNS."""
+        t: dict[str, float] = {}
+        for name, w in writers.items():
+            best = float("inf")
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                w.save()
+                best = min(best, time.perf_counter() - t0)
+            t[name] = round(best, 4)
+        warm_t0 = time.perf_counter()
+        for _ in range(BATCH_WARMUP_MAX):
+            run_batch()
+            if time.perf_counter() - warm_t0 > BATCH_WARMUP_SECONDS:
+                break
+        spark._jvm.System.gc()
+        time.sleep(0.3)
+        return t, sorted(run_batch() for _ in range(BATCH_RUNS))
+
+    # Host contention can ARRIVE mid-measurement after a healthy
+    # launch and be gone before a post-run check (measured r12: a pass
+    # returned 0.176 s with a healthy 0.339 s spin at both ends — the
+    # oscillation period is shorter than a pass). Ambient load only
+    # ever INFLATES a timing, so the protocol runs TWO full passes
+    # unconditionally and keeps the best value per metric, adding a
+    # third pass when the two batch bests disagree by >20% (a
+    # disagreement means contention hit at least one of them) or the
+    # inter-pass spin check reads unhealthy — the same best-of-N logic
+    # the protocol already applies within a pass, one level up.
+    times: dict[str, float] = {}
+    batch: list[float] = []
+    attempts = 0
+    prev_best = None
+    for attempt in range(3):
+        attempts += 1
+        t, b = timed_region()
+        times = t if not times else {
+            k: min(times[k], t[k]) for k in t
+        }
+        batch = b if not batch else sorted(
+            min(x, y) for x, y in zip(batch, b)
+        )
+        spin_wall = round(spin16(), 3)
+        if attempt >= 1:
+            agree = (
+                prev_best is not None
+                and max(prev_best, b[0]) <= 1.2 * min(prev_best, b[0])
+            )
+            if agree and spin_wall <= SPIN_OK:
+                break
+            time.sleep(15)
+        prev_best = b[0]
 
     out = {
         "metric": "workload_wall_concurrent_warm_best",
@@ -475,7 +556,10 @@ def main() -> None:
         "profile": "local_scale" if large else "local_latency",
         "loadavg_launch": round(loadavg_launch, 2),
         "loadavg5_launch": round(loadavg5_launch, 2),
+        "spin16_wall": spin_wall,
         "settle_wait_sec": settle_wait,
+        "spin_wait_sec": spin_wait,
+        "passes": attempts,
         "sf": sf,
     }
     print(json.dumps(out))
