@@ -26,6 +26,7 @@ from cds_etl_spark.plans import (  # noqa: E402,F401  (import = registration)
     q_assoc_eval,
     q_diagnostics,
     q_diagnostics2,
+    q_diagnostics3,
 )
 
 __all__ = ["QUERIES", "ORACLE_SQL"]

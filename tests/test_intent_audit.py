@@ -5863,3 +5863,68 @@ def test_intent_qs59_ivf_topk(spark, sf_dir):
     assert [g[0] for g in got] == [t[0] for t in top]
     for (_gd, gs), (_td, ts) in zip(got, top):
         assert abs(gs - ts) <= 2e-4
+
+
+# -- wave 20 (r13): the qs393 prefix-shortlist MRR composition --------------
+
+
+def test_intent_qs393_mrr_prefix_shortlist(spark, sf_dir):
+    # Independent pure-Python serving path: global df per term, each
+    # query keeps its 3 rarest (df, term) tokens, candidates are docs
+    # sharing any of them, ranked by full distinct-token overlap with
+    # cid tiebreak, first same-source WITHIN the top-10 shortlist.
+    d = _pd(sf_dir, "documents")
+    toks = {
+        r.doc_id: set(t for t in r.text.lower().split(" ") if t)
+        for r in d.itertuples()
+    }
+    df_count: dict[str, int] = {}
+    for ts in toks.values():
+        for t in ts:
+            df_count[t] = df_count.get(t, 0) + 1
+    src = dict(zip(d["doc_id"], d["source"]))
+    qids = [i for i in d["doc_id"] if i % 50 == 0]
+    sum_rr = h1 = h3 = h10 = 0
+    for qid in qids:
+        prefix = [
+            t for _df, t in sorted((df_count[t], t) for t in toks[qid])[:3]
+        ]
+        cand = {
+            cid
+            for cid in d["doc_id"]
+            if cid != qid and any(t in toks[cid] for t in prefix)
+        }
+        scored = sorted((-len(toks[qid] & toks[c]), c) for c in cand)
+        fr = None
+        for rank, (_s, cid) in enumerate(scored[:10], start=1):
+            if src[cid] == src[qid]:
+                fr = rank
+                break
+        if fr is not None:
+            sum_rr += 1_000_000 // fr
+            h1 += fr == 1
+            h3 += fr <= 3
+            h10 += fr <= 10
+    out = _run(spark, sf_dir, "qs393_mrr_prefix_shortlist").iloc[0]
+    assert out["n_queries"] == len(qids)
+    assert (out["hits_at_1"], out["hits_at_3"], out["hits_at_10"]) == (
+        h1, h3, h10,
+    )
+    assert out["mrr_e6"] == sum_rr // len(qids)
+
+
+def test_qs393_shortlist_recall_vs_exact(spark, sf_dir):
+    """The composition claim itself: the shortlist harness's hits@k can
+    never EXCEED the exact harness's (candidates are a subset and the
+    shortlist is truncated at 10), and on this corpus the measured
+    recall stays within the documented band (BASELINE.md r13 cell)."""
+    exact = _run(spark, sf_dir, "qs389_mrr_eval").iloc[0]
+    short = _run(spark, sf_dir, "qs393_mrr_prefix_shortlist").iloc[0]
+    assert short["n_queries"] == exact["n_queries"]
+    for k in ("hits_at_1", "hits_at_3", "hits_at_10"):
+        assert short[k] <= exact[k]
+    assert short["mrr_e6"] <= exact["mrr_e6"]
+    # Measured at both SFs when this landed: identical hits@k, MRR
+    # >= 90% of exact — fail loudly if a data or plan change collapses
+    # shortlist recall instead of silently shipping a worse ANN story.
+    assert short["mrr_e6"] * 10 >= exact["mrr_e6"] * 9
