@@ -69,11 +69,16 @@ QUERIES = {
 }
 
 
-def main() -> None:
+def measure(sf_dir: str = SF_DIR) -> dict:
+    """Run the full warm sequential + concurrent-batch protocol and
+    return the result dict. Importable (bench.py pairs every official
+    Spark artifact with a SAME-WINDOW DuckDB point — r12 verdict task
+    5: the contract ratio must not depend on a constant measured on a
+    different box-day)."""
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
     for q in QUERIES.values():  # warm
@@ -104,16 +109,22 @@ def main() -> None:
     for _ in range(2):
         batch()
     runs = sorted(batch() for _ in range(BATCH_RUNS))
+    pool.shutdown()
+    con.close()
 
-    print(json.dumps({
+    return {
         "engine": f"duckdb {duckdb.__version__}",
         "queries": seq,
         "sequential_total": round(sum(seq.values()), 4),
         "batch_best": round(runs[0], 4),
         "batch_median": round(runs[len(runs) // 2], 4),
         "mode": f"arrow_materialize_concurrent{THREADS}_bestof{BATCH_RUNS}",
-        "sf_dir": SF_DIR,
-    }))
+        "sf_dir": sf_dir,
+    }
+
+
+def main() -> None:
+    print(json.dumps(measure(SF_DIR)))
 
 
 if __name__ == "__main__":

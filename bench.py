@@ -427,7 +427,8 @@ def main() -> None:
 
     loadavg_launch, settle_wait = settle()
     loadavg5_launch = loadavg5()
-    spin_wall, spin_wait = settle_throughput()
+    spin_launch, spin_wait = settle_throughput()
+    spin_wall = spin_launch
     data_bytes = _dir_bytes(SF_DIR)
     large = data_bytes >= LOCAL_LATENCY_LARGE_DATA_BYTES
     spark = get_spark(
@@ -560,14 +561,36 @@ def main() -> None:
         "profile": "local_scale" if large else "local_latency",
         "loadavg_launch": round(loadavg_launch, 2),
         "loadavg5_launch": round(loadavg5_launch, 2),
+        # Launch AND final spin probes (r12 ADVICE): a host throttled
+        # at launch that recovered mid-run — or vice versa — is only
+        # diagnosable when the artifact carries both ends.
+        "spin16_launch": spin_launch,
+        "spin16_final": spin_wall,
         "spin16_wall": spin_wall,
         "settle_wait_sec": settle_wait,
         "spin_wait_sec": spin_wait,
         "passes": attempts,
         "sf": sf,
     }
-    print(json.dumps(out))
     spark.stop()
+    # Same-window DuckDB pairing (r12 verdict task 5): measure the
+    # contract baseline in THE SAME settled window so the ratio stops
+    # depending on a constant captured on a different box-day. Runs
+    # after spark.stop() so neither engine contends with the other;
+    # a final spin probe stamps the window's health for this segment.
+    if not os.environ.get("SPARK_GRAFT_BENCH_NODUCKDB"):
+        try:
+            from baseline_duckdb import measure as duckdb_measure
+
+            out["spin16_duckdb_window"] = round(spin16(), 3)
+            dd = duckdb_measure(SF_DIR)
+            out["duckdb_batch_best"] = dd["batch_best"]
+            out["duckdb_sequential_total"] = dd["sequential_total"]
+            out["duckdb_engine"] = dd["engine"]
+            out["ratio"] = round(out["value"] / dd["batch_best"], 3)
+        except Exception as exc:  # the Spark number must still land
+            out["duckdb_error"] = str(exc)[:200]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

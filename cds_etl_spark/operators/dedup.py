@@ -530,6 +530,93 @@ def _probe_pairs(
     )
 
 
+def _auto_band_cap(
+    spark,
+    stats_path: str,
+    bound: int,
+    probe_name: str,
+    build_name: str,
+) -> int | None:
+    """Shared "auto" policy for the persisted-index probes: read the
+    build-time occupancy histogram; arm the cap at ``bound`` (with a
+    warning) only when some band key exceeds it; fall back to the
+    uncapped legacy output (with a warning) when the index predates
+    stats. Returns the resolved ``max_band_entries``."""
+    import warnings
+
+    try:
+        max_occ = (
+            spark.read.parquet(stats_path)
+            .agg(F.max("max_occ").alias("m"))
+            .collect()[0]["m"]
+        )
+    except Exception:
+        warnings.warn(
+            f"{probe_name}: no band_stats at {stats_path} — index "
+            f"predates the r13 self-arming guard; probing UNCAPPED "
+            f"(legacy output). Rebuild/compact with {build_name} or "
+            f"pass max_band_entries explicitly.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        return None
+    if max_occ is not None and max_occ > bound:
+        warnings.warn(
+            f"{probe_name}: hottest band key holds {max_occ} index "
+            f"entries (> bound {bound}) — probe output is quadratic "
+            f"in template duplication; auto-capping at {bound}. "
+            f"Mega-cluster templates belong to exact-hash dedup; see "
+            f"the collateral-recall caveat in the probe docstring.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        return bound
+    return None
+
+
+#: Documented band-occupancy bound for the self-arming hot-band guard
+#: (r12 index skew audit → r13 auto-arm). A band key shared by more
+#: index entries than this means that many documents agree on an ENTIRE
+#: MinHash band — overwhelmingly exact-template mass, whose dedup is
+#: exact-hash's job (one linear pass), not the LSH probe's. Probe
+#: output per hot key is (batch copies)·(index copies) — the measured
+#: 625× pair blowup at a 1% template (BASELINE r12) — so crossing this
+#: bound auto-caps the probe with a warning.
+DEFAULT_BAND_OCCUPANCY_BOUND = 256
+
+
+def write_minhash_band_stats(spark, path: str) -> None:
+    """(Re)compute the band-occupancy histogram for a persisted MinHash
+    index and overwrite ``{path}/band_stats``: one row per (band_idx,
+    ⌈log2 occupancy⌉ bucket) with key count and exact max occupancy —
+    bands·~20 rows total, read in one footer hit by the probe.
+
+    Cost: one aggregate scan of the bands table — the same class as
+    any single probe (which joins against the full bands table), so
+    refreshing stats per append batch does not change the ingest
+    loop's asymptotics; ``compact_minhash_index`` refreshes them for
+    free as part of its rewrite."""
+    occ = (
+        spark.read.parquet(f"{path}/bands")
+        .dropDuplicates()
+        .groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    (
+        occ.groupBy(
+            "band_idx",
+            F.ceil(F.log2("n")).cast("int").alias("occ_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("n").alias("max_occ"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/band_stats")
+    )
+
+
 def build_minhash_index(
     df: DataFrame,
     path: str,
@@ -540,11 +627,20 @@ def build_minhash_index(
     bands: int = 4,
     hash_family: str = "fast",
     mode: str = "overwrite",
+    band_stats: bool = True,
 ) -> None:
     """Persist a MinHash-LSH dedup index: two parquet tables under
     ``path`` — ``bands`` (id, band_idx, band_key; partitioned by
     band_idx so a probe prunes to matching band partitions) and
-    ``shingles`` (id, shingle set, for the exact refine).
+    ``shingles`` (id, shingle set, for the exact refine) — plus a
+    tiny ``band_stats`` occupancy histogram (``band_stats=True``,
+    the default) that lets ``probe_minhash_index``'s default "auto"
+    guard self-arm against hot-template bands instead of relying on
+    the caller knowing the ``max_band_entries`` knob exists (r12
+    verdict task: the measured 625× pair blowup must not be opt-out
+    by ignorance). Pass ``band_stats=False`` to skip the extra
+    bands-table aggregate scan (e.g. a high-frequency ingest loop
+    that refreshes stats on its compaction cadence instead).
 
     THIS is the production answer to the measured shingle-explode
     cost (BASELINE r6 corpus notes): shingling + signatures are paid
@@ -572,6 +668,10 @@ def build_minhash_index(
         .write.mode(mode)
         .parquet(f"{path}/shingles")
     )
+    if band_stats:
+        # Recomputed from the FULL on-disk table so the append path
+        # yields exact cumulative occupancy, not per-batch shards.
+        write_minhash_band_stats(df.sparkSession, path)
 
 
 def probe_minhash_index(
@@ -586,7 +686,8 @@ def probe_minhash_index(
     min_jaccard: float = 0.5,
     hash_family: str = "fast",
     broadcast_batch: bool = True,
-    max_band_entries: int | None = None,
+    max_band_entries: int | str | None = "auto",
+    band_occupancy_bound: int = DEFAULT_BAND_OCCUPANCY_BOUND,
 ) -> DataFrame:
     """Probe a batch against a persisted index (``build_minhash_index``
     with the SAME parameters): returns (new_id, index_id, jac) pairs
@@ -594,19 +695,43 @@ def probe_minhash_index(
     probe cost is the batch's signatures plus a broadcast join against
     the index's band table.
 
-    ``max_band_entries``: optional hot-band guard (r12 index skew
-    audit). A template duplicated k× in the corpus puts k identical
-    rows under EVERY band key, so a probe batch containing the
-    template emits k·(batch copies) candidate pairs — quadratic
-    output in the duplication rate (measured: 250 probe copies ×
-    5000 index copies → 1.25M pairs at sf10). With a cap, band keys
-    whose INDEX-side entry count exceeds it are excluded from
-    candidate generation: near-dup recall on mega-cluster templates
-    is the job of exact-hash dedup (one pass, linear), not the LSH
-    probe. None (default) preserves the exact legacy output."""
+    ``max_band_entries``: hot-band guard (r12 index skew audit). A
+    template duplicated k× in the corpus puts k identical rows under
+    EVERY band key, so a probe batch containing the template emits
+    k·(batch copies) candidate pairs — quadratic output in the
+    duplication rate (measured: 250 probe copies × 5000 index copies
+    → 1.25M pairs at sf10). With a cap, band keys whose INDEX-side
+    entry count exceeds it are excluded from candidate generation:
+    near-dup recall on mega-cluster templates is the job of
+    exact-hash dedup (one pass, linear), not the LSH probe.
+
+    ``"auto"`` (default, r13 self-arming): read the tiny
+    ``band_stats`` histogram the build wrote; if any band key's
+    occupancy exceeds ``band_occupancy_bound``, warn and cap at the
+    bound — a healthy index pays one footer read and no extra scan.
+    A legacy index without stats warns once and runs uncapped (the
+    pre-r13 output, bit for bit). ``None`` = never cap; an int =
+    explicit cap, stats ignored.
+
+    CAVEAT (collateral recall, r12 ADVICE): the guard drops ALL
+    candidates in a hot band, not just template pairs — a genuine
+    near-duplicate whose ONLY matching band (of ``bands``, default 4)
+    happens to be hot silently loses that candidate. When hot bands
+    can be populated by NON-identical content (e.g. boilerplate
+    prefixes shared across distinct documents), raise ``bands`` (more
+    independent chances to collide elsewhere) or raise the cap rather
+    than relying on exact-hash dedup to catch the loss."""
     sh_new, bands_new = _signature_bands(
         new_df, id_col, text_col, shingle_k, num_hashes, bands, hash_family
     )
+    if max_band_entries == "auto":
+        max_band_entries = _auto_band_cap(
+            spark,
+            f"{path}/band_stats",
+            band_occupancy_bound,
+            "probe_minhash_index",
+            "build_minhash_index",
+        )
     # dropDuplicates = replay guard: a streaming ingest that appends to
     # the index inside foreachBatch may re-append an epoch after a
     # crash-replay; duplicated identical rows would duplicate refine
@@ -842,6 +967,9 @@ def compact_minhash_index(spark, path: str, out_path: str) -> None:
     sh.dropDuplicates([id_col]).write.mode("overwrite").parquet(
         f"{out_path}/shingles"
     )
+    # Compaction is the natural stats-refresh point for ingest loops
+    # that skip the per-append recompute (band_stats=False).
+    write_minhash_band_stats(spark, out_path)
 
 
 def winnow_fingerprints(

@@ -915,8 +915,103 @@ def extract_audio_features(
     return pruned.mapInPandas(_feats, schema=AUDIO_FEATURES_SCHEMA)
 
 
+def _auto_phash_band_cap(
+    spark, path: str, n_bands: int, bound: int
+) -> int | None:
+    """"auto" guard policy for the pHash probe: arm the cap only when
+    the build-time stats exist, describe THIS banding, and show a
+    (band, chunk) key above ``bound``; otherwise warn + legacy
+    uncapped output (mirrors dedup._auto_band_cap, plus the banding
+    match check the derived-key design makes necessary)."""
+    import warnings
+
+    try:
+        row = (
+            spark.read.parquet(f"{path}/_band_stats")
+            .agg(
+                F.max("max_occ").alias("m"),
+                F.max("n_bands").alias("nb"),
+            )
+            .collect()[0]
+        )
+    except Exception:
+        warnings.warn(
+            f"probe_phash_index: no _band_stats at {path} — index "
+            f"predates the r13 self-arming guard; probing UNCAPPED "
+            f"(legacy output). Rebuild/compact with build_phash_index "
+            f"or pass max_band_entries explicitly.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        return None
+    if row["nb"] != n_bands:
+        warnings.warn(
+            f"probe_phash_index: _band_stats describe n_bands="
+            f"{row['nb']} but this probe bands into {n_bands} — "
+            f"stats unusable, probing UNCAPPED (legacy output). "
+            f"Refresh with write_phash_band_stats(..., n_bands="
+            f"{n_bands}) or pass max_band_entries explicitly.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        return None
+    if row["m"] is not None and row["m"] > bound:
+        warnings.warn(
+            f"probe_phash_index: hottest (band, chunk) holds "
+            f"{row['m']} index entries (> bound {bound}) — probe "
+            f"output is quadratic in template duplication; "
+            f"auto-capping at {bound}. Mega-cluster exact duplicates "
+            f"belong to exact-hash dedup; see the collateral-recall "
+            f"caveat in the probe docstring.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        return bound
+    return None
+
+
+def write_phash_band_stats(
+    spark, path: str, n_bands: int | None = None
+) -> None:
+    """(Re)compute the (band, chunk)-occupancy histogram for a
+    persisted pHash index and overwrite ``{path}/_band_stats`` (the
+    underscore prefix hides it from the index table's own parquet
+    discovery, like ``_SUCCESS``): one row per (n_bands, band,
+    ⌈log2 occupancy⌉ bucket) with key count and exact max occupancy.
+    Banding keys are derived from the stored hashes, so stats are
+    computed for a CONCRETE ``n_bands`` (default: the banding for the
+    probe's default max_hamming=3) and record it — a probe with a
+    different banding treats them as absent. Cost: one aggregate scan
+    of the 16-byte-row index, the same class as any probe."""
+    n_bands = n_bands or _bands_for(3)
+    banded = (
+        spark.read.parquet(path)
+        .dropDuplicates(["media_id"])
+        .select(F.explode(_hash_chunks("phash", n_bands)).alias("b"))
+        .select("b.band", "b.chunk")
+    )
+    occ = banded.groupBy("band", "chunk").agg(F.count(F.lit(1)).alias("n"))
+    (
+        occ.groupBy(
+            "band", F.ceil(F.log2("n")).cast("int").alias("occ_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("n").alias("max_occ"),
+        )
+        .withColumn("n_bands", F.lit(n_bands))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/_band_stats")
+    )
+
+
 def build_phash_index(
-    sigs: DataFrame, path: str, mode: str = "overwrite"
+    sigs: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    band_stats: bool = True,
+    stats_n_bands: int | None = None,
 ) -> None:
     """Persist a pHash dedup index: ONE parquet table of
     (media_id, phash) — 16 bytes a row. Unlike the MinHash index
@@ -926,8 +1021,18 @@ def build_phash_index(
     stores nothing but the signature: the decode — the only expensive
     step — is paid once at ingest, and the standing index for a
     billion images is ~16 GB of parquet. ``mode="append"`` is the
-    continuous-ingest path."""
+    continuous-ingest path.
+
+    ``band_stats=True`` (default) refreshes the tiny ``_band_stats``
+    occupancy histogram from the FULL on-disk index after the write,
+    arming ``probe_phash_index``'s default "auto" hot-band guard
+    (same r13 self-arming contract as ``build_minhash_index``);
+    ``stats_n_bands`` pins the banding the stats describe (default:
+    the max_hamming=3 banding). ``band_stats=False`` skips the extra
+    scan — refresh on the compaction cadence instead."""
     sigs.select("media_id", "phash").write.mode(mode).parquet(path)
+    if band_stats:
+        write_phash_band_stats(sigs.sparkSession, path, stats_n_bands)
 
 
 def probe_phash_index(
@@ -937,18 +1042,35 @@ def probe_phash_index(
     max_hamming: int = 3,
     n_bands: int | None = None,
     broadcast_batch: bool = True,
-    max_band_entries: int | None = None,
+    max_band_entries: int | str | None = "auto",
+    band_occupancy_bound: int | None = None,
 ) -> DataFrame:
     """Probe a batch of signatures against a persisted pHash index:
     returns (new_id, index_id, hamming) pairs within ``max_hamming``
     bits. Recall is pigeonhole-guaranteed for max_hamming < n_bands.
 
-    ``max_band_entries``: optional hot-band guard (r12 index skew
-    audit, same hazard as the MinHash probe): k copies of one
-    template image share every (band, chunk) key, so probe output is
-    quadratic in the duplication rate. With a cap, index-side band
-    keys above it are excluded — mega-cluster exact duplicates belong
-    to exact-hash dedup, not the Hamming probe. None = legacy output.
+    ``max_band_entries``: hot-band guard (r12 index skew audit, same
+    hazard as the MinHash probe): k copies of one template image
+    share every (band, chunk) key, so probe output is quadratic in
+    the duplication rate. With a cap, index-side band keys above it
+    are excluded — mega-cluster exact duplicates belong to exact-hash
+    dedup, not the Hamming probe. ``"auto"`` (default, r13
+    self-arming): read the build-time ``_band_stats`` histogram; if
+    its banding matches this probe's ``n_bands`` and some key exceeds
+    ``band_occupancy_bound`` (default
+    ``dedup.DEFAULT_BAND_OCCUPANCY_BOUND``), warn and cap at the
+    bound; stats absent or banding-mismatched warns and runs uncapped
+    (legacy output). ``None`` = never cap; an int = explicit cap.
+
+    CAVEAT (collateral recall, r12 ADVICE): the guard drops ALL
+    candidates in a hot (band, chunk), not just template pairs — a
+    genuine near-duplicate whose ONLY matching chunk is hot loses
+    that candidate AND, unlike MinHash banding, the pigeonhole
+    guarantee (≤ max_hamming errors spread over n_bands chunks) no
+    longer covers it. When hot chunks can be populated by
+    NON-identical content (e.g. images sharing a letterbox border
+    that dominates one chunk), raise n_bands via a larger
+    max_hamming or raise the cap.
 
     Scale shape: the index scan reads 16-byte rows and explodes each
     into ``n_bands`` integer chunk keys in the scan stage; the (small)
@@ -957,7 +1079,15 @@ def probe_phash_index(
     dropDuplicates on the index side is the replay guard: a streaming
     ingest that crash-replays an epoch appends identical rows, which
     must not duplicate probe pairs."""
+    from cds_etl_spark.operators.dedup import DEFAULT_BAND_OCCUPANCY_BOUND
+
     n_bands = n_bands or _bands_for(max_hamming)
+    if band_occupancy_bound is None:
+        band_occupancy_bound = DEFAULT_BAND_OCCUPANCY_BOUND
+    if max_band_entries == "auto":
+        max_band_entries = _auto_phash_band_cap(
+            spark, path, n_bands, band_occupancy_bound
+        )
     idx = (
         spark.read.parquet(path)
         .dropDuplicates(["media_id"])
@@ -1143,6 +1273,9 @@ def compact_phash_index(spark, path: str, out_path: str) -> None:
         .write.mode("overwrite")
         .parquet(out_path)
     )
+    # Compaction is the stats-refresh point for ingest loops that
+    # append with band_stats=False.
+    write_phash_band_stats(spark, out_path)
 
 
 SCENE_CUT_SCHEMA = StructType(

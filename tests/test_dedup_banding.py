@@ -270,3 +270,115 @@ def test_probe_minhash_hot_band_guard(spark, tmp_path):
     # mega-band candidates gone, distinct near-dup pair preserved
     assert not any(p[0] == 900 for p in capped)
     assert (901, 103) in capped
+
+
+def test_minhash_band_stats_self_arming(spark, tmp_path):
+    """r13 self-arming guard: build writes a band_stats histogram whose
+    max occupancy is exact; the default "auto" probe stays uncapped
+    (and warning-free) on a healthy index, auto-caps with a
+    RuntimeWarning when a band exceeds the bound (output == the
+    explicit cap's), and falls back to legacy uncapped output with a
+    warning on a stats-less index."""
+    import warnings
+
+    import pytest
+
+    from cds_etl_spark.operators.dedup import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+
+    tpl = "the exact template text repeated verbatim in many rows ok"
+    docs = spark.createDataFrame(
+        [(i, tpl) for i in range(10)]
+        + [(100 + i, f"w{i} the quick brown fox number {i} leaps far")
+           for i in range(8)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "armidx")
+    build_minhash_index(docs, idx)
+
+    stats = spark.read.parquet(f"{idx}/band_stats")
+    assert set(stats.columns) == {"band_idx", "occ_bucket", "n_keys", "max_occ"}
+    # The 10-copy template puts 10 entries under one key in EVERY band.
+    assert stats.groupBy().max("max_occ").collect()[0][0] == 10
+
+    batch = spark.createDataFrame(
+        [(900, tpl),
+         (901, "w3 the quick brown fox number 3 leaps far extra")],
+        "doc_id long, text string",
+    )
+
+    def pairs(**kw):
+        return {
+            (r["new_id"], r["index_id"])
+            for r in probe_minhash_index(spark, batch, idx, **kw).collect()
+        }
+
+    # Healthy vs default bound (256 > 10): auto == legacy, no warning.
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        auto_healthy = pairs()
+    assert auto_healthy == pairs(max_band_entries=None)
+    assert sum(1 for p in auto_healthy if p[0] == 900) == 10
+
+    # Hot vs a tight bound: auto warns and matches the explicit cap.
+    with pytest.warns(RuntimeWarning, match="auto-capping at 5"):
+        auto_hot = pairs(band_occupancy_bound=5)
+    assert auto_hot == pairs(max_band_entries=5)
+    assert not any(p[0] == 900 for p in auto_hot)
+    assert (901, 103) in auto_hot
+
+    # Legacy index (no stats): auto warns and preserves legacy output.
+    legacy = str(tmp_path / "legacyidx")
+    build_minhash_index(docs, legacy, band_stats=False)
+    import os
+
+    assert not os.path.exists(f"{legacy}/band_stats")
+    with pytest.warns(RuntimeWarning, match="no band_stats"):
+        got = {
+            (r["new_id"], r["index_id"])
+            for r in probe_minhash_index(
+                spark, batch, legacy, band_occupancy_bound=5
+            ).collect()
+        }
+    assert got == auto_healthy
+
+
+def test_minhash_band_stats_append_and_compact_refresh(spark, tmp_path):
+    """Append mode recomputes stats over the CUMULATIVE index (not the
+    batch shard), and compaction refreshes stats at the new path even
+    for a band_stats=False ingest loop."""
+    from cds_etl_spark.operators.dedup import (
+        build_minhash_index,
+        compact_minhash_index,
+    )
+
+    tpl = "the exact template text repeated verbatim in many rows ok"
+    half1 = spark.createDataFrame(
+        [(i, tpl) for i in range(6)], "doc_id long, text string"
+    )
+    half2 = spark.createDataFrame(
+        [(10 + i, tpl) for i in range(6)], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "appidx")
+    build_minhash_index(half1, idx)
+    assert (
+        spark.read.parquet(f"{idx}/band_stats")
+        .groupBy().max("max_occ").collect()[0][0]
+        == 6
+    )
+    build_minhash_index(half2, idx, mode="append")
+    # 12 distinct ids share the template's band keys cumulatively.
+    assert (
+        spark.read.parquet(f"{idx}/band_stats")
+        .groupBy().max("max_occ").collect()[0][0]
+        == 12
+    )
+    out = str(tmp_path / "appidx2")
+    compact_minhash_index(spark, idx, out)
+    assert (
+        spark.read.parquet(f"{out}/band_stats")
+        .groupBy().max("max_occ").collect()[0][0]
+        == 12
+    )

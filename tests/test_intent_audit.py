@@ -5928,3 +5928,394 @@ def test_qs393_shortlist_recall_vs_exact(spark, sf_dir):
     # >= 90% of exact — fail loudly if a data or plan change collapses
     # shortlist recall instead of silently shipping a worse ANN story.
     assert short["mrr_e6"] * 10 >= exact["mrr_e6"] * 9
+
+
+# -- wave 21 (r13): retiring EXACT-DEFINITIONAL classes, oldest first ------
+
+
+def _sorted_records(df: pd.DataFrame) -> list[tuple]:
+    df = df[sorted(df.columns)]
+    return sorted(map(tuple, df.itertuples(index=False)), key=str)
+
+
+def test_intent_qs99_funnel(spark, sf_dir):
+    # Textbook per-user funnel walk: earliest view, earliest click
+    # strictly after it within 7 days, earliest purchase after that.
+    ev = _pd(sf_dir, "events")
+    week = pd.Timedelta(days=7)
+    rows = []
+    for uid, g in ev.groupby("user_id"):
+        views = g.loc[g["event_type"] == "view", "ts"]
+        if views.empty:
+            continue
+        t_view = views.min()
+        t_click = t_purchase = pd.NaT
+        clicks = g.loc[
+            (g["event_type"] == "click")
+            & (g["ts"] > t_view)
+            & (g["ts"] <= t_view + week),
+            "ts",
+        ]
+        if not clicks.empty:
+            t_click = clicks.min()
+            purchases = g.loc[
+                (g["event_type"] == "purchase")
+                & (g["ts"] > t_click)
+                & (g["ts"] <= t_click + week),
+                "ts",
+            ]
+            if not purchases.empty:
+                t_purchase = purchases.min()
+        depth = 1 + pd.notna(t_click) + pd.notna(t_purchase)
+        rows.append((uid, t_view, t_click, t_purchase, int(depth)))
+    exp = pd.DataFrame(
+        rows, columns=["user_id", "t_view", "t_click", "t_purchase", "depth"]
+    )
+    got = _run(spark, sf_dir, "qs99_funnel")
+    assert len(got) == len(exp)
+    g = got.sort_values("user_id").reset_index(drop=True)
+    e = exp.sort_values("user_id").reset_index(drop=True)
+    assert (g["user_id"].to_numpy() == e["user_id"].to_numpy()).all()
+    assert (g["depth"].to_numpy() == e["depth"].to_numpy()).all()
+    for col in ("t_view", "t_click", "t_purchase"):
+        ge = pd.to_datetime(g[col])
+        ee = pd.to_datetime(e[col])
+        assert ((ge == ee) | (ge.isna() & ee.isna())).all(), col
+
+
+def test_intent_qs115_tfidf_top_terms(spark, sf_dir):
+    d = _pd(sf_dir, "documents")
+    tf: dict[tuple, int] = {}
+    df_count: dict[str, set] = {}
+    for r in d.itertuples():
+        for t in r.text.lower().split(" "):
+            if not t:
+                continue
+            tf[(r.doc_id, t)] = tf.get((r.doc_id, t), 0) + 1
+            df_count.setdefault(t, set()).add(r.doc_id)
+    n = len({doc for doc, _t in tf})
+    import math as _m
+
+    scored: dict[int, list] = {}
+    for (doc, t), c in tf.items():
+        s = round(c * _m.log(n / len(df_count[t])), 4)
+        scored.setdefault(doc, []).append((-s, t))
+    exp = set()
+    for doc, lst in scored.items():
+        for negs, t in sorted(lst)[:3]:
+            exp.add((doc, t, -negs))
+    got = _run(spark, sf_dir, "qs115_tfidf_top_terms")
+    gset = {
+        (r["doc_id"], r["term"], round(r["tfidf"], 4))
+        for _, r in got.iterrows()
+    }
+    assert gset == exp
+
+
+def test_intent_qs116_cohort_retention(spark, sf_dir):
+    ev = _pd(sf_dir, "events")
+    f = ev.groupby("user_id")["ts"].min().rename("f_ts")
+    j = ev.merge(f, on="user_id")
+    cohort = (
+        j["f_ts"] - pd.to_timedelta(j["f_ts"].dt.weekday, unit="D")
+    ).dt.date
+    offset = (
+        (j["ts"].dt.normalize() - j["f_ts"].dt.normalize()).dt.days // 7
+    )
+    exp = (
+        pd.DataFrame(
+            {"cohort_week": cohort, "week_offset": offset, "u": j["user_id"]}
+        )
+        .groupby(["cohort_week", "week_offset"])["u"]
+        .nunique()
+        .reset_index(name="n_users")
+    )
+    got = _run(spark, sf_dir, "qs116_cohort_retention")
+    gs = sorted(
+        (str(r["cohort_week"]), int(r["week_offset"]), int(r["n_users"]))
+        for _, r in got.iterrows()
+    )
+    es = sorted(
+        (str(r["cohort_week"]), int(r["week_offset"]), int(r["n_users"]))
+        for _, r in exp.iterrows()
+    )
+    assert gs == es
+
+
+def test_intent_qs134_corpus_mixing_weights(spark, sf_dir):
+    d = _pd(sf_dir, "documents")
+    g = d.groupby(["lang", "source"]).size().reset_index(name="cnt")
+    total, n_groups = int(g["cnt"].sum()), len(g)
+    g["weight_e6"] = (1_000_000 * total) // (n_groups * g["cnt"])
+    got = _run(spark, sf_dir, "qs134_corpus_mixing_weights")
+    gs = sorted(map(tuple, got[["lang", "source", "cnt", "weight_e6"]]
+                    .itertuples(index=False)))
+    es = sorted(map(tuple, g[["lang", "source", "cnt", "weight_e6"]]
+                    .itertuples(index=False)))
+    assert gs == es
+
+
+def test_intent_qs147_gopher_quality_rules(spark, sf_dir):
+    import re as _re
+
+    d = _pd(sf_dir, "documents")
+    stop = {"the", "and", "of", "to", "in", "a", "is", "that"}
+    exp = {}
+    for r in d.itertuples():
+        toks = r.text.split(" ")  # the Rae-rule split, empties kept
+        n = len(toks)
+        words_ok = int(50 <= n <= 100_000)
+        mean_len_ok = int(3.0 <= sum(len(t) for t in toks) / n <= 10.0)
+        stopwords_ok = int(sum(t in stop for t in toks) >= 2)
+        alpha_ok = int(
+            sum(bool(_re.search("[a-zA-Z]", t)) for t in toks) / n >= 0.8
+        )
+        exp[r.doc_id] = (
+            words_ok, mean_len_ok, stopwords_ok, alpha_ok,
+            words_ok * mean_len_ok * stopwords_ok * alpha_ok,
+        )
+    got = _run(spark, sf_dir, "qs147_gopher_quality_rules")
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        assert exp[r["doc_id"]] == (
+            r["words_ok"], r["mean_len_ok"], r["stopwords_ok"],
+            r["alpha_ok"], r["passed"],
+        ), r["doc_id"]
+
+
+def test_intent_qs149_temperature_mixing(spark, sf_dir):
+    import math as _m
+
+    d = _pd(sf_dir, "documents")
+    g = d.groupby("lang").size()
+    mx = int(g.max())
+    exp = {
+        lang: (int(cnt), _m.floor(1_000_000.0 * _m.sqrt(cnt / mx)))
+        for lang, cnt in g.items()
+    }
+    got = _run(spark, sf_dir, "qs149_temperature_mixing")
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        assert exp[r["lang"]] == (r["cnt"], r["weight_e6"])
+
+
+def _ntile(keys: list, k: int) -> dict:
+    """ANSI NTILE: first (n % k) tiles get ceil(n/k) rows, orderered
+    by the provided sort keys (already sorted)."""
+    n = len(keys)
+    out = {}
+    base, extra = divmod(n, k)
+    i = 0
+    for tile in range(1, k + 1):
+        size = base + (1 if tile <= extra else 0)
+        for key in keys[i : i + size]:
+            out[key] = tile
+        i += size
+    return out
+
+
+def test_intent_qs157_perplexity_buckets(spark, sf_dir):
+    import math as _m
+
+    d = _pd(sf_dir, "documents")
+    toks = {
+        r.doc_id: [t for t in r.text.lower().split(" ") if t]
+        for r in d.itertuples()
+    }
+    lang = dict(zip(d["doc_id"], d["lang"]))
+    cbg: dict[tuple, int] = {}
+    cctx: dict[str, int] = {}
+    vocab = set()
+    bigrams: dict[int, list] = {}
+    for doc, ts in toks.items():
+        vocab.update(ts)
+        bg = list(zip(ts, ts[1:]))
+        bigrams[doc] = bg
+        for w1, w2 in bg:
+            cbg[(w1, w2)] = cbg.get((w1, w2), 0) + 1
+            cctx[w1] = cctx.get(w1, 0) + 1
+    v = len(vocab)
+    lp = {
+        doc: round(
+            sum(_m.log((cbg[b] + 1.0) / (cctx[b[0]] + v)) for b in bg)
+            / len(bg),
+            4,
+        )
+        for doc, bg in bigrams.items()
+        if bg
+    }
+    exp: dict[tuple, list] = {}
+    for lg in sorted(set(lang.values())):
+        docs = sorted(
+            (doc for doc in lp if lang[doc] == lg),
+            key=lambda doc: (-lp[doc], doc),
+        )
+        if not docs:
+            continue
+        tiles = _ntile(docs, 3)
+        for doc in docs:
+            name = {1: "head", 2: "middle", 3: "tail"}[tiles[doc]]
+            exp.setdefault((lg, name), []).append(lp[doc])
+    got = _run(spark, sf_dir, "qs157_perplexity_buckets")
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        vals = exp[(r["lang"], r["tier"])]
+        assert r["n_docs"] == len(vals)
+        assert abs(r["mean_logp"] - round(sum(vals) / len(vals), 4)) <= 2e-4
+
+
+def test_intent_qs160_token_entropy(spark, sf_dir):
+    import math as _m
+    from collections import Counter
+
+    d = _pd(sf_dir, "documents")
+    got = _run(spark, sf_dir, "qs160_token_entropy").set_index("doc_id")
+    assert len(got) == len(d)
+    for r in d.itertuples():
+        c = Counter(t for t in r.text.lower().split(" ") if t)
+        n = sum(c.values())
+        ent = -sum((v / n) * _m.log2(v / n) for v in c.values())
+        row = got.loc[r.doc_id]
+        assert row["n_tokens"] == n and row["n_distinct"] == len(c)
+        assert abs(row["entropy_bits"] - ent) <= 2e-4
+
+
+def test_intent_qs187_basket_lift(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    basket = set(
+        zip(li["l_orderkey"], (li["l_partkey"] % 50).astype(int))
+    )
+    n_orders = len({o for o, _i in basket})
+    sup: dict[int, int] = {}
+    per_order: dict[int, list] = {}
+    for o, item in basket:
+        sup[item] = sup.get(item, 0) + 1
+        per_order.setdefault(o, []).append(item)
+    s_ab: dict[tuple, int] = {}
+    for items in per_order.values():
+        items = sorted(items)
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                p = (items[i], items[j])
+                s_ab[p] = s_ab.get(p, 0) + 1
+    scored = [
+        (-round(c * n_orders / (sup[a] * sup[b]), 4), a, b, c)
+        for (a, b), c in s_ab.items()
+        if c >= 5
+    ]
+    exp = [
+        (a, b, c, -neg) for neg, a, b, c in sorted(scored)[:20]
+    ]
+    got = _run(spark, sf_dir, "qs187_basket_lift")
+    gs = [
+        (int(r["item_a"]), int(r["item_b"]), int(r["support"]),
+         round(r["lift"], 4))
+        for _, r in got.iterrows()
+    ]
+    assert gs == exp
+
+
+def test_intent_qs192_cohort_ltv(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    m = o["o_orderdate"].dt.to_period("M")
+    c = _cents(o["o_totalprice"])
+    base = pd.DataFrame({"cust": o["o_custkey"], "m": m, "c": c})
+    m0 = base.groupby("cust")["m"].min().rename("m0")
+    j = base.merge(m0, on="cust")
+    j["offset"] = (j["m"] - j["m0"]).apply(lambda x: x.n)
+    rev = (
+        j.groupby([j["m0"], "offset"])["c"].sum().reset_index(name="rev")
+    )
+    rev = rev.sort_values(["m0", "offset"])
+    rev["cum"] = rev.groupby("m0")["rev"].cumsum()
+    rev = rev[rev["offset"] <= 6]
+    exp = sorted(
+        (str(r["m0"].start_time.date()), int(r["offset"]), int(r["cum"]))
+        for _, r in rev.iterrows()
+    )
+    got = _run(spark, sf_dir, "qs192_cohort_ltv")
+    gs = sorted(
+        (str(r["cohort_month"]), int(r["month_offset"]),
+         int(r["cum_rev_cents"]))
+        for _, r in got.iterrows()
+    )
+    assert gs == exp
+
+
+def test_intent_qs210_rfm_segments(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    anchor = pd.Timestamp("2001-09-01")
+    g = o.groupby("o_custkey").agg(
+        last=("o_orderdate", "max"), freq=("o_orderdate", "size")
+    )
+    g["cents"] = o.assign(c=_cents(o["o_totalprice"])).groupby(
+        "o_custkey"
+    )["c"].sum()
+    g["recency_days"] = (anchor - g["last"].dt.normalize()).dt.days
+    custs = list(g.index)
+    r_tiles = _ntile(
+        sorted(custs, key=lambda cst: (-g.loc[cst, "recency_days"], cst)), 5
+    )
+    f_tiles = _ntile(
+        sorted(custs, key=lambda cst: (g.loc[cst, "freq"], cst)), 5
+    )
+    m_tiles = _ntile(
+        sorted(custs, key=lambda cst: (g.loc[cst, "cents"], cst)), 5
+    )
+
+    def seg(r, f):
+        if r >= 4 and f >= 4:
+            return "champion"
+        if r >= 4:
+            return "recent"
+        if f >= 4:
+            return "loyal"
+        if r <= 2 and f <= 2:
+            return "at_risk"
+        return "regular"
+
+    got = _run(spark, sf_dir, "qs210_rfm_segments").set_index("cust")
+    assert len(got) == len(g)
+    for cst in custs:
+        row = got.loc[cst]
+        assert row["recency_days"] == g.loc[cst, "recency_days"]
+        assert row["freq"] == g.loc[cst, "freq"]
+        assert row["cents"] == g.loc[cst, "cents"]
+        assert (row["r_score"], row["f_score"], row["m_score"]) == (
+            r_tiles[cst], f_tiles[cst], m_tiles[cst],
+        ), cst
+        assert row["segment"] == seg(r_tiles[cst], f_tiles[cst])
+
+
+def test_intent_qs245_gains_lift_deciles(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    o95 = o[o["o_orderdate"].dt.year == 1995]
+    spend = (
+        o95.assign(c=_cents(o95["o_totalprice"]))
+        .groupby("o_custkey")["c"]
+        .sum()
+    )
+    resp = set(o.loc[o["o_orderdate"].dt.year == 1996, "o_custkey"])
+    order = sorted(spend.index, key=lambda cst: (-spend[cst], cst))
+    tiles = _ntile(order, 10)
+    agg: dict[int, list] = {}
+    for cst in order:
+        agg.setdefault(tiles[cst], []).append(int(cst in resp))
+    tn = len(order)
+    tr = sum(cst in resp for cst in order)
+    cn = cr = 0
+    exp = {}
+    for dec in sorted(agg):
+        n, r = len(agg[dec]), sum(agg[dec])
+        cn += n
+        cr += r
+        exp[dec] = (
+            n, r, round(r / n, 4), round((cr * tn) / (cn * tr), 4),
+        )
+    got = _run(spark, sf_dir, "qs245_gains_lift_deciles")
+    assert len(got) == len(exp)
+    for _, row in got.iterrows():
+        n, r, rate, lift = exp[row["decile"]]
+        assert (row["n_cust"], row["responders"]) == (n, r)
+        assert abs(row["resp_rate"] - rate) <= 2e-4
+        assert abs(row["cum_lift"] - lift) <= 2e-4

@@ -514,3 +514,84 @@ def test_probe_phash_hot_band_guard(spark, tmp_path):
     }
     assert not any(p[0] == 900 for p in capped)
     assert (901, 100) in capped
+
+
+def test_phash_band_stats_self_arming(spark, tmp_path):
+    """r13 self-arming guard, pHash side: build writes a _band_stats
+    histogram (hidden from the index table's own parquet discovery);
+    the default "auto" probe is uncapped and warning-free on a healthy
+    index, auto-caps with a RuntimeWarning (== explicit cap) when a
+    (band, chunk) key exceeds the bound, and degrades to legacy
+    uncapped output with a warning when stats are absent or describe a
+    different banding."""
+    import warnings
+
+    import pytest
+
+    from cds_etl_spark.operators.multimodal import (
+        build_phash_index,
+        probe_phash_index,
+    )
+
+    rng = np.random.default_rng(7)
+    tpl_hash = int(rng.integers(-(2**63), 2**63 - 1))
+    rows = [(i, tpl_hash) for i in range(10)] + [
+        (100 + i, int(rng.integers(-(2**63), 2**63 - 1))) for i in range(8)
+    ]
+    sigs = spark.createDataFrame(rows, ["media_id", "phash"])
+    idx = str(tmp_path / "armphash")
+    build_phash_index(sigs, idx)
+
+    # Stats are invisible to the index table read (underscore dir).
+    assert spark.read.parquet(idx).count() == 18
+    stats = spark.read.parquet(f"{idx}/_band_stats")
+    assert stats.groupBy().max("max_occ").collect()[0][0] == 10
+    assert stats.select("n_bands").distinct().collect()[0][0] == 4
+
+    batch = spark.createDataFrame(
+        [(900, tpl_hash), (901, tpl_hash ^ 1)], ["media_id", "phash"]
+    )
+
+    def pairs(**kw):
+        return {
+            (r["new_id"], r["index_id"])
+            for r in probe_phash_index(
+                spark, batch, idx, max_hamming=3, **kw
+            ).collect()
+        }
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        auto_healthy = pairs()
+    assert auto_healthy == pairs(max_band_entries=None)
+    assert sum(1 for p in auto_healthy if p[0] == 900) == 10
+
+    with pytest.warns(RuntimeWarning, match="auto-capping at 5"):
+        auto_hot = pairs(band_occupancy_bound=5)
+    assert auto_hot == pairs(max_band_entries=5)
+    assert not any(p[0] == 900 for p in auto_hot)
+
+    # Banding mismatch: stats describe n_bands=4, probe uses 8.
+    with pytest.warns(RuntimeWarning, match="stats unusable"):
+        mism = {
+            (r["new_id"], r["index_id"])
+            for r in probe_phash_index(
+                spark, batch, idx, max_hamming=7, band_occupancy_bound=5
+            ).collect()
+        }
+    assert sum(1 for p in mism if p[0] == 900) == 10  # legacy uncapped
+
+    # Stats-less legacy index.
+    legacy = str(tmp_path / "legacyphash")
+    build_phash_index(sigs, legacy, band_stats=False)
+    import os
+
+    assert not os.path.exists(f"{legacy}/_band_stats")
+    with pytest.warns(RuntimeWarning, match="no _band_stats"):
+        got = {
+            (r["new_id"], r["index_id"])
+            for r in probe_phash_index(
+                spark, batch, legacy, band_occupancy_bound=5
+            ).collect()
+        }
+    assert got == auto_healthy

@@ -48,18 +48,27 @@ _METHOD_RE = re.compile(r"^    def ([A-Za-z_]\w*)\b")
 _HINT_RE = re.compile(r"F\.broadcast\(")
 
 
-def find_sites(root: str | None = None) -> list[tuple[str, int, str, str]]:
-    """Return (relpath, lineno, enclosing-name, fragment) for every
-    ``F.broadcast(`` site in cds_etl_spark/{plans,operators}/*.py.
+def find_sites(
+    root: str | None = None,
+) -> list[tuple[str, int, str, str, int]]:
+    """Return (relpath, lineno, enclosing-name, fragment, occurrence)
+    for every ``F.broadcast(`` site in
+    cds_etl_spark/{plans,operators}/*.py.
 
     ``enclosing-name`` is the nearest preceding registered query name
     (plans) or module-level def/class (operators; falls back to the
     method name inside classes). The fragment joins continuation
     lines until the broadcast argument's opening expression is
-    visible, normalized to 100 chars — line-number-free identity."""
+    visible, normalized to 100 chars. ``occurrence`` is the 1-based
+    index of this (file, enclosing, fragment) combination in file
+    order (r12 ADVICE): two IDENTICAL hint lines inside one function
+    are distinct physical sites — without the index they collapsed to
+    one key, so the gate could not see a duplicate of an
+    already-classified hint being added or removed."""
     if root is None:
         root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
-    hits: list[tuple[str, int, str, str]] = []
+    hits: list[tuple[str, int, str, str, int]] = []
+    seen: dict[tuple[str, str, str], int] = {}
     for sub in ("plans", "operators"):
         for path in sorted(
             glob.glob(os.path.join(root, "cds_etl_spark", sub, "*.py"))
@@ -86,20 +95,25 @@ def find_sites(root: str | None = None) -> list[tuple[str, int, str, str]]:
                     frag += " " + lines[j].strip()
                     j += 1
                 frag = re.sub(r"\s+", " ", frag)[:100]
-                hits.append((rel, i, current, frag))
+                occ = seen[(rel, current, frag)] = (
+                    seen.get((rel, current, frag), 0) + 1
+                )
+                hits.append((rel, i, current, frag, occ))
     return hits
 
 
-def site_key(hit: tuple[str, int, str, str]) -> str:
-    """Line-number-free identity: file|enclosing|fragment."""
-    rel, _i, name, frag = hit
-    return f"{rel}|{name}|{frag}"
+def site_key(hit: tuple[str, int, str, str, int]) -> str:
+    """Line-number-free identity: file|enclosing|fragment|occurrence
+    (the occurrence suffix gives each physical site a distinct key
+    even when a function repeats an identical hint line)."""
+    rel, _i, name, frag, occ = hit
+    return f"{rel}|{name}|{frag}|{occ}"
 
 
 def main() -> None:
     hits = find_sites()
-    for rel, i, name, frag in hits:
-        print(f"{rel}:{i}  [{name}]  {frag}")
+    for rel, i, name, frag, occ in hits:
+        print(f"{rel}:{i}  [{name}]  ({occ})  {frag}")
     print(
         f"\n{len(hits)} hint sites. Classification gate: "
         "tests/golden/broadcast_sites.txt (tests/test_broadcast_audit.py)."
