@@ -38,13 +38,13 @@ _GRADE_FIRST = [
     # -- r13 window (first 50 graded): the 10 never-officially-graded
     #    r12 additions qs383-qs392 (VERDICT r12 task 1 — the only rows
     #    in the registry with no CORRECTNESS entry in any round), the
-    #    new qs393 prefix-filter MRR composition (registered this
-    #    round, judge-asked scale-path twin for the EVAL-HARNESS
-    #    class), then the full stalest cohort: the 8 remaining rows
-    #    whose most recent official grade is CORRECTNESS_r04, then the
-    #    31 alphabetically-first of the 50 r05-era rows. All 50
-    #    re-proved EQUAL at sf0.01 on this tree before staging; the
-    #    19 remaining r05 rows lead the next rotation. --
+    #    9 queries registered THIS round (qs393 prefix-shortlist MRR,
+    #    the judge-asked scale-path twin, plus the qs394-qs401 r13
+    #    diagnostics family) so no new never-graded rows accumulate,
+    #    then the stalest cohort: the 8 remaining r04-era rows and the
+    #    23 alphabetically-first r05-era rows. All 50 re-proved EQUAL
+    #    at sf0.01 on this tree before staging; the 27 remaining
+    #    r05-era rows lead the next rotation. --
     "qs383_somers_d",
     "qs384_stuart_tau_c",
     "qs385_scott_pi",
@@ -56,6 +56,14 @@ _GRADE_FIRST = [
     "qs391_wasserstein",
     "qs392_lorenz_asymmetry",
     "qs393_mrr_prefix_shortlist",
+    "qs394_kuiper",
+    "qs395_anderson_darling",
+    "qs396_brunner_munzel",
+    "qs397_lepage",
+    "qs398_g_test",
+    "qs399_cramers_v",
+    "qs400_lsh_band_occupancy",
+    "qs401_moran_i_daily",
     "qs63_approx_quantiles",
     "qs65_hash_sample",
     "qs67_stratified_sample",
@@ -87,14 +95,6 @@ _GRADE_FIRST = [
     "qs135_duplicate_spans",
     "qs136_rag_chunks",
     "qs137_sketch_heavy_hitters",
-    "qs138_repetition_rowlocal",
-    "qs139_tpch_q13_custdist",
-    "qs140_tpch_q8_market_share",
-    "qs141_tpch_q6_forecast",
-    "qs31_regex_filter",
-    "qs72_sequence_explode",
-    "qs73_bitwise",
-    "qs74_nullsafe_join",
 ]
 
 

@@ -217,3 +217,836 @@ def qs393(spark: SparkSession, sf: str) -> DataFrame:
             "CAST(SUM(COALESCE(1000000 div fr, 0)) div COUNT(*) AS LONG)"
         ).alias("mrr_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# shared: BUILDING vs MACHINERY daily-revenue day grid + unique
+# permutation ranks — the qs377 two-sample convention (rank ties broken
+# by (y, seg, d), documented there), reused by the r13 rank family
+# ---------------------------------------------------------------------------
+
+_SEG_DAILY_SQL = """
+    daily AS (
+      SELECT c.c_mktsegment AS seg, CAST(o.o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+      GROUP BY 1, 2),
+    rk AS (
+      SELECT seg,
+             CAST(ROW_NUMBER() OVER (ORDER BY y, seg, d) AS BIGINT) AS r,
+             CAST(ROW_NUMBER() OVER (PARTITION BY seg
+                                     ORDER BY y, seg, d) AS BIGINT) AS i
+      FROM daily)
+"""
+
+
+def _seg_daily_ranks(spark: SparkSession, sf: str) -> DataFrame:
+    """(seg, r = pooled rank, i = within-sample rank) over the
+    BUILDING/MACHINERY daily-revenue day grid — unique permutation
+    ranks with the qs377 (y, seg, d) tiebreak; both windows are
+    day-grid-sized (GRID class, tests/golden/window_sites.txt)."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    daily = (
+        o.join(
+            c.select("c_custkey", "c_mktsegment").filter(
+                F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+            ),
+            o["o_custkey"] == c["c_custkey"],
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    return daily.select(
+        "seg",
+        F.row_number()
+        .over(Window.orderBy("y", "seg", "d"))
+        .cast("long")
+        .alias("r"),
+        F.row_number()
+        .over(Window.partitionBy("seg").orderBy("y", "seg", "d"))
+        .cast("long")
+        .alias("i"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qs394 Kuiper two-sample statistic on order values
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "qs394_kuiper",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey % 2 AS grp,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders),
+    n AS (
+      SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1
+      FROM s),
+    pooled AS (
+      SELECT v,
+             SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS c0,
+             SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c1
+      FROM s GROUP BY v),
+    cum AS (
+      SELECT SUM(c0) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f0,
+             SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f1
+      FROM pooled)
+    SELECT n.n0, n.n1,
+           CAST(GREATEST(0, MAX(cum.f0 * n.n1 - cum.f1 * n.n0))
+                AS BIGINT) AS dplus_num,
+           CAST(GREATEST(0, MAX(cum.f1 * n.n0 - cum.f0 * n.n1))
+                AS BIGINT) AS dminus_num,
+           CAST((CAST(GREATEST(0, MAX(cum.f0*n.n1 - cum.f1*n.n0))
+                      AS HUGEINT)
+                 + GREATEST(0, MAX(cum.f1*n.n0 - cum.f0*n.n1)))
+                * 1000000 // (CAST(n.n0 AS HUGEINT) * n.n1)
+                AS BIGINT) AS kuiper_e6
+    FROM cum, n GROUP BY n.n0, n.n1
+    """,
+)
+def qs394(spark: SparkSession, sf: str) -> DataFrame:
+    """Kuiper two-sample statistic V = D⁺ + D⁻ between even- and
+    odd-customer order values — the rotation-invariant companion to
+    qs227's KS on the SAME samples: KS takes the single worst ECDF
+    gap, Kuiper adds the worst gaps in BOTH directions, giving equal
+    sensitivity at the distribution's tails and median (the classic
+    cyclic-data / tail-shift test).
+
+    Determinism: the qs227 contract — ECDF gaps held as exact
+    cross-multiplied counts f0·n1 − f1·n0, direction maxima clamped
+    at 0 (the ECDF difference at −∞), one final e6 floor division in
+    HUGEINT/DECIMAL(38) (f·n ≈ 4.6e13 at sf30 gen scale; ×1e6
+    overflows int64 — the qs231 lesson applied at birth). Plan: one
+    value aggregate, a value-grid cumulative window (the measured
+    qs227 REJECT keeps the serial grid; same escape hatch), two-max
+    one-row epilogue."""
+    o = load_table(spark, sf, "orders")
+    s = o.select(
+        (F.col("o_custkey") % 2).alias("grp"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("v"),
+    )
+    n = s.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+    )
+    pooled = s.groupBy("v").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    wc = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = pooled.select(
+        F.sum("c0").over(wc).alias("f0"),
+        F.sum("c1").over(wc).alias("f1"),
+    )
+    m = cum.crossJoin(F.broadcast(n)).agg(
+        F.max("n0").alias("n0"),
+        F.max("n1").alias("n1"),
+        F.greatest(
+            F.lit(0),
+            F.max(F.col("f0") * F.col("n1") - F.col("f1") * F.col("n0")),
+        )
+        .cast("long")
+        .alias("dplus_num"),
+        F.greatest(
+            F.lit(0),
+            F.max(F.col("f1") * F.col("n0") - F.col("f0") * F.col("n1")),
+        )
+        .cast("long")
+        .alias("dminus_num"),
+    )
+    return m.select(
+        "n0",
+        "n1",
+        "dplus_num",
+        "dminus_num",
+        F.expr(
+            "CAST((CAST(dplus_num AS DECIMAL(38,0)) + dminus_num) "
+            "* 1000000 div (CAST(n0 AS DECIMAL(38,0)) * n1) AS LONG)"
+        ).alias("kuiper_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qs395 Anderson–Darling two-sample statistic on the day grid
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "qs395_anderson_darling",
+    oracle=f"""
+    WITH {_SEG_DAILY_SQL},
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+             CAST(SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS mx
+      FROM rk),
+    cumx AS (
+      SELECT r,
+             SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)
+               OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) AS mi
+      FROM rk),
+    terms AS (
+      SELECT CAST(SUM(
+               (CAST(cumx.mi AS HUGEINT) * m.nn - cumx.r * m.mx)
+               * (CAST(cumx.mi AS HUGEINT) * m.nn - cumx.r * m.mx)
+               * 1000000000
+               // (CAST(cumx.r AS HUGEINT) * (m.nn - cumx.r))
+             ) AS HUGEINT) AS s_e9
+      FROM cumx, m WHERE cumx.r < m.nn)
+    SELECT m.mx AS n_x, m.nn - m.mx AS n_y,
+           ROUND(CAST(terms.s_e9 AS DOUBLE)
+                 / (1000000000.0 * m.mx * (m.nn - m.mx)), 6) AS a2
+    FROM m, terms
+    """,
+)
+def qs395(spark: SparkSession, sf: str) -> DataFrame:
+    """Anderson–Darling two-sample statistic (Pettitt 1976) between
+    the BUILDING and MACHINERY daily-revenue distributions:
+    A² = (1/(mn)) Σ_{i<N} (M_i·N − i·m)² / (i(N−i)) over the pooled
+    order statistics — the variance-weighted ECDF distance that
+    up-weights the TAILS where qs227's KS and qs377's CvM are least
+    sensitive (the third member of the ECDF-test family, same day
+    grid and (y, seg, d) unique-rank convention as qs377).
+
+    Determinism: every per-rank term is an exact integer floor
+    division at e9 scale in DECIMAL(38)/HUGEINT ((M·N − i·m)² ≈
+    5e14 at sf30's ~4.8k-row day grid, ×1e9 ≈ 5e23 — headroom to
+    10³⁸), summed exactly; ONE double division + ROUND 6 at the end.
+    Plan: one join-grouped scan → day grid, one grid rank window,
+    one grid cumulative window, one-row epilogue."""
+    rk = _seg_daily_ranks(spark, sf)
+    wc = Window.orderBy("r").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = rk.select(
+        "r",
+        F.sum(F.when(F.col("seg") == "BUILDING", 1).otherwise(0))
+        .over(wc)
+        .alias("mi"),
+    )
+    m = rk.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum(F.when(F.col("seg") == "BUILDING", 1).otherwise(0))
+        .cast("long")
+        .alias("mx"),
+    )
+    terms = (
+        cum.crossJoin(F.broadcast(m))
+        .filter(F.col("r") < F.col("nn"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "(CAST(mi AS DECIMAL(38,0)) * nn - r * mx) "
+                    "* (CAST(mi AS DECIMAL(38,0)) * nn - r * mx) "
+                    "* 1000000000 div (CAST(r AS DECIMAL(38,0)) * (nn - r))"
+                )
+            ).alias("s_e9"),
+            F.max("nn").alias("nn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    return terms.select(
+        F.col("mx").alias("n_x"),
+        (F.col("nn") - F.col("mx")).alias("n_y"),
+        F.round(
+            F.col("s_e9").cast("double")
+            / (
+                F.lit(1e9)
+                * F.col("mx").cast("double")
+                * (F.col("nn") - F.col("mx")).cast("double")
+            ),
+            6,
+        ).alias("a2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qs396 Brunner–Munzel test on the day grid
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "qs396_brunner_munzel",
+    oracle=f"""
+    WITH {_SEG_DAILY_SQL},
+    d AS (
+      SELECT seg, r, r - i AS p FROM rk),
+    m AS (
+      SELECT
+        CAST(SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n2,
+        CAST(SUM(CASE WHEN seg = 'BUILDING' THEN r ELSE 0 END)
+             AS BIGINT) AS sr1,
+        CAST(SUM(CASE WHEN seg = 'MACHINERY' THEN r ELSE 0 END)
+             AS BIGINT) AS sr2,
+        CAST(SUM(CASE WHEN seg = 'BUILDING' THEN p ELSE 0 END)
+             AS BIGINT) AS sp1,
+        CAST(SUM(CASE WHEN seg = 'MACHINERY' THEN p ELSE 0 END)
+             AS BIGINT) AS sp2,
+        CAST(SUM(CASE WHEN seg = 'BUILDING'
+                 THEN CAST(p AS HUGEINT) * p ELSE 0 END) AS HUGEINT)
+          AS sq1,
+        CAST(SUM(CASE WHEN seg = 'MACHINERY'
+                 THEN CAST(p AS HUGEINT) * p ELSE 0 END) AS HUGEINT)
+          AS sq2
+      FROM d)
+    SELECT n1 AS n_x, n2 AS n_y,
+           CAST(CAST(sp2 AS HUGEINT) * 1000000 // (CAST(n2 AS HUGEINT)
+                * n1) AS BIGINT) AS p_hat_e6,
+           ROUND(
+             (CAST(n1 AS DOUBLE) * n2
+              * (CAST(sr2 AS DOUBLE)/n2 - CAST(sr1 AS DOUBLE)/n1))
+             / (CAST(n1 + n2 AS DOUBLE)
+                * sqrt(
+                    n1 * ((CAST(sq1 AS DOUBLE)
+                           - CAST(sp1 AS DOUBLE)*sp1/n1) / (n1 - 1))
+                  + n2 * ((CAST(sq2 AS DOUBLE)
+                           - CAST(sp2 AS DOUBLE)*sp2/n2) / (n2 - 1)))),
+             6) AS w_bm
+    FROM m
+    """,
+)
+def qs396(spark: SparkSession, sf: str) -> DataFrame:
+    """Brunner–Munzel test (Brunner & Munzel 2000) between the
+    BUILDING and MACHINERY daily-revenue distributions — the
+    heteroscedasticity-robust successor to Mann–Whitney (qs181):
+    tests P(X<Y) = 1/2 WITHOUT assuming equal variances, via the
+    placement statistics p = (pooled rank − within rank). Statistic
+    W = n₁n₂(R̄₂−R̄₁) / ((n₁+n₂)·√(n₁S₁² + n₂S₂²)) with S_k² the
+    placement variance; p̂ = Σp₂/(n₁n₂) is the estimated
+    P(X<Y)+½P(X=Y) effect size, emitted exact at e6.
+
+    Determinism: unique permutation ranks (the qs377 (y, seg, d)
+    tiebreak); all five moments (n, ΣR, Σp, Σp²) are exact integers;
+    each S² uses the exact re-centering Σp² − (Σp)²/n; one fixed
+    double tree, ROUND 6. Plan: one join-grouped scan → day grid,
+    two grid rank windows, one-row epilogue."""
+    rk = _seg_daily_ranks(spark, sf)
+    d = rk.select("seg", "r", (F.col("r") - F.col("i")).alias("p"))
+    m = d.agg(
+        F.sum(F.when(F.col("seg") == "BUILDING", 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("seg") == "MACHINERY", 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("seg") == "BUILDING", F.col("r")).otherwise(0))
+        .cast("long")
+        .alias("sr1"),
+        F.sum(F.when(F.col("seg") == "MACHINERY", F.col("r")).otherwise(0))
+        .cast("long")
+        .alias("sr2"),
+        F.sum(F.when(F.col("seg") == "BUILDING", F.col("p")).otherwise(0))
+        .cast("long")
+        .alias("sp1"),
+        F.sum(F.when(F.col("seg") == "MACHINERY", F.col("p")).otherwise(0))
+        .cast("long")
+        .alias("sp2"),
+        F.sum(
+            F.when(
+                F.col("seg") == "BUILDING",
+                F.col("p").cast("decimal(38,0)") * F.col("p"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("sq1"),
+        F.sum(
+            F.when(
+                F.col("seg") == "MACHINERY",
+                F.col("p").cast("decimal(38,0)") * F.col("p"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("sq2"),
+    )
+    s1 = (
+        F.col("sq1").cast("double")
+        - F.col("sp1").cast("double") * F.col("sp1") / F.col("n1")
+    ) / (F.col("n1") - 1)
+    s2 = (
+        F.col("sq2").cast("double")
+        - F.col("sp2").cast("double") * F.col("sp2") / F.col("n2")
+    ) / (F.col("n2") - 1)
+    return m.select(
+        F.col("n1").alias("n_x"),
+        F.col("n2").alias("n_y"),
+        F.expr(
+            "CAST(CAST(sp2 AS DECIMAL(38,0)) * 1000000 "
+            "div (CAST(n2 AS DECIMAL(38,0)) * n1) AS LONG)"
+        ).alias("p_hat_e6"),
+        F.round(
+            (
+                F.col("n1").cast("double")
+                * F.col("n2")
+                * (
+                    F.col("sr2").cast("double") / F.col("n2")
+                    - F.col("sr1").cast("double") / F.col("n1")
+                )
+            )
+            / (
+                (F.col("n1") + F.col("n2")).cast("double")
+                * F.sqrt(F.col("n1") * s1 + F.col("n2") * s2)
+            ),
+            6,
+        ).alias("w_bm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qs397 Lepage combined location–scale test on the day grid
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "qs397_lepage",
+    oracle=f"""
+    WITH {_SEG_DAILY_SQL},
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM rk),
+    m AS (
+      SELECT
+        tot.nn AS nn,
+        CAST(SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN seg = 'BUILDING' THEN r ELSE 0 END)
+             AS BIGINT) AS w,
+        CAST(SUM(CASE WHEN seg = 'BUILDING'
+                 THEN LEAST(r, tot.nn + 1 - r) ELSE 0 END)
+             AS BIGINT) AS c
+      FROM rk, tot GROUP BY tot.nn),
+    ev AS (
+      SELECT nn, n1, nn - n1 AS n2, w, c,
+             CAST(n1 AS DOUBLE) * (nn + 1) / 2 AS ew,
+             CAST(n1 AS DOUBLE) * (nn - n1) * (nn + 1) / 12 AS vw,
+             CASE WHEN nn % 2 = 0
+                  THEN CAST(n1 AS DOUBLE) * (nn + 2) / 4
+                  ELSE CAST(n1 AS DOUBLE) * (nn + 1) * (nn + 1)
+                       / (4.0 * nn) END AS ec,
+             CASE WHEN nn % 2 = 0
+                  THEN CAST(n1 AS DOUBLE) * (nn - n1) * (nn + 2)
+                       * (nn - 2) / (48.0 * (nn - 1))
+                  ELSE CAST(n1 AS DOUBLE) * (nn - n1) * (nn + 1)
+                       * (3 + nn * CAST(nn AS DOUBLE))
+                       / (48.0 * nn * CAST(nn AS DOUBLE)) END AS vc
+      FROM m)
+    SELECT n1 AS n_x, n2 AS n_y, w AS wilcoxon_w, c AS ansari_c,
+           ROUND((w - ew) * (w - ew) / vw
+                 + (c - ec) * (c - ec) / vc, 6) AS lepage_l
+    FROM ev
+    """,
+)
+def qs397(spark: SparkSession, sf: str) -> DataFrame:
+    """Lepage combined location–scale test between the BUILDING and
+    MACHINERY daily-revenue distributions: L = Z_W² + Z_C², the sum
+    of the squared standardized Wilcoxon rank-sum (location — qs181's
+    family) and squared standardized Ansari–Bradley (scale — qs387's
+    statistic), detecting a shift in EITHER moment with one omnibus
+    number — the nonparametric analogue of a joint mean+variance
+    test.
+
+    Determinism: unique permutation ranks (qs377 tiebreak); W and
+    the Ansari score sum C = Σ min(r, N+1−r) are exact integers;
+    null moments are the closed-form textbook expressions (with the
+    even/odd-N Ansari variance cases) in one fixed double tree,
+    ROUND 6. Plan: one join-grouped scan → day grid, one grid rank
+    window, one-row epilogue."""
+    rk = _seg_daily_ranks(spark, sf)
+    m = rk.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum(F.when(F.col("seg") == "BUILDING", 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("seg") == "BUILDING", F.col("r")).otherwise(0))
+        .cast("long")
+        .alias("w"),
+    )
+    # Ansari scores need N in-row: join the scalar back (broadcast
+    # one-row frame) rather than a second global window.
+    c = (
+        rk.crossJoin(F.broadcast(m.select("nn")))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("seg") == "BUILDING",
+                    F.least(
+                        F.col("r"), F.col("nn") + 1 - F.col("r")
+                    ),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("c")
+        )
+    )
+    ev = m.crossJoin(F.broadcast(c))
+    nn = F.col("nn").cast("double")
+    n1 = F.col("n1").cast("double")
+    n2 = nn - n1
+    ew = n1 * (nn + 1) / 2
+    vw = n1 * n2 * (nn + 1) / 12
+    ec = F.when(
+        F.col("nn") % 2 == 0, n1 * (nn + 2) / 4
+    ).otherwise(n1 * (nn + 1) * (nn + 1) / (4 * nn))
+    vc = F.when(
+        F.col("nn") % 2 == 0,
+        n1 * n2 * (nn + 2) * (nn - 2) / (48 * (nn - 1)),
+    ).otherwise(n1 * n2 * (nn + 1) * (3 + nn * nn) / (48 * nn * nn))
+    return ev.select(
+        F.col("n1").alias("n_x"),
+        (F.col("nn") - F.col("n1")).alias("n_y"),
+        F.col("w").alias("wilcoxon_w"),
+        F.col("c").alias("ansari_c"),
+        F.round(
+            (F.col("w") - ew) * (F.col("w") - ew) / vw
+            + (F.col("c") - ec) * (F.col("c") - ec) / vc,
+            6,
+        ).alias("lepage_l"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qs398 G-test (log-likelihood-ratio independence) on priority × status
+# ---------------------------------------------------------------------------
+
+_PRIO_CELLS_SQL = """
+    cells AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS x,
+             CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'O' THEN 2
+                  ELSE 3 END AS y,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1, 2),
+    rt AS (SELECT x, CAST(SUM(c) AS BIGINT) AS r FROM cells GROUP BY x),
+    ct AS (SELECT y, CAST(SUM(c) AS BIGINT) AS s FROM cells GROUP BY y),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT x) AS BIGINT) AS nr,
+                   CAST(COUNT(DISTINCT y) AS BIGINT) AS nc
+            FROM cells)
+"""
+
+
+def _prio_cells_margins(spark: SparkSession, sf: str):
+    """(x = priority rank, y = status rank, c) grid joined with row /
+    column / grand totals — the ≤15-cell contingency the qs383-family
+    uses, with margins for expected-count statistics."""
+    o = load_table(spark, sf, "orders")
+    cells = o.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("x"),
+        F.when(F.col("o_orderstatus") == "F", 1)
+        .when(F.col("o_orderstatus") == "O", 2)
+        .otherwise(3)
+        .cast("long")
+        .alias("y"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    rt = cells.groupBy("x").agg(F.sum("c").cast("long").alias("r"))
+    ct = cells.groupBy("y").agg(F.sum("c").cast("long").alias("s"))
+    tot = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.countDistinct("x").cast("long").alias("nr"),
+        F.countDistinct("y").cast("long").alias("nc"),
+    )
+    return (
+        cells.join(F.broadcast(rt), "x")
+        .join(F.broadcast(ct), "y")
+        .crossJoin(F.broadcast(tot))
+    )
+
+
+@query(
+    "qs398_g_test",
+    oracle=f"""
+    WITH {_PRIO_CELLS_SQL}
+    SELECT tot.n,
+           CAST((tot.nr - 1) * (tot.nc - 1) AS BIGINT) AS df,
+           ROUND(2 * SUM(cells.c * ln(CAST(cells.c AS DOUBLE) * tot.n
+                                      / (CAST(rt.r AS DOUBLE) * ct.s))),
+                 4) AS g_stat
+    FROM cells
+    JOIN rt ON rt.x = cells.x
+    JOIN ct ON ct.y = cells.y
+    CROSS JOIN tot
+    GROUP BY tot.n, tot.nr, tot.nc
+    """,
+)
+def qs398(spark: SparkSession, sf: str) -> DataFrame:
+    """G-test of independence (log-likelihood-ratio χ²) on the order
+    priority × status contingency grid: G = 2 Σ O·ln(O·n/(r·c)) with
+    df = (R−1)(C−1) — the information-theoretic twin of Pearson's χ²
+    (G = 2n·MI(X;Y) in nats), additive across partitions where
+    Pearson's is not, and the statistic of choice when any O/E ratio
+    is extreme. Empty cells contribute 0 by the x·ln(x)→0 limit and
+    simply never appear in the grouped grid.
+
+    Determinism: counts and margins exact integers; the sum runs
+    over ≤15 grid cells of one ln each (the qs160/qs372 small-grid
+    float-sum contract), ROUND 4. Plan: one scan → ≤15-cell grid,
+    broadcast margins, one-row epilogue."""
+    j = _prio_cells_margins(spark, sf)
+    term = F.col("c") * F.log(
+        F.col("c").cast("double")
+        * F.col("n")
+        / (F.col("r").cast("double") * F.col("s"))
+    )
+    return j.groupBy("n", "nr", "nc").agg(
+        F.round(2 * F.sum(term), 4).alias("g_stat")
+    ).select(
+        "n",
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("df"),
+        "g_stat",
+    )
+
+
+# ---------------------------------------------------------------------------
+# qs399 Cramér's V on the same grid
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "qs399_cramers_v",
+    oracle=f"""
+    WITH {_PRIO_CELLS_SQL},
+    chi AS (
+      SELECT tot.n, tot.nr, tot.nc,
+             CAST(SUM(
+               (CAST(cells.c AS HUGEINT) * tot.n - CAST(rt.r AS HUGEINT)
+                  * ct.s)
+               * (CAST(cells.c AS HUGEINT) * tot.n
+                  - CAST(rt.r AS HUGEINT) * ct.s)
+               * 1000000000
+               // (CAST(tot.n AS HUGEINT) * rt.r * ct.s)
+             ) AS HUGEINT) AS chi_e9
+      FROM cells
+      JOIN rt ON rt.x = cells.x
+      JOIN ct ON ct.y = cells.y
+      CROSS JOIN tot
+      GROUP BY tot.n, tot.nr, tot.nc)
+    SELECT n, ROUND(CAST(chi_e9 AS DOUBLE) / 1000000000.0 / n, 6)
+             AS phi2,
+           ROUND(sqrt(CAST(chi_e9 AS DOUBLE) / 1000000000.0
+                      / (CAST(n AS DOUBLE)
+                         * (LEAST(nr, nc) - 1))), 6) AS cramers_v
+    FROM chi
+    """,
+)
+def qs399(spark: SparkSession, sf: str) -> DataFrame:
+    """Cramér's V on the order priority × status grid — the [0, 1]
+    normalized effect size of the association the qs383-family
+    measures with signed ordinal statistics: V = √(χ²/(n·(min(R,C)−1)))
+    with the Pearson χ² in its empty-cell-free algebraic form
+    χ² = Σ_{O>0} (O·n − r·c)²/(n·r·c) (absent cells contribute their
+    E through the expansion, so the nonzero grid suffices). φ² is
+    emitted alongside (the unnormalized mean-square contingency).
+
+    Determinism: every per-cell term is an exact e9 floor division in
+    HUGEINT/DECIMAL(38) ((O·n − r·c)² ≈ 1e28 at sf30 gen scale),
+    summed exactly over ≤15 cells; two fixed double expressions,
+    ROUND 6. Plan: identical to qs398."""
+    j = _prio_cells_margins(spark, sf)
+    chi = j.groupBy("n", "nr", "nc").agg(
+        F.sum(
+            F.expr(
+                "(CAST(c AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0))"
+                " * s) * (CAST(c AS DECIMAL(38,0)) * n "
+                "- CAST(r AS DECIMAL(38,0)) * s) * 1000000000 "
+                "div (CAST(n AS DECIMAL(38,0)) * r * s)"
+            )
+        ).alias("chi_e9")
+    )
+    return chi.select(
+        "n",
+        F.round(
+            F.col("chi_e9").cast("double") / 1e9 / F.col("n"), 6
+        ).alias("phi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi_e9").cast("double")
+                / 1e9
+                / (
+                    F.col("n").cast("double")
+                    * (F.least("nr", "nc") - 1)
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qs400 LSH band-occupancy histogram — the r13 hot-band guard's
+# diagnostic, oracle-checked
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "qs400_lsh_band_occupancy",
+    oracle=None,  # set below: needs the qs55-family signature CTEs
+)
+def qs400(spark: SparkSession, sf: str) -> DataFrame:
+    """Band-occupancy histogram of the qs55-family MinHash-LSH banding
+    over documents: per (band_idx, ⌈log2 occupancy⌉ bucket) the number
+    of band keys and the exact max occupancy — the EXACT diagnostic
+    the r13 self-arming hot-band guard persists at index build time
+    (operators/dedup.write_minhash_band_stats; BASELINE r13 table),
+    here as a registry query with a full DuckDB oracle so the skew
+    signal itself is hash-verified: a mega-cluster template shows up
+    as a lone high bucket (occupancy = template copies in EVERY band),
+    a healthy corpus as a short power-law tail.
+
+    Determinism: the portable md5-sliced signature family (the qs55
+    oracle vehicle), integer counts, and ceil(log2(n)) of exact
+    integers (exact at power-of-two boundaries in both engines).
+    Plan: signature banding rides the scan (array expressions, no
+    Python), one (band, key) count aggregate, one ~50-row histogram
+    epilogue — the shuffle carries (band_idx, 32-byte key) rows, the
+    same shape the persisted index pays once at ingest."""
+    from cds_etl_spark.operators.dedup import _signature_bands
+
+    d = load_table(spark, sf, "documents")
+    _sh, bands_df = _signature_bands(
+        d, "doc_id", "text", 3, 12, 4, "portable"
+    )
+    occ = bands_df.groupBy(
+        (F.col("_bi") + 1).cast("long").alias("band_idx"), "_key"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return occ.groupBy(
+        "band_idx",
+        F.ceil(F.log2("n")).cast("long").alias("occ_bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("n").cast("long").alias("max_occ"),
+    )
+
+
+def _register_qs400_oracle() -> None:
+    from cds_etl_spark.plans.q_dedup_text import (
+        _MINHASH_SIG_SQL,
+        _SHINGLES_CTE,
+    )
+    from cds_etl_spark.plans.registry import ORACLE_SQL
+
+    ORACLE_SQL["qs400_lsh_band_occupancy"] = f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (SELECT doc_id, [{_MINHASH_SIG_SQL}] AS sg FROM sh),
+    bands AS (
+      SELECT doc_id,
+        [md5(sg[1]||','||sg[2]||','||sg[3]), md5(sg[4]||','||sg[5]||','||sg[6]),
+         md5(sg[7]||','||sg[8]||','||sg[9]), md5(sg[10]||','||sg[11]||','||sg[12])] AS bk
+      FROM sig),
+    exploded AS (
+      SELECT CAST(g.i AS BIGINT) AS band_idx, bk[g.i] AS key
+      FROM bands, (SELECT unnest(range(1,5)) AS i) g),
+    occ AS (
+      SELECT band_idx, key, COUNT(*) AS n
+      FROM exploded GROUP BY band_idx, key)
+    SELECT band_idx, CAST(ceil(log2(n)) AS BIGINT) AS occ_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(n) AS BIGINT) AS max_occ
+    FROM occ GROUP BY band_idx, occ_bucket
+    """
+
+
+_register_qs400_oracle()
+
+
+# ---------------------------------------------------------------------------
+# qs401 Moran's I on the daily-revenue calendar grid
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "qs401_moran_i_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS HUGEINT) AS sy FROM daily),
+    z AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY d) AS t,
+             CAST(s.n AS HUGEINT) * y - s.sy AS z
+      FROM daily, s),
+    lagged AS (
+      SELECT t, z, LAG(z) OVER (ORDER BY t) AS zp
+      FROM z),
+    m AS (
+      SELECT CAST(SUM(CASE WHEN zp IS NOT NULL THEN z * zp
+                           ELSE 0 END) AS HUGEINT) AS num,
+             CAST(SUM(z * z) AS HUGEINT) AS den
+      FROM lagged)
+    SELECT s.n AS n_days,
+           ROUND(CAST(s.n AS DOUBLE) / (s.n - 1)
+                 * CAST(m.num AS DOUBLE) / CAST(m.den AS DOUBLE), 6)
+             AS moran_i
+    FROM s, m
+    """,
+)
+def qs401(spark: SparkSession, sf: str) -> DataFrame:
+    """Moran's I spatial-autocorrelation statistic on the daily-revenue
+    calendar grid with binary lag-1 adjacency (each day's neighbours =
+    the adjacent days): I = (n/ΣW)·Σw_ij z_i z_j / Σz_i², which for
+    the symmetric chain (ΣW = 2(n−1), each consecutive pair counted
+    both ways) collapses to (n/(n−1))·Σ z_t z_{t−1} / Σ z_t² — the
+    cross-sectional cousin of qs303's Durbin–Watson (DW measures
+    residual serial correlation as a ratio of DIFFERENCES; Moran
+    measures it as a normalized lag PRODUCT, the form that
+    generalizes to arbitrary adjacency graphs).
+
+    Determinism: the qs390 re-centering — z_t = n·y_t − Σy exact in
+    DECIMAL(38)/HUGEINT (z ≈ 2.6e14 at sf30 gen scale, z² ≈ 7e28 —
+    headroom to 10³⁸); both quadratic sums exact; one double ratio,
+    ROUND 6. Plan: one scan → ~2.4k-day grid, two GRID windows
+    (ordinal + lag), one-row epilogue."""
+    o = load_table(spark, sf, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    s = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+    )
+    z = daily.crossJoin(F.broadcast(s)).select(
+        "n",
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("y") - F.col("sy")
+        ).alias("z"),
+        F.row_number().over(Window.orderBy("d")).alias("t"),
+    )
+    lagged = z.withColumn("zp", F.lag("z").over(Window.orderBy("t")))
+    m = lagged.agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.when(F.col("zp").isNotNull(), F.col("z") * F.col("zp"))
+            .otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("num"),
+        F.sum(F.col("z") * F.col("z")).alias("den"),
+    )
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.round(
+            F.col("n").cast("double")
+            / (F.col("n") - 1)
+            * F.col("num").cast("double")
+            / F.col("den").cast("double"),
+            6,
+        ).alias("moran_i"),
+    )

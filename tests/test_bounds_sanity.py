@@ -124,6 +124,20 @@ BOUNDS = [
     ("qs390_kpss", "kpss_stat", 0.0, None),
     ("qs391_wasserstein", "w1_dollars", 0.0, None),
     ("qs392_lorenz_asymmetry", "lorenz_asymmetry", 0.0, 2.0),
+    ("qs393_mrr_prefix_shortlist", "mrr_e6", 0, 1_000_000),
+    ("qs394_kuiper", "kuiper_e6", 0, 2_000_000),
+    ("qs394_kuiper", "dplus_num", 0, None),
+    ("qs394_kuiper", "dminus_num", 0, None),
+    ("qs395_anderson_darling", "a2", 0.0, None),
+    ("qs396_brunner_munzel", "p_hat_e6", 0, 1_000_000),
+    ("qs397_lepage", "lepage_l", 0.0, None),
+    ("qs398_g_test", "g_stat", 0.0, None),
+    ("qs399_cramers_v", "phi2", 0.0, None),
+    ("qs399_cramers_v", "cramers_v", 0.0, 1.0),
+    # Moran's I on a chain lies within the extreme eigenvalues of the
+    # row-standardized weight matrix — comfortably inside [-1.5, 1.5]
+    # for any n; the classic approximate range.
+    ("qs401_moran_i_daily", "moran_i", -1.5, 1.5),
 ]
 
 

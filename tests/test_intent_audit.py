@@ -6319,3 +6319,208 @@ def test_intent_qs245_gains_lift_deciles(spark, sf_dir):
         assert (row["n_cust"], row["responders"]) == (n, r)
         assert abs(row["resp_rate"] - rate) <= 2e-4
         assert abs(row["cum_lift"] - lift) <= 2e-4
+
+
+# -- wave 22 (r13): the qs394-qs401 additions -------------------------------
+
+
+def _seg_daily_pd(sf_dir):
+    """(seg, d, y-cents) day grid for BUILDING/MACHINERY and the
+    pooled (y, seg, d)-tiebroken order — the qs377 rank convention,
+    rebuilt independently."""
+    o = _pd(sf_dir, "orders")
+    c = _pd(sf_dir, "customer")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j = j[j["c_mktsegment"].isin(["BUILDING", "MACHINERY"])]
+    daily = (
+        pd.DataFrame(
+            {
+                "seg": j["c_mktsegment"],
+                "d": j["o_orderdate"].dt.date,
+                "c": _cents(j["o_totalprice"]),
+            }
+        )
+        .groupby(["seg", "d"])["c"]
+        .sum()
+        .reset_index(name="y")
+    )
+    return daily.sort_values(
+        ["y", "seg", "d"], kind="mergesort"
+    ).reset_index(drop=True)
+
+
+def test_intent_qs394_kuiper(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    v = _cents(o["o_totalprice"])
+    grp = (o["o_custkey"] % 2).to_numpy()
+    x = np.sort(v[grp == 0])
+    y = np.sort(v[grp == 1])
+    grid = np.unique(v)
+    f0 = np.searchsorted(x, grid, side="right") / len(x)
+    f1 = np.searchsorted(y, grid, side="right") / len(y)
+    dplus = max(0.0, np.max(f0 - f1))
+    dminus = max(0.0, np.max(f1 - f0))
+    got = _run(spark, sf_dir, "qs394_kuiper").iloc[0]
+    assert got["n0"] == len(x) and got["n1"] == len(y)
+    assert abs(got["kuiper_e6"] / 1e6 - (dplus + dminus)) <= 2e-6
+    assert abs(got["dplus_num"] / (len(x) * len(y)) - dplus) <= 1e-12
+    assert abs(got["dminus_num"] / (len(x) * len(y)) - dminus) <= 1e-12
+
+
+def test_intent_qs395_anderson_darling(spark, sf_dir):
+    daily = _seg_daily_pd(sf_dir)
+    isx = (daily["seg"] == "BUILDING").to_numpy()
+    N, m = len(daily), int(isx.sum())
+    Mi = np.cumsum(isx)
+    i = np.arange(1, N + 1)
+    sel = i < N
+    a2 = np.sum(
+        (Mi[sel] * N - i[sel] * m) ** 2.0 / (i[sel] * (N - i[sel]))
+    ) / (m * (N - m))
+    got = _run(spark, sf_dir, "qs395_anderson_darling").iloc[0]
+    assert got["n_x"] == m and got["n_y"] == N - m
+    assert abs(got["a2"] - a2) <= 2e-6
+
+
+def test_intent_qs396_brunner_munzel(spark, sf_dir):
+    daily = _seg_daily_pd(sf_dir)
+    r = np.arange(1, len(daily) + 1, dtype=np.float64)
+    isx = (daily["seg"] == "BUILDING").to_numpy()
+    rx, ry = r[isx], r[~isx]
+    n1, n2 = len(rx), len(ry)
+    # placements: overall rank minus within-sample rank
+    px = rx - np.arange(1, n1 + 1)
+    py = ry - np.arange(1, n2 + 1)
+    s1 = px.var(ddof=1)
+    s2 = py.var(ddof=1)
+    w = (
+        n1 * n2 * (ry.mean() - rx.mean())
+        / ((n1 + n2) * np.sqrt(n1 * s1 + n2 * s2))
+    )
+    p_hat = py.sum() / (n1 * n2)
+    got = _run(spark, sf_dir, "qs396_brunner_munzel").iloc[0]
+    assert got["n_x"] == n1 and got["n_y"] == n2
+    assert got["p_hat_e6"] == int(py.sum()) * 1_000_000 // (n1 * n2)
+    assert 0.0 <= p_hat <= 1.0
+    assert abs(got["w_bm"] - w) <= 2e-6
+
+
+def test_intent_qs397_lepage(spark, sf_dir):
+    daily = _seg_daily_pd(sf_dir)
+    N = len(daily)
+    r = np.arange(1, N + 1)
+    isx = (daily["seg"] == "BUILDING").to_numpy()
+    n1 = int(isx.sum())
+    n2 = N - n1
+    w = int(r[isx].sum())
+    c = int(np.minimum(r[isx], N + 1 - r[isx]).sum())
+    ew = n1 * (N + 1) / 2
+    vw = n1 * n2 * (N + 1) / 12
+    if N % 2 == 0:
+        ec = n1 * (N + 2) / 4
+        vc = n1 * n2 * (N + 2) * (N - 2) / (48 * (N - 1))
+    else:
+        ec = n1 * (N + 1) ** 2 / (4 * N)
+        vc = n1 * n2 * (N + 1) * (3 + N * N) / (48 * N * N)
+    lepage = (w - ew) ** 2 / vw + (c - ec) ** 2 / vc
+    got = _run(spark, sf_dir, "qs397_lepage").iloc[0]
+    assert got["n_x"] == n1 and got["n_y"] == n2
+    assert got["wilcoxon_w"] == w and got["ansari_c"] == c
+    assert abs(got["lepage_l"] - lepage) <= 2e-6
+
+
+def _prio_crosstab(sf_dir):
+    o = _pd(sf_dir, "orders")
+    x = o["o_orderpriority"].str[0].astype(int)
+    y = o["o_orderstatus"].map({"F": 1, "O": 2}).fillna(3).astype(int)
+    return pd.crosstab(x, y)
+
+
+def test_intent_qs398_g_test(spark, sf_dir):
+    ct = _prio_crosstab(sf_dir)
+    n = ct.to_numpy().sum()
+    e = np.outer(ct.sum(axis=1), ct.sum(axis=0)) / n
+    obs = ct.to_numpy().astype(float)
+    mask = obs > 0
+    g = 2 * np.sum(obs[mask] * np.log(obs[mask] / e[mask]))
+    got = _run(spark, sf_dir, "qs398_g_test").iloc[0]
+    assert got["n"] == n
+    assert got["df"] == (ct.shape[0] - 1) * (ct.shape[1] - 1)
+    assert abs(got["g_stat"] - g) <= 2e-4
+
+
+def test_intent_qs399_cramers_v(spark, sf_dir):
+    ct = _prio_crosstab(sf_dir)
+    obs = ct.to_numpy().astype(float)
+    n = obs.sum()
+    e = np.outer(ct.sum(axis=1), ct.sum(axis=0)) / n
+    chi2 = np.sum((obs - e) ** 2 / e)
+    v = np.sqrt(chi2 / (n * (min(ct.shape) - 1)))
+    got = _run(spark, sf_dir, "qs399_cramers_v").iloc[0]
+    assert got["n"] == n
+    assert abs(got["phi2"] - chi2 / n) <= 2e-6
+    assert abs(got["cramers_v"] - v) <= 2e-6
+
+
+def test_intent_qs400_lsh_band_occupancy(spark, sf_dir):
+    # Independent pure-hashlib rebuild of the qs55 portable signature
+    # family: k=3 word shingles, hash j = 8-hex slice j%4 of
+    # md5('p<j//4>|' + shingle), band key = md5 of 3 comma-joined
+    # signature slices.
+    import hashlib
+    from collections import Counter
+
+    def md5hex(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    d = _pd(sf_dir, "documents")
+    occ = Counter()
+    for r in d.itertuples():
+        toks = r.text.split(" ")
+        shingles = list(
+            dict.fromkeys(
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            )
+        )
+        if not shingles:
+            continue
+        sig = [
+            min(
+                md5hex(f"p{j // 4}|" + s)[8 * (j % 4) : 8 * (j % 4) + 8]
+                for s in shingles
+            )
+            for j in range(12)
+        ]
+        for b in range(4):
+            key = md5hex(",".join(sig[3 * b : 3 * b + 3]))
+            occ[(b + 1, key)] += 1
+    hist: dict[tuple, list] = {}
+    for (b, _k), n in occ.items():
+        bucket = math.ceil(math.log2(n)) if n > 1 else 0
+        hist.setdefault((b, bucket), []).append(n)
+    got = _run(spark, sf_dir, "qs400_lsh_band_occupancy")
+    assert len(got) == len(hist)
+    for _, row in got.iterrows():
+        ns = hist[(row["band_idx"], row["occ_bucket"])]
+        assert row["n_keys"] == len(ns)
+        assert row["max_occ"] == max(ns)
+
+
+def test_intent_qs401_moran_i_daily(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    daily = (
+        pd.DataFrame(
+            {"d": o["o_orderdate"].dt.date, "c": _cents(o["o_totalprice"])}
+        )
+        .groupby("d")["c"]
+        .sum()
+        .sort_index()
+        .to_numpy()
+        .astype(float)
+    )
+    n = len(daily)
+    z = daily - daily.mean()
+    moran = (n / (n - 1)) * np.sum(z[1:] * z[:-1]) / np.sum(z * z)
+    got = _run(spark, sf_dir, "qs401_moran_i_daily").iloc[0]
+    assert got["n_days"] == n
+    assert abs(got["moran_i"] - moran) <= 2e-6
