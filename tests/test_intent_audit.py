@@ -6524,3 +6524,268 @@ def test_intent_qs401_moran_i_daily(spark, sf_dir):
     got = _run(spark, sf_dir, "qs401_moran_i_daily").iloc[0]
     assert got["n_days"] == n
     assert abs(got["moran_i"] - moran) <= 2e-6
+
+
+# -- wave 23 (r13): EXACT-DEFINITIONAL retirement, second batch -------------
+
+
+def test_intent_qs104_inverted_index(spark, sf_dir):
+    from collections import Counter
+
+    d = _pd(sf_dir, "documents")
+    tf = Counter()
+    docs: dict[str, set] = {}
+    first: dict[str, int] = {}
+    for r in d.itertuples():
+        for t in r.text.lower().split(" "):
+            if not t:
+                continue
+            tf[t] += 1
+            docs.setdefault(t, set()).add(r.doc_id)
+            first[t] = min(first.get(t, r.doc_id), r.doc_id)
+    exp = {
+        t: (len(docs[t]), tf[t], first[t])
+        for t in tf
+        if len(docs[t]) >= 5
+    }
+    got = _run(spark, sf_dir, "qs104_inverted_index")
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        assert exp[r["term"]] == (r["df"], r["tf"], r["first_doc"])
+
+
+def test_intent_qs123_event_transitions(spark, sf_dir):
+    from collections import Counter
+
+    ev = _pd(sf_dir, "events").sort_values(
+        ["user_id", "ts", "event_id"], kind="mergesort"
+    )
+    c = Counter()
+    for _, g in ev.groupby("user_id"):
+        types = g["event_type"].tolist()
+        for cur, nxt in zip(types, types[1:]):
+            c[(cur, nxt)] += 1
+    row_tot = Counter()
+    for (cur, _n), n in c.items():
+        row_tot[cur] += n
+    got = _run(spark, sf_dir, "qs123_event_transitions")
+    assert len(got) == len(c)
+    for _, r in got.iterrows():
+        n = c[(r["cur"], r["nxt"])]
+        assert r["n"] == n
+        assert abs(r["p"] - round(n / row_tot[r["cur"]], 4)) <= 2e-4
+
+
+def test_intent_qs124_quality_filter(spark, sf_dir):
+    stop = {"the", "a", "an", "of", "and", "to", "in", "is", "it", "that"}
+    d = _pd(sf_dir, "documents")
+    got = _run(spark, sf_dir, "qs124_quality_filter").set_index("doc_id")
+    checked = 0
+    for r in d.itertuples():
+        ts = [t for t in r.text.lower().split(" ") if t]
+        if not ts:
+            assert r.doc_id not in got.index
+            continue
+        n, n_stop, n_uniq = len(ts), sum(t in stop for t in ts), len(set(ts))
+        if n < 10:
+            verdict = "too_short"
+        elif n_stop / n < 0.05:
+            verdict = "low_stopword"
+        elif n_uniq / n < 0.3:
+            verdict = "repetitive"
+        else:
+            verdict = "pass"
+        row = got.loc[r.doc_id]
+        assert row["n_tok"] == n and row["verdict"] == verdict
+        assert abs(row["stop_ratio"] - round(n_stop / n, 4)) <= 2e-4
+        assert abs(row["distinct_ratio"] - round(n_uniq / n, 4)) <= 2e-4
+        checked += 1
+    assert checked == len(got)
+
+
+def test_intent_qs155_token_cooccurrence(spark, sf_dir):
+    from collections import Counter
+    from itertools import combinations
+
+    d = _pd(sf_dir, "documents")
+    toksets = {
+        r.doc_id: set(r.text.split(" ")) for r in d.itertuples()
+    }
+    df_count = Counter()
+    for ts in toksets.values():
+        df_count.update(ts)
+    floor = len(d) // 20
+    frequent = {t for t, c in df_count.items() if c >= floor}
+    pair_count = Counter()
+    for ts in toksets.values():
+        for a, b in combinations(sorted(ts & frequent), 2):
+            pair_count[(a, b)] += 1
+    exp = sorted(
+        ((-n, a, b) for (a, b), n in pair_count.items())
+    )[:20]
+    got = _run(spark, sf_dir, "qs155_token_cooccurrence")
+    gs = [(-int(r["n_docs"]), r["t1"], r["t2"]) for _, r in got.iterrows()]
+    assert gs == exp
+
+
+def test_intent_qs164_sequence_mining(spark, sf_dir):
+    from collections import Counter
+
+    ev = _pd(sf_dir, "events").sort_values(
+        ["user_id", "ts", "event_id"], kind="mergesort"
+    )
+    occ = Counter()
+    users: dict[str, set] = {}
+    for uid, g in ev.groupby("user_id"):
+        types = g["event_type"].tolist()
+        for a, b, c in zip(types, types[1:], types[2:]):
+            s = f"{a}>{b}>{c}"
+            occ[s] += 1
+            users.setdefault(s, set()).add(uid)
+    exp = sorted(
+        ((-len(users[s]), -occ[s], s) for s in occ)
+    )[:20]
+    got = _run(spark, sf_dir, "qs164_sequence_mining")
+    gs = [
+        (-int(r["n_users"]), -int(r["n_occurrences"]), r["seq"])
+        for _, r in got.iterrows()
+    ]
+    assert gs == exp
+
+
+def test_intent_qs176_last_touch_attribution(spark, sf_dir):
+    from collections import Counter
+
+    ev = _pd(sf_dir, "events")
+    ev = ev.assign(sec=ev["ts"].astype("datetime64[ns]").astype("int64") // 10**9)
+    per_user = {
+        uid: g for uid, g in ev.groupby("user_id")
+    }
+    out = Counter()
+    for _, p in ev[ev["event_type"] == "purchase"].iterrows():
+        g = per_user[p["user_id"]]
+        cand = g[
+            (g["event_type"] != "purchase")
+            & (g["sec"] >= p["sec"] - 604800)
+            & (g["sec"] <= p["sec"])
+        ]
+        if cand.empty:
+            out["direct"] += 1
+        else:
+            key = cand["sec"] * 10_000_000 + cand["event_id"]
+            out[cand.loc[key.idxmax(), "event_type"]] += 1
+    got = _run(spark, sf_dir, "qs176_last_touch_attribution")
+    gs = {r["attributed_type"]: r["purchases"] for _, r in got.iterrows()}
+    assert gs == dict(out)
+
+
+def test_intent_qs186_session_stats(spark, sf_dir):
+    ev = _pd(sf_dir, "events").sort_values(
+        ["user_id", "ts", "event_id"], kind="mergesort"
+    )
+    durs, counts = [], []
+    for _, g in ev.groupby("user_id"):
+        times = g["ts"].tolist()
+        cur = [times[0]]
+        sessions = []
+        for prev, t in zip(times, times[1:]):
+            if (t - prev).total_seconds() > 1800:
+                sessions.append(cur)
+                cur = []
+            cur.append(t)
+        sessions.append(cur)
+        for s in sessions:
+            counts.append(len(s))
+            durs.append(
+                int(s[-1].timestamp()) - int(s[0].timestamp())
+            )
+    got = _run(spark, sf_dir, "qs186_session_stats").iloc[0]
+    assert got["n_sessions"] == len(durs)
+    assert got["n_events"] == sum(counts)
+    assert got["max_events"] == max(counts)
+    assert abs(got["p50_dur_s"] - np.percentile(durs, 50)) <= 1e-6
+    assert abs(got["p95_dur_s"] - np.percentile(durs, 95)) <= 1e-6
+
+
+def test_intent_qs188_time_to_convert(spark, sf_dir):
+    ev = _pd(sf_dir, "events")
+    ev = ev.assign(sec=ev["ts"].astype("datetime64[ns]").astype("int64") // 10**9)
+    lat = []
+    for _, g in ev.groupby("user_id"):
+        s = g.loc[g["event_type"] == "signup", "sec"]
+        p = g.loc[g["event_type"] == "purchase", "sec"]
+        if not s.empty and not p.empty and p.min() >= s.min():
+            lat.append(int(p.min() - s.min()))
+    got = _run(spark, sf_dir, "qs188_time_to_convert").iloc[0]
+    assert got["n_converted"] == len(lat)
+    assert got["min_s"] == min(lat) and got["max_s"] == max(lat)
+    assert abs(got["p50_s"] - np.percentile(lat, 50)) <= 1e-6
+    assert abs(got["p90_s"] - np.percentile(lat, 90)) <= 1e-6
+
+
+def test_intent_qs219_abc_classification(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    rev = (
+        pd.DataFrame(
+            {
+                "pgrp": (li["l_partkey"] % 200).astype(int),
+                "c": _cents(li["l_extendedprice"]),
+            }
+        )
+        .groupby("pgrp")["c"]
+        .sum()
+    )
+    order = sorted(rev.index, key=lambda g: (-rev[g], g))
+    total = int(rev.sum())
+    cum = 0
+    exp = {}
+    for g in order:
+        cum += int(rev[g])
+        cls = "A" if cum * 100 <= total * 80 else (
+            "B" if cum * 100 <= total * 95 else "C"
+        )
+        exp[g] = (int(rev[g]), cum * 10000 // total, cls)
+    got = _run(spark, sf_dir, "qs219_abc_classification")
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        assert exp[r["pgrp"]] == (
+            r["rev_cents"], r["cum_share_e4"], r["abc_class"],
+        )
+
+
+def test_intent_qs237_seasonal_index_ratio(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    m = (
+        pd.DataFrame(
+            {
+                "grp": (li["l_suppkey"] % 5).astype(int),
+                "t": (li["l_shipdate"].dt.year - 1995) * 12
+                + li["l_shipdate"].dt.month,
+                "c": _cents(li["l_extendedprice"]),
+            }
+        )
+        .groupby(["grp", "t"])["c"]
+        .sum()
+        .floordiv(10000)
+        .reset_index(name="y")
+    )
+    exp: dict[tuple, list] = {}
+    for grp, g in m.groupby("grp"):
+        g = g.sort_values("t").reset_index(drop=True)
+        ys = g["y"].tolist()
+        ts = g["t"].tolist()
+        for k in range(len(ys)):
+            if k - 6 < 0 or k + 6 >= len(ys):
+                continue
+            trend = 2 * sum(ys[k - 6 : k + 7]) - ys[k - 6] - ys[k + 6]
+            if trend <= 0:
+                continue
+            ratio = 24 * ys[k] * 1_000_000 // trend
+            exp.setdefault((grp, (ts[k] - 1) % 12), []).append(ratio)
+    got = _run(spark, sf_dir, "qs237_seasonal_index_ratio")
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        rs = sorted(exp[(r["grp"], r["moy"])])
+        lower_median = rs[(len(rs) + 1) // 2 - 1]
+        assert r["n_obs"] == len(rs)
+        assert r["seasonal_index_e6"] == lower_median
