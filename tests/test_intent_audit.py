@@ -6789,3 +6789,292 @@ def test_intent_qs237_seasonal_index_ratio(spark, sf_dir):
         lower_median = rs[(len(rs) + 1) // 2 - 1]
         assert r["n_obs"] == len(rs)
         assert r["seasonal_index_e6"] == lower_median
+
+
+# -- wave 24 (r13): EXACT-DEFINITIONAL retirement, third batch --------------
+
+
+def test_intent_qs142_duplicate_span_coverage(spark, sf_dir):
+    from collections import Counter
+
+    d = _pd(sf_dir, "documents")
+    toks = {r.doc_id: r.text.split(" ") for r in d.itertuples()}
+    wins: dict[tuple, list] = {}
+    for doc, ts in toks.items():
+        for i in range(len(ts) - 9):
+            wins.setdefault(tuple(ts[i : i + 10]), []).append((doc, i + 1))
+    exp = {}
+    spans: dict[int, list] = {}
+    for w, hits in wins.items():
+        if len(hits) > 1 and len({d0 for d0, _p in hits}) > 1:
+            for doc, pos in hits:
+                spans.setdefault(doc, []).append((pos, pos + 9))
+    for doc, sp in spans.items():
+        sp.sort()
+        islands = []
+        cur_s, cur_e = sp[0]
+        for s, e in sp[1:]:
+            if s > cur_e:
+                islands.append((cur_s, cur_e))
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        islands.append((cur_s, cur_e))
+        dup = sum(e - s + 1 for s, e in islands)
+        exp[doc] = (dup, len(islands), dup / len(toks[doc]))
+    got = _run(spark, sf_dir, "qs142_duplicate_span_coverage")
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        dup, ni, cov = exp[r["doc_id"]]
+        assert (r["dup_tokens"], r["n_islands"]) == (dup, ni)
+        assert abs(r["coverage"] - cov) <= 1e-9
+
+
+def test_intent_qs220_segment_migration(spark, sf_dir):
+    from collections import Counter
+
+    o = _pd(sf_dir, "orders")
+    o = o[o["o_orderdate"].dt.year.isin([1996, 1997])]
+    yr = (
+        o.assign(c=_cents(o["o_totalprice"]), y=o["o_orderdate"].dt.year)
+        .groupby(["o_custkey", "y"])["c"]
+        .sum()
+        .reset_index()
+    )
+    tiers = {}
+    for y, g in yr.groupby("y"):
+        order = sorted(
+            g.itertuples(), key=lambda r: (r.c, r.o_custkey)
+        )
+        t = _ntile([r.o_custkey for r in order], 4)
+        tiers[y] = t
+    exp = Counter()
+    for cust, t96 in tiers[1996].items():
+        t97 = tiers[1997].get(cust)
+        if t97 is not None:
+            exp[(t96, t97)] += 1
+    got = _run(spark, sf_dir, "qs220_segment_migration")
+    gs = {
+        (r["tier_1996"], r["tier_1997"]): r["n_customers"]
+        for _, r in got.iterrows()
+    }
+    assert gs == dict(exp)
+
+
+def test_intent_qs226_vocab_coverage(spark, sf_dir):
+    from collections import Counter
+
+    d = _pd(sf_dir, "documents")
+    tc = Counter()
+    for r in d.itertuples():
+        for t in r.text.lower().split(" "):
+            if t:
+                tc[(r.source, t)] += 1
+    term_tot = Counter()
+    for (_s, t), y in tc.items():
+        term_tot[t] += y
+    vocab = {
+        t
+        for _negy, t in sorted(
+            (-y, t) for t, y in term_tot.items()
+        )[:1000]
+    }
+    exp = {}
+    for (s, t), y in tc.items():
+        n, iv = exp.get(s, (0, 0))
+        exp[s] = (n + y, iv + (y if t in vocab else 0))
+    got = _run(spark, sf_dir, "qs226_vocab_coverage")
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        n, iv = exp[r["source"]]
+        assert (r["n_tokens"], r["in_vocab"]) == (n, iv)
+        assert r["coverage_e6"] == iv * 1_000_000 // n
+
+
+def test_intent_qs247_position_attribution(spark, sf_dir):
+    from collections import defaultdict
+
+    ev = _pd(sf_dir, "events").sort_values(
+        ["user_id", "ts", "event_id"], kind="mergesort"
+    )
+    credit = defaultdict(float)
+    for _, g in ev.groupby("user_id"):
+        types = g["event_type"].tolist()
+        fpos = next(
+            (k for k, t in enumerate(types, 1) if t == "purchase"), None
+        )
+        if fpos is None:
+            continue
+        n = fpos
+        for pos, t in enumerate(types[:fpos], 1):
+            if n == 1:
+                credit[t] += 100.0
+            elif n == 2:
+                credit[t] += 50.0
+            elif pos in (1, n):
+                credit[t] += 40.0
+            else:
+                credit[t] += 20.0 / (n - 2)
+    got = _run(spark, sf_dir, "qs247_position_attribution")
+    assert len(got) == len(credit)
+    for _, r in got.iterrows():
+        assert abs(r["credit"] - credit[r["event_type"]]) <= 2e-3
+
+
+def test_intent_qs252_vocab_jaccard_sources(spark, sf_dir):
+    import re as _re
+
+    d = _pd(sf_dir, "documents")
+    vocab: dict[str, set] = {}
+    for r in d.itertuples():
+        vocab.setdefault(r.source, set()).update(
+            t for t in _re.split(r"\s+", r.text.lower()) if t
+        )
+    got = _run(spark, sf_dir, "qs252_vocab_jaccard_sources")
+    srcs = sorted(vocab)
+    n_pairs = sum(
+        1
+        for i in range(len(srcs))
+        for j in range(i + 1, len(srcs))
+        if vocab[srcs[i]] & vocab[srcs[j]]
+    )
+    assert len(got) == n_pairs
+    for _, r in got.iterrows():
+        a, b = vocab[r["s1"]], vocab[r["s2"]]
+        i = len(a & b)
+        assert (r["inter"], r["v1"], r["v2"]) == (i, len(a), len(b))
+        assert abs(r["jaccard"] - round(i / len(a | b), 4)) <= 2e-4
+
+
+def test_intent_qs262_ngram_novelty(spark, sf_dir):
+    d = _pd(sf_dir, "documents")
+    grams: dict[int, set] = {}
+    owner: dict[tuple, int] = {}
+    for r in d.itertuples():
+        ts = r.text.split(" ")
+        gs = {tuple(ts[i : i + 3]) for i in range(len(ts) - 2)}
+        grams[r.doc_id] = gs
+        for g in gs:
+            owner[g] = min(owner.get(g, r.doc_id), r.doc_id)
+    got = _run(spark, sf_dir, "qs262_ngram_novelty")
+    exp = {doc: gs for doc, gs in grams.items() if gs}
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        gs = exp[r["doc_id"]]
+        nov = sum(owner[g] == r["doc_id"] for g in gs) / len(gs)
+        assert r["n_grams"] == len(gs)
+        assert abs(r["novelty"] - round(nov, 4)) <= 2e-4
+
+
+def test_intent_qs268_weighted_vocab_jaccard(spark, sf_dir):
+    import re as _re
+    from collections import Counter
+
+    d = _pd(sf_dir, "documents")
+    cnt: dict[str, Counter] = {}
+    for r in d.itertuples():
+        cnt.setdefault(r.source, Counter()).update(
+            t for t in _re.split(r"\s+", r.text.lower()) if t
+        )
+    got = _run(spark, sf_dir, "qs268_weighted_vocab_jaccard")
+    for _, r in got.iterrows():
+        a, b = cnt[r["s1"]], cnt[r["s2"]]
+        union = set(a) | set(b)
+        smin = sum(min(a[t], b[t]) for t in union)
+        smax = sum(max(a[t], b[t]) for t in union)
+        assert (r["w_inter"], r["w_union"]) == (smin, smax)
+        assert abs(r["weighted_jaccard"] - round(smin / smax, 4)) <= 2e-4
+
+
+def test_intent_qs295_langid_f1(spark, sf_dir):
+    # Independent P/R/F1 + macro/micro ALGEBRA check from the raw
+    # confusion pairs (the lexicon scorer itself is exercised by the
+    # qs244 kappa intent test; the risk class here is the F1/macro
+    # formula wiring).
+    from collections import Counter
+
+    from cds_etl_spark.catalog import load_table
+    from cds_etl_spark.operators.text_analysis import language_id
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = Counter(
+        (r["truth"], r["guess"])
+        for r in d.select(
+            F.col("lang").alias("truth"),
+            language_id(F.col("text")).alias("guess"),
+        ).collect()
+    )
+    labs = sorted({t for t, _g in pairs})
+    stats = {}
+    for lab in labs:
+        tp = pairs.get((lab, lab), 0)
+        fp = sum(n for (t, g), n in pairs.items() if g == lab and t != g)
+        fn = sum(n for (t, g), n in pairs.items() if t == lab and t != g)
+        p = tp / (tp + fp) if tp + fp else 0.0
+        r_ = tp / (tp + fn) if tp + fn else 0.0
+        f1 = 2 * p * r_ / (p + r_) if p + r_ else 0.0
+        stats[lab] = (tp, fp, fn, p, r_, f1)
+    got = _run(spark, sf_dir, "qs295_langid_f1_eval")
+    by = {r["class"]: r for _, r in got.iterrows()}
+    for lab, (tp, fp, fn, p, r_, f1) in stats.items():
+        row = by[lab]
+        assert (row["tp"], row["fp"], row["fn"]) == (tp, fp, fn)
+        assert abs(row["precision_"] - p) <= 2e-4
+        assert abs(row["recall_"] - r_) <= 2e-4
+        assert abs(row["f1"] - f1) <= 2e-4
+    macro = by["macro"]
+    assert abs(
+        macro["f1"] - sum(s[5] for s in stats.values()) / len(stats)
+    ) <= 2e-4
+    micro = by["micro"]
+    tp_all = sum(s[0] for s in stats.values())
+    fp_all = sum(s[1] for s in stats.values())
+    assert abs(micro["precision_"] - tp_all / (tp_all + fp_all)) <= 2e-4
+
+
+def test_intent_qs313_k_anonymity(spark, sf_dir):
+    import math as _m
+    from collections import Counter
+
+    c = _pd(sf_dir, "customer")
+    cls = Counter(
+        zip(
+            c["c_nationkey"],
+            c["c_mktsegment"],
+            (c["c_acctbal"] / 100).apply(_m.floor),
+        )
+    )
+    got = _run(spark, sf_dir, "qs313_k_anonymity").iloc[0]
+    assert got["n_classes"] == len(cls)
+    assert got["min_k"] == min(cls.values())
+    assert got["rows_below_5"] == sum(k for k in cls.values() if k < 5)
+    assert got["classes_below_5"] == sum(1 for k in cls.values() if k < 5)
+    assert got["n_rows"] == len(c)
+
+
+def test_intent_qs360_boilerplate_ngrams(spark, sf_dir):
+    from collections import Counter
+
+    d = _pd(sf_dir, "documents")
+    inst: dict[str, Counter] = {}
+    docs: dict[str, dict] = {}
+    n_docs = Counter(d["source"])
+    for r in d.itertuples():
+        ts = [t for t in r.text.lower().split(" ") if t]
+        bgs = [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+        ic = inst.setdefault(r.source, Counter())
+        dc = docs.setdefault(r.source, {})
+        ic.update(bgs)
+        for bg in set(bgs):
+            dc.setdefault(bg, set()).add(r.doc_id)
+    got = _run(spark, sf_dir, "qs360_boilerplate_ngrams")
+    assert len(got) == len(inst)
+    for _, r in got.iterrows():
+        src = r["source"]
+        boiler = {bg for bg, ds in docs[src].items() if len(ds) >= 3}
+        total = sum(inst[src].values())
+        bi = sum(n for bg, n in inst[src].items() if bg in boiler)
+        assert r["n_docs"] == n_docs[src]
+        assert r["n_boiler_bigrams"] == len(boiler)
+        assert abs(r["boiler_ratio"] - round(bi / total, 6)) <= 2e-6
