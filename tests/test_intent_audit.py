@@ -7078,3 +7078,267 @@ def test_intent_qs360_boilerplate_ngrams(spark, sf_dir):
         assert r["n_docs"] == n_docs[src]
         assert r["n_boiler_bigrams"] == len(boiler)
         assert abs(r["boiler_ratio"] - round(bi / total, 6)) <= 2e-6
+
+
+# -- wave 25 (r13): EXACT-DEFINITIONAL retirement, fourth batch -------------
+
+
+def test_intent_qs135_duplicate_spans(spark, sf_dir):
+    d = _pd(sf_dir, "documents")
+    toks = {r.doc_id: r.text.split(" ") for r in d.itertuples()}
+    wins: dict[tuple, list] = {}
+    for doc, ts in toks.items():
+        for i in range(len(ts) - 9):
+            wins.setdefault(tuple(ts[i : i + 10]), []).append((doc, i + 1))
+    exp: dict[int, list] = {}
+    for w, hits in wins.items():
+        if len(hits) > 1 and len({d0 for d0, _p in hits}) > 1:
+            for doc, pos in hits:
+                exp.setdefault(doc, []).append(pos)
+    got = _run(spark, sf_dir, "qs135_duplicate_spans")
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        ps = exp[r["doc_id"]]
+        assert r["n_dup_spans"] == len(ps)
+        assert r["first_pos"] == min(ps)
+
+
+def test_intent_qs158_epoch_shard_plan(spark, sf_dir):
+    import hashlib
+
+    d = _pd(sf_dir, "documents")
+    rows = []
+    for doc in d["doc_id"]:
+        hx = hashlib.md5(f"{doc}|epoch1".encode()).hexdigest()
+        hk = int(hx[:8], 16) % 1_000_000
+        rows.append((int(doc), hk % 8, hx))
+    exp = {}
+    for shard in range(8):
+        members = sorted(
+            ((hx, doc) for doc, s, hx in rows if s == shard)
+        )
+        for pos, (_hx, doc) in enumerate(members, 1):
+            exp[doc] = (shard, pos)
+    got = _run(spark, sf_dir, "qs158_epoch_shard_plan")
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        assert exp[r["doc_id"]] == (r["shard"], r["pos"])
+
+
+def test_intent_qs175_key_skew_diagnosis(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    freq = li.groupby("l_suppkey").size()
+    order = sorted(freq.index, key=lambda k: (freq[k], k))
+    n = len(order)
+    total = int(freq.sum())
+    srnf = sum((i + 1) * freq[k] for i, k in enumerate(order))
+    top10 = sum(
+        freq[k]
+        for k in sorted(freq.index, key=lambda k: (-freq[k], k))[:10]
+    )
+    gini = round((2.0 * srnf - (n + 1.0) * total) * 1e6 / (n * total))
+    got = _run(spark, sf_dir, "qs175_key_skew_diagnosis").iloc[0]
+    assert got["n_keys"] == n and got["total_rows"] == total
+    assert got["max_freq"] == freq.max()
+    assert got["gini_e6"] == gini
+    assert got["top10_share_e6"] == round(top10 * 1e6 / total)
+
+
+def test_intent_qs223_event_study_lift(spark, sf_dir):
+    import datetime as dt
+
+    o = _pd(sf_dir, "orders")
+    cu = _pd(sf_dir, "customer")
+    na = _pd(sf_dir, "nation")
+    rg = _pd(sf_dir, "region")
+    j = (
+        o.merge(cu, left_on="o_custkey", right_on="c_custkey")
+        .merge(na, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(rg, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    d = j["o_orderdate"].dt.date
+    j = j[(d >= dt.date(1996, 12, 18)) & (d < dt.date(1997, 1, 2))]
+    j = j.assign(c=_cents(j["o_totalprice"]))
+    pre = j[j["o_orderdate"].dt.date < dt.date(1996, 12, 25)]
+    post = j[j["o_orderdate"].dt.date >= dt.date(1996, 12, 25)]
+    pre_c = pre.groupby("r_name")["c"].sum()
+    post_c = post.groupby("r_name")["c"].sum()
+    got = _run(spark, sf_dir, "qs223_event_study_lift")
+    for _, r in got.iterrows():
+        p = int(pre_c.get(r["region"], 0))
+        q = int(post_c.get(r["region"], 0))
+        if not pd.isna(r["pre_cents"]):
+            assert r["pre_cents"] == p
+        if not pd.isna(r["post_cents"]):
+            assert r["post_cents"] == q
+        if p and not pd.isna(r["lift_e4"]):
+            assert r["lift_e4"] == q * 7 * 10000 // (p * 8)
+
+
+def test_intent_qs236_mix_shift_decomposition(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    o = o[o["o_orderdate"].dt.year.isin([1996, 1998])]
+    g = (
+        o.assign(c=_cents(o["o_totalprice"]), y=o["o_orderdate"].dt.year)
+        .groupby(["o_orderpriority", "y"])
+        .agg(n=("c", "size"), c=("c", "sum"))
+        .reset_index()
+    )
+    piv = g.pivot(index="o_orderpriority", columns="y")
+    tn0 = piv["n"][1996].sum()
+    tn1 = piv["n"][1998].sum()
+    got = _run(spark, sf_dir, "qs236_mix_shift_decomposition")
+    assert len(got) == len(piv)
+    for _, r in got.iterrows():
+        n0, n1 = piv["n"][1996][r["seg"]], piv["n"][1998][r["seg"]]
+        c0, c1 = piv["c"][1996][r["seg"]], piv["c"][1998][r["seg"]]
+        w0, w1 = n0 / tn0, n1 / tn1
+        m0, m1 = c0 / n0, c1 / n1
+        assert abs(r["mix_effect"] - round((w1 - w0) * m0, 4)) <= 2e-4
+        assert abs(r["rate_effect"] - round(w0 * (m1 - m0), 4)) <= 2e-4
+        assert abs(
+            r["interaction_effect"] - round((w1 - w0) * (m1 - m0), 4)
+        ) <= 2e-4
+
+
+def test_intent_qs256_frequent_triples(spark, sf_dir):
+    from collections import Counter
+    from itertools import combinations
+
+    li = _pd(sf_dir, "lineitem")
+    p = _pd(sf_dir, "part")
+    j = li.merge(p, left_on="l_partkey", right_on="p_partkey")
+    baskets: dict[int, set] = {}
+    for o, b in zip(j["l_orderkey"], j["p_brand"]):
+        baskets.setdefault(o, set()).add(b)
+    sup = Counter()
+    for bs in baskets.values():
+        for tri in combinations(sorted(bs), 3):
+            sup[tri] += 1
+    exp = {t: n for t, n in sup.items() if n >= 5}
+    got = _run(spark, sf_dir, "qs256_frequent_triples")
+    gs = {
+        (r["b1"], r["b2"], r["b3"]): r["support"]
+        for _, r in got.iterrows()
+    }
+    assert gs == exp
+
+
+def test_intent_qs258_fd_profile(spark, sf_dir):
+    cands = (
+        ("orders", "o_orderkey", "o_custkey"),
+        ("orders", "o_custkey", "o_orderstatus"),
+        ("part", "p_name", "p_brand"),
+        ("lineitem", "l_partkey", "l_suppkey"),
+    )
+    got = _run(spark, sf_dir, "qs258_fd_profile").set_index("det_col")
+    for tbl, det, dep in cands:
+        t = _pd(sf_dir, tbl)
+        nd = t.groupby(det)[dep].nunique()
+        row = got.loc[det]
+        assert row["n_det"] == len(nd)
+        assert row["violations"] == int((nd > 1).sum())
+        assert row["holds"] == int((nd > 1).sum() == 0)
+
+
+def test_intent_qs266_temporal_consistency(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    o = _pd(sf_dir, "orders")
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    yr = j["o_orderdate"].dt.year
+    before = j["l_shipdate"] < j["o_orderdate"]
+    over = (~before) & (
+        (j["l_shipdate"].dt.normalize() - j["o_orderdate"].dt.normalize())
+        .dt.days
+        > 365
+    )
+    exp = (
+        pd.DataFrame({"yr": yr, "b": before, "ov": over})
+        .groupby("yr")
+        .agg(n=("b", "size"), sb=("b", "sum"), so=("ov", "sum"))
+    )
+    got = _run(spark, sf_dir, "qs266_temporal_consistency")
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        e = exp.loc[r["yr"]]
+        assert r["n_lines"] == e["n"]
+        assert r["ship_before_order"] == e["sb"]
+        assert r["ship_over_1y"] == e["so"]
+        assert abs(r["violation_rate"] - round(e["sb"] / e["n"], 4)) <= 2e-4
+
+
+def test_intent_qs281_inventory_policy(spark, sf_dir):
+    import math as _m
+
+    li = _pd(sf_dir, "lineitem")
+    p = _pd(sf_dir, "part")
+    wk = (
+        pd.DataFrame(
+            {
+                "part": li["l_partkey"],
+                "w": li["l_shipdate"]
+                - pd.to_timedelta(li["l_shipdate"].dt.weekday, unit="D"),
+                "d": li["l_quantity"].astype(int),
+            }
+        )
+        .groupby(["part", pd.Grouper(key="w")])["d"]
+        .sum()
+        .reset_index()
+    )
+    brand = dict(zip(p["p_partkey"], p["p_brand"]))
+    agg: dict[tuple, list] = {}
+    for part, g in wk.groupby("part"):
+        ds = g["d"].to_numpy(dtype=float)
+        if len(ds) < 8:
+            continue
+        mu = ds.mean()
+        sigma = ds.std(ddof=0)
+        cv = sigma / mu
+        xyz = "X" if cv < 0.25 else ("Y" if cv < 0.5 else "Z")
+        rop = _m.ceil(2.0 * mu + 1.645 * sigma * _m.sqrt(2.0))
+        agg.setdefault((brand[part], xyz), []).append(rop)
+    got = _run(spark, sf_dir, "qs281_inventory_policy")
+    assert len(got) == len(agg)
+    for _, r in got.iterrows():
+        rops = agg[(r["brand"], r["xyz"])]
+        assert r["n_parts"] == len(rops)
+        assert abs(
+            r["avg_reorder_point"] - round(sum(rops) / len(rops), 2)
+        ) <= 2e-2
+
+
+def test_intent_qs314_filter_yield_audit(spark, sf_dir):
+    import re as _re
+
+    d = _pd(sf_dir, "documents")
+    stop = {"the", "and", "of", "to", "in", "a", "is", "that"}
+    flags = []
+    for r in d.itertuples():
+        toks = r.text.split(" ")
+        n = len(toks)
+        flags.append(
+            (
+                int(50 <= n <= 100_000),
+                int(3.0 <= sum(len(t) for t in toks) / n <= 10.0),
+                int(sum(t in stop for t in toks) >= 2),
+                int(
+                    sum(bool(_re.search("[a-zA-Z]", t)) for t in toks) / n
+                    >= 0.8
+                ),
+            )
+        )
+    rules = ("words_ok", "mean_len_ok", "stopwords_ok", "alpha_ok")
+    got = _run(spark, sf_dir, "qs314_filter_yield_audit").set_index("rule")
+    for i, rule in enumerate(rules):
+        n_fail = sum(1 - f[i] for f in flags)
+        n_only = sum(
+            1
+            for f in flags
+            if f[i] == 0 and all(f[j] for j in range(4) if j != i)
+        )
+        cum = sum(1 for f in flags if all(f[: i + 1]))
+        row = got.loc[f"{i + 1}_{rule}"]
+        assert row["n_docs"] == len(flags)
+        assert (row["n_fail"], row["n_only_fail"], row["survivors_cum"]) == (
+            n_fail, n_only, cum,
+        ), rule
