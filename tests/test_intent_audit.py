@@ -7342,3 +7342,238 @@ def test_intent_qs314_filter_yield_audit(spark, sf_dir):
         assert (row["n_fail"], row["n_only_fail"], row["survivors_cum"]) == (
             n_fail, n_only, cum,
         ), rule
+
+
+# -- wave 26 (r13): EXACT-DEFINITIONAL retirement, final batch --------------
+
+
+def test_intent_qs50_word_count(spark, sf_dir):
+    from collections import Counter
+
+    d = _pd(sf_dir, "documents")
+    c = Counter()
+    for r in d.itertuples():
+        c.update(r.text.lower().split(" "))
+    exp = sorted(((-n, w) for w, n in c.items()))[:20]
+    got = _run(spark, sf_dir, "qs50_word_count")
+    assert [(-r["c"], r["word"]) for _, r in got.iterrows()] == exp
+
+
+def test_intent_qs88_profile_columns(spark, sf_dir):
+    c = _pd(sf_dir, "customer")
+    got = _run(spark, sf_dir, "qs88_profile_columns").set_index("col_name")
+    for col in ("c_mktsegment", "c_nationkey", "c_acctbal"):
+        row = got.loc[col]
+        assert row["n_rows"] == len(c)
+        assert row["n_null"] == int(c[col].isna().sum())
+        assert row["n_distinct"] == c[col].nunique()
+
+
+def test_intent_qs136_rag_chunks(spark, sf_dir):
+    import hashlib
+
+    d = _pd(sf_dir, "documents")
+    exp = {}
+    for r in d.itertuples():
+        n = len(r.text.split(" "))
+        n_chunks = max(1, (n + 63) // 96)
+        for i in range(n_chunks):
+            start = i * 96 + 1
+            exp[(r.doc_id, i)] = (
+                start,
+                min(n - start + 1, 128),
+                hashlib.md5(f"{r.doc_id}:{i}".encode()).hexdigest(),
+            )
+    got = _run(spark, sf_dir, "qs136_rag_chunks")
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        assert exp[(r["doc_id"], r["chunk_idx"])] == (
+            r["start_pos"], r["chunk_len"], r["chunk_id"],
+        )
+
+
+def test_intent_qs148_pii_scan_redact(spark, sf_dir):
+    import hashlib
+    import re as _re
+
+    c = _pd(sf_dir, "customer")
+    pats = [
+        (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+        (r"[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}", "[PHONE]"),
+        (r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "[SSN]"),
+        (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "[IPV4]"),
+    ]
+    got = _run(spark, sf_dir, "qs148_pii_scan_redact").set_index("c_custkey")
+    for r in c.itertuples():
+        k, nk = int(r.c_custkey), int(r.c_nationkey)
+        txt = f"{r.c_name} <user{k}@mail.test> ip 10.{k % 250}.0.{nk % 250}"
+        if k % 3 == 0:
+            txt += f" ssn {k % 1000:03d}-{nk % 100:02d}-{k % 10000:04d}"
+        if k % 4 == 0:
+            txt += (
+                f" tel {nk % 100:02d}-{k % 1000:03d}-"
+                f"{nk % 1000:03d}-{k % 10000:04d}"
+            )
+        counts = [len(_re.findall(p, txt)) for p, _s in pats]
+        red = txt
+        for p, s in pats:
+            red = _re.sub(p, s, red)
+        row = got.loc[k]
+        assert (
+            row["n_email"], row["n_phone"], row["n_ssn"], row["n_ipv4"]
+        ) == tuple(counts), k
+        assert row["redacted_h"] == hashlib.md5(red.encode()).hexdigest()
+
+
+def test_intent_qs225_golden_record(spark, sf_dir):
+    c = _pd(sf_dir, "customer")
+    c = c.assign(
+        entity=c["c_custkey"] // 5, bal=_cents(c["c_acctbal"])
+    )
+    got = _run(spark, sf_dir, "qs225_golden_record").set_index("entity")
+    assert len(got) == c["entity"].nunique()
+    for ent, g in c.groupby("entity"):
+        key = g["bal"] * 10_000_000 + g["c_custkey"]
+        row = got.loc[ent]
+        assert row["n_records"] == len(g)
+        assert row["name"] == g.loc[key.idxmax(), "c_name"]
+        assert row["best_bal_cents"] == g["bal"].max()
+        assert row["segment"] == g.loc[g["c_custkey"].idxmin(),
+                                       "c_mktsegment"]
+        assert row["nationkey"] == g["c_nationkey"].min()
+
+
+def test_intent_qs263_rake_keyphrases(spark, sf_dir):
+    import re as _re
+    from collections import Counter, defaultdict
+
+    stops = {"the", "a", "of", "and", "to", "in", "is", "that", "it",
+             "for"}
+    d = _pd(sf_dir, "documents")
+    phrases = []  # (doc, island, phrase)
+    for r in d.itertuples():
+        toks = _re.split(r"\s+", r.text.lower())
+        island = 0
+        cur: list = []
+        for tok in toks:
+            if tok == "" or tok in stops:
+                island += 1
+                if cur:
+                    phrases.append((r.doc_id, island - 1, " ".join(cur)))
+                cur = []
+            else:
+                cur.append(tok)
+        if cur:
+            phrases.append((r.doc_id, island, " ".join(cur)))
+    phrases = [
+        (doc, isl, p) for doc, isl, p in phrases
+        if 1 <= len(p.split(" ")) <= 4
+    ]
+    freq = Counter()
+    deg = Counter()
+    for _doc, _isl, p in phrases:
+        ws = p.split(" ")
+        for w in ws:
+            freq[w] += 1
+            deg[w] += len(ws)
+    best: dict[str, float] = {}
+    occ = Counter()
+    for _doc, _isl, p in phrases:
+        score = sum(deg[w] / freq[w] for w in p.split(" "))
+        best[p] = max(best.get(p, float("-inf")), score)
+        occ[p] += 1
+    exp = sorted(
+        ((-round(s, 4), p) for p, s in best.items())
+    )[:15]
+    got = _run(spark, sf_dir, "qs263_rake_keyphrases")
+    gs = [(-r["rake_score"], r["phrase"]) for _, r in got.iterrows()]
+    assert [(round(-a, 4), b) for a, b in gs] == [
+        (round(-a, 4), b) for a, b in exp
+    ]
+    for _, r in got.iterrows():
+        assert r["occurrences"] == occ[r["phrase"]]
+
+
+def test_intent_qs356_l_diversity(spark, sf_dir):
+    o = _pd(sf_dir, "orders")
+    c = _pd(sf_dir, "customer")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    cls = j.groupby(["c_nationkey", "c_mktsegment"]).agg(
+        l=("o_orderpriority", "nunique"), n=("o_orderpriority", "size")
+    )
+    got = _run(spark, sf_dir, "qs356_l_diversity").iloc[0]
+    assert got["n_classes"] == len(cls)
+    assert got["min_l"] == cls["l"].min()
+    assert got["max_l"] == cls["l"].max()
+    assert got["n_l_ge_3"] == int((cls["l"] >= 3).sum())
+    assert got["min_class_rows"] == cls["n"].min()
+
+
+def test_intent_qs60_document_profile(spark, sf_dir):
+    # Full independent rebuild of every profile column from the
+    # documented definitions (operators/text_analysis + functions/
+    # text): whitespace tokens, punct/stopword ratios, lexicon-argmax
+    # language ID with lexicon-order ties, BPE-ish subword count,
+    # dyadic quality score, and the k-min shingle fingerprint.
+    import hashlib
+    import re as _re
+
+    lex = {
+        "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it",
+               "for"),
+        "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit",
+               "auf", "zu"),
+        "es": ("el", "la", "de", "que", "y", "en", "un", "es", "no",
+               "por"),
+        "fr": ("le", "la", "de", "et", "un", "est", "pas", "que", "pour",
+               "dans"),
+    }
+    d = _pd(sf_dir, "documents")
+    got = _run(spark, sf_dir, "qs60_document_profile").set_index("doc_id")
+    assert len(got) == len(d)
+    for r in d.itertuples():
+        text = r.text
+        toks = _re.split(r"\s+", text.lower())
+        n_tok = len(toks)
+        n_chars = len(text)
+        n_punct = len(_re.findall(r"[^A-Za-z0-9\s]", text))
+        hits = {
+            lang: sum(t in ws for t in toks) for lang, ws in lex.items()
+        }
+        n_stop = hits["en"]
+        best = max(hits.values())
+        lang_guess = (
+            next(lg for lg in lex if hits[lg] == best) if best > 0
+            else "und"
+        )
+        mean_len = sum(len(t) for t in toks) / n_tok if n_tok else 0.0
+        n_bpe = len(
+            _re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", text)
+        )
+        score = (
+            (5 <= n_tok <= 100_000)
+            + (n_stop > 0)
+            + (n_punct / n_chars < 0.2 if n_chars else True)
+            + (2.0 <= mean_len <= 12.0)
+        ) / 4.0
+        raw = text.split(" ")
+        shingles = list(
+            dict.fromkeys(
+                " ".join(raw[i : i + 3]) for i in range(len(raw) - 2)
+            )
+        )
+        hs = sorted(
+            hashlib.md5(s.encode()).hexdigest() for s in shingles
+        )
+        fp = hashlib.md5(",".join(hs[:4]).encode()).hexdigest()
+        row = got.loc[r.doc_id]
+        assert row["n_chars"] == n_chars and row["n_tokens"] == n_tok
+        assert abs(row["punct_ratio"] - (n_punct / n_chars if n_chars
+                                         else 0.0)) <= 1e-12
+        assert abs(row["stopword_ratio"] - (n_stop / n_tok if n_tok
+                                            else 0.0)) <= 1e-12
+        assert abs(row["mean_token_len"] - mean_len) <= 1e-12
+        assert row["n_bpe_tokens"] == n_bpe
+        assert row["lang_guess"] == lang_guess
+        assert row["quality"] == score
+        assert row["fingerprint"] == fp
