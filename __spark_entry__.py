@@ -91,10 +91,10 @@ _GRADE_FIRST = [
     "qs131_tpch_q17_small_qty",
     "qs132_tpch_q21_sole_fault",
     "qs133_tpch_q11_heavy_parts",
-    "qs134_corpus_mixing_weights",
-    "qs135_duplicate_spans",
-    "qs136_rag_chunks",
-    "qs137_sketch_heavy_hitters",
+    "qs402_embedding_simhash_recall",
+    "qs403_krippendorff_alpha",
+    "qs404_chao1_vocab",
+    "qs405_rayleigh_weekday",
 ]
 
 

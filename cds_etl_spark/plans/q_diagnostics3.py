@@ -1050,3 +1050,437 @@ def qs401(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("moran_i"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qs403 Krippendorff's alpha (nominal, two raters) — the qs385 fixture
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "qs403_krippendorff_alpha",
+    oracle="""
+    WITH k AS (
+      SELECT l_orderkey, l_returnflag,
+             l_linenumber * 4 + CASE l_returnflag WHEN 'A' THEN 0
+                  WHEN 'N' THEN 1 ELSE 2 END AS ok
+      FROM lineitem),
+    two AS (
+      SELECT l_orderkey,
+             arg_min(l_returnflag, ok) AS r1,
+             arg_max(l_returnflag, ok) AS r2
+      FROM k GROUP BY l_orderkey HAVING COUNT(*) = 2),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN r1 = r2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS agree,
+             CAST(SUM(CASE WHEN r1 = 'R' THEN 1 ELSE 0 END)
+                  + SUM(CASE WHEN r2 = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tr,
+             CAST(SUM(CASE WHEN r1 = 'N' THEN 1 ELSE 0 END)
+                  + SUM(CASE WHEN r2 = 'N' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tn,
+             CAST(SUM(CASE WHEN r1 = 'A' THEN 1 ELSE 0 END)
+                  + SUM(CASE WHEN r2 = 'A' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ta
+      FROM two)
+    SELECT n AS n_subjects,
+           ROUND(CAST(n - agree AS DOUBLE) / n, 6) AS d_o,
+           ROUND((4.0 * n * n
+                  - (CAST(tr AS DOUBLE) * tr + CAST(tn AS DOUBLE) * tn
+                     + CAST(ta AS DOUBLE) * ta))
+                 / (2.0 * n * (2.0 * n - 1)), 6) AS d_e,
+           ROUND(1.0 - (CAST(n - agree AS DOUBLE) / n)
+                 / ((4.0 * n * n
+                     - (CAST(tr AS DOUBLE) * tr + CAST(tn AS DOUBLE) * tn
+                        + CAST(ta AS DOUBLE) * ta))
+                    / (2.0 * n * (2.0 * n - 1))), 6)
+             AS krippendorff_alpha
+    FROM m
+    """,
+)
+def qs403(spark: SparkSession, sf: str) -> DataFrame:
+    """Krippendorff's alpha (nominal metric, two raters, complete
+    data) on the qs385 rater fixture — the agreement coefficient that
+    completes the family (qs347 weighted kappa, qs352 Fleiss, qs380
+    Gwet AC1, qs385 Scott's pi): α = 1 − D_o/D_e with the observed
+    disagreement D_o = (n − agree)/n and the expected disagreement
+    from the COINCIDENCE matrix, D_e = (N² − Σ_v c_v²)/(N(N−1)) with
+    N = 2n pooled values — the small-sample (N−1) correction is what
+    separates α from Scott's pi, and α→pi as n→∞.
+
+    Determinism: the qs385 composite-key rater extraction verbatim
+    (documented tiebreak); all totals exact integers; one fixed
+    double tree, ROUND 6. Plan: one grouped scan, one-row epilogue."""
+    li = load_table(spark, sf, "lineitem")
+    ok = (
+        F.col("l_linenumber") * 4
+        + F.when(F.col("l_returnflag") == "A", 0)
+        .when(F.col("l_returnflag") == "N", 1)
+        .otherwise(2)
+    )
+    two = (
+        li.select("l_orderkey", "l_returnflag", ok.alias("ok"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.min_by("l_returnflag", F.col("ok")).alias("r1"),
+            F.max_by("l_returnflag", F.col("ok")).alias("r2"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .filter(F.col("cnt") == 2)
+    )
+    cat = {
+        f: (
+            F.sum(F.when(F.col("r1") == f, 1).otherwise(0))
+            + F.sum(F.when(F.col("r2") == f, 1).otherwise(0))
+        )
+        .cast("long")
+        .alias(f"t{f.lower()}")
+        for f in ("R", "N", "A")
+    }
+    m = two.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("r1") == F.col("r2"), 1).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+        *cat.values(),
+    )
+    n = F.col("n").cast("double")
+    sumc2 = (
+        F.col("tr").cast("double") * F.col("tr")
+        + F.col("tn").cast("double") * F.col("tn")
+        + F.col("ta").cast("double") * F.col("ta")
+    )
+    d_o = (F.col("n") - F.col("agree")).cast("double") / n
+    d_e = (4 * n * n - sumc2) / (2 * n * (2 * n - 1))
+    return m.select(
+        F.col("n").alias("n_subjects"),
+        F.round(d_o, 6).alias("d_o"),
+        F.round(d_e, 6).alias("d_e"),
+        F.round(1 - d_o / d_e, 6).alias("krippendorff_alpha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qs404 Chao1 vocabulary-richness estimate per source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "qs404_chao1_vocab",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents),
+    tc AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS f
+           FROM toks WHERE term <> '' GROUP BY 1, 2),
+    agg AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS v,
+             CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS f1,
+             CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS f2
+      FROM tc GROUP BY source)
+    SELECT source, v AS v_observed, f1 AS singletons, f2 AS doubletons,
+           ROUND(v + CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0 * (f2 + 1)),
+                 4) AS chao1
+    FROM agg
+    """,
+)
+def qs404(spark: SparkSession, sf: str) -> DataFrame:
+    """Chao1 vocabulary-richness estimate per source — the
+    species-richness lower bound from ecology applied to the token
+    vocabulary: Ĉ = V + f₁(f₁−1)/(2(f₂+1)) (the bias-corrected form,
+    defined even when no doubletons exist), where f₁/f₂ are singleton
+    and doubleton type counts. THE "how much vocabulary haven't we
+    crawled yet" estimator corpus curation pairs with Heaps' growth
+    law (qs366): Heaps extrapolates the curve, Chao1 bounds its
+    ceiling from one sample's abundance profile.
+
+    Determinism: V, f₁, f₂ exact integers from one (source, term)
+    count; one fixed double expression, ROUND 4. Plan: tokenize →
+    one narrow aggregate → source-sized epilogue; at 100 TB this is
+    the vocabulary-build shuffle every tokenizer pipeline already
+    pays."""
+    d = load_table(spark, sf, "documents")
+    tc = (
+        d.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    agg = tc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("f") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("f2"),
+    )
+    return agg.select(
+        "source",
+        F.col("v").alias("v_observed"),
+        F.col("f1").alias("singletons"),
+        F.col("f2").alias("doubletons"),
+        F.round(
+            F.col("v")
+            + F.col("f1").cast("double")
+            * (F.col("f1") - 1)
+            / (2.0 * (F.col("f2") + 1)),
+            4,
+        ).alias("chao1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qs405 Rayleigh test of weekday uniformity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "qs405_rayleigh_weekday",
+    oracle="""
+    WITH wd AS (
+      SELECT dayofweek(o_orderdate) + 1 AS k,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1),
+    m AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             SUM(c * cos(2 * pi() * k / 7)) AS cs,
+             SUM(c * sin(2 * pi() * k / 7)) AS sn
+      FROM wd)
+    SELECT n AS n_orders,
+           ROUND(sqrt(cs * cs + sn * sn) / n, 6) AS rbar,
+           ROUND((cs * cs + sn * sn) / n, 4) AS rayleigh_z
+    FROM m
+    """,
+)
+def qs405(spark: SparkSession, sf: str) -> DataFrame:
+    """Rayleigh test of circular uniformity on the order weekday —
+    are orders uniformly spread around the weekly cycle, or is there
+    a preferred day? R̄ = |Σ e^{iθ_k}|/n over θ_k = 2πk/7 and the
+    Rayleigh statistic z = nR̄² — the CIRCULAR-statistics entry the
+    family lacks: qs190's DOW seasonality reports per-day means,
+    qs398's G-test checks categorical independence, but only a
+    circular test respects that Sunday and Monday are neighbours.
+
+    Determinism: per-weekday counts are exact integers (Spark
+    dayofweek = DuckDB dayofweek + 1, the registry's documented
+    Sunday convention); the 7 cos/sin terms are fixed unary doubles
+    of identical arguments (the qs354 periodogram margin argument —
+    any last-ulp wobble is ~1e-15 relative against ROUND 6/4
+    boundaries); one fixed double tree. Plan: one grouped scan →
+    7-row grid, one-row epilogue."""
+    o = load_table(spark, sf, "orders")
+    wd = o.groupBy(F.dayofweek("o_orderdate").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    two_pi = 2 * 3.141592653589793
+    m = wd.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.cos(F.lit(two_pi) * F.col("k") / 7)).alias(
+            "cs"
+        ),
+        F.sum(F.col("c") * F.sin(F.lit(two_pi) * F.col("k") / 7)).alias(
+            "sn"
+        ),
+    )
+    r2 = F.col("cs") * F.col("cs") + F.col("sn") * F.col("sn")
+    return m.select(
+        F.col("n").alias("n_orders"),
+        F.round(F.sqrt(r2) / F.col("n"), 6).alias("rbar"),
+        F.round(r2 / F.col("n"), 4).alias("rayleigh_z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qs402 embedding SimHash-LSH shortlist recall vs the qs52 brute top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "qs402_embedding_simhash_recall",
+    oracle="""
+    WITH dims AS (SELECT unnest(range(1, 65)) AS d),
+    w AS (
+      SELECT j.j, dims.d,
+             CASE WHEN ('0x' || substr(md5(CAST(j.j AS VARCHAR) || '|'
+                          || CAST(dims.d AS VARCHAR)), 1, 8))::BIGINT
+                       % 2 = 1
+                  THEN 1 ELSE -1 END AS s
+      FROM (SELECT unnest(range(0, 16)) AS j) j, dims),
+    vals AS (
+      SELECT vec_id, dims.d,
+             CAST(ROUND((CAST(embedding AS DOUBLE[]))[dims.d] * 1000000)
+                  AS BIGINT) AS x
+      FROM embeddings, dims),
+    proj AS (
+      SELECT vals.vec_id, w.j, SUM(vals.x * w.s) AS p
+      FROM vals JOIN w ON vals.d = w.d
+      GROUP BY 1, 2),
+    sig AS (
+      SELECT vec_id, j // 4 AS band,
+             SUM(CASE WHEN p >= 0 THEN 1 ELSE 0 END
+                 * CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                              WHEN 2 THEN 4 ELSE 8 END) AS bval
+      FROM proj GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT v.vec_id
+      FROM sig v JOIN sig q
+        ON v.band = q.band AND v.bval = q.bval
+      WHERE q.vec_id = 0 AND v.vec_id <> 0),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+           WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+             ROUND(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]), qv.qe), 4) AS sim
+      FROM embeddings e, qv WHERE e.vec_id <> 0),
+    brute AS (
+      SELECT vec_id FROM scored
+      ORDER BY sim DESC, vec_id LIMIT 10),
+    shortlist AS (
+      SELECT s.vec_id FROM scored s JOIN cand USING (vec_id)
+      ORDER BY s.sim DESC, s.vec_id LIMIT 10),
+    hits AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS h
+      FROM shortlist JOIN brute USING (vec_id))
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings)
+             AS n_vectors,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+           hits.h AS hits_at_10,
+           CAST(hits.h * 1000000 // 10 AS BIGINT) AS recall_e6
+    FROM hits
+    """,
+)
+def qs402(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash-LSH shortlist recall over embeddings — the vector twin
+    of qs393's text composition: 16 deterministic sign projections
+    (hyperplane component for (bit j, dim d) = ±1 from md5 parity —
+    the same portable-hash construction the qs55 signature family
+    uses), banded 4×4 so any vector agreeing with the query on one
+    whole 4-bit band is a candidate; candidates are ranked by exact
+    cosine and recall@10 is measured against the qs52 brute-force
+    reference IN THE SAME QUERY. The LSH family (qs112 buckets,
+    qs59 IVF, qs151 PQ) gets its serving-path recall cell
+    oracle-hash-checked instead of asserted by property tests.
+
+    Determinism: embedding components lift to exact e6 integers
+    (float32→double is exact; ROUND half-away agrees cross-engine),
+    so every projection sum and sign bit is exact-integer; cosine
+    ranking uses the qs52 ROUND-4 + vec_id convention. SCALE: the
+    signature join fans out a bounded 16×64 constant per vector
+    (corpus-linear; production precomputes signatures at ingest —
+    operators/similarity), the band probe moves candidates only, and
+    the brute reference is the eval slice's ground truth exactly as
+    qs389 is for qs393."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dims = F.sequence(F.lit(1), F.lit(64))
+    vals = emb.select(
+        "vec_id", F.posexplode("v").alias("pos", "xd")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("d"),
+        F.round(F.col("xd") * 1_000_000, 0).cast("long").alias("x"),
+    )
+    w = (
+        spark.range(1)
+        .select(F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"))
+        .select("j", F.explode(dims).alias("d"))
+        .select(
+            "j",
+            "d",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("j").cast("string"),
+                                F.lit("|"),
+                                F.col("d").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+                == 1,
+                1,
+            )
+            .otherwise(-1)
+            .alias("s"),
+        )
+    )
+    proj = (
+        vals.join(F.broadcast(w), "d")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("x") * F.col("s")).alias("p"))
+    )
+    sig = proj.groupBy(
+        "vec_id", F.expr("j div 4").alias("band")
+    ).agg(
+        F.sum(
+            F.when(F.col("p") >= 0, 1).otherwise(0)
+            * F.expr("shiftleft(1, j % 4)")
+        ).alias("bval")
+    )
+    qsig = sig.filter(F.col("vec_id") == 0).select(
+        "band", F.col("bval").alias("qval")
+    )
+    cand = (
+        sig.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qsig), "band")
+        .filter(F.col("bval") == F.col("qval"))
+        .select("vec_id")
+        .distinct()
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qe"))
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("qe"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, t: acc + t * t)
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(dot / (norm(F.col("v")) * norm(F.col("qe"))), 4).alias(
+                "sim"
+            ),
+        )
+    )
+    brute = scored.orderBy(F.col("sim").desc(), "vec_id").limit(10)
+    shortlist = (
+        scored.join(cand, "vec_id")
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(10)
+    )
+    hits = shortlist.join(brute, "vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("h")
+    )
+    n_vec = emb.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    return (
+        hits.crossJoin(F.broadcast(n_vec))
+        .crossJoin(F.broadcast(n_cand))
+        .select(
+            "n_vectors",
+            "n_candidates",
+            F.col("h").alias("hits_at_10"),
+            F.expr("CAST(h * 1000000 div 10 AS LONG)").alias("recall_e6"),
+        )
+    )

@@ -138,6 +138,14 @@ BOUNDS = [
     # row-standardized weight matrix — comfortably inside [-1.5, 1.5]
     # for any n; the classic approximate range.
     ("qs401_moran_i_daily", "moran_i", -1.5, 1.5),
+    ("qs402_embedding_simhash_recall", "recall_e6", 0, 1_000_000),
+    ("qs402_embedding_simhash_recall", "hits_at_10", 0, 10),
+    ("qs403_krippendorff_alpha", "d_o", 0.0, 1.0),
+    ("qs403_krippendorff_alpha", "d_e", 0.0, 1.0 + 1e-6),
+    ("qs403_krippendorff_alpha", "krippendorff_alpha", None, 1.0),
+    ("qs404_chao1_vocab", "chao1", 0.0, None),
+    ("qs405_rayleigh_weekday", "rbar", 0.0, 1.0),
+    ("qs405_rayleigh_weekday", "rayleigh_z", 0.0, None),
 ]
 
 

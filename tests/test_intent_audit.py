@@ -7577,3 +7577,131 @@ def test_intent_qs60_document_profile(spark, sf_dir):
         assert row["lang_guess"] == lang_guess
         assert row["quality"] == score
         assert row["fingerprint"] == fp
+
+
+# -- wave 27 (r13): the qs402-qs405 additions -------------------------------
+
+
+def test_intent_qs402_embedding_simhash_recall(spark, sf_dir):
+    # Full pure-numpy/hashlib serving path: md5-parity hyperplanes,
+    # exact e6 integer projections, 4x4 banding, candidate probe,
+    # cosine ranking with the qs52 round-4 convention.
+    import hashlib
+
+    e = _pd(sf_dir, "embeddings")
+    ids = e["vec_id"].to_numpy()
+    V = np.stack(e["embedding"].to_numpy()).astype(np.float64)
+    X = np.round(V * 1_000_000).astype(np.int64)
+    W = np.empty((16, 64), dtype=np.int64)
+    for j in range(16):
+        for d in range(1, 65):
+            h = hashlib.md5(f"{j}|{d}".encode()).hexdigest()
+            W[j, d - 1] = 1 if int(h[:8], 16) % 2 == 1 else -1
+    proj = X @ W.T  # (n, 16) exact integers
+    bits = (proj >= 0).astype(np.int64)
+    bands = np.stack(
+        [
+            sum(bits[:, 4 * b + k] << k for k in range(4))
+            for b in range(4)
+        ],
+        axis=1,
+    )
+    qi = int(np.where(ids == 0)[0][0])
+    cand = {
+        int(ids[r])
+        for r in range(len(ids))
+        if ids[r] != 0 and any(bands[r, b] == bands[qi, b] for b in range(4))
+    }
+    q = V[qi]
+    sims = {}
+    for r in range(len(ids)):
+        if ids[r] == 0:
+            continue
+        v = V[r]
+        sims[int(ids[r])] = round(
+            float(v @ q / (np.sqrt(v @ v) * np.sqrt(q @ q))), 4
+        )
+    brute = [
+        vid for _s, vid in sorted(((-s, v) for v, s in sims.items()))[:10]
+    ]
+    short = [
+        vid
+        for _s, vid in sorted(
+            ((-sims[v], v) for v in cand)
+        )[:10]
+    ]
+    hits = len(set(brute) & set(short))
+    got = _run(spark, sf_dir, "qs402_embedding_simhash_recall").iloc[0]
+    assert got["n_vectors"] == len(ids)
+    assert got["n_candidates"] == len(cand)
+    assert got["hits_at_10"] == hits
+    assert got["recall_e6"] == hits * 1_000_000 // 10
+
+
+def test_intent_qs403_krippendorff_alpha(spark, sf_dir):
+    li = _pd(sf_dir, "lineitem")
+    g = li.groupby("l_orderkey")
+    two = g.filter(lambda x: len(x) == 2).copy()
+    two["ok"] = two["l_linenumber"] * 4 + two["l_returnflag"].map(
+        {"A": 0, "N": 1}
+    ).fillna(2).astype(int)
+    two = two.sort_values(["l_orderkey", "ok"], kind="mergesort")
+    a = two.groupby("l_orderkey")["l_returnflag"].first()
+    b = two.groupby("l_orderkey")["l_returnflag"].last()
+    n = len(a)
+    agree = int((a.to_numpy() == b.to_numpy()).sum())
+    big_n = 2 * n
+    sum_c2 = sum(
+        (int((a == f).sum()) + int((b == f).sum())) ** 2
+        for f in ("R", "N", "A")
+    )
+    d_o = (n - agree) / n
+    d_e = (big_n * big_n - sum_c2) / (big_n * (big_n - 1))
+    got = _run(spark, sf_dir, "qs403_krippendorff_alpha").iloc[0]
+    assert got["n_subjects"] == n
+    assert abs(got["d_o"] - d_o) <= 2e-6
+    assert abs(got["d_e"] - d_e) <= 2e-6
+    assert abs(got["krippendorff_alpha"] - (1 - d_o / d_e)) <= 2e-6
+
+
+def test_intent_qs404_chao1_vocab(spark, sf_dir):
+    from collections import Counter
+
+    d = _pd(sf_dir, "documents")
+    tc: dict[str, Counter] = {}
+    for r in d.itertuples():
+        tc.setdefault(r.source, Counter()).update(
+            t for t in r.text.lower().split(" ") if t
+        )
+    got = _run(spark, sf_dir, "qs404_chao1_vocab")
+    assert len(got) == len(tc)
+    for _, r in got.iterrows():
+        c = tc[r["source"]]
+        v = len(c)
+        f1 = sum(1 for x in c.values() if x == 1)
+        f2 = sum(1 for x in c.values() if x == 2)
+        assert (r["v_observed"], r["singletons"], r["doubletons"]) == (
+            v, f1, f2,
+        )
+        assert abs(
+            r["chao1"] - round(v + f1 * (f1 - 1) / (2.0 * (f2 + 1)), 4)
+        ) <= 2e-4
+
+
+def test_intent_qs405_rayleigh_weekday(spark, sf_dir):
+    import math as _m
+    from collections import Counter
+
+    o = _pd(sf_dir, "orders")
+    # pandas weekday: Monday=0; the query uses Spark dayofweek
+    # (Sunday=1 .. Saturday=7) — map independently.
+    k = ((o["o_orderdate"].dt.weekday + 1) % 7 + 1).to_numpy()
+    c = Counter(k)
+    n = len(o)
+    cs = sum(v * _m.cos(2 * _m.pi * kk / 7) for kk, v in c.items())
+    sn = sum(v * _m.sin(2 * _m.pi * kk / 7) for kk, v in c.items())
+    rbar = _m.sqrt(cs * cs + sn * sn) / n
+    got = _run(spark, sf_dir, "qs405_rayleigh_weekday").iloc[0]
+    assert got["n_orders"] == n
+    assert abs(got["rbar"] - rbar) <= 2e-6
+    assert abs(got["rayleigh_z"] - n * rbar * rbar) <= 2e-4
