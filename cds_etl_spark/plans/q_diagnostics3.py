@@ -1374,75 +1374,75 @@ def qs402(spark: SparkSession, sf: str) -> DataFrame:
     (float32→double is exact; ROUND half-away agrees cross-engine),
     so every projection sum and sign bit is exact-integer; cosine
     ranking uses the qs52 ROUND-4 + vec_id convention. SCALE: the
-    signature join fans out a bounded 16×64 constant per vector
-    (corpus-linear; production precomputes signatures at ingest —
-    operators/similarity), the band probe moves candidates only, and
-    the brute reference is the eval slice's ground truth exactly as
-    qs389 is for qs393."""
+    hyperplane matrix is a COMPILE-TIME constant (hashlib md5 parity
+    at plan build — model-parameter class, same values the oracle
+    derives in SQL), so all 16 projections and the 4 band values are
+    row-local expressions fused into the scan: ZERO shuffle before
+    the 4-row band probe. The projections are 64-term SCALAR sums of
+    ±element_at over one staged e6-lift projection — whole-stage
+    codegen arithmetic; the measured ladder at gen sf10 (BASELINE
+    r13): explode-join 29.8 s → 16 interpreted zip_with/aggregate
+    HOFs 31.2 s → this form 7.2 s for the signature pass (HOF
+    lambdas are interpreted per element; scalar codegen is the fast
+    path for a fixed-width matrix). The band probe moves candidates
+    only, and the brute reference is the eval slice's ground truth
+    exactly as qs389 is for qs393."""
+    import hashlib
+
     emb = load_table(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    dims = F.sequence(F.lit(1), F.lit(64))
-    vals = emb.select(
-        "vec_id", F.posexplode("v").alias("pos", "xd")
-    ).select(
+    # 16×64 ±1 hyperplane matrix, identical to the oracle's
+    # md5(j||'|'||d) parity CTE — deterministic plan-build constant.
+    wmat = [
+        [
+            1
+            if int(hashlib.md5(f"{j}|{d}".encode()).hexdigest()[:8], 16) % 2
+            == 1
+            else -1
+            for d in range(1, 65)
+        ]
+        for j in range(16)
+    ]
+    # Staged e6 lift: transform() is non-cheap and multiply-referenced,
+    # so CollapseProject keeps this projection instead of inlining 1024
+    # copies of the round/cast into the signature terms.
+    staged = emb.select(
         "vec_id",
-        (F.col("pos") + 1).alias("d"),
-        F.round(F.col("xd") * 1_000_000, 0).cast("long").alias("x"),
+        F.transform(
+            F.col("v"), lambda x: F.round(x * 1_000_000, 0).cast("long")
+        ).alias("xs"),
     )
-    w = (
-        spark.range(1)
-        .select(F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"))
-        .select("j", F.explode(dims).alias("d"))
-        .select(
-            "j",
-            "d",
-            F.when(
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.col("j").cast("string"),
-                                F.lit("|"),
-                                F.col("d").cast("string"),
-                            )
-                        ),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % 2
-                == 1,
-                1,
+    sig_cols = []
+    for band in range(4):
+        bits = []
+        for k in range(4):
+            j = 4 * band + k
+            proj = None
+            for d in range(1, 65):
+                t = F.element_at(F.col("xs"), d)
+                t = t if wmat[j][d - 1] == 1 else -t
+                proj = t if proj is None else proj + t
+            bits.append(
+                F.when(proj >= 0, F.lit(1 << k)).otherwise(F.lit(0))
             )
-            .otherwise(-1)
-            .alias("s"),
+        sig_cols.append(
+            (bits[0] + bits[1] + bits[2] + bits[3]).alias(f"b{band}")
         )
-    )
-    proj = (
-        vals.join(F.broadcast(w), "d")
-        .groupBy("vec_id", "j")
-        .agg(F.sum(F.col("x") * F.col("s")).alias("p"))
-    )
-    sig = proj.groupBy(
-        "vec_id", F.expr("j div 4").alias("band")
-    ).agg(
-        F.sum(
-            F.when(F.col("p") >= 0, 1).otherwise(0)
-            * F.expr("shiftleft(1, j % 4)")
-        ).alias("bval")
-    )
+    sig = staged.select("vec_id", *sig_cols)
     qsig = sig.filter(F.col("vec_id") == 0).select(
-        "band", F.col("bval").alias("qval")
+        *[F.col(f"b{b}").alias(f"q{b}") for b in range(4)]
     )
     cand = (
         sig.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(qsig), "band")
-        .filter(F.col("bval") == F.col("qval"))
+        .crossJoin(F.broadcast(qsig))
+        .filter(
+            (F.col("b0") == F.col("q0"))
+            | (F.col("b1") == F.col("q1"))
+            | (F.col("b2") == F.col("q2"))
+            | (F.col("b3") == F.col("q3"))
+        )
         .select("vec_id")
-        .distinct()
     )
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qe"))
     dot = F.aggregate(
