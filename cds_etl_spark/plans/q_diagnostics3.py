@@ -1413,21 +1413,25 @@ def qs402(spark: SparkSession, sf: str) -> DataFrame:
             F.col("v"), lambda x: F.round(x * 1_000_000, 0).cast("long")
         ).alias("xs"),
     )
+    # One F.expr per band: a 64-term scalar string parses in
+    # milliseconds where the equivalent py4j Column assembly (3k+
+    # gateway calls) measured 7.8 s of plan-build time per invocation
+    # — the full-registry gates and the driver pay plan build on
+    # every run, so construction cost is part of the query's price.
     sig_cols = []
     for band in range(4):
         bits = []
         for k in range(4):
             j = 4 * band + k
-            proj = None
-            for d in range(1, 65):
-                t = F.element_at(F.col("xs"), d)
-                t = t if wmat[j][d - 1] == 1 else -t
-                proj = t if proj is None else proj + t
+            terms = "+".join(
+                f"{'' if wmat[j][d - 1] == 1 else '-'}xs[{d - 1}]"
+                for d in range(1, 65)
+            )
             bits.append(
-                F.when(proj >= 0, F.lit(1 << k)).otherwise(F.lit(0))
+                f"(CASE WHEN ({terms}) >= 0 THEN {1 << k} ELSE 0 END)"
             )
         sig_cols.append(
-            (bits[0] + bits[1] + bits[2] + bits[3]).alias(f"b{band}")
+            F.expr(" + ".join(bits)).alias(f"b{band}")
         )
     sig = staged.select("vec_id", *sig_cols)
     qsig = sig.filter(F.col("vec_id") == 0).select(
