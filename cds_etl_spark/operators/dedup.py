@@ -530,6 +530,23 @@ def _probe_pairs(
     )
 
 
+def _is_missing_path(exc) -> bool:
+    """True iff an AnalysisException is the missing-input-path
+    condition (the only one the "auto" guards may downgrade to the
+    legacy-index warning — anything else re-raises, r14 ADVICE)."""
+    cond = None
+    for attr in ("getCondition", "getErrorClass"):
+        fn = getattr(exc, attr, None)
+        if fn is not None:
+            try:
+                cond = fn()
+            except Exception:
+                cond = None
+        if cond:
+            break
+    return cond == "PATH_NOT_FOUND" or "Path does not exist" in str(exc)
+
+
 def _auto_band_cap(
     spark,
     stats_path: str,
@@ -541,8 +558,15 @@ def _auto_band_cap(
     build-time occupancy histogram; arm the cap at ``bound`` (with a
     warning) only when some band key exceeds it; fall back to the
     uncapped legacy output (with a warning) when the index predates
-    stats. Returns the resolved ``max_band_entries``."""
+    stats. Returns the resolved ``max_band_entries``.
+
+    Only the missing-path AnalysisException downgrades to the legacy
+    warning (r14 ADVICE): a transient IO/permission error or a
+    corrupted stats file must surface, not silently disable the
+    guard."""
     import warnings
+
+    from pyspark.errors import AnalysisException
 
     try:
         max_occ = (
@@ -550,12 +574,15 @@ def _auto_band_cap(
             .agg(F.max("max_occ").alias("m"))
             .collect()[0]["m"]
         )
-    except Exception:
+    except AnalysisException as exc:
+        if not _is_missing_path(exc):
+            raise
         warnings.warn(
             f"{probe_name}: no band_stats at {stats_path} — index "
             f"predates the r13 self-arming guard; probing UNCAPPED "
             f"(legacy output). Rebuild/compact with {build_name} or "
-            f"pass max_band_entries explicitly.",
+            f"pass max_band_entries explicitly. "
+            f"[{str(exc).splitlines()[0]}]",
             RuntimeWarning,
             stacklevel=3,
         )
@@ -724,6 +751,14 @@ def probe_minhash_index(
     sh_new, bands_new = _signature_bands(
         new_df, id_col, text_col, shingle_k, num_hashes, bands, hash_family
     )
+    if isinstance(max_band_entries, str) and max_band_entries != "auto":
+        # A typo'd string would otherwise flow into the `_n > <str>`
+        # filter where Spark's numeric cast yields null → empty hot
+        # set → silently uncapped probe (r14 ADVICE).
+        raise ValueError(
+            f"max_band_entries must be an int, None, or the exact "
+            f"string 'auto'; got {max_band_entries!r}"
+        )
     if max_band_entries == "auto":
         max_band_entries = _auto_band_cap(
             spark,

@@ -922,8 +922,16 @@ def _auto_phash_band_cap(
     the build-time stats exist, describe THIS banding, and show a
     (band, chunk) key above ``bound``; otherwise warn + legacy
     uncapped output (mirrors dedup._auto_band_cap, plus the banding
-    match check the derived-key design makes necessary)."""
+    match check the derived-key design makes necessary).
+
+    Only the missing-path AnalysisException downgrades to the legacy
+    warning (r14 ADVICE): IO/permission errors and corrupted stats
+    re-raise instead of silently disabling the guard."""
     import warnings
+
+    from pyspark.errors import AnalysisException
+
+    from cds_etl_spark.operators.dedup import _is_missing_path
 
     try:
         row = (
@@ -934,12 +942,15 @@ def _auto_phash_band_cap(
             )
             .collect()[0]
         )
-    except Exception:
+    except AnalysisException as exc:
+        if not _is_missing_path(exc):
+            raise
         warnings.warn(
             f"probe_phash_index: no _band_stats at {path} — index "
             f"predates the r13 self-arming guard; probing UNCAPPED "
             f"(legacy output). Rebuild/compact with build_phash_index "
-            f"or pass max_band_entries explicitly.",
+            f"or pass max_band_entries explicitly. "
+            f"[{str(exc).splitlines()[0]}]",
             RuntimeWarning,
             stacklevel=3,
         )
@@ -1084,6 +1095,14 @@ def probe_phash_index(
     n_bands = n_bands or _bands_for(max_hamming)
     if band_occupancy_bound is None:
         band_occupancy_bound = DEFAULT_BAND_OCCUPANCY_BOUND
+    if isinstance(max_band_entries, str) and max_band_entries != "auto":
+        # A typo'd string would otherwise flow into the `_n > <str>`
+        # filter where Spark's numeric cast yields null → empty hot
+        # set → silently uncapped probe (r14 ADVICE).
+        raise ValueError(
+            f"max_band_entries must be an int, None, or the exact "
+            f"string 'auto'; got {max_band_entries!r}"
+        )
     if max_band_entries == "auto":
         max_band_entries = _auto_phash_band_cap(
             spark, path, n_bands, band_occupancy_bound

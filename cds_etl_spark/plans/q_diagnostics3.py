@@ -824,13 +824,10 @@ def qs398(spark: SparkSession, sf: str) -> DataFrame:
     chi AS (
       SELECT tot.n, tot.nr, tot.nc,
              CAST(SUM(
-               (CAST(cells.c AS HUGEINT) * tot.n - CAST(rt.r AS HUGEINT)
-                  * ct.s)
-               * (CAST(cells.c AS HUGEINT) * tot.n
-                  - CAST(rt.r AS HUGEINT) * ct.s)
-               * 1000000000
-               // (CAST(tot.n AS HUGEINT) * rt.r * ct.s)
-             ) AS HUGEINT) AS chi_e9
+               CAST(cells.c AS HUGEINT) * cells.c * tot.n * 1000000000
+               // (CAST(rt.r AS HUGEINT) * ct.s)
+             ) AS HUGEINT) - CAST(tot.n AS HUGEINT) * 1000000000
+               AS chi_e9
       FROM cells
       JOIN rt ON rt.x = cells.x
       JOIN ct ON ct.y = cells.y
@@ -848,25 +845,30 @@ def qs399(spark: SparkSession, sf: str) -> DataFrame:
     """Cramér's V on the order priority × status grid — the [0, 1]
     normalized effect size of the association the qs383-family
     measures with signed ordinal statistics: V = √(χ²/(n·(min(R,C)−1)))
-    with the Pearson χ² in its empty-cell-free algebraic form
-    χ² = Σ_{O>0} (O·n − r·c)²/(n·r·c) (absent cells contribute their
-    E through the expansion, so the nonzero grid suffices). φ² is
+    with the Pearson χ² in its genuinely empty-cell-free identity
+    χ² = Σ_{{O>0}} O²·n/(r·c) − n (expand Σ(O−E)²/E = ΣO²/E − 2n + n;
+    the O=0 cells contribute exactly 0 to ΣO²/E, so the nonzero grid
+    suffices — unlike the naive per-cell expansion
+    Σ_{{O>0}}(O·n−r·c)²/(n·r·c), which equals χ² − Σ_{{O=0}}E and
+    silently undercounts on sparse grids; the r14 ADVICE fix). φ² is
     emitted alongside (the unnormalized mean-square contingency).
 
     Determinism: every per-cell term is an exact e9 floor division in
-    HUGEINT/DECIMAL(38) ((O·n − r·c)² ≈ 1e28 at sf30 gen scale),
-    summed exactly over ≤15 cells; two fixed double expressions,
+    HUGEINT/DECIMAL(38) (O²·n ≤ n³ ≈ 1e23 at sf30 gen scale, ×1e9
+    well inside 38 digits), summed exactly over ≤15 cells before the
+    single exact n·1e9 subtraction; two fixed double expressions,
     ROUND 6. Plan: identical to qs398."""
     j = _prio_cells_margins(spark, sf)
     chi = j.groupBy("n", "nr", "nc").agg(
         F.sum(
             F.expr(
-                "(CAST(c AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0))"
-                " * s) * (CAST(c AS DECIMAL(38,0)) * n "
-                "- CAST(r AS DECIMAL(38,0)) * s) * 1000000000 "
-                "div (CAST(n AS DECIMAL(38,0)) * r * s)"
+                "CAST(c AS DECIMAL(38,0)) * c * n * 1000000000 "
+                "div (CAST(r AS DECIMAL(38,0)) * s)"
             )
-        ).alias("chi_e9")
+        ).alias("oe_e9")
+    ).withColumn(
+        "chi_e9",
+        F.expr("oe_e9 - CAST(n AS DECIMAL(38,0)) * 1000000000"),
     )
     return chi.select(
         "n",

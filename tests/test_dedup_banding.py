@@ -345,6 +345,64 @@ def test_minhash_band_stats_self_arming(spark, tmp_path):
     assert got == auto_healthy
 
 
+def test_band_guard_rejects_typo_string_and_corrupt_stats(spark, tmp_path):
+    """r14 ADVICE hardening, both probes: (a) any string other than the
+    exact 'auto' raises ValueError up front — previously a typo like
+    'Auto' flowed into `_n > '<str>'` where the numeric cast nulled the
+    hot set and the probe ran silently uncapped; (b) a PRESENT but
+    schema-corrupted band_stats re-raises the AnalysisException instead
+    of being misreported as a pre-r13 legacy index; (c) the genuinely
+    missing-path case still downgrades to the legacy warning."""
+    import pytest
+
+    from cds_etl_spark.operators.dedup import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+    from cds_etl_spark.operators.multimodal import probe_phash_index
+
+    batch = spark.createDataFrame(
+        [(1, "some words here for a tiny probe batch of one row")],
+        "doc_id long, text string",
+    )
+    # (a) validation fires before any IO — a bogus path never reads.
+    with pytest.raises(ValueError, match="exact string 'auto'"):
+        probe_minhash_index(
+            spark, batch, str(tmp_path / "nope"), max_band_entries="Auto"
+        )
+    sig_batch = spark.createDataFrame(
+        [(1, bytes(8))], "media_id long, phash binary"
+    )
+    with pytest.raises(ValueError, match="exact string 'auto'"):
+        probe_phash_index(
+            spark, sig_batch, str(tmp_path / "nope"), max_band_entries="AUTO"
+        )
+
+    # (b) corrupt stats (wrong schema → unresolved column) re-raises.
+    docs = spark.createDataFrame(
+        [(i, f"w{i} the quick brown fox number {i} leaps far")
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "corruptidx")
+    build_minhash_index(docs, idx)
+    spark.createDataFrame([(1,)], "wrong_col long").write.mode(
+        "overwrite"
+    ).parquet(f"{idx}/band_stats")
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        probe_minhash_index(spark, batch, idx)
+
+    # (c) missing path still downgrades, and the warning carries the
+    # underlying condition text so real failures are distinguishable.
+    import shutil
+
+    shutil.rmtree(f"{idx}/band_stats")
+    with pytest.warns(RuntimeWarning, match="no band_stats"):
+        probe_minhash_index(spark, batch, idx).collect()
+
+
 def test_minhash_band_stats_append_and_compact_refresh(spark, tmp_path):
     """Append mode recomputes stats over the CUMULATIVE index (not the
     batch shard), and compaction refreshes stats at the new path even

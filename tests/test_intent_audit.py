@@ -6449,6 +6449,56 @@ def test_intent_qs398_g_test(spark, sf_dir):
     assert abs(got["g_stat"] - g) <= 2e-4
 
 
+def test_intent_qs399_empty_cell_grid(spark, tmp_path):
+    # The r14 ADVICE medium: the old per-cell expansion
+    # Σ_{O>0}(O·n−r·c)²/(n·r·c) equals χ² − Σ_{O=0}E, so both engines
+    # silently undercounted whenever a priority×status cell was absent
+    # — and the differential could never catch it because the oracle
+    # shared the form. This fixture DELIBERATELY leaves cells empty
+    # (priority 1 orders are all 'F', priority 2 all 'O') and checks
+    # BOTH the Spark plan and the DuckDB oracle against the full-grid
+    # textbook χ² including the E of the empty cells.
+    import duckdb
+
+    rows = (
+        [("1-URGENT", "F")] * 40
+        + [("2-HIGH", "O")] * 25
+        + [("3-MEDIUM", "F")] * 10
+        + [("3-MEDIUM", "O")] * 5
+        + [("3-MEDIUM", "P")] * 20
+    )
+    o = pd.DataFrame(rows, columns=["o_orderpriority", "o_orderstatus"])
+    o.to_parquet(tmp_path / "orders.parquet")
+
+    ct = pd.crosstab(
+        o["o_orderpriority"].str[0].astype(int),
+        o["o_orderstatus"].map({"F": 1, "O": 2}).fillna(3).astype(int),
+    )
+    obs = ct.to_numpy().astype(float)
+    assert (obs == 0).sum() == 4  # the fixture's whole point
+    n = obs.sum()
+    e = np.outer(ct.sum(axis=1), ct.sum(axis=0)) / n
+    chi2 = np.sum((obs - e) ** 2 / e)
+    v = math.sqrt(chi2 / (n * (min(ct.shape) - 1)))
+
+    got = _run(spark, str(tmp_path), "qs399_cramers_v").iloc[0]
+    assert got["n"] == n
+    assert abs(got["phi2"] - chi2 / n) <= 2e-6
+    assert abs(got["cramers_v"] - v) <= 2e-6
+
+    from cds_etl_spark.plans import ORACLE_SQL
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'orders.parquet'}')"
+    )
+    ora = con.sql(ORACLE_SQL["qs399_cramers_v"]).df().iloc[0]
+    assert ora["n"] == n
+    assert abs(ora["phi2"] - chi2 / n) <= 2e-6
+    assert abs(ora["cramers_v"] - v) <= 2e-6
+
+
 def test_intent_qs399_cramers_v(spark, sf_dir):
     ct = _prio_crosstab(sf_dir)
     obs = ct.to_numpy().astype(float)
