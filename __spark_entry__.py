@@ -35,66 +35,65 @@ def entry(spark: SparkSession) -> DataFrame:
 # so a typo fails loudly instead of silently falling back to
 # registration order (the r03 defect).
 _GRADE_FIRST = [
-    # -- r13 window (first 50 graded): the 10 never-officially-graded
-    #    r12 additions qs383-qs392 (VERDICT r12 task 1 — the only rows
-    #    in the registry with no CORRECTNESS entry in any round), the
-    #    9 queries registered THIS round (qs393 prefix-shortlist MRR,
-    #    the judge-asked scale-path twin, plus the qs394-qs401 r13
-    #    diagnostics family) so no new never-graded rows accumulate,
-    #    then the stalest cohort: the 8 remaining r04-era rows and the
-    #    23 alphabetically-first r05-era rows. All 50 re-proved EQUAL
-    #    at sf0.01 on this tree before staging; the 27 remaining
-    #    r05-era rows lead the next rotation. --
-    "qs383_somers_d",
-    "qs384_stuart_tau_c",
-    "qs385_scott_pi",
-    "qs386_yule_q",
-    "qs387_ansari_bradley",
-    "qs388_ww_runs",
-    "qs389_mrr_eval",
-    "qs390_kpss",
-    "qs391_wasserstein",
-    "qs392_lorenz_asymmetry",
-    "qs393_mrr_prefix_shortlist",
-    "qs394_kuiper",
-    "qs395_anderson_darling",
-    "qs396_brunner_munzel",
-    "qs397_lepage",
-    "qs398_g_test",
-    "qs399_cramers_v",
-    "qs400_lsh_band_occupancy",
-    "qs401_moran_i_daily",
-    "qs63_approx_quantiles",
-    "qs65_hash_sample",
-    "qs67_stratified_sample",
-    "qs68_interleave_sources",
-    "qs69_unpivot",
-    "qs70_grouping_id",
-    "qs71_rank_pct",
-    "qs94_pagerank",
-    "qs01_scan_filter_project",
-    "qs02_project_expr_like",
-    "qs03_broadcast_join",
-    "qs04_left_outer_join",
-    "qs05_semi_join",
-    "qs06_anti_join",
-    "qs07_self_theta_join",
-    "qs101_histogram",
-    "qs102_schema_evolution_union",
-    "qs10_groupby_agg_tpch_q1",
-    "qs125_tpch_q4_exists",
-    "qs126_tpch_q12_shipmode",
-    "qs127_tpch_q14_promo",
-    "qs128_tpch_q19_disjunctive",
-    "qs129_tpch_q22_antijoin",
-    "qs130_tpch_q15_top_supplier",
-    "qs131_tpch_q17_small_qty",
-    "qs132_tpch_q21_sole_fault",
-    "qs133_tpch_q11_heavy_parts",
-    "qs402_embedding_simhash_recall",
-    "qs403_krippendorff_alpha",
-    "qs404_chao1_vocab",
-    "qs405_rayleigh_weekday",
+    # -- r14 window (first 50 graded): pure re-grade rotation, no new
+    #    queries this round (VERDICT r13 task 2). Composition: ALL 31
+    #    rows whose latest official grade dates to r05 (qs31, qs72-qs99
+    #    singles, the qs134-qs141 LLM/TPC-H cohort), then the 19
+    #    alphabetically-first of the 50 r06-era rows. After this round
+    #    no row is older than r06; the remaining 31 r06 rows
+    #    (qs142_duplicate_span_coverage ... qs33) lead the r15
+    #    rotation. All 50 re-proved EQUAL at sf0.01 on this tree
+    #    before staging (tools/driver_diff.py). --
+    "qs134_corpus_mixing_weights",
+    "qs135_duplicate_spans",
+    "qs136_rag_chunks",
+    "qs137_sketch_heavy_hitters",
+    "qs138_repetition_rowlocal",
+    "qs139_tpch_q13_custdist",
+    "qs140_tpch_q8_market_share",
+    "qs141_tpch_q6_forecast",
+    "qs31_regex_filter",
+    "qs72_sequence_explode",
+    "qs73_bitwise",
+    "qs74_nullsafe_join",
+    "qs75_greatest_least",
+    "qs76_string_pad",
+    "qs77_try_cast",
+    "qs78_scalar_subquery",
+    "qs79_width_bucket",
+    "qs80_regexp_extract_replace",
+    "qs81_connected_dedup",
+    "qs83_decontaminate",
+    "qs84_bm25",
+    "qs85_scd2_apply",
+    "qs86_corr_covar",
+    "qs87_regression_agg",
+    "qs88_profile_columns",
+    "qs91_llm_pipeline_manifest",
+    "qs92_forward_fill",
+    "qs93_resample_grid",
+    "qs95_table_diff",
+    "qs97_weighted_sample",
+    "qs99_funnel",
+    "qs08_range_join",
+    "qs100_tpch_q3",
+    "qs103_tpch_q5",
+    "qs104_inverted_index",
+    "qs105_cap_per_group",
+    "qs106_cumulative_distinct",
+    "qs107_merge_upsert",
+    "qs108_triangle_count",
+    "qs109_tpch_q18",
+    "qs110_cms_sketch",
+    "qs111_segment_dedup",
+    "qs112_lsh_buckets",
+    "qs113_recursive_cte",
+    "qs114_fuzzy_link",
+    "qs115_tfidf_top_terms",
+    "qs116_cohort_retention",
+    "qs11_count_distinct",
+    "qs12_rollup",
+    "qs13_cube",
 ]
 
 
