@@ -372,7 +372,20 @@ def running_totals_tws(events: DataFrame) -> DataFrame:
     protobuf (pyspark/sql/streaming/proto) — without a working
     ``google.protobuf``, Spark's driver worker crashes at stream
     start, so this raises up front with a clear message instead
-    (same boundary policy as the PIL-gated jpeg path)."""
+    (same boundary policy as the PIL-gated jpeg path).
+
+    The protobuf-absence decision (r14, recorded PERMANENT
+    environment gate — same rigor as the jpeg/h264 codec gates):
+    this container ships no protobuf wheel and has no package-index
+    route (``pip download protobuf`` → name resolution failure), and
+    vendoring a third-party runtime wholesale is out of policy, so
+    the in-environment parity run is impossible rather than deferred.
+    What IS verified here: the fail-fast gate fires at plan-build
+    time with the escape hatch named (test_streaming.py, both the
+    dedicated gate test and the parity test's gate branch — zero
+    silent skips). In any protobuf environment the SAME parity test
+    body runs live against the batch aggregate, so the gate retires
+    itself the moment the dependency appears."""
     try:
         from google.protobuf import descriptor  # noqa: F401
     except ImportError as exc:

@@ -127,10 +127,27 @@ def test_running_totals_tws_matches_legacy_api(spark, sf_dir, inbox):
     """The transformWithStateInPandas twin must be result-identical to
     the applyInPandasWithState operator: same per-user final totals as
     the batch aggregate (API migration must not change semantics).
-    Skips where google.protobuf (Spark's state-server protocol) is
-    absent — the operator is import-gated there."""
-    pytest.importorskip("google.protobuf")
+
+    Where google.protobuf (Spark's state-server protocol) is absent —
+    the r14 recorded PERMANENT environment gate (streaming/ops.py
+    module docstring; this container has no protobuf wheel and no
+    network, verified `pip download` → no route) — this test pins the
+    recorded decision instead of skipping: the operator must fail
+    FAST at plan-build time with the documented message naming the
+    legacy-API escape hatch, so the suite carries zero silent skips.
+    In a protobuf environment the live branch runs the real parity."""
     from cds_etl_spark.streaming.ops import running_totals_tws
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        stream = event_stream(spark, inbox["src"], inbox["schema"])
+        with pytest.raises(
+            NotImplementedError,
+            match="protobuf.*running_totals_stateful",
+        ):
+            running_totals_tws(stream)
+        return
 
     stream = event_stream(spark, inbox["src"], inbox["schema"], max_files_per_trigger=1)
     run_to_completion(
