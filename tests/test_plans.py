@@ -400,6 +400,60 @@ def test_partsupp_extras_plan_shapes(spark, tmp_path_factory):
     assert p20.count("HashAggregate") >= 2
 
 
+def test_gen_sf_zipf_vocab_option(tmp_path_factory):
+    """r14 fixture option (VERDICT r13 task 1): doc_vocab='zipf' must
+    (a) leave every non-documents table byte-identical to the flat
+    run — the option draws from a dedicated rng stream after
+    consuming the flat draw, so existing gen-fixture evidence stays
+    valid; (b) produce a long-tailed vocabulary with genuinely rare
+    tokens (the flat 36-word VOCAB's min df is ~58% of the corpus,
+    which makes the qs393 prefix filter unable to prune)."""
+    import os
+    import sys
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+        ),
+    )
+    from gen_sf import generate
+
+    root = tmp_path_factory.mktemp("genzipf")
+    flat, zipf = str(root / "flat"), str(root / "zipf")
+    generate(0.002, flat)
+    generate(0.002, zipf, doc_vocab="zipf")
+
+    for t in ("orders", "lineitem", "events", "embeddings", "partsupp"):
+        a = open(os.path.join(flat, f"{t}.parquet"), "rb").read()
+        b = open(os.path.join(zipf, f"{t}.parquet"), "rb").read()
+        assert a == b, f"{t} perturbed by doc_vocab option"
+
+    def dfreq(d):
+        texts = pq.read_table(
+            os.path.join(d, "documents.parquet"), columns=["text"]
+        )["text"].to_pylist()
+        c = Counter()
+        for t in texts:
+            c.update(set(t.split(" ")))
+        return c, len(texts)
+
+    fc, n = dfreq(flat)
+    zc, _ = dfreq(zipf)
+    # Flat: every token is everywhere; zipf: a real rare tail exists.
+    assert min(fc.values()) > n * 0.3
+    assert min(zc.values()) <= 2
+    assert len(zc) > 10 * len(fc)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="flat.*zipf|zipf.*flat"):
+        generate(0.002, str(root / "bad"), doc_vocab="Zipf")
+
+
 def test_runtime_bloom_filter_join_injection(spark, sf_dir):
     """Spark's runtime row-level bloom filter (SPARK-32268): with a
     selective filter on the small join side, the optimizer injects a

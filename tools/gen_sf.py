@@ -52,7 +52,25 @@ def _ts(col):
     return pa.array(col, type=pa.timestamp("us"))
 
 
-def generate(sf: float, out_dir: str, seed: int = 42) -> None:
+#: Zipf-vocabulary option (r14, VERDICT r13 task 1): the flat 36-word
+#: VOCAB has NO rare tokens (min df ≈ 58% of the corpus), so the qs393
+#: prefix filter provably cannot prune on gen fixtures — the one
+#: claimed scale property with no supporting cell. ``doc_vocab="zipf"``
+#: draws document tokens from a 50,000-type vocabulary with
+#: P(rank r) ∝ r^-1.1 (the classic text exponent), giving a long
+#: singleton tail like real corpora. Drawn from a DEDICATED rng stream
+#: (seed+11, the partsupp pattern) after consuming the flat draw, so
+#: every other table — and the flat documents output — stays
+#: byte-stable whichever option is chosen.
+ZIPF_VOCAB_SIZE = 50_000
+ZIPF_EXPONENT = 1.1
+
+
+def generate(
+    sf: float, out_dir: str, seed: int = 42, doc_vocab: str = "flat"
+) -> None:
+    if doc_vocab not in ("flat", "zipf"):
+        raise ValueError(f"doc_vocab must be 'flat' or 'zipf': {doc_vocab!r}")
     os.makedirs(out_dir, exist_ok=True)
     scale = sf / 0.1  # counts below are the measured sf0.1 counts
     n_cust = int(15_000 * scale)
@@ -147,9 +165,18 @@ def generate(sf: float, out_dir: str, seed: int = 42) -> None:
     }))
     lens = rng.integers(10, 60, n_doc)
     words = rng.integers(0, len(VOCAB), int(lens.sum()))
+    vocab = list(VOCAB)
+    if doc_vocab == "zipf":
+        # The flat draw above still ran, so the main stream (and every
+        # table drawn after documents) is identical to the flat run.
+        zrng = np.random.default_rng(seed + 11)
+        p = 1.0 / np.arange(1, ZIPF_VOCAB_SIZE + 1) ** ZIPF_EXPONENT
+        p /= p.sum()
+        words = zrng.choice(ZIPF_VOCAB_SIZE, int(lens.sum()), p=p)
+        vocab = [f"t{i}" for i in range(ZIPF_VOCAB_SIZE)]
     texts, pos = [], 0
     for ln in lens:
-        texts.append(" ".join(VOCAB[w] for w in words[pos:pos + ln]))
+        texts.append(" ".join(vocab[w] for w in words[pos:pos + ln]))
         pos += ln
     write("documents", pa.table({
         "doc_id": np.arange(n_doc, dtype=np.int64),
@@ -187,6 +214,8 @@ def generate(sf: float, out_dir: str, seed: int = 42) -> None:
 if __name__ == "__main__":
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
     root = sys.argv[2] if len(sys.argv) > 2 else "/tmp/cds_etl_spark_wh/gen"
-    out = os.path.join(root, f"sf{sf:g}")
-    generate(sf, out)
+    doc_vocab = sys.argv[3] if len(sys.argv) > 3 else "flat"
+    suffix = "" if doc_vocab == "flat" else f"-{doc_vocab}"
+    out = os.path.join(root, f"sf{sf:g}{suffix}")
+    generate(sf, out, doc_vocab=doc_vocab)
     print(out)
