@@ -612,25 +612,17 @@ def _auto_band_cap(
 DEFAULT_BAND_OCCUPANCY_BOUND = 256
 
 
-def write_minhash_band_stats(spark, path: str) -> None:
-    """(Re)compute the band-occupancy histogram for a persisted MinHash
-    index and overwrite ``{path}/band_stats``: one row per (band_idx,
-    ⌈log2 occupancy⌉ bucket) with key count and exact max occupancy —
-    bands·~20 rows total, read in one footer hit by the probe.
-
-    Cost: one aggregate scan of the bands table — the same class as
-    any single probe (which joins against the full bands table), so
-    refreshing stats per append batch does not change the ingest
-    loop's asymptotics; ``compact_minhash_index`` refreshes them for
-    free as part of its rewrite."""
-    occ = (
-        spark.read.parquet(f"{path}/bands")
-        .dropDuplicates()
-        .groupBy("band_idx", "band_key")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+def _write_minhash_stats(counts: DataFrame, path: str) -> None:
+    """Materialize merged per-key counts, then overwrite both sidecars:
+    ``band_counts`` (the incremental-merge substrate) and the
+    ~bands·20-row ``band_stats`` histogram the probe guard reads.
+    localCheckpoint breaks lineage BEFORE the overwrite so a refresh
+    may read the old counts as its own input without
+    self-truncation."""
+    counts = counts.localCheckpoint(eager=True)
+    counts.write.mode("overwrite").parquet(f"{path}/band_counts")
     (
-        occ.groupBy(
+        counts.groupBy(
             "band_idx",
             F.ceil(F.log2("n")).cast("int").alias("occ_bucket"),
         )
@@ -642,6 +634,70 @@ def write_minhash_band_stats(spark, path: str) -> None:
         .write.mode("overwrite")
         .parquet(f"{path}/band_stats")
     )
+
+
+def write_minhash_band_stats(spark, path: str) -> None:
+    """(Re)compute the band-occupancy histogram for a persisted MinHash
+    index and overwrite ``{path}/band_stats``: one row per (band_idx,
+    ⌈log2 occupancy⌉ bucket) with key count and exact max occupancy —
+    bands·~20 rows total, read in one footer hit by the probe.
+
+    Cost: one aggregate scan of the bands table — the same class as
+    any single probe (which joins against the full bands table), so
+    refreshing stats per append batch does not change the ingest
+    loop's asymptotics; ``compact_minhash_index`` refreshes them for
+    free as part of its rewrite. Also persists the per-key
+    ``band_counts`` sidecar so ``append_minhash_band_stats`` (r14)
+    can fold later appends in by counter addition instead of
+    rescanning the bands table."""
+    counts = (
+        spark.read.parquet(f"{path}/bands")
+        .dropDuplicates()
+        .groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    _write_minhash_stats(counts, path)
+
+
+def append_minhash_band_stats(
+    spark, path: str, delta_bands: DataFrame
+) -> bool:
+    """Incrementally fold an appended batch's band rows into the
+    persisted stats (r14, VERDICT r13 task 4): per-key occupancies
+    merge by addition — delta aggregate (batch-scale) ∪ old
+    ``band_counts`` (one narrow row per key) → one sum; no bands-table
+    rescan, no full-row dropDuplicates shuffle over the index.
+    ``delta_bands`` must carry the appended rows only, id column
+    included (full-row dedup mirrors the full path's within-batch
+    replay guard before counting). Returns False when no
+    ``band_counts`` sidecar exists (legacy index — caller should
+    full-refresh).
+
+    EXACTNESS CONTRACT: equal to a full recompute iff the delta's ids
+    are disjoint from the index (the ingest loop's probe + anti-join
+    invariant). A crash-replayed append double-counts — which can only
+    OVER-arm the hot-band guard (safe direction); any compaction or
+    ``write_minhash_band_stats`` refresh restores exactness."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        old = spark.read.parquet(f"{path}/band_counts")
+    except AnalysisException as exc:
+        if not _is_missing_path(exc):
+            raise
+        return False
+    delta = (
+        delta_bands.dropDuplicates()
+        .groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    merged = (
+        old.unionByName(delta)
+        .groupBy("band_idx", "band_key")
+        .agg(F.sum("n").alias("n"))
+    )
+    _write_minhash_stats(merged, path)
+    return True
 
 
 def build_minhash_index(
@@ -680,15 +736,19 @@ def build_minhash_index(
     sh, bands_df = _signature_bands(
         df, id_col, text_col, shingle_k, num_hashes, bands, hash_family
     )
-    (
-        bands_df.select(
-            F.col("_id").alias(id_col),
-            F.col("_bi").alias("band_idx"),
-            F.col("_key").alias("band_key"),
-        )
-        .write.mode(mode)
-        .partitionBy("band_idx")
-        .parquet(f"{path}/bands")
+    bands_out = bands_df.select(
+        F.col("_id").alias(id_col),
+        F.col("_bi").alias("band_idx"),
+        F.col("_key").alias("band_key"),
+    )
+    if mode == "append" and band_stats:
+        # r14: materialize the delta's band rows once, so the
+        # incremental stats merge (append_minhash_band_stats) reuses
+        # them without re-running the shingle/signature stage — and
+        # without lazily re-reading the path it was just appended to.
+        bands_out = bands_out.localCheckpoint(eager=True)
+    bands_out.write.mode(mode).partitionBy("band_idx").parquet(
+        f"{path}/bands"
     )
     (
         sh.select(F.col("_id").alias(id_col), F.col("_sh").alias("shingles"))
@@ -696,9 +756,14 @@ def build_minhash_index(
         .parquet(f"{path}/shingles")
     )
     if band_stats:
-        # Recomputed from the FULL on-disk table so the append path
-        # yields exact cumulative occupancy, not per-batch shards.
-        write_minhash_band_stats(df.sparkSession, path)
+        spark = df.sparkSession
+        if mode == "append" and append_minhash_band_stats(
+            spark, path, bands_out
+        ):
+            return
+        # Full recompute from the on-disk table: the overwrite path,
+        # or a legacy append target with no band_counts sidecar.
+        write_minhash_band_stats(spark, path)
 
 
 def probe_minhash_index(

@@ -345,6 +345,61 @@ def test_minhash_band_stats_self_arming(spark, tmp_path):
     assert got == auto_healthy
 
 
+def test_minhash_incremental_band_stats_equal_full_recompute(spark, tmp_path):
+    """r14 (VERDICT r13 task 4): appends fold the delta's per-key
+    counts into the persisted band_counts sidecar instead of
+    rescanning the bands table. Exactness gate: after two incremental
+    appends (one containing more copies of an id-disjoint hot
+    template), BOTH sidecars must equal a from-scratch full recompute
+    row for row; a legacy index without the sidecar falls back to the
+    full path and self-heals (sidecar appears)."""
+    import os
+
+    from cds_etl_spark.operators.dedup import (
+        build_minhash_index,
+        write_minhash_band_stats,
+    )
+
+    tpl = "the exact template text repeated verbatim in many rows ok"
+
+    def corpus(ids, tpl_every=3):
+        return spark.createDataFrame(
+            [
+                (i, tpl)
+                if i % tpl_every == 0
+                else (i, f"w{i} the quick brown fox number {i} leaps far")
+                for i in ids
+            ],
+            "doc_id long, text string",
+        )
+
+    idx = str(tmp_path / "incidx")
+    build_minhash_index(corpus(range(12)), idx)
+    build_minhash_index(corpus(range(100, 108)), idx, mode="append")
+    build_minhash_index(corpus(range(200, 220)), idx, mode="append")
+
+    def rows(p):
+        return sorted(tuple(r) for r in spark.read.parquet(p).collect())
+
+    inc_stats = rows(f"{idx}/band_stats")
+    inc_counts = rows(f"{idx}/band_counts")
+    write_minhash_band_stats(spark, idx)  # full recompute, same index
+    assert inc_stats == rows(f"{idx}/band_stats")
+    assert inc_counts == rows(f"{idx}/band_counts")
+
+    # Legacy index (no sidecar): append falls back to the full path.
+    legacy = str(tmp_path / "legacyinc")
+    build_minhash_index(corpus(range(12)), legacy)
+    import shutil
+
+    shutil.rmtree(f"{legacy}/band_counts")
+    build_minhash_index(corpus(range(100, 108)), legacy, mode="append")
+    assert os.path.exists(f"{legacy}/band_counts")
+    got = rows(f"{legacy}/band_stats")
+    write_minhash_band_stats(spark, legacy)
+    assert got == rows(f"{legacy}/band_stats")
+
+
 def test_band_guard_rejects_typo_string_and_corrupt_stats(spark, tmp_path):
     """r14 ADVICE hardening, both probes: (a) any string other than the
     exact 'auto' raises ValueError up front — previously a typo like

@@ -516,6 +516,61 @@ def test_probe_phash_hot_band_guard(spark, tmp_path):
     assert (901, 100) in capped
 
 
+def test_phash_incremental_band_stats_equal_full_recompute(spark, tmp_path):
+    """r14 (VERDICT r13 task 4), pHash side: `mode="append"` folds the
+    delta's (band, chunk) counts into the _band_counts sidecar by
+    addition — no index rescan, no media_id dropDuplicates shuffle.
+    Exactness gate vs a from-scratch recompute after two id-disjoint
+    appends (one stacking more copies of a hot template hash); an
+    n_bands-mismatched sidecar falls back to the full path."""
+    from cds_etl_spark.operators.multimodal import (
+        build_phash_index,
+        write_phash_band_stats,
+    )
+
+    rng = np.random.default_rng(11)
+    tpl_hash = int(rng.integers(-(2**63), 2**63 - 1))
+
+    def sigs(ids, tpl_every=4):
+        return spark.createDataFrame(
+            [
+                (i, tpl_hash)
+                if i % tpl_every == 0
+                else (i, int(rng.integers(-(2**63), 2**63 - 1)))
+                for i in ids
+            ],
+            ["media_id", "phash"],
+        )
+
+    idx = str(tmp_path / "phinc")
+    build_phash_index(sigs(range(16)), idx)
+    build_phash_index(sigs(range(100, 110)), idx, mode="append")
+    build_phash_index(sigs(range(200, 224)), idx, mode="append")
+
+    def rows(p):
+        return sorted(tuple(r) for r in spark.read.parquet(p).collect())
+
+    inc_stats = rows(f"{idx}/_band_stats")
+    inc_counts = rows(f"{idx}/_band_counts")
+    write_phash_band_stats(spark, idx)  # full recompute, same index
+    assert inc_stats == rows(f"{idx}/_band_stats")
+    assert inc_counts == rows(f"{idx}/_band_counts")
+
+    # Sidecar describing a DIFFERENT banding: the incremental merge
+    # must refuse (returns False) and the build fall back to a full
+    # recompute at the requested banding.
+    idx2 = str(tmp_path / "phinc2")
+    build_phash_index(sigs(range(16)), idx2, stats_n_bands=4)
+    build_phash_index(
+        sigs(range(100, 110)), idx2, mode="append", stats_n_bands=6
+    )
+    stats2 = spark.read.parquet(f"{idx2}/_band_stats")
+    assert stats2.select("n_bands").distinct().collect()[0][0] == 6
+    got = rows(f"{idx2}/_band_stats")
+    write_phash_band_stats(spark, idx2, n_bands=6)
+    assert got == rows(f"{idx2}/_band_stats")
+
+
 def test_phash_band_stats_self_arming(spark, tmp_path):
     """r13 self-arming guard, pHash side: build writes a _band_stats
     histogram (hidden from the index table's own parquet discovery);
