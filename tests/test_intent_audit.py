@@ -2125,12 +2125,16 @@ def test_sweep_classification_is_complete():
     here = os.path.dirname(os.path.abspath(__file__))
     golden = os.path.join(here, "golden", "intent_audit_classes.txt")
     classes = {}
+    pointers = {}
     for line in open(golden):
         line = line.rstrip("\n")
         if not line or line.startswith("#"):
             continue
-        name, cls = line.split("|", 1)
+        parts = line.split("|")
+        name, cls = parts[0], parts[1]
         classes[name] = cls
+        if len(parts) > 2:
+            pointers[name] = [p for p in parts[2].split(",") if p]
 
     allowed = {
         "INTENT-TESTED",
@@ -2163,6 +2167,33 @@ def test_sweep_classification_is_complete():
     assert not unbacked, (
         f"classified INTENT-TESTED but not exercised here: {unbacked}"
     )
+
+    # r14 (VERDICT r13 task 6): COVERED-ELSEWHERE delegates
+    # verification to a named test elsewhere — the pointer is now part
+    # of the golden line (name|COVERED-ELSEWHERE|file::test[,...]) and
+    # resolved here, so a renamed or deleted target FAILS instead of
+    # silently orphaning the claim.
+    unpointed = sorted(
+        n
+        for n, c in classes.items()
+        if c == "COVERED-ELSEWHERE" and not pointers.get(n)
+    )
+    assert not unpointed, (
+        f"COVERED-ELSEWHERE without a test pointer: {unpointed}"
+    )
+    stray = sorted(n for n in pointers if classes[n] != "COVERED-ELSEWHERE")
+    assert not stray, f"pointer field on a non-COVERED line: {stray}"
+    repo = os.path.dirname(here)
+    for n, ptrs in sorted(pointers.items()):
+        for ptr in ptrs:
+            fpath, _, tname = ptr.partition("::")
+            assert tname, f"{n}: malformed pointer {ptr!r}"
+            full = os.path.join(repo, fpath)
+            assert os.path.exists(full), f"{n}: pointer file gone: {ptr}"
+            body = open(full).read()
+            assert re.search(rf"^def {re.escape(tname)}\(", body, re.M), (
+                f"{n}: pointer target test gone: {ptr}"
+            )
 
 
 # -- wave 9: clearing the NAMED-STAT-REMAINING list --------------------------
@@ -3069,6 +3100,133 @@ def test_intent_qs179_bootstrap_ci(spark, sf_dir):
     # CI = 2nd / 31st order statistics of the resample means
     assert got["ci_lo"] == pytest.approx(means[1], abs=2e-4)
     assert got["ci_hi"] == pytest.approx(means[30], abs=2e-4)
+
+
+def test_intent_qs163_prefix_filter_simjoin(spark, sf_dir):
+    # r14 promotion from COVERED-ELSEWHERE (no dedicated test existed
+    # — the orphan class the pointer gate now forbids). The prefix
+    # filter's completeness THEOREM is the intent: the output must
+    # equal the brute-force all-pairs Jaccard >= 0.9 set exactly.
+    d = _pd(sf_dir, "documents")
+    sets = {
+        r.doc_id: {t for t in r.text.lower().split(" ") if t}
+        for r in d.itertuples()
+    }
+    ids = sorted(sets)
+    want = {}
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1:]:
+            inter = len(sets[d1] & sets[d2])
+            uni = len(sets[d1] | sets[d2])
+            if 10 * inter >= 9 * uni:
+                want[(d1, d2)] = 1_000_000 * inter // uni
+    got = _run(spark, sf_dir, "qs163_prefix_filter_simjoin")
+    assert {(r.d1, r.d2): r.jac_e6 for r in got.itertuples()} == want
+
+
+def test_intent_qs178_sparse_cosine_neighbors(spark, sf_dir):
+    # Textbook sparse cosine argmax over term-count vectors with the
+    # documented df>50 head-term exclusion; round-before-rank with
+    # neighbor-id tie-break, 0.2 floor.
+    from collections import Counter
+
+    d = _pd(sf_dir, "documents")
+    cnt = {
+        r.doc_id: Counter(t for t in r.text.lower().split(" ") if t)
+        for r in d.itertuples()
+    }
+    df = Counter()
+    for c in cnt.values():
+        df.update(c.keys())
+    kept = {
+        did: {t: c for t, c in cd.items() if df[t] <= 50}
+        for did, cd in cnt.items()
+    }
+    n2 = {did: sum(v * v for v in cd.values()) for did, cd in kept.items()}
+    ids = sorted(kept)
+    sims: dict[int, list] = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            shared = kept[a].keys() & kept[b].keys()
+            if not shared:
+                continue
+            dot = sum(kept[a][t] * kept[b][t] for t in shared)
+            cos = dot / (math.sqrt(n2[a] * 1.0) * math.sqrt(n2[b] * 1.0))
+            sims.setdefault(a, []).append((cos, b))
+            sims.setdefault(b, []).append((cos, a))
+    want = {}
+    for did, lst in sims.items():
+        # round at 6dp BEFORE ranking, exactly as documented
+        lst = sorted(((round(c, 6), nb) for c, nb in lst),
+                     key=lambda x: (-x[0], x[1]))
+        cos, nb = lst[0]
+        if cos >= 0.2:
+            want[did] = (nb, cos)
+    got = _run(spark, sf_dir, "qs178_sparse_cosine_neighbors")
+    got_d = {r.doc_id: (r.neighbor, r.cos) for r in got.itertuples()}
+    assert set(got_d) == set(want)
+    for did, (nb, cos) in want.items():
+        assert got_d[did][0] == nb
+        assert abs(got_d[did][1] - cos) <= 2e-6
+
+
+def test_intent_qs218_dbscan_core_points(spark, sf_dir):
+    # Textbook DBSCAN density roles by brute-force distance matrix
+    # (the query's grid blocking is complete for eps = cell width =
+    # 50000 on integer coords; this check does not rely on that).
+    cu = _pd(sf_dir, "customer")
+    k = cu["c_custkey"].to_numpy().astype(np.int64)
+    lat = (k * 48271) % 1800000 - 900000
+    lon = (k * 69621) % 3600000 - 1800000
+    d2 = (lat[:, None] - lat[None, :]) ** 2 + (lon[:, None] - lon[None, :]) ** 2
+    nbr = d2 <= 2_500_000_000
+    np.fill_diagonal(nbr, False)
+    n_nbr = nbr.sum(axis=1)
+    core = n_nbr >= 4
+    border = (~core) & (nbr & core[None, :]).any(axis=1)
+    got = _run(spark, sf_dir, "qs218_dbscan_core_points").set_index("id")
+    assert len(got) == len(k)
+    for i, kk in enumerate(k):
+        assert got.loc[kk, "n_neighbors"] == n_nbr[i]
+        role = "core" if core[i] else ("border" if border[i] else "noise")
+        assert got.loc[kk, "role"] == role
+
+
+def test_intent_qs233_blocking_recall_eval(spark, sf_dir):
+    # Ground-truth recall of (lang, length-band) blocking, recomputed
+    # from the definition: true pairs = within-lang trigram Jaccard
+    # >= 0.3 (cross-multiplied integer test), found = those whose
+    # length bands agree.
+    d = _pd(sf_dir, "documents")
+    sh = {}
+    for r in d.itertuples():
+        toks = r.text.split(" ")
+        s = (
+            {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+            if len(toks) >= 3
+            else set()
+        )
+        sh[r.doc_id] = (r.lang, r.n_chars // 64, s)
+    ids = sorted(sh)
+    true_pairs = found = 0
+    for i, a in enumerate(ids):
+        la, ba, sa = sh[a]
+        for b in ids[i + 1:]:
+            lb, bb, sb = sh[b]
+            if la != lb:
+                continue
+            inter = len(sa & sb)
+            uni = len(sa | sb)
+            if 10 * inter >= 3 * uni:
+                true_pairs += 1
+                found += int(ba == bb)
+    got = _run(spark, sf_dir, "qs233_blocking_recall_eval").iloc[0]
+    assert got["n_true_pairs"] == true_pairs
+    assert got["n_found_by_band"] == found
+    if true_pairs:
+        assert got["recall_e6"] == found * 1_000_000 // true_pairs
+    else:
+        assert pd.isna(got["recall_e6"])
 
 
 def test_intent_qs249_kcore(spark, sf_dir):
