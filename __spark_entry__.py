@@ -39,9 +39,12 @@ _GRADE_FIRST = [
     #    queries this round (VERDICT r13 task 2). Composition: ALL 31
     #    rows whose latest official grade dates to r05 (qs31, qs72-qs99
     #    singles, the qs134-qs141 LLM/TPC-H cohort), then the 19
-    #    alphabetically-first of the 50 r06-era rows. After this round
-    #    no row is older than r06; the remaining 31 r06 rows
-    #    (qs142_duplicate_span_coverage ... qs33) lead the r15
+    #    alphabetically-first of the 50 r06-era rows, except that the
+    #    last rotation slot goes to qs399_cramers_v — its chi-square
+    #    form changed this round (the empty-cell identity fix), and a
+    #    changed query must re-earn its official grade in the round
+    #    that changed it. After this round no row is older than r06;
+    #    the remaining 31 r06 rows plus qs13_cube lead the r15
     #    rotation. All 50 re-proved EQUAL at sf0.01 on this tree
     #    before staging (tools/driver_diff.py). --
     "qs134_corpus_mixing_weights",
@@ -93,7 +96,7 @@ _GRADE_FIRST = [
     "qs116_cohort_retention",
     "qs11_count_distinct",
     "qs12_rollup",
-    "qs13_cube",
+    "qs399_cramers_v",
 ]
 
 
