@@ -556,11 +556,18 @@ def stream_media_ingest_with_index(
     the index parquet — restart-proof, ~16 bytes per corpus image,
     nothing on any executor heap."""
     from cds_etl_spark.operators.multimodal import (
+        _bands_for,
         build_phash_index,
         hamming_near_dup,
         phash_images,
         probe_phash_index,
     )
+
+    # Stats must describe THIS loop's probe banding, not the default
+    # max_hamming=3 one — otherwise every probe treats them as absent
+    # and runs uncapped with a warning (r14: the suite's own ingest
+    # test surfaced exactly that mismatch).
+    stats_n_bands = _bands_for(max_hamming)
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -588,7 +595,12 @@ def stream_media_ingest_with_index(
         kept.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={epoch_id}")
         )
-        build_phash_index(kept_sigs, index_path, mode="append")
+        build_phash_index(
+            kept_sigs,
+            index_path,
+            mode="append",
+            stats_n_bands=stats_n_bands,
+        )
 
     q = (
         media_stream.writeStream.foreachBatch(handle)

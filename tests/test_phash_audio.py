@@ -296,6 +296,13 @@ def test_stream_media_ingest_with_index(spark, tmp_path):
     assert kept == {1, 3, 12}, kept
     indexed = {r["media_id"] for r in spark.read.parquet(idx).collect()}
     assert indexed == {1, 3, 12}, indexed
+    # r14: the loop's stats must describe ITS probe banding
+    # (max_hamming=6 -> _bands_for(6)), so the hot-band guard is
+    # armable in-stream instead of warning 'stats unusable' per batch.
+    from cds_etl_spark.operators.multimodal import _bands_for
+
+    stats = spark.read.parquet(f"{idx}/_band_stats")
+    assert stats.select("n_bands").distinct().collect()[0][0] == _bands_for(6)
 
 
 def test_image_quality_features(spark):
