@@ -379,6 +379,15 @@ def qs284(spark: SparkSession, sf: str) -> DataFrame:
     observed bin counts and N·e^(−λ)λ^k/k! — the count-data
     distribution fit beside qs179's power law and qs174's Benford.
 
+    CONVENTION (r14 audit of the qs399 empty-cell class): the χ² runs
+    over OBSERVED k bins only — a truncated-support fit, not the
+    textbook full-support GOF (which would pool the infinite Poisson
+    tail and include zero-count bins' E). On the generator's k ∈ 1..7
+    every bin is populated and the truncation mass e^{-λ}Σ_{k∉obs} is
+    the tail the statistic deliberately ignores; this is stated here
+    because the differential gate cannot distinguish conventions the
+    oracle shares.
+
     Determinism: bin counts and (n, Σk, Σk²) are exact integers; λ
     and the dispersion index are one-row fixed double trees; the χ²
     sums ~7 positive like-magnitude terms (noise ≪ ROUND 4). k! is

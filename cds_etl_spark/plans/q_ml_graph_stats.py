@@ -42,15 +42,14 @@ def _sql_list(words: tuple[str, ...]) -> str:
       FROM cells),
     terms AS (
       SELECT n, t, s,
-             CAST(o * n - rt * ct AS DOUBLE) AS d,
-             CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
-               AS den
+             CAST(o AS DOUBLE) * o * n
+               / (CAST(rt AS DOUBLE) * ct) AS oe
       FROM w)
     SELECT CAST(MAX(n) AS BIGINT) AS n,
            CAST((COUNT(DISTINCT t) - 1) * (COUNT(DISTINCT s) - 1)
                 AS BIGINT) AS dof,
-           ROUND(SUM(d * d / den), 4) AS chi2,
-           ROUND(SQRT(SUM(d * d / den) / (CAST(MAX(n) AS DOUBLE)
+           ROUND(SUM(oe) - MAX(n), 4) AS chi2,
+           ROUND(SQRT((SUM(oe) - MAX(n)) / (CAST(MAX(n) AS DOUBLE)
                  * LEAST(COUNT(DISTINCT t) - 1, COUNT(DISTINCT s) - 1))),
                  4) AS cramers_v
     FROM terms
@@ -63,17 +62,20 @@ def qs241(spark: SparkSession, sf: str) -> DataFrame:
     discretes associated at all, and how strongly". The workhorse
     behind feature screening and A/B segment-balance checks.
 
-    Determinism: each cell's (oN − r·c) is an EXACT integer
-    (64/128-bit on Spark/DuckDB) before the single double division
-    ((oN − rc)²/(Nrc) is exactly (o − E)²/E — r10 intent-audit fix:
-    a spurious ×N factor previously inflated χ² and pushed V above 1);
-    the Σ over ≤ |types|·|segments| cells (20 here) is rounded at
-    4 dp. Zero cells are absent from the contingency aggregate on
-    BOTH engines (with >10³ events per cell expectation every cell
-    is populated). Plan: one hash aggregate collapses the corpus to
-    the contingency table; everything after runs on ≤ 20 rows (the
-    windows are cells-sized, not corpus-sized) — at 100 TB this is
-    the scan plus a constant-size epilogue."""
+    Determinism: each cell's o²·n is an EXACT integer before the
+    single double division (r10 intent-audit fix removed a spurious
+    ×N factor that pushed V above 1); the Σ over ≤ |types|·|segments|
+    cells (20 here) is rounded at 4 dp. χ² uses the empty-cell-free
+    identity Σ_{O>0} O²·n/(r·c) − n (r14 sweep of the qs399 bug
+    class): the earlier (oN−rc)²/(Nrc) expansion over observed cells
+    equals χ² − Σ_{O=0}E, so it silently undercounted whenever a
+    (type, segment) cell was empty — invisible to the differential
+    because the oracle shared the form; the new identity needs no
+    fully-populated-grid assumption. Plan: one hash aggregate
+    collapses the corpus to the contingency table; everything after
+    runs on ≤ 20 rows (the windows are cells-sized, not
+    corpus-sized) — at 100 TB this is the scan plus a constant-size
+    epilogue."""
     ev = load_table(spark, sf, "events")
     cells = ev.groupBy(
         F.col("event_type").alias("t"),
@@ -84,19 +86,20 @@ def qs241(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("ct", F.sum("o").over(Window.partitionBy("s")))
         .withColumn("n", F.sum("o").over(Window.partitionBy()))
     )
-    d = (F.col("o") * F.col("n") - F.col("rt") * F.col("ct")).cast("double")
-    den = (
-        F.col("n").cast("double")
-        * F.col("rt").cast("double")
-        * F.col("ct").cast("double")
+    oe = (
+        F.col("o").cast("double")
+        * F.col("o")
+        * F.col("n")
+        / (F.col("rt").cast("double") * F.col("ct"))
     )
-    terms = w.select("n", "t", "s", d.alias("d"), den.alias("den"))
-    # d^2/den = (oN - rc)^2 / (N*r*c) IS the Pearson term (o-E)^2/E —
-    # the old extra *MAX(n) factor inflated chi2 by N and Cramer's V by
-    # sqrt(N) (reported V was 1.27 > 1, impossible). Mirrored in the
-    # oracle, so every differential stayed green: found by the r10
-    # intent audit's independent recomputation.
-    chi2 = F.sum(F.col("d") * F.col("d") / F.col("den"))
+    terms = w.select("n", "t", "s", oe.alias("oe"))
+    # sum(o^2*n/(rt*ct)) - n IS Pearson's chi2 including the E of any
+    # EMPTY cells (o=0 contributes exactly 0 to the sum, and the -n
+    # carries the full Sigma E) — the r14 replacement for the
+    # (oN-rc)^2/(Nrc) expansion, which undercounted by Sigma_{O=0}E
+    # on sparse grids. (History: the r10 intent audit had already
+    # removed a spurious *MAX(n) factor here.)
+    chi2 = F.sum("oe") - F.max("n")
     mindim = F.least(
         F.countDistinct("t") - 1, F.countDistinct("s") - 1
     )

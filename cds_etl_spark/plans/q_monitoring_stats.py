@@ -1457,7 +1457,10 @@ def _qs174_oracle() -> str:
       SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
                               AS VARCHAR), 1, 1) AS INTEGER) AS digit
       FROM orders),
-    obs AS (SELECT digit, COUNT(*) AS obs FROM digits GROUP BY digit),
+    grid AS (SELECT CAST(unnest(range(1, 10)) AS INTEGER) AS digit),
+    obs0 AS (SELECT digit, COUNT(*) AS obs FROM digits GROUP BY digit),
+    obs AS (SELECT g.digit, CAST(COALESCE(o.obs, 0) AS BIGINT) AS obs
+            FROM grid g LEFT JOIN obs0 o USING (digit)),
     tot AS (SELECT SUM(obs) AS n FROM obs),
     e AS (
       SELECT digit, obs,
@@ -1477,7 +1480,10 @@ def qs174(spark: SparkSession, sf: str) -> DataFrame:
     """Benford first-digit audit — the fraud/data-quality screen: the
     leading digit of a naturally-spanning quantity should follow
     log10(1 + 1/d), and a fabricated or truncated column deviates.
-    Emits one row per digit with the observed count, the expected
+    Emits one row for EVERY digit 1–9 (r14, the qs399 bug-class
+    sweep: a digit that never occurs still owes its (0−E)²/E = E
+    term — previously its row was silently absent, so the terms no
+    longer summed to χ²) with the observed count, the expected
     count, and the integer-scaled chi-square term (their sum is the
     test statistic — left as per-digit terms so the result shows
     WHERE the deviation lives, the actionable part of the audit).
@@ -1495,7 +1501,14 @@ def qs174(spark: SparkSession, sf: str) -> DataFrame:
     digits = o.select(
         F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
     )
-    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("obs"))
+    grid = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    obs = grid.join(
+        digits.groupBy("digit").agg(F.count(F.lit(1)).alias("obs0")),
+        "digit",
+        "left",
+    ).select(
+        "digit", F.coalesce("obs0", F.lit(0)).cast("long").alias("obs")
+    )
     n = F.sum("obs").over(Window.partitionBy())
     law = F.create_map(
         *[

@@ -578,8 +578,9 @@ _CRAMER_ORACLE_ONE = """
           FROM cells GROUP BY pair),
     chi AS (
       SELECT cells.pair,
-             SUM(POWER(cells.c - rt.rx * 1.0 * ct.cy / n.n, 2)
-                 / (rt.rx * 1.0 * ct.cy / n.n)) AS chi2
+             SUM(CAST(cells.c AS DOUBLE) * cells.c * n.n
+                 / (CAST(rt.rx AS DOUBLE) * ct.cy))
+               - MAX(n.n) AS chi2
       FROM cells
       JOIN rt ON rt.pair = cells.pair AND rt.x = cells.x
       JOIN ct ON ct.pair = cells.pair AND ct.y = cells.y
@@ -604,7 +605,11 @@ def qs273(spark: SparkSession, sf: str) -> DataFrame:
     multi-pair audit (reference validation-report surface).
 
     Determinism: cell/margin counts are exact integers; expected
-    frequencies and χ² in double, ROUND 4. Plan: one grouped count
+    frequencies and χ² in double, ROUND 4. χ² uses the empty-cell-free
+    identity Σ_{O>0} O²·n/(r·c) − n (r14 sweep of the qs399 bug
+    class: the naive Σ(O−E)²/E over observed cells undercounts by
+    Σ_{O=0}E on sparse grids, invisibly to the differential because
+    the oracle shared the form). Plan: one grouped count
     per audited table (map-side partial), then joins over
     cells-sized (≤ r·c rows) frames — the audit epilogue never
     touches the fact tables again."""
@@ -632,13 +637,18 @@ def qs273(spark: SparkSession, sf: str) -> DataFrame:
         F.countDistinct("x").alias("r"),
         F.countDistinct("y").alias("cc"),
     )
-    exp = F.col("rx") * F.lit(1.0) * F.col("cy") / F.col("n")
+    term = (
+        F.col("c").cast("double")
+        * F.col("c")
+        * F.col("n")
+        / (F.col("rx").cast("double") * F.col("cy"))
+    )
     chi = (
         cells.join(rt, ["pair", "x"])
         .join(ct, ["pair", "y"])
         .join(F.broadcast(n.select("pair", "n")), "pair")
         .groupBy("pair")
-        .agg(F.sum(F.pow(F.col("c") - exp, 2) / exp).alias("chi2"))
+        .agg((F.sum(term) - F.max("n")).alias("chi2"))
     )
     return (
         chi.join(F.broadcast(n), "pair")

@@ -6657,6 +6657,86 @@ def test_intent_qs399_empty_cell_grid(spark, tmp_path):
     assert abs(ora["cramers_v"] - v) <= 2e-6
 
 
+def test_intent_qs241_qs273_empty_cell_grids(spark, tmp_path):
+    # r14 sweep of the qs399 bug class: qs241 and qs273 used the same
+    # observed-cells-only χ² and undercounted by Σ_{O=0}E on sparse
+    # grids. Deliberately sparse fixtures, checked against the
+    # full-grid textbook χ² (numpy over pd.crosstab, zeros included).
+    def full_chi2(ct):
+        obs = ct.to_numpy().astype(float)
+        nn = obs.sum()
+        e = np.outer(ct.sum(axis=1), ct.sum(axis=0)) / nn
+        return nn, float(np.sum((obs - e) ** 2 / e)), ct.shape
+
+    # qs241: events where segment user_id%4==3 only ever clicks.
+    rows = (
+        [("click", 3)] * 30
+        + [("click", 0)] * 10
+        + [("view", 0)] * 25
+        + [("view", 1)] * 15
+        + [("error", 1)] * 8
+        + [("error", 2)] * 12
+    )
+    ev = pd.DataFrame(rows, columns=["event_type", "user_id"])
+    ev.to_parquet(tmp_path / "events.parquet")
+    ct = pd.crosstab(ev["event_type"], ev["user_id"] % 4)
+    assert (ct.to_numpy() == 0).sum() >= 5
+    nn, chi2, shape = full_chi2(ct)
+    got = _run(spark, str(tmp_path), "qs241_chi_square_independence").iloc[0]
+    assert got["n"] == nn
+    assert got["dof"] == (shape[0] - 1) * (shape[1] - 1)
+    assert abs(got["chi2"] - chi2) <= 2e-4
+    assert abs(
+        got["cramers_v"] - math.sqrt(chi2 / (nn * (min(shape) - 1)))
+    ) <= 2e-4
+
+    # qs273: sparse orders grid + (dense is fine) lineitem grid.
+    od = pd.DataFrame(
+        [("1-URGENT", "F")] * 20
+        + [("2-HIGH", "O")] * 30
+        + [("3-MEDIUM", "F")] * 5
+        + [("3-MEDIUM", "P")] * 15,
+        columns=["o_orderpriority", "o_orderstatus"],
+    )
+    od.to_parquet(tmp_path / "orders.parquet")
+    li = pd.DataFrame(
+        [("R", "F")] * 9 + [("N", "O")] * 11 + [("A", "F")] * 7
+        + [("A", "O")] * 3,
+        columns=["l_returnflag", "l_linestatus"],
+    )
+    li.to_parquet(tmp_path / "lineitem.parquet")
+    got = _run(spark, str(tmp_path), "qs273_cramers_v").set_index("pair")
+    for pair, frame, xc, yc in (
+        ("orders_priority_status", od, "o_orderpriority", "o_orderstatus"),
+        ("lineitem_flag_status", li, "l_returnflag", "l_linestatus"),
+    ):
+        nn, chi2, shape = full_chi2(pd.crosstab(frame[xc], frame[yc]))
+        r = got.loc[pair]
+        assert r["n"] == nn
+        assert r["dof"] == (shape[0] - 1) * (shape[1] - 1)
+        assert abs(r["chi2"] - chi2) <= 2e-4
+        assert abs(
+            r["cramers_v"] - math.sqrt(chi2 / (nn * (min(shape) - 1)))
+        ) <= 2e-4
+
+
+def test_intent_qs174_unobserved_digit_owes_its_term(spark, tmp_path):
+    # r14: a digit that never occurs must still emit its row with
+    # obs=0 and chi2 term (0-E)^2/E = E — previously the row was
+    # silently absent and the terms no longer summed to chi-square.
+    o = pd.DataFrame({"o_totalprice": [11.0] * 40 + [220.0] * 25 + [3300.0] * 35})
+    o.to_parquet(tmp_path / "orders.parquet")
+    got = _run(spark, str(tmp_path), "qs174_benford_audit").set_index("digit")
+    assert sorted(got.index) == list(range(1, 10))
+    n = 100
+    for d in range(1, 10):
+        exp = n * math.log10(1 + 1 / d)
+        obs = {1: 40, 2: 25, 3: 35}.get(d, 0)
+        assert got.loc[d, "obs"] == obs
+        assert abs(got.loc[d, "exp_4dp"] - exp) <= 2e-4
+        assert got.loc[d, "chi2_term_e4"] == round((obs - exp) ** 2 / exp * 10000)
+
+
 def test_intent_qs399_cramers_v(spark, sf_dir):
     ct = _prio_crosstab(sf_dir)
     obs = ct.to_numpy().astype(float)
