@@ -1463,9 +1463,12 @@ def qs336(spark: SparkSession, sf: str) -> DataFrame:
       FROM pairs JOIN sup sa ON sa.item = item_a
                  JOIN sup sb ON sb.item = item_b)
     SELECT item_a, item_b, CAST(s_ab AS BIGINT) AS support,
+           -- + 0.0 canonicalizes IEEE -0.0 (r14 zipf-fixture sweep:
+           -- a tiny negative leverage ROUNDs to -0.0 on one engine
+           -- and 0.0 on the other; -0.0 + 0.0 = +0.0 exactly)
            ROUND((CAST(s_ab AS DOUBLE) / nn)
                  - (CAST(sa AS DOUBLE) / nn) * (CAST(sb AS DOUBLE) / nn),
-                 6) AS leverage,
+                 6) + 0.0 AS leverage,
            ROUND(CASE WHEN sb < nn AND s_ab < sa THEN
                    (1.0 - CAST(sb AS DOUBLE) / nn)
                    / (1.0 - CAST(s_ab AS DOUBLE) / sa) END, 6)
@@ -1474,7 +1477,7 @@ def qs336(spark: SparkSession, sf: str) -> DataFrame:
                  / (GREATEST(CAST(s_ab AS DOUBLE) * nn
                              - CAST(s_ab AS DOUBLE) * sb,
                              CAST(sa AS DOUBLE) * sb
-                             - CAST(s_ab AS DOUBLE) * sb)), 6)
+                             - CAST(s_ab AS DOUBLE) * sb)), 6) + 0.0
              AS zhang
     FROM mx ORDER BY item_a, item_b
     """,
@@ -1542,7 +1545,7 @@ def qs337(spark: SparkSession, sf: str) -> DataFrame:
         "item_a",
         "item_b",
         F.col("s_ab").cast("long").alias("support"),
-        F.round(dab / dnn - (dsa / dnn) * (dsb / dnn), 6).alias(
+        (F.round(dab / dnn - (dsa / dnn) * (dsb / dnn), 6) + 0.0).alias(
             "leverage"
         ),
         F.round(
@@ -1553,12 +1556,15 @@ def qs337(spark: SparkSession, sf: str) -> DataFrame:
             ),
             6,
         ).alias("conviction"),
-        F.round(
-            (dab * dnn - dsa * dsb)
-            / F.greatest(
-                dab * dnn - dab * dsb, dsa * dsb - dab * dsb
-            ),
-            6,
+        (
+            F.round(
+                (dab * dnn - dsa * dsb)
+                / F.greatest(
+                    dab * dnn - dab * dsb, dsa * dsb - dab * dsb
+                ),
+                6,
+            )
+            + 0.0
         ).alias("zhang"),
     ).orderBy("item_a", "item_b")
 

@@ -370,7 +370,13 @@ def qs60(spark: SparkSession, sf: str) -> DataFrame:
       SELECT thr.t, pairs.d1, pairs.d2
       FROM thr JOIN pairs ON pairs.jac >= thr.t)
     SELECT thr.t AS threshold,
-           CAST(COALESCE(COUNT(DISTINCT (sweep.d1, sweep.d2)), 0)
+           -- FILTER guards the zero-pair threshold: the LEFT JOIN's
+           -- all-NULL row builds a NON-null (NULL, NULL) struct that
+           -- COUNT(DISTINCT ...) would count as 1 (r14 zipf-fixture
+           -- sweep finding — invisible on fixtures where every
+           -- threshold has a real pair).
+           CAST(COALESCE(COUNT(DISTINCT (sweep.d1, sweep.d2))
+                  FILTER (WHERE sweep.d1 IS NOT NULL), 0)
                 AS BIGINT) AS n_pairs,
            CAST(COALESCE(COUNT(DISTINCT u.d), 0) AS BIGINT)
              AS n_docs_affected,
