@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Full-registry differential sweep across perturbation fixtures.
+
+The r14 lesson: a formula wrong the same way in the Spark plan and the
+DuckDB oracle stays green on the contract fixture forever — but a
+fixture with a DIFFERENT distribution can fire the latent branch (the
+zipf content axis exposed qs293's NULL-struct COUNT and qs337's −0.0
+in one run). This tool runs tools/driver_diff.py --all against each
+fixture directory given (or the standard four-axis matrix) and prints
+one summary line per fixture.
+
+Usage: python tools/fixture_matrix.py [sf_dir ...]
+Default matrix (generates what is missing):
+  /root/testdata/sf0.01          (driver contract)
+  /root/testdata/sf0.001         (degenerate-group axis)
+  gen sf0.01 doc_vocab=zipf      (content axis)
+  gen_skew sf0.01                (hot-key shuffle axis)
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+GEN_ROOT = "/tmp/cds_etl_spark_wh/gen"
+SKEW_ROOT = "/tmp/cds_etl_spark_wh/skew"
+
+
+def _ensure_default_fixtures() -> list[str]:
+    dirs = ["/root/testdata/sf0.01", "/root/testdata/sf0.001"]
+    zipf = os.path.join(GEN_ROOT, "sf0.01-zipf")
+    if not os.path.exists(os.path.join(zipf, "documents.parquet")):
+        subprocess.run(
+            [sys.executable, os.path.join(HERE, "gen_sf.py"),
+             "0.01", GEN_ROOT, "zipf"],
+            check=True,
+        )
+    dirs.append(zipf)
+    skew = os.path.join(SKEW_ROOT, "sf0.01")
+    if not os.path.exists(os.path.join(skew, "documents.parquet")):
+        subprocess.run(
+            [sys.executable, os.path.join(HERE, "gen_skew.py"),
+             "0.01", SKEW_ROOT],
+            check=True,
+        )
+    dirs.append(skew)
+    return dirs
+
+
+def main() -> int:
+    dirs = sys.argv[1:] or _ensure_default_fixtures()
+    rc = 0
+    for d in dirs:
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=d)
+        out = subprocess.run(
+            [sys.executable, os.path.join(HERE, "driver_diff.py"), "--all"],
+            env=env,
+            capture_output=True,
+            text=True,
+        )
+        text = out.stdout + out.stderr
+        n_eq = text.count("values EQUAL")
+        bad = [
+            ln
+            for ln in text.splitlines()
+            if any(k in ln for k in
+                   ("ndiff", "FAIL", "COLS ", "ROWS spark", "CANON"))
+            and "width-only" not in ln
+        ]
+        status = "OK" if not bad and out.returncode == 0 else "FINDINGS"
+        print(f"{d}: {n_eq} EQUAL, {len(bad)} finding(s) [{status}]")
+        for ln in bad[:20]:
+            print(f"  {ln.strip()}")
+            rc = 1
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
