@@ -38,15 +38,18 @@ _GRADE_FIRST = [
     # -- r14 window (first 50 graded): re-grade rotation, no new
     #    queries this round (VERDICT r13 task 2). Composition: ALL 31
     #    rows whose latest official grade dates to r05 (qs31, qs72-qs99
-    #    singles, the qs134-qs141 LLM/TPC-H cohort), the 13
-    #    alphabetically-first of the 50 r06-era rows, and the SIX
-    #    queries whose forms changed this round — a changed query must
-    #    re-earn its official grade in the round that changed it: the
-    #    chi-square empty-cell fixes (qs399 + bug-class sweep qs241,
-    #    qs273, qs174) and the zipf-fixture sweep findings (qs293
-    #    oracle NULL-struct count, qs337 -0.0 canonicalization). After
-    #    this round no row is older than r06; the remaining 37 r06
-    #    rows (qs114, qs115, qs116, qs11, qs12, qs13_cube, qs142...)
+    #    singles, the qs134-qs141 LLM/TPC-H cohort), 12 of the
+    #    alphabetically-first r06-era rows, and the SEVEN queries whose
+    #    forms changed this round — a changed query must re-earn its
+    #    official grade in the round that changed it: the chi-square
+    #    empty-cell fixes (qs399 + bug-class sweep qs241, qs273,
+    #    qs174), the zipf-fixture sweep findings (qs293 oracle
+    #    NULL-struct count, qs337 -0.0 canonicalization), and the
+    #    permuted-layout-axis finding (qs33 tie-dependent LIMIT cutoff
+    #    — ordering extended to all output columns; qs113_recursive_cte
+    #    was evicted to make room and keeps its r06 grade). After this
+    #    round no row is older than r06; the remaining 38 r06 rows
+    #    (qs113, qs114, qs115, qs116, qs11, qs12, qs13_cube, qs142...)
     #    lead the r15 rotation. All 50 re-proved EQUAL at sf0.01 on
     #    this tree before staging (tools/driver_diff.py). --
     "qs134_corpus_mixing_weights",
@@ -92,7 +95,7 @@ _GRADE_FIRST = [
     "qs110_cms_sketch",
     "qs111_segment_dedup",
     "qs112_lsh_buckets",
-    "qs113_recursive_cte",
+    "qs33_math_functions",
     "qs293_dedup_threshold_sweep",
     "qs337_association_metrics",
     "qs174_benford_audit",

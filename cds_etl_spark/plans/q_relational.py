@@ -654,12 +654,22 @@ def qs32(spark: SparkSession, sf: str) -> DataFrame:
            ROUND(l_extendedprice*(1-l_discount)*(1+l_tax),2) AS net,
            CAST(CEIL(l_quantity) AS BIGINT) AS cq, CAST(FLOOR(l_quantity) AS BIGINT) AS fq,
            ABS(l_discount-0.05) AS ad
-    FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1000
+    FROM lineitem ORDER BY l_orderkey, l_linenumber, net, cq, fq, ad
+    LIMIT 1000
     """,
 )
 def qs33(spark: SparkSession, sf: str) -> DataFrame:
     """Math scalar functions. Spark CEIL/FLOOR(double) return LONG;
-    oracle casts to match."""
+    oracle casts to match.
+
+    Determinism (r14 layout-axis finding): the synthetic lineitem has
+    NO unique key — (l_orderkey, l_linenumber) are both independent
+    random draws — so the original two-column ORDER BY left the LIMIT
+    cutoff tie-dependent; the contract file layout happened to resolve
+    ties identically in both engines, the permuted-row fixture
+    (tools/gen_permute.py) did not. Ordering by ALL six output columns
+    makes any remaining ties output-identical rows, so the kept
+    multiset is layout-independent."""
     li = load_table(spark, sf, "lineitem")
     return (
         li.select(
@@ -672,7 +682,7 @@ def qs33(spark: SparkSession, sf: str) -> DataFrame:
             F.floor("l_quantity").alias("fq"),
             F.abs(F.col("l_discount") - 0.05).alias("ad"),
         )
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "net", "cq", "fq", "ad")
         .limit(1000)
     )
 
