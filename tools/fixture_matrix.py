@@ -15,6 +15,8 @@ Default matrix (generates what is missing):
   /root/testdata/sf0.001         (degenerate-group axis)
   gen sf0.01 doc_vocab=zipf      (content axis)
   gen_skew sf0.01                (hot-key shuffle axis)
+  gen_permute sf0.01             (physical-layout axis, r14 — found
+                                  qs33's tie-dependent LIMIT cutoff)
 """
 
 from __future__ import annotations
@@ -26,6 +28,7 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 GEN_ROOT = "/tmp/cds_etl_spark_wh/gen"
 SKEW_ROOT = "/tmp/cds_etl_spark_wh/skew"
+PERMUTE_ROOT = "/tmp/cds_etl_spark_wh/permute"
 
 
 def _ensure_default_fixtures() -> list[str]:
@@ -46,6 +49,14 @@ def _ensure_default_fixtures() -> list[str]:
             check=True,
         )
     dirs.append(skew)
+    permute = os.path.join(PERMUTE_ROOT, "sf0.01")
+    if not os.path.exists(os.path.join(permute, "documents.parquet")):
+        subprocess.run(
+            [sys.executable, os.path.join(HERE, "gen_permute.py"),
+             "/root/testdata/sf0.01", permute],
+            check=True,
+        )
+    dirs.append(permute)
     return dirs
 
 
