@@ -9,7 +9,9 @@ in one run). This tool runs tools/driver_diff.py --all against each
 fixture directory given (or the standard four-axis matrix) and prints
 one summary line per fixture.
 
-Usage: python tools/fixture_matrix.py [sf_dir ...]
+Usage: python tools/fixture_matrix.py [--jobs=N] [sf_dir ...]
+(--jobs=N sweeps N fixtures concurrently, splitting the CPUs between
+their engine sessions — correctness is conf-independent.)
 Default matrix (generates what is missing):
   /root/testdata/sf0.01          (driver contract)
   /root/testdata/sf0.001         (degenerate-group axis)
@@ -60,18 +62,39 @@ def _ensure_default_fixtures() -> list[str]:
     return dirs
 
 
+def _sweep(d: str, cpus: str | None) -> tuple[str, str, int]:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=d)
+    if cpus:
+        # Concurrent sessions split the machine instead of each
+        # grabbing local[32]; correctness is conf-independent (the
+        # perturbed sweep runs the window at local[4]/partitions=3).
+        env["SPARK_GRAFT_CPUS"] = cpus
+    out = subprocess.run(
+        [sys.executable, os.path.join(HERE, "driver_diff.py"), "--all"],
+        env=env,
+        capture_output=True,
+        text=True,
+    )
+    return d, out.stdout + out.stderr, out.returncode
+
+
 def main() -> int:
-    dirs = sys.argv[1:] or _ensure_default_fixtures()
+    args = sys.argv[1:]
+    jobs = 1
+    if args and args[0].startswith("--jobs="):
+        jobs = int(args[0].split("=", 1)[1])
+        args = args[1:]
+    dirs = args or _ensure_default_fixtures()
     rc = 0
-    for d in dirs:
-        env = dict(os.environ, SPARK_GRAFT_SF_DIR=d)
-        out = subprocess.run(
-            [sys.executable, os.path.join(HERE, "driver_diff.py"), "--all"],
-            env=env,
-            capture_output=True,
-            text=True,
-        )
-        text = out.stdout + out.stderr
+    if jobs > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        cpus = str(max(4, (os.cpu_count() or 8) // jobs))
+        with ThreadPoolExecutor(max_workers=jobs) as ex:
+            results = list(ex.map(lambda d: _sweep(d, cpus), dirs))
+    else:
+        results = [_sweep(d, None) for d in dirs]
+    for d, text, code in results:
         n_eq = text.count("values EQUAL")
         bad = [
             ln
@@ -80,7 +103,7 @@ def main() -> int:
                    ("ndiff", "FAIL", "COLS ", "ROWS spark", "CANON"))
             and "width-only" not in ln
         ]
-        status = "OK" if not bad and out.returncode == 0 else "FINDINGS"
+        status = "OK" if not bad and code == 0 else "FINDINGS"
         print(f"{d}: {n_eq} EQUAL, {len(bad)} finding(s) [{status}]")
         for ln in bad[:20]:
             print(f"  {ln.strip()}")
