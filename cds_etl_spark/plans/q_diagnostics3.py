@@ -823,11 +823,13 @@ def qs398(spark: SparkSession, sf: str) -> DataFrame:
     WITH {_PRIO_CELLS_SQL},
     chi AS (
       SELECT tot.n, tot.nr, tot.nc,
-             CAST(SUM(
-               CAST(cells.c AS HUGEINT) * cells.c * tot.n * 1000000000
-               // (CAST(rt.r AS HUGEINT) * ct.s)
-             ) AS HUGEINT) - CAST(tot.n AS HUGEINT) * 1000000000
-               AS chi_e9
+             GREATEST(
+               CAST(SUM(
+                 CAST(cells.c AS HUGEINT) * cells.c * tot.n
+                   * 1000000000
+                 // (CAST(rt.r AS HUGEINT) * ct.s)
+               ) AS HUGEINT) - CAST(tot.n AS HUGEINT) * 1000000000,
+               0) AS chi_e9
       FROM cells
       JOIN rt ON rt.x = cells.x
       JOIN ct ON ct.y = cells.y
@@ -856,8 +858,10 @@ def qs399(spark: SparkSession, sf: str) -> DataFrame:
     Determinism: every per-cell term is an exact e9 floor division in
     HUGEINT/DECIMAL(38) (O²·n ≤ n³ ≈ 1e23 at sf30 gen scale, ×1e9
     well inside 38 digits), summed exactly over ≤15 cells before the
-    single exact n·1e9 subtraction; two fixed double expressions,
-    ROUND 6. Plan: identical to qs398."""
+    single exact n·1e9 subtraction, clamped at 0 (each term FLOORS,
+    so when true χ²≈0 the exact sum can land a few e-9 negative on
+    both engines — NaN V; r15 ADVICE clamp); two fixed double
+    expressions, ROUND 6. Plan: identical to qs398."""
     j = _prio_cells_margins(spark, sf)
     chi = j.groupBy("n", "nr", "nc").agg(
         F.sum(
@@ -867,8 +871,15 @@ def qs399(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("oe_e9")
     ).withColumn(
+        # Clamped at 0: each per-cell term FLOORS, so the exact sum
+        # can land a few e-9 below zero when true chi2 ~ 0
+        # (deterministically on both engines — but sqrt would emit
+        # NaN V; r15 ADVICE).
         "chi_e9",
-        F.expr("oe_e9 - CAST(n AS DECIMAL(38,0)) * 1000000000"),
+        F.expr(
+            "greatest(oe_e9 - CAST(n AS DECIMAL(38,0)) * 1000000000,"
+            " CAST(0 AS DECIMAL(38,0)))"
+        ),
     )
     return chi.select(
         "n",

@@ -48,8 +48,9 @@ def _sql_list(words: tuple[str, ...]) -> str:
     SELECT CAST(MAX(n) AS BIGINT) AS n,
            CAST((COUNT(DISTINCT t) - 1) * (COUNT(DISTINCT s) - 1)
                 AS BIGINT) AS dof,
-           ROUND(SUM(oe) - MAX(n), 4) AS chi2,
-           ROUND(SQRT((SUM(oe) - MAX(n)) / (CAST(MAX(n) AS DOUBLE)
+           ROUND(GREATEST(SUM(oe) - MAX(n), 0), 4) AS chi2,
+           ROUND(SQRT(GREATEST(SUM(oe) - MAX(n), 0)
+                 / (CAST(MAX(n) AS DOUBLE)
                  * LEAST(COUNT(DISTINCT t) - 1, COUNT(DISTINCT s) - 1))),
                  4) AS cramers_v
     FROM terms
@@ -62,10 +63,17 @@ def qs241(spark: SparkSession, sf: str) -> DataFrame:
     discretes associated at all, and how strongly". The workhorse
     behind feature screening and A/B segment-balance checks.
 
-    Determinism: each cell's o²·n is an EXACT integer before the
-    single double division (r10 intent-audit fix removed a spurious
-    ×N factor that pushed V above 1); the Σ over ≤ |types|·|segments|
-    cells (20 here) is rounded at 4 dp. χ² uses the empty-cell-free
+    Determinism: o²·n is evaluated IN DOUBLE (o·o·n can exceed 2^53
+    at large n, so an exact-integer framing would be wrong — r14
+    ADVICE correction); what makes the differential safe is that both
+    engines evaluate the identical double expression shape
+    o_dbl·o·n/(rt_dbl·ct) over the same ≤ |types|·|segments| cells
+    (20 here) and round at 4 dp. χ² is clamped at 0 (GREATEST, r15
+    ADVICE): the Σoe−n identity can land an epsilon below zero when
+    true χ²≈0, and each engine's own summation order could put them
+    on opposite sides (0.0 vs NaN V). (History: the r10 intent-audit
+    fix removed a spurious ×N factor that pushed V above 1.)
+    χ² uses the empty-cell-free
     identity Σ_{O>0} O²·n/(r·c) − n (r14 sweep of the qs399 bug
     class): the earlier (oN−rc)²/(Nrc) expansion over observed cells
     equals χ² − Σ_{O=0}E, so it silently undercounted whenever a
@@ -98,8 +106,10 @@ def qs241(spark: SparkSession, sf: str) -> DataFrame:
     # carries the full Sigma E) — the r14 replacement for the
     # (oN-rc)^2/(Nrc) expansion, which undercounted by Sigma_{O=0}E
     # on sparse grids. (History: the r10 intent audit had already
-    # removed a spurious *MAX(n) factor here.)
-    chi2 = F.sum("oe") - F.max("n")
+    # removed a spurious *MAX(n) factor here.) Clamped at 0: the
+    # identity can round an epsilon negative when true chi2 ~ 0,
+    # which would NaN the sqrt (r15 ADVICE).
+    chi2 = F.greatest(F.sum("oe") - F.max("n"), F.lit(0.0))
     mindim = F.least(
         F.countDistinct("t") - 1, F.countDistinct("s") - 1
     )

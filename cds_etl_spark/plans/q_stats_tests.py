@@ -578,9 +578,9 @@ _CRAMER_ORACLE_ONE = """
           FROM cells GROUP BY pair),
     chi AS (
       SELECT cells.pair,
-             SUM(CAST(cells.c AS DOUBLE) * cells.c * n.n
+             GREATEST(SUM(CAST(cells.c AS DOUBLE) * cells.c * n.n
                  / (CAST(rt.rx AS DOUBLE) * ct.cy))
-               - MAX(n.n) AS chi2
+               - MAX(n.n), 0) AS chi2
       FROM cells
       JOIN rt ON rt.pair = cells.pair AND rt.x = cells.x
       JOIN ct ON ct.pair = cells.pair AND ct.y = cells.y
@@ -605,7 +605,10 @@ def qs273(spark: SparkSession, sf: str) -> DataFrame:
     multi-pair audit (reference validation-report surface).
 
     Determinism: cell/margin counts are exact integers; expected
-    frequencies and χ² in double, ROUND 4. χ² uses the empty-cell-free
+    frequencies and χ² in double, ROUND 4, clamped at 0 before the
+    ROUND/sqrt (the Σoe−n identity can round an epsilon negative when
+    true χ²≈0 — NaN V — and each engine's own sum order could land on
+    opposite sides of zero; r15 ADVICE). χ² uses the empty-cell-free
     identity Σ_{O>0} O²·n/(r·c) − n (r14 sweep of the qs399 bug
     class: the naive Σ(O−E)²/E over observed cells undercounts by
     Σ_{O=0}E on sparse grids, invisibly to the differential because
@@ -648,7 +651,15 @@ def qs273(spark: SparkSession, sf: str) -> DataFrame:
         .join(ct, ["pair", "y"])
         .join(F.broadcast(n.select("pair", "n")), "pair")
         .groupBy("pair")
-        .agg((F.sum(term) - F.max("n")).alias("chi2"))
+        .agg(
+            # Clamped at 0: the Sigma oe - n identity can round an
+            # epsilon negative when true chi2 ~ 0, which would NaN
+            # the sqrt — and each engine's own sum order could land
+            # on opposite sides of zero (r15 ADVICE).
+            F.greatest(F.sum(term) - F.max("n"), F.lit(0.0)).alias(
+                "chi2"
+            )
+        )
     )
     return (
         chi.join(F.broadcast(n), "pair")

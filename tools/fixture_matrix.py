@@ -104,10 +104,14 @@ def main() -> int:
             and "width-only" not in ln
         ]
         status = "OK" if not bad and code == 0 else "FINDINGS"
+        if bad or code != 0:
+            # rc must track the status line, not just printed finding
+            # lines — a startup traceback with no matching keyword
+            # would otherwise yield [FINDINGS] but exit 0 (ADVICE r14).
+            rc = 1
         print(f"{d}: {n_eq} EQUAL, {len(bad)} finding(s) [{status}]")
         for ln in bad[:20]:
             print(f"  {ln.strip()}")
-            rc = 1
     return rc
 
 
