@@ -678,6 +678,22 @@ def append_minhash_band_stats(
     invariant). A crash-replayed append double-counts — which can only
     OVER-arm the hot-band guard (safe direction); any compaction or
     ``write_minhash_band_stats`` refresh restores exactness."""
+    merged = _append_merged_counts(spark, path, delta_bands)
+    if merged is None:
+        return False
+    _write_minhash_stats(merged, path)
+    return True
+
+
+def _append_merged_counts(
+    spark, path: str, delta_bands: DataFrame
+) -> DataFrame | None:
+    """The append path's merged-counts plan, exposed as a seam so the
+    plan-shape test can assert its scale contract directly: the plan
+    reads the narrow ``band_counts`` sidecar and the batch-scale
+    delta ONLY — never the bands table (the whole point of the r14
+    incremental path; tests/test_dedup_banding.py freezes this).
+    Returns None when no sidecar exists (legacy index)."""
     from pyspark.errors import AnalysisException
 
     try:
@@ -685,19 +701,17 @@ def append_minhash_band_stats(
     except AnalysisException as exc:
         if not _is_missing_path(exc):
             raise
-        return False
+        return None
     delta = (
         delta_bands.dropDuplicates()
         .groupBy("band_idx", "band_key")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    merged = (
+    return (
         old.unionByName(delta)
         .groupBy("band_idx", "band_key")
         .agg(F.sum("n").alias("n"))
     )
-    _write_minhash_stats(merged, path)
-    return True
 
 
 def build_minhash_index(

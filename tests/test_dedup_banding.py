@@ -400,6 +400,52 @@ def test_minhash_incremental_band_stats_equal_full_recompute(spark, tmp_path):
     assert got == rows(f"{legacy}/band_stats")
 
 
+def test_append_band_stats_plan_never_rescans_bands(spark, tmp_path):
+    """r15 plan-shape contract (VERDICT r14 task 3): the incremental
+    append's merged-counts plan must read the narrow band_counts
+    sidecar + the batch-scale delta ONLY — a regression that rescans
+    the bands table reintroduces the O(index)-per-append cost the r14
+    sidecar exists to remove. Asserted on the physical plan's scan
+    locations, not timings."""
+    from cds_etl_spark.operators.dedup import (
+        _append_merged_counts,
+        build_minhash_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} the quick brown fox number {i} leaps far")
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "planidx")
+    build_minhash_index(docs, idx)
+
+    delta = spark.createDataFrame(
+        [(100, 0, "k0"), (100, 1, "k1"), (101, 0, "k0")],
+        "doc_id long, band_idx int, band_key string",
+    )
+    # FileScan Location strings truncate at maxMetadataStringLength
+    # (default 100) — pytest tmp_paths are long enough to swallow the
+    # trailing /band_counts, so widen it for the plan inspection.
+    old_len = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    try:
+        merged = _append_merged_counts(spark, idx, delta)
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old_len)
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln
+             or "Location" in ln]
+    assert any("band_counts" in ln for ln in scans), plan
+    assert not any(
+        "/bands]" in ln or "/bands," in ln or ln.rstrip().endswith("/bands")
+        for ln in scans
+    ), f"append plan rescans the bands table:\n{plan}"
+    # And the result is the plan we'd want at scale: one aggregate
+    # over sidecar ∪ delta-aggregate, no join.
+    assert "Join" not in plan, plan
+
+
 def test_band_guard_rejects_typo_string_and_corrupt_stats(spark, tmp_path):
     """r14 ADVICE hardening, both probes: (a) any string other than the
     exact 'auto' raises ValueError up front — previously a typo like

@@ -77,8 +77,17 @@ def main(names: list[str]) -> int:
                 rc = 1
                 continue
             full = cands[0]
-        sdf = QUERIES[full](spark, SF_DIR).toPandas()
-        ddf = con.sql(ORACLE_SQL[full]).df()
+        try:
+            sdf = QUERIES[full](spark, SF_DIR).toPandas()
+            ddf = con.sql(ORACLE_SQL[full]).df()
+        except Exception as exc:  # noqa: BLE001 — a sweep must not
+            # die on query N and silently hide N+1..end (the r15
+            # NULL-axis sweep aborted at an oracle malformed-JSON
+            # error with 378 queries unswept).
+            first = str(exc).splitlines()[0] if str(exc) else repr(exc)
+            print(f"{full}: EXEC FAIL {type(exc).__name__}: {first}")
+            rc = 1
+            continue
         try:
             s = _canon(sdf)
             d = _canon(ddf)

@@ -115,6 +115,19 @@ SNAPSHOT_QUERIES = [
     "qs360_boilerplate_ngrams",
     "qs372_source_kl_matrix",
     "qs366_heaps_law",
+    # r15 structural plans (VERDICT r14 task 3): the newest heavy
+    # families, frozen so a lost broadcast or new corpus shuffle
+    # fails CI. qs393: prefix-filter MRR shortlist — the postings
+    # join must stay bounded (412× candidate shrink vs exact qs389
+    # measured on the zipf fixture, BASELINE r14). qs402: SimHash
+    # shortlist — the zero-shuffle codegen signature scan feeding a
+    # broadcast band probe (linear through sf100). The third r14
+    # family, the persisted-index append's counts-sidecar merge, is
+    # guarded by a no-bands-rescan plan assertion in
+    # tests/test_dedup_banding.py (it needs an on-disk index, not a
+    # registry query).
+    "qs393_mrr_prefix_shortlist",
+    "qs402_embedding_simhash_recall",
 ]
 
 
