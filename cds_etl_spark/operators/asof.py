@@ -40,6 +40,14 @@ def asof_join(
     Equal timestamps match (right sorts before left at the same ts).
     Among right rows tied on (key, ts), the one with the greatest
     `tiebreak` wins — pass a unique right key for deterministic output.
+
+    NULL-timestamp semantics (r15 NULL axis): a right row with a NULL
+    `right_ts` never matches anything (it is dropped before the
+    union — without this it would sort NULLS FIRST and act as a
+    match-everything row at -infinity), and a left row with a NULL
+    `left_ts` gets NULL payload (it sorts before every real right
+    row). This matches the SQL correlated-subquery formulation, where
+    `right_ts <= NULL` and `NULL <= left_ts` are never true.
     """
     lcols = left.columns
     tb_col = tiebreak if (tiebreak is None or tiebreak in payload) else "_tb"
@@ -48,7 +56,7 @@ def asof_join(
         # sorts last, and last-in-window wins below.
         [F.col(f"`{tb_col}`").asc_nulls_first()] if tiebreak else []
     )
-    rsel = right.select(
+    rsel = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(right_on or on).alias("_k"),
         F.col(right_ts).cast("timestamp_ntz").alias("_ts"),
         F.lit(0).alias("_side"),  # right first at equal ts → inclusive <=

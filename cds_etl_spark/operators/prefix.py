@@ -55,6 +55,28 @@ def _guard_span(bounds: DataFrame, fname: str) -> DataFrame:
     )
 
 
+def _null_safe_equi_join(
+    df: DataFrame, small: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Equi-join `df` to the broadcast-sized `small` on `keys`,
+    matching NULL keys to NULL keys (r15 NULL axis): the plain
+    USING-list join drops NULL-keyed partitions silently — a
+    `part_cols` group whose key is NULL lost its bounds/offset row
+    and vanished from the output. The small side's key columns are
+    renamed away and dropped after the join, preserving `df`'s
+    column set exactly like the USING form did."""
+    renamed = small
+    for k in keys:
+        renamed = renamed.withColumnRenamed(k, f"_nsj_{k}")
+    cond = None
+    for k in keys:
+        c = df[k].eqNullSafe(renamed[f"_nsj_{k}"])
+        cond = c if cond is None else (cond & c)
+    return df.join(F.broadcast(renamed), cond).drop(
+        *[f"_nsj_{k}" for k in keys]
+    )
+
+
 def bucketed_prefix_sum(
     df: DataFrame,
     order_col: str,
@@ -101,7 +123,7 @@ def bucketed_prefix_sum(
         "bucketed_prefix_sum",
     )
     b = (
-        df.join(F.broadcast(bounds), pc)
+        _null_safe_equi_join(df, bounds, pc)
         if pc
         else df.crossJoin(F.broadcast(bounds))
     )
@@ -143,7 +165,7 @@ def bucketed_prefix_sum(
             for j in range(len(weights))
         ],
     )
-    out = b.join(F.broadcast(boff), pc + ["_bkt"])
+    out = _null_safe_equi_join(b, boff, pc + ["_bkt"])
     drop = ["_bkt"]
     for j, oc in enumerate(outs):
         out = out.withColumn(
@@ -182,7 +204,7 @@ def bucketed_row_number(
         "bucketed_row_number",
     )
     b = (
-        df.join(F.broadcast(bounds), pc)
+        _null_safe_equi_join(df, bounds, pc)
         if pc
         else df.crossJoin(F.broadcast(bounds))
     )
@@ -210,7 +232,7 @@ def bucketed_row_number(
         (F.sum("_c").over(win_b) - F.col("_c")).alias("_off"),
     )
     return (
-        b.join(F.broadcast(boff), pc + ["_bkt"])
+        _null_safe_equi_join(b, boff, pc + ["_bkt"])
         .withColumn(
             out_col, (F.col("_rn_in") + F.col("_off")).cast("long")
         )

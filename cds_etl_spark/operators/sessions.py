@@ -42,7 +42,13 @@ def sessionize(
     NTZ timestamps route through an LTZ cast first (no-op under the
     engine's pinned-UTC session zone) — Spark refuses NTZ→double.
     """
-    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    # ASC NULLS FIRST pinned explicitly: an event with a missing
+    # timestamp sequences before the epoch (and starts the session
+    # numbering) — engine defaults diverge on null position (r15
+    # NULL axis; the SQL twin must state NULLS FIRST).
+    order = [F.col(ts_col).asc_nulls_first()] + (
+        [F.col(tiebreak)] if tiebreak else []
+    )
     w = Window.partitionBy(user_col).orderBy(*order)
     ts_s = F.col(ts_col).cast("timestamp").cast("double")
     prev = F.lag(ts_s).over(w)

@@ -44,9 +44,13 @@ _PRIOS = (
     oracle="""
     WITH wk AS (
       SELECT date_trunc('week', o_orderdate) AS b,
-             CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS t,
+             TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS t,
              SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS x
-      FROM orders GROUP BY 1, 2),
+      FROM orders
+      WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        AND TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+            IS NOT NULL
+      GROUP BY 1, 2),
     full_ AS (SELECT b FROM wk GROUP BY b HAVING COUNT(*) = 5),
     r AS (
       SELECT wk.b, wk.t,
@@ -79,11 +83,17 @@ def qs322(spark: SparkSession, sf: str) -> DataFrame:
     Plan: corpus → (week × 5) grid in one aggregate; every window
     runs inside a 5-row block."""
     o = load_table(spark, sf, "orders")
-    wk = o.groupBy(
+    # Complete-case blocks: a row with a missing week, missing price,
+    # or unparseable priority is not a block observation (r15
+    # NULL-axis convention; ANSI CAST throws on dirty strings).
+    prio = F.substring("o_orderpriority", 1, 1).try_cast("long")
+    wk = o.filter(
+        F.col("o_orderdate").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+        & prio.isNotNull()
+    ).groupBy(
         F.date_trunc("week", "o_orderdate").alias("b"),
-        F.substring("o_orderpriority", 1, 1)
-        .cast("long")
-        .alias("t"),
+        prio.alias("t"),
     ).agg(
         F.sum(
             F.round(F.col("o_totalprice") * 100, 0).cast("long")
@@ -426,10 +436,13 @@ def qs326(spark: SparkSession, sf: str) -> DataFrame:
     "qs327_ordinal_association",
     oracle="""
     WITH s AS (
-      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS x,
+      SELECT TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS x,
              LEAST(4, 1 + CAST(FLOOR(o_totalprice / 150000)
                                AS BIGINT)) AS y
-      FROM orders),
+      FROM orders
+      WHERE o_totalprice IS NOT NULL
+        AND TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+            IS NOT NULL),
     g AS (SELECT x, y, COUNT(*) AS c FROM s GROUP BY 1, 2),
     pairs AS (
       SELECT
@@ -472,10 +485,14 @@ def qs327(spark: SparkSession, sf: str) -> DataFrame:
     identically on both engines. Plan: one grouped scan → 20-cell
     grid → broadcast self-join; no window, no second scan."""
     o = load_table(spark, sf, "orders")
-    s = o.select(
-        F.substring("o_orderpriority", 1, 1)
-        .cast("long")
-        .alias("x"),
+    # Complete-case ordinal pair: unparseable priority or missing
+    # price is not an observation (r15 NULL-axis convention; ANSI
+    # CAST throws on dirty source strings).
+    prio = F.substring("o_orderpriority", 1, 1).try_cast("long")
+    s = o.filter(
+        F.col("o_totalprice").isNotNull() & prio.isNotNull()
+    ).select(
+        prio.alias("x"),
         F.least(
             F.lit(4),
             1
@@ -1999,9 +2016,13 @@ def qs325(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     WITH wk AS (
       SELECT date_trunc('week', o_orderdate) AS b,
-             CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS t,
+             TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS t,
              SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS x
-      FROM orders GROUP BY 1, 2),
+      FROM orders
+      WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        AND TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+            IS NOT NULL
+      GROUP BY 1, 2),
     full_ AS (SELECT b FROM wk GROUP BY b HAVING COUNT(*) = 5),
     wkf AS (SELECT wk.* FROM wk JOIN full_ ON wk.b = full_.b),
     r AS (
@@ -2041,11 +2062,17 @@ def qs328(spark: SparkSession, sf: str) -> DataFrame:
     Plan: corpus → week×5 grid; the block-rank window runs over the
     week dimension only."""
     o = load_table(spark, sf, "orders")
-    wk = o.groupBy(
+    # Complete-case blocks: a row with a missing week, missing price,
+    # or unparseable priority is not a block observation (r15
+    # NULL-axis convention; ANSI CAST throws on dirty strings).
+    prio = F.substring("o_orderpriority", 1, 1).try_cast("long")
+    wk = o.filter(
+        F.col("o_orderdate").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+        & prio.isNotNull()
+    ).groupBy(
         F.date_trunc("week", "o_orderdate").alias("b"),
-        F.substring("o_orderpriority", 1, 1)
-        .cast("long")
-        .alias("t"),
+        prio.alias("t"),
     ).agg(
         F.sum(
             F.round(F.col("o_totalprice") * 100, 0).cast("long")
@@ -2733,10 +2760,13 @@ def qs346(spark: SparkSession, sf: str) -> DataFrame:
     "qs347_weighted_kappa",
     oracle="""
     WITH s AS (
-      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS i,
+      SELECT TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS i,
              LEAST(5, 1 + CAST(FLOOR(o_totalprice / 100000)
                                AS BIGINT)) AS j
-      FROM orders),
+      FROM orders
+      WHERE o_totalprice IS NOT NULL
+        AND TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+            IS NOT NULL),
     o_ AS (SELECT i, j, COUNT(*) AS c FROM s GROUP BY 1, 2),
     n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM o_),
     rm AS (SELECT i, SUM(c) AS r FROM o_ GROUP BY i),
@@ -2765,8 +2795,14 @@ def qs347(spark: SparkSession, sf: str) -> DataFrame:
     division, ROUND 6. Plan: one grouped scan → ≤25-cell grid; the
     margin cross is 5×5."""
     o = load_table(spark, sf, "orders")
-    s = o.select(
-        F.substring("o_orderpriority", 1, 1).cast("long").alias("i"),
+    # Complete-case rater pair: unparseable priority or missing
+    # price is not a rated subject (r15 NULL-axis convention; ANSI
+    # CAST throws on dirty source strings).
+    prio = F.substring("o_orderpriority", 1, 1).try_cast("long")
+    s = o.filter(
+        F.col("o_totalprice").isNotNull() & prio.isNotNull()
+    ).select(
+        prio.alias("i"),
         F.least(
             F.lit(5),
             1 + F.floor(F.col("o_totalprice") / 100000).cast("long"),

@@ -581,8 +581,10 @@ def qs356(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     WITH f AS (
       SELECT c.c_nationkey AS nat, c.c_mktsegment AS seg,
-             CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) AS r
-      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey),
+             TRY_CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) AS r
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      WHERE TRY_CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT)
+            IS NOT NULL),
     cls AS (
       SELECT nat, seg, CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
@@ -634,8 +636,11 @@ def qs357(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         F.col("c_nationkey").alias("nat"),
         F.col("c_mktsegment").alias("seg"),
-        F.substring("o_orderpriority", 1, 1).cast("long").alias("r"),
-    )
+        # try_cast + drop: the sensitive-attribute distribution runs
+        # over rows whose priority rank parses (r15 NULL-axis
+        # convention; ANSI CAST throws on dirty source strings).
+        F.substring("o_orderpriority", 1, 1).try_cast("long").alias("r"),
+    ).filter(F.col("r").isNotNull())
     conds = [
         F.sum(F.when(F.col("r") == i, 1).otherwise(0))
         .cast("long")
@@ -2426,6 +2431,8 @@ def qs376(spark: SparkSession, sf: str) -> DataFrame:
                   AS BIGINT) AS y
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        AND o.o_orderdate IS NOT NULL
+        AND o.o_totalprice IS NOT NULL
       GROUP BY 1, 2),
     rk AS (
       SELECT seg,
@@ -2470,7 +2477,15 @@ def qs377(spark: SparkSession, sf: str) -> DataFrame:
     c = load_table(spark, sf, "customer")
     o = load_table(spark, sf, "orders")
     daily = (
-        o.join(
+        # NULL-date / NULL-price orders excluded on both sides: the
+        # unique (y, seg, d) rank tiebreak needs non-null keys —
+        # engine default null ordering diverges (r15 NULL-axis
+        # convention).
+        o.filter(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .join(
             c.select("c_custkey", "c_mktsegment").filter(
                 F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
             ),

@@ -30,11 +30,14 @@ from cds_etl_spark.plans.registry import query
 
 _CELLS_SQL = """
     cells AS (
-      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS x,
+      SELECT TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS x,
              CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'O' THEN 2
                   ELSE 3 END AS y,
              CAST(COUNT(*) AS BIGINT) AS c
-      FROM orders GROUP BY 1, 2),
+      FROM orders
+      WHERE TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+            IS NOT NULL
+      GROUP BY 1, 2),
     pair AS (
       SELECT
         CAST(SUM(CASE WHEN b.x > a.x AND b.y > a.y
@@ -61,13 +64,22 @@ def _prio_status_cells(spark: SparkSession, sf: str) -> DataFrame:
     Mirrors the qs299 cells construction; kept module-local so the
     two new statistics share one definition."""
     o = load_table(spark, sf, "orders")
-    return o.groupBy(
-        F.substring("o_orderpriority", 1, 1).cast("long").alias("x"),
-        F.when(F.col("o_orderstatus") == "F", 1)
-        .when(F.col("o_orderstatus") == "O", 2)
-        .otherwise(3)
-        .alias("y"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return (
+        o.groupBy(
+            # try_cast: a NULL / empty / unparseable priority is not
+            # an ordinal observation (r15 NULL-axis convention —
+            # ANSI CAST would throw on dirty source strings).
+            F.substring("o_orderpriority", 1, 1)
+            .try_cast("long")
+            .alias("x"),
+            F.when(F.col("o_orderstatus") == "F", 1)
+            .when(F.col("o_orderstatus") == "O", 2)
+            .otherwise(3)
+            .alias("y"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .filter(F.col("x").isNotNull())
+    )
 
 
 def _conc_disc(cells: DataFrame) -> DataFrame:
@@ -307,9 +319,13 @@ def qs385(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END AS a,
-             CASE WHEN CAST(substr(o_orderpriority, 1, 1) AS BIGINT) <= 2
+             CASE WHEN TRY_CAST(substr(o_orderpriority, 1, 1)
+                                AS BIGINT) <= 2
                   THEN 1 ELSE 0 END AS b
-      FROM orders),
+      FROM orders
+      WHERE o_totalprice IS NOT NULL
+        AND TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+            IS NOT NULL),
     m AS (
       SELECT CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
                   AS BIGINT) AS n11,
@@ -340,10 +356,14 @@ def qs386(spark: SparkSession, sf: str) -> DataFrame:
     ROUND 6. Plan: one conditional-sum scan, one-row epilogue."""
     o = load_table(spark, sf, "orders")
     a = F.when(F.col("o_totalprice") >= 150000, 1).otherwise(0)
-    b = F.when(
-        F.substring("o_orderpriority", 1, 1).cast("long") <= 2, 1
-    ).otherwise(0)
-    m = o.select(a.alias("a"), b.alias("b")).agg(
+    prio = F.substring("o_orderpriority", 1, 1).try_cast("long")
+    b = F.when(prio <= 2, 1).otherwise(0)
+    # Complete-case 2x2: rows with a missing price or an unparseable
+    # priority are not observations of either dichotomy (r15
+    # NULL-axis convention; ANSI CAST would throw on dirty strings).
+    m = o.filter(
+        F.col("o_totalprice").isNotNull() & prio.isNotNull()
+    ).select(a.alias("a"), b.alias("b")).agg(
         *[
             F.sum(
                 F.when((F.col("a") == ai) & (F.col("b") == bi), 1).otherwise(
@@ -378,6 +398,7 @@ _DAILY2_SQL = """
                   AS BIGINT) AS y
       FROM orders JOIN customer ON c_custkey = o_custkey
       WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        AND o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
       GROUP BY 1, 2)
 """
 
@@ -390,7 +411,15 @@ def _daily_two_segments(spark: SparkSession, sf: str) -> DataFrame:
     c = load_table(spark, sf, "customer")
     o = load_table(spark, sf, "orders")
     return (
-        o.join(
+        # NULL-date / NULL-price orders excluded on both sides: the
+        # family's unique (y, seg, d) rank tiebreak needs non-null
+        # keys — engine default null ordering diverges (r15
+        # NULL-axis convention).
+        o.filter(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .join(
             c.select("c_custkey", "c_mktsegment").filter(
                 F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
             ),

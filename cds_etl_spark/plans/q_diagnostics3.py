@@ -232,6 +232,8 @@ _SEG_DAILY_SQL = """
                   AS BIGINT) AS y
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        AND o.o_orderdate IS NOT NULL
+        AND o.o_totalprice IS NOT NULL
       GROUP BY 1, 2),
     rk AS (
       SELECT seg,
@@ -250,7 +252,15 @@ def _seg_daily_ranks(spark: SparkSession, sf: str) -> DataFrame:
     c = load_table(spark, sf, "customer")
     o = load_table(spark, sf, "orders")
     daily = (
-        o.join(
+        # NULL-date / NULL-price orders are excluded on both sides:
+        # the family's unique (y, seg, d) rank tiebreak needs
+        # non-null keys — engine default null ordering diverges
+        # (r15 NULL-axis convention).
+        o.filter(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .join(
             c.select("c_custkey", "c_mktsegment").filter(
                 F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
             ),
@@ -290,7 +300,7 @@ def _seg_daily_ranks(spark: SparkSession, sf: str) -> DataFrame:
     WITH s AS (
       SELECT o_custkey % 2 AS grp,
              CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
-      FROM orders),
+      FROM orders WHERE o_totalprice IS NOT NULL),
     n AS (
       SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS n0,
@@ -336,7 +346,9 @@ def qs394(spark: SparkSession, sf: str) -> DataFrame:
     qs227 REJECT keeps the serial grid; same escape hatch), two-max
     one-row epilogue."""
     o = load_table(spark, sf, "orders")
-    s = o.select(
+    # NULL-price orders excluded on both sides: a NULL v would form a
+    # divergently-ordered ECDF grid row (r15 NULL-axis convention).
+    s = o.filter(F.col("o_totalprice").isNotNull()).select(
         (F.col("o_custkey") % 2).alias("grp"),
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("v"),
     )
@@ -727,11 +739,14 @@ def qs397(spark: SparkSession, sf: str) -> DataFrame:
 
 _PRIO_CELLS_SQL = """
     cells AS (
-      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS x,
+      SELECT TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS x,
              CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'O' THEN 2
                   ELSE 3 END AS y,
              CAST(COUNT(*) AS BIGINT) AS c
-      FROM orders GROUP BY 1, 2),
+      FROM orders
+      WHERE TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+            IS NOT NULL
+      GROUP BY 1, 2),
     rt AS (SELECT x, CAST(SUM(c) AS BIGINT) AS r FROM cells GROUP BY x),
     ct AS (SELECT y, CAST(SUM(c) AS BIGINT) AS s FROM cells GROUP BY y),
     tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
@@ -746,14 +761,23 @@ def _prio_cells_margins(spark: SparkSession, sf: str):
     column / grand totals — the ≤15-cell contingency the qs383-family
     uses, with margins for expected-count statistics."""
     o = load_table(spark, sf, "orders")
-    cells = o.groupBy(
-        F.substring("o_orderpriority", 1, 1).cast("long").alias("x"),
-        F.when(F.col("o_orderstatus") == "F", 1)
-        .when(F.col("o_orderstatus") == "O", 2)
-        .otherwise(3)
-        .cast("long")
-        .alias("y"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cells = (
+        o.groupBy(
+            # try_cast + drop: a NULL / empty / unparseable priority
+            # is not an ordinal observation (r15 NULL-axis
+            # convention; ANSI CAST throws on dirty source strings).
+            F.substring("o_orderpriority", 1, 1)
+            .try_cast("long")
+            .alias("x"),
+            F.when(F.col("o_orderstatus") == "F", 1)
+            .when(F.col("o_orderstatus") == "O", 2)
+            .otherwise(3)
+            .cast("long")
+            .alias("y"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .filter(F.col("x").isNotNull())
+    )
     rt = cells.groupBy("x").agg(F.sum("c").cast("long").alias("r"))
     ct = cells.groupBy("y").agg(F.sum("c").cast("long").alias("s"))
     tot = cells.agg(

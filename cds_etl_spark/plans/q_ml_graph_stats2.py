@@ -495,11 +495,15 @@ def qs260(spark: SparkSession, sf: str) -> DataFrame:
     "qs261_cochran_armitage",
     oracle="""
     WITH g AS (
-      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+      SELECT TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
              COUNT(*) AS n,
              SUM(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END)
                AS r
-      FROM orders GROUP BY 1),
+      FROM orders
+      WHERE o_totalprice IS NOT NULL
+        AND TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+            IS NOT NULL
+      GROUP BY 1),
     s AS (
       SELECT SUM(n) AS nn, SUM(r) AS rr, SUM(w * r) AS swr,
              SUM(w * n) AS swn, SUM(w * w * n) AS swwn
@@ -527,9 +531,13 @@ def qs261(spark: SparkSession, sf: str) -> DataFrame:
     division produces the double, rounded 4 dp. Scale: one 5-row
     hash aggregate off the scan; the epilogue is constant."""
     o = load_table(spark, sf, "orders")
-    g = o.groupBy(
-        F.substring("o_orderpriority", 1, 1).cast("long").alias("w")
-    ).agg(
+    # Complete-case dose-response: rows with an unparseable priority
+    # (dose) or a missing price (response) are not observations (r15
+    # NULL-axis convention; ANSI CAST throws on dirty strings).
+    prio = F.substring("o_orderpriority", 1, 1).try_cast("long")
+    g = o.filter(
+        F.col("o_totalprice").isNotNull() & prio.isNotNull()
+    ).groupBy(prio.alias("w")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(
             F.when(F.col("o_totalprice") > 250000, 1).otherwise(0)

@@ -367,8 +367,10 @@ def qs20(spark: SparkSession, sf: str) -> DataFrame:
     "qs21_ranking_family",
     oracle="""
     SELECT o_orderkey,
-           CAST(RANK() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS r,
-           CAST(DENSE_RANK() OVER (ORDER BY o_orderpriority) AS INTEGER) AS dr,
+           CAST(RANK() OVER (ORDER BY o_totalprice DESC NULLS LAST,
+                             o_orderkey) AS INTEGER) AS r,
+           CAST(DENSE_RANK() OVER (ORDER BY o_orderpriority NULLS FIRST)
+                AS INTEGER) AS dr,
            CAST(NTILE(4) OVER (ORDER BY o_orderkey) AS INTEGER) AS nt
     FROM orders ORDER BY o_orderkey LIMIT 1000
     """,
@@ -394,9 +396,14 @@ def qs21(spark: SparkSession, sf: str) -> DataFrame:
     s = o.select(
         "o_orderkey",
         "o_orderpriority",
-        (-F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
-            "_negc"
-        ),
+        # NULL price ranks LAST (pinned NULLS LAST in the oracle too;
+        # engine defaults diverge — r15 NULL axis): _negc <= 0 for
+        # every real price, so sentinel 1 sorts all NULLs after, tie
+        # broken by o_orderkey exactly like the oracle's suffix.
+        F.coalesce(
+            -F.round(F.col("o_totalprice") * 100, 0).cast("long"),
+            F.lit(1),
+        ).alias("_negc"),
     )
     ranked = bucketed_row_number(
         s, "_negc", ["_negc", "o_orderkey"], "_r"
@@ -405,16 +412,25 @@ def qs21(spark: SparkSession, sf: str) -> DataFrame:
         ranked, "o_orderkey", ["o_orderkey"], "_rn_key"
     )
     prio = (
-        s.select("o_orderpriority")
+        s.select(F.col("o_orderpriority").alias("_p"))
         .distinct()
         .withColumn(
             "_dr",
-            F.row_number().over(Window.orderBy("o_orderpriority")),
+            # ASC NULLS FIRST pinned on both sides (Spark's default,
+            # explicit since the r15 NULL axis).
+            F.row_number().over(
+                Window.orderBy(F.col("_p").asc_nulls_first())
+            ),
         )
     )
     n = s.agg(F.count(F.lit(1)).alias("_n"))
     return (
-        ranked.join(F.broadcast(prio), "o_orderpriority")
+        # Null-safe dictionary join: a NULL priority is a dictionary
+        # entry too, and a plain equi-join would drop those rows.
+        ranked.join(
+            F.broadcast(prio),
+            F.col("o_orderpriority").eqNullSafe(F.col("_p")),
+        )
         .crossJoin(F.broadcast(n))
         .select(
             "o_orderkey",
@@ -433,7 +449,9 @@ def qs21(spark: SparkSession, sf: str) -> DataFrame:
     SELECT event_id, user_id, value, LAG(value) OVER w AS lg, LEAD(value) OVER w AS ld,
            ROUND(CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT))
                       OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)/100, 4) AS mv
-    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ts NULLS FIRST, event_id)
     ORDER BY event_id LIMIT 1000
     """,
 )
@@ -444,7 +462,12 @@ def qs22(spark: SparkSession, sf: str) -> DataFrame:
     be evaluated tree-wise (order-dependent in double) by either
     engine."""
     e = load_table(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ASC NULLS FIRST pinned on both sides: an event with a missing
+    # timestamp sequences before the epoch, deterministically by
+    # event_id (engine defaults diverge — r15 NULL axis).
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_first(), "event_id"
+    )
     cents = F.round(F.col("value") * 100, 0).cast("long")
     return (
         e.select(
@@ -654,7 +677,10 @@ def qs32(spark: SparkSession, sf: str) -> DataFrame:
            ROUND(l_extendedprice*(1-l_discount)*(1+l_tax),2) AS net,
            CAST(CEIL(l_quantity) AS BIGINT) AS cq, CAST(FLOOR(l_quantity) AS BIGINT) AS fq,
            ABS(l_discount-0.05) AS ad
-    FROM lineitem ORDER BY l_orderkey, l_linenumber, net, cq, fq, ad
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber,
+             net NULLS FIRST, cq NULLS FIRST, fq NULLS FIRST,
+             ad NULLS FIRST
     LIMIT 1000
     """,
 )
@@ -682,7 +708,18 @@ def qs33(spark: SparkSession, sf: str) -> DataFrame:
             F.floor("l_quantity").alias("fq"),
             F.abs(F.col("l_discount") - 0.05).alias("ad"),
         )
-        .orderBy("l_orderkey", "l_linenumber", "net", "cq", "fq", "ad")
+        .orderBy(
+            "l_orderkey",
+            "l_linenumber",
+            # Explicit ASC NULLS FIRST on the nullable keys: Spark's
+            # ASC default, pinned in the oracle too — engine defaults
+            # diverge (DuckDB NULLS LAST), which moved the LIMIT
+            # cutoff on the NULL-injection fixture (r15).
+            F.col("net").asc_nulls_first(),
+            F.col("cq").asc_nulls_first(),
+            F.col("fq").asc_nulls_first(),
+            F.col("ad").asc_nulls_first(),
+        )
         .limit(1000)
     )
 
@@ -690,12 +727,18 @@ def qs33(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "qs34_json_extraction",
     oracle="""
-    SELECT event_id, CAST(json_extract(props,'$.k') AS INTEGER) AS k
+    SELECT event_id,
+           CAST(json_extract(CASE WHEN json_valid(props) THEN props END,
+                             '$.k') AS INTEGER) AS k
     FROM events ORDER BY event_id LIMIT 1000
     """,
 )
 def qs34(spark: SparkSession, sf: str) -> DataFrame:
-    """JSON extraction from a string column."""
+    """JSON extraction from a string column. Dirty props (empty /
+    whitespace / malformed) yield NULL: Spark's get_json_object does
+    that natively; the oracle needs the json_valid guard because
+    DuckDB's json_extract RAISES on malformed input (r15 NULL
+    axis)."""
     e = load_table(spark, sf, "events")
     return (
         e.select("event_id", F.get_json_object("props", "$.k").cast("int").alias("k"))

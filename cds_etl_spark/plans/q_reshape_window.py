@@ -200,10 +200,12 @@ def qs17(spark: SparkSession, sf: str) -> DataFrame:
            ROUND(CUME_DIST() OVER w, 6) AS cd,
            FIRST_VALUE(o_orderkey) OVER w AS fv,
            LAST_VALUE(o_orderkey) OVER
-             (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+             (PARTITION BY o_orderstatus
+              ORDER BY o_totalprice NULLS FIRST, o_orderkey
               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
     FROM orders
-    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice NULLS FIRST, o_orderkey)
     ORDER BY o_orderkey LIMIT 1000
     """,
 )
@@ -226,9 +228,14 @@ def qs24(spark: SparkSession, sf: str) -> DataFrame:
     s = o.select(
         "o_orderkey",
         "o_orderstatus",
-        F.round(F.col("o_totalprice") * 100, 0)
-        .cast("long")
-        .alias("_cents"),
+        # NULL price ranks FIRST (pinned NULLS FIRST in the oracle
+        # too; engine defaults diverge — r15 NULL axis): real cents
+        # are >= 0, so sentinel -1 sorts every NULL before them, tie
+        # broken by o_orderkey exactly like the oracle's suffix.
+        F.coalesce(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long"),
+            F.lit(-1),
+        ).alias("_cents"),
     )
     rn = bucketed_row_number(
         s,
@@ -239,13 +246,20 @@ def qs24(spark: SparkSession, sf: str) -> DataFrame:
     )
     # Per-status n plus the frame endpoints: first = min(cents,key)
     # struct, last = max — exact because the composite is unique.
-    stats = s.groupBy("o_orderstatus").agg(
+    stats = s.groupBy(
+        F.col("o_orderstatus").alias("_st")
+    ).agg(
         F.count(F.lit(1)).alias("_n"),
         F.min(F.struct("_cents", "o_orderkey")).alias("_lo"),
         F.max(F.struct("_cents", "o_orderkey")).alias("_hi"),
     )
     return (
-        rn.join(F.broadcast(stats), "o_orderstatus")
+        # Null-safe: a NULL status is a partition too — a plain
+        # equi-join dropped its rows (r15 NULL axis).
+        rn.join(
+            F.broadcast(stats),
+            F.col("o_orderstatus").eqNullSafe(F.col("_st")),
+        )
         .select(
             "o_orderkey",
             # n = 1 partitions return pr = 0.0 like F.percent_rank(),
@@ -319,7 +333,7 @@ def qs36(spark: SparkSession, sf: str) -> DataFrame:
     "qs37_levenshtein",
     oracle="""
     SELECT n_name, CAST(levenshtein(n_name, 'UNITED STATES') AS INTEGER) AS d
-    FROM nation ORDER BY d, n_name LIMIT 10
+    FROM nation ORDER BY d NULLS LAST, n_name LIMIT 10
     """,
 )
 def qs37(spark: SparkSession, sf: str) -> DataFrame:
@@ -331,7 +345,10 @@ def qs37(spark: SparkSession, sf: str) -> DataFrame:
             "n_name",
             F.levenshtein(F.col("n_name"), F.lit("UNITED STATES")).alias("d"),
         )
-        .orderBy("d", "n_name")
+        # NULLS LAST pinned on both sides: a missing name has no
+        # distance and must not crowd the top-k (engine ASC defaults
+        # diverge — r15 NULL axis).
+        .orderBy(F.col("d").asc_nulls_last(), "n_name")
         .limit(10)
     )
 
@@ -423,10 +440,12 @@ from cds_etl_spark.operators.sessions import sessionize  # noqa: E402
       SELECT event_id, user_id, ts,
         CASE WHEN lag(ts) OVER w IS NULL
                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS ns
-      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY ts NULLS FIRST, event_id))
     SELECT event_id,
       user_id || '-' || CAST(SUM(ns) OVER (
-        PARTITION BY user_id ORDER BY ts, event_id
+        PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR)
         AS session_id
     FROM s ORDER BY event_id
@@ -538,7 +557,8 @@ def qs46(spark: SparkSession, sf: str) -> DataFrame:
     "qs47_map_aggregation",
     oracle="""
     WITH pc AS (SELECT o_custkey, o_orderstatus AS st, COUNT(*) AS c
-                FROM orders GROUP BY o_custkey, o_orderstatus),
+                FROM orders WHERE o_orderstatus IS NOT NULL
+                GROUP BY o_custkey, o_orderstatus),
          m AS (SELECT o_custkey,
                       map_from_entries(list({'k': st, 'v': c})) AS mp
                FROM pc GROUP BY o_custkey)
@@ -552,7 +572,14 @@ def qs47(spark: SparkSession, sf: str) -> DataFrame:
     (missing key → NULL in both engines). The map shape is the
     engine-side analogue of the reference's clean-dict lookups (O19)."""
     o = load_table(spark, sf, "orders")
-    pc = o.groupBy("o_custkey", "o_orderstatus").agg(F.count(F.lit(1)).alias("c"))
+    # A NULL status cannot be a map key (Spark raises NULL_MAP_KEY);
+    # dropped on both sides — the probed keys are 'F'/'O'/'P' anyway
+    # (r15 NULL axis).
+    pc = (
+        o.filter(F.col("o_orderstatus").isNotNull())
+        .groupBy("o_custkey", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     m = pc.groupBy("o_custkey").agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("o_orderstatus"), F.col("c")))

@@ -1366,9 +1366,12 @@ def qs291(spark: SparkSession, sf: str) -> DataFrame:
     "qs298_jonckheere_trend",
     oracle="""
     WITH s AS (
-      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g,
+      SELECT TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g,
              CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v
-      FROM orders),
+      FROM orders
+      WHERE o_totalprice IS NOT NULL
+        AND TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+            IS NOT NULL),
     vc AS (
       SELECT v,
              SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS c1,
@@ -1433,8 +1436,14 @@ def qs298(spark: SparkSession, sf: str) -> DataFrame:
     scan → value-grid pivot aggregate → bucketed prefix sums →
     one-row epilogue."""
     o = load_table(spark, sf, "orders")
-    s = o.select(
-        F.substring("o_orderpriority", 1, 1).cast("long").alias("g"),
+    # Complete-case: an unparseable priority (group) or missing
+    # price (value) is not an observation (r15 NULL-axis convention;
+    # ANSI CAST throws on dirty strings).
+    prio = F.substring("o_orderpriority", 1, 1).try_cast("long")
+    s = o.filter(
+        F.col("o_totalprice").isNotNull() & prio.isNotNull()
+    ).select(
+        prio.alias("g"),
         F.round(F.col("o_totalprice") * 100, 0)
         .cast("long")
         .alias("v"),
@@ -1488,11 +1497,14 @@ def qs298(spark: SparkSession, sf: str) -> DataFrame:
     "qs299_kendall_taub",
     oracle="""
     WITH cells AS (
-      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS x,
+      SELECT TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS x,
              CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'P' THEN 2
                   ELSE 3 END AS y,
              COUNT(*) AS c
-      FROM orders GROUP BY 1, 2),
+      FROM orders
+      WHERE TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+            IS NOT NULL
+      GROUP BY 1, 2),
     pairs AS (
       SELECT a.c * b.c AS w,
              CASE WHEN (a.x < b.x AND a.y < b.y)
@@ -1539,13 +1551,22 @@ def qs299(spark: SparkSession, sf: str) -> DataFrame:
     one fixed double tree with an IEEE-exact sqrt, ROUND 4. Plan:
     one grouped scan → 15-row epilogue self-join."""
     o = load_table(spark, sf, "orders")
-    cells = o.groupBy(
-        F.substring("o_orderpriority", 1, 1).cast("long").alias("x"),
-        F.when(F.col("o_orderstatus") == "F", 1)
-        .when(F.col("o_orderstatus") == "P", 2)
-        .otherwise(3)
-        .alias("y"),
-    ).agg(F.count(F.lit(1)).alias("c"))
+    cells = (
+        o.groupBy(
+            # try_cast + drop: unparseable priority is not an ordinal
+            # observation (r15 NULL-axis convention; ANSI CAST throws
+            # on dirty source strings).
+            F.substring("o_orderpriority", 1, 1)
+            .try_cast("long")
+            .alias("x"),
+            F.when(F.col("o_orderstatus") == "F", 1)
+            .when(F.col("o_orderstatus") == "P", 2)
+            .otherwise(3)
+            .alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("x").isNotNull())
+    )
     a = cells.select(
         F.col("x").alias("x1"), F.col("y").alias("y1"), F.col("c").alias("ca")
     )
