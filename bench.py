@@ -391,8 +391,17 @@ def _spin(_):
 # 0.33-0.83 s at 8..64-way showed the host delivering only ~10-15
 # cores' worth of throughput (and the concurrent-batch bench number
 # inflating 2.5-5x in lockstep while sequential latencies stayed
-# normal). SPIN_OK = 0.30 s ~= 1.5x the physical single-process bound.
-SPIN_OK = float(os.environ.get("SPARK_GRAFT_BENCH_SPIN_OK", "0.30"))
+# normal). SPIN_OK = 0.30 s ~= 1.5x the physical single-process bound
+# — at >= 16 cores, where all 16 spinners run concurrently. The driver
+# ALSO benches at a lower $SPARK_GRAFT_CPUS: there 16 spinners
+# legitimately time-share the smaller core count (ideal wall ~0.195 x
+# 16/N), so the healthy-box threshold scales by 16/N below 16 cores
+# (r15 measurement fix — a fixed 0.30 s mislabeled a healthy 8-core
+# window as host-contended and spent the full 180 s spin wait).
+SPIN_OK = float(
+    os.environ.get("SPARK_GRAFT_BENCH_SPIN_OK")
+    or 0.30 * max(1.0, 16.0 / default_parallelism())
+)
 SPIN_MAX_WAIT = float(os.environ.get("SPARK_GRAFT_BENCH_SPIN_MAX", "180"))
 
 
