@@ -15,6 +15,13 @@ Usage:
 The numbers rank queries by cost so optimization effort lands on the
 expensive ones; they are NOT the bench contract (bench.py owns that
 protocol). Run on a settled box (loadavg < 1.5).
+
+Per-execution watchdog (SWEEP_TIMEOUT, default 90 s): a query whose
+single execution exceeds the cap is cancelled via cancelJobGroup and
+recorded as {"timeout": true} with the elapsed floor — monsters get
+ranked without stalling the 401-query pass (the first sweep sat 15+
+minutes inside one quadratic-candidate query). A timed-out query
+runs ONCE (no best-of) and skips its remaining runs.
 """
 
 from __future__ import annotations
@@ -22,6 +29,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -30,6 +38,7 @@ from cds_etl_spark.plans import QUERIES  # noqa: E402
 from cds_etl_spark.session import get_spark  # noqa: E402
 
 RUNS = 2
+TIMEOUT = float(os.environ.get("SWEEP_TIMEOUT", "90"))
 
 
 def main() -> int:
@@ -38,7 +47,33 @@ def main() -> int:
     names = sys.argv[3:] or list(QUERIES)
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    out = open(out_path, "w") if out_path else sys.stdout
+    out = open(out_path, "a") if out_path else sys.stdout
+
+    def timed_save(w, group: str) -> tuple[float, bool]:
+        """Run one save under a cancel watchdog; returns (sec, timed_out)."""
+        sc = spark.sparkContext
+        done = threading.Event()
+
+        def watchdog():
+            if not done.wait(TIMEOUT):
+                sc.cancelJobGroup(group)
+
+        t = threading.Thread(target=watchdog, daemon=True)
+        sc.setJobGroup(group, group, interruptOnCancel=True)
+        t.start()
+        t0 = time.perf_counter()
+        try:
+            w.save()
+            return time.perf_counter() - t0, False
+        except Exception:
+            # A cancelled job surfaces as a Py4J error; anything else
+            # re-raises from the caller's warm run instead.
+            if time.perf_counter() - t0 >= TIMEOUT - 1:
+                return time.perf_counter() - t0, True
+            raise
+        finally:
+            done.set()
+
     for name in names:
         rec: dict = {"name": name, "best": None, "runs": [], "err": None}
         try:
@@ -48,12 +83,18 @@ def main() -> int:
                 .write.format("noop")
                 .mode("overwrite")
             )
-            w.save()  # warm
-            for _ in range(RUNS):
-                t0 = time.perf_counter()
-                w.save()
-                rec["runs"].append(round(time.perf_counter() - t0, 4))
-            rec["best"] = min(rec["runs"])
+            sec, timed_out = timed_save(w, f"sweep-{name}")  # warm
+            if timed_out:
+                rec["timeout"] = True
+                rec["best"] = round(sec, 4)
+            else:
+                for _ in range(RUNS):
+                    sec, timed_out = timed_save(w, f"sweep-{name}")
+                    rec["runs"].append(round(sec, 4))
+                    if timed_out:
+                        rec["timeout"] = True
+                        break
+                rec["best"] = min(rec["runs"])
         except Exception as exc:  # noqa: BLE001 — sweep must finish
             rec["err"] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
         print(json.dumps(rec), file=out, flush=True)
