@@ -197,6 +197,14 @@ def ngram_jaccard_pairs(
     documents of near-equal length only, instead of the whole block
     quadratic. ``length_bands=False`` restores plain block-only
     joining (useful when callers band externally)."""
+    if min_jaccard <= 0.0:
+        raise ValueError(
+            "ngram_jaccard_pairs requires min_jaccard > 0: the pair "
+            "join enumerates only pairs sharing at least one shingle "
+            "(a threshold of 0 would ask for every block pair "
+            "including zero-overlap ones, which is the O(n^2) scan "
+            "this operator exists to avoid)."
+        )
     t_eff = min(max(min_jaccard, 1e-6), 0.9999)
     sh = (
         df.select(
@@ -218,41 +226,63 @@ def ngram_jaccard_pairs(
         )
         .localCheckpoint(eager=True)  # two join consumers below
     )
+    # r15 (guide §2.3/§8): the pair join moves POSTINGS — one narrow
+    # (blocks, band, shingle, id, sz) row per shingle occurrence —
+    # never the shingle arrays. A pair's intersection size is the
+    # COUNT of joined posting rows (shingle sets are distinct), so
+    # |∩| falls out of groupBy(d1, d2).count() and |∪| from the
+    # carried set sizes; no array_intersect and no array shuffle.
+    # Pairs sharing no shingle are absent, which is exact for
+    # min_jaccard > 0 (guarded above). explode_outer: plain explode
+    # pushes an implicit size > 0 filter below the checkpoint-free
+    # paths re-evaluating the shingle transform; NULL postings are
+    # dropped by the _g equi-join.
+    post = sh.select(
+        *[F.col(c) for c in block_cols],
+        "_band",
+        "_id",
+        "_sz",
+        F.explode_outer("_sh").alias("_g"),
+    )
     if length_bands:
-        a = sh.withColumn(
+        a = post.withColumn(
             "_probe",
             F.explode(
                 F.array(F.col("_band") - 1, F.col("_band"), F.col("_band") + 1)
             ),
         ).alias("a")
     else:
-        a = sh.alias("a")
-    b = sh.alias("b")
-    cond = (F.col("a._id") < F.col("b._id"))
+        a = post.alias("a")
+    b = post.alias("b")
+    cond = (F.col("a._id") < F.col("b._id")) & (
+        F.col("a._g") == F.col("b._g")
+    )
     if length_bands:
         # Equi-key: exactly one of the three probes equals b's band for
-        # any qualifying pair, so no duplicates and no lost pairs.
+        # any qualifying pair, so each shared shingle contributes
+        # exactly one joined row — no duplicates and no lost pairs —
+        # and the band key splits hot shingles across length bands.
         cond = cond & (F.col("a._probe") == F.col("b._band"))
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     # Size-ratio prune (semantics-preserving): J(A,B) ≤ min/max set
     # sizes, so a pair with size ratio < min_jaccard can never pass —
-    # two integer compares replace an array intersect+union for the
-    # vast majority of candidate pairs.
+    # two integer compares drop the pair's posting rows before the
+    # pair ever forms.
     cond = (
         cond
         & (F.col("a._sz") >= F.col("b._sz") * min_jaccard)
         & (F.col("b._sz") >= F.col("a._sz") * min_jaccard)
     )
-    # |A∪B| = |A|+|B|−|A∩B| for distinct arrays: one array_intersect
-    # per pair instead of intersect + concat + distinct; staged so the
-    # intersect evaluates once.
-    scored = a.join(b, cond).select(
-        F.col("a._id").alias("d1"),
-        F.col("b._id").alias("d2"),
-        F.col("a._sz").alias("_sza"),
-        F.col("b._sz").alias("_szb"),
-        F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh"))).alias("_inter"),
+    scored = (
+        a.join(b, cond)
+        .groupBy(
+            F.col("a._id").alias("d1"),
+            F.col("b._id").alias("d2"),
+            F.col("a._sz").alias("_sza"),
+            F.col("b._sz").alias("_szb"),
+        )
+        .agg(F.count(F.lit(1)).alias("_inter"))
     )
     union = F.col("_sza") + F.col("_szb") - F.col("_inter")
     return (

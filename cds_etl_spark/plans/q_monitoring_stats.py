@@ -604,29 +604,61 @@ def qs163(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("ts"),
     )
-    freq = toks.select(F.explode("ts").alias("tok")).groupBy("tok").agg(
-        F.count(F.lit(1)).alias("tf")
+    # explode_outer in both explodes below: plain explode pushes an
+    # implicit size(ts) > 0 filter down to the scan with the whole
+    # array_distinct(filter(split(...))) expression substituted in —
+    # an interpreted Filter paying the tokenization twice per row.
+    # The outer form's extra NULL-token rows never survive the tok
+    # equi-join (freq's NULL group matches nothing), so the results
+    # are identical.
+    freq = (
+        toks.select(F.explode_outer("ts").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
     # Order each set rarest-first: join tokens to corpus frequency,
     # sort (tf, tok) pairs, take the prefix.
-    exploded = toks.select("doc_id", F.explode("ts").alias("tok")).join(
-        freq, "tok"
+    exploded = toks.select(
+        "doc_id", F.explode_outer("ts").alias("tok")
+    ).join(freq, "tok")
+    # r15: pin both pair-machinery exchanges to a cores-derived
+    # partition count. AQE coalesces the narrow (few-MB) shuffles to
+    # ONE partition and the quadratic candidate expansion + the
+    # array-intersect verification then run single-task; the explicit
+    # count keeps them parallel at any core count while staying tiny
+    # relative to cluster-scale shuffles (guide §2.5 — the expansion
+    # happens INSIDE the task, invisible to AQE's byte estimates).
+    npart = spark.sparkContext.defaultParallelism * 4
+    ordered = (
+        exploded.repartition(npart, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tf", "tok"))),
+                lambda s: s["tok"],
+            ).alias("ots")
+        )
     )
-    ordered = exploded.groupBy("doc_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("tf", "tok"))),
-            lambda s: s["tok"],
-        ).alias("ots")
-    )
-    pref = ordered.select(
+    # r15 §2.3/§8: the candidate join and its distinct shuffle ONLY
+    # narrow (doc_id, sz, pos, tok) rows — never the token arrays —
+    # and two exact PPJoin filters prune occurrences before the
+    # distinct: the LENGTH filter (Jaccard ≥ 0.9 forces
+    # 10·min(sz) ≥ 9·max(sz)) and the POSITIONAL filter (at the
+    # first shared ordered token at 0-based positions p1/p2 the
+    # overlap is ≤ min(sz1−p1, sz2−p2), and 19·i ≥ 9·(sz1+sz2) is
+    # the cross-multiplied threshold). Both are necessary conditions
+    # of the final exact verification, so recall is unchanged; the
+    # token arrays are re-attached to the surviving pairs afterwards
+    # (unsorted `ts` — intersection size is order-independent).
+    items = ordered.select(
         "doc_id",
-        "ots",
-        F.expr(
-            "slice(ots, 1, size(ots) - CAST(ceil(0.9 * size(ots)) AS INT) + 1)"
-        ).alias("prefix"),
-    )
-    items = pref.select(
-        "doc_id", F.col("ots"), F.explode("prefix").alias("tok")
+        F.size("ots").alias("sz"),
+        F.posexplode(
+            F.expr(
+                "slice(ots, 1,"
+                " size(ots) - CAST(ceil(0.9 * size(ots)) AS INT) + 1)"
+            )
+        ).alias("p", "tok"),
     )
     a = items.alias("a")
     b = items.alias("b")
@@ -634,20 +666,33 @@ def qs163(spark: SparkSession, sf: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.sz") * 10 >= F.col("b.sz") * 9)
+            & (F.col("b.sz") * 10 >= F.col("a.sz") * 9)
+            & (
+                19
+                * F.least(
+                    F.col("a.sz") - F.col("a.p"),
+                    F.col("b.sz") - F.col("b.p"),
+                )
+                >= 9 * (F.col("a.sz") + F.col("b.sz"))
+            ),
         )
         .select(
             F.col("a.doc_id").alias("d1"),
             F.col("b.doc_id").alias("d2"),
-            F.col("a.ots").alias("ts1"),
-            F.col("b.ots").alias("ts2"),
         )
+        .repartition(npart, "d1", "d2")
         .distinct()
     )
+    t1 = toks.select(F.col("doc_id").alias("d1"), F.col("ts").alias("ts1"))
+    t2 = toks.select(F.col("doc_id").alias("d2"), F.col("ts").alias("ts2"))
     inter = F.size(F.array_intersect(F.col("ts1"), F.col("ts2")))
     union = F.size("ts1") + F.size("ts2") - inter
     return (
-        cand.withColumn("i", inter)
+        cand.join(t1, "d1")
+        .join(t2, "d2")
+        .withColumn("i", inter)
         .withColumn("u", union)
         .filter(F.col("i") * 10 >= F.col("u") * 9)
         .select(
