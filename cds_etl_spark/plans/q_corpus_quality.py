@@ -481,6 +481,18 @@ def qs135(spark: SparkSession, sf: str) -> DataFrame:
     shuffle is hash-sized — the same economics that replace the
     suffix array at corpus scale. Oracle restates it with a bounded
     position series."""
+    # r15 single-pass form (guide §2.4): the old dup-set groupBy +
+    # join-back referenced kg twice — pure-plan diamonds re-evaluate
+    # per reference, so the gram transform ran twice — and shipped
+    # 32-char hex hashes. Now: hash once per window into 16-byte
+    # binary (unhex(md5) — internal column, bijective with the hex),
+    # pre-aggregate per (h, doc), and decide duplication with ONE
+    # h-partitioned window (nd > 1 ⟺ min(doc) ≠ max(doc); no
+    # count_distinct-over-window needed). One pinned h exchange
+    # serves the groupBy and the window; explode_outer suppresses the
+    # implicit size>0 pushdown that re-evaluates the interpreted gram
+    # transform at the scan (the explicit token-count filter already
+    # guarantees non-empty gram arrays).
     d = load_table(spark, sf, "documents")
     toks = F.split(F.col("text"), " ")
     k = 10
@@ -488,33 +500,42 @@ def qs135(spark: SparkSession, sf: str) -> DataFrame:
         F.sequence(F.lit(1), F.size(toks) - (k - 1)),
         lambda i: F.struct(
             i.alias("pos"),
-            F.md5(
-                F.concat_ws(
-                    " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
+            F.unhex(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        *[
+                            F.element_at(toks, (i + j).cast("int"))
+                            for j in range(k)
+                        ],
+                    )
                 )
             ).alias("h"),
         ),
     )
     kg = (
         d.filter(F.size(toks) >= k)
-        .select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", F.explode_outer(grams).alias("g"))
         .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
     )
-    dup = (
-        kg.groupBy("h")
+    npart = spark.sparkContext.defaultParallelism * 4
+    kgd = (
+        kg.repartition(npart, "h")
+        .groupBy("h", "doc_id")
         .agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.count_distinct("doc_id").alias("_nd"),
+            F.count(F.lit(1)).alias("_c"),
+            F.min("pos").alias("_mp"),
         )
-        .filter((F.col("_n") > 1) & (F.col("_nd") > 1))
-        .select("h")
     )
+    wh = Window.partitionBy("h")
     return (
-        kg.join(dup, "h")
+        kgd.withColumn("_n", F.sum("_c").over(wh))
+        .withColumn("_nd", F.count(F.lit(1)).over(wh))
+        .filter((F.col("_n") > 1) & (F.col("_nd") > 1))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_dup_spans"),
-            F.min("pos").cast("long").alias("first_pos"),
+            F.sum("_c").alias("n_dup_spans"),
+            F.min("_mp").cast("long").alias("first_pos"),
         )
     )
 
@@ -858,6 +879,14 @@ def qs142(spark: SparkSession, sf: str) -> DataFrame:
     aggregate (same-key partitioning reused across stages). The
     fraction is exact integer division (engine-safe, qs89 policy);
     span positions stay integers throughout."""
+    # r15 single-pass form — same restructure as qs135 (see its
+    # comment): hash each window once into 16-byte binary, and mark
+    # duplicated windows with ONE h-partitioned window function
+    # (count(*) > 1 for repetition, min(doc) ≠ max(doc) for the
+    # cross-document requirement) instead of the dup-set groupBy +
+    # join-back that re-evaluated the gram transform per reference.
+    # Every occurrence row is kept (the islands merge needs each
+    # position), so there is no per-(h, doc) pre-aggregation here.
     d = load_table(spark, sf, "documents")
     toks = F.split(F.col("text"), " ")
     k = 10
@@ -865,29 +894,37 @@ def qs142(spark: SparkSession, sf: str) -> DataFrame:
         F.sequence(F.lit(1), F.size(toks) - (k - 1)),
         lambda i: F.struct(
             i.alias("pos"),
-            F.md5(
-                F.concat_ws(
-                    " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
+            F.unhex(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        *[
+                            F.element_at(toks, (i + j).cast("int"))
+                            for j in range(k)
+                        ],
+                    )
                 )
             ).alias("h"),
         ),
     )
     kg = (
         d.filter(F.size(toks) >= k)
-        .select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", F.explode_outer(grams).alias("g"))
         .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
     )
-    dup = (
-        kg.groupBy("h")
-        .agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.count_distinct("doc_id").alias("_nd"),
+    npart = spark.sparkContext.defaultParallelism * 4
+    wh = Window.partitionBy("h")
+    spans = (
+        kg.repartition(npart, "h")
+        .withColumn("_n", F.count(F.lit(1)).over(wh))
+        .withColumn("_dmin", F.min("doc_id").over(wh))
+        .withColumn("_dmax", F.max("doc_id").over(wh))
+        .filter((F.col("_n") > 1) & (F.col("_dmin") < F.col("_dmax")))
+        .select(
+            "doc_id",
+            F.col("pos").alias("s"),
+            (F.col("pos") + (k - 1)).alias("e"),
         )
-        .filter((F.col("_n") > 1) & (F.col("_nd") > 1))
-        .select("h")
-    )
-    spans = kg.join(dup, "h").select(
-        "doc_id", F.col("pos").alias("s"), (F.col("pos") + (k - 1)).alias("e")
     )
     w_prev = (
         Window.partitionBy("doc_id")
