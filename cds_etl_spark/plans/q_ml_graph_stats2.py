@@ -1364,14 +1364,31 @@ def qs285(spark: SparkSession, sf: str) -> DataFrame:
     support-thresholded and node-dimension-bounded, far smaller
     than the corpus it projects from)."""
     li = load_table(spark, sf, "lineitem")
-    os_ = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
-    ).distinct()
+    # r15: the pair projection used a distinct + self-join on o — the
+    # diamond scanned lineitem twice and paid ~5 exchanges.  The
+    # docstring's "row-local bounded expansion" is now literal: ONE
+    # exchange groups suppliers per order (collect_set dedups in the
+    # same agg), pairs expand row-locally from the sorted set, and the
+    # (s1, s2) support count is the only other exchange.
+    per_order = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .groupBy("o")
+        .agg(F.sort_array(F.collect_set("s")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    pairs = per_order.select(
+        F.explode_outer(
+            F.flatten(
+                F.expr(
+                    "transform(ss, (x, i) -> transform("
+                    "slice(ss, i + 2, size(ss) - i - 1), "
+                    "y -> struct(x AS s1, y AS s2)))"
+                )
+            )
+        ).alias("p")
+    )
     e = (
-        os_.alias("x")
-        .join(os_.alias("y"), "o")
-        .filter(F.col("x.s") < F.col("y.s"))
-        .groupBy(F.col("x.s").alias("s1"), F.col("y.s").alias("s2"))
+        pairs.groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
         .agg(F.count(F.lit(1)).alias("_w"))
         .filter(F.col("_w") >= 2)
         .select("s1", "s2")
@@ -1384,7 +1401,16 @@ def qs285(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    e1 = e.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
+    # r15: AQE coalesced the triangle probe exchange (7.9 MiB at
+    # sf0.1) to ONE partition, so the 79M-wedge / 54M-triangle BHJ +
+    # explode pipeline ran in a single task (guide §2.5 — the same
+    # class as qs163's verify stage).  Pin the probe side to a
+    # defaultParallelism-derived count; the two build sides stay
+    # AQE-broadcast (no hint — at scale they fall back to SMJ).
+    _npart = spark.sparkContext.defaultParallelism * 4
+    e1 = e.select(F.col("s1").alias("a"), F.col("s2").alias("b")).repartition(
+        _npart, "b"
+    )
     e2 = e.select(F.col("s1").alias("b"), F.col("s2").alias("c"))
     e3 = e.select(F.col("s1").alias("a"), F.col("s2").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
