@@ -15,8 +15,7 @@ Stages (each individually oracle-checked by its own queries() entry):
                           probe (benchmark) set
 6. sequence packing       operators/packing.chunk_assignments
 
-Everything stays lazy DataFrame algebra until the caller acts; the
-returned manifest is the (doc → training-chunk) assignment a
+The returned manifest is the (doc → training-chunk) assignment a
 downstream tokenizer/writer consumes.
 
 Scale notes: the stages are ordered cheapest-first so each shuffle
@@ -24,6 +23,16 @@ sees fewer rows than the one before (filters are row-local; exact
 dedup shuffles 32-byte hashes; LSH only shuffles band keys; the
 probe side of decontamination is broadcast). The one inherently
 sequential piece — packing's running sum — is sharded by language.
+
+r15: the stage boundaries (``filtered``, ``deduped``, ``clustered``)
+are materialized with eager localCheckpoints instead of staying pure
+plans.  Each stage is referenced at least twice downstream (survivor
+semi-join, cluster anti-join, contamination anti-join) and pure-plan
+diamonds re-evaluate the whole upstream chain per reference — the
+lazy form re-ran the language/quality/shingle computation up to 8×
+for the manifest.  The corpus input is also spread across cores
+first (``spread_scan``): a single-file documents scan serialized
+every row-local text stage into one task.
 """
 
 from __future__ import annotations
@@ -38,6 +47,7 @@ from cds_etl_spark.operators.components import (
 from cds_etl_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
 from cds_etl_spark.operators.packing import chunk_assignments
 from cds_etl_spark.operators.retrieval import decontaminate
+from cds_etl_spark.operators.skew import spread_scan
 from cds_etl_spark.operators.text_analysis import (
     language_id,
     quality_score,
@@ -66,6 +76,7 @@ def prepare_training_data(
     detected language."""
     txt = F.col(text_col)
 
+    docs = spread_scan(docs, id_col)
     lang_ok = docs.withColumn("lang_guess", language_id(txt)).filter(
         F.col("lang_guess").isin(list(languages))
     )
@@ -80,16 +91,21 @@ def prepare_training_data(
             F.coalesce(F.col("top_fraction"), F.lit(0.0)) <= max_repetition
         )
         .drop("top_fraction")
+        .localCheckpoint(eager=True)
     )
 
     survivors = exact_dedup(filtered, text_col, id_col).select(id_col)
-    deduped = filtered.join(survivors, id_col, "left_semi")
+    deduped = filtered.join(survivors, id_col, "left_semi").localCheckpoint(
+        eager=True
+    )
 
     pairs = minhash_lsh_pairs(
         deduped, id_col=id_col, text_col=text_col, min_jaccard=min_jaccard
     ).select(F.col("d1"), F.col("d2"))
     comps = connected_components(pairs, "d1", "d2")
-    clustered = dedup_keep_canonical(deduped, id_col, comps)
+    clustered = dedup_keep_canonical(deduped, id_col, comps).localCheckpoint(
+        eager=True
+    )
 
     clean = clustered
     if probe is not None:

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cds_etl_spark.functions.text import word_shingles_from_tokens
+from cds_etl_spark.operators.skew import spread_scan
 
 
 def decontaminate(
@@ -52,18 +53,31 @@ def decontaminate(
     shuffle on the document id for the per-doc regroup.
     """
     toks = lambda c: F.split(F.lower(F.col(c)), " ")  # noqa: E731
+    # Scale-adaptive input spread (guide §2.5): a single-file corpus
+    # scan would run the whole shingle+match pipeline in one task.
+    corpus = spread_scan(corpus, id_col)
     sh_corpus = corpus.select(
         F.col(id_col),
         word_shingles_from_tokens(toks(text_col), n).alias("shset"),
     )
+    # explode_outer, not explode: explode's implicit `size(arr) > 0`
+    # filter is pushed below the staging projection with the shingle
+    # transform substituted in, re-evaluating the interpreted
+    # transform per row in a non-codegen Filter (guide §4 /
+    # optimization r15).  The extra NULL rows never match the inner
+    # equi-join on `sh`, so results are identical.
     probe_sh = (
         probe.select(
-            F.explode(word_shingles_from_tokens(toks(text_col), n)).alias("sh")
+            F.explode_outer(
+                word_shingles_from_tokens(toks(text_col), n)
+            ).alias("sh")
         )
         .distinct()
     )
     exploded = sh_corpus.select(
-        id_col, F.size("shset").alias("n_shingles"), F.explode("shset").alias("sh")
+        id_col,
+        F.size("shset").alias("n_shingles"),
+        F.explode_outer("shset").alias("sh"),
     )
     hits = exploded.join(F.broadcast(probe_sh), "sh")
     return (

@@ -82,3 +82,25 @@ def salted_broadcast_join(
         .join(F.broadcast(small_rep), [on, SALT], "inner")
         .drop(SALT)
     )
+
+
+def spread_scan(df: DataFrame, *keys: str, factor: int = 4) -> DataFrame:
+    """Scale-adaptive repartition-after-read (input skew: one small or
+    unsplittable file yields a one-split scan, serializing every
+    row-local stage built on it — spark_optimization_guide §2.5).
+
+    When the plan's scan parallelism is below the session's core count,
+    repartition to ``factor * cores`` on ``keys`` (deterministic hash
+    spread; round-robin when no key is given). When the scan already
+    has at least ``cores`` splits — the normal case at real scale —
+    return ``df`` unchanged so the extra exchange is never paid where
+    it cannot help.
+    """
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= cores:
+        return df
+    n = cores * factor
+    if keys:
+        return df.repartition(n, *[F.col(k) for k in keys])
+    return df.repartition(n)
