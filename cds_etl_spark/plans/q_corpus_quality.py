@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cds_etl_spark.catalog import load_table
+from cds_etl_spark.operators.skew import spread_scan
 from cds_etl_spark.plans.registry import query
 from cds_etl_spark.functions.vector import cosine_similarity, dot_product
 from cds_etl_spark.plans.q_dedup_text import _JACCARD_SQL, _MINHASH_SIG_SQL, _SHINGLES_CTE
@@ -493,7 +494,7 @@ def qs135(spark: SparkSession, sf: str) -> DataFrame:
     # implicit size>0 pushdown that re-evaluates the interpreted gram
     # transform at the scan (the explicit token-count filter already
     # guarantees non-empty gram arrays).
-    d = load_table(spark, sf, "documents")
+    d = spread_scan(load_table(spark, sf, "documents"), "doc_id")
     toks = F.split(F.col("text"), " ")
     k = 10
     grams = F.transform(
@@ -887,7 +888,7 @@ def qs142(spark: SparkSession, sf: str) -> DataFrame:
     # join-back that re-evaluated the gram transform per reference.
     # Every occurrence row is kept (the islands merge needs each
     # position), so there is no per-(h, doc) pre-aggregation here.
-    d = load_table(spark, sf, "documents")
+    d = spread_scan(load_table(spark, sf, "documents"), "doc_id")
     toks = F.split(F.col("text"), " ")
     k = 10
     grams = F.transform(

@@ -334,22 +334,26 @@ def test_q6_all_three_predicates_push_to_scan(spark, sf_dir):
 
 
 def test_qs142_single_doc_exchange_shared_by_windows_and_aggs(spark, sf_dir):
-    # qs142's claim: the dup-hash detection shuffles on h (count_distinct
-    # expands to two phases -> 2 exchanges), then ONE doc-keyed exchange
-    # feeds both window steps AND the island/doc aggregations; the dup
-    # set and the doc-length side join as broadcasts, never SMJ.
+    # qs142's claim (r15 single-pass form): one pinned h exchange feeds
+    # the duplication window, then ONE doc-keyed exchange feeds both
+    # window steps AND the island/doc aggregations; the doc-length side
+    # joins as a broadcast, never SMJ.  The scan-spread repartition
+    # (skew.spread_scan, REPARTITION_BY_NUM) is the only other allowed
+    # doc-keyed exchange — it sits at the scan, not between the window
+    # and the aggregations.
     import re
 
     p = plan(spark, sf_dir, "qs142_duplicate_span_coverage")
-    keys = [
-        m.split("(", 1)[1]
-        for m in re.findall(r"Exchange hashpartitioning\([^)]*", p)
+    lines = re.findall(r"Exchange hashpartitioning\([^\n]*", p)
+    keys = [ln.split("(", 1)[1] for ln in lines]
+    ensure = [
+        ln.split("(", 1)[1] for ln in lines if "REPARTITION_BY_NUM" not in ln
     ]
-    assert len(keys) <= 3, f"expected <=3 hash exchanges, saw {keys}"
-    # exactly ONE doc-only exchange: both windows, the island agg and
-    # the doc agg all ride it (a second doc-keyed exchange would mean
+    assert len(ensure) <= 3, f"expected <=3 planner hash exchanges: {keys}"
+    # exactly ONE planner-inserted doc-only exchange: both windows, the
+    # island agg and the doc agg all ride it (a second one would mean
     # the window partitioning was not reused).
-    doc_only = [k for k in keys if k.startswith("doc_id") and "h#" not in k]
+    doc_only = [k for k in ensure if k.startswith("doc_id") and "h#" not in k]
     assert len(doc_only) == 1, keys
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
