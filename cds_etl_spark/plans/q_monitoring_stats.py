@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cds_etl_spark.catalog import load_table
+from cds_etl_spark.operators.skew import spread_scan
 from cds_etl_spark.plans.registry import query
 
 # --------------------------------------------------------------------------
@@ -1776,7 +1777,13 @@ def qs177(spark: SparkSession, sf: str) -> DataFrame:
     Scale: k-gram hashing is row-local, the shuffle carries (doc,
     pos, 16-byte hash), selection is one window pass, and the pair
     join runs over the winnowed ~2/(w+1) subset."""
-    d = load_table(spark, sf, "documents")
+    # r15: spread the single-file scan (the whole winnow chain ran in
+    # one task), suppress the explode filter-pushdown that re-evaluated
+    # the interpreted gram transform at the scan, and checkpoint the
+    # winnowed fingerprint set -- `sel` fed both the hot-prune and the
+    # pair self-join, so the pure-plan diamond re-ran the winnow chain
+    # up to 4x.
+    d = spread_scan(load_table(spark, sf, "documents"), "doc_id")
     toks = F.split(F.col("text"), " ")
     k, w = 5, 4
     grams = F.transform(
@@ -1796,7 +1803,7 @@ def qs177(spark: SparkSession, sf: str) -> DataFrame:
     )
     kg = (
         d.filter(F.size(toks) >= k)
-        .select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", F.explode_outer(grams).alias("g"))
         .select(
             "doc_id",
             F.col("g.pos").alias("pos"),
@@ -1820,6 +1827,7 @@ def qs177(spark: SparkSession, sf: str) -> DataFrame:
         win.filter(F.col("pos") <= F.col("mx") - (w - 1))
         .select("doc_id", F.substring("mk", 1, 32).alias("h"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     hot = (
         sel.groupBy("h")
@@ -2046,7 +2054,9 @@ def qs179(spark: SparkSession, sf: str) -> DataFrame:
     of 32, ties broken by resample index). Plan: the ×32 explode is
     map-side and collapses to 32 rows in one partial-agg shuffle —
     the uncertainty of a 100 TB mean costs one extra scan."""
-    o = load_table(spark, sf, "orders")
+    # r15: spread the single-file scan -- the 32-resample md5 weight
+    # projection (19M hash evaluations at sf0.1) ran in one task.
+    o = spread_scan(load_table(spark, sf, "orders"), "o_orderkey")
     t = _poisson1_thresholds_u32()
     base = o.select(
         F.col("o_orderkey").alias("k"),

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cds_etl_spark.catalog import load_table
+from cds_etl_spark.operators.skew import spread_scan
 from cds_etl_spark.plans.registry import query
 from cds_etl_spark.plans.q_dedup_text import _MINHASH_SIG_SQL, _SHINGLES_CTE
 
@@ -1044,11 +1045,16 @@ def qs122(spark: SparkSession, sf: str) -> DataFrame:
         word_shingles_from_tokens,
     )
 
-    d = load_table(spark, sf, "documents")
-    sh = d.select(
+    # r15: spread the single-file scan (the md5 minhash projection ran
+    # in one task), and filter on the cheap token-count predicate --
+    # shingles are empty iff the doc has < 3 tokens, and a filter on
+    # `_sh` would push below the projection with the interpreted
+    # shingle transform substituted in (evaluated once more per row).
+    d = spread_scan(load_table(spark, sf, "documents"), "doc_id")
+    sh = d.filter(F.size(F.split(F.col("text"), " ")) >= 3).select(
         "doc_id",
         word_shingles_from_tokens(F.split(F.col("text"), " "), 3).alias("_sh"),
-    ).filter(F.size("_sh") > 0)
+    )
     digests = sh.select(
         "doc_id", *[minhash_digest(F.col("_sh"), g).alias(f"_d{g}") for g in range(3)]
     )
