@@ -112,10 +112,19 @@ def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
     node) + closure probe against the oriented edge set.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # r15: `sym` is referenced by the degree aggregate AND the oriented
+    # join, and each union arm re-evaluates the caller's whole edge
+    # pipeline — pure-plan diamonds re-ran it up to 4x (guide §2.4).
+    # Materialize it once, spread across a defaultParallelism-derived
+    # partition count so the wedge/closure stages never inherit an
+    # AQE-coalesced single partition (guide §2.5).
+    npart = edges.sparkSession.sparkContext.defaultParallelism * 4
     sym = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .repartition(npart, "a")
+        .localCheckpoint(eager=True)
     )
     deg = sym.groupBy(F.col("a").alias("n")).agg(F.count(F.lit(1)).alias("d"))
     # total orientation order: key(n) = (deg(n), n); orient a->b iff
@@ -130,7 +139,13 @@ def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
         .select("a", "b", "kb")
         .localCheckpoint(eager=True)  # reused for wedges AND closure probe
     )
-    w1 = oriented.select(F.col("a").alias("u"), F.col("b").alias("v"), F.col("kb").alias("kv"))
+    # Pin the wedge-build exchange: the checkpointed `oriented` is tiny
+    # on disk, so AQE coalesces the ENSURE_REQUIREMENTS exchanges to one
+    # partition and the (potentially huge) wedge expansion runs in a
+    # single task (guide §2.5 — same class as qs285's probe exchange).
+    w1 = oriented.select(
+        F.col("a").alias("u"), F.col("b").alias("v"), F.col("kb").alias("kv")
+    ).repartition(npart, "u")
     w2 = oriented.select(F.col("a").alias("u"), F.col("b").alias("w"), F.col("kb").alias("kw"))
     wedges = w1.join(w2, "u").filter(F.col("kv") < F.col("kw"))
     closed = wedges.join(

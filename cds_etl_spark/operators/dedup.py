@@ -304,6 +304,7 @@ def embedding_neardup_pairs(
     block_col: str | None = "label",
     min_cosine: float = 0.4,
     allow_full_scan: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked on an equality
     column (cluster/label/bucket id). The block join keeps the pair
@@ -326,11 +327,40 @@ def embedding_neardup_pairs(
             "), or pass "
             "allow_full_scan=True for a deliberately small input."
         )
-    v = df.select(
-        F.col(id_col).alias("_id"),
-        *( [F.col(block_col)] if block_col else [] ),
-        F.col(vec_col).cast("array<double>").alias("_v"),
+    from cds_etl_spark.operators.skew import spread_scan
+
+    v = spread_scan(
+        df.select(
+            F.col(id_col).alias("_id"),
+            *( [F.col(block_col)] if block_col else [] ),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        ),
+        "_id",
     )
+    if dim is not None:
+        # Known dimension: unrolled codegen dot product per pair, norms
+        # computed ONCE per row BEFORE the self-join instead of two HOF
+        # passes per pair — bit-identical values (same left-to-right
+        # double accumulation; see similarity.ivf_assign's dim path).
+        from cds_etl_spark.functions.vector import dot_product_fixed, l2_norm
+
+        v = v.withColumn("_vn", l2_norm(F.col("_v")))
+        a, b = v.alias("a"), v.alias("b")
+        cond = F.col("a._id") < F.col("b._id")
+        if block_col:
+            cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+        return (
+            a.join(b, cond)
+            .select(
+                F.col("a._id").alias("d1"),
+                F.col("b._id").alias("d2"),
+                (
+                    dot_product_fixed(F.col("a._v"), F.col("b._v"), dim)
+                    / (F.col("a._vn") * F.col("b._vn"))
+                ).alias("cos"),
+            )
+            .filter(F.col("cos") >= min_cosine)
+        )
     a, b = v.alias("a"), v.alias("b")
     cond = F.col("a._id") < F.col("b._id")
     if block_col:

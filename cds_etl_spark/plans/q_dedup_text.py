@@ -198,8 +198,10 @@ def qs57(spark: SparkSession, sf: str) -> DataFrame:
 def qs58(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs blocked on label
     (operators/dedup.embedding_neardup_pairs). Rounded post-filter to
-    4 dp for cross-engine hashing."""
-    pairs = embedding_neardup_pairs(load_table(spark, sf, "embeddings"))
+    4 dp for cross-engine hashing. dim=64 is the corpus contract (same
+    literal as qs112's hyperplane SQL): unrolled codegen dot + per-row
+    norms instead of three interpreted HOF passes per pair."""
+    pairs = embedding_neardup_pairs(load_table(spark, sf, "embeddings"), dim=64)
     return pairs.select("d1", "d2", F.round(F.col("cos"), 4).alias("cos"))
 
 

@@ -374,12 +374,31 @@ def qs108(spark: SparkSession, sf: str) -> DataFrame:
     from cds_etl_spark.operators.components import triangle_count
 
     li = load_table(spark, sf, "lineitem")
-    a = li.select("l_orderkey", F.col("l_suppkey").alias("s1"))
-    b = li.select("l_orderkey", F.col("l_suppkey").alias("s2"))
+    # r15: the pair projection was a lineitem self-join — two scans and
+    # a join exchange.  One exchange groups suppliers per order
+    # (collect_list keeps the oracle's multiset semantics: an order
+    # holding a supplier twice contributes each cross pair twice), then
+    # pairs expand row-locally from the sorted list; the strict y > x
+    # filter reproduces the join's s1 < s2 predicate exactly.
+    per_order = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .groupBy("o")
+        .agg(F.sort_array(F.collect_list("s")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    pairs = per_order.select(
+        F.explode_outer(
+            F.flatten(
+                F.expr(
+                    "transform(ss, (x, i) -> transform("
+                    "filter(slice(ss, i + 2, size(ss) - i - 1), y -> y > x), "
+                    "y -> struct(x AS s1, y AS s2)))"
+                )
+            )
+        ).alias("p")
+    )
     edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("s1") < F.col("s2"))
-        .groupBy("s1", "s2")
+        pairs.groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 3)
         .select("s1", "s2")
