@@ -37,7 +37,11 @@ from cds_etl_spark.functions.text import (
     tokens,
     word_shingles_from_tokens,
 )
-from cds_etl_spark.functions.vector import cosine_similarity
+from cds_etl_spark.functions.vector import (
+    cosine_similarity,
+    dot_product_fixed,
+    l2_norm,
+)
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -342,8 +346,6 @@ def embedding_neardup_pairs(
         # computed ONCE per row BEFORE the self-join instead of two HOF
         # passes per pair — bit-identical values (same left-to-right
         # double accumulation; see similarity.ivf_assign's dim path).
-        from cds_etl_spark.functions.vector import dot_product_fixed, l2_norm
-
         v = v.withColumn("_vn", l2_norm(F.col("_v")))
         a, b = v.alias("a"), v.alias("b")
         cond = F.col("a._id") < F.col("b._id")
@@ -947,6 +949,7 @@ def semantic_dedup(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster embeddings, then drop all
     but one representative from every within-cluster near-duplicate
@@ -971,15 +974,35 @@ def semantic_dedup(
     convention as exact_dedup).
 
     Returns (vec_id, cid, is_dup) for every input row.
+
+    ``dim`` (r15, guide §4.3/§8): when the embedding width is a known
+    corpus contract (qs146 passes 64, the same literal qs112's
+    hyperplane SQL hard-codes), both quadratic cosine stages switch
+    from three interpreted HOF passes per pair (dot + 2 norms) to an
+    unrolled codegen ``dot_product_fixed`` with L2 norms computed ONCE
+    per row/anchor BEFORE the crossjoin — bit-identical doubles (same
+    left-to-right accumulation, same ``dot / (norm * norm)`` op
+    order), pinned by the existing differential tests.
     """
     v = emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_vv")
     )
+    if dim is not None:
+        from cds_etl_spark.operators.skew import spread_scan
+
+        v = spread_scan(v, id_col).withColumn("_vn", l2_norm(F.col("_vv")))
+        anchors = anchors.withColumn("_cn", l2_norm(F.col("cvec")))
+        _sim = dot_product_fixed(F.col("_vv"), F.col("cvec"), dim) / (
+            F.col("_vn") * F.col("_cn")
+        )
+    else:
+        _sim = cosine_similarity(F.col("_vv"), F.col("cvec"))
     scored = v.join(F.broadcast(anchors)).select(
         id_col,
         "_vv",
+        *(["_vn"] if dim is not None else []),
         F.col("cid"),
-        F.round(cosine_similarity(F.col("_vv"), F.col("cvec")), 6).alias("_s"),
+        F.round(_sim, 6).alias("_s"),
     )
     assigned = (
         scored.groupBy(id_col)
@@ -990,24 +1013,47 @@ def semantic_dedup(
                     (-F.col("cid")).alias("_nc"),
                     F.col("cid"),
                     F.col("_vv"),
+                    # trailing field: cid above is unique per anchor, so
+                    # _vn can never influence the lexicographic argmax
+                    *([F.col("_vn")] if dim is not None else []),
                 )
             ).alias("_b")
         )
-        .select(id_col, F.col("_b.cid").alias("cid"), F.col("_b._vv").alias("_vv"))
-        .localCheckpoint(eager=False)
+        .select(
+            id_col,
+            F.col("_b.cid").alias("cid"),
+            F.col("_b._vv").alias("_vv"),
+            *([F.col("_b._vn").alias("_vn")] if dim is not None else []),
+        )
     )
+    assigned = assigned.localCheckpoint(eager=False)
+    if dim is not None:
+        # Pin the pair join's cid exchange ABOVE the checkpoint (a
+        # checkpoint scan reports UnknownPartitioning, so a repartition
+        # below it is erased and the SMJ re-exchanges): without the
+        # pin, AQE coalesces the tiny cid shuffle to ONE partition and
+        # the whole quadratic within-cluster compare — with the cosine
+        # filter pushed into the join condition — runs in a single
+        # task (guide §2.5). The explicit numPartitions blocks AQE
+        # coalescing; parallelism is bounded by the anchor count,
+        # which scales as corpus/200 by design.
+        npart = emb.sparkSession.sparkContext.defaultParallelism * 4
+        assigned = assigned.repartition(npart, "cid")
     a = assigned.alias("a")
     b = assigned.alias("b")
+    if dim is not None:
+        _pair_cos = dot_product_fixed(F.col("a._vv"), F.col("b._vv"), dim) / (
+            F.col("a._vn") * F.col("b._vn")
+        )
+    else:
+        _pair_cos = cosine_similarity(F.col("a._vv"), F.col("b._vv"))
     dup_ids = (
         a.join(
             b,
             (F.col("a.cid") == F.col("b.cid"))
             & (F.col("b." + id_col) < F.col("a." + id_col)),
         )
-        .filter(
-            F.round(cosine_similarity(F.col("a._vv"), F.col("b._vv")), 4)
-            >= F.lit(threshold)
-        )
+        .filter(F.round(_pair_cos, 4) >= F.lit(threshold))
         .select(F.col("a." + id_col))
         .distinct()
         .withColumn("_dup", F.lit(True))

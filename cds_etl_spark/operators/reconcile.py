@@ -185,8 +185,16 @@ def fuzzy_join(
     Caller aliases overlapping column names before calling (the join
     keeps all columns of both sides).
     """
-    lb = left.withColumn("__blk", block(F.col(left_col)))
-    rb = right.withColumn("__blk", block(F.col(right_col)))
+    from cds_etl_spark.operators.skew import spread_scan
+
+    # r15 (guide §2.5): a single-file input puts the whole blocked join
+    # + Levenshtein refine in ONE task; spreading both sides on the
+    # block key keeps the candidate expansion parallel (and the
+    # repartitions satisfy the equi-join's distribution, so no further
+    # exchange is added). No-op when the scans already have >= cores
+    # splits.
+    lb = spread_scan(left.withColumn("__blk", block(F.col(left_col))), "__blk")
+    rb = spread_scan(right.withColumn("__blk", block(F.col(right_col))), "__blk")
     return (
         lb.join(rb, "__blk")
         .filter(F.levenshtein(F.col(left_col), F.col(right_col)) <= max_distance)

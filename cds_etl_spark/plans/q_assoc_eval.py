@@ -1756,13 +1756,26 @@ def qs341(spark: SparkSession, sf: str) -> DataFrame:
     Determinism: shingle-set sizes and intersections are exact
     integers; containments are e4 basis-point floor divisions; the
     50% gate is an integer cross-multiplication."""
+    from cds_etl_spark.operators.skew import spread_scan
+
     d = load_table(spark, sf, "documents")
-    t = d.select(
+    # r15 (guide §1.3/§2.4/§2.5): filter on the CHEAP token-count
+    # predicate BEFORE computing shingles (shset non-empty ⟺
+    # size(toks) >= 3, so the old `size(shset) > 0` post-filter — whose
+    # pushdown re-evaluated the zip_with chain per row in an
+    # interpreted Filter — is equivalent and free), spread the
+    # single-file scan, and materialize the shingle sets ONCE: `sh` fed
+    # the windowed right branch AND the d1 attach join, so the
+    # pure-plan diamond re-ran the shingle computation twice.
+    t = spread_scan(
+        d.select(
+            "doc_id",
+            "lang",
+            (F.col("n_chars") / F.lit(64)).cast("long").alias("lenband"),
+            F.split(F.col("text"), " ").alias("toks"),
+        ),
         "doc_id",
-        "lang",
-        (F.col("n_chars") / F.lit(64)).cast("long").alias("lenband"),
-        F.split(F.col("text"), " ").alias("toks"),
-    )
+    ).filter(F.size("toks") >= 3)
     # zip_with over shifted slices beats transform(sequence(...), i ->
     # toks[i]...) ~8x at sf1 (no index array materialization, no
     # per-element array lookups) — measured r10, same trigram strings.
@@ -1785,17 +1798,10 @@ def qs341(spark: SparkSession, sf: str) -> DataFrame:
         )
         .otherwise(F.array().cast("array<string>"))
         .alias("shset"),
-    ).filter(F.size("shset") > 0)
-    # shset non-empty ⟺ size(toks) >= 3, so the rn skeleton never
-    # touches `text` (column-pruned scan; shingling is computed only
-    # on the two set-carrying branches, not per exploded row).
-    base = d.filter(
-        F.size(F.split(F.col("text"), " ")) >= 3
-    ).select(
-        "doc_id",
-        "lang",
-        (F.col("n_chars") / F.lit(64)).cast("long").alias("lenband"),
-    )
+    ).localCheckpoint(eager=True)
+    # Same row set as `sh` (≥3 tokens), read from the checkpoint —
+    # the rn skeleton never recomputes the sets.
+    base = sh.select("doc_id", "lang", "lenband")
     # Plain per-block window, with a MEASURED reject of the
     # bucketed_row_number rewire (r10, BASELINE): the rn machinery
     # would run on both the skeleton and set branches and cost
@@ -1803,7 +1809,16 @@ def qs341(spark: SparkSession, sf: str) -> DataFrame:
     # more parallelism than qs334's 25-cell layer; the part_cols
     # rewire stays one line away if blocks ever outgrow tasks.
     w = Window.partitionBy("lang", "lenband").orderBy("doc_id")
-    nz = base.withColumn("rn", F.row_number().over(w))
+    # r15 (guide §2.5): AQE coalesced the tiny (lang, lenband) window
+    # exchanges to ONE partition, so the 48·N pair expansion and every
+    # array_intersect ran in a single task. An explicit repartition on
+    # the window keys satisfies the window's required distribution
+    # (AQE never coalesces a user repartition), spreading the ~250
+    # blocking cells across cores; derived from defaultParallelism.
+    npart = spark.sparkContext.defaultParallelism * 4
+    nz = base.repartition(npart, "lang", "lenband").withColumn(
+        "rn", F.row_number().over(w)
+    )
     skel = nz.select(
         "lang",
         "lenband",
@@ -1814,7 +1829,9 @@ def qs341(spark: SparkSession, sf: str) -> DataFrame:
     )
     # Same row set and ordering as `nz`, so rn values coincide; this
     # branch carries the sets, the skeleton branch never computes them.
-    right = sh.withColumn("rn", F.row_number().over(w)).select(
+    right = sh.repartition(npart, "lang", "lenband").withColumn(
+        "rn", F.row_number().over(w)
+    ).select(
         "lang",
         "lenband",
         "rn",

@@ -1217,7 +1217,10 @@ def qs146(spark: SparkSession, sf: str) -> DataFrame:
             F.col("embedding").cast("array<double>").alias("cvec"),
         )
     )
-    out = semantic_dedup(emb, anchors, threshold=0.4)
+    # dim=64 is the corpus contract (the same literal qs112's hyperplane
+    # SQL hard-codes): unrolled codegen dots + pre-join norms instead of
+    # three interpreted HOF passes per pair (r15, guide §4.3/§8).
+    out = semantic_dedup(emb, anchors, threshold=0.4, dim=64)
     return out.select(
         "vec_id", "cid", F.col("is_dup").cast("long").alias("is_dup")
     )
@@ -1531,13 +1534,21 @@ def qs152(spark: SparkSession, sf: str) -> DataFrame:
     from cds_etl_spark.functions.text import word_shingles_from_tokens
     from cds_etl_spark.operators.sketches import bloom_build, bloom_probe
 
+    from cds_etl_spark.operators.skew import spread_scan
+
     d = load_table(spark, sf, "documents")
-    sh = d.select(
+    # r15: spread the single-file scan (the shingle explode ran in ONE
+    # task) and explode_outer + NULL drop — the inner explode's
+    # implicit `size > 0` pushdown re-evaluated the interpreted shingle
+    # transform per row (guide §1.3; the qs83 fix class). The NULL
+    # filter sits ABOVE the Generate (it is on the generated column),
+    # so short documents drop without re-running the transform.
+    sh = spread_scan(d.select("doc_id", "text"), "doc_id").select(
         "doc_id",
-        F.explode(
+        F.explode_outer(
             word_shingles_from_tokens(F.split(F.col("text"), " "), 3)
         ).alias("s"),
-    )
+    ).filter(F.col("s").isNotNull())
     member = sh.filter(F.col("doc_id") % 10 == 0)
     probe = sh.filter(F.col("doc_id") % 10 != 0)
     bloom = bloom_build(member.select("s"), "s")

@@ -660,10 +660,15 @@ def qs389(spark: SparkSession, sf: str) -> DataFrame:
     r12 cells) — the unpruned hot-term postings join is quadratic;
     the prefix-filter join (qs163) and the ANN family are the scale
     paths for this shape."""
+    from cds_etl_spark.operators.skew import spread_scan
+
     docs = load_table(spark, sf, "documents")
-    toks = docs.select(
+    # r15: spread the single-file scan + explode_outer (the inner
+    # explode's `size > 0` pushdown re-evaluated the tokenize per row;
+    # NULL terms drop in the existing filter) — the qs215 fix.
+    toks = spread_scan(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id",
-        F.explode(
+        F.explode_outer(
             F.array_distinct(F.split(F.lower(F.col("text")), " "))
         ).alias("term"),
     ).filter(F.col("term") != "")

@@ -838,10 +838,17 @@ def qs215(spark: SparkSession, sf: str) -> DataFrame:
     postings), per-query ranking windows are query-partitioned, and
     the ideal-DCG lookup is a CASE over the relevant-count — no
     second pass over the corpus."""
+    from cds_etl_spark.operators.skew import spread_scan
+
     docs = load_table(spark, sf, "documents")
-    toks = docs.select(
+    # r15: spread the single-file scan (the tokenize explode ran in ONE
+    # task, guide §2.5) and explode_outer — the inner explode's implicit
+    # `size(...) > 0` pushdown re-evaluated the array_distinct/split
+    # tokenize per row in an interpreted Filter (guide §1.3); NULL terms
+    # from empty arrays are dropped by the existing `term != ''` filter.
+    toks = spread_scan(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id",
-        F.explode(
+        F.explode_outer(
             F.array_distinct(F.split(F.lower(F.col("text")), " "))
         ).alias("term"),
     ).filter(F.col("term") != "")
