@@ -1267,7 +1267,11 @@ def qs334(spark: SparkSession, sf: str) -> DataFrame:
     # (explode both edge directions + deg as a whole-partition count
     # window) measured NEUTRAL at sf10 (69.6 vs 69.5 s) and slightly
     # worse at sf1 — the wedge groupBy shuffle dominates, so the
-    # simpler shape stays.
+    # simpler shape stays. r15 (guide §2.4): the diamond itself is now
+    # paid once — `pairs` is checkpointed, so the two
+    # sorted-neighborhood layers (2 bucketed_row_number passes +
+    # equi-joins + distinct) no longer re-run per reference.
+    pairs = pairs.localCheckpoint(eager=True)
     edges = pairs.select(
         F.col("d1").alias("a"), F.col("d2").alias("b")
     ).unionAll(

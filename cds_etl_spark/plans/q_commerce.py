@@ -299,15 +299,22 @@ def qs183(spark: SparkSession, sf: str) -> DataFrame:
         .alias("c"),
         F.col("l_quantity").cast("long").alias("q"),
     )
-    g = b.groupBy("flag", "c").agg(F.sum("q").alias("q"))
-    w = g.withColumn(
-        "cq",
-        F.sum("q").over(
-            Window.partitionBy("flag")
-            .orderBy("c")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    ).withColumn("tq", F.sum("q").over(Window.partitionBy("flag")))
+    # r15 (guide §2.5, the qs230 shape): the plain per-flag window put
+    # the ~594k-row near-unique price grid in 3 tasks forever —
+    # bucketed_prefix_sum spreads the cumulative sum over 1024 range
+    # buckets per flag (bit-identical exact integers); per-flag totals
+    # aggregate from the raw scan and broadcast (3 rows); the grid is
+    # checkpointed because the prefix machinery references it ~4x.
+    from cds_etl_spark.operators.prefix import bucketed_prefix_sum
+
+    g = (
+        b.groupBy("flag", "c")
+        .agg(F.sum("q").alias("q"))
+        .localCheckpoint(eager=True)
+    )
+    gp = bucketed_prefix_sum(g, "c", "q", "cq", part_cols=("flag",))
+    tn = b.groupBy("flag").agg(F.sum("q").alias("tq"))
+    w = gp.join(F.broadcast(tn), "flag")
     return w.groupBy(F.col("flag").alias("l_returnflag")).agg(
         F.min(
             F.when(F.lit(2) * F.col("cq") >= F.col("tq"), F.col("c"))

@@ -1547,10 +1547,15 @@ def qs222(spark: SparkSession, sf: str) -> DataFrame:
     prov = a2.join(b2, ["source", "band"]).filter(
         F.col("d1") < F.col("d2")
     )
+    # r15 (guide §2.4): `pairs` feeds edges (2x), the anti-join and —
+    # via edges — the degree table and both wedge sides; without the
+    # checkpoint the two blocked self-joins + distinct re-ran per
+    # reference (qs334 precedent).
     pairs = (
         sim.select("d1", "d2")
         .unionAll(prov.select("d1", "d2"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     edges = pairs.select(
         F.col("d1").alias("a"), F.col("d2").alias("b")
@@ -2253,7 +2258,15 @@ def qs230(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("v"),
     )
-    g = s.groupBy("prio", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    # r15 (guide §2.4): the prefix machinery references its input ~4x
+    # (bounds agg, bucket join, in-bucket window, bucket-offset join
+    # back) — without the checkpoint the orders scan + (prio, v)
+    # groupBy re-ran per reference.
+    g = (
+        s.groupBy("prio", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     gp = bucketed_prefix_sum(g, "v", "cnt", "cum_lo", part_cols=("prio",))
     tn = s.groupBy("prio").agg(F.count(F.lit(1)).alias("tn"))
     w = gp.join(F.broadcast(tn), "prio")
@@ -3096,9 +3109,28 @@ def qs239(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("v"),
     )
-    q = b.groupBy("grp").agg(
-        F.percentile("v", F.lit(0.25)).alias("q1"),
-        F.percentile("v", F.lit(0.75)).alias("q3"),
+    # r15 (guide §1.3/§2.4): ONE percentile aggregate carrying both
+    # quantiles — two separate F.percentile calls each buffered the
+    # full per-group value multiset (measured 3.4 s vs 1.9 s for the
+    # fused form at sf0.1; the multiset buffer is the aggregate's
+    # inherent cost — a (grp, v) count grid collapses nothing here,
+    # 594k distinct of 600k). The 3-row result is checkpointed so the
+    # fence-count join does not re-run the percentile pass (a spread
+    # was measured and REVERTED: it parallelizes partials but inflates
+    # the multiset-map merge, 1.9 -> 2.4 s).
+    q = (
+        b.groupBy("grp")
+        .agg(
+            F.percentile(
+                "v", F.array(F.lit(0.25), F.lit(0.75))
+            ).alias("_qq")
+        )
+        .select(
+            "grp",
+            F.col("_qq")[0].alias("q1"),
+            F.col("_qq")[1].alias("q3"),
+        )
+        .localCheckpoint(eager=True)
     )
     j = b.join(F.broadcast(q), "grp")
     iqr = F.col("q3") - F.col("q1")
