@@ -1519,12 +1519,27 @@ def qs337(spark: SparkSession, sf: str) -> DataFrame:
     Spark side expands pairs row-locally from the one corpus shuffle
     (collect_set baskets), and only the ≤ C(50,2) aggregated pairs
     ever shuffle again."""
+    from cds_etl_spark.operators.skew import spread_scan
+
     li = load_table(spark, sf, "lineitem")
-    baskets = li.select(
-        F.col("l_orderkey").alias("o"),
-        (F.col("l_partkey") % 50).alias("item"),
-    ).groupBy("o").agg(
-        F.sort_array(F.collect_set("item")).alias("items")
+    # r15 (guide §2.4/§2.5): spread the single-file scan (the partial
+    # collect_set ran in one task) and checkpoint the basket table —
+    # n, sup and the pair expansion all reference it, so the corpus
+    # shuffle re-ran three times; explode_outer stops the implicit
+    # size>0 pushdown from re-evaluating the interpreted nested
+    # pair transform per basket (NULL rows = empty/1-item baskets,
+    # dropped below exactly as the inner explode dropped them).
+    baskets = (
+        spread_scan(
+            li.select(
+                F.col("l_orderkey").alias("o"),
+                (F.col("l_partkey") % 50).alias("item"),
+            ),
+            "o",
+        )
+        .groupBy("o")
+        .agg(F.sort_array(F.collect_set("item")).alias("items"))
+        .localCheckpoint(eager=True)
     )
     n = baskets.agg(F.count(F.lit(1)).alias("nn"))
     sup = baskets.select(F.explode("items").alias("item")).groupBy(
@@ -1532,7 +1547,7 @@ def qs337(spark: SparkSession, sf: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("s"))
     pairs = (
         baskets.select(
-            F.explode(
+            F.explode_outer(
                 F.expr(
                     "flatten(transform(items, (x, i) -> "
                     "transform(slice(items, i + 2, size(items)), "
@@ -1540,6 +1555,7 @@ def qs337(spark: SparkSession, sf: str) -> DataFrame:
                 )
             ).alias("p")
         )
+        .filter(F.col("p").isNotNull())
         .groupBy(
             F.col("p.item_a").alias("item_a"),
             F.col("p.item_b").alias("item_b"),

@@ -533,11 +533,25 @@ def qs187(spark: SparkSession, sf: str) -> DataFrame:
     # DISTINCT the textbook formulation starts with is free here —
     # supports, the order count, and the pair expansion all derive
     # from the basket table row-locally.
-    baskets = li.select(
-        F.col("l_orderkey").alias("o"),
-        (F.col("l_partkey") % 50).alias("item"),
-    ).groupBy("o").agg(
-        F.sort_array(F.collect_set("item")).alias("items")
+    from cds_etl_spark.operators.skew import spread_scan
+
+    # r15 (guide §2.4/§2.5): spread the single-file scan (the partial
+    # collect_set ran in one task), checkpoint the basket table (n,
+    # sup and the pair expansion re-ran the corpus shuffle 3x), and
+    # explode_outer so the implicit size>0 pushdown does not
+    # re-evaluate the interpreted nested pair transform per basket
+    # (NULL rows = empty/1-item baskets, dropped below).
+    baskets = (
+        spread_scan(
+            li.select(
+                F.col("l_orderkey").alias("o"),
+                (F.col("l_partkey") % 50).alias("item"),
+            ),
+            "o",
+        )
+        .groupBy("o")
+        .agg(F.sort_array(F.collect_set("item")).alias("items"))
+        .localCheckpoint(eager=True)
     )
     # In-plan scalar (1-row crossJoin), not a driver-side count():
     # the query stays one lazy plan, no extra job.
@@ -547,7 +561,7 @@ def qs187(spark: SparkSession, sf: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("s"))
     pairs = (
         baskets.select(
-            F.explode(
+            F.explode_outer(
                 F.expr(
                     "flatten(transform(items, (x, i) -> "
                     "transform(slice(items, i + 2, size(items)), "
@@ -555,6 +569,7 @@ def qs187(spark: SparkSession, sf: str) -> DataFrame:
                 )
             ).alias("p")
         )
+        .filter(F.col("p").isNotNull())
         .groupBy(F.col("p.item_a").alias("item_a"),
                  F.col("p.item_b").alias("item_b"))
         .agg(F.count(F.lit(1)).alias("s_ab"))

@@ -631,10 +631,22 @@ def qs137(spark: SparkSession, sf: str) -> DataFrame:
     corpus is read once per PASS, not once per branch; the single-plan
     form here is what the oracle contract can check."""
     from cds_etl_spark.operators.sketches import cms_build, cms_estimate
+    from cds_etl_spark.operators.skew import spread_scan
 
     d = load_table(spark, sf, "documents")
-    toks = d.select(
-        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    # r15 (guide §2.4/§2.5): spread the single-file scan (the tokenize
+    # explode + every partial aggregate ran in one task) and
+    # checkpoint the token stream — the sketch build, the probe and
+    # the exact verify branch each re-tokenized the corpus (the
+    # "three corpus-tokenizing branches" the r5 review counted; the
+    # checkpoint is the in-plan form of the per-PASS materialization
+    # the docstring describes).
+    toks = (
+        spread_scan(d.select("text"))
+        .select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+        )
+        .localCheckpoint(eager=True)
     )
     total = d.agg(
         F.sum(F.size(F.split(F.lower(F.col("text")), " ")))

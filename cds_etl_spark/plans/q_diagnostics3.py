@@ -114,13 +114,26 @@ def qs393(spark: SparkSession, sf: str) -> DataFrame:
     ~8×), and the O(candidate) overlap verify replaces the
     O(query·corpus) exact join. Recall loss is measurable, not
     assumed: qs389 is the exact reference."""
+    from cds_etl_spark.operators.skew import spread_scan
+
     docs = load_table(spark, sf, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(F.split(F.lower(F.col("text")), " "))
-        ).alias("term"),
-    ).filter(F.col("term") != "")
+    # r15 (guide §1.3/§2.4/§2.5): spread the single-file scan,
+    # explode_outer (the implicit size>0 pushdown re-evaluated the
+    # interpreted tokenize per row — the qs215 fix class), and
+    # checkpoint the postings ONCE: `toks` feeds dfreq, the query-side
+    # prefix join AND the candidate-generation postings join, so the
+    # pure-plan diamond re-tokenized the corpus three times.
+    toks = (
+        spread_scan(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            F.explode_outer(
+                F.array_distinct(F.split(F.lower(F.col("text")), " "))
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .localCheckpoint(eager=True)
+    )
     dfreq = toks.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
@@ -153,21 +166,30 @@ def qs393(spark: SparkSession, sf: str) -> DataFrame:
         .select("qid", "qsrc", "cid")
         .distinct()
     )
-    arr = docs.select(
-        "doc_id",
-        F.array_distinct(
-            F.filter(
-                F.split(F.lower(F.col("text")), " "),
-                lambda x: x != F.lit(""),
-            )
-        ).alias("ts"),
+    # Checkpointed for the same reason: `arr` is attached on both the
+    # query and candidate sides, re-running the interpreted
+    # array_distinct/filter transform over the corpus twice.
+    arr = (
+        spread_scan(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col("text")), " "),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("ts"),
+        )
+        .localCheckpoint(eager=True)
     )
+    # r15 (guide §2.3/§8): attach the cid-keyed payloads FIRST, the
+    # qid-keyed array LAST — written q-side-first, the pair set
+    # crossed the cid exchange already carrying qts, so token arrays
+    # crossed TWO exchanges; this order moves arrays across one, and
+    # the qid join's partitioning is reused by the rank window below
+    # (no fourth pair exchange).
     ov = (
         cand.join(
-            arr.select(F.col("doc_id").alias("qid"), F.col("ts").alias("qts")),
-            "qid",
-        )
-        .join(
             arr.select(F.col("doc_id").alias("cid"), F.col("ts").alias("cts")),
             "cid",
         )
@@ -176,6 +198,10 @@ def qs393(spark: SparkSession, sf: str) -> DataFrame:
                 F.col("doc_id").alias("cid"), F.col("source").alias("csrc")
             ),
             "cid",
+        )
+        .join(
+            arr.select(F.col("doc_id").alias("qid"), F.col("ts").alias("qts")),
+            "qid",
         )
         .select(
             "qid",

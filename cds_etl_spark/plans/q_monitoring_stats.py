@@ -1288,9 +1288,20 @@ def qs171(spark: SparkSession, sf: str) -> DataFrame:
     groupBy a planner could not afford at 100 TB — which is the
     point of the sketch."""
     from cds_etl_spark.operators.sketches import cms_build
+    from cds_etl_spark.operators.skew import spread_scan
 
     li = load_table(spark, sf, "lineitem")
-    sk = cms_build(li, "l_partkey", depth=4, width=4096)
+    # r15 (guide §2.5): spread ONLY the sketch input — the x4 md5
+    # bucket projection (2.4M hashes at sf0.1) ran in one task
+    # (measured 3.4 -> 2.2 s); the exact side's one-task partial
+    # count is CHEAPER than the round-robin exchange (0.2 vs 1.8 s
+    # measured), so it keeps the bare scan. No-op at real scale.
+    sk = cms_build(
+        spread_scan(li.select("l_partkey")),
+        "l_partkey",
+        depth=4,
+        width=4096,
+    )
     dots = sk.groupBy("j").agg(
         F.sum(F.col("cnt") * F.col("cnt")).alias("dot")
     )
