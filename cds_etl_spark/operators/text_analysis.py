@@ -120,12 +120,21 @@ def document_profile(
     """One-pass per-document text profile: token counts, quality
     features, language guess, k-min fingerprint. Single projection —
     every signal shares the tokenization subexpressions."""
+    from cds_etl_spark.operators.skew import spread_scan
+
     # Raw-token split staged as a column so the shingle transform reads
     # a materialized array (see functions.text.word_shingles PERF note).
-    staged = df.select(
-        F.col(id_col),
-        F.col(text_col).alias("_text"),
-        F.split(F.col(text_col), " ").alias("_rawtoks"),
+    # r15 (guide §2.5): the profile is a pure map — on a single-file
+    # scan every interpreted per-row signal (lang-ID lexicon HOFs,
+    # shingle fingerprint) ran in ONE task; spread_scan parallelizes
+    # it and is a no-op at real scale.
+    staged = spread_scan(
+        df.select(
+            F.col(id_col),
+            F.col(text_col).alias("_text"),
+            F.split(F.col(text_col), " ").alias("_rawtoks"),
+        ),
+        id_col,
     )
     text = F.col("_text")
     feats = quality_features(text)

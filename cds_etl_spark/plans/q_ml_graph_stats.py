@@ -1441,15 +1441,22 @@ def qs295(spark: SparkSession, sf: str) -> DataFrame:
     explicit zero guards; macro averages 5 per-class doubles (like-
     magnitude, noise ≪ ROUND 4). Plan: row-local lexicon scoring →
     one ≤|langs|² confusion aggregate → label-sized epilogue."""
+    from cds_etl_spark.operators.skew import spread_scan
     from cds_etl_spark.operators.text_analysis import language_id
 
     d = load_table(spark, sf, "documents")
-    g = d.select(
+    # r15 (guide §2.4/§2.5): spread the single-file scan (the
+    # interpreted lexicon-HOF scoring ran in one task) and checkpoint
+    # the <=|langs|^2-row confusion matrix — labs/tp/fp/fn each
+    # referenced it, re-running the corpus scoring 4x.
+    g = spread_scan(d.select("doc_id", "lang", "text"), "doc_id").select(
         F.col("lang").alias("truth"),
         language_id(F.col("text")).alias("guess"),
     )
-    conf = g.groupBy("truth", "guess").agg(
-        F.count(F.lit(1)).alias("c")
+    conf = (
+        g.groupBy("truth", "guess")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
     labs = conf.select(F.col("truth").alias("lab")).distinct()
     tp = conf.filter(F.col("truth") == F.col("guess")).select(

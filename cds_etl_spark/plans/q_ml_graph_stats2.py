@@ -49,6 +49,8 @@ def qs256(spark: SparkSession, sf: str) -> DataFrame:
     AQE broadcasts while it is genuinely small, shuffles at 100x)."""
     li = load_table(spark, sf, "lineitem")
     p = load_table(spark, sf, "part")
+    # r15 (guide §2.4): checkpoint the basket table — x/y/z each
+    # referenced it, so the lineitem-part join + distinct re-ran 3x.
     ob = (
         li.join(
             p.select("p_partkey", "p_brand"),
@@ -56,6 +58,7 @@ def qs256(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     x = ob.select("o", F.col("b").alias("b1"))
     y = ob.select("o", F.col("b").alias("b2"))
@@ -465,6 +468,9 @@ def qs260(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("c", "s")
         .distinct()
+        # r15 (guide §2.4): a1/h1/a2 each reference the edge set, so
+        # the orders-lineitem join + distinct re-ran 3x.
+        .localCheckpoint(eager=True)
     )
     a1 = e.groupBy("s").agg(F.count(F.lit(1)).alias("a"))
     h1 = (
