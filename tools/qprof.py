@@ -17,6 +17,7 @@ AQEShuffleRead (the AQE-coalesced-to-one-task smell, guide §2.5).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -60,6 +61,18 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             rec["err"] = f"{type(exc).__name__}: {str(exc)[:160]}"
         print(json.dumps(rec), flush=True)
+        # Measurement hygiene: checkpointed queries leave their
+        # localCheckpoint blocks persisted until the DataFrame is
+        # GC'd; across a batch of heavy queries the accumulated
+        # blocks evict each other and the NEXT query's warm runs pay
+        # disk reads + GC churn (qs135 measured 2.8 s alone vs 20 s
+        # ninth-in-batch). Drop every persisted RDD between queries
+        # so each measurement starts from a clean block manager.
+        df = None
+        gc.collect()
+        jsc = spark.sparkContext._jsc
+        for rdd in jsc.getPersistentRDDs().values():
+            rdd.unpersist()
     return 0
 
 

@@ -26,6 +26,7 @@ runs ONCE (no best-of) and skips its remaining runs.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -98,6 +99,16 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — sweep must finish
             rec["err"] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
         print(json.dumps(rec), file=out, flush=True)
+        # Measurement hygiene (same as tools/qprof.py): checkpointed
+        # queries leave localCheckpoint blocks persisted until the
+        # DataFrame is GC'd; across a 401-query batch the accumulated
+        # blocks evict each other and later queries pay disk reads +
+        # GC churn that have nothing to do with their own cost. Drop
+        # all persisted RDDs between queries.
+        w = None
+        gc.collect()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
     if out is not sys.stdout:
         out.close()
     return 0
