@@ -1359,14 +1359,17 @@ def qs285(spark: SparkSession, sf: str) -> DataFrame:
     Determinism: edges, degrees, per-node triangle counts and wedge
     counts are exact integers; avg_cc sums ~node-count bounded
     rationals (noise ≪ ROUND 4). Plan: per-order supplier pairs are
-    row-local bounded expansion (qs187); the triangle enumeration
-    is the canonical two-hop join e(a,b)⋈e(b,c)⋈e(a,c) with a<b<c
-    ordering so each triangle materializes once; everything after
-    is node-dimension-sized. The pair projection is the dominant
-    cost and the DAG references it 4× (degrees + the three triangle
-    legs) — pure plans re-evaluate per reference, so it is
-    materialized ONCE with an eager localCheckpoint (the qs249/
-    components.py iterative-graph precedent; the edge table is
+    row-local bounded expansion (qs187); per-node triangle counts
+    come from ONE native array_intersect per edge over adjacency
+    lists — t(v) = ½·Σ_{u∈N(v)} |N(u)∩N(v)| — instead of the
+    canonical two-hop triangle join, so nothing triangle-dimension
+    is ever materialized (the oracle enumerates triples directly;
+    both count each triangle once per member node). Everything
+    after is node-dimension-sized. The pair projection is the
+    dominant cost and the DAG references it multiple times — pure
+    plans re-evaluate per reference, so it is materialized ONCE
+    with an eager localCheckpoint (the qs249/components.py
+    iterative-graph precedent; the edge table is
     support-thresholded and node-dimension-bounded, far smaller
     than the corpus it projects from)."""
     li = load_table(spark, sf, "lineitem")
@@ -1400,32 +1403,60 @@ def qs285(spark: SparkSession, sf: str) -> DataFrame:
         .select("s1", "s2")
         .localCheckpoint(eager=True)
     )
-    # Explode-not-union: one reference to the expensive pair
-    # projection instead of two (each DAG reference re-evaluates it).
-    deg = (
-        e.select(F.explode(F.array("s1", "s2")).alias("node"))
+    # r15 second pass: the wedge/closure enumeration materialized 79M
+    # wedge rows, 54M triangle rows and a 162M-row explode — on this
+    # graph (1000 nodes, 344k edges, 69% dense at sf0.1) the rows ARE
+    # the cost.  Per-node triangle participation has a row-free dual:
+    #   t(v) = ½ · Σ_{u∈N(v)} |N(u) ∩ N(v)|
+    # (each triangle at v is seen by BOTH of its incident edges at v),
+    # so ONE native array_intersect per edge over adjacency lists
+    # replaces the three-leg join: output is 2·E narrow rows instead
+    # of 54M triangle rows (guide §2.3 — shuffle/materialize decisions
+    # on lightweight proxies).  Adjacency lists are node-dimension
+    # (Σ|ns| = 2E) and this graph SPARSIFIES with scale (support ≥ 2
+    # cuts expected degree ~1/V, header docstring), so no hub-row
+    # hazard.  Measured at sf0.1: warm 7.0 s → 2.0 s, cold 14.8 → 5.9.
+    nbrs = (
+        e.select(F.col("s1").alias("node"), F.col("s2").alias("nb"))
+        .unionByName(
+            e.select(F.col("s2").alias("node"), F.col("s1").alias("nb"))
+        )
         .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.collect_set("nb").alias("ns"))
+        .localCheckpoint(eager=True)  # referenced 3x: deg + both joins
     )
-    # r15: AQE coalesced the triangle probe exchange (7.9 MiB at
-    # sf0.1) to ONE partition, so the 79M-wedge / 54M-triangle BHJ +
-    # explode pipeline ran in a single task (guide §2.5 — the same
-    # class as qs163's verify stage).  Pin the probe side to a
-    # defaultParallelism-derived count; the two build sides stay
-    # AQE-broadcast (no hint — at scale they fall back to SMJ).
+    deg = nbrs.select("node", F.size("ns").alias("d"))
+    # Pin the per-edge intersect stage: the checkpointed e is tiny on
+    # disk, so AQE would coalesce the exchange to ONE task (guide
+    # §2.5); the adjacency sides stay AQE-broadcast (no hint — at
+    # scale they fall back to SMJ).
     _npart = spark.sparkContext.defaultParallelism * 4
-    e1 = e.select(F.col("s1").alias("a"), F.col("s2").alias("b")).repartition(
-        _npart, "b"
+    cnt = (
+        e.repartition(_npart, "s1", "s2")
+        .join(
+            nbrs.select(F.col("node").alias("s1"), F.col("ns").alias("na")),
+            "s1",
+        )
+        .join(
+            nbrs.select(F.col("node").alias("s2"), F.col("ns").alias("nb")),
+            "s2",
+        )
+        .select(
+            "s1", "s2", F.size(F.array_intersect("na", "nb")).alias("w")
+        )
     )
-    e2 = e.select(F.col("s1").alias("b"), F.col("s2").alias("c"))
-    e3 = e.select(F.col("s1").alias("a"), F.col("s2").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    # Explode-not-union: the triangle join is the second-most
-    # expensive subplan and a 3-way union would re-run it per leg.
     tn = (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("v"))
+        cnt.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("s1").alias("v"), F.col("w")),
+                    F.struct(F.col("s2").alias("v"), F.col("w")),
+                )
+            ).alias("x")
+        )
+        .select(F.col("x.v").alias("v"), F.col("x.w").alias("w"))
         .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(F.expr("SUM(w) DIV 2").alias("t"))
     )
     cc = (
         deg.filter(F.col("d") >= 2)
