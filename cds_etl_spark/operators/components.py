@@ -104,12 +104,23 @@ def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
     Uses the degree-ordered (compact-forward) formulation: orient every
     edge from its lower-degree endpoint to its higher-degree one (ties
     by id), so each triangle is enumerated exactly once and — the scale
-    property — the join fan-out per node is bounded by its ORIENTED
-    out-degree, which is O(sqrt(m)) even for power-law hubs. A naive
+    property — per-node work is bounded by its ORIENTED out-degree,
+    which is O(sqrt(m)) even for power-law hubs. A naive
     edge⋈edge⋈edge self-join explodes on hub nodes; orientation is what
-    makes triangle listing feasible on skewed graphs at 100 TB. Two
-    shuffle joins total: wedge build (oriented ⋈ oriented on the middle
-    node) + closure probe against the oriented edge set.
+    makes triangle listing feasible on skewed graphs at 100 TB.
+
+    r15 (guide §2.3): the wedge build (oriented ⋈ oriented on the
+    middle node) + closure probe materialized every WEDGE — on dense
+    co-occurrence graphs wedge rows dwarf both edges and triangles
+    (qs108's sf0.1 graph: 215k edges, 29M oriented wedges, 13.4M
+    triangles). Instead each
+    oriented edge (u,v) intersects the two out-neighbor LISTS:
+    w ∈ Nout(u) ∩ Nout(v) ⟺ triangle {u,v,w} with w orientation-max,
+    so one native array_intersect per edge enumerates each triangle
+    once and the only generated rows are 2E size-counts + one row per
+    triangle for the apex attribution. Out-lists stay O(sqrt(m)) by
+    the orientation bound, so no hub-row hazard; measured at sf0.1
+    (qs108) warm 2.4 s → 1.5 s.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # r15: `sym` is referenced by the degree aggregate AND the oriented
@@ -136,26 +147,65 @@ def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
         sym.join(da, "a")
         .join(db, "b")
         .filter(F.col("ka") < F.col("kb"))
-        .select("a", "b", "kb")
-        .localCheckpoint(eager=True)  # reused for wedges AND closure probe
+        .select("a", "b")
+        .localCheckpoint(eager=True)  # reused: out-lists AND intersect
     )
-    # Pin the wedge-build exchange: the checkpointed `oriented` is tiny
-    # on disk, so AQE coalesces the ENSURE_REQUIREMENTS exchanges to one
-    # partition and the (potentially huge) wedge expansion runs in a
-    # single task (guide §2.5 — same class as qs285's probe exchange).
-    w1 = oriented.select(
-        F.col("a").alias("u"), F.col("b").alias("v"), F.col("kb").alias("kv")
-    ).repartition(npart, "u")
-    w2 = oriented.select(F.col("a").alias("u"), F.col("b").alias("w"), F.col("kb").alias("kw"))
-    wedges = w1.join(w2, "u").filter(F.col("kv") < F.col("kw"))
-    closed = wedges.join(
-        oriented.select("a", "b"),
-        (F.col("v") == F.col("a")) & (F.col("w") == F.col("b")),
-    ).select("u", "v", "w")
+    # Oriented out-neighbor lists — bounded by oriented out-degree.
+    outn = (
+        oriented.groupBy(F.col("a").alias("n"))
+        .agg(F.collect_set("b").alias("ob"))
+        .localCheckpoint(eager=True)  # read by both sides of the attach
+    )
+    # Pin the per-edge intersect stage: the checkpointed `oriented` is
+    # tiny on disk, so AQE would coalesce the ENSURE_REQUIREMENTS
+    # exchange to one partition and the whole intersect+explode would
+    # run in a single task (guide §2.5 — same class as qs285's probe
+    # exchange). The orientation-max endpoint of an edge may have no
+    # out-edges, hence the left join + empty-array coalesce.
+    iw = (
+        oriented.repartition(npart, "a", "b")
+        .join(outn.select(F.col("n").alias("a"), F.col("ob").alias("na")), "a")
+        .join(
+            outn.select(F.col("n").alias("b"), F.col("ob").alias("nb")),
+            "b",
+            "left",
+        )
+        .select(
+            "a",
+            "b",
+            F.array_intersect(
+                F.col("na"),
+                # typed empty array (node type is generic): slice of na
+                F.coalesce(F.col("nb"), F.expr("slice(na, 1, 0)")),
+            ).alias("ws"),
+        )
+    )
+    # Per-edge contributions: both endpoints see |ws| triangles, each
+    # apex w one — every triangle counted exactly once per member node.
     per_node = (
-        closed.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        iw.select(
+            F.explode(
+                F.concat(
+                    F.array(
+                        F.struct(
+                            F.col("a").alias("node"),
+                            F.size("ws").alias("t"),
+                        ),
+                        F.struct(
+                            F.col("b").alias("node"),
+                            F.size("ws").alias("t"),
+                        ),
+                    ),
+                    F.expr(
+                        "transform(ws, w -> struct(w AS node, 1 AS t))"
+                    ),
+                )
+            ).alias("x")
+        )
+        .select(F.col("x.node").alias("node"), F.col("x.t").alias("t"))
         .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("triangles"))
+        .agg(F.sum("t").alias("triangles"))
+        .filter(F.col("triangles") > 0)
     )
     return per_node
 

@@ -2558,7 +2558,15 @@ def qs233(spark: SparkSession, sf: str) -> DataFrame:
     shingle sets are exact distinct trigram lists; recall is an e6
     floor division. Plan: shingle once, one lang-keyed blocked
     self-join, one scalar aggregate."""
-    docs = load_table(spark, sf, "documents")
+    # r15 second pass: meta, both postings sides and the m1/m2/empties
+    # chains each re-evaluated the scan→shingle subtree (10 scans in
+    # the plan, the interpreted trigram transform ~5x — guide §2.4).
+    # Spread the one-split scan (§2.5) and materialize the shingle
+    # sets ONCE; everything downstream is a cheap map over the
+    # checkpoint.
+    from cds_etl_spark.operators.skew import spread_scan
+
+    docs = spread_scan(load_table(spark, sf, "documents"), "doc_id")
     t = docs.select(
         "doc_id",
         "lang",
@@ -2575,7 +2583,7 @@ def qs233(spark: SparkSession, sf: str) -> DataFrame:
             " i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"
             " ELSE array() END"
         ).alias("s"),
-    )
+    ).localCheckpoint(eager=True)
     # r15 rewrite (guide §2.3/§8): the oracle's within-language
     # all-pairs join moves every shingle array O(n²/L) times; the
     # identical result needs only (a) |∩| per pair that SHARES a

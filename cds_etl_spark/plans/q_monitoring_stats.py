@@ -596,7 +596,13 @@ def qs163(spark: SparkSession, sf: str) -> DataFrame:
     never the verified result. Scale shape: the shuffle carries
     (rare token, doc prefix) rows — corpus-linear — and the verify
     join moves only candidate pairs' token sets."""
-    d = load_table(spark, sf, "documents")
+    # r15 second pass: the self-join's a/b sides plus freq and the
+    # t1/t2 verify attachments made the plan re-evaluate the whole
+    # scan→tokenize subtree 12x (pure-plan diamonds, guide §2.4).
+    # Materialize the token sets ONCE (spread first — the sf fixture
+    # is a one-split file, §2.5) and the prefix-occurrence table ONCE,
+    # so each side of the candidate join reads the checkpoint.
+    d = spread_scan(load_table(spark, sf, "documents"), "doc_id")
     toks = d.select(
         "doc_id",
         F.array_distinct(
@@ -604,7 +610,7 @@ def qs163(spark: SparkSession, sf: str) -> DataFrame:
                 F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
             )
         ).alias("ts"),
-    )
+    ).localCheckpoint(eager=True)
     # explode_outer in both explodes below: plain explode pushes an
     # implicit size(ts) > 0 filter down to the scan with the whole
     # array_distinct(filter(split(...))) expression substituted in —
@@ -660,7 +666,7 @@ def qs163(spark: SparkSession, sf: str) -> DataFrame:
                 " size(ots) - CAST(ceil(0.9 * size(ots)) AS INT) + 1)"
             )
         ).alias("p", "tok"),
-    )
+    ).localCheckpoint(eager=True)  # read twice by the a/b self-join
     a = items.alias("a")
     b = items.alias("b")
     cand = (
@@ -683,9 +689,16 @@ def qs163(spark: SparkSession, sf: str) -> DataFrame:
             F.col("a.doc_id").alias("d1"),
             F.col("b.doc_id").alias("d2"),
         )
-        .repartition(npart, "d1", "d2")
-        .distinct()
     )
+    # r15 second pass: the pre-verify distinct shuffled and hash-
+    # aggregated EVERY candidate (3.3M pairs, 2.6 s of the 5 s warm
+    # run) only to dedup a 1.27x occurrence multiplicity. The verify
+    # filter is deterministic per pair, so duplicates pass or fail
+    # together and the dedup can run AFTER it, on the (tiny at
+    # Jaccard ≥ 0.9) survivor set: candidates now flow checkpoint →
+    # join → verify with NO exchange at all, and the only distinct
+    # touches output-sized rows (guide §2.4 — remove shuffles
+    # outright; §8 — decide on survivors, not candidates).
     t1 = toks.select(F.col("doc_id").alias("d1"), F.col("ts").alias("ts1"))
     t2 = toks.select(F.col("doc_id").alias("d2"), F.col("ts").alias("ts2"))
     inter = F.size(F.array_intersect(F.col("ts1"), F.col("ts2")))
@@ -703,6 +716,7 @@ def qs163(spark: SparkSession, sf: str) -> DataFrame:
             .cast("bigint")
             .alias("jac_e6"),
         )
+        .distinct()
     )
 
 
