@@ -40,14 +40,18 @@ def dot_product_fixed(a: Column, b: Column, dim: int) -> Column:
     ``a[0]*b[0] + … + a[dim-1]*b[dim-1]`` expression tree.
 
     Same left-to-right double accumulation as :func:`dot_product`
-    (bit-identical results), but expressed as a flat codegen-friendly
-    arithmetic tree instead of a HOF (``aggregate`` over ``zip_with``
-    materializes a zipped array per row). In the r6 ANN measurements
-    the expression form was NOT the dominant cost on the IVF
-    crossjoin — partitioning skew and the argmax shape were (see
-    BASELINE r6 ANN evidence; the batched-matmul ``ivf_assign_arrow``
-    is the production path). Kept for callers that want the fixed-dim
-    form without a HOF in the plan."""
+    (bit-identical results), but expressed as a flat arithmetic tree
+    instead of a HOF (``aggregate`` over ``zip_with`` materializes a
+    zipped array per row). CAUTION (r15 measured): at dim=64 the
+    255-node tree exceeds what whole-stage codegen will inline and is
+    evaluated interpreted — ~2.6 µs/row vs ~0.2 µs/row for the HOF on
+    a 1M-row projection, and 14x slower in a join's pair stage
+    (qs146). Unrolling wins only for SMALL fixed widths or when the
+    alternative is MANY separate HOF passes over one array (the
+    qs402 16-projection shape — BASELINE r13). Prefer
+    :func:`dot_product` for full-width dots; the batched-matmul
+    ``ivf_assign_arrow`` is the production assignment path (BASELINE
+    r6 ANN evidence)."""
     dot = None
     for i in range(dim):
         term = F.element_at(a, i + 1) * F.element_at(b, i + 1)

@@ -39,7 +39,7 @@ from cds_etl_spark.functions.text import (
 )
 from cds_etl_spark.functions.vector import (
     cosine_similarity,
-    dot_product_fixed,
+    dot_product,
     l2_norm,
 )
 
@@ -342,10 +342,13 @@ def embedding_neardup_pairs(
         "_id",
     )
     if dim is not None:
-        # Known dimension: unrolled codegen dot product per pair, norms
-        # computed ONCE per row BEFORE the self-join instead of two HOF
-        # passes per pair — bit-identical values (same left-to-right
-        # double accumulation; see similarity.ivf_assign's dim path).
+        # Known dimension: norms computed ONCE per row BEFORE the
+        # self-join, then ONE HOF dot per pair instead of three HOF
+        # passes — bit-identical values (same left-to-right double
+        # accumulation). r15 second pass: the dot itself is the HOF
+        # form, NOT dot_product_fixed — the unrolled fixed-dim tree
+        # measured ~14x slower per row at dim=64 (codegen bails on
+        # the huge expression; see semantic_dedup).
         v = v.withColumn("_vn", l2_norm(F.col("_v")))
         a, b = v.alias("a"), v.alias("b")
         cond = F.col("a._id") < F.col("b._id")
@@ -357,7 +360,7 @@ def embedding_neardup_pairs(
                 F.col("a._id").alias("d1"),
                 F.col("b._id").alias("d2"),
                 (
-                    dot_product_fixed(F.col("a._v"), F.col("b._v"), dim)
+                    dot_product(F.col("a._v"), F.col("b._v"))
                     / (F.col("a._vn") * F.col("b._vn"))
                 ).alias("cos"),
             )
@@ -977,12 +980,15 @@ def semantic_dedup(
 
     ``dim`` (r15, guide §4.3/§8): when the embedding width is a known
     corpus contract (qs146 passes 64, the same literal qs112's
-    hyperplane SQL hard-codes), both quadratic cosine stages switch
-    from three interpreted HOF passes per pair (dot + 2 norms) to an
-    unrolled codegen ``dot_product_fixed`` with L2 norms computed ONCE
-    per row/anchor BEFORE the crossjoin — bit-identical doubles (same
-    left-to-right accumulation, same ``dot / (norm * norm)`` op
-    order), pinned by the existing differential tests.
+    hyperplane SQL hard-codes), both quadratic cosine stages compute
+    L2 norms ONCE per row/anchor BEFORE the crossjoin and evaluate
+    ONE HOF dot per pair instead of three HOF passes (dot + 2 norms)
+    — bit-identical doubles (same left-to-right accumulation, same
+    ``dot / (norm * norm)`` op order), pinned by the existing
+    differential tests. The r15 second pass replaced the first pass's
+    unrolled ``dot_product_fixed`` here: at dim=64 the 255-node tree
+    is beyond codegen's appetite and runs interpreted, ~14x slower
+    per row than the HOF (qs146 pair stage 3.9 s → 0.7 s measured).
     """
     v = emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_vv")
@@ -992,7 +998,14 @@ def semantic_dedup(
 
         v = spread_scan(v, id_col).withColumn("_vn", l2_norm(F.col("_vv")))
         anchors = anchors.withColumn("_cn", l2_norm(F.col("cvec")))
-        _sim = dot_product_fixed(F.col("_vv"), F.col("cvec"), dim) / (
+        # r15 second pass: ONE HOF dot per pair, not dot_product_fixed
+        # — the 255-node unrolled tree ran ~14x slower per row at
+        # dim=64 (codegen bails on the huge expression and evaluates
+        # it interpreted; measured 3.9 s → 0.7 s on qs146's 200k-pair
+        # stage). The win of this branch is the PRE-JOIN norms (one
+        # HOF pass per pair instead of three) + spread + pin, and the
+        # HOF accumulates the same left-to-right doubles.
+        _sim = dot_product(F.col("_vv"), F.col("cvec")) / (
             F.col("_vn") * F.col("_cn")
         )
     else:
@@ -1042,7 +1055,7 @@ def semantic_dedup(
     a = assigned.alias("a")
     b = assigned.alias("b")
     if dim is not None:
-        _pair_cos = dot_product_fixed(F.col("a._vv"), F.col("b._vv"), dim) / (
+        _pair_cos = dot_product(F.col("a._vv"), F.col("b._vv")) / (
             F.col("a._vn") * F.col("b._vn")
         )
     else:
