@@ -409,7 +409,16 @@ def qs293(spark: SparkSession, sf: str) -> DataFrame:
     shuffle); the 5-threshold sweep is a broadcast cross over the
     surviving pair list (candidate-pair-sized, not corpus-sized)."""
     d = load_table(spark, sf, "documents")
-    pairs = minhash_lsh_pairs(d).select("d1", "d2", "jac")
+    # r15 (guide §2.4): the surviving pair list feeds BOTH the n_pairs
+    # and the docs-affected branches — a pure-plan diamond that re-ran
+    # the band self-join + exact refine twice per execution. The list
+    # is candidate-pair-sized (the LSH physics), so materializing it
+    # once is driver-safe at any scale.
+    pairs = (
+        minhash_lsh_pairs(d)
+        .select("d1", "d2", "jac")
+        .localCheckpoint(eager=True)
+    )
     thr = spark.createDataFrame(
         [(t,) for t in (0.5, 0.6, 0.7, 0.8, 0.9)], ["threshold"]
     )

@@ -19,7 +19,7 @@ from cds_etl_spark.operators.prefix import (
     scalable_ntile_multi,
 )
 from cds_etl_spark.plans.registry import query
-from cds_etl_spark.functions.vector import cosine_similarity, dot_product
+from cds_etl_spark.functions.vector import dot_product
 
 @query(
     "qs207_feature_hashing",
@@ -336,7 +336,11 @@ def qs210(spark: SparkSession, sf: str) -> DataFrame:
         F.col("recency_days").cast("long").alias("recency_days"),
         F.col("freq").cast("long").alias("freq"),
         "cents",
-    )
+    # r15 (guide §2.4): the ntile machinery scans its input ~3x (long-
+    # format counts, per-value ties, final attach) — each scan re-ran
+    # the orders aggregate. Materialize the customer-dimension-sized
+    # frame once.
+    ).localCheckpoint(eager=True)
     # ONE multi-metric ntile call: all three boundary sets come from
     # a single long-format pass over the customer frame (chaining
     # one-metric calls would re-evaluate the input per call).
@@ -607,12 +611,20 @@ def qs213(spark: SparkSession, sf: str) -> DataFrame:
     query side (20%) joins the candidate scan, per-query top-3 via
     window rank, two narrow aggregates — candidate generation is
     the one quadratic stage and is the part ANN replaces."""
+    from cds_etl_spark.functions.vector import l2_norm
+
     emb = load_table(spark, sf, "embeddings")
+    # r15 (guide §4.3/§8, the qs58/qs146 fix): compute each vector's
+    # L2 norm ONCE per row before the quadratic join — the per-pair
+    # cosine ran THREE interpreted HOF passes (dot + both self-dots);
+    # now each pair pays one HOF dot and a multiply/divide.
+    # dot/(nq*nc) associates exactly like cosine_similarity's
+    # dot/(|a|*|b|), so the doubles are bit-identical.
     q = emb.filter(F.col("vec_id") % 5 == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").cast("array<double>").alias("qv"),
         F.col("label").alias("qlabel"),
-    )
+    ).withColumn("qn", l2_norm(F.col("qv")))
     # The scored join multiplies each candidate partition by the
     # whole broadcast query side; a single-file scan would run the
     # entire quadratic kernel in one task (qs206's lesson). Spread
@@ -622,7 +634,9 @@ def qs213(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("cid"),
         F.col("embedding").cast("array<double>").alias("cv"),
         F.col("label").alias("clabel"),
-    ).repartition(spark.sparkContext.defaultParallelism, "cid")
+    ).repartition(
+        spark.sparkContext.defaultParallelism, "cid"
+    ).withColumn("cn", l2_norm(F.col("cv")))
     scored = (
         F.broadcast(q)
         .join(c, F.col("qid") != F.col("cid"))
@@ -632,7 +646,9 @@ def qs213(spark: SparkSession, sf: str) -> DataFrame:
             "cid",
             "clabel",
             F.round(
-                cosine_similarity(F.col("qv"), F.col("cv")), 6
+                dot_product(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn")),
+                6,
             ).alias("sim"),
         )
     )

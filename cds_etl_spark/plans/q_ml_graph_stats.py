@@ -389,14 +389,24 @@ def qs244(spark: SparkSession, sf: str) -> DataFrame:
     hits row-locally (zero shuffle), one hash aggregate builds the
     ≤ |langs|² confusion matrix, and the kappa epilogue runs on
     single-digit rows."""
+    from cds_etl_spark.operators.skew import spread_scan
     from cds_etl_spark.operators.text_analysis import language_id
 
     d = load_table(spark, sf, "documents")
-    g = d.select(
+    # r15 (guide §2.4/§2.5, the qs295 fix applied to its kappa twin):
+    # spread the single-file scan (the interpreted lexicon-HOF scoring
+    # ran in one task) and checkpoint the <=|langs|^2-row confusion
+    # matrix — nn/po/rt/ct each referenced it, re-running the corpus
+    # scoring 4x.
+    g = spread_scan(d.select("doc_id", "lang", "text"), "doc_id").select(
         F.col("lang").alias("truth"),
         language_id(F.col("text")).alias("guess"),
     )
-    conf = g.groupBy("truth", "guess").agg(F.count(F.lit(1)).alias("c"))
+    conf = (
+        g.groupBy("truth", "guess")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     nn = conf.agg(F.sum("c").alias("n"))
     po = conf.filter(F.col("truth") == F.col("guess")).agg(
         F.coalesce(F.sum("c"), F.lit(0)).alias("po")

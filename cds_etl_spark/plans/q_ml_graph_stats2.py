@@ -282,10 +282,20 @@ def qs258(spark: SparkSession, sf: str) -> DataFrame:
     partitioning — followed by a 1-row rollup; candidates run as a
     union of independent narrow plans (2-column scans each,
     verified column pruning)."""
+    from cds_etl_spark.operators.skew import spread_scan
+
     out = None
     for tbl, det, dep in _FD_CANDIDATES:
         t = load_table(spark, sf, tbl)
-        nd = t.groupBy(det).agg(F.countDistinct(dep).alias("nd"))
+        # r15 (guide §2.5): single-file scans ran each candidate's
+        # partial aggregate in ONE task; the det-keyed spread also
+        # satisfies the groupBy's required distribution. Project to
+        # the two columns BEFORE the exchange (guide §2.3).
+        nd = (
+            spread_scan(t.select(det, dep), det)
+            .groupBy(det)
+            .agg(F.countDistinct(dep).alias("nd"))
+        )
         viol = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
         row = nd.agg(
             F.lit(det).alias("det_col"),
@@ -622,8 +632,19 @@ def qs262(spark: SparkSession, sf: str) -> DataFrame:
     table (operators/shingle_index.py) pattern — the explode is
     paid once at ingest, and this query becomes two aggregates
     over the index."""
+    from cds_etl_spark.operators.skew import spread_scan
+
     d = load_table(spark, sf, "documents")
-    rt = d.select(
+    # r15 (guide §2.5): spread the single-file scan — tokenize + gram
+    # expansion otherwise run in one task on both diamond branches.
+    # The gram diamond itself stays: both alternatives measured WORSE
+    # on a settled box at sf0.1 (warm: spread-only 1.60 s; min() OVER
+    # (PARTITION BY g) on one shared g exchange 2.97 s — WindowExec
+    # sorts the grams where the hash aggregates never pay a sort;
+    # localCheckpoint of the exploded distinct (doc, gram) set 1.75 s
+    # — the qs155 lesson: materializing a many-times-the-input explode
+    # costs about what re-running it does, and pins memory).
+    rt = spread_scan(d.select("doc_id", "text"), "doc_id").select(
         "doc_id", F.split(F.col("text"), " ").alias("rt")
     ).filter(F.size("rt") >= 3)
     grams = rt.select(
@@ -733,8 +754,13 @@ def qs263(spark: SparkSession, sf: str) -> DataFrame:
     islands, phrase assembly is one ordered aggregate per (doc,
     island), word stats one hash aggregate, and the score join is
     vocabulary-sized."""
+    from cds_etl_spark.operators.skew import spread_scan
+
     d = load_table(spark, sf, "documents")
-    toks = d.select(
+    # r15 (guide §2.5): single-file scan — tokenize + the doc-keyed
+    # island window otherwise run in ONE task; hashing on doc_id also
+    # satisfies the window's required distribution (no extra exchange).
+    toks = spread_scan(d.select("doc_id", "text"), "doc_id").select(
         "doc_id",
         F.posexplode(
             F.split(F.lower(F.col("text")), r"\s+")
@@ -779,7 +805,11 @@ def qs263(spark: SparkSession, sf: str) -> DataFrame:
         "plen",
         "phrase",
         F.explode(F.split(F.col("phrase"), " ")).alias("w"),
-    )
+    # r15 (guide §2.4): members feeds BOTH wstats and the score join —
+    # the diamond re-ran the tokenize + island window + phrase
+    # aggregate chain twice. Phrase members are bounded (≤4 words per
+    # phrase), so one materialization is cheap at any scale.
+    ).localCheckpoint(eager=True)
     wstats = members.groupBy("w").agg(
         F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
     )

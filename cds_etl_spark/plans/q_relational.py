@@ -407,7 +407,11 @@ def qs21(spark: SparkSession, sf: str) -> DataFrame:
     )
     ranked = bucketed_row_number(
         s, "_negc", ["_negc", "o_orderkey"], "_r"
-    )
+    # r15 (guide §2.4): the second bucketed_row_number references its
+    # input 2-3x internally (bounds agg, bucket join, running-count
+    # join-back) — each reference re-ran the FIRST call's whole rank
+    # machinery. One materialization replaces those re-runs.
+    ).localCheckpoint(eager=True)
     ranked = bucketed_row_number(
         ranked, "o_orderkey", ["o_orderkey"], "_rn_key"
     )

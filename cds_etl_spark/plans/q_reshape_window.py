@@ -479,12 +479,21 @@ def qs44(spark: SparkSession, sf: str) -> DataFrame:
     and ``lower + frac*(upper-lower)`` is bit-identical cross-engine."""
     o = load_table(spark, sf, "orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    # r15 (guide §1.3, the qs239 lesson): ONE percentile aggregate
+    # carrying all three quantiles — three separate F.percentile calls
+    # each buffered the full per-group multiset (3x the memory and
+    # merge work for identical interpolation arithmetic).
+    pcts = F.percentile(
+        cents, F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
+    )
     return (
         o.groupBy("o_orderstatus")
-        .agg(
-            F.percentile(cents, F.lit(0.25)).alias("p25"),
-            F.percentile(cents, F.lit(0.50)).alias("p50"),
-            F.percentile(cents, F.lit(0.75)).alias("p75"),
+        .agg(pcts.alias("_p"))
+        .select(
+            "o_orderstatus",
+            F.col("_p")[0].alias("p25"),
+            F.col("_p")[1].alias("p50"),
+            F.col("_p")[2].alias("p75"),
         )
         .orderBy("o_orderstatus")
     )

@@ -312,7 +312,14 @@ def qs271(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("v"),
     )
-    vc = s.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    # r15 (guide §2.4, same fix as qs288): vc feeds the midrank
+    # machinery AND the ties aggregate — checkpoint the bounded
+    # value-level table once.
+    vc = (
+        s.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     mr = midrank2(vc, "v", "c", "midrank2")
     vg = s.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cg"))
     pg = (
@@ -925,7 +932,16 @@ def qs288(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("v"),
     )
-    vc = s.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    # r15 (guide §2.4): vc feeds the midrank machinery AND the ties
+    # aggregate; pg feeds tot and both pair sides — references that
+    # re-ran the value-level aggregate + prefix sums each time. vc is
+    # distinct-value-sized (bounded by the cent domain), pg is
+    # ≤|groups| rows: both safe to pin at any scale.
+    vc = (
+        s.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     mr = midrank2(vc, "v", "c", "midrank2")
     vg = s.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cg"))
     pg = (
@@ -935,6 +951,7 @@ def qs288(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("cg").alias("n_g"),
             F.sum(F.col("cg") * F.col("midrank2")).alias("r2_g"),
         )
+        .localCheckpoint(eager=True)
     )
     ties = vc.agg(
         F.sum(
