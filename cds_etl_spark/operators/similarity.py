@@ -112,17 +112,33 @@ def ivf_assign(
             ).alias("_sim"),
         )
     else:
+        # r15 (guide §4.3/§8): norms once per SIDE before the C-way
+        # expansion — cosine_similarity per pair ran three interpreted
+        # HOF passes (dot + both self-dots) over every (vector,
+        # centroid) row; dot/(vn*cn) associates exactly like
+        # dot/(|a|*|b|), so the doubles are bit-identical.
         scored = (
             df.select(
                 F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
             )
-            .join(F.broadcast(centroids.select(F.col(cid_col), F.col(cvec_col))))
+            .withColumn("_vn", l2_norm(F.col("_v")))
+            .join(
+                F.broadcast(
+                    centroids.select(
+                        F.col(cid_col),
+                        F.col(cvec_col),
+                        l2_norm(F.col(cvec_col)).alias("_cn"),
+                    )
+                )
+            )
             .select(
                 id_col,
                 "_v",
                 F.col(cid_col),
                 F.round(
-                    cosine_similarity(F.col("_v"), F.col(cvec_col)), 6
+                    dot_product(F.col("_v"), F.col(cvec_col))
+                    / (F.col("_vn") * F.col("_cn")),
+                    6,
                 ).alias("_sim"),
             )
         )

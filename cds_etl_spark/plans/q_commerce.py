@@ -1000,6 +1000,14 @@ def qs194(spark: SparkSession, sf: str) -> DataFrame:
     integers (qs44 contract). Plan: the one big join rides the
     o/l_orderkey co-location the bench layouts bucket for; months
     aggregate narrow."""
+    # r15 measured and REVERTED (guide §1.5): spreading the
+    # single-file lineitem scan made this query WORSE both ways at
+    # sf0.1 — a keyed spread added a full exchange the broadcast join
+    # never needed (warm 1.8 -> 3.2 s), and a round-robin spread pays
+    # the local sort-before-repartition on the whole fact side for a
+    # cheap probe+partial-agg map (warm 1.8 -> 2.4-2.8 s). The
+    # original one-task scan stands; at real scale the scan has
+    # ≥cores splits and parallelizes by itself.
     li = load_table(spark, sf, "lineitem")
     o = load_table(spark, sf, "orders")
     lat = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
@@ -1868,7 +1876,17 @@ def qs205(spark: SparkSession, sf: str) -> DataFrame:
     bounded by time, not rows — the same bounded-block argument as
     qs162's interval bins. One narrow aggregate feeds the join;
     the median windows run over (grp, slope)-distinct rows."""
-    li = load_table(spark, sf, "lineitem")
+    from cds_etl_spark.operators.skew import spread_scan
+
+    # r15 (guide §2.4/§2.5): spread the single-file scan (the partial
+    # aggregate ran in one task) and pin the monthly series — the
+    # a/b pair sides each re-ran the full scan + aggregate. m is
+    # ≤ 50 groups × calendar months, constant-bounded.
+    li = spread_scan(
+        load_table(spark, sf, "lineitem").select(
+            "l_partkey", "l_shipdate", "l_extendedprice"
+        )
+    )
     m = li.groupBy(
         (F.col("l_partkey") % 50).alias("grp"),
         (
@@ -1880,7 +1898,7 @@ def qs205(spark: SparkSession, sf: str) -> DataFrame:
             "sum(CAST(ROUND(l_extendedprice * 100, 0) AS LONG))"
             " div 10000"
         ).alias("y")
-    )
+    ).localCheckpoint(eager=True)
     a = m.select("grp", F.col("t").alias("ta"), F.col("y").alias("ya"))
     b = m.select("grp", F.col("t").alias("tb"), F.col("y").alias("yb"))
     pairs = a.join(b, "grp").filter(F.col("tb") > F.col("ta")).select(

@@ -77,7 +77,19 @@ def qs281(spark: SparkSession, sf: str) -> DataFrame:
     is left to AQE (the dimension scales with sf — a forced
     broadcast of 2M parts cost 11 s at sf10, 18.4 → 7.1 s removed);
     epilogue is brand×3 rows."""
-    li = load_table(spark, sf, "lineitem")
+    from cds_etl_spark.operators.skew import spread_scan
+
+    # r15 (guide §2.5): the single-file scan ran the weekly partial
+    # aggregate in ONE task; a part-keyed spread satisfies BOTH keyed
+    # aggregates and the dimension join's required distribution, so
+    # the one exchange replaces two (and disappears at real scale
+    # where the scan has ≥cores splits).
+    li = spread_scan(
+        load_table(spark, sf, "lineitem").select(
+            "l_partkey", "l_shipdate", "l_quantity"
+        ),
+        "l_partkey",
+    )
     p = load_table(spark, sf, "part")
     wk = li.groupBy(
         F.col("l_partkey").alias("part"),

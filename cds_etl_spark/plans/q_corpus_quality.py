@@ -1023,6 +1023,11 @@ def qs143(spark: SparkSession, sf: str) -> DataFrame:
     bounded by groups x 256 rows after map-side partial max."""
     from cds_etl_spark.operators.sketches import hll_build
 
+    # r15 measured and REVERTED (guide §1.5): round-robin spreading
+    # the single-file scan costs the local sort-before-repartition +
+    # a full-row exchange for a map stage that is ONE cheap md5 per
+    # row (warm 1.6 -> 1.9-2.3 s at sf0.1). The one-task partial max
+    # is cheaper; real-scale scans split by themselves.
     li = load_table(spark, sf, "lineitem")
     return hll_build(li, "l_returnflag", "l_orderkey", p=8)
 
@@ -1789,10 +1794,20 @@ def qs156(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_orderstatus").alias("st"),
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
     )
-    med = c.groupBy("st").agg(F.percentile("cents", F.lit(0.5)).alias("med"))
+    # r15 (guide §2.4): med fed dev and the final attach (two extra
+    # runs of the grouped median over the scan) and dev fed the MAD
+    # aggregate AND the outlier count — each re-running the scan +
+    # join. Pin the 3-row median table and the narrow (st, d)
+    # deviation table once. No scan spread: the grouped-percentile
+    # partial buffers merge per partition (the qs239 measured revert).
+    med = (
+        c.groupBy("st")
+        .agg(F.percentile("cents", F.lit(0.5)).alias("med"))
+        .localCheckpoint(eager=True)
+    )
     dev = c.join(F.broadcast(med), "st").select(
         "st", F.abs(F.col("cents") - F.col("med")).alias("d")
-    )
+    ).localCheckpoint(eager=True)
     mad = dev.groupBy("st").agg(
         F.percentile("d", F.lit(0.5)).alias("mad"),
         F.count(F.lit(1)).alias("n"),

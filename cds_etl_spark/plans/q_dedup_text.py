@@ -419,8 +419,14 @@ def qs293(spark: SparkSession, sf: str) -> DataFrame:
         .select("d1", "d2", "jac")
         .localCheckpoint(eager=True)
     )
-    thr = spark.createDataFrame(
-        [(t,) for t in (0.5, 0.6, 0.7, 0.8, 0.9)], ["threshold"]
+    # r15 (guide §3.1): a createDataFrame literal is a Python-RDD-
+    # backed scan (UnknownPartitioning, no broadcastable stats) — the
+    # threshold sweep joined it as a CartesianProduct over pickled
+    # rows every execution. A JVM literal plans as a LocalRelation.
+    thr = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t) for t in (0.5, 0.6, 0.7, 0.8, 0.9)])
+        ).alias("threshold")
     )
     tot = d.agg(F.count(F.lit(1)).alias("n_docs"))
     sweep = thr.join(

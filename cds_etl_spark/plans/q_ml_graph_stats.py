@@ -733,13 +733,18 @@ def qs248(spark: SparkSession, sf: str) -> DataFrame:
     value check is per-cluster membership + mean, not the full
     64-dim vector, which array columns would break hashing for)."""
     from cds_etl_spark.operators.similarity import ivf_assign
+    from cds_etl_spark.operators.skew import spread_scan
 
     emb = load_table(spark, sf, "embeddings")
     cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").cast("array<double>").alias("cvec"),
     )
-    assigned = ivf_assign(emb, cents)
+    # r15 (guide §2.5): the single-file scan ran the C-way assignment
+    # kernel in ONE task — spread before the broadcast expansion.
+    assigned = ivf_assign(
+        spread_scan(emb.select("vec_id", "embedding"), "vec_id"), cents
+    )
     e = F.col("embedding")
     # `+ 0.0` on BOTH engines: ROUND at 4 dp preserves IEEE sign-of-zero
     # (DuckDB emits -0.0 for a tiny negative mean where Spark emits 0.0);
@@ -1105,15 +1110,23 @@ def qs253(spark: SparkSession, sf: str) -> DataFrame:
     combined), a 20-row broadcast top-term list, a sources×20 grid,
     and a grid self-join — everything after the count is
     constant-size."""
+    from cds_etl_spark.operators.skew import spread_scan
+
     d = load_table(spark, sf, "documents")
-    toks = d.select(
+    # r15 (guide §2.4/§2.5): spread the single-file scan and pin the
+    # (source, term) count — tot, the top-20 list and the grid's left
+    # join each referenced it, re-running the scan + tokenize explode
+    # + count 3x. The table is vocabulary × sources, bounded.
+    toks = spread_scan(d.select("source", "text"), "source").select(
         "source",
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias(
             "term"
         ),
     ).filter(F.col("term") != "")
-    cnt = toks.groupBy("source", "term").agg(
-        F.count(F.lit(1)).alias("c")
+    cnt = (
+        toks.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
     tot = cnt.groupBy("source").agg(F.sum("c").alias("tot"))
     top = (
@@ -1300,14 +1313,25 @@ def qs255(spark: SparkSession, sf: str) -> DataFrame:
     corpus stats are single-digit-row broadcasts; top-20 is
     TakeOrderedAndProject — per-partition k then merge, no global
     sort."""
+    from cds_etl_spark.operators.skew import spread_scan
+
     d = load_table(spark, sf, "documents")
-    toks = d.select(
+    # r15 (guide §2.4/§2.5): spread the single-file scan, and pin the
+    # two narrow aggregates the DAG fans out from — dl fed stats and
+    # the score join, tf fed idf and the score join, so the scan +
+    # tokenize explode re-ran up to 4x per execution. dl is
+    # doc-dimension-sized (two longs per doc), tf is 3-term-filtered.
+    toks = spread_scan(d.select("doc_id", "text"), "doc_id").select(
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias(
             "term"
         ),
     ).filter(F.col("term") != "")
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dl = (
+        toks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dl"))
+        .localCheckpoint(eager=True)
+    )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
     )
@@ -1315,6 +1339,7 @@ def qs255(spark: SparkSession, sf: str) -> DataFrame:
         toks.filter(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
     idf = (
         tf.groupBy("term")

@@ -1233,15 +1233,24 @@ def qs268(spark: SparkSession, sf: str) -> DataFrame:
     everything; the term-keyed self-join fans out ≤ |sources| per
     term; totals and shared-mass tables are sources²-sized
     broadcasts."""
+    from cds_etl_spark.operators.skew import spread_scan
+
     d = load_table(spark, sf, "documents")
-    toks = d.select(
+    # r15 (guide §2.4/§2.5, the qs253 fix): spread the single-file
+    # scan and pin the (source, term) count — the pair self-join
+    # sides, totals and both shared-mass self-joins all reference it,
+    # re-running the scan + tokenize explode + count per reference.
+    # The table is vocabulary × sources, bounded.
+    toks = spread_scan(d.select("source", "text"), "source").select(
         "source",
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias(
             "term"
         ),
     ).filter(F.col("term") != "")
-    cnt = toks.groupBy("source", "term").agg(
-        F.count(F.lit(1)).alias("c")
+    cnt = (
+        toks.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
     a = cnt.select(
         F.col("source").alias("s1"), "term", F.col("c").alias("c1")
@@ -1601,8 +1610,24 @@ def qs294(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("d"))
         .localCheckpoint(eager=True)
     )
-    ks = spark.createDataFrame([(2,), (4,), (8,), (16,)], ["k"])
-    club = ks.join(deg, deg.d > ks.k).select("k", "node")
+    # r15 (guide §3.1): createDataFrame built ks as a PYTHON-RDD-backed
+    # scan (applySchemaToPythonRDD, UnknownPartitioning, no stats) —
+    # every club join planned as a CartesianProduct over pickled rows
+    # and ce ran as TWO sort-merge joins that re-sorted the edge table
+    # per execution. A JVM literal fixes the physics, and pinning club
+    # (re-referenced by cn/c1/c2) gives AQE accurate sizes so it picks
+    # the broadcast itself while club is genuinely small (no explicit
+    # hint: club is node-dimension-sized — allowlist policy).
+    ks = spark.range(1).select(
+        F.explode(
+            F.array(F.lit(2), F.lit(4), F.lit(8), F.lit(16))
+        ).alias("k")
+    )
+    club = (
+        ks.join(deg, deg.d > ks.k)
+        .select("k", "node")
+        .localCheckpoint(eager=True)
+    )
     cn = club.groupBy("k").agg(F.count(F.lit(1)).alias("n_k"))
     c1 = club.select(F.col("k"), F.col("node").alias("s1"))
     c2 = club.select(F.col("k"), F.col("node").alias("s2"))

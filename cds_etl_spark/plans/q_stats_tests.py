@@ -1472,7 +1472,12 @@ def qs298(spark: SparkSession, sf: str) -> DataFrame:
             )
             for i in range(1, 6)
         ]
-    )
+    # r15 (guide §2.4, the qs288/qs271 fix): bucketed_prefix_sum
+    # references its input several times (bounds agg, bucket join,
+    # in-bucket window, offset join-back) — each re-ran the
+    # value-level aggregate over the scan. The table is bounded by
+    # the cent-value domain, safe to pin.
+    ).localCheckpoint(eager=True)
     cum = bucketed_prefix_sum(
         vc,
         "v",
