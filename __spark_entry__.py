@@ -35,73 +35,71 @@ def entry(spark: SparkSession) -> DataFrame:
 # so a typo fails loudly instead of silently falling back to
 # registration order (the r03 defect).
 _GRADE_FIRST = [
-    # -- r14 window (first 50 graded): re-grade rotation, no new
-    #    queries this round (VERDICT r13 task 2). Composition: ALL 31
-    #    rows whose latest official grade dates to r05 (qs31, qs72-qs99
-    #    singles, the qs134-qs141 LLM/TPC-H cohort), 12 of the
-    #    alphabetically-first r06-era rows, and the SEVEN queries whose
-    #    forms changed this round — a changed query must re-earn its
-    #    official grade in the round that changed it: the chi-square
-    #    empty-cell fixes (qs399 + bug-class sweep qs241, qs273,
-    #    qs174), the zipf-fixture sweep findings (qs293 oracle
-    #    NULL-struct count, qs337 -0.0 canonicalization), and the
-    #    permuted-layout-axis finding (qs33 tie-dependent LIMIT cutoff
-    #    — ordering extended to all output columns; qs113_recursive_cte
-    #    was evicted to make room and keeps its r06 grade). After this
-    #    round no row is older than r06; the remaining 38 r06 rows
-    #    (qs113, qs114, qs115, qs116, qs11, qs12, qs13_cube, qs142...)
-    #    lead the r15 rotation. All 50 re-proved EQUAL at sf0.01 on
-    #    this tree before staging (tools/driver_diff.py). --
-    "qs134_corpus_mixing_weights",
-    "qs135_duplicate_spans",
-    "qs136_rag_chunks",
-    "qs137_sketch_heavy_hitters",
-    "qs138_repetition_rowlocal",
-    "qs139_tpch_q13_custdist",
-    "qs140_tpch_q8_market_share",
-    "qs141_tpch_q6_forecast",
-    "qs31_regex_filter",
-    "qs72_sequence_explode",
-    "qs73_bitwise",
-    "qs74_nullsafe_join",
-    "qs75_greatest_least",
-    "qs76_string_pad",
-    "qs77_try_cast",
-    "qs78_scalar_subquery",
-    "qs79_width_bucket",
-    "qs80_regexp_extract_replace",
-    "qs81_connected_dedup",
-    "qs83_decontaminate",
-    "qs84_bm25",
-    "qs85_scd2_apply",
-    "qs86_corr_covar",
-    "qs87_regression_agg",
-    "qs88_profile_columns",
-    "qs91_llm_pipeline_manifest",
-    "qs92_forward_fill",
-    "qs93_resample_grid",
-    "qs95_table_diff",
-    "qs97_weighted_sample",
-    "qs99_funnel",
-    "qs08_range_join",
-    "qs100_tpch_q3",
-    "qs103_tpch_q5",
-    "qs104_inverted_index",
-    "qs105_cap_per_group",
-    "qs106_cumulative_distinct",
-    "qs107_merge_upsert",
-    "qs108_triangle_count",
-    "qs109_tpch_q18",
-    "qs110_cms_sketch",
-    "qs111_segment_dedup",
-    "qs112_lsh_buckets",
-    "qs33_math_functions",
-    "qs293_dedup_threshold_sweep",
-    "qs337_association_metrics",
-    "qs174_benford_audit",
-    "qs399_cramers_v",
+    # -- r15 window (first 50 graded). Composition rule (VERDICT r14
+    #    task 2 + the r14 changed-query rule): the 31 queries whose
+    #    ORACLE SQL changed since the r14 close (the NULL-axis fixes
+    #    3782ca3 — pinned NULLS FIRST/LAST, TRY_CAST complete-case
+    #    filters, null-safe bounds joins, json_valid guards — and the
+    #    chi-square GREATEST(...,0) clamps 925eb54) MUST re-earn their
+    #    official grade in the round that changed them; the remaining
+    #    19 slots take the alphabetically-first rows whose latest
+    #    official grade is r06 (qs113_recursive_cte leads). Changed
+    #    set computed mechanically: ORACLE_SQL text diff vs the r14
+    #    close tree (90f6d96) — 31 names, zero added/removed. The
+    #    displaced r06/r07 rows lead the r16 rotation. All 50 re-proven
+    #    EQUAL at sf0.01 on this tree (tools/driver_diff.py --all at
+    #    round close). Optimization-round plan restructures keep
+    #    formulas and oracles identical and do not displace grades. --
+    "qs21_ranking_family",
+    "qs22_lag_lead_rows_frame",
     "qs241_chi_square_independence",
+    "qs24_window_navigation",
+    "qs261_cochran_armitage",
     "qs273_cramers_v",
+    "qs298_jonckheere_trend",
+    "qs299_kendall_taub",
+    "qs322_pages_trend",
+    "qs327_ordinal_association",
+    "qs328_quade_test",
+    "qs33_math_functions",
+    "qs347_weighted_kappa",
+    "qs34_json_extraction",
+    "qs357_t_closeness",
+    "qs377_cramer_von_mises",
+    "qs37_levenshtein",
+    "qs383_somers_d",
+    "qs384_stuart_tau_c",
+    "qs386_yule_q",
+    "qs387_ansari_bradley",
+    "qs388_ww_runs",
+    "qs391_wasserstein",
+    "qs394_kuiper",
+    "qs395_anderson_darling",
+    "qs396_brunner_munzel",
+    "qs397_lepage",
+    "qs398_g_test",
+    "qs399_cramers_v",
+    "qs43_sessionize",
+    "qs47_map_aggregation",
+    "qs113_recursive_cte",
+    "qs114_fuzzy_link",
+    "qs115_tfidf_top_terms",
+    "qs116_cohort_retention",
+    "qs11_count_distinct",
+    "qs12_rollup",
+    "qs13_cube",
+    "qs142_duplicate_span_coverage",
+    "qs143_hll_register_table",
+    "qs144_dsir_importance_weights",
+    "qs145_bpe_pair_step",
+    "qs146_semantic_dedup",
+    "qs147_gopher_quality_rules",
+    "qs148_pii_scan_redact",
+    "qs149_temperature_mixing",
+    "qs14_combine_rows_string_agg",
+    "qs150_incremental_minhash_dedup",
+    "qs151_pq_ann",
+    "qs152_bloom_decontaminate",
 ]
 
 
