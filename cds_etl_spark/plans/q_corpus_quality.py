@@ -693,23 +693,23 @@ def qs138(spark: SparkSession, sf: str) -> DataFrame:
     row (functions/text.bigram_repetition_stats — the shared builder
     the streaming corpus filter also uses, total for single-token
     docs). Zero shuffles, streaming-safe, same oracle as qs89; the
-    n_grams > 0 gate reproduces qs89's emit-only-gram-bearing-docs
-    contract."""
+    token-count gate reproduces qs89's emit-only-gram-bearing-docs
+    contract (qs89 is the spread/shuffle variant of the same values;
+    this query's declared contract IS the exchange-free plan, so no
+    spread_scan here — r16, tests/test_plans.py guards it)."""
     from cds_etl_spark.functions.text import bigram_repetition_stats
-    from cds_etl_spark.operators.skew import spread_scan
 
     d = load_table(spark, sf, "documents")
     stats = bigram_repetition_stats(F.col("text"))
-    # r15 (guide §1.3/§2.5): spread the single-file scan (the
-    # interpreted per-row multiset scan ran in ONE task) and gate on
-    # the equivalent cheap token-count predicate BEFORE the stats
-    # projection — the old `_s.n_grams > 0` post-filter pushed below
-    # the projection with the whole struct expression substituted in,
-    # evaluating the interpreted aggregate twice per row.
+    # r15 (guide §1.3): gate on the equivalent cheap token-count
+    # predicate BEFORE the stats projection — the old `_s.n_grams > 0`
+    # post-filter pushed below the projection with the whole struct
+    # expression substituted in, evaluating the interpreted aggregate
+    # twice per row.
     # n_grams > 0  ⟺  size(split(lower(text), ' ')) >= 2 exactly
     # (n_grams = max(size - 1, 0), functions/text.py).
     return (
-        spread_scan(d.select("doc_id", "text"), "doc_id")
+        d.select("doc_id", "text")
         .filter(F.size(F.split(F.lower(F.col("text")), " ")) >= 2)
         .select("doc_id", stats.alias("_s"))
         .select(

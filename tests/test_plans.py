@@ -321,6 +321,42 @@ def test_rowlocal_repetition_is_zero_shuffle(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
+def test_rowlocal_repetition_gate_matches_n_grams(spark):
+    # qs138's cheap pre-filter `size(split(lower(text),' ')) >= 2` must
+    # stay exactly equivalent to `n_grams > 0` from
+    # bigram_repetition_stats — a tokenizer change in functions/text.py
+    # would silently desynchronize the gate (ADVICE r15 item 1).
+    from pyspark.sql import functions as F
+
+    from cds_etl_spark.functions.text import bigram_repetition_stats
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "one"),
+        (4, "two tokens"),
+        (5, "a b c"),
+        (6, "trailing space "),
+        (7, " leading"),
+        (8, "  "),
+        (9, "double  space"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = (
+        df.select(
+            "id",
+            bigram_repetition_stats(F.col("text")).alias("_s"),
+            (F.size(F.split(F.lower(F.col("text")), " ")) >= 2).alias("gate"),
+        )
+        .select("id", (F.col("_s.n_grams") > 0).alias("ref"), "gate")
+        .collect()
+    )
+    for r in got:
+        assert bool(r["gate"] or False) == bool(r["ref"] or False), (
+            f"id={r['id']}: gate={r['gate']} but n_grams>0={r['ref']}"
+        )
+
+
 def test_q13_outer_join_survives_and_q8_broadcasts_snowflake(spark, sf_dir):
     # qs139: the left OUTER join must survive to the physical plan
     # (a WHERE-placed filter would have turned it inner and dropped
