@@ -25,14 +25,23 @@ probe side of decontamination is broadcast). The one inherently
 sequential piece — packing's running sum — is sharded by language.
 
 r15: the stage boundaries (``filtered``, ``deduped``, ``clustered``)
-are materialized with eager localCheckpoints instead of staying pure
-plans.  Each stage is referenced at least twice downstream (survivor
-semi-join, cluster anti-join, contamination anti-join) and pure-plan
-diamonds re-evaluate the whole upstream chain per reference — the
-lazy form re-ran the language/quality/shingle computation up to 8×
-for the manifest.  The corpus input is also spread across cores
-first (``spread_scan``): a single-file documents scan serialized
-every row-local text stage into one task.
+are materialized instead of staying pure plans.  Each stage is
+referenced at least twice downstream (survivor semi-join, cluster
+anti-join, contamination anti-join) and pure-plan diamonds
+re-evaluate the whole upstream chain per reference — the lazy form
+re-ran the language/quality/shingle computation up to 8× for the
+manifest.  The corpus input is also spread across cores first
+(``spread_scan``): a single-file documents scan serialized every
+row-local text stage into one task.
+
+r16: the stage tables are CORPUS-SCALE (they shrink from the input
+but scale with it), so the r15 eager ``localCheckpoint`` was the
+wrong pin — executor-local blocks with no recompute path mean an
+executor loss fails the whole pipeline, and at TB intermediates the
+blocks fight shuffle files for local disk.  ``pin_stage(_, "corpus")``
+(operators/pin.py) persists MEMORY_AND_DISK instead: one computation
+serves every reference, lineage survives executor loss, partitions
+spill instead of pinning memory.
 """
 
 from __future__ import annotations
@@ -46,6 +55,7 @@ from cds_etl_spark.operators.components import (
 )
 from cds_etl_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
 from cds_etl_spark.operators.packing import chunk_assignments
+from cds_etl_spark.operators.pin import pin_stage
 from cds_etl_spark.operators.retrieval import decontaminate
 from cds_etl_spark.operators.skew import spread_scan
 from cds_etl_spark.operators.text_analysis import (
@@ -91,20 +101,20 @@ def prepare_training_data(
             F.coalesce(F.col("top_fraction"), F.lit(0.0)) <= max_repetition
         )
         .drop("top_fraction")
-        .localCheckpoint(eager=True)
     )
+    filtered = pin_stage(filtered, "corpus")
 
     survivors = exact_dedup(filtered, text_col, id_col).select(id_col)
-    deduped = filtered.join(survivors, id_col, "left_semi").localCheckpoint(
-        eager=True
+    deduped = pin_stage(
+        filtered.join(survivors, id_col, "left_semi"), "corpus"
     )
 
     pairs = minhash_lsh_pairs(
         deduped, id_col=id_col, text_col=text_col, min_jaccard=min_jaccard
     ).select(F.col("d1"), F.col("d2"))
     comps = connected_components(pairs, "d1", "d2")
-    clustered = dedup_keep_canonical(deduped, id_col, comps).localCheckpoint(
-        eager=True
+    clustered = pin_stage(
+        dedup_keep_canonical(deduped, id_col, comps), "corpus"
     )
 
     clean = clustered

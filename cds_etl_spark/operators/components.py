@@ -17,9 +17,13 @@ are dense and shallow (diameter ≲ 3-4 in practice), so this beats the
 O(log² n) star-contraction algorithms on constant factors while
 staying fully shuffle-parallel: each round is one join edges⋈labels
 (shuffle on node id, or broadcast when the frontier is small) + one
-min-aggregation. Lineage is cut every round with an eager
-localCheckpoint — without it the plan doubles per iteration and the
-driver, not the data, becomes the bottleneck at scale.
+min-aggregation. Lineage is cut every round (operators/pin.cut_lineage
+— reliable checkpoint() when a checkpoint dir is configured,
+localCheckpoint otherwise) — without it the plan doubles per iteration
+and the driver, not the data, becomes the bottleneck at scale. The
+fixed, reused-every-round edge/node tables are corpus-scale, so they
+persist with lineage intact instead (operators/pin.pin_stage
+"corpus").
 
 At 100 TB: edges from LSH blocking are ≪ corpus size (bands bound the
 candidate set); labels is one row per node *that appears in an edge*,
@@ -31,6 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from cds_etl_spark.operators.pin import cut_lineage, pin_stage
 
 
 def connected_components(
@@ -49,13 +55,13 @@ def connected_components(
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.filter(F.col("a") != F.col("b")).distinct()
-    sym = sym.localCheckpoint(eager=True)  # reused every round
+    # corpus-scale, reused every round: persist keeps the recompute path
+    sym = pin_stage(sym, "corpus")
 
-    labels = (
+    labels = cut_lineage(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
 
     for _ in range(max_iter):
@@ -65,20 +71,19 @@ def connected_components(
             .groupBy(F.col("a").alias("node2"))
             .agg(F.min("label").alias("nlabel"))
         )
-        stepped = (
+        stepped = cut_lineage(
             labels.join(neigh, labels["node"] == neigh["node2"], "left")
             .select(
                 "node",
                 "label",
                 F.least("label", F.coalesce("nlabel", "label")).alias("new_label"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = stepped.filter(F.col("new_label") != F.col("label")).limit(1).count()
         labels = stepped.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             return labels.select("node", F.col("label").alias("component"))
-        labels = labels.localCheckpoint(eager=True)
+        labels = cut_lineage(labels)
     raise RuntimeError(f"connected_components: not converged in {max_iter} rounds")
 
 
@@ -128,14 +133,17 @@ def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
     # pipeline — pure-plan diamonds re-ran it up to 4x (guide §2.4).
     # Materialize it once, spread across a defaultParallelism-derived
     # partition count so the wedge/closure stages never inherit an
-    # AQE-coalesced single partition (guide §2.5).
+    # AQE-coalesced single partition (guide §2.5). r16: the edge set
+    # is corpus-scale, so the pins keep lineage (operators/pin.py
+    # "corpus": persist, recomputable after executor loss) instead of
+    # localCheckpointing.
     npart = edges.sparkSession.sparkContext.defaultParallelism * 4
-    sym = (
+    sym = pin_stage(
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .repartition(npart, "a")
-        .localCheckpoint(eager=True)
+        .repartition(npart, "a"),
+        "corpus",
     )
     deg = sym.groupBy(F.col("a").alias("n")).agg(F.count(F.lit(1)).alias("d"))
     # total orientation order: key(n) = (deg(n), n); orient a->b iff
@@ -143,18 +151,19 @@ def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
     # order (not raw id) or the closing edge's direction is missed.
     da = deg.select(F.col("n").alias("a"), F.struct("d", "n").alias("ka"))
     db = deg.select(F.col("n").alias("b"), F.struct("d", "n").alias("kb"))
-    oriented = (
+    oriented = pin_stage(
         sym.join(da, "a")
         .join(db, "b")
         .filter(F.col("ka") < F.col("kb"))
-        .select("a", "b")
-        .localCheckpoint(eager=True)  # reused: out-lists AND intersect
+        .select("a", "b"),
+        "corpus",  # reused: out-lists AND intersect
     )
     # Oriented out-neighbor lists — bounded by oriented out-degree.
-    outn = (
-        oriented.groupBy(F.col("a").alias("n"))
-        .agg(F.collect_set("b").alias("ob"))
-        .localCheckpoint(eager=True)  # read by both sides of the attach
+    outn = pin_stage(
+        oriented.groupBy(F.col("a").alias("n")).agg(
+            F.collect_set("b").alias("ob")
+        ),
+        "corpus",  # read by both sides of the attach
     )
     # Pin the per-edge intersect stage: the checkpointed `oriented` is
     # tiny on disk, so AQE would coalesce the ENSURE_REQUIREMENTS
@@ -226,7 +235,7 @@ def bfs_levels(
     shuffled on the node id) followed by an anti-join against the
     visited set, so a node is emitted exactly once at its first
     (= minimum) level — the relational statement of textbook BFS.
-    Lineage is cut per hop with an eager localCheckpoint, same as
+    Lineage is cut per hop (operators/pin.cut_lineage), same as
     connected_components/pagerank above: constant-size plan, constant
     driver overhead per round regardless of hop count. Visited and
     frontier are one narrow row per node — ≪ corpus at 100 TB, and the
@@ -234,28 +243,29 @@ def bfs_levels(
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     if not directed:
         e = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    e = e.filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
+    # corpus-scale, reused every hop: persist keeps the recompute path
+    e = pin_stage(e.filter(F.col("a") != F.col("b")).distinct(), "corpus")
 
-    visited = (
+    visited = cut_lineage(
         seeds.select(F.col("node"))
         .distinct()
         .withColumn("level", F.lit(0).cast("long"))
-        .localCheckpoint(eager=True)
     )
     frontier = visited.select("node")
     for hop in range(1, max_hops + 1):
-        nxt = (
+        nxt = cut_lineage(
             frontier.join(e, frontier["node"] == e["a"])
             .select(F.col("b").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
-            .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(
-            nxt.withColumn("level", F.lit(hop).cast("long"))
-        ).localCheckpoint(eager=True)
+        visited = cut_lineage(
+            visited.unionByName(
+                nxt.withColumn("level", F.lit(hop).cast("long"))
+            )
+        )
         frontier = nxt.select("node")
     return visited
 
@@ -273,7 +283,7 @@ def pagerank(
 
     Same execution skeleton as connected_components: each round is one
     join (edges ⋈ ranks, shuffled on node id) + one per-destination
-    sum, lineage cut per round with an eager localCheckpoint so the
+    sum, lineage cut per round (operators/pin.cut_lineage) so the
     plan — and driver overhead — stays constant across iterations.
     Dangling-node mass (out-degree 0) is redistributed uniformly; it
     is computed as a one-row aggregate attached by broadcast cross
@@ -283,17 +293,18 @@ def pagerank(
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     if not directed:
         e = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    e = e.filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
+    # corpus-scale, reused every round: persist keeps the recompute path
+    e = pin_stage(e.filter(F.col("a") != F.col("b")).distinct(), "corpus")
 
-    nodes = (
+    nodes = pin_stage(
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        "corpus",
     )
     n_nodes = nodes.count()
     outdeg = e.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint(eager=True)
+    ranks = cut_lineage(nodes.withColumn("rank", F.lit(1.0 / n_nodes)))
 
     for _ in range(iterations):
         with_deg = ranks.join(outdeg, "node", "left")
@@ -308,7 +319,7 @@ def pagerank(
             .groupBy("node2")
             .agg(F.sum("c").alias("contrib"))
         )
-        ranks = (
+        ranks = cut_lineage(
             nodes.join(contribs, nodes["node"] == contribs["node2"], "left")
             .crossJoin(F.broadcast(dangling))
             .select(
@@ -322,7 +333,6 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
     return ranks
 
@@ -350,34 +360,33 @@ def weighted_sssp(
     Scale: the distance table is one narrow row per reached node —
     ≪ corpus; each round is one equi-join shuffled on the node id
     plus a min-aggregate, and lineage is cut per round with an eager
-    localCheckpoint (constant-size plan regardless of hop count, the
+    cut (constant-size plan regardless of hop count, the
     connected_components/pagerank pattern). Relaxation is the scale
     formulation: the oracle's path ENUMERATION is exponential in
     hops, the relaxation is linear."""
-    e = (
+    # corpus-scale, reused every round: persist keeps the recompute path
+    e = pin_stage(
         edges.select(
             F.col(src).alias("a"),
             F.col(dst).alias("b"),
             F.col(weight).alias("w"),
-        )
-        .localCheckpoint(eager=True)
+        ),
+        "corpus",
     )
-    dist = (
+    dist = cut_lineage(
         e.filter(F.col("a") == source)
         .groupBy(F.col("b").alias("node"))
         .agg(F.min("w").alias("d"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_hops - 1):
         ext = (
             dist.join(e, dist["node"] == e["a"])
             .select(F.col("b").alias("node"), (F.col("d") + F.col("w")).alias("d"))
         )
-        dist = (
+        dist = cut_lineage(
             dist.unionByName(ext)
             .groupBy("node")
             .agg(F.min("d").alias("d"))
-            .localCheckpoint(eager=True)
         )
     return dist
 
@@ -405,22 +414,22 @@ def label_propagation(
     Scale: one round = edges ⋈ labels (node-keyed, the labels side
     one narrow row per node) + a (node, label) count + a max-struct
     argmax — two shuffles per round, lineage cut per round with an
-    eager localCheckpoint (the connected_components pattern). Label
+    per-round cut (the connected_components pattern). Label
     skew is bounded: vote rows per node = its degree.
 
     Returns (node, community)."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    e = (
+    # corpus-scale, reused every round: persist keeps the recompute path
+    e = pin_stage(
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        "corpus",
     )
-    labels = (
+    labels = cut_lineage(
         e.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("community", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(iterations):
         votes = (
@@ -429,7 +438,7 @@ def label_propagation(
             .groupBy("n", "l")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        labels = (
+        labels = cut_lineage(
             votes.groupBy("n")
             .agg(
                 F.max_by(
@@ -437,7 +446,6 @@ def label_propagation(
                 ).alias("community")
             )
             .select(F.col("n").alias("node"), "community")
-            .localCheckpoint(eager=True)
         )
     return labels
 
@@ -468,11 +476,11 @@ def k_core(
     Returns the surviving ``(node, degree)`` rows (degree within
     the core)."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    e = (
+    # per-round peeled frame (reassigned below): iterative cut
+    e = cut_lineage(
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_rounds):
         deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
@@ -485,10 +493,9 @@ def k_core(
             return deg.select(
                 F.col("a").alias("node"), "degree"
             ).limit(0)
-        e = (
+        e = cut_lineage(
             e.join(keep, "a", "left_semi")
             .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
-            .localCheckpoint(eager=True)
         )
     deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
     return deg.filter(F.col("degree") >= k).select(

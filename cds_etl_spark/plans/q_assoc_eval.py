@@ -1818,9 +1818,14 @@ def qs341(spark: SparkSession, sf: str) -> DataFrame:
         )
         .otherwise(F.array().cast("array<string>"))
         .alias("shset"),
-    ).localCheckpoint(eager=True)
-    # Same row set as `sh` (≥3 tokens), read from the checkpoint —
-    # the rn skeleton never recomputes the sets.
+    )
+    # r16: the shingle-set table is corpus-scale — pin with lineage
+    # intact (operators/pin.py "corpus") rather than localCheckpoint.
+    from cds_etl_spark.operators.pin import pin_stage
+
+    sh = pin_stage(sh, "corpus", via="persist")
+    # Same row set as `sh` (≥3 tokens), read from the pin — the rn
+    # skeleton never recomputes the sets.
     base = sh.select("doc_id", "lang", "lenband")
     # Plain per-block window, with a MEASURED reject of the
     # bucketed_row_number rewire (r10, BASELINE): the rn machinery

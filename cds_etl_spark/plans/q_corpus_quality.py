@@ -635,18 +635,22 @@ def qs137(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load_table(spark, sf, "documents")
     # r15 (guide §2.4/§2.5): spread the single-file scan (the tokenize
-    # explode + every partial aggregate ran in one task) and
-    # checkpoint the token stream — the sketch build, the probe and
-    # the exact verify branch each re-tokenized the corpus (the
-    # "three corpus-tokenizing branches" the r5 review counted; the
-    # checkpoint is the in-plan form of the per-PASS materialization
-    # the docstring describes).
-    toks = (
-        spread_scan(d.select("text"))
-        .select(
+    # explode + every partial aggregate ran in one task) and pin the
+    # token stream — the sketch build, the probe and the exact verify
+    # branch each re-tokenized the corpus (the "three
+    # corpus-tokenizing branches" the r5 review counted; the pin is
+    # the in-plan form of the per-PASS materialization the docstring
+    # describes). r16: the stream is corpus-scale (one row per token),
+    # so it persists with lineage intact instead of localCheckpointing
+    # (operators/pin.py — executor loss recomputes, spills to disk).
+    from cds_etl_spark.operators.pin import pin_stage
+
+    toks = pin_stage(
+        spread_scan(d.select("text")).select(
             F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
-        )
-        .localCheckpoint(eager=True)
+        ),
+        "corpus",
+        via="persist",
     )
     total = d.agg(
         F.sum(F.size(F.split(F.lower(F.col("text")), " ")))

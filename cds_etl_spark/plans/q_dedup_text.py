@@ -412,12 +412,16 @@ def qs293(spark: SparkSession, sf: str) -> DataFrame:
     # r15 (guide §2.4): the surviving pair list feeds BOTH the n_pairs
     # and the docs-affected branches — a pure-plan diamond that re-ran
     # the band self-join + exact refine twice per execution. The list
-    # is candidate-pair-sized (the LSH physics), so materializing it
-    # once is driver-safe at any scale.
-    pairs = (
-        minhash_lsh_pairs(d)
-        .select("d1", "d2", "jac")
-        .localCheckpoint(eager=True)
+    # is candidate-pair-sized (the LSH physics) — driver-safe, but it
+    # still SCALES with the corpus, so r16 pins it with lineage intact
+    # (operators/pin.py "corpus": persist, not localCheckpoint —
+    # executor loss recomputes instead of failing the job).
+    from cds_etl_spark.operators.pin import pin_stage
+
+    pairs = pin_stage(
+        minhash_lsh_pairs(d).select("d1", "d2", "jac"),
+        "corpus",
+        via="persist",
     )
     # r15 (guide §3.1): a createDataFrame literal is a Python-RDD-
     # backed scan (UnknownPartitioning, no broadcastable stats) — the
