@@ -35,71 +35,66 @@ def entry(spark: SparkSession) -> DataFrame:
 # so a typo fails loudly instead of silently falling back to
 # registration order (the r03 defect).
 _GRADE_FIRST = [
-    # -- r15 window (first 50 graded). Composition rule (VERDICT r14
-    #    task 2 + the r14 changed-query rule): the 31 queries whose
-    #    ORACLE SQL changed since the r14 close (the NULL-axis fixes
-    #    3782ca3 — pinned NULLS FIRST/LAST, TRY_CAST complete-case
-    #    filters, null-safe bounds joins, json_valid guards — and the
-    #    chi-square GREATEST(...,0) clamps 925eb54) MUST re-earn their
-    #    official grade in the round that changed them; the remaining
-    #    19 slots take the alphabetically-first rows whose latest
-    #    official grade is r06 (qs113_recursive_cte leads). Changed
-    #    set computed mechanically: ORACLE_SQL text diff vs the r14
-    #    close tree (90f6d96) — 31 names, zero added/removed. The
-    #    displaced r06/r07 rows lead the r16 rotation. All 50 re-proven
-    #    EQUAL at sf0.01 on this tree (tools/driver_diff.py --all at
-    #    round close). Optimization-round plan restructures keep
-    #    formulas and oracles identical and do not displace grades. --
-    "qs21_ranking_family",
-    "qs22_lag_lead_rows_frame",
-    "qs241_chi_square_independence",
-    "qs24_window_navigation",
-    "qs261_cochran_armitage",
-    "qs273_cramers_v",
-    "qs298_jonckheere_trend",
-    "qs299_kendall_taub",
-    "qs322_pages_trend",
-    "qs327_ordinal_association",
-    "qs328_quade_test",
-    "qs33_math_functions",
-    "qs347_weighted_kappa",
-    "qs34_json_extraction",
-    "qs357_t_closeness",
-    "qs377_cramer_von_mises",
-    "qs37_levenshtein",
-    "qs383_somers_d",
-    "qs384_stuart_tau_c",
-    "qs386_yule_q",
-    "qs387_ansari_bradley",
-    "qs388_ww_runs",
-    "qs391_wasserstein",
-    "qs394_kuiper",
-    "qs395_anderson_darling",
-    "qs396_brunner_munzel",
-    "qs397_lepage",
-    "qs398_g_test",
-    "qs399_cramers_v",
-    "qs43_sessionize",
-    "qs47_map_aggregation",
-    "qs113_recursive_cte",
-    "qs114_fuzzy_link",
-    "qs115_tfidf_top_terms",
-    "qs116_cohort_retention",
-    "qs11_count_distinct",
-    "qs12_rollup",
-    "qs13_cube",
-    "qs142_duplicate_span_coverage",
-    "qs143_hll_register_table",
-    "qs144_dsir_importance_weights",
-    "qs145_bpe_pair_step",
-    "qs146_semantic_dedup",
-    "qs147_gopher_quality_rules",
-    "qs148_pii_scan_redact",
-    "qs149_temperature_mixing",
-    "qs14_combine_rows_string_agg",
-    "qs150_incremental_minhash_dedup",
-    "qs151_pq_ann",
-    "qs152_bloom_decontaminate",
+    # -- r16 window (first 50 graded). Composition rule (VERDICT r15
+    #    task 8): no formula or oracle changed this round (the r16
+    #    optimization work is plan-physics only — qs138's spread
+    #    removal, the pin_stage reclassifications — and the r14
+    #    changed-query rule therefore binds nothing), so the window
+    #    takes the 50 rows with the OLDEST latest official grade:
+    #    all 16 remaining r06 rows, all 32 r07 rows, and the two
+    #    alphabetically-first r08 rows (qs207, qs208). Computed
+    #    mechanically from CORRECTNESS_r01..r15 hash_match history;
+    #    after this round no row's latest grade predates r08. --
+    "qs153_unpivot_measures",
+    "qs154_histogram_quantile_sketch",
+    "qs155_token_cooccurrence",
+    "qs156_robust_outliers",
+    "qs15_min_max_stddev",
+    "qs20_topk_per_group",
+    "qs23_window_aggregate",
+    "qs36_higher_order_arrays",
+    "qs44_percentile_exact",
+    "qs45_correlated_scalar_subquery",
+    "qs54_exact_dedup",
+    "qs56_simhash",
+    "qs64_salted_agg",
+    "qs90_hll_distinct_sketch",
+    "qs96_anonymize",
+    "qs98_incremental_agg",
+    "qs175_key_skew_diagnosis",
+    "qs176_last_touch_attribution",
+    "qs177_winnow_fingerprints",
+    "qs178_sparse_cosine_neighbors",
+    "qs179_bootstrap_ci",
+    "qs180_clamped_balance",
+    "qs181_mannwhitney_auc",
+    "qs182_kaplan_meier",
+    "qs183_weighted_median",
+    "qs184_powerlaw_fit",
+    "qs185_rolling_actives",
+    "qs186_session_stats",
+    "qs187_basket_lift",
+    "qs188_time_to_convert",
+    "qs189_lorenz_deciles",
+    "qs190_dow_seasonality",
+    "qs191_new_vs_returning",
+    "qs192_cohort_ltv",
+    "qs193_duplicate_payments",
+    "qs194_ship_sla",
+    "qs195_supplier_activity_islands",
+    "qs196_embedding_drift",
+    "qs197_percent_of_parent",
+    "qs198_rank_movers",
+    "qs199_scd2_dimension",
+    "qs200_proration_cents",
+    "qs201_date_spine_fill",
+    "qs202_group_ols_trend",
+    "qs203_funnel_conversion",
+    "qs204_autocorrelation",
+    "qs205_theilsen_slope",
+    "qs206_grid_spatial_pairs",
+    "qs207_feature_hashing",
+    "qs208_quantile_normalization",
 ]
 
 

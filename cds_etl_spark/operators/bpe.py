@@ -38,6 +38,8 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from cds_etl_spark.operators.pin import cut_lineage
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
@@ -133,7 +135,7 @@ def bpe_train(
     wf = df if set(df.columns) == {"syms", "freq"} else word_freq_table(
         df, text_col
     )
-    wf = wf.localCheckpoint(eager=True)
+    wf = cut_lineage(wf)  # pin: iterative (merge-loop frame)
     merges: list[tuple[str, str]] = []
     for step in range(n_merges):
         top = (
@@ -148,7 +150,7 @@ def bpe_train(
         merges.append((a, b))
         wf = wf.withColumn("syms", merge_adjacent(F.col("syms"), a, b))
         if (step + 1) % checkpoint_every == 0:
-            wf = wf.localCheckpoint(eager=True)
+            wf = cut_lineage(wf)  # pin: iterative (merge-loop frame)
     return merges, wf
 
 

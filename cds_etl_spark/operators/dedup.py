@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from cds_etl_spark.operators.pin import cut_lineage
+
 from cds_etl_spark.functions.text import (
     jaccard,
     lsh_band_keys,
@@ -109,10 +111,9 @@ def minhash_lsh_pairs(
     # sides of the refine join). localCheckpoint materializes it once —
     # the index-build step; at scale you'd persist signatures to the
     # warehouse for reuse across dedup runs anyway.
-    sh = (
+    sh = cut_lineage(  # pin: corpus-scale (shingle arrays per doc)
         df.select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks"))
         .select("_id", word_shingles_from_tokens(F.col("_toks"), shingle_k).alias("_sh"))
-        .localCheckpoint(eager=True)
     )
     # Digest arrays as real columns: the md5 transforms (the dominant
     # cost) run once per row; the 12 slice/min expressions and band
@@ -135,9 +136,9 @@ def minhash_lsh_pairs(
     )
     # Explode to (id, band_idx, band_key): the only wide payload (_sh)
     # stays behind — rejoined later only for surviving candidates.
-    bands_df = sig.select(
-        "_id", F.posexplode("_bk").alias("_bi", "_key")
-    ).localCheckpoint(eager=True)
+    bands_df = cut_lineage(  # pin: corpus-scale (band rows per doc)
+        sig.select("_id", F.posexplode("_bk").alias("_bi", "_key"))
+    )
     a = bands_df.alias("a")
     b = bands_df.alias("b")
     cand = (
@@ -228,8 +229,8 @@ def ngram_jaccard_pairs(
                 F.log(1.0 / t_eff, F.greatest(F.col("_sz"), F.lit(1)))
             ).cast("int"),
         )
-        .localCheckpoint(eager=True)  # two join consumers below
     )
+    sh = cut_lineage(sh)  # pin: corpus-scale; two join consumers below
     # r15 (guide §2.3/§8): the pair join moves POSTINGS — one narrow
     # (blocks, band, shingle, id, sz) row per shingle occurrence —
     # never the shingle arrays. A pair's intersection size is the
@@ -486,10 +487,9 @@ def _signature_bands(
     refine downstream is family-independent, so the GUARANTEE class
     (1-(1-j^r)^b candidate recall, exact verify) is identical."""
     rows_per_band = num_hashes // bands
-    sh = (
+    sh = cut_lineage(  # pin: corpus-scale (shingle arrays per doc)
         df.select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks"))
         .select("_id", word_shingles_from_tokens(F.col("_toks"), shingle_k).alias("_sh"))
-        .localCheckpoint(eager=True)
     )
     if hash_family == "fast":
         from cds_etl_spark.functions.text import (
@@ -513,9 +513,9 @@ def _signature_bands(
                 [F.col(f"_d{g}") for g in range(n_groups)], num_hashes
             ).alias("_sig"),
         ).select("_id", lsh_band_keys(F.col("_sig"), bands, rows_per_band).alias("_bk"))
-    bands_df = sig.select(
-        "_id", F.posexplode("_bk").alias("_bi", "_key")
-    ).localCheckpoint(eager=True)
+    bands_df = cut_lineage(  # pin: corpus-scale (band rows per doc)
+        sig.select("_id", F.posexplode("_bk").alias("_bi", "_key"))
+    )
     return sh, bands_df
 
 
@@ -684,7 +684,7 @@ def _write_minhash_stats(counts: DataFrame, path: str) -> None:
     localCheckpoint breaks lineage BEFORE the overwrite so a refresh
     may read the old counts as its own input without
     self-truncation."""
-    counts = counts.localCheckpoint(eager=True)
+    counts = cut_lineage(counts)  # pin: corpus-scale (row per band key)
     counts.write.mode("overwrite").parquet(f"{path}/band_counts")
     (
         counts.groupBy(
@@ -825,7 +825,7 @@ def build_minhash_index(
         # incremental stats merge (append_minhash_band_stats) reuses
         # them without re-running the shingle/signature stage — and
         # without lazily re-reading the path it was just appended to.
-        bands_out = bands_out.localCheckpoint(eager=True)
+        bands_out = cut_lineage(bands_out)  # pin: corpus-scale delta
     bands_out.write.mode(mode).partitionBy("band_idx").parquet(
         f"{path}/bands"
     )
@@ -1039,7 +1039,7 @@ def semantic_dedup(
             *([F.col("_b._vn").alias("_vn")] if dim is not None else []),
         )
     )
-    assigned = assigned.localCheckpoint(eager=False)
+    assigned = cut_lineage(assigned, eager=False)  # pin: corpus-scale
     if dim is not None:
         # Pin the pair join's cid exchange ABOVE the checkpoint (a
         # checkpoint scan reports UnknownPartitioning, so a repartition

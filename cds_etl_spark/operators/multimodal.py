@@ -38,6 +38,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from cds_etl_spark.operators.pin import cut_lineage
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -1001,7 +1003,7 @@ def _write_phash_stats(counts: DataFrame, path: str, n_bands: int) -> None:
     reads in one footer hit). localCheckpoint breaks lineage BEFORE
     the overwrite so a refresh may read the old counts as its own
     input without self-truncation."""
-    counts = counts.localCheckpoint(eager=True)
+    counts = cut_lineage(counts)  # pin: corpus-scale (row per band key)
     (
         counts.withColumn("n_bands", F.lit(n_bands))
         .write.mode("overwrite")
@@ -1121,7 +1123,9 @@ def build_phash_index(
         # The delta must be materialized pre-write: after the append
         # lands, re-reading ``sigs`` lazily from source is fine, but
         # a plan reading from ``path`` itself would double-count.
-        sigs = sigs.select("media_id", "phash").localCheckpoint(eager=True)
+        sigs = cut_lineage(  # pin: corpus-scale delta
+            sigs.select("media_id", "phash")
+        )
         sigs.write.mode("append").parquet(path)
         if not append_phash_band_stats(spark, path, sigs, stats_n_bands):
             write_phash_band_stats(spark, path, stats_n_bands)

@@ -33,6 +33,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from cds_etl_spark.operators.pin import cut_lineage
 from pyspark.sql.types import DoubleType
 
 from cds_etl_spark.functions.vector import cosine_similarity, dot_product, l2_norm
@@ -229,8 +231,8 @@ def kmeans_train(
             F.col(vec_col).cast("array<double>").alias("_v"),
         )
         .filter((h % sample_mod) == 0 if sample_mod > 1 else F.lit(True))
-        .localCheckpoint(eager=True)
     )
+    sample = cut_lineage(sample)  # pin: corpus-scale (sampled corpus slice)
     init = (
         sample.withColumn("_h", h)
         .orderBy("_h", "_id")

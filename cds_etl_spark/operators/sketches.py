@@ -356,6 +356,9 @@ def bloom_probe(
     consumer, and an unmaterialized build plan would re-run its scan +
     word aggregation k times (at scale the filter is a persisted table
     anyway — the build corpus must not be re-scanned per hash)."""
+    # pin: bounded (filter table ≤ n_words rows) — localCheckpoint
+    # IS the bounded policy (operators/pin.py); lazy: single consumer
+    # chain builds it on first use.
     bloom = bloom.localCheckpoint(eager=False)
     bits = _bloom_bits(F.col(item_col), k, n_words, hash_family)
     out = df.select(

@@ -27,6 +27,8 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cds_etl_spark.operators.pin import cut_lineage
+
 from cds_etl_spark.model import Model
 
 NodeTables = dict[str, DataFrame]
@@ -56,7 +58,7 @@ def _materialize(df: DataFrame) -> DataFrame:
     treatment for iterative/fixpoint algorithms; one distributed pass
     per stage, mirroring the eager semantics the reference's pandas
     pipeline has implicitly."""
-    return df.localCheckpoint(eager=True)
+    return cut_lineage(df)  # pin: iterative (cascade recursion frame)
 
 
 def _fk_cols(node: str, parent_mapping: list[dict], columns: list[str]) -> list[str]:

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from cds_etl_spark.catalog import load_table
 from cds_etl_spark.operators.prefix import bucketed_row_number
 from cds_etl_spark.plans.registry import query
+from cds_etl_spark.operators.pin import cut_lineage
 
 _PRIOS = (
     "1-URGENT",
@@ -1271,7 +1272,7 @@ def qs334(spark: SparkSession, sf: str) -> DataFrame:
     # paid once — `pairs` is checkpointed, so the two
     # sorted-neighborhood layers (2 bucketed_row_number passes +
     # equi-joins + distinct) no longer re-run per reference.
-    pairs = pairs.localCheckpoint(eager=True)
+    pairs = cut_lineage(pairs)  # pin: corpus-scale pair set
     edges = pairs.select(
         F.col("d1").alias("a"), F.col("d2").alias("b")
     ).unionAll(
@@ -1539,8 +1540,8 @@ def qs337(spark: SparkSession, sf: str) -> DataFrame:
         )
         .groupBy("o")
         .agg(F.sort_array(F.collect_set("item")).alias("items"))
-        .localCheckpoint(eager=True)
     )
+    baskets = cut_lineage(baskets)  # pin: corpus-scale basket table
     n = baskets.agg(F.count(F.lit(1)).alias("nn"))
     sup = baskets.select(F.explode("items").alias("item")).groupBy(
         "item"

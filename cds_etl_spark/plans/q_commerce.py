@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from cds_etl_spark.catalog import load_table
 from cds_etl_spark.plans.registry import query
+from cds_etl_spark.operators.pin import cut_lineage
 from cds_etl_spark.operators.sessions import sessionize  # noqa: E402
 
 @query(
@@ -307,10 +308,8 @@ def qs183(spark: SparkSession, sf: str) -> DataFrame:
     # checkpointed because the prefix machinery references it ~4x.
     from cds_etl_spark.operators.prefix import bucketed_prefix_sum
 
-    g = (
-        b.groupBy("flag", "c")
-        .agg(F.sum("q").alias("q"))
-        .localCheckpoint(eager=True)
+    g = cut_lineage(  # pin: corpus-scale (row per distinct price cent)
+        b.groupBy("flag", "c").agg(F.sum("q").alias("q"))
     )
     gp = bucketed_prefix_sum(g, "c", "q", "cq", part_cols=("flag",))
     tn = b.groupBy("flag").agg(F.sum("q").alias("tq"))
@@ -551,8 +550,8 @@ def qs187(spark: SparkSession, sf: str) -> DataFrame:
         )
         .groupBy("o")
         .agg(F.sort_array(F.collect_set("item")).alias("items"))
-        .localCheckpoint(eager=True)
     )
+    baskets = cut_lineage(baskets)  # pin: corpus-scale basket table
     # In-plan scalar (1-row crossJoin), not a driver-side count():
     # the query stays one lazy plan, no extra job.
     n = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
@@ -1898,7 +1897,10 @@ def qs205(spark: SparkSession, sf: str) -> DataFrame:
             "sum(CAST(ROUND(l_extendedprice * 100, 0) AS LONG))"
             " div 10000"
         ).alias("y")
-    ).localCheckpoint(eager=True)
+    )
+    # pin: bounded (≤ |grp|·84 monthly rows) — localCheckpoint IS the
+    # bounded policy (operators/pin.py).
+    m = m.localCheckpoint(eager=True)
     a = m.select("grp", F.col("t").alias("ta"), F.col("y").alias("ya"))
     b = m.select("grp", F.col("t").alias("tb"), F.col("y").alias("yb"))
     pairs = a.join(b, "grp").filter(F.col("tb") > F.col("ta")).select(

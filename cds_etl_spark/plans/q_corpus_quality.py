@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from cds_etl_spark.catalog import load_table
 from cds_etl_spark.operators.skew import spread_scan
 from cds_etl_spark.plans.registry import query
+from cds_etl_spark.operators.pin import cut_lineage
 from cds_etl_spark.functions.vector import cosine_similarity, dot_product
 from cds_etl_spark.plans.q_dedup_text import _JACCARD_SQL, _MINHASH_SIG_SQL, _SHINGLES_CTE
 
@@ -1804,14 +1805,18 @@ def qs156(spark: SparkSession, sf: str) -> DataFrame:
     # join. Pin the 3-row median table and the narrow (st, d)
     # deviation table once. No scan spread: the grouped-percentile
     # partial buffers merge per partition (the qs239 measured revert).
+    # pin: bounded (3-row median table) — localCheckpoint IS the
+    # bounded policy (operators/pin.py).
     med = (
         c.groupBy("st")
         .agg(F.percentile("cents", F.lit(0.5)).alias("med"))
         .localCheckpoint(eager=True)
     )
-    dev = c.join(F.broadcast(med), "st").select(
-        "st", F.abs(F.col("cents") - F.col("med")).alias("d")
-    ).localCheckpoint(eager=True)
+    dev = cut_lineage(  # pin: corpus-scale (row per order)
+        c.join(F.broadcast(med), "st").select(
+            "st", F.abs(F.col("cents") - F.col("med")).alias("d")
+        )
+    )
     mad = dev.groupBy("st").agg(
         F.percentile("d", F.lit(0.5)).alias("mad"),
         F.count(F.lit(1)).alias("n"),

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from cds_etl_spark.catalog import load_table
 from cds_etl_spark.plans.registry import query
+from cds_etl_spark.operators.pin import cut_lineage
 
 # ---------------------------------------------------------------------------
 # qs393 MRR/hits@k over a prefix-filter candidate shortlist (the ANN
@@ -132,8 +133,8 @@ def qs393(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("term"),
         )
         .filter(F.col("term") != "")
-        .localCheckpoint(eager=True)
     )
+    toks = cut_lineage(toks)  # pin: corpus-scale postings
     dfreq = toks.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
@@ -180,8 +181,8 @@ def qs393(spark: SparkSession, sf: str) -> DataFrame:
                 )
             ).alias("ts"),
         )
-        .localCheckpoint(eager=True)
     )
+    arr = cut_lineage(arr)  # pin: corpus-scale token arrays
     # r15 (guide §2.3/§8): attach the cid-keyed payloads FIRST, the
     # qid-keyed array LAST — written q-side-first, the pair set
     # crossed the cid exchange already carrying qts, so token arrays

@@ -19,6 +19,7 @@ from cds_etl_spark.operators.prefix import (
     scalable_ntile_multi,
 )
 from cds_etl_spark.plans.registry import query
+from cds_etl_spark.operators.pin import cut_lineage
 from cds_etl_spark.functions.vector import dot_product
 
 @query(
@@ -339,8 +340,10 @@ def qs210(spark: SparkSession, sf: str) -> DataFrame:
     # r15 (guide §2.4): the ntile machinery scans its input ~3x (long-
     # format counts, per-value ties, final attach) — each scan re-ran
     # the orders aggregate. Materialize the customer-dimension-sized
-    # frame once.
-    ).localCheckpoint(eager=True)
+    # frame once (r16: dimension tables grow with the input — corpus
+    # class, cut_lineage).
+    )
+    base = cut_lineage(base)
     # ONE multi-metric ntile call: all three boundary sets come from
     # a single long-format pass over the customer frame (chaining
     # one-metric calls would re-evaluate the input per call).
@@ -1567,11 +1570,8 @@ def qs222(spark: SparkSession, sf: str) -> DataFrame:
     # via edges — the degree table and both wedge sides; without the
     # checkpoint the two blocked self-joins + distinct re-ran per
     # reference (qs334 precedent).
-    pairs = (
-        sim.select("d1", "d2")
-        .unionAll(prov.select("d1", "d2"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    pairs = cut_lineage(  # pin: corpus-scale pair set
+        sim.select("d1", "d2").unionAll(prov.select("d1", "d2")).distinct()
     )
     edges = pairs.select(
         F.col("d1").alias("a"), F.col("d2").alias("b")
@@ -2278,6 +2278,8 @@ def qs230(spark: SparkSession, sf: str) -> DataFrame:
     # (bounds agg, bucket join, in-bucket window, bucket-offset join
     # back) — without the checkpoint the orders scan + (prio, v)
     # groupBy re-ran per reference.
+    # pin: bounded (value-level grid: |prio|·|distinct cents|) —
+    # localCheckpoint IS the bounded policy (operators/pin.py).
     g = (
         s.groupBy("prio", "v")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -2599,7 +2601,8 @@ def qs233(spark: SparkSession, sf: str) -> DataFrame:
             " i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"
             " ELSE array() END"
         ).alias("s"),
-    ).localCheckpoint(eager=True)
+    )
+    sh = cut_lineage(sh)  # pin: corpus-scale shingle sets
     # r15 rewrite (guide §2.3/§8): the oracle's within-language
     # all-pairs join moves every shingle array O(n²/L) times; the
     # identical result needs only (a) |∩| per pair that SHARES a
@@ -3154,6 +3157,8 @@ def qs239(spark: SparkSession, sf: str) -> DataFrame:
             F.col("_qq")[0].alias("q1"),
             F.col("_qq")[1].alias("q3"),
         )
+        # pin: bounded (one quantile row per grp) — localCheckpoint IS
+        # the bounded policy (operators/pin.py).
         .localCheckpoint(eager=True)
     )
     j = b.join(F.broadcast(q), "grp")

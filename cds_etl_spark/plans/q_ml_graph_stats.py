@@ -18,6 +18,7 @@ from cds_etl_spark.catalog import load_table
 from cds_etl_spark.operators.prefix import midrank2
 from cds_etl_spark.operators.text_analysis import LANG_LEXICONS
 from cds_etl_spark.plans.registry import query
+from cds_etl_spark.operators.pin import cut_lineage
 
 
 def _sql_list(words: tuple[str, ...]) -> str:
@@ -278,10 +279,9 @@ def qs243(spark: SparkSession, sf: str) -> DataFrame:
         # the bucketed machinery below references it ~4× — checkpoint
         # it so the corpus aggregates ONCE (prices are near-unique:
         # the grid is value-dimension-sized, far below the corpus).
-        vals = (
-            df.groupBy("flag", col)
-            .agg(F.count(F.lit(1)).alias("_c"))
-            .localCheckpoint(eager=True)
+        vals = cut_lineage(  # pin: value grid; prices near-unique, so
+            # it grows with the corpus — corpus class (operators/pin.py)
+            df.groupBy("flag", col).agg(F.count(F.lit(1)).alias("_c"))
         )
         # Bucketed prefix sum (operators/prefix.py): the per-flag
         # serial window put ~2M distinct prices per flag in ONE task
@@ -296,10 +296,9 @@ def qs243(spark: SparkSession, sf: str) -> DataFrame:
         # the grid — the midrank2 window/offset machinery otherwise
         # re-ran inside every execution of the downstream join
         # (measured 3.9 -> 2.5 s at sf0.1).
-        return (
+        return cut_lineage(  # pin: same value-grid scale as vals
             midrank2(vals, "_ik", "_c", out, part_cols=("flag",))
             .select("flag", col, out)
-            .localCheckpoint(eager=True)
         )
 
     rx = midranks(b, "qx", "rx")
@@ -402,6 +401,8 @@ def qs244(spark: SparkSession, sf: str) -> DataFrame:
         F.col("lang").alias("truth"),
         language_id(F.col("text")).alias("guess"),
     )
+    # pin: bounded (≤ |langs|² confusion cells) — localCheckpoint IS
+    # the bounded policy (operators/pin.py).
     conf = (
         g.groupBy("truth", "guess")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -1123,10 +1124,8 @@ def qs253(spark: SparkSession, sf: str) -> DataFrame:
             "term"
         ),
     ).filter(F.col("term") != "")
-    cnt = (
-        toks.groupBy("source", "term")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
+    cnt = cut_lineage(  # pin: vocabulary-scale counts — corpus class
+        toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
     )
     tot = cnt.groupBy("source").agg(F.sum("c").alias("tot"))
     top = (
@@ -1327,19 +1326,16 @@ def qs255(spark: SparkSession, sf: str) -> DataFrame:
             "term"
         ),
     ).filter(F.col("term") != "")
-    dl = (
-        toks.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("dl"))
-        .localCheckpoint(eager=True)
+    dl = cut_lineage(  # pin: per-doc table — corpus class
+        toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
     )
-    tf = (
+    tf = cut_lineage(  # pin: per-(doc, term) table — corpus class
         toks.filter(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
     )
     idf = (
         tf.groupBy("term")
@@ -1488,6 +1484,8 @@ def qs295(spark: SparkSession, sf: str) -> DataFrame:
         F.col("lang").alias("truth"),
         language_id(F.col("text")).alias("guess"),
     )
+    # pin: bounded (≤ |langs|² confusion cells) — localCheckpoint IS
+    # the bounded policy (operators/pin.py).
     conf = (
         g.groupBy("truth", "guess")
         .agg(F.count(F.lit(1)).alias("c"))

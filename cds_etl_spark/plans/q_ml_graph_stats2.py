@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from cds_etl_spark.catalog import load_table
 from cds_etl_spark.plans.registry import query
+from cds_etl_spark.operators.pin import cut_lineage
 
 
 # ---------------------------------------------------------------------------
@@ -58,8 +59,8 @@ def qs256(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    ob = cut_lineage(ob)  # pin: corpus-scale (order, brand) set
     x = ob.select("o", F.col("b").alias("b1"))
     y = ob.select("o", F.col("b").alias("b2"))
     z = ob.select("o", F.col("b").alias("b3"))
@@ -480,8 +481,8 @@ def qs260(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
         # r15 (guide §2.4): a1/h1/a2 each reference the edge set, so
         # the orders-lineitem join + distinct re-ran 3x.
-        .localCheckpoint(eager=True)
     )
+    e = cut_lineage(e)  # pin: corpus-scale edge set
     a1 = e.groupBy("s").agg(F.count(F.lit(1)).alias("a"))
     h1 = (
         e.join(a1, "s")
@@ -807,9 +808,10 @@ def qs263(spark: SparkSession, sf: str) -> DataFrame:
         F.explode(F.split(F.col("phrase"), " ")).alias("w"),
     # r15 (guide §2.4): members feeds BOTH wstats and the score join —
     # the diamond re-ran the tokenize + island window + phrase
-    # aggregate chain twice. Phrase members are bounded (≤4 words per
-    # phrase), so one materialization is cheap at any scale.
-    ).localCheckpoint(eager=True)
+    # aggregate chain twice. r16: one row per phrase WORD scales with
+    # the corpus (ADVICE r15) — corpus class, cut_lineage.
+    )
+    members = cut_lineage(members)
     wstats = members.groupBy("w").agg(
         F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
     )
@@ -1247,10 +1249,8 @@ def qs268(spark: SparkSession, sf: str) -> DataFrame:
             "term"
         ),
     ).filter(F.col("term") != "")
-    cnt = (
-        toks.groupBy("source", "term")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
+    cnt = cut_lineage(  # pin: vocabulary-scale counts — corpus class
+        toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
     )
     a = cnt.select(
         F.col("source").alias("s1"), "term", F.col("c").alias("c1")
@@ -1440,8 +1440,8 @@ def qs285(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_w"))
         .filter(F.col("_w") >= 2)
         .select("s1", "s2")
-        .localCheckpoint(eager=True)
     )
+    e = cut_lineage(e)  # pin: corpus-scale edge set
     # r15 second pass: the wedge/closure enumeration materialized 79M
     # wedge rows, 54M triangle rows and a 162M-row explode — on this
     # graph (1000 nodes, 344k edges, 69% dense at sf0.1) the rows ARE
@@ -1462,8 +1462,9 @@ def qs285(spark: SparkSession, sf: str) -> DataFrame:
         )
         .groupBy("node")
         .agg(F.collect_set("nb").alias("ns"))
-        .localCheckpoint(eager=True)  # referenced 3x: deg + both joins
     )
+    # pin: corpus-scale adjacency lists; referenced 3x (deg + both joins)
+    nbrs = cut_lineage(nbrs)
     deg = nbrs.select("node", F.size("ns").alias("d"))
     # Pin the per-edge intersect stage: the checkpointed e is tiny on
     # disk, so AQE would coalesce the exchange to ONE task (guide
@@ -1597,18 +1598,17 @@ def qs294(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_w"))
         .filter(F.col("_w") >= 2)
         .select("s1", "s2")
-        .localCheckpoint(eager=True)
     )
+    e = cut_lineage(e)  # pin: corpus-scale edge set
     # Explode-not-union: one reference to the expensive pair
     # projection instead of two (each DAG reference re-evaluates it).
     # Degrees are node-dimension-sized but club/cn/c1/c2 reference
     # them 3x — checkpoint the tiny aggregate too so the explode+agg
     # over the edge table runs once.
-    deg = (
+    deg = cut_lineage(  # pin: node-dimension degrees (grow with input)
         e.select(F.explode(F.array("s1", "s2")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint(eager=True)
     )
     # r15 (guide §3.1): createDataFrame built ks as a PYTHON-RDD-backed
     # scan (applySchemaToPythonRDD, UnknownPartitioning, no stats) —
@@ -1623,10 +1623,8 @@ def qs294(spark: SparkSession, sf: str) -> DataFrame:
             F.array(F.lit(2), F.lit(4), F.lit(8), F.lit(16))
         ).alias("k")
     )
-    club = (
-        ks.join(deg, deg.d > ks.k)
-        .select("k", "node")
-        .localCheckpoint(eager=True)
+    club = cut_lineage(  # pin: node-dimension club list (AQE sizes it)
+        ks.join(deg, deg.d > ks.k).select("k", "node")
     )
     cn = club.groupBy("k").agg(F.count(F.lit(1)).alias("n_k"))
     c1 = club.select(F.col("k"), F.col("node").alias("s1"))

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from cds_etl_spark.catalog import load_table
 from cds_etl_spark.operators.skew import spread_scan
 from cds_etl_spark.plans.registry import query
+from cds_etl_spark.operators.pin import cut_lineage
 
 # --------------------------------------------------------------------------
 # Round-6 session-2 extensions: CCNet buckets, epoch shards, PSI drift
@@ -610,7 +611,8 @@ def qs163(spark: SparkSession, sf: str) -> DataFrame:
                 F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
             )
         ).alias("ts"),
-    ).localCheckpoint(eager=True)
+    )
+    toks = cut_lineage(toks)  # pin: corpus-scale token arrays
     # explode_outer in both explodes below: plain explode pushes an
     # implicit size(ts) > 0 filter down to the scan with the whole
     # array_distinct(filter(split(...))) expression substituted in —
@@ -666,7 +668,9 @@ def qs163(spark: SparkSession, sf: str) -> DataFrame:
                 " size(ots) - CAST(ceil(0.9 * size(ots)) AS INT) + 1)"
             )
         ).alias("p", "tok"),
-    ).localCheckpoint(eager=True)  # read twice by the a/b self-join
+    )
+    # pin: corpus-scale prefix postings; read twice by the a/b self-join
+    items = cut_lineage(items)
     a = items.alias("a")
     b = items.alias("b")
     cand = (
@@ -1848,11 +1852,10 @@ def qs177(spark: SparkSession, sf: str) -> DataFrame:
     win = kg.withColumn("mx", F.max("pos").over(wmax)).withColumn(
         "mk", F.min(kkey).over(wframe)
     )
-    sel = (
+    sel = cut_lineage(  # pin: corpus-scale winnowed fingerprint set
         win.filter(F.col("pos") <= F.col("mx") - (w - 1))
         .select("doc_id", F.substring("mk", 1, 32).alias("h"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     hot = (
         sel.groupBy("h")

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from cds_etl_spark.catalog import load_table
 from cds_etl_spark.plans.registry import query
+from cds_etl_spark.operators.pin import cut_lineage
 from cds_etl_spark.functions.vector import cosine_similarity, dot_product
 
 # --------------------------------------------------------------------------
@@ -410,8 +411,10 @@ def qs21(spark: SparkSession, sf: str) -> DataFrame:
     # r15 (guide §2.4): the second bucketed_row_number references its
     # input 2-3x internally (bounds agg, bucket join, running-count
     # join-back) — each reference re-ran the FIRST call's whole rank
-    # machinery. One materialization replaces those re-runs.
-    ).localCheckpoint(eager=True)
+    # machinery. One materialization replaces those re-runs (r16:
+    # order-dimension scale — corpus class, cut_lineage).
+    )
+    ranked = cut_lineage(ranked)
     ranked = bucketed_row_number(
         ranked, "o_orderkey", ["o_orderkey"], "_rn_key"
     )

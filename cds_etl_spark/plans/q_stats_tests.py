@@ -314,7 +314,8 @@ def qs271(spark: SparkSession, sf: str) -> DataFrame:
     )
     # r15 (guide §2.4, same fix as qs288): vc feeds the midrank
     # machinery AND the ties aggregate — checkpoint the bounded
-    # value-level table once.
+    # value-level table once. pin: bounded (cent-value domain) —
+    # localCheckpoint IS the bounded policy (operators/pin.py).
     vc = (
         s.groupBy("v")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -936,7 +937,8 @@ def qs288(spark: SparkSession, sf: str) -> DataFrame:
     # aggregate; pg feeds tot and both pair sides — references that
     # re-ran the value-level aggregate + prefix sums each time. vc is
     # distinct-value-sized (bounded by the cent domain), pg is
-    # ≤|groups| rows: both safe to pin at any scale.
+    # ≤|groups| rows: both safe to pin at any scale. pin: bounded —
+    # localCheckpoint IS the bounded policy (operators/pin.py).
     vc = (
         s.groupBy("v")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -1476,7 +1478,8 @@ def qs298(spark: SparkSession, sf: str) -> DataFrame:
     # references its input several times (bounds agg, bucket join,
     # in-bucket window, offset join-back) — each re-ran the
     # value-level aggregate over the scan. The table is bounded by
-    # the cent-value domain, safe to pin.
+    # the cent-value domain, safe to pin. pin: bounded —
+    # localCheckpoint IS the bounded policy (operators/pin.py).
     ).localCheckpoint(eager=True)
     cum = bucketed_prefix_sum(
         vc,

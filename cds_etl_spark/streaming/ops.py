@@ -28,6 +28,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from cds_etl_spark.operators.pin import cut_lineage
 from pyspark.sql.types import StructType
 
 from cds_etl_spark.catalog import load_table
@@ -508,7 +510,7 @@ def stream_corpus_ingest_with_index(
             kept = batch_kept.join(dup_ids, "doc_id", "left_anti")
         else:
             kept = batch_kept
-        kept = kept.localCheckpoint(eager=True)
+        kept = cut_lineage(kept)  # pin: corpus-scale batch slice
         kept.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={epoch_id}")
         )
@@ -590,7 +592,7 @@ def stream_media_ingest_with_index(
             kept_sigs = batch_kept.join(dup, "media_id", "left_anti")
         else:
             kept_sigs = batch_kept
-        kept_sigs = kept_sigs.localCheckpoint(eager=True)
+        kept_sigs = cut_lineage(kept_sigs)  # pin: corpus-scale batch slice
         kept = images.join(kept_sigs.select("media_id"), "media_id")
         kept.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={epoch_id}")
@@ -823,9 +825,11 @@ def stream_cusum_monitor(
                 + F.coalesce(F.col("z") + k, F.lit(0.0)),
             ).alias("s_neg"),
         )
-        out = st.withColumn(
-            "alert", (F.col("s_pos") > h) | (F.col("s_neg") < -h)
-        ).localCheckpoint(eager=True)
+        out = cut_lineage(  # pin: key-dimension state, written twice
+            st.withColumn(
+                "alert", (F.col("s_pos") > h) | (F.col("s_neg") < -h)
+            )
+        )
         out.write.mode("overwrite").parquet(
             os.path.join(state_path, f"epoch={epoch_id}")
         )
@@ -937,11 +941,11 @@ def stream_page_hinkley_monitor(
                 F.coalesce("mt_min", F.lit(0.0)), mt1
             ).alias("mt_min"),
         )
-        out = st.withColumn(
-            "ph", F.col("mt") - F.col("mt_min")
-        ).withColumn(
-            "alert", F.col("ph") > lam
-        ).localCheckpoint(eager=True)
+        out = cut_lineage(  # pin: key-dimension state, written twice
+            st.withColumn("ph", F.col("mt") - F.col("mt_min")).withColumn(
+                "alert", F.col("ph") > lam
+            )
+        )
         out.write.mode("overwrite").parquet(
             os.path.join(state_path, f"epoch={epoch_id}")
         )
