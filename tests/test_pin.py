@@ -71,6 +71,43 @@ def test_scope_and_via_validation(spark):
         pin_stage(spark.range(1), "corpus", via="cache")
 
 
+def test_expansion_probe_pins_survive_aqe(spark, sf_dir):
+    # VERDICT r15 task 6: qprof's x1task detector promoted to CI. The
+    # expansion-probe exchanges of qs163/qs285/qs146/qs341 are pinned
+    # to defaultParallelism-derived counts because AQE cannot see
+    # post-join expansion: without the pin it coalesces the tiny
+    # pre-expansion exchange to ONE task and the whole probe stage
+    # runs serially (the r15 finding). Freeze two invariants against
+    # Spark upgrades / conf drift: (1) at least one pinned
+    # REPARTITION_BY_NUM exchange with the derived count survives to
+    # the EXECUTED (AQE-final) plan; (2) no exchange in these plans is
+    # re-read coalesced.
+    from cds_etl_spark.plans import QUERIES
+
+    npart = spark.sparkContext.defaultParallelism * 4
+    # qs163's pins live inside build-time-executed checkpoint subtrees
+    # (the final plan truncates at the checkpoint scans), so only
+    # invariant (2) is checkable for it.
+    for name, pin_visible in (
+        ("qs163_prefix_filter_simjoin", False),
+        ("qs285_clustering_coefficient", True),
+        ("qs146_semantic_dedup", True),
+        ("qs341_shingle_containment", True),
+    ):
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        p = df._jdf.queryExecution().executedPlan().toString()
+        if pin_visible:
+            assert f", {npart}), REPARTITION_BY_NUM" in p, (
+                f"{name}: pinned {npart}-partition exchange missing "
+                "from the executed plan"
+            )
+        for ln in p.splitlines():
+            assert not ("AQEShuffleRead" in ln and "coalesced" in ln), (
+                f"{name}: a probe exchange was AQE-coalesced: {ln.strip()}"
+            )
+
+
 def test_eager_persist_populates_cache(spark):
     df = pin_stage(spark.range(50), "corpus", via="persist", eager=True)
     # populated at build: the cached relation reports its real size
