@@ -624,32 +624,33 @@ def qs137(spark: SparkSession, sf: str) -> DataFrame:
     sketch stage itself (qs90-style) cannot. Thresholds compare as
     integer cross-products (cnt*1000 >= total), no float share.
 
-    Pass accounting (r5 review): expressed as one DataFrame the plan
-    holds three corpus-tokenizing branches — sketch build, probe
-    distinct, exact verify (the stream total is a row-local size-sum,
-    no explode). In a production multi-pass run each stage's output
-    materializes (cache/checkpoint/table) before the next, so the
-    corpus is read once per PASS, not once per branch; the single-plan
-    form here is what the oracle contract can check."""
+    Pass accounting (r5 review, r16 restructure): the corpus is
+    tokenized ONCE and aggregated ONCE to the vocabulary-scale
+    (tok, cnt) table; the sketch build (cms_build with
+    weight_col="cnt" — Σ of per-token counts lands on exactly the
+    (j, bucket) counters that Σ over occurrences produced: same
+    longs), the probe and the exact verify are all reads of that
+    table. r15 pinned the exploded one-row-per-TOKEN stream — the
+    qs155 exploded-materialization lesson says that is the wrong
+    thing to pin; the vocab table is orders smaller and carries the
+    same information (A/B in fresh sessions at sf0.1: cold parity
+    — both forms JIT-dominated on first run — warm 4.5-6.0 s →
+    0.9-2.6 s)."""
+    from cds_etl_spark.operators.pin import pin_stage
     from cds_etl_spark.operators.sketches import cms_build, cms_estimate
     from cds_etl_spark.operators.skew import spread_scan
 
     d = load_table(spark, sf, "documents")
-    # r15 (guide §2.4/§2.5): spread the single-file scan (the tokenize
-    # explode + every partial aggregate ran in one task) and pin the
-    # token stream — the sketch build, the probe and the exact verify
-    # branch each re-tokenized the corpus (the "three
-    # corpus-tokenizing branches" the r5 review counted; the pin is
-    # the in-plan form of the per-PASS materialization the docstring
-    # describes). r16: the stream is corpus-scale (one row per token),
-    # so it persists with lineage intact instead of localCheckpointing
-    # (operators/pin.py — executor loss recomputes, spills to disk).
-    from cds_etl_spark.operators.pin import pin_stage
-
-    toks = pin_stage(
-        spread_scan(d.select("text")).select(
+    # spread (r15, §2.5): the single-file scan ran the tokenize explode
+    # + every partial aggregate in one task. pin (r16): vocabulary-
+    # scale counts — corpus class, string-heavy → columnar persist.
+    tok_counts = pin_stage(
+        spread_scan(d.select("text"))
+        .select(
             F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
-        ),
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt")),
         "corpus",
         via="persist",
     )
@@ -658,17 +659,15 @@ def qs137(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("n")
     )
-    sketch = cms_build(toks, "tok")
+    sketch = cms_build(tok_counts, "tok", weight_col="cnt")
     candidates = (
-        cms_estimate(sketch, toks, "tok")
+        cms_estimate(sketch, tok_counts, "tok")
         .crossJoin(F.broadcast(total))
         .filter(F.col("est") * 1000 >= F.col("n"))
         .select("tok")
     )
     return (
-        toks.join(F.broadcast(candidates), "tok", "left_semi")
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        tok_counts.join(F.broadcast(candidates), "tok", "left_semi")
         .crossJoin(F.broadcast(total))
         .filter(F.col("cnt") * 1000 >= F.col("n"))
         .select("tok", "cnt")
