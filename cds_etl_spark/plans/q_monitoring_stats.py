@@ -1305,29 +1305,34 @@ def qs171(spark: SparkSession, sf: str) -> DataFrame:
     and min run over ≤ 4 rows. The exact side is the one narrow
     groupBy a planner could not afford at 100 TB — which is the
     point of the sketch."""
+    from cds_etl_spark.operators.pin import pin_stage
     from cds_etl_spark.operators.sketches import cms_build
     from cds_etl_spark.operators.skew import spread_scan
 
     li = load_table(spark, sf, "lineitem")
-    # r15 (guide §2.5): spread ONLY the sketch input — the x4 md5
-    # bucket projection (2.4M hashes at sf0.1) ran in one task
-    # (measured 3.4 -> 2.2 s); the exact side's one-task partial
-    # count is CHEAPER than the round-robin exchange (0.2 vs 1.8 s
-    # measured), so it keeps the bare scan. No-op at real scale.
-    sk = cms_build(
-        spread_scan(li.select("l_partkey")),
-        "l_partkey",
-        depth=4,
-        width=4096,
+    # r16 (the qs137 lesson): count keys FIRST, sketch the counts.
+    # The r15 form hashed every OCCURRENCE (2.4M rows × depth 4 md5s);
+    # the key-dimension (l_partkey, c) table carries the same
+    # information at ~12x fewer hashes (cms_build weight_col sums
+    # per-key counts onto exactly the occurrence-stream counters —
+    # same longs) AND is precisely what the exact Σc² side needs, so
+    # ONE shared aggregate replaces both scans (pin: key-dimension —
+    # corpus class, narrow bigints → cut_lineage, not persist). The
+    # scan spread (r15, §2.5) still parallelizes the partial agg on
+    # the single-file fixture; no-op at real scale.
+    kc = pin_stage(
+        spread_scan(li.select("l_partkey"), "l_partkey")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c")),
+        "corpus",
     )
+    sk = cms_build(kc, "l_partkey", depth=4, width=4096, weight_col="c")
     dots = sk.groupBy("j").agg(
         F.sum(F.col("cnt") * F.col("cnt")).alias("dot")
     )
     est = dots.agg(F.min("dot").cast("long").alias("est_pairs"))
-    exact = (
-        li.groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_pairs"))
+    exact = kc.agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_pairs")
     )
     return (
         est.crossJoin(exact)
